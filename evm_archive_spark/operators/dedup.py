@@ -1,0 +1,288 @@
+"""Deduplication operators for large-scale text corpora (north-star
+extension; SURVEY §7 Stage 6).
+
+All of these are shuffle-conscious compositions of built-in DataFrame ops:
+
+- exact:    hash-groupBy on content digest (one shuffle on the digest).
+- minhash:  shingle -> per-permutation min-hash -> banded LSH buckets ->
+            candidate pairs by bucket equi-join -> exact-Jaccard verify.
+- simhash:  64-bit sign-aggregated token-hash fingerprint; near-dups =
+            small Hamming distance (bit_count(a XOR b)).
+- ngram:    exact n-gram Jaccard for a blocked pair set.
+
+Everything is native Column expressions (xxhash64, transform/aggregate
+higher-order functions) — deterministic, no Python in the row path, and
+codegen-friendly; at 100 TB the dominant cost is the bucket-join shuffle,
+which is the minimum any LSH scheme pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct ``cols`` tuple (hash-shuffle dedup)."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dedup_by_content(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Keep the lowest-id row per exact content digest."""
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def shingles(col, k: int = 5) -> F.Column:
+    """Distinct character k-shingles of a string column (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
+    )
+
+
+def minhash_signature(col, num_perm: int = 32, k: int = 5, seed: int = 42) -> F.Column:
+    """MinHash signature: sig[j] = min over shingles of xxhash64(s, seed+j).
+
+    One array column of ``num_perm`` longs; permutations are simulated by
+    salting the hash — standard practice (Broder '97 resemblance sketch).
+    """
+    sh = shingles(col, k)
+    sigs = [
+        F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + j)))
+        )
+        for j in range(num_perm)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    rows/band = num_perm/bands; a pair collides if any band's sub-signature
+    matches exactly.  Plan: explode to (band, band_hash) — one row per
+    (doc, band) — then self-join on (band, band_hash).  The join is the
+    only shuffle; dupes across bands are collapsed with dropDuplicates.
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, num_perm, k).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bhash")
+    a, c = banded.alias("a"), banded.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bhash") == F.col("c.bhash"))
+            & (F.col("a.__id") < F.col("c.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("c.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard(col_a, col_b) -> F.Column:
+    """Exact Jaccard similarity of two array columns (as double)."""
+    inter = F.size(F.array_intersect(col_a, col_b))
+    union = F.size(F.array_union(col_a, col_b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """LSH candidates + exact-Jaccard verification >= threshold.
+
+    The verify joins the (small) candidate set back to the shingle sets —
+    candidates, not the corpus, bound the quadratic term.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, k)
+    sh = df.select(
+        F.col(id_col).alias("__sid"), shingles(text_col, k).alias("__sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(col, seed: int = 42) -> F.Column:
+    """64-bit SimHash over whitespace tokens (Charikar '02).
+
+    bit j of the fingerprint = sign of sum over tokens of (+1 if bit j of
+    xxhash64(token) else -1).  Entirely JVM-side: one fold producing a
+    64-long count vector, then a fold packing the sign bits.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(F.trim(c), " +")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    # shift amounts must be static ints (shiftright takes no Column), so the
+    # 64 bit-positions unroll at plan-build time: one fold per bit, then a
+    # static bitwise-OR pack.  All JVM-side; the unrolled plan stays in
+    # whole-stage codegen.
+    def _bit_sum(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    packed = F.lit(0).cast("long")
+    for j in range(64):
+        bit_sum = _bit_sum(j)
+        bit_val = (1 << j) if j < 63 else -(2**63)  # signed-long bit 63
+        packed = packed.bitwiseOR(
+            F.when(bit_sum > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return packed
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: 4 x 16-bit chunks of the fingerprint — by pigeonhole, any
+    pair within Hamming distance 3 shares at least one exact chunk, so the
+    self-join on (chunk_idx, chunk_value) finds all of them without an
+    O(n^2) comparison (standard simhash sharding trick).
+    """
+    fp = df.select(F.col(id_col).alias("__id"), simhash(text_col, seed).alias("__fp"))
+    chunks = fp.select(
+        "__id",
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("__fp"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("__id", "__fp", "ch.ci", "ch.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard over a blocked pair set
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard for pairs within a blocking key
+    (all-pairs when block_col is None — quadratic, small inputs only)."""
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        shingles(text_col, n).alias("__g"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            jaccard(F.col("a.__g"), F.col("b.__g")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Baseline: brute-force cosine / dot-product top-k as a broadcast
+map-side join — no shuffle of the big side; the query set is broadcast and
+every executor scores its partition locally, then a single top-k-per-query
+aggregation runs on (n_queries x n) candidate rows.  Scale path: LSH
+bucketing (random hyperplane signatures) to cut the candidate set.
+
+All hot-path math is JVM-side (``zip_with`` + ``aggregate`` fold over the
+array column) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+_QDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) * "
+    "CAST(FLOOR(CAST(y AS DOUBLE) * 1000) AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def dot(a: str, b: str) -> F.Column:
+    """JVM-side dot product of two array<float|double> columns."""
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def quantized_dot(a: str, b: str) -> F.Column:
+    """Integer-quantized (floor(x*1000)) dot product — exact BIGINT sums,
+    deterministic across engines and partitionings (used by the parity
+    gate, where float accumulation order would otherwise differ)."""
+    return F.expr(_QDOT.format(a=a, b=b))
+
+
+def norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the corpus.
+
+    Plan shape at scale: Parquet scan of the corpus stays partition-local
+    (queries broadcast), the only shuffle is the final top-k window over
+    n_queries*k candidate-bounded rows after per-partition scoring.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        df.alias("c")
+        .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                F.expr(_DOT.format(a=vec_col, b="__qvec"))
+                / (norm(vec_col) * norm("__qvec"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def quantized_dot_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Parity-gate variant of brute-force top-k: integer-quantized dot
+    product (exact, engine-independent), first ``n_queries`` ids as the
+    query set, ties broken by neighbor id."""
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_QDOT.format(a=vec_col, b="__qvec")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-random-projection LSH: 64-bit-deterministic hyperplanes derived
+    from ``xxhash64(plane, dim, seed)`` (no driver-side randomness, no
+    broadcast weight matrix needed — each executor recomputes the pseudo-
+    random plane entries inside codegen).
+
+    bucket = bit-packed sign pattern of <v, plane_j>.  Candidate pairs then
+    come from an equi self-join on (bucket), turning the O(n^2) all-pairs
+    problem into per-bucket blocks — the standard scale path for
+    embedding near-dup detection.
+    """
+    # plane_j[i] = +1 / -1 from the parity of a hash of (seed, j, i)
+    sign = (
+        "aggregate(zip_with({v}, sequence(0, size({v}) - 1), "
+        "(x, i) -> CAST(x AS DOUBLE) * "
+        "CASE WHEN pmod(xxhash64({seed}, {j}, i), 2) = 0 THEN 1.0 ELSE -1.0 END), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    bucket = None
+    for j in range(n_planes):
+        bit = (
+            F.when(
+                F.expr(sign.format(v=vec_col, seed=seed, j=j)) >= 0, F.lit(1)
+            ).otherwise(F.lit(0))
+            * F.lit(2**j)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(id_col, vec_col, bucket.cast("long").alias("lsh_bucket"))
+
+
+def lsh_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket self-join, exact cosine
+    verify within buckets.  Recall is bounded by the bucketing (documented:
+    raise recall with multiple tables / fewer planes)."""
+    b = hyperplane_lsh_buckets(df, n_planes, id_col, vec_col)
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col(f"a.lsh_bucket") == F.col(f"c.lsh_bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"c.{id_col}").alias("id_b"),
+        (
+            F.expr(_DOT.format(a=f"a.{vec_col}", b=f"c.{vec_col}"))
+            / (norm(f"a.{vec_col}") * norm(f"c.{vec_col}"))
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")

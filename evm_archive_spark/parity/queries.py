@@ -1,0 +1,975 @@
+"""The declared correctness query set (SURVEY.md §2.1) — the testable
+contract of the relational surface the reference delegates to Postgres
+(SURVEY §2.B B28) plus the decode library, ingestion transform, streaming
+and north-star extension operators.
+
+Each entry pairs a Spark-side query (verbatim shared SQL where the dialects
+agree, a DataFrame-API callable otherwise) with DuckDB oracle SQL.  The
+driver runs both at sf0.01 and hash-compares (order-insensitive, columns
+sorted by name) — so every computed column is aliased identically on both
+sides and cast to an explicitly matching type.
+
+Determinism conventions (SURVEY §2.1): total ORDER BY with NULLS FIRST
+where row identity matters, monetary doubles cast to DECIMAL(18,2) before
+aggregation, floats only ever compared after integer quantization
+(FLOOR(x*1000)), timestamps truncated to engine-common precision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import fixtures
+from ..functions import decode as D, hexutils as H
+from ..tables import register_testdata
+
+
+@dataclass(frozen=True)
+class ParityQuery:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => rows-only check
+    doc: str = ""
+
+
+def _sql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_testdata(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+_REGISTRY: list[ParityQuery] = []
+
+
+def _add(name, spark, oracle, doc=""):
+    _REGISTRY.append(ParityQuery(name, spark, oracle, doc))
+
+
+def _shared(name, sql, doc=""):
+    """Query whose SQL text runs verbatim on both Spark and DuckDB."""
+    _add(name, _sql(sql), sql, doc)
+
+
+# ==========================================================================
+# Scans (Q-SC)
+# ==========================================================================
+
+_shared("q_sc1", "SELECT COUNT(*) AS n FROM lineitem", "full scan + count")
+
+_shared(
+    "q_sc2",
+    "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty "
+    "FROM lineitem "
+    "ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST LIMIT 100",
+    "projection pruning + deterministic top-100",
+)
+
+# ==========================================================================
+# Filters (Q-F)
+# ==========================================================================
+
+_shared(
+    "q_f1",
+    "SELECT COUNT(*) AS n FROM lineitem "
+    "WHERE l_discount > 0.05 AND l_quantity < 25",
+)
+
+_shared(
+    "q_f2",
+    "SELECT COUNT(*) AS n FROM part "
+    "WHERE p_brand IN ('Brand#1', 'Brand#2') OR p_name LIKE '%green%'",
+    "IN-list + LIKE",
+)
+
+_shared(
+    "q_f3",
+    "SELECT COUNT(*) AS a, COUNT(flag) AS b FROM "
+    "(SELECT CASE WHEN l_tax > 0.07 THEN NULL ELSE 1 END AS flag "
+    " FROM lineitem) t",
+    "3-valued logic: COUNT(*) vs COUNT(col)",
+)
+
+# ==========================================================================
+# Joins (Q-J)
+# ==========================================================================
+
+_shared(
+    "q_j1",
+    "SELECT c_mktsegment, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST",
+    "inner equi join (broadcast-size dim) + agg",
+)
+
+_shared(
+    "q_j2",
+    "SELECT n_name, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name NULLS FIRST",
+    "4-way join chain",
+)
+
+_shared(
+    "q_j3",
+    "SELECT COUNT(*) AS n_zero FROM customer c "
+    "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+    "WHERE o.o_orderkey IS NULL",
+    "left outer join null-producing side",
+)
+
+_shared(
+    "q_j4",
+    "SELECT COUNT(*) AS n FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    " AND o.o_totalprice > 100)",
+    "semi join via EXISTS",
+)
+
+_shared(
+    "q_j5",
+    "SELECT COUNT(*) AS n FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    " AND o.o_totalprice > 100)",
+    "anti join via NOT EXISTS",
+)
+
+_shared(
+    "q_j6",
+    "SELECT COUNT(*) AS n FROM part p "
+    "JOIN supplier s ON p.p_size = s.s_nationkey + 10",
+    "theta / non-equi join",
+)
+
+# as-of join (B26/Q-J7): correlated-subquery form shared verbatim; the
+# fixture tables travel as VALUES CTEs so both engines see identical input.
+_J7_SQL = (
+    f"WITH {fixtures.price_cte()}, {fixtures.transfers_cte()} "
+    "SELECT l.token, l.block_number, "
+    "(SELECT MAX(p.block_number) FROM price_fix p "
+    " WHERE p.address = l.token AND p.block_number <= l.block_number) "
+    "AS asof_block "
+    "FROM transfers_fix l "
+    "ORDER BY l.token NULLS FIRST, l.block_number NULLS FIRST"
+)
+_shared("q_j7", _J7_SQL, "as-of lookup block via correlated MAX subquery")
+
+
+def _q_j7b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join through the engine's native operator (operators.asof):
+    union + window carry-forward — one shuffle, no row explosion, the
+    scale-correct plan for B26 (schema.sql:78-81 'price as of block')."""
+    from ..operators.asof import asof_join
+
+    left = fixtures.transfers_df(spark)
+    right = fixtures.price_df(spark)
+    out = asof_join(
+        left,
+        right,
+        on="block_number",
+        by_left="token",
+        by_right="address",
+        value_cols=["price"],
+    )
+    return out.select(
+        "token",
+        "block_number",
+        F.col("price").cast("decimal(20,0)").alias("price"),
+    ).orderBy("token", "block_number")
+
+
+_add(
+    "q_j7b",
+    _q_j7b,
+    f"WITH {fixtures.price_cte()}, {fixtures.transfers_cte()} "
+    "SELECT l.token, l.block_number, "
+    "CAST((SELECT p.price FROM price_fix p "
+    " WHERE p.address = l.token AND p.block_number <= l.block_number "
+    " ORDER BY p.block_number DESC LIMIT 1) AS DECIMAL(20,0)) AS price "
+    "FROM transfers_fix l "
+    "ORDER BY l.token NULLS FIRST, l.block_number NULLS FIRST",
+    "native as-of join operator vs correlated LIMIT-1 oracle",
+)
+
+# ==========================================================================
+# Aggregation (Q-A)
+# ==========================================================================
+
+_shared(
+    "q_a1",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
+    "CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price, "
+    "CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price, "
+    "AVG(l_quantity) AS avg_qty "  # integral doubles => exact in any order
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "multi-agg group by (TPC-H Q1 shape)",
+)
+
+_shared(
+    "q_a2",
+    "SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' "
+    "ELSE o_orderpriority END AS prio, "
+    "COUNT(DISTINCT o_custkey) AS nd "
+    "FROM orders GROUP BY ROLLUP(o_orderpriority) "
+    "ORDER BY prio NULLS FIRST",
+    "exact COUNT(DISTINCT) global + per group",
+)
+
+_shared(
+    "q_a3",
+    "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer "
+    "GROUP BY ROLLUP(c_mktsegment, c_nationkey) "
+    "ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST",
+    "ROLLUP",
+)
+
+_shared(
+    "q_a4",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders "
+    "GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    "CUBE",
+)
+
+_shared(
+    "q_a5",
+    "SELECT r_name, COUNT(*) AS n "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY GROUPING SETS ((r_name), ()) "
+    "ORDER BY r_name NULLS FIRST",
+    "GROUPING SETS over a join",
+)
+
+_shared(
+    "q_a6",
+    "SELECT c_nationkey, COUNT(*) AS n FROM customer "
+    "GROUP BY c_nationkey HAVING COUNT(*) > 5 "
+    "ORDER BY c_nationkey NULLS FIRST",
+    "HAVING",
+)
+
+# ==========================================================================
+# Window functions (Q-W)
+# ==========================================================================
+
+_shared(
+    "q_w1",
+    "SELECT * FROM ("
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+    "CAST(RANK() OVER w AS BIGINT) AS rk, "
+    "CAST(DENSE_RANK() OVER w AS BIGINT) AS drk "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    ") t WHERE rn <= 3 "
+    "ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST",
+    "ranking trio, top-3 per customer",
+)
+
+_shared(
+    "q_w2",
+    "SELECT event_id, user_id, "
+    "CAST(value AS DECIMAL(18,6)) AS v, "
+    "CAST(LAG(value, 1) OVER w AS DECIMAL(18,6)) AS prev_v, "
+    "CAST(LEAD(value, 1) OVER w AS DECIMAL(18,6)) AS next_v "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+    "ORDER BY user_id NULLS FIRST, event_id NULLS FIRST",
+    "LAG/LEAD over event stream",
+)
+
+_shared(
+    "q_w3",
+    "SELECT event_id, user_id, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY user_id ORDER BY event_id "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS DECIMAL(18,2)) AS running "
+    "FROM events "
+    "ORDER BY user_id NULLS FIRST, event_id NULLS FIRST",
+    "running sum with explicit frame",
+)
+
+_shared(
+    "q_w4",
+    "SELECT c_custkey, "
+    "CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile "
+    "FROM customer ORDER BY c_custkey NULLS FIRST",
+    "NTILE quartiles (tie-broken)",
+)
+
+# ==========================================================================
+# Sorts / limits (Q-S)
+# ==========================================================================
+
+_shared(
+    "q_s1",
+    "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+    "ORDER BY l_returnflag DESC NULLS FIRST, l_orderkey NULLS FIRST, "
+    "l_linenumber NULLS FIRST LIMIT 50",
+    "multi-key sort + top-k (TakeOrderedAndProject)",
+)
+
+_S2_SQL = (
+    f"WITH {fixtures.values_cte('logs_fix', fixtures.LOGS_COLUMNS[:12], [r[:12] for r in fixtures.logs_rows()])} "
+    "SELECT address, block_number, transaction_hash, log_index FROM logs_fix "
+    "ORDER BY block_number DESC NULLS LAST, transaction_hash NULLS FIRST, "
+    "log_index NULLS FIRST LIMIT 10"
+)
+_shared("q_s2", _S2_SQL, "scratch.sql:5-7 inspection shape on logs fixture")
+
+# ==========================================================================
+# Set ops (Q-U)
+# ==========================================================================
+
+_shared(
+    "q_u1",
+    "SELECT COUNT(*) AS n FROM "
+    "(SELECT c_nationkey AS k FROM customer "
+    " UNION ALL SELECT s_nationkey FROM supplier) t",
+)
+
+_shared(
+    "q_u2",
+    "SELECT k FROM (SELECT c_nationkey AS k FROM customer "
+    "UNION SELECT s_nationkey FROM supplier) t ORDER BY k NULLS FIRST",
+)
+
+_shared(
+    "q_u3",
+    "SELECT k FROM (SELECT c_nationkey AS k FROM customer "
+    "INTERSECT SELECT s_nationkey FROM supplier) t ORDER BY k NULLS FIRST",
+)
+
+_shared(
+    "q_u4",
+    "SELECT k FROM (SELECT c_nationkey AS k FROM customer "
+    "EXCEPT SELECT s_nationkey + 20 FROM supplier) t ORDER BY k NULLS FIRST",
+)
+
+# ==========================================================================
+# Scalar functions (Q-X)
+# ==========================================================================
+
+_shared(
+    "q_x1",
+    "SELECT p_partkey, UPPER(p_name) AS up, LOWER(p_brand) AS lo, "
+    "SUBSTRING(p_name, 1, 5) AS sub, CAST(LENGTH(p_name) AS BIGINT) AS len, "
+    "TRIM(p_name) AS tr, LPAD(p_brand, 12, '*') AS lp, "
+    "REPLACE(p_name, 'a', '@') AS rep, "
+    "CAST(INSTR(p_name, 'e') AS BIGINT) AS pos_e, "
+    "p_name || '/' || p_brand AS cat "
+    "FROM part ORDER BY p_partkey NULLS FIRST LIMIT 100",
+    "string function battery",
+)
+
+_shared(
+    "q_x2",
+    "SELECT CAST(o_orderdate AS DATE) AS d, "
+    # CAST: duckdb's date_trunc returns DATE, Spark's returns TIMESTAMP
+    "CAST(date_trunc('month', o_orderdate) AS DATE) AS m, "
+    "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y, "
+    "COUNT(*) AS n "
+    "FROM orders GROUP BY 1, 2, 3 "
+    "ORDER BY d NULLS FIRST, m NULLS FIRST, y NULLS FIRST",
+    "date bucket battery",
+)
+
+_shared(
+    "q_x3",
+    "SELECT p_partkey, CAST(ABS(p_size - 25) AS BIGINT) AS a, "
+    "CAST(MOD(p_size, 7) AS BIGINT) AS m, "
+    "CAST(FLOOR(p_retailprice) AS BIGINT) AS f, "
+    "CAST(CEIL(p_retailprice) AS BIGINT) AS c "
+    "FROM part ORDER BY p_partkey NULLS FIRST LIMIT 200",
+    "math battery (integer-exact forms)",
+)
+
+# [pair] — JSON path syntax differs between engines
+_add(
+    "q_x4",
+    _sql(
+        "SELECT get_json_object(props, '$.k') AS k, COUNT(*) AS n "
+        "FROM events GROUP BY get_json_object(props, '$.k') "
+        "ORDER BY k NULLS FIRST"
+    ),
+    "SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS n "
+    "FROM events GROUP BY json_extract_string(props, '$.k') "
+    "ORDER BY k NULLS FIRST",
+    "JSON extraction [pair]",
+)
+
+# [pair] — array builtins differ; float compared after integer quantization
+_add(
+    "q_x5",
+    _sql(
+        "SELECT vec_id, CAST(SIZE(embedding) AS BIGINT) AS dim, "
+        "CAST(FLOOR(CAST(element_at(embedding, 1) AS DOUBLE) * 1000) AS BIGINT) "
+        "AS e1_md "
+        "FROM embeddings ORDER BY vec_id NULLS FIRST"
+    ),
+    "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, "
+    "CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS e1_md "
+    "FROM embeddings ORDER BY vec_id NULLS FIRST",
+    "array access [pair]",
+)
+
+# ==========================================================================
+# Decode library (Q-D) — engine runs B1-B20 Column exprs on the logs
+# fixture; oracle = golden literals computed from the same fixture source
+# (FIXTURES.md §4).  All [pair] by construction.
+# ==========================================================================
+
+
+def _strip(h: str) -> str:
+    return h[2:] if h.startswith("0x") else h
+
+
+def _topic_addr(topic: str) -> str:
+    return "0x" + _strip(topic)[24:64]
+
+
+def _word(h: str, i: int) -> str:
+    return _strip(h)[64 * i : 64 * (i + 1)]
+
+
+def _uint(h: str, i: int = 0) -> int:
+    return int(_word(h, i), 16)
+
+
+def _values_query(cols: list[tuple[str, str]], rows: list[tuple]) -> str:
+    """SELECT with explicit casts over a VALUES CTE (oracle side)."""
+    names = [c for c, _ in cols]
+    casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in cols)
+    order = ", ".join(f"{c} NULLS FIRST" for c in names)
+    return (
+        f"WITH {fixtures.values_cte('t', names, rows)} "
+        f"SELECT {casts} FROM t ORDER BY {order}"
+    )
+
+
+_TRANSFERS = [r for r in fixtures.logs_rows() if r[1] == fixtures.TOPIC_TRANSFER]
+_DEPOSITS = [r for r in fixtures.logs_rows() if r[1] == fixtures.TOPIC_DEPOSIT]
+
+
+def _q_d1(spark, sf_dir):
+    logs = fixtures.logs_df(spark)
+    return (
+        logs.filter(F.col("topic0") == fixtures.TOPIC_TRANSFER)
+        .select(
+            "block_number",
+            "log_index",
+            D.to_address(2, "topic1").alias("from_addr"),
+            D.to_address(2, "topic2").alias("to_addr"),
+        )
+        .orderBy("block_number", "log_index")
+    )
+
+
+_add(
+    "q_d1",
+    _q_d1,
+    _values_query(
+        [
+            ("block_number", "BIGINT"),
+            ("log_index", "BIGINT"),
+            ("from_addr", "VARCHAR"),
+            ("to_addr", "VARCHAR"),
+        ],
+        [(r[7], r[10], _topic_addr(r[2]), _topic_addr(r[3])) for r in _TRANSFERS],
+    ),
+    "to_address over indexed topics (G1)",
+)
+
+
+def _q_d2(spark, sf_dir):
+    logs = fixtures.logs_df(spark)
+    return (
+        logs.filter(F.col("topic0") == fixtures.TOPIC_TRANSFER)
+        .select(
+            "block_number",
+            "log_index",
+            D.to_uint256(2, "data").alias("amount"),
+        )
+        .orderBy("block_number", "log_index")
+    )
+
+
+_add(
+    "q_d2",
+    _q_d2,
+    _values_query(
+        [
+            ("block_number", "BIGINT"),
+            ("log_index", "BIGINT"),
+            ("amount", "DECIMAL(38,0)"),
+        ],
+        [(r[7], r[10], _uint(r[5])) for r in _TRANSFERS],
+    ),
+    "to_uint256 single word incl. one >2^64 value (G2)",
+)
+
+
+def _q_d3(spark, sf_dir):
+    logs = fixtures.logs_df(spark)
+    return (
+        logs.filter(F.col("topic0") == fixtures.TOPIC_DEPOSIT)
+        .select(
+            "block_number",
+            D.to_uint256(2, "data").alias("assets"),
+            D.to_uint256(66, "data").alias("shares"),
+        )
+        .orderBy("block_number")
+    )
+
+
+_add(
+    "q_d3",
+    _q_d3,
+    _values_query(
+        [
+            ("block_number", "BIGINT"),
+            ("assets", "DECIMAL(38,0)"),
+            ("shares", "DECIMAL(38,0)"),
+        ],
+        [(r[7], _uint(r[5], 0), _uint(r[5], 1)) for r in _DEPOSITS],
+    ),
+    "two-word decode (Deposit shape, init.sql:215, G3)",
+)
+
+# signed/bool/string/bytes/array vectors — tiny literal input tables
+_D4_WORDS = [
+    (1, -2),
+    (2, -1),
+    (3, 0),
+    (4, 1),
+    (5, 2**63 - 1),
+    (6, -(2**63)),
+]
+
+
+def _q_d4(spark, sf_dir):
+    rows = [(i, "0x" + format(v % 2**64, "064x")) for i, v in _D4_WORDS]
+    df = spark.createDataFrame(rows, ["id", "d"])
+    return df.select("id", D.to_int64(2, "d").alias("v")).orderBy("id")
+
+
+_add(
+    "q_d4",
+    _q_d4,
+    _values_query([("id", "BIGINT"), ("v", "BIGINT")], list(_D4_WORDS)),
+    "to_int64 two's-complement vector (G4)",
+)
+
+
+def _q_d5(spark, sf_dir):
+    rows = [(1, "0x" + fixtures.word_uint(1)), (2, "0x" + fixtures.word_uint(0))]
+    df = spark.createDataFrame(rows, ["id", "d"])
+    return df.select("id", D.to_bool(2, "d").alias("v")).orderBy("id")
+
+
+_add(
+    "q_d5",
+    _q_d5,
+    _values_query([("id", "BIGINT"), ("v", "BOOLEAN")], [(1, True), (2, False)]),
+    "to_bool (G7)",
+)
+
+_D6_STRINGS = [(1, "spark"), (2, ""), (3, "héllo ✓")]
+
+
+def _q_d6(spark, sf_dir):
+    rows = []
+    for i, s in _D6_STRINGS:
+        b = s.encode("utf-8")
+        payload = b.hex()
+        padded = payload + "0" * ((64 - len(payload) % 64) % 64)
+        rows.append(
+            (i, "0x" + fixtures.word_uint(0x20) + fixtures.word_uint(len(b)) + padded)
+        )
+    df = spark.createDataFrame(rows, ["id", "d"])
+    return df.select("id", D.to_string(2, "d").alias("v")).orderBy("id")
+
+
+_add(
+    "q_d6",
+    _q_d6,
+    _values_query([("id", "BIGINT"), ("v", "VARCHAR")], list(_D6_STRINGS)),
+    "to_string dynamic UTF-8 incl. empty + multibyte (G8)",
+)
+
+
+def _q_d7(spark, sf_dir):
+    rows = [
+        (1, "0x" + fixtures.word_uint(0x20) + fixtures.word_uint(4) + "deadbeef" + "0" * 56),
+        (2, "0x" + "deadbe00" + "0" * 56),
+    ]
+    df = spark.createDataFrame(rows, ["id", "d"])
+    return df.select(
+        "id",
+        F.when(F.col("id") == 1, D.to_bytes(2, "d"))
+        .otherwise(D.to_fixed_bytes(2, "d", 4))
+        .alias("v"),
+    ).orderBy("id")
+
+
+_add(
+    "q_d7",
+    _q_d7,
+    _values_query(
+        [("id", "BIGINT"), ("v", "VARCHAR")],
+        [(1, "0xdeadbeef"), (2, "0xdeadbe00")],
+    ),
+    "to_bytes / to_fixed_bytes intended semantics (G9/G10)",
+)
+
+
+def _q_d8(spark, sf_dir):
+    w = fixtures.word_uint
+    rows = [
+        (1, "0x" + w(0x20) + w(5) + w(1) + w(2) + w(3) + w(4) + w(5)),
+        (2, "0x" + w(0x20) + w(0)),
+        (3, "0x" + w(0x20) + w(2) + w(10) + w(20)),
+    ]
+    df = spark.createDataFrame(rows, ["id", "d"])
+    return df.select("id", D.to_array_str(2, "d", "uint32").alias("v")).orderBy("id")
+
+
+_add(
+    "q_d8",
+    _q_d8,
+    _values_query(
+        [("id", "BIGINT"), ("v", "VARCHAR")],
+        [(1, "[1,2,3,4,5]"), (2, "[]"), (3, "[10,20]")],
+    ),
+    "to_array incl. length>3 beyond reference cap (G11)",
+)
+
+
+def _q_d9(spark, sf_dir):
+    logs = fixtures.logs_df(spark)
+    return (
+        logs.select("block_number")
+        .distinct()
+        .select(
+            "block_number",
+            H.to_hex("block_number").alias("hex"),
+            H.from_hex_long(H.to_hex("block_number")).alias("roundtrip"),
+        )
+        .orderBy("block_number")
+    )
+
+
+_add(
+    "q_d9",
+    _q_d9,
+    _values_query(
+        [("block_number", "BIGINT"), ("hex", "VARCHAR"), ("roundtrip", "BIGINT")],
+        sorted({(r[7], f"0x{r[7]:x}", r[7]) for r in fixtures.logs_rows()}),
+    ),
+    "hex<->dec round trip (A6/G12)",
+)
+
+
+def _q_d10(spark, sf_dir):
+    from .. import views
+
+    logs = fixtures.logs_df(spark)
+    views.register_event_views(spark, logs)
+    t = spark.table("Transfer_address_from_address_to_uint256_amount_d")
+    return t.select(
+        F.col("from").alias("from_addr"),
+        F.col("to").alias("to_addr"),
+        F.col("amount"),
+        F.col("contract_address"),
+        F.col("evt_tx_hash"),
+        F.col("evt_index"),
+        F.col("evt_block_number"),
+    ).orderBy("evt_block_number", "evt_index")
+
+
+_add(
+    "q_d10",
+    _q_d10,
+    _values_query(
+        [
+            ("from_addr", "VARCHAR"),
+            ("to_addr", "VARCHAR"),
+            ("amount", "DECIMAL(38,0)"),
+            ("contract_address", "VARCHAR"),
+            ("evt_tx_hash", "VARCHAR"),
+            ("evt_index", "BIGINT"),
+            ("evt_block_number", "BIGINT"),
+        ],
+        [
+            (
+                _topic_addr(r[2]),
+                _topic_addr(r[3]),
+                _uint(r[5]),
+                r[0],
+                r[8],
+                r[10],
+                r[7],
+            )
+            for r in _TRANSFERS
+        ],
+    ),
+    "full Transfer view parity (init.sql:221, corrected README example, G13)",
+)
+
+# ==========================================================================
+# Ingestion transform (A5-A7) — wire-shape rows through the engine's
+# LogRpc -> LogDb stage vs literal expected rows.
+# ==========================================================================
+
+_WIRE_ROWS = [
+    # (address, topics, data, blockHash, blockNumber, txHash, txIndex, logIndex, removed)
+    (
+        fixtures.README_CONTRACT,
+        [
+            fixtures.TOPIC_TRANSFER,
+            fixtures.ZERO_WORD,
+            fixtures.addr_word(fixtures.README_TO_ADDR),
+        ],
+        "0x" + fixtures.word_uint(fixtures.README_AMOUNT),
+        "0xbh1",
+        "0x364df",
+        "0xth1",
+        "0x6",
+        "0x12",
+        False,
+    ),
+    (fixtures.mk_addr(1), ["0x" + "ab" * 32], "0x", "0xbh2", "0x364e0", "0xth2", "0x0", "0x0", False),
+    (fixtures.mk_addr(2), ["0x" + "cd" * 32], "", "0xbh3", "0x364e1", "0xth3", "0x1", "0x2", True),
+]
+
+
+def _q_ingest_transform(spark, sf_dir):
+    from ..sources.transform import log_rpc_to_log_db
+    from ..schemas import LOG_RPC_SCHEMA
+
+    df = spark.createDataFrame(_WIRE_ROWS, LOG_RPC_SCHEMA)
+    out = log_rpc_to_log_db(df)
+    return out.select(
+        "address",
+        "topic0",
+        "topic1",
+        "topic2",
+        "topic3",
+        "data",
+        "block_hash",
+        "block_number",
+        "transaction_hash",
+        "transaction_index",
+        "log_index",
+        "removed",
+    ).orderBy("block_number")
+
+
+_add(
+    "q_ingest_transform",
+    _q_ingest_transform,
+    _values_query(
+        [
+            ("address", "VARCHAR"),
+            ("topic0", "VARCHAR"),
+            ("topic1", "VARCHAR"),
+            ("topic2", "VARCHAR"),
+            ("topic3", "VARCHAR"),
+            ("data", "VARCHAR"),
+            ("block_hash", "VARCHAR"),
+            ("block_number", "BIGINT"),
+            ("transaction_hash", "VARCHAR"),
+            ("transaction_index", "BIGINT"),
+            ("log_index", "BIGINT"),
+            ("removed", "BOOLEAN"),
+        ],
+        [
+            (
+                r[0],
+                r[1][0],
+                r[1][1] if len(r[1]) > 1 else "",
+                r[1][2] if len(r[1]) > 2 else "",
+                r[1][3] if len(r[1]) > 3 else "",
+                None if r[2] in ("0x", "") else r[2],
+                r[3],
+                int(r[4], 16),
+                r[5],
+                int(r[6], 16),
+                int(r[7], 16),
+                r[8],
+            )
+            for r in _WIRE_ROWS
+        ],
+    ),
+    "A5-A7: topics split ('' for absent), hex->dec, empty-data nulling",
+)
+
+# ==========================================================================
+# Streaming (group S) — real Structured Streaming runs; oracle = the batch
+# recomputation (SURVEY Q-ST1/2).
+# ==========================================================================
+
+
+def _q_st1(spark, sf_dir):
+    from ..streaming.windows import tumbling_event_counts
+
+    return tumbling_event_counts(spark, sf_dir, "1 hour")
+
+
+_add(
+    "q_st1",
+    _q_st1,
+    "SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n "
+    "FROM events GROUP BY 1, 2 "
+    "ORDER BY window_start NULLS FIRST, event_type NULLS FIRST",
+    "tumbling 1h streaming counts == batch date_trunc group",
+)
+
+
+def _q_st2(spark, sf_dir):
+    from ..streaming.windows import sliding_event_counts
+
+    return sliding_event_counts(spark, sf_dir, "1 hour", "15 minutes")
+
+
+_add(
+    "q_st2",
+    _q_st2,
+    "SELECT window_start, event_type, COUNT(*) AS n FROM ("
+    "  SELECT CAST(to_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900 - g.k*900) "
+    "         AS TIMESTAMP) AS window_start, event_type, ts "
+    "  FROM events, (VALUES (0),(1),(2),(3)) g(k)"
+    ") w WHERE ts >= window_start "
+    "AND ts < window_start + INTERVAL 1 HOUR "
+    "GROUP BY 1, 2 "
+    "ORDER BY window_start NULLS FIRST, event_type NULLS FIRST",
+    "sliding (1h, 15min) streaming counts == batch window expansion",
+)
+
+# ==========================================================================
+# North-star extensions: dedup / similarity / text analysis
+# ==========================================================================
+
+_shared(
+    "q_dedup_exact",
+    "SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper "
+    "FROM documents GROUP BY md5(text) ORDER BY h NULLS FIRST",
+    "exact dedup groups by content hash",
+)
+
+_shared(
+    "q_dedup_keep",
+    "SELECT doc_id FROM ("
+    "SELECT doc_id, ROW_NUMBER() OVER "
+    "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents"
+    ") t WHERE rn = 1 ORDER BY doc_id NULLS FIRST",
+    "exact dedup survivor set",
+)
+
+
+def _q_knn(spark, sf_dir):
+    from ..operators.similarity import quantized_dot_topk
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    return quantized_dot_topk(spark.table("embeddings"), n_queries=10, k=5)
+
+
+_add(
+    "q_knn",
+    _q_knn,
+    # brute-force oracle over integer-quantized embeddings: dot product as
+    # an exact BIGINT sum (order-independent), top-5 by (dot DESC, vec_id)
+    "WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10), "
+    "d AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, "
+    "  SUM(CAST(FLOOR(CAST(q.embedding[g.i] AS DOUBLE)*1000) AS BIGINT) * "
+    "      CAST(FLOOR(CAST(b.embedding[g.i] AS DOUBLE)*1000) AS BIGINT)) AS dot "
+    "  FROM q, embeddings b, generate_series(1, 64) g(i) "
+    "  WHERE q.vec_id <> b.vec_id GROUP BY 1, 2) "
+    "SELECT query_id, neighbor_id, dot, CAST(rnk AS BIGINT) AS rnk FROM ("
+    "  SELECT query_id, neighbor_id, dot, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id "
+    "    ORDER BY dot DESC, neighbor_id) AS rnk FROM d) t "
+    "WHERE rnk <= 5 "
+    "ORDER BY query_id NULLS FIRST, rnk NULLS FIRST",
+    "brute-force top-k neighbor search (integer-quantized dot product)",
+)
+
+# [pair] text analysis: token counts + stopword ratio quantized
+_STOPWORDS = "'the','a','of','and','to','in','is','for','on','with'"
+
+_add(
+    "q_text_tokens",
+    _sql(
+        "SELECT doc_id, "
+        "CAST(SIZE(SPLIT(TRIM(text), ' +')) AS BIGINT) AS n_tokens, "
+        "CAST(SIZE(FILTER(SPLIT(TRIM(text), ' +'), "
+        f"t -> t IN ({_STOPWORDS}))) AS BIGINT) AS n_stop, "
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars_m "
+        "FROM documents ORDER BY doc_id NULLS FIRST"
+    ),
+    "SELECT doc_id, "
+    "CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_filter(string_split_regex(trim(text), ' +'), "
+    f"t -> t IN ({_STOPWORDS}))) AS BIGINT) AS n_stop, "
+    "CAST(length(text) AS BIGINT) AS n_chars_m "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "token counting + stopword hits [pair]",
+)
+
+
+def _q_minhash(spark, sf_dir):
+    from ..operators.dedup import minhash_near_duplicates
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return minhash_near_duplicates(
+        spark.table("documents"), id_col="doc_id", text_col="text", threshold=0.5
+    )
+
+
+_add(
+    "q_minhash",
+    _q_minhash,
+    None,  # LSH candidate generation is not SQL-expressible -> rows-only
+    "MinHash+LSH near-duplicate pairs, exact-Jaccard verified",
+)
+
+
+def _q_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id", simhash(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+_add(
+    "q_simhash",
+    _q_simhash,
+    None,  # hash function is engine-specific -> rows-only
+    "64-bit SimHash document fingerprints",
+)
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.spark for q in _REGISTRY}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {q.name: q.oracle for q in _REGISTRY if q.oracle is not None}
+
+
+PARITY_QUERIES: list[ParityQuery] = _REGISTRY

@@ -1,0 +1,102 @@
+"""Structured Streaming window semantics over the events stream.
+
+The reference has no real streaming operators — its 'streaming' is the
+driver polling loop (main.go:217-241, A12/A13).  The Spark build gets real
+tumbling/sliding windows and watermark late-data handling as an extension
+(SURVEY §2.1 group S); correctness is checked against batch recomputation.
+
+These helpers run an actual ``readStream -> window agg -> memory sink``
+pipeline with ``Trigger.AvailableNow`` and return the final result as a
+batch DataFrame, so the same code path serves the parity gate and
+interactive use.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded DataFrame over the events fixture (file streaming source).
+
+    The fixture stores TIMESTAMP(NANOS); we stream it as nanos-longs and
+    convert to microsecond timestamps (same truncation as the batch loader
+    in tables.py, so streaming and batch agree)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory; glob-filter to the events file
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    return sdf
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def tumbling_event_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Q-ST1: tumbling-window counts by event_type via a real stream."""
+    sdf = stream_events(spark, sf_dir)
+    agg = sdf.groupBy(F.window("ts", window), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    ).orderBy("window_start", "event_type")
+
+
+def sliding_event_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Q-ST2: sliding-window counts via a real stream."""
+    sdf = stream_events(spark, sf_dir)
+    agg = sdf.groupBy(F.window("ts", window, slide), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    ).orderBy("window_start", "event_type")
+
+
+def watermarked_tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Q-ST3: watermarked append-mode aggregation — only windows closed by
+    the final watermark (max event time - delay) are emitted."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    ).orderBy("window_start", "event_type")
