@@ -1,0 +1,161 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern (north-star extension): media travels as a ``binary`` column with a
+typed metadata struct; decode / feature-extraction / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` stages so the payload bytes never pass
+through Python row-at-a-time.
+
+The actual codec step is STUBBED: image/audio libraries are not available
+in this environment, so ``decode_images`` uses a clearly-marked
+deterministic fake when PIL is absent (raising ``NotImplementedError`` when
+``strict=True``).  The Spark-side plumbing — schema contract, batch
+iteration shape, partition-preserving flow, output struct — is real and
+tested; swapping the fake for a real codec is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+# the media column contract: payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_decode(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for a real image decode: pseudo-dimensions and
+    a unit-norm feature vector derived from sha256 of the payload.  Clearly
+    NOT a real decoder — exists so the distributed plumbing is testable."""
+    h = hashlib.sha256(payload or b"").digest()
+    w = 64 + h[0]
+    ht = 64 + h[1]
+    raw = [((h[i % 32] / 255.0) - 0.5) for i in range(dim)]
+    n = sum(x * x for x in raw) ** 0.5 or 1.0
+    return w, ht, [x / n for x in raw]
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    feature_dim: int = 16,
+    strict: bool = False,
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction over a binary column.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame; the
+    UDF is partition-preserving (no shuffle) and payload bytes stay in
+    Arrow buffers between JVM and Python.  With PIL present this would do
+    a real decode; without it, ``strict=True`` raises NotImplementedError
+    and ``strict=False`` applies the deterministic fake."""
+    have_pil = _have_pil()
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if strict and not have_pil:
+                raise NotImplementedError(
+                    "real image decode requires PIL (not in this environment); "
+                    "use strict=False for the deterministic fake"
+                )
+            out = {"media_id": [], "width": [], "height": [], "feature": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, feat = _fake_decode(bytes(payload or b""), feature_dim)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 10,
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled frame index.  The codec is stubbed (frame count derives from
+    payload size); the explode/flat-map shape, schema, and partition
+    behavior are the real thing."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_hash", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"media_id": [], "frame_idx": [], "frame_hash": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                n_frames = max(1, len(b) // 32)
+                for fi in range(0, n_frames, every_n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(fi)
+                    rows["frame_hash"].append(
+                        hashlib.sha256(b + fi.to_bytes(4, "big")).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def synthetic_media(spark, documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a media-shaped table from the documents fixture (payload =
+    utf-8 bytes of the text) so multimodal plumbing has a driver-provided
+    input to run against."""
+    return documents.select(
+        F.col(id_col).alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,134 @@
+"""Text analysis operators for training-data pipelines (north-star
+extension): tokenization stats, quality scoring, language ID heuristic,
+document fingerprinting.
+
+Everything is built-in-function Column expressions — at 100 TB these run
+inside whole-stage codegen over the parquet scan with zero shuffles (pure
+map-side), which is the entire point: a Python-UDF version of the same
+logic would be 10-100x slower.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# small deterministic stopword lists per language for the lang-id heuristic
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "para"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "eine", "mit", "von"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_count(col) -> F.Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def stopword_hits(col, lang: str) -> F.Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(tokens(col), lambda t: F.array_contains(arr, F.lower(t)))
+    ).cast("long")
+
+
+def punct_ratio(col) -> F.Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(c).cast("double")
+    )
+
+
+def mean_token_len(col) -> F.Column:
+    t = tokens(col)
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(t).cast("double")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard quality-signal battery (Gopher/C4-style heuristics):
+    length, token count, mean token length, punctuation ratio, stopword
+    ratio, all-caps ratio."""
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("long")
+    return df.withColumns(
+        {
+            "q_n_chars": F.length(text_col).cast("long"),
+            "q_n_tokens": n_tok,
+            "q_mean_tok_len": mean_token_len(text_col),
+            "q_punct_ratio": punct_ratio(text_col),
+            "q_stop_ratio_en": F.when(n_tok == 0, 0.0).otherwise(
+                stopword_hits(text_col, "en").cast("double") / n_tok
+            ),
+            "q_upper_ratio": F.when(F.length(text_col) == 0, 0.0).otherwise(
+                F.length(F.regexp_replace(F.col(text_col), "[^A-Z]", ""))
+                .cast("double")
+                / F.length(text_col)
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..1 quality score from the feature battery — a simple,
+    deterministic linear gate (each term clamps to [0,1])."""
+    feats = quality_features(df, text_col)
+    len_term = F.least(F.col("q_n_tokens").cast("double") / 20.0, F.lit(1.0))
+    stop_term = F.least(F.col("q_stop_ratio_en") * 5.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("q_punct_ratio") * 4.0)
+    return feats.withColumn(
+        "q_score", (len_term + stop_term + punct_term) / 3.0
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: argmax of per-language
+    stopword hit counts (CJK detected by codepoint range first).  Pure
+    column expressions — a greatest-of-N over per-language counters."""
+    has_cjk = F.length(
+        F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")
+    )
+    scores = {
+        lang: stopword_hits(text_col, lang) for lang in ("en", "es", "fr", "de")
+    }
+    # argmax via chained CASE (deterministic tie-break by language order)
+    best = F.lit("und")
+    best_score = F.lit(-1).cast("long")
+    for lang in ("en", "es", "fr", "de"):
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    pred = (
+        F.when(has_cjk > 0, F.lit("zh"))
+        .when(best_score <= 0, F.lit("und"))
+        .otherwise(best)
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(col, k: int = 8) -> F.Column:
+    """64-bit document fingerprint: xxhash64 fold over the k-shingle set
+    (rolling-hash style content signature, independent of whitespace
+    normalization differences)."""
+    from .dedup import shingles
+
+    sh = F.array_sort(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))
+    return F.aggregate(
+        sh,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.xxhash64(acc, h),
+    )

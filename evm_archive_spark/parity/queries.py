@@ -964,6 +964,213 @@ _add(
 )
 
 
+# [pair] quality-signal battery: counts exact, ratios integer-quantized
+_add(
+    "q_text_quality",
+    _sql(
+        "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_m, "
+        "CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS BIGINT) "
+        "AS n_punct, "
+        "CAST(LENGTH(regexp_replace(text, '[^A-Z]', '')) AS BIGINT) AS n_upper "
+        "FROM documents ORDER BY doc_id NULLS FIRST"
+    ),
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, "
+    "CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) "
+    "AS n_punct, "
+    "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "quality-signal char counts [pair] (spark regexp_replace is global; "
+    "duckdb needs the 'g' flag)",
+)
+
+# [pair] exact 3-gram Jaccard over blocked pairs, integer-quantized
+_add(
+    "q_ngram_jaccard",
+    _sql(
+        "WITH g AS (SELECT doc_id, lang, n_chars DIV 100 AS bucket, "
+        "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), "
+        "i -> substring(text, i, 3))) AS gr FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(FLOOR(CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE) "
+        " / size(array_union(a.gr, b.gr)) * 10000) AS BIGINT) AS jac_q "
+        "FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id "
+        "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST"
+    ),
+    "WITH g AS (SELECT doc_id, lang, n_chars // 100 AS bucket, "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)), "
+    "i -> substring(text, i, 3))) AS gr FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(FLOOR(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) "
+    " / len(list_distinct(list_concat(a.gr, b.gr))) * 10000) AS BIGINT) AS jac_q "
+    "FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
+    "AND a.doc_id < b.doc_id "
+    "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST",
+    "exact n-gram Jaccard within (lang, size-bucket) blocks [pair]",
+)
+
+
+def _q_rpc_ingest(spark, sf_dir):
+    """E2E through the custom evm_logs DataSource against the deterministic
+    mock chain (A1-A7): partitioned fetch -> storage-shape rows."""
+    from ..sources import rpc
+
+    rpc.register(spark)
+    return (
+        spark.read.format("evm_logs")
+        .option("endpoint", "mock://head=9,logs_per_block=1")
+        .option("fromBlock", "0")
+        .option("blockStep", "4")
+        .load()
+        .select(
+            "block_number", "address", "topic0", "data",
+            "transaction_index", "log_index", "removed",
+        )
+        .orderBy("block_number", "log_index")
+    )
+
+
+def _mock_expected_rows():
+    from ..sources.rpc import MockTransport
+
+    t = MockTransport("mock://head=9,logs_per_block=1")
+    logs = t.call("eth_getLogs", [{"fromBlock": "0x0", "toBlock": "0x9"}])
+    return [
+        (
+            int(log["blockNumber"], 16),
+            log["address"],
+            log["topics"][0],
+            log["data"],
+            int(log["transactionIndex"], 16),
+            int(log["logIndex"], 16),
+            log["removed"],
+        )
+        for log in logs
+    ]
+
+
+_add(
+    "q_rpc_ingest",
+    _q_rpc_ingest,
+    _values_query(
+        [
+            ("block_number", "BIGINT"),
+            ("address", "VARCHAR"),
+            ("topic0", "VARCHAR"),
+            ("data", "VARCHAR"),
+            ("transaction_index", "BIGINT"),
+            ("log_index", "BIGINT"),
+            ("removed", "BOOLEAN"),
+        ],
+        _mock_expected_rows(),
+    ),
+    "custom DataSource ingest E2E vs mock-chain golden rows",
+)
+
+
+def _q_price_source(spark, sf_dir):
+    from ..sources import rpc
+
+    rpc.register(spark)
+    return (
+        spark.read.format("evm_price")
+        .option("endpoint", "mock://head=100")
+        .option("tokens", "0xtokenA,0xtokenB")
+        .option("oracles", "0xoracleA,0xoracleB")
+        .option("fromBlock", "0")
+        .option("toBlock", "99")
+        .option("blockStep", "50")
+        .load()
+        .orderBy("address", "block_number")
+    )
+
+
+def _price_expected_rows():
+    from ..sources.rpc import MockTransport
+
+    t = MockTransport("mock://head=100")
+    out = []
+    for start in (0, 50):
+        for token, oracle in (("0xtokenA", "0xoracleA"), ("0xtokenB", "0xoracleB")):
+            res = t.call("eth_call", [{"to": oracle, "data": "0x50d25bcd"}, hex(start)])
+            out.append((token, start, int(res, 16)))
+    return out
+
+
+_add(
+    "q_price_source",
+    _q_price_source,
+    _values_query(
+        [
+            ("address", "VARCHAR"),
+            ("block_number", "BIGINT"),
+            ("price", "DECIMAL(20,0)"),
+        ],
+        _price_expected_rows(),
+    ),
+    "price probe source (A3): one row per (token, window) at window start",
+)
+
+
+def _q_lang_id(spark, sf_dir):
+    from ..operators.textanalysis import lang_id
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return lang_id(spark.table("documents")).select("doc_id", "lang_pred").orderBy(
+        "doc_id"
+    )
+
+
+_add("q_lang_id", _q_lang_id, None, "stopword-heuristic language ID (rows-only)")
+
+
+def _q_fingerprint(spark, sf_dir):
+    from ..operators.textanalysis import fingerprint
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        spark.table("documents")
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+_add("q_fingerprint", _q_fingerprint, None, "shingle-fold document fingerprint")
+
+
+def _q_lsh_neardup(spark, sf_dir):
+    from ..operators.similarity import lsh_near_duplicates
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    return lsh_near_duplicates(spark.table("embeddings"), threshold=0.9)
+
+
+_add(
+    "q_lsh_neardup",
+    _q_lsh_neardup,
+    None,
+    "embedding near-dup via hyperplane LSH buckets + cosine verify",
+)
+
+
+def _q_multimodal(spark, sf_dir):
+    from ..operators.multimodal import decode_images, synthetic_media
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = synthetic_media(spark, spark.table("documents"))
+    return decode_images(media, feature_dim=8).select(
+        "media_id", "width", "height"
+    ).orderBy("media_id")
+
+
+_add(
+    "q_multimodal",
+    _q_multimodal,
+    None,
+    "binary media column -> mapInPandas decode/feature plumbing",
+)
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 

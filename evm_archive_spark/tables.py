@@ -43,10 +43,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_REGISTERED_MARKER = "spark.evm_archive.registered_sf_dir"
+
+
 def register_testdata(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> None:
-    """createOrReplaceTempView for each driver fixture table."""
+    """createOrReplaceTempView for each driver fixture table.
+
+    Idempotent per (session, sf_dir): repeated calls (every parity query
+    invokes this) skip the re-read unless the sf_dir changed."""
+    if tables is None and spark.conf.get(_REGISTERED_MARKER, None) == sf_dir:
+        return
     for name in tables or TESTDATA_TABLES:
         if os.path.exists(f"{sf_dir}/{name}.parquet"):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if tables is None:
+        spark.conf.set(_REGISTERED_MARKER, sf_dir)

@@ -1,0 +1,231 @@
+"""Operator-level tests: as-of join edges, MinHash/SimHash recall on
+planted near-duplicates, similarity search, text analysis, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from evm_archive_spark import fixtures
+from evm_archive_spark.operators import dedup, multimodal, similarity, textanalysis
+from evm_archive_spark.operators.asof import asof_join
+
+
+def test_asof_join_semantics(spark):
+    left = fixtures.transfers_df(spark)
+    right = fixtures.price_df(spark)
+    out = asof_join(
+        left, right, on="block_number", by_left="token", by_right="address",
+        value_cols=["price"],
+    ).collect()
+    got = {(r["token"], r["block_number"]): r["price"] for r in out}
+    # before any price sample -> NULL
+    assert got[(fixtures.TOKEN_A, 99)] is None
+    # exact-block sample counts (inclusive <=)
+    assert got[(fixtures.TOKEN_B, 100)] == Decimal(99000000)
+    # between samples -> latest earlier
+    assert got[(fixtures.TOKEN_A, 110)] == Decimal(151000000000)  # block 105
+    assert got[(fixtures.TOKEN_A, 150)] == Decimal(153000000000)  # block 142
+    assert len(out) == len(fixtures.TRANSFER_ROWS)
+
+
+def test_asof_join_strict(spark):
+    left = fixtures.transfers_df(spark)
+    right = fixtures.price_df(spark)
+    out = asof_join(
+        left, right, on="block_number", by_left="token", by_right="address",
+        value_cols=["price"], strict=True,
+    ).collect()
+    got = {(r["token"], r["block_number"]): r["price"] for r in out}
+    # strict (<): the sample AT block 100 no longer counts for block 100
+    assert got[(fixtures.TOKEN_B, 100)] is None
+
+
+def _docs_with_near_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat naps "
+        "in the warm afternoon sun near the old farm house"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),  # near-dup of 1
+        (3, base),  # exact dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "another unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    df = _docs_with_near_dups(spark)
+    pairs = dedup.minhash_near_duplicates(
+        df, id_col="doc_id", text_col="text", threshold=0.7
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 3) in found  # exact dup: jaccard 1.0
+    assert (1, 2) in found and (2, 3) in found  # near-dups
+    assert all({a, b} <= {1, 2, 3} for a, b in found)  # no false positives
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(1, 3)] == 1.0
+
+
+def test_simhash_hamming_near_dups(spark):
+    df = _docs_with_near_dups(spark)
+    fps = dict(
+        df.select("doc_id", dedup.simhash(F.col("text")).alias("fp")).collect()
+    )
+    assert fps[1] == fps[3]  # identical text -> identical fingerprint
+    pairs = dedup.simhash_near_duplicates(
+        df, id_col="doc_id", text_col="text", max_hamming=6
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 3) in found
+    assert (1, 2) in found  # one-token change -> small hamming distance
+
+
+def test_exact_dedup_by_content(spark):
+    df = _docs_with_near_dups(spark)
+    kept = dedup.exact_dedup_by_content(df, "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 2, 4, 5]  # 3 collapsed into 1
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = _docs_with_near_dups(spark)
+    pairs = dedup.ngram_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert found[(1, 3)] == 1.0
+    assert 0.7 < found[(1, 2)] < 1.0
+
+
+def test_cosine_topk_self_similarity(spark):
+    from evm_archive_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(emb, queries, k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+    # ranks are 1..4 per query, descending cosine
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["cosine"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == [1, 2, 3, 4]
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(3))
+
+
+def test_lsh_buckets_deterministic_and_near_dup_recall(spark):
+    # a vector and its tiny perturbation must share an LSH bucket and be
+    # found by the near-duplicate pass
+    base = [float((i * 37 % 97) - 48) / 48.0 for i in range(64)]
+    pert = list(base)
+    pert[0] += 1e-6
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, pert), (3, far)], ["vec_id", "embedding"]
+    )
+    b = similarity.hyperplane_lsh_buckets(df, n_planes=8).collect()
+    buckets = {r["vec_id"]: r["lsh_bucket"] for r in b}
+    assert buckets[1] == buckets[2]
+    assert buckets[1] != buckets[3]  # antipode flips every plane sign
+    pairs = similarity.lsh_near_duplicates(df, threshold=0.99, n_planes=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_lang_id_on_documents(spark):
+    from evm_archive_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pred = textanalysis.lang_id(docs)
+    # the fixture's en/zh docs should mostly be recovered by the heuristic
+    agree = pred.filter(
+        (F.col("lang").isin("en", "zh")) & (F.col("lang_pred") == F.col("lang"))
+    ).count()
+    total = pred.filter(F.col("lang").isin("en", "zh")).count()
+    assert total > 0 and agree / total > 0.5
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and looked at the dog for a while"),
+            (2, "!!! ??? ###"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textanalysis.quality_score(df).collect()}
+    assert 0.0 <= out[2]["q_score"] <= 1.0
+    assert out[1]["q_score"] > out[2]["q_score"]
+    assert out[3]["q_n_tokens"] in (0, 1)  # split('') edge
+    assert out[1]["q_stop_ratio_en"] > 0.3
+
+
+def test_fingerprint_whitespace_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh" * 4), (2, "abcdefgh" * 4), (3, "zyxwvuts" * 4)],
+        ["doc_id", "text"],
+    )
+    fp = dict(
+        df.select(
+            "doc_id", textanalysis.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    )
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_decode_plumbing(spark):
+    from evm_archive_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = multimodal.synthetic_media(spark, docs)
+    assert [(f.name, f.dataType.simpleString()) for f in media.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+
+    feats = multimodal.decode_images(media, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["width"] >= 64 and r["height"] >= 64
+    # deterministic: same payload -> same feature
+    again = multimodal.decode_images(media, feature_dim=8).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_strict_raises_without_codec(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    media = multimodal.synthetic_media(spark, docs)
+    out = multimodal.decode_images(media, strict=True)
+    try:
+        import PIL  # noqa: F401
+
+        out.collect()  # codec present: should work
+    except ImportError:
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            out.collect()
+
+
+def test_frame_sample_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "frame-payload-" * 50), (2, "tiny")], ["doc_id", "text"]
+    )
+    media = multimodal.synthetic_media(spark, docs)
+    frames = multimodal.frame_sample(media, every_n=5).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert len(by_id[1]) > 1  # long payload -> multiple sampled frames
+    assert by_id[2] == [0]  # short payload -> single frame
