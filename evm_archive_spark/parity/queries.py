@@ -858,6 +858,27 @@ _add(
     "sliding (1h, 15min) streaming counts == batch window expansion",
 )
 
+def _q_st3(spark, sf_dir):
+    from ..streaming.windows import watermarked_tumbling_counts
+
+    return watermarked_tumbling_counts(spark, sf_dir, "1 hour", "10 minutes")
+
+
+_add(
+    "q_st3",
+    _q_st3,
+    # append-mode watermark semantics: only windows fully closed by the final
+    # watermark (max event time - 10 min) are emitted; the batch equivalent is
+    # the same tumbling group restricted to window_end <= watermark.
+    "WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events) "
+    "SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n "
+    "FROM events, m "
+    "WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.wm "
+    "GROUP BY 1, 2 "
+    "ORDER BY window_start NULLS FIRST, event_type NULLS FIRST",
+    "watermark + late-window drop (append mode) == batch closed-window filter",
+)
+
 # ==========================================================================
 # North-star extensions: dedup / similarity / text analysis
 # ==========================================================================
@@ -904,6 +925,29 @@ _add(
     "WHERE rnk <= 5 "
     "ORDER BY query_id NULLS FIRST, rnk NULLS FIRST",
     "brute-force top-k neighbor search (integer-quantized dot product)",
+)
+
+
+_KNN_ORACLE = _REGISTRY[-1].oracle
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    # nprobe == n_centroids: IVF degenerates to exact search, so the
+    # brute-force oracle applies verbatim.  The nprobe < n_centroids scale
+    # path (partial-list probing, recall < 1) is covered in tests.
+    return ivf_topk(
+        spark.table("embeddings"), n_queries=10, k=5, n_centroids=16, nprobe=16
+    )
+
+
+_add(
+    "q_ann_ivf",
+    _q_ann_ivf,
+    _KNN_ORACLE,
+    "IVF ANN (trained inverted lists); exact at nprobe=all vs brute-force oracle",
 )
 
 # [pair] text analysis: token counts + stopword ratio quantized
