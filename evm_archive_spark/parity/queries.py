@@ -879,6 +879,53 @@ _add(
     "watermark + late-window drop (append mode) == batch closed-window filter",
 )
 
+def _q_st4(spark, sf_dir):
+    from ..streaming.windows import session_window_counts
+
+    return session_window_counts(spark, sf_dir, "30 minutes")
+
+
+_add(
+    "q_st4_sessions",
+    _q_st4,
+    # batch recomputation of gap-based sessions: a new session starts when
+    # the gap to the previous event is >= 30 min; session_end = last_ts +
+    # gap; append mode emits only sessions closed by the final watermark
+    # (max ts, 0s delay) — hence the HAVING filter.
+    "WITH mx AS (SELECT max(ts) AS m FROM events), "
+    "x AS (SELECT user_id, ts, event_id, "
+    "  CASE WHEN lag(ts) OVER w IS NULL "
+    "       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, SUM(new_s) OVER "
+    "  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+    "  FROM x) "
+    "SELECT user_id, MIN(s.ts) AS session_start, "
+    "  MAX(s.ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n "
+    "FROM s, mx GROUP BY user_id, sid, mx.m "
+    "HAVING MAX(s.ts) + INTERVAL 30 MINUTE <= mx.m "
+    "ORDER BY user_id NULLS FIRST, session_start NULLS FIRST",
+    "gap-based session windows (streaming session_window) == batch lag/cumsum",
+)
+
+
+def _q_st5(spark, sf_dir):
+    from ..streaming.stateful import per_user_running_totals
+
+    return per_user_running_totals(spark, sf_dir)
+
+
+_add(
+    "q_st5_stateful",
+    _q_st5,
+    "SELECT user_id, COUNT(*) AS n, "
+    "  SUM(CAST(FLOOR(value*100) AS BIGINT)) AS sum_value_q, "
+    "  MIN(ts) AS first_ts, MAX(ts) AS last_ts "
+    "FROM events GROUP BY user_id "
+    "ORDER BY user_id NULLS FIRST",
+    "custom stateful op (applyInPandasWithState running totals) == batch GROUP BY",
+)
+
 # ==========================================================================
 # North-star extensions: dedup / similarity / text analysis
 # ==========================================================================

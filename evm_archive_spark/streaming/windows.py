@@ -82,6 +82,36 @@ def sliding_event_counts(
     ).orderBy("window_start", "event_type")
 
 
+def session_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Q-ST4: gap-based session windows per user via the built-in
+    ``session_window`` streaming aggregation (append mode, zero-delay
+    watermark).
+
+    Emission semantics (and the batch/DuckDB oracle's filter): a session is
+    emitted iff ``last_ts + gap <= final watermark`` (= global max event
+    time with a 0-second delay), i.e. every session except those still open
+    at end-of-stream.  A new session starts when the gap to the previous
+    event is >= ``gap`` (an event at exactly ``session_end`` is outside the
+    window)."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n",
+    ).orderBy("user_id", "session_start")
+
+
 def watermarked_tumbling_counts(
     spark: SparkSession,
     sf_dir: str,
