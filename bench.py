@@ -39,6 +39,49 @@ HEADLINE = [
 ]
 
 
+def ingest_1m(spark, sf_dir: str):
+    """Ingestion-path throughput: 1M synthetic wire-shape rows through the
+    A5-A7 transform, PK dedup, and a parquet sink — the reference's whole
+    per-window data path (minus the network), fully JVM-side.  The derived
+    reference ceiling is single-threaded ~100 blocks/(RTT+insert) (SURVEY
+    §6); rows/s here is the comparable engine number, recorded in
+    BASELINE.md."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from evm_archive_spark.sources.transform import log_rpc_to_log_db
+
+    n = 1_000_000
+    i = F.col("id")
+    wire = spark.range(n).select(
+        F.format_string("0x%040x", F.pmod(i, F.lit(50))).alias("address"),
+        F.array(
+            F.format_string("0x%064x", i),
+            F.format_string("0x%064x", i * 2),
+        ).alias("topics"),
+        F.format_string("0x%064x", i).alias("data"),
+        F.format_string("0x%064x", F.expr("id DIV 100")).alias("blockHash"),
+        F.format_string("0x%x", F.expr("id DIV 100")).alias("blockNumber"),
+        F.format_string("0x%064x", i).alias("transactionHash"),
+        F.format_string("0x%x", F.pmod(i, F.lit(500))).alias(
+            "transactionIndex"
+        ),
+        F.format_string("0x%x", F.pmod(i, F.lit(100))).alias("logIndex"),
+        F.lit(False).alias("removed"),
+    )
+    out = log_rpc_to_log_db(wire).dropDuplicates(
+        ["block_hash", "transaction_hash", "log_index"]
+    )
+    tmp = tempfile.mkdtemp(prefix="ingest_bench_")
+    try:
+        out.write.mode("overwrite").parquet(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -56,6 +99,9 @@ def main() -> None:
     # open + first scan excluded).
     spark.range(1_000_000).selectExpr("sum(id) s").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from evm_archive_spark.tables import register_testdata
+
+    register_testdata(spark, sf_dir)
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
@@ -69,6 +115,16 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    n = ingest_1m(spark, sf_dir)
+    dt = time.perf_counter() - t0
+    timings["q_ingest_1m"] = round(dt, 4)
+    total += dt
+    print(
+        f"# q_ingest_1m: {dt:.3f}s ({n} rows, {n / dt:,.0f} rows/s)",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(
