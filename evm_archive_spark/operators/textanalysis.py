@@ -120,6 +120,66 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+def word_terms(col) -> F.Column:
+    """Normalized word terms for TF-IDF: lowercase, split on non-letter
+    runs, keep terms of length >= 3 (engine- and locale-independent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), "[^a-z]+"), lambda t: F.length(t) >= 3
+    )
+
+
+def tfidf_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """TF-IDF sufficient statistics: (doc, term, tf, df, n_docs) — all
+    exact integers, so the result is engine-independent (float idf weights
+    are applied downstream, see ``tfidf_topk``).
+
+    Plan shape at 100 TB: explode is map-side; tf = one shuffle keyed
+    (doc, term) with partial aggregation; df piggybacks as a second
+    aggregation keyed (term) and joins back — both keyed shuffles are on
+    high-cardinality keys (no hot spots beyond stopwords, which the
+    length>=3 filter and downstream idf weighting already discount)."""
+    # n_docs as a lazy 1-row broadcast (no driver-side action)
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    term_rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_terms(text_col)).alias("term"),
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", "df", "n_docs")
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (tf * (ln((n+1)/(df+1)) + 1)), ties broken lexicographically."""
+    from pyspark.sql import Window
+
+    stats = tfidf_stats(df, id_col, text_col)
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("term")
+    )
+    return (
+        stats.withColumn("tfidf", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("doc_id", "rnk")
+    )
+
+
 def fingerprint(col, k: int = 8) -> F.Column:
     """64-bit document fingerprint: xxhash64 fold over the k-shingle set
     (rolling-hash style content signature, independent of whitespace

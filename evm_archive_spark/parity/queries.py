@@ -1101,6 +1101,139 @@ _add(
 )
 
 
+def _q_enrich_ts(spark, sf_dir):
+    """§7 extension: fill the reference's always-NULL block_timestamp
+    (schema.sql:50, omitted from the INSERT at get_logs.go:118-119) from
+    the eth_getBlockByNumber header source."""
+    from ..sources import rpc
+
+    rpc.register(spark)
+    logs = (
+        spark.read.format("evm_logs")
+        .option("endpoint", "mock://head=9,logs_per_block=1")
+        .option("fromBlock", "0")
+        .option("blockStep", "4")
+        .load()
+    )
+    blocks = (
+        spark.read.format("evm_blocks")
+        .option("endpoint", "mock://head=9,logs_per_block=1")
+        .option("fromBlock", "0")
+        .option("blockStep", "4")
+        .load()
+    )
+    return (
+        rpc.enrich_block_timestamps(logs, blocks)
+        .select("block_number", "log_index", "block_timestamp")
+        .orderBy("block_number", "log_index")
+    )
+
+
+def _enrich_expected_rows():
+    import datetime as dt
+
+    return [
+        (
+            b,
+            0,
+            dt.datetime.fromtimestamp(
+                1_600_000_000 + b * 12, dt.timezone.utc
+            ).replace(tzinfo=None),
+        )
+        for b in range(10)
+    ]
+
+
+_add(
+    "q_enrich_ts",
+    _q_enrich_ts,
+    _values_query(
+        [
+            ("block_number", "BIGINT"),
+            ("log_index", "BIGINT"),
+            ("block_timestamp", "TIMESTAMP"),
+        ],
+        _enrich_expected_rows(),
+    ),
+    "block_timestamp enrichment via eth_getBlockByNumber header source",
+)
+
+
+_REORG_ROWS = [
+    # (block_hash, transaction_hash, log_index, block_number, removed)
+    ("0xb1", "0xt1", 0, 100, False),
+    ("0xb1", "0xt1", 1, 100, False),
+    ("0xb1", "0xt1", 1, 100, True),   # tombstone: reorged out
+    ("0xb2", "0xt2", 0, 101, False),
+    ("0xb2", "0xt2", 0, 101, False),  # replay duplicate: dedup to one
+    ("0xb3", "0xt3", 0, 102, True),   # tombstone-only PK: never surfaces
+]
+
+
+def _q_reorg(spark, sf_dir):
+    from ..operators.reorg import resolve_removed
+
+    df = spark.createDataFrame(
+        _REORG_ROWS,
+        "block_hash string, transaction_hash string, log_index long, "
+        "block_number long, removed boolean",
+    )
+    pk = ["block_hash", "transaction_hash", "log_index"]
+    return (
+        resolve_removed(df, pk)
+        .select("block_hash", "transaction_hash", "log_index", "block_number")
+        .orderBy("block_hash", "transaction_hash", "log_index")
+    )
+
+
+_add(
+    "q_reorg",
+    _q_reorg,
+    _values_query(
+        [
+            ("block_hash", "VARCHAR"),
+            ("transaction_hash", "VARCHAR"),
+            ("log_index", "BIGINT"),
+            ("block_number", "BIGINT"),
+        ],
+        [("0xb1", "0xt1", 0, 100), ("0xb2", "0xt2", 0, 101)],
+    ),
+    "reorg tombstone resolution (get_logs.go:107 TODO, intended semantics)",
+)
+
+
+def _q_tfidf(spark, sf_dir):
+    from ..operators.textanalysis import tfidf_stats
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        tfidf_stats(spark.table("documents"))
+        .filter(F.col("doc_id") < 20)
+        .orderBy("doc_id", "term")
+    )
+
+
+_add(
+    "q_tfidf",
+    _q_tfidf,
+    # TF-IDF sufficient statistics as exact integers (tf/df over the WHOLE
+    # corpus, output restricted to 20 docs); float idf weighting is applied
+    # downstream (tfidf_topk) so the gate stays engine-independent.
+    "WITH term_rows AS ("
+    "  SELECT doc_id, unnest(list_filter("
+    "    string_split_regex(lower(text), '[^a-z]+'), x -> length(x) >= 3)) AS term"
+    "  FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term_rows GROUP BY 1, 2), "
+    "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+    "nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents) "
+    "SELECT t.doc_id, t.term, t.tf, d.df, nd.n_docs "
+    "FROM tf t JOIN dfreq d USING (term), nd "
+    "WHERE t.doc_id < 20 "
+    "ORDER BY t.doc_id NULLS FIRST, t.term NULLS FIRST",
+    "TF-IDF sufficient statistics (exact-integer tf/df/n_docs)",
+)
+
+
 def _q_rpc_ingest(spark, sf_dir):
     """E2E through the custom evm_logs DataSource against the deterministic
     mock chain (A1-A7): partitioned fetch -> storage-shape rows."""

@@ -48,6 +48,17 @@ PRICE_SCHEMA = T.StructType(
 
 PRICE_PK = ["address", "block_number"]
 
+# Block headers from eth_getBlockByNumber — the enrichment source that
+# fills the reference's never-populated block_timestamp (schema.sql:50,
+# SURVEY §1.2 / §7 extension).
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("block_number", T.LongType()),
+        T.StructField("block_hash", T.StringType()),
+        T.StructField("block_timestamp", T.TimestampType()),
+    ]
+)
+
 # get_logs.go:11-21 — raw eth_getLogs JSON shape (hex-string numerics,
 # topics as a variable-length array).
 LOG_RPC_SCHEMA = T.StructType(

@@ -44,7 +44,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..schemas import LOGS_SCHEMA, PRICE_SCHEMA
+from ..schemas import BLOCKS_SCHEMA, LOGS_SCHEMA, PRICE_SCHEMA
 
 RETRYABLE_HTTP = {429, 503, 504}
 SKIP_RPC_CODE = -32602  # skip window, no retry (main.go:141-143)
@@ -175,6 +175,16 @@ class MockTransport:
             block = _from_hex(params[1])
             price = int(self._h("price", to, block)[:12], 16)
             return "0x" + format(price, "064x")
+        if method == "eth_getBlockByNumber":
+            block = _from_hex(params[0])
+            if block > self.head:
+                return None  # geth returns null for unknown blocks
+            # deterministic 12s block time from a fixed genesis
+            return {
+                "number": _hex(block),
+                "hash": "0x" + self._h("bh", block),
+                "timestamp": _hex(1_600_000_000 + block * 12),
+            }
         raise RpcError(-32601, f"unknown method {method}")
 
 
@@ -415,6 +425,81 @@ class EvmPriceDataSource(DataSource):
         return EvmPriceBatchReader(self.options)
 
 
+# --------------------------------------------------------------------------
+# block-header source (timestamp enrichment — §7 extension; the reference
+# declares block_timestamp but never populates it, get_logs.go:118-119)
+# --------------------------------------------------------------------------
+
+class EvmBlocksBatchReader(DataSourceReader):
+    """One row (block_number, block_hash, block_timestamp) per block —
+    ``eth_getBlockByNumber`` fetched per block within partition-parallel
+    block sub-ranges (same planning as the logs source)."""
+
+    def __init__(self, options):
+        self.o = _opts(options)
+
+    def partitions(self):
+        o = self.o
+        end = o["to_block"]
+        if end < 0:
+            t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
+            end = _from_hex(t.call("eth_blockNumber", []))
+        return plan_ranges(o["from_block"], end, o["block_step"])
+
+    def read(self, partition: BlockRange):
+        import datetime as dt
+
+        o = self.o
+        t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
+        for block in range(partition.start, partition.end + 1):
+            try:
+                hdr = t.call("eth_getBlockByNumber", [_hex(block), False])
+            except SkipWindow:
+                continue
+            if not hdr:
+                continue
+            yield (
+                _from_hex(hdr["number"]),
+                hdr.get("hash"),
+                dt.datetime.fromtimestamp(
+                    _from_hex(hdr["timestamp"]), dt.timezone.utc
+                ).replace(tzinfo=None),
+            )
+
+
+class EvmBlocksDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "evm_blocks"
+
+    def schema(self) -> StructType:
+        return BLOCKS_SCHEMA
+
+    def reader(self, schema):
+        return EvmBlocksBatchReader(self.options)
+
+
+def enrich_block_timestamps(logs_df, blocks_df):
+    """Fill the reference's always-NULL ``block_timestamp`` by joining block
+    headers on ``block_number``.
+
+    Scale shape: both sides are (or should be stored) partitioned by block
+    range, so the equi-join co-locates; for a streaming micro-batch the
+    header side is tiny (one row per block in the window) and broadcasts."""
+    from pyspark.sql import functions as F
+
+    hdr = blocks_df.select(
+        "block_number", F.col("block_timestamp").alias("__bts")
+    )
+    return (
+        logs_df.drop("block_timestamp")
+        .join(hdr, "block_number", "left")
+        .withColumn("block_timestamp", F.col("__bts"))
+        .drop("__bts")
+    )
+
+
 def register(spark) -> None:
     spark.dataSource.register(EvmLogsDataSource)
+    spark.dataSource.register(EvmBlocksDataSource)
     spark.dataSource.register(EvmPriceDataSource)

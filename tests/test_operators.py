@@ -220,6 +220,42 @@ def test_fingerprint_whitespace_sensitivity(spark):
     assert fp[1] != fp[3]
 
 
+def test_tfidf_topk_ranks_characteristic_terms(spark):
+    from evm_archive_spark.operators.textanalysis import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine engine common"),
+            (2, "duck duck pond common"),
+            (3, "pond pond engine common"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_topk(docs, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in rows if r["rnk"] == 1}
+    # per-doc top term is the frequent rare one, never the ubiquitous one
+    assert top == {1: "spark", 2: "duck", 3: "pond"}
+    assert all(r["term"] != "common" or r["rnk"] > 1 for r in rows)
+
+
+def test_reorg_resolution(spark):
+    from evm_archive_spark.operators.reorg import resolve_removed
+
+    df = spark.createDataFrame(
+        [
+            ("0xb1", "0xt1", 0, False),
+            ("0xb1", "0xt1", 0, True),
+            ("0xb2", "0xt2", 5, False),
+        ],
+        "block_hash string, transaction_hash string, log_index long, "
+        "removed boolean",
+    )
+    out = resolve_removed(
+        df, ["block_hash", "transaction_hash", "log_index"]
+    ).collect()
+    assert [(r["block_hash"], r["log_index"]) for r in out] == [("0xb2", 5)]
+
+
 def test_multimodal_decode_plumbing(spark):
     from evm_archive_spark.tables import load_table
 

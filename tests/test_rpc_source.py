@@ -126,6 +126,21 @@ def test_streaming_tail_and_sink(registered, tmp_path):
     con.close()
 
 
+def test_blocks_source_and_head_clamp(registered):
+    spark = registered
+    df = (
+        spark.read.format("evm_blocks")
+        .option("endpoint", "mock://head=5")
+        .option("fromBlock", "2")
+        .option("blockStep", "2")
+        .load()
+    )
+    rows = sorted(tuple(r) for r in df.collect())
+    assert [r[0] for r in rows] == [2, 3, 4, 5]  # clamped at head
+    # deterministic 12s cadence from the mock genesis
+    assert (rows[1][2] - rows[0][2]).total_seconds() == 12.0
+
+
 def test_price_source(registered):
     df = (
         registered.read.format("evm_price")
