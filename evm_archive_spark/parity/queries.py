@@ -1101,6 +1101,66 @@ _add(
 )
 
 
+def _q_skew_agg(spark, sf_dir):
+    from ..operators.skew import two_phase_agg
+
+    register_testdata(spark, sf_dir, ["events"])
+    ev = spark.table("events").withColumn(
+        "v", F.col("value").cast("decimal(18,2)")
+    )
+    return (
+        two_phase_agg(
+            ev, ["event_type"], salt_on="event_id", buckets=16,
+            count_alias="n", sum_col="v", sum_alias="s",
+        )
+        .select("event_type", "n", F.col("s").cast("decimal(28,2)").alias("s"))
+        .orderBy("event_type")
+    )
+
+
+_add(
+    "q_skew_agg",
+    _q_skew_agg,
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS s "
+    "FROM events GROUP BY event_type "
+    "ORDER BY event_type NULLS FIRST",
+    "salted two-phase aggregation == plain GROUP BY (skew pattern, exact)",
+)
+
+
+def _q_skew_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    register_testdata(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    # a small dim keyed by the (low-cardinality, hence skewed) event_type
+    dim = ev.groupBy("event_type").agg(
+        F.min("event_id").cast("long").alias("first_event_id")
+    )
+    joined = salted_join(
+        ev, dim, on=["event_type"], salt_on="event_id", buckets=8
+    )
+    return (
+        joined.groupBy("event_type", "first_event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+_add(
+    "q_skew_join",
+    _q_skew_join,
+    "WITH dim AS (SELECT event_type, CAST(MIN(event_id) AS BIGINT) AS "
+    "first_event_id FROM events GROUP BY event_type) "
+    "SELECT e.event_type, d.first_event_id, COUNT(*) AS n "
+    "FROM events e JOIN dim d USING (event_type) "
+    "GROUP BY e.event_type, d.first_event_id "
+    "ORDER BY e.event_type NULLS FIRST",
+    "salted replicated-dim join == plain equi-join (skew pattern)",
+)
+
+
 def _q_enrich_ts(spark, sf_dir):
     """§7 extension: fill the reference's always-NULL block_timestamp
     (schema.sql:50, omitted from the INSERT at get_logs.go:118-119) from

@@ -173,6 +173,47 @@ def test_hex_roundtrip_property(spark):
         assert r["rt"] == r["n"]
 
 
+def test_decode_encode_property(spark):
+    """decode(encode(x)) == x over generated ABI words for every static
+    decoder — one batched Spark job for the whole sample set."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        u256=st.integers(min_value=0, max_value=10**38 - 1),
+        u64=st.integers(min_value=0, max_value=2**64 - 1),
+        i64=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        u32=st.integers(min_value=0, max_value=2**32 - 1),
+        addr=st.integers(min_value=0, max_value=2**160 - 1),
+        b=st.booleans(),
+    )
+    def check(u256, u64, i64, u32, addr, b):
+        word = lambda v: format(v % 2**256, "064x")  # noqa: E731
+        data = "0x" + word(u256) + word(u64) + word(i64) + word(u32) + word(
+            addr
+        ) + word(int(b))
+        row = (
+            spark.createDataFrame([(data,)], ["d"])
+            .select(
+                D.to_uint256(2, "d").alias("u256"),
+                D.to_uint64(66, "d").alias("u64"),
+                D.to_int64(130, "d").alias("i64"),
+                D.to_uint32(194, "d").alias("u32"),
+                D.to_address(258, "d").alias("addr"),
+                D.to_bool(322, "d").alias("b"),
+            )
+            .collect()[0]
+        )
+        assert int(row["u256"]) == u256
+        assert int(row["u64"]) == u64
+        assert row["i64"] == i64
+        assert row["u32"] == u32
+        assert row["addr"] == "0x" + format(addr, "040x")
+        assert row["b"] == b
+
+    check()
+
+
 def test_sql_function_surface(spark):
     D.register_sql_functions(spark)
     row = spark.sql(

@@ -74,3 +74,31 @@ def test_topic0_filter_pushdown(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "ddf252ad" in plan  # the topic0 literal reached the scan
+
+
+def test_catalog_deployment_layout(spark):
+    from evm_archive_spark import catalog, fixtures
+
+    db = catalog.create_deployment(spark, "moonbeam", "mainnet", "test")
+    assert db == "moonbeam_mainnet_test"
+    logs = fixtures.logs_df(spark)
+    full = catalog.register_layer_table(spark, db, "data", "logs", logs)
+    assert full == "moonbeam_mainnet_test.data_logs"
+    assert spark.table(full).count() == logs.count()
+    v = catalog.register_layer_view(
+        spark, db, "event", "recent",
+        f"SELECT * FROM {full} WHERE block_number > 0",
+    )
+    assert spark.table(v).count() > 0
+    spark.sql(f"DROP VIEW {v}")
+    spark.sql(f"DROP TABLE {full}")
+    spark.sql(f"DROP DATABASE {db}")
+
+
+def test_catalog_rejects_bad_identifiers():
+    import pytest as _pytest
+
+    from evm_archive_spark import catalog
+
+    with _pytest.raises(ValueError):
+        catalog.database_name("moon;beam", "mainnet")
