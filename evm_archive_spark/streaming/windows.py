@@ -42,15 +42,23 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     name = f"st_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = agg.sparkSession
+    # Stateful micro-batches pay per-partition state-store setup/commit;
+    # a fixture-scale run doesn't need the session's full shuffle width.
+    # (A long-lived production stream sizes this to state volume instead.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
