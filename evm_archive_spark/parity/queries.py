@@ -1396,6 +1396,31 @@ _add(
 )
 
 
+def _q_price_usd(spark, sf_dir):
+    """USD exposure of the raw Chainlink answer: price/1e8 with 8 decimals
+    (schema.sql:81 'USD with 8 decimals'; SURVEY §1.2)."""
+    df = fixtures.price_df(spark)
+    return df.select(
+        "address",
+        "block_number",
+        (F.col("price") / F.lit(100_000_000))
+        .cast("decimal(38,8)")
+        .alias("price_usd"),
+    ).orderBy("address", "block_number")
+
+
+_add(
+    "q_price_usd",
+    _q_price_usd,
+    f"WITH {fixtures.price_cte()} "
+    "SELECT address, block_number, "
+    "CAST(price / 100000000 AS DECIMAL(38,8)) AS price_usd "
+    "FROM price_fix "
+    "ORDER BY address NULLS FIRST, block_number NULLS FIRST",
+    "USD price view: raw latestAnswer / 1e8 as DECIMAL(38,8)",
+)
+
+
 def _q_lang_id(spark, sf_dir):
     from ..operators.textanalysis import lang_id
 

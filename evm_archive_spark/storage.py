@@ -1,0 +1,67 @@
+"""Physical storage layout for the logs table (SCALING.md §1).
+
+The reference's access paths are nine Postgres btrees (schema.sql:54-62).
+The columnar equivalent is layout, not indexes:
+
+- hash-partition *directories* by ``block_range = block_number DIV
+  range_size`` → partition pruning for every block-bounded query (backfill
+  windows, resume reconciliation, reorg checks);
+- ``sortWithinPartitions(address, topic0)`` → parquet row-group min/max
+  stats emulate the composite (address, topic0) btree (schema.sql:59) via
+  data skipping, and the per-topic single-column accesses ride the same
+  sort.
+
+``read_logs`` restores the logical ``logs`` schema (drops the derived
+partition column) so every view/query is layout-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_RANGE_SIZE = 100_000
+
+
+def write_logs_partitioned(
+    logs: DataFrame, path: str, range_size: int = DEFAULT_RANGE_SIZE
+) -> None:
+    (
+        logs.withColumn(
+            "block_range",
+            (F.col("block_number") / F.lit(range_size)).cast("long"),
+        )
+        .repartition("block_range")
+        .sortWithinPartitions("address", "topic0")
+        .write.mode("overwrite")
+        .partitionBy("block_range")
+        .parquet(path)
+    )
+
+
+def read_logs(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.drop("block_range")
+
+
+def read_logs_block_window(
+    spark: SparkSession,
+    path: str,
+    from_block: int,
+    to_block: int,
+    range_size: int = DEFAULT_RANGE_SIZE,
+) -> DataFrame:
+    """Block-window scan that prunes partitions via the derived
+    ``block_range`` predicate (the planner can't infer it from
+    ``block_number`` alone — deriving it here is what makes the directory
+    layout pay off)."""
+    df = spark.read.parquet(path)
+    lo, hi = from_block // range_size, to_block // range_size
+    return (
+        df.filter(
+            (F.col("block_range") >= lo)
+            & (F.col("block_range") <= hi)
+            & (F.col("block_number") >= from_block)
+            & (F.col("block_number") <= to_block)
+        )
+        .drop("block_range")
+    )

@@ -175,3 +175,60 @@ def register_event_views(
         df.createOrReplaceTempView(spec.view_name)
         names.append(spec.view_name)
     return names
+
+
+# --------------------------------------------------------------------------
+# SQL bootstrap generator — the init.sql:213-222 artifact re-emitted as
+# Spark SQL text (stage 5: spec -> naming convention -> CREATE VIEW).
+# Requires decode.register_sql_functions(spark) for the decoder calls.
+# --------------------------------------------------------------------------
+
+def _param_sql(p: EventParam, topic_idx: int, data_pos: int) -> str:
+    src = f"topic{topic_idx}" if p.indexed else "data"
+    pos = 2 if p.indexed else data_pos
+    known = {
+        "address", "uint256", "uint128", "uint64", "uint32",
+        "int64", "int32", "bool", "string", "bytes",
+    }
+    if p.type in known:
+        return f"to_{p.type}({pos}, {src}) AS `{p.name}`"
+    return f"to_element({pos}, {src}, '{p.type}') AS `{p.name}`"
+
+
+def view_sql(spec: EventSpec, logs_table: str = "logs") -> str:
+    """CREATE OR REPLACE TEMP VIEW statement for one event spec."""
+    exprs = []
+    topic_idx = 0
+    data_word = 0
+    for p in spec.params:
+        if p.indexed:
+            topic_idx += 1
+            exprs.append(_param_sql(p, topic_idx, 0))
+        else:
+            exprs.append(_param_sql(p, 0, 2 + 64 * data_word))
+            data_word += 1
+    exprs += [
+        "address AS contract_address",
+        "transaction_hash AS evt_tx_hash",
+        "log_index AS evt_index",
+        "block_timestamp AS evt_block_time",
+        "block_number AS evt_block_number",
+    ]
+    cols = ",\n  ".join(exprs)
+    return (
+        f"CREATE OR REPLACE TEMP VIEW `{spec.view_name}` AS\n"
+        f"SELECT\n  {cols}\n"
+        f"FROM {logs_table}\n"
+        f"WHERE topic0 = '{spec.topic0}'"
+    )
+
+
+def bootstrap_sql(
+    logs_table: str = "logs", events: list[EventSpec] | None = None
+) -> str:
+    """The full init.sql-equivalent bootstrap script (one statement per
+    view; run each through ``spark.sql`` after registering the decode
+    functions)."""
+    return ";\n\n".join(
+        view_sql(s, logs_table) for s in (events or DEFAULT_EVENTS)
+    )

@@ -102,3 +102,27 @@ def test_catalog_rejects_bad_identifiers():
 
     with _pytest.raises(ValueError):
         catalog.database_name("moon;beam", "mainnet")
+
+
+def test_bootstrap_sql_matches_dataframe_views(spark):
+    from evm_archive_spark import fixtures, views
+    from evm_archive_spark.functions import decode
+
+    decode.register_sql_functions(spark)
+    fixtures.logs_df(spark).createOrReplaceTempView("logs")
+    for stmt in views.bootstrap_sql("logs").split(";\n\n"):
+        spark.sql(stmt)
+    sql_rows = sorted(
+        tuple(r)
+        for r in spark.table(
+            "Transfer_address_from_address_to_uint256_amount_d"
+        ).collect()
+    )
+    df_rows = sorted(
+        tuple(r)
+        for r in views.event_view_df(
+            fixtures.logs_df(spark),
+            next(s for s in views.DEFAULT_EVENTS if s.name == "Transfer"),
+        ).collect()
+    )
+    assert sql_rows == df_rows and len(sql_rows) > 0
