@@ -277,10 +277,29 @@ def to_array(pos, data, type_name: str) -> Column:
     )
 
 
-def to_array_str(pos, data, type_name: str) -> Column:
-    """B19 compat render: '[e1,e2,...]' string form like the reference."""
-    return F.concat(
-        F.lit("["), F.array_join(to_array(pos, data, type_name), ","), F.lit("]")
+def to_array_str(
+    pos, data, type_name: str, cap: int | None = None
+) -> Column:
+    """B19 compat render: '[e1,e2,...]' string form like the reference.
+    ``cap=3`` additionally reproduces the reference's hard 3-element limit
+    (init.sql:193); default renders all elements (intended semantics)."""
+    arr = to_array(pos, data, type_name)
+    if cap is not None:
+        arr = F.slice(arr, 1, cap)
+    return F.concat(F.lit("["), F.array_join(arr, ","), F.lit("]"))
+
+
+def reference_lpad64(data) -> Column:
+    """Reproduce the reference's cross-cutting ``lpad($2, 64, '0')`` defect
+    (init.sql:55,60,65,76,87): PostgreSQL ``lpad`` *truncates* inputs
+    longer than 64 chars, so 66-char topics / multi-word data lose their
+    tail and words >= 2 decode to 0 (SURVEY §2.B).  Compose with any
+    decoder to reproduce reference outputs exactly:
+    ``to_uint256(2, reference_lpad64('data'))``.  Never applied by
+    default — our decoders implement the intended plain-offset reads."""
+    c = _c(data)
+    return F.when(F.length(c) > 64, F.substring(c, 1, 64)).otherwise(
+        F.lpad(c, 64, "0")
     )
 
 

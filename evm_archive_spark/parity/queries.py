@@ -252,6 +252,22 @@ _shared(
 )
 
 _shared(
+    "q_a7_timerollup",
+    # hypertable-style multi-granularity rollup: day and hour buckets
+    # computed in one grouping-sets pass over the events stream table
+    # CAST to TIMESTAMP: DuckDB's date_trunc('day') yields DATE, Spark's
+    # yields TIMESTAMP — the cast unifies the gate's canonical form
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day, "
+    "date_trunc('hour', ts) AS bucket_hour, event_type, COUNT(*) AS n "
+    "FROM events "
+    "GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS TIMESTAMP), event_type), "
+    "(date_trunc('hour', ts), event_type)) "
+    "ORDER BY bucket_day NULLS FIRST, bucket_hour NULLS FIRST, "
+    "event_type NULLS FIRST, n NULLS FIRST",
+    "multi-granularity time-bucket rollup (one grouping-sets pass)",
+)
+
+_shared(
     "q_a6",
     "SELECT c_nationkey, COUNT(*) AS n FROM customer "
     "GROUP BY c_nationkey HAVING COUNT(*) > 5 "
@@ -1418,6 +1434,55 @@ _add(
     "FROM price_fix "
     "ORDER BY address NULLS FIRST, block_number NULLS FIRST",
     "USD price view: raw latestAnswer / 1e8 as DECIMAL(38,8)",
+)
+
+
+def _q_usd_volume(spark, sf_dir):
+    """Composed flagship shape: decoded transfer amounts x Chainlink price
+    as-of the transfer block (B26), aggregated per token.  usd_sum_e8 is
+    the exact integer Σ amount*price (USD x 1e8 — schema.sql:81 scaling),
+    so the gate stays decimal-exact."""
+    from ..operators.asof import asof_join
+
+    t = fixtures.transfers_df(spark)
+    p = fixtures.price_df(spark)
+    priced = asof_join(
+        t, p, on="block_number", by_left="token", by_right="address",
+        value_cols=["price"],
+    ).filter(F.col("price").isNotNull())
+    return (
+        priced.select(
+            "token",
+            (
+                F.col("amount").cast("decimal(18,0)")
+                * F.col("price").cast("decimal(18,0)")
+            ).cast("decimal(38,0)").alias("usd_raw"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("usd_raw").cast("decimal(38,0)").alias("usd_sum_e8"),
+        )
+        .orderBy("token")
+    )
+
+
+_add(
+    "q_usd_volume",
+    _q_usd_volume,
+    f"WITH {fixtures.price_cte()}, {fixtures.transfers_cte()}, "
+    "priced AS ("
+    "  SELECT l.token, l.amount, "
+    "    (SELECT p.price FROM price_fix p "
+    "     WHERE p.address = l.token AND p.block_number <= l.block_number "
+    "     ORDER BY p.block_number DESC LIMIT 1) AS price "
+    "  FROM transfers_fix l) "
+    "SELECT token, COUNT(*) AS n, "
+    "  CAST(SUM(CAST(amount AS DECIMAL(18,0)) * CAST(price AS DECIMAL(18,0))) "
+    "       AS DECIMAL(38,0)) AS usd_sum_e8 "
+    "FROM priced WHERE price IS NOT NULL "
+    "GROUP BY token ORDER BY token NULLS FIRST",
+    "decode x as-of price x aggregate: per-token USD volume (exact e8 ints)",
 )
 
 

@@ -173,6 +173,33 @@ def test_hex_roundtrip_property(spark):
         assert r["rt"] == r["n"]
 
 
+def test_reference_lpad_defect_reproduction(spark):
+    """SURVEY §2.B: under the reference's lpad-truncation the README's own
+    worked example (value 12309758656873032528) does NOT reproduce — the
+    66-char '0x…' word loses its last 2 hex chars.  Our compat helper
+    reproduces that defect on demand; the default path decodes correctly."""
+    d = "0x" + w(12309758656873032528)  # 66 chars
+    assert one(spark, d, D.to_uint256(2, "d")) == Decimal(
+        "12309758656873032528"
+    )
+    truncated = one(
+        spark, d, D.to_uint256(0, D.reference_lpad64(F.col("d")))
+    )
+    # 0x + first 62 hex of the word => tail '50' dropped, value shifted
+    assert truncated != Decimal("12309758656873032528")
+
+
+def test_array_str_compat_cap(spark):
+    # dynamic uint array of 5 elements: intended render shows all 5,
+    # compat cap=3 mirrors init.sql:193
+    n = 5
+    d = "0x" + w(0x20) + w(n) + "".join(w(i + 10) for i in range(n))
+    full = one(spark, d, D.to_array_str(2, "d", "uint64"))
+    capped = one(spark, d, D.to_array_str(2, "d", "uint64", cap=3))
+    assert full == "[10,11,12,13,14]"
+    assert capped == "[10,11,12]"
+
+
 def test_decode_encode_property(spark):
     """decode(encode(x)) == x over generated ABI words for every static
     decoder — one batched Spark job for the whole sample set."""
