@@ -33,9 +33,14 @@ HEADLINE = [
     "q_x2",
     "q_d10",
     "q_st1",
+    "q_st4_sessions",
     "q_dedup_exact",
     "q_knn",
+    "q_ann_ivf",
     "q_text_tokens",
+    "q_tfidf",
+    "q_skew_agg",
+    "q_usd_volume",
 ]
 
 

@@ -141,6 +141,8 @@ def tfidf_stats(
     aggregation keyed (term) and joins back — both keyed shuffles are on
     high-cardinality keys (no hot spots beyond stopwords, which the
     length>=3 filter and downstream idf weighting already discount)."""
+    from pyspark.sql import Window
+
     # n_docs as a lazy 1-row broadcast (no driver-side action)
     n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     term_rows = df.select(
@@ -150,9 +152,12 @@ def tfidf_stats(
     tf = term_rows.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df via a window over term: each tf row is a distinct (doc, term), so
+    # count-per-term IS the document frequency — one reshuffle, no
+    # self-join, the exploded input is computed once.
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", "tf", "df", "n_docs")
     )

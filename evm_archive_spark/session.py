@@ -23,6 +23,12 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # local[N] puts driver + all N executor threads in ONE JVM; the 1g
+        # default heap starves 32 task threads (GCLocker retries, OOM),
+        # while very large heaps (24g) measurably degrade GC on this box.
+        # 8g is the measured sweet spot; on a real cluster executor/driver
+        # memory come from the deployment, not here.
+        .config("spark.driver.memory", "8g")
         # AQE: runtime re-planning (partition coalescing, skew-join split,
         # broadcast demotion) — essential at 100 TB, harmless locally.
         .config("spark.sql.adaptive.enabled", "true")
