@@ -143,6 +143,10 @@ def ivf_train(
             ),
         )
     )
+    # centroids are k rows of k*dim doubles — checkpoint each refinement so
+    # downstream consumers (corpus assign, query assign, next iteration)
+    # don't lazily recompute the whole Lloyd chain per consumer
+    cent = cent.localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = _ivf_assign(df, cent, 1, id_col, vec_col).select(
             "centroid_id", vec_col
@@ -159,7 +163,7 @@ def ivf_train(
                     "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
                 ).alias("centroid")
             )
-        )
+        ).localCheckpoint(eager=True)
     return cent
 
 
@@ -170,8 +174,33 @@ def _ivf_assign(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Attach the ``nprobe`` nearest centroid ids to every row (broadcast
-    cross join + per-row top-n window; nearest = max dot product)."""
+    """Attach the ``nprobe`` nearest centroid ids to every row (nearest =
+    max dot product, ties to the lower centroid id).
+
+    nprobe == 1 (the corpus/training path, executed over the full corpus
+    every Lloyd iteration) is a pure map: the centroid set is packed into
+    one broadcast row and the argmax folds over it inside codegen — no row
+    expansion, no shuffle, no window.  nprobe > 1 runs only on the small
+    query side, where the crossJoin + top-n window is fine."""
+    if nprobe == 1:
+        packed = centroids.agg(
+            F.expr(
+                "sort_array(collect_list(struct(centroid_id, centroid)))"
+            ).alias("__cents")
+        )
+        dot_c = _DOT.format(a=vec_col, b="c.centroid")
+        argmax = (
+            "aggregate(__cents, "
+            "named_struct('cid', CAST(-1 AS BIGINT), 'best', CAST(-1e308 AS DOUBLE)), "
+            f"(acc, c) -> CASE WHEN {dot_c} > acc.best "
+            f"THEN named_struct('cid', CAST(c.centroid_id AS BIGINT), 'best', {dot_c}) "
+            "ELSE acc END).cid"
+        )
+        return (
+            df.crossJoin(F.broadcast(packed))
+            .withColumn("centroid_id", F.expr(argmax).cast("int"))
+            .drop("__cents")
+        )
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
         "__cdot", F.expr(_DOT.format(a=vec_col, b="centroid"))
     )

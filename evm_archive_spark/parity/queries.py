@@ -1001,8 +1001,11 @@ def _q_ann_ivf(spark, sf_dir):
     # nprobe == n_centroids: IVF degenerates to exact search, so the
     # brute-force oracle applies verbatim.  The nprobe < n_centroids scale
     # path (partial-list probing, recall < 1) is covered in tests.
+    # iters=1: centroid quality is irrelevant to the exactness invariant
+    # (all lists probed), so one Lloyd pass keeps the gate cheap
     return ivf_topk(
-        spark.table("embeddings"), n_queries=10, k=5, n_centroids=16, nprobe=16
+        spark.table("embeddings"), n_queries=10, k=5, n_centroids=16,
+        nprobe=16, iters=1,
     )
 
 
