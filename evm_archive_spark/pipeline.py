@@ -1,0 +1,153 @@
+"""Drop-in pipeline runner: the reference's whole `main()` as one call.
+
+Reads the same `EVM_ARCHIVE_*` environment surface (main.go:18-91, A14),
+runs the logs + price ingestion through the Spark sources, and lands rows
+in an idempotent sink.  A user of the reference can point this at the same
+endpoint/env and get the same tables — plus horizontal fetch parallelism,
+a parquet archive, and optional timestamp enrichment the reference lacks.
+
+Env (identical names/defaults to the reference; example.env:1-28):
+
+- ``EVM_ARCHIVE_ENDPOINT``       default http://localhost:8545 (main.go:20-24)
+- ``EVM_ARCHIVE_CONTRACTS``      CSV filter, optional (main.go:35-38)
+- ``EVM_ARCHIVE_TOKENS`` / ``EVM_ARCHIVE_ORACLES`` equal-length CSVs (main.go:40-50)
+- ``EVM_ARCHIVE_FROM_BLOCK``     default 0 (main.go:52-58)
+- ``EVM_ARCHIVE_TO_BLOCK``       default "infinity" — here: chain head at
+  launch for the bounded batch run (main.go:60-68)
+- ``EVM_ARCHIVE_BLOCK_STEP``     default 100 (main.go:70-78)
+- ``EVM_ARCHIVE_SLEEP_SECONDS``  default 5 — streaming trigger interval (main.go:80-88)
+
+Spark-side additions:
+
+- ``EVM_ARCHIVE_OUT``            parquet output dir (default ./evm_archive_out)
+- ``EVM_ARCHIVE_STREAM``         "1" → tail-follow via Structured Streaming
+  with a processingTime trigger of SLEEP_SECONDS (A13); default bounded
+  batch backfill (availableNow semantics)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .schemas import LOGS_PK, PRICE_PK
+from .sources import rpc
+
+
+def env_config(env: dict | None = None) -> dict:
+    e = env if env is not None else os.environ
+    return {
+        "endpoint": e.get("EVM_ARCHIVE_ENDPOINT", "http://localhost:8545"),
+        "contracts": e.get("EVM_ARCHIVE_CONTRACTS", ""),
+        "tokens": e.get("EVM_ARCHIVE_TOKENS", ""),
+        "oracles": e.get("EVM_ARCHIVE_ORACLES", ""),
+        "from_block": int(e.get("EVM_ARCHIVE_FROM_BLOCK", "0")),
+        "to_block": int(e.get("EVM_ARCHIVE_TO_BLOCK", "-1")),
+        "block_step": int(e.get("EVM_ARCHIVE_BLOCK_STEP", "100")),
+        "sleep_seconds": int(e.get("EVM_ARCHIVE_SLEEP_SECONDS", "5")),
+        "out": e.get("EVM_ARCHIVE_OUT", "./evm_archive_out"),
+        "stream": e.get("EVM_ARCHIVE_STREAM", "") == "1",
+        "enrich": e.get("EVM_ARCHIVE_ENRICH_TIMESTAMPS", "") == "1",
+    }
+
+
+def _resume_from(spark: SparkSession, path: str, from_block: int) -> int:
+    """A10/A11: start = max(sink max + 1, FROM_BLOCK) (main.go:162-175,
+    206-215) — reconciliation against the parquet sink."""
+    from pyspark.sql import functions as F
+
+    try:
+        mx = (
+            spark.read.parquet(path)
+            .agg(F.max("block_number").alias("m"))
+            .collect()[0]["m"]
+        )
+    except Exception:  # noqa: BLE001 — empty/missing sink == block 0
+        mx = None
+    return max((mx + 1) if mx is not None else 0, from_block)
+
+
+def run_batch(spark: SparkSession, cfg: dict | None = None) -> dict:
+    """Bounded backfill: logs + price + (optional) header enrichment into
+    partitioned parquet.  Returns row counts per table."""
+    cfg = cfg or env_config()
+    rpc.register(spark)
+    logs_path = os.path.join(cfg["out"], "logs")
+    start = _resume_from(spark, logs_path, cfg["from_block"])
+
+    reader = (
+        spark.read.format("evm_logs")
+        .option("endpoint", cfg["endpoint"])
+        .option("fromBlock", str(start))
+        .option("blockStep", str(cfg["block_step"]))
+    )
+    if cfg["to_block"] >= 0:
+        reader = reader.option("toBlock", str(cfg["to_block"]))
+    if cfg["contracts"]:
+        reader = reader.option("contracts", cfg["contracts"])
+    logs = reader.load().dropDuplicates(LOGS_PK)
+
+    if cfg["enrich"]:
+        blocks_reader = (
+            spark.read.format("evm_blocks")
+            .option("endpoint", cfg["endpoint"])
+            .option("fromBlock", str(start))
+            .option("blockStep", str(cfg["block_step"]))
+        )
+        if cfg["to_block"] >= 0:
+            blocks_reader = blocks_reader.option("toBlock", str(cfg["to_block"]))
+        logs = rpc.enrich_block_timestamps(logs, blocks_reader.load())
+
+    logs.write.mode("append").parquet(logs_path)
+    counts = {"logs": spark.read.parquet(logs_path).count()}
+
+    if cfg["tokens"] and cfg["oracles"]:
+        price_path = os.path.join(cfg["out"], "price")
+        price = (
+            spark.read.format("evm_price")
+            .option("endpoint", cfg["endpoint"])
+            .option("tokens", cfg["tokens"])
+            .option("oracles", cfg["oracles"])
+            .option("fromBlock", str(start))
+            .option(
+                "toBlock",
+                str(cfg["to_block"]) if cfg["to_block"] >= 0 else "-1",
+            )
+            .option("blockStep", str(cfg["block_step"]))
+            .load()
+            .dropDuplicates(PRICE_PK)
+        )
+        price.write.mode("append").parquet(price_path)
+        counts["price"] = spark.read.parquet(price_path).count()
+    return counts
+
+
+def run_stream(spark: SparkSession, cfg: dict | None = None):
+    """A13 tail-follow: streaming logs with a processingTime trigger of
+    SLEEP_SECONDS into the parquet sink; returns the StreamingQuery."""
+    cfg = cfg or env_config()
+    rpc.register(spark)
+    logs_path = os.path.join(cfg["out"], "logs")
+    start = _resume_from(spark, logs_path, cfg["from_block"])
+    reader = (
+        spark.readStream.format("evm_logs")
+        .option("endpoint", cfg["endpoint"])
+        .option("fromBlock", str(start))
+        .option("blockStep", str(cfg["block_step"]))
+    )
+    if cfg["to_block"] >= 0:
+        reader = reader.option("toBlock", str(cfg["to_block"]))
+    if cfg["contracts"]:
+        reader = reader.option("contracts", cfg["contracts"])
+    return (
+        reader.load()
+        .dropDuplicates(LOGS_PK)
+        .writeStream.format("parquet")
+        .option("path", logs_path)
+        .option(
+            "checkpointLocation", os.path.join(cfg["out"], "_checkpoint")
+        )
+        .trigger(processingTime=f"{cfg['sleep_seconds']} seconds")
+        .start()
+    )

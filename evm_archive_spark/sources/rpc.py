@@ -284,9 +284,14 @@ class EvmLogsBatchReader(DataSourceReader):
         if end < 0:
             t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
             end = _from_hex(t.call("eth_blockNumber", []))  # A2 head clamp
-        return plan_ranges(o["from_block"], end, o["block_step"])
+        ranges = plan_ranges(o["from_block"], end, o["block_step"])
+        # already caught up (resume cursor past the bound): the DataSource
+        # API needs >= 1 partition, so emit one empty placeholder range
+        return ranges or [BlockRange(o["from_block"], o["from_block"] - 1)]
 
     def read(self, partition: BlockRange):
+        if partition.end < partition.start:
+            return
         o = self.o
         t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
         yield from _fetch_range(t, partition, o["contracts"])
@@ -392,11 +397,14 @@ class EvmPriceBatchReader(DataSourceReader):
         if end < 0:
             t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
             end = _from_hex(t.call("eth_blockNumber", []))
-        return plan_ranges(o["from_block"], end, o["block_step"])
+        ranges = plan_ranges(o["from_block"], end, o["block_step"])
+        return ranges or [BlockRange(o["from_block"], o["from_block"] - 1)]
 
     def read(self, partition: BlockRange):
         from decimal import Decimal
 
+        if partition.end < partition.start:
+            return
         o = self.o
         t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
         as_of = partition.start  # price sampled at window start (main.go:196)
@@ -444,11 +452,14 @@ class EvmBlocksBatchReader(DataSourceReader):
         if end < 0:
             t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
             end = _from_hex(t.call("eth_blockNumber", []))
-        return plan_ranges(o["from_block"], end, o["block_step"])
+        ranges = plan_ranges(o["from_block"], end, o["block_step"])
+        return ranges or [BlockRange(o["from_block"], o["from_block"] - 1)]
 
     def read(self, partition: BlockRange):
         import datetime as dt
 
+        if partition.end < partition.start:
+            return
         o = self.o
         t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
         for block in range(partition.start, partition.end + 1):

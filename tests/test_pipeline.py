@@ -1,0 +1,41 @@
+"""End-to-end pipeline runner tests against the deterministic mock chain:
+same env surface as the reference (main.go:18-91), idempotent re-run."""
+
+from __future__ import annotations
+
+from evm_archive_spark.pipeline import env_config, run_batch
+
+
+def _cfg(tmp_path, **over):
+    env = {
+        "EVM_ARCHIVE_ENDPOINT": "mock://head=19,logs_per_block=2",
+        "EVM_ARCHIVE_FROM_BLOCK": "0",
+        "EVM_ARCHIVE_TO_BLOCK": "19",
+        "EVM_ARCHIVE_BLOCK_STEP": "5",
+        "EVM_ARCHIVE_TOKENS": "0xtokenA",
+        "EVM_ARCHIVE_ORACLES": "0xoracleA",
+        "EVM_ARCHIVE_OUT": str(tmp_path / "out"),
+        **over,
+    }
+    return env_config(env)
+
+
+def test_batch_backfill_and_idempotent_rerun(spark, tmp_path):
+    cfg = _cfg(tmp_path)
+    counts = run_batch(spark, cfg)
+    assert counts["logs"] == 40  # 20 blocks x 2 logs
+    assert counts["price"] == 4  # 20 blocks / step 5 windows
+
+    # re-run: resume cursor starts past TO_BLOCK -> no new rows (A10/A11)
+    counts2 = run_batch(spark, cfg)
+    assert counts2["logs"] == 40
+
+
+def test_batch_with_timestamp_enrichment(spark, tmp_path):
+    cfg = _cfg(tmp_path, EVM_ARCHIVE_ENRICH_TIMESTAMPS="1")
+    run_batch(spark, cfg)
+    df = spark.read.parquet(str(tmp_path / "out" / "logs"))
+    rows = df.select("block_number", "block_timestamp").collect()
+    assert all(r["block_timestamp"] is not None for r in rows)
+    ts = {r["block_number"]: r["block_timestamp"] for r in rows}
+    assert (ts[1] - ts[0]).total_seconds() == 12.0
