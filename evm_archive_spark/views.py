@@ -177,6 +177,35 @@ def register_event_views(
     return names
 
 
+def from_abi(abi: list[dict]) -> list[EventSpec]:
+    """Build EventSpecs straight from a standard Solidity ABI JSON array
+    (the artifact every user already has) — topic0 computed with
+    Keccak-256 over the canonical signature, so no hand-maintained hash
+    constants.  Anonymous events are skipped (they carry no topic0).
+
+    The reference requires hand-writing each view + hash into init.sql
+    (init.sql:213-222); this derives the same views mechanically."""
+    from .functions.keccak import event_topic0
+
+    specs = []
+    for entry in abi:
+        if entry.get("type") != "event" or entry.get("anonymous"):
+            continue
+        inputs = entry.get("inputs", [])
+        sig = f"{entry['name']}({','.join(i['type'] for i in inputs)})"
+        specs.append(
+            EventSpec(
+                entry["name"],
+                event_topic0(sig),
+                [
+                    EventParam(i["type"], i["name"], bool(i.get("indexed")))
+                    for i in inputs
+                ],
+            )
+        )
+    return specs
+
+
 # --------------------------------------------------------------------------
 # SQL bootstrap generator — the init.sql:213-222 artifact re-emitted as
 # Spark SQL text (stage 5: spec -> naming convention -> CREATE VIEW).

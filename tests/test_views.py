@@ -126,3 +126,49 @@ def test_bootstrap_sql_matches_dataframe_views(spark):
         ).collect()
     )
     assert sql_rows == df_rows and len(sql_rows) > 0
+
+
+def test_keccak_known_vectors():
+    from evm_archive_spark.functions.keccak import event_topic0, keccak256
+
+    # canonical ERC-20 Transfer topic0 (README.md:172-179 constant)
+    assert event_topic0("Transfer(address,address,uint256)") == (
+        "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+    )
+    assert event_topic0("Approval(address,address,uint256)") == (
+        "0x8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925"
+    )
+    assert keccak256(b"").hex() == (
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    # multi-block message (> 136-byte rate) exercises absorb loop
+    assert keccak256(b"a" * 200).hex() == keccak256(b"a" * 100 + b"a" * 100).hex()
+
+
+def test_from_abi_matches_default_transfer_spec(spark):
+    from evm_archive_spark import fixtures, views
+
+    abi = [
+        {
+            "type": "event",
+            "name": "Transfer",
+            "inputs": [
+                {"type": "address", "name": "from", "indexed": True},
+                {"type": "address", "name": "to", "indexed": True},
+                {"type": "uint256", "name": "amount", "indexed": False},
+            ],
+        },
+        {"type": "function", "name": "transfer", "inputs": []},
+        {"type": "event", "name": "Anon", "anonymous": True, "inputs": []},
+    ]
+    specs = views.from_abi(abi)
+    assert len(specs) == 1
+    spec = specs[0]
+    default = next(s for s in views.DEFAULT_EVENTS if s.name == "Transfer")
+    assert spec.topic0 == default.topic0
+    assert spec.view_name == default.view_name
+    # and the generated view decodes identically to the hand-declared one
+    logs = fixtures.logs_df(spark)
+    a = sorted(map(tuple, views.event_view_df(logs, spec).collect()))
+    b = sorted(map(tuple, views.event_view_df(logs, default).collect()))
+    assert a == b and len(a) > 0
