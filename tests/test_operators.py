@@ -59,6 +59,52 @@ def _docs_with_near_dups(spark):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+def test_asof_join_property(spark):
+    """asof_join == per-row 'latest right value with block <= left block'
+    over generated tables (hypothesis); covers empty right groups, exact
+    block ties, and multi-key interleaving."""
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.asof import asof_join
+
+    keys = ["k0", "k1", "k2"]
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        lefts=st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=1, max_size=12,
+        ),
+        rights=st.lists(
+            st.tuples(
+                st.sampled_from(keys), st.integers(0, 50), st.integers(1, 999)
+            ),
+            min_size=0, max_size=12, unique_by=lambda r: (r[0], r[1]),
+        ),
+    )
+    def check(lefts, rights):
+        left = spark.createDataFrame(
+            [(k, b, i) for i, (k, b) in enumerate(lefts)],
+            "token string, block_number long, rid long",
+        )
+        right = spark.createDataFrame(
+            rights or [("__none__", 0, 0)],
+            "address string, block_number long, price long",
+        )
+        out = asof_join(
+            left, right, on="block_number",
+            by_left="token", by_right="address", value_cols=["price"],
+        ).collect()
+        expect = {}
+        for i, (k, b) in enumerate(lefts):
+            cands = [r for r in rights if r[0] == k and r[1] <= b]
+            expect[i] = max(cands, key=lambda r: r[1])[2] if cands else None
+        got = {r["rid"]: r["price"] for r in out}
+        assert got == expect
+
+    check()
+
+
 def test_minhash_finds_planted_near_dups(spark):
     df = _docs_with_near_dups(spark)
     pairs = dedup.minhash_near_duplicates(
