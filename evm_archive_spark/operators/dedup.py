@@ -257,6 +257,81 @@ def simhash_near_duplicates(
 # exact n-gram Jaccard over a blocked pair set
 # --------------------------------------------------------------------------
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate *pairs* into dedup groups: connected
+    components by iterative min-label propagation.
+
+    The pair detectors (minhash/simhash/LSH/ngram) emit edges; choosing one
+    survivor per *transitive* group needs components, not pairs.  Each
+    iteration is: label(v) = min(label(v), min over neighbors) — two
+    keyed shuffles per round on the edge list, converging in O(component
+    diameter) rounds (near-dup clusters are shallow; 20 covers pathological
+    chains).  Driver only checks the convergence counter — labels never
+    leave the cluster.
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("node")
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every non-minimal member of each near-duplicate component;
+    rows not in any pair survive untouched."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

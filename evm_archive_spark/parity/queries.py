@@ -1120,6 +1120,56 @@ _add(
 )
 
 
+_NGRAM_PAIRS_SPARK = (
+    "WITH g AS (SELECT doc_id, lang, n_chars DIV 100 AS bucket, "
+    "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), "
+    "i -> substring(text, i, 3))) AS gr FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
+    "AND a.doc_id < b.doc_id "
+    "WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE) "
+    " / size(array_union(a.gr, b.gr)) >= 0.9"
+)
+
+
+def _q_dedup_components(spark, sf_dir):
+    """Transitive dedup: n-gram near-dup pairs -> connected components ->
+    keep the minimal doc per component (iterative min-label propagation;
+    the oracle recomputes the closure with a recursive CTE)."""
+    from ..operators.dedup import dedup_survivors
+
+    register_testdata(spark, sf_dir, ["documents"])
+    pairs = spark.sql(_NGRAM_PAIRS_SPARK)
+    return (
+        dedup_survivors(spark.table("documents"), pairs, id_col="doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_dedup_components",
+    _q_dedup_components,
+    "WITH RECURSIVE g AS (SELECT doc_id, lang, n_chars // 100 AS bucket, "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)), "
+    "i -> substring(text, i, 3))) AS gr FROM documents), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
+    "  AND a.doc_id < b.doc_id "
+    "  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) "
+    "   / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.9), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "  UNION SELECT id_b, id_a FROM p), "
+    "r AS (SELECT src AS node, src AS m FROM e "
+    "  UNION SELECT e.src, r.m FROM e JOIN r ON r.node = e.dst), "
+    "comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY node) "
+    "SELECT doc_id FROM documents "
+    "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component) "
+    "ORDER BY doc_id NULLS FIRST",
+    "transitive near-dup dedup: components (label propagation) == recursive CTE",
+)
+
+
 def _q_skew_agg(spark, sf_dir):
     from ..operators.skew import two_phase_agg
 

@@ -346,3 +346,26 @@ def test_frame_sample_plumbing(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert len(by_id[1]) > 1  # long payload -> multiple sampled frames
     assert by_id[2] == [0]  # short payload -> single frame
+
+
+def test_connected_components_chains_and_islands(spark):
+    from evm_archive_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, pair 10-11, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], ["id_a", "id_b"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_survivors_transitive(spark):
+    from evm_archive_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    # 0~1, 1~2 transitively => keep 0; 4~5 => keep 4; 3 untouched
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    assert kept == [0, 3, 4]
