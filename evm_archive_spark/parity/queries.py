@@ -1132,6 +1132,36 @@ _NGRAM_PAIRS_SPARK = (
 )
 
 
+def _q_split(spark, sf_dir):
+    from ..operators.sampling import hash_split
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        hash_split(
+            spark.table("documents"), "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
+        .orderBy("split")
+    )
+
+
+_add(
+    "q_split",
+    _q_split,
+    # deterministic md5-bucket split: identical assignment in any engine
+    "WITH b AS (SELECT doc_id, "
+    "  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    "  % 10000 AS bucket FROM documents) "
+    "SELECT CASE WHEN bucket < 9000 THEN 'train' "
+    "  WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split, "
+    "  COUNT(*) AS n, MIN(doc_id) AS first_doc "
+    "FROM b GROUP BY 1 ORDER BY split NULLS FIRST",
+    "deterministic hash-bucket train/val/test split (portable md5 assignment)",
+)
+
+
 def _q_dedup_components(spark, sf_dir):
     """Transitive dedup: n-gram near-dup pairs -> connected components ->
     keep the minimal doc per component (iterative min-label propagation;

@@ -369,3 +369,41 @@ def test_dedup_survivors_transitive(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
     kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
     assert kept == [0, 3, 4]
+
+
+def test_hash_split_stable_and_partition_invariant(spark):
+    from evm_archive_spark.operators.sampling import hash_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7), "doc_id", w).collect()
+    }
+    assert a == b  # partitioning-invariant
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 700 < c["train"] < 900 and c["val"] > 50 and c["test"] > 50
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_stratified_sample_per_stratum(spark):
+    from evm_archive_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(1000)],
+        ["doc_id", "lang"],
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"en": 0.2, "de": 1.0})
+    rows = out.collect()
+    en = [r for r in rows if r["lang"] == "en"]
+    de = [r for r in rows if r["lang"] == "de"]
+    assert len(de) == 500          # kept whole
+    assert 50 < len(en) < 200      # ~20% of 500
+    # deterministic: same call, same rows
+    again = stratified_sample(df, "doc_id", "lang", {"en": 0.2, "de": 1.0})
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
