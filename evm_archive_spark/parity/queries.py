@@ -536,6 +536,37 @@ _add(
     "to_uint256 single word incl. one >2^64 value (G2)",
 )
 
+# full-range uint256 values: beyond Decimal(38) the native decoder yields
+# NULL by design and the exact Arrow-batched string path takes over
+_U256_VECTORS = [
+    0,
+    1,
+    2**64 - 1,
+    2**128 - 1,
+    10**38,          # first value past Decimal(38,0)
+    2**255 + 12345,  # high-bit set
+    2**256 - 1,      # uint256 max
+]
+
+
+def _q_d_uint256_str(spark, sf_dir):
+    rows = [(i, "0x" + format(v, "064x")) for i, v in enumerate(_U256_VECTORS)]
+    df = spark.createDataFrame(rows, "vid long, data string")
+    return df.select(
+        "vid", D.to_uint256_str(2, "data").alias("value_str")
+    ).orderBy("vid")
+
+
+_add(
+    "q_d_uint256_str",
+    _q_d_uint256_str,
+    _values_query(
+        [("vid", "BIGINT"), ("value_str", "VARCHAR")],
+        [(i, str(v)) for i, v in enumerate(_U256_VECTORS)],
+    ),
+    "exact uint256 decode as decimal string (pandas-UDF path, full 2^256 range)",
+)
+
 
 def _q_d3(spark, sf_dir):
     logs = fixtures.logs_df(spark)

@@ -179,3 +179,92 @@ def test_retry_classification():
         t.call("eth_getLogs", [{"fromBlock": "0x0", "toBlock": "0x2"}])
     with pytest.raises(rpc.RpcError):
         t.call("eth_unknownMethod", [])
+
+
+def _start_scripted_server(fail_first: int):
+    """Tiny live JSON-RPC server: first N requests get HTTP 503, then real
+    responses from a MockTransport — exercises HttpTransport's retry path
+    (A4, main.go:119-136) over an actual socket."""
+    import http.server
+    import json as _json
+    import threading
+
+    from evm_archive_spark.sources.rpc import MockTransport
+
+    mock = MockTransport("mock://head=9,logs_per_block=1")
+    state = {"calls": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            state["calls"] += 1
+            if state["calls"] <= fail_first:
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            result = mock.call(body["method"], body["params"])
+            out = _json.dumps({"jsonrpc": "2.0", "id": body["id"], "result": result}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, state
+
+
+def test_http_transport_retries_503_then_succeeds():
+    from evm_archive_spark.sources.rpc import HttpTransport
+
+    srv, state = _start_scripted_server(fail_first=2)
+    try:
+        t = HttpTransport(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            retry_seconds=0.01, max_retries=5,
+        )
+        head = t.call("eth_blockNumber", [])
+        assert int(head, 16) == 9
+        assert state["calls"] == 3  # two 503s + one success
+    finally:
+        srv.shutdown()
+
+
+def test_http_transport_exhausts_retries():
+    import urllib.error
+
+    from evm_archive_spark.sources.rpc import HttpTransport
+
+    srv, _ = _start_scripted_server(fail_first=10**9)
+    try:
+        t = HttpTransport(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            retry_seconds=0.0, max_retries=2,
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            t.call("eth_blockNumber", [])
+    finally:
+        srv.shutdown()
+
+
+def test_batch_source_over_live_http(registered):
+    spark = registered
+    srv, _ = _start_scripted_server(fail_first=0)
+    try:
+        df = (
+            spark.read.format("evm_logs")
+            .option("endpoint", f"http://127.0.0.1:{srv.server_address[1]}")
+            .option("fromBlock", "0")
+            .option("toBlock", "9")
+            .option("blockStep", "4")
+            .load()
+        )
+        rows = df.collect()
+        assert len(rows) == 10
+        assert sorted(r["block_number"] for r in rows) == list(range(10))
+    finally:
+        srv.shutdown()
