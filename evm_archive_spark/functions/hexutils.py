@@ -20,8 +20,9 @@ def from_hex_long(col: Column | str) -> Column:
 
     Mirrors types.go:27-34 including the quirk that *every* '0x' substring
     is removed (Go strings.ReplaceAll), not just a prefix.  Unparseable
-    input yields NULL (the reference logs and yields 0 — we prefer NULL and
-    let callers coalesce).
+    input yields 0 exactly like the reference (types.go:29-33 logs the
+    parse failure and returns 0; Spark's ``conv`` is likewise lenient);
+    NULL input stays NULL.
     """
     return F.conv(F.regexp_replace(_c(col), "0x", ""), 16, 10).cast("long")
 

@@ -173,6 +173,16 @@ def test_hex_roundtrip_property(spark):
         assert r["rt"] == r["n"]
 
 
+def test_from_hex_parse_failure_yields_zero(spark):
+    """types.go:29-33 parity: unparseable hex logs-and-yields-0 in the
+    reference; our conv-based decode does the same (NULL stays NULL)."""
+    df = spark.createDataFrame(
+        [("0xzz",), ("garbage",), (None,), ("0x10",), ("0x0x10",)], ["h"]
+    )
+    vals = [r["v"] for r in df.select(H.from_hex_long("h").alias("v")).collect()]
+    assert vals == [0, 0, None, 16, 16]  # '0x0x10': every 0x stripped
+
+
 def test_reference_lpad_defect_reproduction(spark):
     """SURVEY §2.B: under the reference's lpad-truncation the README's own
     worked example (value 12309758656873032528) does NOT reproduce — the
