@@ -267,6 +267,23 @@ _shared(
     "multi-granularity time-bucket rollup (one grouping-sets pass)",
 )
 
+# [pair] exact interpolated median over integer cents (midpoints are
+# x.0/x.5 — exactly representable, so cross-engine double equality holds)
+_add(
+    "q_a8_median",
+    _sql(
+        "SELECT o_orderpriority, "
+        "percentile(CAST(FLOOR(o_totalprice*100) AS BIGINT), 0.5) AS med_cents "
+        "FROM orders GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority NULLS FIRST"
+    ),
+    "SELECT o_orderpriority, "
+    "quantile_cont(CAST(FLOOR(o_totalprice*100) AS BIGINT), 0.5) AS med_cents "
+    "FROM orders GROUP BY o_orderpriority "
+    "ORDER BY o_orderpriority NULLS FIRST",
+    "exact interpolated median (percentile vs quantile_cont) [pair]",
+)
+
 _shared(
     "q_a6",
     "SELECT c_nationkey, COUNT(*) AS n FROM customer "

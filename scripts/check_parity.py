@@ -56,8 +56,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import os
+
+    skip = set(filter(None, os.environ.get("SKIP_QUERIES", "").split(",")))
     failures = []
     for q in PARITY_QUERIES:
+        if q.name in skip:
+            print(f"skip {q.name}")
+            continue
         t0 = time.time()
         try:
             sdf = q.spark(spark, sf_dir)
