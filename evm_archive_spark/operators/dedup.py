@@ -293,12 +293,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: label(v) <- label(label(v)) — halves label-chain
+        # lengths so convergence is O(log diameter) rounds, not O(diameter)
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            stepped.join(parent, stepped.component == parent.pnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)

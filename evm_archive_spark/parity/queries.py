@@ -1168,6 +1168,9 @@ _add(
 )
 
 
+# The size-ratio predicate is implied by J >= 0.9 (|A∩B| <= min, |A∪B| >=
+# max, so J <= min/max): it prunes candidate pairs BEFORE the expensive
+# array_intersect/array_union evaluate, without changing the result set.
 _NGRAM_PAIRS_SPARK = (
     "WITH g AS (SELECT doc_id, lang, n_chars DIV 100 AS bucket, "
     "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), "
@@ -1175,6 +1178,8 @@ _NGRAM_PAIRS_SPARK = (
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
     "FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
     "AND a.doc_id < b.doc_id "
+    "AND CAST(least(size(a.gr), size(b.gr)) AS DOUBLE) "
+    "  / greatest(size(a.gr), size(b.gr)) >= 0.9 "
     "WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE) "
     " / size(array_union(a.gr, b.gr)) >= 0.9"
 )
@@ -1234,6 +1239,8 @@ _add(
     "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
     "  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
     "  AND a.doc_id < b.doc_id "
+    "  AND CAST(least(len(a.gr), len(b.gr)) AS DOUBLE) "
+    "    / greatest(len(a.gr), len(b.gr)) >= 0.9 "
     "  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) "
     "   / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.9), "
     "e AS (SELECT id_a AS src, id_b AS dst FROM p "
