@@ -429,6 +429,31 @@ _shared(
     "math battery (integer-exact forms)",
 )
 
+# regexp_extract is portable; regexp_replace is NOT (DuckDB replaces only
+# the first match without the 'g' flag) — translate/replace cover the
+# replace-all shapes identically in both engines
+_shared(
+    "q_x6_regexp",
+    "SELECT p_partkey, "
+    "regexp_extract(p_name, '([a-z]+)', 1) AS first_word, "
+    "translate(p_name, 'aeiou', '_____') AS devoweled, "
+    "CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS BIGINT) "
+    "  AS n_words "
+    "FROM part ORDER BY p_partkey NULLS FIRST LIMIT 200",
+    "regexp/translate battery (engine-portable forms)",
+)
+
+_shared(
+    "q_x7_nullfns",
+    "SELECT o_orderkey, "
+    "coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open, "
+    "CAST(greatest(o_custkey, 100) AS BIGINT) AS g, "
+    "CAST(least(o_custkey, 100) AS BIGINT) AS l, "
+    "CASE WHEN o_totalprice IS NULL THEN 'null' ELSE 'set' END AS tp "
+    "FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 200",
+    "null-handling battery (coalesce/nullif/greatest/least/IS NULL)",
+)
+
 # [pair] — JSON path syntax differs between engines
 _add(
     "q_x4",
