@@ -454,6 +454,58 @@ _shared(
     "null-handling battery (coalesce/nullif/greatest/least/IS NULL)",
 )
 
+# [pair] — higher-order array functions (names differ: transform/filter/
+# aggregate vs list_transform/list_filter/list_sum), integer-quantized
+_add(
+    "q_x8_hof",
+    _sql(
+        "SELECT vec_id, "
+        "CAST(aggregate(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+        "*1000) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) "
+        "  AS qsum, "
+        "CAST(size(filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos "
+        "FROM embeddings ORDER BY vec_id NULLS FIRST LIMIT 100"
+    ),
+    "SELECT vec_id, "
+    "CAST(list_sum(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+    "*1000) AS BIGINT))) AS BIGINT) AS qsum, "
+    "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos "
+    "FROM embeddings ORDER BY vec_id NULLS FIRST LIMIT 100",
+    "higher-order array battery (transform/filter/fold, quantized) [pair]",
+)
+
+# [pair] — ordered string aggregation (listagg vs string_agg)
+_add(
+    "q_a9_stringagg",
+    _sql(
+        "SELECT r_regionkey, "
+        "array_join(array_sort(collect_list(n_name)), ',') AS nations "
+        "FROM region JOIN nation ON r_regionkey = n_regionkey "
+        "GROUP BY r_regionkey ORDER BY r_regionkey NULLS FIRST"
+    ),
+    "SELECT r_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations "
+    "FROM region JOIN nation ON r_regionkey = n_regionkey "
+    "GROUP BY r_regionkey ORDER BY r_regionkey NULLS FIRST",
+    "ordered string aggregation [pair]",
+)
+
+# [pair] — date arithmetic (date_add/datediff vs interval/date_diff)
+_add(
+    "q_x9_datearith",
+    _sql(
+        "SELECT o_orderkey, date_add(o_orderdate, 30) AS due, "
+        "CAST(datediff(DATE '1998-12-01', o_orderdate) AS BIGINT) AS age_days, "
+        "CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dow "
+        "FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 200"
+    ),
+    "SELECT o_orderkey, CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due, "
+    "CAST(date_diff('day', o_orderdate, DATE '1998-12-01') AS BIGINT) AS age_days, "
+    # Spark extract(dow) is 1-based (1=Sunday), DuckDB 0-based — shift
+    "CAST(extract(dow FROM o_orderdate) + 1 AS BIGINT) AS dow "
+    "FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 200",
+    "date arithmetic battery [pair]",
+)
+
 # [pair] — JSON path syntax differs between engines
 _add(
     "q_x4",
