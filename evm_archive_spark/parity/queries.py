@@ -252,6 +252,39 @@ _shared(
 )
 
 _shared(
+    "q_j8_fullouter",
+    # full outer over deliberately-partial key overlap (suppliers' nation
+    # keys shifted) — exercises null-producing rows on BOTH sides
+    "SELECT COALESCE(c.k, s.k) AS k, "
+    "CAST(COUNT(c.k) AS BIGINT) AS n_cust, CAST(COUNT(s.k) AS BIGINT) AS n_supp "
+    "FROM (SELECT c_nationkey AS k FROM customer) c "
+    "FULL OUTER JOIN (SELECT s_nationkey + 20 AS k FROM supplier) s "
+    "ON c.k = s.k "
+    "GROUP BY COALESCE(c.k, s.k) ORDER BY k NULLS FIRST",
+    "full outer join with null-producing rows on both sides",
+)
+
+_shared(
+    "q_w5_rangeframe",
+    # RANGE frame over a numeric ordering key (value-based, not row-based)
+    "SELECT o_orderkey, "
+    "CAST(SUM(CAST(1 AS BIGINT)) OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) "
+    "  AS BIGINT) AS n_nearby "
+    "FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 200",
+    "RANGE window frame (value-based bounds)",
+)
+
+_shared(
+    "q_u5_exceptall",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "SELECT c_nationkey AS k FROM customer "
+    "EXCEPT ALL "
+    "SELECT s_nationkey AS k FROM supplier) t",
+    "EXCEPT ALL (multiset difference)",
+)
+
+_shared(
     "q_a7_timerollup",
     # hypertable-style multi-granularity rollup: day and hour buckets
     # computed in one grouping-sets pass over the events stream table
@@ -1019,6 +1052,20 @@ _add(
     "ORDER BY window_start NULLS FIRST, event_type NULLS FIRST",
     "watermark + late-window drop (append mode) == batch closed-window filter",
 )
+
+def _q_st6(spark, sf_dir):
+    from ..streaming.windows import streaming_distinct_users
+
+    return streaming_distinct_users(spark, sf_dir)
+
+
+_add(
+    "q_st6_dedup",
+    _q_st6,
+    "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
+    "streaming stateful dropDuplicates == batch COUNT DISTINCT",
+)
+
 
 def _q_st4(spark, sf_dir):
     from ..streaming.windows import session_window_counts

@@ -120,6 +120,17 @@ def session_window_counts(
     ).orderBy("user_id", "session_start")
 
 
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup: ``dropDuplicates`` on the key keeps one
+    row per user across micro-batches (state = seen-key set).  The gated
+    output is the per-type distinct-user count — invariant to which
+    physical row survives arrival-order races."""
+    sdf = stream_events(spark, sf_dir)
+    dedup = sdf.select("user_id").dropDuplicates(["user_id"])
+    agg = dedup.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+    return _run_to_memory(agg, "complete")
+
+
 def watermarked_tumbling_counts(
     spark: SparkSession,
     sf_dir: str,
