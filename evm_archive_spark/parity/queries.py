@@ -539,6 +539,43 @@ _add(
     "date arithmetic battery [pair]",
 )
 
+# [pair] — PIVOT (Spark relational PIVOT vs portable conditional aggs)
+_add(
+    "q_a10_pivot",
+    _sql(
+        "SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders) "
+        "PIVOT (COUNT(*) AS n FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p)) "
+        "ORDER BY o_orderpriority NULLS FIRST"
+    ),
+    "SELECT o_orderpriority, "
+    "CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o, "
+    "CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f, "
+    "CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p "
+    "FROM orders GROUP BY o_orderpriority "
+    "ORDER BY o_orderpriority NULLS FIRST",
+    "PIVOT vs conditional aggregation [pair]",
+)
+
+# [pair] — table generator: explode vs unnest
+_add(
+    "q_x10_explode",
+    _sql(
+        "SELECT vec_id, pos, CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT) AS q "
+        "FROM embeddings "
+        "LATERAL VIEW posexplode(embedding) t AS pos, x "
+        "WHERE vec_id < 5 "
+        "ORDER BY vec_id NULLS FIRST, pos NULLS FIRST"
+    ),
+    # fixture embeddings are 64-dim (same constant the q_knn oracle uses);
+    # DuckDB's generate_series can't take lateral column arguments
+    "SELECT vec_id, CAST(g.i - 1 AS INT) AS pos, "
+    "CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE)*1000) AS BIGINT) AS q "
+    "FROM embeddings, generate_series(1, 64) g(i) "
+    "WHERE vec_id < 5 "
+    "ORDER BY vec_id NULLS FIRST, pos NULLS FIRST",
+    "posexplode / LATERAL VIEW vs unnest-by-index [pair]",
+)
+
 # [pair] — JSON path syntax differs between engines
 _add(
     "q_x4",
