@@ -1416,6 +1416,48 @@ _add(
 )
 
 
+# [pair] md5-permutation MinHash: same 5-char shingling and 8 permutations
+# spelled in both engines (md5 is portable; the production operator uses
+# xxhash64 which DuckDB lacks — q_minhash stays the rows-only fast path)
+_MINHASH_MD5_SPARK = (
+    "WITH sh AS (SELECT doc_id, array_distinct(transform("
+    "  sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5))) AS s "
+    "  FROM documents WHERE doc_id < 50) "
+    "SELECT doc_id, {cols} FROM sh ORDER BY doc_id NULLS FIRST"
+)
+_MINHASH_MD5_DUCK = (
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+    "  generate_series(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5))) AS s "
+    "  FROM documents WHERE doc_id < 50) "
+    "SELECT doc_id, {cols} FROM sh ORDER BY doc_id NULLS FIRST"
+)
+
+
+def _q_minhash_md5(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    cols = ", ".join(
+        "array_min(transform(s, x -> CAST(conv(substring(md5(concat("
+        f"'{p}:', x)), 1, 8), 16, 10) AS BIGINT))) AS h{p}"
+        for p in range(8)
+    )
+    return spark.sql(_MINHASH_MD5_SPARK.format(cols=cols))
+
+
+_add(
+    "q_minhash_md5",
+    _q_minhash_md5,
+    _MINHASH_MD5_DUCK.format(
+        cols=", ".join(
+            "list_min(list_transform(s, x -> "
+            f"CAST(('0x' || substring(md5('{p}:' || x), 1, 8)) AS BIGINT))) "
+            f"AS h{p}"
+            for p in range(8)
+        )
+    ),
+    "MinHash signatures with portable md5 permutations (8 perms, 5-shingles)",
+)
+
+
 def _q_skew_agg(spark, sf_dir):
     from ..operators.skew import two_phase_agg
 
