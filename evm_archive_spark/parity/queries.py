@@ -1836,7 +1836,38 @@ def _q_lang_id(spark, sf_dir):
     )
 
 
-_add("q_lang_id", _q_lang_id, None, "stopword-heuristic language ID (rows-only)")
+def _lang_id_oracle() -> str:
+    from ..operators.textanalysis import STOPWORDS
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    hits = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({lst(lang)}, lower(x)))) "
+        f"AS {lang}"
+        for lang in ("en", "es", "fr", "de")
+    )
+    return (
+        "WITH t AS (SELECT doc_id, text, "
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+        f"s AS (SELECT doc_id, text, {hits} FROM t) "
+        "SELECT doc_id, CASE "
+        "WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh' "
+        "WHEN greatest(en, es, fr, de) <= 0 THEN 'und' "
+        # argmax with ties to the earlier language (the operator's CASE order)
+        "WHEN en >= es AND en >= fr AND en >= de THEN 'en' "
+        "WHEN es >= fr AND es >= de THEN 'es' "
+        "WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_pred "
+        "FROM s ORDER BY doc_id NULLS FIRST"
+    )
+
+
+_add(
+    "q_lang_id",
+    _q_lang_id,
+    _lang_id_oracle(),
+    "stopword-heuristic language ID (oracle mirrors the argmax chain)",
+)
 
 
 def _q_fingerprint(spark, sf_dir):
