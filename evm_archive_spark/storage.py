@@ -43,6 +43,40 @@ def read_logs(spark: SparkSession, path: str) -> DataFrame:
     return df.drop("block_range")
 
 
+def compact_block_range(
+    spark: SparkSession,
+    path: str,
+    block_range: int,
+    target_files: int = 1,
+) -> int:
+    """Compact one ``block_range=N`` partition directory in place: re-read,
+    coalesce to ``target_files``, restore the (address, topic0) sort, and
+    atomically swap the directory.  Streaming micro-batches append small
+    files to the *newest* partition only, so steady-state compaction
+    touches one bounded directory per cycle (SCALING.md §1).
+
+    Returns the row count of the compacted partition.
+    """
+    import os
+    import shutil
+    import uuid
+
+    part_dir = os.path.join(path, f"block_range={block_range}")
+    df = (
+        spark.read.parquet(part_dir)
+        .coalesce(target_files)
+        .sortWithinPartitions("address", "topic0")
+    )
+    tmp = f"{part_dir}.compact-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = f"{part_dir}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(part_dir, old)
+    os.rename(tmp, part_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def read_logs_block_window(
     spark: SparkSession,
     path: str,

@@ -73,3 +73,31 @@ def test_sorted_layout_skips_on_address(spark, tmp_path):
     plan = buf.getvalue()
     assert "EqualTo(address," in plan and "EqualTo(topic0," in plan
     assert df.count() > 0
+
+
+def test_compact_block_range(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "logs_part")
+    logs = _synthetic_logs(spark)
+    # write fragmented: many small files inside each partition
+    (
+        logs.withColumn(
+            "block_range", (F.col("block_number") / F.lit(100)).cast("long")
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .partitionBy("block_range")
+        .parquet(path)
+    )
+    part = os.path.join(path, "block_range=0")
+    before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert before > 1
+    n_before = spark.read.parquet(part).count()
+
+    n = storage.compact_block_range(spark, path, 0)
+    after = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert after == 1
+    assert n == n_before
+    # whole-table read still sees every row with the logical schema
+    assert storage.read_logs(spark, path).count() == logs.count()
