@@ -123,12 +123,18 @@ def run_batch(spark: SparkSession, cfg: dict | None = None) -> dict:
     return counts
 
 
-def run_stream(spark: SparkSession, cfg: dict | None = None):
-    """A13 tail-follow: streaming logs with a processingTime trigger of
-    SLEEP_SECONDS into the parquet sink; returns the StreamingQuery."""
+def run_stream(spark: SparkSession, cfg: dict | None = None, available_now: bool = False):
+    """A13 tail-follow: streaming logs into the parquet sink; when
+    tokens/oracles are configured, each micro-batch also captures the
+    price probe at its window start — the reference's per-window
+    ``getPrices`` (main.go:237, A3) carried into streaming.  Returns the
+    StreamingQuery."""
+    from pyspark.sql import functions as F
+
     cfg = cfg or env_config()
     rpc.register(spark)
     logs_path = os.path.join(cfg["out"], "logs")
+    price_path = os.path.join(cfg["out"], "price")
     start = _resume_from(spark, logs_path, cfg["from_block"])
     reader = (
         spark.readStream.format("evm_logs")
@@ -140,14 +146,43 @@ def run_stream(spark: SparkSession, cfg: dict | None = None):
         reader = reader.option("toBlock", str(cfg["to_block"]))
     if cfg["contracts"]:
         reader = reader.option("contracts", cfg["contracts"])
-    return (
+
+    want_price = bool(cfg["tokens"] and cfg["oracles"])
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates(LOGS_PK)
+        batch_df.write.mode("append").parquet(logs_path)
+        if not want_price:
+            return
+        bounds = batch_df.agg(
+            F.min("block_number").alias("lo"), F.max("block_number").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return
+        price = (
+            batch_df.sparkSession.read.format("evm_price")
+            .option("endpoint", cfg["endpoint"])
+            .option("tokens", cfg["tokens"])
+            .option("oracles", cfg["oracles"])
+            .option("fromBlock", str(bounds["lo"]))
+            .option("toBlock", str(bounds["hi"]))
+            .option("blockStep", str(cfg["block_step"]))
+            .load()
+            .dropDuplicates(PRICE_PK)
+        )
+        price.write.mode("append").parquet(price_path)
+
+    writer = (
         reader.load()
-        .dropDuplicates(LOGS_PK)
-        .writeStream.format("parquet")
-        .option("path", logs_path)
+        .writeStream.foreachBatch(write_batch)
         .option(
             "checkpointLocation", os.path.join(cfg["out"], "_checkpoint")
         )
-        .trigger(processingTime=f"{cfg['sleep_seconds']} seconds")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{cfg['sleep_seconds']} seconds"
+        )
+    return writer.start()

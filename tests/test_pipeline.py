@@ -39,3 +39,18 @@ def test_batch_with_timestamp_enrichment(spark, tmp_path):
     assert all(r["block_timestamp"] is not None for r in rows)
     ts = {r["block_number"]: r["block_timestamp"] for r in rows}
     assert (ts[1] - ts[0]).total_seconds() == 12.0
+
+
+def test_stream_captures_logs_and_prices(spark, tmp_path):
+    from evm_archive_spark.pipeline import run_stream
+
+    cfg = _cfg(tmp_path)
+    q = run_stream(spark, cfg, available_now=True)
+    q.awaitTermination()
+    logs = spark.read.parquet(str(tmp_path / "out" / "logs"))
+    price = spark.read.parquet(str(tmp_path / "out" / "price"))
+    assert logs.count() == 40
+    # one price row per (token, window-start) touched by the stream
+    rows = price.collect()
+    assert len(rows) >= 1
+    assert all(r["address"] == "0xtokenA" and r["price"] > 0 for r in rows)
