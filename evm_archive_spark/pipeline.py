@@ -151,13 +151,23 @@ def run_stream(spark: SparkSession, cfg: dict | None = None, available_now: bool
 
     def write_batch(batch_df, batch_id: int) -> None:
         batch_df = batch_df.dropDuplicates(LOGS_PK)
-        batch_df.write.mode("append").parquet(logs_path)
-        if not want_price:
-            return
         bounds = batch_df.agg(
             F.min("block_number").alias("lo"), F.max("block_number").alias("hi")
         ).collect()[0]
         if bounds["lo"] is None:
+            return
+        if cfg["enrich"]:
+            headers = (
+                batch_df.sparkSession.read.format("evm_blocks")
+                .option("endpoint", cfg["endpoint"])
+                .option("fromBlock", str(bounds["lo"]))
+                .option("toBlock", str(bounds["hi"]))
+                .option("blockStep", str(cfg["block_step"]))
+                .load()
+            )
+            batch_df = rpc.enrich_block_timestamps(batch_df, headers)
+        batch_df.write.mode("append").parquet(logs_path)
+        if not want_price:
             return
         price = (
             batch_df.sparkSession.read.format("evm_price")

@@ -54,3 +54,14 @@ def test_stream_captures_logs_and_prices(spark, tmp_path):
     rows = price.collect()
     assert len(rows) >= 1
     assert all(r["address"] == "0xtokenA" and r["price"] > 0 for r in rows)
+
+
+def test_stream_with_enrichment(spark, tmp_path):
+    from evm_archive_spark.pipeline import run_stream
+
+    cfg = _cfg(tmp_path, EVM_ARCHIVE_ENRICH_TIMESTAMPS="1")
+    q = run_stream(spark, cfg, available_now=True)
+    q.awaitTermination()
+    logs = spark.read.parquet(str(tmp_path / "out" / "logs"))
+    assert logs.count() == 40
+    assert logs.filter("block_timestamp IS NULL").count() == 0
