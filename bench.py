@@ -87,6 +87,31 @@ def ingest_1m(spark, sf_dir: str):
     return n
 
 
+def ingest_source_20k(spark, sf_dir: str):
+    """Full Python DataSource path: 20k rows through the evm_logs reader
+    (20 partition-parallel mock fetches incl. per-log sha256 generation)
+    into parquet — the end-to-end source throughput number (BASELINE.md)."""
+    import shutil
+    import tempfile
+
+    from evm_archive_spark.sources import rpc
+
+    rpc.register(spark)
+    df = (
+        spark.read.format("evm_logs")
+        .option("endpoint", "mock://head=1999,logs_per_block=10")
+        .option("fromBlock", "0")
+        .option("blockStep", "100")
+        .load()
+    )
+    tmp = tempfile.mkdtemp(prefix="ingest_src_")
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 20_000
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -123,15 +148,19 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    n = ingest_1m(spark, sf_dir)
-    dt = time.perf_counter() - t0
-    timings["q_ingest_1m"] = round(dt, 4)
-    total += dt
-    print(
-        f"# q_ingest_1m: {dt:.3f}s ({n} rows, {n / dt:,.0f} rows/s)",
-        file=sys.stderr,
-    )
+    for name, fn in (
+        ("q_ingest_1m", ingest_1m),
+        ("q_ingest_source", ingest_source_20k),
+    ):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(
+            f"# {name}: {dt:.3f}s ({n} rows, {n / dt:,.0f} rows/s)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
