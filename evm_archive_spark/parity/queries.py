@@ -252,6 +252,24 @@ _shared(
 )
 
 _shared(
+    "q_w6_dist",
+    # percent_rank/cume_dist: same integer inputs -> same IEEE divisions
+    "SELECT c_custkey, "
+    "percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr, "
+    "cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cd "
+    "FROM customer ORDER BY c_custkey NULLS FIRST LIMIT 200",
+    "percent_rank / cume_dist analytics",
+)
+
+_shared(
+    "q_f4_distinctfrom",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+    "WHERE l_returnflag IS DISTINCT FROM 'N' "
+    "AND l_quantity BETWEEN 10 AND 40",
+    "IS DISTINCT FROM + BETWEEN predicates",
+)
+
+_shared(
     "q_j8_fullouter",
     # full outer over deliberately-partial key overlap (suppliers' nation
     # keys shifted) — exercises null-producing rows on BOTH sides
