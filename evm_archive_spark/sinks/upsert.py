@@ -14,11 +14,22 @@ Works against any DBAPI engine: psycopg2/Postgres in production (factory =
 ``psycopg2.connect`` closure), DuckDB in tests.  Unlike the reference
 (connection per window, zero parallelism — SURVEY §4.1 anti-patterns), the
 partition-parallel path gives N writers with per-partition batching.
+
+Executor data transfer is Arrow-batched (``df.mapInArrow``): rows reach the
+Python writer as columnar RecordBatches, not pickled Row objects — the
+JVM->Python hop costs one Arrow buffer per batch instead of one pickle per
+row (the round-1 ``rdd.mapPartitions`` bottleneck).
+
+Rowcount honesty: DBAPI leaves ``cursor.rowcount`` after ``executemany``
+undefined (psycopg2 reports only the LAST statement's count).  The batched
+paths therefore always report ``inserted = -1``; pass ``exact_counts=True``
+to execute row-at-a-time and get an exact inserted count when the parity
+signal matters more than throughput.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterable
+from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -27,7 +38,7 @@ from pyspark.sql import DataFrame
 @dataclass
 class UpsertResult:
     attempted: int
-    inserted: int  # -1 when the DBAPI driver doesn't report rowcount
+    inserted: int  # -1 unless exact_counts (executemany rowcount undefined)
 
 
 def conflict_ignore_sql(
@@ -43,41 +54,59 @@ def conflict_ignore_sql(
     )
 
 
-def _write_rows(
-    rows: Iterable,
-    columns: list[str],
+def _write_tuples(
+    rows: Iterable[tuple],
     sql: str,
     connection_factory: Callable,
     batch_size: int,
+    exact_counts: bool,
 ) -> UpsertResult:
+    """Write pre-ordered value tuples through one connection.
+
+    Batched mode reports ``inserted = -1``: DBAPI leaves rowcount after
+    ``executemany`` undefined and psycopg2 returns only the last
+    statement's count, so summing it silently under-reports.
+    """
     conn = connection_factory()
     attempted = inserted = 0
     try:
         cur = conn.cursor()
-        batch: list[tuple] = []
-
-        def flush():
-            nonlocal inserted
-            if not batch:
-                return
-            cur.executemany(sql, batch)
-            rc = getattr(cur, "rowcount", -1)
-            if rc is not None and rc >= 0 and inserted >= 0:
-                inserted += rc
-            else:
-                inserted = -1
-            batch.clear()
-
-        for row in rows:
-            batch.append(tuple(row[c] for c in columns))
-            attempted += 1
-            if len(batch) >= batch_size:
-                flush()
-        flush()
+        if exact_counts:
+            for row in rows:
+                cur.execute(sql, row)
+                attempted += 1
+                rc = getattr(cur, "rowcount", -1)
+                if rc is not None and rc >= 0 and inserted >= 0:
+                    inserted += rc
+                else:
+                    inserted = -1
+        else:
+            inserted = -1
+            batch: list[tuple] = []
+            for row in rows:
+                batch.append(row)
+                attempted += 1
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    batch.clear()
+            if batch:
+                cur.executemany(sql, batch)
         conn.commit()
     finally:
         conn.close()
     return UpsertResult(attempted, inserted)
+
+
+def _arrow_tuples(batches, columns: list[str]) -> Iterator[tuple]:
+    """Arrow RecordBatches -> value tuples ordered by ``columns``.
+
+    ``to_pylist`` per column + ``zip`` stays C-level per batch; the only
+    per-row Python object is the tuple the DBAPI driver needs anyway.
+    """
+    for b in batches:
+        idx = [b.schema.get_field_index(c) for c in columns]
+        cols = [b.column(i).to_pylist() for i in idx]
+        yield from zip(*cols)
 
 
 def write_conflict_ignore(
@@ -89,30 +118,49 @@ def write_conflict_ignore(
     paramstyle: str = "qmark",
     batch_size: int = 1000,
     parallel: bool = True,
+    exact_counts: bool = False,
 ) -> UpsertResult:
     """Idempotent insert of ``df`` into ``table`` keyed by ``pk``.
 
     ``parallel=True`` writes partition-parallel from executors (Postgres
-    and other multi-writer stores).  ``parallel=False`` streams batches
-    through the driver — for single-writer engines (the DuckDB test
-    harness) or when the target cannot take N connections.
+    and other multi-writer stores) via Arrow-batched transfer.
+    ``parallel=False`` streams batches through the driver — for
+    single-writer engines (the DuckDB test harness) or when the target
+    cannot take N connections.  ``exact_counts=True`` trades executemany
+    batching for an exact per-row inserted count.
     """
     columns = df.columns
     deduped = df.dropDuplicates(pk)
     sql = conflict_ignore_sql(table, columns, pk, paramstyle)
 
     if not parallel:
-        return _write_rows(
-            deduped.toLocalIterator(), columns, sql, connection_factory, batch_size
+        rows = (tuple(r[c] for c in columns) for r in deduped.toLocalIterator())
+        return _write_tuples(rows, sql, connection_factory, batch_size, exact_counts)
+
+    import pyarrow as pa
+
+    def part(batches) -> Iterator["pa.RecordBatch"]:
+        res = _write_tuples(
+            _arrow_tuples(batches, columns),
+            sql,
+            connection_factory,
+            batch_size,
+            exact_counts,
+        )
+        yield pa.RecordBatch.from_pydict(
+            {
+                "attempted": pa.array([res.attempted], pa.int64()),
+                "inserted": pa.array([res.inserted], pa.int64()),
+            }
         )
 
-    def part(rows) -> Iterable[tuple[int, int]]:
-        res = _write_rows(rows, columns, sql, connection_factory, batch_size)
-        yield (res.attempted, res.inserted)
-
-    counts = deduped.rdd.mapPartitions(part).collect()
-    attempted = sum(a for a, _ in counts)
-    inserted = -1 if any(i < 0 for _, i in counts) else sum(i for _, i in counts)
+    counts = deduped.mapInArrow(part, "attempted long, inserted long").collect()
+    attempted = sum(r.attempted for r in counts)
+    inserted = (
+        -1
+        if any(r.inserted < 0 for r in counts)
+        else sum(r.inserted for r in counts)
+    )
     return UpsertResult(attempted, inserted)
 
 
@@ -124,6 +172,7 @@ def foreach_batch_upsert(
     paramstyle: str = "qmark",
     batch_size: int = 1000,
     parallel: bool = True,
+    exact_counts: bool = False,
     on_result: Callable[[int, UpsertResult], None] | None = None,
 ):
     """``foreachBatch`` adapter: streaming micro-batches -> idempotent sink.
@@ -141,6 +190,7 @@ def foreach_batch_upsert(
             paramstyle=paramstyle,
             batch_size=batch_size,
             parallel=parallel,
+            exact_counts=exact_counts,
         )
         if on_result is not None:
             on_result(batch_id, res)

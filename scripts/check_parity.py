@@ -59,10 +59,10 @@ def main() -> int:
     import os
 
     skip = set(filter(None, os.environ.get("SKIP_QUERIES", "").split(",")))
+    only = set(filter(None, os.environ.get("ONLY_QUERIES", "").split(",")))
     failures = []
     for q in PARITY_QUERIES:
-        if q.name in skip:
-            print(f"skip {q.name}")
+        if q.name in skip or (only and q.name not in only):
             continue
         t0 = time.time()
         try:

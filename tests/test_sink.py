@@ -53,6 +53,66 @@ def test_sink_idempotent_roundtrip(spark, duck_db):
     assert _count(duck_db) == n_unique
 
 
+def test_sink_parallel_arrow_path(spark, tmp_path):
+    """parallel=True ships rows executor->writer as Arrow RecordBatches
+    (mapInArrow, not rdd.mapPartitions pickling).  sqlite3 stands in as the
+    multi-process DBAPI target: each partition writer opens its own
+    connection, file locking serializes commits."""
+    import sqlite3
+
+    db = str(tmp_path / "sink.sqlite")
+    con = sqlite3.connect(db)
+    con.execute(upsert.LOGS_DDL_GENERIC)
+    con.commit()
+    con.close()
+
+    df = fixtures.logs_df(spark).repartition(4)
+    n_unique = df.dropDuplicates(LOGS_PK).count()
+    factory = lambda: sqlite3.connect(db, timeout=60)  # noqa: E731
+
+    r1 = upsert.write_conflict_ignore(df, "logs", LOGS_PK, factory, parallel=True)
+    assert r1.attempted == n_unique
+    assert r1.inserted == -1  # executemany rowcount is undefined by DBAPI
+
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM logs").fetchone()[0] == n_unique
+    con.close()
+
+    # replay: ON CONFLICT DO NOTHING keeps the table stable
+    upsert.write_conflict_ignore(df, "logs", LOGS_PK, factory, parallel=True)
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM logs").fetchone()[0] == n_unique
+    con.close()
+
+
+def test_sink_exact_counts(spark, tmp_path):
+    """exact_counts=True executes row-at-a-time and reports a trustworthy
+    inserted count (0 on replay) instead of executemany's undefined -1.
+    sqlite3 is the DBAPI driver that actually reports per-statement
+    rowcount (DuckDB's returns -1 for INSERT)."""
+    import sqlite3
+
+    db = str(tmp_path / "exact.sqlite")
+    con = sqlite3.connect(db)
+    con.execute(upsert.LOGS_DDL_GENERIC)
+    con.commit()
+    con.close()
+
+    df = fixtures.logs_df(spark)
+    n_unique = df.dropDuplicates(LOGS_PK).count()
+    factory = lambda: sqlite3.connect(db, timeout=60)  # noqa: E731
+
+    r1 = upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, parallel=False, exact_counts=True
+    )
+    assert r1.attempted == n_unique and r1.inserted == n_unique
+
+    r2 = upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, parallel=False, exact_counts=True
+    )
+    assert r2.attempted == n_unique and r2.inserted == 0
+
+
 def _write_ndjson(path, rows):
     with open(path, "w") as f:
         for r in rows:
