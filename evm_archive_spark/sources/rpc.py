@@ -249,6 +249,66 @@ def _fetch_range(transport, rng: BlockRange, contracts: list[str] | None):
         yield _wire_to_row(log)
 
 
+# Arrow-side mirrors of LOGS_SCHEMA / BLOCKS_SCHEMA.  The Python DataSource
+# API accepts ``pyarrow.RecordBatch`` yields from ``read()``; one Arrow
+# buffer per batch replaces one pickled tuple per row — the round-1
+# q_ingest_source bottleneck (1.85k rows/s vs 151k on the JVM path).
+def _arrow_logs_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("address", pa.string()),
+            ("topic0", pa.string()),
+            ("topic1", pa.string()),
+            ("topic2", pa.string()),
+            ("topic3", pa.string()),
+            ("data", pa.string()),
+            ("block_hash", pa.string()),
+            ("block_number", pa.int64()),
+            ("transaction_hash", pa.string()),
+            ("transaction_index", pa.int64()),
+            ("log_index", pa.int64()),
+            ("removed", pa.bool_()),
+            ("block_timestamp", pa.timestamp("us")),
+        ]
+    )
+
+
+def _arrow_blocks_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("block_number", pa.int64()),
+            ("block_hash", pa.string()),
+            ("block_timestamp", pa.timestamp("us")),
+        ]
+    )
+
+
+def _rows_to_batches(rows, schema, max_rows: int = 8192):
+    """Transpose row tuples into Arrow RecordBatches of <= max_rows."""
+    import pyarrow as pa
+
+    buf: list[tuple] = []
+
+    def emit():
+        cols = list(zip(*buf)) if buf else [[] for _ in schema]
+        return pa.RecordBatch.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        )
+
+    for r in rows:
+        buf.append(r)
+        if len(buf) >= max_rows:
+            yield emit()
+            buf.clear()
+    if buf:
+        yield emit()
+
+
 def _opts(options) -> dict:
     return {
         "endpoint": options.get("endpoint"),
@@ -294,7 +354,9 @@ class EvmLogsBatchReader(DataSourceReader):
             return
         o = self.o
         t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
-        yield from _fetch_range(t, partition, o["contracts"])
+        yield from _rows_to_batches(
+            _fetch_range(t, partition, o["contracts"]), _arrow_logs_schema()
+        )
 
 
 # --------------------------------------------------------------------------
@@ -347,7 +409,9 @@ class EvmLogsStreamReader(DataSourceStreamReader):
             return
         o = self.o
         t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
-        yield from _fetch_range(t, partition, o["contracts"])
+        yield from _rows_to_batches(
+            _fetch_range(t, partition, o["contracts"]), _arrow_logs_schema()
+        )
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in the Spark checkpoint (A10 analog)
@@ -456,12 +520,17 @@ class EvmBlocksBatchReader(DataSourceReader):
         return ranges or [BlockRange(o["from_block"], o["from_block"] - 1)]
 
     def read(self, partition: BlockRange):
-        import datetime as dt
-
         if partition.end < partition.start:
             return
         o = self.o
         t = make_transport(o["endpoint"], o["retry_seconds"], o["max_retries"])
+        yield from _rows_to_batches(
+            self._headers(t, partition), _arrow_blocks_schema()
+        )
+
+    def _headers(self, t, partition: BlockRange):
+        import datetime as dt
+
         for block in range(partition.start, partition.end + 1):
             try:
                 hdr = t.call("eth_getBlockByNumber", [_hex(block), False])
