@@ -56,19 +56,60 @@ def shingles(col, k: int = 5) -> F.Column:
 
 
 def minhash_signature(col, num_perm: int = 32, k: int = 5, seed: int = 42) -> F.Column:
-    """MinHash signature: sig[j] = min over shingles of xxhash64(s, seed+j).
+    """MinHash signature as a single Column: sig[j] = min over shingles of
+    xxhash64(xxhash64(s, seed), seed+j) (Broder '97 resemblance sketch;
+    permutations simulated by re-hashing one base hash).
 
-    One array column of ``num_perm`` longs; permutations are simulated by
-    salting the hash — standard practice (Broder '97 resemblance sketch).
+    NOTE: as one expression tree the per-permutation transforms each
+    re-evaluate the shingle subtree (higher-order functions are outside
+    whole-stage codegen's subexpression elimination), so for corpus-scale
+    signature computation use ``minhash_signatures`` — the relational
+    explode/agg formulation that hashes each shingle exactly once.
     """
-    sh = shingles(col, k)
+    base = F.transform(shingles(col, k), lambda s: F.xxhash64(s, F.lit(seed)))
     sigs = [
         F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + j)))
+            F.transform(base, lambda h: F.xxhash64(h, F.lit(seed + j)))
         )
         for j in range(num_perm)
     ]
     return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(__id, __sig) MinHash signatures via explode + min-aggregate.
+
+    Each shingle's expensive string hash happens ONCE; the ``num_perm``
+    permutations are cheap long re-hashes aggregated with per-permutation
+    MIN.  Hash aggregation gets map-side partial combine, so the shuffle
+    carries one ``num_perm``-long row per document per input partition —
+    the scale-correct shape (and ~40x less expression re-evaluation than
+    the single-Column form at num_perm=40).
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(text_col, k)).alias("__s"),
+    )
+    bh = ex.select("__id", F.xxhash64("__s", F.lit(seed)).alias("__h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(seed + j))).alias(f"__m{j}")
+        for j in range(num_perm)
+    ]
+    return (
+        bh.groupBy("__id")
+        .agg(*aggs)
+        .select(
+            "__id",
+            F.array(*[F.col(f"__m{j}") for j in range(num_perm)]).alias("__sig"),
+        )
+    )
 
 
 def minhash_lsh_candidates(
@@ -87,10 +128,7 @@ def minhash_lsh_candidates(
     only shuffle; dupes across bands are collapsed with dropDuplicates.
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(text_col, num_perm, k).alias("__sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
     banded = sig.select(
         "__id",
         F.explode(
@@ -150,10 +188,20 @@ def minhash_near_duplicates(
     sh = df.select(
         F.col(id_col).alias("__sid"), shingles(text_col, k).alias("__sh")
     )
-    return (
+    sized = (
         cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
-        .select(
+        # J >= t implies |A|/|B| within [t, 1/t]: prune on the cheap size
+        # ratio BEFORE the expensive array_intersect/union evaluate —
+        # result-preserving (same trick as the exact ngram path)
+        .filter(
+            F.least(F.size("__sh_a"), F.size("__sh_b")).cast("double")
+            / F.greatest(F.size("__sh_a"), F.size("__sh_b"))
+            >= F.lit(threshold)
+        )
+    )
+    return (
+        sized.select(
             "id_a",
             "id_b",
             jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
@@ -337,12 +385,46 @@ def dedup_survivors(
     id_b: str = "id_b",
 ) -> DataFrame:
     """Drop every non-minimal member of each near-duplicate component;
-    rows not in any pair survive untouched."""
+    rows not in any pair survive untouched.
+
+    No broadcast hint on the loser set: in dedup-heavy corpora losers can
+    be 30-50% of all rows, and a forced broadcast anti-join OOMs the
+    executors at scale.  A shuffle anti-join on the id is one exchange;
+    AQE still converts it to broadcast at runtime when the set is small.
+    """
     comp = connected_components(pairs, id_a, id_b)
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
+
+
+def near_duplicate_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """The documented 100-TB dedup path, composed end-to-end:
+
+    banded-LSH prefilter -> exact-Jaccard verify on candidates only ->
+    connected components -> one survivor (min id) per component.
+
+    Exact blocked-pair Jaccard (``ngram_jaccard_pairs``) is quadratic in
+    the block size; this replaces the quadratic term with the LSH bucket
+    join, verifying only colliding pairs.  Defaults are tuned for
+    deterministic recall at high thresholds: 16 bands x 4 rows means a
+    J>=0.9 pair escapes all bands with p = (1-J^4)^16 ~ 4e-8, so the
+    result equals the exact all-pairs computation in practice while doing
+    ~|candidates| << n^2/2 verifications.
+    """
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, threshold, num_perm, bands, k
+    )
+    return dedup_survivors(df, pairs, id_col=id_col)
 
 
 def ngram_jaccard_pairs(

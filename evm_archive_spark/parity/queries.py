@@ -1941,6 +1941,61 @@ _add(
 )
 
 
+def _q_neardup_pipeline(spark, sf_dir):
+    """The composed 100-TB dedup path (VERDICT r1 #7): MinHash banded-LSH
+    prefilter -> exact 5-gram-Jaccard verify on candidates only ->
+    connected components -> min-id survivors.  Gated against the exact
+    all-pairs oracle: 16 bands x 4 rows gives a J>=0.9 pair an escape
+    probability of ~4e-8 (and empirically full recall at sf0.01/sf0.1),
+    so LSH-prefiltered output equals the exact computation while
+    verifying only bucket-colliding pairs."""
+    from ..operators.dedup import near_duplicate_pipeline
+
+    register_testdata(spark, sf_dir, ["documents"])
+    # doc_id < 300 bounds the ORACLE's quadratic exact verify (the gate
+    # budget), not the engine path — bench runs the full corpus ungated
+    return (
+        near_duplicate_pipeline(
+            spark.table("documents").filter(F.col("doc_id") < 300),
+            id_col="doc_id",
+            text_col="text",
+            threshold=0.9,
+            num_perm=64,
+            bands=16,
+            k=5,
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_neardup_pipeline",
+    _q_neardup_pipeline,
+    # exact unblocked all-pairs with the J>=0.9-implied size-ratio prune
+    # (prunes BEFORE list_intersect without changing the result set), then
+    # transitive closure by recursive CTE, keep min-id per component
+    "WITH RECURSIVE g AS (SELECT doc_id, "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), "
+    "i -> substring(text, i, 5))) AS gr FROM documents WHERE doc_id < 300), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "  FROM g a JOIN g b ON a.doc_id < b.doc_id "
+    "  AND CAST(least(len(a.gr), len(b.gr)) AS DOUBLE) "
+    "    / greatest(len(a.gr), len(b.gr)) >= 0.9 "
+    "  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) "
+    "   / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.9), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "  UNION SELECT id_b, id_a FROM p), "
+    "r AS (SELECT src AS node, src AS m FROM e "
+    "  UNION SELECT e.src, r.m FROM e JOIN r ON r.node = e.dst), "
+    "comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY node) "
+    "SELECT doc_id FROM documents WHERE doc_id < 300 "
+    "AND doc_id NOT IN (SELECT node FROM comp WHERE node <> component) "
+    "ORDER BY doc_id NULLS FIRST",
+    "LSH-prefiltered near-dup dedup pipeline == exact all-pairs closure",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
