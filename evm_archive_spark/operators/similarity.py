@@ -269,6 +269,87 @@ def ivf_topk(
     )
 
 
+def ivf_persist(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Train an IVF index and persist the corpus bucketed by centroid —
+    the SCALING.md §6 layout: one hive partition directory per inverted
+    list, so a probe touches only ``nprobe / n_centroids`` of the files.
+
+    ``{path}/centroids`` holds the k small centroid rows;
+    ``{path}/corpus`` is hive-partitioned by ``centroid_id`` (one
+    ``repartition`` on the list id — the single shuffle of the build)."""
+    cent = ivf_train(emb, n_centroids, iters, id_col, vec_col, seed)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    corpus = _ivf_assign(emb, cent, 1, id_col, vec_col)
+    (
+        corpus.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/corpus")
+    )
+
+
+def ivf_probe_bucketed(
+    spark,
+    path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: assign each query to its ``nprobe``
+    nearest centroids, then score ONLY the matching corpus partitions.
+
+    The probe list (n_queries * nprobe centroid ids) is collected to the
+    driver — that is the index lookup, a handful of ints — and applied as
+    a static ``isin`` filter, so the parquet scan prunes at the directory
+    level (``PartitionFilters: centroid_id IN (...)`` — pinned by plan
+    test, the analog of tests/test_storage.py's block_range pruning).
+    The corpus is never shuffled: queries broadcast, lists scanned
+    partition-local.  Queries are the first ``n_queries`` corpus ids, as
+    in ``ivf_topk``; output matches ``quantized_dot_topk``."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    corpus = spark.read.parquet(f"{path}/corpus")
+    queries = corpus.filter(F.col(id_col) < n_queries).select(id_col, vec_col)
+    q = _ivf_assign(queries, cent, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("centroid_id").alias("__qcid"),
+    )
+    probe_ids = sorted(
+        r[0] for r in q.select("__qcid").distinct().collect()
+    )
+    scored = (
+        corpus.filter(F.col("centroid_id").isin(probe_ids))
+        .join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("__qcid"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_QDOT.format(a=vec_col, b="__qvec")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     n_planes: int = 16,

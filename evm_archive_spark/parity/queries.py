@@ -1996,6 +1996,30 @@ _add(
 )
 
 
+def _q_ivf_bucketed(spark, sf_dir):
+    """Bucketed-by-centroid IVF persistence (VERDICT r1 #5 / SCALING.md
+    §6): train, write the corpus hive-partitioned by centroid_id, then
+    probe the persisted index.  nprobe == n_centroids makes the probe
+    exact, so the brute-force oracle applies verbatim; partition pruning
+    of the probe scan is pinned by plan test (test_operators)."""
+    import tempfile
+
+    from ..operators.similarity import ivf_persist, ivf_probe_bucketed
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    path = tempfile.mkdtemp(prefix="evm_archive_ivf_")
+    ivf_persist(spark.table("embeddings"), path, n_centroids=16, iters=1)
+    return ivf_probe_bucketed(spark, path, n_queries=10, k=5, nprobe=16)
+
+
+_add(
+    "q_ivf_bucketed",
+    _q_ivf_bucketed,
+    _KNN_ORACLE,
+    "persisted IVF index probe (partition-pruned lists); exact at nprobe=all",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -184,6 +184,47 @@ def test_ivf_topk_exact_when_probing_all_lists(spark):
     assert ivf == bf
 
 
+def test_ivf_bucketed_persist_prunes_partitions(spark, tmp_path):
+    """SCALING.md §6 layout exercised end-to-end: corpus persisted
+    hive-partitioned by centroid_id, probe scans only the nprobe lists
+    (PartitionFilters pinned, like test_storage does for block_range),
+    and nprobe == n_centroids reproduces exact brute force."""
+    import contextlib
+    import io
+    import os
+
+    from evm_archive_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_persist(emb, path, n_centroids=8, iters=1)
+    dirs = sorted(
+        d for d in os.listdir(f"{path}/corpus") if d.startswith("centroid_id=")
+    )
+    assert 1 <= len(dirs) <= 8
+
+    probe = similarity.ivf_probe_bucketed(
+        spark, path, n_queries=5, k=3, nprobe=2
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "centroid_id" in pf_line and "in" in pf_line.lower()
+
+    # nprobe == n_centroids: identical to brute force over the same corpus
+    bf = [tuple(r) for r in similarity.quantized_dot_topk(emb, 5, 3).collect()]
+    full = [
+        tuple(r)
+        for r in similarity.ivf_probe_bucketed(
+            spark, path, n_queries=5, k=3, nprobe=8
+        ).collect()
+    ]
+    assert full == bf
+
+
 def test_ivf_topk_partial_probe_recall(spark):
     from evm_archive_spark.tables import load_table
 
