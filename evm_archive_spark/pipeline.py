@@ -52,6 +52,39 @@ def env_config(env: dict | None = None) -> dict:
     }
 
 
+def _write_idempotent(df, path: str, batch_key: int) -> None:
+    """Land one ingest unit in the parquet sink exactly-once-per-key.
+
+    foreachBatch is at-least-once: after a crash between the logs write
+    and the price write, Spark replays the whole micro-batch.  A plain
+    ``mode('append')`` would duplicate PK rows on replay, so each unit
+    writes its own hive partition ``ingest_batch=<key>`` with *dynamic*
+    partition overwrite — the replay deterministically rewrites the same
+    partition and nothing else (the parquet analog of the reference's
+    ``ON CONFLICT DO NOTHING``, get_logs.go:112-137).  batch_key is the
+    streaming batch_id (stable across restarts from one checkpoint) or
+    the batch backfill's resume-start block."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("ingest_batch", F.lit(int(batch_key)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(path)
+    )
+
+
+def read_sink(spark: SparkSession, path: str, pk: list[str] | None = None):
+    """Read the pipeline's parquet sink back as the logical table: drops
+    the ``ingest_batch`` bookkeeping partition and (belt-and-braces, e.g.
+    overlapping backfill windows) dedups by PK when one is given."""
+    df = spark.read.parquet(path)
+    if "ingest_batch" in df.columns:
+        df = df.drop("ingest_batch")
+    return df.dropDuplicates(pk) if pk else df
+
+
 def _resume_from(spark: SparkSession, path: str, from_block: int) -> int:
     """A10/A11: start = max(sink max + 1, FROM_BLOCK) (main.go:162-175,
     206-215) — reconciliation against the parquet sink."""
@@ -99,8 +132,8 @@ def run_batch(spark: SparkSession, cfg: dict | None = None) -> dict:
             blocks_reader = blocks_reader.option("toBlock", str(cfg["to_block"]))
         logs = rpc.enrich_block_timestamps(logs, blocks_reader.load())
 
-    logs.write.mode("append").parquet(logs_path)
-    counts = {"logs": spark.read.parquet(logs_path).count()}
+    _write_idempotent(logs, logs_path, start)
+    counts = {"logs": read_sink(spark, logs_path).count()}
 
     if cfg["tokens"] and cfg["oracles"]:
         price_path = os.path.join(cfg["out"], "price")
@@ -118,34 +151,16 @@ def run_batch(spark: SparkSession, cfg: dict | None = None) -> dict:
             .load()
             .dropDuplicates(PRICE_PK)
         )
-        price.write.mode("append").parquet(price_path)
-        counts["price"] = spark.read.parquet(price_path).count()
+        _write_idempotent(price, price_path, start)
+        counts["price"] = read_sink(spark, price_path).count()
     return counts
 
 
-def run_stream(spark: SparkSession, cfg: dict | None = None, available_now: bool = False):
-    """A13 tail-follow: streaming logs into the parquet sink; when
-    tokens/oracles are configured, each micro-batch also captures the
-    price probe at its window start — the reference's per-window
-    ``getPrices`` (main.go:237, A3) carried into streaming.  Returns the
-    StreamingQuery."""
+def _stream_batch_writer(cfg: dict, logs_path: str, price_path: str):
+    """foreachBatch body for run_stream, factored out so replay semantics
+    are directly testable: calling it twice with the same batch_id must
+    leave the sink unchanged (see _write_idempotent)."""
     from pyspark.sql import functions as F
-
-    cfg = cfg or env_config()
-    rpc.register(spark)
-    logs_path = os.path.join(cfg["out"], "logs")
-    price_path = os.path.join(cfg["out"], "price")
-    start = _resume_from(spark, logs_path, cfg["from_block"])
-    reader = (
-        spark.readStream.format("evm_logs")
-        .option("endpoint", cfg["endpoint"])
-        .option("fromBlock", str(start))
-        .option("blockStep", str(cfg["block_step"]))
-    )
-    if cfg["to_block"] >= 0:
-        reader = reader.option("toBlock", str(cfg["to_block"]))
-    if cfg["contracts"]:
-        reader = reader.option("contracts", cfg["contracts"])
 
     want_price = bool(cfg["tokens"] and cfg["oracles"])
 
@@ -166,7 +181,7 @@ def run_stream(spark: SparkSession, cfg: dict | None = None, available_now: bool
                 .load()
             )
             batch_df = rpc.enrich_block_timestamps(batch_df, headers)
-        batch_df.write.mode("append").parquet(logs_path)
+        _write_idempotent(batch_df, logs_path, batch_id)
         if not want_price:
             return
         price = (
@@ -180,7 +195,34 @@ def run_stream(spark: SparkSession, cfg: dict | None = None, available_now: bool
             .load()
             .dropDuplicates(PRICE_PK)
         )
-        price.write.mode("append").parquet(price_path)
+        _write_idempotent(price, price_path, batch_id)
+
+    return write_batch
+
+
+def run_stream(spark: SparkSession, cfg: dict | None = None, available_now: bool = False):
+    """A13 tail-follow: streaming logs into the parquet sink; when
+    tokens/oracles are configured, each micro-batch also captures the
+    price probe at its window start — the reference's per-window
+    ``getPrices`` (main.go:237, A3) carried into streaming.  Returns the
+    StreamingQuery."""
+    cfg = cfg or env_config()
+    rpc.register(spark)
+    logs_path = os.path.join(cfg["out"], "logs")
+    price_path = os.path.join(cfg["out"], "price")
+    start = _resume_from(spark, logs_path, cfg["from_block"])
+    reader = (
+        spark.readStream.format("evm_logs")
+        .option("endpoint", cfg["endpoint"])
+        .option("fromBlock", str(start))
+        .option("blockStep", str(cfg["block_step"]))
+    )
+    if cfg["to_block"] >= 0:
+        reader = reader.option("toBlock", str(cfg["to_block"]))
+    if cfg["contracts"]:
+        reader = reader.option("contracts", cfg["contracts"])
+
+    write_batch = _stream_batch_writer(cfg, logs_path, price_path)
 
     writer = (
         reader.load()

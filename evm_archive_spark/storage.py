@@ -51,9 +51,21 @@ def compact_block_range(
 ) -> int:
     """Compact one ``block_range=N`` partition directory in place: re-read,
     coalesce to ``target_files``, restore the (address, topic0) sort, and
-    atomically swap the directory.  Streaming micro-batches append small
-    files to the *newest* partition only, so steady-state compaction
-    touches one bounded directory per cycle (SCALING.md §1).
+    swap the directory.  Streaming micro-batches append small files to the
+    *newest* partition only, so steady-state compaction touches one bounded
+    directory per cycle (SCALING.md §1).
+
+    Scratch directories are dot-prefixed (``.compact-*`` / ``.old-*``) so
+    Spark's partition discovery ignores them — they never surface as bogus
+    ``block_range`` values to a concurrent reader.  Orphans from a crashed
+    previous run are swept on entry.
+
+    Durability contract: SINGLE WRITER, and the directory swap is two
+    ``os.rename`` calls — atomic per rename on a POSIX filesystem only.  A
+    reader listing files exactly between the two renames can miss the
+    partition, and on object stores (S3 etc.) rename is copy+delete and
+    not atomic at all: there, compact via a table format with commit
+    semantics (Iceberg/Delta rewrite) instead of this path.
 
     Returns the row count of the compacted partition.
     """
@@ -61,16 +73,22 @@ def compact_block_range(
     import shutil
     import uuid
 
+    # sweep orphaned scratch dirs left by a previous crashed compaction
+    for d in os.listdir(path):
+        if d.startswith(".compact-") or d.startswith(".old-"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
     part_dir = os.path.join(path, f"block_range={block_range}")
     df = (
         spark.read.parquet(part_dir)
         .coalesce(target_files)
         .sortWithinPartitions("address", "topic0")
     )
-    tmp = f"{part_dir}.compact-{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = os.path.join(path, f".compact-{token}")
     df.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    old = f"{part_dir}.old-{uuid.uuid4().hex[:8]}"
+    old = os.path.join(path, f".old-{token}")
     os.rename(part_dir, old)
     os.rename(tmp, part_dir)
     shutil.rmtree(old, ignore_errors=True)

@@ -67,13 +67,16 @@ def per_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-quantized value sum, first/last event time — emitted per key
     per micro-batch in update mode (the batch equivalent is a plain
     GROUP BY user_id, which is the DuckDB oracle)."""
-    sdf = stream_events(spark, sf_dir)
-    out = sdf.groupBy("user_id").applyInPandasWithState(
-        _totals_fn,
-        outputStructType=_OUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    res = _run_to_memory(out, "update")
-    return res.orderBy("user_id")
+    from .windows import nanos_stream_scope
+
+    with nanos_stream_scope(spark):
+        sdf = stream_events(spark, sf_dir)
+        out = sdf.groupBy("user_id").applyInPandasWithState(
+            _totals_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        res = _run_to_memory(out, "update")
+        return res.orderBy("user_id")

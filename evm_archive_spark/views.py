@@ -177,6 +177,25 @@ def register_event_views(
     return names
 
 
+def _canonical_type(i: dict) -> str:
+    """Canonical ABI type for signature hashing: ``tuple`` (and
+    ``tuple[]``/``tuple[k]``/nested) expands recursively into its
+    ``components`` — ``(address,uint256)[]`` — because keccak over a
+    signature containing the literal word 'tuple' is a wrong topic0 that
+    silently matches nothing."""
+    t = i["type"]
+    if t == "tuple" or t.startswith("tuple["):
+        comps = i.get("components")
+        if not comps:
+            raise ValueError(
+                f"ABI tuple type {t!r} has no 'components'; cannot form "
+                "a canonical event signature"
+            )
+        inner = ",".join(_canonical_type(c) for c in comps)
+        return f"({inner}){t[len('tuple'):]}"
+    return t
+
+
 def from_abi(abi: list[dict]) -> list[EventSpec]:
     """Build EventSpecs straight from a standard Solidity ABI JSON array
     (the artifact every user already has) — topic0 computed with
@@ -192,7 +211,7 @@ def from_abi(abi: list[dict]) -> list[EventSpec]:
         if entry.get("type") != "event" or entry.get("anonymous"):
             continue
         inputs = entry.get("inputs", [])
-        sig = f"{entry['name']}({','.join(i['type'] for i in inputs)})"
+        sig = f"{entry['name']}({','.join(_canonical_type(i) for i in inputs)})"
         specs.append(
             EventSpec(
                 entry["name"],

@@ -56,6 +56,42 @@ def test_stream_captures_logs_and_prices(spark, tmp_path):
     assert all(r["address"] == "0xtokenA" and r["price"] > 0 for r in rows)
 
 
+def test_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the logs and price
+    writes replays the whole micro-batch.  Replaying the same batch_id
+    must leave both sinks unchanged (deterministic-partition overwrite,
+    the parquet analog of ON CONFLICT DO NOTHING)."""
+    from evm_archive_spark.pipeline import _stream_batch_writer, read_sink
+    from evm_archive_spark.schemas import LOGS_PK
+    from evm_archive_spark.sources import rpc
+
+    cfg = _cfg(tmp_path)
+    rpc.register(spark)
+    batch = (
+        spark.read.format("evm_logs")
+        .option("endpoint", cfg["endpoint"])
+        .option("fromBlock", "0")
+        .option("toBlock", "9")
+        .option("blockStep", "5")
+        .load()
+    )
+    logs_path = str(tmp_path / "out" / "logs")
+    price_path = str(tmp_path / "out" / "price")
+    write_batch = _stream_batch_writer(cfg, logs_path, price_path)
+
+    write_batch(batch, 7)
+    logs_once = read_sink(spark, logs_path, LOGS_PK).count()
+    price_once = read_sink(spark, price_path).count()
+    assert logs_once == 20 and price_once >= 1
+
+    write_batch(batch, 7)  # crash-replay of the same micro-batch
+    assert read_sink(spark, logs_path, LOGS_PK).count() == logs_once
+    assert read_sink(spark, price_path).count() == price_once
+    # and the raw sink itself carries no duplicate PKs (not just the view)
+    raw = spark.read.parquet(logs_path)
+    assert raw.count() == raw.dropDuplicates(LOGS_PK).count()
+
+
 def test_stream_with_enrichment(spark, tmp_path):
     from evm_archive_spark.pipeline import run_stream
 

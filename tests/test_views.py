@@ -172,3 +172,58 @@ def test_from_abi_matches_default_transfer_spec(spark):
     a = sorted(map(tuple, views.event_view_df(logs, spec).collect()))
     b = sorted(map(tuple, views.event_view_df(logs, default).collect()))
     assert a == b and len(a) > 0
+
+
+def test_from_abi_expands_tuple_types():
+    """Canonical event signatures expand tuple components recursively —
+    keccak('Ev(tuple)') would be a wrong topic0 that matches nothing."""
+    import pytest
+
+    from evm_archive_spark import views
+    from evm_archive_spark.functions.keccak import event_topic0
+
+    abi = [
+        {
+            "type": "event",
+            "name": "OrderPlaced",
+            "inputs": [
+                {"type": "address", "name": "maker", "indexed": True},
+                {
+                    "type": "tuple",
+                    "name": "order",
+                    "components": [
+                        {"type": "address", "name": "token"},
+                        {"type": "uint256", "name": "amount"},
+                    ],
+                },
+                {
+                    "type": "tuple[]",
+                    "name": "fills",
+                    "components": [
+                        {"type": "uint256", "name": "qty"},
+                        {
+                            "type": "tuple",
+                            "name": "leg",
+                            "components": [{"type": "bytes32", "name": "h"}],
+                        },
+                    ],
+                },
+            ],
+        }
+    ]
+    (spec,) = views.from_abi(abi)
+    want = event_topic0(
+        "OrderPlaced(address,(address,uint256),(uint256,(bytes32))[])"
+    )
+    assert spec.topic0 == want
+
+    with pytest.raises(ValueError, match="components"):
+        views.from_abi(
+            [
+                {
+                    "type": "event",
+                    "name": "Bad",
+                    "inputs": [{"type": "tuple", "name": "x"}],
+                }
+            ]
+        )
