@@ -35,8 +35,10 @@ HEADLINE = [
     "q_st1",
     "q_st4_sessions",
     "q_dedup_exact",
+    "q_neardup_pipeline",
     "q_knn",
     "q_ann_ivf",
+    "q_ivf_bucketed",
     "q_text_tokens",
     "q_tfidf",
     "q_skew_agg",
@@ -112,6 +114,63 @@ def ingest_source_20k(spark, sf_dir: str):
     return 20_000
 
 
+def sink_upsert_200k(spark, sf_dir: str):
+    """DBAPI sink-path throughput (Arrow-batched mapInArrow writers, not
+    rdd pickling): 200k log-shape rows through write_conflict_ignore
+    (parallel=True) into sqlite3.  Each partition writer gets its own
+    shard file (one sqlite file would serialize all 8 writers on its
+    global lock and measure sqlite, not the sink path) — the stand-in
+    for a multi-writer target like Postgres taking N connections."""
+    import glob
+    import os
+    import sqlite3
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from evm_archive_spark.schemas import LOGS_PK
+    from evm_archive_spark.sinks import upsert
+
+    n = 200_000
+    i = F.col("id")
+    logs = spark.range(n).select(
+        F.format_string("0x%040x", F.pmod(i, F.lit(50))).alias("address"),
+        F.format_string("0x%064x", F.pmod(i, F.lit(10))).alias("topic0"),
+        F.lit("").alias("topic1"),
+        F.lit("").alias("topic2"),
+        F.lit("").alias("topic3"),
+        F.format_string("0x%064x", i).alias("data"),
+        F.format_string("0x%064x", F.expr("id DIV 100")).alias("block_hash"),
+        F.expr("id DIV 100").alias("block_number"),
+        F.format_string("0x%064x", i).alias("transaction_hash"),
+        F.pmod(i, F.lit(500)).cast("long").alias("transaction_index"),
+        F.pmod(i, F.lit(100)).cast("long").alias("log_index"),
+        F.lit(False).alias("removed"),
+        F.lit(None).cast("timestamp").alias("block_timestamp"),
+    )
+    base = tempfile.mkdtemp(prefix="sink_bench_")
+
+    def factory():
+        shard = os.path.join(
+            base, f"shard-{os.getpid()}-{threading.get_ident()}.sqlite"
+        )
+        con = sqlite3.connect(shard, timeout=120)
+        con.execute(upsert.LOGS_DDL_GENERIC)
+        con.commit()
+        return con
+
+    try:
+        upsert.write_conflict_ignore(
+            logs.repartition(8), "logs", LOGS_PK, factory, parallel=True
+        )
+    finally:
+        for f in glob.glob(os.path.join(base, "*")):
+            os.remove(f)
+        os.rmdir(base)
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -129,6 +188,20 @@ def main() -> None:
     # open + first scan excluded).
     spark.range(1_000_000).selectExpr("sum(id) s").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Python DataSource worker pool spin-up is likewise a session cost
+    # (measured: ~6 s cold, ~0.9 s warm for the identical 20k-row read) —
+    # warm it with a tiny read so q_ingest_source times the data path
+    from evm_archive_spark.sources import rpc as _rpc
+
+    _rpc.register(spark)
+    (
+        spark.read.format("evm_logs")
+        .option("endpoint", "mock://head=19,logs_per_block=1")
+        .option("fromBlock", "0")
+        .option("blockStep", "1")
+        .load()
+        .count()
+    )
     from evm_archive_spark.tables import register_testdata
 
     register_testdata(spark, sf_dir)
@@ -151,6 +224,7 @@ def main() -> None:
     for name, fn in (
         ("q_ingest_1m", ingest_1m),
         ("q_ingest_source", ingest_source_20k),
+        ("q_sink_upsert", sink_upsert_200k),
     ):
         t0 = time.perf_counter()
         n = fn(spark, sf_dir)

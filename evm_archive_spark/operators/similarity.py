@@ -269,6 +269,63 @@ def ivf_topk(
     )
 
 
+_QUANT = "transform({v}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def cosine_near_duplicate_pairs(
+    df: DataFrame,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b), decided
+    entirely in BIGINT arithmetic so the result is bit-identical across
+    engines and partitionings (the parity-gate requirement float cosine
+    cannot meet): elements are floor-quantized at 1e3, and
+    ``cos >= t = num/den`` becomes ``qdot > 0 AND qdot^2 * den^2 >=
+    num^2 * |a|q^2 * |b|q^2`` — no division, no sqrt, no floats.
+
+    This is the O(n^2) *baseline*; at corpus scale use
+    ``lsh_near_duplicates`` (bucketed candidates, recall < 1) and treat
+    this as the verifier inside buckets.  For unit-scale embeddings at
+    dim <= 4096 every intermediate fits int64 (qdot <= dim*1e6, qdot^2 *
+    den^2 <= 9.2e18 for den <= 20 at dim 64; check your dims before
+    raising den)."""
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(_QUANT.format(v=vec_col)).alias("__e"),
+        F.expr(
+            _IDOT.format(a=_QUANT.format(v=vec_col), b=_QUANT.format(v=vec_col))
+        ).alias("__n2"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    qd = F.expr(_IDOT.format(a="a.__e", b="b.__e"))
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            qd.alias("__qd"),
+            F.col("a.__n2").alias("__na"),
+            F.col("b.__n2").alias("__nb"),
+        )
+        .filter(
+            (F.col("__qd") > 0)
+            & (
+                F.col("__qd") * F.col("__qd") * F.lit(threshold_den**2)
+                >= F.lit(threshold_num**2) * F.col("__na") * F.col("__nb")
+            )
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ivf_persist(
     emb: DataFrame,
     path: str,

@@ -2020,6 +2020,44 @@ _add(
 )
 
 
+def _q_cosine_neardup(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs under an integer-quantized
+    decision rule — float-free, so Spark and DuckDB agree bit-for-bit.
+    Baseline for the LSH-bucketed variant (q_lsh_neardup, rows-only);
+    vec_id < 300 bounds the oracle's quadratic pair join.  The fixture
+    embeddings are uniform-random (max pairwise cos ~0.46), so the gate
+    thresholds at 2/5 to exercise a nonempty result set; production
+    near-dup uses ~19/20 (the operator default)."""
+    from ..operators.similarity import cosine_near_duplicate_pairs
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    return cosine_near_duplicate_pairs(
+        spark.table("embeddings").filter(F.col("vec_id") < 300),
+        threshold_num=2,
+        threshold_den=5,
+    )
+
+
+_add(
+    "q_cosine_neardup",
+    _q_cosine_neardup,
+    # identical quantized-integer rule: elements floored at 1e3,
+    # qdot^2 * den^2 >= num^2 * |a|^2 * |b|^2, all BIGINT
+    "WITH q AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e "
+    "FROM embeddings WHERE vec_id < 300), "
+    "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "CAST(list_dot_product(a.e, b.e) AS BIGINT) AS qd, "
+    "CAST(list_dot_product(a.e, a.e) AS BIGINT) AS na, "
+    "CAST(list_dot_product(b.e, b.e) AS BIGINT) AS nb "
+    "FROM q a JOIN q b ON a.vec_id < b.vec_id) "
+    "SELECT id_a, id_b FROM p "
+    "WHERE qd > 0 AND qd*qd*25 >= 4*na*nb "
+    "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST",
+    "embedding-cosine near-dup pairs, integer-quantized threshold [pair]",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -184,6 +184,24 @@ def test_ivf_topk_exact_when_probing_all_lists(spark):
     assert ivf == bf
 
 
+def test_cosine_near_duplicate_pairs_planted(spark):
+    """Planted geometry: v1 == 2*v0 (cos 1), v2 nearly-parallel to v0,
+    v3 orthogonal, v4 = -v0 (cos -1, must be excluded by qd > 0)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.05, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_duplicate_pairs(df).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2)}
+
+
 def test_ivf_bucketed_persist_prunes_partitions(spark, tmp_path):
     """SCALING.md §6 layout exercised end-to-end: corpus persisted
     hive-partitioned by centroid_id, probe scans only the nprobe lists
