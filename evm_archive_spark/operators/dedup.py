@@ -215,18 +215,23 @@ def minhash_near_duplicates(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(col, seed: int = 42) -> F.Column:
-    """64-bit SimHash over whitespace tokens (Charikar '02).
+def simhash(col, seed: int = 42, n_bits: int = 64, hash_fn=None) -> F.Column:
+    """SimHash over whitespace tokens (Charikar '02), ``n_bits`` wide.
 
     bit j of the fingerprint = sign of sum over tokens of (+1 if bit j of
-    xxhash64(token) else -1).  Entirely JVM-side: one fold producing a
-    64-long count vector, then a fold packing the sign bits.
+    hash(token) else -1).  Entirely JVM-side: one fold producing a
+    per-bit count, then a fold packing the sign bits.  ``hash_fn``
+    (Column -> Column) defaults to salted xxhash64; the parity gate
+    passes an md5-derived hash both engines can compute so the identical
+    construction is checkable against DuckDB (q_simhash_md5).
     """
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(F.trim(c), " +")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    if hash_fn is None:
+        hash_fn = lambda t: F.xxhash64(t, F.lit(seed))  # noqa: E731
+    hashes = F.transform(tokens, hash_fn)
     # shift amounts must be static ints (shiftright takes no Column), so the
-    # 64 bit-positions unroll at plan-build time: one fold per bit, then a
+    # bit-positions unroll at plan-build time: one fold per bit, then a
     # static bitwise-OR pack.  All JVM-side; the unrolled plan stays in
     # whole-stage codegen.
     def _bit_sum(j: int):
@@ -238,7 +243,7 @@ def simhash(col, seed: int = 42) -> F.Column:
         )
 
     packed = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(n_bits):
         bit_sum = _bit_sum(j)
         bit_val = (1 << j) if j < 63 else -(2**63)  # signed-long bit 63
         packed = packed.bitwiseOR(

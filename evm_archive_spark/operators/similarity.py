@@ -326,6 +326,27 @@ def cosine_near_duplicate_pairs(
     )
 
 
+def embedding_dedup_survivors(
+    df: DataFrame,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate removal, composed end-to-end:
+    quantized-cosine pairs -> connected components -> keep the min-id
+    member of each duplicate cluster.  The exact-pairs stage is the
+    O(n^2) baseline; at corpus scale swap it for ``lsh_near_duplicates``
+    candidates + this same verify/survivor tail (mirrors the text-side
+    ``near_duplicate_pipeline``)."""
+    from .dedup import dedup_survivors
+
+    pairs = cosine_near_duplicate_pairs(
+        df, threshold_num, threshold_den, id_col, vec_col
+    )
+    return dedup_survivors(df, pairs, id_col=id_col)
+
+
 def ivf_persist(
     emb: DataFrame,
     path: str,

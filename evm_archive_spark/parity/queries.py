@@ -1128,6 +1128,29 @@ _add(
 )
 
 
+def _q_st7(spark, sf_dir):
+    from ..streaming.windows import interval_join_pairs
+
+    return interval_join_pairs(spark, sf_dir)
+
+
+_add(
+    "q_st7_intervaljoin",
+    _q_st7,
+    # batch recomputation: every click joined to same-user purchases in
+    # [click_ts, click_ts + 24h]; availableNow + 0s watermark emits each
+    # in-horizon pair exactly once, so the plain self-join is exact
+    "SELECT c.user_id AS user_id, c.event_id AS left_id, "
+    "p.event_id AS right_id "
+    "FROM events c JOIN events p ON c.user_id = p.user_id "
+    "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+    "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR "
+    "WHERE c.user_id < 30 "
+    "ORDER BY user_id NULLS FIRST, left_id NULLS FIRST, right_id NULLS FIRST",
+    "stream-stream interval join == batch range self-join",
+)
+
+
 def _q_st4(spark, sf_dir):
     from ..streaming.windows import session_window_counts
 
@@ -1479,6 +1502,43 @@ _add(
         )
     ),
     "MinHash signatures with portable md5 permutations (8 perms, 5-shingles)",
+)
+
+
+def _q_simhash_md5(spark, sf_dir):
+    """The simhash() operator itself under a portable md5 token hash
+    (32-bit value, 16-bit fingerprint): the xxhash64 production form is
+    not oracle-expressible, but the identical sign-vote construction is
+    — same code path, pluggable hash (like q_minhash_md5)."""
+    from ..operators.dedup import simhash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    md5h = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            simhash("text", n_bits=16, hash_fn=md5h).alias("simhash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_simhash_md5",
+    _q_simhash_md5,
+    "WITH tok AS (SELECT doc_id, "
+    "list_transform(string_split_regex(trim(text), ' +'), "
+    "x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)) AS hs "
+    "FROM documents) "
+    "SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 15), "
+    "j -> CASE WHEN list_sum(list_transform(hs, h -> "
+    "CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+    "THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) "
+    "AS simhash FROM tok ORDER BY doc_id NULLS FIRST",
+    "SimHash sign-vote construction with portable md5 hash (16 bits)",
 )
 
 
@@ -2055,6 +2115,68 @@ _add(
     "WHERE qd > 0 AND qd*qd*25 >= 4*na*nb "
     "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST",
     "embedding-cosine near-dup pairs, integer-quantized threshold [pair]",
+)
+
+
+# [pair] BPE-ish subword tokenization: greedy <=3-char piece chunking via
+# regexp_extract_all — the regex stand-in for a merge-table tokenizer
+# (leftmost-greedy semantics agree across engines); counts + vocab size
+_add(
+    "q_text_bpe",
+    _sql(
+        "SELECT doc_id, "
+        "CAST(SIZE(regexp_extract_all(text, '[a-z]{1,3}', 0)) AS BIGINT) AS n_pieces, "
+        "CAST(SIZE(ARRAY_DISTINCT(regexp_extract_all(text, '[a-z]{1,3}', 0))) AS BIGINT) AS n_vocab "
+        "FROM documents ORDER BY doc_id NULLS FIRST"
+    ),
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, '[a-z]{1,3}')) AS BIGINT) AS n_pieces, "
+    "CAST(len(list_distinct(regexp_extract_all(text, '[a-z]{1,3}'))) AS BIGINT) AS n_vocab "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "BPE-ish subword piece counting [pair]",
+)
+
+
+def _q_embed_dedup(spark, sf_dir):
+    """Embedding-space dedup composed end-to-end (cosine pairs ->
+    components -> min-id survivors), same quantized rule and bounds as
+    q_cosine_neardup so the oracle closure is exact."""
+    from ..operators.similarity import embedding_dedup_survivors
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    return (
+        embedding_dedup_survivors(
+            spark.table("embeddings").filter(F.col("vec_id") < 300),
+            threshold_num=2,
+            threshold_den=5,
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+_add(
+    "q_embed_dedup",
+    _q_embed_dedup,
+    "WITH RECURSIVE q AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e "
+    "FROM embeddings WHERE vec_id < 300), "
+    "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM q a JOIN q b "
+    "ON a.vec_id < b.vec_id "
+    "AND CAST(list_dot_product(a.e, b.e) AS BIGINT) > 0 "
+    "AND CAST(list_dot_product(a.e, b.e) AS BIGINT)"
+    " * CAST(list_dot_product(a.e, b.e) AS BIGINT) * 25 >= "
+    "4 * CAST(list_dot_product(a.e, a.e) AS BIGINT)"
+    " * CAST(list_dot_product(b.e, b.e) AS BIGINT)), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION SELECT id_b, id_a FROM p), "
+    "r AS (SELECT src AS node, src AS m FROM e "
+    "UNION SELECT e.src, r.m FROM e JOIN r ON r.node = e.dst), "
+    "comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY node) "
+    "SELECT vec_id FROM embeddings WHERE vec_id < 300 "
+    "AND vec_id NOT IN (SELECT node FROM comp WHERE node <> component) "
+    "ORDER BY vec_id NULLS FIRST",
+    "embedding-space dedup: cosine pairs -> components -> survivors",
 )
 
 

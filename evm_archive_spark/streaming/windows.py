@@ -153,6 +153,57 @@ def session_window_counts(
     ).orderBy("user_id", "session_start")
 
 
+def interval_join_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "24 hours",
+    max_user: int = 30,
+) -> DataFrame:
+    """Stream-stream interval (range) join: every ``left_type`` event
+    joined to the same user's ``right_type`` events with ``l.ts <= r.ts
+    <= l.ts + within`` — the classic attribution join, run as a real
+    two-stream stateful join (both sides watermarked; at scale the
+    watermark bounds join state to the ``within`` horizon per key, which
+    is what makes an unbounded self-join feasible at all).  AvailableNow
+    + zero-delay watermark emits every in-horizon pair exactly once, so
+    the batch self-join is the oracle."""
+    with nanos_stream_scope(spark):
+        sdf = stream_events(spark, sf_dir).filter(F.col("user_id") < max_user)
+        left = (
+            sdf.filter(F.col("event_type") == left_type)
+            .select(
+                F.col("user_id").alias("l_user"),
+                F.col("ts").alias("l_ts"),
+                F.col("event_id").alias("l_id"),
+            )
+            .withWatermark("l_ts", "0 seconds")
+        )
+        right = (
+            sdf.filter(F.col("event_type") == right_type)
+            .select(
+                F.col("user_id").alias("r_user"),
+                F.col("ts").alias("r_ts"),
+                F.col("event_id").alias("r_id"),
+            )
+            .withWatermark("r_ts", "0 seconds")
+        )
+        joined = left.join(
+            right,
+            F.expr(
+                "l_user = r_user AND r_ts >= l_ts "
+                f"AND r_ts <= l_ts + INTERVAL {within}"
+            ),
+        ).select("l_user", "l_id", "r_id")
+        out = _run_to_memory(joined, "append")
+    return out.select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_id").alias("left_id"),
+        F.col("r_id").alias("right_id"),
+    ).orderBy("user_id", "left_id", "right_id")
+
+
 def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup: ``dropDuplicates`` on the key keeps one
     row per user across micro-batches (state = seen-key set).  The gated
