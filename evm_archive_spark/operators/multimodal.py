@@ -145,6 +145,68 @@ def frame_sample(
     return df.mapInPandas(batches, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Resize plumbing: payload in -> resized payload out, meta updated to
+    the target dimensions.  The codec is stubbed (output payload is a
+    deterministic sha256-keyed byte string of target_w*target_h/64 bytes,
+    standing in for the re-encoded image); the batch shape — binary in,
+    binary out, meta struct rewrite, partition-preserving mapInPandas —
+    is the real contract a PIL-backed implementation drops into."""
+    have_pil = _have_pil()
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        n_out = max(1, target_w * target_h // 64)
+        for pdf in it:
+            if strict and not have_pil:
+                raise NotImplementedError(
+                    "real image resize requires PIL (not in this "
+                    "environment); use strict=False for the stub"
+                )
+            out = {"media_id": [], "payload": [], "meta": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                seed = hashlib.sha256(bytes(payload or b"")).digest()
+                body = (seed * (n_out // 32 + 1))[:n_out]
+                out["media_id"].append(mid)
+                out["payload"].append(body)
+                out["meta"].append(
+                    {
+                        "mime": "image/x-stub",
+                        "width": target_w,
+                        "height": target_h,
+                        "n_bytes": len(body),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def synthetic_media(spark, documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build a media-shaped table from the documents fixture (payload =
     utf-8 bytes of the text) so multimodal plumbing has a driver-provided

@@ -1505,6 +1505,35 @@ _add(
 )
 
 
+def _q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling, the oracle-expressible projection: the
+    sampled frame indices depend only on payload size (n_frames =
+    max(1, n_bytes//32), every 10th), so DuckDB can recompute them from
+    the text length (payload = utf-8 text bytes, ascii fixture).  The
+    frame_hash column is exercised by pytest; this row proves the
+    explode shape and sampling arithmetic of the mapInPandas stage."""
+    from ..operators.multimodal import frame_sample, synthetic_media
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = synthetic_media(spark, spark.table("documents"))
+    return (
+        frame_sample(media, every_n=10)
+        .select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+_add(
+    "q_frame_sample",
+    _q_frame_sample,
+    "SELECT doc_id AS media_id, "
+    "CAST(UNNEST(range(0, greatest(length(text) // 32, 1), 10)) AS BIGINT) "
+    "AS frame_idx FROM documents "
+    "ORDER BY media_id NULLS FIRST, frame_idx NULLS FIRST",
+    "multimodal frame sampling: mapInPandas explode == size arithmetic",
+)
+
+
 def _q_simhash_md5(spark, sf_dir):
     """The simhash() operator itself under a portable md5 token hash
     (32-bit value, 16-bit fingerprint): the xxhash64 production form is

@@ -407,6 +407,25 @@ def test_frame_sample_plumbing(spark):
     assert by_id[2] == [0]  # short payload -> single frame
 
 
+def test_resize_images_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "payload-one"), (2, "payload-two")], ["doc_id", "text"]
+    )
+    media = multimodal.synthetic_media(spark, docs)
+    resized = multimodal.resize_images(media, 128, 96).collect()
+    assert len(resized) == 2
+    for r in resized:
+        assert r["meta"]["width"] == 128 and r["meta"]["height"] == 96
+        assert r["meta"]["n_bytes"] == len(r["payload"]) == 128 * 96 // 64
+        assert r["meta"]["mime"] == "image/x-stub"
+    # deterministic and payload-dependent
+    again = {r["media_id"]: bytes(r["payload"]) for r in
+             multimodal.resize_images(media, 128, 96).collect()}
+    first = {r["media_id"]: bytes(r["payload"]) for r in resized}
+    assert again == first
+    assert first[1] != first[2]
+
+
 def test_connected_components_chains_and_islands(spark):
     from evm_archive_spark.operators.dedup import connected_components
 
