@@ -470,23 +470,59 @@ def lsh_near_duplicates(
     n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket self-join, exact cosine
-    verify within buckets.  Recall is bounded by the bucketing (documented:
-    raise recall with multiple tables / fewer planes)."""
-    b = hyperplane_lsh_buckets(df, n_planes, id_col, vec_col)
-    a = b.alias("a")
-    c = b.alias("c")
-    pairs = a.join(
-        c,
-        (F.col(f"a.lsh_bucket") == F.col(f"c.lsh_bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"c.{id_col}").alias("id_b"),
-        (
-            F.expr(_DOT.format(a=f"a.{vec_col}", b=f"c.{vec_col}"))
-            / (norm(f"a.{vec_col}") * norm(f"c.{vec_col}"))
-        ).alias("cosine"),
+    verify within buckets.
+
+    A pair at angle theta collides in one table with p = (1-theta/pi)^
+    n_planes, so single-table recall collapses for all but near-parallel
+    vectors; ``n_tables`` independent plane sets (distinct seeds) union
+    their bucket joins before the exact verify — miss probability decays
+    as (1-p)^n_tables, the standard recall knob.  Tune (n_planes down,
+    n_tables up) for lower thresholds; candidates stay per-bucket blocks,
+    never all-pairs, and the verify runs once per distinct pair."""
+    id_pairs = None
+    for t in range(n_tables):
+        b = hyperplane_lsh_buckets(
+            df, n_planes, id_col, vec_col, seed=seed + 7919 * t
+        ).select(id_col, "lsh_bucket")
+        a = b.alias("a")
+        c = b.alias("c")
+        p = a.join(
+            c,
+            (F.col("a.lsh_bucket") == F.col("c.lsh_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+        id_pairs = p if id_pairs is None else id_pairs.unionAll(p)
+    cand = id_pairs.dropDuplicates(["id_a", "id_b"])
+    v = df.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
+    )
+    pairs = (
+        cand.join(
+            v.withColumnRenamed("__vid", "id_a").withColumnRenamed(
+                "__vec", "__va"
+            ),
+            "id_a",
+        )
+        .join(
+            v.withColumnRenamed("__vid", "id_b").withColumnRenamed(
+                "__vec", "__vb"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.expr(_DOT.format(a="__va", b="__vb"))
+                / (norm("__va") * norm("__vb"))
+            ).alias("cosine"),
+        )
     )
     return pairs.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")

@@ -1998,10 +1998,20 @@ _add("q_fingerprint", _q_fingerprint, None, "shingle-fold document fingerprint")
 
 
 def _q_lsh_neardup(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (recall < 1 by construction, hence
+    rows-only; its candidates-subset relation to the exact path is pinned
+    by pytest).  Threshold 0.4 because the uniform-random fixture has no
+    pairs past cos ~0.46 — see q_cosine_neardup."""
     from ..operators.similarity import lsh_near_duplicates
 
     register_testdata(spark, sf_dir, ["embeddings"])
-    return lsh_near_duplicates(spark.table("embeddings"), threshold=0.9)
+    return (
+        lsh_near_duplicates(
+            spark.table("embeddings"), threshold=0.4, n_planes=4, n_tables=8
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 _add(

@@ -407,6 +407,48 @@ def test_frame_sample_plumbing(spark):
     assert by_id[2] == [0]  # short payload -> single frame
 
 
+def test_lsh_neardup_subset_of_exact(spark):
+    """Bucketed-LSH near-dup pairs must be a subset of the exact all-pairs
+    result at the same threshold (LSH can miss — recall < 1 — but a pair
+    it emits passed the exact in-bucket cosine verify), and must recall
+    something on this fixture at threshold 0.4."""
+    import math
+
+    from evm_archive_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    ids = sorted(vecs)
+    exact = set()
+    for i, a in enumerate(ids):
+        va = vecs[a]
+        na = math.sqrt(sum(x * x for x in va))
+        for b in ids[i + 1 :]:
+            vb = vecs[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            nb = math.sqrt(sum(x * x for x in vb))
+            if dot / (na * nb) >= 0.4:
+                exact.add((a, b))
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_near_duplicates(
+            emb, threshold=0.4, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert lsh <= exact
+    assert exact and lsh  # fixture yields pairs; LSH recalls a nonzero set
+    # multi-table recall dominates single-table at the same plane count
+    one_table = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_near_duplicates(
+            emb, threshold=0.4, n_planes=4, n_tables=1
+        ).collect()
+    }
+    assert one_table <= lsh
+
+
 def test_resize_images_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "payload-one"), (2, "payload-two")], ["doc_id", "text"]

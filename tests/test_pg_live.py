@@ -1,0 +1,182 @@
+"""Live-PostgreSQL round-trip for the upsert sink (VERDICT r1 #8).
+
+The container ships a real PostgreSQL server but no Python driver;
+``sinks.pgwire`` is the minimal wire-protocol client standing in for
+psycopg2 (same paramstyle='format', same client-side interpolation).  This
+test initdb's a scratch cluster on a unix socket, runs the sink's
+ON CONFLICT path against it — both the driver-stream and the
+partition-parallel Arrow writers — and checks real-server semantics:
+exact insert counts, idempotent replay, conflict-ignore under concurrent
+writers.  Skips cleanly when no server binary / postgres user is present.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import socket
+import subprocess
+import tempfile
+
+import pytest
+
+from evm_archive_spark import fixtures
+from evm_archive_spark.schemas import LOGS_PK
+from evm_archive_spark.sinks import pgwire, upsert
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _su_postgres(cmd: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["su", "postgres", "-s", "/bin/sh", "-c", cmd],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg():
+    if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
+        pytest.skip("no PostgreSQL server binaries")
+    base = tempfile.mkdtemp(prefix="pglive-", dir="/tmp")
+    port = _free_port()
+    try:
+        os.chmod(base, 0o777)
+        shutil.chown(base, "postgres")
+    except (PermissionError, LookupError):
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip("cannot hand a scratch dir to a postgres user")
+    r = _su_postgres(
+        f"initdb -D {base}/data -A trust --no-instructions -U postgres"
+    )
+    if r.returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    r = _su_postgres(
+        f"pg_ctl -D {base}/data -l {base}/log -w "
+        f"-o \"-k {base} -p {port} -c listen_addresses=''\" start"
+    )
+    if r.returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+    try:
+        yield {"host": base, "port": port}
+    finally:
+        _su_postgres(f"pg_ctl -D {base}/data -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _connect(pg):
+    return pgwire.connect(host=pg["host"], port=pg["port"])
+
+
+def test_wire_client_basics(pg):
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute("SELECT 1 AS one, 'a''b' AS s, NULL AS n")
+    assert cur.fetchall() == [("1", "a'b", None)]
+    assert [d[0] for d in cur.description] == ["one", "s", "n"]
+    cur.execute("CREATE TABLE basics (a INT PRIMARY KEY, b TEXT)")
+    cur.execute("INSERT INTO basics VALUES (%s, %s)", (1, "x"))
+    assert cur.rowcount == 1
+    cur.execute(
+        "INSERT INTO basics VALUES (%s, %s) ON CONFLICT (a) DO NOTHING",
+        (1, "y"),
+    )
+    assert cur.rowcount == 0  # real ON CONFLICT semantics
+    con.commit()
+    con.close()
+
+
+def test_sink_roundtrip_live_postgres(spark, pg):
+    """The sink's production shape on a real server: paramstyle='format',
+    executemany batches, ON CONFLICT ON the PK — exact counts, idempotent
+    replay (get_logs.go:112-137 semantics)."""
+    con = _connect(pg)
+    con.cursor().execute(upsert.LOGS_DDL_GENERIC)
+    con.commit()
+    con.close()
+
+    df = fixtures.logs_df(spark)
+    n_unique = df.dropDuplicates(LOGS_PK).count()
+    host, port = pg["host"], pg["port"]
+    factory = lambda: pgwire.connect(host=host, port=port)  # noqa: E731
+
+    r1 = upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, paramstyle="format", parallel=False
+    )
+    assert r1.attempted == n_unique
+
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute("SELECT COUNT(*) FROM logs")
+    assert cur.fetchone() == (str(n_unique),)
+    con.close()
+
+    # replay: second pass inserts 0 (checked on the server, not the client)
+    r2 = upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, paramstyle="format", parallel=False
+    )
+    assert r2.attempted == n_unique
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute("SELECT COUNT(*) FROM logs")
+    assert cur.fetchone() == (str(n_unique),)
+    con.close()
+
+
+def test_sink_parallel_arrow_writers_live_postgres(spark, pg):
+    """parallel=True: each partition's Arrow writer opens its own real
+    server connection — the actual multi-writer deployment shape."""
+    con = _connect(pg)
+    con.cursor().execute("DROP TABLE IF EXISTS logs")
+    con.cursor().execute(upsert.LOGS_DDL_GENERIC)
+    con.commit()
+    con.close()
+
+    df = fixtures.logs_df(spark).repartition(4)
+    n_unique = df.dropDuplicates(LOGS_PK).count()
+    host, port = pg["host"], pg["port"]
+    factory = lambda: pgwire.connect(host=host, port=port)  # noqa: E731
+
+    upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, paramstyle="format", parallel=True
+    )
+    upsert.write_conflict_ignore(  # concurrent-replay idempotency
+        df, "logs", LOGS_PK, factory, paramstyle="format", parallel=True
+    )
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute("SELECT COUNT(*) FROM logs")
+    assert cur.fetchone() == (str(n_unique),)
+    con.close()
+
+
+def test_sink_exact_counts_live_postgres(spark, pg):
+    con = _connect(pg)
+    con.cursor().execute("DROP TABLE IF EXISTS logs")
+    con.cursor().execute(upsert.LOGS_DDL_GENERIC)
+    con.commit()
+    con.close()
+
+    df = fixtures.logs_df(spark)
+    n_unique = df.dropDuplicates(LOGS_PK).count()
+    host, port = pg["host"], pg["port"]
+    factory = lambda: pgwire.connect(host=host, port=port)  # noqa: E731
+
+    r1 = upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, paramstyle="format",
+        parallel=False, exact_counts=True,
+    )
+    assert (r1.attempted, r1.inserted) == (n_unique, n_unique)
+    r2 = upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, paramstyle="format",
+        parallel=False, exact_counts=True,
+    )
+    assert (r2.attempted, r2.inserted) == (n_unique, 0)
