@@ -445,6 +445,18 @@ def hyperplane_lsh_buckets(
     problem into per-bucket blocks — the standard scale path for
     embedding near-dup detection.
     """
+    return df.select(
+        id_col,
+        vec_col,
+        hyperplane_lsh_bucket_col(vec_col, n_planes, seed).alias("lsh_bucket"),
+    )
+
+
+def hyperplane_lsh_bucket_col(
+    vec_col: str, n_planes: int = 16, seed: int = 42
+) -> F.Column:
+    """The bucket id as a bare Column, so multi-table variants can pack
+    several seeds' buckets into one array on a single corpus scan."""
     # plane_j[i] = +1 / -1 from the parity of a hash of (seed, j, i)
     sign = (
         "aggregate(zip_with({v}, sequence(0, size({v}) - 1), "
@@ -461,7 +473,7 @@ def hyperplane_lsh_buckets(
             * F.lit(2**j)
         )
         bucket = bit if bucket is None else bucket + bit
-    return df.select(id_col, vec_col, bucket.cast("long").alias("lsh_bucket"))
+    return bucket.cast("long")
 
 
 def lsh_near_duplicates(
@@ -482,24 +494,39 @@ def lsh_near_duplicates(
     their bucket joins before the exact verify — miss probability decays
     as (1-p)^n_tables, the standard recall knob.  Tune (n_planes down,
     n_tables up) for lower thresholds; candidates stay per-bucket blocks,
-    never all-pairs, and the verify runs once per distinct pair."""
-    id_pairs = None
-    for t in range(n_tables):
-        b = hyperplane_lsh_buckets(
-            df, n_planes, id_col, vec_col, seed=seed + 7919 * t
-        ).select(id_col, "lsh_bucket")
-        a = b.alias("a")
-        c = b.alias("c")
-        p = a.join(
+    never all-pairs, and the verify runs once per distinct pair.
+
+    Plan shape: ONE corpus scan computes every table's bucket (an array
+    column posexploded to (table, bucket) rows — same trick as the
+    MinHash band explode), so the candidate self-join is a single
+    equi-join on (table, bucket); tables are NOT n_tables separate scans.
+    """
+    buckets = F.array(
+        *[
+            hyperplane_lsh_bucket_col(
+                vec_col, n_planes, seed=seed + 7919 * t
+            )
+            for t in range(n_tables)
+        ]
+    )
+    b = df.select(
+        F.col(id_col).alias("__bid"),
+        F.posexplode(buckets).alias("__table", "__bucket"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    cand = (
+        a.join(
             c,
-            (F.col("a.lsh_bucket") == F.col("c.lsh_bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"c.{id_col}").alias("id_b"),
+            (F.col("a.__table") == F.col("c.__table"))
+            & (F.col("a.__bucket") == F.col("c.__bucket"))
+            & (F.col("a.__bid") < F.col("c.__bid")),
         )
-        id_pairs = p if id_pairs is None else id_pairs.unionAll(p)
-    cand = id_pairs.dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.col("a.__bid").alias("id_a"), F.col("c.__bid").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     v = df.select(
         F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
     )

@@ -25,6 +25,32 @@ from evm_archive_spark.schemas import LOGS_PK
 from evm_archive_spark.sinks import pgwire, upsert
 
 
+def test_literal_adaptation_no_server():
+    """Client-side interpolation (the psycopg2-faithful part) is testable
+    without a server: quoting, escaping, type adaptation, arity check."""
+    import datetime
+
+    from evm_archive_spark.sinks.pgwire import PgError, _interpolate, _quote
+
+    assert _quote(None) == "NULL"
+    assert _quote(True) == "TRUE" and _quote(False) == "FALSE"
+    assert _quote(42) == "42" and _quote(-1.5) == "-1.5"
+    assert _quote("a'b; DROP TABLE x--") == "'a''b; DROP TABLE x--'"
+    assert _quote(b"\x00\xff") == "'\\x00ff'::bytea"
+    assert (
+        _quote(datetime.datetime(2024, 1, 2, 3, 4, 5))
+        == "'2024-01-02T03:04:05'::timestamp"
+    )
+    assert (
+        _interpolate("INSERT INTO t VALUES (%s, %s)", (1, "x'y"))
+        == "INSERT INTO t VALUES (1, 'x''y')"
+    )
+    with pytest.raises(PgError, match="mismatch"):
+        _interpolate("VALUES (%s, %s)", (1,))
+    with pytest.raises(PgError, match="NUL"):
+        _quote("bad\x00string")
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -67,6 +67,33 @@ def test_knn_broadcasts_query_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_multitable_lsh_single_corpus_scan(spark):
+    """n_tables independent LSH tables must NOT mean n_tables corpus
+    scans: all buckets come from one array column posexploded before the
+    self-join, so the candidate plan reads the parquet exactly twice
+    (the two sides of the self-join) regardless of n_tables."""
+    import tempfile
+
+    from evm_archive_spark.operators.similarity import lsh_near_duplicates
+    from evm_archive_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        emb.write.mode("overwrite").parquet(tmp)
+        stored = spark.read.parquet(tmp)
+        df = lsh_near_duplicates(stored, threshold=0.4, n_planes=4, n_tables=8)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # 2 scans for the bucket self-join + 2 for the verify's vector
+        # lookups; the 8 tables add zero extra scans (count the detail
+        # headers — the tree section repeats each node)
+        import re
+
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 4
+
+
 def test_decode_view_filter_pushdown(spark):
     # topic0 equality from the generated Transfer view must reach the scan
     # when logs live in parquet (B25: data-skipping replaces btree indexes)
