@@ -407,6 +407,50 @@ def test_frame_sample_plumbing(spark):
     assert by_id[2] == [0]  # short payload -> single frame
 
 
+def test_cosine_pairs_property_vs_python_reference(spark):
+    """The operator's integer decision rule, replicated independently in
+    Python, must agree exactly on an adversarial vector set (negatives,
+    zeros, near-threshold geometry, quantization boundaries) — one Spark
+    action over the combined set, not one job per example."""
+    import math
+    import random
+
+    num, den = 3, 5
+
+    def ref_pairs(vectors):
+        q = [[math.floor(x * 1000) for x in v] for v in vectors]
+        n2 = [sum(e * e for e in e_) for e_ in q]
+        out = set()
+        for i in range(len(q)):
+            for j in range(i + 1, len(q)):
+                qd = sum(a * b for a, b in zip(q[i], q[j]))
+                if qd > 0 and qd * qd * den * den >= num * num * n2[i] * n2[j]:
+                    out.add((i, j))
+        return out
+
+    rng = random.Random(0xC05)
+    vectors = [
+        [0.0, 0.0, 0.0, 0.0],                      # zero vector: no pairs
+        [1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0],  # antipodal (dot<0)
+        [0.6, 0.8, 0.0, 0.0], [0.6, 0.8, 0.001, 0.0],  # near-identical
+        [1.0, 1.0, 0.0, 0.0], [1.0, 0.0, 1.0, 0.0],    # cos=0.5 < 3/5
+        [0.6, 0.8, 0.0, 0.0], [0.8, 0.6, 0.0, 0.0],    # cos=0.96 >= 3/5
+        [0.0005, 0.0015, -0.0005, 0.0],             # quantization boundary
+        [2.0, -2.0, 2.0, -2.0],
+    ] + [[rng.uniform(-2, 2) for _ in range(4)] for _ in range(30)]
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vectors)], ["vec_id", "embedding"]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_duplicate_pairs(
+            df, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    assert got == ref_pairs(vectors)
+
+
 def test_lsh_neardup_subset_of_exact(spark):
     """Bucketed-LSH near-dup pairs must be a subset of the exact all-pairs
     result at the same threshold (LSH can miss — recall < 1 — but a pair

@@ -120,6 +120,41 @@ def test_wire_client_basics(pg):
     con.close()
 
 
+def test_quoting_roundtrip_fuzz(pg):
+    """Client-side interpolation must deliver arbitrary text to the server
+    intact (the psycopg2-equivalent safety property): fuzz strings through
+    INSERT %s -> SELECT and compare."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute("CREATE TABLE IF NOT EXISTS fuzz (s TEXT)")
+    con.commit()
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            max_size=80,
+        )
+    )
+    def roundtrip(s):
+        cur.execute("DELETE FROM fuzz")
+        cur.execute("INSERT INTO fuzz VALUES (%s)", (s,))
+        cur.execute("SELECT s FROM fuzz")
+        assert cur.fetchall() == [(s,)]
+
+    roundtrip()
+    con.rollback()
+    con.close()
+
+
 def test_sink_roundtrip_live_postgres(spark, pg):
     """The sink's production shape on a real server: paramstyle='format',
     executemany batches, ON CONFLICT ON the PK — exact counts, idempotent
