@@ -53,6 +53,53 @@ def deterministic_sample(
     return df.filter(hash_bucket(key) < int(round(fraction * 10_000)))
 
 
+def weighted_mix(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    weights: dict[str, float],
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic corpus mixing: resample each stratum to an effective
+    weight — the core of domain-mixture construction (e.g. upsample
+    books x2.5, downsample web x0.3) for a training run.
+
+    ``weight = floor(w)`` full copies per row, plus one more iff the
+    row's hash bucket falls under ``frac(w)`` — so the EXPECTED stratum
+    multiplicity is exactly ``w`` and the realized multiset is a pure
+    function of the key (reproducible across runs, engines, cluster
+    sizes).  Output rows carry ``copy_col`` in [0, n_copies) so repeats
+    stay distinguishable downstream.  Strata absent from the map are
+    dropped.
+
+    Map-side only: a per-row ``sequence`` + ``explode``, no shuffle, no
+    RNG state; at 100 TB this runs inside the scan stage.
+    """
+    bucket = hash_bucket(key)
+    n_copies = None
+    for stratum, w in weights.items():
+        whole = int(w)
+        frac_b = int(round((w - whole) * 10_000))
+        n = F.lit(whole) + (bucket < frac_b).cast("int")
+        cond = F.col(strata_col) == stratum
+        n_copies = (
+            F.when(cond, n) if n_copies is None else n_copies.when(cond, n)
+        )
+    n_copies = (
+        F.lit(0) if n_copies is None else n_copies.otherwise(F.lit(0))
+    )
+    # sequence(0, -1) would count DOWN; guard the zero-copy case with an
+    # empty array (explode drops it).
+    copies = F.when(
+        F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.withColumn("_n", n_copies)
+        .select("*", F.explode(copies).alias(copy_col))
+        .drop("_n")
+    )
+
+
 def stratified_sample(
     df: DataFrame, key: str, strata_col: str, fractions: dict[str, float]
 ) -> DataFrame:

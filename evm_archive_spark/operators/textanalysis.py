@@ -185,6 +185,90 @@ def tfidf_topk(
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``n_tokens``            total whitespace tokens
+    - ``distinct_token_frac`` |distinct tokens| / n_tokens
+    - ``top_bigram_count``    occurrences of the most frequent word 2-gram
+    - ``top_bigram_frac``     top_bigram_count * 2 / n_tokens (fraction of
+                              tokens covered by the dominant 2-gram)
+
+    Fractions are emitted as exact integer ratios quantized *1e6 (the
+    suite's determinism convention).
+
+    Plan shape at 100 TB: bigrams are exploded map-side; the per-(doc,
+    gram) count is one keyed shuffle with partial aggregation; the per-doc
+    argmax is a second keyed shuffle on doc id.  No self-joins, no
+    per-document O(n^2) array scans (the in-array ``filter``-count
+    alternative is quadratic in document length and dies on long docs).
+    """
+    t = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        t.alias("_toks"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                lambda w, i: F.concat_ws(
+                    " ", w, F.element_at(F.col("_toks"), i + 2)
+                ),
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    return (
+        base.drop("_toks")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                F.col("n_distinct") * 1_000_000 / F.col("n_tokens")
+            ).alias("distinct_token_frac_ppm"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias(
+                "top_bigram_count"
+            ),
+            F.floor(
+                F.coalesce("top_bigram_count", F.lit(0))
+                * 2_000_000
+                / F.col("n_tokens")
+            ).alias("top_bigram_frac_ppm"),
+        )
+    )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+]
+
+
+def scrub_pii(col) -> F.Column:
+    """Replace emails, IPv4 literals, and long digit runs with typed
+    placeholder tokens.  Pure regexp_replace chain — map-side, codegen,
+    streaming-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint(col, k: int = 8) -> F.Column:
     """64-bit document fingerprint: xxhash64 fold over the k-shingle set
     (rolling-hash style content signature, independent of whitespace

@@ -2219,6 +2219,147 @@ _add(
 )
 
 
+def _q_pack(spark, sf_dir):
+    """Sequence packing (concat-and-chunk) via the two-phase distributed
+    prefix sum in operators/packing.py — the oracle recomputes the same
+    assignment with a naive global window, proving the distributed
+    formulation exact across shard boundaries."""
+    from ..operators.packing import pack_by_budget
+    from ..operators.textanalysis import token_count
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return (
+        pack_by_budget(docs, "n_tokens", budget=512, shards=16)
+        .select("doc_id", "n_tokens", "pack_id", "pack_off")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_pack",
+    _q_pack,
+    r"WITH t AS (SELECT doc_id, "
+    r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens "
+    r"FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+    "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS run FROM t) "
+    "SELECT doc_id, n_tokens, "
+    "CAST((run - n_tokens) // 512 AS BIGINT) AS pack_id, "
+    "CAST((run - n_tokens) % 512 AS BIGINT) AS pack_off "
+    "FROM c ORDER BY doc_id NULLS FIRST",
+    "sequence packing: distributed prefix sum == naive global cumsum",
+)
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (distinct-token fraction,
+    dominant-bigram coverage), ppm-quantized integers on both sides."""
+    from ..operators.textanalysis import repetition_features
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return repetition_features(spark.table("documents")).orderBy("doc_id")
+
+
+_add(
+    "q_repetition",
+    _q_repetition,
+    r"WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
+    "AS toks FROM documents), "
+    "b AS (SELECT doc_id, len(toks) AS n_tokens, "
+    "len(list_distinct(toks)) AS n_distinct, toks FROM t), "
+    "g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram FROM b, "
+    "UNNEST(generate_series(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 2), "
+    "cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2), "
+    "top AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY 1) "
+    "SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(FLOOR(n_distinct * 1000000.0 / n_tokens) AS BIGINT) "
+    "AS distinct_token_frac_ppm, "
+    "CAST(COALESCE(top_c, 0) AS BIGINT) AS top_bigram_count, "
+    "CAST(FLOOR(COALESCE(top_c, 0) * 2000000.0 / n_tokens) AS BIGINT) "
+    "AS top_bigram_frac_ppm "
+    "FROM b LEFT JOIN top ON b.doc_id = top.doc_id "
+    "ORDER BY b.doc_id NULLS FIRST",
+    "repetition signals: distinct-token and top-bigram coverage fractions",
+)
+
+
+def _q_mix(spark, sf_dir):
+    """Deterministic domain-mixture resampling: src0 upsampled x2.5,
+    src1 downsampled x0.25, src2 kept, everything else dropped — realized
+    copies are a pure function of md5(doc_id) on both engines."""
+    from ..operators.sampling import weighted_mix
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        weighted_mix(
+            spark.table("documents"),
+            "doc_id",
+            "source",
+            {"src0": 2.5, "src1": 0.25, "src2": 1.0},
+        )
+        .select("doc_id", "source", "copy_id")
+        .orderBy("doc_id", "copy_id")
+    )
+
+
+_add(
+    "q_mix",
+    _q_mix,
+    "WITH b AS (SELECT doc_id, source, "
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    "% 10000 AS bucket FROM documents), "
+    "n AS (SELECT doc_id, source, CASE source "
+    "WHEN 'src0' THEN 2 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END "
+    "WHEN 'src1' THEN CASE WHEN bucket < 2500 THEN 1 ELSE 0 END "
+    "WHEN 'src2' THEN 1 ELSE 0 END AS n FROM b) "
+    "SELECT doc_id, source, CAST(u.i AS INT) AS copy_id "
+    "FROM n, UNNEST(generate_series(0, n - 1)) AS u(i) WHERE n > 0 "
+    "ORDER BY doc_id NULLS FIRST, copy_id NULLS FIRST",
+    "weighted corpus mixing: deterministic up/down-sampling by source",
+)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrubbing over text with synthesized (deterministic) emails,
+    IPs, and long digit runs appended — Java-regex and RE2 agree on these
+    lookaround-free patterns."""
+    from ..operators.textanalysis import scrub_pii
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ref "),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    return docs.select(
+        "doc_id", scrub_pii(synth).alias("scrubbed")
+    ).orderBy("doc_id")
+
+
+_add(
+    "q_pii_scrub",
+    _q_pii_scrub,
+    "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 ref ' || CAST(doc_id + 1000000 AS VARCHAR), "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+    r"'\b\d{7,}\b', '<NUM>', 'g') AS scrubbed "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "PII scrub: email/IP/digit-run replacement, portable regex semantics",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

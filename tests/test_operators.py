@@ -589,3 +589,127 @@ def test_stratified_sample_per_stratum(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == sorted(
         r["doc_id"] for r in rows
     )
+
+
+def test_pack_by_budget_matches_naive_cumsum(spark):
+    """Two-phase distributed prefix sum must equal the naive global
+    window, including across shard boundaries, sparse/empty shards, and
+    docs larger than the budget."""
+    import random
+
+    from evm_archive_spark.operators.packing import pack_by_budget
+
+    rng = random.Random(7)
+    # sparse, non-contiguous ids -> some shards empty; token counts span
+    # tiny to bigger-than-budget
+    rows = [(i * 7 + rng.randrange(3), rng.choice([1, 5, 64, 130]))
+            for i in range(200)]
+    rows = list({r[0]: r for r in rows}.values())  # unique ids
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_off"])
+        for r in pack_by_budget(
+            df, "n_tokens", budget=100, shards=16
+        ).collect()
+    }
+
+    run = 0
+    for doc_id, n in sorted(rows):
+        assert got[doc_id] == (run // 100, run % 100), doc_id
+        run += n
+    assert len(got) == len(rows)
+
+
+def test_pack_plan_has_no_global_row_window(spark):
+    """The per-row cumsum window must be partitioned (parallel); only the
+    per-shard-totals window (shards rows) may be global."""
+    from evm_archive_spark.operators.packing import pack_by_budget
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens")
+    )
+    plan = pack_by_budget(df, "n_tokens", budget=128)._jdf.queryExecution().executedPlan().toString()
+    # the wide window runs partitioned by _shard; a global single-partition
+    # Sort+Window over the full input would show windowing without a
+    # preceding hashpartitioning on _shard
+    assert "_shard" in plan
+
+
+def test_repetition_features(spark):
+    from evm_archive_spark.operators.textanalysis import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # 6 toks, 2 distinct, top bigram "a b" x3
+            (2, "x y z w"),              # no repetition, each bigram once
+            (3, "solo"),                 # single token: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["distinct_token_frac_ppm"] == 333_333
+    assert got[1]["top_bigram_count"] == 3
+    assert got[1]["top_bigram_frac_ppm"] == 1_000_000
+    assert got[2]["top_bigram_count"] == 1
+    assert got[3]["top_bigram_count"] == 0
+    assert got[3]["distinct_token_frac_ppm"] == 1_000_000
+
+
+def test_scrub_pii(spark):
+    from evm_archive_spark.operators.textanalysis import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@ex-ample.co.uk today"),
+            (2, "server 10.0.255.3 port 8080 id 12345678"),
+            (3, "clean text 123"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", scrub_pii("text").alias("s")).collect()
+    }
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "server <IP> port 8080 id <NUM>"
+    assert got[3] == "clean text 123"
+
+
+def test_weighted_mix(spark):
+    from evm_archive_spark.operators.sampling import hash_bucket, weighted_mix
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "books") for i in range(400)],
+        ["doc_id", "source"],
+    )
+    out = weighted_mix(df, "doc_id", "source", {"books": 2.5, "web": 0.25})
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r["copy_id"])
+    # copy ids are dense 0..n-1
+    for doc, copies in per.items():
+        assert sorted(copies) == list(range(len(copies)))
+    # books rows appear 2 or 3 times; web rows 0 or 1 times
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", hash_bucket("doc_id").alias("b")
+        ).collect()
+    }
+    for i in range(400):
+        n = len(per.get(i, []))
+        if i % 2 == 1:  # books
+            assert n == (3 if buckets[i] < 5000 else 2)
+        else:  # web
+            assert n == (1 if buckets[i] < 2500 else 0)
+    # determinism: second run identical
+    again = {
+        (r["doc_id"], r["copy_id"])
+        for r in weighted_mix(
+            df, "doc_id", "source", {"books": 2.5, "web": 0.25}
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["copy_id"]) for r in rows}
