@@ -198,6 +198,35 @@ def test_reference_lpad_defect_reproduction(spark):
     # 0x + first 62 hex of the word => tail '50' dropped, value shifted
     assert truncated != Decimal("12309758656873032528")
 
+    # byte-for-byte parity with PostgreSQL lpad semantics (DuckDB shares
+    # them): truncate-to-64 for long inputs, zero-pad for short ones
+    import duckdb
+
+    vectors = [d, w(7), "abc", "f" * 64, "a" * 200, ""]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT lpad(?, 64, '0')", [v]).fetchone()[0]
+        for v in vectors
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vectors)], ["i", "d"])
+    got = [
+        r["p"]
+        for r in df.select("i", D.reference_lpad64(F.col("d")).alias("p"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == want
+
+    # multi-word payload under compat: word-2 read lands past the
+    # truncated 64 chars -> empty hex -> NULL (conv('') is NULL), vs the
+    # correct value on the default path
+    d2 = "0x" + w(1) + w(42)
+    assert one(spark, d2, D.to_uint64(2 + 64, F.col("d"))) == Decimal(42)
+    assert (
+        one(spark, d2, D.to_uint64(64, D.reference_lpad64(F.col("d"))))
+        is None
+    )
+
 
 def test_array_str_compat_cap(spark):
     # dynamic uint array of 5 elements: intended render shows all 5,
