@@ -189,12 +189,14 @@ def _ivf_assign(
             ).alias("__cents")
         )
         dot_c = _DOT.format(a=vec_col, b="c.centroid")
+        # one dot product per centroid: score first (transform), then take
+        # the struct max — struct ordering is field-wise, so ('d' desc,
+        # '-cid' desc) = highest dot, ties to the LOWEST centroid id.  The
+        # naive fold `CASE WHEN dot > best THEN dot` evaluates each dot
+        # twice.
         argmax = (
-            "aggregate(__cents, "
-            "named_struct('cid', CAST(-1 AS BIGINT), 'best', CAST(-1e308 AS DOUBLE)), "
-            f"(acc, c) -> CASE WHEN {dot_c} > acc.best "
-            f"THEN named_struct('cid', CAST(c.centroid_id AS BIGINT), 'best', {dot_c}) "
-            "ELSE acc END).cid"
+            f"(-array_max(transform(__cents, c -> named_struct("
+            f"'d', {dot_c}, 'ncid', -CAST(c.centroid_id AS BIGINT)))).ncid)"
         )
         return (
             df.crossJoin(F.broadcast(packed))
