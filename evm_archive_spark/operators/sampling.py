@@ -53,6 +53,26 @@ def deterministic_sample(
     return df.filter(hash_bucket(key) < int(round(fraction * 10_000)))
 
 
+def deterministic_shuffle(
+    df: DataFrame, key: str, partitions: int | None = None
+) -> DataFrame:
+    """Global, reproducible corpus shuffle: order rows by ``md5(key)`` —
+    the 'random' order every run, engine, and reader sees identically (no
+    seed plumbing, no RNG state to checkpoint).
+
+    Implemented as repartitionByRange + sortWithinPartitions on the hash,
+    so the TOTAL order is (partition range, within-partition sort) — a
+    single range shuffle, no global single-partition sort.  Feed straight
+    into pack_by_budget or a writer; downstream readers get the
+    shuffled order for free from the file layout.
+    """
+    h = F.md5(F.col(key).cast("string"))
+    parts = df.repartitionByRange(partitions, h) if partitions else (
+        df.repartitionByRange(h)
+    )
+    return parts.sortWithinPartitions(h)
+
+
 def weighted_mix(
     df: DataFrame,
     key: str,

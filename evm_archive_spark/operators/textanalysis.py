@@ -250,6 +250,64 @@ def repetition_features(
     )
 
 
+def word_ngrams(col, n: int) -> F.Column:
+    """Distinct word n-grams (space-joined) of a text column — the unit of
+    benchmark-decontamination matching.  Pure array expressions."""
+    t = tokens(col)
+    cnt = F.size(t) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    keep: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop (``keep=True``) or flag
+    (``keep=False``, adds ``contaminated``) corpus documents sharing any
+    word ``n``-gram with the evaluation set — the GPT-3-style n-gram
+    overlap rule.
+
+    Scale shape: the eval set is benchmarks (thousands of docs), so its
+    distinct-gram table broadcasts; the corpus side is a map-side explode
+    into a broadcast semi join inside the scan stage.  The only shuffled
+    data is the matched-id set (contaminated docs — tiny), which AQE then
+    broadcasts back for the anti join; the 100 TB corpus itself is never
+    shuffled.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    if keep:
+        bad = corpus_grams.join(
+            F.broadcast(eval_grams), "gram", "left_semi"
+        ).select(id_col).distinct()
+        return corpus.join(bad, id_col, "left_anti")
+    flagged = corpus_grams.join(
+        F.broadcast(eval_grams), "gram", "left_semi"
+    ).select(F.col(id_col).alias("__bad_id")).distinct()
+    return corpus.join(
+        flagged, corpus[id_col] == F.col("__bad_id"), "left"
+    ).select(
+        corpus["*"], F.col("__bad_id").isNotNull().alias("contaminated")
+    )
+
+
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
 # RE2 (DuckDB): no backrefs, no lookaround.
 _PII_PATTERNS: list[tuple[str, str]] = [

@@ -2360,6 +2360,42 @@ _add(
 )
 
 
+def _q_decontam(spark, sf_dir):
+    """Benchmark decontamination: every 50th document plays the eval set;
+    corpus docs sharing any word 4-gram with it are dropped (GPT-3-style
+    overlap rule).  The oracle recomputes the overlap with DuckDB list
+    slicing."""
+    from ..operators.textanalysis import decontaminate
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        decontaminate(corpus, eval_df, n=4)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_decontam",
+    _q_decontam,
+    r"WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
+    "AS toks FROM documents), "
+    "g AS (SELECT doc_id, list_aggregate(toks[i:i+3], 'string_agg', ' ') "
+    "AS gram FROM t, UNNEST(generate_series(1, len(toks)-3)) AS u(i) "
+    "WHERE len(toks) >= 4), "
+    "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), "
+    "bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) "
+    "WHERE g.doc_id % 50 <> 0) "
+    "SELECT doc_id FROM documents WHERE doc_id % 50 <> 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM bad) "
+    "ORDER BY doc_id NULLS FIRST",
+    "benchmark decontamination: word-4-gram overlap vs an eval split",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -713,3 +713,52 @@ def test_weighted_mix(spark):
         ).collect()
     }
     assert again == {(r["doc_id"], r["copy_id"]) for r in rows}
+
+
+def test_decontaminate_planted(spark):
+    from evm_archive_spark.operators.textanalysis import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the secret benchmark answer is hidden here"),
+            (2, "totally unrelated clean document about spark shuffles"),
+            (3, "benchmark answer is forty"),  # only a 4-gram, below n=5
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, eval_df, n=5).collect()
+    )
+    assert kept == [2, 3]  # doc 1 shares a 5-gram, doc 3's overlap is 4 words
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, eval_df, n=5, keep=False).collect()
+    }
+    assert flags == {1: True, 2: False, 3: False}
+    # at n=4 doc 3's overlap now counts
+    kept4 = sorted(
+        r["doc_id"] for r in decontaminate(corpus, eval_df, n=4).collect()
+    )
+    assert kept4 == [2]
+
+
+def test_deterministic_shuffle_order_and_plan(spark):
+    from evm_archive_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(df, "doc_id", partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()  # no single-partition sort
+    got = [r["doc_id"] for r in out.collect()]
+    import hashlib
+
+    want = sorted(
+        range(500), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )
+    assert got == want
+    assert got != list(range(500))
