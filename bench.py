@@ -43,6 +43,10 @@ HEADLINE = [
     "q_tfidf",
     "q_skew_agg",
     "q_usd_volume",
+    # corpus-construction family (round 2)
+    "q_pack",
+    "q_decontam",
+    "q_mix",
 ]
 
 
