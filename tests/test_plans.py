@@ -117,3 +117,29 @@ def test_decode_view_filter_pushdown(spark):
         plan = buf.getvalue()
         assert "EqualTo(topic0," in plan
         assert "GreaterThan(block_number,0)" in plan
+
+
+def test_pack_row_window_is_shard_partitioned(spark):
+    """pack_by_budget's per-row cumsum must run as a PARTITIONED window
+    (parallel across shards) — the naive global `SUM() OVER (ORDER BY)`
+    would single-partition the corpus.  Global (SinglePartition) steps are
+    allowed only for the tiny bounds/shard-totals tables."""
+    plan = plan_of(spark, "q_pack")
+    row_window = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(_shard#" in ln and ", doc_id#" in ln
+    ]
+    assert row_window, "per-row cumsum window must partition by _shard"
+    assert "hashpartitioning(_shard#" in plan
+
+
+def test_decontam_broadcasts_eval_and_matched_ids(spark):
+    """decontaminate: eval grams broadcast into a semi join, matched ids
+    broadcast into the anti join — the corpus is never sort-merge joined
+    or replicated."""
+    plan = plan_of(spark, "q_decontam")
+    assert "BroadcastHashJoin LeftSemi BuildRight" in plan
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
