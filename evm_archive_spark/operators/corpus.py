@@ -1,0 +1,76 @@
+"""End-to-end training-corpus preparation: the composed pipeline a
+100 TB pretraining data run actually executes, built from this package's
+operators —
+
+  exact dedup -> quality filter -> benchmark decontamination ->
+  weighted domain mixing -> deterministic shuffle -> sequence packing
+
+Every stage is deterministic (md5-keyed, no RNG state), so the whole
+pipeline is reproducible across runs, engines, partitionings, and
+cluster sizes, and the final pack assignment is externally checkable
+(gate q_corpus_pipeline recomputes it in DuckDB).
+
+Scale shape per stage (see SCALING.md):
+- exact dedup: one keyed shuffle on the content digest
+- quality filter: map-side column expressions in the scan stage
+- decontamination: broadcast eval grams; corpus never shuffled
+- mixing: map-side sequence+explode
+- shuffle+pack: ONE range shuffle on the order hash + the two-phase
+  distributed prefix sum (no single-partition window)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import exact_dedup_by_content
+from .packing import pack_by_budget
+from .sampling import weighted_mix
+from .textanalysis import decontaminate, token_count
+
+
+def shuffle_key(id_col: str = "doc_id", copy_col: str = "copy_id") -> F.Column:
+    """60-bit integral order key from md5(id:copy) — the deterministic
+    'random' order used for shuffling + packing.  At extreme row counts
+    (>~1e9) birthday collisions appear; a tie only makes the intra-tie
+    pack order engine-dependent, so gates keep row counts far below
+    that."""
+    h = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col(copy_col).cast("string"),
+        )
+    )
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    weights: dict[str, float],
+    budget: int = 512,
+    min_tokens: int = 20,
+    contam_n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    shards: int = 256,
+) -> DataFrame:
+    """Run the full corpus-preparation pipeline; returns one row per
+    packed document copy: (id, copy_id, n_tokens, pack_id, pack_off)."""
+    deduped = exact_dedup_by_content(docs, id_col, text_col)
+    quality = deduped.withColumn(
+        "n_tokens", token_count(text_col)
+    ).filter(F.col("n_tokens") >= min_tokens)
+    clean = decontaminate(
+        quality, eval_df, id_col=id_col, text_col=text_col, n=contam_n
+    )
+    mixed = weighted_mix(clean, id_col, source_col, weights)
+    ordered = mixed.withColumn("_hkey", shuffle_key(id_col, "copy_id"))
+    packed = pack_by_budget(
+        ordered, "n_tokens", budget=budget, order_col="_hkey", shards=shards
+    )
+    return packed.select(
+        id_col, "copy_id", "n_tokens", "pack_id", "pack_off"
+    )

@@ -2396,6 +2396,76 @@ _add(
 )
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    """The composed corpus-preparation pipeline (operators/corpus.py):
+    exact dedup -> quality filter (>=20 tokens) -> decontamination vs the
+    every-50th-doc eval split -> weighted mixing -> deterministic shuffle
+    -> 512-token sequence packing.  The oracle replays every stage in
+    DuckDB, including the final pack assignment over the md5 shuffle
+    order — one query proving the stages compose deterministically."""
+    from ..operators.corpus import prepare_training_corpus
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return (
+        prepare_training_corpus(
+            docs,
+            docs.filter(F.col("doc_id") % 50 == 0),
+            weights={
+                "src0": 2.5, "src1": 0.25, "src2": 1.0,
+                "src3": 1.5, "src4": 1.0,
+            },
+            budget=512,
+            min_tokens=20,
+            contam_n=4,
+            shards=16,
+        )
+        .orderBy("doc_id", "copy_id")
+    )
+
+
+_add(
+    "q_corpus_pipeline",
+    _q_corpus_pipeline,
+    r"WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+    "GROUP BY md5(text)), "
+    r"d AS (SELECT b.doc_id, b.text, b.source, "
+    r"CAST(len(string_split_regex(trim(b.text), '\s+')) AS BIGINT) "
+    "AS n_tokens FROM documents b JOIN keep USING (doc_id)), "
+    "q AS (SELECT * FROM d WHERE n_tokens >= 20), "
+    r"t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks "
+    "FROM documents), "
+    "g AS (SELECT doc_id, list_aggregate(toks[i:i+3], 'string_agg', ' ') "
+    "AS gram FROM t, UNNEST(generate_series(1, len(toks)-3)) AS u(i) "
+    "WHERE len(toks) >= 4), "
+    "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), "
+    "bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)), "
+    "clean AS (SELECT * FROM q WHERE doc_id NOT IN "
+    "(SELECT doc_id FROM bad)), "
+    "bkt AS (SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS "
+    "VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket FROM clean), "
+    "n AS (SELECT doc_id, n_tokens, CASE source "
+    "WHEN 'src0' THEN 2 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END "
+    "WHEN 'src1' THEN CASE WHEN bucket < 2500 THEN 1 ELSE 0 END "
+    "WHEN 'src2' THEN 1 "
+    "WHEN 'src3' THEN 1 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END "
+    "WHEN 'src4' THEN 1 ELSE 0 END AS n FROM bkt), "
+    "m AS (SELECT doc_id, n_tokens, CAST(u.i AS INT) AS copy_id FROM n, "
+    "UNNEST(generate_series(0, n - 1)) AS u(i) WHERE n > 0), "
+    "h AS (SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) "
+    "|| ':' || CAST(copy_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hkey "
+    "FROM m), "
+    "c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY hkey ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM h) "
+    "SELECT doc_id, copy_id, n_tokens, "
+    "CAST((run - n_tokens) // 512 AS BIGINT) AS pack_id, "
+    "CAST((run - n_tokens) % 512 AS BIGINT) AS pack_off "
+    "FROM c ORDER BY doc_id NULLS FIRST, copy_id NULLS FIRST",
+    "composed corpus pipeline: dedup -> quality -> decontam -> mix -> "
+    "shuffle -> pack, every stage replayed in DuckDB",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -762,3 +762,44 @@ def test_deterministic_shuffle_order_and_plan(spark):
     )
     assert got == want
     assert got != list(range(500))
+
+
+def test_prepare_training_corpus_stages(spark):
+    """Each pipeline stage visibly acts on a planted corpus: the exact
+    dup collapses, the short doc is filtered, the contaminated doc drops,
+    mixing replicates by source, and pack offsets tile the budget."""
+    from evm_archive_spark.operators.corpus import prepare_training_corpus
+
+    long_a = "alpha " + " ".join(f"w{i}" for i in range(30))
+    long_b = "beta " + " ".join(f"x{i}" for i in range(40))
+    leak = "the eval secret sequence is here " + " ".join(
+        f"y{i}" for i in range(25)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, long_a, "src0"),
+            (2, long_a, "src0"),           # exact dup of 1 -> dropped
+            (3, "too short", "src0"),      # < 20 tokens -> dropped
+            (4, long_b, "src1"),
+            (5, leak, "src0"),             # shares 4-grams with eval -> dropped
+        ],
+        ["doc_id", "text", "source"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the eval secret sequence is here and more")],
+        ["doc_id", "text"],
+    )
+    out = prepare_training_corpus(
+        docs, eval_df,
+        weights={"src0": 2.0, "src1": 1.0},
+        budget=40, min_tokens=20, contam_n=4, shards=4,
+    ).collect()
+    rows = {(r["doc_id"], r["copy_id"]): r for r in out}
+    # survivors: doc 1 x2 copies (src0 w=2.0), doc 4 x1 (src1 w=1.0)
+    assert set(rows) == {(1, 0), (1, 1), (4, 0)}
+    # packing: total order over md5 keys, offsets consistent with budget
+    by_start = sorted(out, key=lambda r: (r["pack_id"], r["pack_off"]))
+    run = 0
+    for r in by_start:
+        assert r["pack_id"] == run // 40 and r["pack_off"] == run % 40
+        run += r["n_tokens"]
