@@ -47,6 +47,7 @@ HEADLINE = [
     "q_pack",
     "q_decontam",
     "q_mix",
+    "q_corpus_pipeline",
 ]
 
 
