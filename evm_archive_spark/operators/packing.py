@@ -99,9 +99,15 @@ def pack_by_budget(
     """
     with_run = global_running_total(df, order_col, token_col, shards)
     start = F.col("running") - F.col(token_col).cast("long")
-    return with_run.withColumns(
-        {
-            "pack_id": (start / F.lit(budget)).cast("long"),
-            "pack_off": start % F.lit(budget),
-        }
-    ).drop("running")
+    # integer DIV, not float division: past 2^53 cumulative tokens (real
+    # at 100 TB) a double round-trip misplaces pack boundaries
+    return (
+        with_run.withColumn("_start", start)
+        .withColumns(
+            {
+                "pack_id": F.expr(f"_start DIV {int(budget)}"),
+                "pack_off": F.col("_start") % F.lit(budget),
+            }
+        )
+        .drop("running", "_start")
+    )
