@@ -116,6 +116,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Train IVF centroids fully distributed, deterministically.
 
@@ -128,8 +129,20 @@ def ivf_train(
     map-side broadcast join and the mean is one shuffle keyed on
     (cid, dim) — k*dim rows, trivially small.
 
+    ``sample_fraction`` runs the Lloyd refinement over a deterministic
+    hash sample of the corpus (mini-batch k-means): at 100 TB a 1%
+    sample trains centroids of equivalent quality while each iteration
+    scans 1% of the data; probe correctness never depends on centroid
+    quality (only recall-at-nprobe does).  None = full-corpus Lloyd.
+
     Returns a DataFrame (centroid_id, centroid: array<double>).
     """
+    train_df = df
+    if sample_fraction is not None:
+        train_df = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), 10_000)
+            < int(round(sample_fraction * 10_000))
+        )
     cent = (
         df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(n_centroids)
@@ -148,7 +161,7 @@ def ivf_train(
     # don't lazily recompute the whole Lloyd chain per consumer
     cent = cent.localCheckpoint(eager=True)
     for _ in range(iters):
-        assigned = _ivf_assign(df, cent, 1, id_col, vec_col).select(
+        assigned = _ivf_assign(train_df, cent, 1, id_col, vec_col).select(
             "centroid_id", vec_col
         )
         cent = (
@@ -226,6 +239,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` inverted lists whose
     centroids are nearest each query, instead of scanning the corpus.
@@ -240,7 +254,10 @@ def ivf_topk(
 
     Output matches ``quantized_dot_topk``: (query_id, neighbor_id, dot, rnk).
     """
-    cent = ivf_train(emb, n_centroids, iters, id_col, vec_col, seed)
+    cent = ivf_train(
+        emb, n_centroids, iters, id_col, vec_col, seed,
+        sample_fraction=sample_fraction,
+    )
     corpus = _ivf_assign(emb, cent, 1, id_col, vec_col)
     q = _ivf_assign(
         emb.filter(F.col(id_col) < n_queries), cent, nprobe, id_col, vec_col

@@ -803,3 +803,20 @@ def test_prepare_training_corpus_stages(spark):
     for r in by_start:
         assert r["pack_id"] == run // 40 and r["pack_off"] == run % 40
         run += r["n_tokens"]
+
+
+def test_ivf_sample_trained_still_exact_at_full_probe(spark):
+    """Mini-batch training (deterministic hash sample) changes centroid
+    QUALITY, never probe correctness: at nprobe == n_centroids the result
+    equals brute force regardless of where centroids landed."""
+    from evm_archive_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bf = [tuple(r) for r in similarity.quantized_dot_topk(emb, 5, 3).collect()]
+    ivf = [
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, 5, 3, n_centroids=8, nprobe=8, sample_fraction=0.3
+        ).collect()
+    ]
+    assert ivf == bf
