@@ -94,6 +94,72 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len_x10: int = 20,
+    max_mean_word_len_x10: int = 120,
+    max_symbol_word_ratio_x10: int = 1,
+    min_alpha_word_ratio_x10: int = 7,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021 §A1.1):
+    per-rule boolean columns plus a composite ``keep``.
+
+    Ratio thresholds are integer-scaled (x10) and evaluated by integer
+    cross-multiplication (``total_len*10 >= min_x10*n_words`` instead of
+    ``total_len/n_words >= min``), so every rule is exact integer
+    arithmetic — deterministic across engines and hash-stable for parity
+    gates.  All pure Column expressions: map-side only, zero shuffles,
+    whole-stage codegen at 100 TB.
+
+    Rules (names match output columns):
+      r_words     min_words <= word count <= max_words
+      r_mean_len  mean word length in [min, max] (x10 scaled)
+      r_symbol    words containing '#' or '...' <= ratio threshold
+      r_alpha     words containing [A-Za-z] >= ratio threshold
+      r_stop      at least min_stop_hits English stopword occurrences
+    """
+    t = tokens(text_col)
+    n_words = F.size(t).cast("long")
+    total_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_sym = F.size(
+        F.filter(t, lambda w: w.contains("#") | w.contains("..."))
+    ).cast("long")
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = stopword_hits(text_col, "en")
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "total_len": total_len,
+            "n_sym": n_sym,
+            "n_alpha": n_alpha,
+            "n_stop": n_stop,
+        }
+    )
+    c = F.col
+    rules = {
+        "r_words": (c("n_words") >= min_words) & (c("n_words") <= max_words),
+        "r_mean_len": (
+            c("total_len") * 10 >= min_mean_word_len_x10 * c("n_words")
+        )
+        & (c("total_len") * 10 <= max_mean_word_len_x10 * c("n_words")),
+        "r_symbol": c("n_sym") * 10 <= max_symbol_word_ratio_x10 * c("n_words"),
+        "r_alpha": c("n_alpha") * 10 >= min_alpha_word_ratio_x10 * c("n_words"),
+        "r_stop": c("n_stop") >= min_stop_hits,
+    }
+    out = out.withColumns(rules)
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword language-ID heuristic: argmax of per-language
     stopword hit counts (CJK detected by codepoint range first).  Pure

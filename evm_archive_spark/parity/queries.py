@@ -2466,6 +2466,72 @@ _add(
 )
 
 
+def _q_gopher(spark, sf_dir):
+    """Gopher-style rule filter (textanalysis.gopher_rules): every rule is
+    integer cross-multiplied arithmetic, so the booleans are exact on both
+    engines; cast to BIGINT 0/1 for hash-stable output."""
+    from ..operators.textanalysis import gopher_rules
+
+    register_testdata(spark, sf_dir, ["documents"])
+    g = gopher_rules(spark.table("documents"), min_words=12)
+    return g.select(
+        "doc_id",
+        "n_words",
+        "total_len",
+        "n_sym",
+        "n_alpha",
+        "n_stop",
+        *[
+            F.col(r).cast("long").alias(r)
+            for r in ("r_words", "r_mean_len", "r_symbol", "r_alpha", "r_stop", "keep")
+        ],
+    ).orderBy("doc_id")
+
+
+def _gopher_oracle() -> str:
+    from ..operators.textanalysis import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return (
+        r"WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
+        "AS toks FROM documents), "
+        "s AS (SELECT doc_id, "
+        "CAST(len(toks) AS BIGINT) AS n_words, "
+        "CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) "
+        "AS BIGINT) AS total_len, "
+        "CAST(len(list_filter(toks, w -> contains(w, '#') OR "
+        "contains(w, '...'))) AS BIGINT) AS n_sym, "
+        "CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) "
+        "AS BIGINT) AS n_alpha, "
+        f"CAST(len(list_filter(toks, w -> lower(w) IN ({stop}))) "
+        "AS BIGINT) AS n_stop FROM t), "
+        "r AS (SELECT *, "
+        "n_words >= 12 AND n_words <= 100000 AS b_words, "
+        "total_len*10 >= 20*n_words AND total_len*10 <= 120*n_words "
+        "AS b_mean_len, "
+        "n_sym*10 <= 1*n_words AS b_symbol, "
+        "n_alpha*10 >= 7*n_words AS b_alpha, "
+        "n_stop >= 2 AS b_stop FROM s) "
+        "SELECT doc_id, n_words, total_len, n_sym, n_alpha, n_stop, "
+        "CAST(b_words AS BIGINT) AS r_words, "
+        "CAST(b_mean_len AS BIGINT) AS r_mean_len, "
+        "CAST(b_symbol AS BIGINT) AS r_symbol, "
+        "CAST(b_alpha AS BIGINT) AS r_alpha, "
+        "CAST(b_stop AS BIGINT) AS r_stop, "
+        "CAST(b_words AND b_mean_len AND b_symbol AND b_alpha AND b_stop "
+        "AS BIGINT) AS keep "
+        "FROM r ORDER BY doc_id NULLS FIRST"
+    )
+
+
+_add(
+    "q_gopher",
+    _q_gopher,
+    _gopher_oracle(),
+    "Gopher rule-based quality filter (integer cross-multiplied ratios)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -311,6 +311,35 @@ def test_quality_score_bounds(spark):
     assert out[1]["q_stop_ratio_en"] > 0.3
 
 
+def test_gopher_rules(spark):
+    good = "the cat sat on the mat and the dog lay down by the door today"
+    df = spark.createDataFrame(
+        [
+            (1, good),  # passes everything
+            (2, "short text here"),  # fails r_words (min 5 with default ok; use min_words below)
+            (3, "### ### " + good),  # symbol words push r_symbol over 0.1
+            (4, "1 2 3 4 5 6 7 8 9 10 11 12"),  # fails r_alpha and r_stop
+            (5, "the of " + "a " * 3 + "to in is on"),  # mean word len < 2.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textanalysis.gopher_rules(df, min_words=5).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["r_words"] is False and out[2]["keep"] is False
+    assert out[3]["r_symbol"] is False
+    assert out[4]["r_alpha"] is False and out[4]["r_stop"] is False
+    assert out[5]["r_mean_len"] is False
+    # integer cross-multiplication: mean-len boundary is exact (10 words x
+    # mean exactly 2.0 -> total_len*10 == 20*n_words passes the >= bound)
+    bdf = spark.createDataFrame([(1, "ab " * 9 + "ab")], ["doc_id", "text"])
+    brow = textanalysis.gopher_rules(bdf, min_words=5).collect()[0]
+    assert brow["total_len"] == 20 and brow["n_words"] == 10
+    assert brow["r_mean_len"] is True
+
+
 def test_fingerprint_whitespace_sensitivity(spark):
     df = spark.createDataFrame(
         [(1, "abcdefgh" * 4), (2, "abcdefgh" * 4), (3, "zyxwvuts" * 4)],
