@@ -251,6 +251,54 @@ def tfidf_topk(
     )
 
 
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram frequency table ``(term, term_count)`` over the
+    normalized word terms.  One explode + one shuffle on term — the
+    map-side partial aggregation makes the shuffle carry only distinct
+    (partition, term) pairs, so at 100 TB this moves the vocabulary, not
+    the token stream."""
+    return (
+        df.select(F.explode(word_terms(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("term_count"))
+    )
+
+
+def commonness_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document unigram commonness — an exact-integer analog of the
+    CCNet-style LM quality filter: rank documents by how frequent their
+    words are in the corpus (rare-word-heavy docs are outliers; all-filler
+    docs score uniformly high).  Emits sufficient statistics only
+    (``n_terms, sum_term_count, min_term_count`` — all BIGINT), so the
+    result is engine-exact; any float scoring (e.g. mean log frequency)
+    is a downstream projection.
+
+    Plan shape: explode -> join to the vocab (broadcastable when the
+    vocabulary is small; AQE decides) -> re-aggregate by document.  The
+    vocab may be precomputed/persisted and passed in (the 100 TB path:
+    score a new shard against a frozen corpus vocabulary without
+    rescanning the corpus).  Documents with zero terms are absent from
+    the output (inner-join semantics).
+    """
+    if vocab is None:
+        vocab = unigram_counts(df, text_col)
+    tok = df.select(F.col(id_col), F.explode(word_terms(text_col)).alias("term"))
+    return (
+        tok.join(vocab, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("term_count").cast("long").alias("sum_term_count"),
+            F.min("term_count").cast("long").alias("min_term_count"),
+        )
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2532,6 +2532,32 @@ _add(
 )
 
 
+def _q_commonness(spark, sf_dir):
+    """CCNet-style unigram commonness scoring as exact-integer sufficient
+    statistics (textanalysis.commonness_stats)."""
+    from ..operators.textanalysis import commonness_stats
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return commonness_stats(spark.table("documents")).orderBy("doc_id")
+
+
+_add(
+    "q_commonness",
+    _q_commonness,
+    "WITH tok AS ("
+    "  SELECT doc_id, unnest(list_filter("
+    "    string_split_regex(lower(text), '[^a-z]+'), x -> length(x) >= 3)) "
+    "AS term FROM documents), "
+    "v AS (SELECT term, COUNT(*) AS term_count FROM tok GROUP BY 1) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, "
+    "CAST(SUM(term_count) AS BIGINT) AS sum_term_count, "
+    "CAST(MIN(term_count) AS BIGINT) AS min_term_count "
+    "FROM tok JOIN v USING (term) GROUP BY doc_id "
+    "ORDER BY doc_id NULLS FIRST",
+    "unigram commonness quality stats (corpus-frequency join-back)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -340,6 +340,38 @@ def test_gopher_rules(spark):
     assert brow["r_mean_len"] is True
 
 
+def test_commonness_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "zz"),  # all terms < 3 chars -> no output row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in textanalysis.commonness_stats(df).collect()
+    }
+    # vocab: apple=3, banana=1, cherry=1
+    assert out[1]["n_terms"] == 3
+    assert out[1]["sum_term_count"] == 3 + 1 + 3
+    assert out[1]["min_term_count"] == 1
+    assert out[2]["sum_term_count"] == 3 + 1
+    assert out[2]["min_term_count"] == 1
+    assert 3 not in out  # zero-term docs drop (inner join)
+    # frozen-vocab path: score doc 2 against an external vocabulary
+    vocab = spark.createDataFrame(
+        [("apple", 100), ("cherry", 2)], ["term", "term_count"]
+    )
+    frozen = {
+        r["doc_id"]: r
+        for r in textanalysis.commonness_stats(
+            df.filter(F.col("doc_id") == 2), vocab=vocab
+        ).collect()
+    }
+    assert frozen[2]["sum_term_count"] == 102
+
+
 def test_fingerprint_whitespace_sensitivity(spark):
     df = spark.createDataFrame(
         [(1, "abcdefgh" * 4), (2, "abcdefgh" * 4), (3, "zyxwvuts" * 4)],
