@@ -134,6 +134,25 @@ def test_pack_row_window_is_shard_partitioned(spark):
     assert "hashpartitioning(_shard#" in plan
 
 
+def test_commonness_vocab_join_broadcasts_and_aggregates_partially(spark):
+    """commonness_stats: the corpus-frequency vocab must reach the token
+    stream as a broadcast join (AQE decides from the runtime vocab size —
+    pin the final adaptive plan), and both aggregations must have map-side
+    partial stages so the shuffles carry distinct keys, not the token
+    stream."""
+    df = _BYNAME["q_commonness"].spark(spark, SF_DIR)
+    df.collect()  # materialize so explain shows the AQE final plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin Inner BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count(1)" in plan  # vocab count is map-side partial
+    assert "partial_sum(term_count" in plan  # per-doc agg likewise
+
+
 def test_decontam_broadcasts_eval_and_matched_ids(spark):
     """decontaminate: eval grams broadcast into a semi join, matched ids
     broadcast into the anti join — the corpus is never sort-merge joined
