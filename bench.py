@@ -48,6 +48,9 @@ HEADLINE = [
     "q_decontam",
     "q_mix",
     "q_corpus_pipeline",
+    # quality-filter family (round 2 late)
+    "q_gopher",
+    "q_commonness",
 ]
 
 

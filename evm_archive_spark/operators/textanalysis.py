@@ -364,6 +364,142 @@ def repetition_features(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """Exact substring-duplication signal — the ExactSubstr criterion of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") approximated at word ``n``-gram granularity: for each
+    document, how many token positions start a word n-gram that occurs
+    more than once anywhere in the corpus (including elsewhere in the same
+    document).
+
+    Output per document (all exact BIGINT):
+      ``n_positions``      number of n-gram start positions (tokens-n+1)
+      ``n_dup_positions``  positions whose n-gram is globally non-unique
+      ``dup_frac_ppm``     floor(n_dup_positions * 1e6 / n_positions)
+
+    Plan shape at 100 TB: grams are exploded map-side and immediately
+    md5-hashed, so the global-occurrence shuffle carries 32-byte digests,
+    never the gram strings (the q_minhash_md5 convention).  The global
+    count is a window over the gram hash — ONE shuffle on the digest, no
+    counts-table self-join — followed by one keyed shuffle back to doc id
+    with partial aggregation.  A true suffix-array ExactSubstr is
+    character-exact but needs a global sort of every suffix; the word-gram
+    window formulation is the Spark-native approximation that keeps the
+    corpus scan linear.
+    """
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    cnt = F.size(t) - (n - 1)
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                cnt >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), cnt),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    occ = grams.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    dup = (
+        occ.filter(F.col("occ") > 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_positions"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(cnt.cast("long"), F.lit(0).cast("long")).alias(
+            "n_positions"
+        ),
+    )
+    return base.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_positions",
+        F.coalesce("n_dup_positions", F.lit(0).cast("long")).alias(
+            "n_dup_positions"
+        ),
+        F.when(F.col("n_positions") > 0, F.floor(
+            F.coalesce("n_dup_positions", F.lit(0))
+            * 1_000_000
+            / F.col("n_positions")
+        )).otherwise(F.lit(0).cast("long")).alias("dup_frac_ppm"),
+    )
+
+
+# Boilerplate phrases the C4 cleanup drops documents for (Raffel et al.
+# 2020 §2.2) — matched case-insensitively as substrings.
+C4_BOILERPLATE: tuple[str, ...] = (
+    "lorem ipsum",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    badwords: tuple[str, ...] = (),
+    min_words: int = 5,
+    max_word_len: int = 1000,
+) -> DataFrame:
+    """C4-style document cleanup rules (Raffel et al. 2020 §2.2): per-rule
+    boolean columns plus a composite ``keep``.  Complements
+    ``gopher_rules`` (statistical thresholds) with C4's content rules:
+
+      r_min_words  at least ``min_words`` whitespace tokens
+      r_word_len   no token longer than ``max_word_len`` chars (C4 drops
+                   lines with words > 1000 chars — concatenated junk)
+      r_badwords   no token is in the lowercase ``badwords`` list
+      r_brace      no '{' anywhere (C4's code/JSON page filter)
+      r_boiler     none of the C4_BOILERPLATE phrases appear (lowercased)
+
+    All pure Column expressions over one tokenization — map-side only,
+    zero shuffles, whole-stage codegen with the parquet scan; keep/drop is
+    exact string/integer logic, bit-identical on every engine and
+    partitioning.
+    """
+    t = tokens(text_col)
+    lower = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    bad_arr = F.array(*[F.lit(w) for w in badwords])
+    rules: dict[str, F.Column] = {
+        "r_min_words": F.size(t) >= min_words,
+        "r_word_len": F.size(
+            F.filter(t, lambda w: F.length(w) > max_word_len)
+        ) == 0,
+        "r_badwords": (
+            F.lit(True)
+            if not badwords
+            else F.size(
+                F.filter(t, lambda w: F.array_contains(bad_arr, F.lower(w)))
+            ) == 0
+        ),
+        "r_brace": ~lower.contains("{"),
+        "r_boiler": F.lit(True),
+    }
+    boiler = F.lit(False)
+    for phrase in C4_BOILERPLATE:
+        boiler = boiler | lower.contains(phrase)
+    rules["r_boiler"] = ~boiler
+    out = df.withColumns(rules)
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def word_ngrams(col, n: int) -> F.Column:
     """Distinct word n-grams (space-joined) of a text column — the unit of
     benchmark-decontamination matching.  Pure array expressions."""

@@ -372,6 +372,64 @@ def test_commonness_stats(spark):
     assert frozen[2]["sum_term_count"] == 102
 
 
+def test_duplicate_span_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # shares gram "a b c d" with doc 2
+            (2, "a b c d x y"),
+            (3, "p q r s t u"),     # unique grams
+            (4, "m m m m m m m"),   # self-repeating: all grams identical
+            (5, "one two"),          # shorter than n -> 0 positions
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textanalysis.duplicate_span_stats(df, n=4).collect()
+    }
+    # doc1 grams: abcd bcde cdef; only abcd duplicated (in doc2)
+    assert out[1]["n_positions"] == 3 and out[1]["n_dup_positions"] == 1
+    assert out[2]["n_dup_positions"] == 1
+    assert out[3]["n_dup_positions"] == 0 and out[3]["dup_frac_ppm"] == 0
+    # doc4: 4 positions, all the same gram "m m m m" -> all duplicated
+    assert out[4]["n_positions"] == 4 and out[4]["n_dup_positions"] == 4
+    assert out[4]["dup_frac_ppm"] == 1_000_000
+    assert out[5]["n_positions"] == 0 and out[5]["dup_frac_ppm"] == 0
+    assert out[1]["dup_frac_ppm"] == 333_333  # floor(1e6/3)
+
+
+def test_c4_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),            # clean
+            (2, "the cat sat on the damn mat"),       # badword
+            (3, "see our privacy policy for details and things"),  # boiler
+            (4, 'var x = {"k": 1} and some more words here'),      # brace
+            (5, "supercalifragilisticexpialidocious word pad pad pad pad"),
+            (6, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textanalysis.c4_rules(
+            df, badwords=("damn",), min_words=5, max_word_len=20
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["r_badwords"] is False and out[2]["keep"] is False
+    assert out[3]["r_boiler"] is False
+    assert out[4]["r_brace"] is False
+    assert out[5]["r_word_len"] is False
+    assert out[6]["r_min_words"] is False
+    # no badwords configured -> rule is constant-true, others unaffected
+    out2 = {
+        r["doc_id"]: r
+        for r in textanalysis.c4_rules(df, min_words=5).collect()
+    }
+    assert out2[2]["r_badwords"] is True
+
+
 def test_fingerprint_whitespace_sensitivity(spark):
     df = spark.createDataFrame(
         [(1, "abcdefgh" * 4), (2, "abcdefgh" * 4), (3, "zyxwvuts" * 4)],
