@@ -51,6 +51,8 @@ HEADLINE = [
     # quality-filter family (round 2 late)
     "q_gopher",
     "q_commonness",
+    "q_dupspan",
+    "q_quantize",
 ]
 
 

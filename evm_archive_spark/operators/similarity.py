@@ -109,6 +109,113 @@ def quantized_dot_topk(
     )
 
 
+_MILLI = "transform({v}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def quantize_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[int], list[int]]:
+    """Per-dimension (min, max) of the milli-quantized corpus — the
+    training pass of scalar quantization.
+
+    One aggregation job: posexplode is map-side, the shuffle keys on the
+    dimension index (d distinct keys) with partial min/max combine, and
+    only 2*d scalars reach the driver — the frozen-stats analog of
+    ``commonness_stats``' frozen vocab.  At 100 TB run this once (or over
+    ``df.sample``), persist the lists, and pass them to
+    ``scalar_quantize(stats=...)`` so scoring a new shard is one scan.
+    """
+    rows = (
+        df.select(
+            F.posexplode(F.expr(_MILLI.format(v=vec_col))).alias("dim", "m")
+        )
+        .groupBy("dim")
+        .agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    return [int(r["mn"]) for r in rows], [int(r["mx"]) for r in rows]
+
+
+def scalar_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    levels: int = 256,
+    stats: tuple[list[int], list[int]] | None = None,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Per-dimension scalar quantization of float embeddings into
+    ``levels`` integer codes (int8 range when ``levels<=256``) — the
+    IVF-SQ memory-reduction path: a float32 corpus stores 4 bytes/dim,
+    codes store 1, so a 100 TB embedding store probes from 25 TB.
+
+    Elements are first floor-quantized at 1e3 (the suite's exact-integer
+    convention, see ``_QDOT``), then mapped to
+    ``floor((m - mn) * (levels-1) / max(mx - mn, 1))`` with per-dimension
+    (mn, mx) from ``quantize_stats``.  After the (tiny) stats job the
+    quantization itself is a pure ``zip_with`` against an array literal of
+    d structs — map-side, whole-stage codegen, zero shuffles over the
+    corpus; exact integer output, deterministic on every engine and
+    partitioning.
+    """
+    if stats is None:
+        stats = quantize_stats(df, vec_col)
+    mins, maxs = stats
+    rng = F.array(
+        *[
+            F.struct(
+                F.lit(int(mn)).cast("long").alias("mn"),
+                F.lit(int(mx)).cast("long").alias("mx"),
+            )
+            for mn, mx in zip(mins, maxs)
+        ]
+    )
+    milli = F.expr(_MILLI.format(v=vec_col))
+    codes = F.zip_with(
+        milli,
+        rng,
+        lambda m, s: F.floor(
+            (m - s["mn"])
+            * (levels - 1)
+            / F.greatest(s["mx"] - s["mn"], F.lit(1))
+        ).cast("long"),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def dequantize_milli(
+    codes_col: str,
+    stats: tuple[list[int], list[int]],
+    levels: int = 256,
+) -> F.Column:
+    """Reconstruct milli-unit values from codes (centre of each cell is
+    not needed for ranking; the low edge keeps arithmetic exact):
+    ``mn + code * max(mx - mn, 1) / (levels-1)`` floored to BIGINT.
+    Reconstruction error per element is bounded by the cell width
+    ``(mx - mn) / (levels-1)`` milli-units."""
+    mins, maxs = stats
+    rng = F.array(
+        *[
+            F.struct(
+                F.lit(int(mn)).cast("long").alias("mn"),
+                F.lit(int(mx)).cast("long").alias("mx"),
+            )
+            for mn, mx in zip(mins, maxs)
+        ]
+    )
+    return F.zip_with(
+        F.col(codes_col),
+        rng,
+        lambda c, s: (
+            s["mn"]
+            + F.floor(
+                c * F.greatest(s["mx"] - s["mn"], F.lit(1)) / (levels - 1)
+            )
+        ).cast("long"),
+    )
+
+
 def ivf_train(
     df: DataFrame,
     n_centroids: int = 16,

@@ -372,6 +372,57 @@ def test_commonness_stats(spark):
     assert frozen[2]["sum_term_count"] == 102
 
 
+def test_scalar_quantize_bounds_and_reconstruction(spark):
+    from evm_archive_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    stats = similarity.quantize_stats(emb)
+    mins, maxs = stats
+    dim = len(mins)
+    q = similarity.scalar_quantize(emb, stats=stats)
+    recon = q.withColumn(
+        "recon", similarity.dequantize_milli("codes", stats)
+    ).withColumn(
+        "milli",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ),
+    )
+    # one action: per-row max |recon - milli|, code range, dims
+    agg = recon.select(
+        F.size("codes").alias("d"),
+        F.array_max("codes").alias("cmax"),
+        F.array_min("codes").alias("cmin"),
+        F.array_max(
+            F.zip_with("recon", "milli", lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        F.zip_with("recon", "milli", lambda a, b: F.abs(a - b)).alias(
+            "errs"
+        ),
+    ).collect()
+    cell = [max(mx - mn, 1) / 255 for mn, mx in zip(mins, maxs)]
+    for r in agg:
+        assert r["d"] == dim
+        assert 0 <= r["cmin"] and r["cmax"] <= 255
+        # per-dim reconstruction error bounded by the cell width (+1 for
+        # the two floors)
+        for j, e in enumerate(r["errs"]):
+            assert e <= cell[j] + 1
+    # frozen stats -> identical codes regardless of partitioning
+    a = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.scalar_quantize(emb, stats=stats).collect()
+    }
+    b = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.scalar_quantize(
+            emb.repartition(7), stats=stats
+        ).collect()
+    }
+    assert a == b
+
+
 def test_duplicate_span_stats(spark):
     df = spark.createDataFrame(
         [
