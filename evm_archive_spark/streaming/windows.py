@@ -63,10 +63,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn(
             "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
         )
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP_NTZ fixtures (micros, not UTC-adjusted): watermarks and
+        # session windows require TIMESTAMP (LTZ).  Session tz is pinned to
+        # UTC, so the cast preserves the wall-clock values the batch oracle
+        # (and DuckDB) computes on the naive timestamps.
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
