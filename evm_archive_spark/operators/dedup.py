@@ -461,3 +461,79 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# line-level dedup (RefinedWeb / MassiveText style)
+# --------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    delimiter: str = "\n",
+    min_occurrences: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the RefinedWeb / MassiveText
+    cleanup stage): drop every line that occurs at least
+    ``min_occurrences`` times anywhere in the corpus, then reassemble each
+    document with line order preserved.  Boilerplate lines (navigation,
+    cookie banners, license headers) repeat across millions of pages, and
+    removing them per-line beats dropping whole documents.
+
+    Lines shorter than ``min_line_chars`` characters (after trim) are
+    exempt — blank lines and one-character separators repeat naturally and
+    carry no boilerplate signal.
+
+    Output: one row per input document with
+      ``text``       the reassembled document (duplicated lines removed)
+      ``n_lines``    original line count (BIGINT)
+      ``n_removed``  lines dropped (BIGINT)
+
+    Plan shape at 100 TB: lines explode map-side and are immediately
+    md5-hashed, so the global-occurrence shuffle carries 32-byte digests,
+    never the line text (the q_dupspan convention, one shuffle); the
+    reassembly is one keyed shuffle back to the document id where
+    collect_list + array_sort restores line order without a global sort.
+    Two shuffles total, both on compact keys — the minimum for any
+    corpus-global line statistic.
+    """
+    import re as _re
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(c, _re.escape(delimiter))).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("__h", F.md5(F.col("line")))
+    )
+    occ = lines.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    )
+    removed = (F.col("occ") >= min_occurrences) & (
+        F.length(F.trim(F.col("line"))) >= min_line_chars
+    )
+    flagged = occ.withColumn("__rm", removed)
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__rm"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__rm").cast("long")).alias("n_removed"),
+    )

@@ -2690,6 +2690,71 @@ _add(
 )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level dedup (dedup.line_dedup, the RefinedWeb /
+    MassiveText boilerplate-removal stage).  The synthetic corpus has no
+    newlines, so the gate first chunks each document into 8-word lines —
+    identical deterministic preprocessing on both engines — then removes
+    every line occurring >= 2 times corpus-wide and reassembles in order.
+    Output is hash-stable: md5 of the reassembled text plus exact BIGINT
+    line counts."""
+    from ..operators.dedup import line_dedup
+    from ..operators.textanalysis import tokens
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    t = tokens("text")
+    nch = F.floor((F.size(t) + 7) / 8).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(1), nch),
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, (i - 1) * 8 + 1, F.lit(8))
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = line_dedup(chunked, min_occurrences=2, min_line_chars=1)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+_add(
+    "q_line_dedup",
+    _q_line_dedup,
+    r"WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
+    "AS toks FROM documents), "
+    "d AS (SELECT doc_id, list_transform(generate_series(1, "
+    "CAST((len(toks)+7)//8 AS INT)), "
+    "i -> array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ')) AS lines "
+    "FROM t), "
+    "l AS (SELECT doc_id, i AS pos, lines[i] AS line FROM d, "
+    "UNNEST(generate_series(1, len(lines))) u(i)), "
+    "o AS (SELECT doc_id, pos, line, "
+    "COUNT(*) OVER (PARTITION BY md5(line)) AS occ FROM l), "
+    "f AS (SELECT doc_id, pos, line, "
+    "(occ >= 2 AND length(trim(line)) >= 1) AS rm FROM o), "
+    "g AS (SELECT doc_id, "
+    "string_agg(CASE WHEN NOT rm THEN line END, chr(10) ORDER BY pos) "
+    "AS txt, COUNT(*) AS n_lines, "
+    "SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS n_removed FROM f "
+    "GROUP BY doc_id) "
+    "SELECT doc_id, md5(COALESCE(txt, '')) AS text_md5, "
+    "CAST(n_lines AS BIGINT) AS n_lines, "
+    "CAST(n_removed AS BIGINT) AS n_removed "
+    "FROM g ORDER BY doc_id NULLS FIRST",
+    "corpus-wide line-level dedup with in-order reassembly "
+    "(RefinedWeb boilerplate removal; digest-keyed occurrence window)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

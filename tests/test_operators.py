@@ -990,3 +990,48 @@ def test_ivf_sample_trained_still_exact_at_full_probe(spark):
         ).collect()
     ]
     assert ivf == bf
+
+
+def test_line_dedup_removes_repeated_lines_preserving_order(spark):
+    from evm_archive_spark.operators.dedup import line_dedup
+
+    boiler = "accept our cookie policy"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{boiler}\nunique tail one"),
+            (2, f"{boiler}\nbeta two"),
+            (3, "gamma three\n\nunique tail three"),
+            (4, "delta four\n"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, min_occurrences=2, min_line_chars=1)
+        .collect()
+    }
+    # the boilerplate line occurs twice corpus-wide -> removed everywhere,
+    # remaining lines keep their original order
+    assert out[1]["text"] == "alpha one\nunique tail one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "beta two"
+    # blank lines repeat (docs 3 and 4) but fall under min_line_chars -> kept
+    assert out[3]["text"] == "gamma three\n\nunique tail three"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text"] == "delta four\n"
+
+
+def test_line_dedup_min_occurrences_threshold(spark):
+    from evm_archive_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "twice\nthrice") for i in (1, 2)] + [(3, "thrice\nsolo")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(docs, min_occurrences=3).collect()
+    }
+    # 'thrice' appears 3x -> removed; 'twice' only 2x -> kept
+    assert out[1] == "twice"
+    assert out[3] == "solo"
