@@ -1,0 +1,185 @@
+"""Deterministic Bloom-filter membership for corpus-scale set tests
+(north-star extension; complements ``textanalysis.decontaminate``).
+
+``decontaminate`` broadcasts the *exact* benchmark n-gram set; that is the
+right call up to a few hundred MB of grams.  Past that, the scale path is a
+Bloom filter (Bloom 1970): k hashed bit positions per member, OR-ed into an
+m-bit array.  The filter is ~10 bits/member at 1% false-positive rate, so a
+billion-gram eval suite compresses to ~1.2 GB — broadcastable where the
+gram set itself is not — and membership tests stay map-side over the
+corpus scan (false positives only, never false negatives: safe for
+decontamination, which over-drops slightly rather than leaking).
+
+Portability is the design constraint here: positions derive from
+``md5(i || ':' || value)`` (first 8 hex digits → int, mod m), the same
+digest idiom the parity suite already uses for hash splits and minhash
+(q_split / q_minhash_md5), so an independent engine (the DuckDB oracle)
+reproduces the filter bit-for-bit.  Words are 32 bits wide so every shift
+stays far from BIGINT sign trouble on any engine.
+
+Plan shape at 100 TB: building the filter is one explode + one groupBy on
+``word`` (tiny domain, m/32 rows); probing with the dense form is pure
+Column logic fused into the corpus scan — zero shuffles.  The join-based
+probe (for filters too big to inline) broadcasts the sparse (word, bits)
+table and pays one groupBy back to the row id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+WORD_BITS = 32
+
+
+def _col(c) -> F.Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _mask(bit: F.Column) -> F.Column:
+    """``1 << bit`` for a Column bit index: element_at over a 32-entry mask
+    literal (the Python shiftleft wrapper only takes int shift amounts)."""
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(WORD_BITS)])
+    return F.element_at(masks, bit.cast("int") + 1)
+
+
+def bloom_positions(col, *, num_bits: int, num_hashes: int) -> F.Column:
+    """Array of ``num_hashes`` bit positions (BIGINT in [0, num_bits)) for a
+    string value — the portable md5 family ``h_i = md5(i ':' value)``."""
+    c = _col(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", i.cast("string"), c)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % num_bits,
+    )
+
+
+def bloom_build(
+    df: DataFrame, col, *, num_bits: int = 1 << 20, num_hashes: int = 5
+) -> DataFrame:
+    """Build the sparse filter: one row per touched 32-bit word,
+    ``(word BIGINT, bits BIGINT)``.  One explode (map-side) + one groupBy
+    on the tiny word domain."""
+    pos = df.select(
+        F.explode(
+            bloom_positions(col, num_bits=num_bits, num_hashes=num_hashes)
+        ).alias("p")
+    )
+    return pos.groupBy(
+        F.floor(F.col("p") / WORD_BITS).cast("long").alias("word")
+    ).agg(F.bit_or(_mask(F.col("p") % WORD_BITS)).alias("bits"))
+
+
+def bloom_dense(bloom_df: DataFrame, *, num_bits: int) -> list[int]:
+    """Collect the sparse filter into a dense word list (driver-side; the
+    filter is small by construction — this is the broadcast payload)."""
+    n_words = (num_bits + WORD_BITS - 1) // WORD_BITS
+    dense = [0] * n_words
+    for r in bloom_df.collect():
+        dense[int(r["word"])] = int(r["bits"])
+    return dense
+
+
+def bloom_contains(
+    col, dense: list[int], *, num_bits: int, num_hashes: int
+) -> F.Column:
+    """Boolean Column: value's k positions are all set in the dense filter.
+    Pure expression (array literal + element_at) — fuses into the scan.
+    Suitable up to ~1M bits; beyond that use ``bloom_might_contain_join``."""
+    arr = F.array(*[F.lit(w).cast("long") for w in dense])
+    c = _col(col)
+    return F.forall(
+        bloom_positions(c, num_bits=num_bits, num_hashes=num_hashes),
+        lambda p: (
+            F.element_at(
+                arr, (F.floor(p / WORD_BITS) + 1).cast("int")
+            ).bitwiseAND(_mask(p % WORD_BITS))
+            != 0
+        ),
+    )
+
+
+def bloom_might_contain_join(
+    df: DataFrame,
+    col,
+    bloom_df: DataFrame,
+    *,
+    id_col: str,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Membership via broadcast join against the sparse filter — the path
+    for filters too large to inline as a literal.  Explodes k rows per
+    input, broadcast-joins (word → bits), and requires all k hits; one
+    groupBy on ``id_col`` brings it back to row grain with column
+    ``maybe_member``."""
+    pos = df.select(
+        F.col(id_col),
+        _col(col).alias("__v"),
+        F.explode(
+            bloom_positions(col, num_bits=num_bits, num_hashes=num_hashes)
+        ).alias("p"),
+    ).withColumn("word", F.floor(F.col("p") / WORD_BITS).cast("long"))
+    joined = pos.join(F.broadcast(bloom_df), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long"))
+        .bitwiseAND(_mask(F.col("p") % WORD_BITS))
+        != 0
+    )
+    return joined.groupBy(id_col, "__v").agg(
+        F.min(hit.cast("int")).cast("boolean").alias("maybe_member")
+    ).drop("__v")
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: build the filter
+    from the eval set's distinct word n-grams, then flag every corpus
+    document containing ANY maybe-member gram.  Per document:
+
+      ``n_grams``             distinct n-grams probed (BIGINT)
+      ``n_hits``              grams the filter reports present (BIGINT)
+      ``maybe_contaminated``  n_hits > 0
+
+    False positives over-flag (never under-flag) — the safe direction.
+    The probe is map-side (dense filter inlined); the only shuffles are
+    the tiny filter build."""
+    from .textanalysis import word_ngrams
+
+    bloom = bloom_build(
+        eval_df.select(
+            F.explode(word_ngrams(text_col, n)).alias("g")
+        ).distinct(),
+        "g",
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+    )
+    dense = bloom_dense(bloom, num_bits=num_bits)
+    grams = word_ngrams(text_col, n)
+    hits = F.size(
+        F.filter(
+            grams,
+            lambda g: bloom_contains(
+                g, dense, num_bits=num_bits, num_hashes=num_hashes
+            ),
+        )
+    ).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        hits.alias("n_hits"),
+        (hits > 0).alias("maybe_contaminated"),
+    )

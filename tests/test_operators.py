@@ -1035,3 +1035,58 @@ def test_line_dedup_min_occurrences_threshold(spark):
     # 'thrice' appears 3x -> removed; 'twice' only 2x -> kept
     assert out[1] == "twice"
     assert out[3] == "solo"
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from evm_archive_spark.operators.bloom import (
+        bloom_build, bloom_contains, bloom_dense,
+    )
+    import pyspark.sql.functions as F
+
+    members = [(f"member-{i}",) for i in range(200)]
+    others = [(f"absent-{i}",) for i in range(500)]
+    mdf = spark.createDataFrame(members, "v string")
+    bits, k = 1 << 13, 5
+    dense = bloom_dense(
+        bloom_build(mdf, "v", num_bits=bits, num_hashes=k), num_bits=bits
+    )
+    probe = spark.createDataFrame(members + others, "v string").select(
+        "v",
+        bloom_contains("v", dense, num_bits=bits, num_hashes=k).alias("hit"),
+    )
+    rows = {r["v"]: r["hit"] for r in probe.collect()}
+    # guarantee: every member hits
+    assert all(rows[v] for v, in members)
+    # 8192 bits / 200 members at k=5 -> FP rate well under 5%
+    fps = sum(rows[v] for v, in others)
+    assert fps < 25, fps
+
+
+def test_bloom_join_path_matches_dense_path(spark):
+    from evm_archive_spark.operators.bloom import (
+        bloom_build, bloom_contains, bloom_dense, bloom_might_contain_join,
+    )
+    import pyspark.sql.functions as F
+
+    mdf = spark.createDataFrame([(f"m{i}",) for i in range(50)], "v string")
+    bits, k = 1 << 10, 4
+    bloom = bloom_build(mdf, "v", num_bits=bits, num_hashes=k)
+    dense = bloom_dense(bloom, num_bits=bits)
+    probe = spark.createDataFrame(
+        [(i, f"m{i}") for i in range(40, 60)] + [(100 + i, f"x{i}") for i in range(30)],
+        "id int, v string",
+    )
+    via_dense = {
+        r["id"]: r["hit"]
+        for r in probe.select(
+            "id",
+            bloom_contains("v", dense, num_bits=bits, num_hashes=k).alias("hit"),
+        ).collect()
+    }
+    via_join = {
+        r["id"]: r["maybe_member"]
+        for r in bloom_might_contain_join(
+            probe, "v", bloom, id_col="id", num_bits=bits, num_hashes=k
+        ).collect()
+    }
+    assert via_dense == via_join
