@@ -679,3 +679,101 @@ def lsh_near_duplicates(
         )
     )
     return pairs.filter(F.col("cosine") >= threshold).orderBy("id_a", "id_b")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 37,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus, then
+    remove within-cluster semantic near-duplicates, keeping one
+    representative per duplicate relation.  Clustering makes the quadratic
+    pair search local — O(sum |cluster|^2) instead of O(n^2) — which is
+    the entire scale story of the method.
+
+    This implementation is exact-integer end to end (the parity-gate
+    requirement): vectors are milli-quantized, cluster assignment is
+    argmax of the *integer dot* against a deterministic centroid set
+    (corpus members with ``id % centroid_mod == 0``; ties to the lowest
+    centroid id), and the near-dup decision is the division-free
+    quantized-cosine rule of ``cosine_near_duplicate_pairs``.  A row is
+    dropped ("keep" false) when any lower-id member of its cluster is
+    cosine-similar above ``threshold_num/threshold_den`` — the minimal
+    deterministic keep-one rule (for transitive-closure survivors compose
+    with ``dedup.dedup_survivors`` instead).  At production scale pass
+    k-means centroids (``ivf_train``) — any deterministic centroid set
+    keeps the result reproducible; dot-argmax equals cosine-argmax for
+    the unit-norm embeddings SemDeDup operates on.
+
+    Plan shape at 100 TB: the centroid set is packed into one broadcast
+    row and assignment folds over it inside codegen (no row expansion, no
+    shuffle — the ``_ivf_assign`` idiom); the only corpus shuffles are the
+    within-cluster self-join on ``centroid_id`` and the loser anti-join.
+
+    Output: (id_col, centroid_id BIGINT, keep BOOLEAN), one row per input.
+    """
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(_QUANT.format(v=vec_col)).alias("__e"),
+        F.expr(
+            _IDOT.format(
+                a=_QUANT.format(v=vec_col), b=_QUANT.format(v=vec_col)
+            )
+        ).alias("__n2"),
+    )
+    cents = q.filter(F.col("__id") % centroid_mod == 0).select(
+        F.col("__id").alias("centroid_id"), F.col("__e").alias("centroid")
+    )
+    packed = cents.agg(
+        F.expr("sort_array(collect_list(struct(centroid_id, centroid)))")
+        .alias("__cents")
+    )
+    dot_c = _IDOT.format(a="__e", b="c.centroid")
+    argmax = (
+        f"(-array_max(transform(__cents, c -> named_struct("
+        f"'d', {dot_c}, 'ncid', -CAST(c.centroid_id AS BIGINT)))).ncid)"
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(packed))
+        .withColumn("centroid_id", F.expr(argmax).cast("long"))
+        .drop("__cents")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    qd = F.expr(_IDOT.format(a="a.__e", b="b.__e"))
+    losers = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("b.__id").alias("__loser"),
+            qd.alias("__qd"),
+            F.col("a.__n2").alias("__na"),
+            F.col("b.__n2").alias("__nb"),
+        )
+        .filter(
+            (F.col("__qd") > 0)
+            & (
+                F.col("__qd") * F.col("__qd") * F.lit(threshold_den**2)
+                >= F.lit(threshold_num**2) * F.col("__na") * F.col("__nb")
+            )
+        )
+        .select("__loser")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            losers, assigned["__id"] == losers["__loser"], "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("centroid_id"),
+            F.col("__loser").isNull().alias("keep"),
+        )
+    )

@@ -1090,3 +1090,29 @@ def test_bloom_join_path_matches_dense_path(spark):
         ).collect()
     }
     assert via_dense == via_join
+
+
+def test_semantic_dedup_planted_within_cluster_dup(spark):
+    from evm_archive_spark.operators.similarity import semantic_dedup
+
+    base = [0.0] * 8
+    a = [1.0, 0.2, 0.0, 0.1, 0.0, 0.0, 0.3, 0.0]
+    a_dup = [0.99, 0.21, 0.0, 0.1, 0.0, 0.01, 0.3, 0.0]
+    b = [0.0, 0.1, 1.0, 0.0, 0.2, 0.0, 0.0, 0.4]
+    rows = [(0, a), (1, b), (5, a_dup), (7, [-v for v in b])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, centroid_mod=1, threshold_num=19, threshold_den=20
+        ).collect()
+    }
+    # centroid_mod=1 -> every row is a centroid; each assigns to itself
+    # (max dot) except exact-duplicate directions
+    # planted near-identical pair (0, 5): the higher id loses
+    assert out[0]["keep"] is True
+    assert out[5]["keep"] is False
+    # dissimilar rows survive
+    assert out[1]["keep"] is True and out[7]["keep"] is True
+    # the duplicate pair lands in the same cluster
+    assert out[0]["centroid_id"] == out[5]["centroid_id"]
