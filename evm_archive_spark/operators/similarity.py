@@ -777,3 +777,164 @@ def semantic_dedup(
             F.col("__loser").isNull().alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ / ADC)
+# --------------------------------------------------------------------------
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sample_mod: int = 37,
+) -> list[list[tuple[list[int], int]]]:
+    """Deterministic PQ codebook: the milli-quantized subvectors of the
+    corpus members with ``id % sample_mod == 0`` (ordered by id) serve as
+    codewords — the same deterministic-seeding convention as
+    ``semantic_dedup``; swap in k-means sub-codebooks at production scale,
+    the encode/score path is agnostic.  Returns
+    ``codebook[s][j] = (milli subvector, its squared norm)`` — a tiny
+    driver-side structure (k*d integers), the broadcast payload."""
+    rows = (
+        df.filter(F.col(id_col) % sample_mod == 0)
+        .select(F.expr(_QUANT.format(v=vec_col)).alias("e"))
+        .orderBy(F.col(id_col))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty training sample")
+    d = len(rows[0]["e"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    book: list[list[tuple[list[int], int]]] = []
+    for s in range(m):
+        sub = []
+        for r in rows:
+            cw = [int(x) for x in r["e"][s * dsub : (s + 1) * dsub]]
+            sub.append((cw, sum(x * x for x in cw)))
+        book.append(sub)
+    return book
+
+
+def _int_dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[tuple[list[int], int]]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as ``m`` codeword indices — nearest codeword per
+    subspace by exact-integer L2 (``|c|^2 - 2 x·c``; ties to the lowest
+    index).  A float32 corpus at dim 64 stores 256 B/vector; PQ codes at
+    m=8 store 8 B — the 32x reduction that lets a 100 TB embedding store
+    scan from ~3 TB.  The encode is a pure Column expression against
+    codeword literals: map-side, zero shuffles, codegen-fused with the
+    scan (the ``scalar_quantize`` plan shape)."""
+    m = len(codebook)
+    dsub = len(codebook[0][0][0])
+    milli = F.expr(_QUANT.format(v=vec_col))
+    codes = []
+    for s in range(m):
+        xs = F.slice(milli, s * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(n2).cast("long")
+                        - 2
+                        * _int_dot(
+                            xs,
+                            F.array(
+                                *[F.lit(x).cast("long") for x in cw]
+                            ),
+                        )
+                    ).alias("dist"),
+                    F.lit(j).cast("long").alias("j"),
+                )
+                for j, (cw, n2) in enumerate(codebook[s])
+            ]
+        )
+        codes.append(F.array_min(cands)["j"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    sample_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k (Jégou et al. 2011): queries score against
+    the 8-byte codes, not the vectors.  Per query the lookup table
+    ``lut[s][j] = q_s · c_j`` is built once (m*k integers); the corpus
+    side folds codes through the broadcast LUT — approximate dot =
+    ``sum_s lut[s][code_s]`` — so the scan reads only the code column and
+    never touches the float embeddings.  All arithmetic is exact BIGINT on
+    milli-quantized values; the approximation error is purely the codebook
+    quantization, so results are engine-reproducible (hash-gateable).
+
+    Output matches ``quantized_dot_topk``: (query_id, neighbor_id, dot,
+    rnk) — dot is the ADC approximation."""
+    book = pq_train(
+        emb, id_col=id_col, vec_col=vec_col, m=m, sample_mod=sample_mod
+    )
+    dsub = len(book[0][0][0])
+    coded = pq_encode(emb, book, vec_col=vec_col)
+    milli = F.expr(_QUANT.format(v=vec_col))
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _int_dot(
+                        F.slice(milli, s * dsub + 1, dsub),
+                        F.array(*[F.lit(x).cast("long") for x in cw]),
+                    )
+                    for cw, _ in book[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), lut.alias("__lut")
+    )
+    scored = (
+        coded.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("pq_codes"),
+                    F.col("__lut"),
+                    lambda c, l: F.element_at(l, (c + 1).cast("int")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -2869,6 +2869,88 @@ _add(
 )
 
 
+_PQ_COMMON_SQL = (
+    "WITH q AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e "
+    "FROM embeddings), "
+    "tr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e "
+    "FROM q WHERE vec_id % 37 = 0), "
+    "sp AS (SELECT unnest(generate_series(0, 7)) AS s), "
+    "enc AS (SELECT q.vec_id, sp.s, tr.j, "
+    "list_sum(list_transform(generate_series(1, 8), "
+    "i -> tr.e[sp.s*8+i]*tr.e[sp.s*8+i])) "
+    "- 2*list_sum(list_transform(generate_series(1, 8), "
+    "i -> q.e[sp.s*8+i]*tr.e[sp.s*8+i])) AS dist "
+    "FROM q CROSS JOIN sp CROSS JOIN tr), "
+    "best AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j, "
+    "row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn "
+    "FROM enc) WHERE rn = 1)"
+)
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (similarity.pq_train/pq_encode): m=8
+    subspaces, deterministic sampled codebook (vec_id % 37), nearest
+    codeword by exact-integer L2.  Full 500x8 code matrix hash-checked."""
+    from ..operators.similarity import pq_encode, pq_train
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    book = pq_train(emb)
+    return (
+        pq_encode(emb, book)
+        .select("vec_id", F.posexplode("pq_codes").alias("subspace", "code"))
+        .select(
+            "vec_id",
+            F.col("subspace").cast("long").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+        )
+        .orderBy("vec_id", "subspace")
+    )
+
+
+_add(
+    "q_pq_codes",
+    _q_pq_codes,
+    _PQ_COMMON_SQL + " "
+    "SELECT vec_id, CAST(s AS BIGINT) AS subspace, CAST(j AS BIGINT) AS code "
+    "FROM best ORDER BY vec_id NULLS FIRST, s NULLS FIRST",
+    "product-quantization codes (deterministic sampled codebook, "
+    "exact-integer nearest codeword per subspace)",
+)
+
+
+def _q_pq_topk(spark, sf_dir):
+    """PQ/ADC approximate top-k (similarity.pq_topk, Jégou et al. 2011):
+    per-query lookup tables over codeword dots, corpus scored through its
+    8-byte codes only.  Exact BIGINT arithmetic makes the approximation
+    itself hash-checkable."""
+    from ..operators.similarity import pq_topk
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    return pq_topk(spark.table("embeddings"), n_queries=10, k=5)
+
+
+_add(
+    "q_pq_topk",
+    _q_pq_topk,
+    _PQ_COMMON_SQL + ", "
+    "lut AS (SELECT qq.vec_id AS query_id, sp.s, tr.j, "
+    "list_sum(list_transform(generate_series(1, 8), "
+    "i -> qq.e[sp.s*8+i]*tr.e[sp.s*8+i])) AS d "
+    "FROM q qq CROSS JOIN sp CROSS JOIN tr WHERE qq.vec_id < 10), "
+    "sc AS (SELECT l.query_id, b.vec_id AS neighbor_id, SUM(l.d) AS dot "
+    "FROM best b JOIN lut l ON l.s = b.s AND l.j = b.j "
+    "WHERE b.vec_id <> l.query_id GROUP BY 1, 2), "
+    "rk AS (SELECT query_id, neighbor_id, dot, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk FROM sc) "
+    "SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS dot, "
+    "CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= 5 "
+    "ORDER BY query_id NULLS FIRST, rnk NULLS FIRST",
+    "PQ/ADC approximate top-k through 8-byte codes (broadcast LUT fold)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

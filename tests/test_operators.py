@@ -1116,3 +1116,36 @@ def test_semantic_dedup_planted_within_cluster_dup(spark):
     assert out[1]["keep"] is True and out[7]["keep"] is True
     # the duplicate pair lands in the same cluster
     assert out[0]["centroid_id"] == out[5]["centroid_id"]
+
+
+def test_pq_training_members_encode_to_their_own_codeword(spark):
+    from evm_archive_spark.operators.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    book = pq_train(emb, m=8, sample_mod=11)
+    coded = {
+        r["vec_id"]: r["pq_codes"]
+        for r in pq_encode(emb, book).collect()
+    }
+    train_ids = sorted(i for i in coded if i % 11 == 0)
+    for rank, vid in enumerate(train_ids):
+        # a training member's nearest codeword in every subspace is itself
+        # (dist = -|x|^2, the unique minimum unless another codeword ties)
+        assert coded[vid] == [rank] * 8, (vid, coded[vid])
+
+
+def test_pq_adc_topk_recall_vs_exact(spark):
+    from evm_archive_spark.operators.similarity import (
+        pq_topk, quantized_dot_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = quantized_dot_topk(emb, n_queries=5, k=10)
+    approx = pq_topk(emb, n_queries=5, k=10, sample_mod=11)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # ADC through an 11-sample codebook over near-orthogonal synthetic
+    # vectors is the PQ worst case: measured recall 0.24 vs a random
+    # baseline of k/(n-1) ~= 0.02.  Pin "informative", not "good".
+    assert recall >= 0.1, recall
