@@ -2951,6 +2951,90 @@ _add(
 )
 
 
+def _q_cms(spark, sf_dir):
+    """Count-min sketch (sketches.cms_build/cms_estimate): depth-3,
+    width-64 sketch over the corpus token stream — deliberately narrow so
+    hash collisions produce real overestimates, which the oracle must
+    reproduce exactly.  Output: per distinct token, the CMS estimate next
+    to the true count."""
+    from ..operators.sketches import cms_build, cms_dense, cms_estimate
+
+    register_testdata(spark, sf_dir, ["documents"])
+    tok = spark.table("documents").select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    dense = cms_dense(
+        cms_build(tok, "t", width=64, depth=3), width=64, depth=3
+    )
+    true = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        true.select(
+            F.col("t").alias("token"),
+            cms_estimate("t", dense).alias("cms_est"),
+            F.col("true_cnt"),
+        )
+        .orderBy("token")
+    )
+
+
+_add(
+    "q_cms",
+    _q_cms,
+    r"WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) "
+    "AS t FROM documents), "
+    "pos AS (SELECT j, CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || "
+    "':' || t), 1, 8)) AS BIGINT) % 64 AS p FROM tok, "
+    "UNNEST(generate_series(1, 3)) u(j)), "
+    "cnt AS (SELECT j, p, COUNT(*) AS c FROM pos GROUP BY j, p), "
+    "vocab AS (SELECT t, COUNT(*) AS true_cnt FROM tok GROUP BY t), "
+    "vp AS (SELECT v.t, v.true_cnt, u.j, "
+    "CAST(('0x' || substring(md5(CAST(u.j AS VARCHAR) || ':' || v.t), 1, "
+    "8)) AS BIGINT) % 64 AS p FROM vocab v, "
+    "UNNEST(generate_series(1, 3)) u(j)), "
+    "est AS (SELECT vp.t, vp.true_cnt, MIN(cnt.c) AS cms_est "
+    "FROM vp JOIN cnt ON cnt.j = vp.j AND cnt.p = vp.p "
+    "GROUP BY vp.t, vp.true_cnt) "
+    "SELECT t AS token, CAST(cms_est AS BIGINT) AS cms_est, "
+    "CAST(true_cnt AS BIGINT) AS true_cnt "
+    "FROM est ORDER BY token NULLS FIRST",
+    "count-min sketch point estimates vs true counts (collision-exact: "
+    "the overestimates themselves are hash-checked)",
+)
+
+
+def _q_hll(spark, sf_dir):
+    """HyperLogLog register table (sketches.hll_registers): b=6 (64
+    buckets) over the corpus token stream.  rho extraction is integer-
+    exact (binary-string trailing-zero strip, no float log anywhere), so
+    the full register matrix is hash-comparable."""
+    from ..operators.sketches import hll_registers
+
+    register_testdata(spark, sf_dir, ["documents"])
+    tok = spark.table("documents").select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    return hll_registers(tok, "t", b=6).orderBy("bucket")
+
+
+_add(
+    "q_hll",
+    _q_hll,
+    r"WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) "
+    "AS t FROM documents), "
+    "h AS (SELECT CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS hv "
+    "FROM tok), "
+    "r AS (SELECT hv % 64 AS bucket, hv // 64 AS w FROM h), "
+    "rho AS (SELECT bucket, CASE WHEN w = 0 THEN 55 ELSE "
+    "length(bin(w)) - length(regexp_replace(bin(w), '0+$', '')) + 1 END "
+    "AS rho FROM r) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, "
+    "CAST(MAX(rho) AS BIGINT) AS maxrho "
+    "FROM rho GROUP BY bucket ORDER BY bucket NULLS FIRST",
+    "HyperLogLog register matrix (integer-exact rho via binary "
+    "trailing-zero strip; registers merge by MAX)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -1149,3 +1149,75 @@ def test_pq_adc_topk_recall_vs_exact(spark):
     # vectors is the PQ worst case: measured recall 0.24 vs a random
     # baseline of k/(n-1) ~= 0.02.  Pin "informative", not "good".
     assert recall >= 0.1, recall
+
+
+def test_pq_encode_arrow_matches_expr_bit_for_bit(spark):
+    from evm_archive_spark.operators.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    book = pq_train(emb, sample_mod=11)
+    a = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(emb, book, impl="arrow").collect()
+    }
+    e = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(emb, book, impl="expr").collect()
+    }
+    assert a == e
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from evm_archive_spark.operators.sketches import (
+        cms_build, cms_dense, cms_estimate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    w, d = 64, 3
+    dense = cms_dense(cms_build(tok, "t", width=w, depth=d), width=w, depth=d)
+    true = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    rows = true.select(
+        "t", "c", cms_estimate("t", dense).alias("est")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["est"] >= r["c"], (r["t"], r["est"], r["c"])
+    # shard-merge property: sketches over two halves sum to the whole
+    h1 = tok.limit(0)  # build from split by hash instead: deterministic
+    a = tok.filter(F.crc32("t") % 2 == 0)
+    b = tok.filter(F.crc32("t") % 2 == 1)
+    from collections import Counter
+    whole = Counter()
+    for part in (a, b):
+        cms = cms_build(part, "t", width=w, depth=d)
+        for r in cms.collect():
+            whole[(r["j"], r["p"])] += r["c"]
+    full = {
+        (r["j"], r["p"]): r["c"]
+        for r in cms_build(tok, "t", width=w, depth=d).collect()
+    }
+    assert dict(whole) == full
+
+
+def test_hll_estimate_within_tolerance(spark):
+    from evm_archive_spark.operators.sketches import (
+        hll_estimate, hll_registers,
+    )
+
+    vals = spark.range(0, 5000).selectExpr("CAST(id AS STRING) AS v")
+    regs = hll_registers(vals, "v", b=8)
+    est = hll_estimate(regs, b=8)
+    # standard error ~1.04/sqrt(256) ~= 6.5%; allow 3 sigma
+    assert abs(est - 5000) / 5000 < 0.2, est
+    # registers merge by MAX across shards
+    a = hll_registers(vals.filter("CAST(v AS INT) % 2 = 0"), "v", b=8)
+    b_ = hll_registers(vals.filter("CAST(v AS INT) % 2 = 1"), "v", b=8)
+    merged = (
+        a.union(b_)
+        .groupBy("bucket")
+        .agg(F.max("maxrho").alias("maxrho"))
+    )
+    m1 = {(r["bucket"], r["maxrho"]) for r in merged.collect()}
+    m2 = {(r["bucket"], r["maxrho"]) for r in regs.collect()}
+    assert m1 == m2
