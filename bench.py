@@ -53,6 +53,12 @@ HEADLINE = [
     "q_commonness",
     "q_dupspan",
     "q_quantize",
+    # round-2 resumed: line dedup, bloom decontam, semantic dedup, PQ
+    "q_line_dedup",
+    "q_bloom_decontam",
+    "q_semdedup",
+    "q_pq_topk",
+    "q_cms",
 ]
 
 

@@ -37,8 +37,10 @@ def _col(c) -> F.Column:
 
 def _mask(bit: F.Column) -> F.Column:
     """``1 << bit`` for a Column bit index: element_at over a 32-entry mask
-    literal (the Python shiftleft wrapper only takes int shift amounts)."""
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(WORD_BITS)])
+    literal (the Python shiftleft wrapper only takes int shift amounts).
+    ``F.lit(list)`` — a true Catalyst Literal, materialized once — not
+    ``F.array(*lits)``, whose CreateArray rebuilds the array per row."""
+    masks = F.lit([1 << b for b in range(WORD_BITS)]).cast("array<bigint>")
     return F.element_at(masks, bit.cast("int") + 1)
 
 
@@ -91,7 +93,7 @@ def bloom_contains(
     """Boolean Column: value's k positions are all set in the dense filter.
     Pure expression (array literal + element_at) — fuses into the scan.
     Suitable up to ~1M bits; beyond that use ``bloom_might_contain_join``."""
-    arr = F.array(*[F.lit(w).cast("long") for w in dense])
+    arr = F.lit([int(w) for w in dense]).cast("array<bigint>")
     c = _col(col)
     return F.forall(
         bloom_positions(c, num_bits=num_bits, num_hashes=num_hashes),
@@ -159,27 +161,34 @@ def bloom_decontaminate(
     the tiny filter build."""
     from .textanalysis import word_ngrams
 
+    # no .distinct() on the eval grams: duplicate Bloom inserts are
+    # idempotent (bit OR), so the dedup shuffle would be pure waste
     bloom = bloom_build(
-        eval_df.select(
-            F.explode(word_ngrams(text_col, n)).alias("g")
-        ).distinct(),
+        eval_df.select(F.explode(word_ngrams(text_col, n)).alias("g")),
         "g",
         num_bits=num_bits,
         num_hashes=num_hashes,
     )
     dense = bloom_dense(bloom, num_bits=num_bits)
-    grams = word_ngrams(text_col, n)
-    hits = F.size(
-        F.filter(
-            grams,
-            lambda g: bloom_contains(
-                g, dense, num_bits=num_bits, num_hashes=num_hashes
-            ),
-        )
-    ).cast("long")
-    return docs.select(
-        F.col(id_col),
-        F.size(grams).cast("long").alias("n_grams"),
-        hits.alias("n_hits"),
-        (hits > 0).alias("maybe_contaminated"),
+    # materialize the gram array once (its construction dominates the
+    # probe); n_hits is then referenced by name, never recomputed
+    g = docs.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("__grams")
     )
+    scored = g.select(
+        F.col(id_col),
+        F.size("__grams").cast("long").alias("n_grams"),
+        F.size(
+            F.filter(
+                F.col("__grams"),
+                lambda gg: bloom_contains(
+                    gg, dense, num_bits=num_bits, num_hashes=num_hashes
+                ),
+            )
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return scored.withColumn(
+        "maybe_contaminated", F.col("n_hits") > 0
+    ).drop("__grams")

@@ -834,40 +834,95 @@ def pq_encode(
     *,
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Encode each vector as ``m`` codeword indices — nearest codeword per
     subspace by exact-integer L2 (``|c|^2 - 2 x·c``; ties to the lowest
     index).  A float32 corpus at dim 64 stores 256 B/vector; PQ codes at
     m=8 store 8 B — the 32x reduction that lets a 100 TB embedding store
-    scan from ~3 TB.  The encode is a pure Column expression against
-    codeword literals: map-side, zero shuffles, codegen-fused with the
-    scan (the ``scalar_quantize`` plan shape)."""
+    scan from ~3 TB.
+
+    Both impls are map-side, zero-shuffle, and bit-identical (pinned by
+    test): the argmin-over-codebook inner loop is the one place the
+    built-in operators lose — higher-order functions interpret their
+    lambdas per element, ~5 ms/vector at k=55, so ``impl='arrow'``
+    (default) runs the scan through a vectorized int64 numpy matmul in
+    Arrow batches (~100x) while ``impl='expr'`` keeps the pure Column
+    formulation as the dependency-free reference."""
+    if impl == "arrow":
+        return _pq_encode_arrow(df, codebook, vec_col, out_col)
     m = len(codebook)
     dsub = len(codebook[0][0][0])
+    k = len(codebook[0])
     milli = F.expr(_QUANT.format(v=vec_col))
     codes = []
     for s in range(m):
+        # one nested Literal per subspace (k x dsub codewords + k norms) —
+        # a true constant, materialized once; per-codeword F.array/F.lit
+        # expression nodes would rebuild per row and melt codegen at
+        # realistic k
         xs = F.slice(milli, s * dsub + 1, dsub)
-        cands = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(n2).cast("long")
-                        - 2
-                        * _int_dot(
-                            xs,
-                            F.array(
-                                *[F.lit(x).cast("long") for x in cw]
-                            ),
-                        )
-                    ).alias("dist"),
-                    F.lit(j).cast("long").alias("j"),
-                )
-                for j, (cw, n2) in enumerate(codebook[s])
-            ]
+        cb = F.lit([[int(x) for x in cw] for cw, _ in codebook[s]]).cast(
+            "array<array<bigint>>"
+        )
+        n2 = F.lit([int(n) for _, n in codebook[s]]).cast("array<bigint>")
+        cands = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.struct(
+                (
+                    F.element_at(n2, (j + 1).cast("int"))
+                    - 2
+                    * _int_dot(xs, F.element_at(cb, (j + 1).cast("int")))
+                ).alias("dist"),
+                j.cast("long").alias("j"),
+            ),
         )
         codes.append(F.array_min(cands)["j"])
     return df.withColumn(out_col, F.array(*codes))
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    codebook: list[list[tuple[list[int], int]]],
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Arrow-batched encode: per batch one ``X_s @ C_s^T`` int64 matmul
+    per subspace + argmin (numpy argmin takes the first minimum = lowest
+    index, matching the expr path's tie rule).  Quantization is
+    ``floor(float64(x) * 1000)`` — the identical IEEE operations the JVM
+    expression performs, so outputs are bit-equal."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebook)
+    dsub = len(codebook[0][0][0])
+    cbs = [
+        np.array([cw for cw, _ in sub], dtype=np.int64) for sub in codebook
+    ]
+    n2s = [
+        np.array([n2 for _, n2 in sub], dtype=np.int64) for sub in codebook
+    ]
+
+    # explicit Series->Series hints (real objects, not the module's
+    # postponed string annotations, which pandas_udf cannot resolve here)
+    def _enc(vs):
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        X = np.array(
+            [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64
+        )
+        Xm = np.floor(X * 1000.0).astype(np.int64)
+        out = np.empty((len(vs), m), dtype=np.int64)
+        for s in range(m):
+            Xs = Xm[:, s * dsub : (s + 1) * dsub]
+            D = n2s[s][None, :] - 2 * (Xs @ cbs[s].T)
+            out[:, s] = np.argmin(D, axis=1)
+        return pd.Series(list(out))
+
+    _enc.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    enc = F.pandas_udf(_enc, "array<bigint>")
+    return df.withColumn(out_col, enc(F.col(vec_col)))
 
 
 def pq_topk(
@@ -897,20 +952,19 @@ def pq_topk(
     dsub = len(book[0][0][0])
     coded = pq_encode(emb, book, vec_col=vec_col)
     milli = F.expr(_QUANT.format(v=vec_col))
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _int_dot(
-                        F.slice(milli, s * dsub + 1, dsub),
-                        F.array(*[F.lit(x).cast("long") for x in cw]),
-                    )
-                    for cw, _ in book[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
+    def _sub_lut(s: int) -> F.Column:
+        cb = F.lit([[int(x) for x in cw] for cw, _ in book[s]]).cast(
+            "array<array<bigint>>"
+        )
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(len(book[s]) - 1)),
+            lambda j: _int_dot(
+                F.slice(milli, s * dsub + 1, dsub),
+                F.element_at(cb, (j + 1).cast("int")),
+            ),
+        )
+
+    lut = F.array(*[_sub_lut(s) for s in range(m)])
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), lut.alias("__lut")
     )

@@ -162,3 +162,67 @@ def test_decontam_broadcasts_eval_and_matched_ids(spark):
     assert "BroadcastHashJoin LeftAnti BuildRight" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_is_map_side_zero_shuffle(spark):
+    """PQ encode must fuse into the scan: codeword literals, no exchange,
+    no join — the scalar_quantize plan shape."""
+    from evm_archive_spark.operators.similarity import pq_encode, pq_train
+    import contextlib, io
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    book = pq_train(emb, sample_mod=41)
+    coded = pq_encode(emb, book)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        coded.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_bloom_dense_probe_is_map_side(spark):
+    """The dense Bloom probe is a pure Column expression over the corpus
+    scan — the only exchanges in a decontamination job belong to the tiny
+    filter build, never the probe side."""
+    from evm_archive_spark.operators.bloom import (
+        bloom_build, bloom_contains, bloom_dense,
+    )
+    import contextlib, io
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter("doc_id % 23 = 0").select(F.col("text").alias("v"))
+    bits, k = 1 << 12, 4
+    dense = bloom_dense(
+        bloom_build(ev, "v", num_bits=bits, num_hashes=k), num_bits=bits
+    )
+    probe = docs.select(
+        "doc_id",
+        bloom_contains("text", dense, num_bits=bits, num_hashes=k).alias(
+            "hit"
+        ),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_assignment_fold_has_no_expansion(spark):
+    """Cluster assignment folds over one packed broadcast row: the corpus
+    side must reach its self-join with no row-expanding explode/window and
+    only broadcast exchanges before the centroid_id shuffle."""
+    from evm_archive_spark.operators.similarity import semantic_dedup
+    import contextlib, io
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold_num=2, threshold_den=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" not in plan          # no explode of centroids
+    assert "CartesianProduct" not in plan  # packed row broadcast, not NLJ
