@@ -162,24 +162,18 @@ def scalar_quantize(
     if stats is None:
         stats = quantize_stats(df, vec_col)
     mins, maxs = stats
-    rng = F.array(
-        *[
-            F.struct(
-                F.lit(int(mn)).cast("long").alias("mn"),
-                F.lit(int(mx)).cast("long").alias("mx"),
-            )
-            for mn, mx in zip(mins, maxs)
-        ]
-    )
+    # flat F.lit literals (materialized once), not a per-row CreateArray
+    # of structs; the (mx - mn) spans fold into the literal driver-side
+    mn_lit = F.lit([int(mn) for mn in mins]).cast("array<bigint>")
+    span_lit = F.lit(
+        [max(int(mx) - int(mn), 1) for mn, mx in zip(mins, maxs)]
+    ).cast("array<bigint>")
     milli = F.expr(_MILLI.format(v=vec_col))
+    shifted = F.zip_with(milli, mn_lit, lambda m, mn: m - mn)
     codes = F.zip_with(
-        milli,
-        rng,
-        lambda m, s: F.floor(
-            (m - s["mn"])
-            * (levels - 1)
-            / F.greatest(s["mx"] - s["mn"], F.lit(1))
-        ).cast("long"),
+        shifted,
+        span_lit,
+        lambda s, span: F.floor(s * (levels - 1) / span).cast("long"),
     )
     return df.withColumn(out_col, codes)
 
@@ -195,25 +189,16 @@ def dequantize_milli(
     Reconstruction error per element is bounded by the cell width
     ``(mx - mn) / (levels-1)`` milli-units."""
     mins, maxs = stats
-    rng = F.array(
-        *[
-            F.struct(
-                F.lit(int(mn)).cast("long").alias("mn"),
-                F.lit(int(mx)).cast("long").alias("mx"),
-            )
-            for mn, mx in zip(mins, maxs)
-        ]
-    )
-    return F.zip_with(
+    mn_lit = F.lit([int(mn) for mn in mins]).cast("array<bigint>")
+    span_lit = F.lit(
+        [max(int(mx) - int(mn), 1) for mn, mx in zip(mins, maxs)]
+    ).cast("array<bigint>")
+    scaled = F.zip_with(
         F.col(codes_col),
-        rng,
-        lambda c, s: (
-            s["mn"]
-            + F.floor(
-                c * F.greatest(s["mx"] - s["mn"], F.lit(1)) / (levels - 1)
-            )
-        ).cast("long"),
+        span_lit,
+        lambda c, span: F.floor(c * span / (levels - 1)).cast("long"),
     )
+    return F.zip_with(scaled, mn_lit, lambda s, mn: (s + mn).cast("long"))
 
 
 def ivf_train(
