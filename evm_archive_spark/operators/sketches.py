@@ -117,10 +117,23 @@ def hll_registers(df: DataFrame, col, *, b: int = 8) -> DataFrame:
     The rho extraction stays integer-exact on every engine: trailing
     zeros are counted by stripping the binary string's trailing '0's with
     a regex — no float log2 anywhere."""
+    bucket, rho = hll_bucket_rho(col, b=b)
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+
+
+def hll_bucket_rho(col, *, b: int = 8) -> tuple[F.Column, F.Column]:
+    """The (bucket, rho) Column pair underlying ``hll_registers`` —
+    exposed so streaming maintenance can reuse the identical extraction
+    (register state is a MAX aggregate, monotonic and order-insensitive,
+    which is what makes it streamable at all)."""
     m = 1 << b
     c = _col(col)
     h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-    bucket = (h % m).alias("bucket")
+    bucket = h % m
     # exact integer h >> b — an h/m double division would round: h is
     # 60-bit, doubles carry 53
     w = F.shiftright(h, b)
@@ -131,11 +144,7 @@ def hll_registers(df: DataFrame, col, *, b: int = 8) -> DataFrame:
     rho = F.when(w == 0, F.lit(HLL_HASH_BITS - b + 1)).otherwise(
         trail + 1
     ).cast("long")
-    return (
-        df.select(bucket, rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("maxrho"))
-    )
+    return bucket, rho
 
 
 def hll_estimate(registers: DataFrame, *, b: int = 8) -> float:

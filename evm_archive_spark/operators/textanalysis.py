@@ -589,3 +589,31 @@ def fingerprint(col, k: int = 8) -> F.Column:
         F.lit(0).cast("long"),
         lambda acc, h: F.xxhash64(acc, h),
     )
+
+
+def normalize_text(
+    col,
+    *,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+    lower: bool = False,
+) -> F.Column:
+    """Standard corpus text normalization (the cleanup stage C4/RefinedWeb
+    run before any hashing or dedup): strip non-whitespace control
+    characters, collapse whitespace runs to single spaces, trim, and
+    optionally case-fold.  Pure regexp/string Column expressions —
+    map-side, codegen-fused, and portable (the same patterns run on RE2
+    and Java regex engines, which the parity oracle exploits).
+
+    Order matters and is pinned: control-strip first (so a control char
+    between spaces cannot create a fresh run), then collapse, then trim,
+    then case-fold.  Normalize BEFORE fingerprinting/minhash — otherwise
+    whitespace variants of the same document hash apart."""
+    c = F.col(col) if isinstance(col, str) else col
+    if strip_control:
+        c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    if lower:
+        c = F.lower(c)
+    return c

@@ -242,3 +242,37 @@ def watermarked_tumbling_counts(
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n"
     ).orderBy("window_start", "event_type")
+
+
+def streaming_hll_registers(
+    spark: SparkSession, sf_dir: str, *, b: int = 6
+) -> DataFrame:
+    """Continuously-maintained distinct-count sketch: HLL registers as a
+    streaming aggregate over the document token stream.  Register state is
+    a per-bucket MAX — monotonic and order-insensitive — so the streaming
+    result is bit-identical to a batch recompute regardless of micro-batch
+    boundaries, and the state store holds exactly 2^b rows no matter how
+    much data has flowed (the sketch property that makes unbounded
+    cardinality tracking feasible at all).  Uses the identical
+    bucket/rho extraction as the batch operator (sketches.hll_bucket_rho),
+    which is what the q_st_hll gate pins."""
+    from ..operators.sketches import hll_bucket_rho
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok = sdf.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    bucket, rho = hll_bucket_rho("t", b=b)
+    regs = (
+        tok.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+    out = _run_to_memory(regs, "complete")
+    return out.orderBy("bucket")

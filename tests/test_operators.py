@@ -1221,3 +1221,18 @@ def test_hll_estimate_within_tolerance(spark):
     m1 = {(r["bucket"], r["maxrho"]) for r in merged.collect()}
     m2 = {(r["bucket"], r["maxrho"]) for r in regs.collect()}
     assert m1 == m2
+
+
+def test_normalize_text_order_and_flags(spark):
+    from evm_archive_spark.operators.textanalysis import normalize_text
+
+    df = spark.createDataFrame([("  A\tb\x01c \x0b d  ",)], "t string")
+    def run(**kw):
+        return df.select(normalize_text("t", **kw).alias("n")).collect()[0]["n"]
+    # control chars stripped BEFORE collapsing: \x01 splices 'b' and 'c'
+    assert run() == "A bc d"
+    assert run(lower=True) == "a bc d"
+    # without control-strip the \x01 survives inside a token
+    assert run(strip_control=False) == "A b\x01c d"
+    # without collapse the original runs survive (control still stripped)
+    assert run(collapse_whitespace=False) == "  A\tbc  d  "
