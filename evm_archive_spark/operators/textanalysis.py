@@ -617,3 +617,116 @@ def normalize_text(
     if lower:
         c = F.lower(c)
     return c
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_merges: int = 20,
+) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merges from a corpus (Sennrich et al.
+    2016), distributed the way BPE actually scales: ONE corpus pass
+    builds the weighted ``(word, count)`` vocabulary, and every merge
+    iteration then runs on that vocabulary table — O(|vocab|) per merge,
+    independent of corpus size, which is why training at 100 TB is cheap
+    while a naive per-document formulation would re-scan everything.
+
+    Within-word training (GPT-2 convention): each vocab word starts as a
+    character sequence; per iteration the highest-count adjacent symbol
+    pair merges, ties broken lexicographically (deterministic on every
+    engine and partitioning).  The vocab table is localCheckpoint-ed
+    between rounds (the connected_components idiom) so the merge-fold
+    lineage never stacks.
+
+    Returns the ordered merge list ``[(left, right), ...]``.
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.filter(F.split("w", "(?!^)"), lambda s: s != "").alias(
+                "syms"
+            ),
+            "n",
+        )
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("a"), b.alias("b")
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["cnt"] < 2:
+            break
+        a, b = pairs[0]["p"]["a"], pairs[0]["p"]["b"]
+        merges.append((a, b))
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(merged.alias("syms"), "n").localCheckpoint()
+    return merges
+
+
+def bpe_segment(col, merges: list[tuple[str, str]]) -> F.Column:
+    """Apply a learned merge list to a text column: per token, start from
+    characters and greedily apply each merge left-to-right in order —
+    exactly the training fold, so segmenting the training corpus with its
+    own merges reproduces the final training state.  Returns
+    ``array<array<string>>`` (symbols per token).
+
+    Implementation note: the chain is generated as a SQL expression with
+    explicit per-level lambda variable names — PySpark's Python-lambda
+    HOFs auto-name their variables and the resolver rejects the collision
+    once transform/aggregate nest three deep.  One fold per merge rule is
+    fine for rule lists in the tens; for production vocabularies segment
+    through an Arrow-batched UDF instead (the pq_encode split)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    inner = "filter(split(w, '(?!^)'), c0 -> c0 != '')"
+    for i, (a, b) in enumerate(merges):
+        inner = (
+            f"aggregate({inner}, CAST(array() AS ARRAY<STRING>), "
+            f"(acc{i}, s{i}) -> CASE WHEN size(acc{i}) > 0 "
+            f"AND element_at(acc{i}, -1) = {q(a)} AND s{i} = {q(b)} "
+            f"THEN concat(slice(acc{i}, 1, size(acc{i}) - 1), "
+            f"array({q(a + b)})) "
+            f"ELSE concat(acc{i}, array(s{i})) END)"
+        )
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise TypeError("bpe_segment requires a column name")
+    return F.expr(
+        f"transform(split(trim({name}), '\\\\s+'), w -> {inner})"
+    )

@@ -3109,6 +3109,72 @@ _add(
 )
 
 
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """Generate a fully independent DuckDB implementation of BPE merge
+    training as ``num_merges`` unrolled SQL stages.  Word symbol state is
+    a string of chr(31)-wrapped symbols, so one ``replace`` applies a
+    merge with exact greedy left-to-right semantics (wrapped pattern =
+    no false boundary matches; adjacent occurrences verified against the
+    fold semantics).  Assumes chr(31) never occurs in the corpus."""
+    sep = "chr(31)"
+    ctes = [
+        "w0 AS (SELECT w, COUNT(*) AS n FROM (SELECT "
+        r"unnest(string_split_regex(trim(text), '\s+')) AS w "
+        "FROM documents) WHERE length(w) > 0 GROUP BY w)",
+        "v0 AS (SELECT array_to_string(list_transform("
+        f"string_split_regex(w, ''), c -> {sep} || c || {sep}), '') "
+        "AS s, n FROM w0)",
+    ]
+    for i in range(num_merges):
+        ctes.append(
+            f"p{i} AS (SELECT t.sy[u.i] AS a, t.sy[u.i+1] AS b, "
+            f"SUM(t.n) AS cnt FROM (SELECT list_filter(string_split(s, "
+            f"{sep}), x -> x != '') AS sy, n FROM v{i}) t, "
+            "UNNEST(generate_series(1, len(t.sy)-1)) u(i) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT a, b FROM p{i} "
+            "ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i+1} AS (SELECT replace(s, "
+            f"{sep} || m.a || {sep} || {sep} || m.b || {sep}, "
+            f"{sep} || m.a || m.b || {sep}) AS s, n "
+            f"FROM v{i}, m{i} AS m)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a AS lhs, b AS rhs FROM m{i}"
+        for i in range(num_merges)
+    )
+    return "WITH " + ", ".join(ctes) + " " + finals + " ORDER BY rank"
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (textanalysis.bpe_train, Sennrich et
+    al. 2016): ONE corpus pass builds the weighted vocab; each merge then
+    costs O(|vocab|).  The oracle is an independent DuckDB replication of
+    the whole training loop (unrolled SQL stages), so the learned merge
+    list itself is hash-gated — ties broken (count desc, pair lexical
+    asc) identically on both engines."""
+    from ..operators.textanalysis import bpe_train
+
+    register_testdata(spark, sf_dir, ["documents"])
+    merges = bpe_train(spark.table("documents"), num_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, lhs string, rhs string",
+    ).orderBy("rank")
+
+
+_add(
+    "q_bpe_merges",
+    _q_bpe_merges,
+    _bpe_oracle_sql(8),
+    "BPE merge training on the weighted vocab table (oracle replays the "
+    "full training loop in unrolled SQL)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

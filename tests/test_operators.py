@@ -1236,3 +1236,59 @@ def test_normalize_text_order_and_flags(spark):
     assert run(strip_control=False) == "A b\x01c d"
     # without collapse the original runs survive (control still stripped)
     assert run(collapse_whitespace=False) == "  A\tbc  d  "
+
+
+def _bpe_python_reference(token_list, num_merges):
+    from collections import Counter
+
+    vocab = Counter(w for w in token_list if w)
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for w, n in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from evm_archive_spark.operators.textanalysis import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = [
+        w
+        for r in docs.select("text").collect()
+        for w in r["text"].strip().split()
+    ]
+    expect = _bpe_python_reference(toks, 10)
+    got = bpe_train(docs, num_merges=10)
+    assert got == expect
+
+
+def test_bpe_segment_greedy_left_to_right(spark):
+    from evm_archive_spark.operators.textanalysis import bpe_segment
+
+    df = spark.createDataFrame([("abc abab banana",)], "text string")
+    merges = [("a", "b"), ("ab", "c"), ("a", "n")]
+    seg = df.select(bpe_segment("text", merges).alias("s")).collect()[0]["s"]
+    assert [list(w) for w in seg] == [
+        ["abc"],            # ab then ab+c
+        ["ab", "ab"],       # adjacent pairs both merge
+        ["b", "an", "an", "a"],  # greedy an,an; trailing a alone
+    ]
