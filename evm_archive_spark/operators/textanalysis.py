@@ -730,3 +730,53 @@ def bpe_segment(col, merges: list[tuple[str, str]]) -> F.Column:
     return F.expr(
         f"transform(split(trim({name}), '\\\\s+'), w -> {inner})"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the RAG /
+    long-context training chunking stage): windows start every ``stride``
+    tokens and span ``chunk_tokens`` (the final window may be short; empty
+    documents produce no chunks).  ``stride < chunk_tokens`` gives
+    ``chunk_tokens - stride`` tokens of overlap so no boundary context is
+    lost.
+
+    Pure map-side: one tokenization, a sequence of window starts, and a
+    posexplode — no shuffle at any corpus size; chunk ids are
+    deterministic (0-based within document), so downstream dedup/indexing
+    keys on (doc_id, chunk_id) stably across reruns.
+
+    Output: (doc_id, chunk_id BIGINT, n_tokens BIGINT, text).
+    """
+    t = tokens(text_col)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # guard on trimmed length, not size(t): split('') yields [''], so an
+    # empty document would otherwise emit one empty chunk
+    starts = F.when(
+        F.length(F.trim(c)) > 0,
+        F.sequence(F.lit(1), F.size(t), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda st: F.struct(
+            F.concat_ws(" ", F.slice(t, st, chunk_tokens)).alias("text"),
+            F.least(
+                F.lit(chunk_tokens), F.size(t) - st + 1
+            ).cast("long").alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_id", "c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.text").alias("text"),
+    )

@@ -1292,3 +1292,20 @@ def test_bpe_segment_greedy_left_to_right(spark):
         ["ab", "ab"],       # adjacent pairs both merge
         ["b", "an", "an", "a"],  # greedy an,an; trailing a alone
     ]
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from evm_archive_spark.operators.textanalysis import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "   "), (4, "x")],
+        "doc_id int, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["text"]) for r in rows}
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "d e f g")   # one-token overlap
+    assert got[(1, 2)] == (1, "g")          # short tail window
+    assert (2, 0) not in got and (3, 0) not in got  # empty/blank: no chunks
+    assert got[(4, 0)] == (1, "x")
+    assert len(rows) == 4
