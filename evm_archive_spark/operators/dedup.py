@@ -230,28 +230,35 @@ def simhash(col, seed: int = 42, n_bits: int = 64, hash_fn=None) -> F.Column:
     if hash_fn is None:
         hash_fn = lambda t: F.xxhash64(t, F.lit(seed))  # noqa: E731
     hashes = F.transform(tokens, hash_fn)
-    # shift amounts must be static ints (shiftright takes no Column), so the
-    # bit-positions unroll at plan-build time: one fold per bit, then a
-    # static bitwise-OR pack.  All JVM-side; the unrolled plan stays in
-    # whole-stage codegen.
-    def _bit_sum(j: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    packed = F.lit(0).cast("long")
-    for j in range(n_bits):
-        bit_sum = _bit_sum(j)
-        bit_val = (1 << j) if j < 63 else -(2**63)  # signed-long bit 63
-        packed = packed.bitwiseOR(
-            F.when(bit_sum > 0, F.lit(bit_val).cast("long")).otherwise(
+    # ONE fold over the token hashes carrying all n_bits counters (an
+    # n_bits-wide accumulator array) — the earlier per-bit formulation ran
+    # one fold per bit and so recomputed every token hash n_bits times.
+    # Bit tests go through a mask Literal (element-wise &), signed bit 63
+    # encoded as long min.
+    masks = F.lit(
+        [(1 << j) if j < 63 else -(2**63) for j in range(n_bits)]
+    ).cast("array<bigint>")
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda cnt, m: F.when(cnt > 0, m).otherwise(
                 F.lit(0).cast("long")
-            )
-        )
-    return packed
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
 
 
 def simhash_near_duplicates(
