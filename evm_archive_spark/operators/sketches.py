@@ -49,21 +49,25 @@ def cms_build(
     explode (depth rows per value) + one groupBy over at most
     ``depth * width`` keys with partial combine.  Sketches over different
     shards merge by summing ``c`` on (j, p)."""
-    c = _col(col)
-    pos = df.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(depth)),
-                lambda j: F.struct(
-                    j.cast("long").alias("j"),
-                    (_h32(j, c) % width).alias("p"),
-                ),
-            )
-        ).alias("jp")
-    )
+    pos = df.select(cms_positions(col, width=width, depth=depth).alias("jp"))
     return pos.groupBy(
         F.col("jp.j").alias("j"), F.col("jp.p").alias("p")
     ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_positions(col, *, width: int, depth: int) -> F.Column:
+    """Exploded (j, p) counter coordinates for one value — shared by the
+    batch build and the streaming maintenance path."""
+    c = _col(col)
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(depth)),
+            lambda j: F.struct(
+                j.cast("long").alias("j"),
+                (_h32(j, c) % width).alias("p"),
+            ),
+        )
+    )
 
 
 def cms_dense(

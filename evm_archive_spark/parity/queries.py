@@ -3035,6 +3035,31 @@ _add(
 )
 
 
+def _q_st_cms(spark, sf_dir):
+    """Streaming CMS maintenance (streaming/windows.py
+    streaming_cms_counters): additive counter state under a real
+    structured stream == the batch sketch, bit for bit."""
+    from ..streaming.windows import streaming_cms_counters
+
+    return streaming_cms_counters(spark, sf_dir, width=64, depth=3)
+
+
+_add(
+    "q_st_cms",
+    _q_st_cms,
+    r"WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) "
+    "AS t FROM documents), "
+    "pos AS (SELECT j, CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || "
+    "':' || t), 1, 8)) AS BIGINT) % 64 AS p FROM tok, "
+    "UNNEST(generate_series(1, 3)) u(j)) "
+    "SELECT CAST(j AS BIGINT) AS j, CAST(p AS BIGINT) AS p, "
+    "COUNT(*) AS c FROM pos GROUP BY j, p "
+    "ORDER BY j NULLS FIRST, p NULLS FIRST",
+    "streaming count-min counter maintenance == batch sketch "
+    "(additive state, depth*width state rows)",
+)
+
+
 def _q_st_hll(spark, sf_dir):
     """Streaming sketch maintenance (streaming/windows.py
     streaming_hll_registers): HLL registers kept by a real structured

@@ -276,3 +276,34 @@ def streaming_hll_registers(
     )
     out = _run_to_memory(regs, "complete")
     return out.orderBy("bucket")
+
+
+def streaming_cms_counters(
+    spark: SparkSession, sf_dir: str, *, width: int = 64, depth: int = 3
+) -> DataFrame:
+    """Continuously-maintained frequency sketch: count-min counters as a
+    streaming COUNT aggregate over the document token stream.  Counter
+    state is additive and order-insensitive, so the streaming result is
+    bit-identical to a batch ``cms_build`` no matter the micro-batch
+    boundaries, with state bounded at depth*width rows regardless of
+    volume — the CMS pair to ``streaming_hll_registers``' MAX state."""
+    from ..operators.sketches import cms_positions
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok = sdf.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    pos = tok.select(
+        cms_positions("t", width=width, depth=depth).alias("jp")
+    )
+    agg = pos.groupBy(
+        F.col("jp.j").alias("j"), F.col("jp.p").alias("p")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("j", "p")
