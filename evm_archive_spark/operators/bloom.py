@@ -147,6 +147,7 @@ def bloom_decontaminate(
     n: int = 8,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Benchmark decontamination through a Bloom filter: build the filter
     from the eval set's distinct word n-grams, then flag every corpus
@@ -157,8 +158,13 @@ def bloom_decontaminate(
       ``maybe_contaminated``  n_hits > 0
 
     False positives over-flag (never under-flag) — the safe direction.
-    The probe is map-side (dense filter inlined); the only shuffles are
-    the tiny filter build."""
+    The probe is map-side; the only shuffles are the tiny filter build.
+    Both impls are bit-identical (pinned by test): ``impl='expr'`` keeps
+    the pure Column formulation (gram construction + forall over the
+    dense literal); ``impl='arrow'`` (default) runs the probe through an
+    Arrow-batched UDF — gram building and k md5 probes per gram are the
+    interpreted-HOF hot spot, and the vectorized batch path is ~5-10x
+    (the pq_encode precedent)."""
     from .textanalysis import word_ngrams
 
     # no .distinct() on the eval grams: duplicate Bloom inserts are
@@ -170,6 +176,10 @@ def bloom_decontaminate(
         num_hashes=num_hashes,
     )
     dense = bloom_dense(bloom, num_bits=num_bits)
+    if impl == "arrow":
+        return _bloom_decontaminate_arrow(
+            docs, dense, id_col, text_col, n, num_bits, num_hashes
+        )
     # materialize the gram array once (its construction dominates the
     # probe); n_hits is then referenced by name, never recomputed
     g = docs.select(
@@ -192,3 +202,68 @@ def bloom_decontaminate(
     return scored.withColumn(
         "maybe_contaminated", F.col("n_hits") > 0
     ).drop("__grams")
+
+
+def _bloom_decontaminate_arrow(
+    docs: DataFrame,
+    dense: list[int],
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Arrow-batched probe: per document, distinct word n-grams and their
+    k md5 bit probes computed in Python over Arrow batches.  Exactly the
+    expr path's arithmetic — ``md5(i ':' gram)`` first 8 hex → int mod m
+    on the identical byte strings — so results are bit-equal (pinned by
+    test).  Early-exits on the first unset bit per gram."""
+    import hashlib
+
+    import pandas as pd
+
+    dense_t = tuple(int(w) for w in dense)
+
+    def _probe(texts):
+        n_grams, n_hits = [], []
+        for t in texts:
+            toks = (t or "").strip().split()
+            if len(toks) >= n:
+                grams = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+            else:
+                grams = set()
+            hits = 0
+            for g in grams:
+                ok = True
+                for i in range(1, num_hashes + 1):
+                    h = (
+                        int(
+                            hashlib.md5(
+                                f"{i}:{g}".encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % num_bits
+                    )
+                    if not (dense_t[h // WORD_BITS] >> (h % WORD_BITS)) & 1:
+                        ok = False
+                        break
+                if ok:
+                    hits += 1
+            n_grams.append(len(grams))
+            n_hits.append(hits)
+        return pd.DataFrame({"n_grams": n_grams, "n_hits": n_hits})
+
+    _probe.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    probe = F.pandas_udf(_probe, "n_grams bigint, n_hits bigint")
+    scored = docs.select(
+        F.col(id_col), probe(F.col(text_col)).alias("__p")
+    ).select(
+        id_col,
+        F.col("__p.n_grams").alias("n_grams"),
+        F.col("__p.n_hits").alias("n_hits"),
+    )
+    return scored.withColumn("maybe_contaminated", F.col("n_hits") > 0)

@@ -1309,3 +1309,20 @@ def test_chunk_documents_overlap_and_edges(spark):
     assert (2, 0) not in got and (3, 0) not in got  # empty/blank: no chunks
     assert got[(4, 0)] == (1, "x")
     assert len(rows) == 4
+
+
+def test_bloom_decontaminate_arrow_matches_expr(spark):
+    from evm_archive_spark.operators.bloom import bloom_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter("doc_id % 23 = 0")
+    kw = dict(n=3, num_bits=1 << 13, num_hashes=4)
+    a = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["maybe_contaminated"])
+        for r in bloom_decontaminate(docs, ev, impl="arrow", **kw).collect()
+    }
+    e = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["maybe_contaminated"])
+        for r in bloom_decontaminate(docs, ev, impl="expr", **kw).collect()
+    }
+    assert a == e
