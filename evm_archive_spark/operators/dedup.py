@@ -544,3 +544,33 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("__rm").cast("long")).alias("n_removed"),
     )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming shard against an already-ingested corpus — the
+    production shape of exact dedup, where re-deduping 100 TB from
+    scratch per shard is not an option.  ``seen_digests`` is the
+    persisted one-column ``digest`` table of everything ingested so far
+    (md5 of content; tiny relative to the corpus, append-only).
+
+    Two stages, one invariant: (1) within-shard keep-lowest-id per
+    digest; (2) anti-join the survivors against the seen set.  The result
+    equals running ``exact_dedup_by_content`` over (old corpus + shard)
+    and keeping only shard rows — the q_incr_dedup gate checks exactly
+    that invariant against the full-corpus oracle.
+
+    At scale stage 2's join shuffles only digests (32-byte keys); if the
+    seen table is bucketed by digest the shuffle is one-sided.  Returns
+    the surviving shard rows plus their ``digest`` column, ready to
+    append to ``seen_digests``.
+    """
+    within = exact_dedup_by_content(new_df, id_col, content_col)
+    w = within.withColumn("digest", F.md5(F.col(content_col)))
+    return w.join(
+        seen_digests.select("digest").distinct(), "digest", "left_anti"
+    )

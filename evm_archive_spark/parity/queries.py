@@ -3238,6 +3238,51 @@ _add(
 )
 
 
+def _q_incr_dedup(spark, sf_dir):
+    """Incremental exact dedup (dedup.incremental_exact_dedup): a new
+    shard (doc_id % 3 == 0) dedups against the digest index of the
+    already-ingested corpus — first-ingested wins, then lowest id within
+    the shard.  The synthetic corpus has no duplicate texts, so content
+    classes 'c'||(doc_id % 17) are derived identically on both engines
+    to force real collisions in every code path."""
+    from ..operators.dedup import incremental_exact_dedup
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(F.lit("c"), F.expr("doc_id DIV 6")).alias("ckey"),
+    )
+    # classes of 6 consecutive ids: the shard (multiples of 3) holds TWO
+    # members per class (within-shard dup path); classes below 300 also
+    # appear in the seen corpus (seen-drop path); classes above survive
+    seen = docs.filter(
+        (F.col("doc_id") % 6 == 1) & (F.col("doc_id") < 300)
+    ).select(F.md5("ckey").alias("digest"))
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    out = incremental_exact_dedup(shard, seen, content_col="ckey")
+    return out.select("doc_id", "digest").orderBy("doc_id")
+
+
+_add(
+    "q_incr_dedup",
+    _q_incr_dedup,
+    "WITH d AS (SELECT doc_id, 'c' || CAST(doc_id // 6 AS VARCHAR) AS ckey "
+    "FROM documents), "
+    "oldd AS (SELECT DISTINCT md5(ckey) AS digest FROM d "
+    "WHERE doc_id % 6 = 1 AND doc_id < 300), "
+    "new AS (SELECT doc_id, md5(ckey) AS digest FROM d "
+    "WHERE doc_id % 3 = 0), "
+    "win AS (SELECT doc_id, digest, row_number() OVER "
+    "(PARTITION BY digest ORDER BY doc_id) AS rn FROM new) "
+    "SELECT w.doc_id, w.digest FROM win w "
+    "LEFT JOIN oldd o ON w.digest = o.digest "
+    "WHERE w.rn = 1 AND o.digest IS NULL "
+    "ORDER BY doc_id NULLS FIRST",
+    "incremental shard dedup vs persisted digest index "
+    "(first-ingested wins; digest-only anti-join shuffle)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

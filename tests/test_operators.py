@@ -1326,3 +1326,27 @@ def test_bloom_decontaminate_arrow_matches_expr(spark):
         for r in bloom_decontaminate(docs, ev, impl="expr", **kw).collect()
     }
     assert a == e
+
+
+def test_incremental_exact_dedup_paths(spark):
+    from evm_archive_spark.operators.dedup import incremental_exact_dedup
+    import pyspark.sql.functions as F
+
+    seen_docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "doc_id int, text string"
+    )
+    seen = seen_docs.select(F.md5("text").alias("digest"))
+    shard = spark.createDataFrame(
+        [
+            (10, "alpha"),   # dropped: digest already ingested
+            (11, "gamma"),   # survives (lowest id of the gamma pair)
+            (12, "gamma"),   # dropped: within-shard duplicate
+            (13, "delta"),   # survives
+        ],
+        "doc_id int, text string",
+    )
+    out = incremental_exact_dedup(shard, seen)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [11, 13]
+    # result carries the digest column, ready to append to the seen index
+    assert "digest" in out.columns
