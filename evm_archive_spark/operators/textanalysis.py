@@ -780,3 +780,31 @@ def chunk_documents(
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.text").alias("text"),
     )
+
+
+def fingerprint_md5(col, k: int = 8) -> F.Column:
+    """Portable twin of ``fingerprint``: identical construction (sorted
+    shingle-hash fold) with every hash an md5-32 — checkable against an
+    independent engine (q_fingerprint_md5, the q_minhash_md5/
+    q_simhash_md5 convention).  Production code wants ``fingerprint``
+    (xxhash64, JVM-native); this form exists so the *construction* has an
+    external correctness signal."""
+    from .dedup import shingles
+
+    def h32(c):
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+    sh = F.array_sort(F.transform(shingles(col, k), h32))
+    return F.aggregate(
+        sh,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", acc.cast("string"), h.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )

@@ -3283,6 +3283,38 @@ _add(
 )
 
 
+def _q_fingerprint_md5(spark, sf_dir):
+    """Portable fingerprint twin (textanalysis.fingerprint_md5): sorted
+    8-shingle md5-32 hashes folded through an md5-32 combine — the same
+    construction as the production xxhash64 fingerprint, made
+    oracle-checkable (upgrades the q_fingerprint rows-only signal)."""
+    from ..operators.textanalysis import fingerprint_md5
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        spark.table("documents")
+        .select("doc_id", fingerprint_md5("text", k=8).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_fingerprint_md5",
+    _q_fingerprint_md5,
+    "WITH sh AS (SELECT doc_id, list_sort(list_transform(list_distinct("
+    "list_transform(generate_series(1, GREATEST(length(text)-7, 1)), "
+    "i -> substring(text, i, 8))), "
+    "s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT))) AS hs "
+    "FROM documents) "
+    "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs), "
+    "(x, y) -> CAST(('0x' || substring(md5(CAST(x AS VARCHAR) || ':' || "
+    "CAST(y AS VARCHAR)), 1, 8)) AS BIGINT)) AS fp "
+    "FROM sh ORDER BY doc_id NULLS FIRST",
+    "document fingerprint via sorted shingle-hash fold (portable md5 "
+    "twin of the xxhash64 production form)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
