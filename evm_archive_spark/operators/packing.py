@@ -111,3 +111,29 @@ def pack_by_budget(
         )
         .drop("running", "_start")
     )
+
+
+def with_global_index(
+    df: DataFrame,
+    order_col: str,
+    *,
+    index_col: str = "row_index",
+    shards: int = 256,
+) -> DataFrame:
+    """Dense 0-based global ordinal in ``order_col`` order — the
+    distributed answer to ``row_number() OVER (ORDER BY ...)``, whose
+    empty PARTITION BY collapses every row into one partition at scale
+    (and to ``monotonically_increasing_id``, whose values depend on
+    partitioning and are neither dense nor ordered).  Implemented as the
+    module's two-phase prefix sum over a constant 1 — shard-parallel
+    windows plus a ``shards``-row broadcast base-offset table.
+
+    ``order_col`` must be unique and integral (the prefix-sum contract);
+    reruns over the same data give identical indexes."""
+    out = global_running_total(
+        df.withColumn("__one", F.lit(1)), order_col, "__one", shards
+    )
+    return (
+        out.withColumn(index_col, (F.col("running") - 1).cast("long"))
+        .drop("running", "__one")
+    )

@@ -3315,6 +3315,29 @@ _add(
 )
 
 
+def _q_global_index(spark, sf_dir):
+    """Dense global row index (packing.with_global_index): two-phase
+    distributed prefix sum — never a single-partition global window.
+    Result must equal the naive row_number() ordinal."""
+    from ..operators.packing import with_global_index
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        with_global_index(spark.table("documents"), "doc_id", shards=16)
+        .select("doc_id", "row_index")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_global_index",
+    _q_global_index,
+    "SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 "
+    "AS BIGINT) AS row_index FROM documents ORDER BY doc_id NULLS FIRST",
+    "dense global row index via sharded prefix sum == naive row_number",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -1350,3 +1350,16 @@ def test_incremental_exact_dedup_paths(spark):
     assert ids == [11, 13]
     # result carries the digest column, ready to append to the seen index
     assert "digest" in out.columns
+
+
+def test_with_global_index_dense_and_partition_invariant(spark):
+    from evm_archive_spark.operators.packing import with_global_index
+
+    df = spark.range(0, 1000).selectExpr("id * 7 AS k")  # sparse keys
+    for parts in (1, 7):
+        out = (
+            with_global_index(df.repartition(parts), "k", shards=13)
+            .orderBy("k")
+            .collect()
+        )
+        assert [r["row_index"] for r in out] == list(range(1000))
