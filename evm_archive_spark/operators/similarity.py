@@ -977,3 +977,37 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def hyperplane_lsh_bucket_md5(
+    vec_col: str = "embedding", *, n_planes: int = 8, dim: int = 64
+) -> F.Column:
+    """Portable twin of ``hyperplane_lsh_bucket_col``: sign-random
+    hyperplanes with ±1 entries derived from md5 parity (plane j, dim i
+    sets +1 iff md5-32("j:i") is even), dots in exact milli-quantized
+    BIGINT — so an independent engine derives the identical planes and
+    buckets (q_lsh_md5, the q_minhash_md5 convention).  The sign matrix
+    folds to Literal arrays at plan build; assignment is map-side."""
+    import hashlib
+
+    signs = [
+        [
+            1
+            if int(
+                hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(1, dim + 1)
+        ]
+        for j in range(1, n_planes + 1)
+    ]
+    milli = F.expr(_QUANT.format(v=vec_col))
+    bucket = F.lit(0).cast("long")
+    for j, row in enumerate(signs):
+        d = _int_dot(milli, F.lit(row).cast("array<bigint>"))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return bucket

@@ -3338,6 +3338,48 @@ _add(
 )
 
 
+def _q_lsh_md5(spark, sf_dir):
+    """Portable hyperplane-LSH twin (similarity.hyperplane_lsh_bucket_md5):
+    ±1 plane entries from md5 parity, milli-quantized BIGINT dots — the
+    oracle derives identical planes independently and must land every
+    vector in the same bucket (upgrades the q_lsh_neardup rows-only
+    signal)."""
+    from ..operators.similarity import hyperplane_lsh_bucket_md5
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    return (
+        spark.table("embeddings")
+        .select(
+            "vec_id",
+            hyperplane_lsh_bucket_md5(
+                "embedding", n_planes=8, dim=64
+            ).alias("bucket"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_add(
+    "q_lsh_md5",
+    _q_lsh_md5,
+    "WITH q AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e "
+    "FROM embeddings), "
+    "d AS (SELECT vec_id, j.j, SUM(e[i.i] * (CASE WHEN "
+    "CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || "
+    "CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 "
+    "THEN 1 ELSE -1 END)) AS dot "
+    "FROM q, UNNEST(generate_series(1, 8)) j(j), "
+    "UNNEST(generate_series(1, 64)) i(i) GROUP BY vec_id, j.j), "
+    "b AS (SELECT vec_id, SUM(CASE WHEN dot >= 0 THEN (1 << (j-1)) "
+    "ELSE 0 END) AS bucket FROM d GROUP BY vec_id) "
+    "SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b "
+    "ORDER BY vec_id NULLS FIRST",
+    "hyperplane LSH bucket assignment with md5-parity planes "
+    "(portable twin; exact integer signs)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
