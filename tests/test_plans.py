@@ -226,3 +226,21 @@ def test_semantic_dedup_assignment_fold_has_no_expansion(spark):
     plan = buf.getvalue()
     assert "Generate" not in plan          # no explode of centroids
     assert "CartesianProduct" not in plan  # packed row broadcast, not NLJ
+
+
+def test_corpus_profile_is_single_scan_single_agg(spark):
+    """The profile must stay one scan + one aggregate: no explode, no
+    join, and exactly one exchange pair (partial -> final agg)."""
+    from evm_archive_spark.operators.corpus import corpus_profile
+    import contextlib, io
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        corpus_profile(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" not in plan and "Join" not in plan
+    # tree section: a single shuffle between partial and final HashAggregate
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
