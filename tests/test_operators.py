@@ -1363,3 +1363,49 @@ def test_with_global_index_dense_and_partition_invariant(spark):
             .collect()
         )
         assert [r["row_index"] for r in out] == list(range(1000))
+
+
+def test_line_dedup_property_vs_python_reference(spark):
+    """line_dedup == per-corpus python reference over generated corpora
+    (hypothesis): random line inventories with planted repetitions,
+    min_occurrences/min_line_chars interplay, all-removed documents."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.dedup import line_dedup
+
+    lines_pool = ["alpha", "bb", "c", "", "delta delta", "ee ff", "x"]
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(lines_pool), min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ),
+        min_occ=st.integers(2, 3),
+        min_chars=st.integers(1, 3),
+    )
+    def check(docs, min_occ, min_chars):
+        rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in line_dedup(
+                df, min_occurrences=min_occ, min_line_chars=min_chars
+            ).collect()
+        }
+        occ = Counter(l for ls in docs for l in ls)
+        for i, ls in enumerate(docs):
+            keep = [
+                l
+                for l in ls
+                if not (occ[l] >= min_occ and len(l.strip()) >= min_chars)
+            ]
+            n_removed = len(ls) - len(keep)
+            assert got[i] == ("\n".join(keep), len(ls), n_removed), (
+                i, ls, got[i], (keep, len(ls), n_removed),
+            )
+
+    check()
