@@ -244,3 +244,41 @@ def test_corpus_profile_is_single_scan_single_agg(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_pq_adc_scan_reads_only_code_column(spark, tmp_path):
+    """The 32x-compression claim is real only if the ADC scan never
+    touches the float embeddings: score a persisted coded corpus and pin
+    the parquet ReadSchema to (vec_id, pq_codes)."""
+    from evm_archive_spark.operators.similarity import (
+        _int_dot, pq_encode, pq_train,
+    )
+    import contextlib, io
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    book = pq_train(emb, sample_mod=41)
+    path = str(tmp_path / "coded")
+    pq_encode(emb, book).select("vec_id", "pq_codes").write.parquet(path)
+    coded = spark.read.parquet(path)
+    lut = F.lit(
+        [[1] * len(book[0]) for _ in range(len(book))]
+    ).cast("array<array<bigint>>")
+    scored = coded.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("pq_codes"),
+                lut,
+                lambda c, l: F.element_at(l, (c + 1).cast("int")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scored.explain("formatted")
+    plan = buf.getvalue()
+    scan = plan[plan.index("ReadSchema:"):].splitlines()[0]
+    assert "pq_codes" in scan and "embedding" not in scan, scan
