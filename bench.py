@@ -59,6 +59,7 @@ HEADLINE = [
     "q_semdedup",
     "q_pq_topk",
     "q_cms",
+    "q_profile",
 ]
 
 
