@@ -808,3 +808,37 @@ def fingerprint_md5(col, k: int = 8) -> F.Column:
             10,
         ).cast("long"),
     )
+
+
+def bpe_segment_arrow(col: str, merges: list[tuple[str, str]]) -> F.Column:
+    """Arrow-batched twin of ``bpe_segment`` for production merge lists
+    (hundreds to tens of thousands of rules): per token, greedy
+    left-to-right application of each merge in order, in Python over
+    Arrow batches — bit-equal to the generated-SQL fold chain (pinned by
+    test), without its per-merge expression level.  The merge list rides
+    along as a closure (broadcast once per executor)."""
+    import pandas as pd
+
+    rules = list(merges)
+
+    def _seg(texts):
+        out = []
+        for t in texts:
+            words = []
+            for w in (t or "").strip().split():
+                syms = list(w)
+                for a, b in rules:
+                    nxt: list[str] = []
+                    for x in syms:
+                        if nxt and nxt[-1] == a and x == b:
+                            nxt[-1] = a + b
+                        else:
+                            nxt.append(x)
+                    syms = nxt
+                words.append(syms)
+            out.append(words)
+        return pd.Series(out)
+
+    _seg.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    seg = F.pandas_udf(_seg, "array<array<string>>")
+    return seg(F.col(col))

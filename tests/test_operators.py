@@ -1409,3 +1409,25 @@ def test_line_dedup_property_vs_python_reference(spark):
             )
 
     check()
+
+
+def test_bpe_segment_arrow_matches_sql_chain(spark):
+    from evm_archive_spark.operators.textanalysis import (
+        bpe_segment, bpe_segment_arrow, bpe_train,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, num_merges=6)
+    sql_side = {
+        r["doc_id"]: [list(w) for w in r["s"]]
+        for r in docs.select(
+            "doc_id", bpe_segment("text", merges).alias("s")
+        ).collect()
+    }
+    arrow_side = {
+        r["doc_id"]: [list(w) for w in r["s"]]
+        for r in docs.select(
+            "doc_id", bpe_segment_arrow("text", merges).alias("s")
+        ).collect()
+    }
+    assert sql_side == arrow_side
