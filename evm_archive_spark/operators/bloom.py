@@ -225,9 +225,14 @@ def _bloom_decontaminate_arrow(
     dense_t = tuple(int(w) for w in dense)
 
     def _probe(texts):
+        from .textanalysis import tokens_py
+
         n_grams, n_hits = [], []
         for t in texts:
-            toks = (t or "").strip().split()
+            # tokens_py mirrors the expr path's split(trim(x),'\s+')
+            # exactly (ADVICE r2): empty tokens are kept and participate
+            # in grams just as word_ngrams' slice-join does
+            toks = tokens_py(t)
             if len(toks) >= n:
                 grams = {
                     " ".join(toks[i : i + n])

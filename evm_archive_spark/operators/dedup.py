@@ -500,12 +500,18 @@ def line_dedup(
       ``n_removed``  lines dropped (BIGINT)
 
     Plan shape at 100 TB: lines explode map-side and are immediately
-    md5-hashed, so the global-occurrence shuffle carries 32-byte digests,
-    never the line text (the q_dupspan convention, one shuffle); the
-    reassembly is one keyed shuffle back to the document id where
-    collect_list + array_sort restores line order without a global sort.
-    Two shuffles total, both on compact keys — the minimum for any
-    corpus-global line statistic.
+    md5-hashed; the global-occurrence count is a partial-aggregated
+    ``groupBy(digest)`` whose shuffle carries 32-byte digests with
+    map-side-combined counts — NOT a window over the raw lines, which
+    would funnel every copy of a high-frequency boilerplate line (the
+    exact lines this operator targets) into one unbounded window
+    partition (ADVICE r2).  The repeated-digest set (occ >=
+    min_occurrences) is tiny — boilerplate vocabulary, not corpus volume
+    — so the join back is AQE-broadcastable and the lines themselves
+    never shuffle for it; any residual join skew is AQE-splittable,
+    which window skew is not.  Reassembly is one keyed shuffle on the
+    document id where collect_list + array_sort restores line order
+    without a global sort.  Two data shuffles on compact keys total.
     """
     import re as _re
 
@@ -519,13 +525,19 @@ def line_dedup(
         )
         .withColumn("__h", F.md5(F.col("line")))
     )
-    occ = lines.withColumn(
-        "occ", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    dup_digests = (
+        lines.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("__h", F.lit(True).alias("__dup"))
     )
-    removed = (F.col("occ") >= min_occurrences) & (
+    removed = F.col("__dup").isNotNull() & (
         F.length(F.trim(F.col("line"))) >= min_line_chars
     )
-    flagged = occ.withColumn("__rm", removed)
+    flagged = (
+        lines.join(dup_digests, "__h", "left")
+        .withColumn("__rm", removed)
+    )
     return flagged.groupBy("doc_id").agg(
         F.concat_ws(
             delimiter,

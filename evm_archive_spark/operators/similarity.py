@@ -714,6 +714,15 @@ def semantic_dedup(
     cents = q.filter(F.col("__id") % centroid_mod == 0).select(
         F.col("__id").alias("centroid_id"), F.col("__e").alias("centroid")
     )
+    # an empty centroid set would make every assignment NULL and the
+    # dedup silently a no-op (every row keep=true) — fail loudly instead
+    # (ADVICE r2; mirrors pq_train's empty-training-sample guard)
+    if cents.isEmpty():
+        raise ValueError(
+            "semantic_dedup: empty centroid set — no id with "
+            f"id % {centroid_mod} == 0; lower centroid_mod or supply "
+            "k-means centroids (ivf_train)"
+        )
     packed = cents.agg(
         F.expr("sort_array(collect_list(struct(centroid_id, centroid)))")
         .alias("__cents")

@@ -10,6 +10,8 @@ logic would be 10-100x slower.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 # small deterministic stopword lists per language for the lang-id heuristic
@@ -25,6 +27,20 @@ STOPWORDS: dict[str, list[str]] = {
 def tokens(col) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(c), "\\s+")
+
+
+# Python mirror of tokens() for Arrow-batched twins (ADVICE r2): Spark
+# `trim` strips ASCII space (0x20) ONLY, Java `\s` is the ASCII class
+# [ \t\n\x0b\f\r] (NBSP/U+3000 are NOT separators), and `split` uses
+# limit -1 so leading/trailing empty tokens are KEPT.  `.strip().split()`
+# is NOT equivalent: Python strips/splits Unicode whitespace and drops
+# empties.  Pinned bit-equal against the expr path by
+# test_tokens_py_matches_expr (whitespace-perturbed inputs).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def tokens_py(t: str | None) -> list[str]:
+    return _JAVA_WS.split((t or "").strip(" "))
 
 
 def token_count(col) -> F.Column:
@@ -825,7 +841,10 @@ def bpe_segment_arrow(col: str, merges: list[tuple[str, str]]) -> F.Column:
         out = []
         for t in texts:
             words = []
-            for w in (t or "").strip().split():
+            # tokens_py mirrors the SQL chain's split(trim(x),'\s+')
+            # exactly (empty tokens kept -> empty symbol arrays, matching
+            # the fold over filter(split(w,'(?!^)'), ...) on '')
+            for w in tokens_py(t):
                 syms = list(w)
                 for a, b in rules:
                     nxt: list[str] = []

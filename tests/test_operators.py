@@ -1118,6 +1118,22 @@ def test_semantic_dedup_planted_within_cluster_dup(spark):
     assert out[0]["centroid_id"] == out[5]["centroid_id"]
 
 
+def test_semantic_dedup_empty_centroid_set_raises(spark):
+    """ADVICE r2: an empty centroid set must fail loudly, not silently
+    return keep=true for every row."""
+    import pytest
+
+    from evm_archive_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # no vec_id satisfies id % 2 == 0
+    with pytest.raises(ValueError, match="empty centroid set"):
+        semantic_dedup(emb, centroid_mod=2)
+
+
 def test_pq_training_members_encode_to_their_own_codeword(spark):
     from evm_archive_spark.operators.similarity import pq_encode, pq_train
 
@@ -1328,6 +1344,70 @@ def test_bloom_decontaminate_arrow_matches_expr(spark):
     assert a == e
 
 
+# whitespace-perturbed corpus (ADVICE r2): leading tab/newline (trim keeps
+# them; split emits an empty first token), trailing newline, NBSP and
+# U+3000 (NOT Java \s — must stay inside tokens), \x0b/\f/\r separators,
+# and blank/empty documents
+_DIRTY_TEXTS = [
+    "\tthe quick brown fox",
+    "jumps over\n",
+    "a b c",
+    "　lead c d",
+    "a\x0bb c\fd e\rf",
+    " plain words here ",
+    "",
+    "   ",
+    "\t \t",
+]
+
+
+def test_tokens_py_matches_expr(spark):
+    """tokens_py is the exact Python mirror of tokens() ==
+    split(trim(x),'\\s+') — including empty-token and Unicode-whitespace
+    semantics (ADVICE r2)."""
+    import pyspark.sql.functions as F
+
+    from evm_archive_spark.operators.textanalysis import tokens, tokens_py
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_DIRTY_TEXTS)] + [(99, None)],
+        "i int, text string",
+    )
+    got = {
+        r["i"]: r["tk"]
+        for r in df.select("i", tokens("text").alias("tk")).collect()
+    }
+    for i, t in enumerate(_DIRTY_TEXTS):
+        assert got[i] == tokens_py(t), (i, repr(t), got[i], tokens_py(t))
+    # expr side on NULL text: split(trim(NULL)) is NULL; callers guard —
+    # tokens_py maps None to [''], the same as ''
+    assert got[99] is None and tokens_py(None) == [""]
+
+
+def test_bloom_decontaminate_arrow_matches_expr_dirty_whitespace(spark):
+    """The arrow/expr equivalence must survive non-clean whitespace
+    (ADVICE r2: the r2 pin only covered clean synthetic text)."""
+    from evm_archive_spark.operators.bloom import bloom_decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_DIRTY_TEXTS)],
+        "doc_id int, text string",
+    )
+    ev = docs.filter("doc_id IN (0, 2, 4)")
+    kw = dict(n=2, num_bits=1 << 10, num_hashes=3)
+    a = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["maybe_contaminated"])
+        for r in bloom_decontaminate(docs, ev, impl="arrow", **kw).collect()
+    }
+    e = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["maybe_contaminated"])
+        for r in bloom_decontaminate(docs, ev, impl="expr", **kw).collect()
+    }
+    assert a == e
+    # self-probe of an eval doc with a leading tab must hit
+    assert a[0][2]
+
+
 def test_incremental_exact_dedup_paths(spark):
     from evm_archive_spark.operators.dedup import incremental_exact_dedup
     import pyspark.sql.functions as F
@@ -1431,3 +1511,33 @@ def test_bpe_segment_arrow_matches_sql_chain(spark):
         ).collect()
     }
     assert sql_side == arrow_side
+
+
+def test_bpe_segment_arrow_matches_sql_chain_dirty_whitespace(spark):
+    """Equivalence on whitespace-perturbed inputs (ADVICE r2): empty
+    tokens from leading/trailing Java-\\s runs must segment identically
+    (empty symbol array on both paths); NBSP stays inside a token."""
+    from evm_archive_spark.operators.textanalysis import (
+        bpe_segment, bpe_segment_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_DIRTY_TEXTS)],
+        "doc_id int, text string",
+    )
+    merges = [("t", "h"), ("th", "e"), ("a", "b")]
+    sql_side = {
+        r["doc_id"]: [list(w) for w in r["s"]]
+        for r in df.select(
+            "doc_id", bpe_segment("text", merges).alias("s")
+        ).collect()
+    }
+    arrow_side = {
+        r["doc_id"]: [list(w) for w in r["s"]]
+        for r in df.select(
+            "doc_id", bpe_segment_arrow("text", merges).alias("s")
+        ).collect()
+    }
+    assert sql_side == arrow_side
+    # leading tab -> first token '' -> empty symbol array, on both sides
+    assert sql_side[0][0] == []
