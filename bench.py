@@ -188,6 +188,143 @@ def sink_upsert_200k(spark, sf_dir: str):
     return n
 
 
+def _pg_logs_df(spark, n: int):
+    from pyspark.sql import functions as F
+
+    i = F.col("id")
+    return spark.range(n).select(
+        F.format_string("0x%040x", F.pmod(i, F.lit(50))).alias("address"),
+        F.format_string("0x%064x", F.pmod(i, F.lit(10))).alias("topic0"),
+        F.lit("").alias("topic1"),
+        F.lit("").alias("topic2"),
+        F.lit("").alias("topic3"),
+        F.format_string("0x%064x", i).alias("data"),
+        F.format_string("0x%064x", F.expr("id DIV 100")).alias("block_hash"),
+        F.expr("id DIV 100").alias("block_number"),
+        F.format_string("0x%064x", i).alias("transaction_hash"),
+        F.pmod(i, F.lit(500)).cast("long").alias("transaction_index"),
+        F.pmod(i, F.lit(100)).cast("long").alias("log_index"),
+        F.lit(False).alias("removed"),
+        F.lit(None).cast("timestamp").alias("block_timestamp"),
+    )
+
+
+class _ScratchPg:
+    """Throwaway live-PostgreSQL cluster on a unix socket (the
+    test_pg_live.py recipe); .ok False -> skip the PG sink benches."""
+
+    def __init__(self):
+        import shutil
+        import socket
+        import subprocess
+        import tempfile
+
+        self.ok = False
+        self.base = None
+        if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
+            return
+        base = tempfile.mkdtemp(prefix="pgbench-", dir="/tmp")
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        try:
+            os.chmod(base, 0o777)
+            shutil.chown(base, "postgres")
+        except (PermissionError, LookupError):
+            shutil.rmtree(base, ignore_errors=True)
+            return
+
+        def su(cmd):
+            return subprocess.run(
+                ["su", "postgres", "-s", "/bin/sh", "-c", cmd],
+                capture_output=True, text=True, timeout=120,
+            )
+
+        self._su = su
+        if su(f"initdb -D {base}/data -A trust --no-instructions "
+              "-U postgres").returncode != 0:
+            shutil.rmtree(base, ignore_errors=True)
+            return
+        # standard bulk-load tuning for a throwaway backfill target: no
+        # durability on a cluster whose lifetime is one bench run
+        tuning = (
+            "-c fsync=off -c synchronous_commit=off -c full_page_writes=off"
+        )
+        if su(f"pg_ctl -D {base}/data -l {base}/log -w "
+              f"-o \"-k {base} -p {port} -c listen_addresses='' {tuning}\" "
+              "start").returncode != 0:
+            shutil.rmtree(base, ignore_errors=True)
+            return
+        self.ok, self.base, self.port = True, base, port
+
+    def factory(self):
+        from evm_archive_spark.sinks import pgwire
+
+        host, port = self.base, self.port
+        return lambda: pgwire.connect(host=host, port=port)
+
+    def reset_logs(self):
+        from evm_archive_spark.sinks import upsert
+
+        con = self.factory()()
+        con.cursor().execute("DROP TABLE IF EXISTS logs")
+        con.cursor().execute(upsert.LOGS_DDL_GENERIC)
+        con.commit()
+        con.close()
+
+    def stop(self):
+        import shutil
+
+        if self.base:
+            self._su(f"pg_ctl -D {self.base}/data -m immediate stop")
+            shutil.rmtree(self.base, ignore_errors=True)
+
+
+def stage_pg_input(spark, n: int = 200_000) -> str:
+    """Materialize the synthetic log rows once (8 pre-sized files, already
+    PK-unique) so the PG sink benches time the WRITE path, not row
+    generation — the same warm-up convention as the session-cost
+    exclusions in main()."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="pg_sink_input_")
+    _pg_logs_df(spark, n).repartition(8).write.mode("overwrite").parquet(path)
+    return path
+
+
+def sink_pg_insert_200k(spark, staged: str, pg: "_ScratchPg") -> int:
+    """Baseline: the interpolated-text executemany path into live
+    PostgreSQL (the r2 q_sink_upsert shape, real server)."""
+    from evm_archive_spark.schemas import LOGS_PK
+    from evm_archive_spark.sinks import upsert
+
+    pg.reset_logs()
+    r = upsert.write_conflict_ignore(
+        spark.read.parquet(staged), "logs", LOGS_PK,
+        pg.factory(), paramstyle="format", parallel=True,
+    )
+    return r.attempted
+
+
+def sink_pg_copy_200k(spark, staged: str, pg: "_ScratchPg") -> int:
+    """Bulk path (VERDICT r2 #5): COPY FROM STDIN into a temp stage + one
+    set-based ON CONFLICT merge per partition writer, Arrow-CSV encoded."""
+    from evm_archive_spark.schemas import LOGS_PK
+    from evm_archive_spark.sinks import upsert
+
+    pg.reset_logs()
+    r = upsert.write_conflict_ignore(
+        spark.read.parquet(staged), "logs", LOGS_PK,
+        pg.factory(), parallel=True, method="copy",
+    )
+    return r.attempted
+
+
+# Sub-2s fixed-overhead entries that drifted +25-40% under box load in r2
+# (VERDICT r2 #7): report the median of 3 runs instead of a single sample.
+MEDIAN_OF_3 = {"q_a1", "q_skew_agg", "q_st1"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -228,12 +365,19 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: full evaluation of every output column (a count()
-        # would let column pruning drop the expensive projections)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: full evaluation of every output column (a count()
+            # would let column pruning drop the expensive projections)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        if name in MEDIAN_OF_3:
+            dt = sorted(once() for _ in range(3))[1]
+        else:
+            dt = once()
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
@@ -252,6 +396,47 @@ def main() -> None:
             f"# {name}: {dt:.3f}s ({n} rows, {n / dt:,.0f} rows/s)",
             file=sys.stderr,
         )
+
+    pg = _ScratchPg()
+    if pg.ok:
+        import shutil
+
+        staged = stage_pg_input(spark)
+        try:
+            # warm the Arrow-CSV writer path (pyarrow.csv import in each
+            # Python worker is a session cost, same convention as the
+            # DataSource pool warm-up above): tiny copy into a scratch table
+            from evm_archive_spark.schemas import LOGS_PK
+            from evm_archive_spark.sinks import upsert as _ups
+
+            pg.reset_logs()
+            _ups.write_conflict_ignore(
+                spark.read.parquet(staged).limit(1000).repartition(8),
+                "logs", LOGS_PK, pg.factory(), parallel=True, method="copy",
+            )
+            for name, fn in (
+                ("q_sink_pg_insert", sink_pg_insert_200k),
+                ("q_sink_pg_copy", sink_pg_copy_200k),
+            ):
+                # median of 3: the 2-6 s sink runs drift ±40% under
+                # whole-bench box load (the VERDICT r2 #7 failure mode)
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    n = fn(spark, staged, pg)
+                    runs.append(time.perf_counter() - t0)
+                dt = sorted(runs)[1]
+                timings[name] = round(dt, 4)
+                total += dt
+                print(
+                    f"# {name}: {dt:.3f}s ({n} rows, {n / dt:,.0f} rows/s)",
+                    file=sys.stderr,
+                )
+        finally:
+            pg.stop()
+            shutil.rmtree(staged, ignore_errors=True)
+    else:
+        print("# q_sink_pg_*: skipped (no PostgreSQL server)", file=sys.stderr)
 
     print(
         json.dumps(

@@ -15,8 +15,12 @@ transaction) and sums the per-statement CommandComplete counts, so unlike
 DBAPI's undefined contract this client reports *exact* inserted counts.
 
 Scope: exactly what the sink + tests need (execute/executemany/fetchall/
-rowcount/commit).  Not a general driver: text protocol only, trust auth
-only, no COPY, no extended protocol.
+rowcount/commit) plus ``copy_in`` — COPY ... FROM STDIN in text format
+(CopyInResponse/CopyData/CopyDone), the bulk-load path the 100×-backfill
+needs (VERDICT r2 #5; the reference batches one multi-row INSERT per
+window, get_logs.go:118-122 — COPY is the same wire-parallel idea at
+server bulk-load speed).  Not a general driver: text protocol only, trust
+auth only, no extended protocol, no COPY OUT.
 """
 
 from __future__ import annotations
@@ -65,6 +69,43 @@ def _interpolate(sql: str, params) -> str:
         out.append(_quote(p))
         out.append(tail)
     return "".join(out)
+
+
+_COPY_ESCAPES = {
+    "\\": "\\\\",
+    "\t": "\\t",
+    "\n": "\\n",
+    "\r": "\\r",
+    "\x0b": "\\v",
+    "\x0c": "\\f",
+    "\b": "\\b",
+}
+_COPY_TRANS = str.maketrans(_COPY_ESCAPES)
+
+
+def copy_text_value(v) -> str:
+    """One value in COPY text format (tab-separated, ``\\N`` for NULL,
+    backslash escapes — https://www.postgresql.org/docs/current/sql-copy.html)."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (int, float, Decimal)):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return "\\\\x" + bytes(v).hex()
+    s = str(v)
+    if "\x00" in s:
+        raise PgError("NUL byte in COPY value")
+    return s.translate(_COPY_TRANS)
+
+
+def copy_text_row(vals) -> bytes:
+    return ("\t".join(copy_text_value(v) for v in vals) + "\n").encode()
 
 
 def _tag_count(tag: str) -> int:
@@ -232,6 +273,59 @@ class Connection:
                     raise PgError(err)
                 return rows, desc, tags
             # 'N' notices, 'S' parameter status: ignored
+
+    def copy_in(self, sql: str, chunks) -> int:
+        """``COPY ... FROM STDIN`` (text format).  ``chunks`` is an
+        iterable of encoded byte blocks (rows may span blocks); returns
+        the server's exact COPY row count.  Runs inside the current
+        implicit transaction (``_begin``), so a surrounding staged-merge
+        commits atomically."""
+        self._begin()
+        payload = sql.encode() + b"\0"
+        self._sock.sendall(b"Q" + struct.pack("!i", len(payload) + 4) + payload)
+        err = None
+        while True:
+            t, d = self._read_msg()
+            if t == b"G":
+                break
+            if t == b"E":
+                err = _parse_error(d)
+            elif t == b"Z":
+                self._in_tx = d in (b"T", b"E")
+                raise PgError(err or "expected CopyInResponse")
+        try:
+            for ch in chunks:
+                if ch:
+                    self._sock.sendall(
+                        b"d" + struct.pack("!i", len(ch) + 4) + ch
+                    )
+        except Exception as e:
+            msg = str(e).encode(errors="replace")[:200] + b"\0"
+            self._sock.sendall(
+                b"f" + struct.pack("!i", len(msg) + 4) + msg  # CopyFail
+            )
+            self._drain_to_ready()
+            raise
+        self._sock.sendall(b"c" + struct.pack("!i", 4))  # CopyDone
+        count = -1
+        while True:
+            t, d = self._read_msg()
+            if t == b"C":
+                count = _tag_count(d[:-1].decode())
+            elif t == b"E":
+                err = _parse_error(d)
+            elif t == b"Z":
+                self._in_tx = d in (b"T", b"E")
+                if err:
+                    raise PgError(err)
+                return count
+
+    def _drain_to_ready(self):
+        while True:
+            t, d = self._read_msg()
+            if t == b"Z":
+                self._in_tx = d in (b"T", b"E")
+                return
 
     # -- DBAPI surface ----------------------------------------------------
     def _begin(self):

@@ -97,6 +97,130 @@ def _write_tuples(
     return UpsertResult(attempted, inserted)
 
 
+def _write_copy(
+    rows: Iterable[tuple],
+    table: str,
+    columns: list[str],
+    pk: list[str],
+    connection_factory: Callable,
+    chunk_bytes: int = 256 << 10,
+) -> UpsertResult:
+    """Bulk load via ``COPY ... FROM STDIN`` into a per-session temp stage,
+    then one set-based ``INSERT ... SELECT ... ON CONFLICT DO NOTHING``
+    merge (VERDICT r2 #5: the text simple-query path was the 100×-backfill
+    bottleneck).  One transaction per partition: stage + merge commit
+    atomically, and a replayed partition re-merges idempotently.  Exact
+    inserted counts come free from the merge's CommandComplete tag.
+
+    Requires a connection exposing ``copy_in`` (``sinks.pgwire``; psycopg2
+    users would pass a thin adapter over ``copy_expert``)."""
+    from . import pgwire
+
+    conn = connection_factory()
+    attempted = 0
+    try:
+        if not hasattr(conn, "copy_in"):
+            raise TypeError(
+                "method='copy' needs a connection with copy_in() "
+                "(sinks.pgwire.connect)"
+            )
+        cur = conn.cursor()
+        cols = ", ".join(columns)
+        # LIKE copies column types only (no PK/indexes) — cheapest stage;
+        # per-session temp schema makes the fixed name parallel-safe
+        cur.execute(
+            f"CREATE TEMP TABLE __evm_stage (LIKE {table}) ON COMMIT DROP"
+        )
+
+        def chunks() -> Iterator[bytes]:
+            nonlocal attempted
+            buf = bytearray()
+            for row in rows:
+                buf += pgwire.copy_text_row(row)
+                attempted += 1
+                if len(buf) >= chunk_bytes:
+                    yield bytes(buf)
+                    buf.clear()
+            if buf:
+                yield bytes(buf)
+
+        conn.copy_in(f"COPY __evm_stage ({cols}) FROM STDIN", chunks())
+        conflict = ", ".join(pk)
+        cur.execute(
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM __evm_stage "
+            f"ON CONFLICT ({conflict}) DO NOTHING"
+        )
+        inserted = cur.rowcount
+        conn.commit()
+    finally:
+        conn.close()
+    return UpsertResult(attempted, inserted)
+
+
+def _write_copy_arrow(
+    batches,
+    table: str,
+    columns: list[str],
+    pk: list[str],
+    connection_factory: Callable,
+) -> UpsertResult:
+    """Arrow fast path for ``method='copy'``: each RecordBatch is encoded
+    to COPY CSV by pyarrow's C-level CSV writer — no per-row Python at
+    all (measured ~half the COPY wall-clock was ``copy_text_row``).
+    ``quoting_style='all_valid'`` keeps PostgreSQL CSV semantics exact:
+    valid strings are always quoted (so empty string != NULL), nulls are
+    unquoted empties, embedded quotes double — PG's CSV default ESCAPE.
+    Binary columns aren't CSV-expressible; callers route those to the
+    tuple path."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    conn = connection_factory()
+    attempted = 0
+    try:
+        if not hasattr(conn, "copy_in"):
+            raise TypeError(
+                "method='copy' needs a connection with copy_in() "
+                "(sinks.pgwire.connect)"
+            )
+        cur = conn.cursor()
+        cols = ", ".join(columns)
+        cur.execute(
+            f"CREATE TEMP TABLE __evm_stage (LIKE {table}) ON COMMIT DROP"
+        )
+        opts = pacsv.WriteOptions(
+            include_header=False, quoting_style="all_valid"
+        )
+
+        def chunks() -> Iterator[bytes]:
+            nonlocal attempted
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                attempted += b.num_rows
+                buf = io.BytesIO()
+                pacsv.write_csv(
+                    pa.Table.from_batches([b.select(columns)]), buf, opts
+                )
+                yield buf.getvalue()
+
+        conn.copy_in(
+            f"COPY __evm_stage ({cols}) FROM STDIN (FORMAT csv)", chunks()
+        )
+        conflict = ", ".join(pk)
+        cur.execute(
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM __evm_stage "
+            f"ON CONFLICT ({conflict}) DO NOTHING"
+        )
+        inserted = cur.rowcount
+        conn.commit()
+    finally:
+        conn.close()
+    return UpsertResult(attempted, inserted)
+
+
 def _arrow_tuples(batches, columns: list[str]) -> Iterator[tuple]:
     """Arrow RecordBatches -> value tuples ordered by ``columns``.
 
@@ -119,6 +243,7 @@ def write_conflict_ignore(
     batch_size: int = 1000,
     parallel: bool = True,
     exact_counts: bool = False,
+    method: str = "insert",
 ) -> UpsertResult:
     """Idempotent insert of ``df`` into ``table`` keyed by ``pk``.
 
@@ -128,25 +253,42 @@ def write_conflict_ignore(
     single-writer engines (the DuckDB test harness) or when the target
     cannot take N connections.  ``exact_counts=True`` trades executemany
     batching for an exact per-row inserted count.
+
+    ``method="copy"`` (PostgreSQL bulk path): each writer COPYs its rows
+    into a temp stage and merges with one set-based ON CONFLICT INSERT —
+    exact counts always, and the 100×-backfill throughput the interpolated
+    text path cannot reach.  Requires a ``copy_in``-capable connection
+    (``sinks.pgwire``).
     """
     columns = df.columns
     deduped = df.dropDuplicates(pk)
     sql = conflict_ignore_sql(table, columns, pk, paramstyle)
+    # pyarrow's CSV writer can't express binary columns — those take the
+    # generic tuple encoder (copy_text_row handles bytea)
+    has_binary = any(
+        "binary" in f.dataType.simpleString() for f in df.schema.fields
+    )
+
+    def write_rows(rows) -> UpsertResult:
+        if method == "copy":
+            return _write_copy(rows, table, columns, pk, connection_factory)
+        return _write_tuples(
+            rows, sql, connection_factory, batch_size, exact_counts
+        )
 
     if not parallel:
         rows = (tuple(r[c] for c in columns) for r in deduped.toLocalIterator())
-        return _write_tuples(rows, sql, connection_factory, batch_size, exact_counts)
+        return write_rows(rows)
 
     import pyarrow as pa
 
     def part(batches) -> Iterator["pa.RecordBatch"]:
-        res = _write_tuples(
-            _arrow_tuples(batches, columns),
-            sql,
-            connection_factory,
-            batch_size,
-            exact_counts,
-        )
+        if method == "copy" and not has_binary:
+            res = _write_copy_arrow(
+                batches, table, columns, pk, connection_factory
+            )
+        else:
+            res = write_rows(_arrow_tuples(batches, columns))
         yield pa.RecordBatch.from_pydict(
             {
                 "attempted": pa.array([res.attempted], pa.int64()),
@@ -173,6 +315,7 @@ def foreach_batch_upsert(
     batch_size: int = 1000,
     parallel: bool = True,
     exact_counts: bool = False,
+    method: str = "insert",
     on_result: Callable[[int, UpsertResult], None] | None = None,
 ):
     """``foreachBatch`` adapter: streaming micro-batches -> idempotent sink.
@@ -191,6 +334,7 @@ def foreach_batch_upsert(
             batch_size=batch_size,
             parallel=parallel,
             exact_counts=exact_counts,
+            method=method,
         )
         if on_result is not None:
             on_result(batch_id, res)

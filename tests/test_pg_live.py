@@ -219,6 +219,88 @@ def test_sink_parallel_arrow_writers_live_postgres(spark, pg):
     con.close()
 
 
+def test_copy_in_text_format_roundtrip(pg):
+    """copy_in streams COPY text chunks and returns the server's exact
+    row count; escaping covers tabs/newlines/backslashes/NULL/bytea."""
+    from evm_archive_spark.sinks.pgwire import copy_text_row
+
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute(
+        "CREATE TABLE copy_rt (i INT, s TEXT, b BOOLEAN, by BYTEA, "
+        "ts TIMESTAMP)"
+    )
+    import datetime
+
+    rows = [
+        (1, "plain", True, b"\x00\xff", datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        (2, "tab\there", False, None, None),
+        (3, "line\nbreak \\ back", None, b"", None),
+        (4, None, True, None, None),
+    ]
+    n = con.copy_in(
+        "COPY copy_rt (i, s, b, by, ts) FROM STDIN",
+        (copy_text_row(r) for r in rows),
+    )
+    assert n == 4
+    con.commit()
+    cur.execute("SELECT s FROM copy_rt ORDER BY i")
+    assert [r[0] for r in cur.fetchall()] == [
+        "plain", "tab\there", "line\nbreak \\ back", None,
+    ]
+    cur.execute("SELECT encode(by, 'hex') FROM copy_rt WHERE i = 1")
+    assert cur.fetchone() == ("00ff",)
+    # the connection stays usable for plain queries after a COPY
+    cur.execute("SELECT COUNT(*) FROM copy_rt")
+    assert cur.fetchone() == ("4",)
+    con.close()
+
+
+def test_copy_in_error_recovers_connection(pg):
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute("CREATE TABLE copy_err (i INT)")
+    con.commit()
+    with pytest.raises(pgwire.PgError):
+        con.copy_in(
+            "COPY copy_err (i) FROM STDIN", [b"not_an_int\n"]
+        )
+    con.rollback()
+    cur.execute("SELECT 1")
+    assert cur.fetchone() == ("1",)
+    con.close()
+
+
+def test_sink_copy_method_live_postgres(spark, pg):
+    """method='copy': COPY into a temp stage + one set-based ON CONFLICT
+    merge per partition — exact counts on both passes, idempotent replay,
+    parallel Arrow writers (VERDICT r2 #5)."""
+    con = _connect(pg)
+    con.cursor().execute("DROP TABLE IF EXISTS logs")
+    con.cursor().execute(upsert.LOGS_DDL_GENERIC)
+    con.commit()
+    con.close()
+
+    df = fixtures.logs_df(spark).repartition(4)
+    n_unique = df.dropDuplicates(LOGS_PK).count()
+    host, port = pg["host"], pg["port"]
+    factory = lambda: pgwire.connect(host=host, port=port)  # noqa: E731
+
+    r1 = upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, parallel=True, method="copy"
+    )
+    assert (r1.attempted, r1.inserted) == (n_unique, n_unique)
+    r2 = upsert.write_conflict_ignore(  # replay: merge inserts 0
+        df, "logs", LOGS_PK, factory, parallel=True, method="copy"
+    )
+    assert (r2.attempted, r2.inserted) == (n_unique, 0)
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute("SELECT COUNT(*) FROM logs")
+    assert cur.fetchone() == (str(n_unique),)
+    con.close()
+
+
 def test_sink_exact_counts_live_postgres(spark, pg):
     con = _connect(pg)
     con.cursor().execute("DROP TABLE IF EXISTS logs")
