@@ -1,0 +1,398 @@
+"""Minimal GraphQL read API over the archive tables (reference B27).
+
+The reference exposes its Postgres tables through Postgraphile
+(docker-compose.yaml:46-72): per-table query fields in the Postgraphile
+naming convention (``allLogs``, camelCase columns, ``condition:`` equality
+filters, ``first``/``offset`` paging, ``orderBy: [BLOCK_NUMBER_ASC]``
+enums, ``nodes``/``totalCount`` wrappers).  Round 2 stood in with a Thrift
+JDBC endpoint — a capability superset for SQL clients that speaks no
+GraphQL (README positioning note).  This module closes the protocol gap
+for the READ path: a from-scratch parser for the GraphQL query-document
+subset Postgraphile clients emit (the grammar is the public GraphQL spec,
+https://spec.graphql.org/October2021/) plus a resolver that compiles each
+field to a DataFrame plan (filter -> orderBy -> limit/offset) — predicate
+and projection reach the scan, Catalyst does the rest.
+
+Scope (documented, deliberate): queries only (the engine is an analytics
+read path; mutations stay with the ingest pipeline), equality conditions
+(Postgraphile's stock ``condition:`` argument is equality-only too),
+ordering enums, paging, ``totalCount``, variables, ``__typename``.  Not
+implemented: subscriptions/watch mode, full introspection, Relay cursor
+connections.
+
+Served over stdlib ``http.server`` (POST /graphql, the standard JSON
+body ``{"query": ..., "variables": ...}``) — no third-party dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["GraphQLError", "execute", "serve", "snake", "camel"]
+
+
+class GraphQLError(Exception):
+    pass
+
+
+# --------------------------------------------------------------------------
+# lexer / parser (GraphQL query-document subset, spec §2)
+# --------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+    (?P<ws>[\s,]+|\#[^\n]*)
+  | (?P<punct>[{}():\[\]=!$])
+  | (?P<name>[_A-Za-z][_0-9A-Za-z]*)
+  | (?P<float>-?\d+\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+)
+  | (?P<int>-?\d+)
+  | (?P<string>"(?:\\.|[^"\\])*")
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN.match(src, pos)
+        if not m:
+            raise GraphQLError(f"lex error at {pos}: {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+@dataclass
+class Field:
+    name: str
+    args: dict
+    selections: list["Field"] = field(default_factory=list)
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str):
+        k, v = self.next()
+        if v != val:
+            raise GraphQLError(f"expected {val!r}, got {v!r}")
+
+    def parse_document(self) -> tuple[list[Field], dict]:
+        """Returns (root selections, variable defaults)."""
+        k, v = self.peek()
+        var_defaults: dict = {}
+        if v in ("query", "mutation", "subscription"):
+            if v != "query":
+                raise GraphQLError(f"{v} operations are not supported")
+            self.next()
+            if self.peek()[0] == "name":  # operation name
+                self.next()
+            if self.peek()[1] == "(":  # variable definitions
+                self.next()
+                while self.peek()[1] != ")":
+                    self.expect("$")
+                    _, var = self.next()
+                    self.expect(":")
+                    # type: Name [!] — types are not enforced, just consumed
+                    self.next()
+                    if self.peek()[1] == "!":
+                        self.next()
+                    if self.peek()[1] == "=":
+                        self.next()
+                        var_defaults[var] = self.parse_value({})
+                self.next()
+        return self.parse_selection_set(), var_defaults
+
+    def parse_selection_set(self) -> list[Field]:
+        self.expect("{")
+        fields = []
+        while self.peek()[1] != "}":
+            fields.append(self.parse_field())
+        self.next()
+        return fields
+
+    def parse_field(self) -> Field:
+        k, name = self.next()
+        if k != "name":
+            raise GraphQLError(f"expected field name, got {name!r}")
+        args: dict = {}
+        if self.peek()[1] == "(":
+            self.next()
+            while self.peek()[1] != ")":
+                _, an = self.next()
+                self.expect(":")
+                args[an] = self.parse_value_raw()
+            self.next()
+        sels: list[Field] = []
+        if self.peek()[1] == "{":
+            sels = self.parse_selection_set()
+        return Field(name, args, sels)
+
+    def parse_value_raw(self):
+        """Value with $var references left as ('var', name) markers."""
+        k, v = self.peek()
+        if v == "$":
+            self.next()
+            _, name = self.next()
+            return ("var", name)
+        return self.parse_value({})
+
+    def parse_value(self, variables: dict):
+        k, v = self.next()
+        if v == "{":
+            obj = {}
+            while self.peek()[1] != "}":
+                _, name = self.next()
+                self.expect(":")
+                obj[name] = self.parse_value_raw()
+            self.next()
+            return obj
+        if v == "[":
+            arr = []
+            while self.peek()[1] != "]":
+                arr.append(self.parse_value_raw())
+            self.next()
+            return arr
+        if k == "int":
+            return int(v)
+        if k == "float":
+            return float(v)
+        if k == "string":
+            return json.loads(v)
+        if k == "name":
+            if v == "true":
+                return True
+            if v == "false":
+                return False
+            if v == "null":
+                return None
+            return ("enum", v)
+        raise GraphQLError(f"unexpected value token {v!r}")
+
+
+def _resolve_vars(value, variables: dict):
+    if isinstance(value, tuple) and value and value[0] == "var":
+        name = value[1]
+        if name not in variables:
+            raise GraphQLError(f"missing variable ${name}")
+        return variables[name]
+    if isinstance(value, tuple) and value and value[0] == "enum":
+        return value  # enums resolved by the consumer (orderBy)
+    if isinstance(value, dict):
+        return {k: _resolve_vars(v, variables) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_resolve_vars(v, variables) for v in value]
+    return value
+
+
+# --------------------------------------------------------------------------
+# naming (Postgraphile conventions)
+# --------------------------------------------------------------------------
+
+def snake(name: str) -> str:
+    return re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", name).lower()
+
+
+def camel(name: str) -> str:
+    head, *rest = name.split("_")
+    return head + "".join(w.capitalize() for w in rest)
+
+
+def _all_field(table: str) -> str:
+    """logs -> allLogs (Postgraphile pluralizes; archive tables are already
+    plural or mass nouns, so the simple 's' rule is applied only when the
+    name doesn't end in 's')."""
+    base = camel(table)
+    if not base.endswith("s"):
+        base += "s"
+    return "all" + base[0].upper() + base[1:]
+
+
+# --------------------------------------------------------------------------
+# resolver: Field -> DataFrame plan -> JSON
+# --------------------------------------------------------------------------
+
+def _order_expr(df: DataFrame, enum_name: str):
+    m = re.fullmatch(r"(.+)_(ASC|DESC)", enum_name)
+    if not m:
+        raise GraphQLError(f"bad orderBy enum {enum_name!r}")
+    col = m.group(1).lower()
+    if col not in [c.lower() for c in df.columns]:
+        raise GraphQLError(f"unknown orderBy column {col!r}")
+    c = F.col(col)
+    return c.asc() if m.group(2) == "ASC" else c.desc()
+
+
+def _run_table_field(df: DataFrame, f: Field, variables: dict) -> dict:
+    args = {k: _resolve_vars(v, variables) for k, v in f.args.items()}
+    cond = args.pop("condition", {}) or {}
+    if not isinstance(cond, dict):
+        raise GraphQLError("condition must be an object")
+    for k, v in cond.items():
+        col = snake(k)
+        if col not in df.columns:
+            raise GraphQLError(f"unknown condition column {k!r}")
+        df = df.filter(F.col(col).eqNullSafe(F.lit(v)))
+    order = args.pop("orderBy", None)
+    if order is not None:
+        enums = order if isinstance(order, list) else [order]
+        exprs = []
+        for e in enums:
+            if not (isinstance(e, tuple) and e[0] == "enum"):
+                raise GraphQLError("orderBy takes enum values")
+            exprs.append(_order_expr(df, e[1]))
+        df = df.orderBy(*exprs)
+    first = args.pop("first", None)
+    offset = args.pop("offset", None)
+    if args:
+        raise GraphQLError(f"unsupported arguments {sorted(args)}")
+
+    want_total = any(s.name == "totalCount" for s in f.selections)
+    nodes_sel = next((s for s in f.selections if s.name == "nodes"), None)
+    out: dict = {}
+    if want_total:
+        out["totalCount"] = df.count()
+    if nodes_sel is not None:
+        cols = []
+        for s in nodes_sel.selections:
+            if s.name == "__typename":
+                continue
+            col = snake(s.name)
+            if col not in df.columns:
+                raise GraphQLError(f"unknown column {s.name!r}")
+            cols.append(col)
+        if not cols:
+            raise GraphQLError("nodes requires at least one column")
+        proj = df.select(*cols)
+        if offset:
+            proj = proj.offset(int(offset))
+        if first is not None:
+            proj = proj.limit(int(first))
+        rows = proj.collect()
+        out["nodes"] = [
+            {
+                **(
+                    {"__typename": _typename(f.name)}
+                    if any(s.name == "__typename" for s in nodes_sel.selections)
+                    else {}
+                ),
+                **{camel(c): _json_value(r[c]) for c in cols},
+            }
+            for r in rows
+        ]
+    return out
+
+
+def _typename(field_name: str) -> str:
+    base = field_name[3:] if field_name.startswith("all") else field_name
+    return base[:-1] if base.endswith("s") else base
+
+
+def _json_value(v):
+    import datetime as dt
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, list):
+        return [_json_value(x) for x in v]
+    return v
+
+
+def execute(
+    query: str,
+    tables: dict[str, DataFrame],
+    variables: dict | None = None,
+) -> dict:
+    """Execute a GraphQL query document against named DataFrames.
+
+    ``tables`` maps snake_case table names to DataFrames; each is exposed
+    as ``all<CamelCase>`` (Postgraphile) AND under its literal name (for
+    the generated per-event decode views, whose ABI-encoding names don't
+    camelize meaningfully)."""
+    variables = dict(variables or {})
+    try:
+        sels, var_defaults = _Parser(_lex(query)).parse_document()
+        for k, v in var_defaults.items():
+            variables.setdefault(k, _resolve_vars(v, {}))
+        by_field = {}
+        for t, df in tables.items():
+            by_field[_all_field(t)] = df
+            by_field[t] = df
+        data = {}
+        for f in sels:
+            if f.name == "__typename":
+                data["__typename"] = "Query"
+                continue
+            if f.name not in by_field:
+                raise GraphQLError(f"unknown field {f.name!r}")
+            data[f.name] = _run_table_field(by_field[f.name], f, variables)
+        return {"data": data}
+    except GraphQLError as e:
+        return {"errors": [{"message": str(e)}]}
+
+
+# --------------------------------------------------------------------------
+# HTTP endpoint (POST /graphql)
+# --------------------------------------------------------------------------
+
+def serve(
+    tables: dict[str, DataFrame], host: str = "127.0.0.1", port: int = 0
+):
+    """Start the GraphQL endpoint on a daemon thread; returns the
+    ``http.server`` instance (``server_address`` carries the bound port,
+    ``shutdown()`` stops it).  One Spark driver serves all requests —
+    concurrency is Spark's scheduler, the handler is thread-per-request
+    (``ThreadingHTTPServer``)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 — stdlib API name
+            if self.path.rstrip("/") not in ("", "/graphql"):
+                self.send_error(404)
+                return
+            try:
+                ln = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(ln) or b"{}")
+                res = execute(
+                    body.get("query", ""), tables, body.get("variables")
+                )
+            except Exception as e:  # noqa: BLE001 — surface as GraphQL error
+                res = {"errors": [{"message": f"bad request: {e}"}]}
+            payload = json.dumps(res).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

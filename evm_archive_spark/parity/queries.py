@@ -1279,6 +1279,82 @@ _add(
 )
 
 
+def _q_graphql(spark, sf_dir):
+    """B27 protocol-level parity: the GraphQL endpoint (graphql.py,
+    Postgraphile convention) queried over real HTTP — condition equality,
+    orderBy enums, paging, camelCase round trip — with the JSON response
+    re-lifted into a DataFrame and hash-checked against the literal
+    expected rows.  This is the read path a Postgraphile client uses
+    against the reference (docker-compose.yaml:46-72)."""
+    import json
+    import urllib.request
+
+    from ..graphql import serve
+
+    srv = serve({"logs": fixtures.logs_df(spark)})
+    try:
+        port = srv.server_address[1]
+        body = json.dumps(
+            {
+                "query": (
+                    "query($t0: String!) { allLogs("
+                    "condition: {topic0: $t0}, "
+                    "orderBy: [BLOCK_NUMBER_ASC, LOG_INDEX_ASC]) "
+                    "{ totalCount nodes "
+                    "{ address blockNumber transactionHash logIndex } } }"
+                ),
+                "variables": {"t0": fixtures.TOPIC_TRANSFER},
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphql",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            res = json.loads(r.read())
+        if "errors" in res:
+            raise RuntimeError(f"graphql errors: {res['errors']}")
+        out = res["data"]["allLogs"]
+        rows = [
+            (
+                int(out["totalCount"]),
+                n["address"],
+                int(n["blockNumber"]),
+                n["transactionHash"],
+                int(n["logIndex"]),
+            )
+            for n in out["nodes"]
+        ]
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(
+        rows,
+        "total_count long, address string, block_number long, "
+        "transaction_hash string, log_index long",
+    ).orderBy("block_number", "log_index")
+
+
+_add(
+    "q_graphql",
+    _q_graphql,
+    _values_query(
+        [
+            ("total_count", "BIGINT"),
+            ("address", "VARCHAR"),
+            ("block_number", "BIGINT"),
+            ("transaction_hash", "VARCHAR"),
+            ("log_index", "BIGINT"),
+        ],
+        [
+            (len(_TRANSFERS), r[0], r[7], r[8], r[10])
+            for r in sorted(_TRANSFERS, key=lambda r: (r[7], r[10]))
+        ],
+    ),
+    "GraphQL read API over HTTP (Postgraphile convention) == literal rows",
+)
+
+
 def _q_st4(spark, sf_dir):
     from ..streaming.windows import session_window_counts
 
@@ -3657,6 +3733,7 @@ _ROUND3_STAGED = [
 _ROUND3_NEW = [
     "q_multimodal_md5",
     "q_st_e2e",
+    "q_graphql",
 ]
 
 # Any window slots left after reds + staged + new are re-verification of

@@ -1,0 +1,174 @@
+"""GraphQL read API (reference B27, Postgraphile convention subset).
+
+The reference serves its tables over GraphQL via Postgraphile
+(docker-compose.yaml:46-72).  These tests pin the from-scratch parser and
+the resolver semantics (condition equality, orderBy enums, paging,
+totalCount, variables) and run the full HTTP round trip a real GraphQL
+client would perform.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from evm_archive_spark import fixtures
+from evm_archive_spark.graphql import camel, execute, serve, snake
+
+
+def test_name_conventions():
+    assert snake("blockNumber") == "block_number"
+    assert snake("topic0") == "topic0"
+    assert camel("block_number") == "blockNumber"
+    assert camel("topic0") == "topic0"
+
+
+def _tables(spark):
+    return {"logs": fixtures.logs_df(spark), "price": fixtures.price_df(spark)}
+
+
+def test_condition_order_paging(spark):
+    res = execute(
+        """
+        query {
+          allLogs(
+            condition: {topic0: "%s"}
+            orderBy: [BLOCK_NUMBER_ASC, LOG_INDEX_ASC]
+            first: 3
+            offset: 1
+          ) {
+            totalCount
+            nodes { address blockNumber logIndex __typename }
+          }
+        }
+        """
+        % fixtures.TOPIC_TRANSFER,
+        _tables(spark),
+    )
+    assert "errors" not in res, res
+    out = res["data"]["allLogs"]
+    transfers = [r for r in fixtures.logs_rows() if r[1] == fixtures.TOPIC_TRANSFER]
+    assert out["totalCount"] == len(transfers)
+    assert len(out["nodes"]) == 3
+    ordered = sorted(transfers, key=lambda r: (r[7], r[10]))
+    # offset 1: nodes start at the second distinct-ordered row
+    assert out["nodes"][0]["blockNumber"] == ordered[1][7]
+    assert all(n["__typename"] == "Log" for n in out["nodes"])
+    # camelCase round trip on output keys
+    assert set(out["nodes"][0]) == {
+        "address", "blockNumber", "logIndex", "__typename",
+    }
+
+
+def test_variables_and_defaults(spark):
+    res = execute(
+        """
+        query Q($t0: String!, $n: Int = 2) {
+          allLogs(condition: {topic0: $t0}, first: $n,
+                  orderBy: BLOCK_NUMBER_ASC) {
+            nodes { blockNumber }
+          }
+        }
+        """,
+        _tables(spark),
+        variables={"t0": fixtures.TOPIC_DEPOSIT},
+    )
+    assert "errors" not in res, res
+    nodes = res["data"]["allLogs"]["nodes"]
+    deposits = sorted(
+        r[7] for r in fixtures.logs_rows() if r[1] == fixtures.TOPIC_DEPOSIT
+    )
+    assert [n["blockNumber"] for n in nodes] == deposits[:2]
+
+
+def test_price_decimal_serialization(spark):
+    res = execute(
+        "query { allPrices(orderBy: [ADDRESS_ASC, BLOCK_NUMBER_ASC], first: 1)"
+        " { nodes { address blockNumber price } } }",
+        _tables(spark),
+    )
+    assert "errors" not in res, res
+    n = res["data"]["allPrices"]["nodes"][0]
+    expected = sorted(fixtures.PRICE_ROWS)[0]
+    # DECIMAL(20,0) travels as an exact decimal string, never a float
+    assert n["price"] == str(expected[2])
+    assert n["blockNumber"] == expected[1]
+
+
+def test_errors_are_graphql_shaped(spark):
+    t = _tables(spark)
+    assert "unknown field" in execute("{ nope { nodes { x } } }", t)["errors"][0]["message"]
+    assert "unknown condition column" in execute(
+        '{ allLogs(condition: {bogus: 1}) { nodes { address } } }', t
+    )["errors"][0]["message"]
+    assert "unknown column" in execute(
+        "{ allLogs { nodes { bogus } } }", t
+    )["errors"][0]["message"]
+    assert "not supported" in execute(
+        "mutation { x }", t
+    )["errors"][0]["message"]
+    assert "missing variable" in execute(
+        "query { allLogs(first: $n) { nodes { address } } }", t
+    )["errors"][0]["message"]
+
+
+def test_literal_view_name_field(spark):
+    """Generated decode views are reachable under their literal names —
+    the ABI-encoded view naming convention doesn't camelize."""
+    from evm_archive_spark import views
+
+    logs = fixtures.logs_df(spark)
+    views.register_event_views(spark, logs)
+    vname = "Transfer_address_from_address_to_uint256_amount_d"
+    res = execute(
+        "query { %s(orderBy: [EVT_BLOCK_NUMBER_ASC], first: 2) "
+        "{ nodes { from to amount evtBlockNumber } } }" % vname,
+        {vname: spark.table(vname)},
+    )
+    assert "errors" not in res, res
+    nodes = res["data"][vname]["nodes"]
+    assert len(nodes) == 2 and nodes[0]["amount"] == str(fixtures.README_AMOUNT)
+
+
+def test_http_round_trip(spark):
+    srv = serve(_tables(spark))
+    try:
+        port = srv.server_address[1]
+        body = json.dumps(
+            {
+                "query": "query($b: Int!) { allLogs(condition: {blockNumber: $b})"
+                " { totalCount nodes { address blockNumber } } }",
+                "variables": {"b": 222431},
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphql",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            res = json.loads(r.read())
+        assert "errors" not in res, res
+        out = res["data"]["allLogs"]
+        expected = [r for r in fixtures.logs_rows() if r[7] == 222431]
+        assert out["totalCount"] == len(expected)
+        assert all(n["blockNumber"] == 222431 for n in out["nodes"])
+        # malformed body comes back as a GraphQL error, not a 500
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphql",
+            data=b"{not json",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(bad, timeout=60) as r:
+            assert "errors" in json.loads(r.read())
+    finally:
+        srv.shutdown()
+
+
+def test_parser_rejects_garbage(spark):
+    t = {"logs": fixtures.logs_df(spark)}
+    for q in ["{", "{ allLogs( { nodes { a } } }", "query !! {}", ""]:
+        res = execute(q, t)
+        assert "errors" in res, q
