@@ -134,3 +134,107 @@ def stratified_sample(
         )
         cond = c if cond is None else cond | c
     return df.filter(cond if cond is not None else F.lit(False))
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    k: int,
+    *,
+    salt: int = 64,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Keep at most ``k`` rows per stratum, chosen deterministically by
+    md5(key) order — the RefinedWeb-style per-domain cap (bound how much
+    any one domain/source contributes to the corpus) without an RNG.
+
+    Two-phase top-k so a huge stratum never lands on one reducer: a first
+    window over (stratum, salt-bucket) keeps k survivors per bucket (each
+    bucket holds ~1/salt of the stratum), then the final window ranks the
+    <= k*salt survivors per stratum.  The global top-k by a total order is
+    always contained in the union of per-bucket top-k's, so this equals
+    the single-window plan (pinned by test) while the heavy first pass
+    partitions (stratum x salt)-wide.  At 100 TB with a boilerplate-heavy
+    source this is the difference between a straggler sort of 10^9 rows
+    and 64 sorts of 10^7.
+
+    Output: input columns + ``rank_col`` (1-based position in the
+    stratum's md5 order).  Ties (md5 collisions) break on the raw key.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    # independent hex range of the same digest spreads the salt buckets
+    s = F.pmod(F.conv(F.substring(h, 25, 8), 16, 10).cast("long"), F.lit(salt))
+    w1 = Window.partitionBy(strata_col, "__cap_s").orderBy("__cap_h", key)
+    w2 = Window.partitionBy(strata_col).orderBy("__cap_h", key)
+    return (
+        df.withColumn("__cap_h", h)
+        .withColumn("__cap_s", s)
+        .withColumn("__cap_r1", F.row_number().over(w1))
+        .filter(F.col("__cap_r1") <= k)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("__cap_h", "__cap_s", "__cap_r1")
+    )
+
+
+def dsir_stats(
+    docs: DataFrame,
+    target_cond: Column,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance statistics (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by how target-like its hashed-unigram profile is,
+    where the target is the in-corpus subset selected by ``target_cond``.
+
+    Tokens hash into ``n_buckets`` md5 buckets; the operator emits per-doc
+    EXACT integer sufficient statistics — ``sum_t`` / ``sum_r`` (the summed
+    target / raw bucket counts over the doc's tokens) and the integer
+    importance ratio ``w_ppm = sum_t * scale DIV sum_r`` — rather than the
+    paper's float log-ratio, so results are engine-exact (the q_tfidf
+    convention).  The float weight Σ log(p_t(b)/p_r(b)) is a map-side
+    function of the same 2x``n_buckets`` table for callers that want it.
+
+    Plan shape (100 TB posture): one token explode feeding two tiny
+    ``n_buckets``-row aggregates (map-side partial combine), then the
+    bucket table broadcast back onto the exploded tokens and re-aggregated
+    per doc — the corpus shuffles only on compact (bucket|doc_id) keys,
+    never on text.  ``sum_r >= 1`` always: every token of every doc is in
+    the raw counts, so the DIV is total.
+    """
+    from ..operators.textanalysis import tokens
+
+    toks = docs.select(
+        F.col(key_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    tb = toks.withColumn("__b", hash_bucket(F.col("__tok"), n_buckets))
+    raw = tb.groupBy("__b").agg(F.count("*").alias("cnt_r"))
+    tgt = (
+        docs.filter(target_cond)
+        .select(F.explode(tokens(text_col)).alias("__tok"))
+        .withColumn("__b", hash_bucket(F.col("__tok"), n_buckets))
+        .groupBy("__b")
+        .agg(F.count("*").alias("cnt_t"))
+    )
+    table = raw.join(tgt, "__b", "left").fillna(0, subset=["cnt_t"])
+    per_doc = (
+        tb.join(F.broadcast(table), "__b")
+        .groupBy(key_col)
+        .agg(
+            F.sum("cnt_t").alias("sum_t"),
+            F.sum("cnt_r").alias("sum_r"),
+        )
+    )
+    return per_doc.select(
+        key_col,
+        F.col("sum_t").cast("long").alias("sum_t"),
+        F.col("sum_r").cast("long").alias("sum_r"),
+        F.expr(f"CAST(sum_t * {scale} DIV sum_r AS BIGINT)").alias("w_ppm"),
+    )

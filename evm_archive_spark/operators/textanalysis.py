@@ -861,3 +861,79 @@ def bpe_segment_arrow(col: str, merges: list[tuple[str, str]]) -> F.Column:
     _seg.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     seg = F.pandas_udf(_seg, "array<array<string>>")
     return seg(F.col(col))
+
+
+def length_percentiles(
+    docs: DataFrame,
+    *,
+    value_col: str = "n_chars",
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-stratum length percentiles (corpus health profile: is a
+    language's doc-length distribution collapsing to boilerplate?).
+
+    Discrete (type-preserving) percentiles by total order: value at
+    1-based position ceil(p*n) in the stratum's (value, key) order —
+    exact integers, no interpolation, so the result is engine-exact
+    (libm-free, unlike percentile_cont).  One window + one group-by on
+    the stratum key.  At scale the window sorts each stratum once; for
+    a skew-heavy stratum use approx_percentile as the screening pass and
+    reserve this for the report cut (documented; the driver gate runs
+    the exact path).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(value_col, key_col)
+    n = Window.partitionBy(strata_col)
+    r = docs.select(
+        strata_col,
+        F.col(value_col).cast("long").alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(n).alias("__n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.col("__n") * F.lit(p)).cast("long"),
+                F.col("__v"),
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return r.groupBy(strata_col).agg(*aggs)
+
+
+def vocab_profile(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-stratum vocabulary profile: total tokens, distinct tokens
+    (vocabulary size), and the type-token ratio as exact ppm — the
+    Heaps-law health check that catches template-generated or
+    deduplication-damaged sources (vocabulary stops growing while token
+    count doesn't).
+
+    One explode + one two-level aggregate; countDistinct plans as the
+    partial-distinct expand, shuffling only (stratum, token-digest)-sized
+    keys.  All-integer output (q_tfidf convention).
+    """
+    toks = docs.select(strata_col, F.explode(tokens(text_col)).alias("__tok"))
+    return (
+        toks.groupBy(strata_col)
+        .agg(
+            F.count("*").cast("long").alias("total_tokens"),
+            F.countDistinct("__tok").cast("long").alias("distinct_tokens"),
+        )
+        .select(
+            strata_col,
+            "total_tokens",
+            "distinct_tokens",
+            F.expr(
+                "CAST(distinct_tokens * 1000000 DIV total_tokens AS BIGINT)"
+            ).alias("ttr_ppm"),
+        )
+    )

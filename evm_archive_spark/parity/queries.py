@@ -3695,6 +3695,184 @@ _add(
 )
 
 
+# [pair] generalized as-of join: direction='nearest' with tolerance
+# (pandas merge_asof contract; operators/asof.py).  For every click event,
+# the nearest error event of the same user within 2 hours; ties prefer
+# backward.  Oracle is the naive bounded range join + rank — the very plan
+# the operator exists to avoid (O(|L|x|R|) per key), correct at gate scale.
+
+
+def _q_asof_nearest(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    register_testdata(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    # dedupe right per (user, t): asof determinism contract
+    r = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v_q"),
+        )
+        .groupBy("user_id", "t")
+        .agg(F.max("v_q").alias("v_q"))
+    )
+    out = asof_join(
+        l, r, on="t", by_left="user_id", by_right="user_id",
+        value_cols=["v_q"], direction="nearest",
+        tolerance=7_200_000_000, matched_on="near_t",
+    )
+    return out.select("event_id", "near_t", "v_q").orderBy("event_id")
+
+
+_add(
+    "q_asof_nearest",
+    _q_asof_nearest,
+    "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t "
+    "           FROM events WHERE event_type = 'click'), "
+    "r AS (SELECT user_id, epoch_us(ts) AS t, "
+    "             MAX(CAST(FLOOR(value * 1000) AS BIGINT)) AS v_q "
+    "      FROM events WHERE event_type = 'error' "
+    "      GROUP BY user_id, epoch_us(ts)), "
+    "m AS (SELECT l.event_id, r.t AS near_t, r.v_q, "
+    "             ROW_NUMBER() OVER (PARTITION BY l.event_id "
+    "                 ORDER BY ABS(r.t - l.t), r.t) AS rn "
+    "      FROM l JOIN r ON l.user_id = r.user_id "
+    "       AND ABS(r.t - l.t) <= 7200000000) "
+    "SELECT l.event_id, m.near_t, m.v_q "
+    "FROM l LEFT JOIN m ON l.event_id = m.event_id AND m.rn = 1 "
+    "ORDER BY l.event_id NULLS FIRST",
+    "as-of join direction=nearest + tolerance (single-sort dual-frame plan) "
+    "== bounded range join + rank oracle",
+)
+
+
+# [pair] per-source deterministic cap (RefinedWeb-style per-domain cap;
+# operators/sampling.py stratified_cap).  Two-phase salted top-k == the
+# oracle's single global window by the same md5 total order.
+
+
+def _q_source_cap(spark, sf_dir):
+    from ..operators.sampling import stratified_cap
+
+    register_testdata(spark, sf_dir, ["documents"])
+    out = stratified_cap(
+        spark.table("documents"), "source", "doc_id", 40, salt=8
+    )
+    return out.select(
+        "source", "doc_id", F.col("rk").cast("long").alias("rk")
+    ).orderBy("source", "rk")
+
+
+_add(
+    "q_source_cap",
+    _q_source_cap,
+    "WITH r AS (SELECT source, doc_id, "
+    "  ROW_NUMBER() OVER (PARTITION BY source "
+    "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+    "  FROM documents) "
+    "SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 40 "
+    "ORDER BY source NULLS FIRST, rk NULLS FIRST",
+    "stratified per-source cap: salted two-phase top-k == one global window",
+)
+
+
+# [pair] DSIR importance statistics (Xie et al. 2023; sampling.dsir_stats):
+# hashed-unigram target/raw bucket counts as exact integer sufficient
+# statistics, target = lang='en' subset.
+
+
+def _q_dsir(spark, sf_dir):
+    from ..operators.sampling import dsir_stats
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return dsir_stats(
+        spark.table("documents"), F.col("lang") == "en", n_buckets=64
+    ).orderBy("doc_id")
+
+
+_add(
+    "q_dsir",
+    _q_dsir,
+    "WITH tok AS (SELECT doc_id, lang, "
+    "  UNNEST(string_split_regex(trim(text), ' +')) AS tok FROM documents), "
+    "tb AS (SELECT doc_id, lang, "
+    "  CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64 AS b "
+    "  FROM tok), "
+    "raw AS (SELECT b, COUNT(*) AS cnt_r FROM tb GROUP BY b), "
+    "tgt AS (SELECT b, COUNT(*) AS cnt_t FROM tb WHERE lang = 'en' "
+    "        GROUP BY b), "
+    "per AS (SELECT tb.doc_id, SUM(raw.cnt_r) AS sum_r, "
+    "               SUM(COALESCE(tgt.cnt_t, 0)) AS sum_t "
+    "        FROM tb JOIN raw USING (b) LEFT JOIN tgt USING (b) "
+    "        GROUP BY tb.doc_id) "
+    "SELECT doc_id, CAST(sum_t AS BIGINT) AS sum_t, "
+    "       CAST(sum_r AS BIGINT) AS sum_r, "
+    "       CAST((sum_t * 1000000) // sum_r AS BIGINT) AS w_ppm "
+    "FROM per ORDER BY doc_id NULLS FIRST",
+    "DSIR hashed-unigram importance stats (broadcast bucket table) "
+    "== explode/join oracle",
+)
+
+
+# [pair] exact per-language length percentiles (textanalysis
+# length_percentiles): discrete value-at-ceil(p*n), integer-exact.
+
+
+def _q_lenpct(spark, sf_dir):
+    from ..operators.textanalysis import length_percentiles
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return length_percentiles(spark.table("documents")).orderBy("lang")
+
+
+_add(
+    "q_lenpct",
+    _q_lenpct,
+    "WITH r AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, "
+    "  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn, "
+    "  COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) "
+    "SELECT lang, "
+    "  CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN v END) "
+    "    AS BIGINT) AS p50, "
+    "  CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN v END) "
+    "    AS BIGINT) AS p90, "
+    "  CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN v END) "
+    "    AS BIGINT) AS p99 "
+    "FROM r GROUP BY lang ORDER BY lang NULLS FIRST",
+    "exact discrete per-lang length percentiles == window-rank oracle",
+)
+
+
+# [pair] per-source vocabulary profile (textanalysis vocab_profile):
+# Heaps-law health check, all-integer output.
+
+
+def _q_vocab(spark, sf_dir):
+    from ..operators.textanalysis import vocab_profile
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return vocab_profile(spark.table("documents")).orderBy("source")
+
+
+_add(
+    "q_vocab",
+    _q_vocab,
+    "WITH tok AS (SELECT source, "
+    "  UNNEST(string_split_regex(trim(text), ' +')) AS tok FROM documents) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS total_tokens, "
+    "  CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens, "
+    "  CAST((COUNT(DISTINCT tok) * 1000000) // COUNT(*) AS BIGINT) "
+    "    AS ttr_ppm "
+    "FROM tok GROUP BY source ORDER BY source NULLS FIRST",
+    "per-source vocabulary / type-token-ratio profile",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -3729,16 +3907,23 @@ _ROUND3_STAGED = [
 ]
 
 # New gates added during round 3 — appended here as they are built so they
-# land inside the checked window (44 + these; cap 50).
+# land inside the checked window (44 + these; cap 50).  With six new gates
+# the window is exactly full: 10 retyped reds + 34 never-checked + 6 new.
+# (q_lenpct / q_vocab, also new this round, overflow the cap and are staged
+# for the round-4 window — see NOTES.md.)
 _ROUND3_NEW = [
     "q_multimodal_md5",
     "q_st_e2e",
     "q_graphql",
+    "q_asof_nearest",
+    "q_source_cap",
+    "q_dsir",
 ]
 
 # Any window slots left after reds + staged + new are re-verification of
 # rows already driver-verified green in r1/r2 (not new signal — documented
 # per ADVICE r2: backfill is regression re-check, not fresh coverage).
+# Empty this round: new-signal gates filled the window.
 _ROUND3_BACKFILL = ["q_sc1", "q_j1", "q_a2", "q_w1", "q_j7", "q_f1"]
 
 _ROUND3_FIRST = (

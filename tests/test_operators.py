@@ -1598,3 +1598,194 @@ def test_bpe_segment_arrow_matches_sql_chain_dirty_whitespace(spark):
     assert sql_side == arrow_side
     # leading tab -> first token '' -> empty symbol array, on both sides
     assert sql_side[0][0] == []
+
+
+def test_asof_join_directions_property(spark):
+    """forward / nearest / tolerance vs a per-row python oracle (hypothesis):
+    forward == earliest right with t >= left t (exclusive when strict),
+    nearest == closer of the two candidates after per-side tolerance,
+    ties preferring backward — the pandas merge_asof contract."""
+    from hypothesis import given, settings, strategies as st
+
+    keys = ["k0", "k1"]
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lefts=st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 40)),
+            min_size=1, max_size=10,
+        ),
+        rights=st.lists(
+            st.tuples(
+                st.sampled_from(keys), st.integers(0, 40), st.integers(1, 999)
+            ),
+            min_size=0, max_size=10, unique_by=lambda r: (r[0], r[1]),
+        ),
+        tol=st.sampled_from([None, 0, 3, 10]),
+    )
+    def check(lefts, rights, tol):
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lefts)],
+            "token string, t long, rid long",
+        )
+        right = spark.createDataFrame(
+            rights or [("__none__", 0, 0)],
+            "address string, t long, price long",
+        )
+
+        def run(**kw):
+            out = asof_join(
+                left, right, on="t", by_left="token", by_right="address",
+                value_cols=["price"], tolerance=tol, **kw,
+            ).collect()
+            return {r["rid"]: r["price"] for r in out}
+
+        def expect(direction, strict=False):
+            exp = {}
+            for i, (k, t) in enumerate(lefts):
+                back = [
+                    r for r in rights
+                    if r[0] == k and (r[1] < t if strict else r[1] <= t)
+                    and (tol is None or t - r[1] <= tol)
+                ]
+                fwd = [
+                    r for r in rights
+                    if r[0] == k and (r[1] > t if strict else r[1] >= t)
+                    and (tol is None or r[1] - t <= tol)
+                ]
+                b = max(back, key=lambda r: r[1]) if back else None
+                f = min(fwd, key=lambda r: r[1]) if fwd else None
+                if direction == "backward":
+                    exp[i] = b[2] if b else None
+                elif direction == "forward":
+                    exp[i] = f[2] if f else None
+                else:  # nearest: tie prefers backward
+                    if b and f:
+                        exp[i] = f[2] if (f[1] - t) < (t - b[1]) else b[2]
+                    else:
+                        exp[i] = (b or f)[2] if (b or f) else None
+            return exp
+
+        assert run(direction="backward") == expect("backward")
+        assert run(direction="forward") == expect("forward")
+        assert run(direction="forward", strict=True) == expect(
+            "forward", strict=True
+        )
+        assert run(direction="nearest") == expect("nearest")
+
+    check()
+
+
+def test_asof_join_matched_on_column(spark):
+    left = spark.createDataFrame([("a", 10, 0)], "k string, t long, rid long")
+    right = spark.createDataFrame(
+        [("a", 7, 70), ("a", 12, 120)], "k string, t long, v long"
+    )
+    row = asof_join(
+        left, right, on="t", by_left="k", by_right="k", value_cols=["v"],
+        direction="nearest", matched_on="mt",
+    ).collect()[0]
+    # nearest: forward at distance 2 beats backward at distance 3
+    assert (row["v"], row["mt"]) == (120, 12)
+
+
+def test_stratified_cap_matches_single_window_and_caps(spark):
+    import hashlib
+
+    from evm_archive_spark.operators.sampling import stratified_cap
+
+    rows = [(f"s{i % 3}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+
+    def reference(k):
+        by = {}
+        for s, d in rows:
+            by.setdefault(s, []).append(d)
+        out = {}
+        for s, ds in by.items():
+            order = sorted(
+                ds, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+            )
+            out.update({(s, d): i + 1 for i, d in enumerate(order[:k])})
+        return out
+
+    for salt in (1, 4, 64):
+        got = {
+            (r["source"], r["doc_id"]): r["rk"]
+            for r in stratified_cap(
+                df, "source", "doc_id", 10, salt=salt
+            ).collect()
+        }
+        assert got == reference(10), f"salt={salt}"
+    # cap larger than stratum: everything kept, ranks dense
+    all_rows = stratified_cap(df, "source", "doc_id", 1000).collect()
+    assert len(all_rows) == 200
+    per = {}
+    for r in all_rows:
+        per.setdefault(r["source"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+
+
+def test_dsir_stats_manual(spark):
+    import hashlib
+
+    from evm_archive_spark.operators.sampling import dsir_stats
+
+    rows = [
+        (0, "a b a", "en"),
+        (1, "b c", "en"),
+        (2, "a c c", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["sum_t"], r["sum_r"], r["w_ppm"])
+        for r in dsir_stats(
+            df, F.col("lang") == "en", n_buckets=8
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 8
+
+    toks = {d: t.split() for d, t, _ in rows}
+    cnt_r, cnt_t = {}, {}
+    for d, t, lang in rows:
+        for tok in toks[d]:
+            b = bucket(tok)
+            cnt_r[b] = cnt_r.get(b, 0) + 1
+            if lang == "en":
+                cnt_t[b] = cnt_t.get(b, 0) + 1
+    for d, t, _ in rows:
+        st = sum(cnt_t.get(bucket(x), 0) for x in toks[d])
+        sr = sum(cnt_r[bucket(x)] for x in toks[d])
+        assert got[d] == (st, sr, st * 1_000_000 // sr)
+
+
+def test_length_percentiles_exact(spark):
+    from evm_archive_spark.operators.textanalysis import length_percentiles
+
+    rows = [("en", i, i * 10) for i in range(1, 11)]  # n_chars 10..100
+    rows += [("de", 100 + i, 7) for i in range(3)]  # constant
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long")
+    got = {
+        r["lang"]: (r["p50"], r["p90"], r["p99"])
+        for r in length_percentiles(df).collect()
+    }
+    # en: n=10 -> positions ceil(5)=5, ceil(9)=9, ceil(9.9)=10
+    assert got["en"] == (50, 90, 100)
+    assert got["de"] == (7, 7, 7)
+
+
+def test_vocab_profile_manual(spark):
+    from evm_archive_spark.operators.textanalysis import vocab_profile
+
+    df = spark.createDataFrame(
+        [("s0", "a b a"), ("s0", "b c"), ("s1", "x x x x")],
+        "source string, text string",
+    )
+    got = {
+        r["source"]: (r["total_tokens"], r["distinct_tokens"], r["ttr_ppm"])
+        for r in vocab_profile(df).collect()
+    }
+    assert got["s0"] == (5, 3, 600_000)
+    assert got["s1"] == (4, 1, 250_000)
