@@ -223,7 +223,9 @@ def dsir_stats(
         .groupBy("__b")
         .agg(F.count("*").alias("cnt_t"))
     )
-    table = raw.join(tgt, "__b", "left").fillna(0, subset=["cnt_t"])
+    # both sides are n_buckets rows, but the planner can't know that at
+    # compile time — hint, or this SMJ-shuffles two 64-row tables
+    table = raw.join(F.broadcast(tgt), "__b", "left").fillna(0, subset=["cnt_t"])
     per_doc = (
         tb.join(F.broadcast(table), "__b")
         .groupBy(key_col)

@@ -282,3 +282,66 @@ def test_pq_adc_scan_reads_only_code_column(spark, tmp_path):
     plan = buf.getvalue()
     scan = plan[plan.index("ReadSchema:"):].splitlines()[0]
     assert "pq_codes" in scan and "embedding" not in scan, scan
+
+
+def test_asof_nearest_is_one_shuffle_one_sort_one_window(spark):
+    """direction='nearest' computes BOTH candidate frames off a single
+    Exchange+Sort and Catalyst fuses them into ONE Window operator — the
+    whole point of running the forward frame over the backward sort order
+    (operators/asof.py module doc)."""
+    import re
+
+    from evm_archive_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 10, 0)], "k string, t long, rid long")
+    right = spark.createDataFrame([("a", 7, 70)], "k string, t long, v long")
+    out = asof_join(
+        left, right, on="t", by_left="k", by_right="k", value_cols=["v"],
+        direction="nearest", tolerance=5, matched_on="mt",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_dsir_joins_broadcast_corpus_never_sort_merged(spark):
+    """The 64-row bucket table broadcasts onto the exploded corpus (and the
+    raw|target table join is hinted): no SortMergeJoin anywhere, so the
+    token stream shuffles only for the per-doc re-aggregation."""
+    from pyspark.sql import functions as F
+
+    from evm_archive_spark.operators.sampling import dsir_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en")], "doc_id long, text string, lang string"
+    )
+    out = dsir_stats(docs, F.col("lang") == "en")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_cap_first_window_is_salted(spark):
+    """The heavy first top-k window partitions by (stratum, salt bucket);
+    only the <= k*salt survivors hit the per-stratum window — the
+    straggler-avoidance contract of sampling.stratified_cap."""
+    import re
+
+    from evm_archive_spark.operators.sampling import stratified_cap
+
+    df = spark.createDataFrame([("s", 1)], "source string, doc_id long")
+    out = stratified_cap(df, "source", "doc_id", 5, salt=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = re.sub(r"#\d+L?", "", buf.getvalue())
+    assert "windowspecdefinition(source, __cap_s, __cap_h ASC" in plan
+    assert "windowspecdefinition(source, __cap_h ASC" in plan

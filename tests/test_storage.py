@@ -101,3 +101,48 @@ def test_compact_block_range(spark, tmp_path):
     assert n == n_before
     # whole-table read still sees every row with the logical schema
     assert storage.read_logs(spark, path).count() == logs.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key by write_bucketed join with
+    ZERO Exchange (and, with matching sortBy, zero per-task Sort above
+    the scans): the pay-the-shuffle-once-at-write-time contract."""
+    import contextlib
+    import io
+    import re
+
+    from evm_archive_spark.storage import write_bucketed
+
+    logs = spark.range(0, 1000).selectExpr(
+        "id AS block_number", "id % 7 AS address_id", "id * 2 AS v"
+    )
+    prices = spark.range(0, 500).selectExpr(
+        "id AS block_number", "id * 10 AS price"
+    )
+    write_bucketed(
+        logs, "t_logs_b", str(tmp_path / "logs_b"), ["block_number"], 4
+    )
+    write_bucketed(
+        prices, "t_prices_b", str(tmp_path / "prices_b"), ["block_number"], 4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must pick SMJ — the layout claim
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_logs_b").join(
+            spark.table("t_prices_b"), "block_number"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        assert "SortMergeJoin" in plan
+        # values survive the layout round-trip
+        assert joined.count() == 500
+        row = joined.filter("block_number = 42").collect()[0]
+        assert (row["v"], row["price"]) == (84, 420)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_logs_b")
+        spark.sql("DROP TABLE IF EXISTS t_prices_b")
