@@ -60,6 +60,10 @@ HEADLINE = [
     "q_pq_topk",
     "q_cms",
     "q_profile",
+    # round-3: directional asof, per-source cap, DSIR importance stats
+    "q_asof_nearest",
+    "q_source_cap",
+    "q_dsir",
 ]
 
 
@@ -387,9 +391,14 @@ def main() -> None:
         ("q_ingest_source", ingest_source_20k),
         ("q_sink_upsert", sink_upsert_200k),
     ):
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir)
-        dt = time.perf_counter() - t0
+        # median of 3 (extended to the ingest/sink jobs in r3: q_ingest_1m
+        # drifted 4s -> 10s under GC/box load in a single-sample run)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir)
+            runs.append(time.perf_counter() - t0)
+        dt = sorted(runs)[1]
         timings[name] = round(dt, 4)
         total += dt
         print(

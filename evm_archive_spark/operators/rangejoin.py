@@ -1,0 +1,82 @@
+"""Bucketized range join: point-in-interval without a cartesian product.
+
+Spark has no native range-join optimization: ``l.p BETWEEN r.lo AND r.hi``
+with no equi-key plans as BroadcastNestedLoopJoin (or a cartesian product),
+O(|L|x|R|) — the classic OSS-Spark gap this operator closes (Databricks
+ships the same idea as a range-join *hint*; here it is an explicit
+composition of built-in operators, per the brief's custom-operator ladder).
+
+Plan: quantize the value axis into fixed buckets of ``bucket_size``.  Each
+left point lands in exactly ONE bucket; each right interval explodes into
+the buckets it overlaps; an ordinary shuffled equi-join on the bucket id
+collects candidates and the exact BETWEEN filter finishes.  Work is
+O(|L| + |R| x avg_interval/bucket_size + candidates), all in whole-stage
+codegen, with a plain hash shuffle both AQE and skew salting understand.
+
+Correctness does not depend on float subtleties: bucket assignment is the
+same monotone ``floor(x / bucket_size)`` expression on both sides, so a
+point inside [lo, hi] always falls in one of the interval's exploded
+buckets.
+
+Choosing ``bucket_size``: ~ the typical interval width.  Too small →
+interval explosion factor grows; too large → candidate filter does more
+work.  Both degrade gracefully; neither is O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_B = "__range_bucket"
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lo: str,
+    hi: str,
+    bucket_size: float,
+    *,
+    how: str = "inner",
+    left_key: str | None = None,
+) -> DataFrame:
+    """Join each left row to every right row with ``lo <= point <= hi``
+    (inclusive).  Column names must be disjoint between the two sides;
+    output carries all columns of both.
+
+    ``how``: 'inner' (default) or 'left' (unmatched left rows kept with
+    NULL right columns — implemented as an anti-join on ``left_key``, a
+    non-null unique key of the left side, so the hot path stays a plain
+    equi-join).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how == "left" and not left_key:
+        raise ValueError("how='left' requires left_key (unique, non-null)")
+
+    l = left.withColumn(_B, F.floor(F.col(point) / F.lit(bucket_size)))
+    r = right.withColumn(
+        _B,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(bucket_size)),
+                F.floor(F.col(hi) / F.lit(bucket_size)),
+            )
+        ),
+    )
+    matched = (
+        l.join(r, _B)
+        .filter((F.col(point) >= F.col(lo)) & (F.col(point) <= F.col(hi)))
+        .drop(_B)
+    )
+    if how == "inner":
+        return matched
+    # left outer: add back left rows with no candidate match
+    right_nulls = [
+        F.lit(None).cast(t).alias(c) for c, t in right.dtypes
+    ]
+    unmatched = left.join(
+        matched.select(left_key), [left_key], "left_anti"
+    ).select("*", *right_nulls)
+    return matched.unionByName(unmatched)

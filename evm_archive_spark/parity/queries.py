@@ -3873,6 +3873,95 @@ _add(
 )
 
 
+# [pair] bucketized range join (operators/rangejoin.py): point-in-interval
+# without a cartesian product.  Oracle is the naive BETWEEN join — the
+# O(|L|x|R|) plan the operator replaces; plan pin proves no BNLJ/cartesian.
+
+
+def _q_range_join(spark, sf_dir):
+    from ..operators.rangejoin import range_join
+
+    register_testdata(spark, sf_dir, ["orders", "nation"])
+    left = spark.table("orders").filter(F.col("o_orderkey") < 20000).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"), "o_totalprice"
+    )
+    bands = spark.table("nation").select(
+        F.col("n_nationkey").cast("long").alias("band_id"),
+        (F.col("n_nationkey") * 12000.0).alias("lo"),
+        (F.col("n_nationkey") * 12000.0 + 25000.0).alias("hi"),
+    )
+    out = range_join(
+        left, bands, point="o_totalprice", lo="lo", hi="hi",
+        bucket_size=10_000.0,
+    )
+    return out.select("o_orderkey", "band_id").orderBy("o_orderkey", "band_id")
+
+
+_add(
+    "q_range_join",
+    _q_range_join,
+    "SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, "
+    "       CAST(n.n_nationkey AS BIGINT) AS band_id "
+    "FROM orders o JOIN nation n "
+    "  ON o.o_totalprice BETWEEN n.n_nationkey * 12000.0 "
+    "     AND n.n_nationkey * 12000.0 + 25000.0 "
+    "WHERE o.o_orderkey < 20000 "
+    "ORDER BY o_orderkey NULLS FIRST, band_id NULLS FIRST",
+    "bucketized range join (equi-join on bucket + exact filter) "
+    "== naive BETWEEN oracle",
+)
+
+
+# [pair] incremental additive rollup (operators/rollup.py): three batches
+# folded into a partitioned rollup == one full recompute (the hypertable
+# continuous-aggregate invariant).
+
+
+def _q_rollup_incr(spark, sf_dir):
+    import tempfile
+
+    from ..operators.rollup import read_rollup, rollup_update
+
+    register_testdata(spark, sf_dir, ["events"])
+    ev = spark.table("events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_q"),
+    )
+    path = tempfile.mkdtemp(prefix="rollup_gate_") + "/rollup"
+    for part in range(3):
+        batch = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == part)
+        rollup_update(
+            spark, batch, path,
+            F.expr("tus DIV 3600000000"), ["event_type"],
+            {"n": F.count(F.lit(1)), "sum_v": F.sum("v_q")},
+        )
+    return (
+        read_rollup(spark, path)
+        .select(
+            F.col("bucket_id").cast("long").alias("hour_id"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_v").cast("long").alias("sum_v"),
+        )
+        .orderBy("hour_id", "event_type")
+    )
+
+
+_add(
+    "q_rollup_incr",
+    _q_rollup_incr,
+    "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id, "
+    "       event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) "
+    "         AS sum_v "
+    "FROM events GROUP BY 1, 2 "
+    "ORDER BY hour_id NULLS FIRST, event_type NULLS FIRST",
+    "incremental rollup over 3 batches == full recompute oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

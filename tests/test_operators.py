@@ -1789,3 +1789,95 @@ def test_vocab_profile_manual(spark):
     }
     assert got["s0"] == (5, 3, 600_000)
     assert got["s1"] == (4, 1, 250_000)
+
+
+def test_range_join_matches_naive_and_left_outer(spark):
+    from evm_archive_spark.operators.rangejoin import range_join
+
+    lefts = [(i, float(v)) for i, v in enumerate([0, 5, 9, 10, 25, 99, 150])]
+    rights = [(0, 0.0, 10.0), (1, 8.0, 30.0), (2, 200.0, 300.0)]
+    left = spark.createDataFrame(lefts, "lid long, p double")
+    right = spark.createDataFrame(rights, "rid long, lo double, hi double")
+
+    naive = {
+        (i, r)
+        for i, p in lefts
+        for r, lo, hi in rights
+        if lo <= p <= hi
+    }
+    for bucket in (1.0, 7.0, 100.0):
+        got = {
+            (r["lid"], r["rid"])
+            for r in range_join(
+                left, right, "p", "lo", "hi", bucket
+            ).collect()
+        }
+        assert got == naive, f"bucket={bucket}"
+
+    outer = range_join(
+        left, right, "p", "lo", "hi", 10.0, how="left", left_key="lid"
+    ).collect()
+    matched_lids = {i for i, _ in naive}
+    assert {r["lid"] for r in outer} == {i for i, _ in lefts}
+    for r in outer:
+        if r["lid"] not in matched_lids:
+            assert r["rid"] is None and r["lo"] is None
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    import contextlib
+    import io
+
+    from evm_archive_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame([(1, 5.0)], "lid long, p double")
+    right = spark.createDataFrame([(1, 0.0, 10.0)], "rid long, lo double, hi double")
+    out = range_join(left, right, "p", "lo", "hi", 10.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_update_incremental_equals_recompute(spark, tmp_path):
+    from evm_archive_spark.operators.rollup import read_rollup, rollup_update
+
+    rows = [(i, f"t{i % 3}", i // 4, i * 10) for i in range(40)]
+    base = spark.createDataFrame(rows, "id long, typ string, b long, v long")
+    path = str(tmp_path / "rollup")
+
+    for part in range(4):
+        rollup_update(
+            spark,
+            base.filter(F.pmod(F.col("id"), F.lit(4)) == part),
+            path,
+            F.col("b"),
+            ["typ"],
+            {"n": F.count(F.lit(1)), "sv": F.sum("v")},
+        )
+
+    got = {
+        (r["bucket_id"], r["typ"]): (r["n"], r["sv"])
+        for r in read_rollup(spark, path).collect()
+    }
+    expect = {}
+    for i, typ, b, v in rows:
+        k = (b, typ)
+        n, sv = expect.get(k, (0, 0))
+        expect[k] = (n + 1, sv + v)
+    assert got == expect
+
+    # a batch touching ONE bucket leaves other buckets' rows intact
+    extra = spark.createDataFrame([(100, "t0", 0, 5)], "id long, typ string, b long, v long")
+    rollup_update(
+        spark, extra, path, F.col("b"), ["typ"],
+        {"n": F.count(F.lit(1)), "sv": F.sum("v")},
+    )
+    got2 = {
+        (r["bucket_id"], r["typ"]): (r["n"], r["sv"])
+        for r in read_rollup(spark, path).collect()
+    }
+    expect[(0, "t0")] = (expect[(0, "t0")][0] + 1, expect[(0, "t0")][1] + 5)
+    assert got2 == expect
