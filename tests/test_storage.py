@@ -146,3 +146,53 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_logs_b")
         spark.sql("DROP TABLE IF EXISTS t_prices_b")
+
+
+def test_zorder_manifest_prunes_both_dimensions(spark, tmp_path):
+    """Z-order + manifest: a range predicate on EITHER clustered column
+    prunes files; under a plain single-column sort only the first column
+    is selective.  Result equality vs a full-scan filter is exact."""
+    from evm_archive_spark import skipping
+
+    n = 40_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST(id % 200 AS LONG) AS a",
+        "CAST((id * 7919) % 200 AS LONG) AS b",
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    skipping.write_zordered(df, zpath, ["a", "b"], n_files=16)
+    # contrast layout: sorted by a only
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    man_z = skipping.build_manifest(spark, zpath, ["a", "b"]).cache()
+    man_s = skipping.build_manifest(spark, spath, ["a", "b"]).cache()
+    total_z = man_z.count()
+    total_s = man_s.count()
+
+    pred = {"a": (20, 40), "b": (100, 120)}
+    kept_z = len(skipping.prune_files(man_z, pred))
+    assert kept_z < total_z  # 2-dim predicate prunes under z-order
+
+    # predicate on the SECOND column only: z-order prunes, plain sort can't
+    kept_z_b = len(skipping.prune_files(man_z, {"b": (100, 120)}))
+    kept_s_b = len(skipping.prune_files(man_s, {"b": (100, 120)}))
+    assert kept_z_b < total_z
+    assert kept_s_b == total_s
+
+    got = (
+        skipping.read_pruned(spark, man_z, pred)
+        .filter("a BETWEEN 20 AND 40 AND b BETWEEN 100 AND 120")
+        .select("id")
+    )
+    expect = df.filter("a BETWEEN 20 AND 40 AND b BETWEEN 100 AND 120").select("id")
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in expect.collect()
+    )
+    man_z.unpersist()
+    man_s.unpersist()
