@@ -1881,3 +1881,92 @@ def test_rollup_update_incremental_equals_recompute(spark, tmp_path):
     }
     expect[(0, "t0")] = (expect[(0, "t0")][0] + 1, expect[(0, "t0")][1] + 5)
     assert got2 == expect
+
+
+def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
+    """The continuous-aggregate loop: a file stream driven one file per
+    micro-batch through foreachBatch(rollup_update) converges to exactly
+    the batch recompute — the streaming face of the additive rollup."""
+    from evm_archive_spark.operators.rollup import read_rollup, rollup_update
+
+    src = tmp_path / "src"
+    rows = [(i, f"t{i % 3}", i // 16, i * 3) for i in range(96)]
+    base = spark.createDataFrame(rows, "id long, typ string, b long, v long")
+    for part in range(3):
+        base.filter(F.pmod(F.col("id"), F.lit(3)) == part).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    rollup_path = str(tmp_path / "rollup")
+
+    def fold(batch_df, batch_id):
+        rollup_update(
+            batch_df.sparkSession, batch_df, rollup_path,
+            F.col("b"), ["typ"],
+            {"n": F.count(F.lit(1)), "sv": F.sum("v")},
+        )
+
+    sdf = spark.readStream.schema(base.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["bucket_id"], r["typ"]): (r["n"], r["sv"])
+        for r in read_rollup(spark, rollup_path).collect()
+    }
+    expect = {
+        (r["b"], r["typ"]): (r["n"], r["sv"])
+        for r in base.groupBy("b", "typ")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_range_join_property(spark):
+    """range_join == the naive BETWEEN join over generated intervals
+    (hypothesis): empty rights, degenerate lo==hi intervals, negative
+    values, and bucket sizes smaller/larger than the interval widths."""
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.rangejoin import range_join
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        points=st.lists(st.integers(-50, 50), min_size=1, max_size=12),
+        ivals=st.lists(
+            st.tuples(st.integers(-50, 50), st.integers(0, 30)),
+            min_size=0, max_size=10,
+        ),
+        bucket=st.sampled_from([1.0, 3.0, 17.0, 100.0]),
+    )
+    def check(points, ivals, bucket):
+        left = spark.createDataFrame(
+            [(i, float(p)) for i, p in enumerate(points)],
+            "lid long, p double",
+        )
+        right = spark.createDataFrame(
+            [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(ivals)]
+            or [(0, 1.0, 0.0)],  # empty-right placeholder (hi < lo: no match)
+            "rid long, lo double, hi double",
+        )
+        got = {
+            (r["lid"], r["rid"])
+            for r in range_join(left, right, "p", "lo", "hi", bucket).collect()
+        }
+        expect = {
+            (i, j)
+            for i, p in enumerate(points)
+            for j, (lo, w) in enumerate(ivals)
+            if lo <= p <= lo + w
+        }
+        assert got == expect
+
+    check()

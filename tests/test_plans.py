@@ -345,3 +345,40 @@ def test_stratified_cap_first_window_is_salted(spark):
     plan = re.sub(r"#\d+L?", "", buf.getvalue())
     assert "windowspecdefinition(source, __cap_s, __cap_h ASC" in plan
     assert "windowspecdefinition(source, __cap_h ASC" in plan
+
+
+def test_aqe_converts_skewed_join_at_runtime(spark):
+    """The unsalted complement to operators/skew.py: with AQE skew-join on
+    (our session default), a 90%-one-key join is split at RUNTIME —
+    executed plan shows SortMergeJoin(skew=true) — so ad-hoc joins
+    survive skew even when nobody applied manual salting.  Thresholds are
+    lowered to make fixture-sized partitions eligible; production relies
+    on the same mechanism at its default sizes."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).selectExpr(
+            "CAST(CASE WHEN id % 10 < 9 THEN 0 ELSE id % 1000 END AS LONG) AS k",
+            "id AS v",
+        )
+        right = spark.range(1000).selectExpr("id AS k", "id * 2 AS w")
+        joined = left.join(right, "k")
+        # collect() (not count()) so the inspected QueryExecution is the
+        # one that actually ran
+        assert len(joined.collect()) == 300_000
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
