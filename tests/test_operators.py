@@ -1970,3 +1970,27 @@ def test_range_join_property(spark):
         assert got == expect
 
     check()
+
+
+def test_length_percentiles_approx_screening_path(spark):
+    """The documented 100-TB screening path: approx_percentile with a
+    tight accuracy budget brackets the exact discrete percentiles (the
+    gate runs the exact path; this pins the scale substitute's error)."""
+    from evm_archive_spark.operators.textanalysis import length_percentiles
+
+    rows = [("en", i, (i * 37) % 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long")
+    exact = {
+        r["lang"]: (r["p50"], r["p90"], r["p99"])
+        for r in length_percentiles(df).collect()
+    }
+    approx = df.groupBy("lang").agg(
+        F.expr(
+            "approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("ps")
+    ).collect()[0]["ps"]
+    for got, want in zip(approx, exact["en"]):
+        # accuracy 10000 -> error <= n/10000 rank positions; with n=2000
+        # the approx answer is rank-exact, value drift bounded by the
+        # step between adjacent order statistics
+        assert abs(got - want) <= 1, (approx, exact)
