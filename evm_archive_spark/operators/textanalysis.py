@@ -219,12 +219,12 @@ def tfidf_stats(
     are applied downstream, see ``tfidf_topk``).
 
     Plan shape at 100 TB: explode is map-side; tf = one shuffle keyed
-    (doc, term) with partial aggregation; df piggybacks as a second
-    aggregation keyed (term) and joins back — both keyed shuffles are on
-    high-cardinality keys (no hot spots beyond stopwords, which the
-    length>=3 filter and downstream idf weighting already discount)."""
-    from pyspark.sql import Window
-
+    (doc, term) with partial aggregation; df = a partial-aggregated
+    ``groupBy(term)`` over the tf rows joined back on term — NOT a window
+    over term, which would funnel every (doc, term) row of a high-df term
+    (stopword-adjacent terms in billions of docs) into one unbounded
+    window partition; residual join skew on hot terms is AQE-splittable,
+    which window skew is not (the line_dedup / ADVICE r2 pattern)."""
     # n_docs as a lazy 1-row broadcast (no driver-side action)
     n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     term_rows = df.select(
@@ -234,12 +234,11 @@ def tfidf_stats(
     tf = term_rows.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    # df via a window over term: each tf row is a distinct (doc, term), so
-    # count-per-term IS the document frequency — one reshuffle, no
-    # self-join, the exploded input is computed once.
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    # each tf row is a distinct (doc, term), so count-per-term IS the
+    # document frequency
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tf.withColumn("df", dfreq)
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", "tf", "df", "n_docs")
     )
@@ -401,15 +400,17 @@ def duplicate_span_stats(
     Plan shape at 100 TB: grams are exploded map-side and immediately
     md5-hashed, so the global-occurrence shuffle carries 32-byte digests,
     never the gram strings (the q_minhash_md5 convention).  The global
-    count is a window over the gram hash — ONE shuffle on the digest, no
-    counts-table self-join — followed by one keyed shuffle back to doc id
-    with partial aggregation.  A true suffix-array ExactSubstr is
+    count is a partial-aggregated ``groupBy(digest)`` whose repeated set
+    (occ > 1) joins back onto the gram stream — NOT a window over the
+    digest, which would funnel every copy of a boilerplate gram (the
+    exact grams this operator targets) into one unbounded window
+    partition; residual join skew is AQE-splittable (the line_dedup /
+    ADVICE r2 pattern).  Then one keyed shuffle back to doc id with
+    partial aggregation.  A true suffix-array ExactSubstr is
     character-exact but needs a global sort of every suffix; the word-gram
-    window formulation is the Spark-native approximation that keeps the
-    corpus scan linear.
+    formulation is the Spark-native approximation that keeps the corpus
+    scan linear.
     """
-    from pyspark.sql import Window
-
     t = tokens(text_col)
     cnt = F.size(t) - (n - 1)
     grams = df.select(
@@ -424,11 +425,14 @@ def duplicate_span_stats(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
-    occ = grams.withColumn(
-        "occ", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    dup_digests = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("g")
     )
     dup = (
-        occ.filter(F.col("occ") > 1)
+        grams.join(dup_digests, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_positions"))
     )
