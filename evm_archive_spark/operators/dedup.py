@@ -33,13 +33,23 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
 def exact_dedup_by_content(
     df: DataFrame, id_col: str, content_col: str
 ) -> DataFrame:
-    """Keep the lowest-id row per exact content digest."""
-    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    """Keep the lowest-id row per exact content digest (``id_col`` must be
+    unique).
+
+    Not a row_number window over the digest: a virally-duplicated payload
+    would put every copy — full rows, text included — into ONE window
+    partition's sort.  Instead min(id) per digest partial-aggregates on
+    (digest, id) only, and the join back is on the DISTINCT (digest, id)
+    pair — no hot key exists by construction (same discipline as
+    line_dedup / ADVICE r2)."""
+    h = F.md5(F.col(content_col))
+    with_h = df.withColumn("__h", h)
+    winners = (
+        with_h.select("__h", F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
     )
+    return with_h.join(winners, ["__h", id_col], "semi").drop("__h")
 
 
 # --------------------------------------------------------------------------
