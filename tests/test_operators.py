@@ -1994,3 +1994,60 @@ def test_length_percentiles_approx_screening_path(spark):
         # the approx answer is rank-exact, value drift bounded by the
         # step between adjacent order statistics
         assert abs(got - want) <= 1, (approx, exact)
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    """The streaming face of incremental_exact_dedup: micro-batches fold
+    against a persisted digest index via foreachBatch; the accumulated
+    survivor set equals one batch exact_dedup_by_content over everything
+    (earlier-batch copy wins; within a batch, lowest id wins)."""
+    from evm_archive_spark.operators.dedup import (
+        exact_dedup_by_content,
+        incremental_exact_dedup,
+    )
+
+    src = tmp_path / "src"
+    texts = ["alpha", "beta", "gamma", "delta"]
+    rows = [(i, texts[i % 4] if i % 3 else texts[0]) for i in range(30)]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    # file order == batch order == doc_id order (earliest file first)
+    for part in range(3):
+        base.filter(
+            (F.col("doc_id") >= part * 10) & (F.col("doc_id") < (part + 1) * 10)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    idx = str(tmp_path / "digests")
+    out = str(tmp_path / "survivors")
+
+    def fold(batch_df, batch_id):
+        s = batch_df.sparkSession
+        import os
+
+        if os.path.exists(idx):
+            seen = s.read.parquet(idx)
+        else:
+            seen = s.createDataFrame([], "digest string")
+        surv = incremental_exact_dedup(batch_df, seen).localCheckpoint()
+        surv.select("doc_id", "text").write.mode("append").parquet(out)
+        surv.select("digest").write.mode("append").parquet(idx)
+
+    sdf = spark.readStream.schema(base.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    )
+    expect = sorted(
+        (r["doc_id"], r["text"])
+        for r in exact_dedup_by_content(base, "doc_id", "text").collect()
+    )
+    assert got == expect
