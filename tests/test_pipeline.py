@@ -101,3 +101,26 @@ def test_stream_with_enrichment(spark, tmp_path):
     logs = spark.read.parquet(str(tmp_path / "out" / "logs"))
     assert logs.count() == 40
     assert logs.filter("block_timestamp IS NULL").count() == 0
+
+
+def test_corpus_cli_profile_and_pack(spark, tmp_path, capsys):
+    """The corpus_cli surface: --profile-only prints the one-pass profile
+    JSON; a full run writes the deterministic pack assignment table."""
+    import json
+
+    from evm_archive_spark.corpus_cli import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "packs")
+
+    assert main(["--input", src, "--profile-only"]) == 0
+    prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prof["n_docs"] > 0 and prof["total_tokens"] > 0
+
+    assert main(["--input", src, "--out", out, "--budget", "256"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] > 0 and stats["packs"] > 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "copy_id", "n_tokens", "pack_id", "pack_off"}
+    # concat-and-chunk semantics: every start offset lies inside its pack
+    assert got.filter("pack_off < 0 OR pack_off >= 256").count() == 0
