@@ -240,3 +240,46 @@ def dsir_stats(
         F.col("sum_r").cast("long").alias("sum_r"),
         F.expr(f"CAST(sum_t * {scale} DIV sum_r AS BIGINT)").alias("w_ppm"),
     )
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Audit a train/val/test split for near-duplicate leakage: every
+    near-duplicate pair (LSH prefilter + exact-Jaccard verify, the
+    near_duplicate_pipeline machinery) whose two sides landed in
+    DIFFERENT splits.  A val document with a train near-twin silently
+    inflates eval scores — this is the check a 100 TB pipeline runs
+    before freezing a split.
+
+    Output: (id_a, id_b, split_a, split_b), one row per leaking pair.
+    Cost is the near-dup candidate generation (banded LSH — no all-pairs)
+    plus two broadcast-sized joins of the pair list against the split
+    assignment; the split itself is the md5 hash_split, recomputed
+    map-side, so no split table needs to exist beforehand.
+    """
+    from .dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        num_perm=num_perm, bands=bands, k=k,
+    )
+    splits = hash_split(
+        docs.select(F.col(id_col)), id_col, weights
+    ).select(F.col(id_col).alias("__sid"), F.col("split"))
+    a = splits.withColumnRenamed("split", "split_a")
+    b = splits.withColumnRenamed("split", "split_b")
+    return (
+        pairs.join(a, pairs["id_a"] == a["__sid"]).drop("__sid")
+        .join(b, pairs["id_b"] == b["__sid"]).drop("__sid")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )

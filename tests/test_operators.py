@@ -2051,3 +2051,42 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
         for r in exact_dedup_by_content(base, "doc_id", "text").collect()
     )
     assert got == expect
+
+
+def test_split_leakage_report_finds_cross_split_neardups(spark):
+    """The report equals (near-dup pairs) ⋈ (hash_split assignment)
+    filtered to split-crossing pairs, and each reported pair really is a
+    near-dup crossing the boundary."""
+    from evm_archive_spark.operators.sampling import (
+        hash_split,
+        split_leakage_report,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat naps "
+        "in the warm afternoon sun near the old farm house"
+    )
+    rows = [(i, base.replace("lazy", f"lazy{'x' * (i % 2)}")) for i in range(20)]
+    rows += [(100 + i, f"unique document number {i} about spark internals and shuffles")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    weights = {"train": 0.5, "val": 0.5}
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in split_leakage_report(df, weights, threshold=0.7).collect()
+    }
+
+    from evm_archive_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(df, threshold=0.7).collect()
+    }
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.select("doc_id"), "doc_id", weights).collect()
+    }
+    expect = {(a, b) for a, b in pairs if split_of[a] != split_of[b]}
+    assert got == expect
+    assert got, "fixture must produce at least one leaking pair"
