@@ -1140,3 +1140,124 @@ def hyperplane_lsh_bucket_md5(
             F.lit(0)
         ).cast("long")
     return bucket
+
+
+# --------------------------------------------------------------------------
+# PCA dimensionality reduction (distributed moments, driver eigh)
+# --------------------------------------------------------------------------
+
+def second_moment_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    quant: int = 1000,
+) -> DataFrame:
+    """Exact-integer second-moment matrix of quantized embedding
+    components: ``s[i,j] = Σ_rows floor(x_i·quant) · floor(x_j·quant)``
+    (1-based i, j).
+
+    Quantize-then-multiply keeps every term an exact BIGINT, so the sums
+    are order-independent and engine-exact (a float covariance sum is
+    neither — accumulation order changes the last ulp, which a hash gate
+    would flag).  Plan: posexplode to (row, i, q), self-join on the row
+    id within the explode (broadcast-free: the pair explosion happens
+    map-side via a second transform), then one ``groupBy (i, j)`` whose
+    map-side combine collapses each partition to dims² rows before the
+    only shuffle.
+    """
+    d_expr = (
+        F.slice(F.col(vec_col), 1, dims) if dims else F.col(vec_col)
+    )
+    q = F.transform(
+        d_expr, lambda x: F.floor(x.cast("double") * quant).cast("long")
+    )
+    # map-side pair explosion: (i, j, q_i*q_j) per row, no self-join
+    pairs = df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    q,
+                    lambda qi, i: F.transform(
+                        q,
+                        lambda qj, j: F.struct(
+                            (i + 1).alias("i"),
+                            (j + 1).alias("j"),
+                            (qi * qj).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    )
+    return (
+        pairs.select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("s"))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "s",
+        )
+    )
+
+
+def pca_train(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    quant: int = 1000,
+) -> list[list[float]]:
+    """Top-``k`` principal directions of the (quantized, uncentered —
+    embeddings are ~zero-mean by construction; center upstream if not)
+    embedding distribution.
+
+    The distributed part is ONE aggregation to a dims² integer matrix
+    (second_moment_matrix); the eigendecomposition runs on the driver
+    over that tiny matrix (numpy ``eigh`` — dims ≤ a few thousand), the
+    same driver-small-state pattern as ivf_train's codebooks.  Returns
+    row-major components (k × dims), unit-norm, sign-fixed so the
+    largest-|coefficient| entry is positive (deterministic across
+    LAPACK implementations)."""
+    import numpy as np
+
+    rows = second_moment_matrix(df, vec_col, dims, quant).collect()
+    n = max(int(r["i"]) for r in rows)
+    m = np.zeros((n, n))
+    for r in rows:
+        m[r["i"] - 1, r["j"] - 1] = r["s"]
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "reduced",
+) -> DataFrame:
+    """Map-side projection onto trained components: ``out[c] = v · comp_c``.
+    The component matrix ships as a literal array (a real Literal, not
+    per-row CreateArray — the NOTES.md constant-table lesson), so the
+    projection runs inside whole-stage codegen with zero shuffles."""
+    comp_lits = [F.lit(c) for c in components]
+    v = F.col(vec_col)
+    outs = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, c, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in comp_lits
+        ]
+    )
+    return df.withColumn(out_col, outs)

@@ -3962,6 +3962,36 @@ _add(
 )
 
 
+# [pair] exact-integer second-moment matrix (similarity.py PCA front end):
+# quantize-then-multiply keeps every term BIGINT so the sums are
+# order-independent — a float covariance could not be hash-gated.
+
+
+def _q_cov(spark, sf_dir):
+    from ..operators.similarity import second_moment_matrix
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    return second_moment_matrix(
+        spark.table("embeddings"), dims=8
+    ).orderBy("i", "j")
+
+
+_add(
+    "q_cov",
+    _q_cov,
+    "WITH u AS (SELECT vec_id, r.range AS i, "
+    "  CAST(FLOOR(CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) * 1000) "
+    "    AS BIGINT) AS q "
+    "  FROM embeddings, range(1, 9) r) "
+    "SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j, "
+    "       CAST(SUM(a.q * b.q) AS BIGINT) AS s "
+    "FROM u a JOIN u b USING (vec_id) "
+    "GROUP BY a.i, b.i ORDER BY i NULLS FIRST, j NULLS FIRST",
+    "integer second-moment matrix (map-side pair explosion, one dims^2 "
+    "aggregate) == per-element self-join oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -2090,3 +2090,70 @@ def test_split_leakage_report_finds_cross_split_neardups(spark):
     expect = {(a, b) for a, b in pairs if split_of[a] != split_of[b]}
     assert got == expect
     assert got, "fixture must produce at least one leaking pair"
+
+
+def test_second_moment_matrix_manual(spark):
+    from evm_archive_spark.operators.similarity import second_moment_matrix
+
+    import math
+
+    vecs = [[0.1, -0.2, 0.3], [0.5, 0.0, -0.1], [-0.4, 0.25, 0.05]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in second_moment_matrix(df, dims=3).collect()
+    }
+    import struct
+
+    def f32(x):  # replicate float32 storage then double promotion
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    q = [[math.floor(f32(x) * 1000) for x in v] for v in vecs]
+    for i in range(3):
+        for j in range(3):
+            expect = sum(row[i] * row[j] for row in q)
+            assert got[(i + 1, j + 1)] == expect
+
+
+def test_pca_train_matches_numpy_and_projects_map_side(spark):
+    import numpy as np
+
+    from evm_archive_spark.operators.similarity import (
+        pca_project,
+        pca_train,
+        second_moment_matrix,
+    )
+
+    rng = np.random.RandomState(7)
+    latent = rng.randn(200, 2)
+    mix = np.array([[1.0, 0.2, -0.5, 0.1], [0.0, 1.5, 0.3, -0.2]])
+    data = (latent @ mix).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+
+    comps = pca_train(df, k=2, dims=4)
+
+    # numpy reference over the SAME quantized moment matrix
+    rows = second_moment_matrix(df, dims=4).collect()
+    m = np.zeros((4, 4))
+    for r in rows:
+        m[r["i"] - 1, r["j"] - 1] = r["s"]
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][:2]
+    for c, idx in zip(comps, order):
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        assert np.allclose(c, v, atol=1e-9)
+
+    out = {
+        r["vec_id"]: r["reduced"]
+        for r in pca_project(df, comps).collect()
+    }
+    ref = data @ np.array(comps).T
+    for i in range(len(data)):
+        assert np.allclose(out[i], ref[i], atol=1e-5)
