@@ -137,3 +137,49 @@ def with_global_index(
         out.withColumn(index_col, (F.col("running") - 1).cast("long"))
         .drop("running", "__one")
     )
+
+
+def materialize_packs(
+    docs: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    copy_col: str = "copy_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Turn a pack assignment (pack_by_budget / prepare_training_corpus
+    output) into the actual training shards: one row per pack with the
+    member texts concatenated in pack order — the step that hands a data
+    loader real sequences instead of an assignment table.
+
+    Output: (pack_id, n_docs, n_tokens, text).  One join of the
+    assignment onto the documents (broadcast if the assignment is a
+    gate-sized subset, shuffled hash join at corpus scale — both sides
+    keyed by the id) and one ``groupBy(pack_id)`` whose groups are
+    BOUNDED BY THE BUDGET by construction: a pack holds at most
+    budget/min_tokens documents, so collect_list here — unlike on an
+    unbounded key — cannot blow up a reducer.  Order within the pack is
+    restored by array_sort on (pack_off, text) structs, no global sort.
+    """
+    joined = assignment.join(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pack_off"), F.col(text_col))
+                        )
+                    ),
+                    lambda s: s[text_col],
+                ),
+            ).alias("text"),
+        )
+    )

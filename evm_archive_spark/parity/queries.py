@@ -3992,6 +3992,51 @@ _add(
 )
 
 
+# [pair] pack materialization (packing.materialize_packs): the assignment
+# becomes real training shards; md5 of each pack's concatenated text makes
+# the full content hash-gateable without huge gate rows.
+
+
+def _q_pack_text(spark, sf_dir):
+    from ..operators.packing import materialize_packs, pack_by_budget
+    from ..operators.textanalysis import token_count
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    assignment = pack_by_budget(
+        docs.select("doc_id", token_count("text").alias("n_tokens")),
+        "n_tokens", budget=512, shards=16,
+    ).select("doc_id", "n_tokens", "pack_id", "pack_off")
+    packs = materialize_packs(docs, assignment)
+    return packs.select(
+        F.col("pack_id").cast("long").alias("pack_id"),
+        "n_docs",
+        "n_tokens",
+        F.md5("text").alias("digest"),
+    ).orderBy("pack_id")
+
+
+_add(
+    "q_pack_text",
+    _q_pack_text,
+    r"WITH t AS (SELECT doc_id, text, "
+    r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens "
+    r"FROM documents), "
+    "c AS (SELECT doc_id, text, n_tokens, SUM(n_tokens) OVER "
+    "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS run FROM t), "
+    "a AS (SELECT doc_id, text, n_tokens, "
+    "CAST((run - n_tokens) // 512 AS BIGINT) AS pack_id, "
+    "CAST((run - n_tokens) % 512 AS BIGINT) AS pack_off FROM c) "
+    "SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
+    "md5(string_agg(text, chr(10) ORDER BY pack_off)) AS digest "
+    "FROM a GROUP BY pack_id ORDER BY pack_id NULLS FIRST",
+    "pack materialization (budget-bounded collect_list) == ordered "
+    "string_agg oracle, content equality via md5",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -2157,3 +2157,27 @@ def test_pca_train_matches_numpy_and_projects_map_side(spark):
     ref = data @ np.array(comps).T
     for i in range(len(data)):
         assert np.allclose(out[i], ref[i], atol=1e-5)
+
+
+def test_materialize_packs_restores_order(spark):
+    from evm_archive_spark.operators.packing import (
+        materialize_packs,
+        pack_by_budget,
+    )
+
+    rows = [(i, f"doc{i}", 3) for i in range(10)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    counts = spark.createDataFrame(
+        [(i, n) for i, _, n in rows], "doc_id long, n_tokens long"
+    )
+    assignment = pack_by_budget(counts, "n_tokens", budget=9, shards=4)
+    packs = {
+        r["pack_id"]: (r["n_docs"], r["n_tokens"], r["text"])
+        for r in materialize_packs(docs, assignment).collect()
+    }
+    # budget 9 / 3 tokens per doc -> 3 docs per pack, id order preserved
+    assert packs[0] == (3, 9, "doc0\ndoc1\ndoc2")
+    assert packs[1] == (3, 9, "doc3\ndoc4\ndoc5")
+    assert packs[3] == (1, 3, "doc9")
