@@ -941,3 +941,61 @@ def vocab_profile(
             ).alias("ttr_ppm"),
         )
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """The inverse view of ``decontaminate``: per EVAL item, how
+    compromised is it — how many corpus documents share at least one
+    word ``n``-gram with it, and how many of its grams are hit at all.
+    ``decontaminate`` cleans the corpus; this report tells you which
+    benchmarks were already leaked into the corpus badly enough that
+    their scores are suspect even after cleaning (the audit run before
+    trusting an eval).
+
+    Output per eval doc: ``n_grams`` (its distinct gram count),
+    ``n_grams_hit`` (distinct grams found anywhere in the corpus),
+    ``n_corpus_docs`` (distinct corpus docs sharing >= 1 gram) — exact
+    BIGINTs.  Eval docs with zero overlap appear with zeros.
+
+    Scale shape: same as decontaminate — the eval gram table (with its
+    owning eval id) broadcasts onto the corpus gram stream; the only
+    shuffles aggregate (eval_id, gram digest) and (eval_id, corpus id)
+    pairs, both bounded by matches, never corpus volume.
+    """
+    eval_grams = (
+        eval_df.select(
+            F.col(eval_id_col).alias("eval_id"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
+    per_eval = hits.groupBy("eval_id").agg(
+        F.countDistinct("gram").cast("long").alias("n_grams_hit"),
+        F.countDistinct("corpus_id").cast("long").alias("n_corpus_docs"),
+    )
+    totals = eval_grams.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(per_eval, "eval_id", "left")
+        .fillna(0, subset=["n_grams_hit", "n_corpus_docs"])
+        .select(
+            "eval_id",
+            "n_grams",
+            F.col("n_grams_hit").cast("long").alias("n_grams_hit"),
+            F.col("n_corpus_docs").cast("long").alias("n_corpus_docs"),
+        )
+    )

@@ -4037,6 +4037,50 @@ _add(
 )
 
 
+# [pair] contamination audit (textanalysis.contamination_report): the
+# inverse of q_decontam — per EVAL item, how many of its grams and how
+# many corpus docs hit it (is this benchmark's score still trustworthy?).
+
+
+def _q_contam_report(spark, sf_dir):
+    from ..operators.textanalysis import contamination_report
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return contamination_report(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=4,
+    ).orderBy("eval_id")
+
+
+_add(
+    "q_contam_report",
+    _q_contam_report,
+    r"WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
+    "AS toks FROM documents), "
+    "g AS (SELECT DISTINCT doc_id, "
+    "  list_aggregate(toks[i:i+3], 'string_agg', ' ') AS gram "
+    "  FROM t, UNNEST(generate_series(1, len(toks)-3)) AS u(i) "
+    "  WHERE len(toks) >= 4), "
+    "ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0), "
+    "cg AS (SELECT doc_id AS corpus_id, gram FROM g "
+    "       WHERE doc_id % 50 <> 0), "
+    "hits AS (SELECT ev.eval_id, ev.gram, cg.corpus_id "
+    "         FROM ev JOIN cg USING (gram)), "
+    "per AS (SELECT eval_id, COUNT(DISTINCT gram) AS n_grams_hit, "
+    "               COUNT(DISTINCT corpus_id) AS n_corpus_docs "
+    "        FROM hits GROUP BY eval_id), "
+    "tot AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_grams "
+    "        FROM ev GROUP BY eval_id) "
+    "SELECT tot.eval_id, tot.n_grams, "
+    "  CAST(COALESCE(per.n_grams_hit, 0) AS BIGINT) AS n_grams_hit, "
+    "  CAST(COALESCE(per.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs "
+    "FROM tot LEFT JOIN per USING (eval_id) ORDER BY eval_id NULLS FIRST",
+    "per-eval contamination audit == gram-join oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

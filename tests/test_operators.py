@@ -2181,3 +2181,27 @@ def test_materialize_packs_restores_order(spark):
     assert packs[0] == (3, 9, "doc0\ndoc1\ndoc2")
     assert packs[1] == (3, 9, "doc3\ndoc4\ndoc5")
     assert packs[3] == (1, 3, "doc9")
+
+
+def test_contamination_report_counts(spark):
+    from evm_archive_spark.operators.textanalysis import contamination_report
+
+    eval_df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "unseen words only here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "x alpha beta gamma delta y"),   # hits eval 0 (2 grams)
+            (11, "alpha beta gamma delta"),        # hits eval 0 (1 gram)
+            (12, "totally unrelated text body z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["eval_id"]: (r["n_grams"], r["n_grams_hit"], r["n_corpus_docs"])
+        for r in contamination_report(corpus, eval_df, n=4).collect()
+    }
+    # eval 0 has 1 distinct 4-gram; it appears in docs 10 and 11
+    assert got[0] == (1, 1, 2)
+    assert got[1] == (1, 0, 0)
