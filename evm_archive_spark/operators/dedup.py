@@ -510,8 +510,8 @@ def line_dedup(
       ``n_removed``  lines dropped (BIGINT)
 
     Plan shape at 100 TB: lines explode map-side and are immediately
-    md5-hashed; the global-occurrence count is a partial-aggregated
-    ``groupBy(digest)`` whose shuffle carries 32-byte digests with
+    xxhash64-hashed; the global-occurrence count is a partial-aggregated
+    ``groupBy(digest)`` whose shuffle carries 8-byte long keys with
     map-side-combined counts — NOT a window over the raw lines, which
     would funnel every copy of a high-frequency boilerplate line (the
     exact lines this operator targets) into one unbounded window
@@ -533,7 +533,7 @@ def line_dedup(
                 "pos", "line"
             ),
         )
-        .withColumn("__h", F.md5(F.col("line")))
+        .withColumn("__h", F.xxhash64(F.col("line")))
     )
     dup_digests = (
         lines.groupBy("__h")

