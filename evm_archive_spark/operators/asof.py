@@ -165,3 +165,48 @@ def asof_join(
     if matched_on is not None:
         out_cols.append(rt_out.alias(matched_on))
     return u.filter(F.col(_TAG) == 0).select(*out_cols)
+
+
+def resample_carry_forward(
+    df: DataFrame,
+    by_col: str,
+    on_col: str,
+    value_cols: list[str],
+    step: int,
+    *,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Regular time-grid resampling with last-observation-carried-forward
+    (the TimescaleDB time_bucket_gapfill + locf shape): one output row
+    per key per ``step`` tick covering [min(on), max(on)] of that key,
+    carrying each ``value_cols`` from the latest observation at-or-before
+    the tick (NULL before the first; ``tolerance`` caps staleness).
+
+    ``on_col`` must be integral (epoch-µs longs); grid ticks are the
+    multiples of ``step`` inside the key's observed span — integer
+    arithmetic throughout (``DIV``-safe past 2^53, the NOTES.md rule).
+
+    Plan: a per-key min/max aggregate (tiny), a map-side ``sequence``
+    explode for the grid, then ONE asof_join — which is one shuffle on
+    the key.  Grid volume is span/step per key; pick ``step`` for the
+    report resolution, not the data rate.
+    """
+    b = df.groupBy(by_col).agg(
+        F.min(on_col).alias("__mn"), F.max(on_col).alias("__mx")
+    )
+    start = F.expr(f"((__mn + {step} - 1) DIV {step}) * {step}")
+    stop = F.expr(f"(__mx DIV {step}) * {step}")
+    grid = (
+        b.select(by_col, start.alias("__s"), stop.alias("__e"))
+        .filter(F.col("__s") <= F.col("__e"))
+        .select(
+            by_col,
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__e"), F.lit(step))
+            ).alias(on_col),
+        )
+    )
+    return asof_join(
+        grid, df, on=on_col, by_left=by_col, by_right=by_col,
+        value_cols=value_cols, direction="backward", tolerance=tolerance,
+    )

@@ -4082,6 +4082,78 @@ _add(
 )
 
 
+# [pair] time-grid resample + carry-forward (asof.resample_carry_forward):
+# oracle is DuckDB's NATIVE ASOF JOIN — an independent engine
+# implementation of the same semantics.
+
+
+def _q_resample(spark, sf_dir):
+    from ..operators.asof import resample_carry_forward
+
+    register_testdata(spark, sf_dir, ["events"])
+    ev = (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v_q"),
+        )
+        .groupBy("user_id", "tus")
+        .agg(F.max("v_q").alias("v_q"))
+    )
+    out = resample_carry_forward(
+        ev, "user_id", "tus", ["v_q"], 21_600_000_000
+    )
+    return out.select("user_id", "tus", "v_q").orderBy("user_id", "tus")
+
+
+_add(
+    "q_resample",
+    _q_resample,
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS tus, "
+    "  MAX(CAST(FLOOR(value * 1000) AS BIGINT)) AS v_q "
+    "  FROM events GROUP BY user_id, epoch_us(ts)), "
+    "b AS (SELECT user_id, "
+    "  ((MIN(tus) + 21600000000 - 1) // 21600000000) * 21600000000 AS s, "
+    "  (MAX(tus) // 21600000000) * 21600000000 AS f "
+    "  FROM e GROUP BY user_id), "
+    "grid AS (SELECT user_id, UNNEST(range(s, f + 1, 21600000000)) AS tus "
+    "  FROM b WHERE s <= f) "
+    "SELECT g.user_id, CAST(g.tus AS BIGINT) AS tus, e.v_q "
+    "FROM grid g ASOF LEFT JOIN e "
+    "  ON g.user_id = e.user_id AND g.tus >= e.tus "
+    "ORDER BY g.user_id NULLS FIRST, tus NULLS FIRST",
+    "6h-grid carry-forward resample == DuckDB native ASOF JOIN oracle",
+)
+
+
+# [pair] missing-range detection (operators/gaps.py): the archive
+# completeness check behind resume reconciliation (A10/A11) — rank via
+# the DISTRIBUTED prefix sum; only the islands table hits a global window.
+
+
+def _q_gaps(spark, sf_dir):
+    from ..operators.gaps import find_gaps
+
+    register_testdata(spark, sf_dir, ["orders"])
+    sparse = spark.table("orders").filter(
+        (F.col("o_orderkey") < 2000) & (F.col("o_orderkey") % 97 < 90)
+    )
+    return find_gaps(sparse, "o_orderkey", shards=8).orderBy("gap_start")
+
+
+_add(
+    "q_gaps",
+    _q_gaps,
+    "WITH v AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS v "
+    "  FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 97 < 90), "
+    "l AS (SELECT v, LEAD(v) OVER (ORDER BY v) AS nxt FROM v) "
+    "SELECT v + 1 AS gap_start, nxt - 1 AS gap_end FROM l "
+    "WHERE nxt > v + 1 ORDER BY gap_start NULLS FIRST",
+    "gaps-and-islands via distributed dense rank == LEAD oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -2205,3 +2205,40 @@ def test_contamination_report_counts(spark):
     # eval 0 has 1 distinct 4-gram; it appears in docs 10 and 11
     assert got[0] == (1, 1, 2)
     assert got[1] == (1, 0, 0)
+
+
+def test_resample_carry_forward_semantics(spark):
+    from evm_archive_spark.operators.asof import resample_carry_forward
+
+    rows = [("a", 103, 1), ("a", 225, 2), ("a", 451, 3), ("b", 95, 9)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in resample_carry_forward(df, "k", "t", ["v"], 100).collect()
+    }
+    # a spans [103,451] -> ticks 200,300,400; carry = latest obs <= tick
+    assert got == {("a", 200): 1, ("a", 300): 2, ("a", 400): 2}
+    # tolerance caps staleness
+    tol = {
+        (r["k"], r["t"]): r["v"]
+        for r in resample_carry_forward(
+            df, "k", "t", ["v"], 100, tolerance=80
+        ).collect()
+    }
+    # staleness: 200-103=97 > 80 -> NULL; 300-225=75 ok; 400-225=175 -> NULL
+    assert tol == {("a", 200): None, ("a", 300): 2, ("a", 400): None}
+
+
+def test_find_gaps_islands(spark):
+    from evm_archive_spark.operators.gaps import find_gaps
+
+    vals = [1, 2, 3, 7, 8, 15, 16, 17, 20]
+    df = spark.createDataFrame([(v,) for v in vals], "block long")
+    got = sorted(
+        (r["gap_start"], r["gap_end"])
+        for r in find_gaps(df, "block", shards=4).collect()
+    )
+    assert got == [(4, 6), (9, 14), (18, 19)]
+    # dense input -> no gaps
+    dense = spark.createDataFrame([(v,) for v in range(50)], "block long")
+    assert find_gaps(dense, "block", shards=4).count() == 0
