@@ -1,0 +1,113 @@
+"""Event-sequence analytics over the events table: ordered funnels and
+cohort retention — the product-analytics queries a clickstream/event
+archive serves daily (and the reference's Postgres delegation would hand
+to window functions).
+
+Both are compositions of aggregates and equi-joins — no per-user
+collect_list of unbounded history, no window over a global order:
+
+- funnel: n-1 chained (aggregate -> equi-join -> filter) rounds; every
+  intermediate is one row per surviving user, monotonically shrinking.
+- retention: two aggregates and one join, all keyed on (user) or
+  (cohort, offset) — small-domain keys with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user earliest strictly-ordered completion time of each funnel
+    prefix: ``__t0`` = first ``steps[0]``, ``__ti`` = first ``steps[i]``
+    AFTER ``__t(i-1)``.  Users absent from step 0 are absent entirely;
+    later columns are NULL where the funnel stalled."""
+    per_user = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t0"))
+    )
+    for i in range(1, len(steps)):
+        stage = events.filter(F.col(type_col) == steps[i]).select(
+            user_col, ts_col
+        )
+        nxt = (
+            per_user.select(user_col, f"__t{i - 1}")
+            .join(stage, user_col)
+            .filter(F.col(ts_col) > F.col(f"__t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"__t{i}"))
+        )
+        per_user = per_user.join(nxt, user_col, "left")
+    return per_user
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion counts: (step_idx, step, n_users) where
+    ``n_users`` completed the ordered prefix ``steps[0..i]``."""
+    per_user = funnel_times(
+        events, steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    agg = per_user.agg(
+        *[
+            F.count(f"__t{i}").cast("long").alias(f"__s{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"__s{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.step_idx", "r.step", "r.n_users"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; ``n_users`` active per (cohort, offset_w) week offset."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(user_col).agg(
+        F.min(wk).alias("__cohort")
+    )
+    active = events.select(
+        F.col(user_col), wk.alias("__w")
+    ).distinct()
+    return (
+        active.join(first, user_col)
+        .select(
+            F.col("__cohort").cast("date").alias("cohort"),
+            F.expr(
+                "CAST(datediff(CAST(__w AS DATE), CAST(__cohort AS DATE)) "
+                "DIV 7 AS BIGINT)"
+            ).alias("offset_w"),
+            F.col(user_col),
+        )
+        .groupBy("cohort", "offset_w")
+        .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
+    )

@@ -2242,3 +2242,52 @@ def test_find_gaps_islands(spark):
     # dense input -> no gaps
     dense = spark.createDataFrame([(v,) for v in range(50)], "block long")
     assert find_gaps(dense, "block", shards=4).count() == 0
+
+
+def test_funnel_strict_ordering(spark):
+    from evm_archive_spark.operators.events import funnel
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes in order
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, t(1), "click"), (2, t(2), "view"),
+        # u3 views only
+        (3, t(0), "view"),
+        # u4 never views: excluded entirely despite purchasing
+        (4, t(0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from evm_archive_spark.operators.events import cohort_retention
+
+    import datetime as dt
+
+    # weeks: 2024-01-01 (Mon) and 2024-01-08
+    rows = [
+        (1, dt.datetime(2024, 1, 2)), (1, dt.datetime(2024, 1, 9)),
+        (2, dt.datetime(2024, 1, 3)),
+        (3, dt.datetime(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort"]), r["offset_w"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1, u2 first week
+        ("2024-01-01", 1): 1,   # u1 returns
+        ("2024-01-08", 0): 1,   # u3 cohort
+    }
