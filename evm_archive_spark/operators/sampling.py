@@ -283,3 +283,52 @@ def split_leakage_report(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b")
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    strata_col: str,
+    order_cols: list[str],
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    salt: int = 64,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top ``k`` rows per stratum by a MEASURE order (e.g. top-5 documents
+    by quality score per source) — the by-measure sibling of
+    stratified_cap's hash order, with the same salted two-phase plan: the
+    heavy pass ranks within (stratum, salt-bucket), the final pass ranks
+    the <= k*salt survivors.  Global top-k under a total order is always
+    contained in the union of per-bucket top-k's.
+
+    ``tiebreak`` (a unique column) makes ranks deterministic when
+    measures collide; required for gate-stable output, optional
+    otherwise.  Salt buckets come from md5 of the tiebreak (or the first
+    order col), so bucketing never correlates with the measure.
+    """
+    from pyspark.sql import Window
+
+    key = tiebreak or order_cols[0]
+    s = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 25, 8), 16, 10)
+        .cast("long"),
+        F.lit(salt),
+    )
+    order = [
+        (F.col(c).desc() if descending else F.col(c).asc())
+        for c in order_cols
+    ]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w1 = Window.partitionBy(strata_col, "__tk_s").orderBy(*order)
+    w2 = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        df.withColumn("__tk_s", s)
+        .withColumn("__tk_r1", F.row_number().over(w1))
+        .filter(F.col("__tk_r1") <= k)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("__tk_s", "__tk_r1")
+    )

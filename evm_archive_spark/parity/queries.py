@@ -4219,6 +4219,50 @@ _add(
 )
 
 
+# [pair] measure-ordered grouped top-k (sampling.grouped_topk): top-10
+# orders by total price per order priority, salted two-phase == one
+# global window.
+
+
+def _q_topk_group(spark, sf_dir):
+    from ..operators.sampling import grouped_topk
+
+    register_testdata(spark, sf_dir, ["orders"])
+    out = grouped_topk(
+        spark.table("orders").select(
+            "o_orderpriority", "o_orderkey",
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("price_c"),
+        ),
+        "o_orderpriority", ["price_c"], 10,
+        tiebreak="o_orderkey", salt=8,
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "price_c",
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("o_orderpriority", "rk")
+
+
+_add(
+    "q_topk_group",
+    _q_topk_group,
+    "WITH r AS (SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) "
+    "  AS o_orderkey, "
+    "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+    "    AS price_c, "
+    "  ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+    "    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+    "    DESC, o_orderkey) AS rk "
+    "  FROM orders) "
+    "SELECT o_orderpriority, o_orderkey, price_c, CAST(rk AS BIGINT) AS rk "
+    "FROM r WHERE rk <= 10 "
+    "ORDER BY o_orderpriority NULLS FIRST, rk NULLS FIRST",
+    "grouped top-k by measure: salted two-phase == single global window",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

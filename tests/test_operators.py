@@ -2291,3 +2291,29 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 1): 1,   # u1 returns
         ("2024-01-08", 0): 1,   # u3 cohort
     }
+
+
+def test_grouped_topk_matches_single_window(spark):
+    from evm_archive_spark.operators.sampling import grouped_topk
+
+    rows = [(f"g{i % 3}", i, (i * 37) % 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, id long, m long")
+
+    def reference(k):
+        by = {}
+        for g, i, m in rows:
+            by.setdefault(g, []).append((m, i))
+        out = {}
+        for g, ms in by.items():
+            order = sorted(ms, key=lambda t: (-t[0], t[1]))[:k]
+            out.update({(g, i): r + 1 for r, (m, i) in enumerate(order)})
+        return out
+
+    for salt in (1, 4, 32):
+        got = {
+            (r["g"], r["id"]): r["rk"]
+            for r in grouped_topk(
+                df, "g", ["m"], 7, tiebreak="id", salt=salt
+            ).collect()
+        }
+        assert got == reference(7), f"salt={salt}"
