@@ -4263,6 +4263,40 @@ _add(
 )
 
 
+# [pair] JSONL round-trip fidelity (sources/jsonl.py): Spark writes the
+# documents table as JSON Lines and reads it back schema-enforced; the
+# oracle reads the ORIGINAL parquet — equality proves the interchange
+# lane preserves content exactly (incl. JSON string escaping).  The
+# oracle never touches the temp files, so it is order-independent.
+
+
+def _q_jsonl(spark, sf_dir):
+    import tempfile
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    register_testdata(spark, sf_dir, ["documents"])
+    path = tempfile.mkdtemp(prefix="jsonl_gate_") + "/docs"
+    write_jsonl(spark.table("documents"), path, n_files=4)
+    return (
+        read_jsonl(spark, path)
+        .select(
+            "doc_id", "text", "lang", "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_jsonl",
+    _q_jsonl,
+    "SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "JSONL write -> schema-enforced read == the source parquet",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -2317,3 +2317,30 @@ def test_grouped_topk_matches_single_window(spark):
             ).collect()
         }
         assert got == reference(7), f"salt={salt}"
+
+
+def test_jsonl_roundtrip_escaping(spark, tmp_path):
+    """Newlines, quotes, unicode, and NULLs survive the JSONL round trip;
+    malformed input fails loudly under FAILFAST."""
+    import pytest
+
+    from evm_archive_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    rows = [
+        (0, 'line1\nline2\t"quoted" \\ back', "en", "s", 10),
+        (1, "unicode: naïve café 中文 🚀", "zh", "s", 5),
+        (2, None, None, "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "docs")
+    write_jsonl(df, p)
+    back = sorted(tuple(r) for r in read_jsonl(spark, p).collect())
+    assert back == sorted(rows)
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.json").write_text('{"doc_id": 1, "text": "ok"}\n{broken\n')
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(bad)).collect()
