@@ -4297,6 +4297,72 @@ _add(
 )
 
 
+# [pair] one-pass table profile (operators/quality.py).
+
+
+def _q_table_profile(spark, sf_dir):
+    from ..operators.quality import profile_table
+
+    register_testdata(spark, sf_dir, ["lineitem"])
+    return profile_table(
+        spark.table("lineitem"),
+        ["l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"],
+    ).orderBy("col_name")
+
+
+def _profile_oracle_col(c):
+    return (
+        f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_nulls, CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(MIN({c}) AS VARCHAR) AS min_s, "
+        f"CAST(MAX({c}) AS VARCHAR) AS max_s FROM lineitem"
+    )
+
+
+_add(
+    "q_table_profile",
+    _q_table_profile,
+    " UNION ALL ".join(
+        _profile_oracle_col(c)
+        for c in ("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+    )
+    + " ORDER BY col_name NULLS FIRST",
+    "one-scan column profile (nulls, exact distincts, min/max) "
+    "== per-column aggregate oracle",
+)
+
+
+# [pair] referential-integrity check (quality.check_foreign_key): orphans
+# of orders -> an artificially shrunk customer parent.
+
+
+def _q_dq_orphans(spark, sf_dir):
+    from ..operators.quality import check_foreign_key
+
+    register_testdata(spark, sf_dir, ["orders", "customer"])
+    parent = spark.table("customer").filter(F.col("c_custkey") % 3 == 0)
+    return (
+        check_foreign_key(
+            spark.table("orders"), parent, [("o_custkey", "c_custkey")]
+        )
+        .select(F.col("o_custkey").cast("long").alias("o_custkey"), "n_rows")
+        .orderBy("o_custkey")
+    )
+
+
+_add(
+    "q_dq_orphans",
+    _q_dq_orphans,
+    "SELECT CAST(o_custkey AS BIGINT) AS o_custkey, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders "
+    "WHERE o_custkey NOT IN "
+    "  (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) "
+    "GROUP BY o_custkey ORDER BY o_custkey NULLS FIRST",
+    "FK orphan detection (key-only anti-join) == NOT IN oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -2344,3 +2344,33 @@ def test_jsonl_roundtrip_escaping(spark, tmp_path):
     (bad / "x.json").write_text('{"doc_id": 1, "text": "ok"}\n{broken\n')
     with pytest.raises(Exception):
         read_jsonl(spark, str(bad)).collect()
+
+
+def test_quality_profile_and_constraints(spark):
+    from evm_archive_spark.operators.quality import (
+        check_foreign_key,
+        check_primary_key,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5), (2, "b", 6), (3, None, 7)],
+        "id long, s string, v long",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 4
+    assert prof["id"]["n_distinct"] == 3
+    assert prof["s"]["n_nulls"] == 1
+    assert (prof["v"]["min_s"], prof["v"]["max_s"]) == ("5", "7")
+    # approx path shares schema
+    assert profile_table(df, approx=True).columns == prof["id"].__fields__
+
+    dups = check_primary_key(df, ["id"]).collect()
+    assert [(r["id"], r["n_rows"]) for r in dups] == [(2, 2)]
+
+    parent = spark.createDataFrame([(1,), (3,)], "pid long")
+    orphans = {
+        r["id"]: r["n_rows"]
+        for r in check_foreign_key(df, parent, [("id", "pid")]).collect()
+    }
+    assert orphans == {2: 2}
