@@ -111,3 +111,41 @@ def cohort_retention(
         .groupBy("cohort", "offset_w")
         .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch gap-based sessionization: assign every event a session id
+    (``user_id``, ``session_seq``) where a new session starts when the
+    gap to the previous event of the same user exceeds ``gap_seconds`` —
+    the batch twin of the streaming session_window gate (q_st4).
+
+    Per-user window (lag + running sum of boundary flags): partitions are
+    bounded by one user's history, which is the natural unit; a single
+    user with unbounded events is an application bug, not a plan hazard.
+    Output: input columns + ``session_seq`` (1-based per user) —
+    ``(user_col, session_seq)`` is the session key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        prev.isNull()
+        | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            > gap_seconds * 1_000_000
+        )
+    ).cast("long")
+    run = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn(
+        "session_seq", F.sum(new_sess).over(run).cast("long")
+    )

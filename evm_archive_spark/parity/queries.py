@@ -4363,6 +4363,92 @@ _add(
 )
 
 
+# [pair] SCD2 history maintenance (operators/scd.py): three-batch fold
+# (init snapshot -> change batch -> idempotent replay) == direct oracle
+# construction of the final history.
+
+
+def _q_scd2(spark, sf_dir):
+    import datetime as dt
+
+    from ..operators.scd import scd2_apply, scd2_init
+
+    register_testdata(spark, sf_dir, ["customer"])
+    t1, t2, t3 = (dt.datetime(2024, 1, d) for d in (1, 2, 3))
+    base = spark.table("customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    upd = base.withColumn(
+        "nk",
+        F.when(F.col("k") % 5 == 0, F.col("nk") + 1).otherwise(F.col("nk")),
+    )
+    h = scd2_init(base, ["k"], ["nk"], t1)
+    h = scd2_apply(h, upd, ["k"], ["nk"], t2)
+    h = scd2_apply(h, upd, ["k"], ["nk"], t3)  # idempotent replay
+    return h.select("k", "nk", "valid_from", "valid_to").orderBy(
+        "k", "valid_from"
+    )
+
+
+_add(
+    "q_scd2",
+    _q_scd2,
+    "WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k, "
+    "  CAST(c_nationkey AS BIGINT) AS nk FROM customer) "
+    "SELECT k, nk, TIMESTAMP '2024-01-01' AS valid_from, "
+    "  CASE WHEN k % 5 = 0 THEN TIMESTAMP '2024-01-02' END AS valid_to "
+    "FROM base "
+    "UNION ALL "
+    "SELECT k, nk + 1, TIMESTAMP '2024-01-02', NULL FROM base "
+    "WHERE k % 5 = 0 "
+    "ORDER BY k NULLS FIRST, valid_from NULLS FIRST",
+    "SCD2 three-batch fold (close/open/idempotent-replay) "
+    "== direct history oracle",
+)
+
+
+# [pair] batch gap sessionization (events.sessionize), 30-minute gap —
+# the batch twin of the streaming session_window gate family.
+
+
+def _q_sessionize(spark, sf_dir):
+    from ..operators.events import sessionize
+
+    register_testdata(spark, sf_dir, ["events"])
+    out = sessionize(spark.table("events"), 1800)
+    return (
+        out.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+            .cast("long")
+            .alias("start_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_add(
+    "q_sessionize",
+    _q_sessionize,
+    "WITH o AS (SELECT user_id, ts, epoch_us(ts) AS tus, "
+    "  LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev "
+    "  FROM events), "
+    "f AS (SELECT user_id, tus, CASE WHEN prev IS NULL "
+    "  OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o), "
+    "s AS (SELECT user_id, tus, SUM(new_s) OVER (PARTITION BY user_id "
+    "  ORDER BY tus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "  AS session_seq FROM f) "
+    "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "  CAST(MIN(tus) AS BIGINT) AS start_us "
+    "FROM s GROUP BY user_id, session_seq "
+    "ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST",
+    "batch gap sessionization == lag/cumsum oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -2374,3 +2374,71 @@ def test_quality_profile_and_constraints(spark):
         for r in check_foreign_key(df, parent, [("id", "pid")]).collect()
     }
     assert orphans == {2: 2}
+
+
+def test_scd2_fold_and_as_of(spark):
+    import datetime as dt
+
+    from evm_archive_spark.operators.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_init,
+    )
+
+    t1, t2, t3 = (dt.datetime(2024, 1, d) for d in (1, 2, 3))
+    h = scd2_init(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, attr string"
+        ),
+        ["k"], ["attr"], t1,
+    )
+    # batch 2: k=1 changes, k=3 is new, k=2 re-sent unchanged (no-op)
+    h = scd2_apply(
+        h,
+        spark.createDataFrame(
+            [(1, "a2"), (2, "b"), (3, "c")], "k long, attr string"
+        ),
+        ["k"], ["attr"], t2,
+    )
+    # batch 3: exact replay of batch 2 -> idempotent
+    h = scd2_apply(
+        h,
+        spark.createDataFrame(
+            [(1, "a2"), (2, "b"), (3, "c")], "k long, attr string"
+        ),
+        ["k"], ["attr"], t3,
+    ).cache()
+
+    rows = {
+        (r["k"], r["attr"]): (r["valid_from"], r["valid_to"])
+        for r in h.collect()
+    }
+    assert rows == {
+        (1, "a"): (t1, t2),
+        (1, "a2"): (t2, None),
+        (2, "b"): (t1, None),
+        (3, "c"): (t2, None),
+    }
+    asof1 = {r["k"]: r["attr"] for r in scd2_as_of(h, t1).collect()}
+    assert asof1 == {1: "a", 2: "b"}
+    asof3 = {r["k"]: r["attr"] for r in scd2_as_of(h, t3).collect()}
+    assert asof3 == {1: "a2", 2: "b", 3: "c"}
+    h.unpersist()
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    from evm_archive_spark.operators.events import sessionize
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(0)), (1, t(10)), (1, t(40)),   # gap 30 > 20 -> new session
+        (2, t(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["ts"].second): r["session_seq"]
+        for r in sessionize(df, 20).collect()
+    }
+    assert got == {(1, 0): 1, (1, 10): 1, (1, 40): 2, (2, 5): 1}
