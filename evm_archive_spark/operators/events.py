@@ -149,3 +149,42 @@ def sessionize(
     return events.withColumn(
         "session_seq", F.sum(new_sess).over(run).cast("long")
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling N-day distinct active users per calendar day (7-day DAU/
+    WAU) — the metric a naive ``COUNT(DISTINCT) OVER (RANGE N DAYS)``
+    cannot express (distinct aggregates are not supported over window
+    frames in Spark or standard SQL).
+
+    The offset-explode idiom instead: reduce to distinct (user, day)
+    pairs first (one partial-aggregated shuffle — this is what bounds the
+    explosion), then each pair votes for the ``window_days`` report days
+    it falls into (map-side explode of N offsets), and one
+    ``countDistinct`` per report day finishes.  Shuffle volume is
+    |distinct pairs| x N compact keys, independent of raw event volume.
+    Report days cover only days with >= 1 active user in window.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    pairs = events.select(
+        F.col(user_col).alias("__u"), day.alias("__d")
+    ).distinct()
+    exploded = pairs.select(
+        "__u",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window_days - 1)),
+                lambda i: F.date_add(F.col("__d"), i),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        exploded.groupBy("report_day")
+        .agg(F.countDistinct("__u").cast("long").alias("n_users"))
+    )

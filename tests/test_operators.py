@@ -2442,3 +2442,27 @@ def test_sessionize_gap_boundaries(spark):
         for r in sessionize(df, 20).collect()
     }
     assert got == {(1, 0): 1, (1, 10): 1, (1, 40): 2, (2, 5): 1}
+
+
+def test_rolling_active_users_window(spark):
+    import datetime as dt
+
+    from evm_archive_spark.operators.events import rolling_active_users
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)),
+        (2, dt.datetime(2024, 1, 1)),
+        (1, dt.datetime(2024, 1, 3)),
+        (3, dt.datetime(2024, 1, 5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        str(r["report_day"]): r["n_users"]
+        for r in rolling_active_users(df, 3).collect()
+    }
+    # 3-day trailing window: day d counts users active in [d-2, d]
+    assert got["2024-01-01"] == 2          # u1, u2
+    assert got["2024-01-03"] == 2          # u1 (1st or 3rd), u2 (1st)
+    assert got["2024-01-05"] == 2          # u1 (3rd), u3
+    assert got["2024-01-07"] == 1          # u3 only
+    assert "2024-01-08" not in got
