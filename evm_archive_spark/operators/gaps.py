@@ -41,3 +41,49 @@ def find_gaps(df: DataFrame, col: str, *, shards: int = 256) -> DataFrame:
         .filter(F.col("gap_end").isNotNull())
         .filter(F.col("gap_end") >= F.col("gap_start"))
     )
+
+
+def plan_backfill(
+    ingested: DataFrame,
+    col: str,
+    step: int,
+    *,
+    expected_lo: int | None = None,
+    expected_hi: int | None = None,
+    shards: int = 256,
+):
+    """Turn detected holes into fetchable block windows: find_gaps over
+    the ingested block numbers (plus the open ranges against the
+    expected bounds, when given), split into ``blockStep``-sized
+    inclusive sub-ranges via the A12 window planner — exactly the
+    re-enqueue list a recovering ingest loop feeds back into the RPC
+    source.  Returns ``list[BlockRange]``.
+
+    The gap list is driver-small by construction (bounded by #holes, not
+    data volume), so the collect here is the same small-state pattern as
+    the resume cursor (A10/A11).
+    """
+    from ..sources.rpc import plan_ranges
+
+    gaps = [
+        (int(r["gap_start"]), int(r["gap_end"]))
+        for r in find_gaps(ingested, col, shards=shards).collect()
+    ]
+    if expected_lo is not None or expected_hi is not None:
+        bounds = ingested.agg(
+            F.min(F.col(col).cast("long")).alias("mn"),
+            F.max(F.col(col).cast("long")).alias("mx"),
+        ).collect()[0]
+        mn, mx = bounds["mn"], bounds["mx"]
+        if mn is None:  # nothing ingested: the whole expected span is a gap
+            if expected_lo is not None and expected_hi is not None:
+                gaps = [(expected_lo, expected_hi)]
+        else:
+            if expected_lo is not None and expected_lo < mn:
+                gaps.insert(0, (expected_lo, mn - 1))
+            if expected_hi is not None and expected_hi > mx:
+                gaps.append((mx + 1, expected_hi))
+    out = []
+    for lo, hi in sorted(gaps):
+        out.extend(plan_ranges(lo, hi, step))
+    return out

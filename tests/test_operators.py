@@ -2466,3 +2466,28 @@ def test_rolling_active_users_window(spark):
     assert got["2024-01-05"] == 2          # u1 (3rd), u3
     assert got["2024-01-07"] == 1          # u3 only
     assert "2024-01-08" not in got
+
+
+def test_plan_backfill_windows(spark):
+    from evm_archive_spark.operators.gaps import plan_backfill
+
+    ingested = spark.createDataFrame(
+        [(v,) for v in [100, 101, 102, 110, 111, 130]], "block long"
+    )
+    wins = plan_backfill(
+        ingested, "block", step=5, expected_lo=95, expected_hi=134, shards=4
+    )
+    got = [(w.start, w.end) for w in wins]
+    # leading hole 95-99, inner holes 103-109 and 112-129, trailing 131-134
+    assert got == [
+        (95, 99),
+        (103, 107), (108, 109),
+        (112, 116), (117, 121), (122, 126), (127, 129),
+        (131, 134),
+    ]
+    # empty archive: the whole expected span, windowed
+    empty = spark.createDataFrame([], "block long")
+    wins2 = plan_backfill(
+        empty, "block", step=10, expected_lo=0, expected_hi=25, shards=4
+    )
+    assert [(w.start, w.end) for w in wins2] == [(0, 9), (10, 19), (20, 25)]
