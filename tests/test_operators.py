@@ -2491,3 +2491,61 @@ def test_plan_backfill_windows(spark):
         empty, "block", step=10, expected_lo=0, expected_hi=25, shards=4
     )
     assert [(w.start, w.end) for w in wins2] == [(0, 9), (10, 19), (20, 25)]
+
+
+def test_scd2_property_vs_python_fold(spark):
+    """scd2_apply over random batch sequences == a python reference fold
+    (hypothesis): open/close/no-op transitions, new keys mid-stream,
+    histories stay non-overlapping and exactly one current row per key."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.scd import scd2_apply, scd2_init
+
+    keys = [1, 2, 3]
+    vals = ["a", "b", "c"]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        batches=st.lists(
+            st.dictionaries(
+                st.sampled_from(keys), st.sampled_from(vals),
+                min_size=0, max_size=3,
+            ),
+            min_size=1, max_size=4,
+        )
+    )
+    def check(batches):
+        t0 = dt.datetime(2024, 1, 1)
+        ts = [t0 + dt.timedelta(days=i) for i in range(len(batches) + 1)]
+        init = {1: "a"}
+        h = scd2_init(
+            spark.createDataFrame(list(init.items()), "k long, attr string"),
+            ["k"], ["attr"], ts[0],
+        )
+        # python reference: list of (k, attr, from, to)
+        ref = [[1, "a", ts[0], None]]
+        for i, b in enumerate(batches):
+            bt = ts[i + 1]
+            if b:
+                h = scd2_apply(
+                    h,
+                    spark.createDataFrame(
+                        list(b.items()), "k long, attr string"
+                    ),
+                    ["k"], ["attr"], bt,
+                )
+            cur = {r[0]: r for r in ref if r[3] is None}
+            for k, v in b.items():
+                if k in cur:
+                    if cur[k][1] != v:
+                        cur[k][3] = bt
+                        ref.append([k, v, bt, None])
+                else:
+                    ref.append([k, v, bt, None])
+        got = sorted(tuple(r) for r in h.collect())
+        expect = sorted((k, a, f, t) for k, a, f, t in ref)
+        assert got == expect
+
+    check()
