@@ -4479,6 +4479,51 @@ _add(
 )
 
 
+# [pair] near-dup cluster-size histogram: the dedup IMPACT report (how
+# much of the corpus collapses, and into how big clusters) — components
+# reused from q_dedup_components' machinery and recursive-CTE oracle.
+
+
+def _q_cluster_hist(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    register_testdata(spark, sf_dir, ["documents"])
+    comp = connected_components(spark.sql(_NGRAM_PAIRS_SPARK))
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+_add(
+    "q_cluster_hist",
+    _q_cluster_hist,
+    "WITH RECURSIVE g AS (SELECT doc_id, lang, n_chars // 100 AS bucket, "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)), "
+    "i -> substring(text, i, 3))) AS gr FROM documents), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
+    "  AND a.doc_id < b.doc_id "
+    "  AND CAST(least(len(a.gr), len(b.gr)) AS DOUBLE) "
+    "    / greatest(len(a.gr), len(b.gr)) >= 0.9 "
+    "  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) "
+    "   / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.9), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "  UNION SELECT id_b, id_a FROM p), "
+    "r AS (SELECT src AS node, src AS m FROM e "
+    "  UNION SELECT e.src, r.m FROM e JOIN r ON r.node = e.dst), "
+    "comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY node), "
+    "sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size "
+    "  FROM comp GROUP BY component) "
+    "SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters "
+    "FROM sizes GROUP BY cluster_size ORDER BY cluster_size NULLS FIRST",
+    "near-dup cluster-size histogram == recursive-CTE closure oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
