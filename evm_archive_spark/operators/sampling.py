@@ -332,3 +332,35 @@ def grouped_topk(
         .filter(F.col(rank_col) <= k)
         .drop("__tk_s", "__tk_r1")
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float,
+    *,
+    target_multiple: float = 1.0,
+) -> dict[str, float]:
+    """Temperature-scaled domain weights (the multilingual-sampling
+    formula, e.g. XLM-R's p_d ∝ (n_d/N)^alpha): returns the per-stratum
+    effective-epoch multipliers to feed ``weighted_mix`` so the MIXED
+    corpus follows the temperature distribution at ``target_multiple``
+    times the original total volume.
+
+    alpha=1 reproduces natural proportions (all weights ==
+    target_multiple); alpha->0 approaches uniform over strata.  Driver
+    math over one tiny per-stratum count aggregate (small-state pattern);
+    the float weights land in weighted_mix's md5 thresholds, so the
+    realized mixture stays deterministic.
+    """
+    rows = docs.groupBy(strata_col).count().collect()
+    counts = {r[strata_col]: r["count"] for r in rows}
+    total = sum(counts.values())
+    if not total:
+        return {}
+    probs = {s: (n / total) ** alpha for s, n in counts.items()}
+    z = sum(probs.values())
+    return {
+        s: target_multiple * total * (probs[s] / z) / counts[s]
+        for s in counts
+    }

@@ -2549,3 +2549,28 @@ def test_scd2_property_vs_python_fold(spark):
         assert got == expect
 
     check()
+
+
+def test_temperature_weights_limits(spark):
+    from evm_archive_spark.operators.sampling import (
+        temperature_weights,
+        weighted_mix,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: natural proportions, every weight == target multiple
+    w1 = temperature_weights(df, "source", 1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in w1.values())
+
+    # alpha->0: uniform over strata -> small domain upsampled,
+    # big downsampled, expected total preserved
+    w0 = temperature_weights(df, "source", 0.01)
+    assert w0["small"] > 1.0 > w0["big"]
+    assert abs(90 * w0["big"] + 10 * w0["small"] - 100) < 1e-6
+
+    # realized deterministic mix lands near the expected volume
+    mixed = weighted_mix(df, "doc_id", "source", w0)
+    n = mixed.count()
+    assert abs(n - 100) <= 10  # hash-threshold granularity
