@@ -33,11 +33,20 @@ def scd2_apply(
     key_cols: list[str],
     attr_cols: list[str],
     batch_ts,
+    *,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fold one update batch into an SCD2 history (see module doc).
     ``updates`` must be unique per key (pre-aggregate duplicates —
     latest wins — upstream).  ``batch_ts`` is the effective timestamp
-    literal for closes/opens this batch."""
+    literal for closes/opens this batch.
+
+    The result is localCheckpoint'ed by default: chaining many applies
+    lazily builds a self-referential join tree that Spark's
+    co-partitioned execution rejects at depth ("Can't zip RDDs with
+    unequal numbers of partitions" — found by the hypothesis fold test),
+    and a production loop persists the history between batches anyway.
+    Pass ``checkpoint=False`` only for a single lazy application."""
     ts = F.lit(batch_ts)
     closed = history.filter(F.col("valid_to").isNotNull())
     current = history.filter(F.col("valid_to").isNull())
@@ -78,7 +87,8 @@ def scd2_apply(
         ts.alias("valid_from"),
         F.lit(None).cast(dict(history.dtypes)["valid_to"]).alias("valid_to"),
     )
-    return closed.unionByName(keep_cur).unionByName(opened)
+    out = closed.unionByName(keep_cur).unionByName(opened)
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def scd2_init(
