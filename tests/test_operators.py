@@ -1609,7 +1609,7 @@ def test_asof_join_directions_property(spark):
 
     keys = ["k0", "k1"]
 
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=7, deadline=None)
     @given(
         lefts=st.lists(
             st.tuples(st.sampled_from(keys), st.integers(0, 40)),
@@ -1938,7 +1938,7 @@ def test_range_join_property(spark):
 
     from evm_archive_spark.operators.rangejoin import range_join
 
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=7, deadline=None)
     @given(
         points=st.lists(st.integers(-50, 50), min_size=1, max_size=12),
         ivals=st.lists(
@@ -2506,7 +2506,7 @@ def test_scd2_property_vs_python_fold(spark):
     keys = [1, 2, 3]
     vals = ["a", "b", "c"]
 
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=5, deadline=None)
     @given(
         batches=st.lists(
             st.dictionaries(
