@@ -91,6 +91,59 @@ def scd2_apply(
     return out.localCheckpoint(eager=True) if checkpoint else out
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    *,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """CDC-style diff of two corpus/dimension snapshots by primary key:
+    one row per key present in either side, labelled ``added`` /
+    ``removed`` / ``changed`` (attribute drift under null-safe
+    comparison) / ``unchanged`` (emitted only when requested).
+
+    Output: key cols + ``change`` STRING.  Plan: a single key-equi
+    full-outer join — both snapshots shuffle once on the key; with both
+    sides laid out by storage.write_bucketed on the key the join is
+    zero-Exchange.  This is the snapshot-delta primitive for incremental
+    corpus refreshes (what changed between two crawl dumps) and for
+    auditing SCD2 inputs before scd2_apply."""
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"__o_{c}") for c in compare_cols]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        e = F.col(k) == F.col(f"__n_{k}")
+        cond = e if cond is None else cond & e
+    j = o.join(n, cond, "full_outer")
+    has_old = F.col(key_cols[0]).isNotNull()
+    has_new = F.col(f"__n_{key_cols[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = d if changed is None else changed | d
+    out = j.select(
+        *[
+            F.coalesce(F.col(k), F.col(f"__n_{k}")).alias(k)
+            for k in key_cols
+        ],
+        F.when(~has_old, F.lit("added"))
+        .when(~has_new, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
 def scd2_init(
     snapshot: DataFrame,
     key_cols: list[str],

@@ -1261,3 +1261,111 @@ def pca_project(
         ]
     )
     return df.withColumn(out_col, outs)
+
+
+def hard_negatives(
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query, the top-k most similar corpus vectors with a DIFFERENT label
+    (same-label rows are positives; the nearest non-positives are the
+    informative negatives — the ANCE/DPR curriculum).
+
+    Same 100-TB plan as quantized_dot_topk: the query set broadcasts, the
+    corpus scan stays partition-local, and only the n_queries*k-bounded
+    candidates reach the final top-k window; the label exclusion is a
+    map-side predicate on the broadcast join, not an extra shuffle.
+    Integer-quantized dots keep the output exact for the parity gate."""
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col(label_col) != F.col("__qlabel")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neg_id"),
+        F.expr(_QDOT.format(a=vec_col, b="__qvec")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def kcenter_sample(
+    emb: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the
+    max-coverage diversity sampler (Sener & Savarese 2018 use it for
+    active learning; corpus curation uses it to pick maximally diverse
+    exemplars instead of random ones).
+
+    Deterministic contract: seed = smallest id; each round picks the
+    point with the largest squared distance to its nearest chosen
+    center, ties broken by smallest id.  Distances are exact BIGINTs
+    over milli-quantized components, so an independent engine replays
+    the selection bit-for-bit.
+
+    Plan: the frontier distance column is folded incrementally — round t
+    only computes distances to the ONE newly chosen center (a literal
+    vector, map-side) and takes least() with the running minimum, then a
+    single distributed top-1 aggregate picks the next center.  k rounds
+    = k map-side passes + k scalar aggregates; the corpus is never
+    shuffled and never collected.  localCheckpoint per round cuts the
+    lineage (the scd2/bpe lesson)."""
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_MILLI.format(v=vec_col)).alias("__v"),
+    )
+    first = q.orderBy("vec_id").select("vec_id", "__v").first()
+    if first is None:
+        raise ValueError("kcenter_sample: empty input")
+    chosen = [(int(first["vec_id"]), 0)]
+    center_vec = list(first["__v"])
+
+    def _d2(center: list[int]) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                F.lit(center),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cur = q.withColumn("__d2", _d2(center_vec)).localCheckpoint(
+        eager=False
+    )
+    for _ in range(1, k):
+        far = (
+            cur.orderBy(F.col("__d2").desc(), F.col("vec_id"))
+            .select("vec_id", "__v", "__d2")
+            .first()
+        )
+        chosen.append((int(far["vec_id"]), int(far["__d2"])))
+        center_vec = list(far["__v"])
+        cur = cur.withColumn(
+            "__d2", F.least(F.col("__d2"), _d2(center_vec))
+        ).localCheckpoint(eager=False)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, cid, d2) for i, (cid, d2) in enumerate(chosen)],
+        "rnk BIGINT, center_id BIGINT, d2 BIGINT",
+    )

@@ -4524,6 +4524,252 @@ _add(
 )
 
 
+# [pair] bigram LM training + stupid-backoff document scoring (operators/
+# lm.py; the CCNet/KenLM quality-filter lane).  Self-scoring documents
+# against counts trained on the same corpus; output = exact BIGINT
+# sufficient statistics, never float log-probs.  Oracle replays the
+# tokenize -> pair -> count -> join chain.
+
+
+def _q_lm_score(spark, sf_dir):
+    from ..operators.lm import lm_score, lm_train
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    uni, bi = lm_train(docs)
+    return lm_score(docs, uni, bi).orderBy("doc_id")
+
+
+_add(
+    "q_lm_score",
+    _q_lm_score,
+    "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ts "
+    "  FROM documents), "
+    "uni AS (SELECT tok, COUNT(*) AS cnt FROM "
+    "  (SELECT unnest(ts) AS tok FROM tok) u WHERE tok <> '' GROUP BY tok), "
+    "pr AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 "
+    "  FROM tok, UNNEST(range(1, len(ts))) AS g(i) WHERE len(ts) >= 2), "
+    "bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM pr GROUP BY w1, w2), "
+    "sc AS (SELECT pr.doc_id, COUNT(*) AS n_pairs, "
+    "  SUM(CASE WHEN bi.cnt IS NOT NULL THEN 1 ELSE 0 END) AS n_hits, "
+    "  SUM(CASE WHEN bi.cnt IS NOT NULL THEN bi.cnt ELSE 0 END) AS hit_num, "
+    "  SUM(CASE WHEN bi.cnt IS NOT NULL THEN u1.cnt ELSE 0 END) AS hit_den, "
+    "  SUM(CASE WHEN bi.cnt IS NULL THEN COALESCE(u2.cnt, 0) ELSE 0 END) "
+    "    AS bo_num "
+    "  FROM pr LEFT JOIN bi ON pr.w1 = bi.w1 AND pr.w2 = bi.w2 "
+    "  LEFT JOIN uni u1 ON pr.w1 = u1.tok "
+    "  LEFT JOIN uni u2 ON pr.w2 = u2.tok "
+    "  GROUP BY pr.doc_id) "
+    "SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs, "
+    "CAST(n_hits AS BIGINT) AS n_hits, CAST(hit_num AS BIGINT) AS hit_num, "
+    "CAST(hit_den AS BIGINT) AS hit_den, CAST(bo_num AS BIGINT) AS bo_num "
+    "FROM sc ORDER BY doc_id NULLS FIRST",
+    "bigram LM stupid-backoff scoring stats == tokenize/join replay oracle",
+)
+
+
+# [pair] fixed-point weighted PageRank (operators/graph.py) over the
+# event-type transition graph (per-user consecutive event pairs, LEAD
+# order (ts, event_id)).  5 iterations of exact integer arithmetic; the
+# oracle unrolls the same recurrence in SQL.
+
+
+def _q_pagerank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank
+
+    register_testdata(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, weight="w", iters=5).orderBy("node")
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    head = (
+        "WITH t AS (SELECT event_type, "
+        "  LEAD(event_type) OVER (PARTITION BY user_id "
+        "    ORDER BY ts, event_id) AS nxt FROM events), "
+        "e AS (SELECT event_type AS src, nxt AS dst, COUNT(*) AS w "
+        "  FROM t WHERE nxt IS NOT NULL GROUP BY src, nxt), "
+        "deg AS (SELECT src, SUM(w) AS wd FROM e GROUP BY src), "
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "params AS (SELECT 1000000000 // COUNT(*) AS r0, "
+        "  (150000 * (1000000000 // COUNT(*))) // 1000000 AS base FROM n), "
+        "r0 AS (SELECT node, (SELECT r0 FROM params) AS pr FROM n)"
+    )
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(
+            f", r{t} AS (SELECT n.node, CAST((SELECT base FROM params) "
+            f"+ (850000 * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS pr "
+            f"FROM n LEFT JOIN (SELECT e.dst AS node, "
+            f"SUM((r.pr * e.w) // d.wd) AS c "
+            f"FROM e JOIN r{t - 1} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst) s "
+            f"ON n.node = s.node)"
+        )
+    return (
+        head
+        + "".join(steps)
+        + f" SELECT node, CAST(pr AS BIGINT) AS rank FROM r{iters} "
+        "ORDER BY node NULLS FIRST"
+    )
+
+
+_add(
+    "q_pagerank",
+    _q_pagerank,
+    _pagerank_oracle(5),
+    "integer fixed-point weighted PageRank (5 iters) == unrolled SQL "
+    "recurrence oracle",
+)
+
+
+# [pair] CDC snapshot diff (operators/scd.snapshot_diff): two
+# deterministically perturbed snapshots of documents, labelled
+# added/removed/changed by a single full-outer key join.
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    from ..operators.scd import snapshot_diff
+
+    register_testdata(spark, sf_dir, ["documents"])
+    d = spark.table("documents").select("doc_id", "source", "n_chars")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.col("n_chars") + 1
+        ).otherwise(F.col("n_chars")),
+    )
+    return snapshot_diff(
+        old, new, ["doc_id"], ["source", "n_chars"]
+    ).orderBy("doc_id")
+
+
+_add(
+    "q_snapshot_diff",
+    _q_snapshot_diff,
+    "WITH o AS (SELECT doc_id, source, n_chars FROM documents "
+    "  WHERE doc_id % 7 <> 0), "
+    "nn AS (SELECT doc_id, source, "
+    "  CASE WHEN doc_id % 3 = 0 THEN n_chars + 1 ELSE n_chars END "
+    "    AS n_chars FROM documents WHERE doc_id % 5 <> 0) "
+    "SELECT doc_id, change FROM ("
+    "  SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id, "
+    "  CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "       WHEN nn.doc_id IS NULL THEN 'removed' "
+    "       WHEN o.source IS DISTINCT FROM nn.source "
+    "         OR o.n_chars IS DISTINCT FROM nn.n_chars THEN 'changed' "
+    "       ELSE 'unchanged' END AS change "
+    "  FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id) t "
+    "WHERE change <> 'unchanged' "
+    "ORDER BY doc_id NULLS FIRST",
+    "CDC snapshot diff (added/removed/changed) == full-outer join oracle",
+)
+
+
+# [pair] hard-negative mining (similarity.hard_negatives): top-5
+# different-label neighbors per query by exact quantized dot — the
+# ANCE/DPR negative-selection primitive; oracle = q_knn's brute-force
+# shape plus the label-exclusion predicate.
+
+
+def _q_hard_neg(spark, sf_dir):
+    from ..operators.similarity import hard_negatives
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    return hard_negatives(spark.table("embeddings"), n_queries=10, k=5)
+
+
+_add(
+    "q_hard_neg",
+    _q_hard_neg,
+    "WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10), "
+    "d AS (SELECT q.vec_id AS query_id, b.vec_id AS neg_id, "
+    "  SUM(CAST(FLOOR(CAST(q.embedding[g.i] AS DOUBLE)*1000) AS BIGINT) * "
+    "      CAST(FLOOR(CAST(b.embedding[g.i] AS DOUBLE)*1000) AS BIGINT)) "
+    "    AS dot "
+    "  FROM q, embeddings b, generate_series(1, 64) g(i) "
+    "  WHERE q.label <> b.label GROUP BY 1, 2) "
+    "SELECT query_id, neg_id, CAST(dot AS BIGINT) AS dot, "
+    "CAST(rnk AS BIGINT) AS rnk FROM ("
+    "  SELECT query_id, neg_id, dot, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id "
+    "    ORDER BY dot DESC, neg_id) AS rnk FROM d) t "
+    "WHERE rnk <= 5 "
+    "ORDER BY query_id NULLS FIRST, rnk NULLS FIRST",
+    "hard-negative mining (different-label top-k) == brute-force oracle",
+)
+
+
+# [pair] greedy k-center coreset selection (similarity.kcenter_sample):
+# deterministic farthest-point traversal over milli-quantized exact
+# distances; the oracle unrolls the 6 selection rounds.
+
+
+def _q_kcenter(spark, sf_dir):
+    from ..operators.similarity import kcenter_sample
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    return kcenter_sample(spark.table("embeddings"), 6).orderBy("rnk")
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    head = (
+        "WITH q AS (SELECT vec_id, "
+        "list_transform(embedding, "
+        "  x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+        "FROM embeddings), "
+        "c1 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1), "
+        "d1 AS (SELECT q.vec_id, q.v, CAST(list_sum(list_transform("
+        "  list_zip(q.v, c1.v), p -> (p[1] - p[2]) "
+        "  * (p[1] - p[2]))) AS BIGINT) AS d2 FROM q, c1)"
+    )
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(
+            f", c{t} AS (SELECT vec_id, v, d2 FROM d{t - 1} "
+            f"ORDER BY d2 DESC, vec_id LIMIT 1)"
+        )
+        if t < k:
+            steps.append(
+                f", d{t} AS (SELECT d.vec_id, d.v, "
+                f"LEAST(d.d2, CAST(list_sum(list_transform("
+                f"list_zip(d.v, c{t}.v), p -> (p[1] - p[2]) "
+                f"* (p[1] - p[2]))) AS BIGINT)) AS d2 "
+                f"FROM d{t - 1} d, c{t})"
+            )
+    sel = " UNION ALL ".join(
+        ["SELECT 1 AS rnk, vec_id, CAST(0 AS BIGINT) AS d2 FROM c1"]
+        + [f"SELECT {t}, vec_id, d2 FROM c{t}" for t in range(2, k + 1)]
+    )
+    return (
+        head
+        + "".join(steps)
+        + f" SELECT CAST(rnk AS BIGINT) AS rnk, vec_id AS center_id, "
+        f"d2 FROM ({sel}) s ORDER BY rnk NULLS FIRST"
+    )
+
+
+_add(
+    "q_kcenter",
+    _q_kcenter,
+    _kcenter_oracle(6),
+    "greedy k-center coreset (6 rounds, exact integer maximin) == "
+    "unrolled SQL traversal oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

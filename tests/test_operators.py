@@ -2574,3 +2574,150 @@ def test_temperature_weights_limits(spark):
     mixed = weighted_mix(df, "doc_id", "source", w0)
     n = mixed.count()
     assert abs(n - 100) <= 10  # hash-threshold granularity
+
+
+def test_lm_train_and_score_manual(spark):
+    from evm_archive_spark.operators.lm import lm_score, lm_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b c"),
+            (3, "c c"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    uni, bi = lm_train(docs, "text")
+    u = {r.tok: r.cnt for r in uni.collect()}
+    assert u == {"a": 3, "b": 3, "c": 3}
+    b = {(r.w1, r.w2): r.cnt for r in bi.collect()}
+    assert b == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1, ("c", "c"): 1}
+
+    scored = {
+        r.doc_id: r.asDict() for r in lm_score(docs, uni, bi).collect()
+    }
+    # doc 1 pairs: (a,b)x2 hits (bcnt 3, prefix a=3), (b,a) hit (1, b=3)
+    assert scored[1]["n_pairs"] == 3
+    assert scored[1]["n_hits"] == 3
+    assert scored[1]["hit_num"] == 3 + 3 + 1
+    assert scored[1]["hit_den"] == 3 + 3 + 3
+    assert scored[1]["bo_num"] == 0
+    # unseen-pair backoff: a doc with an OOV continuation
+    probe = spark.createDataFrame(
+        [(9, "b b")], "doc_id BIGINT, text STRING"
+    )
+    p = lm_score(probe, uni, bi).collect()[0]
+    assert p.n_pairs == 1 and p.n_hits == 0
+    assert p.bo_num == 3  # backoff to unigram count of 'b'
+
+
+def test_pagerank_manual_two_node_cycle(spark):
+    from evm_archive_spark.operators.graph import pagerank
+
+    # a <-> b symmetric cycle: ranks must stay equal at scale//2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src STRING, dst STRING"
+    )
+    r = {x.node: x.rank for x in pagerank(edges, iters=4).collect()}
+    assert r["a"] == r["b"]
+    # conservation (no dangling nodes): total stays at initial total
+    assert r["a"] + r["b"] == 2 * (1_000_000_000 // 2)
+
+
+def test_pagerank_sink_gains_source_decays(spark):
+    from evm_archive_spark.operators.graph import pagerank
+
+    # a -> b only: b accumulates, a decays toward base
+    edges = spark.createDataFrame(
+        [("a", "b")], "src STRING, dst STRING"
+    )
+    r = {x.node: x.rank for x in pagerank(edges, iters=5).collect()}
+    assert r["b"] > r["a"]
+    base = ((1_000_000 - 850_000) * (1_000_000_000 // 2)) // 1_000_000
+    assert r["a"] == base  # nothing points at a after iter 1
+
+
+def test_pagerank_weighted_split(spark):
+    from evm_archive_spark.operators.graph import pagerank
+
+    # c splits 3:1 between a and b — after one iteration from uniform,
+    # a's inflow is 3x b's
+    edges = spark.createDataFrame(
+        [("c", "a", 3), ("c", "b", 1)],
+        "src STRING, dst STRING, w INT",
+    )
+    r = {
+        x.node: x.rank
+        for x in pagerank(edges, weight="w", iters=1).collect()
+    }
+    r0 = 1_000_000_000 // 3
+    base = (150_000 * r0) // 1_000_000
+    assert r["a"] == base + (850_000 * ((r0 * 3) // 4)) // 1_000_000
+    assert r["b"] == base + (850_000 * ((r0 * 1) // 4)) // 1_000_000
+
+
+def test_snapshot_diff_labels(spark):
+    from evm_archive_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id BIGINT, name STRING, val INT",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 30), (4, "D", 40), (5, "e", 50)],
+        "id BIGINT, name STRING, val INT",
+    )
+    out = {
+        r.id: r.change
+        for r in snapshot_diff(old, new, ["id"], ["name", "val"]).collect()
+    }
+    # 1 removed, 2 unchanged (absent), 3 null->30 changed, 4 changed, 5 added
+    assert out == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    full = {
+        r.id: r.change
+        for r in snapshot_diff(
+            old, new, ["id"], ["name", "val"], include_unchanged=True
+        ).collect()
+    }
+    assert full[2] == "unchanged" and len(full) == 5
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from evm_archive_spark.operators.similarity import hard_negatives
+    from evm_archive_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = hard_negatives(emb, n_queries=5, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    assert len(out) > 0
+    for r in out:
+        assert labels[r.neg_id] != labels[r.query_id]
+        assert 1 <= r.rnk <= 3
+    # per query: dots non-increasing by rank
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r.query_id, r.rnk)):
+        by_q[r.query_id].append(r.dot)
+    for dots in by_q.values():
+        assert dots == sorted(dots, reverse=True)
+
+
+def test_kcenter_sample_greedy_maximin(spark):
+    from evm_archive_spark.operators.similarity import kcenter_sample
+
+    # 1-d embeddings at 0, 1, 10, 21 — float32-exact integers, so the
+    # milli-quantization is exactly 0, 1000, 10000, 21000
+    emb = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [21.0])],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    rows = kcenter_sample(emb, 3).collect()
+    got = [(r.rnk, r.center_id, r.d2) for r in rows]
+    # seed = id 1 (x=0); farthest = id 4 (x=21000, d2=21000^2); then id 3
+    # (x=10000: min(10000^2, 11000^2)) beats id 2 (min(1000^2, 20000^2))
+    assert got == [
+        (1, 1, 0),
+        (2, 4, 21000 * 21000),
+        (3, 3, 10000 * 10000),
+    ]
