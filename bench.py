@@ -64,6 +64,9 @@ HEADLINE = [
     "q_asof_nearest",
     "q_source_cap",
     "q_dsir",
+    # round-3 late: LM quality scoring, graph analytics
+    "q_lm_score",
+    "q_pagerank",
 ]
 
 

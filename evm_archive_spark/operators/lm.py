@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .textanalysis import tokens
+from .util import fan_out
 
 
 def _pairs(text_col) -> F.Column:
@@ -54,6 +55,7 @@ def lm_train(
     shuffle carries only (token, partial-count) pairs, so its volume is
     bounded by partitions x vocab, not by corpus tokens.
     """
+    df = fan_out(df)
     toks = df.select(F.explode(tokens(text_col)).alias("tok")).filter(
         F.col("tok") != ""
     )
@@ -102,7 +104,7 @@ def lm_score(
         F.col("w2").alias("b2"),
         F.col("cnt").cast("long").alias("bcnt"),
     )
-    prs = df.select(
+    prs = fan_out(df).select(
         F.col(id_col), F.explode(_pairs(text_col)).alias("p")
     ).select(
         id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")

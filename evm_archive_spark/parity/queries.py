@@ -4297,6 +4297,69 @@ _add(
 )
 
 
+# [pair] CSV round-trip fidelity (sources/interchange.py): RFC 4180
+# writer + multiLine schema-enforced reader; oracle = the original
+# parquet, so equality proves quoting/escaping/NULL-sentinel round-trip.
+
+
+def _q_csv(spark, sf_dir):
+    import tempfile
+
+    from ..sources.interchange import read_csv, write_csv
+
+    register_testdata(spark, sf_dir, ["documents"])
+    path = tempfile.mkdtemp(prefix="csv_gate_") + "/docs"
+    write_csv(spark.table("documents"), path, n_files=4)
+    return (
+        read_csv(spark, path)
+        .select(
+            "doc_id", "text", "lang", "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_csv",
+    _q_csv,
+    "SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "CSV write -> multiLine schema-enforced read == the source parquet",
+)
+
+
+# [pair] ORC round-trip fidelity (sources/interchange.py): the typed
+# columnar interchange lane; same oracle pattern as q_jsonl/q_csv.
+
+
+def _q_orc(spark, sf_dir):
+    import tempfile
+
+    from ..sources.interchange import read_orc, write_orc
+
+    register_testdata(spark, sf_dir, ["documents"])
+    path = tempfile.mkdtemp(prefix="orc_gate_") + "/docs"
+    write_orc(spark.table("documents"), path, n_files=4)
+    return (
+        read_orc(spark, path)
+        .select(
+            "doc_id", "text", "lang", "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_orc",
+    _q_orc,
+    "SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "ORC write -> read == the source parquet",
+)
+
+
 # [pair] one-pass table profile (operators/quality.py).
 
 

@@ -382,3 +382,39 @@ def test_aqe_converts_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lm_score_broadcasts_counts_corpus_not_sortmerged(spark):
+    """lm_score's three count-table joins must broadcast (the tables are
+    vocab-sized); the exploded corpus is never sort-merge shuffled for a
+    join — its only shuffle is the final doc-key aggregation."""
+    plan = plan_of(spark, "q_lm_score")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcasts_query_side(spark):
+    """Label-exclusion join: small query set broadcasts, corpus stays
+    partition-local (the q_knn contract with the extra predicate)."""
+    plan = plan_of(spark, "q_hard_neg")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_joins_are_key_equi(spark):
+    """Every pagerank iteration joins on node keys — no nested-loop or
+    cartesian fallback anywhere in the 5-iteration plan."""
+    plan = plan_of(spark, "q_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_is_single_join(spark):
+    """The diff is ONE full-outer key join of the two snapshots — no
+    extra exchanges beyond the two join-side hash partitionings and no
+    plan-level duplication of either scan."""
+    plan = plan_of(spark, "q_snapshot_diff")
+    assert plan.count("SortMergeJoin FullOuter") == 1
+    assert "CartesianProduct" not in plan
