@@ -1066,21 +1066,34 @@ def pq_topk(
     dsub = len(book[0][0][0])
     coded = pq_encode(emb, book, vec_col=vec_col)
     milli = F.expr(_QUANT.format(v=vec_col))
-    def _sub_lut(s: int) -> F.Column:
-        cb = F.lit([[int(x) for x in cw] for cw, _ in book[s]]).cast(
-            "array<array<bigint>>"
-        )
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(len(book[s]) - 1)),
-            lambda j: _int_dot(
-                F.slice(milli, s * dsub + 1, dsub),
-                F.element_at(cb, (j + 1).cast("int")),
-            ),
-        )
-
-    lut = F.array(*[_sub_lut(s) for s in range(m)])
-    q = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), lut.alias("__lut")
+    # Build the per-query LUTs on the DRIVER: the payload is bounded by
+    # n_queries * m * n_codewords integers (KBs), and computing it as a
+    # Column expression instead costs Catalyst an expression tree of the
+    # same size PER PLAN — analysis/codegen of that tree, not execution,
+    # dominated this operator's wall-clock.  Milli-quantization happens
+    # JVM-side in the collect (the same expr as before), and the Python
+    # integer dot is exact, so results are bit-identical.
+    qrows = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), milli.alias("__mq"))
+        .collect()
+    )
+    data = []
+    for r in qrows:
+        mq = [int(x) for x in r["__mq"]]
+        lut = [
+            [
+                sum(
+                    a * b
+                    for a, b in zip(mq[s * dsub:(s + 1) * dsub], cw)
+                )
+                for cw, _ in book[s]
+            ]
+            for s in range(m)
+        ]
+        data.append((int(r["query_id"]), lut))
+    q = emb.sparkSession.createDataFrame(
+        data, "query_id BIGINT, __lut ARRAY<ARRAY<BIGINT>>"
     )
     scored = (
         coded.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import fixtures
+from ..operators.util import fan_out
 from ..functions import decode as D, hexutils as H
 from ..tables import register_testdata
 
@@ -1953,7 +1954,7 @@ def _q_tfidf(spark, sf_dir):
 
     register_testdata(spark, sf_dir, ["documents"])
     return (
-        tfidf_stats(spark.table("documents"))
+        tfidf_stats(fan_out(spark.table("documents")))
         .filter(F.col("doc_id") < 20)
         .orderBy("doc_id", "term")
     )
@@ -2627,7 +2628,7 @@ def _q_decontam(spark, sf_dir):
     from ..operators.textanalysis import decontaminate
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
+    docs = fan_out(spark.table("documents"))
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return (
@@ -2665,7 +2666,7 @@ def _q_corpus_pipeline(spark, sf_dir):
     from ..operators.corpus import prepare_training_corpus
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
+    docs = fan_out(spark.table("documents"))
     return (
         prepare_training_corpus(
             docs,
@@ -2826,9 +2827,9 @@ def _q_dupspan(spark, sf_dir):
     from ..operators.textanalysis import duplicate_span_stats
 
     register_testdata(spark, sf_dir, ["documents"])
-    return duplicate_span_stats(spark.table("documents"), n=4).orderBy(
-        "doc_id"
-    )
+    return duplicate_span_stats(
+        fan_out(spark.table("documents")), n=4
+    ).orderBy("doc_id")
 
 
 _add(
@@ -3026,7 +3027,7 @@ def _q_bloom_decontam(spark, sf_dir):
     from ..operators.bloom import bloom_decontaminate
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
+    docs = fan_out(spark.table("documents"))
     ev = docs.filter(F.col("doc_id") % 23 == 0)
     out = bloom_decontaminate(
         docs, ev, n=3, num_bits=1 << 15, num_hashes=4
@@ -3086,7 +3087,7 @@ def _q_semdedup(spark, sf_dir):
 
     register_testdata(spark, sf_dir, ["embeddings"])
     out = semantic_dedup(
-        spark.table("embeddings"), threshold_num=2, threshold_den=5
+        fan_out(spark.table("embeddings")), threshold_num=2, threshold_den=5
     )
     return out.select(
         "vec_id",
@@ -3155,7 +3156,7 @@ def _q_pq_codes(spark, sf_dir):
     from ..operators.similarity import pq_encode, pq_train
 
     register_testdata(spark, sf_dir, ["embeddings"])
-    emb = spark.table("embeddings")
+    emb = fan_out(spark.table("embeddings"))
     book = pq_train(emb)
     return (
         pq_encode(emb, book)
@@ -3188,7 +3189,7 @@ def _q_pq_topk(spark, sf_dir):
     from ..operators.similarity import pq_topk
 
     register_testdata(spark, sf_dir, ["embeddings"])
-    return pq_topk(spark.table("embeddings"), n_queries=10, k=5)
+    return pq_topk(fan_out(spark.table("embeddings")), n_queries=10, k=5)
 
 
 _add(
@@ -3647,7 +3648,7 @@ def _q_profile(spark, sf_dir):
     from ..operators.corpus import corpus_profile
 
     register_testdata(spark, sf_dir, ["documents"])
-    return corpus_profile(spark.table("documents"))
+    return corpus_profile(fan_out(spark.table("documents")))
 
 
 _add(
