@@ -93,3 +93,85 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 6,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed node, up to
+    ``max_iters`` hops — reachability/radius analysis over entity or
+    link graphs (and the level-synchronous kernel under label
+    propagation and friends).
+
+    Per round: join the *frontier* (nodes first reached last round)
+    against the edge table (one key-equi shuffle), anti-join out nodes
+    already levelled (visited-set semantics), localCheckpoint.  State is
+    node-keyed (node, level BIGINT) rows; the frontier shrinks to empty
+    on convergence and the loop exits early — driver learns only the
+    frontier COUNT per round, never rows.
+
+    Returns ``(node, level)`` for every node within max_iters hops of a
+    seed (seeds at level 0).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    levels = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("level"),
+    ).distinct().localCheckpoint(eager=True)
+    frontier = levels
+    for i in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(levels, "node", "left_anti")
+            .select("node", F.lit(i).cast("long").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return levels
+
+
+def triangle_count(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count of an undirected graph — the cohesion
+    metric for near-duplicate candidate graphs (how clique-like are the
+    dup clusters) and a classic distributed-graph kernel.
+
+    Edges are canonicalized to ``a < b`` (undirected dedup), then the
+    ordered wedge enumeration a<b<c joins edges(a,b) x edges(b,c) and
+    closes against edges(a,c) — each triangle counted exactly once.
+    Two key-equi shuffle joins; the standard degree-orientation
+    refinement (orient low-degree -> high-degree so wedge fan-out is
+    bounded by arboricity) drops in here if a skewed real graph needs
+    it, and AQE's skew-join split covers moderate skew unaided.
+
+    Returns a single row ``(n_triangles BIGINT)``.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = canon
+    e2 = canon.select(
+        F.col("a").alias("b2"), F.col("b").alias("c")
+    )
+    wedges = e1.join(e2, e1["b"] == e2["b2"]).select("a", "b", "c")
+    closed = wedges.join(
+        canon.select(F.col("a").alias("ca"), F.col("b").alias("cb")),
+        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")),
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

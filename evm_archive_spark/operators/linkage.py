@@ -1,0 +1,80 @@
+"""Record linkage / entity resolution: blocked fuzzy join on string
+keys — dedupe customers across sources, match suppliers to registries,
+link mentions to entities before training-data labelling.
+
+The naive formulation is an all-pairs edit-distance cross join —
+O(n·m) and a cartesian product in the plan, unusable past toy sizes.
+The scalable shape (standard blocking from the record-linkage
+literature, Fellegi-Sunter lineage):
+
+1. **Block**: an equi-join on a cheap deterministic key (prefix,
+   suffix, phonetic code, …) — candidates collapse from n·m to the sum
+   of block-pair sizes; the plan is a plain hash/sort-merge join, never
+   a nested loop.
+2. **Prune**: ``abs(len(a) - len(b)) <= max_dist`` — a lossless filter
+   (edit distance is bounded below by the length difference), applied
+   map-side before the DP.
+3. **Verify**: exact Levenshtein only on surviving candidates.  Spark's
+   ``levenshtein`` is JVM-side codegen; with a ``threshold`` the DP
+   early-exits on hopeless rows.
+
+Determinism: edit distance is integer-exact and engine-portable (DuckDB
+ships the same classic DP), so the full match set is hash-gateable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_dist: int,
+    block_len: int = 3,
+    block_from_end: bool = False,
+) -> DataFrame:
+    """Blocked fuzzy (Levenshtein) join; returns
+    ``(left_id, right_id, dist)`` for every candidate pair within
+    ``max_dist`` whose blocking keys agree.
+
+    Blocking key = the first (or last, ``block_from_end``) ``block_len``
+    characters of the lowercased text.  Blocking is *part of the
+    contract*, not an approximation to hide: pairs in different blocks
+    are not compared, exactly as production linkage pipelines declare
+    their blocking strategy.  One key-equi shuffle on the block key; the
+    length-band prune and the DP run map-side on the joined candidates.
+    """
+    key = lambda c: (
+        F.substring(F.lower(F.col(c)), -block_len, block_len)
+        if block_from_end
+        else F.substring(F.lower(F.col(c)), 1, block_len)
+    )
+    l = left.select(
+        F.col(left_id).alias("l_id"),
+        F.col(left_text).alias("__lt"),
+        key(left_text).alias("__bk"),
+        F.length(left_text).alias("__ll"),
+    )
+    r = right.select(
+        F.col(right_id).alias("r_id"),
+        F.col(right_text).alias("__rt"),
+        key(right_text).alias("__bk"),
+        F.length(right_text).alias("__rl"),
+    )
+    cand = l.join(r, "__bk").filter(
+        F.abs(F.col("__ll") - F.col("__rl")) <= max_dist
+    )
+    return (
+        cand.select(
+            "l_id",
+            "r_id",
+            F.levenshtein(F.col("__lt"), F.col("__rt")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -4834,6 +4834,126 @@ _add(
 )
 
 
+# [pair] blocked fuzzy join / record linkage (operators/linkage.py):
+# customer-name self-match, blocking on the last 3 name characters,
+# Levenshtein <= 2 — both engines ship the same classic DP, so the full
+# match set hash-checks.
+
+
+def _q_fuzzy_join(spark, sf_dir):
+    from ..operators.linkage import fuzzy_join
+
+    register_testdata(spark, sf_dir, ["customer"])
+    c = spark.table("customer")
+    out = fuzzy_join(
+        c, c,
+        left_id="c_custkey", right_id="c_custkey",
+        left_text="c_name", right_text="c_name",
+        max_dist=2, block_len=3, block_from_end=True,
+    )
+    return (
+        out.filter(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id", F.col("dist").cast("long").alias("dist"))
+        .orderBy("l_id", "r_id")
+    )
+
+
+_add(
+    "q_fuzzy_join",
+    _q_fuzzy_join,
+    "WITH c AS (SELECT c_custkey AS id, c_name AS t, "
+    "  substring(lower(c_name), length(c_name) - 2, 3) AS bk, "
+    "  length(c_name) AS ln FROM customer) "
+    "SELECT l.id AS l_id, r.id AS r_id, "
+    "  CAST(levenshtein(l.t, r.t) AS BIGINT) AS dist "
+    "FROM c l JOIN c r ON l.bk = r.bk "
+    "WHERE abs(l.ln - r.ln) <= 2 AND levenshtein(l.t, r.t) <= 2 "
+    "  AND l.id < r.id "
+    "ORDER BY l_id NULLS FIRST, r_id NULLS FIRST",
+    "blocked Levenshtein record linkage == DuckDB levenshtein oracle",
+)
+
+
+# [pair] multi-source BFS hop levels (graph.bfs_levels) over the
+# part-supplier co-supply bipartite graph derived from lineitem; seed =
+# the smallest part.  Oracle = recursive CTE with MIN(level).
+
+
+def _q_bfs(spark, sf_dir):
+    from ..operators.graph import bfs_levels
+
+    register_testdata(spark, sf_dir, ["lineitem"])
+    half = spark.sql(
+        "SELECT DISTINCT CONCAT('p', l_partkey) AS src, "
+        "CONCAT('s', l_suppkey) AS dst FROM lineitem"
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.sql(
+        "SELECT CONCAT('p', MIN(l_partkey)) AS node FROM lineitem"
+    )
+    return bfs_levels(edges, seeds, max_iters=4).orderBy("node")
+
+
+_add(
+    "q_bfs",
+    _q_bfs,
+    "WITH RECURSIVE e AS (SELECT DISTINCT 'p' || l_partkey AS src, "
+    "  's' || l_suppkey AS dst FROM lineitem "
+    "  UNION SELECT DISTINCT 's' || l_suppkey, 'p' || l_partkey "
+    "  FROM lineitem), "
+    "s0 AS (SELECT 'p' || MIN(l_partkey) AS node FROM lineitem), "
+    "lv AS (SELECT node, 0 AS l FROM s0 "
+    "  UNION SELECT e.dst, lv.l + 1 FROM lv JOIN e ON lv.node = e.src "
+    "  WHERE lv.l < 4) "
+    "SELECT node, CAST(MIN(l) AS BIGINT) AS level FROM lv "
+    "GROUP BY node ORDER BY node NULLS FIRST",
+    "multi-source BFS levels (frontier join + visited anti-join) == "
+    "recursive-CTE oracle",
+)
+
+
+# [pair] triangle count (graph.triangle_count) over the near-dup
+# candidate graph — how clique-like the dup clusters are; oracle =
+# three-way self-join over the same pair CTE as q_cluster_hist.
+
+_NGRAM_PAIRS_DUCK = (
+    "WITH g AS (SELECT doc_id, lang, n_chars // 100 AS bucket, "
+    "list_distinct(list_transform(generate_series(1, "
+    "greatest(length(text)-2, 1)), i -> substring(text, i, 3))) AS gr "
+    "FROM documents), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
+    "  AND a.doc_id < b.doc_id "
+    "  AND CAST(least(len(a.gr), len(b.gr)) AS DOUBLE) "
+    "    / greatest(len(a.gr), len(b.gr)) >= 0.9 "
+    "  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) "
+    "   / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.9)"
+)
+
+
+def _q_triangles(spark, sf_dir):
+    from ..operators.graph import triangle_count
+
+    register_testdata(spark, sf_dir, ["documents"])
+    pairs = spark.sql(_NGRAM_PAIRS_SPARK).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return triangle_count(pairs)
+
+
+_add(
+    "q_triangles",
+    _q_triangles,
+    _NGRAM_PAIRS_DUCK + " "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+    "FROM p e1 JOIN p e2 ON e1.id_b = e2.id_a "
+    "JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b",
+    "ordered-wedge triangle count == three-way self-join oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

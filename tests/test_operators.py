@@ -2764,3 +2764,61 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, docs.collect())
     )
+
+
+def test_fuzzy_join_blocking_and_distance(spark):
+    from evm_archive_spark.operators.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "smithe"), (4, "jones")],
+        "id BIGINT, name STRING",
+    )
+    right = spark.createDataFrame(
+        [(10, "smith"), (11, "smite"), (12, "stone"), (13, "jonas")],
+        "id BIGINT, name STRING",
+    )
+    out = {
+        (r.l_id, r.r_id): r.dist
+        for r in fuzzy_join(
+            left, right,
+            left_id="id", right_id="id",
+            left_text="name", right_text="name",
+            max_dist=2, block_len=2,
+        ).collect()
+    }
+    # block 'sm': smith~smith 0, smith~smite 1, smyth~smith 1 (y/i),
+    # smyth~smite 2, smithe~smith 1, smithe~smite 1 (drop h); stone is
+    # block 'st'
+    assert out[(1, 10)] == 0 and out[(1, 11)] == 1
+    assert out[(2, 10)] == 1 and out[(2, 11)] == 2
+    assert out[(3, 10)] == 1 and out[(3, 11)] == 1
+    assert (4, 13) in out and out[(4, 13)] == 1  # block 'jo'
+    assert all(rid != 12 for (_, rid) in out)  # different block never compared
+
+
+def test_bfs_levels_min_hop_and_early_exit(spark):
+    from evm_archive_spark.operators.graph import bfs_levels
+
+    # a -> b -> c -> d, plus shortcut a -> c: c at level 1, d at 2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "src STRING, dst STRING",
+    )
+    seeds = spark.createDataFrame([("a",)], "node STRING")
+    out = {
+        r.node: r.level
+        for r in bfs_levels(edges, seeds, max_iters=6).collect()
+    }
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_triangle_count_known_graph(spark):
+    from evm_archive_spark.operators.graph import triangle_count
+
+    # K4 minus one edge = 2 triangles; edges given in mixed orientation
+    # with a duplicate to exercise canonicalization
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 2), (2, 1)],
+        "src BIGINT, dst BIGINT",
+    )
+    assert triangle_count(edges).collect()[0].n_triangles == 2
