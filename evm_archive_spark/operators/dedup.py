@@ -464,7 +464,11 @@ def ngram_jaccard_pairs(
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
         shingles(text_col, n).alias("__g"),
     )
-    a, b = g.alias("a"), g.alias("b")
+    # all-pairs is only valid at gate-bounded sizes (the LSH prefilter is
+    # the scale path), so pin the nested-loop build side explicitly: the
+    # planner must never fall back to an unbroadcast cartesian here (a
+    # Python-local right side re-evaluates per task otherwise).
+    a, b = g.alias("a"), F.broadcast(g).alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
     if block_col:
         cond = cond & (F.col("a.__blk") == F.col("b.__blk"))

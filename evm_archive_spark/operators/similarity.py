@@ -416,7 +416,11 @@ def cosine_near_duplicate_pairs(
             _IDOT.format(a=_QUANT.format(v=vec_col), b=_QUANT.format(v=vec_col))
         ).alias("__n2"),
     )
-    a, b = q.alias("a"), q.alias("b")
+    # all-pairs is the gate-bounded baseline (lsh_near_duplicates is the
+    # scale path): pin the nested-loop build side so the planner never
+    # falls back to an unbroadcast cartesian (a Python-local right side
+    # re-evaluates per task otherwise).
+    a, b = q.alias("a"), F.broadcast(q).alias("b")
     qd = F.expr(_IDOT.format(a="a.__e", b="b.__e"))
     return (
         a.join(b, F.col("a.__id") < F.col("b.__id"))

@@ -1609,7 +1609,7 @@ def test_asof_join_directions_property(spark):
 
     keys = ["k0", "k1"]
 
-    @settings(max_examples=7, deadline=None)
+    @settings(max_examples=5, deadline=None)
     @given(
         lefts=st.lists(
             st.tuples(st.sampled_from(keys), st.integers(0, 40)),
