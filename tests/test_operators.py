@@ -2822,3 +2822,113 @@ def test_triangle_count_known_graph(spark):
         "src BIGINT, dst BIGINT",
     )
     assert triangle_count(edges).collect()[0].n_triangles == 2
+
+
+def test_pagerank_property_vs_python_reference(spark):
+    """The fixed-point recurrence, replicated independently in Python
+    integer arithmetic, must agree exactly on generated weighted graphs
+    (hypothesis: multi-edges collapse upstream, dangling nodes, cycles,
+    self-loops)."""
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.graph import pagerank
+
+    nodes = ["a", "b", "c", "d", "e"]
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.sampled_from(nodes),
+                st.sampled_from(nodes),
+                st.integers(1, 9),
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda e: (e[0], e[1]),
+        ),
+        iters=st.integers(1, 2),
+    )
+    def check(edges, iters):
+        def ref(edges, iters, d_ppm=850_000, scale=1_000_000_000):
+            ns = sorted({e[0] for e in edges} | {e[1] for e in edges})
+            wd = {}
+            for s, _, w in edges:
+                wd[s] = wd.get(s, 0) + w
+            n = len(ns)
+            r = {v: scale // n for v in ns}
+            base = ((1_000_000 - d_ppm) * (scale // n)) // 1_000_000
+            for _ in range(iters):
+                inc = {v: 0 for v in ns}
+                for s, t, w in edges:
+                    inc[t] += (r[s] * w) // wd[s]
+                r = {
+                    v: base + (d_ppm * inc[v]) // 1_000_000 for v in ns
+                }
+            return r
+
+        df = spark.createDataFrame(
+            edges, "src STRING, dst STRING, w INT"
+        )
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, weight="w", iters=iters).collect()
+        }
+        assert got == ref(edges, iters)
+
+    check()
+
+
+def test_lm_score_property_vs_python_reference(spark):
+    """lm_train + lm_score sufficient statistics replicated in plain
+    Python over generated corpora (repeated tokens, single-token and
+    empty docs, OOV probes)."""
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.lm import lm_score, lm_train
+
+    vocab = ["a", "bb", "c", "dd", "e"]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=8),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(docs):
+        texts = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+
+        def ref(docs):
+            uni, bi = {}, {}
+            for ws in docs:
+                for w in ws:
+                    uni[w] = uni.get(w, 0) + 1
+                for x, y in zip(ws, ws[1:]):
+                    bi[(x, y)] = bi.get((x, y), 0) + 1
+            out = {}
+            for i, ws in enumerate(docs):
+                prs = list(zip(ws, ws[1:]))
+                if not prs:
+                    continue
+                nh = hn = hd = bo = 0
+                for x, y in prs:
+                    if (x, y) in bi:
+                        nh += 1
+                        hn += bi[(x, y)]
+                        hd += uni[x]
+                    else:
+                        bo += uni.get(y, 0)
+                out[i] = (len(prs), nh, hn, hd, bo)
+            return out
+
+        df = spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+        uni, bi = lm_train(df)
+        got = {
+            r.doc_id: (r.n_pairs, r.n_hits, r.hit_num, r.hit_den, r.bo_num)
+            for r in lm_score(df, uni, bi).collect()
+        }
+        assert got == ref(docs)
+
+    check()
