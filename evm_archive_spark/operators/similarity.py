@@ -1386,3 +1386,96 @@ def kcenter_sample(
         [(i + 1, cid, d2) for i, (cid, d2) in enumerate(chosen)],
         "rnk BIGINT, center_id BIGINT, d2 BIGINT",
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    k: int,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    vec_col: str = "qvec",
+    rel_col: str = "rel",
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) of per-query candidate lists — the diversity stage between
+    ANN retrieval and a RAG context window (or between hard-negative
+    mining and batch assembly).
+
+    Input: one row per (query, candidate) with an integer relevance
+    (``rel_col``, e.g. the quantized dot from quantized_dot_topk /
+    pq_topk) and the candidate's milli-quantized vector (``vec_col``,
+    array<bigint>).  Round 1 takes the most relevant candidate; round t
+    maximizes ``lam_num * rel - (lam_den - lam_num) * max_sim`` where
+    max_sim is the candidate's largest quantized dot against the
+    already-selected set — all BIGINT, ties to the smallest id, so the
+    full selection is engine-replayable (the gate unrolls it in SQL).
+
+    Plan per round (the kcenter incremental-frontier idea, per group):
+    join candidates to the ONE newest selection of their query (key-equi
+    on the query id), fold ``greatest(max_sim, dot(v, newest))``
+    map-side, then a per-query top-1 window.  k rounds, each shuffling
+    only the live candidate rows; nothing is collected per query and no
+    per-query loop runs on the driver — queries advance in bulk.
+
+    Returns ``(query_col, id_col, rel, rnk)``.
+    """
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    live = cand.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).cast("long").alias("__rel"),
+        F.col(vec_col).alias("__v"),
+        F.lit(0).cast("long").alias("__ms"),
+    ).localCheckpoint(eager=False)
+    picked = None
+    score = (
+        F.lit(lam_num) * F.col("__rel")
+        - F.lit(lam_den - lam_num) * F.col("__ms")
+    )
+    w = Window.partitionBy("__q").orderBy(
+        score.desc(), F.col("__id")
+    )
+    for t in range(1, k + 1):
+        sel = (
+            live.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "__q",
+                F.col("__id").alias("__sid"),
+                F.col("__rel").alias("__srel"),
+                F.col("__v").alias("__sv"),
+                F.lit(t).cast("long").alias("rnk"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out_t = sel.select(
+            F.col("__q").alias(query_col),
+            F.col("__sid").alias(id_col),
+            F.col("__srel").alias("rel"),
+            "rnk",
+        )
+        picked = out_t if picked is None else picked.unionByName(out_t)
+        if t == k:
+            break
+        live = (
+            live.join(sel, "__q")
+            .filter(F.col("__id") != F.col("__sid"))
+            .select(
+                "__q",
+                "__id",
+                "__rel",
+                "__v",
+                F.greatest(
+                    F.col("__ms"),
+                    F.expr(idot.format(a="__v", b="__sv")),
+                ).alias("__ms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return picked.orderBy(query_col, "rnk")

@@ -2932,3 +2932,55 @@ def test_lm_score_property_vs_python_reference(spark):
         assert got == ref(docs)
 
     check()
+
+
+def test_mmr_rerank_diversity_beats_pure_relevance(spark):
+    from evm_archive_spark.operators.similarity import mmr_rerank
+
+    # one query; candidates: two near-identical high-rel docs and one
+    # orthogonal medium-rel doc.  Pure relevance ranks (10, 11, 12);
+    # MMR must pick the orthogonal doc second.
+    rows = [
+        (1, 10, 100, [1000, 0]),
+        (1, 11, 99, [1000, 1]),   # near-clone of 10
+        (1, 12, 60, [0, 1000]),   # orthogonal
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id BIGINT, doc_id BIGINT, rel BIGINT, "
+        "qvec ARRAY<BIGINT>"
+    )
+    got = [
+        (r.rnk, r.doc_id)
+        for r in mmr_rerank(
+            cand, 3, vec_col="qvec", lam_num=1, lam_den=2000
+        ).collect()
+    ]
+    assert got == [(1, 10), (2, 12), (3, 11)]
+    # with lambda == 1 (no diversity term) MMR == pure relevance order
+    pure = [
+        (r.rnk, r.doc_id)
+        for r in mmr_rerank(
+            cand, 3, vec_col="qvec", lam_num=1, lam_den=1
+        ).collect()
+    ]
+    assert pure == [(1, 10), (2, 11), (3, 12)]
+
+
+def test_mmr_rerank_per_query_independent(spark):
+    from evm_archive_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, 10, 50, [1, 0]),
+        (1, 11, 40, [0, 1]),
+        (2, 20, 10, [1, 1]),
+        (2, 21, 90, [1, 0]),
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id BIGINT, doc_id BIGINT, rel BIGINT, "
+        "qvec ARRAY<BIGINT>"
+    )
+    got = {
+        (r.query_id, r.rnk): r.doc_id
+        for r in mmr_rerank(cand, 2, vec_col="qvec").collect()
+    }
+    assert got == {(1, 1): 10, (1, 2): 11, (2, 1): 21, (2, 2): 20}
