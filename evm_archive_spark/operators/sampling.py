@@ -54,11 +54,16 @@ def deterministic_sample(
 
 
 def deterministic_shuffle(
-    df: DataFrame, key: str, partitions: int | None = None
+    df: DataFrame, key: str, partitions: int | None = None,
+    *, epoch: int | None = None,
 ) -> DataFrame:
     """Global, reproducible corpus shuffle: order rows by ``md5(key)`` —
     the 'random' order every run, engine, and reader sees identically (no
     seed plumbing, no RNG state to checkpoint).
+
+    ``epoch`` salts the hash (``md5(epoch ':' key)``) so multi-epoch
+    training gets a DIFFERENT, equally reproducible order per epoch —
+    the standard per-epoch reshuffle without any RNG state.
 
     Implemented as repartitionByRange + sortWithinPartitions on the hash,
     so the TOTAL order is (partition range, within-partition sort) — a
@@ -66,7 +71,10 @@ def deterministic_shuffle(
     into pack_by_budget or a writer; downstream readers get the
     shuffled order for free from the file layout.
     """
-    h = F.md5(F.col(key).cast("string"))
+    k = F.col(key).cast("string")
+    if epoch is not None:
+        k = F.concat(F.lit(str(epoch)), F.lit(":"), k)
+    h = F.md5(k)
     parts = df.repartitionByRange(partitions, h) if partitions else (
         df.repartitionByRange(h)
     )

@@ -5037,6 +5037,74 @@ _add(
 )
 
 
+# [pair] per-epoch deterministic reshuffle + dense global index: the
+# multi-epoch training order (sampling.deterministic_shuffle epoch salt)
+# materialized as ordinals by the distributed prefix sum — proves the
+# composed shuffle -> index path against a single-window oracle.
+
+
+def _q_epoch_shuffle(spark, sf_dir):
+    from ..operators.packing import with_global_index
+    from ..operators.sampling import deterministic_shuffle
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select("doc_id")
+    shuffled = deterministic_shuffle(docs, "doc_id", 8, epoch=1)
+    keyed = shuffled.withColumn(
+        "__k",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("1:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    return (
+        with_global_index(keyed, "__k", index_col="ord", shards=8)
+        .select("doc_id", "ord")
+        .orderBy("ord")
+    )
+
+
+_add(
+    "q_epoch_shuffle",
+    _q_epoch_shuffle,
+    "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+    "CAST(('0x' || substring(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)) - 1 AS BIGINT) AS ord "
+    "FROM documents ORDER BY ord NULLS FIRST",
+    "epoch-salted deterministic shuffle + distributed global index == "
+    "single-window ordinal oracle",
+)
+
+
+# [pair] schema evolution (operators/evolve.py): documents migrated to a
+# v2 schema — rename, widen, add typed NULL, drop retired columns.
+
+
+def _q_evolve(spark, sf_dir):
+    from ..operators.evolve import evolve_schema
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return evolve_schema(
+        spark.table("documents"),
+        "doc_id BIGINT, language STRING, n_chars BIGINT, quality BIGINT",
+        renames={"lang": "language"},
+        allow_drop=True,
+    ).orderBy("doc_id")
+
+
+_add(
+    "q_evolve",
+    _q_evolve,
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS language, "
+    "CAST(n_chars AS BIGINT) AS n_chars, CAST(NULL AS BIGINT) AS quality "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "schema evolution (rename/widen/add/drop) == projection oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -2984,3 +2984,46 @@ def test_mmr_rerank_per_query_independent(spark):
         for r in mmr_rerank(cand, 2, vec_col="qvec").collect()
     }
     assert got == {(1, 1): 10, (1, 2): 11, (2, 1): 21, (2, 2): 20}
+
+
+def test_deterministic_shuffle_epoch_salt(spark):
+    from evm_archive_spark.operators.sampling import deterministic_shuffle
+    from evm_archive_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e0 = [r.doc_id for r in
+          deterministic_shuffle(docs, "doc_id", 4, epoch=0).collect()]
+    e0b = [r.doc_id for r in
+           deterministic_shuffle(docs, "doc_id", 4, epoch=0).collect()]
+    e1 = [r.doc_id for r in
+          deterministic_shuffle(docs, "doc_id", 4, epoch=1).collect()]
+    base = [r.doc_id for r in
+            deterministic_shuffle(docs, "doc_id", 4).collect()]
+    assert e0 == e0b            # same epoch: identical order
+    assert e0 != e1             # different epoch: different order
+    assert sorted(e0) == sorted(e1) == sorted(base)  # same rows
+
+
+def test_evolve_schema_rename_cast_add_drop(spark):
+    import pytest as _pytest
+
+    from evm_archive_spark.operators.evolve import evolve_schema
+
+    df = spark.createDataFrame(
+        [(1, "en", 10, "x")],
+        "doc_id INT, lang STRING, n_chars INT, legacy STRING",
+    )
+    target = (
+        "doc_id BIGINT, language STRING, n_chars BIGINT, quality DOUBLE"
+    )
+    with _pytest.raises(ValueError, match="legacy"):
+        evolve_schema(df, target, renames={"lang": "language"})
+    out = evolve_schema(
+        df, target, renames={"lang": "language"}, allow_drop=True
+    )
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "doc_id:bigint", "language:string", "n_chars:bigint",
+        "quality:double",
+    ]
+    r = out.collect()[0]
+    assert (r.doc_id, r.language, r.n_chars, r.quality) == (1, "en", 10, None)
