@@ -600,3 +600,126 @@ def incremental_exact_dedup(
     return w.join(
         seen_digests.select("digest").distinct(), "digest", "left_anti"
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via prefix filtering (the
+    PPJoin family, Xiao et al. 2008): every pair with
+    ``J >= threshold_num/threshold_den`` — no recall loss (unlike the
+    MinHash-LSH path) and no all-pairs blowup (unlike
+    ngram_jaccard_pairs).
+
+    The lossless pruning: order each document's token set globally by
+    (corpus frequency ASC, token) — rarest first — and keep only its
+    *prefix* of ``s - ceil(t*s) + 1`` tokens.  Two sets with Jaccard >=
+    t MUST share a prefix token, so the candidate set is the equi-join
+    of prefix postings (rare tokens ⇒ short postings lists), bounded
+    further by the length filter ``t*|a| <= |b|``.  Exact verification
+    then runs only on candidates, with the integer cross-multiplied
+    test ``inter * den >= num * (sa + sb - inter)`` — no floats, the
+    result is hash-gateable and provably equal to the naive quadratic
+    join (the gate's oracle).
+
+    Plan: one explode + vocab groupBy (frequency), one token-keyed join
+    back, one groupBy per doc (sorted set build), one prefix-token
+    equi-join (the candidate generation — shuffle keyed on rare tokens),
+    and one key-equi join back to the doc arrays for the verify.
+    Postings of FREQUENT tokens never enter the join: prefixes hold the
+    rare end of each document.
+
+    Returns ``(id_a, id_b, inter, sa, sb)`` — exact BIGINT sufficient
+    statistics (``jaccard = inter / (sa + sb - inter)`` when wanted).
+    """
+    from .textanalysis import tokens
+
+    num, den = threshold_num, threshold_den
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cnt"), F.col("tok")))
+            ).alias("__arr")
+        )
+        .select(
+            "__id",
+            F.transform(F.col("__arr"), lambda s: s["tok"]).alias("__toks"),
+            F.size(F.col("__arr")).alias("__s"),
+        )
+    )
+    # prefix length s - ceil(t*s) + 1, exact integer ceil
+    p = (
+        F.col("__s")
+        - F.expr(f"CAST(({num} * __s + {den} - 1) DIV {den} AS INT)")
+        + F.lit(1)
+    )
+    prefix = ordered.select(
+        "__id",
+        "__s",
+        F.explode(F.slice(F.col("__toks"), 1, p)).alias("ptok"),
+    )
+    a = prefix.select(
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("__sa0"),
+        "ptok",
+    )
+    b = prefix.select(
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("__sb0"),
+        "ptok",
+    )
+    cand = (
+        a.join(b, "ptok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: t*sa <= sb (sa >= sb symmetric case holds
+            # because pairs appear in both orders before the id filter)
+            & (F.col("__sb0") * den >= F.col("__sa0") * num)
+            & (F.col("__sa0") * den >= F.col("__sb0") * num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    docs_a = ordered.select(
+        F.col("__id").alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__s").alias("sa"),
+    )
+    docs_b = ordered.select(
+        F.col("__id").alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__s").alias("sb"),
+    )
+    verified = (
+        cand.join(docs_a, "id_a")
+        .join(docs_b, "id_b")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast(
+                "long"
+            ),
+        )
+        .filter(
+            F.col("inter") * den
+            >= num * (F.col("sa") + F.col("sb") - F.col("inter"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("sa").cast("long").alias("sa"),
+        F.col("sb").cast("long").alias("sb"),
+    ).orderBy("id_a", "id_b")

@@ -3027,3 +3027,72 @@ def test_evolve_schema_rename_cast_add_drop(spark):
     ]
     r = out.collect()[0]
     assert (r.doc_id, r.language, r.n_chars, r.quality) == (1, "en", 10, None)
+
+
+def test_set_similarity_join_manual(spark):
+    from evm_archive_spark.operators.dedup import set_similarity_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),   # J(1,2) = 3/5
+            (3, "a b c d"),   # J(1,3) = 1
+            (4, "x y z"),
+            (5, "a"),         # tiny set, J(5,1) = 1/4
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        (r.id_a, r.id_b): (r.inter, r.sa, r.sb)
+        for r in set_similarity_join(
+            docs, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert out == {(1, 2): (3, 4, 4), (1, 3): (4, 4, 4), (2, 3): (3, 4, 4)}
+
+
+def test_set_similarity_join_property_vs_naive(spark):
+    """Prefix filtering must be LOSSLESS: result equals the naive
+    quadratic Jaccard join on generated corpora (hypothesis — skewed
+    token frequencies, subset/superset sets, singletons)."""
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.dedup import set_similarity_join
+
+    vocab = ["a", "b", "c", "d", "e", "f", "g"]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        docs=st.lists(
+            st.sets(st.sampled_from(vocab), min_size=1, max_size=6),
+            min_size=2,
+            max_size=8,
+        ),
+        t=st.sampled_from([(1, 2), (2, 3), (9, 10)]),
+    )
+    def check(docs, t):
+        num, den = t
+
+        def naive(docs):
+            out = {}
+            for i, a in enumerate(docs):
+                for j in range(i + 1, len(docs)):
+                    b = docs[j]
+                    inter = len(a & b)
+                    if inter * den >= num * len(a | b):
+                        out[(i, j)] = (inter, len(a), len(b))
+            return out
+
+        df = spark.createDataFrame(
+            [(i, " ".join(sorted(ws))) for i, ws in enumerate(docs)],
+            "doc_id BIGINT, text STRING",
+        )
+        got = {
+            (r.id_a, r.id_b): (r.inter, r.sa, r.sb)
+            for r in set_similarity_join(
+                df, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert got == naive(docs)
+
+    check()
