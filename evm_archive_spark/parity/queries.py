@@ -5139,6 +5139,67 @@ _add(
 )
 
 
+# Late relational-battery widening (B28): RANGE frames, value window
+# functions, bitwise and conditional scalars — verbatim shared SQL.
+
+_shared(
+    "q_w5_range_frame",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) OVER ("
+    "  PARTITION BY o_custkey ORDER BY o_orderkey "
+    "  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_c "
+    "FROM orders "
+    "ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST LIMIT 5000",
+    "RANGE frame windowed sum over an orderkey interval",
+)
+
+_shared(
+    "q_w6_value_funcs",
+    "SELECT o_custkey, o_orderkey, "
+    "FIRST_VALUE(o_orderkey) OVER w AS first_k, "
+    "LAST_VALUE(o_orderkey) OVER w AS last_k, "
+    "NTH_VALUE(o_orderkey, 2) OVER w AS second_k "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST LIMIT 5000",
+    "first/last/nth value window functions with full-partition frame",
+)
+
+# [pair] bitwise battery: XOR spells `^` in Spark but POWER in DuckDB
+_add(
+    "q_x6_bitwise",
+    _sql(
+        "SELECT CAST(SUM(l_orderkey & 255) AS BIGINT) AS a_and, "
+        "CAST(SUM(l_orderkey | 16) AS BIGINT) AS a_or, "
+        "CAST(SUM(l_orderkey ^ l_linenumber) AS BIGINT) AS a_xor, "
+        "CAST(SUM(l_orderkey % 7) AS BIGINT) AS a_mod "
+        "FROM lineitem"
+    ),
+    "SELECT CAST(SUM(l_orderkey & 255) AS BIGINT) AS a_and, "
+    "CAST(SUM(l_orderkey | 16) AS BIGINT) AS a_or, "
+    "CAST(SUM(xor(l_orderkey, l_linenumber)) AS BIGINT) AS a_xor, "
+    "CAST(SUM(l_orderkey % 7) AS BIGINT) AS a_mod "
+    "FROM lineitem",
+    "bitwise and modulo scalar battery [pair: ^ vs xor()]",
+)
+
+_shared(
+    "q_x7_conditional",
+    "SELECT COUNT(NULLIF(o_orderstatus, 'F')) AS n_nonf, "
+    "CAST(SUM(COALESCE(NULLIF(o_custkey % 5, 0), -1)) AS BIGINT) "
+    "  AS s_coal, "
+    "CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS n_big, "
+    "CAST(SUM(GREATEST(o_custkey % 100, o_orderkey % 100)) AS BIGINT) "
+    "  AS s_great, "
+    "CAST(SUM(LEAST(o_custkey % 100, o_orderkey % 100)) AS BIGINT) "
+    "  AS s_least "
+    "FROM orders",
+    "NULLIF/COALESCE/CASE/GREATEST/LEAST conditional scalar battery",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
