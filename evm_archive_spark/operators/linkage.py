@@ -78,3 +78,52 @@ def fuzzy_join(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    block_len: int = 3,
+    block_from_end: bool = False,
+) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy self-join ->
+    connected components -> canonical entity id (the smallest member id,
+    the dedup-survivor convention).  Records matching nothing become
+    their own entity.
+
+    Composition of fuzzy_join (one block-key shuffle + map-side
+    Levenshtein) and the pointer-free min-label components fold (two
+    keyed shuffles per round, O(cluster diameter) rounds) — transitive
+    closure matters because fuzzy matching is not transitive: a~b and
+    b~c does not imply a~c within max_dist, yet all three are one
+    entity.
+
+    Returns ``(id_col, entity_id)`` for every input record.
+    """
+    from .dedup import connected_components
+
+    pairs = fuzzy_join(
+        df,
+        df,
+        left_id=id_col,
+        right_id=id_col,
+        left_text=text_col,
+        right_text=text_col,
+        max_dist=max_dist,
+        block_len=block_len,
+        block_from_end=block_from_end,
+    ).filter(F.col("l_id") < F.col("r_id"))
+    comp = connected_components(
+        pairs.select(
+            F.col("l_id").alias("id_a"), F.col("r_id").alias("id_b")
+        )
+    )
+    return df.select(F.col(id_col)).join(
+        comp, F.col(id_col) == F.col("node"), "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("entity_id"),
+    )

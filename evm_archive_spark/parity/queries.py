@@ -5200,6 +5200,48 @@ _shared(
 )
 
 
+# [pair] end-to-end entity resolution (linkage.resolve_entities):
+# blocked fuzzy self-join -> transitive components -> canonical entity
+# id; oracle = levenshtein pairs + recursive-CTE closure.
+
+
+def _q_entity_res(spark, sf_dir):
+    from ..operators.linkage import resolve_entities
+
+    register_testdata(spark, sf_dir, ["customer"])
+    return resolve_entities(
+        spark.table("customer"),
+        id_col="c_custkey",
+        text_col="c_name",
+        max_dist=2,
+        block_len=3,
+        block_from_end=True,
+    ).orderBy("c_custkey")
+
+
+_add(
+    "q_entity_res",
+    _q_entity_res,
+    "WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS t, "
+    "  substring(lower(c_name), length(c_name) - 2, 3) AS bk, "
+    "  length(c_name) AS ln FROM customer), "
+    "p AS (SELECT l.id AS id_a, r.id AS id_b FROM c l JOIN c r "
+    "  ON l.bk = r.bk WHERE abs(l.ln - r.ln) <= 2 "
+    "  AND levenshtein(l.t, r.t) <= 2 AND l.id < r.id), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "  UNION SELECT id_b, id_a FROM p), "
+    "r AS (SELECT src AS node, src AS m FROM e "
+    "  UNION SELECT e.src, r.m FROM e JOIN r ON r.node = e.dst), "
+    "comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY node) "
+    "SELECT c.id AS c_custkey, "
+    "  COALESCE(comp.component, c.id) AS entity_id "
+    "FROM c LEFT JOIN comp ON c.id = comp.node "
+    "ORDER BY c_custkey NULLS FIRST",
+    "entity resolution (fuzzy join + transitive closure) == "
+    "levenshtein + recursive-CTE oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

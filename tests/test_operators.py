@@ -3096,3 +3096,21 @@ def test_set_similarity_join_property_vs_naive(spark):
         assert got == naive(docs)
 
     check()
+
+
+def test_resolve_entities_transitive_closure(spark):
+    from evm_archive_spark.operators.linkage import resolve_entities
+
+    # chain: smith ~ smyth ~ smythe (smith!~smythe at dist<=1) must still
+    # collapse to ONE entity; stone stands alone
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "smythe"), (4, "stone")],
+        "id BIGINT, name STRING",
+    )
+    out = {
+        r.id: r.entity_id
+        for r in resolve_entities(
+            df, id_col="id", text_col="name", max_dist=1, block_len=2
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
