@@ -5242,6 +5242,60 @@ _add(
 )
 
 
+# [pair] date arithmetic battery: datediff argument conventions and
+# add_months spelling differ between engines; month-end clamping
+# semantics must agree.
+
+
+_add(
+    "q_x8_datetime",
+    _sql(
+        "SELECT CAST(datediff(CAST(o_orderdate AS DATE), "
+        "  DATE '1995-01-01') % 30 AS BIGINT) AS dd_b, "
+        "COUNT(*) AS n, "
+        "CAST(COUNT(DISTINCT last_day(CAST(o_orderdate AS DATE))) "
+        "  AS BIGINT) AS n_me, "
+        "CAST(SUM(quarter(CAST(o_orderdate AS DATE))) AS BIGINT) AS s_q, "
+        "CAST(COUNT(DISTINCT add_months(CAST(o_orderdate AS DATE), 2)) "
+        "  AS BIGINT) AS n_am "
+        "FROM orders GROUP BY dd_b ORDER BY dd_b NULLS FIRST"
+    ),
+    "SELECT CAST(datediff('day', DATE '1995-01-01', "
+    "  CAST(o_orderdate AS DATE)) % 30 AS BIGINT) AS dd_b, "
+    "COUNT(*) AS n, "
+    "CAST(COUNT(DISTINCT last_day(CAST(o_orderdate AS DATE))) "
+    "  AS BIGINT) AS n_me, "
+    "CAST(SUM(quarter(CAST(o_orderdate AS DATE))) AS BIGINT) AS s_q, "
+    "CAST(COUNT(DISTINCT CAST(CAST(o_orderdate AS DATE) "
+    "  + INTERVAL 2 MONTH AS DATE)) AS BIGINT) AS n_am "
+    "FROM orders GROUP BY dd_b ORDER BY dd_b NULLS FIRST",
+    "date arithmetic battery [pair: datediff arg order, add_months vs "
+    "+ INTERVAL]",
+)
+
+
+# [pair] string battery round 2: split_part/translate/reverse/repeat
+# agree; substring-position spells instr in Spark, strpos in DuckDB.
+
+
+_add(
+    "q_x9_string2",
+    _sql(
+        "SELECT p_partkey, split_part(p_name, ' ', 2) AS w2, "
+        "translate(p_type, 'AEIOU', 'aeiou') AS tr, "
+        "reverse(p_brand) AS rb, repeat(p_brand, 2) AS rp, "
+        "CAST(instr(p_name, 'e') AS BIGINT) AS pos_e "
+        "FROM part ORDER BY p_partkey NULLS FIRST LIMIT 200"
+    ),
+    "SELECT p_partkey, split_part(p_name, ' ', 2) AS w2, "
+    "translate(p_type, 'AEIOU', 'aeiou') AS tr, "
+    "reverse(p_brand) AS rb, repeat(p_brand, 2) AS rp, "
+    "CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e "
+    "FROM part ORDER BY p_partkey NULLS FIRST LIMIT 200",
+    "string battery round 2 [pair: instr vs strpos]",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
