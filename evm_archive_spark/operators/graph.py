@@ -175,3 +175,62 @@ def triangle_count(
         (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")),
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, bounded Bellman-Ford: the
+    minimum path weight from any seed using at most ``max_iters`` edges
+    (integer weights; hop-bounded, so negative-cycle-safe by
+    construction and exactly replayable by a hop-bounded recursive-CTE
+    oracle).
+
+    Per round: relax every edge out of the current distance table (one
+    key-equi shuffle), union with the standing distances, groupBy-min on
+    the node key (partial combine), localCheckpoint.  Early exit when a
+    round improves nothing — the driver sees only the improved-count
+    scalar.  State is (node, dist BIGINT) rows; generalizes bfs_levels
+    (weight 1 ⇒ dist = hop level).
+    """
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("esrc"), F.col(dst).alias("edst"), w.alias("w")
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        relaxed = (
+            dist.join(e, dist["node"] == e["esrc"])
+            .select(
+                F.col("edst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new.join(
+                dist.withColumnRenamed("dist", "old"), "node", "left"
+            )
+            .filter(
+                F.col("old").isNull() | (F.col("dist") < F.col("old"))
+            )
+            .count()
+        )
+        dist = new
+        if improved == 0:
+            break
+    return dist

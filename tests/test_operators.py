@@ -3114,3 +3114,30 @@ def test_resolve_entities_transitive_closure(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_shortest_paths_weighted_relaxation(spark):
+    from evm_archive_spark.operators.graph import shortest_paths
+
+    # a-1->b-1->c cheaper than the direct a-5->c; d unreachable within
+    # bound only via the 3-hop tail a->b->c->d
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 5), ("c", "d", 2)],
+        "src STRING, dst STRING, w INT",
+    )
+    seeds = spark.createDataFrame([("a",)], "node STRING")
+    out = {
+        r.node: r.dist
+        for r in shortest_paths(
+            edges, seeds, weight="w", max_iters=6
+        ).collect()
+    }
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 4}
+    # hop bound of 1 cannot take the cheap 2-edge path to c
+    out1 = {
+        r.node: r.dist
+        for r in shortest_paths(
+            edges, seeds, weight="w", max_iters=1
+        ).collect()
+    }
+    assert out1 == {"a": 0, "b": 1, "c": 5}
