@@ -67,6 +67,8 @@ HEADLINE = [
     # round-3 late: LM quality scoring, graph analytics
     "q_lm_score",
     "q_pagerank",
+    "q_mmr",
+    "q_sssp",
 ]
 
 

@@ -5109,6 +5109,13 @@ _add(
 # (dedup.set_similarity_join, PPJoin family): token-set Jaccard >= 19/20
 # with NO recall loss — the oracle is the naive quadratic join, and
 # equality proves the prefix filter lossless on this corpus.
+#
+# Fixture caveat: the synthetic corpus draws from a ~31-token vocabulary,
+# so postings lists are corpus-sized and the candidate set approaches
+# all-pairs (190k qualifying pairs at sf0.1) — the degenerate worst case
+# for prefix filtering.  On realistic corpora (vocab >> doc count's
+# rare tail) prefixes hold genuinely rare tokens and candidates collapse;
+# the filter's losslessness, which is what the gate proves, is unaffected.
 
 
 def _q_setsim(spark, sf_dir):
