@@ -3141,3 +3141,18 @@ def test_shortest_paths_weighted_relaxation(spark):
         ).collect()
     }
     assert out1 == {"a": 0, "b": 1, "c": 5}
+
+
+def test_triangle_count_wheel_hub(spark):
+    from evm_archive_spark.operators.graph import triangle_count
+
+    # wheel graph: hub 0 joined to an 8-cycle -> exactly 8 triangles;
+    # the hub's degree (8) dwarfs the rim's (3): the degree-orientation
+    # case where naive id-ordered wedges would fan out quadratically
+    n = 8
+    rim = [(i, i % n + 1) for i in range(1, n + 1)]
+    spokes = [(0, i) for i in range(1, n + 1)]
+    edges = spark.createDataFrame(
+        rim + spokes, "src BIGINT, dst BIGINT"
+    )
+    assert triangle_count(edges).collect()[0].n_triangles == n
