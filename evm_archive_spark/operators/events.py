@@ -188,3 +188,54 @@ def rolling_active_users(
         exploded.groupBy("report_day")
         .agg(F.countDistinct("__u").cast("long").alias("n_users"))
     )
+
+
+def ewma_by_key(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    alpha_ppm: int = 200_000,
+) -> "DataFrame":
+    """Integer fixed-point exponentially-weighted moving average per key:
+    ``r_1 = x_1;  r_t = (alpha * x_t + (1e6 - alpha) * r_{t-1}) DIV 1e6``
+    over the series ordered by ``order_cols`` — the smoothed-metric /
+    anomaly-baseline primitive, in exact BIGINT arithmetic (values are
+    milli-quantized first) so the recurrence replays identically on any
+    engine with a left fold.
+
+    An EWMA is inherently sequential per key, so it CANNOT be a window
+    frame; the shape here is one groupBy collecting the ordered series
+    into an array and a JVM ``aggregate`` fold over it — map-side after
+    the single key shuffle.  Contract: a key's series must fit an array
+    (bounded per-key cardinality); unbounded streams belong on the
+    applyInPandasWithState lane (streaming/stateful.py).
+
+    Returns ``(key_col, n_obs, ewma_q)``.
+    """
+    from pyspark.sql import functions as F
+
+    ppm = 1_000_000
+    keep = ppm - alpha_ppm
+    xq = F.floor(F.col(value_col) * 1000).cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], xq.alias("xq"))
+        )
+    )
+    g = df.groupBy(key_col).agg(arr.alias("__arr"))
+    xs = g.select(
+        key_col,
+        F.transform(F.col("__arr"), lambda s: s["xq"]).alias("__xs"),
+    )
+    fold = (
+        f"aggregate(slice(__xs, 2, size(__xs) - 1), element_at(__xs, 1), "
+        f"(acc, x) -> CAST(({alpha_ppm} * x + {keep} * acc) DIV {ppm} "
+        f"AS BIGINT))"
+    )
+    return xs.select(
+        key_col,
+        F.size(F.col("__xs")).cast("long").alias("n_obs"),
+        F.expr(fold).alias("ewma_q"),
+    )

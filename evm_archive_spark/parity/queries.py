@@ -5348,6 +5348,35 @@ _add(
 )
 
 
+# [pair] per-key integer EWMA (events.ewma_by_key): a sequential
+# recurrence no window frame can express; both engines left-fold the
+# ordered milli-quantized series with identical integer arithmetic.
+
+
+def _q_ewma(spark, sf_dir):
+    from ..operators.events import ewma_by_key
+
+    register_testdata(spark, sf_dir, ["events"])
+    return ewma_by_key(
+        spark.table("events"), "user_id", ["ts", "event_id"], "value"
+    ).orderBy("user_id")
+
+
+_add(
+    "q_ewma",
+    _q_ewma,
+    "WITH s AS (SELECT user_id, "
+    "  list(CAST(FLOOR(value * 1000) AS BIGINT) "
+    "    ORDER BY ts, event_id) AS xs "
+    "  FROM events GROUP BY user_id) "
+    "SELECT user_id, CAST(len(xs) AS BIGINT) AS n_obs, "
+    "  CAST(list_reduce(xs, (acc, x) -> "
+    "    (200000 * x + 800000 * acc) // 1000000) AS BIGINT) AS ewma_q "
+    "FROM s ORDER BY user_id NULLS FIRST",
+    "per-key fixed-point EWMA == DuckDB list_reduce fold oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -3156,3 +3156,21 @@ def test_triangle_count_wheel_hub(spark):
         rim + spokes, "src BIGINT, dst BIGINT"
     )
     assert triangle_count(edges).collect()[0].n_triangles == n
+
+
+def test_ewma_by_key_recurrence(spark):
+    from evm_archive_spark.operators.events import ewma_by_key
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0), (2, 1, 5.0)],
+        "k BIGINT, t BIGINT, value DOUBLE",
+    )
+    out = {
+        r.k: (r.n_obs, r.ewma_q)
+        for r in ewma_by_key(
+            df, "k", ["t"], "value", alpha_ppm=500_000
+        ).collect()
+    }
+    # alpha=0.5 on [1000, 2000, 3000]: r1=1000, r2=1500, r3=2250
+    assert out[1] == (3, 2250)
+    assert out[2] == (1, 5000)  # single observation: identity
