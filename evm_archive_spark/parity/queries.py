@@ -5377,6 +5377,80 @@ _add(
 )
 
 
+# Second relational-battery widening: FILTER-clause aggregates, full
+# outer join, bag semantics set ops, OFFSET paging, regexp extraction.
+
+_shared(
+    "q_a9_filter_clause",
+    "SELECT o_orderpriority, "
+    "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, "
+    "COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) "
+    "  AS n_big_cust, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+    "  FILTER (WHERE o_orderstatus <> 'F') AS BIGINT) AS s_nf_c "
+    "FROM orders GROUP BY o_orderpriority "
+    "ORDER BY o_orderpriority NULLS FIRST",
+    "FILTER-clause aggregates",
+)
+
+_shared(
+    "q_j8_full_outer",
+    "SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nk, "
+    "COUNT(c.c_custkey) AS n_cust, COUNT(s.s_suppkey) AS n_supp "
+    "FROM (SELECT c_custkey, c_nationkey FROM customer "
+    "      WHERE c_custkey % 7 = 0) c "
+    "FULL OUTER JOIN (SELECT s_suppkey, s_nationkey + 10 AS s_nationkey "
+    "      FROM supplier WHERE s_suppkey % 3 = 0) s "
+    "ON c.c_nationkey = s.s_nationkey "
+    "GROUP BY COALESCE(c.c_nationkey, s.s_nationkey) "
+    "ORDER BY nk NULLS FIRST",
+    "full outer join with null-producing both sides",
+)
+
+_shared(
+    "q_u5_bag_setops",
+    "SELECT COUNT(*) AS n_ia, CAST(SUM(k) AS BIGINT) AS s_ia FROM ("
+    "  SELECT c_nationkey AS k FROM customer "
+    "  INTERSECT ALL SELECT s_nationkey FROM supplier) t",
+    "INTERSECT ALL bag semantics",
+)
+
+_shared(
+    "q_u6_except_all",
+    "SELECT COUNT(*) AS n_ea, CAST(SUM(k) AS BIGINT) AS s_ea FROM ("
+    "  SELECT c_nationkey AS k FROM customer "
+    "  EXCEPT ALL SELECT s_nationkey FROM supplier) t",
+    "EXCEPT ALL bag semantics",
+)
+
+_shared(
+    "q_s3_offset",
+    "SELECT c_custkey, c_name FROM customer "
+    "ORDER BY c_acctbal DESC NULLS LAST, c_custkey "
+    "LIMIT 50 OFFSET 100",
+    "deterministic keyset paging: ORDER BY + LIMIT/OFFSET",
+)
+
+# [pair] regexp battery: Spark regexp_replace is global, DuckDB's
+# replaces only the first match unless passed the 'g' option.
+_add(
+    "q_x10_regexp",
+    _sql(
+        "SELECT p_partkey, "
+        "regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS w2, "
+        "CAST(LENGTH(regexp_replace(p_type, '[AEIOU]', '')) AS BIGINT) "
+        "  AS n_novowel "
+        "FROM part ORDER BY p_partkey NULLS FIRST LIMIT 300"
+    ),
+    "SELECT p_partkey, "
+    "regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS w2, "
+    "CAST(LENGTH(regexp_replace(p_type, '[AEIOU]', '', 'g')) AS BIGINT) "
+    "  AS n_novowel "
+    "FROM part ORDER BY p_partkey NULLS FIRST LIMIT 300",
+    "regexp extraction/replacement [pair: global-replace flag]",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

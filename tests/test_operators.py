@@ -2008,10 +2008,10 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
 
     src = tmp_path / "src"
     texts = ["alpha", "beta", "gamma", "delta"]
-    rows = [(i, texts[i % 4] if i % 3 else texts[0]) for i in range(30)]
+    rows = [(i, texts[i % 4] if i % 3 else texts[0]) for i in range(20)]
     base = spark.createDataFrame(rows, "doc_id long, text string")
     # file order == batch order == doc_id order (earliest file first)
-    for part in range(3):
+    for part in range(2):
         base.filter(
             (F.col("doc_id") >= part * 10) & (F.col("doc_id") < (part + 1) * 10)
         ).coalesce(1).write.mode("append").parquet(str(src))
