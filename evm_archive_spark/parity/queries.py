@@ -5451,6 +5451,79 @@ _add(
 )
 
 
+# [pair] PIVOT / UNPIVOT reshaping and positional explode — the
+# wide/long reshape surface; syntaxes differ (Spark aliases pivot values
+# inline, DuckDB renames in an outer select; LATERAL VIEW posexplode vs
+# unnest + generate_subscripts) but semantics must agree exactly.
+
+_add(
+    "q_pivot",
+    _sql(
+        "SELECT * FROM (SELECT o_orderpriority AS pri, o_orderstatus "
+        "  AS st FROM orders) "
+        "PIVOT (COUNT(*) FOR st IN ('F' AS f, 'O' AS o, 'P' AS p)) "
+        "ORDER BY pri NULLS FIRST"
+    ),
+    'SELECT pri, "F" AS f, "O" AS o, "P" AS p FROM ('
+    "  SELECT * FROM (SELECT o_orderpriority AS pri, o_orderstatus "
+    "    AS st FROM orders) "
+    "  PIVOT (COUNT(*) FOR st IN ('F', 'O', 'P'))) t "
+    "ORDER BY pri NULLS FIRST",
+    "PIVOT wide reshape [pair: value aliasing syntax]",
+)
+
+_shared(
+    "q_unpivot",
+    "WITH w AS (SELECT o_orderpriority AS pri, COUNT(*) AS total, "
+    "  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f "
+    "  FROM orders GROUP BY o_orderpriority) "
+    "SELECT pri, metric, CAST(val AS BIGINT) AS val FROM w "
+    "UNPIVOT (val FOR metric IN (total, n_f)) "
+    "ORDER BY pri NULLS FIRST, metric NULLS FIRST",
+    "UNPIVOT long reshape (verbatim shared)",
+)
+
+_add(
+    "q_lateral_posexplode",
+    _sql(
+        "SELECT p_partkey, pos + 1 AS i, word FROM part "
+        "LATERAL VIEW posexplode(split(p_name, ' ')) t AS pos, word "
+        "WHERE p_partkey <= 100 "
+        "ORDER BY p_partkey NULLS FIRST, i NULLS FIRST"
+    ),
+    "SELECT p_partkey, CAST(generate_subscripts(ts, 1) AS INT) AS i, "
+    "unnest(ts) AS word FROM ("
+    "  SELECT p_partkey, string_split(p_name, ' ') AS ts FROM part "
+    "  WHERE p_partkey <= 100) s "
+    "ORDER BY p_partkey NULLS FIRST, i NULLS FIRST",
+    "positional explode [pair: LATERAL VIEW vs unnest+subscripts]",
+)
+
+
+# [pair] null-safe equality join: `<=>` in Spark, IS NOT DISTINCT FROM
+# in DuckDB — NULL keys match each other instead of vanishing.
+
+_add(
+    "q_j9_nullsafe",
+    _sql(
+        "WITH a AS (SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL "
+        "  ELSE o_custkey % 13 END AS k FROM orders), "
+        "b AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL "
+        "  ELSE c_custkey % 13 END AS k FROM customer) "
+        "SELECT a.k AS k, COUNT(*) AS n FROM a JOIN b ON a.k <=> b.k "
+        "GROUP BY a.k ORDER BY k NULLS FIRST"
+    ),
+    "WITH a AS (SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL "
+    "  ELSE o_custkey % 13 END AS k FROM orders), "
+    "b AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL "
+    "  ELSE c_custkey % 13 END AS k FROM customer) "
+    "SELECT a.k AS k, COUNT(*) AS n FROM a JOIN b "
+    "ON a.k IS NOT DISTINCT FROM b.k "
+    "GROUP BY a.k ORDER BY k NULLS FIRST",
+    "null-safe equality join [pair: <=> vs IS NOT DISTINCT FROM]",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
