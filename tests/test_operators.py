@@ -3174,3 +3174,10 @@ def test_ewma_by_key_recurrence(spark):
     # alpha=0.5 on [1000, 2000, 3000]: r1=1000, r2=1500, r3=2250
     assert out[1] == (3, 2250)
     assert out[2] == (1, 5000)  # single observation: identity
+
+
+def test_operators_package_exports_resolve():
+    import evm_archive_spark.operators as ops
+
+    for name in ops.__all__:
+        assert callable(getattr(ops, name)), name
