@@ -5524,6 +5524,42 @@ _add(
 )
 
 
+# [pair] nested-JSON path battery: arrays-by-index and nested-object
+# paths through get_json_object vs json_extract_string (the fixture's
+# props is flat, so the nested document is synthesized in-query).
+
+_JSON_DOC = (
+    "CONCAT('{{\"a\": [1, 2, ', CAST(event_id % 100 AS {str_t}), "
+    "'], \"b\": {{\"c\": ', CAST(user_id AS {str_t}), '}}}}')"
+)
+
+_add(
+    "q_x11_json_nested",
+    _sql(
+        "WITH j AS (SELECT "
+        + _JSON_DOC.format(str_t="STRING")
+        + " AS doc FROM events) "
+        "SELECT CAST(get_json_object(doc, '$.a[2]') AS BIGINT) % 10 "
+        "  AS a2_b, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(get_json_object(doc, '$.b.c') AS BIGINT)) "
+        "  AS BIGINT) AS s_c "
+        "FROM j GROUP BY a2_b ORDER BY a2_b NULLS FIRST"
+    ),
+    "WITH j AS (SELECT "
+    + _JSON_DOC.format(str_t="VARCHAR")
+    + " AS doc FROM events) "
+    "SELECT CAST(json_extract_string(doc, '$.a[2]') AS BIGINT) % 10 "
+    "  AS a2_b, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(json_extract_string(doc, '$.b.c') AS BIGINT)) "
+    "  AS BIGINT) AS s_c "
+    "FROM j GROUP BY a2_b ORDER BY a2_b NULLS FIRST",
+    "nested JSON paths (array index + object) [pair: get_json_object "
+    "vs json_extract_string]",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
