@@ -464,11 +464,16 @@ def ngram_jaccard_pairs(
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
         shingles(text_col, n).alias("__g"),
     )
-    # all-pairs is only valid at gate-bounded sizes (the LSH prefilter is
-    # the scale path), so pin the nested-loop build side explicitly: the
-    # planner must never fall back to an unbroadcast cartesian here (a
-    # Python-local right side re-evaluates per task otherwise).
-    a, b = g.alias("a"), F.broadcast(g).alias("b")
+    # the all-pairs (block_col=None) path is only valid at gate-bounded
+    # sizes (the LSH prefilter is the scale path), so pin its nested-loop
+    # build side explicitly — the planner must never fall back to an
+    # unbroadcast cartesian (a Python-local right side re-evaluates per
+    # task otherwise).  The BLOCKED path stays a partitioned equi-join on
+    # the block key: forcing broadcast there would ship the full shingle
+    # table to every executor on exactly the large inputs blocking exists
+    # for.
+    gb = g if block_col else F.broadcast(g)
+    a, b = g.alias("a"), gb.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
     if block_col:
         cond = cond & (F.col("a.__blk") == F.col("b.__blk"))

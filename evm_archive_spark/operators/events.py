@@ -218,6 +218,9 @@ def ewma_by_key(
 
     ppm = 1_000_000
     keep = ppm - alpha_ppm
+    # NULL observations are dropped (they would poison the whole key's
+    # fold: alpha*NULL propagates); n_obs counts values actually folded
+    df = df.filter(F.col(value_col).isNotNull())
     xq = F.floor(F.col(value_col) * 1000).cast("long")
     arr = F.array_sort(
         F.collect_list(

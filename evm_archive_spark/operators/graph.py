@@ -60,9 +60,14 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        # static across iterations: materialize once instead of
+        # re-running the distinct per ranks update
+        .localCheckpoint(eager=True)
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("wd"))
-    ew = e.join(outw, "src")  # (src, dst, w, wd)
+    # (src, dst, w, wd) — joined per iteration; checkpoint so the edge
+    # scan + degree aggregation run once, not once per iteration
+    ew = e.join(outw, "src").localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty graph")

@@ -39,8 +39,14 @@ def _pairs(text_col) -> F.Column:
         ),
     )
     # guard <2-token docs: sequence(1, 0) is DESCENDING in Spark, not empty
-    return F.when(F.size(t) >= 2, pairs).otherwise(
+    guarded = F.when(F.size(t) >= 2, pairs).otherwise(
         F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    # drop pairs touching empty tokens (split keeps boundary empties for
+    # leading/trailing whitespace) — the same exclusion the unigram table
+    # applies, so hit_den never loses a count(w1) term to a NULL join
+    return F.filter(
+        guarded, lambda s: (s["w1"] != "") & (s["w2"] != "")
     )
 
 

@@ -110,20 +110,25 @@ def snapshot_diff(
     zero-Exchange.  This is the snapshot-delta primitive for incremental
     corpus refreshes (what changed between two crawl dumps) and for
     auditing SCD2 inputs before scd2_apply."""
+    # explicit presence flags: key-nullness cannot distinguish "row with
+    # a NULL key" from "no row on this side" after a full-outer join
     o = old.select(
-        *key_cols, *[F.col(c).alias(f"__o_{c}") for c in compare_cols]
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
     )
     n = new.select(
         *[F.col(c).alias(f"__n_{c}") for c in key_cols],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
     )
     cond = None
     for k in key_cols:
         e = F.col(k) == F.col(f"__n_{k}")
         cond = e if cond is None else cond & e
     j = o.join(n, cond, "full_outer")
-    has_old = F.col(key_cols[0]).isNotNull()
-    has_new = F.col(f"__n_{key_cols[0]}").isNotNull()
+    has_old = F.col("__o_present").eqNullSafe(F.lit(True))
+    has_new = F.col("__n_present").eqNullSafe(F.lit(True))
     changed = None
     for c in compare_cols:
         d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

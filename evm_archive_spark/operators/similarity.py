@@ -1367,8 +1367,10 @@ def kcenter_sample(
             lambda acc, x: acc + x,
         )
 
-    cur = q.withColumn("__d2", _d2(center_vec)).localCheckpoint(
-        eager=False
+    cur = (
+        q.filter(F.col("vec_id") != chosen[0][0])
+        .withColumn("__d2", _d2(center_vec))
+        .localCheckpoint(eager=False)
     )
     for _ in range(1, k):
         far = (
@@ -1376,11 +1378,15 @@ def kcenter_sample(
             .select("vec_id", "__v", "__d2")
             .first()
         )
+        if far is None:
+            break  # fewer distinct points than k: never emit duplicates
         chosen.append((int(far["vec_id"]), int(far["__d2"])))
         center_vec = list(far["__v"])
-        cur = cur.withColumn(
-            "__d2", F.least(F.col("__d2"), _d2(center_vec))
-        ).localCheckpoint(eager=False)
+        cur = (
+            cur.filter(F.col("vec_id") != far["vec_id"])
+            .withColumn("__d2", F.least(F.col("__d2"), _d2(center_vec)))
+            .localCheckpoint(eager=False)
+        )
     spark = emb.sparkSession
     return spark.createDataFrame(
         [(i + 1, cid, d2) for i, (cid, d2) in enumerate(chosen)],
@@ -1422,10 +1428,6 @@ def mmr_rerank(
 
     Returns ``(query_col, id_col, rel, rnk)``.
     """
-    idot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
     live = cand.select(
         F.col(query_col).alias("__q"),
         F.col(id_col).alias("__id"),
@@ -1473,7 +1475,7 @@ def mmr_rerank(
                 "__v",
                 F.greatest(
                     F.col("__ms"),
-                    F.expr(idot.format(a="__v", b="__sv")),
+                    F.expr(_IDOT.format(a="__v", b="__sv")),
                 ).alias("__ms"),
             )
             .localCheckpoint(eager=False)

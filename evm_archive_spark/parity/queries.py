@@ -4612,7 +4612,8 @@ _add(
     "uni AS (SELECT tok, COUNT(*) AS cnt FROM "
     "  (SELECT unnest(ts) AS tok FROM tok) u WHERE tok <> '' GROUP BY tok), "
     "pr AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 "
-    "  FROM tok, UNNEST(range(1, len(ts))) AS g(i) WHERE len(ts) >= 2), "
+    "  FROM tok, UNNEST(range(1, len(ts))) AS g(i) "
+    "  WHERE len(ts) >= 2 AND ts[i] <> '' AND ts[i + 1] <> ''), "
     "bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM pr GROUP BY w1, w2), "
     "sc AS (SELECT pr.doc_id, COUNT(*) AS n_pairs, "
     "  SUM(CASE WHEN bi.cnt IS NOT NULL THEN 1 ELSE 0 END) AS n_hits, "

@@ -62,6 +62,11 @@ def read_csv(
     return (
         spark.read.schema(schema)
         .option("header", "true")
+        # enforceSchema=false makes Spark VALIDATE the file header
+        # against the schema names instead of mapping columns
+        # positionally — a reordered-but-valid CSV fails loudly rather
+        # than silently swapping same-typed columns
+        .option("enforceSchema", "false")
         .option("quote", '"')
         .option("escape", '"')
         .option("nullValue", _NULL)

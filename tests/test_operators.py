@@ -3181,3 +3181,69 @@ def test_operators_package_exports_resolve():
 
     for name in ops.__all__:
         assert callable(getattr(ops, name)), name
+
+
+def test_lm_score_empty_token_pairs_excluded(spark):
+    # leading tab: split keeps a boundary empty token; pairs touching it
+    # must not count (the review-confirmed hit_den corruption)
+    from evm_archive_spark.operators.lm import lm_score, lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "\ta b")], "doc_id BIGINT, text STRING"
+    )
+    uni, bi = lm_train(docs)
+    assert {(r.w1, r.w2) for r in bi.collect()} == {("a", "b")}
+    r = lm_score(docs, uni, bi).collect()[0]
+    assert (r.n_pairs, r.n_hits, r.hit_num, r.hit_den) == (1, 1, 1, 1)
+
+
+def test_snapshot_diff_null_key_rows(spark):
+    from evm_archive_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "x"), (1, "a")], "id INT, v STRING"
+    )
+    new = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    out = [
+        (r.id, r.change)
+        for r in snapshot_diff(old, new, ["id"], ["v"]).collect()
+    ]
+    # the NULL-keyed OLD row vanished: it must be 'removed', not 'added'
+    assert out == [(None, "removed")]
+
+
+def test_kcenter_sample_k_exceeds_points(spark):
+    from evm_archive_spark.operators.similarity import kcenter_sample
+
+    emb = spark.createDataFrame(
+        [(1, [0.0]), (2, [9.0])], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    rows = kcenter_sample(emb, 5).collect()
+    assert [r.center_id for r in rows] == [1, 2]  # no duplicate centers
+
+
+def test_read_csv_rejects_reordered_header(spark, tmp_path):
+    import pytest as _pytest
+
+    from evm_archive_spark.sources.interchange import read_csv
+
+    p = tmp_path / "alien"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "doc_id,lang,text\n1,en,hello\n"
+    )
+    with _pytest.raises(Exception):
+        read_csv(
+            spark, str(p), "doc_id long, text string, lang string"
+        ).collect()
+
+
+def test_ewma_by_key_drops_null_observations(spark):
+    from evm_archive_spark.operators.events import ewma_by_key
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, None), (1, 3, 3.0)],
+        "k BIGINT, t BIGINT, value DOUBLE",
+    )
+    r = ewma_by_key(df, "k", ["t"], "value", alpha_ppm=500_000).collect()[0]
+    assert (r.n_obs, r.ewma_q) == (2, 2000)  # fold over [1000, 3000]
