@@ -1609,7 +1609,7 @@ def test_asof_join_directions_property(spark):
 
     keys = ["k0", "k1"]
 
-    @settings(max_examples=5, deadline=None)
+    @settings(max_examples=3, deadline=None)
     @given(
         lefts=st.lists(
             st.tuples(st.sampled_from(keys), st.integers(0, 40)),
@@ -1890,10 +1890,10 @@ def test_streaming_rollup_maintenance_equals_batch(spark, tmp_path):
     from evm_archive_spark.operators.rollup import read_rollup, rollup_update
 
     src = tmp_path / "src"
-    rows = [(i, f"t{i % 3}", i // 16, i * 3) for i in range(96)]
+    rows = [(i, f"t{i % 3}", i // 16, i * 3) for i in range(64)]
     base = spark.createDataFrame(rows, "id long, typ string, b long, v long")
-    for part in range(3):
-        base.filter(F.pmod(F.col("id"), F.lit(3)) == part).coalesce(
+    for part in range(2):
+        base.filter(F.pmod(F.col("id"), F.lit(2)) == part).coalesce(
             1
         ).write.mode("append").parquet(str(src))
 
