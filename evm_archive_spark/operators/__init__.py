@@ -68,10 +68,12 @@ _EXPORTS = {
     "grouped_topk": "sampling",
     "dsir_stats": "sampling",
     "split_leakage_report": "sampling",
+    "leakage_safe_split": "sampling",
     # packing
     "pack_by_budget": "packing",
     "materialize_packs": "packing",
     "with_global_index": "packing",
+    "length_bucket_batches": "packing",
     # events / time series
     "sessionize": "events",
     "funnel": "events",

@@ -183,3 +183,78 @@ def materialize_packs(
             ).alias("text"),
         )
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    token_col: str,
+    batch_size: int,
+    order_col: str = "doc_id",
+    *,
+    bucket_col: str = "bucket",
+    batch_col: str = "batch_idx",
+    shards: int = 256,
+) -> DataFrame:
+    """Dynamic-batching layout: bucket documents by length magnitude
+    (``bucket = floor(log2(tokens))``) and cut each bucket, in
+    ``order_col`` order, into fixed-count batches of ``batch_size`` rows.
+
+    Padded-batch training/inference wastes ``max(len) - len`` tokens per
+    row within a batch; power-of-two bucketing bounds that waste at 2x
+    worst-case without a global sort.  The bucket is computed as
+    ``length(bin(tokens)) - 1`` — pure integer arithmetic on the binary
+    rendering, no float log2 edge cases, portable to the oracle.
+
+    The within-bucket ordinal generalizes the module's two-phase prefix
+    sum per bucket: windows partition by ``(bucket, shard-range)``, the
+    global step is a (#buckets x shards)-row broadcast whose own window
+    partitions by bucket over <= ``shards`` rows — no single-partition
+    window at any scale.  Adds ``bucket_col`` and ``batch_col`` (both
+    long); ``(bucket, batch_idx)`` identifies a batch.
+    """
+    tokens = F.greatest(F.col(token_col).cast("long"), F.lit(1))
+    bucketed = df.withColumn(
+        bucket_col, (F.length(F.bin(tokens)) - 1).cast("long")
+    )
+    bounds = bucketed.agg(
+        F.min(order_col).cast("long").alias("_lo"),
+        F.max(order_col).cast("long").alias("_hi"),
+    )
+    width = (
+        F.floor((F.col("_hi") - F.col("_lo")) / F.lit(shards)) + 1
+    ).alias("_w")
+    sharded = (
+        bucketed.crossJoin(F.broadcast(bounds.select("_lo", width)))
+        .withColumn(
+            "_shard",
+            ((F.col(order_col).cast("long") - F.col("_lo")) / F.col("_w"))
+            .cast("long"),
+        )
+        .drop("_lo", "_w")
+    )
+    within = F.row_number().over(
+        Window.partitionBy(bucket_col, "_shard").orderBy(order_col)
+    )
+    sharded = sharded.withColumn("_within", within.cast("long"))
+    totals = sharded.groupBy(bucket_col, "_shard").agg(
+        F.count(F.lit(1)).cast("long").alias("_tot")
+    )
+    base = totals.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum("_tot").over(
+                Window.partitionBy(bucket_col)
+                .orderBy("_shard")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(bucket_col, "_shard", "_base")
+    return (
+        sharded.join(F.broadcast(base), [bucket_col, "_shard"])
+        .withColumn(
+            batch_col,
+            F.expr(f"(_base + _within - 1) DIV {int(batch_size)}"),
+        )
+        .drop("_shard", "_within", "_base")
+    )

@@ -293,6 +293,53 @@ def split_leakage_report(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Constructive complement of ``split_leakage_report``: assign the
+    train/val/test split by the near-duplicate COMPONENT representative
+    instead of the row id, so every near-twin lands in the SAME split by
+    construction — ``split_leakage_report`` over the result is empty.
+
+    Pipeline: banded-LSH near-dup pairs (or caller-supplied ``pairs``) ->
+    connected components (min-label propagation) -> split key =
+    ``coalesce(component, id)`` -> the module's deterministic md5
+    ``hash_split`` on that key.  Docs in no pair keep their own id as the
+    key, so singleton assignment is identical to the plain ``hash_split``.
+
+    Scale shape: the component table holds only ids that appear in a pair
+    (bounded by the LSH candidate set, typically a small fraction of the
+    corpus); joining it back is one key-equi join AQE converts to
+    broadcast when small.  The split itself stays map-side.
+    """
+    from .dedup import connected_components, minhash_near_duplicates
+
+    if pairs is None:
+        pairs = minhash_near_duplicates(
+            docs, id_col=id_col, text_col=text_col, threshold=threshold,
+            num_perm=num_perm, bands=bands, k=k,
+        )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("__cid"), F.col("component").alias("__comp")
+    )
+    keyed = docs.join(
+        comp, docs[id_col] == comp["__cid"], "left"
+    ).withColumn("__skey", F.coalesce(F.col("__comp"), F.col(id_col)))
+    return hash_split(keyed, "__skey", weights, split_col).drop(
+        "__cid", "__comp", "__skey"
+    )
+
+
 def grouped_topk(
     df: DataFrame,
     strata_col: str,

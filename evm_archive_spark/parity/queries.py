@@ -5567,6 +5567,101 @@ _add(
 )
 
 
+# [pair] length-bucketed dynamic batching: power-of-two length buckets
+# (exact integer log2 via the binary rendering) cut into fixed-count
+# batches — the padded-batch layout stage of a training data loader.
+# Engine = two-phase per-bucket prefix sum (packing.length_bucket_batches,
+# no single-partition window); oracle = the naive per-bucket ROW_NUMBER.
+
+def _q_len_bucket(spark, sf_dir):
+    from ..operators.packing import length_bucket_batches
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        length_bucket_batches(
+            spark.table("documents").select("doc_id", "n_chars"),
+            token_col="n_chars",
+            batch_size=32,
+            order_col="doc_id",
+        )
+        .select("doc_id", "bucket", "batch_idx")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_len_bucket",
+    _q_len_bucket,
+    "WITH b AS (SELECT doc_id, "
+    "  CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT) AS bucket "
+    "  FROM documents), "
+    "o AS (SELECT doc_id, bucket, "
+    "  ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS ord "
+    "  FROM b) "
+    "SELECT doc_id, bucket, CAST(ord // 32 AS BIGINT) AS batch_idx "
+    "FROM o ORDER BY doc_id NULLS FIRST",
+    "length-bucket batching: distributed per-bucket prefix sum == naive "
+    "per-bucket ROW_NUMBER",
+)
+
+
+# [pair] leakage-safe split: split assignment keyed by the near-duplicate
+# component representative, so near-twins land in the same split by
+# construction.  Engine = LSH prefilter -> exact verify -> components ->
+# md5 hash_split on coalesce(component, id); oracle = exact all-pairs
+# 5-gram Jaccard closure (recursive CTE, the q_neardup_pipeline oracle)
+# + the q_split md5 bucket rule on the same key.  doc_id < 300 bounds the
+# ORACLE's quadratic verify, not the engine path.
+
+def _q_leak_split(spark, sf_dir):
+    from ..operators.sampling import leakage_safe_split
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        leakage_safe_split(
+            spark.table("documents").filter(F.col("doc_id") < 300),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            threshold=0.9,
+            num_perm=64,
+            bands=16,
+            k=5,
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_leak_split",
+    _q_leak_split,
+    "WITH RECURSIVE g AS (SELECT doc_id, "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), "
+    "i -> substring(text, i, 5))) AS gr FROM documents WHERE doc_id < 300), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "  FROM g a JOIN g b ON a.doc_id < b.doc_id "
+    "  AND CAST(least(len(a.gr), len(b.gr)) AS DOUBLE) "
+    "    / greatest(len(a.gr), len(b.gr)) >= 0.9 "
+    "  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) "
+    "   / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.9), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "  UNION SELECT id_b, id_a FROM p), "
+    "r AS (SELECT src AS node, src AS m FROM e "
+    "  UNION SELECT e.src, r.m FROM e JOIN r ON r.node = e.dst), "
+    "comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY node), "
+    "kk AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS skey "
+    "  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node "
+    "  WHERE d.doc_id < 300), "
+    "bb AS (SELECT doc_id, "
+    "  CAST(('0x' || substring(md5(CAST(skey AS VARCHAR)), 1, 8)) AS BIGINT) "
+    "  % 10000 AS bucket FROM kk) "
+    "SELECT doc_id, CASE WHEN bucket < 9000 THEN 'train' "
+    "  WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split "
+    "FROM bb ORDER BY doc_id NULLS FIRST",
+    "leakage-safe split: component-keyed md5 assignment == exact-closure "
+    "oracle replay",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
