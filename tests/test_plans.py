@@ -418,3 +418,21 @@ def test_snapshot_diff_is_single_join(spark):
     plan = plan_of(spark, "q_snapshot_diff")
     assert plan.count("SortMergeJoin FullOuter") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_length_bucket_row_window_is_bucket_shard_partitioned(spark):
+    """length_bucket_batches' per-row ordinal must run as a window
+    partitioned by (bucket, _shard) — parallel across shard ranges within
+    each bucket; the naive per-bucket ROW_NUMBER would hot-partition the
+    most common length bucket.  The only bucket-partitioned (unsharded)
+    window is the tiny shard-totals prefix table (<= #buckets x shards
+    rows)."""
+    plan = plan_of(spark, "q_len_bucket")
+    row_window = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(bucket#" in ln and "_shard#" in ln
+        and ", doc_id#" in ln
+    ]
+    assert row_window, "per-row ordinal window must partition by (bucket, _shard)"
+    assert "hashpartitioning(bucket#" in plan
