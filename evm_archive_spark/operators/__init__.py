@@ -74,6 +74,7 @@ _EXPORTS = {
     "materialize_packs": "packing",
     "with_global_index": "packing",
     "length_bucket_batches": "packing",
+    "padding_waste": "packing",
     # events / time series
     "sessionize": "events",
     "funnel": "events",

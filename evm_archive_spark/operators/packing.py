@@ -258,3 +258,46 @@ def length_bucket_batches(
         )
         .drop("_shard", "_within", "_base")
     )
+
+
+def padding_waste(
+    batched: DataFrame,
+    token_col: str,
+    *,
+    bucket_col: str = "bucket",
+    batch_col: str = "batch_idx",
+) -> DataFrame:
+    """Per-bucket padding-waste report over a ``length_bucket_batches``
+    assignment — the number that justifies (or indicts) a bucketing
+    scheme: a padded batch costs ``batch_max * rows`` tokens, of which
+    ``batch_max * rows - sum(tokens)`` is padding.
+
+    Output per bucket: ``n_batches, n_rows, sum_tokens, padded_tokens,
+    waste_ppm`` (parts-per-million of the padded volume that is padding —
+    integer DIV, exact and engine-portable).  Two partial-aggregated
+    groupBys on compact keys: (bucket, batch) then bucket — no windows,
+    no skew (batch groups are bounded by ``batch_size`` rows).
+    """
+    tok = F.col(token_col).cast("long")
+    per_batch = batched.groupBy(bucket_col, batch_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(tok).alias("_sum"),
+        F.max(tok).alias("_max"),
+    )
+    return (
+        per_batch.groupBy(bucket_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.sum("_sum").cast("long").alias("sum_tokens"),
+            F.sum(F.col("_max") * F.col("_n")).cast("long")
+            .alias("padded_tokens"),
+        )
+        .withColumn(
+            "waste_ppm",
+            F.expr(
+                "CAST((padded_tokens - sum_tokens) * 1000000 "
+                "DIV padded_tokens AS BIGINT)"
+            ),
+        )
+    )

@@ -3345,3 +3345,26 @@ def test_leakage_safe_split_components_share_split(spark):
         .filter(F.col("sa") != F.col("sb"))
     )
     assert joined.count() == 0
+
+
+def test_padding_waste_manual(spark):
+    from evm_archive_spark.operators.packing import (
+        length_bucket_batches,
+        padding_waste,
+    )
+
+    # bucket 2 = tokens in [4,7]: rows 4,5,6,7 -> two batches of 2
+    df = spark.createDataFrame(
+        [(1, 4), (2, 5), (3, 6), (4, 7), (5, 100)],
+        "doc_id BIGINT, tokens BIGINT",
+    )
+    batched = length_bucket_batches(df, "tokens", batch_size=2, shards=2)
+    out = {r.bucket: r for r in padding_waste(batched, "tokens").collect()}
+    b2 = out[2]
+    # batch0={4,5} padded 2*5=10 used 9; batch1={6,7} padded 14 used 13
+    assert (b2.n_batches, b2.n_rows, b2.sum_tokens, b2.padded_tokens) == (
+        2, 4, 22, 24,
+    )
+    assert b2.waste_ppm == (24 - 22) * 1_000_000 // 24
+    b6 = out[6]  # singleton batch: zero waste
+    assert (b6.n_rows, b6.waste_ppm) == (1, 0)
