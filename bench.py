@@ -69,6 +69,8 @@ HEADLINE = [
     "q_pagerank",
     "q_mmr",
     "q_sssp",
+    # round-3 session 3: batching layout
+    "q_len_bucket",
 ]
 
 
