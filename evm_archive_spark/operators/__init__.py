@@ -69,6 +69,8 @@ _EXPORTS = {
     "dsir_stats": "sampling",
     "split_leakage_report": "sampling",
     "leakage_safe_split": "sampling",
+    "minhash_band_index": "dedup",
+    "incremental_minhash_dedup": "dedup",
     # packing
     "pack_by_budget": "packing",
     "materialize_packs": "packing",

@@ -577,6 +577,144 @@ def line_dedup(
     )
 
 
+def _md5_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    k: int,
+) -> DataFrame:
+    """(__id, __m0..__m{num_perm-1}) signatures with the oracle-portable
+    md5 permutation recipe (the q_minhash_md5 convention: 32-bit value
+    from the first 8 hex chars of ``md5(j || ':' || shingle)``), in the
+    same explode + min-agg shape as ``minhash_signatures``."""
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(text_col, k)).alias("__s"),
+    )
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("__s"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"__m{j}")
+        for j in range(num_perm)
+    ]
+    return ex.groupBy("__id").agg(*aggs)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Persistable banded-LSH index of an ingested corpus: one row per
+    (id, band, bhash).  This is the state that makes near-dup dedup
+    INCREMENTAL — tonight's shard is checked against the index, never
+    against the 100-TB corpus text.  Append survivors' band rows after
+    each shard; write bucketed by (band, bhash) for a one-sided shuffle.
+
+    ``method='xxhash64'`` is the fast JVM path (band hash = xxhash64 of
+    the band's sub-signature); ``method='md5'`` is the oracle-portable
+    twin (q_minhash_md5's permutation recipe, band hash = the
+    comma-joined sub-signature; ``seed`` is unused) — same shape, every
+    value replayable in DuckDB.
+    """
+    rows_per_band = num_perm // bands
+    if method == "md5":
+        sig = _md5_minhash_signatures(df, id_col, text_col, num_perm, k)
+        cols = [F.col(f"__m{j}") for j in range(num_perm)]
+        bh = [
+            F.concat_ws(
+                ",",
+                *[
+                    c.cast("string")
+                    for c in cols[b * rows_per_band : (b + 1) * rows_per_band]
+                ],
+            )
+            for b in range(bands)
+        ]
+    else:
+        wide = minhash_signatures(df, id_col, text_col, num_perm, k, seed)
+        cols = [
+            F.element_at(F.col("__sig"), j + 1) for j in range(num_perm)
+        ]
+        bh = [
+            F.xxhash64(
+                *cols[b * rows_per_band : (b + 1) * rows_per_band]
+            ).cast("string")
+            for b in range(bands)
+        ]
+        sig = wide
+    return sig.select(
+        F.col("__id").alias(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        bh[b].alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(id_col, "__bb.band", "__bb.bhash")
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup dedup of an incoming shard against a persisted
+    ``minhash_band_index`` — the MinHash counterpart of
+    ``incremental_exact_dedup``: the old corpus text is never read, only
+    its band index.  Decision rule is the banded-LSH one (collision in
+    >= 1 band -> near-duplicate of the ingested corpus -> drop); at the
+    composed pipeline's 16x4 default a J>=0.9 twin escapes with p~4e-8.
+    There is no exact-verify stage here by construction (no old text);
+    tune precision with bands/rows per the S-curve, and run
+    ``near_duplicate_pipeline`` WITHIN the shard first if intra-shard
+    twins matter.
+
+    Scale shape: one equi-join of the shard's band rows against the
+    index on compact (band, bhash) keys (one-sided shuffle if the index
+    is bucketed), one distinct on hit ids, one anti-join back — the
+    shard is scanned twice, the corpus zero times.  Returns surviving
+    shard rows; append ``minhash_band_index(survivors)`` to the index.
+    """
+    shard_bands = minhash_band_index(
+        new_df, id_col, text_col, num_perm=num_perm, bands=bands, k=k,
+        seed=seed, method=method,
+    )
+    hits = (
+        shard_bands.join(
+            index.select("band", "bhash"), ["band", "bhash"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return new_df.join(hits, id_col, "left_anti")
+
+
 def incremental_exact_dedup(
     new_df: DataFrame,
     seen_digests: DataFrame,

@@ -5702,6 +5702,69 @@ _add(
 )
 
 
+# [pair] incremental MinHash dedup vs a persisted band index — the new
+# shard (doc_id < 250) is deduped against the already-ingested corpus
+# (doc_id >= 250) by band collision alone; the old corpus TEXT is never
+# read.  method='md5' is the oracle-portable twin (q_minhash_md5's
+# permutation recipe, comma-joined band hashes), so DuckDB replays the
+# index AND the decision exactly: 8 perms x 4 bands, 5-shingles.
+
+def _q_incr_minhash(spark, sf_dir):
+    from ..operators.dedup import incremental_minhash_dedup, minhash_band_index
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    index = minhash_band_index(
+        docs.filter(F.col("doc_id") >= 250),
+        num_perm=8, bands=4, k=5, method="md5",
+    )
+    return (
+        incremental_minhash_dedup(
+            docs.filter(F.col("doc_id") < 250), index,
+            num_perm=8, bands=4, k=5, method="md5",
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_IMH_SIG_DUCK = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        "list_min(list_transform(s, x -> "
+        f"CAST(('0x' || substring(md5('{p}:' || x), 1, 8)) AS BIGINT))) "
+        f"AS h{p}"
+        for p in range(8)
+    )
+    + " FROM sh), "
+    "b AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, "
+        f"CAST(h{2*bnd} AS VARCHAR) || ',' || CAST(h{2*bnd+1} AS VARCHAR) "
+        "AS bh FROM sig"
+        for bnd in range(4)
+    )
+    + "), "
+)
+
+_add(
+    "q_incr_minhash",
+    _q_incr_minhash,
+    "WITH sh AS (SELECT doc_id, "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), "
+    "i -> substring(text, i, 5))) AS s FROM documents), "
+    + _IMH_SIG_DUCK
+    + "hits AS (SELECT DISTINCT n.doc_id FROM b n "
+    "  JOIN (SELECT band, bh FROM b WHERE doc_id >= 250) o "
+    "  ON n.band = o.band AND n.bh = o.bh WHERE n.doc_id < 250) "
+    "SELECT doc_id FROM documents WHERE doc_id < 250 "
+    "AND doc_id NOT IN (SELECT doc_id FROM hits) "
+    "ORDER BY doc_id NULLS FIRST",
+    "incremental MinHash dedup vs persisted band index == full replay "
+    "in SQL (md5 permutations)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -3368,3 +3368,37 @@ def test_padding_waste_manual(spark):
     assert b2.waste_ppm == (24 - 22) * 1_000_000 // 24
     b6 = out[6]  # singleton batch: zero waste
     assert (b6.n_rows, b6.waste_ppm) == (1, 0)
+
+
+def test_incremental_minhash_dedup_drops_near_twin_keeps_novel(spark):
+    from evm_archive_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+
+    base = "spark structured streaming micro batch planner offsets " * 6
+    old = spark.createDataFrame(
+        [(100, base), (101, "parquet row group statistics pruning " * 6)],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base + " tail"),                       # near-twin of 100
+            (2, "completely novel text about duckdb vectorized joins " * 6),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    for method in ("xxhash64", "md5"):
+        index = minhash_band_index(
+            old, num_perm=16, bands=8, k=5, method=method
+        )
+        kept = incremental_minhash_dedup(
+            new, index, num_perm=16, bands=8, k=5, method=method
+        )
+        assert [r.doc_id for r in kept.collect()] == [2], method
+        # idempotence of the index decision: survivors re-checked against
+        # the same index still survive
+        again = incremental_minhash_dedup(
+            kept, index, num_perm=16, bands=8, k=5, method=method
+        )
+        assert [r.doc_id for r in again.collect()] == [2], method
