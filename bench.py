@@ -69,8 +69,9 @@ HEADLINE = [
     "q_pagerank",
     "q_mmr",
     "q_sssp",
-    # round-3 session 3: batching layout
+    # round-3 session 3: batching layout, incremental near-dup
     "q_len_bucket",
+    "q_incr_minhash",
 ]
 
 

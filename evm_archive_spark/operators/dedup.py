@@ -584,22 +584,25 @@ def _md5_minhash_signatures(
     num_perm: int,
     k: int,
 ) -> DataFrame:
-    """(__id, __m0..__m{num_perm-1}) signatures with the oracle-portable
-    md5 permutation recipe (the q_minhash_md5 convention: 32-bit value
-    from the first 8 hex chars of ``md5(j || ':' || shingle)``), in the
-    same explode + min-agg shape as ``minhash_signatures``."""
+    """(__id, __m0..__m{num_perm-1}) signatures with an oracle-portable
+    md5 permutation recipe, in the same explode + min-agg shape as
+    ``minhash_signatures``.  One md5 digest yields FOUR 32-bit
+    permutation values (8-hex slices), so the expensive string hash runs
+    ``ceil(num_perm/4)`` times per shingle, not ``num_perm`` times:
+    perm j = ``conv(substring(md5((j//4) || ':' || shingle),
+    (j%4)*8+1, 8), 16, 10)``."""
     ex = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(text_col, k)).alias("__s"),
     )
+    digests = {
+        g: F.md5(F.concat(F.lit(f"{g}:"), F.col("__s")))
+        for g in range((num_perm + 3) // 4)
+    }
     aggs = [
         F.min(
             F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), F.col("__s"))), 1, 8
-                ),
-                16,
-                10,
+                F.substring(digests[j // 4], (j % 4) * 8 + 1, 8), 16, 10
             ).cast("long")
         ).alias(f"__m{j}")
         for j in range(num_perm)

@@ -5713,7 +5713,7 @@ def _q_incr_minhash(spark, sf_dir):
     from ..operators.dedup import incremental_minhash_dedup, minhash_band_index
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
+    docs = fan_out(spark.table("documents"))
     index = minhash_band_index(
         docs.filter(F.col("doc_id") >= 250),
         num_perm=8, bands=4, k=5, method="md5",
@@ -5729,10 +5729,13 @@ def _q_incr_minhash(spark, sf_dir):
 
 
 _IMH_SIG_DUCK = (
+    # one md5 digest per shingle per GROUP of 4 perms (8-hex slices) —
+    # mirrors _md5_minhash_signatures' ceil(num_perm/4) hashing exactly
     "sig AS (SELECT doc_id, "
     + ", ".join(
         "list_min(list_transform(s, x -> "
-        f"CAST(('0x' || substring(md5('{p}:' || x), 1, 8)) AS BIGINT))) "
+        f"CAST(('0x' || substring(md5('{p // 4}:' || x), {(p % 4) * 8 + 1}, 8)) "
+        "AS BIGINT))) "
         f"AS h{p}"
         for p in range(8)
     )
