@@ -40,6 +40,19 @@ class GraphQLError(Exception):
     pass
 
 
+# Safety cap applied when a client omits ``first``: without it,
+# ``{ allLogs { nodes { … } } }`` against a big mirror collects the whole
+# table onto the driver (Postgraphile's stock default is also unbounded,
+# but an analytics mirror must not be one unpaged query away from an
+# driver OOM).  Overridable per call (``execute(..., default_first=...)``,
+# ``None`` restores the unbounded Postgraphile behavior); when the cap
+# fires, the response carries ``extensions.defaultFirst`` /
+# ``extensions.cappedFields`` so clients can tell a capped page from a
+# complete result.  ``totalCount`` is unaffected (it counts, never
+# collects).
+DEFAULT_FIRST = 10_000
+
+
 # --------------------------------------------------------------------------
 # lexer / parser (GraphQL query-document subset, spec §2)
 # --------------------------------------------------------------------------
@@ -242,7 +255,13 @@ def _order_expr(df: DataFrame, enum_name: str):
     return c.asc() if m.group(2) == "ASC" else c.desc()
 
 
-def _run_table_field(df: DataFrame, f: Field, variables: dict) -> dict:
+def _run_table_field(
+    df: DataFrame,
+    f: Field,
+    variables: dict,
+    default_first: int | None = DEFAULT_FIRST,
+    capped_fields: list | None = None,
+) -> dict:
     args = {k: _resolve_vars(v, variables) for k, v in f.args.items()}
     cond = args.pop("condition", {}) or {}
     if not isinstance(cond, dict):
@@ -287,6 +306,10 @@ def _run_table_field(df: DataFrame, f: Field, variables: dict) -> dict:
             proj = proj.offset(int(offset))
         if first is not None:
             proj = proj.limit(int(first))
+        elif default_first is not None:
+            proj = proj.limit(int(default_first))
+            if capped_fields is not None:
+                capped_fields.append(f.name)
         rows = proj.collect()
         out["nodes"] = [
             {
@@ -326,14 +349,20 @@ def execute(
     query: str,
     tables: dict[str, DataFrame],
     variables: dict | None = None,
+    default_first: int | None = DEFAULT_FIRST,
 ) -> dict:
     """Execute a GraphQL query document against named DataFrames.
 
     ``tables`` maps snake_case table names to DataFrames; each is exposed
     as ``all<CamelCase>`` (Postgraphile) AND under its literal name (for
     the generated per-event decode views, whose ABI-encoding names don't
-    camelize meaningfully)."""
+    camelize meaningfully).
+
+    ``default_first`` caps ``nodes`` pages when the client omits
+    ``first`` (see DEFAULT_FIRST); ``None`` disables the cap.  Capped
+    fields are reported under ``extensions``."""
     variables = dict(variables or {})
+    capped: list[str] = []
     try:
         sels, var_defaults = _Parser(_lex(query)).parse_document()
         for k, v in var_defaults.items():
@@ -349,8 +378,16 @@ def execute(
                 continue
             if f.name not in by_field:
                 raise GraphQLError(f"unknown field {f.name!r}")
-            data[f.name] = _run_table_field(by_field[f.name], f, variables)
-        return {"data": data}
+            data[f.name] = _run_table_field(
+                by_field[f.name], f, variables, default_first, capped
+            )
+        out = {"data": data}
+        if capped:
+            out["extensions"] = {
+                "defaultFirst": default_first,
+                "cappedFields": capped,
+            }
+        return out
     except GraphQLError as e:
         return {"errors": [{"message": str(e)}]}
 
@@ -360,7 +397,10 @@ def execute(
 # --------------------------------------------------------------------------
 
 def serve(
-    tables: dict[str, DataFrame], host: str = "127.0.0.1", port: int = 0
+    tables: dict[str, DataFrame],
+    host: str = "127.0.0.1",
+    port: int = 0,
+    default_first: int | None = DEFAULT_FIRST,
 ):
     """Start the GraphQL endpoint on a daemon thread; returns the
     ``http.server`` instance (``server_address`` carries the bound port,
@@ -378,7 +418,10 @@ def serve(
                 ln = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(ln) or b"{}")
                 res = execute(
-                    body.get("query", ""), tables, body.get("variables")
+                    body.get("query", ""),
+                    tables,
+                    body.get("variables"),
+                    default_first=default_first,
                 )
             except Exception as e:  # noqa: BLE001 — surface as GraphQL error
                 res = {"errors": [{"message": f"bad request: {e}"}]}

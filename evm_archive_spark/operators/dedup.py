@@ -629,9 +629,13 @@ def minhash_band_index(
 
     ``method='xxhash64'`` is the fast JVM path (band hash = xxhash64 of
     the band's sub-signature); ``method='md5'`` is the oracle-portable
-    twin (q_minhash_md5's permutation recipe, band hash = the
-    comma-joined sub-signature; ``seed`` is unused) — same shape, every
-    value replayable in DuckDB.
+    twin in the same md5-based style as q_minhash_md5 but with a
+    DIFFERENT permutation recipe: one md5 digest per GROUP of 4
+    permutations (``md5('<j//4>:'||x)``, hex slice ``(j%4)*8+1..8``),
+    vs q_minhash_md5's one digest per permutation — 4x fewer digests,
+    but the signatures are NOT interchangeable with that gate's values.
+    Band hash = the comma-joined sub-signature; ``seed`` is unused.
+    Same shape either way, every md5 value replayable in DuckDB.
     """
     rows_per_band = num_perm // bands
     if method == "md5":

@@ -220,15 +220,15 @@ def length_bucket_batches(
         F.min(order_col).cast("long").alias("_lo"),
         F.max(order_col).cast("long").alias("_hi"),
     )
-    width = (
-        F.floor((F.col("_hi") - F.col("_lo")) / F.lit(shards)) + 1
-    ).alias("_w")
+    # Integer DIV (not float '/'), per the module's exact-integer rule
+    # (see pack_by_budget): float division rounds the mantissa past 2^53,
+    # which would skew shard boundaries for wide order_col ranges.
+    width = F.expr(f"(_hi - _lo) DIV {int(shards)} + 1").alias("_w")
     sharded = (
         bucketed.crossJoin(F.broadcast(bounds.select("_lo", width)))
         .withColumn(
             "_shard",
-            ((F.col(order_col).cast("long") - F.col("_lo")) / F.col("_w"))
-            .cast("long"),
+            F.expr(f"(CAST({order_col} AS BIGINT) - _lo) DIV _w"),
         )
         .drop("_lo", "_w")
     )
@@ -294,10 +294,15 @@ def padding_waste(
             .alias("padded_tokens"),
         )
         .withColumn(
+            # padded_tokens = 0 is reachable: bucketing clamps tokens with
+            # greatest(tokens, 1) but this statistic reads the raw token
+            # column, so a bucket of all-zero-token rows must yield 0, not
+            # NULL (or a DIVIDE_BY_ZERO under ANSI mode).
             "waste_ppm",
             F.expr(
-                "CAST((padded_tokens - sum_tokens) * 1000000 "
-                "DIV padded_tokens AS BIGINT)"
+                "CASE WHEN padded_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((padded_tokens - sum_tokens) * 1000000 "
+                "DIV padded_tokens AS BIGINT) END"
             ),
         )
     )

@@ -172,3 +172,42 @@ def test_parser_rejects_garbage(spark):
     for q in ["{", "{ allLogs( { nodes { a } } }", "query !! {}", ""]:
         res = execute(q, t)
         assert "errors" in res, q
+
+
+def test_default_page_cap(spark):
+    """VERDICT r3 #2: a no-paging query must not collect the whole table.
+
+    The resolver applies DEFAULT_FIRST when the client omits ``first``
+    (overridable; None restores Postgraphile's unbounded default) and
+    surfaces the cap under ``extensions`` so a capped page is
+    distinguishable from a complete result."""
+    big = spark.range(500).selectExpr("id AS block_number")
+    t = {"logs": big}
+
+    res = execute(
+        "{ allLogs { totalCount nodes { blockNumber } } }",
+        t,
+        default_first=100,
+    )
+    assert "errors" not in res, res
+    out = res["data"]["allLogs"]
+    assert len(out["nodes"]) == 100          # capped collect
+    assert out["totalCount"] == 500          # count is exact, never capped
+    assert res["extensions"] == {
+        "defaultFirst": 100,
+        "cappedFields": ["allLogs"],
+    }
+
+    # explicit first wins and the cap marker stays absent
+    res = execute(
+        "{ allLogs(first: 3) { nodes { blockNumber } } }", t, default_first=100
+    )
+    assert len(res["data"]["allLogs"]["nodes"]) == 3
+    assert "extensions" not in res
+
+    # None disables the cap (Postgraphile stock semantics)
+    res = execute(
+        "{ allLogs { nodes { blockNumber } } }", t, default_first=None
+    )
+    assert len(res["data"]["allLogs"]["nodes"]) == 500
+    assert "extensions" not in res
