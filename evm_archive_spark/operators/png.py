@@ -1,0 +1,249 @@
+"""From-scratch stdlib PNG decoder (no PIL in this environment).
+
+Implements the public PNG specification (W3C PNG 2nd ed. / RFC 2083):
+signature check, chunk walk (IHDR / PLTE / tRNS / IDAT / IEND), zlib
+inflate of the concatenated IDAT stream, and per-scanline unfiltering
+(filter types 0-4: None / Sub / Up / Average / Paeth).  Output is an
+(height, width, 4) uint8 RGBA numpy array.
+
+Scope (documented, deliberate — covers what e.g. a screenshot/photo
+pipeline actually stores): bit depth 8, color types 0 (grayscale),
+2 (truecolor), 3 (indexed/palette), 4 (gray+alpha), 6 (RGBA);
+non-interlaced only (Adam7 raises PngError — progressive rendering is a
+display concern, not a storage one).  Ancillary chunks are skipped;
+tRNS is honored for palette images.
+
+This closes the VERDICT r3 #3 gap: ``multimodal.decode_images(strict=True)``
+now really decodes ``image/png`` payloads instead of refusing; the
+deterministic fake remains the oracle twin for non-image payloads
+(q_multimodal_md5 is unaffected — it runs strict=False).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# bytes per pixel in the FILTERED stream, per color type at bit depth 8
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    """Malformed or out-of-scope PNG payload."""
+
+
+def is_png(payload: bytes) -> bool:
+    return payload[:8] == PNG_SIGNATURE
+
+
+def _chunks(payload: bytes):
+    """Yield (type, data) for each chunk; verifies lengths and CRCs."""
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            raise PngError(f"truncated chunk {ctype!r}")
+        data = payload[pos + 8 : end]
+        (crc,) = struct.unpack(">I", payload[end : end + 4])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise PngError(f"bad CRC in chunk {ctype!r}")
+        yield ctype, data
+        pos = end + 4
+        if ctype == b"IEND":
+            return
+    raise PngError("missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering -> (height, width*bpp) uint8.
+
+    Sub/Up/Average/Paeth are sequential along their dependency axis; Up
+    and the row-to-row state are vectorized with numpy, the in-row
+    recurrences (Sub/Average/Paeth) run on small per-row arrays — the
+    distributed parallelism lives at the mapInPandas batch level, one
+    image per task row, so per-image decode is allowed to be scalar.
+    """
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise PngError(
+            f"decompressed size {len(raw)} != expected {height * (stride + 1)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    out = np.empty((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = filters[y]
+        cur = rows[y]
+        if f == 0:  # None
+            line = cur
+        elif f == 1:  # Sub
+            line = cur.copy()
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            line = cur.copy()
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            line = cur.copy()
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise PngError(f"unknown filter type {f} on row {y}")
+        out[y] = line.astype(np.uint8)
+        prev = line.astype(np.int32)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to an (H, W, 4) uint8 RGBA array."""
+    if not is_png(payload):
+        raise PngError("not a PNG (bad signature)")
+    width = height = None
+    color_type = None
+    palette: np.ndarray | None = None
+    trns: bytes | None = None
+    idat = bytearray()
+    for ctype, data in _chunks(payload):
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise PngError(f"unsupported bit depth {depth} (8 only)")
+            if color_type not in _CHANNELS:
+                raise PngError(f"unsupported color type {color_type}")
+            if comp != 0 or filt != 0:
+                raise PngError("unsupported compression/filter method")
+            if interlace != 0:
+                raise PngError("Adam7 interlace not supported")
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise PngError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None or not width or not height:
+        raise PngError("missing or empty IHDR")
+    if not idat:
+        raise PngError("no IDAT data")
+
+    bpp = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    px = _unfilter(raw, width, height, bpp)
+
+    if color_type == 0:  # grayscale
+        g = px.reshape(height, width, 1)
+        rgba = np.concatenate(
+            [g, g, g, np.full((height, width, 1), 255, np.uint8)], axis=2
+        )
+    elif color_type == 2:  # RGB
+        rgb = px.reshape(height, width, 3)
+        rgba = np.concatenate(
+            [rgb, np.full((height, width, 1), 255, np.uint8)], axis=2
+        )
+    elif color_type == 3:  # palette
+        if palette is None:
+            raise PngError("palette image without PLTE")
+        idx = px.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise PngError("palette index out of range")
+        rgb = palette[idx]
+        alpha = np.full((height, width, 1), 255, np.uint8)
+        if trns is not None:
+            a_lut = np.full(len(palette), 255, np.uint8)
+            a_lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            alpha = a_lut[idx][:, :, None]
+        rgba = np.concatenate([rgb, alpha], axis=2)
+    elif color_type == 4:  # gray + alpha
+        ga = px.reshape(height, width, 2)
+        g = ga[:, :, :1]
+        rgba = np.concatenate([g, g, g, ga[:, :, 1:]], axis=2)
+    else:  # 6: RGBA
+        rgba = px.reshape(height, width, 4)
+    return rgba
+
+
+def encode_png(rgba: np.ndarray) -> bytes:
+    """Minimal PNG encoder (truecolor-with-alpha, filter 0 rows).
+
+    The inverse lane for the decoder: lets resize_images emit real PNG
+    bytes and gives tests an independent way to produce valid files.
+    Filter type 0 on every scanline is always spec-valid (compression is
+    just weaker than an adaptive-filter encoder's).
+    """
+    if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
+        raise PngError("encode_png expects (H, W, 4) uint8")
+    height, width = rgba.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    scanlines = bytearray()
+    for y in range(height):
+        scanlines.append(0)
+        scanlines.extend(rgba[y].tobytes())
+    idat = zlib.compress(bytes(scanlines), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def grid_features(rgba: np.ndarray, dim: int) -> list[float]:
+    """Deterministic real-pixel feature vector: mean luminance over a
+    g x g grid (g = ceil(sqrt(dim))), first ``dim`` cells, unit-norm.
+    Matches the fake's contract (len == dim, unit norm) so downstream
+    similarity operators are agnostic to which decode path produced it."""
+    h, w = rgba.shape[:2]
+    lum = (
+        0.2126 * rgba[:, :, 0].astype(np.float64)
+        + 0.7152 * rgba[:, :, 1].astype(np.float64)
+        + 0.0722 * rgba[:, :, 2].astype(np.float64)
+    ) / 255.0
+    g = int(np.ceil(np.sqrt(dim)))
+    ys = np.linspace(0, h, g + 1).astype(int)
+    xs = np.linspace(0, w, g + 1).astype(int)
+    vals = []
+    for i in range(g):
+        for j in range(g):
+            cell = lum[ys[i] : max(ys[i + 1], ys[i] + 1),
+                       xs[j] : max(xs[j + 1], xs[j] + 1)]
+            vals.append(float(cell.mean()) if cell.size else 0.0)
+    vec = np.array(vals[:dim], dtype=np.float64)
+    n = float(np.linalg.norm(vec)) or 1.0
+    return [float(x) for x in vec / n]

@@ -1,0 +1,258 @@
+"""Tests for the from-scratch stdlib PNG codec (operators/png.py) and the
+real strict-mode multimodal paths it unlocks (VERDICT r3 #3).
+
+The fixtures are built by an INDEPENDENT minimal encoder in this file
+(chunk writer + forward filter transforms per the W3C spec), so the
+decoder's unfilter logic is checked against a second implementation, not
+against itself.  encode_png round-trips are additionally covered.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from evm_archive_spark.operators import multimodal
+from evm_archive_spark.operators.png import (
+    PngError,
+    decode_png,
+    encode_png,
+    grid_features,
+    is_png,
+)
+
+SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def forward_filter(rows: np.ndarray, bpp: int, ftype: int) -> bytes:
+    """Apply the spec's FORWARD filter (what an encoder does) — the
+    independent half of the unfilter check."""
+    h, stride = rows.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = rows[y].astype(np.int32)
+        line = bytearray([ftype])
+        for x in range(stride):
+            left = int(cur[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            line.append((int(cur[x]) - pred) & 0xFF)
+        out.extend(line)
+        prev = cur
+    return bytes(out)
+
+
+def build_png(
+    pixels: np.ndarray,
+    color_type: int,
+    ftype: int = 0,
+    palette: bytes | None = None,
+    trns: bytes | None = None,
+    interlace: int = 0,
+    depth: int = 8,
+) -> bytes:
+    """Independent PNG writer: pixels is (H, stride) channel bytes."""
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, stride = pixels.shape
+    w = stride // bpp
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", palette)
+    if trns is not None:
+        body += chunk(b"tRNS", trns)
+    body += chunk(b"IDAT", zlib.compress(forward_filter(pixels, bpp, ftype)))
+    return SIG + body + chunk(b"IEND", b"")
+
+
+def rng_pixels(h: int, stride: int, seed: int = 7) -> np.ndarray:
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, stride), dtype=np.uint8
+    )
+
+
+# --------------------------------------------------------------------------
+# decoder vs independent encoder, every filter type x color type
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_rgba_all_filters(ftype):
+    px = rng_pixels(13, 11 * 4, seed=ftype)
+    rgba = decode_png(build_png(px, color_type=6, ftype=ftype))
+    assert rgba.shape == (13, 11, 4)
+    assert np.array_equal(rgba.reshape(13, -1), px)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_rgb_all_filters(ftype):
+    px = rng_pixels(9, 7 * 3, seed=10 + ftype)
+    rgba = decode_png(build_png(px, color_type=2, ftype=ftype))
+    assert rgba.shape == (9, 7, 4)
+    assert np.array_equal(rgba[:, :, :3].reshape(9, -1), px)
+    assert (rgba[:, :, 3] == 255).all()
+
+
+def test_grayscale_and_gray_alpha():
+    g = rng_pixels(5, 6, seed=1)
+    rgba = decode_png(build_png(g, color_type=0, ftype=4))
+    assert rgba.shape == (5, 6, 4)
+    for c in range(3):
+        assert np.array_equal(rgba[:, :, c], g)
+    assert (rgba[:, :, 3] == 255).all()
+
+    ga = rng_pixels(5, 6 * 2, seed=2)
+    rgba = decode_png(build_png(ga, color_type=4, ftype=2))
+    pairs = ga.reshape(5, 6, 2)
+    for c in range(3):
+        assert np.array_equal(rgba[:, :, c], pairs[:, :, 0])
+    assert np.array_equal(rgba[:, :, 3], pairs[:, :, 1])
+
+
+def test_palette_with_transparency():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])  # 4 entries
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    png = build_png(idx, color_type=3, ftype=1, palette=pal, trns=bytes([10, 255]))
+    rgba = decode_png(png)
+    assert tuple(rgba[0, 0]) == (255, 0, 0, 10)   # tRNS entry 0
+    assert tuple(rgba[0, 1]) == (0, 255, 0, 255)  # tRNS entry 1
+    assert tuple(rgba[0, 3]) == (9, 9, 9, 255)    # beyond tRNS: opaque
+    assert tuple(rgba[1, 0]) == (9, 9, 9, 255)
+
+
+def test_encode_decode_round_trip():
+    rgba = rng_pixels(17, 12 * 4, seed=42).reshape(17, 12, 4)
+    out = decode_png(encode_png(rgba))
+    assert np.array_equal(out, rgba)
+
+
+def test_multi_idat_chunks_concatenate():
+    px = rng_pixels(6, 5 * 4, seed=3)
+    raw = zlib.compress(forward_filter(px, 4, 0))
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 8, 6, 0, 0, 0)
+    png = (
+        SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw[:10])
+        + chunk(b"IDAT", raw[10:])
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png).reshape(6, -1), px)
+
+
+# --------------------------------------------------------------------------
+# malformed / out-of-scope rejection
+# --------------------------------------------------------------------------
+
+
+def test_rejections():
+    px = rng_pixels(4, 4 * 4)
+    good = build_png(px, color_type=6)
+
+    assert not is_png(b"JFIF....")
+    with pytest.raises(PngError, match="signature"):
+        decode_png(b"notapng")
+    with pytest.raises(PngError, match="CRC"):
+        bad = bytearray(good)
+        bad[good.index(b"IDAT") + 6] ^= 0xFF  # flip a byte of IDAT data
+        decode_png(bytes(bad))
+    with pytest.raises(PngError, match="interlace"):
+        decode_png(build_png(px, color_type=6, interlace=1))
+    with pytest.raises(PngError, match="bit depth"):
+        decode_png(build_png(px, color_type=6, depth=16))
+    with pytest.raises(PngError, match="IEND"):
+        decode_png(good[:-12])
+    with pytest.raises(PngError, match="PLTE"):
+        decode_png(build_png(rng_pixels(2, 2) % 2, color_type=3))  # no palette
+
+
+# --------------------------------------------------------------------------
+# strict-mode Spark paths (real decode through the mapInPandas contract)
+# --------------------------------------------------------------------------
+
+
+def _media_df(spark, payloads):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"media_id": list(range(len(payloads))), "payload": payloads}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_decode_images_strict_real_png(spark):
+    """VERDICT r3 #3 'done' condition: a real PNG fixture decoded through
+    image_features — true dimensions, unit-norm real-pixel features."""
+    rgba0 = rng_pixels(20, 30 * 4, seed=5).reshape(20, 30, 4)
+    rgba1 = np.zeros((8, 8, 4), dtype=np.uint8)
+    rgba1[:, :, 3] = 255
+    rgba1[:4, :, :3] = 255  # top half white, bottom black
+    payloads = [encode_png(rgba0), encode_png(rgba1)]
+
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.decode_images(
+            _media_df(spark, payloads), strict=True, feature_dim=16
+        ).collect()
+    }
+    assert (rows[0]["width"], rows[0]["height"]) == (30, 20)
+    assert (rows[1]["width"], rows[1]["height"]) == (8, 8)
+    for r in rows.values():
+        f = np.array(r["feature"])
+        assert len(f) == 16
+        assert abs(np.linalg.norm(f) - 1.0) < 1e-5
+    # features reflect the actual pixels: white-over-black image puts all
+    # its luminance mass in the top grid rows
+    f1 = np.array(rows[1]["feature"]).reshape(4, 4)
+    assert f1[:2].sum() > 0.9 and f1[2:].sum() < 1e-9
+    # and the values are reproducible (decode is bit-deterministic; the
+    # only delta vs a local decode is ArrayType(FloatType)'s float32 cast)
+    local = grid_features(decode_png(payloads[1]), 16)
+    assert np.allclose(local, rows[1]["feature"], atol=1e-6)
+
+
+def test_decode_images_strict_rejects_non_png(spark):
+    out = multimodal.decode_images(_media_df(spark, [b"not an image"]), strict=True)
+    with pytest.raises(Exception, match="NotImplementedError|PNG"):
+        out.collect()
+
+
+def test_resize_images_strict_real_png(spark):
+    rgba = rng_pixels(16, 16 * 4, seed=9).reshape(16, 16, 4)
+    out = multimodal.resize_images(
+        _media_df(spark, [encode_png(rgba)]), 4, 4, strict=True
+    ).collect()
+    assert len(out) == 1
+    meta = out[0]["meta"]
+    assert meta["mime"] == "image/png"
+    resized = decode_png(bytes(out[0]["payload"]))
+    assert resized.shape == (4, 4, 4)
+    # nearest-neighbor: every output pixel is some input pixel
+    ys = (np.arange(4) * 16 // 4).clip(0, 15)
+    xs = (np.arange(4) * 16 // 4).clip(0, 15)
+    assert np.array_equal(resized, rgba[ys][:, xs])
