@@ -679,6 +679,38 @@ def minhash_band_index(
     ).select(id_col, "__bb.band", "__bb.bhash")
 
 
+def persist_minhash_band_index(
+    spark,
+    index_df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Persist a ``minhash_band_index`` bucketed by ``(band, bhash)`` and
+    return the catalog-backed DataFrame to probe against.
+
+    This makes the nightly-shard join ONE-SIDED: the bucketed scan's
+    output partitioning is already hash(band, bhash) x n_buckets, so
+    ``incremental_minhash_dedup`` plans an SMJ where only the (small)
+    incoming shard's band rows shuffle — the persisted index, which grows
+    with the corpus, is read in place with zero Exchange (pinned by
+    test_storage.test_incremental_minhash_bucketed_index_one_sided).
+    At 100 TB the index is the big side by orders of magnitude, so this
+    is the difference between reshuffling the whole index per shard and
+    touching only its matching buckets.
+
+    Append pattern: after a shard is admitted, write its survivors' band
+    rows with ``.mode('append')`` through the same bucket spec (bucket
+    layout is stable under append — same hash, same count).
+    """
+    from .. import storage
+
+    storage.write_bucketed(
+        index_df, table, path, ["band", "bhash"], n_buckets
+    )
+    return spark.table(table)
+
+
 def incremental_minhash_dedup(
     new_df: DataFrame,
     index: DataFrame,
