@@ -284,6 +284,15 @@ class _ScratchPg:
         con.commit()
         con.close()
 
+    def reset_logs_partitioned(self, n: int = 8):
+        from evm_archive_spark.sinks import upsert
+
+        con = self.factory()()
+        con.cursor().execute("DROP TABLE IF EXISTS logs")
+        con.cursor().execute(upsert.logs_ddl_partitioned(n))
+        con.commit()
+        con.close()
+
     def stop(self):
         import shutil
 
@@ -325,6 +334,21 @@ def sink_pg_copy_200k(spark, staged: str, pg: "_ScratchPg") -> int:
     from evm_archive_spark.sinks import upsert
 
     pg.reset_logs()
+    r = upsert.write_conflict_ignore(
+        spark.read.parquet(staged), "logs", LOGS_PK,
+        pg.factory(), parallel=True, method="copy",
+    )
+    return r.attempted
+
+
+def sink_pg_copy_part_200k(spark, staged: str, pg: "_ScratchPg") -> int:
+    """Server-side lever (VERDICT r3 #6): the same COPY sink against a
+    hash-partitioned logs target — the measured residual of the flat
+    COPY path is PK btree insertion, so split the btree 8 ways."""
+    from evm_archive_spark.schemas import LOGS_PK
+    from evm_archive_spark.sinks import upsert
+
+    pg.reset_logs_partitioned(8)
     r = upsert.write_conflict_ignore(
         spark.read.parquet(staged), "logs", LOGS_PK,
         pg.factory(), parallel=True, method="copy",
@@ -434,6 +458,7 @@ def main() -> None:
             for name, fn in (
                 ("q_sink_pg_insert", sink_pg_insert_200k),
                 ("q_sink_pg_copy", sink_pg_copy_200k),
+                ("q_sink_pg_copy_part", sink_pg_copy_part_200k),
             ):
                 # median of 3: the 2-6 s sink runs drift ±40% under
                 # whole-bench box load (the VERDICT r2 #7 failure mode)

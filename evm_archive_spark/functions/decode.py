@@ -124,11 +124,84 @@ def to_uint256(pos, data) -> Column:
     )
 
 
-def to_uint256_str(pos, data) -> Column:
-    """Exact uint256 as a decimal string via an Arrow-batched pandas UDF —
-    the documented slow path for values beyond Decimal(38) (SURVEY §4.3.3)."""
+def to_uint256_str(pos, data, impl: str = "arrow") -> Column:
+    """Exact uint256 as a decimal string (SURVEY §4.3.3).
+
+    ``impl='arrow'`` (default): the vectorized pandas-UDF path — measured
+    0.46 s / 1M rows warm.  ``impl='expr'``: a 100% JVM expression
+    (VERDICT r3 #8) — limb-wise base conversion, no Python worker at all:
+    the 64-hex word becomes four 64-bit limbs (``conv`` to
+    DECIMAL(20,0)); value = l0·2^192 + l1·2^128 + l2·2^64 + l3 is
+    accumulated in base 10^13, chosen so every partial product
+    (limb < 2^64 times a base digit < 10^13) stays < 10^34 and every
+    position sum < 10^38 — EXACT in DECIMAL(38,0), no precision-loss
+    rounding, no ANSI overflow.  The carry chain runs as an ``aggregate``
+    fold (see _uint256_expr_str for why not a Column loop).  Measured
+    11.5 s / 1M rows — BigDecimal-per-element HOF eval, ~25x the Arrow
+    path — so it is the opt-in for Python-worker-free deployments, not
+    the default.  Tests pin the two paths bit-equal on random words."""
     word = _substr(data, pos + 1, WORD)
+    if impl == "expr":
+        return _uint256_expr_str(word)
     return _hex_word_to_int_str(word)
+
+
+# base-10^13 digits (little-endian) of 2^64 / 2^128 / 2^192 — computed
+# once from exact Python ints (see test_uint256_expr_constants)
+_B13 = 10**13
+_POW64_B13 = {
+    1: [4073709551616, 1844674],
+    2: [7431768211456, 3846346337460, 3402823669209],
+    3: [4464034512896, 6641610235544, 8357894232076, 1735386680763, 627710],
+}
+
+
+def _uint256_expr_str(word: Column) -> Column:
+    w = F.lpad(word, 64, "0")  # int(h, 16) semantics for short words
+    limbs = [
+        F.conv(F.substring(w, 1 + 16 * i, 16), 16, 10).cast("decimal(20,0)")
+        for i in range(4)
+    ]  # limbs[0] = most significant
+    # position sums p[j] (little-endian base-10^13), exact in Decimal(38,0)
+    zero = F.lit(0).cast("decimal(38,0)")
+    p = [zero] * 6
+    p[0] = p[0] + limbs[3]
+    for k, limb in ((1, limbs[2]), (2, limbs[1]), (3, limbs[0])):
+        for j, c in enumerate(_POW64_B13[k]):
+            p[j] = p[j] + limb * F.lit(c).cast("decimal(14,0)")
+    # Carry chain as an ARRAY FOLD, not nested Column expressions: a
+    # naive ``carry = f(carry)`` loop re-embeds the previous step's whole
+    # subtree at every reference (~4x growth per level, ~4^6 nodes total
+    # — janino rejects the generated method and interpreted eval is
+    # ~100x slower, measured).  Inside ``aggregate`` each step sees the
+    # accumulator as a LAMBDA VARIABLE, so the plan stays ~6 small steps
+    # and whole-stage codegen keeps working.
+    b = F.lit(_B13).cast("decimal(14,0)")
+    folded = F.aggregate(
+        F.array(*[pj.cast("decimal(38,0)") for pj in p]),
+        F.struct(zero.alias("carry"), F.lit("").alias("acc")),
+        lambda s, x: F.struct(
+            ((x + s["carry"] - F.pmod(x + s["carry"], b)) / b)
+            .cast("decimal(38,0)")
+            .alias("carry"),
+            # prepend: positions arrive little-endian
+            F.concat(
+                F.lpad(
+                    F.pmod(x + s["carry"], b).cast("long").cast("string"),
+                    13,
+                    "0",
+                ),
+                s["acc"],
+            ).alias("acc"),
+        ),
+        lambda s: s["acc"],
+    )
+    stripped = F.regexp_replace(folded, "^0+", "")
+    out = F.when(stripped == "", F.lit("0")).otherwise(stripped)
+    # mirror the twin's empty/null contract: '' -> NULL, NULL -> NULL
+    return F.when(word.isNull() | (F.length(word) == 0), F.lit(None)).otherwise(
+        out
+    )
 
 
 def strtol(data, bits=None) -> Column:

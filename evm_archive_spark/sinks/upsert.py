@@ -361,6 +361,44 @@ CREATE TABLE IF NOT EXISTS logs (
 )
 """
 
+def logs_ddl_partitioned(n_partitions: int = 8) -> str:
+    """Server-side sink lever (VERDICT r3 #6): the COPY lane's measured
+    residual is the merge's btree insertion on the 3-text-column PK
+    (BASELINE.md).  A hash-partitioned target splits that one big btree
+    into ``n_partitions`` smaller ones — each insert probes a shallower
+    index with better cache locality, and parallel writers landing in
+    different partitions contend on different index roots.  The PK keeps
+    its meaning: PostgreSQL propagates the unique index per-partition
+    (valid because the partition key, block_hash, is a PK prefix), and
+    ``ON CONFLICT DO NOTHING`` routes and merges exactly as on the flat
+    table — the sink code is unchanged, only the DDL differs.
+    """
+    parts = "\n".join(
+        f"CREATE TABLE IF NOT EXISTS logs_p{i} PARTITION OF logs "
+        f"FOR VALUES WITH (MODULUS {n_partitions}, REMAINDER {i});"
+        for i in range(n_partitions)
+    )
+    return f"""
+CREATE TABLE IF NOT EXISTS logs (
+  address           TEXT,
+  topic0            TEXT,
+  topic1            TEXT,
+  topic2            TEXT,
+  topic3            TEXT,
+  data              TEXT,
+  block_hash        TEXT,
+  block_number      BIGINT,
+  transaction_hash  TEXT,
+  transaction_index BIGINT,
+  log_index         BIGINT,
+  removed           BOOLEAN,
+  block_timestamp   TIMESTAMP,
+  PRIMARY KEY (block_hash, transaction_hash, log_index)
+) PARTITION BY HASH (block_hash);
+{parts}
+"""
+
+
 PRICE_DDL_GENERIC = """
 CREATE TABLE IF NOT EXISTS price (
   address       TEXT,

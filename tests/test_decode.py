@@ -296,3 +296,51 @@ def test_sql_function_surface(spark):
     assert row["s"] == "spark"
     assert row["fh"] == 222431
     assert row["th"] == "0x364df"
+
+
+def test_uint256_expr_twin_bit_equal(spark):
+    """VERDICT r3 #8: the pure-JVM limb-fold uint256 path must be
+    bit-equal to the Arrow path (and to Python int(h, 16)) across the
+    range — boundaries, mid-range, short/odd words, empty and NULL."""
+    import random
+
+    from evm_archive_spark.functions.decode import (
+        _B13,
+        _POW64_B13,
+        _hex_word_to_int_str,
+        _uint256_expr_str,
+    )
+
+    # the embedded constants really are the base-10^13 digits of 2^(64k)
+    for k, digs in _POW64_B13.items():
+        assert sum(d * _B13**j for j, d in enumerate(digs)) == 2 ** (64 * k)
+        assert all(0 <= d < _B13 for d in digs)
+
+    random.seed(20260814)
+    cases = ["0" * 64, "f" * 64, "0" * 63 + "1", "1" + "0" * 63, "abc", "00", ""]
+    cases += [
+        f"{random.getrandbits(bits):064x}"
+        for bits in (8, 64, 65, 128, 129, 192, 193, 255, 256)
+        for _ in range(4)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases] + [(None,)], ["w"])
+    rows = df.select(
+        "w",
+        F.expr("lpad(w, 64, '0')").alias("_"),
+    ).drop("_")
+    out = rows.select(
+        "w",
+        _uint256_expr_str(F.col("w")).alias("e"),
+        _hex_word_to_int_str(F.col("w")).alias("a"),
+    ).collect()
+    for r in out:
+        want = str(int(r["w"], 16)) if r["w"] else None
+        assert r["e"] == want and r["a"] == want, (r["w"], r["e"], r["a"], want)
+    # the expr path is Python-free (no EvalPython in the physical plan)
+    plan = (
+        rows.select(_uint256_expr_str(F.col("w")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan

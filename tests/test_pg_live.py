@@ -323,3 +323,47 @@ def test_sink_exact_counts_live_postgres(spark, pg):
         parallel=False, exact_counts=True,
     )
     assert (r2.attempted, r2.inserted) == (n_unique, 0)
+
+
+def test_sink_copy_partitioned_target_live_postgres(spark, pg):
+    """Server-side lever (VERDICT r3 #6): the COPY sink against a
+    hash-partitioned logs table — DDL from logs_ddl_partitioned, sink
+    code unchanged.  PostgreSQL routes the merge through the partitioned
+    PK; counts stay exact and replay stays idempotent, which is the
+    contract the bench variant (q_sink_pg_copy_part) relies on."""
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute("DROP TABLE IF EXISTS logs")
+    cur.execute(upsert.logs_ddl_partitioned(4))
+    con.commit()
+    # the parent really is partitioned (guards against silently running
+    # the flat-table DDL)
+    cur.execute(
+        "SELECT COUNT(*) FROM pg_inherits WHERE inhparent = 'logs'::regclass"
+    )
+    assert cur.fetchone() == ("4",)
+    con.close()
+
+    df = fixtures.logs_df(spark).repartition(4)
+    n_unique = df.dropDuplicates(LOGS_PK).count()
+    host, port = pg["host"], pg["port"]
+    factory = lambda: pgwire.connect(host=host, port=port)  # noqa: E731
+
+    r1 = upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, parallel=True, method="copy"
+    )
+    assert (r1.attempted, r1.inserted) == (n_unique, n_unique)
+    r2 = upsert.write_conflict_ignore(
+        df, "logs", LOGS_PK, factory, parallel=True, method="copy"
+    )
+    assert (r2.attempted, r2.inserted) == (n_unique, 0)
+    con = _connect(pg)
+    cur = con.cursor()
+    cur.execute("SELECT COUNT(*) FROM logs")
+    assert cur.fetchone() == (str(n_unique),)
+    # rows actually landed across partitions, not all in one
+    cur.execute(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT tableoid FROM logs) t"
+    )
+    assert int(cur.fetchone()[0]) > 1
+    con.close()
