@@ -13,15 +13,20 @@ https://spec.graphql.org/October2021/) plus a resolver that compiles each
 field to a DataFrame plan (filter -> orderBy -> limit/offset) — predicate
 and projection reach the scan, Catalyst does the rest.
 
-Scope (documented, deliberate): queries only (the engine is an analytics
-read path; mutations stay with the ingest pipeline), equality conditions
-(Postgraphile's stock ``condition:`` argument is equality-only too),
-ordering enums, paging, ``totalCount``, variables, ``__typename``.  Not
-implemented: subscriptions/watch mode, full introspection, Relay cursor
-connections.
+Scope (documented, deliberate): read surface only (the engine is an
+analytics read path; mutations stay with the ingest pipeline), equality
+conditions (Postgraphile's stock ``condition:`` argument is
+equality-only too), ordering enums, paging, ``totalCount``, variables,
+``__typename`` — plus SUBSCRIPTIONS in the Postgraphile
+``--simple-subscriptions`` convention: ``subscription { listen(topic:)
+{ query { ... } } }`` over WebSocket (graphql-transport-ws on a
+from-scratch RFC 6455 layer), re-resolved and pushed on
+``server.publish(topic)`` — the engine-side stand-in for the
+reference's Postgres NOTIFY.  Not implemented: full introspection,
+Relay cursor connections.
 
-Served over stdlib ``http.server`` (POST /graphql, the standard JSON
-body ``{"query": ..., "variables": ...}``) — no third-party dependency.
+Served over stdlib ``http.server`` (POST /graphql for queries, GET +
+``Upgrade: websocket`` for subscriptions) — no third-party dependency.
 """
 
 from __future__ import annotations
@@ -109,13 +114,18 @@ class _Parser:
         if v != val:
             raise GraphQLError(f"expected {val!r}, got {v!r}")
 
-    def parse_document(self) -> tuple[list[Field], dict]:
-        """Returns (root selections, variable defaults)."""
+    def parse_document(
+        self, operation: str = "query"
+    ) -> tuple[list[Field], dict]:
+        """Returns (root selections, variable defaults).  ``operation``
+        is the accepted operation type for an explicitly-typed document
+        — the HTTP endpoint accepts ``query``, the WebSocket endpoint
+        parses ``subscription`` documents (_parse_listen)."""
         k, v = self.peek()
         var_defaults: dict = {}
         if v in ("query", "mutation", "subscription"):
-            if v != "query":
-                raise GraphQLError(f"{v} operations are not supported")
+            if v != operation:
+                raise GraphQLError(f"{v} operations are not supported here")
             self.next()
             if self.peek()[0] == "name":  # operation name
                 self.next()
@@ -393,7 +403,161 @@ def execute(
 
 
 # --------------------------------------------------------------------------
-# HTTP endpoint (POST /graphql)
+# WebSocket subscriptions (Postgraphile --simple-subscriptions convention)
+# --------------------------------------------------------------------------
+#
+# The reference runs Postgraphile with `--subscriptions
+# --simple-subscriptions` (docker-compose.yaml:59,71-72): clients open a
+# WebSocket to /graphql and send `subscription { listen(topic: "...") {
+# query { ...any read query... } } }`; the server re-resolves the inner
+# `query` selection and pushes it whenever the topic fires (Postgres
+# NOTIFY there; `server.publish(topic)` here — the ingest pipeline calls
+# it after each committed batch, the moral equivalent of the reference's
+# insert trigger).  Wire protocol is graphql-transport-ws
+# (connection_init/ack, subscribe, next, complete, ping/pong) over a
+# from-scratch RFC 6455 implementation — both specs are public; no
+# third-party dependency.
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_accept(key: str) -> str:
+    import base64
+    import hashlib
+
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()
+    ).decode()
+
+
+def _ws_send(sock, payload: bytes, opcode: int = 1) -> None:
+    """One server->client frame (FIN set, unmasked per RFC 6455 §5.1)."""
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([n])
+    elif n < 1 << 16:
+        head += bytes([126]) + n.to_bytes(2, "big")
+    else:
+        head += bytes([127]) + n.to_bytes(8, "big")
+    sock.sendall(head + payload)
+
+
+def _ws_recv(rfile):
+    """One client->server frame -> (opcode, payload).  Client frames MUST
+    be masked (RFC 6455 §5.1); fragmented continuation is out of scope
+    for the JSON-message protocol layered on top."""
+    h = rfile.read(2)
+    if len(h) < 2:
+        return None, b""
+    opcode = h[0] & 0x0F
+    masked = h[1] & 0x80
+    n = h[1] & 0x7F
+    if n == 126:
+        n = int.from_bytes(rfile.read(2), "big")
+    elif n == 127:
+        n = int.from_bytes(rfile.read(8), "big")
+    mask = rfile.read(4) if masked else b"\x00" * 4
+    data = rfile.read(n)
+    if masked:
+        data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+    return opcode, data
+
+
+def _parse_listen(payload: dict, variables_out: dict):
+    """Validate a simple-subscriptions document: one top-level
+    ``listen(topic:)`` field whose selection carries a ``query`` field;
+    returns (topic, inner_query_field)."""
+    sels, var_defaults = _Parser(_lex(payload.get("query", ""))).parse_document(
+        operation="subscription"
+    )
+    variables_out.update(payload.get("variables") or {})
+    for k, v in var_defaults.items():
+        variables_out.setdefault(k, _resolve_vars(v, {}))
+    if len(sels) != 1 or sels[0].name != "listen":
+        raise GraphQLError("subscriptions support listen(topic:) only")
+    listen = sels[0]
+    topic = _resolve_vars(listen.args.get("topic"), variables_out)
+    if not isinstance(topic, str) or not topic:
+        raise GraphQLError("listen requires a non-empty topic")
+    inner = next((s for s in listen.selections if s.name == "query"), None)
+    if inner is None or not inner.selections:
+        raise GraphQLError("listen selection must contain a query block")
+    return topic, inner
+
+
+class _SubscriptionHub:
+    """topic -> live subscriptions; publish() re-resolves and pushes."""
+
+    def __init__(self, tables, default_first):
+        self._tables = tables
+        self._default_first = default_first
+        self._lock = threading.Lock()
+        self._subs: dict[tuple[int, str], dict] = {}
+
+    def add(self, conn_id, sub_id, topic, inner, variables, sock, sock_lock):
+        with self._lock:
+            self._subs[(conn_id, sub_id)] = {
+                "topic": topic,
+                "inner": inner,
+                "variables": variables,
+                "sock": sock,
+                "sock_lock": sock_lock,
+            }
+
+    def remove(self, conn_id, sub_id=None):
+        with self._lock:
+            for key in [
+                k
+                for k in self._subs
+                if k[0] == conn_id and (sub_id is None or k[1] == sub_id)
+            ]:
+                del self._subs[key]
+
+    def publish(self, topic: str) -> int:
+        """Re-resolve every subscription on ``topic`` and push a ``next``
+        message; returns the number of messages delivered.  Resolution
+        happens on the caller's thread — the publisher (ingest batch
+        commit) pays for its own fan-out, listeners only read."""
+        with self._lock:
+            targets = [
+                (k, dict(s)) for k, s in self._subs.items() if s["topic"] == topic
+            ]
+        delivered = 0
+        for (conn_id, sub_id), s in targets:
+            data = {}
+            for f in s["inner"].selections:
+                by_field = {}
+                for t, df in self._tables.items():
+                    by_field[_all_field(t)] = df
+                    by_field[t] = df
+                if f.name == "__typename":
+                    data["__typename"] = "Query"
+                    continue
+                if f.name not in by_field:
+                    data[f.name] = None
+                    continue
+                data[f.name] = _run_table_field(
+                    by_field[f.name], f, s["variables"], self._default_first
+                )
+            msg = json.dumps(
+                {
+                    "type": "next",
+                    "id": sub_id,
+                    "payload": {"data": {"listen": {"query": data}}},
+                }
+            ).encode()
+            try:
+                with s["sock_lock"]:
+                    _ws_send(s["sock"], msg)
+                delivered += 1
+            except OSError:
+                self.remove(conn_id, sub_id)
+        return delivered
+
+
+# --------------------------------------------------------------------------
+# HTTP endpoint (POST /graphql; GET + Upgrade: websocket for subscriptions)
 # --------------------------------------------------------------------------
 
 def serve(
@@ -406,10 +570,86 @@ def serve(
     ``http.server`` instance (``server_address`` carries the bound port,
     ``shutdown()`` stops it).  One Spark driver serves all requests —
     concurrency is Spark's scheduler, the handler is thread-per-request
-    (``ThreadingHTTPServer``)."""
+    (``ThreadingHTTPServer``).
+
+    The returned server also exposes ``publish(topic) -> int``
+    (simple-subscriptions fan-out; see _SubscriptionHub) and ``hub``."""
+    import itertools
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    hub = _SubscriptionHub(tables, default_first)
+    conn_ids = itertools.count(1)
+
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — stdlib API name
+            if self.path.rstrip("/") not in ("", "/graphql") or (
+                self.headers.get("Upgrade", "").lower() != "websocket"
+            ):
+                self.send_error(404)
+                return
+            key = self.headers.get("Sec-WebSocket-Key", "")
+            self.send_response(101, "Switching Protocols")
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", _ws_accept(key))
+            if "graphql-transport-ws" in self.headers.get(
+                "Sec-WebSocket-Protocol", ""
+            ):
+                self.send_header(
+                    "Sec-WebSocket-Protocol", "graphql-transport-ws"
+                )
+            self.end_headers()
+            self.close_connection = True
+            conn_id = next(conn_ids)
+            sock = self.connection
+            sock_lock = threading.Lock()
+
+            def send(obj):
+                with sock_lock:
+                    _ws_send(sock, json.dumps(obj).encode())
+
+            try:
+                while True:
+                    opcode, data = _ws_recv(self.rfile)
+                    if opcode in (None, 8):  # EOF / close
+                        break
+                    if opcode == 9:  # ping -> pong
+                        with sock_lock:
+                            _ws_send(sock, data, opcode=10)
+                        continue
+                    if opcode != 1:
+                        continue
+                    try:
+                        msg = json.loads(data or b"{}")
+                    except ValueError:
+                        break
+                    mtype = msg.get("type")
+                    if mtype == "connection_init":
+                        send({"type": "connection_ack"})
+                    elif mtype == "ping":
+                        send({"type": "pong"})
+                    elif mtype == "subscribe":
+                        sub_id = msg.get("id", "")
+                        try:
+                            variables: dict = {}
+                            topic, inner = _parse_listen(
+                                msg.get("payload") or {}, variables
+                            )
+                            hub.add(
+                                conn_id, sub_id, topic, inner, variables,
+                                sock, sock_lock,
+                            )
+                        except GraphQLError as e:
+                            send({
+                                "type": "error",
+                                "id": sub_id,
+                                "payload": [{"message": str(e)}],
+                            })
+                    elif mtype == "complete":
+                        hub.remove(conn_id, msg.get("id", ""))
+            finally:
+                hub.remove(conn_id)
+
         def do_POST(self):  # noqa: N802 — stdlib API name
             if self.path.rstrip("/") not in ("", "/graphql"):
                 self.send_error(404)
@@ -436,6 +676,8 @@ def serve(
             pass
 
     srv = ThreadingHTTPServer((host, port), Handler)
+    srv.hub = hub
+    srv.publish = hub.publish
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv

@@ -156,13 +156,27 @@ def run_batch(spark: SparkSession, cfg: dict | None = None) -> dict:
     return counts
 
 
-def _stream_batch_writer(cfg: dict, logs_path: str, price_path: str):
+def _stream_batch_writer(
+    cfg: dict, logs_path: str, price_path: str, publish=None
+):
     """foreachBatch body for run_stream, factored out so replay semantics
     are directly testable: calling it twice with the same batch_id must
-    leave the sink unchanged (see _write_idempotent)."""
+    leave the sink unchanged (see _write_idempotent).
+
+    ``publish`` (optional, e.g. a graphql.serve() server's ``publish``)
+    is called with topic 'logs' / 'price' after the corresponding sink
+    commit — the engine-side analogue of the reference's insert trigger
+    firing Postgres NOTIFY for Postgraphile --simple-subscriptions."""
     from pyspark.sql import functions as F
 
     want_price = bool(cfg["tokens"] and cfg["oracles"])
+
+    def _notify(topic: str) -> None:
+        if publish is not None:
+            try:
+                publish(topic)
+            except Exception:  # noqa: BLE001 — listeners never fail ingest
+                pass
 
     def write_batch(batch_df, batch_id: int) -> None:
         batch_df = batch_df.dropDuplicates(LOGS_PK)
@@ -182,6 +196,7 @@ def _stream_batch_writer(cfg: dict, logs_path: str, price_path: str):
             )
             batch_df = rpc.enrich_block_timestamps(batch_df, headers)
         _write_idempotent(batch_df, logs_path, batch_id)
+        _notify("logs")
         if not want_price:
             return
         price = (
@@ -196,11 +211,17 @@ def _stream_batch_writer(cfg: dict, logs_path: str, price_path: str):
             .dropDuplicates(PRICE_PK)
         )
         _write_idempotent(price, price_path, batch_id)
+        _notify("price")
 
     return write_batch
 
 
-def run_stream(spark: SparkSession, cfg: dict | None = None, available_now: bool = False):
+def run_stream(
+    spark: SparkSession,
+    cfg: dict | None = None,
+    available_now: bool = False,
+    publish=None,
+):
     """A13 tail-follow: streaming logs into the parquet sink; when
     tokens/oracles are configured, each micro-batch also captures the
     price probe at its window start — the reference's per-window
@@ -222,7 +243,7 @@ def run_stream(spark: SparkSession, cfg: dict | None = None, available_now: bool
     if cfg["contracts"]:
         reader = reader.option("contracts", cfg["contracts"])
 
-    write_batch = _stream_batch_writer(cfg, logs_path, price_path)
+    write_batch = _stream_batch_writer(cfg, logs_path, price_path, publish)
 
     writer = (
         reader.load()

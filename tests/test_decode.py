@@ -244,7 +244,7 @@ def test_decode_encode_property(spark):
     decoder — one batched Spark job for the whole sample set."""
     from hypothesis import given, settings, strategies as st
 
-    @settings(max_examples=22, deadline=None)
+    @settings(max_examples=10, deadline=None)
     @given(
         u256=st.integers(min_value=0, max_value=10**38 - 1),
         u64=st.integers(min_value=0, max_value=2**64 - 1),

@@ -211,3 +211,143 @@ def test_default_page_cap(spark):
     )
     assert len(res["data"]["allLogs"]["nodes"]) == 500
     assert "extensions" not in res
+
+
+class _WsClient:
+    """Minimal RFC 6455 client for tests: masked frames (as the spec
+    requires of clients), text messages only — an independent
+    implementation of the framing the server must interoperate with."""
+
+    def __init__(self, port):
+        import base64
+        import os as _os
+        import socket
+
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        key = base64.b64encode(_os.urandom(16)).decode()
+        req = (
+            "GET /graphql HTTP/1.1\r\nHost: 127.0.0.1\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Protocol: graphql-transport-ws\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        )
+        self.sock.sendall(req.encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += self.sock.recv(4096)
+        assert b"101" in resp.split(b"\r\n", 1)[0], resp
+        # verify the server computed Sec-WebSocket-Accept per the spec
+        import hashlib
+
+        want = base64.b64encode(
+            hashlib.sha1(
+                (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+            ).digest()
+        ).decode()
+        assert f"Sec-WebSocket-Accept: {want}".encode() in resp, resp
+        self.buf = b""
+
+    def send(self, obj):
+        import json as _json
+        import os as _os
+
+        payload = _json.dumps(obj).encode()
+        mask = _os.urandom(4)
+        n = len(payload)
+        if n < 126:
+            head = bytes([0x81, 0x80 | n])
+        else:
+            head = bytes([0x81, 0x80 | 126]) + n.to_bytes(2, "big")
+        body = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        self.sock.sendall(head + mask + body)
+
+    def _read(self, n):
+        while len(self.buf) < n:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise AssertionError("server closed")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def recv(self):
+        import json as _json
+
+        h = self._read(2)
+        n = h[1] & 0x7F
+        if n == 126:
+            n = int.from_bytes(self._read(2), "big")
+        elif n == 127:
+            n = int.from_bytes(self._read(8), "big")
+        data = self._read(n)
+        if (h[0] & 0x0F) == 10:  # pong frame at the ws layer
+            return {"type": "__ws_pong", "data": data}
+        return _json.loads(data)
+
+    def close(self):
+        self.sock.close()
+
+
+def test_subscriptions_simple_listen(spark):
+    """Postgraphile --simple-subscriptions parity: listen(topic:) over
+    graphql-transport-ws; publish() re-resolves the inner query and
+    pushes; complete stops delivery."""
+    srv = serve(_tables(spark))
+    port = srv.server_address[1]
+    try:
+        c = _WsClient(port)
+        c.send({"type": "connection_init"})
+        assert c.recv() == {"type": "connection_ack"}
+
+        c.send({
+            "type": "subscribe",
+            "id": "s1",
+            "payload": {
+                "query": 'subscription { listen(topic: "logs") '
+                         "{ query { allLogs { totalCount } } } }"
+            },
+        })
+        import time as _t
+
+        # registration is asynchronous to the ack; poll until the hub
+        # sees it (publish returns delivery count)
+        for _ in range(100):
+            if srv.publish("logs"):
+                break
+            _t.sleep(0.05)
+        msg = c.recv()
+        assert msg["type"] == "next" and msg["id"] == "s1"
+        total = len(fixtures.logs_rows())
+        assert msg["payload"]["data"]["listen"]["query"]["allLogs"][
+            "totalCount"
+        ] == total
+
+        # other topics do not reach this subscription
+        assert srv.publish("prices") == 0
+        # protocol-level ping -> pong
+        c.send({"type": "ping"})
+        assert c.recv() == {"type": "pong"}
+        # complete: no further delivery
+        c.send({"type": "complete", "id": "s1"})
+        for _ in range(100):
+            if srv.publish("logs") == 0:
+                break
+            _t.sleep(0.05)
+        assert srv.publish("logs") == 0
+        c.close()
+
+        # a bad subscription document gets a protocol error, not a drop
+        c2 = _WsClient(port)
+        c2.send({"type": "connection_init"})
+        assert c2.recv() == {"type": "connection_ack"}
+        c2.send({
+            "type": "subscribe",
+            "id": "bad",
+            "payload": {"query": "subscription { nope }"},
+        })
+        err = c2.recv()
+        assert err["type"] == "error" and err["id"] == "bad"
+        c2.close()
+    finally:
+        srv.shutdown()

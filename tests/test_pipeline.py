@@ -45,7 +45,8 @@ def test_stream_captures_logs_and_prices(spark, tmp_path):
     from evm_archive_spark.pipeline import run_stream
 
     cfg = _cfg(tmp_path)
-    q = run_stream(spark, cfg, available_now=True)
+    published = []
+    q = run_stream(spark, cfg, available_now=True, publish=published.append)
     q.awaitTermination()
     logs = spark.read.parquet(str(tmp_path / "out" / "logs"))
     price = spark.read.parquet(str(tmp_path / "out" / "price"))
@@ -54,6 +55,8 @@ def test_stream_captures_logs_and_prices(spark, tmp_path):
     rows = price.collect()
     assert len(rows) >= 1
     assert all(r["address"] == "0xtokenA" and r["price"] > 0 for r in rows)
+    # the subscription hook fired after each sink commit (NOTIFY analogue)
+    assert "logs" in published and "price" in published
 
 
 def test_stream_replay_is_idempotent(spark, tmp_path):
