@@ -72,6 +72,8 @@ HEADLINE = [
     # round-3 session 3: batching layout, incremental near-dup
     "q_len_bucket",
     "q_incr_minhash",
+    # round-4: incremental IVF shard append (persist + append + full probe)
+    "q_ivf_append",
 ]
 
 

@@ -491,6 +491,43 @@ def ivf_persist(
     )
 
 
+def ivf_append(
+    spark,
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a persisted IVF index WITHOUT
+    retraining — the ANN counterpart of the incremental dedup lanes
+    (nightly embedding shards at 100 TB cannot afford an index rebuild).
+
+    The persisted centroids are the fixed coarse quantizer: assign each
+    new vector to its nearest centroid (broadcast join, map-side) and
+    APPEND into the existing ``{path}/corpus`` hive partitions —
+    dynamic partition append touches only the directories the shard's
+    vectors land in; nothing already persisted is read or rewritten.
+
+    Correctness contract (gated as q_ivf_append): probe-at-nprobe=all
+    over (persist(half A) then append(half B)) equals exact brute-force
+    kNN over A ∪ B — full-probe exactness never depends on WHICH
+    centroids partition the lists, so appended shards are exactly as
+    searchable as rebuilt ones; only recall-at-small-nprobe drifts as
+    the corpus outgrows the quantizer (re-train cadence is an ops
+    decision, same as PQ codebooks).  Returns the number of appended
+    rows."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    assigned = _ivf_assign(new_emb, cent, 1, id_col, vec_col)
+    n = assigned.count()
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/corpus")
+    )
+    return n
+
+
 def ivf_probe_bucketed(
     spark,
     path: str,

@@ -5779,6 +5779,33 @@ _add(
 )
 
 
+# [pair] incremental IVF append (new r4, staged for the r5 window) —
+# persist an index over the even half, ivf_append the odd half, probe at
+# nprobe=all: full-probe exactness is centroid-independent, so the
+# result must equal exact brute-force kNN over the union, i.e. the same
+# _KNN_ORACLE as q_ann_ivf/q_ivf_bucketed.
+
+def _q_ivf_append(spark, sf_dir):
+    import tempfile
+
+    from ..operators.similarity import ivf_append, ivf_persist, ivf_probe_bucketed
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    path = tempfile.mkdtemp(prefix="evm_archive_ivf_app_")
+    ivf_persist(emb.filter("vec_id % 2 = 0"), path, n_centroids=16, iters=1)
+    ivf_append(spark, emb.filter("vec_id % 2 = 1"), path)
+    return ivf_probe_bucketed(spark, path, n_queries=10, k=5, nprobe=16)
+
+
+_add(
+    "q_ivf_append",
+    _q_ivf_append,
+    _KNN_ORACLE,
+    "incremental IVF shard append; exact at nprobe=all vs brute-force oracle",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -3402,3 +3402,53 @@ def test_incremental_minhash_dedup_drops_near_twin_keeps_novel(spark):
             kept, index, num_perm=8, bands=4, k=5, method=method
         )
         assert [r.doc_id for r in again.collect()] == [2], method
+
+
+def test_ivf_append_exact_at_full_probe_and_touches_only_landed_lists(
+    spark, tmp_path
+):
+    """Incremental IVF (r4): persist on the even half, append the odd
+    half — full-probe results equal brute force over the union (centroid
+    independence of exactness), appended rows land inside the existing
+    hive layout, and a partial probe can return appended vectors."""
+    import os
+
+    from evm_archive_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_app")
+    similarity.ivf_persist(
+        emb.filter("vec_id % 2 = 0"), path, n_centroids=8, iters=1
+    )
+    n_before = (
+        spark.read.parquet(f"{path}/corpus").count()
+    )
+    appended = similarity.ivf_append(spark, emb.filter("vec_id % 2 = 1"), path)
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert appended == emb.filter("vec_id % 2 = 1").count()
+    assert corpus.count() == n_before + appended
+    # layout invariant: append created no partitions outside the trained
+    # centroid set (every dir is one of the 8 centroid ids)
+    cent_ids = {
+        r[0]
+        for r in spark.read.parquet(f"{path}/centroids")
+        .select("centroid_id")
+        .collect()
+    }
+    dirs = {
+        int(d.split("=")[1])
+        for d in os.listdir(f"{path}/corpus")
+        if d.startswith("centroid_id=")
+    }
+    assert dirs and dirs <= cent_ids
+    # exactness at nprobe=all over the UNION
+    bf = [tuple(r) for r in similarity.quantized_dot_topk(emb, 5, 3).collect()]
+    full = [
+        tuple(r)
+        for r in similarity.ivf_probe_bucketed(
+            spark, path, n_queries=5, k=3, nprobe=8
+        ).collect()
+    ]
+    assert bf == full
+    # appended (odd) vectors are reachable as neighbors
+    assert any(r[1] % 2 == 1 for r in full)
