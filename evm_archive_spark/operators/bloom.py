@@ -77,6 +77,25 @@ def bloom_build(
     ).agg(F.bit_or(_mask(F.col("p") % WORD_BITS)).alias("bits"))
 
 
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Union sparse Bloom filters built with the SAME (num_bits,
+    num_hashes): union the word rows, bit_or per word.
+
+    This is the incremental-state lane for decontamination: per-shard
+    filters built independently (tonight's new benchmark suite, last
+    week's) merge into one filter EXACTLY equal to a from-scratch build
+    over the concatenated member sets — Bloom OR-composition is lossless
+    by construction, so the merged filter's false-negative guarantee
+    (none) survives.  One tiny-domain groupBy; never touches member
+    values again (test pins merge == rebuild bit-for-bit)."""
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
 def bloom_dense(bloom_df: DataFrame, *, num_bits: int) -> list[int]:
     """Collect the sparse filter into a dense word list (driver-side; the
     filter is small by construction — this is the broadcast payload)."""

@@ -5806,6 +5806,45 @@ _add(
 )
 
 
+# [pair] Bloom filter merge (new r4, staged for the r5 window) — two
+# per-shard filters OR-composed must equal the from-scratch build over
+# the union of members, bit-for-bit; DuckDB replays the portable md5
+# position family over the unioned member set (q_bloom_decontam idiom).
+
+def _q_bloom_merge(spark, sf_dir):
+    from ..operators.bloom import bloom_build, bloom_merge
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    a = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    b = docs.filter(F.col("doc_id") % 13 == 0).select("text")
+    bits, k = 1 << 12, 4
+    merged = bloom_merge(
+        bloom_build(a, "text", num_bits=bits, num_hashes=k),
+        bloom_build(b, "text", num_bits=bits, num_hashes=k),
+    )
+    return merged.select(
+        F.col("word").cast("long").alias("word"),
+        F.col("bits").cast("long").alias("bits"),
+    ).orderBy("word")
+
+
+_add(
+    "q_bloom_merge",
+    _q_bloom_merge,
+    "WITH mem AS (SELECT text AS v FROM documents "
+    "  WHERE doc_id % 17 = 0 OR doc_id % 13 = 0), "
+    "ep AS (SELECT CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' "
+    "|| v), 1, 8)) AS BIGINT) % 4096 AS p FROM mem, "
+    "UNNEST(generate_series(1, 4)) u(i)) "
+    "SELECT CAST(p // 32 AS BIGINT) AS word, "
+    "bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits "
+    "FROM ep GROUP BY 1 ORDER BY word NULLS FIRST",
+    "sharded Bloom filter OR-merge == from-scratch build over the union "
+    "(incremental decontam state; portable md5 positions)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -60,44 +60,81 @@ def main() -> int:
 
     skip = set(filter(None, os.environ.get("SKIP_QUERIES", "").split(",")))
     only = set(filter(None, os.environ.get("ONLY_QUERIES", "").split(",")))
-    failures = []
-    for q in PARITY_QUERIES:
-        if q.name in skip or (only and q.name not in only):
-            continue
+    pool = int(os.environ.get("POOL", "0"))
+    todo = [
+        q
+        for q in PARITY_QUERIES
+        if q.name not in skip and (not only or q.name in only)
+    ]
+
+    def check(q, con):
+        """Returns (name, message-or-None, detail)."""
         t0 = time.time()
         try:
             sdf = q.spark(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
-            failures.append(q.name)
-            print(f"FAIL {q.name}: spark error {e!r}")
-            continue
+            return q.name, f"spark error {e!r}", ""
         if q.oracle is None:
-            print(f"ok   {q.name} (rows-only, {len(srows)} rows, "
-                  f"{time.time() - t0:.1f}s)")
-            continue
+            return q.name, None, f"rows-only, {len(srows)} rows, {time.time() - t0:.1f}s"
         try:
-            res = duck.execute(q.oracle)
+            res = con.execute(q.oracle)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
-            failures.append(q.name)
-            print(f"FAIL {q.name}: oracle error {e!r}")
-            continue
+            return q.name, f"oracle error {e!r}", ""
         if sorted(scols) != sorted(ocols):
-            failures.append(q.name)
-            print(f"FAIL {q.name}: columns {scols} vs {ocols}")
-            continue
+            return q.name, f"columns {scols} vs {ocols}", ""
         sc, oc = canon(srows, scols), canon(orows, ocols)
         if sc != oc:
-            failures.append(q.name)
             diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
-            print(f"FAIL {q.name}: rows {len(sc)} vs {len(oc)}, diffs {diffs}")
-            continue
-        print(f"PASS {q.name} ({len(sc)} rows, {time.time() - t0:.1f}s)")
+            return q.name, f"rows {len(sc)} vs {len(oc)}, diffs {diffs}", ""
+        return q.name, None, f"{len(sc)} rows, {time.time() - t0:.1f}s"
 
-    print(f"\n{len(PARITY_QUERIES) - len(failures)}/{len(PARITY_QUERIES)} ok; "
+    failures = []
+
+    def report(name, msg, detail):
+        if msg:
+            failures.append(name)
+            print(f"FAIL {name}: {msg}", flush=True)
+        else:
+            print(f"PASS {name} ({detail})", flush=True)
+
+    if pool > 1:
+        # Same split as tests/test_parity.py: streaming + RPC-DataSource
+        # gates serial, everything else thread-pooled with per-thread
+        # DuckDB connections.
+        from concurrent.futures import ThreadPoolExecutor
+
+        serial_names = {"q_ingest_transform", "q_enrich_ts", "q_rpc_ingest",
+                        "q_price_source"}
+        pooled = [q for q in todo
+                  if not q.name.startswith("q_st") and q.name not in serial_names]
+        serial = [q for q in todo if q not in pooled]
+
+        def run_pooled(q):
+            con = duckdb.connect()
+            try:
+                for t in TESTDATA_TABLES:
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')"
+                    )
+                return check(q, con)
+            finally:
+                con.close()
+
+        with ThreadPoolExecutor(max_workers=pool) as ex:
+            for name, msg, detail in ex.map(run_pooled, pooled):
+                report(name, msg, detail)
+        for q in serial:
+            report(*check(q, duck))
+    else:
+        for q in todo:
+            report(*check(q, duck))
+
+    print(f"\n{len(todo) - len(failures)}/{len(todo)} ok; "
           f"failures: {failures}")
     return 1 if failures else 0
 

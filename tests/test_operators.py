@@ -3452,3 +3452,32 @@ def test_ivf_append_exact_at_full_probe_and_touches_only_landed_lists(
     assert bf == full
     # appended (odd) vectors are reachable as neighbors
     assert any(r[1] % 2 == 1 for r in full)
+
+
+def test_bloom_merge_equals_rebuild_bit_for_bit(spark):
+    """Incremental decontam state (r4): per-shard sparse filters merged
+    with bloom_merge must equal a from-scratch build over the union of
+    members — word-for-word, bit-for-bit (OR-composition is lossless)."""
+    from evm_archive_spark.operators.bloom import bloom_build, bloom_merge
+
+    bits, k = 1 << 12, 4
+    shard_a = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(40)], ["v"]
+    )
+    shard_b = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(30, 70)], ["v"]  # overlaps A
+    )
+    merged = sorted(
+        tuple(r)
+        for r in bloom_merge(
+            bloom_build(shard_a, "v", num_bits=bits, num_hashes=k),
+            bloom_build(shard_b, "v", num_bits=bits, num_hashes=k),
+        ).collect()
+    )
+    rebuilt = sorted(
+        tuple(r)
+        for r in bloom_build(
+            shard_a.union(shard_b), "v", num_bits=bits, num_hashes=k
+        ).collect()
+    )
+    assert merged == rebuilt and len(merged) > 0
