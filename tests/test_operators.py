@@ -3481,3 +3481,73 @@ def test_bloom_merge_equals_rebuild_bit_for_bit(spark):
         ).collect()
     )
     assert merged == rebuilt and len(merged) > 0
+
+
+def test_streaming_incremental_minhash_equals_sequential_replay(
+    spark, tmp_path
+):
+    """The streaming face of the MinHash nightly-shard lane (r4): each
+    micro-batch dedups against the persisted band index, then appends its
+    survivors' band rows — the accumulated survivor set equals a
+    sequential batch replay of (dedup shard_i vs index_i; index_{i+1} =
+    index_i + bands(survivors_i)).  Corpus text of earlier batches is
+    never re-read, in streaming or in the replay."""
+    from evm_archive_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+
+    kw = dict(num_perm=8, bands=4, k=5, method="md5")
+    base_text = "spark structured streaming micro batch planner offsets "
+    rows = [
+        (i, base_text * 4 + (f" twin tail" if i % 5 == 0 else f" novel {i} body {i * 13}"))
+        for i in range(12)
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "src"
+    for part in range(3):
+        base.filter(
+            (F.col("doc_id") >= part * 4) & (F.col("doc_id") < (part + 1) * 4)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    idx = str(tmp_path / "bands")
+    out = str(tmp_path / "survivors")
+
+    def fold(batch_df, batch_id):
+        s = batch_df.sparkSession
+        import os
+
+        if os.path.exists(idx):
+            seen = s.read.parquet(idx)
+        else:
+            seen = s.createDataFrame([], "doc_id long, band int, bhash string")
+        surv = incremental_minhash_dedup(batch_df, seen, **kw).localCheckpoint()
+        surv.select("doc_id", "text").write.mode("append").parquet(out)
+        minhash_band_index(surv, **kw).write.mode("append").parquet(idx)
+
+    sdf = spark.readStream.schema(base.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # sequential replay in plain batch code over the same 3 shards
+    index = spark.createDataFrame([], "doc_id long, band int, bhash string")
+    expect = []
+    for part in range(3):
+        shard = base.filter(
+            (F.col("doc_id") >= part * 4) & (F.col("doc_id") < (part + 1) * 4)
+        )
+        surv = incremental_minhash_dedup(shard, index, **kw).localCheckpoint()
+        expect += [r["doc_id"] for r in surv.collect()]
+        index = index.union(minhash_band_index(surv, **kw)).localCheckpoint()
+    assert got == sorted(expect)
+    # the twin family (doc_id % 5 == 0) collapsed to its first member
+    assert 0 in got and all(d not in got for d in (5, 10))
