@@ -76,6 +76,62 @@ def prepare_training_corpus(
     )
 
 
+def incremental_corpus_update(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    band_index: DataFrame,
+    *,
+    min_tokens: int = 20,
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    method: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The composed NIGHTLY-SHARD lane: admit a new shard into a corpus
+    whose text is never re-read, using only its persisted state — the
+    100-TB shape every incremental piece in this repo builds toward.
+
+    Stages (each individually gated; this operator pins the
+    composition, gated as q_incr_corpus):
+      1. quality prune (token_count >= min_tokens) — map-side, cheapest
+         first so later stages hash less text;
+      2. ``incremental_exact_dedup`` vs the persisted digest index
+         (within-shard lowest-id, then digest anti-join);
+      3. ``incremental_minhash_dedup`` vs the persisted band index
+         (band-collision drop; no exact-verify by construction).
+
+    Returns ``(survivors, digest_delta, band_delta)``: append the two
+    deltas to the state tables (parquet / bucketed per
+    persist_minhash_band_index) and the next shard repeats.  Survivor
+    rows carry ``n_tokens`` so downstream mixing/packing reuses the
+    count without re-tokenizing."""
+    from .dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+        minhash_band_index,
+    )
+    from .textanalysis import token_count
+
+    quality = new_docs.withColumn("n_tokens", token_count(text_col)).filter(
+        F.col("n_tokens") >= min_tokens
+    )
+    exact = incremental_exact_dedup(
+        quality, seen_digests, id_col=id_col, content_col=text_col
+    )
+    survivors = incremental_minhash_dedup(
+        exact, band_index, id_col=id_col, text_col=text_col,
+        num_perm=num_perm, bands=bands, k=k, method=method,
+    )
+    digest_delta = survivors.select(F.md5(text_col).alias("digest")).distinct()
+    band_delta = minhash_band_index(
+        survivors, id_col=id_col, text_col=text_col,
+        num_perm=num_perm, bands=bands, k=k, method=method,
+    )
+    return survivors, digest_delta, band_delta
+
+
 def corpus_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass corpus profile: the summary a pipeline operator reads
     before choosing filter thresholds — document/token/char volume,

@@ -5845,6 +5845,69 @@ _add(
 )
 
 
+# [pair] composed nightly-shard admission (new r4, staged for the r5
+# window) — quality prune -> exact dedup vs digest index -> near-dup
+# dedup vs band index, the corpus text of the old corpus never read.
+# Oracle = full replay: the q_corpus_pipeline token idiom, the
+# q_incr_dedup window+anti-join, and the q_incr_minhash grouped-md5
+# banding (_IMH_SIG_DUCK) composed over (admitted shard ∪ old corpus).
+# Fixture caveat: at sf0.01 quality prunes 250->228 and banding 228->5
+# (the ~31-token synthetic vocab makes shingle sets collide hard at 8/4
+# banding — q_setsim's documented degeneracy); the exact stage bites in
+# its own gate's derived-class fixture, not here (corpus has no exact
+# dups).  All three stages replay in the oracle regardless.
+
+def _q_incr_corpus(spark, sf_dir):
+    from ..operators.corpus import incremental_corpus_update
+    from ..operators.dedup import minhash_band_index
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents"))
+    old = docs.filter(F.col("doc_id") >= 250)
+    seen = old.select(F.md5("text").alias("digest")).distinct()
+    bands = minhash_band_index(
+        old, num_perm=8, bands=4, k=5, method="md5"
+    )
+    shard = docs.filter(F.col("doc_id") < 250)
+    survivors, _dig, _band = incremental_corpus_update(
+        shard, seen, bands, min_tokens=20,
+        num_perm=8, bands=4, k=5, method="md5",
+    )
+    return survivors.select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+_add(
+    "q_incr_corpus",
+    _q_incr_corpus,
+    r"WITH q AS (SELECT doc_id, text, "
+    r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) "
+    "AS n_tokens FROM documents WHERE doc_id < 250), "
+    "qq AS (SELECT * FROM q WHERE n_tokens >= 20), "
+    "oldd AS (SELECT DISTINCT md5(text) AS digest FROM documents "
+    "  WHERE doc_id >= 250), "
+    "win AS (SELECT doc_id, text, n_tokens, md5(text) AS digest, "
+    "  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
+    "  FROM qq), "
+    "e AS (SELECT w.doc_id, w.text, w.n_tokens FROM win w "
+    "  LEFT JOIN oldd o ON w.digest = o.digest "
+    "  WHERE w.rn = 1 AND o.digest IS NULL), "
+    "base AS (SELECT doc_id, text FROM e "
+    "  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 250), "
+    "sh AS (SELECT doc_id, "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), "
+    "i -> substring(text, i, 5))) AS s FROM base), "
+    + _IMH_SIG_DUCK
+    + "hits AS (SELECT DISTINCT n.doc_id FROM b n "
+    "  JOIN (SELECT band, bh FROM b WHERE doc_id >= 250) o "
+    "  ON n.band = o.band AND n.bh = o.bh WHERE n.doc_id < 250) "
+    "SELECT doc_id, n_tokens FROM e "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM hits) "
+    "ORDER BY doc_id NULLS FIRST",
+    "composed nightly-shard admission (quality -> exact-incr -> "
+    "minhash-incr) == full SQL replay over shard ∪ state",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

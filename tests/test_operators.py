@@ -3551,3 +3551,40 @@ def test_streaming_incremental_minhash_equals_sequential_replay(
     assert got == sorted(expect)
     # the twin family (doc_id % 5 == 0) collapsed to its first member
     assert 0 in got and all(d not in got for d in (5, 10))
+
+
+def test_incremental_corpus_update_state_round_trip(spark):
+    """The composed nightly-shard lane (r4): admitting shard 1 and then
+    shard 2 against the UPDATED state equals admitting both against a
+    rebuilt state — and the deltas returned are exactly the survivors'
+    digests and band rows (append-only state contract)."""
+    from evm_archive_spark.operators.corpus import incremental_corpus_update
+    from evm_archive_spark.operators.dedup import minhash_band_index
+
+    kw = dict(min_tokens=3, num_perm=8, bands=4, k=5, method="md5")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    old = mk([(100, "seed corpus text about spark catalyst optimizer " * 3)])
+    seen = old.selectExpr("md5(text) AS digest").distinct()
+    bands0 = minhash_band_index(old, num_perm=8, bands=4, k=5, method="md5")
+
+    s1 = mk([
+        (1, "seed corpus text about spark catalyst optimizer " * 3 + "x"),  # near-twin of 100
+        (2, "a genuinely new document describing parquet row groups " * 2),
+        (3, "too short"),                                                    # quality-pruned
+    ])
+    surv1, dig1, band1 = incremental_corpus_update(s1, seen, bands0, **kw)
+    ids1 = sorted(r.doc_id for r in surv1.collect())
+    assert ids1 == [2]
+    assert sorted(r.digest for r in dig1.collect()) == sorted(
+        r[0] for r in surv1.selectExpr("md5(text)").collect()
+    )
+    # append the deltas; shard 2 contains a twin of shard-1's survivor —
+    # it must be dropped by the UPDATED state without re-reading shard 1
+    seen2 = seen.union(dig1)
+    bands2 = bands0.unionByName(band1)
+    s2 = mk([
+        (11, "a genuinely new document describing parquet row groups " * 2 + "y"),
+        (12, "another completely different text on shuffle partitions " * 2),
+    ])
+    surv2, _, _ = incremental_corpus_update(s2, seen2, bands2, **kw)
+    assert sorted(r.doc_id for r in surv2.collect()) == [12]
