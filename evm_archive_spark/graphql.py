@@ -94,6 +94,14 @@ class Field:
     name: str
     args: dict
     selections: list["Field"] = field(default_factory=list)
+    # GraphQL response-key alias (spec §2.7: `alias: field`); None means
+    # the field name is the response key — every resolver output keys on
+    # ``out_key`` so stock clients that alias (Postgraphile's do) work.
+    alias: str | None = None
+
+    @property
+    def out_key(self) -> str:
+        return self.alias or self.name
 
 
 class _Parser:
@@ -157,6 +165,13 @@ class _Parser:
         k, name = self.next()
         if k != "name":
             raise GraphQLError(f"expected field name, got {name!r}")
+        alias = None
+        if self.peek()[1] == ":":
+            self.next()
+            k2, real = self.next()
+            if k2 != "name":
+                raise GraphQLError(f"expected field name after alias, got {real!r}")
+            alias, name = name, real
         args: dict = {}
         if self.peek()[1] == "(":
             self.next()
@@ -168,7 +183,7 @@ class _Parser:
         sels: list[Field] = []
         if self.peek()[1] == "{":
             sels = self.parse_selection_set()
-        return Field(name, args, sels)
+        return Field(name, args, sels, alias)
 
     def parse_value_raw(self):
         """Value with $var references left as ('var', name) markers."""
@@ -295,23 +310,23 @@ def _run_table_field(
     if args:
         raise GraphQLError(f"unsupported arguments {sorted(args)}")
 
-    want_total = any(s.name == "totalCount" for s in f.selections)
+    total_sel = next((s for s in f.selections if s.name == "totalCount"), None)
     nodes_sel = next((s for s in f.selections if s.name == "nodes"), None)
     out: dict = {}
-    if want_total:
-        out["totalCount"] = df.count()
+    if total_sel is not None:
+        out[total_sel.out_key] = df.count()
     if nodes_sel is not None:
-        cols = []
+        cols = []  # (response key, column name)
         for s in nodes_sel.selections:
             if s.name == "__typename":
                 continue
             col = snake(s.name)
             if col not in df.columns:
                 raise GraphQLError(f"unknown column {s.name!r}")
-            cols.append(col)
+            cols.append((s.alias or camel(s.name), col))
         if not cols:
             raise GraphQLError("nodes requires at least one column")
-        proj = df.select(*cols)
+        proj = df.select(*[c for _, c in cols])
         if offset:
             proj = proj.offset(int(offset))
         if first is not None:
@@ -319,16 +334,16 @@ def _run_table_field(
         elif default_first is not None:
             proj = proj.limit(int(default_first))
             if capped_fields is not None:
-                capped_fields.append(f.name)
+                capped_fields.append(f.out_key)
         rows = proj.collect()
-        out["nodes"] = [
+        out[nodes_sel.out_key] = [
             {
                 **(
                     {"__typename": _typename(f.name)}
                     if any(s.name == "__typename" for s in nodes_sel.selections)
                     else {}
                 ),
-                **{camel(c): _json_value(r[c]) for c in cols},
+                **{key: _json_value(r[c]) for key, c in cols},
             }
             for r in rows
         ]
@@ -388,7 +403,7 @@ def execute(
                 continue
             if f.name not in by_field:
                 raise GraphQLError(f"unknown field {f.name!r}")
-            data[f.name] = _run_table_field(
+            data[f.out_key] = _run_table_field(
                 by_field[f.name], f, variables, default_first, capped
             )
         out = {"data": data}

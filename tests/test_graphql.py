@@ -351,3 +351,32 @@ def test_subscriptions_simple_listen(spark):
         c2.close()
     finally:
         srv.shutdown()
+
+
+def test_field_aliases(spark):
+    """GraphQL spec §2.7 aliases — response keys follow the alias at
+    every level (top-level field, totalCount, node columns), as stock
+    Postgraphile clients emit them."""
+    t = {"logs": spark.range(7).selectExpr("id AS block_number")}
+    res = execute(
+        """
+        {
+          recent: allLogs(first: 2) {
+            n: totalCount
+            nodes { bn: blockNumber blockNumber }
+          }
+        }
+        """,
+        t,
+    )
+    assert "errors" not in res, res
+    out = res["data"]["recent"]
+    assert out["n"] == 7
+    assert out["nodes"][0] == {"bn": 0, "blockNumber": 0}
+
+    # alias key is what the cap marker reports
+    res = execute(
+        "{ page: allLogs { nodes { blockNumber } } }", t, default_first=3
+    )
+    assert len(res["data"]["page"]["nodes"]) == 3
+    assert res["extensions"]["cappedFields"] == ["page"]
