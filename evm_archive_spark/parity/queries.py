@@ -5832,8 +5832,12 @@ def _q_bloom_merge(spark, sf_dir):
 _add(
     "q_bloom_merge",
     _q_bloom_merge,
+    # text IS NOT NULL pins the engine convention: bloom_positions over a
+    # NULL value yields a NULL array, whose explode emits no rows — the
+    # oracle must not fold a (NULL, NULL) word row (ADVICE-r3-style
+    # latent-NULL guard, applied up front).
     "WITH mem AS (SELECT text AS v FROM documents "
-    "  WHERE doc_id % 17 = 0 OR doc_id % 13 = 0), "
+    "  WHERE (doc_id % 17 = 0 OR doc_id % 13 = 0) AND text IS NOT NULL), "
     "ep AS (SELECT CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' "
     "|| v), 1, 8)) AS BIGINT) % 4096 AS p FROM mem, "
     "UNNEST(generate_series(1, 4)) u(i)) "
