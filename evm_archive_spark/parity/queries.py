@@ -5855,7 +5855,7 @@ _add(
 # Oracle = full replay: the q_corpus_pipeline token idiom, the
 # q_incr_dedup window+anti-join, and the q_incr_minhash grouped-md5
 # banding (_IMH_SIG_DUCK) composed over (admitted shard ∪ old corpus).
-# Fixture caveat: at sf0.01 quality prunes 250->228 and banding 228->5
+# Fixture caveat: at sf0.01 quality prunes 250->228 and banding prunes most
 # (the ~31-token synthetic vocab makes shingle sets collide hard at 8/4
 # banding — q_setsim's documented degeneracy); the exact stage bites in
 # its own gate's derived-class fixture, not here (corpus has no exact
@@ -5870,12 +5870,12 @@ def _q_incr_corpus(spark, sf_dir):
     old = docs.filter(F.col("doc_id") >= 250)
     seen = old.select(F.md5("text").alias("digest")).distinct()
     bands = minhash_band_index(
-        old, num_perm=8, bands=4, k=5, method="md5"
+        old, num_perm=8, bands=4, k=8, method="md5"
     )
     shard = docs.filter(F.col("doc_id") < 250)
     survivors, _dig, _band = incremental_corpus_update(
         shard, seen, bands, min_tokens=20,
-        num_perm=8, bands=4, k=5, method="md5",
+        num_perm=8, bands=4, k=8, method="md5",
     )
     return survivors.select("doc_id", "n_tokens").orderBy("doc_id")
 
@@ -5897,9 +5897,12 @@ _add(
     "  WHERE w.rn = 1 AND o.digest IS NULL), "
     "base AS (SELECT doc_id, text FROM e "
     "  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 250), "
+    # 8-char shingles (k=8, not the q_incr_minhash gate's 5): at 5 the
+    # fixture's ~31-token vocab collides so hard that zero shard docs
+    # survive at sf0.1 — k=8 keeps both dedup stages biting at every SF
     "sh AS (SELECT doc_id, "
-    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), "
-    "i -> substring(text, i, 5))) AS s FROM base), "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)), "
+    "i -> substring(text, i, 8))) AS s FROM base), "
     + _IMH_SIG_DUCK
     + "hits AS (SELECT DISTINCT n.doc_id FROM b n "
     "  JOIN (SELECT band, bh FROM b WHERE doc_id >= 250) o "
