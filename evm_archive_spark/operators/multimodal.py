@@ -120,6 +120,81 @@ def decode_images(
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image — the standard baseline
+    for image NEAR-dup dedup: downsample to an 8x8 luminance grid
+    (nearest-neighbor over the REAL decoded pixels via png.py), threshold
+    each cell against the grid mean, bit-pack to one int64.  Two images
+    whose hashes differ in few bits are visual near-duplicates; dedup is
+    then exact groupBy on the hash (distance 0) or banded grouping on
+    hash nibbles for small Hamming radii — both plain relational shapes
+    downstream of this map-side stage.
+
+    ``strict=True``: PNG payloads only, real pixels.  ``strict=False``:
+    non-PNG payloads get the deterministic sha256 fake grid (plumbing
+    twin, same schema); PNG payloads are still really decoded."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .png import PngError, decode_png, is_png
+
+        def grid_of(b: bytes) -> "np.ndarray":
+            if is_png(b):
+                rgba = decode_png(b)
+                h, w = rgba.shape[:2]
+                ys = (np.arange(8) * h // 8).clip(0, h - 1)
+                xs = (np.arange(8) * w // 8).clip(0, w - 1)
+                cell = rgba[ys][:, xs].astype(np.float64)
+                return (
+                    0.2126 * cell[:, :, 0]
+                    + 0.7152 * cell[:, :, 1]
+                    + 0.0722 * cell[:, :, 2]
+                )
+            if strict:
+                raise NotImplementedError(
+                    "strict aHash supports PNG only (stdlib decoder); "
+                    "use strict=False for the deterministic fake"
+                )
+            h = hashlib.sha256(b).digest() * 2
+            return np.frombuffer(h, dtype=np.uint8)[:64].reshape(8, 8).astype(
+                np.float64
+            )
+
+        for pdf in it:
+            out = {"media_id": [], "ahash": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                try:
+                    g = grid_of(b)
+                except PngError as e:
+                    raise ValueError(f"bad PNG payload {mid}: {e}") from e
+                bits = (g > g.mean()).flatten()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                # fold into signed int64 (bit 63 set -> negative)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out["media_id"].append(mid)
+                out["ahash"].append(val)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",

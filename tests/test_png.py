@@ -256,3 +256,44 @@ def test_resize_images_strict_real_png(spark):
     ys = (np.arange(4) * 16 // 4).clip(0, 15)
     xs = (np.arange(4) * 16 // 4).clip(0, 15)
     assert np.array_equal(resized, rgba[ys][:, xs])
+
+
+def test_image_ahash_real_pixels(spark):
+    """aHash over REAL decoded PNGs (r4): identical images hash equal,
+    a visually identical re-encode hashes equal, the inverted image
+    hashes to the bitwise complement, and a structurally different image
+    is far in Hamming distance."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(32, 32, 4), dtype=np.uint8)
+    base[:, :, 3] = 255
+    half = base.copy()
+    half[:16] = 30   # dark top half
+    half[16:] = 220  # bright bottom half
+    inv = half.copy()
+    inv[:, :, :3] = 255 - inv[:, :, :3]
+
+    payloads = [
+        encode_png(half),
+        encode_png(half),          # identical content, fresh encode
+        encode_png(inv),
+        encode_png(base),
+    ]
+    rows = {
+        r["media_id"]: r["ahash"]
+        for r in multimodal.image_ahash(
+            _media_df(spark, payloads), strict=True
+        ).collect()
+    }
+    assert rows[0] == rows[1]
+    mask64 = (1 << 64) - 1
+    ham = bin((rows[0] ^ rows[2]) & mask64).count("1")
+    assert ham == 64  # exact complement: every grid cell flips
+    ham_noise = bin((rows[0] ^ rows[3]) & mask64).count("1")
+    assert 10 <= ham_noise <= 54  # unrelated image: far from both poles
+
+    # non-PNG payloads: strict raises, non-strict falls back to the fake
+    bad = _media_df(spark, [b"jpeg-ish bytes"])
+    with pytest.raises(Exception, match="NotImplementedError|PNG"):
+        multimodal.image_ahash(bad, strict=True).collect()
+    fake = multimodal.image_ahash(bad, strict=False).collect()
+    assert len(fake) == 1 and isinstance(fake[0]["ahash"], int)
