@@ -195,6 +195,68 @@ def image_ahash(
     return df.mapInPandas(batches, out_schema)
 
 
+def image_near_duplicates(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Image near-dup pairs from aHash values — NO all-pairs scan: the
+    64-bit hash splits into ``max_hamming + 1`` disjoint bands, and by
+    pigeonhole any pair within ``max_hamming`` differing bits agrees on
+    at least one whole band, so candidates come from an equi-join on
+    (band index, band bits) — the multimodal mirror of the text lane's
+    banded MinHash-LSH, COMPLETE by construction (no false negatives,
+    unlike probabilistic LSH).  Verification is one JVM expression:
+    ``bit_count(a ^ b) <= max_hamming``.
+
+    Returns ``(id_a, id_b, hamming)``.  Scale shape: explode is
+    map-side (nb rows per image), the candidate join shuffles on compact
+    (band, bits) keys, verify touches candidates only."""
+    nb = max_hamming + 1
+    if nb > 64:
+        raise ValueError("max_hamming must be < 64")
+    width = 64 // nb
+    bands = []
+    for i in range(nb):
+        lo = i * width
+        w = width if i < nb - 1 else 64 - lo  # last band takes the tail
+        mask = (1 << w) - 1
+        bands.append(
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.expr(
+                    f"shiftrightunsigned({hash_col}, {lo}) & {mask}"
+                ).alias("bv"),
+            )
+        )
+    ex = hashes.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.explode(F.array(*bands)).alias("__b"),
+    ).select("__id", "__h", "__b.bi", "__b.bv")
+    a = ex.select(
+        F.col("__id").alias("id_a"), F.col("__h").alias("__ha"), "bi", "bv"
+    )
+    b = ex.select(
+        F.col("__id").alias("id_b"), F.col("__h").alias("__hb"), "bi", "bv"
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(__ha ^ __hb)").cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",

@@ -5915,6 +5915,73 @@ _add(
 )
 
 
+# [pair] image near-dup via banded Hamming join over aHash (new r4,
+# staged for the r5 window).  Payloads are deterministic ('p' || doc DIV
+# 2 — consecutive pairs share bytes, so the exact-dup path lands
+# hamming=0 pairs through the banded join); the strict=False sha256 fake
+# grid is replayed bit-for-bit in DuckDB (sha256 of the same utf-8
+# bytes, doubled digest, 8x8 mean threshold, two's-complement bit pack,
+# pigeonhole bands, bit-difference count).
+
+def _q_image_neardup(spark, sf_dir):
+    from ..operators.multimodal import image_ahash, image_near_duplicates
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("p"), F.expr("CAST(doc_id DIV 2 AS STRING)")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    pairs = image_near_duplicates(
+        image_ahash(media, strict=False), max_hamming=4
+    )
+    return pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "hamming",
+    ).orderBy("id_a", "id_b")
+
+
+_add(
+    "q_image_neardup",
+    _q_image_neardup,
+    # replay the fake grid: byte i of (digest*2)[:64] = digest[i % 32];
+    # bit_i = byte_i > mean; band p in [0,64) indexes bit (63-p)
+    "WITH m AS (SELECT doc_id AS media_id, "
+    "  sha256('p' || CAST(doc_id // 2 AS VARCHAR)) AS hx FROM documents), "
+    "bytes AS (SELECT media_id, i, "
+    "  CAST(('0x' || substring(hx, ((i % 32) * 2) + 1, 2)) AS BIGINT) AS v "
+    "  FROM m, UNNEST(generate_series(0, 63)) u(i)), "
+    "mu AS (SELECT media_id, SUM(v) / 64.0 AS mean FROM bytes GROUP BY 1), "
+    "bits AS (SELECT b.media_id, b.i, "
+    "  CASE WHEN b.v > mu.mean THEN 1 ELSE 0 END AS bit "
+    "  FROM bytes b JOIN mu USING (media_id)), "
+    # pigeonhole bands for max_hamming=4: widths 12,12,12,12,16 at shift
+    # offsets 0,12,24,36,48; shift position p holds grid bit (63-p)
+    "bands AS (SELECT media_id, bi, SUM(bit * (CAST(1 AS BIGINT) << "
+    "  CAST(p - lo AS INT))) AS bv FROM ("
+    "  SELECT media_id, p, bit, "
+    "    CASE WHEN p >= 48 THEN 4 ELSE p // 12 END AS bi, "
+    "    CASE WHEN p >= 48 THEN 48 ELSE (p // 12) * 12 END AS lo "
+    "  FROM (SELECT media_id, 63 - i AS p, bit FROM bits)) "
+    "  GROUP BY media_id, bi), "
+    "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b "
+    "  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv "
+    "  AND a.media_id < b.media_id), "
+    "ham AS (SELECT c.id_a, c.id_b, "
+    "  CAST(SUM(abs(x.bit - y.bit)) AS BIGINT) AS hamming "
+    "  FROM cand c JOIN bits x ON x.media_id = c.id_a "
+    "  JOIN bits y ON y.media_id = c.id_b AND y.i = x.i "
+    "  GROUP BY c.id_a, c.id_b) "
+    "SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4 "
+    "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST",
+    "image near-dup: pigeonhole-banded Hamming join over aHash == "
+    "bit-level DuckDB replay of the fake grid",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -297,3 +297,48 @@ def test_image_ahash_real_pixels(spark):
         multimodal.image_ahash(bad, strict=True).collect()
     fake = multimodal.image_ahash(bad, strict=False).collect()
     assert len(fake) == 1 and isinstance(fake[0]["ahash"], int)
+
+
+def test_image_near_duplicates_banded_hamming_complete(spark):
+    """Pigeonhole banding is COMPLETE: pairs within max_hamming always
+    share a band, so the banded join finds exactly the brute-force
+    pairs — pinned on real images with planted few-bit perturbations."""
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=(32, 32, 4), dtype=np.uint8)
+    base[:, :, 3] = 255
+
+    def perturb(img, cells):
+        """Flip the luminance of `cells` 4x4 grid cells hard enough to
+        flip their aHash bits."""
+        out = img.copy()
+        for (cy, cx) in cells:
+            ys, xs = slice(cy * 4, cy * 4 + 4), slice(cx * 4, cx * 4 + 4)
+            out[ys, xs, :3] = 255 - out[ys, xs, :3]
+        return out
+
+    imgs = [
+        base,
+        perturb(base, [(0, 0)]),            # near-dup of 0
+        perturb(base, [(0, 0), (7, 7)]),    # near-dup of 0 and 1
+        rng.integers(0, 256, size=(32, 32, 4), dtype=np.uint8),  # unrelated
+    ]
+    imgs[3][:, :, 3] = 255
+    hashes = multimodal.image_ahash(
+        _media_df(spark, [encode_png(i) for i in imgs]), strict=True
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_near_duplicates(hashes, max_hamming=4).collect()
+    }
+    # brute force over the collected hashes (4 images)
+    hs = {r.media_id: r.ahash for r in hashes.collect()}
+    mask64 = (1 << 64) - 1
+    expect = {
+        (i, j): bin((hs[i] ^ hs[j]) & mask64).count("1")
+        for i in hs
+        for j in hs
+        if i < j and bin((hs[i] ^ hs[j]) & mask64).count("1") <= 4
+    }
+    assert got == expect
+    assert (0, 1) in got  # the planted near-dup was found
+    assert all((3 not in pair) for pair in got)  # unrelated image is clean
