@@ -5,11 +5,13 @@ typed metadata struct; decode / feature-extraction / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so the payload bytes never pass
 through Python row-at-a-time.
 
-Codec status: PNG is REAL — ``strict=True`` decodes ``image/png``
-payloads through the from-scratch stdlib decoder in ``png.py`` (zlib
-inflate + scanline unfilter, public W3C spec; VERDICT r3 #3) and
-``resize_images`` re-encodes a nearest-neighbor resample as real PNG
-bytes.  Other formats (JPEG/audio/video) stay STUBBED: their codecs
+Codec status: PNG and WAV/PCM are REAL — ``strict=True`` decodes
+``image/png`` payloads through the from-scratch stdlib decoder in
+``png.py`` (zlib inflate + scanline unfilter, public W3C spec; VERDICT
+r3 #3), ``resize_images`` re-encodes a nearest-neighbor resample as
+real PNG bytes, ``image_ahash`` hashes real pixels, and
+``audio_features`` decodes RIFF/WAVE PCM through ``wav.py``.  Other
+formats (JPEG, compressed audio, video) stay STUBBED: their codecs
 aren't implementable from stdlib in bounded code, so ``strict=True``
 raises ``NotImplementedError`` for them and ``strict=False`` applies the
 clearly-marked deterministic fake.  The Spark-side plumbing — schema
@@ -193,6 +195,93 @@ def image_ahash(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        # exact-integer quantized statistics (the repo's float-free
+        # output convention): RMS and zero-crossing rate in ppm
+        T.StructField("rms_ppm", T.LongType()),
+        T.StructField("zcr_ppm", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Audio feature extraction over a binary column — REAL for WAV/PCM
+    payloads (from-scratch RIFF decoder in ``wav.py``): sample rate,
+    channel count, duration, RMS level and zero-crossing rate (both
+    integer-quantized to ppm, mono-mixed).  The speech-pipeline
+    pre-filter stage (drop silence / clipped takes, bucket by duration)
+    with the same mapInPandas batch contract as the image paths.
+
+    ``strict=True``: non-WAV payloads raise ``NotImplementedError``
+    (compressed codecs need real audio libraries).  ``strict=False``:
+    non-WAV payloads get a deterministic sha256 fake (plumbing twin);
+    WAV payloads are still really decoded."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .wav import WavError, decode_wav, is_wav
+
+        out_cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+        for pdf in it:
+            out = {c: [] for c in out_cols}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                if is_wav(b):
+                    try:
+                        rate, samples = decode_wav(b)
+                    except WavError as e:
+                        raise ValueError(f"bad WAV payload {mid}: {e}") from e
+                    mono = samples.mean(axis=1)
+                    n = len(mono)
+                    rms = float(np.sqrt((mono**2).mean())) if n else 0.0
+                    zc = (
+                        int((np.signbit(mono[1:]) != np.signbit(mono[:-1])).sum())
+                        if n > 1
+                        else 0
+                    )
+                    row = (
+                        int(rate),
+                        samples.shape[1],
+                        n * 1000 // rate if rate else 0,
+                        int(rms * 1_000_000),
+                        zc * 1_000_000 // (n - 1) if n > 1 else 0,
+                    )
+                elif strict:
+                    raise NotImplementedError(
+                        "strict audio decode supports WAV/PCM only (stdlib "
+                        "decoder); compressed codecs need audio libraries "
+                        "not in this environment — use strict=False for "
+                        "the deterministic fake"
+                    )
+                else:
+                    h = hashlib.sha256(b).digest()
+                    row = (
+                        8000 + h[0] * 128,
+                        1 + h[1] % 2,
+                        int.from_bytes(h[2:4], "big"),
+                        int.from_bytes(h[4:7], "big") % 1_000_000,
+                        int.from_bytes(h[7:10], "big") % 1_000_000,
+                    )
+                out["media_id"].append(mid)
+                for c, v in zip(out_cols[1:], row):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 def image_near_duplicates(
