@@ -5982,6 +5982,56 @@ _add(
 )
 
 
+# [pair] audio-features plumbing twin (new r4, staged for the r5
+# window) — the q_multimodal_md5 pattern for the audio lane: synthetic
+# non-WAV payloads route to the deterministic sha256 fake, which DuckDB
+# replays byte-for-byte (sha256 over the same utf-8 bytes, big-endian
+# slices), so the mapInPandas batch path is hash-gated, not rows-only.
+# The REAL WAV decode is pytest-gated (test_wav.py) — a binary fixture
+# can't live in SQL.
+
+def _q_audio_features(spark, sf_dir):
+    from ..operators.multimodal import audio_features
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = audio_features(media, strict=False)
+    return out.select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "duration_ms",
+        "rms_ppm",
+        "zcr_ppm",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_audio_features",
+    _q_audio_features,
+    "WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx "
+    "FROM documents), "
+    "b AS (SELECT media_id, "
+    + ", ".join(
+        f"CAST(('0x' || substring(hx, {i * 2 + 1}, 2)) AS BIGINT) AS b{i}"
+        for i in range(10)
+    )
+    + " FROM h) "
+    "SELECT media_id, "
+    "CAST(8000 + b0 * 128 AS BIGINT) AS sample_rate, "
+    "CAST(1 + b1 % 2 AS BIGINT) AS n_channels, "
+    "CAST(b2 * 256 + b3 AS BIGINT) AS duration_ms, "
+    "CAST((b4 * 65536 + b5 * 256 + b6) % 1000000 AS BIGINT) AS rms_ppm, "
+    "CAST((b7 * 65536 + b8 * 256 + b9) % 1000000 AS BIGINT) AS zcr_ppm "
+    "FROM b ORDER BY media_id NULLS FIRST",
+    "audio-features fake twin: sha256-derived fields replayed "
+    "byte-for-byte in DuckDB (mapInPandas batch path hash-gated)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
