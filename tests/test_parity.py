@@ -116,7 +116,7 @@ def test_parity_pooled(spark):
     assert len(POOLED) + len(STREAMING) == len(PARITY_QUERIES)
     assert len(PARITY_QUERIES) >= 192  # registry only ever grows
 
-    with ThreadPoolExecutor(max_workers=6) as ex:
+    with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(lambda q: (q.name, _check_one(spark, q)), POOLED))
     assert len(results) == len(POOLED)
     fails = [(n, msg) for n, msg in results if msg]
