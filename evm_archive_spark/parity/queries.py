@@ -6012,7 +6012,10 @@ def _q_audio_features(spark, sf_dir):
 _add(
     "q_audio_features",
     _q_audio_features,
-    "WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx "
+    # COALESCE pins the engine's NULL contract: a NULL payload reaches
+    # the fake as b'' (bytes(payload or b'')), so the oracle hashes the
+    # empty string rather than propagating NULL fields
+    "WITH h AS (SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx "
     "FROM documents), "
     "b AS (SELECT media_id, "
     + ", ".join(
