@@ -342,3 +342,23 @@ def test_image_near_duplicates_banded_hamming_complete(spark):
     assert got == expect
     assert (0, 1) in got  # the planted near-dup was found
     assert all((3 not in pair) for pair in got)  # unrelated image is clean
+
+
+def test_png_round_trip_property():
+    """Hypothesis: arbitrary RGBA arrays survive encode -> decode
+    bit-for-bit (sizes incl. 1x1 and wide/tall extremes)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, seed):
+        rgba = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 4), dtype=np.uint8
+        )
+        assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+    check()

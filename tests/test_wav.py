@@ -142,3 +142,24 @@ def test_audio_features_strict_real_wav(spark):
         multimodal.audio_features(bad, strict=True).collect()
     fake = multimodal.audio_features(bad, strict=False).collect()
     assert len(fake) == 1 and fake[0]["sample_rate"] >= 8000
+
+
+def test_wav_round_trip_property():
+    """Hypothesis: arbitrary float signals survive encode -> decode
+    within 1 LSB at 16-bit, any rate/channel count."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        frames=st.integers(1, 400),
+        ch=st.integers(1, 3),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(frames, ch, rate, seed):
+        sig = np.random.default_rng(seed).uniform(-1, 1, size=(frames, ch))
+        r, out = decode_wav(encode_wav(sig, rate, 16))
+        assert r == rate and out.shape == sig.shape
+        assert np.abs(out - sig).max() < 1.5 / 32768
+
+    check()
