@@ -436,3 +436,34 @@ def test_length_bucket_row_window_is_bucket_shard_partitioned(spark):
     ]
     assert row_window, "per-row ordinal window must partition by (bucket, _shard)"
     assert "hashpartitioning(bucket#" in plan
+
+
+def test_image_neardup_is_banded_equi_join(spark):
+    """image_near_duplicates must plan the pigeonhole candidate stage as
+    a hash-partitioned EQUI join on the (band, bits) keys — never a
+    cartesian/all-pairs comparison — with verification as a post-join
+    filter (bit_count), not a join condition re-evaluation."""
+    plan = plan_of(spark, "q_image_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "bit_count" in plan  # verify stage survives into the plan
+
+
+def test_bloom_merge_is_one_tiny_groupby(spark):
+    """bloom_merge is a union + ONE bit_or groupBy on the tiny word
+    domain — no joins at all (the member texts are hashed map-side)."""
+    plan = plan_of(spark, "q_bloom_merge")
+    assert "Join" not in plan
+    assert "bit_or" in plan
+
+
+def test_incr_corpus_pipeline_has_no_allpairs(spark):
+    """The composed admission lane inherits its stages' shapes: digest
+    anti-join + band semi/anti joins, all key-equi — no cartesian, no
+    nested loop, no window over an unbounded corpus-frequency key."""
+    plan = plan_of(spark, "q_incr_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
