@@ -351,11 +351,20 @@ def frame_sample(
     payload_col: str = "payload",
     id_col: str = "media_id",
     every_n: int = 10,
+    strict: bool = False,
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: one output row per
-    sampled frame index.  The codec is stubbed (frame count derives from
-    payload size); the explode/flat-map shape, schema, and partition
-    behavior are the real thing."""
+    """Frame sampling for animation/video payloads: one output row per
+    sampled frame index.
+
+    ``strict=True``: REAL for APNG payloads — every ``every_n``-th frame
+    is actually decoded (``png.decode_apng_frames``: IDAT + fdAT
+    regions through the same inflate/unfilter path) and hashed over its
+    RGBA pixels, so identical frames hash equal regardless of how the
+    encoder chunked or filtered them; plain PNGs yield their single
+    frame; other containers raise ``NotImplementedError``.
+    ``strict=False`` keeps the deterministic payload-derived fake (the
+    q_frame_sample oracle twin) for non-PNG payloads and still really
+    decodes PNG/APNG."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -367,17 +376,51 @@ def frame_sample(
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        from .png import PngError, decode_apng_frames, is_png
+
         for pdf in it:
             rows = {"media_id": [], "frame_idx": [], "frame_hash": []}
+
+            def emit(mid, fi, fh):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(fi)
+                rows["frame_hash"].append(fh)
+
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload or b"")
-                n_frames = max(1, len(b) // 32)
-                for fi in range(0, n_frames, every_n):
-                    rows["media_id"].append(mid)
-                    rows["frame_idx"].append(fi)
-                    rows["frame_hash"].append(
-                        hashlib.sha256(b + fi.to_bytes(4, "big")).hexdigest()[:16]
+                if is_png(b):
+                    try:
+                        for fi, w, h, rgba in decode_apng_frames(b):
+                            if fi % every_n:
+                                continue
+                            emit(
+                                mid,
+                                fi,
+                                hashlib.sha256(
+                                    w.to_bytes(4, "big")
+                                    + h.to_bytes(4, "big")
+                                    + rgba.tobytes()
+                                ).hexdigest()[:16],
+                            )
+                    except PngError as e:
+                        raise ValueError(f"bad PNG payload {mid}: {e}") from e
+                elif strict:
+                    raise NotImplementedError(
+                        "strict frame sampling supports PNG/APNG only "
+                        "(stdlib decoder); video containers need codec "
+                        "libraries not in this environment — use "
+                        "strict=False for the deterministic fake"
                     )
+                else:
+                    n_frames = max(1, len(b) // 32)
+                    for fi in range(0, n_frames, every_n):
+                        emit(
+                            mid,
+                            fi,
+                            hashlib.sha256(
+                                b + fi.to_bytes(4, "big")
+                            ).hexdigest()[:16],
+                        )
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, out_schema)

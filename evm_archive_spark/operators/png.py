@@ -190,6 +190,102 @@ def decode_png(payload: bytes) -> np.ndarray:
     return rgba
 
 
+def decode_apng_frames(payload: bytes):
+    """Decode APNG (animated PNG, the public W3C/Mozilla extension)
+    frames: yields ``(frame_idx, width, height, rgba)`` for each frame.
+
+    Frame 0 is the default image (IDAT) when it participates in the
+    animation (its fcTL precedes IDAT); subsequent frames come from
+    fdAT chunks (IDAT payload prefixed with a 4-byte sequence number),
+    each inflated + unfiltered with the SAME bit depth/color type as
+    the main image, at its fcTL-declared sub-rectangle size.
+
+    Scope: each frame is decoded as its OWN region — dispose/blend
+    compositing onto the canvas is a rendering concern, not a
+    feature-extraction one, and is deliberately out of scope (the
+    frame-sampling pipeline hashes/compares per-frame content).  A
+    plain PNG (no acTL) yields exactly one frame."""
+    if not is_png(payload):
+        raise PngError("not a PNG (bad signature)")
+    depth = color_type = None
+    width = height = None
+    palette = None
+    trns = None
+    animated = False
+    cur_fctl = None  # (w, h) of the pending frame
+    idat = bytearray()
+    fdat: list[tuple[tuple[int, int], bytearray]] = []
+    idat_fctl = None
+    for ctype, data in _chunks(payload):
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise PngError(f"unsupported bit depth {depth} (8 only)")
+            if color_type not in _CHANNELS:
+                raise PngError(f"unsupported color type {color_type}")
+            if interlace != 0:
+                raise PngError("Adam7 interlace not supported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"acTL":
+            animated = True
+        elif ctype == b"fcTL":
+            w, h = struct.unpack(">II", data[4:12])
+            cur_fctl = (w, h)
+            if not idat:
+                idat_fctl = cur_fctl
+            else:
+                fdat.append((cur_fctl, bytearray()))
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"fdAT":
+            if not fdat:
+                raise PngError("fdAT before any fcTL")
+            fdat[-1][1].extend(data[4:])  # strip the sequence number
+    if width is None or not idat:
+        raise PngError("missing IHDR or IDAT")
+
+    bpp = _CHANNELS[color_type]
+
+    def expand(raw: bytes, w: int, h: int) -> np.ndarray:
+        px = _unfilter(raw, w, h, bpp)
+        if color_type == 0:
+            g = px.reshape(h, w, 1)
+            return np.concatenate(
+                [g, g, g, np.full((h, w, 1), 255, np.uint8)], axis=2
+            )
+        if color_type == 2:
+            rgb = px.reshape(h, w, 3)
+            return np.concatenate(
+                [rgb, np.full((h, w, 1), 255, np.uint8)], axis=2
+            )
+        if color_type == 3:
+            if palette is None:
+                raise PngError("palette image without PLTE")
+            idx = px.reshape(h, w)
+            rgb = palette[idx]
+            alpha = np.full((h, w, 1), 255, np.uint8)
+            if trns is not None:
+                a_lut = np.full(len(palette), 255, np.uint8)
+                a_lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+                alpha = a_lut[idx][:, :, None]
+            return np.concatenate([rgb, alpha], axis=2)
+        if color_type == 4:
+            ga = px.reshape(h, w, 2)
+            g = ga[:, :, :1]
+            return np.concatenate([g, g, g, ga[:, :, 1:]], axis=2)
+        return px.reshape(h, w, 4)
+
+    w0, h0 = (idat_fctl or (width, height)) if animated else (width, height)
+    yield 0, w0, h0, expand(zlib.decompress(bytes(idat)), w0, h0)
+    for i, ((w, h), buf) in enumerate(fdat, start=1):
+        yield i, w, h, expand(zlib.decompress(bytes(buf)), w, h)
+
+
 def encode_png(rgba: np.ndarray) -> bytes:
     """Minimal PNG encoder (truecolor-with-alpha, filter 0 rows).
 

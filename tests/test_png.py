@@ -362,3 +362,86 @@ def test_png_round_trip_property():
         assert np.array_equal(decode_png(encode_png(rgba)), rgba)
 
     check()
+
+
+def build_apng(frames, color_type=6, ftypes=None):
+    """Independent APNG writer: frames = list of (H, stride) pixel
+    arrays; frame 0 becomes IDAT (with a preceding fcTL), the rest
+    fdAT.  ``ftypes`` lets each frame use a different scanline filter —
+    content hashing must be invariant to that choice."""
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    ftypes = ftypes or [0] * len(frames)
+    h0, s0 = frames[0].shape
+    ihdr = struct.pack(">IIBBBBB", s0 // bpp, h0, 8, color_type, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    body += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+
+    def fctl(px):
+        nonlocal seq
+        h, s = px.shape
+        data = struct.pack(
+            ">IIIIIHHBB", seq, s // bpp, h, 0, 0, 1, 10, 0, 0
+        )
+        seq += 1
+        return chunk(b"fcTL", data)
+
+    body += fctl(frames[0])
+    body += chunk(
+        b"IDAT", zlib.compress(forward_filter(frames[0], bpp, ftypes[0]))
+    )
+    for px, ft in zip(frames[1:], ftypes[1:]):
+        body += fctl(px)
+        raw = zlib.compress(forward_filter(px, bpp, ft))
+        body += chunk(b"fdAT", struct.pack(">I", seq) + raw)
+        seq += 1
+    return SIG + body + chunk(b"IEND", b"")
+
+
+def test_apng_frames_decode_and_filter_invariance():
+    from evm_archive_spark.operators.png import decode_apng_frames
+
+    f0 = rng_pixels(6, 8 * 4, seed=31)
+    f1 = rng_pixels(4, 5 * 4, seed=32)  # smaller sub-rectangle frame
+    f2 = f1.copy()                      # same CONTENT, different filter
+    apng = build_apng([f0, f1, f2], ftypes=[0, 2, 4])
+    frames = list(decode_apng_frames(apng))
+    assert [(i, w, h) for i, w, h, _ in frames] == [
+        (0, 8, 6), (1, 5, 4), (2, 5, 4),
+    ]
+    assert np.array_equal(frames[0][3].reshape(6, -1), f0)
+    # filter choice must not affect decoded pixels
+    assert np.array_equal(frames[1][3], frames[2][3])
+
+    # plain PNG: exactly one frame
+    single = list(decode_apng_frames(build_png(f0, color_type=6)))
+    assert len(single) == 1 and single[0][:3] == (0, 8, 6)
+
+
+def test_frame_sample_strict_real_apng(spark):
+    f0 = rng_pixels(6, 8 * 4, seed=41)
+    f1 = rng_pixels(6, 8 * 4, seed=42)
+    f2 = f1.copy()
+    frames = [f0, f1, f2, rng_pixels(6, 8 * 4, seed=43)]
+    apng = build_apng(frames, ftypes=[0, 1, 3, 4])
+    out = multimodal.frame_sample(
+        _media_df(spark, [apng]), every_n=1, strict=True
+    ).collect()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2, 3]
+    hashes = [r["frame_hash"] for r in out]
+    # same pixels (different filters) hash equal; distinct pixels differ
+    assert hashes[1] == hashes[2]
+    assert len({hashes[0], hashes[1], hashes[3]}) == 3
+
+    # every_n sampling keeps frames 0 and 2
+    sampled = multimodal.frame_sample(
+        _media_df(spark, [apng]), every_n=2, strict=True
+    ).collect()
+    assert [r["frame_idx"] for r in sampled] == [0, 2]
+
+    # non-PNG payloads: strict raises, non-strict keeps the fake
+    bad = _media_df(spark, [b"mp4 bytes go here...............!"])
+    with pytest.raises(Exception, match="NotImplementedError|PNG"):
+        multimodal.frame_sample(bad, strict=True).collect()
+    fake = multimodal.frame_sample(bad, every_n=1, strict=False).collect()
+    assert len(fake) == 1
