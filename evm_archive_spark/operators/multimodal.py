@@ -9,9 +9,11 @@ Codec status: PNG and WAV/PCM are REAL — ``strict=True`` decodes
 ``image/png`` payloads through the from-scratch stdlib decoder in
 ``png.py`` (zlib inflate + scanline unfilter, public W3C spec; VERDICT
 r3 #3), ``resize_images`` re-encodes a nearest-neighbor resample as
-real PNG bytes, ``image_ahash`` hashes real pixels, and
-``audio_features`` decodes RIFF/WAVE PCM through ``wav.py``.  Other
-formats (JPEG, compressed audio, video) stay STUBBED: their codecs
+real PNG bytes, ``image_ahash`` hashes real pixels,
+``audio_features`` decodes RIFF/WAVE PCM through ``wav.py``, and
+``frame_sample`` decodes APNG animation frames (``decode_apng_frames``).
+Other formats (JPEG, compressed audio, real video containers) stay
+STUBBED: their codecs
 aren't implementable from stdlib in bounded code, so ``strict=True``
 raises ``NotImplementedError`` for them and ``strict=False`` applies the
 clearly-marked deterministic fake.  The Spark-side plumbing — schema
