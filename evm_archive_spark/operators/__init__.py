@@ -28,6 +28,7 @@ _EXPORTS = {
     "ivf_topk": "similarity",
     "ivf_persist": "similarity",
     "ivf_probe_bucketed": "similarity",
+    "ivf_append": "similarity",
     "lsh_near_duplicates": "similarity",
     "semantic_dedup": "similarity",
     "pq_train": "similarity",
@@ -71,6 +72,7 @@ _EXPORTS = {
     "leakage_safe_split": "sampling",
     "minhash_band_index": "dedup",
     "incremental_minhash_dedup": "dedup",
+    "persist_minhash_band_index": "dedup",
     # packing
     "pack_by_budget": "packing",
     "materialize_packs": "packing",
@@ -112,6 +114,7 @@ _EXPORTS = {
     "hll_estimate": "sketches",
     "bloom_build": "bloom",
     "bloom_decontaminate": "bloom",
+    "bloom_merge": "bloom",
     # ops over gaps / skew / corpus
     "find_gaps": "gaps",
     "plan_backfill": "gaps",
@@ -119,6 +122,20 @@ _EXPORTS = {
     "two_phase_agg": "skew",
     "prepare_training_corpus": "corpus",
     "corpus_profile": "corpus",
+    "incremental_corpus_update": "corpus",
+    # multimodal (real PNG/APNG/WAV codecs behind strict=True)
+    "decode_images": "multimodal",
+    "resize_images": "multimodal",
+    "frame_sample": "multimodal",
+    "image_ahash": "multimodal",
+    "image_near_duplicates": "multimodal",
+    "audio_features": "multimodal",
+    "synthetic_media": "multimodal",
+    "decode_png": "png",
+    "encode_png": "png",
+    "decode_apng_frames": "png",
+    "decode_wav": "wav",
+    "encode_wav": "wav",
 }
 
 __all__ = sorted(_EXPORTS)
