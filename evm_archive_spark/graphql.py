@@ -104,6 +104,18 @@ class Field:
         return self.alias or self.name
 
 
+def _field_key(f: Field) -> tuple:
+    """Canonical hashable key for a parsed selection — two documents that
+    resolve identically map to the same key (publish() memoizes on it)."""
+    return (
+        f.name,
+        f.alias,
+        tuple(sorted((k, json.dumps(v, sort_keys=True, default=str))
+                     for k, v in f.args.items())),
+        tuple(_field_key(s) for s in f.selections),
+    )
+
+
 class _Parser:
     def __init__(self, tokens: list[tuple[str, str]]):
         self.toks = tokens
@@ -370,6 +382,150 @@ def _json_value(v):
     return v
 
 
+# --------------------------------------------------------------------------
+# Introspection subset (__schema / __type)
+# --------------------------------------------------------------------------
+#
+# Postgraphile auto-serves full introspection to every GraphiQL/codegen
+# session (reference docker-compose.yaml:46-72).  This subset models what
+# a schema-browsing client needs to bootstrap: the Query type with one
+# field per table, one OBJECT type per table with its scalar-typed
+# columns, and the built-in scalars.  Anything deeper (directives,
+# interfaces, input types) resolves to null/empty — valid for nullable
+# introspection fields.
+
+_GQL_SCALARS = ("String", "Int", "Float", "Boolean", "ID")
+
+
+def _gql_scalar(dtype) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "Int"
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "Float"
+    if isinstance(dtype, T.BooleanType):
+        return "Boolean"
+    return "String"
+
+
+def _type_name(table: str) -> str:
+    """logs -> Log (Postgraphile singularizes row types; simple trailing-s
+    rule, mirroring _all_field's pluralization)."""
+    base = camel(table)
+    if base.endswith("s") and len(base) > 1:
+        base = base[:-1]
+    return base[0].upper() + base[1:]
+
+
+def _introspection_schema(tables: dict[str, DataFrame]) -> dict:
+    def scalar_ref(name):
+        return {"kind": "SCALAR", "name": name, "ofType": None}
+
+    def field(name, type_ref):
+        return {
+            "name": name,
+            "description": None,
+            "args": [],
+            "type": type_ref,
+            "isDeprecated": False,
+            "deprecationReason": None,
+        }
+
+    def obj(name, fields):
+        return {
+            "kind": "OBJECT",
+            "name": name,
+            "description": None,
+            "fields": fields,
+            "ofType": None,
+            "interfaces": [],
+            "enumValues": None,
+            "inputFields": None,
+            "possibleTypes": None,
+        }
+
+    types = []
+    query_fields = []
+    for t, df in sorted(tables.items()):
+        tname = _type_name(t)
+        cols = [
+            field(camel(f.name), scalar_ref(_gql_scalar(f.dataType)))
+            for f in df.schema.fields
+        ]
+        types.append(obj(tname, cols))
+        list_ref = {
+            "kind": "LIST",
+            "name": None,
+            "ofType": {"kind": "OBJECT", "name": tname, "ofType": None},
+        }
+        query_fields.append(field(_all_field(t), list_ref))
+        query_fields.append(field(t, list_ref))
+    query_type = obj("Query", query_fields)
+    sub_type = obj(
+        "Subscription",
+        [field("listen", {"kind": "OBJECT", "name": "ListenPayload",
+                          "ofType": None})],
+    )
+    listen_type = obj(
+        "ListenPayload",
+        [field("query", {"kind": "OBJECT", "name": "Query", "ofType": None})],
+    )
+    all_types = (
+        [query_type, sub_type, listen_type]
+        + types
+        + [
+            {
+                "kind": "SCALAR",
+                "name": s,
+                "description": None,
+                "fields": None,
+                "ofType": None,
+                "interfaces": None,
+                "enumValues": None,
+                "inputFields": None,
+                "possibleTypes": None,
+            }
+            for s in _GQL_SCALARS
+        ]
+    )
+    return {
+        "queryType": query_type,
+        "mutationType": None,
+        "subscriptionType": sub_type,
+        "types": all_types,
+        "directives": [],
+    }
+
+
+def _resolve_intro(node, sels, variables):
+    """Resolve a selection set over the plain-dict schema model; unknown
+    fields resolve to null (all subset-omitted introspection fields are
+    nullable)."""
+    if node is None:
+        return None
+    out = {}
+    for f in sels:
+        if f.name == "__typename":
+            out[f.out_key] = "__Type" if "kind" in node else "__Schema"
+            continue
+        v = node.get(f.name) if isinstance(node, dict) else None
+        if isinstance(v, list):
+            out[f.out_key] = [
+                _resolve_intro(x, f.selections, variables)
+                if isinstance(x, dict) else x
+                for x in v
+            ]
+        elif isinstance(v, dict):
+            out[f.out_key] = (
+                _resolve_intro(v, f.selections, variables)
+                if f.selections else None
+            )
+        else:
+            out[f.out_key] = v
+    return out
+
+
 def execute(
     query: str,
     tables: dict[str, DataFrame],
@@ -397,9 +553,22 @@ def execute(
             by_field[_all_field(t)] = df
             by_field[t] = df
         data = {}
+        intro = None
         for f in sels:
             if f.name == "__typename":
                 data["__typename"] = "Query"
+                continue
+            if f.name == "__schema":
+                intro = intro or _introspection_schema(tables)
+                data[f.out_key] = _resolve_intro(intro, f.selections, variables)
+                continue
+            if f.name == "__type":
+                intro = intro or _introspection_schema(tables)
+                want = _resolve_vars(f.args.get("name"), variables)
+                node = next(
+                    (t for t in intro["types"] if t["name"] == want), None
+                )
+                data[f.out_key] = _resolve_intro(node, f.selections, variables)
                 continue
             if f.name not in by_field:
                 raise GraphQLError(f"unknown field {f.name!r}")
@@ -458,10 +627,17 @@ def _ws_send(sock, payload: bytes, opcode: int = 1) -> None:
     sock.sendall(head + payload)
 
 
-def _ws_recv(rfile):
+# Upper bound on a single client frame: the protocol on top is small JSON
+# messages, so anything past 1 MiB is hostile or broken — reject it before
+# allocating (a 127-length header could otherwise demand up to 2^63 bytes).
+WS_MAX_FRAME = 1 << 20
+
+
+def _ws_recv(rfile, max_len: int = WS_MAX_FRAME):
     """One client->server frame -> (opcode, payload).  Client frames MUST
     be masked (RFC 6455 §5.1); fragmented continuation is out of scope
-    for the JSON-message protocol layered on top."""
+    for the JSON-message protocol layered on top.  A frame longer than
+    ``max_len`` returns opcode ``-1`` (caller closes with 1009)."""
     h = rfile.read(2)
     if len(h) < 2:
         return None, b""
@@ -472,6 +648,8 @@ def _ws_recv(rfile):
         n = int.from_bytes(rfile.read(2), "big")
     elif n == 127:
         n = int.from_bytes(rfile.read(8), "big")
+    if n > max_len:
+        return -1, b""
     mask = rfile.read(4) if masked else b"\x00" * 4
     data = rfile.read(n)
     if masked:
@@ -509,6 +687,10 @@ class _SubscriptionHub:
         self._default_first = default_first
         self._lock = threading.Lock()
         self._subs: dict[tuple[int, str], dict] = {}
+        # cumulative count of inner-query resolutions (one per DISTINCT
+        # (query, variables) group per publish) — lets tests pin that
+        # N same-query listeners cost one Spark job per publish
+        self.resolutions = 0
 
     def add(self, conn_id, sub_id, topic, inner, variables, sock, sock_lock):
         with self._lock:
@@ -530,44 +712,73 @@ class _SubscriptionHub:
                 del self._subs[key]
 
     def publish(self, topic: str) -> int:
-        """Re-resolve every subscription on ``topic`` and push a ``next``
-        message; returns the number of messages delivered.  Resolution
-        happens on the caller's thread — the publisher (ingest batch
-        commit) pays for its own fan-out, listeners only read."""
+        """Re-resolve subscriptions on ``topic`` and push a ``next``
+        message to each; returns the number of messages delivered.
+        Resolution happens on the caller's thread — the publisher (ingest
+        batch commit) pays for its own fan-out, listeners only read.
+
+        Fan-out is memoized: listeners are grouped by canonical
+        (inner-query AST, variables) key and each distinct group is
+        resolved ONCE per publish — N subscribers on the same query cost
+        one Spark job, not N (``self.resolutions`` counts jobs for
+        tests).  A GraphQLError from one group's resolve (e.g. an inner
+        query naming an unknown column, which subscribe-time validation
+        does not check) is pushed to that group as a
+        graphql-transport-ws ``error`` message (terminating just those
+        subscriptions) and never starves other groups on the topic."""
         with self._lock:
             targets = [
                 (k, dict(s)) for k, s in self._subs.items() if s["topic"] == topic
             ]
-        delivered = 0
+        by_field = {}
+        for t, df in self._tables.items():
+            by_field[_all_field(t)] = df
+            by_field[t] = df
+        groups: dict[tuple, list] = {}
         for (conn_id, sub_id), s in targets:
-            data = {}
-            for f in s["inner"].selections:
-                by_field = {}
-                for t, df in self._tables.items():
-                    by_field[_all_field(t)] = df
-                    by_field[t] = df
-                if f.name == "__typename":
-                    data["__typename"] = "Query"
-                    continue
-                if f.name not in by_field:
-                    data[f.name] = None
-                    continue
-                data[f.name] = _run_table_field(
-                    by_field[f.name], f, s["variables"], self._default_first
-                )
-            msg = json.dumps(
-                {
-                    "type": "next",
-                    "id": sub_id,
-                    "payload": {"data": {"listen": {"query": data}}},
-                }
-            ).encode()
+            key = (
+                _field_key(s["inner"]),
+                json.dumps(s["variables"], sort_keys=True, default=str),
+            )
+            groups.setdefault(key, []).append(((conn_id, sub_id), s))
+        delivered = 0
+        for members in groups.values():
+            _, s0 = members[0]
             try:
-                with s["sock_lock"]:
-                    _ws_send(s["sock"], msg)
-                delivered += 1
-            except OSError:
-                self.remove(conn_id, sub_id)
+                data = {}
+                for f in s0["inner"].selections:
+                    if f.name == "__typename":
+                        data[f.out_key] = "Query"
+                        continue
+                    if f.name not in by_field:
+                        data[f.out_key] = None
+                        continue
+                    data[f.out_key] = _run_table_field(
+                        by_field[f.name], f, s0["variables"],
+                        self._default_first,
+                    )
+                self.resolutions += 1
+                payload = {"data": {"listen": {"query": data}}}
+                err = None
+            except GraphQLError as e:
+                payload, err = None, [{"message": str(e)}]
+            for (conn_id, sub_id), s in members:
+                msg = json.dumps(
+                    {"type": "error", "id": sub_id, "payload": err}
+                    if err is not None
+                    else {"type": "next", "id": sub_id, "payload": payload}
+                ).encode()
+                try:
+                    with s["sock_lock"]:
+                        _ws_send(s["sock"], msg)
+                    if err is None:
+                        delivered += 1
+                    else:
+                        # per graphql-transport-ws, "error" terminates
+                        # the operation server-side
+                        self.remove(conn_id, sub_id)
+                except OSError:
+                    self.remove(conn_id, sub_id)
         return delivered
 
 
@@ -603,6 +814,9 @@ def serve(
                 self.send_error(404)
                 return
             key = self.headers.get("Sec-WebSocket-Key", "")
+            if not key:
+                self.send_error(400, "missing Sec-WebSocket-Key")
+                return
             self.send_response(101, "Switching Protocols")
             self.send_header("Upgrade", "websocket")
             self.send_header("Connection", "Upgrade")
@@ -626,6 +840,12 @@ def serve(
             try:
                 while True:
                     opcode, data = _ws_recv(self.rfile)
+                    if opcode == -1:  # frame over WS_MAX_FRAME
+                        with sock_lock:
+                            # close 1009 "message too big"
+                            _ws_send(sock, (1009).to_bytes(2, "big"),
+                                     opcode=8)
+                        break
                     if opcode in (None, 8):  # EOF / close
                         break
                     if opcode == 9:  # ping -> pong

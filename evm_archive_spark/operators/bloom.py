@@ -72,9 +72,29 @@ def bloom_build(
             bloom_positions(col, num_bits=num_bits, num_hashes=num_hashes)
         ).alias("p")
     )
-    return pos.groupBy(
+    built = pos.groupBy(
         F.floor(F.col("p") / WORD_BITS).cast("long").alias("word")
     ).agg(F.bit_or(_mask(F.col("p") % WORD_BITS)).alias("bits"))
+    return _stamp_params(built, num_bits, num_hashes)
+
+
+def _stamp_params(bloom_df: DataFrame, num_bits: int, num_hashes: int):
+    """Carry (num_bits, num_hashes) in the ``bits`` column metadata so
+    merge can refuse incompatible filters; survives select and parquet
+    round trips, invisible to row values."""
+    return bloom_df.withColumn(
+        "bits",
+        F.col("bits").alias(
+            "bits", metadata={"num_bits": num_bits, "num_hashes": num_hashes}
+        ),
+    )
+
+
+def _read_params(bloom_df: DataFrame):
+    md = dict(bloom_df.schema["bits"].metadata or {})
+    if "num_bits" in md and "num_hashes" in md:
+        return int(md["num_bits"]), int(md["num_hashes"])
+    return None
 
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:
@@ -87,13 +107,31 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     over the concatenated member sets — Bloom OR-composition is lossless
     by construction, so the merged filter's false-negative guarantee
     (none) survives.  One tiny-domain groupBy; never touches member
-    values again (test pins merge == rebuild bit-for-bit)."""
+    values again (test pins merge == rebuild bit-for-bit).
+
+    Filters built by ``bloom_build`` carry (num_bits, num_hashes) in the
+    ``bits`` column metadata; merging filters whose recorded parameters
+    disagree raises ``ValueError`` (the OR of differently-parameterized
+    filters silently loses the no-false-negative guarantee).  Filters
+    without metadata (hand-assembled word/bits rows) are accepted
+    unchecked."""
     if not filters:
         raise ValueError("bloom_merge needs at least one filter")
+    params = {p for p in (_read_params(f) for f in filters) if p is not None}
+    if len(params) > 1:
+        raise ValueError(
+            "bloom_merge: incompatible filter parameters "
+            f"{sorted(params)}; all inputs must share (num_bits, "
+            "num_hashes) or the merged filter loses its no-false-"
+            "negative guarantee"
+        )
     out = filters[0]
     for f in filters[1:]:
         out = out.unionByName(f)
-    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    merged = out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    if params:
+        merged = _stamp_params(merged, *params.pop())
+    return merged
 
 
 def bloom_dense(bloom_df: DataFrame, *, num_bits: int) -> list[int]:

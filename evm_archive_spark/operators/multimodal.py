@@ -141,7 +141,9 @@ def image_ahash(
 
     ``strict=True``: PNG payloads only, real pixels.  ``strict=False``:
     non-PNG payloads get the deterministic sha256 fake grid (plumbing
-    twin, same schema); PNG payloads are still really decoded."""
+    twin, same schema); PNG payloads are really decoded when the stdlib
+    codec can (corrupt or out-of-scope PNGs — 16-bit, Adam7 — fall back
+    to the fake instead of failing the job: strict=False never raises)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -155,9 +157,22 @@ def image_ahash(
 
         from .png import PngError, decode_png, is_png
 
+        def fake_grid(b: bytes) -> "np.ndarray":
+            h = hashlib.sha256(b).digest() * 2
+            return np.frombuffer(h, dtype=np.uint8)[:64].reshape(8, 8).astype(
+                np.float64
+            )
+
         def grid_of(b: bytes) -> "np.ndarray":
             if is_png(b):
-                rgba = decode_png(b)
+                try:
+                    rgba = decode_png(b)
+                except (PngError, NotImplementedError):
+                    if strict:
+                        raise
+                    # strict=False never fails the job: corrupt or
+                    # out-of-scope PNGs (16-bit, Adam7) take the fake
+                    return fake_grid(b)
                 h, w = rgba.shape[:2]
                 ys = (np.arange(8) * h // 8).clip(0, h - 1)
                 xs = (np.arange(8) * w // 8).clip(0, w - 1)
@@ -172,10 +187,7 @@ def image_ahash(
                     "strict aHash supports PNG only (stdlib decoder); "
                     "use strict=False for the deterministic fake"
                 )
-            h = hashlib.sha256(b).digest() * 2
-            return np.frombuffer(h, dtype=np.uint8)[:64].reshape(8, 8).astype(
-                np.float64
-            )
+            return fake_grid(b)
 
         for pdf in it:
             out = {"media_id": [], "ahash": []}
@@ -365,8 +377,9 @@ def frame_sample(
     encoder chunked or filtered them; plain PNGs yield their single
     frame; other containers raise ``NotImplementedError``.
     ``strict=False`` keeps the deterministic payload-derived fake (the
-    q_frame_sample oracle twin) for non-PNG payloads and still really
-    decodes PNG/APNG."""
+    q_frame_sample oracle twin) for non-PNG payloads, falls back to that
+    fake for corrupt/out-of-scope PNGs (never fails the job), and still
+    really decodes valid PNG/APNG."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -388,6 +401,17 @@ def frame_sample(
                 rows["frame_idx"].append(fi)
                 rows["frame_hash"].append(fh)
 
+            def emit_fake(mid, b):
+                n_frames = max(1, len(b) // 32)
+                for fi in range(0, n_frames, every_n):
+                    emit(
+                        mid,
+                        fi,
+                        hashlib.sha256(
+                            b + fi.to_bytes(4, "big")
+                        ).hexdigest()[:16],
+                    )
+
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload or b"")
                 if is_png(b):
@@ -404,8 +428,14 @@ def frame_sample(
                                     + rgba.tobytes()
                                 ).hexdigest()[:16],
                             )
-                    except PngError as e:
-                        raise ValueError(f"bad PNG payload {mid}: {e}") from e
+                    except (PngError, NotImplementedError) as e:
+                        if strict:
+                            raise ValueError(
+                                f"bad PNG payload {mid}: {e}"
+                            ) from e
+                        # strict=False never fails the job: corrupt or
+                        # out-of-scope PNGs take the deterministic fake
+                        emit_fake(mid, b)
                 elif strict:
                     raise NotImplementedError(
                         "strict frame sampling supports PNG/APNG only "
@@ -414,15 +444,7 @@ def frame_sample(
                         "strict=False for the deterministic fake"
                     )
                 else:
-                    n_frames = max(1, len(b) // 32)
-                    for fi in range(0, n_frames, every_n):
-                        emit(
-                            mid,
-                            fi,
-                            hashlib.sha256(
-                                b + fi.to_bytes(4, "big")
-                            ).hexdigest()[:16],
-                        )
+                    emit_fake(mid, b)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, out_schema)

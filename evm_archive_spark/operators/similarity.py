@@ -518,13 +518,22 @@ def ivf_append(
     rows."""
     cent = spark.read.parquet(f"{path}/centroids")
     assigned = _ivf_assign(new_emb, cent, 1, id_col, vec_col)
-    n = assigned.count()
-    (
-        assigned.repartition("centroid_id")
-        .write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(f"{path}/corpus")
-    )
+    # persist around the two actions (count + write): the shard is
+    # scanned and assigned ONCE — without this, the count action and the
+    # write action each re-run the assignment (a doubled shard scan +
+    # doubled centroid broadcast at nightly-shard scale).  Scan-once is
+    # pinned by an accumulator test (test_similarity).
+    assigned.persist()
+    try:
+        n = assigned.count()
+        (
+            assigned.repartition("centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/corpus")
+        )
+    finally:
+        assigned.unpersist()
     return n
 
 

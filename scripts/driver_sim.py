@@ -1,7 +1,10 @@
 """Driver-sim: run parity gates through a FRESH DEFAULT SparkSession
 (ANSI on, no engine configs), mirroring the external correctness gate.
 
-Usage: python scripts/driver_sim.py [sf_dir] [--head N] [--only a,b,c]
+Usage (from the repo root — scripts/ has no __init__.py, so the repo
+root must be on sys.path for both imports below):
+
+    PYTHONPATH=. python scripts/driver_sim.py [sf_dir] [--head N] [--only a,b,c]
 
 Default checks the first 50 registry entries (the graded window).
 """

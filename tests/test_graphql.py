@@ -380,3 +380,182 @@ def test_field_aliases(spark):
     )
     assert len(res["data"]["page"]["nodes"]) == 3
     assert res["extensions"]["cappedFields"] == ["page"]
+
+
+def _ws_subscribe(c, sub_id, doc):
+    c.send({"type": "connection_init"})
+    assert c.recv() == {"type": "connection_ack"}
+    c.send({"type": "subscribe", "id": sub_id, "payload": {"query": doc}})
+
+
+def test_subscription_fanout_memoized(spark):
+    """N listeners on one topic with the SAME inner query cost ONE
+    resolution per publish (grouped by canonical AST + variables); a
+    listener with a different query adds exactly one more."""
+    srv = serve(_tables(spark))
+    port = srv.server_address[1]
+    import time as _t
+
+    same = ('subscription { listen(topic: "logs") '
+            "{ query { allLogs { totalCount } } } }")
+    other = ('subscription { listen(topic: "logs") '
+             "{ query { allPrices { totalCount } } } }")
+    clients = []
+    try:
+        for i in range(3):
+            c = _WsClient(port)
+            _ws_subscribe(c, f"s{i}", same)
+            clients.append(c)
+        c3 = _WsClient(port)
+        _ws_subscribe(c3, "sx", other)
+        clients.append(c3)
+        for _ in range(100):
+            if len(srv.hub._subs) == 4:
+                break
+            _t.sleep(0.05)
+        before = srv.hub.resolutions
+        assert srv.publish("logs") == 4
+        # 4 deliveries, but only 2 distinct inner queries resolved
+        assert srv.hub.resolutions - before == 2
+        total = len(fixtures.logs_rows())
+        for c in clients[:3]:
+            msg = c.recv()
+            assert msg["type"] == "next"
+            assert msg["payload"]["data"]["listen"]["query"]["allLogs"][
+                "totalCount"
+            ] == total
+        msg = clients[3].recv()
+        assert msg["type"] == "next"
+        assert "allPrices" in msg["payload"]["data"]["listen"]["query"]
+    finally:
+        for c in clients:
+            c.close()
+        srv.shutdown()
+
+
+def test_subscription_error_isolated(spark):
+    """A subscription whose inner query fails at resolve time (unknown
+    column — subscribe-time validation does not check columns) gets a
+    graphql-transport-ws 'error' and is dropped; healthy subscriptions
+    on the same topic still receive 'next' in the same publish."""
+    srv = serve(_tables(spark))
+    port = srv.server_address[1]
+    import time as _t
+
+    good_doc = ('subscription { listen(topic: "logs") '
+                "{ query { allLogs { totalCount } } } }")
+    bad_doc = ('subscription { listen(topic: "logs") '
+               "{ query { allLogs { nodes { noSuchColumn } } } } }")
+    good, bad = _WsClient(port), _WsClient(port)
+    try:
+        _ws_subscribe(good, "g", good_doc)
+        _ws_subscribe(bad, "b", bad_doc)
+        for _ in range(100):
+            if len(srv.hub._subs) == 2:
+                break
+            _t.sleep(0.05)
+        # one healthy delivery; the bad group errors out without
+        # starving the healthy one
+        assert srv.publish("logs") == 1
+        msg = good.recv()
+        assert msg["type"] == "next" and msg["id"] == "g"
+        err = bad.recv()
+        assert err["type"] == "error" and err["id"] == "b"
+        assert "noSuchColumn" in err["payload"][0]["message"]
+        # the errored subscription was terminated server-side
+        assert srv.publish("logs") == 1
+        assert msg == good.recv()
+    finally:
+        good.close()
+        bad.close()
+        srv.shutdown()
+
+
+def test_ws_oversize_frame_closed(spark):
+    """A frame header claiming more than WS_MAX_FRAME bytes draws a
+    close frame (1009 message-too-big), not an unbounded read."""
+    t = {"logs": spark.range(3).selectExpr("id AS block_number")}
+    srv = serve(t)
+    port = srv.server_address[1]
+    try:
+        c = _WsClient(port)
+        # 64-bit length header announcing 2 GiB; no payload follows
+        import os as _os
+
+        mask = _os.urandom(4)
+        head = bytes([0x81, 0x80 | 127]) + (1 << 31).to_bytes(8, "big")
+        c.sock.sendall(head + mask)
+        h = c._read(2)
+        assert (h[0] & 0x0F) == 8  # close frame
+        n = h[1] & 0x7F
+        code = int.from_bytes(c._read(n)[:2], "big")
+        assert code == 1009
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_ws_missing_key_rejected(spark):
+    """Upgrade request without Sec-WebSocket-Key -> 400, not a 101
+    handshake with a bogus accept hash."""
+    import socket
+
+    t = {"logs": spark.range(3).selectExpr("id AS block_number")}
+    srv = serve(t)
+    port = srv.server_address[1]
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.sendall(
+            b"GET /graphql HTTP/1.1\r\nHost: x\r\n"
+            b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            b"Sec-WebSocket-Version: 13\r\n\r\n"
+        )
+        resp = s.recv(4096)
+        assert resp.split(b"\r\n", 1)[0].split(b" ")[1] == b"400", resp
+        s.close()
+    finally:
+        srv.shutdown()
+
+
+def test_introspection_subset(spark):
+    """__schema/__type subset: a schema-browsing client can list the
+    Query fields and each row type's columns (Postgraphile auto-serves
+    this to every GraphiQL session; reference docker-compose.yaml:46-72)."""
+    t = _tables(spark)
+    res = execute(
+        """
+        {
+          __schema {
+            queryType { name fields { name type { kind name
+              ofType { kind name } } } }
+            types { kind name fields { name type { name } } }
+          }
+        }
+        """,
+        t,
+    )
+    assert "errors" not in res, res
+    schema = res["data"]["__schema"]
+    assert schema["queryType"]["name"] == "Query"
+    qfields = {f["name"]: f for f in schema["queryType"]["fields"]}
+    assert "allLogs" in qfields and "allPrices" in qfields
+    assert qfields["allLogs"]["type"]["kind"] == "LIST"
+    assert qfields["allLogs"]["type"]["ofType"]["name"] == "Log"
+    types = {x["name"]: x for x in schema["types"]}
+    log_cols = {f["name"] for f in types["Log"]["fields"]}
+    assert {"blockNumber", "address"} <= log_cols
+    assert types["String"]["kind"] == "SCALAR"
+
+    # __type(name:) direct lookup, with scalar mapping on a column
+    res = execute(
+        '{ __type(name: "Log") { name fields { name type { name } } } }', t
+    )
+    assert "errors" not in res, res
+    fields = {f["name"]: f["type"]["name"]
+              for f in res["data"]["__type"]["fields"]}
+    assert fields["blockNumber"] == "Int"
+    assert fields["address"] == "String"
+
+    # unknown type resolves to null, not an error
+    res = execute('{ __type(name: "Nope") { name } }', t)
+    assert res["data"]["__type"] is None

@@ -3588,3 +3588,62 @@ def test_incremental_corpus_update_state_round_trip(spark):
     ])
     surv2, _, _ = incremental_corpus_update(s2, seen2, bands2, **kw)
     assert sorted(r.doc_id for r in surv2.collect()) == [12]
+
+
+def test_bloom_merge_rejects_mismatched_params(spark):
+    """ADVICE r4: merging filters built with different (num_bits,
+    num_hashes) silently loses the no-false-negative guarantee —
+    bloom_build stamps the parameters in the bits column metadata and
+    bloom_merge raises on disagreement; metadata-free inputs (hand-built
+    word/bits rows) stay accepted."""
+    import pytest as _pytest
+
+    from evm_archive_spark.operators.bloom import bloom_build, bloom_merge
+
+    shard = spark.createDataFrame([(f"g{i}",) for i in range(20)], ["v"])
+    a = bloom_build(shard, "v", num_bits=1 << 12, num_hashes=4)
+    b = bloom_build(shard, "v", num_bits=1 << 13, num_hashes=4)
+    c = bloom_build(shard, "v", num_bits=1 << 12, num_hashes=5)
+    with _pytest.raises(ValueError, match="incompatible"):
+        bloom_merge(a, b)
+    with _pytest.raises(ValueError, match="incompatible"):
+        bloom_merge(a, c)
+    # compatible inputs merge, and the output carries the params onward
+    m = bloom_merge(a, bloom_build(shard, "v", num_bits=1 << 12, num_hashes=4))
+    md = dict(m.schema["bits"].metadata)
+    assert (md["num_bits"], md["num_hashes"]) == (1 << 12, 4)
+    # a second-generation merge still checks (params survived)
+    with _pytest.raises(ValueError, match="incompatible"):
+        bloom_merge(m, b)
+    # metadata-free input: unchecked, merges fine
+    plain = a.select("word", F.col("bits").alias("bits"))
+    assert bloom_merge(a, plain).count() == a.count()
+
+
+def test_ivf_append_scans_shard_once(spark, tmp_path):
+    """VERDICT r4 #2: ivf_append persists the assignment around its two
+    actions (count + write) so the shard source is scanned ONCE — pinned
+    with an accumulator on a pass-through mapInPandas wrapper: the old
+    double-evaluation shape would count every row twice."""
+    from evm_archive_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_once")
+    similarity.ivf_persist(
+        emb.filter("vec_id % 2 = 0"), path, n_centroids=4, iters=1
+    )
+    shard = emb.filter("vec_id % 2 = 1")
+    n_shard = shard.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    wrapped = shard.mapInPandas(counted, shard.schema)
+    appended = similarity.ivf_append(spark, wrapped, path)
+    assert appended == n_shard
+    assert acc.value == n_shard, (
+        f"shard scanned {acc.value / n_shard:.1f}x, expected once"
+    )

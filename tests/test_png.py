@@ -445,3 +445,45 @@ def test_frame_sample_strict_real_apng(spark):
         multimodal.frame_sample(bad, strict=True).collect()
     fake = multimodal.frame_sample(bad, every_n=1, strict=False).collect()
     assert len(fake) == 1
+
+
+def test_nonstrict_fallback_on_out_of_scope_png(spark):
+    """ADVICE r4: strict=False must NEVER fail the job — a valid-but-
+    out-of-scope PNG (16-bit depth, rejected by the stdlib decoder) and
+    a corrupt PNG (bad CRC) fall back to the deterministic sha256 fake
+    in image_ahash and frame_sample, while strict=True still raises."""
+    px = rng_pixels(4, 4 * 4)
+    good = encode_png(px.reshape(4, 4, 4))
+    deep = build_png(px, color_type=6, depth=16)       # out of scope
+    corrupt = bytearray(build_png(px, color_type=6))
+    corrupt[corrupt.index(b"IDAT") + 6] ^= 0xFF        # CRC mismatch
+    corrupt = bytes(corrupt)
+    media = _media_df(spark, [good, deep, corrupt, b"not png at all"])
+
+    rows = multimodal.image_ahash(media, strict=False).collect()
+    assert len(rows) == 4  # nothing raised, every payload hashed
+    frames = multimodal.frame_sample(media, every_n=1, strict=False).collect()
+    assert {r["media_id"] for r in frames} == {0, 1, 2, 3}
+    # the fallback is the documented fake, not a zeroed placeholder:
+    # same recipe as a non-PNG payload of the same bytes
+    by_id = {r["media_id"]: r["ahash"] for r in rows}
+    import hashlib as _h
+
+    h = _h.sha256(deep).digest() * 2
+    g = np.frombuffer(h, dtype=np.uint8)[:64].reshape(8, 8).astype(float)
+    want = 0
+    for bit in (g > g.mean()).flatten():
+        want = (want << 1) | int(bit)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert by_id[1] == want
+
+    # strict mode still fails loudly on both
+    with pytest.raises(Exception, match="bit depth|PNG|Png"):
+        multimodal.image_ahash(
+            _media_df(spark, [deep]), strict=True
+        ).collect()
+    with pytest.raises(Exception, match="CRC|PNG|Png"):
+        multimodal.frame_sample(
+            _media_df(spark, [corrupt]), strict=True
+        ).collect()
