@@ -312,6 +312,32 @@ def audio_features(
     return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+def _ahash_bands(hash_col: str, max_hamming: int) -> list:
+    """The pigeonhole band split shared by the pairwise join and the
+    persisted index: ``max_hamming + 1`` disjoint bit ranges of the
+    64-bit aHash — a pair within ``max_hamming`` differing bits agrees
+    on at least one whole band.  Returns the array of (bi, bv) structs
+    to explode."""
+    nb = max_hamming + 1
+    if nb > 64:
+        raise ValueError("max_hamming must be < 64")
+    width = 64 // nb
+    bands = []
+    for i in range(nb):
+        lo = i * width
+        w = width if i < nb - 1 else 64 - lo  # last band takes the tail
+        mask = (1 << w) - 1
+        bands.append(
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.expr(
+                    f"shiftrightunsigned({hash_col}, {lo}) & {mask}"
+                ).alias("bv"),
+            )
+        )
+    return bands
+
+
 def image_near_duplicates(
     hashes: DataFrame,
     max_hamming: int = 4,
@@ -330,23 +356,7 @@ def image_near_duplicates(
     Returns ``(id_a, id_b, hamming)``.  Scale shape: explode is
     map-side (nb rows per image), the candidate join shuffles on compact
     (band, bits) keys, verify touches candidates only."""
-    nb = max_hamming + 1
-    if nb > 64:
-        raise ValueError("max_hamming must be < 64")
-    width = 64 // nb
-    bands = []
-    for i in range(nb):
-        lo = i * width
-        w = width if i < nb - 1 else 64 - lo  # last band takes the tail
-        mask = (1 << w) - 1
-        bands.append(
-            F.struct(
-                F.lit(i).alias("bi"),
-                F.expr(
-                    f"shiftrightunsigned({hash_col}, {lo}) & {mask}"
-                ).alias("bv"),
-            )
-        )
+    bands = _ahash_bands(hash_col, max_hamming)
     ex = hashes.select(
         F.col(id_col).alias("__id"),
         F.col(hash_col).alias("__h"),
@@ -372,6 +382,124 @@ def image_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def image_dedup_pipeline(
+    media: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """End-to-end image near-dup dedup — the multimodal mirror of the
+    text lane's ``dedup.near_duplicate_pipeline``: perceptual aHash
+    (one map-side mapInPandas decode pass — the corpus payloads are
+    scanned ONCE, plan-pinned) -> pigeonhole-banded Hamming join
+    (complete, no all-pairs) -> connected components -> one survivor
+    (min id) per visual cluster.
+
+    Returns surviving ``(media_id, ahash)`` rows — the hash rides along
+    so survivors can be appended straight into a persisted
+    ``image_hash_index`` (the incremental lane's state)."""
+    from .dedup import connected_components
+
+    # materialize the hashes ONCE: the lane references them three times
+    # (both sides of the band join + the survivor join-back), and without
+    # the cut each reference would re-run the mapInPandas DECODE over the
+    # corpus payloads — the expensive stage at 100 TB.  The checkpoint
+    # stores ~16 bytes/image; scan-once is accumulator-pinned in tests.
+    hashes = image_ahash(
+        media, payload_col, id_col, strict=strict
+    ).localCheckpoint(eager=True)
+    pairs = image_near_duplicates(hashes, max_hamming, id_col, "ahash")
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return hashes.join(losers, id_col, "left_anti")
+
+
+def image_hash_index(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Persistable banded index of admitted image hashes: one row per
+    (band index, band value, id, full hash) — the image counterpart of
+    ``dedup.minhash_band_index``.  The full hash rides along so the
+    incremental probe can verify Hamming distance exactly without
+    re-reading (or re-decoding) any admitted image: the index IS the
+    corpus state, ~5 rows x 16 bytes per image at max_hamming=4."""
+    return hashes.select(
+        F.col(id_col).alias(id_col),
+        F.col(hash_col).alias("ahash"),
+        F.explode(F.array(*_ahash_bands(hash_col, max_hamming))).alias(
+            "__b"
+        ),
+    ).select(id_col, "ahash", "__b.bi", "__b.bv")
+
+
+def persist_image_hash_index(
+    spark,
+    index_df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Persist an ``image_hash_index`` bucketed by (bi, bv) and return
+    the catalog-backed DataFrame — same one-sided-shuffle contract as
+    ``dedup.persist_minhash_band_index``: the incremental probe's SMJ
+    reads the (corpus-sized) index in place with zero Exchange; only the
+    incoming shard's band rows shuffle.  Append survivors' index rows
+    with ``.mode('append')`` through the same bucket spec."""
+    from .. import storage
+
+    storage.write_bucketed(index_df, table, path, ["bi", "bv"], n_buckets)
+    return spark.table(table)
+
+
+def incremental_image_dedup(
+    new_media: DataFrame,
+    index: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Dedup an incoming image shard against a persisted
+    ``image_hash_index`` WITHOUT re-reading any admitted image — the
+    multimodal mirror of ``dedup.incremental_minhash_dedup``, and
+    stronger: because the index carries full hashes, the probe verifies
+    ``bit_count(xor) <= max_hamming`` exactly, so the decision equals
+    the batch pipeline's (complete by pigeonhole, zero false positives
+    from band collisions).
+
+    Stages: (1) within-shard dedup (``image_dedup_pipeline``); (2) band
+    equi-join of shard hashes against the index on (bi, bv) — one-sided
+    shuffle when the index is bucketed; (3) exact Hamming verify on the
+    candidates; (4) anti-join hits out.  Returns surviving
+    ``(media_id, ahash)`` rows, ready to append via
+    ``image_hash_index(survivors)``."""
+    within = image_dedup_pipeline(
+        new_media, max_hamming, id_col, payload_col, strict
+    )
+    shard_bands = image_hash_index(within, max_hamming, id_col, "ahash")
+    hits = (
+        shard_bands.withColumnRenamed("ahash", "__new_hash")
+        .join(
+            index.select(
+                "bi", "bv", F.col("ahash").alias("__old_hash")
+            ),
+            ["bi", "bv"],
+        )
+        .filter(
+            F.expr("bit_count(__new_hash ^ __old_hash)") <= max_hamming
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return within.join(hits, id_col, "left_anti")
 
 
 def frame_sample(

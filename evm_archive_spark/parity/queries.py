@@ -6035,6 +6035,158 @@ _add(
 )
 
 
+# [pair] end-to-end image dedup lane (r5) — the composed multimodal
+# mirror of q_neardup_pipeline: aHash -> pigeonhole-banded Hamming join
+# -> connected components -> min-id survivors.  strict=False fake
+# hashes so DuckDB replays the whole lane bit-for-bit; payload 'p' ||
+# (doc_id DIV 3) plants 3-member visual clusters, so the component
+# stage does transitive work, not just pair-drop.  The REAL-pixel path
+# is pytest-gated (test_png.py image-dedup tests — binary fixtures
+# can't live in SQL).
+
+# shared oracle prefix: fake 8x8 grid bits + pigeonhole bands for
+# max_hamming=4 (widths 12,12,12,12,16), replayed at bit level.
+_IMG_BITS_SQL = (
+    "m AS (SELECT doc_id AS media_id, "
+    "  sha256('p' || CAST(doc_id // 3 AS VARCHAR)) AS hx FROM documents), "
+    "bytes AS (SELECT media_id, i, "
+    "  CAST(('0x' || substring(hx, ((i % 32) * 2) + 1, 2)) AS BIGINT) AS v "
+    "  FROM m, UNNEST(generate_series(0, 63)) u(i)), "
+    "mu AS (SELECT media_id, SUM(v) / 64.0 AS mean FROM bytes GROUP BY 1), "
+    "bits AS (SELECT b.media_id, b.i, "
+    "  CASE WHEN b.v > mu.mean THEN 1 ELSE 0 END AS bit "
+    "  FROM bytes b JOIN mu USING (media_id)), "
+    "bands AS (SELECT media_id, bi, SUM(bit * (CAST(1 AS BIGINT) << "
+    "  CAST(p - lo AS INT))) AS bv FROM ("
+    "  SELECT media_id, p, bit, "
+    "    CASE WHEN p >= 48 THEN 4 ELSE p // 12 END AS bi, "
+    "    CASE WHEN p >= 48 THEN 48 ELSE (p // 12) * 12 END AS lo "
+    "  FROM (SELECT media_id, 63 - i AS p, bit FROM bits)) "
+    "  GROUP BY media_id, bi), "
+)
+
+
+def _img_lane_sql(pred: str, tag: str) -> str:
+    """Oracle CTEs for one batch image-dedup lane over the subset of
+    media ids matching predicate ``pred`` (a format string taking the
+    id expression as ``{id}``): banded candidates -> exact Hamming
+    verify -> recursive-CTE components -> admitted set ``adm{tag}``."""
+    return (
+        f"cand{tag} AS (SELECT DISTINCT a.media_id AS id_a, "
+        f"  b.media_id AS id_b FROM bands a JOIN bands b "
+        f"  ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id "
+        f"  WHERE ({pred.format(id='a.media_id')}) "
+        f"  AND ({pred.format(id='b.media_id')})), "
+        f"ham{tag} AS (SELECT c.id_a, c.id_b FROM cand{tag} c "
+        f"  JOIN bits x ON x.media_id = c.id_a "
+        f"  JOIN bits y ON y.media_id = c.id_b AND y.i = x.i "
+        f"  GROUP BY c.id_a, c.id_b "
+        f"  HAVING SUM(abs(x.bit - y.bit)) <= 4), "
+        f"e{tag} AS (SELECT id_a AS src, id_b AS dst FROM ham{tag} "
+        f"  UNION SELECT id_b, id_a FROM ham{tag}), "
+        f"r{tag} AS (SELECT src AS node, src AS mm FROM e{tag} "
+        f"  UNION SELECT e{tag}.src, r{tag}.mm "
+        f"  FROM e{tag} JOIN r{tag} ON r{tag}.node = e{tag}.dst), "
+        f"comp{tag} AS (SELECT node, MIN(mm) AS component "
+        f"  FROM r{tag} GROUP BY node), "
+        f"adm{tag} AS (SELECT media_id FROM m "
+        f"  WHERE ({pred.format(id='media_id')}) AND media_id NOT IN "
+        f"  (SELECT node FROM comp{tag} WHERE node <> component)), "
+    )
+
+
+def _img_media(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    return fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("p"), F.expr("CAST(doc_id DIV 3 AS STRING)")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
+def _q_image_dedup(spark, sf_dir):
+    from ..operators.multimodal import image_dedup_pipeline
+
+    out = image_dedup_pipeline(
+        _img_media(spark, sf_dir), max_hamming=4, strict=False
+    )
+    return out.select(F.col("media_id").cast("long")).orderBy("media_id")
+
+
+_add(
+    "q_image_dedup",
+    _q_image_dedup,
+    "WITH RECURSIVE "
+    + _IMG_BITS_SQL
+    + _img_lane_sql("{id} IS NOT NULL", "A").rstrip(", ")
+    + " SELECT media_id FROM admA ORDER BY media_id NULLS FIRST",
+    "end-to-end image dedup lane (aHash -> banded Hamming -> components "
+    "-> min-id survivors) == full bit-level recursive-CTE replay",
+)
+
+
+# [pair] incremental image dedup vs a persisted hash index (r5) — the
+# multimodal mirror of q_incr_minhash, with an exact-verify advantage:
+# the index carries full hashes, so the probe decision (banded
+# candidates + bit_count verify) equals the oracle's all-admitted
+# all-pairs Hamming decision exactly — complete by pigeonhole, no
+# probabilistic escape.  Corpus/shard split is by PAYLOAD GROUP so all
+# three incremental behaviors fire at every SF: even groups are fully
+# corpus, groups ≡1 (mod 10) are split (first member corpus, rest
+# shard -> within-shard dedup, then deterministic cross-drop), and the
+# remaining odd groups are fully shard (novel -> admitted).
+
+_IMG_CORPUS_PRED_SQL = (
+    "(({id} // 3) % 2 = 0) OR (({id} // 3) % 10 = 1 AND {id} % 3 = 0)"
+)
+_IMG_CORPUS_PRED_SPARK = (
+    "((media_id DIV 3) % 2 = 0) "
+    "OR ((media_id DIV 3) % 10 = 1 AND media_id % 3 = 0)"
+)
+
+
+def _q_incr_image(spark, sf_dir):
+    from ..operators.multimodal import (
+        image_dedup_pipeline,
+        image_hash_index,
+        incremental_image_dedup,
+    )
+
+    media = _img_media(spark, sf_dir)
+    corpus = media.filter(F.expr(_IMG_CORPUS_PRED_SPARK))
+    shard = media.filter(~F.expr(_IMG_CORPUS_PRED_SPARK))
+    admitted = image_dedup_pipeline(corpus, max_hamming=4, strict=False)
+    index = image_hash_index(admitted, max_hamming=4)
+    out = incremental_image_dedup(shard, index, max_hamming=4, strict=False)
+    return out.select(F.col("media_id").cast("long")).orderBy("media_id")
+
+
+_add(
+    "q_incr_image",
+    _q_incr_image,
+    "WITH RECURSIVE "
+    + _IMG_BITS_SQL
+    + _img_lane_sql(_IMG_CORPUS_PRED_SQL, "A")
+    + _img_lane_sql(f"NOT ({_IMG_CORPUS_PRED_SQL})", "B")
+    + "crosscand AS (SELECT DISTINCT x.media_id AS idb, y.media_id AS ida "
+    "  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bv = y.bv "
+    "  WHERE x.media_id IN (SELECT media_id FROM admB) "
+    "  AND y.media_id IN (SELECT media_id FROM admA)), "
+    "crossdrop AS (SELECT c.idb FROM crosscand c "
+    "  JOIN bits x ON x.media_id = c.idb "
+    "  JOIN bits y ON y.media_id = c.ida AND y.i = x.i "
+    "  GROUP BY c.idb, c.ida "
+    "  HAVING SUM(abs(x.bit - y.bit)) <= 4) "
+    "SELECT media_id FROM admB "
+    "WHERE media_id NOT IN (SELECT idb FROM crossdrop) "
+    "ORDER BY media_id NULLS FIRST",
+    "incremental image dedup vs persisted hash index == within-shard "
+    "lane + exact cross-Hamming drop, all replayed at bit level",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

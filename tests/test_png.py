@@ -487,3 +487,95 @@ def test_nonstrict_fallback_on_out_of_scope_png(spark):
         multimodal.frame_sample(
             _media_df(spark, [corrupt]), strict=True
         ).collect()
+
+
+def test_image_dedup_pipeline_end_to_end_and_scan_once(spark):
+    """VERDICT r4 #6: aHash -> banded Hamming join -> components ->
+    survivors over REAL decoded images, and the corpus payloads are
+    decoded exactly once (accumulator pin on a pass-through wrapper —
+    the naive plan would decode 3x: both join sides + the join-back)."""
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, size=(32, 32, 4), dtype=np.uint8)
+    base[:, :, 3] = 255
+
+    def perturb(img, cells):
+        out = img.copy()
+        for (cy, cx) in cells:
+            block = out[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4, :3]
+            out[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4, :3] = 255 - block
+        return out
+
+    far = rng.integers(0, 256, size=(32, 32, 4), dtype=np.uint8)
+    far[:, :, 3] = 255
+    # 0 and 1: identical; 2: tiny perturbation of base; 3: unrelated
+    payloads = [
+        encode_png(base),
+        encode_png(base),
+        encode_png(perturb(base, [(0, 0)])),
+        encode_png(far),
+    ]
+    media = _media_df(spark, payloads)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    wrapped = media.mapInPandas(counted, media.schema)
+    survivors = multimodal.image_dedup_pipeline(
+        wrapped, max_hamming=8, strict=True
+    )
+    ids = sorted(r["media_id"] for r in survivors.collect())
+    # cluster {0,1,2} -> min id 0 survives; 3 is alone
+    assert ids == [0, 3]
+    assert acc.value == 4, f"decoded {acc.value} payloads, expected 4"
+    # survivors carry the hash for index append
+    assert set(survivors.columns) == {"media_id", "ahash"}
+
+
+def test_incremental_image_dedup_against_persisted_index(spark, tmp_path):
+    """Incremental form of the image lane: shard B probed against the
+    PERSISTED index of admitted A — admitted B images are exactly those
+    not within max_hamming of any A hash (exact-verify via the full
+    hash riding in the index), without re-reading any A payload."""
+    rng = np.random.default_rng(37)
+    imgs = []
+    for _ in range(3):
+        im = rng.integers(0, 256, size=(32, 32, 4), dtype=np.uint8)
+        im[:, :, 3] = 255
+        imgs.append(im)
+    a_payloads = [encode_png(imgs[0]), encode_png(imgs[1])]
+    # shard B: a re-encode of A's first image (dup), plus a fresh one
+    b_payloads = [encode_png(imgs[0]), encode_png(imgs[2])]
+
+    media_a = _media_df(spark, a_payloads)
+    admitted_a = multimodal.image_dedup_pipeline(
+        media_a, max_hamming=6, strict=True
+    )
+    idx = multimodal.image_hash_index(admitted_a, max_hamming=6)
+    spark.sql("DROP TABLE IF EXISTS img_idx_t")
+    index = multimodal.persist_image_hash_index(
+        spark, idx, "img_idx_t", str(tmp_path / "imgidx"), n_buckets=8
+    )
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"media_id": [10, 11], "payload": b_payloads}
+    )
+    media_b = spark.createDataFrame(pdf)
+    admitted_b = multimodal.incremental_image_dedup(
+        media_b, index, max_hamming=6, strict=True
+    )
+    assert [r["media_id"] for r in admitted_b.collect()] == [11]
+
+    # append the survivors' band rows; a replay of the same shard now
+    # admits nothing (the persisted state does the remembering)
+    multimodal.image_hash_index(admitted_b, max_hamming=6).write.insertInto(
+        "img_idx_t"
+    )
+    again = multimodal.incremental_image_dedup(
+        media_b, spark.table("img_idx_t"), max_hamming=6, strict=True
+    )
+    assert again.count() == 0

@@ -273,3 +273,86 @@ def test_incremental_minhash_bucketed_index_one_sided(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_mh_band_idx")
+
+
+def test_incremental_image_index_bucketed_one_sided(spark, tmp_path):
+    """The image mirror of the MinHash one-sided pin (VERDICT r4 #6): a
+    persisted image_hash_index bucketed by (bi, bv) joins the incoming
+    shard's band rows with ZERO Exchange above the bucketed index scan,
+    and the bucketed probe's admissions equal the unbucketed path's."""
+    import contextlib
+    import io
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from evm_archive_spark.operators import multimodal
+    from evm_archive_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(41)
+
+    def img_bytes(seed):
+        im = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+        im[:, :, 3] = 255
+        return encode_png(im)
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": range(20), "payload": [img_bytes(i) for i in range(20)]}
+        )
+    )
+    shard = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": range(100, 110),
+             "payload": [img_bytes(i) for i in range(10)]}
+        )
+    )
+    admitted = multimodal.image_dedup_pipeline(corpus, strict=True)
+    idx = multimodal.image_hash_index(admitted)
+    spark.sql("DROP TABLE IF EXISTS t_img_band_idx")
+    bucketed = multimodal.persist_image_hash_index(
+        spark, idx, "t_img_band_idx", str(tmp_path / "img_idx"), n_buckets=4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        survivors = multimodal.incremental_image_dedup(
+            shard, bucketed, strict=True
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            survivors.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert re.search(r"Bucketed: true", plan), plan
+        tree = [
+            ln for ln in plan.splitlines() if re.search(r"[+:]- \(?\w|^\w", ln)
+        ]
+        scan_i = next(
+            i for i, ln in enumerate(tree) if "t_img_band_idx" in ln
+        )
+        depth = tree[scan_i].index("- ")
+        ancestors = []
+        for ln in reversed(tree[:scan_i]):
+            d = ln.index("- ") if "- " in ln else -1
+            if d < depth:
+                ancestors.append(ln)
+                depth = d
+                if "SortMergeJoin" in ln:
+                    break
+        assert any("SortMergeJoin" in ln for ln in ancestors), plan
+        assert not any("Exchange" in ln for ln in ancestors), (
+            f"Exchange above the bucketed index scan:\n{plan}"
+        )
+        got = sorted(r["media_id"] for r in survivors.collect())
+        want = sorted(
+            r["media_id"]
+            for r in multimodal.incremental_image_dedup(
+                shard, idx, strict=True
+            ).collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_img_band_idx")
