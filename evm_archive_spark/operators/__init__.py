@@ -123,15 +123,21 @@ _EXPORTS = {
     "prepare_training_corpus": "corpus",
     "corpus_profile": "corpus",
     "incremental_corpus_update": "corpus",
+    "stream_corpus_admission": "corpus",
     # multimodal (real PNG/APNG/WAV codecs behind strict=True)
     "decode_images": "multimodal",
     "resize_images": "multimodal",
     "frame_sample": "multimodal",
+    "image_dedup_pipeline": "multimodal",
+    "image_hash_index": "multimodal",
+    "persist_image_hash_index": "multimodal",
+    "incremental_image_dedup": "multimodal",
     "image_ahash": "multimodal",
     "image_near_duplicates": "multimodal",
     "audio_features": "multimodal",
     "synthetic_media": "multimodal",
     "decode_png": "png",
+    "decode_jpeg": "jpeg",
     "encode_png": "png",
     "decode_apng_frames": "png",
     "decode_wav": "wav",

@@ -88,6 +88,7 @@ def incremental_corpus_update(
     method: str = "md5",
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = False,
 ):
     """The composed NIGHTLY-SHARD lane: admit a new shard into a corpus
     whose text is never re-read, using only its persisted state — the
@@ -106,7 +107,12 @@ def incremental_corpus_update(
     deltas to the state tables (parquet / bucketed per
     persist_minhash_band_index) and the next shard repeats.  Survivor
     rows carry ``n_tokens`` so downstream mixing/packing reuses the
-    count without re-tokenizing."""
+    count without re-tokenizing.
+
+    ``materialize=True`` localCheckpoints the survivor set before the
+    deltas are derived — the right call when all three outputs get
+    written (the streaming admission path): one evaluation of the lane
+    instead of three."""
     from .dedup import (
         incremental_exact_dedup,
         incremental_minhash_dedup,
@@ -124,6 +130,8 @@ def incremental_corpus_update(
         exact, band_index, id_col=id_col, text_col=text_col,
         num_perm=num_perm, bands=bands, k=k, method=method,
     )
+    if materialize:
+        survivors = survivors.localCheckpoint(eager=True)
     digest_delta = survivors.select(F.md5(text_col).alias("digest")).distinct()
     band_delta = minhash_band_index(
         survivors, id_col=id_col, text_col=text_col,
@@ -154,3 +162,78 @@ def corpus_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum((F.col("lang_pred") == "en").cast("long")).alias("n_en"),
         F.sum((F.col("lang_pred") == "und").cast("long")).alias("n_und"),
     )
+
+
+def stream_corpus_admission(
+    docs_stream: DataFrame,
+    state_dir: str,
+    *,
+    min_tokens: int = 20,
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    method: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """The STREAMING face of the nightly-shard admission lane (VERDICT
+    r4 #7): wire ``incremental_corpus_update`` into ``foreachBatch`` so
+    a live document ingest feeds the SAME persisted dedup state the
+    batch lane (gate q_incr_corpus) maintains — each micro-batch is
+    admitted against the state as of the previous batch, then appends
+    its survivor rows and both state deltas transactionally-enough for
+    the availableNow replay semantics (foreachBatch re-runs a failed
+    batch; all three writes are idempotent-by-replacement only at the
+    batch level, the standard Spark foreachBatch contract).
+
+    Layout under ``state_dir``:
+      ``digests/``   — seen content digests (append-only)
+      ``bands/``     — MinHash band index rows (append-only; bucket via
+                       persist_minhash_band_index when it outgrows
+                       plain parquet)
+      ``survivors/`` — admitted document rows (+ n_tokens)
+      ``_checkpoint``— streaming checkpoint
+
+    Returns the started StreamingQuery.  Test pins: two micro-batches
+    through this == the sequential batch replay of the same shards
+    (earlier corpus text never re-read), with a cross-batch near-dup
+    actually dropped by the persisted band state."""
+    import os
+
+    lane_kw = dict(
+        min_tokens=min_tokens, num_perm=num_perm, bands=bands, k=k,
+        method=method, id_col=id_col, text_col=text_col,
+    )
+    digests_path = os.path.join(state_dir, "digests")
+    bands_path = os.path.join(state_dir, "bands")
+    survivors_path = os.path.join(state_dir, "survivors")
+
+    def admit(batch_df, batch_id):
+        s = batch_df.sparkSession
+        if os.path.exists(digests_path):
+            seen = s.read.parquet(digests_path)
+        else:
+            seen = s.createDataFrame([], "digest string")
+        if os.path.exists(bands_path):
+            idx = s.read.parquet(bands_path)
+        else:
+            idx = s.createDataFrame(
+                [], f"{id_col} long, band int, bhash string"
+            )
+        surv, ddelta, bdelta = incremental_corpus_update(
+            batch_df, seen, idx, materialize=True, **lane_kw
+        )
+        surv.write.mode("append").parquet(survivors_path)
+        ddelta.write.mode("append").parquet(digests_path)
+        bdelta.write.mode("append").parquet(bands_path)
+
+    writer = docs_stream.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -3647,3 +3647,70 @@ def test_ivf_append_scans_shard_once(spark, tmp_path):
     assert acc.value == n_shard, (
         f"shard scanned {acc.value / n_shard:.1f}x, expected once"
     )
+
+
+def test_stream_corpus_admission_equals_sequential_replay(spark, tmp_path):
+    """VERDICT r4 #7: the composed nightly-shard admission lane run from
+    foreachBatch — two micro-batches through stream_corpus_admission
+    produce exactly the survivors of the sequential batch-mode
+    admission of the same shards against the same persisted state
+    (quality -> exact-incr -> minhash-incr), with a cross-batch exact
+    dup AND a cross-batch near-dup dropped by the persisted state."""
+    from evm_archive_spark.operators.corpus import (
+        incremental_corpus_update,
+        stream_corpus_admission,
+    )
+
+    kw = dict(min_tokens=4, num_perm=8, bands=4, k=5, method="md5")
+    long_a = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    rows1 = [
+        (0, long_a + "first anchor document body"),
+        (1, "short"),                                  # quality-pruned
+        (2, long_a + "first anchor document body"),    # exact dup of 0
+        (3, "completely different content about storage engines and "
+            "columnar formats for analytical workloads"),
+    ]
+    rows2 = [
+        (10, long_a + "first anchor document body"),   # exact dup of b1
+        (11, long_a + "first anchor document bodY"),   # NEAR dup of b1
+        (12, "novel second shard document with enough tokens to pass "
+             "the quality gate easily and no shared shingles at all"),
+    ]
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    src = tmp_path / "src"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = stream_corpus_admission(stream, state, **kw)
+    q.awaitTermination()
+
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{state}/survivors").collect()
+    )
+
+    # sequential batch replay over the same shards and fresh state
+    seen = spark.createDataFrame([], "digest string")
+    idx = spark.createDataFrame([], "doc_id long, band int, bhash string")
+    expect = []
+    for shard in (b1, b2):
+        surv, ddelta, bdelta = incremental_corpus_update(
+            shard, seen, idx, materialize=True, **kw
+        )
+        expect += [r["doc_id"] for r in surv.collect()]
+        seen = seen.union(ddelta).localCheckpoint()
+        idx = idx.union(bdelta).localCheckpoint()
+    assert got == sorted(expect)
+    # the state actually fed forward: batch-2's exact dup AND near dup
+    # of batch-1 content were dropped, the novel doc admitted
+    assert 12 in got and 10 not in got and 11 not in got
+    assert 0 in got and 2 not in got and 1 not in got
+    # state tables carry exactly the survivors' rows
+    n_dig = spark.read.parquet(f"{state}/digests").distinct().count()
+    assert n_dig == len(got)
