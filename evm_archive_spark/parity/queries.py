@@ -6276,6 +6276,47 @@ _ROUND4_NEVER_CHECKED = [
 
 _ROUND4_FIRST = _ROUND4_NEVER_CHECKED[:50]
 
+# Round-5 head (ACTIVE).  CORRECTNESS_r04 came back 50/50 green (zero
+# reds to re-enter).  Composition per the standing contract (NOTES.md
+# round-5 window plan / VERDICT r4 next-round #1):
+#   1. the 7 relational gates deferred from r4 (_ROUND4_DEFERRED_TO_R5);
+#   2. the 5 r4-staged operator gates + the 2 new r5 gates (the image
+#      dedup lane) — every registered gate now has a driver window slot
+#      the round it lands or the round after;
+#   3. the 5 rows-only gates whose LAST driver rows were r2 `err`
+#      (VERDICT r4 "what's wrong" #1 — decision: spend the slots and
+#      flip them to green rows rather than leave the errs standing;
+#      their md5 twins stay hash-gated every round);
+#   4. remaining 31 slots: regression re-checks of the OLDEST r1-only
+#      greens in registry insertion order (VERDICT r3 #7 asked for >=5;
+#      the operators beneath them were perf-tuned since r1).  The 12
+#      r1-only gates that don't fit rotate into the r6 window.
+# Nothing here is curated for expected-pass.
+_ROUND5_STAGED = [
+    "q_ivf_append", "q_bloom_merge", "q_incr_corpus", "q_image_neardup",
+    "q_audio_features", "q_image_dedup", "q_incr_image",
+]
+_ROUND5_ROWSONLY_FLIPS = [
+    "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
+    "q_multimodal",
+]
+_R1_ONLY_GREENS = [
+    "q_sc1", "q_f1", "q_f2", "q_f3", "q_j1", "q_j3", "q_j4", "q_j5",
+    "q_j6", "q_j7", "q_a2", "q_a3", "q_a4", "q_a5", "q_w6_dist",
+    "q_f4_distinctfrom", "q_j8_fullouter", "q_w5_rangeframe",
+    "q_u5_exceptall", "q_a7_timerollup", "q_a8_median", "q_a6", "q_w1",
+    "q_w4", "q_s1", "q_s2", "q_u1", "q_u2", "q_u3", "q_u4", "q_x1",
+    "q_x2", "q_x3", "q_x6_regexp", "q_x7_nullfns", "q_x8_hof",
+    "q_a9_stringagg", "q_x9_datearith", "q_a10_pivot", "q_x10_explode",
+    "q_x4", "q_x5", "q_d1",
+]
+_ROUND5_FIRST = (
+    _ROUND4_DEFERRED_TO_R5
+    + _ROUND5_STAGED
+    + _ROUND5_ROWSONLY_FLIPS
+    + _R1_ONLY_GREENS
+)[:50]
+
 _ROUND2_FIRST = [
     # decode library B1-B20 golden-vector gates (unchecked in r1)
     "q_d_uint256_str", "q_d3", "q_d4", "q_d5", "q_d6", "q_d7", "q_d8",
@@ -6299,8 +6340,8 @@ _ROUND2_FIRST = [
 
 def _reordered() -> list[ParityQuery]:
     by_name = {q.name: q for q in _REGISTRY}
-    head = [by_name[n] for n in _ROUND4_FIRST if n in by_name]
-    in_head = set(_ROUND4_FIRST)
+    head = [by_name[n] for n in _ROUND5_FIRST if n in by_name]
+    in_head = set(_ROUND5_FIRST)
     tail = [q for q in _REGISTRY if q.name not in in_head]
     return head + tail
 
