@@ -319,47 +319,136 @@ def _run_table_field(
         df = df.orderBy(*exprs)
     first = args.pop("first", None)
     offset = args.pop("offset", None)
+    after = args.pop("after", None)
     if args:
         raise GraphQLError(f"unsupported arguments {sorted(args)}")
 
     total_sel = next((s for s in f.selections if s.name == "totalCount"), None)
     nodes_sel = next((s for s in f.selections if s.name == "nodes"), None)
+    edges_sel = next((s for s in f.selections if s.name == "edges"), None)
+    pageinfo_sel = next(
+        (s for s in f.selections if s.name == "pageInfo"), None
+    )
     out: dict = {}
     if total_sel is not None:
         out[total_sel.out_key] = df.count()
-    if nodes_sel is not None:
+    if nodes_sel is None and edges_sel is None and pageinfo_sel is None:
+        return out
+
+    def cols_of(sel):
         cols = []  # (response key, column name)
-        for s in nodes_sel.selections:
+        for s in sel.selections:
             if s.name == "__typename":
                 continue
             col = snake(s.name)
             if col not in df.columns:
                 raise GraphQLError(f"unknown column {s.name!r}")
             cols.append((s.alias or camel(s.name), col))
-        if not cols:
-            raise GraphQLError("nodes requires at least one column")
-        proj = df.select(*[c for _, c in cols])
-        if offset:
-            proj = proj.offset(int(offset))
-        if first is not None:
-            proj = proj.limit(int(first))
-        elif default_first is not None:
-            proj = proj.limit(int(default_first))
-            if capped_fields is not None:
-                capped_fields.append(f.out_key)
+        return cols
+
+    node_in_edges = (
+        next((s for s in edges_sel.selections if s.name == "node"), None)
+        if edges_sel is not None
+        else None
+    )
+    node_cols = cols_of(nodes_sel) if nodes_sel is not None else []
+    edge_cols = cols_of(node_in_edges) if node_in_edges is not None else []
+    if nodes_sel is not None and not node_cols:
+        raise GraphQLError("nodes requires at least one column")
+    all_cols = sorted({c for _, c in node_cols + edge_cols})
+
+    # Relay-style offset cursors (Postgraphile's default when no stable
+    # keyset exists): cursor i = base64("offset:<i>") into the ordered,
+    # filtered row set; `after` starts at the row following it and
+    # composes with a plain `offset`.
+    start = int(offset or 0)
+    if after is not None:
+        start += _decode_cursor(after) + 1
+    lim = None
+    if first is not None:
+        lim = int(first)
+    elif default_first is not None:
+        lim = int(default_first)
+        if capped_fields is not None:
+            capped_fields.append(f.out_key)
+    proj = df.select(*all_cols) if all_cols else df.select(df.columns[0])
+    if start:
+        proj = proj.offset(start)
+    if lim is not None:
+        # collect one extra row: hasNextPage without a second count job
+        rows = proj.limit(lim + 1).collect()
+        has_next = len(rows) > lim
+        rows = rows[:lim]
+    else:
         rows = proj.collect()
+        has_next = False
+
+    def node_dict(r, sel, cols):
+        return {
+            **(
+                {"__typename": _typename(f.name)}
+                if any(s.name == "__typename" for s in sel.selections)
+                else {}
+            ),
+            **{key: _json_value(r[c]) for key, c in cols},
+        }
+
+    if nodes_sel is not None:
         out[nodes_sel.out_key] = [
-            {
-                **(
-                    {"__typename": _typename(f.name)}
-                    if any(s.name == "__typename" for s in nodes_sel.selections)
-                    else {}
-                ),
-                **{key: _json_value(r[c]) for key, c in cols},
-            }
-            for r in rows
+            node_dict(r, nodes_sel, node_cols) for r in rows
         ]
+    if edges_sel is not None:
+        edges = []
+        for i, r in enumerate(rows):
+            e = {}
+            for s in edges_sel.selections:
+                if s.name == "cursor":
+                    e[s.out_key] = _encode_cursor(start + i)
+                elif s.name == "node":
+                    e[s.out_key] = node_dict(r, s, edge_cols)
+                elif s.name == "__typename":
+                    e[s.out_key] = _typename(f.name) + "sEdge"
+                else:
+                    raise GraphQLError(f"unknown edge field {s.name!r}")
+            edges.append(e)
+        out[edges_sel.out_key] = edges
+    if pageinfo_sel is not None:
+        pi = {}
+        for s in pageinfo_sel.selections:
+            if s.name == "hasNextPage":
+                pi[s.out_key] = has_next
+            elif s.name == "hasPreviousPage":
+                pi[s.out_key] = start > 0
+            elif s.name == "startCursor":
+                pi[s.out_key] = _encode_cursor(start) if rows else None
+            elif s.name == "endCursor":
+                pi[s.out_key] = (
+                    _encode_cursor(start + len(rows) - 1) if rows else None
+                )
+            elif s.name == "__typename":
+                pi[s.out_key] = "PageInfo"
+            else:
+                raise GraphQLError(f"unknown pageInfo field {s.name!r}")
+        out[pageinfo_sel.out_key] = pi
     return out
+
+
+def _encode_cursor(i: int) -> str:
+    import base64
+
+    return base64.b64encode(f"offset:{i}".encode()).decode()
+
+
+def _decode_cursor(c) -> int:
+    import base64
+
+    try:
+        s = base64.b64decode(str(c).encode()).decode()
+        if not s.startswith("offset:"):
+            raise ValueError(s)
+        return int(s[7:])
+    except (ValueError, UnicodeDecodeError) as e:
+        raise GraphQLError(f"malformed cursor {c!r}") from e
 
 
 def _typename(field_name: str) -> str:

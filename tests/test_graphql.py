@@ -559,3 +559,70 @@ def test_introspection_subset(spark):
     # unknown type resolves to null, not an error
     res = execute('{ __type(name: "Nope") { name } }', t)
     assert res["data"]["__type"] is None
+
+
+def test_relay_cursor_connections(spark):
+    """Relay connection surface (Postgraphile convention): edges/cursor/
+    node, pageInfo, and `after` cursor paging — a client can walk the
+    whole relation in pages with hasNextPage terminating the loop."""
+    t = {"logs": spark.range(7).selectExpr("id AS block_number")}
+    doc = """
+    query($c: Cursor) {
+      allLogs(first: 3, after: $c, orderBy: BLOCK_NUMBER_ASC) {
+        totalCount
+        edges { cursor node { blockNumber } }
+        pageInfo { hasNextPage hasPreviousPage startCursor endCursor }
+      }
+    }
+    """
+    seen, cursor, pages = [], None, 0
+    while True:
+        res = execute(doc, t, {"c": cursor} if cursor else {"c": None})
+        assert "errors" not in res, res
+        conn = res["data"]["allLogs"]
+        assert conn["totalCount"] == 7
+        pi = conn["pageInfo"]
+        seen += [e["node"]["blockNumber"] for e in conn["edges"]]
+        assert pi["hasPreviousPage"] == (pages > 0)
+        if conn["edges"]:
+            assert pi["startCursor"] == conn["edges"][0]["cursor"]
+            assert pi["endCursor"] == conn["edges"][-1]["cursor"]
+        pages += 1
+        if not pi["hasNextPage"]:
+            break
+        cursor = pi["endCursor"]
+    assert seen == list(range(7)) and pages == 3
+
+    # nodes and edges coexist on one request; aliases respected in both
+    res = execute(
+        "{ allLogs(first: 2, orderBy: BLOCK_NUMBER_ASC) { "
+        "nodes { bn: blockNumber } "
+        "edges { c: cursor node { blockNumber } } } }",
+        t,
+    )
+    assert "errors" not in res, res
+    conn = res["data"]["allLogs"]
+    assert [n["bn"] for n in conn["nodes"]] == [0, 1]
+    assert [e["node"]["blockNumber"] for e in conn["edges"]] == [0, 1]
+    assert all("c" in e for e in conn["edges"])
+
+    # malformed cursor -> GraphQL error, not a crash
+    res = execute('{ allLogs(after: "garbage!!", first: 1) { totalCount '
+                  "nodes { blockNumber } } }", t)
+    assert "errors" in res and "cursor" in res["errors"][0]["message"]
+
+
+def test_relay_after_composes_with_offset(spark):
+    t = {"logs": spark.range(10).selectExpr("id AS block_number")}
+    res = execute(
+        "{ allLogs(first: 2, orderBy: BLOCK_NUMBER_ASC) "
+        "{ pageInfo { endCursor } } }", t
+    )
+    end = res["data"]["allLogs"]["pageInfo"]["endCursor"]
+    res = execute(
+        '{ allLogs(first: 2, offset: 3, after: "%s", '
+        "orderBy: BLOCK_NUMBER_ASC) { nodes { blockNumber } } }" % end,
+        t,
+    )
+    # after row 1 (+1) then +3 offset -> rows 5,6
+    assert [n["blockNumber"] for n in res["data"]["allLogs"]["nodes"]] == [5, 6]
