@@ -74,6 +74,9 @@ HEADLINE = [
     "q_incr_minhash",
     # round-4: incremental IVF shard append (persist + append + full probe)
     "q_ivf_append",
+    # round-5: composed image dedup lane (decode-once aHash -> banded
+    # Hamming -> components -> survivors)
+    "q_image_dedup",
 ]
 
 

@@ -13,14 +13,15 @@ VERDICT r3 #3) and ``image/jpeg`` baseline-sequential payloads through
 ``resize_images`` re-encodes a nearest-neighbor resample as real PNG
 bytes, ``image_ahash`` hashes real pixels, ``audio_features`` decodes
 RIFF/WAVE PCM through ``wav.py``, and ``frame_sample`` decodes APNG
-animation frames (``decode_apng_frames``) and treats a JPEG as its one
-frame.  Remaining formats (progressive JPEG, compressed audio, real
-video containers) stay honestly stubbed: those codecs aren't
-implementable from stdlib in bounded code, so ``strict=True`` raises
-``NotImplementedError`` for them and ``strict=False`` applies the
-clearly-marked deterministic fake.  The Spark-side plumbing — schema
-contract, batch iteration shape, partition-preserving flow, output
-struct — is identical on every path.
+animation frames (``decode_apng_frames``), treats a JPEG as its one
+frame, and walks AVI/MJPEG video containers frame-by-frame through
+``avi.py`` + the baseline JPEG decoder.  Remaining formats (progressive
+JPEG, compressed audio, inter-frame video codecs) stay honestly
+stubbed: those codecs aren't implementable from stdlib in bounded code,
+so ``strict=True`` raises ``NotImplementedError`` for them and
+``strict=False`` applies the clearly-marked deterministic fake.  The
+Spark-side plumbing — schema contract, batch iteration shape,
+partition-preserving flow, output struct — is identical on every path.
 """
 
 from __future__ import annotations
@@ -534,6 +535,7 @@ def frame_sample(
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        from .avi import AviError, decode_avi_frames, is_avi
         from .jpeg import JpegError, decode_jpeg, is_jpeg
         from .png import PngError, decode_apng_frames, is_png
 
@@ -599,13 +601,35 @@ def frame_sample(
                                 f"bad JPEG payload {mid}: {e}"
                             ) from e
                         emit_fake(mid, b)
+                elif is_avi(b):
+                    # a REAL video container: RIFF walk + per-frame
+                    # baseline-JPEG decode (MJPEG flavor), pure stdlib
+                    try:
+                        for fi, w, h, rgba in decode_avi_frames(b):
+                            if fi % every_n:
+                                continue
+                            emit(
+                                mid,
+                                fi,
+                                hashlib.sha256(
+                                    w.to_bytes(4, "big")
+                                    + h.to_bytes(4, "big")
+                                    + rgba.tobytes()
+                                ).hexdigest()[:16],
+                            )
+                    except (AviError, NotImplementedError) as e:
+                        if strict:
+                            raise ValueError(
+                                f"bad AVI payload {mid}: {e}"
+                            ) from e
+                        emit_fake(mid, b)
                 elif strict:
                     raise NotImplementedError(
-                        "strict frame sampling supports PNG/APNG and "
-                        "baseline JPEG only (stdlib decoders); video "
-                        "containers need codec libraries not in this "
-                        "environment — use strict=False for the "
-                        "deterministic fake"
+                        "strict frame sampling supports PNG/APNG, "
+                        "baseline JPEG, and AVI/MJPEG only (stdlib "
+                        "decoders); inter-frame video codecs need "
+                        "libraries not in this environment — use "
+                        "strict=False for the deterministic fake"
                     )
                 else:
                     emit_fake(mid, b)

@@ -514,3 +514,79 @@ def test_progressive_jpeg_nonstrict_fallback(spark):
     assert len(frames) >= 1
     with pytest.raises(Exception, match="progressive"):
         multimodal.frame_sample(media, every_n=1, strict=True).collect()
+
+
+# --------------------------------------------------------------------------
+# AVI/MJPEG container: real video frames through frame_sample
+# --------------------------------------------------------------------------
+
+
+def build_avi(frames, junk_chunk=False):
+    """Independent minimal AVI writer (RIFF('AVI ', LIST hdrl, LIST movi))
+    — the fixture generator for the container walk in operators/avi.py."""
+    import struct
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    movi = b"movi"
+    for i, f in enumerate(frames):
+        if junk_chunk and i == 1:
+            movi += chunk(b"01wb", b"\x01\x02\x03")  # audio chunk: skipped
+        movi += chunk(b"00dc", f)
+    hdrl = b"hdrl" + chunk(b"avih", b"\x00" * 56)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_frame_walk():
+    from evm_archive_spark.operators.avi import (
+        AviError, avi_frames, decode_avi_frames, is_avi,
+    )
+
+    f1 = encode_jpeg(_rgb(16, 24, seed=1))
+    f2 = encode_jpeg(_rgb(16, 24, seed=2))
+    avi = build_avi([f1, f2], junk_chunk=True)
+    assert is_avi(avi) and not is_avi(f1)
+    assert [(i, p) for i, p in avi_frames(avi)] == [(0, f1), (1, f2)]
+    dec = list(decode_avi_frames(avi))
+    assert [(i, w, h) for i, w, h, _ in dec] == [(0, 24, 16), (1, 24, 16)]
+    # frame pixels equal the standalone decode of the same payload
+    assert (dec[0][3] == decode_jpeg(f1)).all()
+    with pytest.raises(AviError, match="movi|overruns"):
+        list(avi_frames(avi[:40] + b"\x00" * 8))
+    # non-MJPEG stream: named error, not silent garbage
+    raw = build_avi([b"\x00" * 64])
+    with pytest.raises(AviError, match="MJPEG"):
+        list(decode_avi_frames(raw))
+
+
+def test_frame_sample_strict_real_avi(spark):
+    """A real video container through the strict frame-sample path: the
+    every_n-th MJPEG frames are decoded and pixel-hashed, and a frame
+    hash equals the hash of the SAME image sampled from a standalone
+    JPEG — container-invariant frame identity."""
+    from evm_archive_spark.operators import multimodal
+
+    imgs = [_rgb(16, 24, seed=s) for s in (1, 2, 3, 4)]
+    frames = [encode_jpeg(im) for im in imgs]
+    avi = build_avi(frames)
+    media = _media_df(spark, [avi])
+    got = {
+        r["frame_idx"]: r["frame_hash"]
+        for r in multimodal.frame_sample(
+            media, every_n=2, strict=True
+        ).collect()
+    }
+    assert sorted(got) == [0, 2]
+    solo = multimodal.frame_sample(
+        _media_df(spark, [frames[2]]), every_n=1, strict=True
+    ).collect()
+    assert solo[0]["frame_hash"] == got[2]
+    # strict=False on a broken AVI: deterministic fake, no job failure
+    broken = avi[:60]
+    rows = multimodal.frame_sample(
+        _media_df(spark, [broken]), every_n=1, strict=False
+    ).collect()
+    assert len(rows) >= 1
