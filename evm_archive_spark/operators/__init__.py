@@ -138,6 +138,9 @@ _EXPORTS = {
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",
+    "decode_gif": "gif",
+    "decode_gif_frames": "gif",
+    "decode_avi_frames": "avi",
     "encode_png": "png",
     "decode_apng_frames": "png",
     "decode_wav": "wav",

@@ -5,11 +5,13 @@ typed metadata struct; decode / feature-extraction / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so the payload bytes never pass
 through Python row-at-a-time.
 
-Codec status: PNG, baseline JPEG, and WAV/PCM are REAL — ``strict=True``
-decodes ``image/png`` payloads through the from-scratch stdlib decoder
-in ``png.py`` (zlib inflate + scanline unfilter, public W3C spec;
-VERDICT r3 #3) and ``image/jpeg`` baseline-sequential payloads through
-``jpeg.py`` (Huffman + IDCT, public ITU T.81 spec; VERDICT r4 #5);
+Codec status: PNG, baseline JPEG, GIF, and WAV/PCM are REAL —
+``strict=True`` decodes ``image/png`` payloads through the from-scratch
+stdlib decoder in ``png.py`` (zlib inflate + scanline unfilter, public
+W3C spec; VERDICT r3 #3), ``image/jpeg`` baseline-sequential payloads
+through ``jpeg.py`` (Huffman + IDCT, public ITU T.81 spec; VERDICT r4
+#5), and ``image/gif`` payloads (static + animated) through ``gif.py``
+(from-scratch LZW, interlace, disposal composition);
 ``resize_images`` re-encodes a nearest-neighbor resample as real PNG
 bytes, ``image_ahash`` hashes real pixels, ``audio_features`` decodes
 RIFF/WAVE PCM through ``wav.py``, and ``frame_sample`` decodes APNG
@@ -86,9 +88,10 @@ def decode_images(
     UDF is partition-preserving (no shuffle) and payload bytes stay in
     Arrow buffers between JVM and Python.
 
-    ``strict=True``: REAL decode for PNG and baseline JPEG payloads
-    (signature-sniffed) via the stdlib decoders in ``png.py`` /
-    ``jpeg.py`` — true dimensions plus a unit-norm grid-luminance
+    ``strict=True``: REAL decode for PNG, baseline JPEG, and GIF
+    payloads (signature-sniffed) via the stdlib decoders in ``png.py`` /
+    ``jpeg.py`` / ``gif.py`` — true dimensions plus a unit-norm
+    grid-luminance
     feature over the actual pixels; other formats raise
     ``NotImplementedError`` naming the format gap.
     ``strict=False``: the deterministic sha256 fake for every payload
@@ -97,6 +100,7 @@ def decode_images(
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        from .gif import GifError, decode_gif, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
         from .png import PngError, decode_png, grid_features, is_png
 
@@ -110,15 +114,17 @@ def decode_images(
                             rgba = decode_png(b)
                         elif is_jpeg(b):
                             rgba = decode_jpeg(b)
+                        elif is_gif(b):
+                            rgba = decode_gif(b)
                         else:
                             raise NotImplementedError(
-                                "strict decode supports PNG and baseline "
-                                "JPEG only (stdlib decoders); other "
-                                "codecs need real image libraries, not "
-                                "in this environment — use strict=False "
-                                "for the deterministic fake"
+                                "strict decode supports PNG, baseline "
+                                "JPEG, and GIF only (stdlib decoders); "
+                                "other codecs need real image libraries, "
+                                "not in this environment — use "
+                                "strict=False for the deterministic fake"
                             )
-                    except (PngError, JpegError) as e:
+                    except (PngError, JpegError, GifError) as e:
                         raise ValueError(
                             f"bad image payload {mid}: {e}"
                         ) from e
@@ -150,9 +156,9 @@ def image_ahash(
     hash nibbles for small Hamming radii — both plain relational shapes
     downstream of this map-side stage.
 
-    ``strict=True``: PNG and baseline JPEG payloads, real pixels.
+    ``strict=True``: PNG, baseline JPEG, and GIF payloads, real pixels.
     ``strict=False``: other payloads get the deterministic sha256 fake
-    grid (plumbing twin, same schema); PNG/JPEG payloads are really
+    grid (plumbing twin, same schema); PNG/JPEG/GIF payloads are really
     decoded when the stdlib codecs can (corrupt or out-of-scope images —
     16-bit PNG, Adam7, progressive JPEG — fall back to the fake instead
     of failing the job: strict=False never raises)."""
@@ -167,6 +173,7 @@ def image_ahash(
         import numpy as np
         import pandas as pd
 
+        from .gif import GifError, decode_gif, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
         from .png import PngError, decode_png, is_png
 
@@ -177,10 +184,15 @@ def image_ahash(
             )
 
         def grid_of(b: bytes) -> "np.ndarray":
-            if is_png(b) or is_jpeg(b):
+            if is_png(b) or is_jpeg(b) or is_gif(b):
                 try:
-                    rgba = decode_png(b) if is_png(b) else decode_jpeg(b)
-                except (PngError, JpegError, NotImplementedError):
+                    if is_png(b):
+                        rgba = decode_png(b)
+                    elif is_jpeg(b):
+                        rgba = decode_jpeg(b)
+                    else:
+                        rgba = decode_gif(b)
+                except (PngError, JpegError, GifError, NotImplementedError):
                     if strict:
                         raise
                     # strict=False never fails the job: corrupt or
@@ -198,8 +210,8 @@ def image_ahash(
                 )
             if strict:
                 raise NotImplementedError(
-                    "strict aHash supports PNG and baseline JPEG only "
-                    "(stdlib decoders); use strict=False for the "
+                    "strict aHash supports PNG, baseline JPEG, and GIF "
+                    "only (stdlib decoders); use strict=False for the "
                     "deterministic fake"
                 )
             return fake_grid(b)
@@ -210,7 +222,7 @@ def image_ahash(
                 b = bytes(payload or b"")
                 try:
                     g = grid_of(b)
-                except (PngError, JpegError) as e:
+                except (PngError, JpegError, GifError) as e:
                     raise ValueError(f"bad image payload {mid}: {e}") from e
                 bits = (g > g.mean()).flatten()
                 val = 0
@@ -536,6 +548,7 @@ def frame_sample(
         import pandas as pd
 
         from .avi import AviError, decode_avi_frames, is_avi
+        from .gif import GifError, decode_gif_frames, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
         from .png import PngError, decode_apng_frames, is_png
 
@@ -601,6 +614,26 @@ def frame_sample(
                                 f"bad JPEG payload {mid}: {e}"
                             ) from e
                         emit_fake(mid, b)
+                elif is_gif(b):
+                    try:
+                        for fi, w, h, rgba in decode_gif_frames(b):
+                            if fi % every_n:
+                                continue
+                            emit(
+                                mid,
+                                fi,
+                                hashlib.sha256(
+                                    w.to_bytes(4, "big")
+                                    + h.to_bytes(4, "big")
+                                    + rgba.tobytes()
+                                ).hexdigest()[:16],
+                            )
+                    except (GifError, NotImplementedError) as e:
+                        if strict:
+                            raise ValueError(
+                                f"bad GIF payload {mid}: {e}"
+                            ) from e
+                        emit_fake(mid, b)
                 elif is_avi(b):
                     # a REAL video container: RIFF walk + per-frame
                     # baseline-JPEG decode (MJPEG flavor), pure stdlib
@@ -626,7 +659,7 @@ def frame_sample(
                 elif strict:
                     raise NotImplementedError(
                         "strict frame sampling supports PNG/APNG, "
-                        "baseline JPEG, and AVI/MJPEG only (stdlib "
+                        "baseline JPEG, GIF, and AVI/MJPEG only (stdlib "
                         "decoders); inter-frame video codecs need "
                         "libraries not in this environment — use "
                         "strict=False for the deterministic fake"
@@ -679,6 +712,7 @@ def resize_images(
         import numpy as np
         import pandas as pd
 
+        from .gif import GifError, decode_gif, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
         from .png import PngError, decode_png, encode_png, is_png
 
@@ -688,15 +722,20 @@ def resize_images(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload or b"")
                 if strict:
-                    if not (is_png(b) or is_jpeg(b)):
+                    if not (is_png(b) or is_jpeg(b) or is_gif(b)):
                         raise NotImplementedError(
-                            "strict resize supports PNG and baseline JPEG "
-                            "input only (stdlib codecs); use strict=False "
-                            "for the stub"
+                            "strict resize supports PNG, baseline JPEG, "
+                            "and GIF input only (stdlib codecs); use "
+                            "strict=False for the stub"
                         )
                     try:
-                        rgba = decode_png(b) if is_png(b) else decode_jpeg(b)
-                    except (PngError, JpegError) as e:
+                        if is_png(b):
+                            rgba = decode_png(b)
+                        elif is_jpeg(b):
+                            rgba = decode_jpeg(b)
+                        else:
+                            rgba = decode_gif(b)
+                    except (PngError, JpegError, GifError) as e:
                         raise ValueError(
                             f"bad image payload {mid}: {e}"
                         ) from e
