@@ -135,6 +135,8 @@ _EXPORTS = {
     "image_ahash": "multimodal",
     "image_near_duplicates": "multimodal",
     "audio_features": "multimodal",
+    "audio_fingerprint": "multimodal",
+    "audio_near_duplicates": "multimodal",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

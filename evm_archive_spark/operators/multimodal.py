@@ -252,6 +252,105 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """64-bit perceptual audio fingerprint — the audio mirror of
+    ``image_ahash``: mono-mix, split the signal into 64 equal frames,
+    per-frame energy, bit_i = energy_i > mean(energies), bit-pack into
+    one int64 (``afp``).  Invariant under positive amplitude scaling
+    (energies scale uniformly, the mean threshold with them), so the
+    same take at a different gain fingerprints identically; near-dup
+    detection downstream is ``audio_near_duplicates`` — the SAME
+    pigeonhole-banded Hamming join as the image lane.
+
+    ``strict=True``: WAV/PCM payloads, real samples.  ``strict=False``:
+    non-WAV payloads get the deterministic sha256 fake grid (the same
+    fake recipe as ``image_ahash``, over the payload bytes — replayed
+    bit-level by the q_audio_neardup oracle); WAV payloads are really
+    fingerprinted when the codec can, falling back to the fake on
+    corrupt payloads (never fails the job)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .wav import WavError, decode_wav, is_wav
+
+        def fake_grid(b: bytes) -> "np.ndarray":
+            h = hashlib.sha256(b).digest() * 2
+            return np.frombuffer(h, dtype=np.uint8)[:64].astype(np.float64)
+
+        def energies_of(b: bytes) -> "np.ndarray":
+            if is_wav(b):
+                try:
+                    _, samples = decode_wav(b)
+                except (WavError, NotImplementedError):
+                    if strict:
+                        raise
+                    return fake_grid(b)
+                mono = samples.mean(axis=1)
+                n = len(mono)
+                if n == 0:
+                    return np.zeros(64)
+                # pad to a multiple of 64 so frames are equal-length
+                pad = (-n) % 64
+                if pad:
+                    mono = np.concatenate([mono, np.zeros(pad)])
+                return (mono.reshape(64, -1) ** 2).sum(axis=1)
+            if strict:
+                raise NotImplementedError(
+                    "strict audio fingerprint supports WAV/PCM only "
+                    "(stdlib decoder); use strict=False for the "
+                    "deterministic fake"
+                )
+            return fake_grid(b)
+
+        for pdf in it:
+            out = {"media_id": [], "afp": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                try:
+                    e = energies_of(b)
+                except WavError as err:
+                    raise ValueError(
+                        f"bad WAV payload {mid}: {err}"
+                    ) from err
+                bits = e > e.mean()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out["media_id"].append(mid)
+                out["afp"].append(val)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def audio_near_duplicates(
+    fingerprints: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "afp",
+) -> DataFrame:
+    """Audio near-dup pairs from fingerprints — the banded Hamming join
+    is hash-agnostic, so this IS ``image_near_duplicates`` applied to
+    the ``afp`` column: pigeonhole-complete, no all-pairs, candidates
+    from the (band, bits) equi-join, one bit_count verify."""
+    return image_near_duplicates(fingerprints, max_hamming, id_col, hash_col)
+
+
 def audio_features(
     df: DataFrame,
     payload_col: str = "payload",

@@ -6044,26 +6044,32 @@ _add(
 # is pytest-gated (test_png.py image-dedup tests — binary fixtures
 # can't live in SQL).
 
-# shared oracle prefix: fake 8x8 grid bits + pigeonhole bands for
-# max_hamming=4 (widths 12,12,12,12,16), replayed at bit level.
-_IMG_BITS_SQL = (
-    "m AS (SELECT doc_id AS media_id, "
-    "  sha256('p' || CAST(doc_id // 3 AS VARCHAR)) AS hx FROM documents), "
-    "bytes AS (SELECT media_id, i, "
-    "  CAST(('0x' || substring(hx, ((i % 32) * 2) + 1, 2)) AS BIGINT) AS v "
-    "  FROM m, UNNEST(generate_series(0, 63)) u(i)), "
-    "mu AS (SELECT media_id, SUM(v) / 64.0 AS mean FROM bytes GROUP BY 1), "
-    "bits AS (SELECT b.media_id, b.i, "
-    "  CASE WHEN b.v > mu.mean THEN 1 ELSE 0 END AS bit "
-    "  FROM bytes b JOIN mu USING (media_id)), "
-    "bands AS (SELECT media_id, bi, SUM(bit * (CAST(1 AS BIGINT) << "
-    "  CAST(p - lo AS INT))) AS bv FROM ("
-    "  SELECT media_id, p, bit, "
-    "    CASE WHEN p >= 48 THEN 4 ELSE p // 12 END AS bi, "
-    "    CASE WHEN p >= 48 THEN 48 ELSE (p // 12) * 12 END AS lo "
-    "  FROM (SELECT media_id, 63 - i AS p, bit FROM bits)) "
-    "  GROUP BY media_id, bi), "
-)
+# shared oracle prefix: fake 64-cell grid bits + pigeonhole bands for
+# max_hamming=4 (widths 12,12,12,12,16), replayed at bit level; the
+# payload expression is the only thing that differs between the image
+# and audio fingerprint fakes (identical sha256-grid recipe).
+def _fake_bits_sql(payload_expr: str) -> str:
+    return (
+        "m AS (SELECT doc_id AS media_id, "
+        f"  sha256({payload_expr}) AS hx FROM documents), "
+        "bytes AS (SELECT media_id, i, "
+        "  CAST(('0x' || substring(hx, ((i % 32) * 2) + 1, 2)) AS BIGINT) AS v "
+        "  FROM m, UNNEST(generate_series(0, 63)) u(i)), "
+        "mu AS (SELECT media_id, SUM(v) / 64.0 AS mean FROM bytes GROUP BY 1), "
+        "bits AS (SELECT b.media_id, b.i, "
+        "  CASE WHEN b.v > mu.mean THEN 1 ELSE 0 END AS bit "
+        "  FROM bytes b JOIN mu USING (media_id)), "
+        "bands AS (SELECT media_id, bi, SUM(bit * (CAST(1 AS BIGINT) << "
+        "  CAST(p - lo AS INT))) AS bv FROM ("
+        "  SELECT media_id, p, bit, "
+        "    CASE WHEN p >= 48 THEN 4 ELSE p // 12 END AS bi, "
+        "    CASE WHEN p >= 48 THEN 48 ELSE (p // 12) * 12 END AS lo "
+        "  FROM (SELECT media_id, 63 - i AS p, bit FROM bits)) "
+        "  GROUP BY media_id, bi), "
+    )
+
+
+_IMG_BITS_SQL = _fake_bits_sql("'p' || CAST(doc_id // 3 AS VARCHAR)")
 
 
 def _img_lane_sql(pred: str, tag: str) -> str:
@@ -6184,6 +6190,54 @@ _add(
     "ORDER BY media_id NULLS FIRST",
     "incremental image dedup vs persisted hash index == within-shard "
     "lane + exact cross-Hamming drop, all replayed at bit level",
+)
+
+
+# [pair] audio near-dup pairs (r5) — the audio mirror of
+# q_image_neardup: 64-bit perceptual fingerprint (frame-energy grid on
+# real WAV; sha fake twin here) through the SAME pigeonhole-banded
+# Hamming join.  Payload 'a' || (doc_id DIV 2) plants twin takes; the
+# REAL-sample fingerprint path is pytest-gated (test_wav/jpeg suites —
+# binary fixtures can't live in SQL).
+
+def _q_audio_neardup(spark, sf_dir):
+    from ..operators.multimodal import audio_fingerprint, audio_near_duplicates
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("a"), F.expr("CAST(doc_id DIV 2 AS STRING)")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    pairs = audio_near_duplicates(
+        audio_fingerprint(media, strict=False), max_hamming=4
+    )
+    return pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "hamming",
+    ).orderBy("id_a", "id_b")
+
+
+_add(
+    "q_audio_neardup",
+    _q_audio_neardup,
+    "WITH "
+    + _fake_bits_sql("'a' || CAST(doc_id // 2 AS VARCHAR)")
+    + "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b "
+    "  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv "
+    "  AND a.media_id < b.media_id), "
+    "ham AS (SELECT c.id_a, c.id_b, "
+    "  CAST(SUM(abs(x.bit - y.bit)) AS BIGINT) AS hamming "
+    "  FROM cand c JOIN bits x ON x.media_id = c.id_a "
+    "  JOIN bits y ON y.media_id = c.id_b AND y.i = x.i "
+    "  GROUP BY c.id_a, c.id_b) "
+    "SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4 "
+    "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST",
+    "audio near-dup: banded Hamming join over the fingerprint fake == "
+    "bit-level DuckDB replay (same grid recipe as the image lane)",
 )
 
 

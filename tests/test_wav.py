@@ -163,3 +163,68 @@ def test_wav_round_trip_property():
         assert np.abs(out - sig).max() < 1.5 / 32768
 
     check()
+
+
+def test_audio_fingerprint_real_and_near_dup_join(spark):
+    """The audio mirror of the image near-dup lane: real frame-energy
+    fingerprints are gain-invariant (same take at half volume hashes
+    identically), a lightly edited take lands within small Hamming
+    distance, an unrelated take far; the banded join finds exactly the
+    brute-force pairs."""
+    import pandas as pd
+
+    from evm_archive_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_duplicates,
+    )
+
+    rng = np.random.default_rng(19)
+    t = np.arange(64 * 100) / 8000.0
+    # structured energy envelope: loud/quiet alternating frame blocks
+    env = np.repeat(rng.uniform(0.05, 1.0, 64), 100)
+    base = (np.sin(2 * np.pi * 440 * t) * env).reshape(-1, 1)
+    half = base * 0.5                       # gain change
+    edited = base.copy()
+    edited[:200] = 0.0                      # mute the first two frames
+    other = (
+        np.sin(2 * np.pi * 220 * t)
+        * np.repeat(rng.uniform(0.05, 1.0, 64), 100)
+    ).reshape(-1, 1)
+
+    payloads = [
+        encode_wav(base, 8000),
+        encode_wav(half, 8000),
+        encode_wav(edited, 8000),
+        encode_wav(other, 8000, bits=8),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": range(4), "payload": payloads})
+    )
+    fps = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(media, strict=True).collect()
+    }
+    mask = (1 << 64) - 1
+    assert fps[0] == fps[1]  # gain-invariant
+    ham_edit = bin((fps[0] ^ fps[2]) & mask).count("1")
+    assert 1 <= ham_edit <= 4
+    assert bin((fps[0] ^ fps[3]) & mask).count("1") > 8
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_duplicates(
+            audio_fingerprint(media, strict=True), max_hamming=4
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == ham_edit
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+    # non-WAV at strict=False: deterministic fake, no failure; strict raises
+    junk = spark.createDataFrame(
+        pd.DataFrame({"media_id": [9], "payload": [b"mp3-ish bytes"]})
+    )
+    assert len(audio_fingerprint(junk, strict=False).collect()) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="WAV"):
+        audio_fingerprint(junk, strict=True).collect()
