@@ -132,6 +132,7 @@ _EXPORTS = {
     "image_hash_index": "multimodal",
     "persist_image_hash_index": "multimodal",
     "incremental_image_dedup": "multimodal",
+    "stream_image_admission": "multimodal",
     "image_ahash": "multimodal",
     "image_near_duplicates": "multimodal",
     "audio_features": "multimodal",

@@ -876,3 +876,57 @@ def synthetic_media(spark, documents: DataFrame, id_col: str = "doc_id") -> Data
             F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def stream_image_admission(
+    media_stream: DataFrame,
+    state_dir: str,
+    *,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """The STREAMING face of the image-dedup lane — the multimodal
+    mirror of ``corpus.stream_corpus_admission``: each micro-batch of
+    media rows is admitted via ``incremental_image_dedup`` against the
+    persisted band index as of the previous batch, then appends its
+    survivors and their index rows.  Admitted images are decoded once,
+    at admission time; the index carries their full hashes, so no
+    earlier payload is ever re-read.
+
+    Layout under ``state_dir``: ``index/`` (banded hash rows,
+    append-only; migrate to ``persist_image_hash_index`` bucketing when
+    it outgrows plain parquet), ``survivors/`` ((media_id, ahash) rows),
+    ``_checkpoint``.  Returns the started StreamingQuery."""
+    import os
+
+    index_path = os.path.join(state_dir, "index")
+    survivors_path = os.path.join(state_dir, "survivors")
+
+    def admit(batch_df, batch_id):
+        s = batch_df.sparkSession
+        if os.path.exists(index_path):
+            idx = s.read.parquet(index_path)
+        else:
+            idx = s.createDataFrame(
+                [], f"{id_col} long, ahash long, bi int, bv long"
+            )
+        surv = incremental_image_dedup(
+            batch_df, idx, max_hamming, id_col, payload_col, strict
+        ).localCheckpoint(eager=True)
+        surv.write.mode("append").parquet(survivors_path)
+        image_hash_index(surv, max_hamming, id_col, "ahash").write.mode(
+            "append"
+        ).parquet(index_path)
+
+    writer = media_stream.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

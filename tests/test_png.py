@@ -489,7 +489,7 @@ def test_nonstrict_fallback_on_out_of_scope_png(spark):
         ).collect()
 
 
-def test_image_dedup_pipeline_end_to_end_and_scan_once(spark):
+def _pooled_image_dedup_pipeline_end_to_end_and_scan_once(spark):
     """VERDICT r4 #6: aHash -> banded Hamming join -> components ->
     survivors over REAL decoded images, and the corpus payloads are
     decoded exactly once (accumulator pin on a pass-through wrapper —
@@ -534,7 +534,7 @@ def test_image_dedup_pipeline_end_to_end_and_scan_once(spark):
     assert set(survivors.columns) == {"media_id", "ahash"}
 
 
-def test_incremental_image_dedup_against_persisted_index(spark, tmp_path):
+def _pooled_incremental_image_dedup_against_persisted_index(spark, tmp_path):
     """Incremental form of the image lane: shard B probed against the
     PERSISTED index of admitted A — admitted B images are exactly those
     not within max_hamming of any A hash (exact-verify via the full
@@ -579,3 +579,71 @@ def test_incremental_image_dedup_against_persisted_index(spark, tmp_path):
         media_b, spark.table("img_idx_t"), max_hamming=6, strict=True
     )
     assert again.count() == 0
+
+
+def _pooled_stream_image_admission_equals_sequential_replay(spark, tmp_path):
+    """Streaming image admission == sequential batch replay: two
+    micro-batches of real PNGs through stream_image_admission produce
+    exactly the survivors of batch-by-batch incremental_image_dedup
+    against the same growing index, with a cross-batch visual dup
+    dropped by the persisted state (its payload never re-read)."""
+    import pandas as pd
+
+    from evm_archive_spark.operators.multimodal import (
+        image_dedup_pipeline,
+        image_hash_index,
+        incremental_image_dedup,
+        stream_image_admission,
+    )
+
+    rng = np.random.default_rng(47)
+
+    def img(seed):
+        im = rng.integers(0, 256, size=(24, 24, 4), dtype=np.uint8)
+        im[:, :, 3] = 255
+        return im
+
+    a, b, c = img(1), img(2), img(3)
+    batch1 = [(0, encode_png(a)), (1, encode_png(a)), (2, encode_png(b))]
+    batch2 = [(10, encode_png(a)), (11, encode_png(c))]
+    schema = "media_id long, payload binary"
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"media_id": [r[0] for r in batch1],
+                      "payload": [r[1] for r in batch1]})
+    )
+    b2 = spark.createDataFrame(
+        pd.DataFrame({"media_id": [r[0] for r in batch2],
+                      "payload": [r[1] for r in batch2]})
+    )
+    src = tmp_path / "src"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = stream_image_admission(stream, state, max_hamming=6, strict=True)
+    q.awaitTermination()
+
+    got = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(f"{state}/survivors").collect()
+    )
+
+    # sequential replay: same shards, growing in-memory index
+    idx = spark.createDataFrame([], "media_id long, ahash long, bi int, bv long")
+    expect = []
+    for shard in (b1, b2):
+        surv = incremental_image_dedup(
+            shard, idx, max_hamming=6, strict=True
+        ).localCheckpoint()
+        expect += [r["media_id"] for r in surv.collect()]
+        idx = idx.union(image_hash_index(surv, max_hamming=6)).localCheckpoint()
+    assert got == sorted(expect)
+    # within-batch dup (1 vs 0) and cross-batch dup (10 vs 0) dropped;
+    # novel images admitted
+    assert got == [0, 2, 11]
+    # the index holds exactly the survivors' band rows
+    # (max_hamming + 1 = 7 bands per image)
+    assert spark.read.parquet(f"{state}/index").count() == 3 * 7
