@@ -6241,6 +6241,97 @@ _add(
 )
 
 
+# [pair] STREAMING corpus admission (r5) — the nightly-shard lane run
+# through a real Structured Streaming query (stream_corpus_admission /
+# foreachBatch): two micro-batches (even-doc shard then odd-doc shard,
+# file mtimes pinned so the file source orders them deterministically)
+# against persisted state.  The oracle replays the SEQUENTIAL admission
+# in SQL: shard A admitted against empty state, then shard B against
+# A's survivors (digest anti-join + band-collision drop) — so a green
+# row certifies the streaming lane end-to-end, not just the batch
+# operator beneath it (which q_incr_corpus already gates).
+
+def _q_st_admission(spark, sf_dir):
+    import os
+    import tempfile
+    import time
+
+    from ..operators.corpus import stream_corpus_admission
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="st_adm_")
+    src = os.path.join(base, "src")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    first = set(os.listdir(src))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # pin modification times so the file source's oldest-first ordering
+    # is deterministic (a same-second tie would fall back to path order)
+    now = time.time()
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = now - 100 if f in first else now - 50
+        os.utime(os.path.join(src, f), (t, t))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_corpus_admission(
+        stream, os.path.join(base, "state"),
+        min_tokens=20, num_perm=8, bands=4, k=8, method="md5",
+    )
+    q.awaitTermination()
+    surv = spark.read.parquet(os.path.join(base, "state", "survivors"))
+    return surv.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+    ).orderBy("doc_id")
+
+
+_add(
+    "q_st_admission",
+    _q_st_admission,
+    r"WITH qall AS (SELECT doc_id, text, "
+    r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "qq AS (SELECT * FROM qall WHERE n_tokens >= 20), "
+    # micro-batch 1: even shard vs empty state — quality + within-shard
+    # keep-lowest per digest (minhash vs an empty index drops nothing)
+    "winA AS (SELECT doc_id, text, n_tokens, "
+    "  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
+    "  FROM qq WHERE doc_id % 2 = 0), "
+    "admA AS (SELECT doc_id, text, n_tokens FROM winA WHERE rn = 1), "
+    # micro-batch 2: odd shard vs state(admA)
+    "winB AS (SELECT doc_id, text, n_tokens, md5(text) AS digest, "
+    "  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
+    "  FROM qq WHERE doc_id % 2 = 1), "
+    "eB AS (SELECT w.doc_id, w.text, w.n_tokens FROM winB w "
+    "  LEFT JOIN (SELECT DISTINCT md5(text) AS digest FROM admA) d "
+    "  ON w.digest = d.digest WHERE w.rn = 1 AND d.digest IS NULL), "
+    "base AS (SELECT doc_id, text FROM admA "
+    "  UNION ALL SELECT doc_id, text FROM eB), "
+    "sh AS (SELECT doc_id, "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)), "
+    "i -> substring(text, i, 8))) AS s FROM base), "
+    + _IMH_SIG_DUCK
+    + "hits AS (SELECT DISTINCT n.doc_id FROM b n "
+    "  JOIN b o ON n.band = o.band AND n.bh = o.bh "
+    "  AND o.doc_id % 2 = 0 WHERE n.doc_id % 2 = 1) "
+    "SELECT doc_id, n_tokens FROM admA "
+    "UNION ALL SELECT doc_id, n_tokens FROM eB "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM hits) "
+    "ORDER BY doc_id NULLS FIRST",
+    "streaming admission (2 real micro-batches over persisted state) == "
+    "sequential SQL replay of shard-by-shard admission",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
