@@ -1,28 +1,34 @@
-"""Baseline JPEG decoder — from scratch, stdlib + numpy only.
+"""JPEG decoder (baseline + progressive) — from scratch, stdlib + numpy.
 
-Implements the baseline sequential DCT process of the public ITU-T T.81
-(ISO/IEC 10918-1) specification: marker segment walk, DQT/DHT/SOF0/SOS/DRI
-parsing, Huffman entropy decode with byte unstuffing and restart markers,
-dequantization, zig-zag reorder, 8x8 inverse DCT (vectorized over all
-blocks per component), chroma upsampling for any sampling factors declared
-in SOF0 (4:4:4, 4:2:2, 4:2:0, ...), and JFIF YCbCr -> RGB conversion.
+Implements the DCT processes of the public ITU-T T.81 (ISO/IEC 10918-1)
+specification: marker segment walk, DQT/DHT/SOF/SOS/DRI parsing, Huffman
+entropy decode with byte unstuffing and restart markers, dequantization,
+zig-zag reorder, 8x8 inverse DCT (vectorized over all blocks per
+component), chroma upsampling for any sampling factors declared in the
+frame header (4:4:4, 4:2:2, 4:2:0, ...), and JFIF YCbCr -> RGB
+conversion.
 
-Scope (mirrors png.py's honest-boundary pattern — clear errors, no silent
-wrong pixels):
+Supported processes:
 
-- baseline sequential Huffman only: SOF0.  Progressive (SOF2), extended
-  sequential (SOF1), lossless and arithmetic-coded processes raise
-  ``JpegError`` with a named reason.
-- 8-bit sample precision only (the only precision baseline allows).
-- 1-component (grayscale) and 3-component (YCbCr) images; 4-component
-  CMYK/Adobe raises.
+- **baseline sequential** (SOF0): single interleaved scan.
+- **progressive** (SOF2): multi-scan accumulation — DC first +
+  refinement scans (successive approximation on coefficient 0), AC
+  first scans with EOB-run coding over any spectral band (spectral
+  selection), and AC refinement scans (correction bits per T.81
+  G.1.2.3), interleaved DC scans and non-interleaved AC scans, with
+  restart intervals resetting predictors and EOB runs per scan.
 
-Reference parity note: the reference repo stores media as opaque bytea and
-delegates decoding to consumers; this codec backs the Spark-side
-``multimodal`` operators (decode_images / image_ahash / resize_images) so
-the strict=True path is REAL for the most common stored image format.
-The codec boundary is genuinely Python and runs inside mapInPandas Arrow
-batches — the correct placement for per-payload imperative work.
+Out of scope (clear errors, no silent wrong pixels): extended
+sequential/lossless/hierarchical/arithmetic processes, 12-bit
+precision, and component counts other than 1 (grayscale) and 3 (YCbCr).
+
+Reference parity note: the reference repo stores media as opaque bytea
+and delegates decoding to consumers; this codec backs the Spark-side
+``multimodal`` operators (decode_images / image_ahash / resize_images /
+frame_sample, plus ``avi.py``'s MJPEG frames) so the strict=True path
+is REAL for the most common stored image format.  The codec boundary is
+genuinely Python and runs inside mapInPandas Arrow batches — the
+correct placement for per-payload imperative work.
 """
 
 from __future__ import annotations
@@ -43,10 +49,10 @@ DQT = 0xDB
 DRI = 0xDD
 DHT = 0xC4
 SOF_BASELINE = 0xC0
+SOF_PROGRESSIVE = 0xC2
 # SOFn markers for processes this decoder deliberately rejects
 _SOF_UNSUPPORTED = {
     0xC1: "extended sequential",
-    0xC2: "progressive",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -172,28 +178,58 @@ def _u16(data: bytes, off: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "blocks", "bw", "bh")
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "zz", "bw", "bh",
+                 "nbw", "nbh")
 
     def __init__(self, cid, h, v, tq):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
 
 
+class _Frame:
+    __slots__ = ("height", "width", "comps", "hmax", "vmax", "mcux",
+                 "mcuy", "progressive")
+
+    def __init__(self, height, width, comps, progressive):
+        self.height, self.width = height, width
+        self.comps = comps
+        self.progressive = progressive
+        self.hmax = max(c.h for c in comps)
+        self.vmax = max(c.v for c in comps)
+        if not (1 <= self.hmax <= 4 and 1 <= self.vmax <= 4):
+            raise JpegError("bad sampling factors")
+        self.mcux = -(-width // (8 * self.hmax))
+        self.mcuy = -(-height // (8 * self.vmax))
+        for c in comps:
+            # MCU-padded coefficient grid (zig-zag order per block)
+            c.bw = self.mcux * c.h
+            c.bh = self.mcuy * c.v
+            c.zz = np.zeros((c.bh * c.bw, 64), dtype=np.int32)
+            # non-interleaved scan grid: the component's own pixel dims
+            c.nbw = -(-(-(-width * c.h // self.hmax)) // 8)
+            c.nbh = -(-(-(-height * c.v // self.vmax)) // 8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG into an (h, w, 4) uint8 RGBA array (alpha
-    255 — JPEG has no alpha; matches decode_png's output contract)."""
+    """Decode a baseline or progressive JPEG into an (h, w, 4) uint8
+    RGBA array (alpha 255 — JPEG has no alpha; matches decode_png's
+    output contract)."""
     if not is_jpeg(data):
         raise JpegError("bad signature: not a JPEG (SOI missing)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
-    frame = None  # (height, width, components)
+    frame: _Frame | None = None
+    saw_scan = False
 
     i = 2
     n = len(data)
     while True:
         if i + 2 > n:
-            raise JpegError("ran off end before SOS")
+            raise JpegError(
+                "ran off end before EOI"
+                if saw_scan else "ran off end before SOS"
+            )
         if data[i] != 0xFF:
             raise JpegError(f"expected marker at offset {i}")
         marker = data[i + 1]
@@ -202,7 +238,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i -= 1
             continue
         if marker == EOI:
-            raise JpegError("EOI before scan data")
+            if frame is None or not saw_scan:
+                raise JpegError("EOI before scan data")
+            return _finish(frame, qt)
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no length
             continue
         seg_len = _u16(data, i)
@@ -218,17 +256,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8)
                     j += 64
                 elif pq == 1:
-                    tbl = np.frombuffer(
-                        seg[j : j + 128], dtype=">u2"
-                    )
+                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2")
                     j += 128
                 else:
                     raise JpegError(f"DQT: bad precision {pq}")
                 if tbl.size != 64:
                     raise JpegError("DQT: short table")
-                dq = np.zeros(64, dtype=np.int32)
-                dq[ZIGZAG] = tbl.astype(np.int32)
-                qt[tq] = dq.reshape(8, 8)
+                # keep in zig-zag order: coefficients are stored zig-zag
+                qt[tq] = tbl.astype(np.int32)
         elif marker == DHT:
             j = 0
             while j < len(seg):
@@ -239,7 +274,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 j += 17 + nv
                 tbl = _HuffTable(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = tbl
-        elif marker == SOF_BASELINE:
+        elif marker in (SOF_BASELINE, SOF_PROGRESSIVE):
+            if frame is not None:
+                raise JpegError("multiple SOF markers")
             prec = seg[0]
             if prec != 8:
                 raise JpegError(f"unsupported sample precision {prec}")
@@ -260,20 +297,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             if height == 0 or width == 0:
                 raise JpegError("zero image dimension (DNL unsupported)")
-            frame = (height, width, comps)
+            frame = _Frame(
+                height, width, comps, marker == SOF_PROGRESSIVE
+            )
         elif marker in _SOF_UNSUPPORTED:
             raise JpegError(
                 f"unsupported JPEG process: {_SOF_UNSUPPORTED[marker]} "
-                "(baseline sequential only)"
+                "(baseline sequential and progressive only)"
             )
         elif marker == DRI:
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == SOS:
             if frame is None:
-                raise JpegError("SOS before SOF0")
+                raise JpegError("SOS before SOF")
             ns = seg[0]
-            comps = frame[2]
-            by_id = {c.cid: c for c in comps}
+            by_id = {c.cid: c for c in frame.comps}
             scan_comps = []
             for c in range(ns):
                 cs = seg[1 + 2 * c]
@@ -283,26 +321,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp.td = seg[2 + 2 * c] >> 4
                 comp.ta = seg[2 + 2 * c] & 0x0F
                 scan_comps.append(comp)
-            if ns != len(comps):
-                raise JpegError("non-interleaved multi-scan not supported")
-            scan_start = i + seg_len
-            return _decode_scan(
-                data, scan_start, frame, scan_comps, qt, huff_dc, huff_ac,
-                restart_interval,
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame.progressive:
+                if ns != len(frame.comps):
+                    raise JpegError(
+                        "baseline: non-interleaved multi-scan unsupported"
+                    )
+                ss, se, ah, al = 0, 63, 0, 0
+            saw_scan = True
+            i = _decode_scan(
+                data, i + seg_len, frame, scan_comps, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval,
             )
+            continue
         # APPn / COM / anything else: skip
         i += seg_len
 
 
 # --------------------------------------------------------------------------
-# Entropy-coded scan
+# Entropy-coded scans
 # --------------------------------------------------------------------------
 
 
-def _split_entropy(data: bytes, start: int) -> list[bytes]:
-    """Unstuff the entropy-coded segment from ``start`` to EOI, split at
-    restart markers.  FF00 -> literal FF; FF D0-D7 -> segment boundary;
-    FF D9 (EOI) or any other marker ends the scan."""
+def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff the entropy-coded segment from ``start`` to the next
+    non-RST marker, split at restart markers.  FF00 -> literal FF;
+    FF D0-D7 -> segment boundary.  Returns (segments, offset of the
+    terminating marker's FF byte)."""
     segs: list[bytes] = []
     cur = bytearray()
     i = start
@@ -314,6 +361,7 @@ def _split_entropy(data: bytes, start: int) -> list[bytes]:
             i += 1
             continue
         if i + 1 >= n:
+            i = n
             break
         m = data[i + 1]
         if m == 0x00:
@@ -326,78 +374,197 @@ def _split_entropy(data: bytes, start: int) -> list[bytes]:
         else:  # EOI or another marker: scan is over
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
+
+
+class _ScanState:
+    """Per-restart-segment mutable state: DC predictors + EOB run."""
+
+    __slots__ = ("pred", "eobrun")
+
+    def __init__(self, comps):
+        self.pred = {id(c): 0 for c in comps}
+        self.eobrun = 0
 
 
 def _decode_scan(
-    data, start, frame, comps, qt, huff_dc, huff_ac, restart_interval
-) -> np.ndarray:
-    height, width, _ = frame
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise JpegError("bad sampling factors")
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    for c in comps:
-        if c.tq not in qt:
-            raise JpegError(f"missing quantization table {c.tq}")
-        # blocks-per-MCU grid for this component
-        c.bw = mcux * c.h
-        c.bh = mcuy * c.v
-        c.blocks = np.zeros((c.bh * c.bw, 8, 8), dtype=np.int32)
+    data, start, frame, comps, ss, se, ah, al, huff_dc, huff_ac,
+    restart_interval,
+) -> int:
+    """Decode one scan into the components' coefficient storage; returns
+    the offset of the marker that terminated the scan's entropy data."""
+    if ss > se or se > 63:
+        raise JpegError(f"bad spectral range {ss}..{se}")
+    interleaved = len(comps) > 1
+    if ss > 0 and interleaved:
+        raise JpegError("progressive AC scans must be non-interleaved")
+    segs, end = _split_entropy(data, start)
 
-    segs = _split_entropy(data, start)
-    n_mcu = mcux * mcuy
-    mcus_per_seg = restart_interval if restart_interval else n_mcu
-    mcu = 0
+    if interleaved:
+        n_units = frame.mcux * frame.mcuy
+    else:
+        c = comps[0]
+        n_units = c.nbw * c.nbh
+    units_per_seg = restart_interval if restart_interval else n_units
+
+    unit = 0
     seg_idx = 0
-    while mcu < n_mcu:
+    while unit < n_units:
         if seg_idx >= len(segs):
             raise JpegError("entropy stream ended early (missing restarts)")
         br = _BitReader(segs[seg_idx])
-        pred = {id(c): 0 for c in comps}  # DC predictors reset per restart
-        for _ in range(min(mcus_per_seg, n_mcu - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for c in comps:
-                if c.td not in huff_dc or c.ta not in huff_ac:
-                    raise JpegError("missing Huffman table for scan")
-                dq = qt[c.tq]
-                for by in range(c.v):
-                    for bx in range(c.h):
-                        blk = _decode_block(
-                            br, huff_dc[c.td], huff_ac[c.ta]
-                        )
-                        pred[id(c)] += blk[0]
-                        blk[0] = pred[id(c)]
-                        row = my * c.v + by
-                        col = mx * c.h + bx
-                        coeff = np.zeros(64, dtype=np.int32)
-                        coeff[ZIGZAG] = blk
-                        c.blocks[row * c.bw + col] = (
-                            coeff.reshape(8, 8) * dq
-                        )
-            mcu += 1
+        st = _ScanState(comps)
+        for _ in range(min(units_per_seg, n_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, frame.mcux)
+                for c in comps:
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            blk = c.zz[
+                                (my * c.v + by) * c.bw + (mx * c.h + bx)
+                            ]
+                            _decode_block(
+                                br, st, c, blk, ss, se, ah, al,
+                                huff_dc, huff_ac,
+                            )
+            else:
+                c = comps[0]
+                row, col = divmod(unit, c.nbw)
+                blk = c.zz[row * c.bw + col]
+                _decode_block(
+                    br, st, c, blk, ss, se, ah, al, huff_dc, huff_ac
+                )
+            unit += 1
         seg_idx += 1
+    return end
 
-    # vectorized IDCT per component, assemble planes, upsample, convert
+
+def _decode_block(br, st, c, blk, ss, se, ah, al, huff_dc, huff_ac):
+    """Decode one block's contribution for this scan into ``blk`` (a
+    64-int32 view in zig-zag order)."""
+    if ss == 0:
+        if ah == 0:
+            if c.td not in huff_dc:
+                raise JpegError("missing DC Huffman table for scan")
+            t = huff_dc[c.td].decode(br)
+            if t > 11:
+                raise JpegError("DC category > 11")
+            diff = _extend(br.receive(t), t)
+            st.pred[id(c)] += diff
+            blk[0] = st.pred[id(c)] << al
+        else:  # DC refinement: one bit
+            if br.read_bit():
+                blk[0] |= 1 << al
+        if se == 0:
+            return
+        k = 1
+    else:
+        k = ss
+    if c.ta not in huff_ac:
+        raise JpegError("missing AC Huffman table for scan")
+    ac = huff_ac[c.ta]
+    if ah == 0:
+        _ac_first(br, st, ac, blk, k, se, al)
+    else:
+        _ac_refine(br, st, ac, blk, k, se, al)
+
+
+def _ac_first(br, st, ac, blk, k, se, al):
+    """AC coefficients' first pass (T.81 G.1.2.2): run-length + EOB-run
+    coding; also the baseline AC path (al == 0, eobrun unused there but
+    harmless — baseline encoders never emit EOBn > EOB0)."""
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            st.eobrun = (1 << r) - 1
+            if r:
+                st.eobrun += br.receive(r)
+            break  # EOBn: this block is done
+        k += r
+        if k > se:
+            raise JpegError("AC run past spectral band")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, st, ac, blk, k, se, al):
+    """AC refinement pass (T.81 G.1.2.3): newly-significant coefficients
+    arrive as ±1<<al; history coefficients receive correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(pos):
+        if br.read_bit() and (blk[pos] & p1) == 0:
+            blk[pos] += p1 if blk[pos] >= 0 else m1
+
+    if st.eobrun == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += br.receive(r)
+                    break  # drop to the EOB sweep below
+                # r == 15: run of 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("AC refinement amplitude must be 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+            # outer while continues at the next unprocessed position
+    if st.eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        st.eobrun -= 1
+
+
+# --------------------------------------------------------------------------
+# Reconstruction
+# --------------------------------------------------------------------------
+
+
+def _finish(frame: _Frame, qt) -> np.ndarray:
+    height, width = frame.height, frame.width
     planes = []
-    for c in comps:
-        spatial = (
-            np.einsum(
-                "ux,nuv,vy->nxy", _DCT_C, c.blocks.astype(np.float64),
-                _DCT_C,
-            )
-            + 128.0
-        )
+    for c in frame.comps:
+        if c.tq not in qt:
+            raise JpegError(f"missing quantization table {c.tq}")
+        deq = (c.zz * qt[c.tq][None, :]).astype(np.float64)
+        blocks = np.zeros((c.zz.shape[0], 64))
+        blocks[:, ZIGZAG] = deq  # zig-zag -> raster within each block
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT_C, blocks, _DCT_C) + 128.0
         plane = (
             spatial.reshape(c.bh, c.bw, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(c.bh * 8, c.bw * 8)
         )
-        # nearest-neighbor upsample to the full-resolution grid
         plane = np.repeat(
-            np.repeat(plane, vmax // c.v, axis=0), hmax // c.h, axis=1
+            np.repeat(plane, frame.vmax // c.v, axis=0),
+            frame.hmax // c.h,
+            axis=1,
         )
         planes.append(plane[:height, :width])
 
@@ -415,28 +582,3 @@ def _decode_scan(
         out[:, :, 1] = np.clip(g + 0.5, 0, 255).astype(np.uint8)
         out[:, :, 2] = np.clip(b + 0.5, 0, 255).astype(np.uint8)
     return out
-
-
-def _decode_block(br, dc_tbl, ac_tbl) -> np.ndarray:
-    """One 8x8 block in zig-zag order; blk[0] holds the DC DIFF (caller
-    applies the predictor)."""
-    blk = np.zeros(64, dtype=np.int32)
-    t = dc_tbl.decode(br)
-    if t > 11:
-        raise JpegError("DC category > 11")
-    blk[0] = _extend(br.receive(t), t)
-    k = 1
-    while k < 64:
-        rs = ac_tbl.decode(br)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL: 16 zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise JpegError("AC run past end of block")
-        blk[k] = _extend(br.receive(s), s)
-        k += 1
-    return blk

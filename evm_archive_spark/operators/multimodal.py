@@ -8,16 +8,17 @@ through Python row-at-a-time.
 Codec status: PNG, baseline JPEG, GIF, and WAV/PCM are REAL —
 ``strict=True`` decodes ``image/png`` payloads through the from-scratch
 stdlib decoder in ``png.py`` (zlib inflate + scanline unfilter, public
-W3C spec; VERDICT r3 #3), ``image/jpeg`` baseline-sequential payloads
-through ``jpeg.py`` (Huffman + IDCT, public ITU T.81 spec; VERDICT r4
-#5), and ``image/gif`` payloads (static + animated) through ``gif.py``
+W3C spec; VERDICT r3 #3), ``image/jpeg`` payloads — baseline
+sequential AND progressive (SOF2: spectral selection + successive
+approximation) — through ``jpeg.py`` (Huffman + IDCT, public ITU T.81
+spec; VERDICT r4 #5), and ``image/gif`` payloads (static + animated) through ``gif.py``
 (from-scratch LZW, interlace, disposal composition);
 ``resize_images`` re-encodes a nearest-neighbor resample as real PNG
 bytes, ``image_ahash`` hashes real pixels, ``audio_features`` decodes
 RIFF/WAVE PCM through ``wav.py``, and ``frame_sample`` decodes APNG
 animation frames (``decode_apng_frames``), treats a JPEG as its one
 frame, and walks AVI/MJPEG video containers frame-by-frame through
-``avi.py`` + the baseline JPEG decoder.  Remaining formats (progressive
+``avi.py`` + the baseline JPEG decoder.  Remaining formats (arithmetic-coded
 JPEG, compressed audio, inter-frame video codecs) stay honestly
 stubbed: those codecs aren't implementable from stdlib in bounded code,
 so ``strict=True`` raises ``NotImplementedError`` for them and
@@ -160,7 +161,7 @@ def image_ahash(
     ``strict=False``: other payloads get the deterministic sha256 fake
     grid (plumbing twin, same schema); PNG/JPEG/GIF payloads are really
     decoded when the stdlib codecs can (corrupt or out-of-scope images —
-    16-bit PNG, Adam7, progressive JPEG — fall back to the fake instead
+    16-bit PNG, Adam7, arithmetic JPEG — fall back to the fake instead
     of failing the job: strict=False never raises)."""
     out_schema = T.StructType(
         [

@@ -1,4 +1,4 @@
-"""Baseline JPEG codec tests (decoder: operators/jpeg.py).
+"""JPEG codec tests — baseline + progressive (decoder: operators/jpeg.py).
 
 The fixtures are produced by an INDEPENDENT from-scratch encoder defined
 here (mirroring tests/test_png.py's pattern): its zig-zag order is derived
@@ -132,17 +132,13 @@ def _equal_len_table(symbols):
     return bits, bytes(vals), code
 
 
-def encode_jpeg(
-    rgb: np.ndarray,
-    sampling=(1, 1),
-    restart_interval=0,
-    grayscale=False,
-    dqt_16bit=False,
-):
-    """From-scratch baseline JPEG encoder (test fixture generator).
-
-    ``sampling`` is the (h, v) factor of the LUMA component relative to
-    chroma — (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0."""
+def _prepare(rgb, sampling=(1, 1), grayscale=False):
+    """Shared color-convert/subsample/DCT/quantize stage: returns
+    (comps, blocks, mcux, mcuy) where ``comps`` is
+    [(cid, h, v, tq, plane)] and ``blocks[cid]`` is the MCU-padded 2d
+    grid of zig-zag quantized-coefficient lists — both the baseline and
+    the progressive writers serialize the SAME coefficients, which is
+    what makes the equal-pixels cross-check meaningful."""
     h, w = rgb.shape[:2]
     r = rgb[:, :, 0].astype(np.float64)
     g = rgb[:, :, 1].astype(np.float64)
@@ -172,7 +168,6 @@ def encode_jpeg(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    # quantize every block (two passes: stats then emission)
     q_by_t = {0: QL, 1: QC}
     blocks = {}  # cid -> 2d list [row][col] of zig-zag int arrays
     for cid, ch, cv, tq, plane in comps:
@@ -193,6 +188,22 @@ def encode_jpeg(
                 row.append([qz[i, j] for (i, j) in _ZZ])
             rows.append(row)
         blocks[cid] = rows
+    return comps, blocks, mcux, mcuy
+
+
+def encode_jpeg(
+    rgb: np.ndarray,
+    sampling=(1, 1),
+    restart_interval=0,
+    grayscale=False,
+    dqt_16bit=False,
+):
+    """From-scratch baseline JPEG encoder (test fixture generator).
+
+    ``sampling`` is the (h, v) factor of the LUMA component relative to
+    chroma — (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0."""
+    h, w = rgb.shape[:2]
+    comps, blocks, mcux, mcuy = _prepare(rgb, sampling, grayscale)
 
     # MCU walk twice: collect symbols, then write
     def mcu_blocks():
@@ -319,6 +330,261 @@ def encode_jpeg(
     return bytes(out)
 
 
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (scan-script writer for the SOF2 decoder paths)
+# --------------------------------------------------------------------------
+
+
+class _Stats:
+    """First-pass sink: records Huffman symbols, discards raw bits."""
+
+    def __init__(self):
+        self.syms = []
+
+    def sym(self, v):
+        self.syms.append(v)
+
+    def bits(self, v, n):
+        pass
+
+
+class _Emit:
+    """Second-pass sink: writes Huffman codes + raw bits."""
+
+    def __init__(self, bw, code):
+        self.bw = bw
+        self.code = code
+
+    def sym(self, v):
+        c, ln = self.code[v]
+        self.bw.put(c, ln)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.put(v, n)
+
+
+def _dc_first_scan(sink, comps, blocks, mcux, mcuy, al):
+    pred = {c[0]: 0 for c in comps}
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for cid, ch, cv, _tq, _ in comps:
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = blocks[cid][my * cv + by][mx * ch + bx]
+                    v = int(zz[0]) >> al  # DC point transform: arith shift
+                    diff = v - pred[cid]
+                    pred[cid] = v
+                    t = _category(diff)
+                    sink.sym(t)
+                    amp, _ = _amplitude(diff)
+                    sink.bits(amp, t)
+
+
+def _dc_refine_scan(bw, comps, blocks, mcux, mcuy, al):
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for cid, ch, cv, _tq, _ in comps:
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = blocks[cid][my * cv + by][mx * ch + bx]
+                    bw.put((int(zz[0]) >> al) & 1, 1)
+
+
+def _noninterleaved_grid(w, h, ch, cv, hmax, vmax):
+    cw = -(-(w * ch) // hmax)
+    chh = -(-(h * cv) // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _ac_first_scan(sink, rows, nbw, nbh, ss, se, al):
+    state = {"eobrun": 0}
+
+    def flush_eob():
+        n = state["eobrun"]
+        if n:
+            r = n.bit_length() - 1
+            sink.sym(r << 4)
+            sink.bits(n - (1 << r), r)
+            state["eobrun"] = 0
+
+    for row in range(nbh):
+        for col in range(nbw):
+            zz = rows[row][col]
+            t = [
+                (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al)
+                for k in range(ss, se + 1)
+            ]
+            if not any(t):
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            last_nz = max(i for i, v in enumerate(t) if v)
+            for i, v in enumerate(t):
+                if i > last_nz:
+                    break
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    sink.sym(0xF0)
+                    r -= 16
+                s = _category(v)
+                sink.sym((r << 4) | s)
+                amp, _ = _amplitude(v)
+                sink.bits(amp, s)
+                r = 0
+            if last_nz < len(t) - 1:
+                state["eobrun"] += 1
+    flush_eob()
+
+
+def _ac_refine_scan(sink, rows, nbw, nbh, ss, se, al):
+    """Mirror of the decoder's G.1.2.3 correction-bit pass (the libjpeg
+    encode_mcu_AC_refine structure): newly-significant coefficients emit
+    run/1 + sign, history coefficients buffer correction bits flushed
+    after the next emitted symbol; blocks ending in zeros/corrections
+    fold into an EOB run whose buffered bits follow the EOBn symbol."""
+    state = {"eobrun": 0, "br": []}
+
+    def flush_eob():
+        if state["eobrun"] or state["br"]:
+            n = max(state["eobrun"], 1)
+            r = n.bit_length() - 1
+            sink.sym(r << 4)
+            sink.bits(n - (1 << r), r)
+            for b in state["br"]:
+                sink.bits(b, 1)
+            state["eobrun"] = 0
+            state["br"] = []
+
+    for row in range(nbh):
+        for col in range(nbw):
+            zz = rows[row][col]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = -1
+            for i, v in enumerate(absv):
+                if v == 1:
+                    eob = i
+            r = 0
+            br = []
+            for i, v in enumerate(absv):
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush_eob()
+                    sink.sym(0xF0)
+                    for b in br:
+                        sink.bits(b, 1)
+                    br = []
+                    r -= 16
+                if v > 1:
+                    br.append(v & 1)
+                    continue
+                # newly significant at this precision
+                flush_eob()
+                sink.sym((r << 4) | 1)
+                sink.bits(1 if zz[ss + i] >= 0 else 0, 1)
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                state["eobrun"] += 1
+                state["br"].extend(br)
+                if state["eobrun"] == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(rgb, sampling=(1, 1), grayscale=False):
+    """From-scratch PROGRESSIVE JPEG encoder (SOF2): the scan script is
+    DC first (Al=1, interleaved) -> DC refinement -> per component AC
+    first scans for bands 1..5 and 6..63 at Al=1 -> per component AC
+    refinement scans for the same bands (Ah=1, Al=0) — exercising
+    spectral selection, successive approximation, EOB runs, ZRL-in-
+    refinement, and non-interleaved scan geometry.  Serializes the SAME
+    quantized coefficients as encode_jpeg, so decoded pixels must be
+    IDENTICAL to the baseline stream's."""
+    import struct as st
+
+    h, w = rgb.shape[:2]
+    comps, blocks, mcux, mcuy = _prepare(rgb, sampling, grayscale)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(
+            bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body
+        )
+
+    for tq, q in ((0, QL), (1, QC)):
+        if grayscale and tq == 1:
+            continue
+        zzq = [int(q[i, j]) for (i, j) in _ZZ]
+        seg(0xDB, bytes([tq]) + bytes(zzq))
+
+    sof = bytearray(st.pack(">BHHB", 8, h, w, len(comps)))
+    for cid, ch, cv, tq, _ in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    seg(0xC2, bytes(sof))
+
+    def emit_scan(scan_fn, scan_comps, ss, se, ah, al, tc, with_table):
+        if with_table:
+            stats = _Stats()
+            scan_fn(stats)
+            bits, vals, code = _equal_len_table(stats.syms or [0])
+            seg(0xC4, bytes([(tc << 4) | 0]) + bytes(bits) + vals)
+        sos = bytearray([len(scan_comps)])
+        for cid, *_ in scan_comps:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        bw = _BitWriter()
+        scan_fn(_Emit(bw, code) if with_table else bw)
+        bw.pad()
+        out.extend(bw.out)
+
+    # 1. DC first, interleaved, Al=1
+    emit_scan(
+        lambda sk: _dc_first_scan(sk, comps, blocks, mcux, mcuy, 1),
+        comps, 0, 0, 0, 1, 0, True,
+    )
+    # 2. DC refinement (raw bits, no table)
+    emit_scan(
+        lambda bw: _dc_refine_scan(bw, comps, blocks, mcux, mcuy, 0),
+        comps, 0, 0, 1, 0, 0, False,
+    )
+    # 3-4. AC first per component per band, Al=1
+    for cid, ch, cv, tq, _ in comps:
+        nbw, nbh = _noninterleaved_grid(w, h, ch, cv, hmax, vmax)
+        for ss, se in ((1, 5), (6, 63)):
+            emit_scan(
+                lambda sk, c=cid, a=nbw, b=nbh, s0=ss, s1=se:
+                    _ac_first_scan(sk, blocks[c], a, b, s0, s1, 1),
+                [(cid,)], ss, se, 0, 1, 1, True,
+            )
+    # 5-6. AC refinement per component per band, Ah=1 -> Al=0
+    for cid, ch, cv, tq, _ in comps:
+        nbw, nbh = _noninterleaved_grid(w, h, ch, cv, hmax, vmax)
+        for ss, se in ((1, 5), (6, 63)):
+            emit_scan(
+                lambda sk, c=cid, a=nbw, b=nbh, s0=ss, s1=se:
+                    _ac_refine_scan(sk, blocks[c], a, b, s0, s1, 0),
+                [(cid,)], ss, se, 1, 0, 1, True,
+            )
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # tests
 # --------------------------------------------------------------------------
@@ -404,11 +670,11 @@ def test_rejections():
     good = bytearray(encode_jpeg(img))
     with pytest.raises(JpegError, match="signature"):
         decode_jpeg(b"not a jpeg")
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF9 (arithmetic-coded extended sequential)
     i = good.index(b"\xff\xc0")
-    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
-    with pytest.raises(JpegError, match="progressive"):
-        decode_jpeg(bytes(prog))
+    arith = good[:i] + b"\xff\xc9" + good[i + 2 :]
+    with pytest.raises(JpegError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
     with pytest.raises(JpegError, match="truncated|ran off|ended early"):
         decode_jpeg(bytes(good[:40]))
     # corrupt the sample precision byte (SOF payload starts after len)
@@ -494,25 +760,25 @@ def test_jpeg_through_decode_images_and_ahash(spark):
     assert decode_png(bytes(resized[0]["payload"])).shape == (12, 16, 4)
 
 
-def test_progressive_jpeg_nonstrict_fallback(spark):
-    """A progressive JPEG (out of scope) falls back to the deterministic
-    fake at strict=False and raises at strict=True — the ADVICE r4
-    never-fails contract extended to the new codec."""
+def test_out_of_scope_jpeg_nonstrict_fallback(spark):
+    """An arithmetic-coded JPEG (out of scope) falls back to the
+    deterministic fake at strict=False and raises at strict=True — the
+    ADVICE r4 never-fails contract on the codec boundary."""
     from evm_archive_spark.operators import multimodal
 
     img = _rgb(16, 16)
     good = bytearray(encode_jpeg(img))
     i = good.index(b"\xff\xc0")
-    prog = bytes(good[:i] + b"\xff\xc2" + good[i + 2 :])
-    media = _media_df(spark, [prog])
+    arith = bytes(good[:i] + b"\xff\xc9" + good[i + 2 :])
+    media = _media_df(spark, [arith])
 
     rows = multimodal.image_ahash(media, strict=False).collect()
     assert len(rows) == 1  # no raise
-    with pytest.raises(Exception, match="progressive"):
+    with pytest.raises(Exception, match="arithmetic"):
         multimodal.image_ahash(media, strict=True).collect()
     frames = multimodal.frame_sample(media, every_n=1, strict=False).collect()
     assert len(frames) >= 1
-    with pytest.raises(Exception, match="progressive"):
+    with pytest.raises(Exception, match="arithmetic"):
         multimodal.frame_sample(media, every_n=1, strict=True).collect()
 
 
@@ -590,3 +856,97 @@ def test_frame_sample_strict_real_avi(spark):
         _media_df(spark, [broken]), every_n=1, strict=False
     ).collect()
     assert len(rows) >= 1
+
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) decoding
+# --------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_pixels():
+    """The strong progressive pin: the progressive writer serializes the
+    SAME quantized coefficients as the baseline writer, so the decoded
+    pixels must be IDENTICAL — any error in DC successive approximation,
+    EOB runs, spectral bands, refinement correction bits, or
+    non-interleaved geometry shows up as a pixel diff against the
+    already-validated baseline path."""
+    cases = [
+        ((40, 56), (1, 1), False),
+        ((33, 41), (2, 2), False),   # 4:2:0, odd dims -> padded MCUs
+        ((17, 25), (2, 1), False),   # 4:2:2 + nbw < storage-bw geometry
+        ((24, 24), (1, 1), True),    # grayscale single component
+    ]
+    for (h, w), sampling, gray in cases:
+        img = _rgb(h, w, seed=h * w)
+        base = decode_jpeg(encode_jpeg(img, sampling=sampling,
+                                       grayscale=gray))
+        prog_bytes = encode_jpeg_progressive(img, sampling=sampling,
+                                             grayscale=gray)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        # really multi-scan: count SOS markers
+        n_scans = prog_bytes.count(b"\xff\xda")
+        assert n_scans >= (4 if gray else 8), n_scans
+        prog = decode_jpeg(prog_bytes)
+        assert (prog == base).all(), (
+            (h, w), sampling, gray,
+            int(np.abs(prog.astype(int) - base.astype(int)).max()),
+        )
+
+
+def test_progressive_sparse_and_extreme_blocks():
+    """Targeted coefficient patterns: flat blocks (all-EOB runs spanning
+    many blocks), single-coefficient blocks (long zero runs + ZRL), and
+    high-contrast blocks (refinement corrections on large values)."""
+    flat = np.full((48, 48, 3), 77, dtype=np.uint8)
+    stripe = np.zeros((48, 48, 3), dtype=np.uint8)
+    stripe[::2] = 255  # maximal vertical frequency
+    rng = np.random.default_rng(3)
+    spots = np.full((48, 48, 3), 128, dtype=np.uint8)
+    ys, xs = rng.integers(0, 48, 12), rng.integers(0, 48, 12)
+    spots[ys, xs] = 255
+    for img in (flat, stripe, spots):
+        base = decode_jpeg(encode_jpeg(img))
+        prog = decode_jpeg(encode_jpeg_progressive(img))
+        assert (prog == base).all()
+
+
+def test_progressive_through_spark_strict_paths(spark):
+    """Progressive JPEG through the strict multimodal operators: same
+    aHash as the baseline encoding of the same image (codec-invariant),
+    true dimensions in decode_images."""
+    from evm_archive_spark.operators import multimodal
+
+    img = np.zeros((32, 48, 3), dtype=np.uint8)
+    img[:16] = 40
+    img[16:] = 210
+    media = _media_df(
+        spark, [encode_jpeg(img), encode_jpeg_progressive(img)]
+    )
+    hashes = [
+        r["ahash"]
+        for r in multimodal.image_ahash(media, strict=True).collect()
+    ]
+    assert hashes[0] == hashes[1]
+    feats = multimodal.decode_images(media, strict=True).collect()
+    assert all(
+        (r["width"], r["height"]) == (48, 32) for r in feats
+    )
+
+
+def test_progressive_random_sweep():
+    """Randomized shapes x samplings: every stream must reproduce its
+    baseline twin exactly."""
+    rng = np.random.default_rng(101)
+    for trial in range(6):
+        h = int(rng.integers(9, 50))
+        w = int(rng.integers(9, 50))
+        sampling = [(1, 1), (2, 1), (2, 2)][trial % 3]
+        img = np.clip(
+            rng.normal(128, 60, size=(h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, sampling=sampling))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, sampling=sampling)
+        )
+        assert (prog == base).all(), (trial, h, w, sampling)
