@@ -142,6 +142,7 @@ _EXPORTS = {
     "decode_png": "png",
     "decode_jpeg": "jpeg",
     "decode_gif": "gif",
+    "decode_tiff": "tiff",
     "decode_gif_frames": "gif",
     "decode_avi_frames": "avi",
     "encode_png": "png",

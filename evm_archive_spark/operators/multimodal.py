@@ -11,8 +11,10 @@ stdlib decoder in ``png.py`` (zlib inflate + scanline unfilter, public
 W3C spec; VERDICT r3 #3), ``image/jpeg`` payloads — baseline
 sequential AND progressive (SOF2: spectral selection + successive
 approximation) — through ``jpeg.py`` (Huffman + IDCT, public ITU T.81
-spec; VERDICT r4 #5), and ``image/gif`` payloads (static + animated) through ``gif.py``
-(from-scratch LZW, interlace, disposal composition);
+spec; VERDICT r4 #5), ``image/gif`` payloads (static + animated) through ``gif.py``
+(from-scratch LZW, interlace, disposal composition), and baseline
+``image/tiff`` payloads through ``tiff.py`` (IFD walk, both byte
+orders, none/LZW/PackBits strips, predictor, palette/bilevel/RGB);
 ``resize_images`` re-encodes a nearest-neighbor resample as real PNG
 bytes, ``image_ahash`` hashes real pixels, ``audio_features`` decodes
 RIFF/WAVE PCM through ``wav.py``, and ``frame_sample`` decodes APNG
@@ -104,6 +106,7 @@ def decode_images(
         from .gif import GifError, decode_gif, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
         from .png import PngError, decode_png, grid_features, is_png
+        from .tiff import TiffError, decode_tiff, is_tiff
 
         for pdf in it:
             out = {"media_id": [], "width": [], "height": [], "feature": []}
@@ -117,15 +120,18 @@ def decode_images(
                             rgba = decode_jpeg(b)
                         elif is_gif(b):
                             rgba = decode_gif(b)
+                        elif is_tiff(b):
+                            rgba = decode_tiff(b)
                         else:
                             raise NotImplementedError(
-                                "strict decode supports PNG, baseline "
-                                "JPEG, and GIF only (stdlib decoders); "
+                                "strict decode supports PNG, JPEG "
+                                "(baseline+progressive), GIF, and "
+                                "baseline TIFF only (stdlib decoders); "
                                 "other codecs need real image libraries, "
                                 "not in this environment — use "
                                 "strict=False for the deterministic fake"
                             )
-                    except (PngError, JpegError, GifError) as e:
+                    except (PngError, JpegError, GifError, TiffError) as e:
                         raise ValueError(
                             f"bad image payload {mid}: {e}"
                         ) from e
@@ -177,6 +183,7 @@ def image_ahash(
         from .gif import GifError, decode_gif, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
         from .png import PngError, decode_png, is_png
+        from .tiff import TiffError, decode_tiff, is_tiff
 
         def fake_grid(b: bytes) -> "np.ndarray":
             h = hashlib.sha256(b).digest() * 2
@@ -185,15 +192,18 @@ def image_ahash(
             )
 
         def grid_of(b: bytes) -> "np.ndarray":
-            if is_png(b) or is_jpeg(b) or is_gif(b):
+            if is_png(b) or is_jpeg(b) or is_gif(b) or is_tiff(b):
                 try:
                     if is_png(b):
                         rgba = decode_png(b)
                     elif is_jpeg(b):
                         rgba = decode_jpeg(b)
-                    else:
+                    elif is_gif(b):
                         rgba = decode_gif(b)
-                except (PngError, JpegError, GifError, NotImplementedError):
+                    else:
+                        rgba = decode_tiff(b)
+                except (PngError, JpegError, GifError, TiffError,
+                        NotImplementedError):
                     if strict:
                         raise
                     # strict=False never fails the job: corrupt or
@@ -211,7 +221,7 @@ def image_ahash(
                 )
             if strict:
                 raise NotImplementedError(
-                    "strict aHash supports PNG, baseline JPEG, and GIF "
+                    "strict aHash supports PNG, JPEG, GIF, and TIFF "
                     "only (stdlib decoders); use strict=False for the "
                     "deterministic fake"
                 )
@@ -223,7 +233,7 @@ def image_ahash(
                 b = bytes(payload or b"")
                 try:
                     g = grid_of(b)
-                except (PngError, JpegError, GifError) as e:
+                except (PngError, JpegError, GifError, TiffError) as e:
                     raise ValueError(f"bad image payload {mid}: {e}") from e
                 bits = (g > g.mean()).flatten()
                 val = 0
@@ -815,6 +825,7 @@ def resize_images(
         from .gif import GifError, decode_gif, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
         from .png import PngError, decode_png, encode_png, is_png
+        from .tiff import TiffError, decode_tiff, is_tiff
 
         n_out = max(1, target_w * target_h // 64)
         for pdf in it:
@@ -822,10 +833,11 @@ def resize_images(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload or b"")
                 if strict:
-                    if not (is_png(b) or is_jpeg(b) or is_gif(b)):
+                    if not (is_png(b) or is_jpeg(b) or is_gif(b)
+                            or is_tiff(b)):
                         raise NotImplementedError(
-                            "strict resize supports PNG, baseline JPEG, "
-                            "and GIF input only (stdlib codecs); use "
+                            "strict resize supports PNG, JPEG, GIF, and "
+                            "TIFF input only (stdlib codecs); use "
                             "strict=False for the stub"
                         )
                     try:
@@ -833,9 +845,11 @@ def resize_images(
                             rgba = decode_png(b)
                         elif is_jpeg(b):
                             rgba = decode_jpeg(b)
-                        else:
+                        elif is_gif(b):
                             rgba = decode_gif(b)
-                    except (PngError, JpegError, GifError) as e:
+                        else:
+                            rgba = decode_tiff(b)
+                    except (PngError, JpegError, GifError, TiffError) as e:
                         raise ValueError(
                             f"bad image payload {mid}: {e}"
                         ) from e

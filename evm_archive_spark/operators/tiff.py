@@ -1,0 +1,263 @@
+"""Baseline TIFF decoder — from scratch, stdlib + numpy.
+
+Implements the public TIFF 6.0 specification's baseline subset plus the
+LZW extension: header + IFD walk (both byte orders), strip-based image
+data, bilevel/grayscale/palette/RGB(A) photometric interpretations at
+1/8-bit depths, and Compression 1 (none), 2 is out of scope, 5 (LZW
+with horizontal differencing predictor) and 32773 (PackBits).
+
+Scope notes (clear errors, no silent wrong pixels): tiled images,
+16-bit samples, planar configuration 2, JPEG-in-TIFF and CCITT fax
+compressions raise ``TiffError`` naming the gap.  Output matches the
+other codecs' contract: (h, w, 4) uint8 RGBA.
+
+TIFF's LZW differs from GIF's: codes are MSB-first, code width starts
+at 9 and bumps at dictionary sizes 511/1023/2047 (one EARLIER than the
+power of two — the spec's famous "off-by-one"), and strings are byte
+sequences with 256=Clear, 257=EOI.
+
+Reference parity note: the reference stores media as opaque bytea and
+never decodes; this backs the strict=True multimodal paths for
+``image/tiff`` payloads.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class TiffError(Exception):
+    """Malformed or out-of-scope TIFF payload."""
+
+
+def is_tiff(data: bytes) -> bool:
+    return data[:4] in (b"II*\x00", b"MM\x00*")
+
+
+# baseline tags
+_TAGS = {
+    256: "width", 257: "height", 258: "bits_per_sample",
+    259: "compression", 262: "photometric", 273: "strip_offsets",
+    277: "samples_per_pixel", 278: "rows_per_strip",
+    279: "strip_byte_counts", 317: "predictor", 320: "colormap",
+    322: "tile_width", 338: "extra_samples", 284: "planar_config",
+}
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd(data: bytes, off: int, bo: str) -> dict:
+    if off + 2 > len(data):
+        raise TiffError("truncated IFD")
+    (n,) = struct.unpack_from(bo + "H", data, off)
+    fields = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(data):
+            raise TiffError("truncated IFD entry")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, e)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        voff = e + 8 if total <= 4 else struct.unpack_from(
+            bo + "I", data, e + 8
+        )[0]
+        raw = data[voff : voff + total]
+        if len(raw) < total:
+            raise TiffError(f"tag {tag}: value overruns payload")
+        if typ in (3, 8):
+            vals = struct.unpack_from(f"{bo}{cnt}H", raw)
+        elif typ in (4, 9):
+            vals = struct.unpack_from(f"{bo}{cnt}I", raw)
+        elif typ in (1, 6, 7):
+            vals = tuple(raw)
+        else:
+            vals = (raw,)
+        name = _TAGS.get(tag)
+        if name:
+            fields[name] = vals
+    return fields
+
+
+def _lzw_decode_tiff(data: bytes, max_out: int) -> bytes:
+    """TIFF-flavor LZW: MSB-first variable codes, 256=Clear 257=EOI,
+    width bumps one code EARLY (at table sizes 510/1022/2046 + first)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    while len(out) < max_out:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise TiffError("LZW: first code not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise TiffError("LZW: code beyond table")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # early width bump (TIFF writes the longer code one step early)
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_out:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise TiffError("PackBits: truncated run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """First IFD as an (h, w, 4) uint8 RGBA array."""
+    if not is_tiff(data):
+        raise TiffError("bad signature: not a TIFF payload")
+    bo = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    f = _read_ifd(data, ifd_off, bo)
+    if "tile_width" in f:
+        raise TiffError("tiled TIFF not supported (strips only)")
+    try:
+        width = f["width"][0]
+        height = f["height"][0]
+        offsets = f["strip_offsets"]
+        counts = f["strip_byte_counts"]
+    except KeyError as e:
+        raise TiffError(f"missing required tag {e}") from e
+    comp = f.get("compression", (1,))[0]
+    photo = f.get("photometric", (1,))[0]
+    spp = f.get("samples_per_pixel", (1,))[0]
+    bps = f.get("bits_per_sample", (1,) * spp)
+    planar = f.get("planar_config", (1,))[0]
+    rows_per_strip = f.get("rows_per_strip", (height,))[0] or height
+    predictor = f.get("predictor", (1,))[0]
+    if planar != 1:
+        raise TiffError("planar configuration 2 not supported")
+    if comp not in (1, 5, 32773):
+        names = {2: "CCITT", 6: "old-JPEG", 7: "JPEG", 8: "deflate"}
+        raise TiffError(
+            f"compression {names.get(comp, comp)} not supported "
+            "(none/LZW/PackBits only)"
+        )
+    if any(b not in (1, 8) for b in bps) or (bps[0] == 1 and spp != 1):
+        raise TiffError(f"bits-per-sample {bps} not supported (1 or 8)")
+
+    row_bytes = (
+        (width + 7) // 8 if bps[0] == 1 else width * spp
+    )
+    raw = bytearray()
+    row0 = 0
+    for off, cnt in zip(offsets, counts):
+        strip = data[off : off + cnt]
+        if len(strip) < cnt:
+            raise TiffError("strip overruns payload")
+        nrows = min(rows_per_strip, height - row0)
+        want = row_bytes * nrows
+        if comp == 1:
+            if len(strip) < want:
+                raise TiffError("uncompressed strip short")
+            dec = strip[:want]
+        elif comp == 5:
+            dec = _lzw_decode_tiff(strip, want)
+        else:
+            dec = _packbits_decode(strip, want)
+        if len(dec) < want:
+            raise TiffError("strip decode short of expected size")
+        raw += dec[:want]
+        row0 += nrows
+    if row0 < height:
+        raise TiffError("strips cover fewer rows than ImageLength")
+
+    if bps[0] == 1:
+        bits = np.unpackbits(
+            np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, -1),
+            axis=1,
+        )[:, :width]
+        # photometric 0: 0=white; 1: 0=black
+        g = (bits * 255 if photo == 1 else (1 - bits) * 255).astype(
+            np.uint8
+        )
+        px = g[:, :, None]
+        spp_eff = 1
+    else:
+        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+            height, width, spp
+        )
+        if predictor == 2:  # horizontal differencing
+            px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+        spp_eff = spp
+
+    out = np.empty((height, width, 4), dtype=np.uint8)
+    out[:, :, 3] = 255
+    if photo == 3:  # palette
+        cmap = f.get("colormap")
+        if not cmap:
+            raise TiffError("palette image without ColorMap")
+        cm = np.array(cmap[0] if len(cmap) == 1 else cmap, dtype=np.uint32)
+        n = cm.size // 3
+        r, g, b = cm[:n], cm[n : 2 * n], cm[2 * n :]
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= n:
+            raise TiffError("palette index out of range")
+        out[:, :, 0] = (r[idx] >> 8).astype(np.uint8)
+        out[:, :, 1] = (g[idx] >> 8).astype(np.uint8)
+        out[:, :, 2] = (b[idx] >> 8).astype(np.uint8)
+    elif photo in (0, 1) and spp_eff == 1:
+        g = px[:, :, 0]
+        if photo == 0 and bps[0] == 8:
+            g = 255 - g
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = g
+    elif photo == 2 and spp_eff >= 3:
+        out[:, :, :3] = px[:, :, :3]
+        if spp_eff >= 4:
+            out[:, :, 3] = px[:, :, 3]
+    else:
+        raise TiffError(
+            f"photometric {photo} with {spp_eff} samples not supported"
+        )
+    return out

@@ -1,0 +1,309 @@
+"""TIFF codec tests (decoder: operators/tiff.py).
+
+Fixtures come from an INDEPENDENT minimal TIFF writer defined here (the
+established test_png/test_jpeg/test_gif pattern): IFD layout, PackBits
+runs, and TIFF-LZW (MSB-first, early width change) are produced from the
+spec, sharing no code with the decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from evm_archive_spark.operators.tiff import TiffError, decode_tiff, is_tiff
+
+
+# --------------------------------------------------------------------------
+# independent writer
+# --------------------------------------------------------------------------
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Literal-codes-only TIFF LZW (CLEAR emitted before the early width
+    change would trigger) — valid output, no compression achieved."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code, width=9):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    put(CLEAR)
+    next_code = 258
+    first = True
+    for b in data:
+        put(b)
+        if first:
+            first = False
+            continue
+        next_code += 1
+        if next_code >= 509:  # stay below the 511 early change
+            put(CLEAR)
+            next_code = 258
+            first = True
+    put(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Naive PackBits: runs of >=3 identical bytes as replicate runs,
+    everything else as literal runs."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (
+                i + 2 < n and data[i] == data[i + 1] == data[i + 2]
+            )
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def encode_tiff(
+    px: np.ndarray,
+    compression=1,
+    byte_order="<",
+    rows_per_strip=None,
+    photometric=None,
+    colormap=None,
+    predictor=1,
+    bilevel=False,
+):
+    """``px``: (h, w) gray/index array or (h, w, 3|4) RGB(A)."""
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    rps = rows_per_strip or h
+    if photometric is None:
+        photometric = 2 if spp >= 3 else 1
+
+    # serialize strips
+    strips = []
+    for r0 in range(0, h, rps):
+        rows = px[r0 : r0 + rps]
+        if bilevel:
+            body = np.packbits(
+                (rows > 0).astype(np.uint8), axis=1
+            ).tobytes()
+        else:
+            block = rows.reshape(rows.shape[0], -1).astype(np.uint8)
+            if predictor == 2:
+                wide = block.reshape(rows.shape[0], -1, spp).astype(
+                    np.int16
+                )
+                diff = wide.copy()
+                diff[:, 1:] = wide[:, 1:] - wide[:, :-1]
+                block = (diff % 256).astype(np.uint8).reshape(
+                    rows.shape[0], -1
+                )
+            body = block.tobytes()
+        if compression == 5:
+            strips.append(_lzw_encode_tiff(body))
+        elif compression == 32773:
+            strips.append(_packbits_encode(body))
+        else:
+            strips.append(body)
+
+    bo = byte_order
+    entries = []  # (tag, type, count, value-or-bytes)
+
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), vals))
+
+    def long_(tag, *vals):
+        entries.append((tag, 4, len(vals), vals))
+
+    short(256, w)
+    short(257, h)
+    short(258, *( (1,) if bilevel else (8,) * spp ))
+    short(259, compression)
+    short(262, photometric)
+    short(277, 1 if bilevel else spp)
+    short(278, rps)
+    if predictor != 1:
+        short(317, predictor)
+    if colormap is not None:
+        short(320, *colormap)
+    # offsets/counts filled after layout
+    long_(273, *([0] * len(strips)))
+    long_(279, *[len(s) for s in strips])
+    entries.sort(key=lambda e: e[0])
+
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    # external value area follows the IFD; strips follow values
+    ext = bytearray()
+    ext_base = 8 + ifd_size
+
+    def value_bytes(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return b"".join(struct.pack(bo + fmt, v) for v in vals)
+
+    fixed = []
+    for tag, typ, cnt, vals in entries:
+        vb = value_bytes(typ, vals)
+        if len(vb) <= 4:
+            fixed.append((tag, typ, cnt, vb.ljust(4, b"\x00"), None))
+        else:
+            fixed.append((tag, typ, cnt, None, len(ext)))
+            ext.extend(vb)
+    strips_base = ext_base + len(ext)
+    offs = []
+    pos = strips_base
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    # rewrite the strip-offset entry now that layout is known
+    out_entries = bytearray()
+    for tag, typ, cnt, inline, extoff in fixed:
+        if tag == 273:
+            vb = value_bytes(4, offs)
+            if len(vb) <= 4:
+                inline, extoff = vb.ljust(4, b"\x00"), None
+            else:
+                # place at the recorded ext slot
+                pass
+        out_entries += struct.pack(bo + "HHI", tag, typ, cnt)
+        if inline is not None:
+            out_entries += inline
+        else:
+            if tag == 273:
+                vb = value_bytes(4, offs)
+                ext[extoff : extoff + len(vb)] = vb
+            out_entries += struct.pack(bo + "I", ext_base + extoff)
+    ifd = struct.pack(bo + "H", n) + bytes(out_entries) + b"\x00\x00\x00\x00"
+    return header + ifd + bytes(ext) + b"".join(strips)
+
+
+# --------------------------------------------------------------------------
+# tests
+# --------------------------------------------------------------------------
+
+
+def _rgb(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_rgb_uncompressed_both_byte_orders():
+    img = _rgb(13, 21)
+    for bo in ("<", ">"):
+        data = encode_tiff(img, byte_order=bo)
+        assert is_tiff(data) and not is_tiff(b"\x89PNG")
+        out = decode_tiff(data)
+        assert out.shape == (13, 21, 4)
+        assert (out[:, :, :3] == img).all()
+        assert (out[:, :, 3] == 255).all()
+
+
+def test_gray_packbits_multistrip():
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, size=(23, 17), dtype=np.uint8)
+    g[4:9] = 200  # long runs for PackBits replicate paths
+    data = encode_tiff(g, compression=32773, rows_per_strip=5)
+    out = decode_tiff(data)
+    assert (out[:, :, 0] == g).all() and (out[:, :, 1] == g).all()
+
+
+def test_lzw_with_predictor_and_long_image():
+    # big enough to force LZW CLEAR cycles through the early-change gap
+    img = _rgb(40, 40, seed=9)
+    for pred in (1, 2):
+        data = encode_tiff(img, compression=5, predictor=pred,
+                           rows_per_strip=16)
+        out = decode_tiff(data)
+        assert (out[:, :, :3] == img).all(), pred
+
+
+def test_palette_and_bilevel():
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 16, size=(9, 14), dtype=np.uint8)
+    # TIFF colormap: 16-bit channel planes R..G..B, 2^bps entries
+    n = 256
+    cmap_r = [((i * 7) % 256) << 8 for i in range(n)]
+    cmap_g = [((i * 13) % 256) << 8 for i in range(n)]
+    cmap_b = [((i * 29) % 256) << 8 for i in range(n)]
+    data = encode_tiff(
+        idx, photometric=3, colormap=cmap_r + cmap_g + cmap_b
+    )
+    out = decode_tiff(data)
+    assert (out[:, :, 0] == (idx * 7) % 256).all()
+    assert (out[:, :, 2] == (idx * 29) % 256).all()
+
+    bits = rng.integers(0, 2, size=(11, 19), dtype=np.uint8)
+    black0 = decode_tiff(encode_tiff(bits, photometric=1, bilevel=True))
+    assert (black0[:, :, 0] == bits * 255).all()
+    white0 = decode_tiff(encode_tiff(bits, photometric=0, bilevel=True))
+    assert (white0[:, :, 0] == (1 - bits) * 255).all()
+
+
+def test_rgba_alpha_passthrough():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(img))
+    assert (out == img).all()
+
+
+def test_rejections():
+    img = _rgb(8, 8)
+    good = bytearray(encode_tiff(img))
+    with pytest.raises(TiffError, match="signature"):
+        decode_tiff(b"not a tiff")
+    with pytest.raises(TiffError):
+        decode_tiff(bytes(good[:30]))
+    # unsupported compression id (CCITT)
+    bad = encode_tiff(img, compression=2)
+    with pytest.raises(TiffError, match="CCITT"):
+        decode_tiff(bad)
+
+
+def test_tiff_through_spark_strict_paths(spark):
+    """TIFF through the strict multimodal operators: true dims, and the
+    pixel aHash equals the PNG of the same image (codec-invariant)."""
+    import pandas as pd
+
+    from evm_archive_spark.operators import multimodal
+    from evm_archive_spark.operators.png import encode_png
+
+    img = np.zeros((24, 32, 4), dtype=np.uint8)
+    img[:, :, 3] = 255
+    img[:12, :, :3] = 30
+    img[12:, :, :3] = 220
+    payloads = [
+        encode_tiff(img[:, :, :3], compression=5, predictor=2),
+        encode_png(img),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": range(2), "payload": payloads})
+    )
+    feats = multimodal.decode_images(media, strict=True).collect()
+    assert all((r["width"], r["height"]) == (32, 24) for r in feats)
+    hashes = [
+        r["ahash"]
+        for r in multimodal.image_ahash(media, strict=True).collect()
+    ]
+    assert hashes[0] == hashes[1]
