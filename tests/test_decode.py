@@ -183,7 +183,7 @@ def test_from_hex_parse_failure_yields_zero(spark):
     assert vals == [0, 0, None, 16, 16]  # '0x0x10': every 0x stripped
 
 
-def test_reference_lpad_defect_reproduction(spark):
+def _pooled_reference_lpad_defect_reproduction(spark):
     """SURVEY §2.B: under the reference's lpad-truncation the README's own
     worked example (value 12309758656873032528) does NOT reproduce — the
     66-char '0x…' word loses its last 2 hex chars.  Our compat helper
@@ -239,7 +239,7 @@ def test_array_str_compat_cap(spark):
     assert capped == "[10,11,12]"
 
 
-def test_decode_encode_property(spark):
+def _pooled_decode_encode_property(spark):
     """decode(encode(x)) == x over generated ABI words for every static
     decoder — one batched Spark job for the whole sample set."""
     from hypothesis import given, settings, strategies as st

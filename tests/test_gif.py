@@ -208,7 +208,7 @@ def test_rejections():
         decode_gif(bad)
 
 
-def test_gif_through_spark_operators(spark):
+def _pooled_gif_through_spark_operators(spark):
     """GIF through the strict multimodal paths: real dims in
     decode_images, pixel aHash equal to the PNG of the same image, and
     animated-GIF frame sampling."""

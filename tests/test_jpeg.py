@@ -709,7 +709,7 @@ def _media_df(spark, payloads):
     return spark.createDataFrame(pdf)
 
 
-def test_jpeg_through_decode_images_and_ahash(spark):
+def _pooled_jpeg_through_decode_images_and_ahash(spark):
     """A real baseline JPEG through decode_images (true dims) and
     image_ahash (pixel-derived hash): a JPEG and a PNG of the SAME image
     hash identically (aHash is over decoded pixels, codec-invariant by
@@ -760,7 +760,7 @@ def test_jpeg_through_decode_images_and_ahash(spark):
     assert decode_png(bytes(resized[0]["payload"])).shape == (12, 16, 4)
 
 
-def test_out_of_scope_jpeg_nonstrict_fallback(spark):
+def _pooled_out_of_scope_jpeg_nonstrict_fallback(spark):
     """An arithmetic-coded JPEG (out of scope) falls back to the
     deterministic fake at strict=False and raises at strict=True — the
     ADVICE r4 never-fails contract on the codec boundary."""
@@ -828,7 +828,7 @@ def test_avi_mjpeg_frame_walk():
         list(decode_avi_frames(raw))
 
 
-def test_frame_sample_strict_real_avi(spark):
+def _pooled_frame_sample_strict_real_avi(spark):
     """A real video container through the strict frame-sample path: the
     every_n-th MJPEG frames are decoded and pixel-hashed, and a frame
     hash equals the hash of the SAME image sampled from a standalone
@@ -911,7 +911,7 @@ def test_progressive_sparse_and_extreme_blocks():
         assert (prog == base).all()
 
 
-def test_progressive_through_spark_strict_paths(spark):
+def _pooled_progressive_through_spark_strict_paths(spark):
     """Progressive JPEG through the strict multimodal operators: same
     aHash as the baseline encoding of the same image (codec-invariant),
     true dimensions in decode_images."""

@@ -59,7 +59,7 @@ def _docs_with_near_dups(spark):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
-def test_asof_join_property(spark):
+def _pooled_asof_join_property(spark):
     """asof_join == per-row 'latest right value with block <= left block'
     over generated tables (hypothesis); covers empty right groups, exact
     block ties, and multi-key interleaving."""
@@ -170,7 +170,7 @@ def test_cosine_topk_self_similarity(spark):
         assert all(rs[i][1] >= rs[i + 1][1] for i in range(3))
 
 
-def test_ivf_topk_exact_when_probing_all_lists(spark):
+def _pooled_ivf_topk_exact_when_probing_all_lists(spark):
     from evm_archive_spark.tables import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
@@ -1502,7 +1502,7 @@ def test_with_global_index_dense_and_partition_invariant(spark):
         assert [r["row_index"] for r in out] == list(range(1000))
 
 
-def test_line_dedup_property_vs_python_reference(spark):
+def _pooled_line_dedup_property_vs_python_reference(spark):
     """line_dedup == per-corpus python reference over generated corpora
     (hypothesis): random line inventories with planted repetitions,
     min_occurrences/min_line_chars interplay, all-removed documents."""
@@ -1600,7 +1600,7 @@ def test_bpe_segment_arrow_matches_sql_chain_dirty_whitespace(spark):
     assert sql_side[0][0] == []
 
 
-def test_asof_join_directions_property(spark):
+def _pooled_asof_join_directions_property(spark):
     """forward / nearest / tolerance vs a per-row python oracle (hypothesis):
     forward == earliest right with t >= left t (exclusive when strict),
     nearest == closer of the two candidates after per-side tolerance,
@@ -2824,7 +2824,7 @@ def test_triangle_count_known_graph(spark):
     assert triangle_count(edges).collect()[0].n_triangles == 2
 
 
-def test_pagerank_property_vs_python_reference(spark):
+def _pooled_pagerank_property_vs_python_reference(spark):
     """The fixed-point recurrence, replicated independently in Python
     integer arithmetic, must agree exactly on generated weighted graphs
     (hypothesis: multi-edges collapse upstream, dangling nodes, cycles,
@@ -2879,7 +2879,7 @@ def test_pagerank_property_vs_python_reference(spark):
     check()
 
 
-def test_lm_score_property_vs_python_reference(spark):
+def _pooled_lm_score_property_vs_python_reference(spark):
     """lm_train + lm_score sufficient statistics replicated in plain
     Python over generated corpora (repeated tokens, single-token and
     empty docs, OOV probes)."""
@@ -3051,7 +3051,7 @@ def test_set_similarity_join_manual(spark):
     assert out == {(1, 2): (3, 4, 4), (1, 3): (4, 4, 4), (2, 3): (3, 4, 4)}
 
 
-def test_set_similarity_join_property_vs_naive(spark):
+def _pooled_set_similarity_join_property_vs_naive(spark):
     """Prefix filtering must be LOSSLESS: result equals the naive
     quadratic Jaccard join on generated corpora (hypothesis — skewed
     token frequencies, subset/superset sets, singletons)."""
@@ -3720,16 +3720,53 @@ def _pooled_stream_corpus_admission_equals_sequential_replay(spark, tmp_path):
 # pooled heavyweight integrations (VERDICT r4 #8 suite-headroom lever)
 # --------------------------------------------------------------------------
 
-from test_png import (  # noqa: E402 — pooled heavy checks (see below)
+from test_api import (  # noqa: E402 — pooled heavy checks (see below)
+    _pooled_thrift_endpoint_serves_views,
+)
+from test_decode import (  # noqa: E402
+    _pooled_decode_encode_property,
+    _pooled_reference_lpad_defect_reproduction,
+)
+from test_gif import (  # noqa: E402
+    _pooled_gif_through_spark_operators,
+)
+from test_jpeg import (  # noqa: E402
+    _pooled_frame_sample_strict_real_avi,
+    _pooled_jpeg_through_decode_images_and_ahash,
+    _pooled_out_of_scope_jpeg_nonstrict_fallback,
+    _pooled_progressive_through_spark_strict_paths,
+)
+from test_png import (  # noqa: E402
     _pooled_image_dedup_pipeline_end_to_end_and_scan_once,
     _pooled_incremental_image_dedup_against_persisted_index,
+    _pooled_nonstrict_fallback_on_out_of_scope_png,
     _pooled_stream_image_admission_equals_sequential_replay,
+)
+from test_tiff import (  # noqa: E402
+    _pooled_tiff_through_spark_strict_paths,
 )
 
 _POOLED_HEAVY = [
+    _pooled_thrift_endpoint_serves_views,
+    _pooled_asof_join_property,
+    _pooled_ivf_topk_exact_when_probing_all_lists,
+    _pooled_line_dedup_property_vs_python_reference,
+    _pooled_asof_join_directions_property,
+    _pooled_pagerank_property_vs_python_reference,
+    _pooled_lm_score_property_vs_python_reference,
+    _pooled_set_similarity_join_property_vs_naive,
+    _pooled_decode_encode_property,
+    _pooled_reference_lpad_defect_reproduction,
     _pooled_image_dedup_pipeline_end_to_end_and_scan_once,
     _pooled_incremental_image_dedup_against_persisted_index,
     _pooled_stream_image_admission_equals_sequential_replay,
+    _pooled_gif_through_spark_operators,
+    _pooled_jpeg_through_decode_images_and_ahash,
+    _pooled_out_of_scope_jpeg_nonstrict_fallback,
+    _pooled_frame_sample_strict_real_avi,
+    _pooled_progressive_through_spark_strict_paths,
+    _pooled_nonstrict_fallback_on_out_of_scope_png,
+    _pooled_tiff_through_spark_strict_paths,
     _pooled_streaming_incremental_minhash_equals_sequential_replay,
     _pooled_stream_corpus_admission_equals_sequential_replay,
     _pooled_streaming_rollup_maintenance_equals_batch,
@@ -3748,7 +3785,7 @@ _POOLED_HEAVY = [
 
 def test_operators_pooled_heavy(spark):
     """The heavyweight independent integration checks above, run through
-    a 4-thread pool — the test_parity_pooled restructure applied to
+    an 8-thread pool — the test_parity_pooled restructure applied to
     operators (VERDICT r3 #4 / r4 #8): one pytest item, identical
     coverage (each check body is unchanged, failures aggregated by
     name).  Hypothesis-based property tests and anything mutating
@@ -3768,7 +3805,7 @@ def test_operators_pooled_heavy(spark):
         except Exception as e:  # noqa: BLE001 — aggregated below
             return fn.__name__, f"{type(e).__name__}: {e}"
 
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(run, _POOLED_HEAVY))
     assert len(results) == len(_POOLED_HEAVY) >= 13
     fails = [(n, m) for n, m in results if m]

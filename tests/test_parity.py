@@ -103,7 +103,7 @@ def _check_one(spark, q):
 
 
 def test_parity_pooled(spark):
-    """Every non-streaming gate vs its DuckDB oracle, 6 worker threads.
+    """Every non-streaming gate vs its DuckDB oracle, 12 worker threads.
     One test, full coverage: failures are aggregated per gate name.
 
     Coverage note for readers of the suite summary: this single pytest
@@ -116,7 +116,7 @@ def test_parity_pooled(spark):
     assert len(POOLED) + len(STREAMING) == len(PARITY_QUERIES)
     assert len(PARITY_QUERIES) >= 192  # registry only ever grows
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    with ThreadPoolExecutor(max_workers=12) as ex:
         results = list(ex.map(lambda q: (q.name, _check_one(spark, q)), POOLED))
     assert len(results) == len(POOLED)
     fails = [(n, msg) for n, msg in results if msg]

@@ -447,7 +447,7 @@ def test_frame_sample_strict_real_apng(spark):
     assert len(fake) == 1
 
 
-def test_nonstrict_fallback_on_out_of_scope_png(spark):
+def _pooled_nonstrict_fallback_on_out_of_scope_png(spark):
     """ADVICE r4: strict=False must NEVER fail the job — a valid-but-
     out-of-scope PNG (16-bit depth, rejected by the stdlib decoder) and
     a corrupt PNG (bad CRC) fall back to the deterministic sha256 fake

@@ -281,7 +281,7 @@ def test_rejections():
         decode_tiff(bad)
 
 
-def test_tiff_through_spark_strict_paths(spark):
+def _pooled_tiff_through_spark_strict_paths(spark):
     """TIFF through the strict multimodal operators: true dims, and the
     pixel aHash equals the PNG of the same image (codec-invariant)."""
     import pandas as pd
