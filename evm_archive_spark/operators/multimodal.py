@@ -5,7 +5,8 @@ typed metadata struct; decode / feature-extraction / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so the payload bytes never pass
 through Python row-at-a-time.
 
-Codec status: PNG, baseline JPEG, GIF, and WAV/PCM are REAL —
+Codec status: PNG, JPEG (baseline + progressive), GIF, TIFF, WAV/PCM,
+and FLAC are REAL —
 ``strict=True`` decodes ``image/png`` payloads through the from-scratch
 stdlib decoder in ``png.py`` (zlib inflate + scanline unfilter, public
 W3C spec; VERDICT r3 #3), ``image/jpeg`` payloads — baseline
@@ -16,12 +17,16 @@ spec; VERDICT r4 #5), ``image/gif`` payloads (static + animated) through ``gif.p
 ``image/tiff`` payloads through ``tiff.py`` (IFD walk, both byte
 orders, none/LZW/PackBits strips, predictor, palette/bilevel/RGB);
 ``resize_images`` re-encodes a nearest-neighbor resample as real PNG
-bytes, ``image_ahash`` hashes real pixels, ``audio_features`` decodes
-RIFF/WAVE PCM through ``wav.py``, and ``frame_sample`` decodes APNG
+bytes, ``image_ahash`` hashes real pixels, ``audio_features`` and
+``audio_fingerprint`` decode RIFF/WAVE PCM through ``wav.py`` and
+lossless-compressed FLAC through ``flac.py`` (RFC 9639: Rice coding,
+fixed + LPC prediction, stereo decorrelation — WAV and FLAC of the
+same take produce bit-equal samples, so fingerprints are
+codec-invariant), and ``frame_sample`` decodes APNG
 animation frames (``decode_apng_frames``), treats a JPEG as its one
 frame, and walks AVI/MJPEG video containers frame-by-frame through
 ``avi.py`` + the baseline JPEG decoder.  Remaining formats (arithmetic-coded
-JPEG, compressed audio, inter-frame video codecs) stay honestly
+JPEG, perceptual audio codecs, inter-frame video codecs) stay honestly
 stubbed: those codecs aren't implementable from stdlib in bounded code,
 so ``strict=True`` raises ``NotImplementedError`` for them and
 ``strict=False`` applies the clearly-marked deterministic fake.  The
@@ -278,12 +283,14 @@ def audio_fingerprint(
     detection downstream is ``audio_near_duplicates`` — the SAME
     pigeonhole-banded Hamming join as the image lane.
 
-    ``strict=True``: WAV/PCM payloads, real samples.  ``strict=False``:
-    non-WAV payloads get the deterministic sha256 fake grid (the same
+    ``strict=True``: WAV/PCM and FLAC payloads, real samples (WAV and
+    FLAC of the same take fingerprint identically — FLAC is lossless,
+    so the decoded samples are bit-equal).  ``strict=False``: payloads
+    in neither codec get the deterministic sha256 fake grid (the same
     fake recipe as ``image_ahash``, over the payload bytes — replayed
-    bit-level by the q_audio_neardup oracle); WAV payloads are really
-    fingerprinted when the codec can, falling back to the fake on
-    corrupt payloads (never fails the job)."""
+    bit-level by the q_audio_neardup oracle); WAV/FLAC payloads are
+    really fingerprinted when the codec can, falling back to the fake
+    on corrupt payloads (never fails the job)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -295,6 +302,7 @@ def audio_fingerprint(
         import numpy as np
         import pandas as pd
 
+        from .flac import FlacError, decode_flac, is_flac
         from .wav import WavError, decode_wav, is_wav
 
         def fake_grid(b: bytes) -> "np.ndarray":
@@ -302,10 +310,12 @@ def audio_fingerprint(
             return np.frombuffer(h, dtype=np.uint8)[:64].astype(np.float64)
 
         def energies_of(b: bytes) -> "np.ndarray":
-            if is_wav(b):
+            if is_wav(b) or is_flac(b):
                 try:
-                    _, samples = decode_wav(b)
-                except (WavError, NotImplementedError):
+                    _, samples = (
+                        decode_wav(b) if is_wav(b) else decode_flac(b)
+                    )
+                except (WavError, FlacError, NotImplementedError):
                     if strict:
                         raise
                     return fake_grid(b)
@@ -320,8 +330,8 @@ def audio_fingerprint(
                 return (mono.reshape(64, -1) ** 2).sum(axis=1)
             if strict:
                 raise NotImplementedError(
-                    "strict audio fingerprint supports WAV/PCM only "
-                    "(stdlib decoder); use strict=False for the "
+                    "strict audio fingerprint supports WAV/PCM and FLAC "
+                    "only (stdlib decoders); use strict=False for the "
                     "deterministic fake"
                 )
             return fake_grid(b)
@@ -332,9 +342,9 @@ def audio_fingerprint(
                 b = bytes(payload or b"")
                 try:
                     e = energies_of(b)
-                except WavError as err:
+                except (WavError, FlacError) as err:
                     raise ValueError(
-                        f"bad WAV payload {mid}: {err}"
+                        f"bad audio payload {mid}: {err}"
                     ) from err
                 bits = e > e.mean()
                 val = 0
@@ -369,21 +379,24 @@ def audio_features(
     strict: bool = False,
 ) -> DataFrame:
     """Audio feature extraction over a binary column — REAL for WAV/PCM
-    payloads (from-scratch RIFF decoder in ``wav.py``): sample rate,
-    channel count, duration, RMS level and zero-crossing rate (both
-    integer-quantized to ppm, mono-mixed).  The speech-pipeline
+    payloads (from-scratch RIFF decoder in ``wav.py``) and FLAC
+    payloads (from-scratch RFC 9639 decoder in ``flac.py``): sample
+    rate, channel count, duration, RMS level and zero-crossing rate
+    (both integer-quantized to ppm, mono-mixed).  The speech-pipeline
     pre-filter stage (drop silence / clipped takes, bucket by duration)
     with the same mapInPandas batch contract as the image paths.
 
-    ``strict=True``: non-WAV payloads raise ``NotImplementedError``
-    (compressed codecs need real audio libraries).  ``strict=False``:
-    non-WAV payloads get a deterministic sha256 fake (plumbing twin);
-    WAV payloads are still really decoded."""
+    ``strict=True``: payloads in neither codec raise
+    ``NotImplementedError`` (perceptual codecs need real audio
+    libraries).  ``strict=False``: unknown payloads get a deterministic
+    sha256 fake (plumbing twin); WAV/FLAC payloads are still really
+    decoded."""
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from .flac import FlacError, decode_flac, is_flac
         from .wav import WavError, decode_wav, is_wav
 
         out_cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
@@ -391,11 +404,15 @@ def audio_features(
             out = {c: [] for c in out_cols}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload or b"")
-                if is_wav(b):
+                if is_wav(b) or is_flac(b):
                     try:
-                        rate, samples = decode_wav(b)
-                    except WavError as e:
-                        raise ValueError(f"bad WAV payload {mid}: {e}") from e
+                        rate, samples = (
+                            decode_wav(b) if is_wav(b) else decode_flac(b)
+                        )
+                    except (WavError, FlacError) as e:
+                        raise ValueError(
+                            f"bad audio payload {mid}: {e}"
+                        ) from e
                     mono = samples.mean(axis=1)
                     n = len(mono)
                     rms = float(np.sqrt((mono**2).mean())) if n else 0.0
@@ -413,10 +430,11 @@ def audio_features(
                     )
                 elif strict:
                     raise NotImplementedError(
-                        "strict audio decode supports WAV/PCM only (stdlib "
-                        "decoder); compressed codecs need audio libraries "
-                        "not in this environment — use strict=False for "
-                        "the deterministic fake"
+                        "strict audio decode supports WAV/PCM and FLAC "
+                        "(stdlib decoders); perceptual codecs (MP3/AAC/"
+                        "Opus) need audio libraries not in this "
+                        "environment — use strict=False for the "
+                        "deterministic fake"
                     )
                 else:
                     h = hashlib.sha256(b).digest()
