@@ -1,0 +1,53 @@
+"""Still-image codec dispatch shared by the multimodal operators.
+
+One registry for the from-scratch stdlib decoders (png.py, jpeg.py,
+gif.py, tiff.py, bmp.py): signature sniffing, decode-to-RGBA, and the
+tuple of codec error types the strict/non-strict paths catch.  Adding
+a codec is one line here instead of one per router in multimodal.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bmp import BmpError, decode_bmp, is_bmp
+from .gif import GifError, decode_gif, is_gif
+from .jpeg import JpegError, decode_jpeg, is_jpeg
+from .png import PngError, decode_png, is_png
+from .tiff import TiffError, decode_tiff, is_tiff
+
+#: error types raised by any registered decoder (callers catch these to
+#: apply the strict/non-strict fallback contract)
+IMAGE_ERRORS = (PngError, JpegError, GifError, TiffError, BmpError)
+
+#: human-readable list for strict-mode error messages
+IMAGE_FORMATS = "PNG, JPEG (baseline+progressive), GIF, TIFF, and BMP"
+
+_CODECS = (
+    (is_png, decode_png),
+    (is_jpeg, decode_jpeg),
+    (is_gif, decode_gif),
+    (is_tiff, decode_tiff),
+    (is_bmp, decode_bmp),
+)
+
+
+def known_image(payload: bytes) -> bool:
+    """True when the payload carries a registered still-image signature."""
+    return any(sniff(payload) for sniff, _ in _CODECS)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a registered still image to (h, w, 4) uint8 RGBA.
+
+    Raises the codec's own error type (an ``IMAGE_ERRORS`` member) on a
+    malformed payload and ``NotImplementedError`` when no registered
+    signature matches — the strict-mode boundary contract."""
+    for sniff, decode in _CODECS:
+        if sniff(payload):
+            return decode(payload)
+    raise NotImplementedError(
+        f"strict decode supports {IMAGE_FORMATS} only (stdlib decoders); "
+        "other codecs need real image libraries, not in this environment "
+        "— use strict=False for the deterministic fake"
+    )

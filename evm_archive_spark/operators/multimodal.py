@@ -108,10 +108,8 @@ def decode_images(
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
-        from .gif import GifError, decode_gif, is_gif
-        from .jpeg import JpegError, decode_jpeg, is_jpeg
-        from .png import PngError, decode_png, grid_features, is_png
-        from .tiff import TiffError, decode_tiff, is_tiff
+        from .imagecodec import IMAGE_ERRORS, decode_image
+        from .png import grid_features
 
         for pdf in it:
             out = {"media_id": [], "width": [], "height": [], "feature": []}
@@ -119,24 +117,8 @@ def decode_images(
                 b = bytes(payload or b"")
                 if strict:
                     try:
-                        if is_png(b):
-                            rgba = decode_png(b)
-                        elif is_jpeg(b):
-                            rgba = decode_jpeg(b)
-                        elif is_gif(b):
-                            rgba = decode_gif(b)
-                        elif is_tiff(b):
-                            rgba = decode_tiff(b)
-                        else:
-                            raise NotImplementedError(
-                                "strict decode supports PNG, JPEG "
-                                "(baseline+progressive), GIF, and "
-                                "baseline TIFF only (stdlib decoders); "
-                                "other codecs need real image libraries, "
-                                "not in this environment — use "
-                                "strict=False for the deterministic fake"
-                            )
-                    except (PngError, JpegError, GifError, TiffError) as e:
+                        rgba = decode_image(b)
+                    except IMAGE_ERRORS as e:
                         raise ValueError(
                             f"bad image payload {mid}: {e}"
                         ) from e
@@ -185,10 +167,7 @@ def image_ahash(
         import numpy as np
         import pandas as pd
 
-        from .gif import GifError, decode_gif, is_gif
-        from .jpeg import JpegError, decode_jpeg, is_jpeg
-        from .png import PngError, decode_png, is_png
-        from .tiff import TiffError, decode_tiff, is_tiff
+        from .imagecodec import IMAGE_ERRORS, IMAGE_FORMATS, decode_image, known_image
 
         def fake_grid(b: bytes) -> "np.ndarray":
             h = hashlib.sha256(b).digest() * 2
@@ -197,22 +176,14 @@ def image_ahash(
             )
 
         def grid_of(b: bytes) -> "np.ndarray":
-            if is_png(b) or is_jpeg(b) or is_gif(b) or is_tiff(b):
+            if known_image(b):
                 try:
-                    if is_png(b):
-                        rgba = decode_png(b)
-                    elif is_jpeg(b):
-                        rgba = decode_jpeg(b)
-                    elif is_gif(b):
-                        rgba = decode_gif(b)
-                    else:
-                        rgba = decode_tiff(b)
-                except (PngError, JpegError, GifError, TiffError,
-                        NotImplementedError):
+                    rgba = decode_image(b)
+                except (*IMAGE_ERRORS, NotImplementedError):
                     if strict:
                         raise
                     # strict=False never fails the job: corrupt or
-                    # out-of-scope images (16-bit/Adam7 PNG, progressive
+                    # out-of-scope images (16-bit/Adam7 PNG, arithmetic
                     # JPEG) take the fake
                     return fake_grid(b)
                 h, w = rgba.shape[:2]
@@ -226,7 +197,7 @@ def image_ahash(
                 )
             if strict:
                 raise NotImplementedError(
-                    "strict aHash supports PNG, JPEG, GIF, and TIFF "
+                    f"strict aHash supports {IMAGE_FORMATS} "
                     "only (stdlib decoders); use strict=False for the "
                     "deterministic fake"
                 )
@@ -238,7 +209,7 @@ def image_ahash(
                 b = bytes(payload or b"")
                 try:
                     g = grid_of(b)
-                except (PngError, JpegError, GifError, TiffError) as e:
+                except IMAGE_ERRORS as e:
                     raise ValueError(f"bad image payload {mid}: {e}") from e
                 bits = (g > g.mean()).flatten()
                 val = 0
@@ -676,9 +647,11 @@ def frame_sample(
         import pandas as pd
 
         from .avi import AviError, decode_avi_frames, is_avi
+        from .bmp import BmpError, decode_bmp, is_bmp
         from .gif import GifError, decode_gif_frames, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
         from .png import PngError, decode_apng_frames, is_png
+        from .tiff import TiffError, decode_tiff, is_tiff
 
         for pdf in it:
             rows = {"media_id": [], "frame_idx": [], "frame_hash": []}
@@ -784,12 +757,32 @@ def frame_sample(
                                 f"bad AVI payload {mid}: {e}"
                             ) from e
                         emit_fake(mid, b)
+                elif is_tiff(b) or is_bmp(b):
+                    # single-frame stills: one frame-0 row, pixel-hashed
+                    try:
+                        rgba = decode_tiff(b) if is_tiff(b) else decode_bmp(b)
+                        h, w = rgba.shape[:2]
+                        emit(
+                            mid,
+                            0,
+                            hashlib.sha256(
+                                w.to_bytes(4, "big")
+                                + h.to_bytes(4, "big")
+                                + rgba.tobytes()
+                            ).hexdigest()[:16],
+                        )
+                    except (TiffError, BmpError, NotImplementedError) as e:
+                        if strict:
+                            raise ValueError(
+                                f"bad image payload {mid}: {e}"
+                            ) from e
+                        emit_fake(mid, b)
                 elif strict:
                     raise NotImplementedError(
                         "strict frame sampling supports PNG/APNG, "
-                        "baseline JPEG, GIF, and AVI/MJPEG only (stdlib "
-                        "decoders); inter-frame video codecs need "
-                        "libraries not in this environment — use "
+                        "JPEG, GIF, TIFF, BMP, and AVI/MJPEG only "
+                        "(stdlib decoders); inter-frame video codecs "
+                        "need libraries not in this environment — use "
                         "strict=False for the deterministic fake"
                     )
                 else:
@@ -840,10 +833,13 @@ def resize_images(
         import numpy as np
         import pandas as pd
 
-        from .gif import GifError, decode_gif, is_gif
-        from .jpeg import JpegError, decode_jpeg, is_jpeg
-        from .png import PngError, decode_png, encode_png, is_png
-        from .tiff import TiffError, decode_tiff, is_tiff
+        from .imagecodec import (
+            IMAGE_ERRORS,
+            IMAGE_FORMATS,
+            decode_image,
+            known_image,
+        )
+        from .png import encode_png
 
         n_out = max(1, target_w * target_h // 64)
         for pdf in it:
@@ -851,23 +847,15 @@ def resize_images(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload or b"")
                 if strict:
-                    if not (is_png(b) or is_jpeg(b) or is_gif(b)
-                            or is_tiff(b)):
+                    if not known_image(b):
                         raise NotImplementedError(
-                            "strict resize supports PNG, JPEG, GIF, and "
-                            "TIFF input only (stdlib codecs); use "
+                            f"strict resize supports {IMAGE_FORMATS} "
+                            "input only (stdlib codecs); use "
                             "strict=False for the stub"
                         )
                     try:
-                        if is_png(b):
-                            rgba = decode_png(b)
-                        elif is_jpeg(b):
-                            rgba = decode_jpeg(b)
-                        elif is_gif(b):
-                            rgba = decode_gif(b)
-                        else:
-                            rgba = decode_tiff(b)
-                    except (PngError, JpegError, GifError, TiffError) as e:
+                        rgba = decode_image(b)
+                    except IMAGE_ERRORS as e:
                         raise ValueError(
                             f"bad image payload {mid}: {e}"
                         ) from e

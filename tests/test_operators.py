@@ -3742,6 +3742,9 @@ from test_png import (  # noqa: E402
     _pooled_nonstrict_fallback_on_out_of_scope_png,
     _pooled_stream_image_admission_equals_sequential_replay,
 )
+from test_bmp import (  # noqa: E402
+    _pooled_bmp_through_spark_strict_paths,
+)
 from test_flac import (  # noqa: E402
     _pooled_flac_through_spark_strict_paths,
 )
@@ -3771,6 +3774,7 @@ _POOLED_HEAVY = [
     _pooled_nonstrict_fallback_on_out_of_scope_png,
     _pooled_tiff_through_spark_strict_paths,
     _pooled_flac_through_spark_strict_paths,
+    _pooled_bmp_through_spark_strict_paths,
     _pooled_streaming_incremental_minhash_equals_sequential_replay,
     _pooled_stream_corpus_admission_equals_sequential_replay,
     _pooled_streaming_rollup_maintenance_equals_batch,
