@@ -228,3 +228,196 @@ def test_audio_fingerprint_real_and_near_dup_join(spark):
 
     with _pytest.raises(Exception, match="WAV"):
         audio_fingerprint(junk, strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE
+# ---------------------------------------------------------------------------
+
+
+def _wav_raw(fmt_chunk: bytes, data: bytes) -> bytes:
+    """Independent minimal RIFF writer for arbitrary fmt/data chunks."""
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_g711_tables_match_audioop_reference():
+    """All 256 mu-law and A-law codes vs the stdlib audioop reference
+    implementation (an independent, long-shipped G.711 codec)."""
+    import audioop
+
+    from evm_archive_spark.operators.wav import _ALAW, _MULAW
+
+    codes = bytes(range(256))
+    ref_mu = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    assert np.array_equal(_MULAW, ref_mu)
+    assert np.array_equal(_ALAW, ref_a)
+
+
+def test_g711_known_spec_values_and_symmetry():
+    from evm_archive_spark.operators.wav import _ALAW, _MULAW
+
+    # published G.711 table anchors
+    assert _MULAW[0x00] == -32124 and _MULAW[0x80] == 32124
+    assert _MULAW[0xFF] == 0 and _MULAW[0x10] == -15996
+    assert _ALAW[0x55] == -8 and _ALAW[0xD5] == 8
+    assert _ALAW[0x2A] == -32256 and _ALAW[0xAA] == 32256
+    # odd symmetry: flipping the sign bit negates the value
+    for c in range(256):
+        assert _MULAW[c] == -_MULAW[c ^ 0x80]
+        assert _ALAW[c] == -_ALAW[c ^ 0x80]
+
+
+def test_mulaw_alaw_wav_decode():
+    import audioop
+
+    rng = np.random.default_rng(61)
+    codes = rng.integers(0, 256, 500, dtype=np.uint8).tobytes()
+    for tag, conv in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        rate, out = decode_wav(_wav_raw(fmt, codes))
+        assert rate == 8000 and out.shape == (500, 1)
+        expect = np.frombuffer(conv(codes, 2), dtype="<i2") / 32768.0
+        assert np.array_equal(out[:, 0], expect)
+    # stereo mu-law: channel de-interleave
+    fmt = struct.pack("<HHIIHH", 7, 2, 8000, 16000, 2, 8)
+    rate, out = decode_wav(_wav_raw(fmt, codes))
+    assert out.shape == (250, 2)
+    expect = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2") / 32768.0
+    assert np.array_equal(out, expect.reshape(-1, 2))
+
+
+def _ima_encode_block(samples: list[int], pred: int, index: int):
+    """Independent IMA ADPCM encoder (the public IMA algorithm): returns
+    (nibbles, reconstructed) — reconstruction follows the spec decoder
+    recurrence that any compliant encoder embeds."""
+    STEPS = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ]
+    ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+    nibbles, recon = [], []
+    for s in samples:
+        step = STEPS[index]
+        diff = s - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        # reconstruct exactly as the decoder will
+        d = step >> 3
+        if nib & 1:
+            d += step >> 2
+        if nib & 2:
+            d += step >> 1
+        if nib & 4:
+            d += step
+        pred = pred - d if nib & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + ADJ[nib & 7]))
+        nibbles.append(nib)
+        recon.append(pred)
+    return nibbles, recon
+
+
+def test_ima_adpcm_mono_and_stereo():
+    rng = np.random.default_rng(67)
+    t = np.arange(2048)
+    sig = (6000 * np.sin(t / 20) + rng.integers(-200, 200, 2048)).astype(int)
+
+    def build(channels):
+        n_ch = len(channels)
+        spb = 505  # samples per block: 1 header + 504 nibbles
+        block_align = 4 * n_ch + (spb - 1) * n_ch // 2
+        blocks = b""
+        expect = [[] for _ in range(n_ch)]
+        for start in range(0, len(channels[0]) - spb + 1, spb):
+            block = b""
+            payloads = []
+            for c, ch in enumerate(channels):
+                seg = [int(v) for v in ch[start : start + spb]]
+                nibs, recon = _ima_encode_block(seg[1:], seg[0], 40)
+                block += struct.pack("<hBB", seg[0], 40, 0)
+                payloads.append(nibs)
+                expect[c].extend([seg[0]] + recon)
+            # interleave nibbles: 8 per channel per 4-byte word
+            words = b""
+            for w0 in range(0, spb - 1, 8):
+                for c in range(n_ch):
+                    chunk = payloads[c][w0 : w0 + 8] + [0] * 8
+                    for i in range(0, 8, 2):
+                        words += bytes([chunk[i] | (chunk[i + 1] << 4)])
+            block += words
+            assert len(block) == block_align
+            blocks += block
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, n_ch, 8000, 4055 * n_ch, block_align, 4, 2, spb
+        )
+        return _wav_raw(fmt, blocks), np.array(expect, dtype=np.float64).T
+
+    raw, expect = build([sig])
+    rate, out = decode_wav(raw)
+    assert rate == 8000
+    assert np.array_equal(out * 32768.0, expect)
+    # lossy but faithful: reconstruction tracks the source
+    n = len(expect)
+    assert np.abs(out[:, 0] * 32768.0 - sig[:n]).max() < 2000
+
+    raw2, expect2 = build([sig, (sig // 2)])
+    _, out2 = decode_wav(raw2)
+    assert out2.shape[1] == 2
+    assert np.array_equal(out2 * 32768.0, expect2)
+
+
+def test_wave_format_extensible_pcm():
+    rng = np.random.default_rng(71)
+    ints = rng.integers(-32768, 32768, (300, 2)).astype("<i2")
+    guid = struct.pack("<H", 1) + bytes.fromhex("000000001000800000aa00389b71")
+    fmt = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 2, 16000, 64000, 4, 16, 22, 16, 3
+    ) + guid
+    rate, out = decode_wav(_wav_raw(fmt, ints.tobytes()))
+    assert rate == 16000
+    assert np.array_equal((out * 32768.0).astype("<i2"), ints)
+
+
+def test_g711_through_audio_features_strict(spark):
+    """A mu-law telephony WAV through the strict audio path: real rate,
+    duration, and features — the compressed-telephony corpus shape."""
+    import audioop
+
+    import pandas as pd
+
+    from evm_archive_spark.operators import multimodal
+
+    rng = np.random.default_rng(73)
+    lin = (np.sin(np.arange(8000) / 5.0) * 20000).astype("<i2")
+    codes = audioop.lin2ulaw(lin.tobytes(), 2)
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [_wav_raw(fmt, codes)]})
+    )
+    feats = multimodal.audio_features(df, strict=True).collect()[0]
+    assert feats["sample_rate"] == 8000
+    assert feats["n_channels"] == 1
+    assert feats["duration_ms"] == 1000
+    assert feats["rms_ppm"] > 100_000  # a loud signal, really decoded
