@@ -77,6 +77,9 @@ HEADLINE = [
     # round-5: composed image dedup lane (decode-once aHash -> banded
     # Hamming -> components -> survivors)
     "q_image_dedup",
+    # round-5 late: web-corpus URL canonicalization + dedup (pure JVM
+    # regexp pipeline riding the scan)
+    "q_url_dedup",
 ]
 
 

@@ -1,0 +1,145 @@
+"""URL canonicalization + URL-level dedup for web-scale corpora.
+
+The first dedup stage of every web-crawl training pipeline (RefinedWeb
+§3.2, C4, CCNet) is URL-level: canonicalize, then keep one document per
+canonical URL.  Everything here is pure JVM column expressions
+(regexp + array functions — codegen, map-side, streaming-safe): no
+UDFs, no shuffle beyond the final dedup groupBy, so at 100 TB the
+canonicalization cost is a free ride on the first scan.
+
+Canonical form (deliberately conservative, documented):
+- scheme and host lowercased; userinfo and fragment stripped
+- leading ``www.`` removed; default ports (``:80`` http / ``:443``
+  https) removed
+- trailing slashes stripped from the path
+- tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
+  ``msclkid``, ``ref``, ``igshid``, ``mc_cid``, ``mc_eid``),
+  remaining query parameters sorted
+- non-URL strings (no ``scheme://``) pass through trimmed, so the
+  operator is safe on dirty columns
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: query parameters that never change page content
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref|igshid|mc_cid|mc_eid)="
+)
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonicalize_url(col) -> F.Column:
+    """Canonical URL as a column expression (see module docstring)."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    rest = F.regexp_replace(rest, "#.*$", "")  # fragment
+    hostport = F.regexp_extract(rest, "^([^/?]*)", 1)
+    tail = F.regexp_replace(rest, "^[^/?]*", "")
+    host = F.lower(F.regexp_replace(hostport, "^.*@", ""))  # userinfo
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(tail, "^([^?]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    query = F.regexp_extract(tail, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def duckdb_canonicalize_sql(col: str) -> str:
+    """The DuckDB expression replaying ``canonicalize_url`` on ``col``
+    (used by the parity oracles; DuckDB lacks Spark's parse_url, so the
+    replay mirrors the regexp pipeline step for step)."""
+    # NB: DuckDB regexp_extract returns NULL on no-match where Spark
+    # returns '' — every extract is coalesced
+    scheme = (
+        f"lower(coalesce(regexp_extract(trim({col}), "
+        f"'^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))"
+    )
+    rest = (
+        f"regexp_replace(regexp_replace(trim({col}), "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '')"
+    )
+    hostport = f"coalesce(regexp_extract({rest}, '^([^/?]*)', 1), '')"
+    tail = f"regexp_replace({rest}, '^[^/?]*', '')"
+    host0 = f"regexp_replace(lower(regexp_replace({hostport}, '^.*@', '')), '^www\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, ':443$', '') "
+        f"ELSE {host0} END"
+    )
+    path = (
+        f"regexp_replace(coalesce(regexp_extract({tail}, '^([^?]*)', 1), ''), "
+        f"'/+$', '')"
+    )
+    query = f"coalesce(regexp_extract({tail}, '\\?(.*)$', 1), '')"
+    q2 = (
+        f"coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), "
+        f"'&'), '')"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN trim({col}) ELSE "
+        f"{scheme} || '://' || {host} || {path} || "
+        f"(CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END) END"
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """One survivor per canonical URL: the min-id document, with the
+    group size.  The canonicalization is map-side; the only shuffle is
+    the dedup groupBy on the canonical key — the same shape as exact
+    text dedup (dedup.exact_dedup), so it scales identically."""
+    canon = df.withColumn("canonical_url", canonicalize_url(url_col))
+    return canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_urls"),
+    )
+
+
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host crawl profile: document count, distinct canonical URLs,
+    mean path depth (per-mille).  The host key is tiny-domain, so the
+    aggregation is a map-side-combine groupBy."""
+    canon = df.withColumn("canonical_url", canonicalize_url(url_col))
+    host = F.regexp_extract("canonical_url", _SCHEME_RE + "([^/?]*)", 2)
+    depth = F.size(
+        F.filter(
+            F.split(F.regexp_replace("canonical_url", _SCHEME_RE + "[^/?]*", ""), "/"),
+            lambda s: s != "",
+        )
+    )
+    return (
+        canon.withColumn("host", host)
+        .withColumn("path_depth", depth)
+        .filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_url").alias("n_canonical"),
+            (F.sum("path_depth") * 1000 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("depth_permille"),
+        )
+    )

@@ -6332,6 +6332,82 @@ _add(
 )
 
 
+# [pair] URL canonicalization + URL-level dedup (operators/weburl.py): the
+# first dedup stage of every web-crawl pipeline (RefinedWeb §3.2, C4).
+# URLs are synthesized deterministically from doc_id with the SAME SQL text
+# on both engines — five variant families built so that distinct raw URLs
+# (scheme case, www., default port, trailing slash, fragment, tracking
+# params, unsorted query) collapse to shared canonical forms, plus a
+# non-URL passthrough family.  The oracle replays the regexp pipeline in
+# DuckDB (weburl.duckdb_canonicalize_sql, fuzz-pinned equal to the Spark
+# column expression over 500+ random strings in test_weburl.py).
+
+_URL_SYNTH = (
+    "SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN 'HTTPS://WWW.Host' || (doc_id % 7) || '.COM:443/dir' || "
+    "  (doc_id % 13) || '/page/?utm_source=feed&b=' || (doc_id % 3) || "
+    "  '&a=1#sec' "
+    "WHEN 1 THEN 'https://host' || (doc_id % 7) || '.com/dir' || "
+    "  (doc_id % 13) || '/page?a=1&b=' || (doc_id % 3) "
+    "WHEN 2 THEN 'https://host' || (doc_id % 7) || '.com/dir' || "
+    "  (doc_id % 13) || '?z=9&y=8&gclid=x' "
+    "WHEN 3 THEN 'http://crawler@host' || (doc_id % 7) || '.com:80/solo/' "
+    "ELSE 'plain text ref ' || (doc_id % 7) END AS url FROM documents"
+)
+
+
+def _q_url_dedup(spark, sf_dir):
+    from ..operators.weburl import url_dedup
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return url_dedup(spark.sql(_URL_SYNTH)).orderBy("canonical_url")
+
+
+def _url_canon_duck() -> str:
+    from ..operators.weburl import duckdb_canonicalize_sql
+
+    return duckdb_canonicalize_sql("url")
+
+
+_add(
+    "q_url_dedup",
+    _q_url_dedup,
+    "WITH u AS (" + _URL_SYNTH + "), "
+    "c AS (SELECT doc_id, " + _url_canon_duck() + " AS canonical_url FROM u) "
+    "SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS survivor_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_urls FROM c GROUP BY canonical_url "
+    "ORDER BY canonical_url NULLS FIRST",
+    "URL canonicalization + min-id dedup == DuckDB regexp-pipeline replay "
+    "(variant families collapse cross-form: case/port/www/slash/tracking)",
+)
+
+
+def _q_host_stats(spark, sf_dir):
+    from ..operators.weburl import host_stats
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return host_stats(spark.sql(_URL_SYNTH)).orderBy("host")
+
+
+_add(
+    "q_host_stats",
+    _q_host_stats,
+    "WITH u AS (" + _URL_SYNTH + "), "
+    "c AS (SELECT doc_id, " + _url_canon_duck() + " AS canonical_url FROM u), "
+    "h AS (SELECT canonical_url, "
+    "  coalesce(regexp_extract(canonical_url, "
+    "    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)', 2), '') AS host, "
+    "  len(list_filter(string_split(regexp_replace(canonical_url, "
+    "    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''), '/'), "
+    "    s -> s <> '')) AS path_depth FROM c) "
+    "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical, "
+    "CAST((SUM(path_depth) * 1000) // COUNT(*) AS BIGINT) AS depth_permille "
+    "FROM h WHERE host <> '' GROUP BY host ORDER BY host NULLS FIRST",
+    "per-host crawl profile (count, distinct canonicals, mean path depth)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
