@@ -78,8 +78,10 @@ HEADLINE = [
     # Hamming -> components -> survivors)
     "q_image_dedup",
     # round-5 late: web-corpus URL canonicalization + dedup (pure JVM
-    # regexp pipeline riding the scan)
+    # regexp pipeline riding the scan); trainable quality classifier
+    # (train per-class token stats + broadcast-join scoring)
     "q_url_dedup",
+    "q_nb_classify",
 ]
 
 

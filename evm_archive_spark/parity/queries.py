@@ -6408,6 +6408,54 @@ _add(
 )
 
 
+# [pair] trainable token-count class-affinity classifier
+# (operators/classify.py, the fastText/DCLM quality-classifier shape):
+# train per-source token statistics over the corpus, then classify every
+# document by exact-integer affinity (sum of class token counts per doc,
+# ppm-normalized by class size; argmax with lexicographic tie-break).
+# The oracle replays train + score + argmax entirely in DuckDB SQL —
+# the full pipeline is hash-checked, no floats anywhere.
+
+
+def _q_nb_classify(spark, sf_dir):
+    from ..operators.classify import nb_classify, nb_train
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    class_totals, token_counts = nb_train(docs, label_col="source")
+    return nb_classify(docs, class_totals, token_counts).orderBy("doc_id")
+
+
+_add(
+    "q_nb_classify",
+    _q_nb_classify,
+    r"WITH tok AS (SELECT doc_id, source, "
+    r"UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents), "
+    "tok2 AS (SELECT * FROM tok WHERE tok <> ''), "
+    "tc AS (SELECT source AS label, tok, COUNT(*) AS cnt FROM tok2 "
+    "  GROUP BY source, tok), "
+    "ct AS (SELECT source AS label, COUNT(*) AS n_tokens FROM tok2 "
+    "  GROUP BY source), "
+    "ntok AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok2 GROUP BY doc_id), "
+    "hits AS (SELECT d.doc_id, t.label, CAST(SUM(t.cnt) AS BIGINT) "
+    "  AS sum_cnt FROM tok2 d JOIN tc t ON d.tok = t.tok "
+    "  GROUP BY d.doc_id, t.label), "
+    "grid AS (SELECT n.doc_id, c.label, c.n_tokens FROM ntok n "
+    "  CROSS JOIN ct c), "
+    "sc AS (SELECT g.doc_id, g.label, "
+    "  CAST(coalesce(h.sum_cnt, 0) * 1000000 // g.n_tokens AS BIGINT) "
+    "  AS affinity_ppm FROM grid g LEFT JOIN hits h "
+    "  ON g.doc_id = h.doc_id AND g.label = h.label), "
+    "r AS (SELECT doc_id, label, affinity_ppm, ROW_NUMBER() OVER "
+    "  (PARTITION BY doc_id ORDER BY affinity_ppm DESC, label ASC) AS rn "
+    "  FROM sc) "
+    "SELECT doc_id, label AS predicted, affinity_ppm AS best_ppm "
+    "FROM r WHERE rn = 1 ORDER BY doc_id NULLS FIRST",
+    "NB-style classifier: train per-source token stats + integer-affinity "
+    "argmax == full DuckDB train/score/argmax replay",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
