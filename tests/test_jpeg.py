@@ -349,6 +349,9 @@ class _Stats:
     def bits(self, v, n):
         pass
 
+    def restart(self):
+        pass
+
 
 class _Emit:
     """Second-pass sink: writes Huffman codes + raw bits."""
@@ -356,6 +359,7 @@ class _Emit:
     def __init__(self, bw, code):
         self.bw = bw
         self.code = code
+        self.rst = 0
 
     def sym(self, v):
         c, ln = self.code[v]
@@ -365,10 +369,19 @@ class _Emit:
         if n:
             self.bw.put(v, n)
 
+    def restart(self):
+        """Pad to a byte boundary and emit RSTm (m cycles 0-7 per scan)."""
+        self.bw.pad()
+        self.bw.out.extend(bytes([0xFF, 0xD0 + (self.rst & 7)]))
+        self.rst += 1
 
-def _dc_first_scan(sink, comps, blocks, mcux, mcuy, al):
+
+def _dc_first_scan(sink, comps, blocks, mcux, mcuy, al, ri=0):
     pred = {c[0]: 0 for c in comps}
     for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            sink.restart()
+            pred = {c[0]: 0 for c in comps}  # predictors reset per segment
         my, mx = divmod(m, mcux)
         for cid, ch, cv, _tq, _ in comps:
             for by in range(cv):
@@ -383,8 +396,13 @@ def _dc_first_scan(sink, comps, blocks, mcux, mcuy, al):
                     sink.bits(amp, t)
 
 
-def _dc_refine_scan(bw, comps, blocks, mcux, mcuy, al):
+def _dc_refine_scan(bw, comps, blocks, mcux, mcuy, al, ri=0, rst=None):
     for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            # raw-bit scan: pad + RSTm directly (no Huffman sink here)
+            bw.pad()
+            bw.out.extend(bytes([0xFF, 0xD0 + (rst[0] & 7)]))
+            rst[0] += 1
         my, mx = divmod(m, mcux)
         for cid, ch, cv, _tq, _ in comps:
             for by in range(cv):
@@ -399,7 +417,7 @@ def _noninterleaved_grid(w, h, ch, cv, hmax, vmax):
     return -(-cw // 8), -(-chh // 8)
 
 
-def _ac_first_scan(sink, rows, nbw, nbh, ss, se, al):
+def _ac_first_scan(sink, rows, nbw, nbh, ss, se, al, ri=0):
     state = {"eobrun": 0}
 
     def flush_eob():
@@ -412,6 +430,10 @@ def _ac_first_scan(sink, rows, nbw, nbh, ss, se, al):
 
     for row in range(nbh):
         for col in range(nbw):
+            u = row * nbw + col
+            if ri and u and u % ri == 0:
+                flush_eob()  # EOB runs never cross a restart
+                sink.restart()
             zz = rows[row][col]
             t = [
                 (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al)
@@ -444,7 +466,7 @@ def _ac_first_scan(sink, rows, nbw, nbh, ss, se, al):
     flush_eob()
 
 
-def _ac_refine_scan(sink, rows, nbw, nbh, ss, se, al):
+def _ac_refine_scan(sink, rows, nbw, nbh, ss, se, al, ri=0):
     """Mirror of the decoder's G.1.2.3 correction-bit pass (the libjpeg
     encode_mcu_AC_refine structure): newly-significant coefficients emit
     run/1 + sign, history coefficients buffer correction bits flushed
@@ -465,6 +487,10 @@ def _ac_refine_scan(sink, rows, nbw, nbh, ss, se, al):
 
     for row in range(nbh):
         for col in range(nbw):
+            u = row * nbw + col
+            if ri and u and u % ri == 0:
+                flush_eob()  # pending EOB run + correction bits flushed
+                sink.restart()
             zz = rows[row][col]
             absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
             eob = -1
@@ -503,7 +529,9 @@ def _ac_refine_scan(sink, rows, nbw, nbh, ss, se, al):
     flush_eob()
 
 
-def encode_jpeg_progressive(rgb, sampling=(1, 1), grayscale=False):
+def encode_jpeg_progressive(
+    rgb, sampling=(1, 1), grayscale=False, restart_interval=0
+):
     """From-scratch PROGRESSIVE JPEG encoder (SOF2): the scan script is
     DC first (Al=1, interleaved) -> DC refinement -> per component AC
     first scans for bands 1..5 and 6..63 at Al=1 -> per component AC
@@ -536,6 +564,9 @@ def encode_jpeg_progressive(rgb, sampling=(1, 1), grayscale=False):
     for cid, ch, cv, tq, _ in comps:
         sof += bytes([cid, (ch << 4) | cv, tq])
     seg(0xC2, bytes(sof))
+    ri = restart_interval
+    if ri:
+        seg(0xDD, st.pack(">H", ri))  # DRI applies to every scan below
 
     def emit_scan(scan_fn, scan_comps, ss, se, ah, al, tc, with_table):
         if with_table:
@@ -555,12 +586,13 @@ def encode_jpeg_progressive(rgb, sampling=(1, 1), grayscale=False):
 
     # 1. DC first, interleaved, Al=1
     emit_scan(
-        lambda sk: _dc_first_scan(sk, comps, blocks, mcux, mcuy, 1),
+        lambda sk: _dc_first_scan(sk, comps, blocks, mcux, mcuy, 1, ri),
         comps, 0, 0, 0, 1, 0, True,
     )
     # 2. DC refinement (raw bits, no table)
+    rstn = [0]
     emit_scan(
-        lambda bw: _dc_refine_scan(bw, comps, blocks, mcux, mcuy, 0),
+        lambda bw: _dc_refine_scan(bw, comps, blocks, mcux, mcuy, 0, ri, rstn),
         comps, 0, 0, 1, 0, 0, False,
     )
     # 3-4. AC first per component per band, Al=1
@@ -569,7 +601,7 @@ def encode_jpeg_progressive(rgb, sampling=(1, 1), grayscale=False):
         for ss, se in ((1, 5), (6, 63)):
             emit_scan(
                 lambda sk, c=cid, a=nbw, b=nbh, s0=ss, s1=se:
-                    _ac_first_scan(sk, blocks[c], a, b, s0, s1, 1),
+                    _ac_first_scan(sk, blocks[c], a, b, s0, s1, 1, ri),
                 [(cid,)], ss, se, 0, 1, 1, True,
             )
     # 5-6. AC refinement per component per band, Ah=1 -> Al=0
@@ -578,7 +610,7 @@ def encode_jpeg_progressive(rgb, sampling=(1, 1), grayscale=False):
         for ss, se in ((1, 5), (6, 63)):
             emit_scan(
                 lambda sk, c=cid, a=nbw, b=nbh, s0=ss, s1=se:
-                    _ac_refine_scan(sk, blocks[c], a, b, s0, s1, 0),
+                    _ac_refine_scan(sk, blocks[c], a, b, s0, s1, 0, ri),
                 [(cid,)], ss, se, 1, 0, 1, True,
             )
     out.extend(b"\xff\xd9")
@@ -950,3 +982,42 @@ def test_progressive_random_sweep():
             encode_jpeg_progressive(img, sampling=sampling)
         )
         assert (prog == base).all(), (trial, h, w, sampling)
+
+
+def test_progressive_with_restart_intervals():
+    """Progressive + DRI (the NOTES.md documented gap): restart markers
+    inside every progressive scan kind — interleaved DC first (predictor
+    reset), raw-bit DC refinement, AC first (EOB runs never crossing a
+    segment), AC refinement (pending correction bits flushed) — must
+    decode to the same pixels as the unrestarted progressive stream and
+    the baseline stream of the same coefficients."""
+    for seed, (h, w), sampling, gray in [
+        (21, (40, 32), (1, 1), False),
+        (22, (33, 41), (2, 2), False),   # odd dims + 4:2:0
+        (23, (24, 24), (1, 1), True),
+    ]:
+        img = _rgb(h, w, seed=seed)
+        base = decode_jpeg(encode_jpeg(img, sampling=sampling, grayscale=gray))
+        for ri in (1, 2, 7):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    img, sampling=sampling, grayscale=gray,
+                    restart_interval=ri,
+                )
+            )
+            assert (prog == base).all(), (seed, sampling, gray, ri)
+
+
+def test_progressive_restart_sweep_random():
+    rng = np.random.default_rng(77)
+    for _ in range(6):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        sampling = [(1, 1), (2, 1), (2, 2)][int(rng.integers(0, 3))]
+        ri = int(rng.integers(1, 9))
+        img = _rgb(h, w, seed=int(rng.integers(0, 1 << 30)))
+        base = decode_jpeg(encode_jpeg(img, sampling=sampling))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, sampling=sampling, restart_interval=ri)
+        )
+        assert (prog == base).all(), (h, w, sampling, ri)
