@@ -82,6 +82,7 @@ HEADLINE = [
     # (train per-class token stats + broadcast-join scoring)
     "q_url_dedup",
     "q_nb_classify",
+    "q_html_extract",
 ]
 
 

@@ -1,4 +1,5 @@
-"""URL canonicalization + URL-level dedup for web-scale corpora.
+"""Web-corpus preparation: URL canonicalization, URL-level dedup, and
+HTML -> text extraction.
 
 The first dedup stage of every web-crawl training pipeline (RefinedWeb
 §3.2, C4, CCNet) is URL-level: canonicalize, then keep one document per
@@ -102,6 +103,67 @@ def duckdb_canonicalize_sql(col: str) -> str:
         f"{scheme} || '://' || {host} || {path} || "
         f"(CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END) END"
     )
+
+
+def html_to_text(col) -> F.Column:
+    """HTML -> plain-text extraction as a pure JVM regexp chain — the
+    boilerplate-strip stage every web-crawl pipeline runs before quality
+    filtering (C4 / CCNet strip markup before scoring).  Conservative,
+    deterministic, and SQL-replayable:
+
+    1. drop ``<script>``/``<style>`` elements INCLUDING their content
+       (case-insensitive, dot-matches-newline),
+    2. drop HTML comments,
+    3. block-level close tags (``p``, ``div``, ``br``, ``li``, headings,
+       ``tr``) become newlines so words from different blocks don't fuse,
+    4. every remaining tag is dropped,
+    5. the five XML core entities plus ``&nbsp;`` are decoded
+       (numeric entities are out of scope, documented),
+    6. horizontal whitespace collapses; blank lines collapse; edges trim.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    c = F.regexp_replace(c, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c,
+        "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\\b[^>]*>",
+        "\n",
+    )
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, repl in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = F.regexp_replace(c, ent, repl)
+    c = F.regexp_replace(c, "[ \\t\\x0B\\f\\r]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n+", "\n")
+    return F.regexp_replace(c, "^\\s+|\\s+$", "")
+
+
+def duckdb_html_to_text_sql(col: str) -> str:
+    """DuckDB replay of ``html_to_text`` (parity oracle; 'g' flags make
+    DuckDB's first-match-only regexp_replace match Spark's replace-all)."""
+    c = col
+    c = f"regexp_replace({c}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = (
+        f"regexp_replace({c}, "
+        f"'(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\\b[^>]*>', "
+        f"chr(10), 'g')"
+    )
+    c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    for ent, repl in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = f"regexp_replace({c}, '{ent}', '{repl}', 'g')"
+    c = f"regexp_replace({c}, '[ \\t\\x0B\\f\\r]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n+', chr(10), 'g')"
+    return f"regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"
 
 
 def url_dedup(

@@ -6456,6 +6456,52 @@ _add(
 )
 
 
+# [pair] HTML -> text extraction (weburl.html_to_text): the boilerplate
+# strip every web-crawl pipeline runs before quality filtering.  Documents
+# are wrapped in a deterministic HTML shell (script/style with decoy tags,
+# headings, entities, comments) by the SAME SQL on both engines; the
+# oracle replays the regexp chain in DuckDB (fuzz-pinned equal in
+# test_weburl.py — 600+ adversarial tag soups).
+
+_HTML_SYNTH = (
+    "SELECT doc_id, '<html><head><style>p {c:red}</style>"
+    '<script>var t = "<p>nope</p>";</script></head><body>'
+    "<h1>Doc ' || doc_id || '</h1><p>' || text || '</p>"
+    "<div>lang: ' || lang || '<br>src &amp; ' || source || '</div>"
+    "<!-- hidden ' || doc_id || ' --></body></html>' AS html FROM documents"
+)
+
+
+def _q_html_extract(spark, sf_dir):
+    from ..operators.weburl import html_to_text
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        spark.sql(_HTML_SYNTH)
+        .select("doc_id", html_to_text("html").alias("text_out"))
+        .orderBy("doc_id")
+    )
+
+
+def _html_oracle() -> str:
+    from ..operators.weburl import duckdb_html_to_text_sql
+
+    return (
+        "WITH h AS (" + _HTML_SYNTH + ") SELECT doc_id, "
+        + duckdb_html_to_text_sql("html")
+        + " AS text_out FROM h ORDER BY doc_id NULLS FIRST"
+    )
+
+
+_add(
+    "q_html_extract",
+    _q_html_extract,
+    _html_oracle(),
+    "HTML boilerplate strip (script/style/comment removal, block-tag "
+    "newlines, entity decode, whitespace collapse) == DuckDB replay",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -16,6 +16,7 @@ import pandas as pd
 import pytest
 
 from evm_archive_spark.operators.weburl import (
+    html_to_text,
     canonicalize_url,
     duckdb_canonicalize_sql,
     host_stats,
@@ -128,6 +129,72 @@ def test_canonicalize_plan_is_jvm_only(spark):
     df = spark.createDataFrame(pd.DataFrame({"url": list(CASES.keys())}))
     plan = (
         df.select(canonicalize_url("url").alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction
+# ---------------------------------------------------------------------------
+
+HTML_CASES = {
+    "<p>Hello <b>world</b></p>": "Hello world",
+    "a<script>var x='<p>';</script>b": "a b",
+    "x<style>p{}</style>y<!-- no -->z": "x y z",
+    "<h1>T</h1><p>one</p><p>two</p>": "T\none\ntwo",
+    "entities: &lt;x&gt; &amp; &quot;q&quot; &apos;a&apos;&nbsp;!":
+        "entities: <x> & \"q\" 'a' !",
+    "<ul><li>a</li><li>b</li></ul>": "a\nb",
+    "no markup": "no markup",
+    "  leading   and\t\ttrailing  ": "leading and trailing",
+    "<SCRIPT>CASE</SCRIPT>x": "x",
+    "<br/><br/>x<br>": "x",
+}
+
+
+def test_html_to_text_known_cases(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": list(HTML_CASES.keys())})
+    )
+    got = [r[0] for r in df.select(html_to_text("t")).collect()]
+    assert got == list(HTML_CASES.values())
+
+
+def test_html_cross_engine_fuzz(spark):
+    """Spark chain == DuckDB replay over adversarial tag soup — keeps
+    the q_html_extract oracle honest."""
+    from evm_archive_spark.operators.weburl import duckdb_html_to_text_sql
+
+    rng = random.Random(5)
+    docs = list(HTML_CASES) + ["", "   ", "<>", "< not a tag"]
+    alpha = string.ascii_letters + " <>/&;\"'=\n\t-!"
+    for _ in range(300):
+        docs.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 60))))
+    frags = ["<p>", "</p>", "<div class='a'>", "</div>", "<br>", "<script>",
+             "</script>", "<style>", "</style>", "<!--", "-->", "&amp;",
+             "&lt;", "text", " ", "\n", "word"]
+    for _ in range(300):
+        docs.append("".join(rng.choice(frags) for _ in range(rng.randint(0, 20))))
+    df = spark.createDataFrame(pd.DataFrame({"t": docs}))
+    sres = [r[0] for r in df.select(html_to_text("t")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(t VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?)", [(x,) for x in docs])
+    dres = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {duckdb_html_to_text_sql('t')} FROM d"
+        ).fetchall()
+    ]
+    diffs = [(t, s, d) for t, s, d in zip(docs, sres, dres) if s != d]
+    assert diffs == []
+
+
+def test_html_plan_is_jvm_only(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": list(HTML_CASES)}))
+    plan = (
+        df.select(html_to_text("t").alias("x"))
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
