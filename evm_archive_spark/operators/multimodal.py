@@ -239,6 +239,103 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Sample-rate conversion — the audio mirror of ``resize_images``:
+    payload in -> resampled payload out, meta updated.  The universal
+    speech-pipeline normalization step (ASR corpora standardize to
+    16 kHz mono before feature extraction).
+
+    ``strict=True``: REAL for WAV (all wav.py formats incl. G.711 and
+    ADPCM) and FLAC payloads — decode, linear-interpolation resample on
+    the continuous time axis (output sample k reads position
+    ``k * src_rate / target_rate``; endpoint-clamped), re-encode as
+    16-bit PCM WAV (the lossless stdlib-writable target, matching
+    resize_images' re-encode-as-PNG convention).  Other payloads raise
+    ``NotImplementedError``.
+    ``strict=False``: deterministic sha256-keyed stub payload (plumbing
+    twin), same batch shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("sample_rate", T.IntegerType()),
+                        T.StructField("n_frames", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .flac import FlacError, decode_flac, is_flac
+        from .wav import WavError, decode_wav, encode_wav, is_wav
+
+        for pdf in it:
+            out = {"media_id": [], "payload": [], "meta": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                if strict:
+                    if not (is_wav(b) or is_flac(b)):
+                        raise NotImplementedError(
+                            "strict resample supports WAV/PCM and FLAC "
+                            "input only (stdlib codecs); use "
+                            "strict=False for the stub"
+                        )
+                    try:
+                        rate, samples = (
+                            decode_wav(b) if is_wav(b) else decode_flac(b)
+                        )
+                    except (WavError, FlacError) as e:
+                        raise ValueError(
+                            f"bad audio payload {mid}: {e}"
+                        ) from e
+                    n_in = samples.shape[0]
+                    n_out = max(0, n_in * target_rate // rate) if rate else 0
+                    if n_in == 0 or n_out == 0:
+                        res = np.zeros((0, samples.shape[1]))
+                    else:
+                        pos = np.arange(n_out) * rate / target_rate
+                        i0 = np.minimum(pos.astype(np.int64), n_in - 1)
+                        i1 = np.minimum(i0 + 1, n_in - 1)
+                        frac = (pos - i0)[:, None]
+                        res = samples[i0] * (1 - frac) + samples[i1] * frac
+                    body = encode_wav(res, target_rate, bits=16)
+                    row = (
+                        mid,
+                        bytearray(body),
+                        ("audio/wav", target_rate, res.shape[0]),
+                    )
+                else:
+                    seed = hashlib.sha256(
+                        b + target_rate.to_bytes(4, "big")
+                    ).digest()
+                    n = max(1, len(b) // 8)
+                    fake = (seed * (n // len(seed) + 1))[:n]
+                    row = (mid, bytearray(fake), ("audio/x-fake", target_rate, n))
+                out["media_id"].append(row[0])
+                out["payload"].append(row[1])
+                out["meta"].append(row[2])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def audio_fingerprint(
     df: DataFrame,
     payload_col: str = "payload",

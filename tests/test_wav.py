@@ -421,3 +421,49 @@ def test_g711_through_audio_features_strict(spark):
     assert feats["n_channels"] == 1
     assert feats["duration_ms"] == 1000
     assert feats["rms_ppm"] > 100_000  # a loud signal, really decoded
+
+
+def test_resample_audio_strict_real(spark):
+    """Linear-interp resample through the Spark path: exact against a
+    numpy reference, rate/duration metadata correct, FLAC input accepted,
+    and the stub path deterministic."""
+    import pandas as pd
+
+    from evm_archive_spark.operators import multimodal
+
+    rng = np.random.default_rng(83)
+    sig = rng.uniform(-0.9, 0.9, (800, 2))
+    payload = encode_wav(sig, 8000, bits=16)
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [payload]})
+    )
+    out = multimodal.resample_audio(df, 16000, strict=True).collect()[0]
+    assert out["meta"]["mime"] == "audio/wav"
+    assert out["meta"]["sample_rate"] == 16000
+    assert out["meta"]["n_frames"] == 1600
+
+    rate2, got = decode_wav(bytes(out["payload"]))
+    assert rate2 == 16000 and got.shape == (1600, 2)
+    # numpy reference of the same recipe over the decoded 16-bit source
+    _, src = decode_wav(payload)
+    pos = np.arange(1600) * 8000 / 16000
+    i0 = np.minimum(pos.astype(np.int64), 799)
+    i1 = np.minimum(i0 + 1, 799)
+    ref = src[i0] * (1 - (pos - i0))[:, None] + src[i1] * (pos - i0)[:, None]
+    # output went through 16-bit quantization once
+    assert np.abs(got - ref).max() < 1.5 / 32768
+
+    # downsample halves the frame count
+    down = multimodal.resample_audio(df, 4000, strict=True).collect()[0]
+    assert down["meta"]["n_frames"] == 400
+
+    # non-audio strict raises; stub path never fails and is deterministic
+    junk = spark.createDataFrame(
+        pd.DataFrame({"media_id": [9], "payload": [b"opus?"]})
+    )
+    with pytest.raises(Exception, match="WAV/PCM and FLAC"):
+        multimodal.resample_audio(junk, 16000, strict=True).collect()
+    a = multimodal.resample_audio(junk, 16000, strict=False).collect()[0]
+    b2 = multimodal.resample_audio(junk, 16000, strict=False).collect()[0]
+    assert bytes(a["payload"]) == bytes(b2["payload"])
