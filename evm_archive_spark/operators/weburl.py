@@ -180,6 +180,36 @@ def url_dedup(
     )
 
 
+def incremental_url_dedup(
+    shard: DataFrame,
+    seen_urls: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit a new crawl shard against the already-ingested canonical-URL
+    index — the nightly-shard form of ``url_dedup`` (the same two-stage
+    shape as dedup.incremental_exact_dedup): (1) within-shard
+    keep-lowest-id per canonical URL, (2) anti-join the survivors
+    against the persisted ``canonical_url`` set.  Equals running
+    ``url_dedup`` over (old corpus + shard) and keeping shard rows —
+    the q_incr_url gate checks exactly that invariant.
+
+    At scale the anti-join shuffles only canonical-URL keys; bucket the
+    seen table by canonical_url for a one-sided shuffle.  Returns
+    surviving shard rows with ``canonical_url`` attached, ready to
+    append to the index."""
+    canon = shard.withColumn("canonical_url", canonicalize_url(url_col))
+    within = canon.groupBy("canonical_url").agg(
+        F.min_by(F.struct(*shard.columns), F.col(id_col)).alias("row")
+    )
+    within = within.select("canonical_url", "row.*")
+    return within.join(
+        seen_urls.select("canonical_url").distinct(),
+        "canonical_url",
+        "left_anti",
+    )
+
+
 def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host crawl profile: document count, distinct canonical URLs,
     mean path depth (per-mille).  The host key is tiny-domain, so the

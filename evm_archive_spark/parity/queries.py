@@ -6352,6 +6352,7 @@ _URL_SYNTH = (
     "WHEN 2 THEN 'https://host' || (doc_id % 7) || '.com/dir' || "
     "  (doc_id % 13) || '?z=9&y=8&gclid=x' "
     "WHEN 3 THEN 'http://crawler@host' || (doc_id % 7) || '.com:80/solo/' "
+    "  || doc_id || '/' "
     "ELSE 'plain text ref ' || (doc_id % 7) END AS url FROM documents"
 )
 
@@ -6379,6 +6380,41 @@ _add(
     "ORDER BY canonical_url NULLS FIRST",
     "URL canonicalization + min-id dedup == DuckDB regexp-pipeline replay "
     "(variant families collapse cross-form: case/port/www/slash/tracking)",
+)
+
+
+def _q_incr_url(spark, sf_dir):
+    from ..operators.weburl import canonicalize_url, incremental_url_dedup
+
+    register_testdata(spark, sf_dir, ["documents"])
+    urls = spark.sql(_URL_SYNTH)
+    seen = (
+        urls.filter("doc_id % 2 = 0")
+        .select(canonicalize_url("url").alias("canonical_url"))
+    )
+    shard = urls.filter("doc_id % 2 = 1")
+    return (
+        incremental_url_dedup(shard, seen)
+        .select("doc_id", "canonical_url")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_incr_url",
+    _q_incr_url,
+    "WITH u AS (" + _URL_SYNTH + "), "
+    "c AS (SELECT doc_id, " + _url_canon_duck() + " AS canonical_url FROM u), "
+    "idx AS (SELECT DISTINCT canonical_url FROM c WHERE doc_id % 2 = 0), "
+    "sh AS (SELECT doc_id, canonical_url, ROW_NUMBER() OVER "
+    "  (PARTITION BY canonical_url ORDER BY doc_id) AS rn FROM c "
+    "  WHERE doc_id % 2 = 1) "
+    "SELECT s.doc_id, s.canonical_url FROM sh s "
+    "LEFT JOIN idx i ON s.canonical_url = i.canonical_url "
+    "WHERE s.rn = 1 AND i.canonical_url IS NULL "
+    "ORDER BY s.doc_id NULLS FIRST",
+    "nightly-shard URL admission vs persisted canonical index == "
+    "full-corpus SQL replay (within-shard min-id + cross-shard anti-join)",
 )
 
 

@@ -198,3 +198,31 @@ def test_html_plan_is_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_url_dedup_invariant(spark):
+    """Incremental admission == batch url_dedup over the union keeping
+    shard rows (the q_incr_url invariant), on a handmade corpus with
+    within-shard dups, cross-shard dups, and novel URLs."""
+    from evm_archive_spark.operators.weburl import incremental_url_dedup
+
+    old = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "https://b.com/y?b=2&a=1")],
+        ["doc_id", "url"],
+    )
+    seen = old.select(canonicalize_url("url").alias("canonical_url"))
+    shard = spark.createDataFrame(
+        [
+            (11, "HTTPS://WWW.A.com:443/x/"),       # cross-shard dup -> drop
+            (12, "https://b.com/y?a=1&b=2#f"),      # cross-shard dup -> drop
+            (13, "https://c.com/new"),               # novel -> admit
+            (14, "https://c.com/new?utm_source=s"),  # within-shard dup of 13
+            (15, "https://d.com/also"),              # novel -> admit
+        ],
+        ["doc_id", "url"],
+    )
+    got = {
+        r["doc_id"]: r["canonical_url"]
+        for r in incremental_url_dedup(shard, seen).collect()
+    }
+    assert got == {13: "https://c.com/new", 15: "https://d.com/also"}
