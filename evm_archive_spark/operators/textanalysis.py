@@ -202,6 +202,67 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+#: Unicode scripts profiled by ``script_profile``: (name, Java regex
+#: class, RE2 regex class) — Java spells scripts \p{IsX}, RE2 \p{X};
+#: the DuckDB oracle helper below uses the RE2 spelling.
+SCRIPTS = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}"),
+    # bare class CONTENT (it lands inside [^...]): "[0-9]" would nest
+    # brackets, which Java accepts as a class union but RE2 does not
+    ("digit", "0-9", "0-9"),
+]
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group Unicode-script composition: total characters plus each
+    script's share in ppm — the multilingual-corpus mix report that
+    decides per-script pipeline routing (CJK segmentation, RTL
+    handling) before any per-language work starts.  Pure JVM column
+    expressions (one regexp_replace+length per script riding a single
+    scan; map-side partial aggregation); exact integers only."""
+    counts = [
+        F.sum(
+            F.length(F.regexp_replace(F.col(text_col), f"[^{java}]", ""))
+        ).alias(f"_{name}")
+        for name, java, _ in SCRIPTS
+    ]
+    total = F.sum(F.length(F.col(text_col))).alias("n_chars")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(total, *counts)
+    out = agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        *[
+            F.expr(f"_{name} * 1000000 DIV n_chars")
+            .alias(f"{name}_ppm")
+            for name, *_ in SCRIPTS
+        ],
+    )
+    return out
+
+
+def duckdb_script_profile_sql(
+    table: str = "documents", text_col: str = "text", group_col: str = "source"
+) -> str:
+    """DuckDB replay of ``script_profile`` (RE2 script spellings)."""
+    cols = ", ".join(
+        f"CAST(SUM(length(regexp_replace({text_col}, '[^{re2}]', '', 'g')))"
+        f" * 1000000 // SUM(length({text_col})) AS BIGINT) AS {name}_ppm"
+        for name, _, re2 in SCRIPTS
+    )
+    return (
+        f"SELECT {group_col}, CAST(SUM(length({text_col})) AS BIGINT) "
+        f"AS n_chars, {cols} FROM {table} GROUP BY {group_col} "
+        f"ORDER BY {group_col} NULLS FIRST"
+    )
+
+
 def word_terms(col) -> F.Column:
     """Normalized word terms for TF-IDF: lowercase, split on non-letter
     runs, keep terms of length >= 3 (engine- and locale-independent)."""

@@ -210,6 +210,47 @@ def incremental_url_dedup(
     )
 
 
+def web_corpus_pipeline(
+    pages: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    min_tokens: int = 10,
+    seed_docs: DataFrame | None = None,
+    min_seed_margin_ppm: int = 0,
+) -> DataFrame:
+    """The crawl-to-corpus composition (the web mirror of
+    corpus.prepare_training_corpus): raw (url, html) pages ->
+    URL-canonical dedup (one page per canonical URL, min id) ->
+    HTML boilerplate strip -> token-count quality floor -> optional
+    seed-vs-rest classifier filter (classify.quality_classifier_filter).
+
+    Returns (doc_id, canonical_url, text, n_tokens).  Every stage is
+    pure JVM expressions over one scan until the dedup groupBy — the
+    only shuffles are the canonical-URL dedup and (if enabled) the
+    classifier's vocab-sized aggregations."""
+    from .textanalysis import token_count
+
+    canon = pages.withColumn("canonical_url", canonicalize_url(url_col))
+    surv = canon.groupBy("canonical_url").agg(
+        F.min_by(F.struct(*pages.columns), F.col(id_col)).alias("row")
+    )
+    surv = surv.select("canonical_url", "row.*")
+    text = surv.withColumn("text", html_to_text(html_col)).withColumn(
+        "n_tokens", token_count("text")
+    )
+    quality = text.filter(F.col("n_tokens") >= min_tokens)
+    out = quality.select(id_col, "canonical_url", "text", "n_tokens")
+    if seed_docs is not None:
+        from .classify import quality_classifier_filter
+
+        out = quality_classifier_filter(
+            out, seed_docs, id_col=id_col, min_ppm=min_seed_margin_ppm
+        ).select(id_col, "canonical_url", "text", "n_tokens")
+    return out
+
+
 def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host crawl profile: document count, distinct canonical URLs,
     mean path depth (per-mille).  The host key is tiny-domain, so the

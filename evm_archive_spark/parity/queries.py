@@ -6492,6 +6492,44 @@ _add(
 )
 
 
+# [pair] Unicode-script composition profile (textanalysis.script_profile):
+# the multilingual mix report.  Documents get a fixed multilingual suffix
+# (same UTF-8 literal on both engines) so every profiled script actually
+# appears; Java spells scripts \p{IsX}, RE2 \p{X} — the operator carries
+# both spellings in one SCRIPTS table so the oracle can't drift.
+
+_SCRIPT_SYNTH = (
+    "SELECT doc_id, source, text || "
+    "' Привет мир 你好世界 مرحبا שלום 안녕하세요 नमस्ते १२३ 42 ' || lang "
+    "AS text FROM documents"
+)
+
+
+def _q_script_profile(spark, sf_dir):
+    from ..operators.textanalysis import script_profile
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return script_profile(spark.sql(_SCRIPT_SYNTH)).orderBy("source")
+
+
+def _script_oracle() -> str:
+    from ..operators.textanalysis import duckdb_script_profile_sql
+
+    return (
+        "WITH t AS (" + _SCRIPT_SYNTH + ") "
+        + duckdb_script_profile_sql("t")
+    )
+
+
+_add(
+    "q_script_profile",
+    _q_script_profile,
+    _script_oracle(),
+    "per-source Unicode-script ppm composition (Latin/Cyrillic/Han/Arabic/"
+    "Hangul/Devanagari/digits) == DuckDB RE2 replay",
+)
+
+
 # [pair] HTML -> text extraction (weburl.html_to_text): the boilerplate
 # strip every web-crawl pipeline runs before quality filtering.  Documents
 # are wrapped in a deterministic HTML shell (script/style with decoy tags,
@@ -6535,6 +6573,62 @@ _add(
     _html_oracle(),
     "HTML boilerplate strip (script/style/comment removal, block-tag "
     "newlines, entity decode, whitespace collapse) == DuckDB replay",
+)
+
+
+# [pair] crawl-to-corpus composition (weburl.web_corpus_pipeline): URL
+# dedup -> HTML strip -> token floor, one call over synthesized (url,
+# html) pages — the web mirror of q_corpus_pipeline, full SQL replay.
+
+_PAGE_SYNTH = (
+    "SELECT u.doc_id, u.url, h.html FROM ("
+    + _URL_SYNTH
+    + ") u JOIN ("
+    + _HTML_SYNTH
+    + ") h ON u.doc_id = h.doc_id"
+)
+
+
+def _q_web_pipeline(spark, sf_dir):
+    from ..operators.weburl import web_corpus_pipeline
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        web_corpus_pipeline(spark.sql(_PAGE_SYNTH), min_tokens=10)
+        .orderBy("doc_id")
+    )
+
+
+def _web_pipeline_oracle() -> str:
+    from ..operators.weburl import (
+        duckdb_canonicalize_sql,
+        duckdb_html_to_text_sql,
+    )
+
+    return (
+        "WITH p AS (" + _PAGE_SYNTH + "), "
+        "c AS (SELECT doc_id, html, "
+        + duckdb_canonicalize_sql("url")
+        + " AS canonical_url FROM p), "
+        "s AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_url "
+        "  ORDER BY doc_id) AS rn FROM c), "
+        "t AS (SELECT doc_id, canonical_url, "
+        + duckdb_html_to_text_sql("html")
+        + r" AS text FROM s WHERE rn = 1), "
+        r"q AS (SELECT doc_id, canonical_url, text, "
+        r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) "
+        "AS n_tokens FROM t) "
+        "SELECT doc_id, canonical_url, text, n_tokens FROM q "
+        "WHERE n_tokens >= 10 ORDER BY doc_id NULLS FIRST",
+    )[0]
+
+
+_add(
+    "q_web_pipeline",
+    _q_web_pipeline,
+    _web_pipeline_oracle(),
+    "crawl-to-corpus composition (URL-canonical dedup -> HTML strip -> "
+    "token floor) == full DuckDB replay",
 )
 
 

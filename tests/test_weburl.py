@@ -226,3 +226,34 @@ def test_incremental_url_dedup_invariant(spark):
         for r in incremental_url_dedup(shard, seen).collect()
     }
     assert got == {13: "https://c.com/new", 15: "https://d.com/also"}
+
+
+def test_web_corpus_pipeline_composition(spark):
+    """Crawl-to-corpus composition: URL dedup picks one page per
+    canonical, HTML strip feeds the token floor, and the optional
+    seed-classifier stage drops off-domain pages."""
+    from evm_archive_spark.operators.weburl import web_corpus_pipeline
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/x", "<p>spark table join shuffle partition agg scan window sort merge</p>"),
+            (2, "HTTPS://WWW.A.com/x/", "<p>duplicate page never reached</p>"),
+            (3, "https://b.com/y", "<script>x</script><p>der tisch und der stuhl und das haus und der baum</p>"),
+            (4, "https://c.com/z", "<p>too short</p>"),
+        ],
+        ["doc_id", "url", "html"],
+    )
+    out = {r["doc_id"]: r for r in web_corpus_pipeline(pages).collect()}
+    assert set(out) == {1, 3}  # 2 is a URL dup of 1; 4 fails the floor
+    assert out[1]["canonical_url"] == "https://a.com/x"
+    assert out[1]["text"].startswith("spark table join")
+    assert out[3]["n_tokens"] == 11
+
+    seed = spark.createDataFrame(
+        [(1, "spark table join shuffle partition agg scan")],
+        ["doc_id", "text"],
+    )
+    kept = web_corpus_pipeline(
+        pages, seed_docs=seed, min_seed_margin_ppm=0
+    ).collect()
+    assert {r["doc_id"] for r in kept} == {1}  # German page filtered out
