@@ -83,6 +83,7 @@ HEADLINE = [
     "q_url_dedup",
     "q_nb_classify",
     "q_html_extract",
+    "q_web_pipeline",
 ]
 
 

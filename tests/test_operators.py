@@ -3745,6 +3745,22 @@ from test_png import (  # noqa: E402
 from test_bmp import (  # noqa: E402
     _pooled_bmp_through_spark_strict_paths,
 )
+from test_classify import (  # noqa: E402
+    _pooled_classify_vs_python_reference,
+    _pooled_quality_classifier_filter_seed_vs_rest,
+)
+from test_textanalysis_scripts import (  # noqa: E402
+    _pooled_script_profile_cross_engine,
+)
+from test_wav import (  # noqa: E402
+    _pooled_g711_through_audio_features_strict,
+    _pooled_resample_audio_strict_real,
+)
+from test_weburl import (  # noqa: E402
+    _pooled_html_cross_engine_fuzz,
+    _pooled_url_cross_engine_fuzz,
+    _pooled_web_corpus_pipeline_composition,
+)
 from test_flac import (  # noqa: E402
     _pooled_flac_through_spark_strict_paths,
 )
@@ -3775,6 +3791,14 @@ _POOLED_HEAVY = [
     _pooled_tiff_through_spark_strict_paths,
     _pooled_flac_through_spark_strict_paths,
     _pooled_bmp_through_spark_strict_paths,
+    _pooled_classify_vs_python_reference,
+    _pooled_quality_classifier_filter_seed_vs_rest,
+    _pooled_script_profile_cross_engine,
+    _pooled_g711_through_audio_features_strict,
+    _pooled_resample_audio_strict_real,
+    _pooled_url_cross_engine_fuzz,
+    _pooled_html_cross_engine_fuzz,
+    _pooled_web_corpus_pipeline_composition,
     _pooled_streaming_incremental_minhash_equals_sequential_replay,
     _pooled_stream_corpus_admission_equals_sequential_replay,
     _pooled_streaming_rollup_maintenance_equals_batch,

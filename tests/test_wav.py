@@ -400,7 +400,7 @@ def test_wave_format_extensible_pcm():
     assert np.array_equal((out * 32768.0).astype("<i2"), ints)
 
 
-def test_g711_through_audio_features_strict(spark):
+def _pooled_g711_through_audio_features_strict(spark):
     """A mu-law telephony WAV through the strict audio path: real rate,
     duration, and features — the compressed-telephony corpus shape."""
     import audioop
@@ -423,7 +423,7 @@ def test_g711_through_audio_features_strict(spark):
     assert feats["rms_ppm"] > 100_000  # a loud signal, really decoded
 
 
-def test_resample_audio_strict_real(spark):
+def _pooled_resample_audio_strict_real(spark):
     """Linear-interp resample through the Spark path: exact against a
     numpy reference, rate/duration metadata correct, FLAC input accepted,
     and the stub path deterministic."""

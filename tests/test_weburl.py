@@ -68,7 +68,7 @@ def test_duckdb_replay_known_cases():
     assert got == list(CASES.values())
 
 
-def test_cross_engine_fuzz(spark):
+def _pooled_url_cross_engine_fuzz(spark):
     """Spark expression == DuckDB replay over fuzzed inputs — the pin
     that keeps the parity-gate oracles honest."""
     rng = random.Random(7)
@@ -161,7 +161,7 @@ def test_html_to_text_known_cases(spark):
     assert got == list(HTML_CASES.values())
 
 
-def test_html_cross_engine_fuzz(spark):
+def _pooled_html_cross_engine_fuzz(spark):
     """Spark chain == DuckDB replay over adversarial tag soup — keeps
     the q_html_extract oracle honest."""
     from evm_archive_spark.operators.weburl import duckdb_html_to_text_sql
@@ -228,7 +228,7 @@ def test_incremental_url_dedup_invariant(spark):
     assert got == {13: "https://c.com/new", 15: "https://d.com/also"}
 
 
-def test_web_corpus_pipeline_composition(spark):
+def _pooled_web_corpus_pipeline_composition(spark):
     """Crawl-to-corpus composition: URL dedup picks one page per
     canonical, HTML strip feeds the token floor, and the optional
     seed-classifier stage drops off-domain pages."""
