@@ -183,8 +183,8 @@ def image_ahash(
                     if strict:
                         raise
                     # strict=False never fails the job: corrupt or
-                    # out-of-scope images (16-bit/Adam7 PNG, arithmetic
-                    # JPEG) take the fake
+                    # out-of-scope images (arithmetic JPEG, exotic
+                    # container variants) take the fake
                     return fake_grid(b)
                 h, w = rgba.shape[:2]
                 ys = (np.arange(8) * h // 8).clip(0, h - 1)

@@ -6,12 +6,14 @@ inflate of the concatenated IDAT stream, and per-scanline unfiltering
 (filter types 0-4: None / Sub / Up / Average / Paeth).  Output is an
 (height, width, 4) uint8 RGBA numpy array.
 
-Scope (documented, deliberate — covers what e.g. a screenshot/photo
-pipeline actually stores): bit depth 8, color types 0 (grayscale),
-2 (truecolor), 3 (indexed/palette), 4 (gray+alpha), 6 (RGBA);
-non-interlaced only (Adam7 raises PngError — progressive rendering is a
-display concern, not a storage one).  Ancillary chunks are skipped;
-tRNS is honored for palette images.
+Scope: every spec-valid (depth, color type) combination — depths
+1/2/4/8/16 across color types 0 (grayscale), 2 (truecolor),
+3 (indexed/palette), 4 (gray+alpha), 6 (RGBA) — and BOTH interlace
+methods (Adam7's seven independently-filtered passes are deinterlaced
+by scatter).  16-bit samples take their high byte (the spec's
+presentation conversion to 8-bit); sub-byte gray samples scale by
+bit-replication.  Ancillary chunks are skipped; tRNS is honored for
+palette images.
 
 This closes the VERDICT r3 #3 gap: ``multimodal.decode_images(strict=True)``
 now really decodes ``image/png`` payloads instead of refusing; the
@@ -28,7 +30,7 @@ import numpy as np
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# bytes per pixel in the FILTERED stream, per color type at bit depth 8
+# channels per pixel, per color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
@@ -72,7 +74,17 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
-    """Reverse per-scanline filtering -> (height, width*bpp) uint8.
+    """Reverse per-scanline filtering for 8-bit images ->
+    (height, width*bpp) uint8 (the APNG frame path)."""
+    return _unfilter_rows(raw, width * bpp, height, bpp)
+
+
+def _unfilter_rows(
+    raw: bytes, stride: int, height: int, bpp: int
+) -> np.ndarray:
+    """Reverse per-scanline filtering -> (height, stride) uint8, where
+    ``stride`` is the scanline byte count and ``bpp`` the filter's
+    byte distance (max(1, channels*depth//8) per the PNG spec).
 
     Sub/Up/Average/Paeth are sequential along their dependency axis; Up
     and the row-to-row state are vectorized with numpy, the in-row
@@ -80,7 +92,6 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     distributed parallelism lives at the mapInPandas batch level, one
     image per task row, so per-image decode is allowed to be scalar.
     """
-    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise PngError(
             f"decompressed size {len(raw)} != expected {height * (stride + 1)}"
@@ -119,6 +130,42 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass origins and strides: (x0, y0, dx, dy) per the PNG spec
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+#: bit depths the spec allows per color type
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _expand_pixels(
+    rows: np.ndarray, width: int, height: int, depth: int, channels: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes -> (height, width, channels) uint8.
+    16-bit samples take their high byte (the spec's presentation
+    conversion); 1/2/4-bit samples unpack MSB-first."""
+    if depth == 8:
+        return rows[:, : width * channels].reshape(height, width, channels)
+    if depth == 16:
+        return rows[:, : width * channels * 2][:, 0::2].reshape(
+            height, width, channels
+        )
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    vals = bits.reshape(height, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2).astype(np.uint8).reshape(
+        height, width, 1
+    )
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to an (H, W, 4) uint8 RGBA array."""
     if not is_png(payload):
@@ -133,14 +180,16 @@ def decode_png(payload: bytes) -> np.ndarray:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8:
-                raise PngError(f"unsupported bit depth {depth} (8 only)")
             if color_type not in _CHANNELS:
                 raise PngError(f"unsupported color type {color_type}")
+            if depth not in _VALID_DEPTHS[color_type]:
+                raise PngError(
+                    f"bit depth {depth} invalid for color type {color_type}"
+                )
             if comp != 0 or filt != 0:
                 raise PngError("unsupported compression/filter method")
-            if interlace != 0:
-                raise PngError("Adam7 interlace not supported")
+            if interlace not in (0, 1):
+                raise PngError(f"unknown interlace method {interlace}")
         elif ctype == b"PLTE":
             if len(data) % 3:
                 raise PngError("PLTE length not a multiple of 3")
@@ -154,19 +203,48 @@ def decode_png(payload: bytes) -> np.ndarray:
     if not idat:
         raise PngError("no IDAT data")
 
-    bpp = _CHANNELS[color_type]
+    channels = _CHANNELS[color_type]
+    fbpp = max(1, channels * depth // 8)
+
+    def rowbytes(w: int) -> int:
+        return (w * channels * depth + 7) // 8
+
+    def pass_pixels(chunk: bytes, w: int, h: int) -> np.ndarray:
+        rows = _unfilter_rows(chunk, rowbytes(w), h, fbpp)
+        return _expand_pixels(rows, w, h, depth, channels)
+
     raw = zlib.decompress(bytes(idat))
-    px = _unfilter(raw, width, height, bpp)
+    if interlace == 0:
+        px = pass_pixels(raw, width, height)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            n = hp * (1 + rowbytes(wp))
+            px[y0::dy, x0::dx] = pass_pixels(raw[pos : pos + n], wp, hp)
+            pos += n
+        if pos != len(raw):
+            raise PngError(
+                f"interlaced stream size {len(raw)} != passes total {pos}"
+            )
+
+    if color_type in (0, 4) and depth < 8:
+        # scale sub-byte gray samples to full 8-bit range (exact: the
+        # spec's bit-replication equals multiplying by 255/(2^d-1))
+        px = px * np.uint8(255 // ((1 << depth) - 1))
 
     if color_type == 0:  # grayscale
-        g = px.reshape(height, width, 1)
+        g = px
         rgba = np.concatenate(
             [g, g, g, np.full((height, width, 1), 255, np.uint8)], axis=2
         )
     elif color_type == 2:  # RGB
-        rgb = px.reshape(height, width, 3)
         rgba = np.concatenate(
-            [rgb, np.full((height, width, 1), 255, np.uint8)], axis=2
+            [px, np.full((height, width, 1), 255, np.uint8)], axis=2
         )
     elif color_type == 3:  # palette
         if palette is None:
@@ -182,11 +260,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             alpha = a_lut[idx][:, :, None]
         rgba = np.concatenate([rgb, alpha], axis=2)
     elif color_type == 4:  # gray + alpha
-        ga = px.reshape(height, width, 2)
-        g = ga[:, :, :1]
-        rgba = np.concatenate([g, g, g, ga[:, :, 1:]], axis=2)
+        g = px[:, :, :1]
+        rgba = np.concatenate([g, g, g, px[:, :, 1:]], axis=2)
     else:  # 6: RGBA
-        rgba = px.reshape(height, width, 4)
+        rgba = px
     return rgba
 
 

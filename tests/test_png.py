@@ -96,6 +96,104 @@ def rng_pixels(h: int, stride: int, seed: int = 7) -> np.ndarray:
     )
 
 
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def build_png_adam7(rgba: np.ndarray) -> bytes:
+    """Independent Adam7 writer: each pass is extracted by the spec's
+    origin/stride grid and filtered as its own sub-image (fresh
+    previous-row state per pass), all passes in one zlib stream."""
+    h, w = rgba.shape[:2]
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = rgba[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        hp, wp = sub.shape[:2]
+        stream += forward_filter(sub.reshape(hp, wp * 4), 4, 4)  # Paeth
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 1)
+    body = chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(stream)))
+    return SIG + body + chunk(b"IEND", b"")
+
+
+def build_png16(rgba_hi: np.ndarray, lo_seed: int = 3) -> bytes:
+    """Independent 16-bit RGBA writer: high bytes from ``rgba_hi``, low
+    bytes random (the decoder must drop them)."""
+    h, w = rgba_hi.shape[:2]
+    lo = np.random.default_rng(lo_seed).integers(
+        0, 256, size=(h, w, 4), dtype=np.uint8
+    )
+    samples = np.stack([rgba_hi, lo], axis=3).reshape(h, w * 8)  # big-endian
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 6, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(forward_filter(samples, 8, 2))  # Up filter
+    )
+    return SIG + body + chunk(b"IEND", b"")
+
+
+def build_png_subbyte(
+    idx: np.ndarray, depth: int, color_type: int, palette: bytes | None = None
+) -> bytes:
+    """Independent sub-byte writer (gray or palette): MSB-first packing
+    with row padding."""
+    h, w = idx.shape
+    rows = bytearray()
+    for y in range(h):
+        bits = []
+        for x in range(w):
+            v = int(idx[y, x])
+            bits.extend((v >> (depth - 1 - i)) & 1 for i in range(depth))
+        while len(bits) % 8:
+            bits.append(0)
+        packed = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            packed.append(b)
+        rows += b"\x00" + bytes(packed)  # filter None per row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", palette)
+    body += chunk(b"IDAT", zlib.compress(bytes(rows)))
+    return SIG + body + chunk(b"IEND", b"")
+
+
+def test_adam7_interlace_equals_progressive_scan():
+    for h, w, seed in [(16, 16, 1), (13, 11, 2), (1, 1, 3), (7, 3, 4),
+                       (2, 9, 5), (8, 8, 6)]:
+        rgba = rng_pixels(h, w * 4, seed=seed).reshape(h, w, 4)
+        out = decode_png(build_png_adam7(rgba))
+        assert np.array_equal(out, rgba), (h, w)
+
+
+def test_16bit_high_byte_presentation():
+    rgba = rng_pixels(9, 7 * 4, seed=11).reshape(9, 7, 4)
+    out = decode_png(build_png16(rgba))
+    assert np.array_equal(out, rgba)
+
+
+def test_subbyte_gray_and_palette():
+    rng = np.random.default_rng(13)
+    for depth in (1, 2, 4):
+        hi = 1 << depth
+        idx = rng.integers(0, hi, (6, 11), dtype=np.uint8)
+        out = decode_png(build_png_subbyte(idx, depth, color_type=0))
+        scale = 255 // (hi - 1)
+        assert np.array_equal(out[:, :, 0], idx * scale), depth
+        assert (out[:, :, 0] == out[:, :, 1]).all()
+
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = rng.integers(0, 16, (5, 9), dtype=np.uint8)
+    out = decode_png(build_png_subbyte(idx, 4, color_type=3, palette=pal))
+    expect = np.frombuffer(pal, dtype=np.uint8).reshape(16, 3)[idx]
+    assert np.array_equal(out[:, :, :3], expect)
+
+
 # --------------------------------------------------------------------------
 # decoder vs independent encoder, every filter type x color type
 # --------------------------------------------------------------------------
@@ -181,10 +279,19 @@ def test_rejections():
         bad = bytearray(good)
         bad[good.index(b"IDAT") + 6] ^= 0xFF  # flip a byte of IDAT data
         decode_png(bytes(bad))
-    with pytest.raises(PngError, match="interlace"):
+    # interlace=1 claimed but non-interlaced stream: pass-parse fails
+    # (misaligned filter bytes or a pass-total size mismatch)
+    with pytest.raises(PngError, match="filter|size|passes"):
         decode_png(build_png(px, color_type=6, interlace=1))
-    with pytest.raises(PngError, match="bit depth"):
+    # depth=16 claimed over 8-bit rows -> stream size mismatch
+    with pytest.raises(PngError, match="size"):
         decode_png(build_png(px, color_type=6, depth=16))
+    # interlace method 2 does not exist
+    with pytest.raises(PngError, match="interlace"):
+        decode_png(build_png(px, color_type=6, interlace=2))
+    # depth invalid for the color type (RGB at depth 4)
+    with pytest.raises(PngError, match="bit depth"):
+        decode_png(build_png(px, color_type=2, depth=4))
     with pytest.raises(PngError, match="IEND"):
         decode_png(good[:-12])
     with pytest.raises(PngError, match="PLTE"):
@@ -448,13 +555,14 @@ def test_frame_sample_strict_real_apng(spark):
 
 
 def _pooled_nonstrict_fallback_on_out_of_scope_png(spark):
-    """ADVICE r4: strict=False must NEVER fail the job — a valid-but-
-    out-of-scope PNG (16-bit depth, rejected by the stdlib decoder) and
-    a corrupt PNG (bad CRC) fall back to the deterministic sha256 fake
-    in image_ahash and frame_sample, while strict=True still raises."""
+    """ADVICE r4: strict=False must NEVER fail the job — a malformed
+    PNG (nonexistent interlace method 2; 16-bit and Adam7 are now
+    really decoded) and a corrupt PNG (bad CRC) fall back to the
+    deterministic sha256 fake in image_ahash and frame_sample, while
+    strict=True still raises."""
     px = rng_pixels(4, 4 * 4)
     good = encode_png(px.reshape(4, 4, 4))
-    deep = build_png(px, color_type=6, depth=16)       # out of scope
+    deep = build_png(px, color_type=6, interlace=2)    # invalid header
     corrupt = bytearray(build_png(px, color_type=6))
     corrupt[corrupt.index(b"IDAT") + 6] ^= 0xFF        # CRC mismatch
     corrupt = bytes(corrupt)
@@ -479,7 +587,7 @@ def _pooled_nonstrict_fallback_on_out_of_scope_png(spark):
     assert by_id[1] == want
 
     # strict mode still fails loudly on both
-    with pytest.raises(Exception, match="bit depth|PNG|Png"):
+    with pytest.raises(Exception, match="interlace|PNG|Png"):
         multimodal.image_ahash(
             _media_df(spark, [deep]), strict=True
         ).collect()
