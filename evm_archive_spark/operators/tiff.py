@@ -1,10 +1,12 @@
 """Baseline TIFF decoder — from scratch, stdlib + numpy.
 
 Implements the public TIFF 6.0 specification's baseline subset plus the
-LZW extension: header + IFD walk (both byte orders), strip-based image
-data, bilevel/grayscale/palette/RGB(A) photometric interpretations at
-1/8-bit depths, and Compression 1 (none), 2 is out of scope, 5 (LZW
-with horizontal differencing predictor) and 32773 (PackBits).
+LZW and Deflate extensions: header + IFD walk (both byte orders),
+strip-based image data, bilevel/grayscale/palette/RGB(A) photometric
+interpretations at 1/8-bit depths, and Compression 1 (none), 5 (LZW
+with horizontal differencing predictor), 8/32946 (Deflate/zlib, both
+the official and legacy tags), and 32773 (PackBits); 2 (CCITT) is out
+of scope.
 
 Scope notes (clear errors, no silent wrong pixels): tiled images,
 16-bit samples, planar configuration 2, JPEG-in-TIFF and CCITT fax
@@ -24,6 +26,7 @@ never decodes; this backs the strict=True multimodal paths for
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -178,11 +181,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
     predictor = f.get("predictor", (1,))[0]
     if planar != 1:
         raise TiffError("planar configuration 2 not supported")
-    if comp not in (1, 5, 32773):
-        names = {2: "CCITT", 6: "old-JPEG", 7: "JPEG", 8: "deflate"}
+    if comp not in (1, 5, 8, 32946, 32773):
+        names = {2: "CCITT", 6: "old-JPEG", 7: "JPEG"}
         raise TiffError(
             f"compression {names.get(comp, comp)} not supported "
-            "(none/LZW/PackBits only)"
+            "(none/LZW/Deflate/PackBits only)"
         )
     if any(b not in (1, 8) for b in bps) or (bps[0] == 1 and spp != 1):
         raise TiffError(f"bits-per-sample {bps} not supported (1 or 8)")
@@ -204,6 +207,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             dec = strip[:want]
         elif comp == 5:
             dec = _lzw_decode_tiff(strip, want)
+        elif comp in (8, 32946):  # Deflate (official 8 / legacy 32946)
+            try:
+                dec = zlib.decompress(bytes(strip))
+            except zlib.error as e:
+                raise TiffError(f"deflate strip: {e}") from e
         else:
             dec = _packbits_decode(strip, want)
         if len(dec) < want:

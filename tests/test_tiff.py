@@ -9,6 +9,7 @@ spec, sharing no code with the decoder.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -122,6 +123,8 @@ def encode_tiff(
             body = block.tobytes()
         if compression == 5:
             strips.append(_lzw_encode_tiff(body))
+        elif compression in (8, 32946):
+            strips.append(zlib.compress(body))
         elif compression == 32773:
             strips.append(_packbits_encode(body))
         else:
@@ -307,3 +310,17 @@ def _pooled_tiff_through_spark_strict_paths(spark):
         for r in multimodal.image_ahash(media, strict=True).collect()
     ]
     assert hashes[0] == hashes[1]
+
+
+def test_deflate_compression_both_tags():
+    """Deflate strips (official tag 8 and legacy 32946) round-trip,
+    including with the horizontal predictor and multi-strip layout."""
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    for tag in (8, 32946):
+        out = decode_tiff(encode_tiff(img, compression=tag, rows_per_strip=4))
+        assert np.array_equal(out[:, :, :3], img), tag
+    out = decode_tiff(
+        encode_tiff(img, compression=8, predictor=2)
+    )
+    assert np.array_equal(out[:, :, :3], img)
