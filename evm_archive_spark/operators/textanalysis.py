@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # small deterministic stopword lists per language for the lang-id heuristic
@@ -245,6 +246,31 @@ def script_profile(
         ],
     )
     return out
+
+
+def normalize_unicode(col, form: str = "NFC") -> F.Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
+    step before any hash-based text dedup (visually identical strings
+    with different codepoint sequences must collide).
+
+    Spark has no built-in normalizer, so this is a genuine Python-
+    boundary operation: an Arrow-batched pandas UDF over stdlib
+    ``unicodedata`` (UAX #15).  The q_nfc parity gate cross-checks it
+    against DuckDB's independent utf8proc implementation — two
+    implementations of the public algorithm agreeing byte-for-byte."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    return _norm(F.col(col) if isinstance(col, str) else col)
 
 
 def duckdb_script_profile_sql(

@@ -6530,6 +6530,41 @@ _add(
 )
 
 
+# [pair] Unicode NFC normalization (textanalysis.normalize_unicode):
+# CPython unicodedata (Arrow-batched pandas UDF) vs DuckDB's utf8proc —
+# two independent implementations of UAX #15 must agree byte-for-byte.
+# The synth appends decomposed sequences (combining acute/ring, the
+# Angstrom singleton, stacked combining marks) as literal codepoints —
+# the SAME UTF-8 SQL text parses on both engines (Spark's chr() is
+# mod-256 ASCII, unlike DuckDB's, so chr() is NOT usable here).
+
+_NFC_SYNTH = (
+    "SELECT doc_id, text || ' e\u0301 A\u030a \u212b x\u0303\u0301' AS t "
+    "FROM documents"
+)
+
+
+def _q_nfc(spark, sf_dir):
+    from ..operators.textanalysis import normalize_unicode
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        spark.sql(_NFC_SYNTH)
+        .select("doc_id", normalize_unicode("t").alias("text_norm"))
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_nfc",
+    _q_nfc,
+    "WITH t AS (" + _NFC_SYNTH + ") "
+    "SELECT doc_id, nfc_normalize(t) AS text_norm FROM t "
+    "ORDER BY doc_id NULLS FIRST",
+    "NFC normalization: stdlib unicodedata == DuckDB utf8proc",
+)
+
+
 # [pair] HTML -> text extraction (weburl.html_to_text): the boilerplate
 # strip every web-crawl pipeline runs before quality filtering.  Documents
 # are wrapped in a deterministic HTML shell (script/style with decoy tags,

@@ -6,6 +6,7 @@ must agree on every profiled character)."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 import pandas as pd
 
 from evm_archive_spark.operators.textanalysis import (
@@ -64,3 +65,33 @@ def test_scripts_table_shape():
     assert names == [
         "latin", "cyrillic", "han", "arabic", "hangul", "devanagari", "digit",
     ]
+
+
+def test_normalize_unicode_forms(spark):
+    """NFC/NFD/NFKC round: decomposed sequences compose, singletons map,
+    compatibility forms fold only under NFKC; pinned against stdlib
+    unicodedata driver-side."""
+    import unicodedata
+
+    from evm_archive_spark.operators.textanalysis import normalize_unicode
+
+    texts = [
+        "éclair",          # decomposed acute -> U+00E9 under NFC
+        "Ångström",    # Angstrom singleton -> U+00C5
+        "ﬁne",              # fi ligature: NFC keeps, NFKC folds
+        "x̃́",         # stacked combining marks
+        "plain ascii",
+        "",
+    ]
+    pdf = pd.DataFrame({"t": texts})
+    df = spark.createDataFrame(pdf)
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        got = [
+            r[0]
+            for r in df.select(normalize_unicode("t", form)).collect()
+        ]
+        want = [unicodedata.normalize(form, t) for t in texts]
+        assert got == want, form
+    assert normalize_unicode is not None
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode("t", "NFX")
