@@ -251,6 +251,51 @@ def web_corpus_pipeline(
     return out
 
 
+def stream_url_admission(
+    page_stream: DataFrame,
+    state_dir: str,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """The STREAMING face of URL-level dedup — the web mirror of
+    ``multimodal.stream_image_admission``: each micro-batch of crawl
+    rows is admitted via ``incremental_url_dedup`` against the
+    persisted canonical-URL index as of the previous batch, then
+    appends its survivors and their canonical keys.
+
+    Layout under ``state_dir``: ``index/`` (one ``canonical_url``
+    column, append-only), ``survivors/`` (full surviving rows +
+    canonical_url), ``_checkpoint``.  Returns the StreamingQuery."""
+    import os
+
+    index_path = os.path.join(state_dir, "index")
+    survivors_path = os.path.join(state_dir, "survivors")
+
+    def admit(batch_df, batch_id):
+        s = batch_df.sparkSession
+        if os.path.exists(index_path):
+            idx = s.read.parquet(index_path)
+        else:
+            idx = s.createDataFrame([], "canonical_url string")
+        surv = incremental_url_dedup(
+            batch_df, idx, url_col, id_col
+        ).localCheckpoint(eager=True)
+        surv.write.mode("append").parquet(survivors_path)
+        surv.select("canonical_url").write.mode("append").parquet(index_path)
+
+    writer = page_stream.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host crawl profile: document count, distinct canonical URLs,
     mean path depth (per-mille).  The host key is tiny-domain, so the

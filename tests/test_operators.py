@@ -3758,6 +3758,7 @@ from test_wav import (  # noqa: E402
 )
 from test_weburl import (  # noqa: E402
     _pooled_html_cross_engine_fuzz,
+    _pooled_stream_url_admission_equals_sequential_replay,
     _pooled_url_cross_engine_fuzz,
     _pooled_web_corpus_pipeline_composition,
 )
@@ -3799,6 +3800,7 @@ _POOLED_HEAVY = [
     _pooled_url_cross_engine_fuzz,
     _pooled_html_cross_engine_fuzz,
     _pooled_web_corpus_pipeline_composition,
+    _pooled_stream_url_admission_equals_sequential_replay,
     _pooled_streaming_incremental_minhash_equals_sequential_replay,
     _pooled_stream_corpus_admission_equals_sequential_replay,
     _pooled_streaming_rollup_maintenance_equals_batch,

@@ -257,3 +257,61 @@ def _pooled_web_corpus_pipeline_composition(spark):
         pages, seed_docs=seed, min_seed_margin_ppm=0
     ).collect()
     assert {r["doc_id"] for r in kept} == {1}  # German page filtered out
+
+
+def _pooled_stream_url_admission_equals_sequential_replay(spark, tmp_path):
+    """Streaming URL admission == sequential batch replay: two
+    micro-batches through stream_url_admission produce exactly the
+    survivors of batch-by-batch incremental_url_dedup against the same
+    growing index; a cross-batch canonical dup is dropped by persisted
+    state alone."""
+    import os
+    import time
+
+    from evm_archive_spark.operators.weburl import (
+        incremental_url_dedup,
+        stream_url_admission,
+    )
+
+    batch1 = [(0, "https://a.com/x?b=2&a=1"), (1, "HTTPS://WWW.A.com/x/?a=1&b=2"),
+              (2, "https://b.com/y")]
+    batch2 = [(10, "https://a.com/x?a=1&b=2#f"),   # cross-batch dup -> drop
+              (11, "https://c.com/z"),              # novel
+              (12, "https://c.com/z?utm_source=s")] # within-batch dup
+    b1 = spark.createDataFrame(batch1, ["doc_id", "url"])
+    b2 = spark.createDataFrame(batch2, ["doc_id", "url"])
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    # pin mtimes so micro-batch order is deterministic (NOTES gotcha)
+    now = time.time()
+    files = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    # order by doc_id content: read each file to find which is batch 1
+    for f in files:
+        ids = {r["doc_id"] for r in spark.read.parquet(os.path.join(src, f)).collect()}
+        t = now - 100 if 0 in ids else now - 50
+        os.utime(os.path.join(src, f), (t, t))
+
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_url_admission(stream, state)
+    q.awaitTermination()
+
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{state}/survivors").collect()
+    )
+    assert got == [0, 2, 11]
+
+    # sequential replay over the same shards with a growing index
+    idx = spark.createDataFrame([], "canonical_url string")
+    expect = []
+    for shard in (b1, b2):
+        surv = incremental_url_dedup(shard, idx).localCheckpoint(eager=True)
+        expect.extend(r["doc_id"] for r in surv.collect())
+        idx = idx.unionByName(surv.select("canonical_url"))
+    assert got == sorted(expect)
