@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+from .codecerrors import guard_iter
 
 
 class AviError(Exception):
@@ -53,6 +54,7 @@ def _walk_chunks(data: bytes, start: int, end: int):
         i = body + size + (size & 1)
 
 
+@guard_iter(AviError)
 def avi_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
     """Yield ``(frame_idx, payload)`` for every video frame of stream 0
     in the ``movi`` list, in file order.  ``payload`` is the raw frame
@@ -82,6 +84,7 @@ def avi_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
             idx += 1
 
 
+@guard_iter(AviError)
 def decode_avi_frames(data: bytes) -> Iterator[tuple[int, int, int, "object"]]:
     """Yield ``(frame_idx, width, height, rgba)`` with every frame REALLY
     decoded via the stdlib baseline-JPEG decoder — the video analogue of

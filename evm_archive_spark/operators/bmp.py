@@ -22,6 +22,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from .codecerrors import guard
 
 
 class BmpError(ValueError):
@@ -102,6 +103,7 @@ def _decode_rle(
     return idx
 
 
+@guard(BmpError)
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode a BMP payload -> (h, w, 4) uint8 RGBA."""
     if not is_bmp(payload):

@@ -175,6 +175,9 @@ def stream_corpus_admission(
     method: str = "md5",
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucketed_state: bool = False,
+    n_buckets: int = 64,
+    table_prefix: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
 ):
@@ -182,24 +185,43 @@ def stream_corpus_admission(
     r4 #7): wire ``incremental_corpus_update`` into ``foreachBatch`` so
     a live document ingest feeds the SAME persisted dedup state the
     batch lane (gate q_incr_corpus) maintains — each micro-batch is
-    admitted against the state as of the previous batch, then appends
-    its survivor rows and both state deltas transactionally-enough for
-    the availableNow replay semantics (foreachBatch re-runs a failed
-    batch; all three writes are idempotent-by-replacement only at the
-    batch level, the standard Spark foreachBatch contract).
+    admitted against the state as of the previous batch, then persists
+    its survivor rows and both state deltas.
+
+    Replay semantics (foreachBatch re-runs a failed batch): survivors
+    are EXACTLY-ONCE — each batch writes
+    ``survivors/batch_id=<N>/`` with ``mode('overwrite')``, so a replay
+    rewrites its own partition instead of appending duplicates.  The
+    state deltas are written the same way in the default layout; in the
+    bucketed layout a replay after a partial append can duplicate state
+    rows, which is benign — digests/bands are membership state consumed
+    only through anti-/semi-joins, so duplicate rows change no
+    admission decision.
+
+    ``bucketed_state=True`` maintains the digest and band state as
+    hash-bucketed catalog tables (``storage.write_bucketed``, the
+    ``dedup.persist_minhash_band_index`` pattern: digests bucketed by
+    ``digest``, bands by ``(band, bhash)``) instead of plain parquet.
+    Each micro-batch probe then plans a ONE-SIDED shuffle: only the
+    (small) incoming batch's keys move, the ever-growing state is read
+    in place with zero Exchange — at nightly-shard scale the difference
+    between reshuffling the whole index per batch and touching only its
+    matching buckets.  ``table_prefix`` names the catalog tables
+    (default: derived from ``state_dir``).
 
     Layout under ``state_dir``:
-      ``digests/``   — seen content digests (append-only)
-      ``bands/``     — MinHash band index rows (append-only; bucket via
-                       persist_minhash_band_index when it outgrows
-                       plain parquet)
-      ``survivors/`` — admitted document rows (+ n_tokens)
+      ``digests/``   — seen content digests
+      ``bands/``     — MinHash band index rows
+      ``survivors/`` — admitted document rows (+ n_tokens),
+                       partitioned by ``batch_id``
       ``_checkpoint``— streaming checkpoint
 
     Returns the started StreamingQuery.  Test pins: two micro-batches
     through this == the sequential batch replay of the same shards
     (earlier corpus text never re-read), with a cross-batch near-dup
-    actually dropped by the persisted band state."""
+    actually dropped by the persisted band state; bucketed mode pins
+    the zero-Exchange state-side scan."""
+    import hashlib
     import os
 
     lane_kw = dict(
@@ -209,15 +231,25 @@ def stream_corpus_admission(
     digests_path = os.path.join(state_dir, "digests")
     bands_path = os.path.join(state_dir, "bands")
     survivors_path = os.path.join(state_dir, "survivors")
+    prefix = table_prefix or (
+        "adm_" + hashlib.md5(state_dir.encode()).hexdigest()[:10]
+    )
+    dig_table, band_table = f"{prefix}_digests", f"{prefix}_bands"
 
     def admit(batch_df, batch_id):
+        from .. import storage
+
         s = batch_df.sparkSession
-        if os.path.exists(digests_path):
-            seen = s.read.parquet(digests_path)
+        if bucketed_state and s.catalog.tableExists(dig_table):
+            seen = s.table(dig_table)
+        elif not bucketed_state and os.path.exists(digests_path):
+            seen = s.read.parquet(digests_path).select("digest")
         else:
             seen = s.createDataFrame([], "digest string")
-        if os.path.exists(bands_path):
-            idx = s.read.parquet(bands_path)
+        if bucketed_state and s.catalog.tableExists(band_table):
+            idx = s.table(band_table)
+        elif not bucketed_state and os.path.exists(bands_path):
+            idx = s.read.parquet(bands_path).select(id_col, "band", "bhash")
         else:
             idx = s.createDataFrame(
                 [], f"{id_col} long, band int, bhash string"
@@ -225,9 +257,39 @@ def stream_corpus_admission(
         surv, ddelta, bdelta = incremental_corpus_update(
             batch_df, seen, idx, materialize=True, **lane_kw
         )
-        surv.write.mode("append").parquet(survivors_path)
-        ddelta.write.mode("append").parquet(digests_path)
-        bdelta.write.mode("append").parquet(bands_path)
+        surv.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
+        if bucketed_state:
+            if s.catalog.tableExists(dig_table):
+                (
+                    ddelta.write.mode("append").format("parquet")
+                    .option("path", digests_path)
+                    .bucketBy(n_buckets, "digest").sortBy("digest")
+                    .saveAsTable(dig_table)
+                )
+                (
+                    bdelta.write.mode("append").format("parquet")
+                    .option("path", bands_path)
+                    .bucketBy(n_buckets, "band", "bhash")
+                    .sortBy("band", "bhash")
+                    .saveAsTable(band_table)
+                )
+            else:
+                storage.write_bucketed(
+                    ddelta, dig_table, digests_path, ["digest"], n_buckets
+                )
+                storage.write_bucketed(
+                    bdelta, band_table, bands_path, ["band", "bhash"],
+                    n_buckets,
+                )
+        else:
+            ddelta.write.mode("overwrite").parquet(
+                os.path.join(digests_path, f"batch_id={batch_id}")
+            )
+            bdelta.write.mode("overwrite").parquet(
+                os.path.join(bands_path, f"batch_id={batch_id}")
+            )
 
     writer = docs_stream.writeStream.foreachBatch(admit).option(
         "checkpointLocation", os.path.join(state_dir, "_checkpoint")

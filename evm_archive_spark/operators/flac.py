@@ -29,6 +29,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from .codecerrors import guard
 
 
 class FlacError(ValueError):
@@ -391,6 +392,7 @@ def _decode_frame(
     return arr, rate
 
 
+@guard(FlacError)
 def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode a FLAC payload -> (sample_rate, samples) where ``samples``
     is (n_frames, n_channels) float64 in [-1, 1] — the same contract as

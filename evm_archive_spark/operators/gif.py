@@ -22,6 +22,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from .codecerrors import guard, guard_iter
 
 
 class GifError(Exception):
@@ -114,6 +115,7 @@ def _sub_blocks(data: bytes, i: int) -> tuple[bytes, int]:
         i += ln
 
 
+@guard_iter(GifError)
 def decode_gif_frames(data: bytes):
     """Yield ``(frame_idx, width, height, rgba)`` — each frame composed
     on the logical screen per its predecessor's disposal method, the
@@ -212,6 +214,7 @@ def decode_gif_frames(data: bytes):
         transparent_idx = None
 
 
+@guard(GifError)
 def decode_gif(data: bytes) -> np.ndarray:
     """First (or only) frame as (h, w, 4) uint8 RGBA."""
     for _, _, _, rgba in decode_gif_frames(data):

@@ -36,6 +36,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from .codecerrors import guard
 
 
 class JpegError(Exception):
@@ -209,6 +210,7 @@ class _Frame:
             c.nbh = -(-(-(-height * c.v // self.vmax)) // 8)
 
 
+@guard(JpegError)
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline or progressive JPEG into an (h, w, 4) uint8
     RGBA array (alpha 255 — JPEG has no alpha; matches decode_png's

@@ -1004,30 +1004,52 @@ def stream_image_admission(
     id_col: str = "media_id",
     payload_col: str = "payload",
     strict: bool = False,
+    bucketed_state: bool = False,
+    n_buckets: int = 64,
+    table_prefix: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
 ):
     """The STREAMING face of the image-dedup lane — the multimodal
     mirror of ``corpus.stream_corpus_admission``: each micro-batch of
     media rows is admitted via ``incremental_image_dedup`` against the
-    persisted band index as of the previous batch, then appends its
+    persisted band index as of the previous batch, then persists its
     survivors and their index rows.  Admitted images are decoded once,
     at admission time; the index carries their full hashes, so no
     earlier payload is ever re-read.
 
-    Layout under ``state_dir``: ``index/`` (banded hash rows,
-    append-only; migrate to ``persist_image_hash_index`` bucketing when
-    it outgrows plain parquet), ``survivors/`` ((media_id, ahash) rows),
-    ``_checkpoint``.  Returns the started StreamingQuery."""
+    Replay semantics: survivors are EXACTLY-ONCE — each batch writes
+    ``survivors/batch_id=<N>/`` with ``mode('overwrite')``, so a
+    foreachBatch replay rewrites its own partition instead of appending
+    duplicates.  The index delta is written the same way in the default
+    layout; with ``bucketed_state=True`` the band index is a catalog
+    table bucketed by ``(bi, bv)`` (``persist_image_hash_index``
+    pattern), making the per-batch probe join one-sided.  A replay
+    after a partial bucketed append can duplicate index rows — benign,
+    the index is membership state consumed via semi-/anti-join.
+
+    Layout under ``state_dir``: ``index/`` (banded hash rows),
+    ``survivors/`` ((media_id, ahash) rows, partitioned by
+    ``batch_id``), ``_checkpoint``.  Returns the StreamingQuery."""
+    import hashlib
     import os
 
     index_path = os.path.join(state_dir, "index")
     survivors_path = os.path.join(state_dir, "survivors")
+    idx_table = table_prefix or (
+        "imgadm_" + hashlib.md5(state_dir.encode()).hexdigest()[:10]
+    )
 
     def admit(batch_df, batch_id):
+        from .. import storage
+
         s = batch_df.sparkSession
-        if os.path.exists(index_path):
-            idx = s.read.parquet(index_path)
+        if bucketed_state and s.catalog.tableExists(idx_table):
+            idx = s.table(idx_table)
+        elif not bucketed_state and os.path.exists(index_path):
+            idx = s.read.parquet(index_path).select(
+                id_col, "ahash", "bi", "bv"
+            )
         else:
             idx = s.createDataFrame(
                 [], f"{id_col} long, ahash long, bi int, bv long"
@@ -1035,10 +1057,26 @@ def stream_image_admission(
         surv = incremental_image_dedup(
             batch_df, idx, max_hamming, id_col, payload_col, strict
         ).localCheckpoint(eager=True)
-        surv.write.mode("append").parquet(survivors_path)
-        image_hash_index(surv, max_hamming, id_col, "ahash").write.mode(
-            "append"
-        ).parquet(index_path)
+        surv.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
+        delta = image_hash_index(surv, max_hamming, id_col, "ahash")
+        if bucketed_state:
+            if s.catalog.tableExists(idx_table):
+                (
+                    delta.write.mode("append").format("parquet")
+                    .option("path", index_path)
+                    .bucketBy(n_buckets, "bi", "bv").sortBy("bi", "bv")
+                    .saveAsTable(idx_table)
+                )
+            else:
+                storage.write_bucketed(
+                    delta, idx_table, index_path, ["bi", "bv"], n_buckets
+                )
+        else:
+            delta.write.mode("overwrite").parquet(
+                os.path.join(index_path, f"batch_id={batch_id}")
+            )
 
     writer = media_stream.writeStream.foreachBatch(admit).option(
         "checkpointLocation", os.path.join(state_dir, "_checkpoint")

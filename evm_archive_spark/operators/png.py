@@ -27,6 +27,7 @@ import struct
 import zlib
 
 import numpy as np
+from .codecerrors import guard, guard_iter
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -166,6 +167,7 @@ def _expand_pixels(
     )
 
 
+@guard(PngError)
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to an (H, W, 4) uint8 RGBA array."""
     if not is_png(payload):
@@ -267,6 +269,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     return rgba
 
 
+@guard_iter(PngError)
 def decode_apng_frames(payload: bytes):
     """Decode APNG (animated PNG, the public W3C/Mozilla extension)
     frames: yields ``(frame_idx, width, height, rgba)`` for each frame.

@@ -29,6 +29,7 @@ import struct
 import zlib
 
 import numpy as np
+from .codecerrors import guard
 
 
 class TiffError(Exception):
@@ -156,6 +157,7 @@ def _packbits_decode(data: bytes, max_out: int) -> bytes:
     return bytes(out)
 
 
+@guard(TiffError)
 def decode_tiff(data: bytes) -> np.ndarray:
     """First IFD as an (h, w, 4) uint8 RGBA array."""
     if not is_tiff(data):
@@ -209,7 +211,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             dec = _lzw_decode_tiff(strip, want)
         elif comp in (8, 32946):  # Deflate (official 8 / legacy 32946)
             try:
-                dec = zlib.decompress(bytes(strip))
+                # Cap inflation at the expected strip size, like the
+                # LZW/PackBits paths' max_out: a crafted tiny strip can
+                # otherwise expand to gigabytes (decompression bomb) on
+                # untrusted corpora.
+                dec = zlib.decompressobj().decompress(bytes(strip), want)
             except zlib.error as e:
                 raise TiffError(f"deflate strip: {e}") from e
         else:

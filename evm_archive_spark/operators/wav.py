@@ -28,6 +28,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from .codecerrors import guard
 
 
 class WavError(ValueError):
@@ -142,6 +143,7 @@ def is_wav(payload: bytes) -> bool:
     )
 
 
+@guard(WavError)
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode a RIFF/WAVE payload -> (sample_rate, samples) where
     ``samples`` is (n_frames, n_channels) float64 in [-1, 1] (integer

@@ -14,8 +14,12 @@ Canonical form (deliberately conservative, documented):
   https) removed
 - trailing slashes stripped from the path
 - tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
-  ``msclkid``, ``ref``, ``igshid``, ``mc_cid``, ``mc_eid``),
-  remaining query parameters sorted
+  ``msclkid``, ``mc_cid``, ``mc_eid``), remaining query parameters
+  sorted.  Only unambiguous tracking params are in the default set:
+  ``ref``/``igshid``-style params are content-bearing on major sites
+  (GitHub ``?ref=<branch>`` selects different file contents), so
+  stripping them would silently collapse distinct documents; pass
+  ``tracking_param_re`` to widen the set per-corpus
 - non-URL strings (no ``scheme://``) pass through trimmed, so the
   operator is safe on dirty columns
 """
@@ -24,16 +28,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-#: query parameters that never change page content
-TRACKING_PARAM_RE = (
-    "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref|igshid|mc_cid|mc_eid)="
-)
+#: query parameters that never change page content — unambiguous
+#: trackers only (``ref``/``igshid`` deliberately excluded: they select
+#: content on many sites, e.g. GitHub ``?ref=<branch>``)
+TRACKING_PARAM_RE = "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid)="
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
 
-def canonicalize_url(col) -> F.Column:
-    """Canonical URL as a column expression (see module docstring)."""
+def canonicalize_url(
+    col, tracking_param_re: str = TRACKING_PARAM_RE
+) -> F.Column:
+    """Canonical URL as a column expression (see module docstring).
+
+    ``tracking_param_re`` widens/narrows the stripped query-param set
+    per-corpus; the default keeps only unambiguous trackers."""
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     rest = F.regexp_replace(u, _SCHEME_RE, "")
@@ -52,7 +61,7 @@ def canonicalize_url(col) -> F.Column:
     query = F.regexp_extract(tail, "\\?(.*)$", 1)
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        lambda p: (p != "") & ~p.rlike(tracking_param_re),
     )
     q2 = F.array_join(F.array_sort(params), "&")
     canon = F.concat(
@@ -65,7 +74,9 @@ def canonicalize_url(col) -> F.Column:
     return F.when(scheme == "", u).otherwise(canon)
 
 
-def duckdb_canonicalize_sql(col: str) -> str:
+def duckdb_canonicalize_sql(
+    col: str, tracking_param_re: str = TRACKING_PARAM_RE
+) -> str:
     """The DuckDB expression replaying ``canonicalize_url`` on ``col``
     (used by the parity oracles; DuckDB lacks Spark's parse_url, so the
     replay mirrors the regexp pipeline step for step)."""
@@ -95,7 +106,7 @@ def duckdb_canonicalize_sql(col: str) -> str:
     q2 = (
         f"coalesce(array_to_string(list_sort(list_filter("
         f"string_split({query}, '&'), "
-        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{tracking_param_re}'))), "
         f"'&'), '')"
     )
     return (
@@ -257,34 +268,78 @@ def stream_url_admission(
     *,
     url_col: str = "url",
     id_col: str = "doc_id",
+    bucketed_state: bool = False,
+    n_buckets: int = 64,
+    table_prefix: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
 ):
     """The STREAMING face of URL-level dedup — the web mirror of
-    ``multimodal.stream_image_admission``: each micro-batch of crawl
-    rows is admitted via ``incremental_url_dedup`` against the
-    persisted canonical-URL index as of the previous batch, then
-    appends its survivors and their canonical keys.
+    ``corpus.stream_corpus_admission``: each micro-batch of crawl rows
+    is admitted via ``incremental_url_dedup`` against the persisted
+    canonical-URL index as of the previous batch, then persists its
+    survivors and their canonical keys.
+
+    Replay semantics: survivors are EXACTLY-ONCE — each batch writes
+    ``survivors/batch_id=<N>/`` with ``mode('overwrite')``, so a
+    foreachBatch replay rewrites its own partition instead of appending
+    duplicates.  The index delta is written the same way in the default
+    layout; with ``bucketed_state=True`` the canonical-URL index is a
+    catalog table hash-bucketed by ``canonical_url``
+    (``storage.write_bucketed``), so the per-batch anti-join probe is
+    ONE-SIDED — only the incoming batch's keys shuffle, the growing
+    index is read in place with zero Exchange.  A replay after a
+    partial bucketed append can duplicate index rows, which is benign:
+    the index is membership state consumed through an anti-join.
 
     Layout under ``state_dir``: ``index/`` (one ``canonical_url``
-    column, append-only), ``survivors/`` (full surviving rows +
-    canonical_url), ``_checkpoint``.  Returns the StreamingQuery."""
+    column), ``survivors/`` (full surviving rows + canonical_url,
+    partitioned by ``batch_id``), ``_checkpoint``.  Returns the
+    StreamingQuery."""
+    import hashlib
     import os
 
     index_path = os.path.join(state_dir, "index")
     survivors_path = os.path.join(state_dir, "survivors")
+    idx_table = table_prefix or (
+        "urladm_" + hashlib.md5(state_dir.encode()).hexdigest()[:10]
+    )
 
     def admit(batch_df, batch_id):
+        from .. import storage
+
         s = batch_df.sparkSession
-        if os.path.exists(index_path):
-            idx = s.read.parquet(index_path)
+        if bucketed_state and s.catalog.tableExists(idx_table):
+            idx = s.table(idx_table)
+        elif not bucketed_state and os.path.exists(index_path):
+            idx = s.read.parquet(index_path).select("canonical_url")
         else:
             idx = s.createDataFrame([], "canonical_url string")
         surv = incremental_url_dedup(
             batch_df, idx, url_col, id_col
         ).localCheckpoint(eager=True)
-        surv.write.mode("append").parquet(survivors_path)
-        surv.select("canonical_url").write.mode("append").parquet(index_path)
+        surv.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
+        delta = surv.select("canonical_url")
+        if bucketed_state:
+            if s.catalog.tableExists(idx_table):
+                (
+                    delta.write.mode("append").format("parquet")
+                    .option("path", index_path)
+                    .bucketBy(n_buckets, "canonical_url")
+                    .sortBy("canonical_url")
+                    .saveAsTable(idx_table)
+                )
+            else:
+                storage.write_bucketed(
+                    delta, idx_table, index_path, ["canonical_url"],
+                    n_buckets,
+                )
+        else:
+            delta.write.mode("overwrite").parquet(
+                os.path.join(index_path, f"batch_id={batch_id}")
+            )
 
     writer = page_stream.writeStream.foreachBatch(admit).option(
         "checkpointLocation", os.path.join(state_dir, "_checkpoint")
