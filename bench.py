@@ -368,9 +368,13 @@ def sink_pg_copy_part_200k(spark, staged: str, pg: "_ScratchPg") -> int:
     return r.attempted
 
 
-# Sub-2s fixed-overhead entries that drifted +25-40% under box load in r2
-# (VERDICT r2 #7): report the median of 3 runs instead of a single sample.
-MEDIAN_OF_3 = {"q_a1", "q_skew_agg", "q_st1"}
+# Every entry reports the median of 3 runs (r6, VERDICT r5 #3): the r5
+# single-sample artifact drifted +28% uniformly under box load and read
+# as a regression until the judge re-timed it — median-of-3 across the
+# board costs ~3 min at sf0.1 and makes the artifact trustworthy.
+# (r2-r5 history: median-of-3 started as a sub-2s-entry treatment,
+# {"q_a1", "q_skew_agg", "q_st1"}, then the ingest/sink jobs.)
+N_RUNS = 3
 
 
 def main() -> None:
@@ -422,10 +426,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
-        if name in MEDIAN_OF_3:
-            dt = sorted(once() for _ in range(3))[1]
-        else:
-            dt = once()
+        dt = sorted(once() for _ in range(N_RUNS))[N_RUNS // 2]
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)

@@ -71,6 +71,26 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _audio_decoder(b: bytes):
+    """The codec dispatch shared by every audio operator: a zero-arg
+    ``decode() -> (rate, float64 (n, ch) samples)`` for WAV / FLAC /
+    MP4-PCM payloads, or ``None`` when the payload is not
+    stdlib-decodable audio.  An MP4 whose audio track is perceptual
+    (AAC/Opus) returns ``None`` — the strict paths then raise naming
+    the gap, same boundary as every other codec."""
+    from .flac import decode_flac, is_flac
+    from .mp4 import decode_mp4_audio, has_pcm_audio
+    from .wav import decode_wav, is_wav
+
+    if is_wav(b):
+        return lambda: decode_wav(b)
+    if is_flac(b):
+        return lambda: decode_flac(b)
+    if has_pcm_audio(b):
+        return lambda: decode_mp4_audio(b)
+    return None
+
+
 def _fake_decode(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for a real image decode: pseudo-dimensions and
     a unit-norm feature vector derived from sha256 of the payload.  Clearly
@@ -283,25 +303,25 @@ def resample_audio(
         import numpy as np
         import pandas as pd
 
-        from .flac import FlacError, decode_flac, is_flac
-        from .wav import WavError, decode_wav, encode_wav, is_wav
+        from .flac import FlacError
+        from .mp4 import Mp4Error
+        from .wav import WavError, encode_wav
 
         for pdf in it:
             out = {"media_id": [], "payload": [], "meta": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload or b"")
                 if strict:
-                    if not (is_wav(b) or is_flac(b)):
+                    dec = _audio_decoder(b)
+                    if dec is None:
                         raise NotImplementedError(
-                            "strict resample supports WAV/PCM and FLAC "
-                            "input only (stdlib codecs); use "
+                            "strict resample supports WAV/PCM, FLAC and "
+                            "MP4/PCM input only (stdlib codecs); use "
                             "strict=False for the stub"
                         )
                     try:
-                        rate, samples = (
-                            decode_wav(b) if is_wav(b) else decode_flac(b)
-                        )
-                    except (WavError, FlacError) as e:
+                        rate, samples = dec()
+                    except (WavError, FlacError, Mp4Error) as e:
                         raise ValueError(
                             f"bad audio payload {mid}: {e}"
                         ) from e
@@ -370,20 +390,22 @@ def audio_fingerprint(
         import numpy as np
         import pandas as pd
 
-        from .flac import FlacError, decode_flac, is_flac
-        from .wav import WavError, decode_wav, is_wav
+        from .flac import FlacError
+        from .mp4 import Mp4Error
+        from .wav import WavError
 
         def fake_grid(b: bytes) -> "np.ndarray":
             h = hashlib.sha256(b).digest() * 2
             return np.frombuffer(h, dtype=np.uint8)[:64].astype(np.float64)
 
         def energies_of(b: bytes) -> "np.ndarray":
-            if is_wav(b) or is_flac(b):
+            dec = _audio_decoder(b)
+            if dec is not None:
                 try:
-                    _, samples = (
-                        decode_wav(b) if is_wav(b) else decode_flac(b)
-                    )
-                except (WavError, FlacError, NotImplementedError):
+                    _, samples = dec()
+                except (
+                    WavError, FlacError, Mp4Error, NotImplementedError
+                ):
                     if strict:
                         raise
                     return fake_grid(b)
@@ -398,9 +420,9 @@ def audio_fingerprint(
                 return (mono.reshape(64, -1) ** 2).sum(axis=1)
             if strict:
                 raise NotImplementedError(
-                    "strict audio fingerprint supports WAV/PCM and FLAC "
-                    "only (stdlib decoders); use strict=False for the "
-                    "deterministic fake"
+                    "strict audio fingerprint supports WAV/PCM, FLAC "
+                    "and MP4/PCM only (stdlib decoders); use "
+                    "strict=False for the deterministic fake"
                 )
             return fake_grid(b)
 
@@ -410,7 +432,7 @@ def audio_fingerprint(
                 b = bytes(payload or b"")
                 try:
                     e = energies_of(b)
-                except (WavError, FlacError) as err:
+                except (WavError, FlacError, Mp4Error) as err:
                     raise ValueError(
                         f"bad audio payload {mid}: {err}"
                     ) from err
@@ -464,20 +486,20 @@ def audio_features(
         import numpy as np
         import pandas as pd
 
-        from .flac import FlacError, decode_flac, is_flac
-        from .wav import WavError, decode_wav, is_wav
+        from .flac import FlacError
+        from .mp4 import Mp4Error
+        from .wav import WavError
 
         out_cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
         for pdf in it:
             out = {c: [] for c in out_cols}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload or b"")
-                if is_wav(b) or is_flac(b):
+                dec = _audio_decoder(b)
+                if dec is not None:
                     try:
-                        rate, samples = (
-                            decode_wav(b) if is_wav(b) else decode_flac(b)
-                        )
-                    except (WavError, FlacError) as e:
+                        rate, samples = dec()
+                    except (WavError, FlacError, Mp4Error) as e:
                         raise ValueError(
                             f"bad audio payload {mid}: {e}"
                         ) from e
@@ -498,10 +520,10 @@ def audio_features(
                     )
                 elif strict:
                     raise NotImplementedError(
-                        "strict audio decode supports WAV/PCM and FLAC "
-                        "(stdlib decoders); perceptual codecs (MP3/AAC/"
-                        "Opus) need audio libraries not in this "
-                        "environment — use strict=False for the "
+                        "strict audio decode supports WAV/PCM, FLAC and "
+                        "MP4/PCM (stdlib decoders); perceptual codecs "
+                        "(MP3/AAC/Opus) need audio libraries not in "
+                        "this environment — use strict=False for the "
                         "deterministic fake"
                     )
                 else:
@@ -747,6 +769,7 @@ def frame_sample(
         from .bmp import BmpError, decode_bmp, is_bmp
         from .gif import GifError, decode_gif_frames, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
+        from .mp4 import Mp4Error, decode_mp4_frames, is_mp4
         from .png import PngError, decode_apng_frames, is_png
         from .tiff import TiffError, decode_tiff, is_tiff
 
@@ -854,6 +877,29 @@ def frame_sample(
                                 f"bad AVI payload {mid}: {e}"
                             ) from e
                         emit_fake(mid, b)
+                elif is_mp4(b):
+                    # ISO-BMFF container walk: stbl sample-table
+                    # resolution + per-sample baseline-JPEG decode
+                    # (MJPEG-in-MP4), pure stdlib — mirrors the AVI path
+                    try:
+                        for fi, w, h, rgba in decode_mp4_frames(b):
+                            if fi % every_n:
+                                continue
+                            emit(
+                                mid,
+                                fi,
+                                hashlib.sha256(
+                                    w.to_bytes(4, "big")
+                                    + h.to_bytes(4, "big")
+                                    + rgba.tobytes()
+                                ).hexdigest()[:16],
+                            )
+                    except (Mp4Error, NotImplementedError) as e:
+                        if strict:
+                            raise ValueError(
+                                f"bad MP4 payload {mid}: {e}"
+                            ) from e
+                        emit_fake(mid, b)
                 elif is_tiff(b) or is_bmp(b):
                     # single-frame stills: one frame-0 row, pixel-hashed
                     try:
@@ -877,10 +923,11 @@ def frame_sample(
                 elif strict:
                     raise NotImplementedError(
                         "strict frame sampling supports PNG/APNG, "
-                        "JPEG, GIF, TIFF, BMP, and AVI/MJPEG only "
-                        "(stdlib decoders); inter-frame video codecs "
-                        "need libraries not in this environment — use "
-                        "strict=False for the deterministic fake"
+                        "JPEG, GIF, TIFF, BMP, AVI/MJPEG and "
+                        "MP4/MJPEG only (stdlib decoders); inter-frame "
+                        "video codecs need libraries not in this "
+                        "environment — use strict=False for the "
+                        "deterministic fake"
                     )
                 else:
                     emit_fake(mid, b)

@@ -3888,6 +3888,9 @@ from test_weburl import (  # noqa: E402
 from test_flac import (  # noqa: E402
     _pooled_flac_through_spark_strict_paths,
 )
+from test_mp4 import (  # noqa: E402
+    _pooled_mp4_through_spark_strict_paths,
+)
 from test_tiff import (  # noqa: E402
     _pooled_tiff_through_spark_strict_paths,
 )
@@ -3914,6 +3917,7 @@ _POOLED_HEAVY = [
     _pooled_nonstrict_fallback_on_out_of_scope_png,
     _pooled_tiff_through_spark_strict_paths,
     _pooled_flac_through_spark_strict_paths,
+    _pooled_mp4_through_spark_strict_paths,
     _pooled_bmp_through_spark_strict_paths,
     _pooled_classify_vs_python_reference,
     _pooled_quality_classifier_filter_seed_vs_rest,
