@@ -22,8 +22,12 @@ equality-only too), ordering enums, paging, ``totalCount``, variables,
 { query { ... } } }`` over WebSocket (graphql-transport-ws on a
 from-scratch RFC 6455 layer), re-resolved and pushed on
 ``server.publish(topic)`` — the engine-side stand-in for the
-reference's Postgres NOTIFY.  Not implemented: full introspection,
-Relay cursor connections.
+reference's Postgres NOTIFY.  Introspection (the __schema/__type subset
+codegen clients read, r5), Relay cursor connections (r5), and watch
+mode (r6: ``serve(catalog_tables(spark))`` re-derives the schema from
+the live catalog per request, the Postgraphile ``--watch`` behavior)
+are in; GraphiQL UI and ``--cors`` remain ops conveniences out of
+scope.
 
 Served over stdlib ``http.server`` (POST /graphql for queries, GET +
 ``Upgrade: websocket`` for subscriptions) — no third-party dependency.
@@ -38,7 +42,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["GraphQLError", "execute", "serve", "snake", "camel"]
+__all__ = [
+    "GraphQLError", "catalog_tables", "execute", "serve", "snake", "camel",
+]
 
 
 class GraphQLError(Exception):
@@ -617,7 +623,7 @@ def _resolve_intro(node, sels, variables):
 
 def execute(
     query: str,
-    tables: dict[str, DataFrame],
+    tables,
     variables: dict | None = None,
     default_first: int | None = DEFAULT_FIRST,
 ) -> dict:
@@ -626,11 +632,17 @@ def execute(
     ``tables`` maps snake_case table names to DataFrames; each is exposed
     as ``all<CamelCase>`` (Postgraphile) AND under its literal name (for
     the generated per-event decode views, whose ABI-encoding names don't
-    camelize meaningfully).
+    camelize meaningfully).  It may also be a ZERO-ARG CALLABLE returning
+    that dict — the watch-mode hook (Postgraphile ``--watch``,
+    docker-compose.yaml:61): the schema is re-derived per request, so a
+    view registered after the server started appears in introspection
+    and resolves without restart (see ``catalog_tables``).
 
     ``default_first`` caps ``nodes`` pages when the client omits
     ``first`` (see DEFAULT_FIRST); ``None`` disables the cap.  Capped
     fields are reported under ``extensions``."""
+    if callable(tables):
+        tables = tables()
     variables = dict(variables or {})
     capped: list[str] = []
     try:
@@ -819,8 +831,9 @@ class _SubscriptionHub:
             targets = [
                 (k, dict(s)) for k, s in self._subs.items() if s["topic"] == topic
             ]
+        tables = self._tables() if callable(self._tables) else self._tables
         by_field = {}
-        for t, df in self._tables.items():
+        for t, df in tables.items():
             by_field[_all_field(t)] = df
             by_field[t] = df
         groups: dict[tuple, list] = {}
@@ -875,8 +888,34 @@ class _SubscriptionHub:
 # HTTP endpoint (POST /graphql; GET + Upgrade: websocket for subscriptions)
 # --------------------------------------------------------------------------
 
+def catalog_tables(spark, include=None):
+    """Zero-arg-callable factory for watch-mode serving: snapshot the
+    session catalog's tables and temp views as the GraphQL table dict.
+    Pass ``serve(catalog_tables(spark))`` and every request re-derives
+    the schema from the live catalog — the Postgraphile ``--watch``
+    behavior (docker-compose.yaml:61: a view created after startup,
+    e.g. by ``views.register_event_views``, appears in introspection
+    and resolves without a server restart; Postgraphile does this via
+    Postgres event triggers + NOTIFY, here the catalog listing IS the
+    watch).  ``include`` optionally filters table names."""
+
+    def snapshot() -> dict[str, DataFrame]:
+        out: dict[str, DataFrame] = {}
+        for t in spark.catalog.listTables():
+            name = t.name
+            if include is not None and not include(name):
+                continue
+            try:
+                out[name] = spark.table(name)
+            except Exception:  # noqa: BLE001 — dropped mid-listing
+                continue
+        return out
+
+    return snapshot
+
+
 def serve(
-    tables: dict[str, DataFrame],
+    tables,
     host: str = "127.0.0.1",
     port: int = 0,
     default_first: int | None = DEFAULT_FIRST,
@@ -886,6 +925,9 @@ def serve(
     ``shutdown()`` stops it).  One Spark driver serves all requests —
     concurrency is Spark's scheduler, the handler is thread-per-request
     (``ThreadingHTTPServer``).
+
+    ``tables`` is a dict of DataFrames or a zero-arg callable returning
+    one (watch mode — see ``catalog_tables``/``execute``).
 
     The returned server also exposes ``publish(topic) -> int``
     (simple-subscriptions fan-out; see _SubscriptionHub) and ``hub``."""

@@ -1239,10 +1239,16 @@ def _q_st_e2e(spark, sf_dir):
 
 
 def _distinct_pk_transfers() -> list[tuple]:
+    """PK-distinct fixture transfers MINUS reorg-tombstoned PKs: since
+    r6 ``read_sink`` applies ``reorg.resolve_removed`` by default, so
+    the lifecycle gate's expected rows are the CURRENT-STATE view (a
+    removed=true PK never surfaces), completing the reference's
+    acknowledged TODO (get_logs.go:107) inside the gated pipeline."""
+    tomb = {(r[6], r[8], r[10]) for r in fixtures.logs_rows() if r[11]}
     seen, out = set(), []
     for r in _TRANSFERS:
         k = (r[6], r[8], r[10])
-        if k in seen:
+        if k in seen or k in tomb:
             continue
         seen.add(k)
         out.append(r)

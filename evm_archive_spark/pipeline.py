@@ -49,6 +49,11 @@ def env_config(env: dict | None = None) -> dict:
         "out": e.get("EVM_ARCHIVE_OUT", "./evm_archive_out"),
         "stream": e.get("EVM_ARCHIVE_STREAM", "") == "1",
         "enrich": e.get("EVM_ARCHIVE_ENRICH_TIMESTAMPS", "") == "1",
+        # streaming admission cap (maxOffsetsPerTrigger analog); <= 0
+        # leaves batches uncapped
+        "max_blocks_per_batch": int(
+            e.get("EVM_ARCHIVE_MAX_BLOCKS_PER_BATCH", "-1")
+        ),
     }
 
 
@@ -75,13 +80,30 @@ def _write_idempotent(df, path: str, batch_key: int) -> None:
     )
 
 
-def read_sink(spark: SparkSession, path: str, pk: list[str] | None = None):
+def read_sink(
+    spark: SparkSession,
+    path: str,
+    pk: list[str] | None = None,
+    resolve_reorgs: bool = True,
+):
     """Read the pipeline's parquet sink back as the logical table: drops
     the ``ingest_batch`` bookkeeping partition and (belt-and-braces, e.g.
-    overlapping backfill windows) dedups by PK when one is given."""
+    overlapping backfill windows) dedups by PK when one is given.
+
+    When the sink carries a ``removed`` column and a PK is given, the
+    view applies reorg tombstone resolution by default
+    (``reorg.resolve_removed``): a PK re-delivered with removed=true in
+    any later batch masks the earlier row — completing the reference's
+    acknowledged TODO (get_logs.go:107) at the read face, where the
+    append-only/idempotent sink contract stays intact.  Pass
+    ``resolve_reorgs=False`` for the raw tombstoned history."""
     df = spark.read.parquet(path)
     if "ingest_batch" in df.columns:
         df = df.drop("ingest_batch")
+    if pk and resolve_reorgs and "removed" in df.columns:
+        from .operators.reorg import resolve_removed
+
+        return resolve_removed(df, pk)
     return df.dropDuplicates(pk) if pk else df
 
 
@@ -179,7 +201,14 @@ def _stream_batch_writer(
                 pass
 
     def write_batch(batch_df, batch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates(LOGS_PK)
+        # dedup on PK + removed, NOT the PK alone: a reorg re-delivers a
+        # log's PK with removed=true in the same or a later poll window,
+        # and the tombstone must be STORED verbatim (reference
+        # get_logs.go:52 stores removed as a column) — a PK-only dedup
+        # would arbitrarily drop either the row or its tombstone.
+        # Resolution is a read-time concern (reorg.resolve_removed via
+        # read_sink), keeping the sink append-only and idempotent.
+        batch_df = batch_df.dropDuplicates(LOGS_PK + ["removed"])
         bounds = batch_df.agg(
             F.min("block_number").alias("lo"), F.max("block_number").alias("hi")
         ).collect()[0]
@@ -242,6 +271,10 @@ def run_stream(
         reader = reader.option("toBlock", str(cfg["to_block"]))
     if cfg["contracts"]:
         reader = reader.option("contracts", cfg["contracts"])
+    if cfg.get("max_blocks_per_batch", -1) > 0:
+        reader = reader.option(
+            "maxBlocksPerBatch", str(cfg["max_blocks_per_batch"])
+        )
 
     write_batch = _stream_batch_writer(cfg, logs_path, price_path, publish)
 

@@ -134,6 +134,13 @@ class MockTransport:
         self.logs_per_block = int(opts.get("logs_per_block", "2"))
         self.skip_from = int(opts.get("skip_from", "-1"))
         self.skip_to = int(opts.get("skip_to", "-1"))
+        # reorg simulation: scans whose window contains block
+        # ``reorg_seen_from`` ALSO re-deliver block ``reorg_block``'s
+        # logs with removed=true and identical PKs — how a real node
+        # reports a reorged-out log on a later poll (the tombstones the
+        # reference stores verbatim, get_logs.go:52)
+        self.reorg_block = int(opts.get("reorg_block", "-1"))
+        self.reorg_seen_from = int(opts.get("reorg_seen_from", "-1"))
 
     @staticmethod
     def _h(*parts) -> str:
@@ -168,6 +175,17 @@ class MockTransport:
                     log = self._log(b, i)
                     if addresses and log["address"] not in addresses:
                         continue
+                    out.append(log)
+            if (
+                self.reorg_block >= 0
+                and self.reorg_seen_from >= 0
+                and lo <= self.reorg_seen_from <= hi
+            ):
+                for i in range(self.logs_per_block):
+                    log = self._log(self.reorg_block, i)
+                    if addresses and log["address"] not in addresses:
+                        continue
+                    log["removed"] = True
                     out.append(log)
             return out
         if method == "eth_call":

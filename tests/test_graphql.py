@@ -626,3 +626,74 @@ def test_relay_after_composes_with_offset(spark):
     )
     # after row 1 (+1) then +3 offset -> rows 5,6
     assert [n["blockNumber"] for n in res["data"]["allLogs"]["nodes"]] == [5, 6]
+
+
+def test_watch_mode_new_view_appears_without_restart(spark):
+    """Postgraphile --watch parity (reference docker-compose.yaml:61):
+    with the table dict supplied as a catalog provider, a view
+    registered AFTER the server derives its first schema shows up in
+    introspection and resolves — no restart.  register_event_views is
+    the real producer of such views (a new ABI -> a new decode view on
+    a live server)."""
+    from evm_archive_spark.graphql import catalog_tables
+
+    prefix = "watchmode_"
+    provider = catalog_tables(
+        spark, include=lambda n: n.startswith(prefix)
+    )
+    spark.range(3).selectExpr("id AS block_number").createOrReplaceTempView(
+        f"{prefix}logs"
+    )
+    try:
+        intro = '{ __schema { queryType { fields { name } } } }'
+        names = {
+            f["name"]
+            for f in execute(intro, provider)["data"]["__schema"][
+                "queryType"
+            ]["fields"]
+        }
+        assert any("WatchmodeLogs" in n for n in names), names
+        assert not any("WatchmodeTransfers" in n for n in names)
+
+        # a view created after the first schema derivation...
+        spark.range(2).selectExpr(
+            "id AS amount"
+        ).createOrReplaceTempView(f"{prefix}transfers")
+        names2 = {
+            f["name"]
+            for f in execute(intro, provider)["data"]["__schema"][
+                "queryType"
+            ]["fields"]
+        }
+        assert any("WatchmodeTransfers" in n for n in names2), names2
+        # ...and it RESOLVES, not just lists
+        res = execute(
+            "{ %s { totalCount nodes { amount } } }"
+            % f"{prefix}transfers",
+            provider,
+        )
+        assert "errors" not in res, res
+        assert res["data"][f"{prefix}transfers"]["totalCount"] == 2
+
+        # the subscription hub sees it too (publish uses the provider)
+        srv = serve(provider)
+        try:
+            assert srv.publish("any_topic") == 0  # provider path exercised
+        finally:
+            srv.shutdown()
+
+        # dropping the view removes it on the next derivation
+        spark.catalog.dropTempView(f"{prefix}transfers")
+        names3 = {
+            f["name"]
+            for f in execute(intro, provider)["data"]["__schema"][
+                "queryType"
+            ]["fields"]
+        }
+        assert not any("WatchmodeTransfers" in n for n in names3)
+    finally:
+        spark.catalog.dropTempView(f"{prefix}logs")
+        try:
+            spark.catalog.dropTempView(f"{prefix}transfers")
+        except Exception:
+            pass

@@ -127,3 +127,70 @@ def test_corpus_cli_profile_and_pack(spark, tmp_path, capsys):
     assert set(got.columns) == {"doc_id", "copy_id", "n_tokens", "pack_id", "pack_off"}
     # concat-and-chunk semantics: every start offset lies inside its pack
     assert got.filter("pack_off < 0 OR pack_off >= 256").count() == 0
+
+
+def test_stream_reorg_tombstone_reverts_prior_row(spark, tmp_path):
+    """VERDICT r5 #7: reorg resolution wired end-to-end through the
+    streaming pipeline.  Batch 1 lands block 5's logs normally; batch 2
+    (a later poll window) re-delivers the same PKs with removed=true —
+    the tombstones are STORED (sink stays append-only + idempotent, the
+    reference's get_logs.go:52 contract) and the current-state view
+    (read_sink -> reorg.resolve_removed) no longer surfaces block 5,
+    completing the reference's acknowledged TODO (get_logs.go:107)."""
+    from evm_archive_spark.pipeline import read_sink, run_stream
+    from evm_archive_spark.schemas import LOGS_PK
+
+    endpoint = (
+        "mock://head=19,logs_per_block=2,reorg_block=5,reorg_seen_from=10"
+    )
+    # run 1: bounded tail-follow over [0,9] — block 5 lands normally
+    cfg = _cfg(
+        tmp_path,
+        EVM_ARCHIVE_ENDPOINT=endpoint,
+        EVM_ARCHIVE_TO_BLOCK="9",
+        EVM_ARCHIVE_TOKENS="",
+        EVM_ARCHIVE_ORACLES="",
+    )
+    q = run_stream(spark, cfg, available_now=True)
+    q.awaitTermination()
+    # run 2: the next poll window [10,19] resumes from the checkpoint
+    # and re-delivers block 5's PKs as removed=true
+    cfg = _cfg(
+        tmp_path,
+        EVM_ARCHIVE_ENDPOINT=endpoint,
+        EVM_ARCHIVE_TO_BLOCK="19",
+        EVM_ARCHIVE_TOKENS="",
+        EVM_ARCHIVE_ORACLES="",
+    )
+    q = run_stream(spark, cfg, available_now=True)
+    q.awaitTermination()
+
+    logs_path = str(tmp_path / "out" / "logs")
+    raw = spark.read.parquet(logs_path)
+    # two micro-batches landed (the tombstones arrived AFTER their
+    # victim rows, in a different ingest batch)
+    batches = {r["ingest_batch"] for r in raw.select("ingest_batch").collect()}
+    assert len(batches) >= 2
+    tomb = raw.filter("removed")
+    assert tomb.count() == 2  # stored verbatim, logs_per_block rows
+    assert {r["block_number"] for r in tomb.collect()} == {5}
+    victim_batch = raw.filter(
+        "block_number = 5 AND NOT removed"
+    ).select("ingest_batch").distinct().collect()
+    tomb_batch = tomb.select("ingest_batch").distinct().collect()
+    assert victim_batch[0][0] != tomb_batch[0][0]
+
+    # current-state view: block 5 reverted, everything else intact
+    view = read_sink(spark, logs_path, LOGS_PK)
+    assert view.filter("block_number = 5").count() == 0
+    assert view.count() == 19 * 2
+    # raw history still carries the reorged rows for audit
+    assert raw.filter("block_number = 5").count() == 4  # 2 rows + 2 tombs
+
+    # replay idempotence survives the tombstone path: re-running the
+    # bounded stream from the same checkpoint adds nothing
+    q2 = run_stream(spark, cfg, available_now=True)
+    q2.awaitTermination()
+    raw2 = spark.read.parquet(logs_path)
+    assert raw2.count() == raw.count()
+    assert read_sink(spark, logs_path, LOGS_PK).count() == 19 * 2
