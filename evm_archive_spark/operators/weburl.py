@@ -376,3 +376,76 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             .alias("depth_permille"),
         )
     )
+
+
+def warc_to_pages(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "warc_id",
+) -> DataFrame:
+    """WARC bytes -> page rows: explode each WARC payload (plain or
+    per-record-gzip, the Common Crawl layout) into one row per
+    200-status text/html response record — ``(warc_id, record_idx,
+    url, html)``.  This is where a real 100-TB crawl enters the corpus
+    pipeline: WARC segments land as binary columns (one row per ~1 GB
+    segment), this operator fans them out, and everything downstream
+    (``url_dedup`` -> ``html_to_text`` -> quality floor) is the
+    existing lane.
+
+    mapInPandas over Arrow batches — the same codec-boundary placement
+    as the image/audio decoders: record framing, gzip members, and HTTP
+    parsing are per-payload Python (operators/warc.py), the fan-out
+    row explosion stays columnar."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("record_idx", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("html", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .warc import warc_pages
+
+        for pdf in it:
+            rows = {id_col: [], "record_idx": [], "url": [], "html": []}
+            for wid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                for idx, url, html in warc_pages(b):
+                    rows[id_col].append(wid)
+                    rows["record_idx"].append(idx)
+                    rows["url"].append(url)
+                    rows["html"].append(html)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, out_schema)
+
+
+def warc_corpus_pipeline(
+    media: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "warc_id",
+    min_tokens: int = 10,
+    docs_per_warc: int = 1_000_000,
+) -> DataFrame:
+    """The full Common-Crawl-shaped composition: WARC segments ->
+    page fan-out -> ``web_corpus_pipeline`` (URL-canonical dedup ->
+    HTML strip -> token floor).  ``doc_id`` is the dense
+    ``warc_id * docs_per_warc + record_idx`` (stable across runs and
+    partitionings — record order inside a WARC is physical)."""
+    pages = warc_to_pages(media, payload_col, id_col).select(
+        (
+            F.col(id_col) * F.lit(docs_per_warc) + F.col("record_idx")
+        ).alias("doc_id"),
+        "url",
+        "html",
+    )
+    return web_corpus_pipeline(pages, min_tokens=min_tokens)

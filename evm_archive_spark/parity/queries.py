@@ -6662,6 +6662,294 @@ _add(
 )
 
 
+# --------------------------------------------------------------------------
+# WARC ingest (new r6, staged for the r7 window): the Common Crawl
+# container walk (operators/warc.py, ISO 28500) driven through Spark.
+# The gate wraps every documents row as an HTML page inside real WARC
+# response records (4 segments, alternating plain / per-record-gzip,
+# with warcinfo+request noise records interleaved), fans them out via
+# weburl.warc_to_pages, and strips HTML — the oracle re-derives the
+# same pages from the documents table and replays html_to_text, so
+# record framing, gzip members, HTTP parsing, charset decode, and the
+# URL<->doc mapping are all value-hashed.  The driver-side WARC
+# synthesis collects corpus rows ONLY to build the binary fixture
+# (bounded by the gate SF) — it is fixture construction, not an
+# operator data path; the independent writer lives in test_warc.py.
+# --------------------------------------------------------------------------
+
+def _warc_escape(text: str) -> str:
+    return (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _warc_fixture_segments(rows, n_segments: int = 4):
+    """(warc_id, payload) WARC segments wrapping each (doc_id, text) as
+    a text/html response record at http://corpus.example/doc/<id>."""
+    import gzip as _gzip
+
+    def record(rtype, uri, block):
+        head = (
+            f"WARC/1.1\r\nWARC-Type: {rtype}\r\n"
+            + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+            + "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(block)}\r\n\r\n"
+        )
+        return head.encode() + block + b"\r\n\r\n"
+
+    segs: dict[int, list[bytes]] = {}
+    for doc_id, text in rows:
+        w = doc_id % n_segments
+        if w not in segs:
+            segs[w] = [record("warcinfo", "", b"software: gate\r\n")]
+        url = f"http://corpus.example/doc/{doc_id}"
+        body = (
+            "<html><body><p>"
+            + _warc_escape(text or "")
+            + "</p></body></html>"
+        ).encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        segs[w].append(
+            record("request", url, b"GET / HTTP/1.1\r\n\r\n")
+        )
+        segs[w].append(record("response", url, http))
+    out = []
+    for w, recs in sorted(segs.items()):
+        raw = b"".join(recs)
+        if w % 2 == 0:  # exercise the per-record-gzip layout too
+            raw = b"".join(_gzip.compress(r) for r in recs)
+        out.append((w, bytearray(raw)))
+    return out
+
+
+def _q_warc_extract(spark, sf_dir):
+    from ..operators.textanalysis import token_count
+    from ..operators.weburl import html_to_text, warc_to_pages
+
+    register_testdata(spark, sf_dir, ["documents"])
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in spark.table("documents")
+        .select("doc_id", "text").orderBy("doc_id").collect()
+    ]
+    media = spark.createDataFrame(
+        _warc_fixture_segments(rows), "warc_id long, payload binary"
+    )
+    pages = warc_to_pages(media)
+    out = pages.select(
+        F.regexp_extract("url", "doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "url",
+        html_to_text("html").alias("text"),
+    ).withColumn("n_tokens", token_count("text"))
+    return (
+        out.filter(F.col("n_tokens") >= 10)
+        .select("doc_id", "url", "text", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _warc_extract_oracle() -> str:
+    from ..operators.weburl import duckdb_html_to_text_sql
+
+    return (
+        "WITH e AS (SELECT doc_id, "
+        "'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+        "'<html><body><p>' || replace(replace(replace(COALESCE(text, ''), "
+        "'&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p></body></html>' "
+        "AS html FROM documents), "
+        "t AS (SELECT doc_id, url, "
+        + duckdb_html_to_text_sql("html")
+        + r" AS text FROM e), "
+        r"q AS (SELECT doc_id, url, text, "
+        r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) "
+        "AS n_tokens FROM t) "
+        "SELECT doc_id, url, text, n_tokens FROM q "
+        "WHERE n_tokens >= 10 ORDER BY doc_id NULLS FIRST"
+    )
+
+
+_add(
+    "q_warc_extract",
+    _q_warc_extract,
+    _warc_extract_oracle(),
+    "WARC ingest: ISO 28500 record walk + gzip members + HTTP parse + "
+    "HTML strip == documents-table replay (Common Crawl entry point)",
+)
+
+
+# --------------------------------------------------------------------------
+# robots.txt admission (new r6, staged for the r7 window): the
+# RFC 9309 lane (operators/robots.py — columnar robots.txt parse +
+# join/argmax longest-match evaluation) vs an independent SEQUENTIAL
+# reference implementation of the spec below.  Deterministic synthetic
+# crawl: 6 hosts with adversarial robots.txt shapes (multi-UA groups,
+# wildcard + $ anchor rules, allow/disallow ties, comments, noise
+# fields, rules before any group, a host with no robots at all) x 240
+# md5-derived paths; oracle = the reference's decisions as golden rows
+# (q_rpc_ingest convention).  test_robots.py fuzzes the same pair over
+# randomized inputs.
+# --------------------------------------------------------------------------
+
+def robots_reference_allowed(txt: str, agent: str, path: str) -> bool:
+    """Sequential RFC 9309 reference (independent of the Spark lane):
+    group parse (§2.2.1), longest-match rule evaluation with
+    Allow-wins-ties (§2.2.2), default allowed."""
+    import re as _re
+
+    groups: list[dict] = []
+    cur, prev_ua = None, False
+    for raw in (txt or "").split("\n"):
+        line = raw.split("#", 1)[0]
+        if ":" not in line:
+            continue
+        f, v = line.split(":", 1)
+        f, v = f.strip().lower(), v.strip()
+        if not f:
+            continue
+        if f == "user-agent":
+            if not prev_ua:
+                cur = {"agents": set(), "rules": []}
+                groups.append(cur)
+            cur["agents"].add(v.lower())
+            prev_ua = True
+            continue
+        prev_ua = False
+        if f in ("allow", "disallow") and cur is not None and v:
+            cur["rules"].append((f == "allow", v))
+    agent_lc = agent.lower()
+    rules = [
+        r for g in groups if agent_lc in g["agents"] for r in g["rules"]
+    ]
+    if not any(agent_lc in g["agents"] for g in groups):
+        rules = [
+            r for g in groups if "*" in g["agents"] for r in g["rules"]
+        ]
+    best = None
+    for allow, pat in rules:
+        ends = pat.endswith("$")
+        body = pat[:-1] if ends else pat
+        rx = "^" + _re.escape(body).replace("\\*", ".*") + (
+            "$" if ends else ""
+        )
+        if _re.match(rx, path):
+            key = (len(pat), allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
+
+
+_ROBOTS_FIXTURES = [
+    (
+        "a.example",
+        "User-agent: corpusbot\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public-*.html$\n"
+        "User-agent: otherbot\n"
+        "Disallow: /\n",
+    ),
+    (
+        "b.example",
+        "# comment only applies to nobody\n"
+        "Disallow: /orphan-rule-ignored/\n"
+        "User-agent: *\n"
+        "Disallow: /tmp\n"
+        "Allow: /tmp/keep\n"
+        "Crawl-delay: 10\n"
+        "User-agent: corpusbot\n"
+        "User-agent: corpusbot-image\n"
+        "Disallow: /img$\n",
+    ),
+    (
+        "c.example",
+        "User-Agent: *\n"
+        "Disallow: /*.json\n"
+        "Allow: /api/*.json\n"
+        "Disallow: /exact$\n",
+    ),
+    (
+        "d.example",
+        "User-agent: *\nDisallow: /\nAllow: /\n",  # tie: Allow wins
+    ),
+    ("e.example", ""),  # robots.txt present but empty
+    # f.example intentionally has NO robots row (no-robots default)
+]
+
+
+def _robots_fixture_pages() -> list[tuple[int, str]]:
+    import hashlib as _hl
+
+    hosts = [
+        "a.example", "a.example", "b.example", "b.example",
+        "c.example", "c.example", "d.example", "e.example", "f.example",
+    ]
+    prefixes = [
+        "/private/", "/private/public-", "/tmp", "/tmp/keep",
+        "/img", "/api/", "/exact", "/",
+    ]
+    tails = ["x", "keep", "1.html", "a.json", "", "deep/q", "img"]
+    pages = []
+    for i in range(240):
+        h = _hl.md5(f"robots-page:{i}".encode()).digest()
+        host = hosts[h[0] % len(hosts)]
+        path = prefixes[h[1] % len(prefixes)] + tails[h[2] % len(tails)]
+        if h[3] % 3 == 0:
+            path += ".json"
+        pages.append((i, f"http://{host}{path}"))
+    return pages
+
+
+def _q_robots(spark, sf_dir):
+    from ..operators.robots import robots_decisions, parse_robots_rules
+
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURES, "host string, robots_txt string"
+    )
+    pages = spark.createDataFrame(
+        _robots_fixture_pages(), "page_id long, url string"
+    )
+    rules = parse_robots_rules(robots)
+    return (
+        robots_decisions(pages, rules, "CorpusBot")
+        .select("page_id", "url", "allowed")
+        .orderBy("page_id")
+    )
+
+
+def _robots_oracle_rows() -> list[tuple]:
+    import re as _re
+
+    by_host = dict(_ROBOTS_FIXTURES)
+    rows = []
+    for page_id, url in _robots_fixture_pages():
+        m = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", url)
+        host = m.group(1).lower()
+        path = _re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "", url) or "/"
+        allowed = robots_reference_allowed(
+            by_host.get(host, ""), "CorpusBot", path
+        )
+        rows.append((page_id, url, allowed))
+    return rows
+
+
+_add(
+    "q_robots",
+    _q_robots,
+    _values_query(
+        [("page_id", "BIGINT"), ("url", "VARCHAR"), ("allowed", "BOOLEAN")],
+        _robots_oracle_rows(),
+    ),
+    "robots.txt admission: columnar RFC 9309 parse + longest-match "
+    "join/argmax == sequential reference implementation",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational

@@ -3891,6 +3891,12 @@ from test_flac import (  # noqa: E402
 from test_mp4 import (  # noqa: E402
     _pooled_mp4_through_spark_strict_paths,
 )
+from test_robots import (  # noqa: E402
+    _pooled_robots_spark_matches_reference_fuzz,
+)
+from test_warc import (  # noqa: E402
+    _pooled_warc_through_spark_pipeline,
+)
 from test_tiff import (  # noqa: E402
     _pooled_tiff_through_spark_strict_paths,
 )
@@ -3918,6 +3924,8 @@ _POOLED_HEAVY = [
     _pooled_tiff_through_spark_strict_paths,
     _pooled_flac_through_spark_strict_paths,
     _pooled_mp4_through_spark_strict_paths,
+    _pooled_warc_through_spark_pipeline,
+    _pooled_robots_spark_matches_reference_fuzz,
     _pooled_bmp_through_spark_strict_paths,
     _pooled_classify_vs_python_reference,
     _pooled_quality_classifier_filter_seed_vs_rest,

@@ -1,0 +1,208 @@
+"""WARC (ISO 28500) parsing tests.  The writer below serializes records
+straight from the spec, independently of warc.py's parser; gzip framing
+uses stdlib gzip (one member per record, the Common Crawl layout)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from evm_archive_spark.operators.warc import (
+    WarcError,
+    http_response,
+    is_warc,
+    warc_pages,
+    warc_records,
+)
+
+
+def _record(rtype: str, uri: str, block: bytes, version="1.1") -> bytes:
+    fields = [
+        f"WARC-Type: {rtype}",
+        "WARC-Date: 2026-08-14T00:00:00Z",
+        "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000001>",
+    ]
+    if uri:
+        fields.append(f"WARC-Target-URI: {uri}")
+    fields.append(f"Content-Length: {len(block)}")
+    head = f"WARC/{version}\r\n" + "\r\n".join(fields) + "\r\n\r\n"
+    return head.encode() + block + b"\r\n\r\n"
+
+
+def _http(
+    body: bytes,
+    status: int = 200,
+    ctype: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+    extra: str = "",
+) -> bytes:
+    if chunked:
+        # two chunks + terminator
+        half = len(body) // 2
+        body = (
+            f"{half:x}".encode() + b"\r\n" + body[:half] + b"\r\n"
+            + f"{len(body) - half:x}".encode() + b"\r\n" + body[half:]
+            + b"\r\n0\r\n\r\n"
+        )
+        extra += "Transfer-Encoding: chunked\r\n"
+    head = (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n{extra}"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body
+
+
+def build_warc(pages, gzip_per_record=False, with_noise=True) -> bytes:
+    """``pages``: list of (url, html-bytes).  Interleaves the
+    non-response noise a real crawl carries."""
+    recs = []
+    if with_noise:
+        recs.append(_record("warcinfo", "", b"software: test-writer\r\n"))
+    for url, html in pages:
+        if with_noise:
+            recs.append(
+                _record("request", url, b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+            )
+        recs.append(_record("response", url, _http(html)))
+    if gzip_per_record:
+        return b"".join(gzip.compress(r) for r in recs)
+    return b"".join(recs)
+
+
+PAGES = [
+    ("http://a.example/one", b"<html><body><p>alpha beta</p></body></html>"),
+    ("http://b.example/two", b"<html><body><p>gamma</p></body></html>"),
+]
+
+
+@pytest.mark.parametrize("gz", [False, True], ids=["plain", "gzip"])
+def test_roundtrip_pages(gz):
+    data = build_warc(PAGES, gzip_per_record=gz)
+    assert is_warc(data)
+    got = list(warc_pages(data))
+    assert [(u, h) for _, u, h in got] == [
+        (u, b.decode()) for u, b in PAGES
+    ]
+    # record_idx counts ALL records (warcinfo + request + response)
+    assert [i for i, _, _ in got] == [2, 4]
+
+
+def test_record_walk_sees_all_types():
+    types = [r["type"] for r in warc_records(build_warc(PAGES))]
+    assert types == ["warcinfo", "request", "response", "request", "response"]
+
+
+def test_chunked_and_charset():
+    body = "héllo wörld".encode("latin-1")
+    rec = _record(
+        "response",
+        "http://c.example/",
+        _http(body, ctype="text/html; charset=latin-1", chunked=True),
+    )
+    got = list(warc_pages(rec))
+    assert got == [(0, "http://c.example/", "héllo wörld")]
+    # and the HTTP layer alone agrees
+    status, headers, raw = http_response(
+        _http(b"abcdefghij", chunked=True)
+    )
+    assert status == 200 and raw == b"abcdefghij"
+
+
+def test_non_200_and_non_html_skipped():
+    recs = (
+        _record("response", "http://x/404", _http(b"gone", status=404))
+        + _record(
+            "response", "http://x/img",
+            _http(b"\x89PNG", ctype="image/png"),
+        )
+        + _record("response", "http://x/ok", _http(b"<p>keep</p>"))
+    )
+    got = list(warc_pages(recs))
+    assert [(u, h) for _, u, h in got] == [("http://x/ok", "<p>keep</p>")]
+
+
+def test_mangled_response_skipped_not_fatal():
+    recs = (
+        _record("response", "http://x/bad", b"not http at all")
+        + _record("response", "http://x/ok", _http(b"<p>fine</p>"))
+    )
+    assert [(u, h) for _, u, h in warc_pages(recs)] == [
+        ("http://x/ok", "<p>fine</p>")
+    ]
+
+
+def test_folded_header_and_bad_charset_fallback():
+    block = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html;\r\n charset=no-such-charset\r\n"
+        b"\r\n<p>ok</p>"
+    )
+    rec = _record("response", "http://x/f", block)
+    assert [h for _, _, h in warc_pages(rec)] == ["<p>ok</p>"]
+
+
+def test_truncation_fuzz_raises_only_warc_error():
+    for gz in (False, True):
+        data = build_warc(PAGES, gzip_per_record=gz)
+        for cut in range(0, len(data), 11):
+            try:
+                list(warc_records(data[:cut]))
+            except WarcError:
+                pass
+
+
+def test_bad_version_and_missing_length():
+    with pytest.raises(WarcError, match="version"):
+        list(warc_records(b"WARC/9.9\r\nContent-Length: 0\r\n\r\n"))
+    with pytest.raises(WarcError, match="Content-Length"):
+        list(warc_records(b"WARC/1.1\r\nWARC-Type: response\r\n\r\n"))
+
+
+def _pooled_warc_through_spark_pipeline(spark):
+    """WARC segments through the Spark lane end-to-end: two binary WARC
+    payloads (one plain, one per-record-gzip) fan out via warc_to_pages,
+    then warc_corpus_pipeline dedups a cross-segment canonical-URL dup
+    and strips HTML — the Common Crawl ingest shape."""
+    from evm_archive_spark.operators.weburl import (
+        warc_corpus_pipeline,
+        warc_to_pages,
+    )
+
+    seg0 = build_warc(
+        [
+            ("http://a.example/one?utm_source=x", b"<p>alpha beta gamma delta epsilon zeta eta theta iota kappa</p>"),
+            ("http://b.example/two", b"<p>first segment second page with plenty of tokens here ok</p>"),
+        ]
+    )
+    seg1 = build_warc(
+        [
+            # canonical dup of seg0's first page (tracking param + www)
+            ("http://www.a.example/one", b"<p>duplicate page body text should lose to the min doc id</p>"),
+            ("http://c.example/three", b"<p>novel third page with plenty of tokens to pass the floor</p>"),
+        ],
+        gzip_per_record=True,
+    )
+    media = spark.createDataFrame(
+        [(0, bytearray(seg0)), (1, bytearray(seg1))],
+        "warc_id long, payload binary",
+    )
+    pages = warc_to_pages(media).collect()
+    assert len(pages) == 4
+    assert {r["url"] for r in pages} == {
+        "http://a.example/one?utm_source=x", "http://b.example/two",
+        "http://www.a.example/one", "http://c.example/three",
+    }
+
+    out = {
+        r["canonical_url"]: r
+        for r in warc_corpus_pipeline(media, min_tokens=5).collect()
+    }
+    assert set(out) == {
+        "http://a.example/one", "http://b.example/two",
+        "http://c.example/three",
+    }
+    # min-doc_id survivor for the cross-segment dup: seg0 record wins
+    assert out["http://a.example/one"]["doc_id"] == 2  # warc 0, record 2
+    assert out["http://a.example/one"]["text"].startswith("alpha beta")
+    assert out["http://c.example/three"]["n_tokens"] >= 5
