@@ -501,7 +501,7 @@ def _pooled_flac_through_spark_strict_paths(spark):
     assert fps.afp.nunique() == 1  # codec-invariant fingerprint
 
     # strict rejects unknown codecs; non-strict never fails
-    with pytest.raises(Exception, match="WAV/PCM and FLAC"):
+    with pytest.raises(Exception, match="WAV/PCM, FLAC and MP4/PCM"):
         multimodal.audio_features(df, strict=True).collect()
     loose = multimodal.audio_features(df, strict=False).toPandas()
     assert len(loose) == 3

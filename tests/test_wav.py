@@ -462,7 +462,7 @@ def _pooled_resample_audio_strict_real(spark):
     junk = spark.createDataFrame(
         pd.DataFrame({"media_id": [9], "payload": [b"opus?"]})
     )
-    with pytest.raises(Exception, match="WAV/PCM and FLAC"):
+    with pytest.raises(Exception, match="WAV/PCM, FLAC and MP4/PCM"):
         multimodal.resample_audio(junk, 16000, strict=True).collect()
     a = multimodal.resample_audio(junk, 16000, strict=False).collect()[0]
     b2 = multimodal.resample_audio(junk, 16000, strict=False).collect()[0]
