@@ -163,16 +163,19 @@ def robots_decisions(
         & F.expr("__path rlike rx"),
         "left",
     )
-    per_url = Window.partitionBy("__pid").orderBy(
-        F.col("rule_len").desc_nulls_last(),
-        F.col("allow").desc_nulls_last(),
+    # §2.2.2 argmax as an aggregation, not a sort-window: max_by over
+    # struct(rule_len, allow) picks the longest match with Allow winning
+    # ties (false < true), partial-aggregates map-side (one surviving
+    # row per page per partition crosses the wire), and ignores the
+    # all-NULL no-match rows so the default lands via coalesce.
+    best = cand.groupBy("__pid", *[pages[c] for c in pages.columns]).agg(
+        F.max_by(
+            F.col("allow"), F.struct(F.col("rule_len"), F.col("allow"))
+        ).alias("__best")
     )
-    ranked = cand.withColumn("__rn", F.row_number().over(per_url))
-    return (
-        ranked.filter(F.col("__rn") == 1)
-        .withColumn("allowed", F.coalesce(F.col("allow"), F.lit(True)))
-        .select(*pages.columns, "allowed")
-    )
+    return best.withColumn(
+        "allowed", F.coalesce(F.col("__best"), F.lit(True))
+    ).select(*pages.columns, "allowed")
 
 
 def robots_filter(
