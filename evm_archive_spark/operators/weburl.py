@@ -449,3 +449,76 @@ def warc_corpus_pipeline(
         "html",
     )
     return web_corpus_pipeline(pages, min_tokens=min_tokens)
+
+
+_SITEMAP_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+    ("&apos;", "'"), ("&amp;", "&"),
+)
+
+
+def _xml_text(col) -> F.Column:
+    """Trim + decode the five XML core entities (the escaping the
+    sitemaps.org protocol REQUIRES for URLs; numeric refs out of
+    scope, documented).  ``&amp;`` last so ``&amp;lt;`` round-trips."""
+    c = F.trim(col)
+    for ent, repl in _SITEMAP_ENTITIES:
+        c = F.regexp_replace(c, ent, repl)
+    return F.nullif(c, F.lit(""))
+
+
+def sitemap_urls(
+    df: DataFrame, xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Sitemap XML (sitemaps.org protocol) -> one row per ``<url>``
+    entry: the input columns (minus the XML) plus ``url``, ``lastmod``,
+    ``changefreq``, ``priority_permille``.  Pure JVM regexp + explode —
+    the sitemap fan-out rides the scan like every other weburl stage;
+    entries without a ``<loc>`` are dropped (spec: loc is required).
+
+    A crawl pipeline runs this between frontier discovery and
+    robots_filter: sitemaps enumerate the URLs a host WANTS crawled,
+    robots gates what it permits."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit("(?s)<url\\b[^>]*>(.*?)</url>"), F.lit(1)
+    )
+    keep = [c for c in df.columns if c != xml_col]
+    ex = df.select(*keep, F.explode(blocks).alias("__b"))
+    tag = lambda t: _xml_text(  # noqa: E731
+        F.regexp_extract("__b", f"(?s)<{t}[^>]*>(.*?)</{t}>", 1)
+    )
+    return (
+        ex.select(
+            *keep,
+            tag("loc").alias("url"),
+            tag("lastmod").alias("lastmod"),
+            tag("changefreq").alias("changefreq"),
+            F.round(tag("priority").cast("double") * 1000)
+            .cast("long")
+            .alias("priority_permille"),
+        )
+        .filter(F.col("url").isNotNull())
+    )
+
+
+def sitemap_index_urls(
+    df: DataFrame, xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Sitemap INDEX XML -> one row per child ``<sitemap>``: input
+    columns plus ``sitemap_url``, ``lastmod`` — the recursion step a
+    crawler follows before fetching the leaf sitemaps."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col),
+        F.lit("(?s)<sitemap\\b[^>]*>(.*?)</sitemap>"),
+        F.lit(1),
+    )
+    keep = [c for c in df.columns if c != xml_col]
+    ex = df.select(*keep, F.explode(blocks).alias("__b"))
+    tag = lambda t: _xml_text(  # noqa: E731
+        F.regexp_extract("__b", f"(?s)<{t}[^>]*>(.*?)</{t}>", 1)
+    )
+    return ex.select(
+        *keep,
+        tag("loc").alias("sitemap_url"),
+        tag("lastmod").alias("lastmod"),
+    ).filter(F.col("sitemap_url").isNotNull())

@@ -315,3 +315,49 @@ def _pooled_stream_url_admission_equals_sequential_replay(spark, tmp_path):
         expect.extend(r["doc_id"] for r in surv.collect())
         idx = idx.unionByName(surv.select("canonical_url"))
     assert got == sorted(expect)
+
+
+def test_sitemap_urls_and_index(spark):
+    """sitemaps.org parse: url blocks with optional fields, entity
+    decode, loc whitespace, missing loc dropped; index recursion."""
+    from evm_archive_spark.operators.weburl import (
+        sitemap_index_urls,
+        sitemap_urls,
+    )
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://ex.com/a?x=1&amp;y=2 </loc>"
+        "<lastmod>2026-08-01</lastmod><changefreq>weekly</changefreq>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>https://ex.com/&lt;odd&gt;</loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(7, xml)], "site_id long, sitemap_xml string")
+    rows = sitemap_urls(df).orderBy("url").collect()
+    assert [
+        (r["site_id"], r["url"], r["lastmod"], r["changefreq"],
+         r["priority_permille"])
+        for r in rows
+    ] == [
+        (7, "https://ex.com/<odd>", None, None, None),
+        (7, "https://ex.com/a?x=1&y=2", "2026-08-01", "weekly", 800),
+    ]
+
+    idx_xml = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://ex.com/s1.xml</loc>"
+        "<lastmod>2026-02-02</lastmod></sitemap>"
+        "<sitemap><loc>https://ex.com/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    idx = spark.createDataFrame(
+        [(1, idx_xml)], "site_id long, sitemap_xml string"
+    )
+    got = sitemap_index_urls(idx).orderBy("sitemap_url").collect()
+    assert [(r["sitemap_url"], r["lastmod"]) for r in got] == [
+        ("https://ex.com/s1.xml", "2026-02-02"),
+        ("https://ex.com/s2.xml", None),
+    ]
