@@ -298,12 +298,23 @@ def _order_expr(df: DataFrame, enum_name: str):
     return c.asc() if m.group(2) == "ASC" else c.desc()
 
 
+def _plan_text(df: DataFrame) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def _run_table_field(
     df: DataFrame,
     f: Field,
     variables: dict,
     default_first: int | None = DEFAULT_FIRST,
     capped_fields: list | None = None,
+    explain_sink: list | None = None,
 ) -> dict:
     args = {k: _resolve_vars(v, variables) for k, v in f.args.items()}
     cond = args.pop("condition", {}) or {}
@@ -380,13 +391,21 @@ def _run_table_field(
     proj = df.select(*all_cols) if all_cols else df.select(df.columns[0])
     if start:
         proj = proj.offset(start)
+    page = proj.limit(lim + 1) if lim is not None else proj
+    if explain_sink is not None:
+        # --allow-explain parity (docker-compose.yaml:63): the Spark
+        # physical plan of the page that is about to execute, where
+        # Postgraphile would return the EXPLAINed SQL
+        explain_sink.append(
+            {"field": f.out_key, "plan": _plan_text(page)}
+        )
     if lim is not None:
         # collect one extra row: hasNextPage without a second count job
-        rows = proj.limit(lim + 1).collect()
+        rows = page.collect()
         has_next = len(rows) > lim
         rows = rows[:lim]
     else:
-        rows = proj.collect()
+        rows = page.collect()
         has_next = False
 
     def node_dict(r, sel, cols):
@@ -626,6 +645,7 @@ def execute(
     tables,
     variables: dict | None = None,
     default_first: int | None = DEFAULT_FIRST,
+    explain: bool = False,
 ) -> dict:
     """Execute a GraphQL query document against named DataFrames.
 
@@ -645,6 +665,7 @@ def execute(
         tables = tables()
     variables = dict(variables or {})
     capped: list[str] = []
+    plans: list[dict] | None = [] if explain else None
     try:
         sels, var_defaults = _Parser(_lex(query)).parse_document()
         for k, v in var_defaults.items():
@@ -674,14 +695,18 @@ def execute(
             if f.name not in by_field:
                 raise GraphQLError(f"unknown field {f.name!r}")
             data[f.out_key] = _run_table_field(
-                by_field[f.name], f, variables, default_first, capped
+                by_field[f.name], f, variables, default_first, capped,
+                explain_sink=plans,
             )
         out = {"data": data}
+        ext = {}
         if capped:
-            out["extensions"] = {
-                "defaultFirst": default_first,
-                "cappedFields": capped,
-            }
+            ext["defaultFirst"] = default_first
+            ext["cappedFields"] = capped
+        if plans:
+            ext["explain"] = plans
+        if ext:
+            out["extensions"] = ext
         return out
     except GraphQLError as e:
         return {"errors": [{"message": str(e)}]}
@@ -919,6 +944,8 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 0,
     default_first: int | None = DEFAULT_FIRST,
+    cors: bool | str = False,
+    allow_explain: bool = False,
 ):
     """Start the GraphQL endpoint on a daemon thread; returns the
     ``http.server`` instance (``server_address`` carries the bound port,
@@ -928,6 +955,16 @@ def serve(
 
     ``tables`` is a dict of DataFrames or a zero-arg callable returning
     one (watch mode — see ``catalog_tables``/``execute``).
+
+    ``cors`` enables the Postgraphile ``--cors`` behavior
+    (docker-compose.yaml:70): ``Access-Control-Allow-*`` headers on
+    every response plus an OPTIONS preflight handler; pass a string to
+    pin the allowed origin instead of ``*``.  ``allow_explain`` enables
+    ``--allow-explain`` (docker-compose.yaml:63): a client opting in —
+    ``"explain": true`` in the request body or an ``X-GraphQL-Explain:
+    on`` header — gets each top-level field's Spark physical plan under
+    ``extensions.explain`` (where Postgraphile returns the EXPLAINed
+    SQL); without the server flag the opt-in is ignored.
 
     The returned server also exposes ``publish(topic) -> int``
     (simple-subscriptions fan-out; see _SubscriptionHub) and ``hub``."""
@@ -1016,6 +1053,27 @@ def serve(
             finally:
                 hub.remove(conn_id)
 
+        def _cors_headers(self):
+            if cors:
+                origin = cors if isinstance(cors, str) else "*"
+                self.send_header("Access-Control-Allow-Origin", origin)
+                self.send_header(
+                    "Access-Control-Allow-Methods", "GET, POST, OPTIONS"
+                )
+                self.send_header(
+                    "Access-Control-Allow-Headers",
+                    "Content-Type, X-GraphQL-Explain",
+                )
+
+        def do_OPTIONS(self):  # noqa: N802 — stdlib API name
+            # CORS preflight (--cors parity); 404 mirrors POST routing
+            if self.path.rstrip("/") not in ("", "/graphql"):
+                self.send_error(404)
+                return
+            self.send_response(204)
+            self._cors_headers()
+            self.end_headers()
+
         def do_POST(self):  # noqa: N802 — stdlib API name
             if self.path.rstrip("/") not in ("", "/graphql"):
                 self.send_error(404)
@@ -1023,11 +1081,16 @@ def serve(
             try:
                 ln = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(ln) or b"{}")
+                want_explain = bool(body.get("explain")) or (
+                    self.headers.get("X-GraphQL-Explain", "").lower()
+                    == "on"
+                )
                 res = execute(
                     body.get("query", ""),
                     tables,
                     body.get("variables"),
                     default_first=default_first,
+                    explain=allow_explain and want_explain,
                 )
             except Exception as e:  # noqa: BLE001 — surface as GraphQL error
                 res = {"errors": [{"message": f"bad request: {e}"}]}
@@ -1035,6 +1098,7 @@ def serve(
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(payload)))
+            self._cors_headers()
             self.end_headers()
             self.wfile.write(payload)
 

@@ -697,3 +697,67 @@ def test_watch_mode_new_view_appears_without_restart(spark):
             spark.catalog.dropTempView(f"{prefix}transfers")
         except Exception:
             pass
+
+
+def test_cors_and_allow_explain(spark):
+    """Postgraphile --cors / --allow-explain parity (reference
+    docker-compose.yaml:63,70): preflight + CORS headers on responses,
+    and an opted-in client gets the Spark physical plan under
+    extensions.explain; servers without the flag ignore the opt-in."""
+    import urllib.request
+
+    srv = serve(_tables(spark), cors=True, allow_explain=True)
+    try:
+        port = srv.server_address[1]
+        url = f"http://127.0.0.1:{port}/graphql"
+
+        # OPTIONS preflight
+        req = urllib.request.Request(url, method="OPTIONS")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+            assert "POST" in resp.headers["Access-Control-Allow-Methods"]
+
+        def post(body, headers=None):
+            req = urllib.request.Request(
+                url,
+                json.dumps(body).encode(),
+                {"Content-Type": "application/json", **(headers or {})},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.headers, json.loads(resp.read())
+
+        q = "{ allLogs(first: 2) { nodes { blockNumber } } }"
+        hdrs, res = post({"query": q, "explain": True})
+        assert hdrs["Access-Control-Allow-Origin"] == "*"
+        plans = res["extensions"]["explain"]
+        assert [p["field"] for p in plans] == ["allLogs"]
+        assert "Physical Plan" in plans[0]["plan"]
+        assert len(res["data"]["allLogs"]["nodes"]) == 2
+
+        # header opt-in works too
+        _, res2 = post({"query": q}, {"X-GraphQL-Explain": "on"})
+        assert "explain" in res2.get("extensions", {})
+
+        # no opt-in -> no explain payload
+        _, res3 = post({"query": q})
+        assert "explain" not in (res3.get("extensions") or {})
+    finally:
+        srv.shutdown()
+
+    # server WITHOUT the flag ignores the opt-in (and no CORS headers)
+    srv2 = serve(_tables(spark))
+    try:
+        port = srv2.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphql",
+            json.dumps({"query": "{ allLogs { totalCount } }",
+                        "explain": True}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            hdrs, res = resp.headers, json.loads(resp.read())
+        assert hdrs.get("Access-Control-Allow-Origin") is None
+        assert "explain" not in (res.get("extensions") or {})
+    finally:
+        srv2.shutdown()
