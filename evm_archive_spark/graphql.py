@@ -26,8 +26,10 @@ reference's Postgres NOTIFY.  Introspection (the __schema/__type subset
 codegen clients read, r5), Relay cursor connections (r5), and watch
 mode (r6: ``serve(catalog_tables(spark))`` re-derives the schema from
 the live catalog per request, the Postgraphile ``--watch`` behavior)
-are in; GraphiQL UI and ``--cors`` remain ops conveniences out of
-scope.
+are in, as are ``--cors`` (preflight + Access-Control headers) and
+``--allow-explain`` (physical plans under ``extensions.explain``);
+the GraphiQL UI remains out of scope (it is a bundled web app, not
+query capability).
 
 Served over stdlib ``http.server`` (POST /graphql for queries, GET +
 ``Upgrade: websocket`` for subscriptions) — no third-party dependency.

@@ -543,6 +543,123 @@ def audio_features(
     return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+SPECTRAL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        # integer-exact outputs (the repo's float-free convention):
+        # frequencies in Hz, ratios in ppm
+        T.StructField("centroid_hz", T.LongType()),
+        T.StructField("rolloff85_hz", T.LongType()),
+        T.StructField("bandwidth_hz", T.LongType()),
+        T.StructField("flatness_ppm", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def spectral_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_fft: int = 256,
+    strict: bool = False,
+) -> DataFrame:
+    """Frequency-domain audio profile over a binary column — the
+    speech-pipeline pre-filter signals a duration/RMS pass cannot see
+    (drop narrowband tones, hiss-only takes, band-limited re-encodes):
+    spectral centroid, 85% rolloff, bandwidth (all Hz, integer) and
+    spectral flatness (geometric/arithmetic mean ratio, ppm), averaged
+    over ``n_fft``-sample hann-windowed frames via ``numpy.fft.rfft``.
+
+    Same decode dispatch as ``audio_features`` (WAV / FLAC / MP4-PCM,
+    strict=True raises for anything else, strict=False deterministic
+    sha256 fake).  mapInPandas over Arrow batches; at 100 TB the FFT is
+    embarrassingly parallel per payload, no shuffle at all.  Not
+    SQL-expressible (FFT) — engine-only pytest gates against
+    analytically-known signals (pure tones, band edges)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .flac import FlacError
+        from .mp4 import Mp4Error
+        from .wav import WavError
+
+        win = None
+
+        def features(rate: int, samples: "np.ndarray"):
+            nonlocal win
+            if win is None or len(win) != n_fft:
+                win = np.hanning(n_fft)
+            mono = samples.mean(axis=1)
+            n = (len(mono) // n_fft) * n_fft
+            if n == 0:
+                return 0, 0, 0, 0, 0
+            frames = mono[:n].reshape(-1, n_fft) * win
+            mag = np.abs(np.fft.rfft(frames, axis=1))
+            power = mag**2
+            freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+            tot = power.sum(axis=1)
+            live = tot > 0
+            if not live.any():
+                return 0, 0, 0, 0, len(frames)
+            p, t = power[live], tot[live]
+            centroid = (p * freqs).sum(axis=1) / t
+            cum = np.cumsum(p, axis=1)
+            roll_idx = (cum >= 0.85 * t[:, None]).argmax(axis=1)
+            rolloff = freqs[roll_idx]
+            bw = np.sqrt(
+                (p * (freqs[None, :] - centroid[:, None]) ** 2).sum(axis=1)
+                / t
+            )
+            gm = np.exp(np.log(p + 1e-30).mean(axis=1))
+            am = p.mean(axis=1)
+            flat = gm / np.maximum(am, 1e-30)
+            return (
+                int(round(centroid.mean())),
+                int(round(rolloff.mean())),
+                int(round(bw.mean())),
+                int(round(float(np.clip(flat.mean(), 0, 1)) * 1_000_000)),
+                len(frames),
+            )
+
+        cols = [f.name for f in SPECTRAL_FEATURES_SCHEMA.fields]
+        for pdf in it:
+            out = {c: [] for c in cols}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                dec = _audio_decoder(b)
+                if dec is not None:
+                    try:
+                        row = features(*dec())
+                    except (WavError, FlacError, Mp4Error) as e:
+                        raise ValueError(
+                            f"bad audio payload {mid}: {e}"
+                        ) from e
+                elif strict:
+                    raise NotImplementedError(
+                        "strict spectral features support WAV/PCM, FLAC "
+                        "and MP4/PCM (stdlib decoders); use strict=False "
+                        "for the deterministic fake"
+                    )
+                else:
+                    h = hashlib.sha256(b).digest()
+                    row = (
+                        int.from_bytes(h[0:2], "big"),
+                        int.from_bytes(h[2:4], "big"),
+                        int.from_bytes(h[4:6], "big"),
+                        int.from_bytes(h[6:9], "big") % 1_000_000,
+                        1 + h[9] % 16,
+                    )
+                out["media_id"].append(mid)
+                for c, v in zip(cols[1:], row):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, SPECTRAL_FEATURES_SCHEMA)
+
+
 def _ahash_bands(hash_col: str, max_hamming: int) -> list:
     """The pigeonhole band split shared by the pairwise join and the
     persisted index: ``max_hamming + 1`` disjoint bit ranges of the

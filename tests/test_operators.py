@@ -3878,6 +3878,7 @@ from test_textanalysis_scripts import (  # noqa: E402
 from test_wav import (  # noqa: E402
     _pooled_g711_through_audio_features_strict,
     _pooled_resample_audio_strict_real,
+    _pooled_spectral_features_known_signals,
 )
 from test_weburl import (  # noqa: E402
     _pooled_html_cross_engine_fuzz,
@@ -3932,6 +3933,7 @@ _POOLED_HEAVY = [
     _pooled_script_profile_cross_engine,
     _pooled_g711_through_audio_features_strict,
     _pooled_resample_audio_strict_real,
+    _pooled_spectral_features_known_signals,
     _pooled_url_cross_engine_fuzz,
     _pooled_html_cross_engine_fuzz,
     _pooled_web_corpus_pipeline_composition,

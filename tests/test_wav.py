@@ -467,3 +467,81 @@ def _pooled_resample_audio_strict_real(spark):
     a = multimodal.resample_audio(junk, 16000, strict=False).collect()[0]
     b2 = multimodal.resample_audio(junk, 16000, strict=False).collect()[0]
     assert bytes(a["payload"]) == bytes(b2["payload"])
+
+
+def _pooled_spectral_features_known_signals(spark):
+    """spectral_features against analytically-known signals: a pure
+    tone's centroid/rolloff land on its frequency (within one FFT bin),
+    seeded noise is spectrally flat and wide, silence zeroes out, and
+    an MP4/PCM container yields the same numbers as the WAV of the
+    same samples."""
+    import struct as _struct
+
+    import numpy as np
+
+    from evm_archive_spark.operators.multimodal import spectral_features
+    from evm_archive_spark.operators.wav import encode_wav
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    tone = np.sin(2 * np.pi * 1000 * t)              # 1 kHz
+    rng = np.random.default_rng(5)
+    noise = rng.uniform(-0.9, 0.9, rate * 2)
+    silence = np.zeros(rate)
+
+    def wav(x):
+        return bytearray(encode_wav(x.reshape(-1, 1), rate))
+
+    pcm16 = (tone * 32767).round().astype("<i2")
+    raw = pcm16.tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(raw)) + raw
+    )
+    tone_wav_exact = bytearray(b"RIFF" + _struct.pack("<I", len(body)) + body)
+
+    from test_mp4 import mux_mp4
+
+    tone_mp4 = bytearray(
+        mux_mp4(audio=(b"sowt", 1, 16, rate, pcm16.tobytes()))
+    )
+
+    media = spark.createDataFrame(
+        [
+            (0, wav(tone)), (1, wav(noise)), (2, wav(silence)),
+            (3, tone_wav_exact), (4, tone_mp4),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in spectral_features(media, strict=True).collect()
+    }
+    bin_hz = rate / 256
+    assert abs(rows[0]["centroid_hz"] - 1000) <= bin_hz
+    assert abs(rows[0]["rolloff85_hz"] - 1000) <= bin_hz
+    assert rows[0]["bandwidth_hz"] < 200
+    assert rows[0]["flatness_ppm"] < 50_000
+    # flat wide noise
+    assert rows[1]["flatness_ppm"] > 300_000
+    assert rows[1]["bandwidth_hz"] > 800
+    assert rows[1]["rolloff85_hz"] > 2500
+    # silence: no live frames
+    assert rows[2]["centroid_hz"] == 0 and rows[2]["n_frames"] == 31
+    # container-independence: same PCM through WAV and MP4 agree exactly
+    for c in ("centroid_hz", "rolloff85_hz", "bandwidth_hz",
+              "flatness_ppm", "n_frames"):
+        assert rows[3][c] == rows[4][c], c
+
+    # strict rejects non-audio; non-strict fake is deterministic
+    import pytest as _pytest
+
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"not audio"))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="WAV/PCM, FLAC and MP4/PCM"):
+        spectral_features(junk, strict=True).collect()
+    a = spectral_features(junk).collect()[0]
+    b = spectral_features(junk).collect()[0]
+    assert a == b
