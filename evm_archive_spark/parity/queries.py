@@ -6992,6 +6992,55 @@ def _q_sitemap(spark, sf_dir):
     )
 
 
+# [pair] spectral-features plumbing twin — the q_audio_features pattern
+# for the FFT lane: synthetic non-audio payloads route to the
+# deterministic sha256 fake, which DuckDB replays byte-for-byte, so the
+# mapInPandas batch path is hash-gated.  The REAL FFT path is
+# pytest-gated against analytically-known signals (test_wav.py — an FFT
+# cannot live in SQL).
+
+def _q_spectral(spark, sf_dir):
+    from ..operators.multimodal import spectral_features
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return (
+        spectral_features(media, strict=False)
+        .select(
+            "media_id", "centroid_hz", "rolloff85_hz", "bandwidth_hz",
+            "flatness_ppm", "n_frames",
+        )
+        .orderBy("media_id")
+    )
+
+
+_add(
+    "q_spectral",
+    _q_spectral,
+    "WITH h AS (SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx "
+    "FROM documents), "
+    "b AS (SELECT media_id, "
+    + ", ".join(
+        f"CAST(('0x' || substring(hx, {i * 2 + 1}, 2)) AS BIGINT) AS b{i}"
+        for i in range(10)
+    )
+    + " FROM h) "
+    "SELECT media_id, "
+    "CAST(b0 * 256 + b1 AS BIGINT) AS centroid_hz, "
+    "CAST(b2 * 256 + b3 AS BIGINT) AS rolloff85_hz, "
+    "CAST(b4 * 256 + b5 AS BIGINT) AS bandwidth_hz, "
+    "CAST((b6 * 65536 + b7 * 256 + b8) % 1000000 AS BIGINT) "
+    "AS flatness_ppm, "
+    "CAST(1 + b9 % 16 AS BIGINT) AS n_frames "
+    "FROM b ORDER BY media_id NULLS FIRST",
+    "spectral-features fake twin: sha256-derived fields replayed "
+    "byte-for-byte in DuckDB (mapInPandas batch path hash-gated)",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
