@@ -210,3 +210,34 @@ def warc_pages(data: bytes) -> Iterator[tuple[int, str, str]]:
         except (LookupError, UnicodeDecodeError):
             html = body.decode("utf-8", errors="replace")
         yield i, rec["uri"], html
+
+
+@guard_iter(WarcError)
+def warc_page_digests(data: bytes) -> Iterator[tuple[int, str, str]]:
+    """Yield ``(record_idx, url, payload_digest)`` for every 200-status
+    text/html response record — the cheap pre-pass for content-level
+    dedup BEFORE any HTML work: the WARC-Payload-Digest named field
+    (ISO 28500 §5.9, what Common Crawl stamps on every record) when
+    present, else ``sha256:<hex>`` computed over the HTTP body.  Record
+    indices line up with ``warc_pages`` by construction, so a dedup
+    decision made here maps 1:1 onto the parsed rows."""
+    import hashlib
+
+    idx = 0
+    for rec in warc_records(data):
+        i = idx
+        idx += 1
+        if rec["type"] != "response" or not rec["uri"]:
+            continue
+        try:
+            status, headers, body = http_response(rec["block"])
+        except WarcError:
+            continue
+        if status != 200 or "text/html" not in headers.get(
+            "content-type", ""
+        ).lower():
+            continue
+        digest = rec["fields"].get("warc-payload-digest") or (
+            "sha256:" + hashlib.sha256(body).hexdigest()
+        )
+        yield i, rec["uri"], digest

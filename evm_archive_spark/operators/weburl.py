@@ -522,3 +522,61 @@ def sitemap_index_urls(
         tag("loc").alias("sitemap_url"),
         tag("lastmod").alias("lastmod"),
     ).filter(F.col("sitemap_url").isNotNull())
+
+
+def warc_digest_dedup(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "warc_id",
+) -> DataFrame:
+    """Content-level dedup of WARC pages WITHOUT parsing any HTML: one
+    survivor per payload digest (WARC-Payload-Digest when stamped, a
+    computed sha256 otherwise), keep-first by (warc_id, record_idx).
+    Returns ``(warc_id, record_idx, url, digest)`` survivor keys.
+
+    Scale shape: the digest pre-pass is map-side (headers only, bodies
+    hashed once); the dedup shuffles 40-byte digest keys, never page
+    bodies — at Common Crawl scale (~25% exact-duplicate payloads) this
+    removes a quarter of the downstream HTML/quality work for the price
+    of one compact keyed shuffle."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("record_idx", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .warc import warc_page_digests
+
+        for pdf in it:
+            rows = {id_col: [], "record_idx": [], "url": [], "digest": []}
+            for wid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, url, digest in warc_page_digests(
+                    bytes(payload or b"")
+                ):
+                    rows[id_col].append(wid)
+                    rows["record_idx"].append(idx)
+                    rows["url"].append(url)
+                    rows["digest"].append(digest)
+            yield pd.DataFrame(rows)
+
+    digests = media.mapInPandas(batches, out_schema)
+    return (
+        digests.groupBy("digest")
+        .agg(
+            F.min_by(
+                F.struct(id_col, "record_idx", "url"),
+                F.struct(id_col, "record_idx"),
+            ).alias("row")
+        )
+        .select("row.*", "digest")
+    )

@@ -206,3 +206,50 @@ def _pooled_warc_through_spark_pipeline(spark):
     assert out["http://a.example/one"]["doc_id"] == 2  # warc 0, record 2
     assert out["http://a.example/one"]["text"].startswith("alpha beta")
     assert out["http://c.example/three"]["n_tokens"] >= 5
+
+
+def test_warc_page_digests_prefers_stamped_field():
+    from evm_archive_spark.operators.warc import warc_page_digests
+
+    stamped = _record(
+        "response", "http://x/s",
+        _http(b"<p>body</p>"),
+    ).replace(
+        b"WARC-Type: response",
+        b"WARC-Type: response\r\nWARC-Payload-Digest: sha1:ABCDEF",
+    )
+    computed = _record("response", "http://x/c", _http(b"<p>body</p>"))
+    got = list(warc_page_digests(stamped + computed))
+    assert got[0][1:] == ("http://x/s", "sha1:ABCDEF")
+    assert got[1][1] == "http://x/c"
+    assert got[1][2].startswith("sha256:")
+
+
+def _pooled_warc_digest_dedup_before_parse(spark):
+    """Content-level dedup across WARC segments on payload digests —
+    identical bodies collapse to the first (warc_id, record_idx)
+    regardless of URL, before any HTML work."""
+    from evm_archive_spark.operators.weburl import warc_digest_dedup
+
+    body = b"<p>identical body shared across three captures</p>"
+    seg0 = build_warc(
+        [("http://a/x", body), ("http://a/y", b"<p>unique one</p>")]
+    )
+    seg1 = build_warc(
+        [("http://b/z", body), ("http://b/w", b"<p>unique two</p>")],
+        gzip_per_record=True,
+    )
+    media = spark.createDataFrame(
+        [(0, bytearray(seg0)), (1, bytearray(seg1))],
+        "warc_id long, payload binary",
+    )
+    rows = sorted(
+        (r["warc_id"], r["record_idx"], r["url"])
+        for r in warc_digest_dedup(media).collect()
+    )
+    # the duplicate body keeps only the (0, ...) capture
+    assert rows == [
+        (0, 2, "http://a/x"),
+        (0, 4, "http://a/y"),
+        (1, 4, "http://b/w"),
+    ]
