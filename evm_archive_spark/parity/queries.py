@@ -7229,9 +7229,14 @@ _ROUND2_FIRST = [
 #      r2/r3), so the driver can finally record hash-green rows under
 #      the canonical names; the engine xxhash/fake-payload defaults are
 #      demoted to pytest invariants;
-#   3. the 12 r1-only greens the r5 window's [:50] cut left out
+#   3. the 5 gates registered late IN round 6 itself (stream-reorg,
+#      WARC, robots, sitemap, spectral) — pulled into this head rather
+#      than staged for r7, so no gate waits a full round for its first
+#      driver row; each driver-sim'd green at sf0.01 in a fresh default
+#      session before inclusion;
+#   4. the 12 r1-only greens the r5 window's [:50] cut left out
 #      (_R1_ONLY_GREENS[31:]);
-#   4. remaining 23 slots: next-oldest regression re-checks — the r2
+#   5. remaining slots: next-oldest regression re-checks — the r2
 #      window's gates in their original order (oldest unrefreshed rows),
 #      skipping names already in this head.
 # Nothing here is curated for expected-pass.
@@ -7239,6 +7244,9 @@ _ROUND6_STAGED = [
     "q_url_dedup", "q_host_stats", "q_incr_url", "q_html_extract",
     "q_nb_classify", "q_script_profile", "q_web_pipeline", "q_nfc",
     "q_audio_neardup", "q_st_admission",
+]
+_ROUND6_LATE = [
+    "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
@@ -7254,6 +7262,7 @@ _ROUND6_R2_RECHECKS = [
 _ROUND6_FIRST = (
     _ROUND6_STAGED
     + _ROUND6_ORACLE_FLIPS
+    + _ROUND6_LATE
     + _ROUND6_R1_REMAINDER
     + _ROUND6_R2_RECHECKS
 )[:50]
