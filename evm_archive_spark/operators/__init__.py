@@ -138,6 +138,7 @@ _EXPORTS = {
     "audio_features": "multimodal",
     "audio_fingerprint": "multimodal",
     "audio_near_duplicates": "multimodal",
+    "audio_vad": "multimodal",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

@@ -660,6 +660,146 @@ def spectral_features(
     return df.mapInPandas(batches, SPECTRAL_FEATURES_SCHEMA)
 
 
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        # exact-integer outputs (the repo's float-free convention)
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("active_ppm", T.LongType()),
+        T.StructField("longest_run", T.LongType()),
+        T.StructField("leading_silence_ms", T.LongType()),
+        T.StructField("trailing_silence_ms", T.LongType()),
+    ]
+)
+
+
+def audio_vad(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_ms: int = 20,
+    rel_threshold_ppm: int = 100_000,
+    strict: bool = False,
+) -> DataFrame:
+    """Energy-based voice-activity profile over a binary audio column —
+    the speech-corpus admission filter between the duration/RMS pass
+    (``audio_features``) and the frequency pass (``spectral_features``):
+    drop silence-heavy takes, trim-candidate leading/trailing silence,
+    bucket by longest continuous activity.  Mirrors the curation step
+    every large ASR corpus applies before transcription.
+
+    The mono mix is framed into ``frame_ms`` windows (tail zero-padded,
+    the ``audio_fingerprint`` convention); a frame is ACTIVE when its
+    energy exceeds ``rel_threshold_ppm`` ppm of the corpus-free,
+    clip-local mean frame energy — relative thresholding makes the
+    decision invariant under positive amplitude scaling, like the
+    fingerprint bits.  Output per clip (all BIGINT, exact):
+
+      ``n_frames``             total frames (ceil)
+      ``n_active``             frames above threshold
+      ``active_ppm``           floor(n_active * 1e6 / n_frames)
+      ``longest_run``          longest consecutive active stretch
+      ``leading_silence_ms``   frames before the first active one x
+                               frame_ms (whole clip when none active)
+      ``trailing_silence_ms``  frames after the last active one
+
+    Same decode dispatch as ``audio_features`` (WAV / FLAC / MP4-PCM
+    real; strict=True raises for perceptual codecs, strict=False routes
+    unknown payloads to a deterministic sha256 fake replayed
+    field-for-field by the q_vad oracle).  mapInPandas over Arrow
+    batches; per-payload map-side work, no shuffle — embarrassingly
+    parallel at 100 TB."""
+    if frame_ms <= 0:
+        raise ValueError("frame_ms must be positive")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .flac import FlacError
+        from .mp4 import Mp4Error
+        from .wav import WavError
+
+        def profile(rate: int, samples: "np.ndarray"):
+            mono = samples.mean(axis=1)
+            n = len(mono)
+            frame_len = max(1, rate * frame_ms // 1000)
+            if n == 0:
+                return 0, 0, 0, 0, 0, 0
+            pad = (-n) % frame_len
+            if pad:
+                mono = np.concatenate([mono, np.zeros(pad)])
+            frames = mono.reshape(-1, frame_len)
+            nf = frames.shape[0]
+            energy = (frames**2).sum(axis=1)
+            # energy_i > (thr/1e6) * mean(energy), cross-multiplied so
+            # the comparison never forms the tiny ratio
+            active = energy * (1_000_000 * nf) > (
+                rel_threshold_ppm * energy.sum()
+            )
+            na = int(active.sum())
+            if na == 0:
+                return nf, 0, 0, 0, nf * frame_ms, nf * frame_ms
+            idx = np.flatnonzero(active)
+            # longest run of consecutive True: split at gaps > 1
+            runs = np.split(idx, np.flatnonzero(np.diff(idx) > 1) + 1)
+            longest = max(len(r) for r in runs)
+            return (
+                nf,
+                na,
+                na * 1_000_000 // nf,
+                longest,
+                int(idx[0]) * frame_ms,
+                (nf - 1 - int(idx[-1])) * frame_ms,
+            )
+
+        cols = [f.name for f in VAD_SCHEMA.fields]
+        for pdf in it:
+            out = {c: [] for c in cols}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                dec = _audio_decoder(b)
+                if dec is not None:
+                    try:
+                        row = profile(*dec())
+                    except (WavError, FlacError, Mp4Error) as e:
+                        raise ValueError(
+                            f"bad audio payload {mid}: {e}"
+                        ) from e
+                elif strict:
+                    raise NotImplementedError(
+                        "strict VAD supports WAV/PCM, FLAC and MP4/PCM "
+                        "(stdlib decoders); use strict=False for the "
+                        "deterministic fake"
+                    )
+                else:
+                    h = hashlib.sha256(b).digest()
+                    nf = 1 + int.from_bytes(h[0:2], "big") % 4096
+                    na = int.from_bytes(h[2:4], "big") % (nf + 1)
+                    longest = (
+                        0 if na == 0
+                        else 1 + int.from_bytes(h[4:6], "big") % na
+                    )
+                    sil = nf - na
+                    row = (
+                        nf,
+                        na,
+                        na * 1_000_000 // nf,
+                        longest,
+                        frame_ms
+                        * (int.from_bytes(h[6:8], "big") % (sil + 1)),
+                        frame_ms
+                        * (int.from_bytes(h[8:10], "big") % (sil + 1)),
+                    )
+                out["media_id"].append(mid)
+                for c, v in zip(cols[1:], row):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, VAD_SCHEMA)
+
+
 def _ahash_bands(hash_col: str, max_hamming: int) -> list:
     """The pigeonhole band split shared by the pairwise join and the
     persisted index: ``max_hamming + 1`` disjoint bit ranges of the

@@ -7041,6 +7041,51 @@ _add(
 )
 
 
+# [pair] VAD plumbing twin — q_audio_features pattern for the
+# voice-activity lane: synthetic non-audio payloads route to the
+# deterministic sha256 fake (16-bit big-endian words h[0:2]..h[8:10]
+# with the dependent mod chain nf -> na -> longest/silence bounds),
+# which DuckDB replays field-for-field.  The REAL energy-framing path
+# is pytest-gated against constructed tone/silence WAVs (test_wav.py).
+
+def _q_vad(spark, sf_dir):
+    from ..operators.multimodal import audio_vad
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return audio_vad(media, strict=False).orderBy("media_id")
+
+
+_add(
+    "q_vad",
+    _q_vad,
+    "WITH h AS (SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx "
+    "FROM documents), "
+    "w AS (SELECT media_id, "
+    + ", ".join(
+        f"CAST(('0x' || substring(hx, {i * 4 + 1}, 4)) AS BIGINT) AS w{i}"
+        for i in range(5)
+    )
+    + " FROM h), "
+    "v AS (SELECT media_id, 1 + (w0 % 4096) AS nf, w1, w2, w3, w4 FROM w), "
+    "v2 AS (SELECT media_id, nf, w1 % (nf + 1) AS na, w2, w3, w4 FROM v) "
+    "SELECT media_id, "
+    "CAST(nf AS BIGINT) AS n_frames, "
+    "CAST(na AS BIGINT) AS n_active, "
+    "CAST(na * 1000000 // nf AS BIGINT) AS active_ppm, "
+    "CAST(CASE WHEN na = 0 THEN 0 ELSE 1 + (w2 % na) END AS BIGINT) "
+    "AS longest_run, "
+    "CAST(20 * (w3 % (nf - na + 1)) AS BIGINT) AS leading_silence_ms, "
+    "CAST(20 * (w4 % (nf - na + 1)) AS BIGINT) AS trailing_silence_ms "
+    "FROM v2 ORDER BY media_id NULLS FIRST",
+    "VAD fake twin: sha256-derived activity profile replayed "
+    "field-for-field in DuckDB (mapInPandas batch path hash-gated)",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7247,6 +7292,7 @@ _ROUND6_STAGED = [
 ]
 _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
+    "q_vad",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

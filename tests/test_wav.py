@@ -144,6 +144,97 @@ def test_audio_features_strict_real_wav(spark):
     assert len(fake) == 1 and fake[0]["sample_rate"] >= 8000
 
 
+def test_audio_vad_real_wav(spark):
+    """Real strict-mode VAD over a constructed silence-tone-silence
+    clip: frame boundaries land exactly (8 kHz, 20 ms -> 160-sample
+    frames; 12 silent + 26 tone + 12 silent frames), so every output
+    field is known in closed form.  Amplitude invariance: the same clip
+    at half gain profiles identically (relative threshold)."""
+    import pandas as pd
+
+    rate, frame = 8000, 160
+    tone_f = np.sin(
+        2 * np.pi * 440 * np.arange(26 * frame) / rate
+    ).reshape(-1, 1) * 0.8
+    clip = np.concatenate(
+        [np.zeros((12 * frame, 1)), tone_f, np.zeros((12 * frame, 1))]
+    )
+    payloads = [
+        stdlib_wav(clip, rate, 16),
+        stdlib_wav(clip * 0.5, rate, 16),
+        stdlib_wav(np.zeros((10 * frame, 1)), rate, 16),  # all silence
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0, 1, 2], "payload": payloads})
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.audio_vad(df, strict=True).collect()
+    }
+    for mid in (0, 1):  # gain-invariant
+        r = rows[mid]
+        assert r["n_frames"] == 50
+        assert r["n_active"] == 26
+        assert r["active_ppm"] == 26 * 1_000_000 // 50
+        assert r["longest_run"] == 26
+        assert r["leading_silence_ms"] == 240
+        assert r["trailing_silence_ms"] == 240
+    r = rows[2]
+    assert r["n_frames"] == 10 and r["n_active"] == 0
+    assert r["leading_silence_ms"] == 200
+    assert r["trailing_silence_ms"] == 200
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [9], "payload": [b"opus bytes"]})
+    )
+    with pytest.raises(Exception, match="NotImplementedError|strict VAD"):
+        multimodal.audio_vad(bad, strict=True).collect()
+    # strict=False fake matches a python replay of the sha256 recipe
+    import hashlib
+
+    fake = multimodal.audio_vad(bad, strict=False).collect()[0]
+    h = hashlib.sha256(b"opus bytes").digest()
+    nf = 1 + int.from_bytes(h[0:2], "big") % 4096
+    na = int.from_bytes(h[2:4], "big") % (nf + 1)
+    assert fake["n_frames"] == nf and fake["n_active"] == na
+    assert fake["active_ppm"] == na * 1_000_000 // nf
+    assert fake["longest_run"] == (
+        0 if na == 0 else 1 + int.from_bytes(h[4:6], "big") % na
+    )
+    assert fake["leading_silence_ms"] == 20 * (
+        int.from_bytes(h[6:8], "big") % (nf - na + 1)
+    )
+
+
+def test_audio_vad_split_activity_runs(spark):
+    """Two tone bursts separated by silence: longest_run reports the
+    longer burst, not the total active count — pins the consecutive-run
+    split logic."""
+    import pandas as pd
+
+    rate, frame = 8000, 160
+    burst = lambda k: np.sin(  # noqa: E731
+        2 * np.pi * 500 * np.arange(k * frame) / rate
+    ).reshape(-1, 1)
+    clip = np.concatenate(
+        [
+            burst(5),
+            np.zeros((3 * frame, 1)),
+            burst(9),
+            np.zeros((2 * frame, 1)),
+        ]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0], "payload": [stdlib_wav(clip, rate, 16)]})
+    )
+    r = multimodal.audio_vad(df, strict=True).collect()[0]
+    assert r["n_frames"] == 19
+    assert r["n_active"] == 14
+    assert r["longest_run"] == 9
+    assert r["leading_silence_ms"] == 0
+    assert r["trailing_silence_ms"] == 40
+
+
 def test_wav_round_trip_property():
     """Hypothesis: arbitrary float signals survive encode -> decode
     within 1 LSB at 16-bit, any rate/channel count."""
