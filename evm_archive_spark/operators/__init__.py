@@ -134,7 +134,9 @@ _EXPORTS = {
     "incremental_image_dedup": "multimodal",
     "stream_image_admission": "multimodal",
     "image_ahash": "multimodal",
+    "image_metadata": "exif",
     "image_near_duplicates": "multimodal",
+    "scrub_exif": "exif",
     "audio_features": "multimodal",
     "audio_fingerprint": "multimodal",
     "audio_near_duplicates": "multimodal",

@@ -7086,6 +7086,89 @@ _add(
 )
 
 
+# [pair] image-metadata plumbing twin — q_audio_features pattern for
+# the EXIF lane: synthetic non-image payloads route to the
+# deterministic sha256 fake (format 'fake', string fields derived from
+# single hash bytes), which DuckDB replays field-for-field including
+# the VARCHAR constructions.  The REAL header/EXIF parse is
+# pytest-gated against hand-built EXIF fixtures (test_exif.py — binary
+# TIFF IFD trees can't live in SQL).
+
+def _q_image_meta(spark, sf_dir):
+    from ..operators.exif import image_metadata
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return image_metadata(media, strict=False).orderBy("media_id")
+
+
+_add(
+    "q_image_meta",
+    _q_image_meta,
+    "WITH h AS (SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx "
+    "FROM documents), "
+    "b AS (SELECT media_id, "
+    "CAST(('0x' || substring(hx, 1, 4)) AS BIGINT) AS w0, "
+    "CAST(('0x' || substring(hx, 5, 4)) AS BIGINT) AS w1, "
+    + ", ".join(
+        f"CAST(('0x' || substring(hx, {i * 2 + 1}, 2)) AS BIGINT) AS b{i}"
+        for i in range(4, 9)
+    )
+    + " FROM h) "
+    "SELECT media_id, "
+    "'fake' AS format, "
+    "CAST(1 + (w0 % 8192) AS BIGINT) AS width, "
+    "CAST(1 + (w1 % 8192) AS BIGINT) AS height, "
+    "'make_' || CAST(b4 % 16 AS VARCHAR(4)) AS make, "
+    "'model_' || CAST(b5 % 64 AS VARCHAR(4)) AS model, "
+    "CAST(1 + (b6 % 8) AS BIGINT) AS orientation, "
+    "'2020:01:01 00:00:' || lpad(CAST(b7 % 60 AS VARCHAR(4)), 2, '0') "
+    "AS datetime_original, "
+    "CAST(b8 % 2 AS BIGINT) AS has_gps "
+    "FROM b ORDER BY media_id NULLS FIRST",
+    "image-metadata fake twin: sha256-derived profile (incl. VARCHAR "
+    "fields) replayed in DuckDB (mapInPandas batch path hash-gated)",
+)
+
+
+# [pair] EXIF-scrub plumbing twin: non-image payloads pass through
+# BIT-EXACTLY (md5-pinned) with zero removal counts — the
+# never-rewrites-what-it-doesn't-understand contract.  The REAL
+# splice (JPEG APP1 / PNG eXIf removal, pixels decoder-verified
+# unchanged) is pytest-gated in test_exif.py.
+
+def _q_exif_scrub(spark, sf_dir):
+    from ..operators.exif import scrub_exif
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = scrub_exif(media)
+    return out.select(
+        "media_id",
+        F.md5("payload").alias("out_md5"),
+        "removed_segments",
+        "bytes_removed",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_exif_scrub",
+    _q_exif_scrub,
+    "SELECT doc_id AS media_id, md5(COALESCE(text, '')) AS out_md5, "
+    "CAST(0 AS BIGINT) AS removed_segments, "
+    "CAST(0 AS BIGINT) AS bytes_removed "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "EXIF scrub passthrough twin: md5-pinned bit-exact passthrough of "
+    "non-image payloads, zero removal counts",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7292,7 +7375,7 @@ _ROUND6_STAGED = [
 ]
 _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
-    "q_vad",
+    "q_vad", "q_image_meta", "q_exif_scrub",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
