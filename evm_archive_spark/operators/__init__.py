@@ -141,6 +141,9 @@ _EXPORTS = {
     "audio_fingerprint": "multimodal",
     "audio_near_duplicates": "multimodal",
     "audio_vad": "multimodal",
+    "cdc_chunks": "cdc",
+    "cdc_chunks_positional": "cdc",
+    "chunk_dedup_stats": "cdc",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

@@ -1,0 +1,236 @@
+"""Content-defined chunking (CDC) and chunk-level binary dedup.
+
+The binary mirror of the text lane's line/span dedup: split payloads at
+content-determined boundaries so that shared regions between documents
+(re-uploaded files, boilerplate headers, re-encoded containers sharing
+tracks) produce identical chunks regardless of their byte offset, then
+dedup on chunk digests.  This is the rsync/LBFS/FastCDC family (Xia et
+al., USENIX ATC'16) — the standard storage-side dedup for mixed binary
+corpora, where whole-payload digests (``dedup.py``) miss shifted
+content and near-dup hashing (``multimodal.py``) needs decodable
+media.
+
+Two chunkers, one contract:
+
+- ``cdc_chunks`` — production path: gear-hash FastCDC (deterministic
+  table derived from sha256, normalized masks, min/avg/max sizes) over
+  raw bytes in ``mapInPandas`` Arrow batches.  ~1 table lookup + shift
+  per byte, map-side only; the only shuffle anywhere downstream is the
+  digest groupBy in ``chunk_dedup_stats``.  Not SQL-expressible (the
+  boundary recurrence skips after each cut) — pytest-gated on the CDC
+  resync property and min/max invariants.
+- ``cdc_chunks_positional`` — the oracle-portable twin (q_cdc): a
+  boundary closes after string position ``i`` iff the md5 of the
+  ``w``-char window ending at ``i`` starts with ``'0'`` (positions are
+  boundary-independent, so DuckDB replays the construction exactly).
+  Pure JVM higher-order functions — no Python in the path; md5-per-
+  position makes it the GATE construction, not the 100-TB path.
+
+``chunk_dedup_stats`` works on either chunk table: global first-copy
+ranking per digest (window over digest — bounded: identical-digest
+groups), per-document duplicated chunk/byte counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("start_pos", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("chunk_md5", T.StringType()),
+    ]
+)
+
+
+def gear_table() -> list[int]:
+    """256 deterministic 64-bit gear constants: sha256(byte) — no RNG,
+    so chunk boundaries are reproducible across sessions/executors."""
+    return [
+        int.from_bytes(hashlib.sha256(bytes([i])).digest()[:8], "big")
+        for i in range(256)
+    ]
+
+
+_GEAR = None
+
+
+def fastcdc_boundaries(
+    b: bytes,
+    min_size: int = 256,
+    avg_size: int = 1024,
+    max_size: int = 4096,
+) -> list[int]:
+    """FastCDC cut points (end offsets, exclusive; the final len(b) cut
+    included).  Gear rolling hash; normalized chunking: a harder mask
+    (2x bits) before avg_size, an easier one (half bits) after, which
+    pulls the size distribution toward avg_size (Xia et al. §3.4)."""
+    global _GEAR
+    if _GEAR is None:
+        _GEAR = gear_table()
+    if not avg_size or avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two")
+    if not (0 < min_size <= avg_size <= max_size):
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+    bits = avg_size.bit_length() - 1
+    mask_s = (1 << (bits + 1)) - 1  # strict: before avg_size
+    mask_l = (1 << (bits - 1)) - 1  # lax: after avg_size
+    n = len(b)
+    cuts = []
+    start = 0
+    while start < n:
+        end = min(start + max_size, n)
+        i = min(start + min_size, end)
+        h = 0
+        cut = end
+        while i < end:
+            h = ((h << 1) + _GEAR[b[i]]) & 0xFFFFFFFFFFFFFFFF
+            mask = mask_s if (i - start) < avg_size else mask_l
+            if (h & mask) == 0:
+                cut = i + 1
+                break
+            i += 1
+        cuts.append(cut)
+        start = cut
+    return cuts
+
+
+def cdc_chunks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    min_size: int = 256,
+    avg_size: int = 1024,
+    max_size: int = 4096,
+) -> DataFrame:
+    """FastCDC chunk table over a binary column: (media_id, chunk_idx,
+    start_pos, length, chunk_md5), start_pos 1-based.  Map-side only —
+    chunking never shuffles; at 100 TB cost is the payload scan."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {c: [] for c in
+                   ("media_id", "chunk_idx", "start_pos", "length",
+                    "chunk_md5")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                prev = 0
+                for k, cut in enumerate(
+                    fastcdc_boundaries(b, min_size, avg_size, max_size)
+                ):
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(k)
+                    out["start_pos"].append(prev + 1)
+                    out["length"].append(cut - prev)
+                    out["chunk_md5"].append(
+                        hashlib.md5(b[prev:cut]).hexdigest()
+                    )
+                    prev = cut
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, CHUNK_SCHEMA)
+
+
+def cdc_chunks_positional(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """Positional-boundary CDC over a STRING column, pure JVM
+    expressions: position ``i`` (1-based, characters) ends a chunk iff
+    ``i = length`` or (``i >= w`` and md5 of the w-char window ending
+    at ``i`` starts with '0').  Boundaries don't depend on earlier cuts
+    (no min-size skip), so the construction is positionally replayable
+    in ANSI SQL — this is the q_cdc oracle twin of ``cdc_chunks``."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ends = F.when(
+        F.length(t) >= 1,
+        F.expr(
+            f"filter(sequence(1, length(coalesce({text_col}, ''))), "
+            f"i -> i = length(coalesce({text_col}, '')) OR (i >= {w} "
+            f"AND substring(md5(substring(coalesce({text_col}, ''), "
+            f"i - {w - 1}, {w})), 1, 1) = '0'))"
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col).alias("media_id"), t.alias("t"), ends.alias("ends")
+    )
+    chunks = base.select(
+        "media_id",
+        "t",
+        F.posexplode("ends").alias("chunk_idx", "e"),
+        F.col("ends"),
+    ).select(
+        "media_id",
+        F.col("chunk_idx").cast("long"),
+        F.when(F.col("chunk_idx") == 0, F.lit(1))
+        .otherwise(F.element_at("ends", F.col("chunk_idx")) + 1)
+        .cast("long")
+        .alias("start_pos"),
+        F.col("e"),
+        "t",
+    )
+    return chunks.select(
+        "media_id",
+        "chunk_idx",
+        "start_pos",
+        (F.col("e") - F.col("start_pos") + 1).cast("long").alias("length"),
+        F.md5(
+            F.expr("substring(t, start_pos, e - start_pos + 1)")
+        ).alias("chunk_md5"),
+    )
+
+
+def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Per-document chunk-level dedup profile from a chunk table:
+    every (digest) group keeps its first copy by (media_id, chunk_idx)
+    order; later copies are duplicates.  Output per document (BIGINT):
+    ``n_chunks``, ``total_bytes``, ``dup_chunks``, ``dup_bytes``,
+    ``dup_bytes_ppm``.
+
+    Shuffle shape: one hash partition by digest (identical-digest
+    groups are small — boilerplate digests cap at corpus copy count,
+    and the window ranks, it never materializes cross-products), then
+    one groupBy media_id with partial aggregation."""
+    wnd = Window.partitionBy("chunk_md5").orderBy("media_id", "chunk_idx")
+    ranked = chunks.withColumn("rk", F.row_number().over(wnd))
+    return (
+        ranked.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("length").alias("total_bytes"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+            F.sum(
+                F.when(F.col("rk") > 1, F.col("length")).otherwise(0)
+            ).alias("dup_bytes"),
+        )
+        .select(
+            "media_id",
+            "n_chunks",
+            "total_bytes",
+            "dup_chunks",
+            "dup_bytes",
+            F.when(
+                F.col("total_bytes") > 0,
+                F.floor(
+                    F.col("dup_bytes") * 1_000_000 / F.col("total_bytes")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_bytes_ppm"),
+        )
+    )

@@ -7169,6 +7169,95 @@ _add(
 )
 
 
+# [pair] content-defined chunking, positional twin (cdc.py): boundary
+# after char i iff i = len or (i >= 8 and md5 of the 8-char window
+# ending at i starts with '0') — boundaries are cut-independent, so
+# DuckDB replays the whole chunk table (offsets, lengths, digests)
+# exactly.  Pure JVM HOFs on the Spark side (no Python).  The
+# production FastCDC gear-hash path (min/avg/max, boundary recurrence)
+# is pytest-gated in test_cdc.py (resync property, tiling, dedup).
+# Text capped at 400 chars on both sides to bound the gate's row count.
+
+def _q_cdc(spark, sf_dir):
+    from ..operators.cdc import cdc_chunks_positional
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        "doc_id", F.expr("substring(text, 1, 400)").alias("text")
+    )
+    return cdc_chunks_positional(docs).orderBy("media_id", "chunk_idx")
+
+
+_CDC_CHUNKS_SQL = (
+    "WITH d AS (SELECT doc_id, COALESCE(substring(text, 1, 400), '') AS t "
+    "FROM documents), "
+    "e AS (SELECT doc_id, t, i AS e FROM d, "
+    "UNNEST(generate_series(1, length(t))) u(i) "
+    "WHERE i = length(t) OR (i >= 8 AND "
+    "substring(md5(substring(t, i - 7, 8)), 1, 1) = '0')), "
+    "c AS (SELECT doc_id, t, e, COALESCE(lag(e) OVER "
+    "(PARTITION BY doc_id ORDER BY e), 0) + 1 AS s FROM e), "
+    "ch AS (SELECT doc_id AS media_id, "
+    "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 "
+    "AS BIGINT) AS chunk_idx, "
+    "CAST(s AS BIGINT) AS start_pos, "
+    "CAST(e - s + 1 AS BIGINT) AS length, "
+    "md5(substring(t, s, e - s + 1)) AS chunk_md5 FROM c) "
+)
+
+_add(
+    "q_cdc",
+    _q_cdc,
+    _CDC_CHUNKS_SQL
+    + "SELECT media_id, chunk_idx, start_pos, length, chunk_md5 FROM ch "
+    "ORDER BY media_id NULLS FIRST, chunk_idx",
+    "content-defined chunking: positional-boundary chunk table "
+    "(offsets + digests) replayed exactly in DuckDB",
+)
+
+
+# [pair] chunk-level binary dedup over the positional chunk table —
+# the digest-ranking window + per-doc aggregation of
+# cdc.chunk_dedup_stats, replayed on the same SQL chunk CTE.  Exercises
+# the full lane: chunk -> global first-copy ranking -> per-doc dup
+# bytes.  Fixture duplication comes from documents sharing 400-char
+# prefixes at synthesis; self-duplication inside a doc counts too.
+
+def _q_cdc_dedup(spark, sf_dir):
+    from ..operators.cdc import cdc_chunks_positional, chunk_dedup_stats
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        "doc_id", F.expr("substring(text, 1, 400)").alias("text")
+    )
+    return chunk_dedup_stats(cdc_chunks_positional(docs)).orderBy(
+        "media_id"
+    )
+
+
+_add(
+    "q_cdc_dedup",
+    _q_cdc_dedup,
+    _CDC_CHUNKS_SQL
+    + ", rk AS (SELECT media_id, length, row_number() OVER "
+    "(PARTITION BY chunk_md5 ORDER BY media_id, chunk_idx) AS rk "
+    "FROM ch) "
+    "SELECT media_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+    "CAST(SUM(length) AS BIGINT) AS total_bytes, "
+    "CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS dup_chunks, "
+    "CAST(SUM(CASE WHEN rk > 1 THEN length ELSE 0 END) AS BIGINT) "
+    "AS dup_bytes, "
+    "CAST(CASE WHEN SUM(length) > 0 THEN "
+    "(SUM(CASE WHEN rk > 1 THEN length ELSE 0 END) * 1000000) "
+    "// SUM(length) ELSE 0 END AS BIGINT) AS dup_bytes_ppm "
+    "FROM rk GROUP BY media_id ORDER BY media_id NULLS FIRST",
+    "chunk-level dedup stats: digest first-copy ranking + per-doc "
+    "duplicated bytes, replayed on the same chunk CTE",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7375,7 +7464,7 @@ _ROUND6_STAGED = [
 ]
 _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
-    "q_vad", "q_image_meta", "q_exif_scrub",
+    "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

@@ -1,0 +1,164 @@
+"""Content-defined chunking tests: FastCDC invariants + resync
+property, positional twin vs an independent python reference, and
+chunk-level dedup stats."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from evm_archive_spark.operators import cdc
+
+
+def test_fastcdc_invariants():
+    rng = np.random.default_rng(11)
+    b = rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
+    cuts = cdc.fastcdc_boundaries(b, min_size=64, avg_size=256, max_size=1024)
+    assert cuts[-1] == len(b)
+    assert cuts == sorted(set(cuts))
+    sizes = [e - s for s, e in zip([0] + cuts[:-1], cuts)]
+    # every chunk but the last obeys min/max
+    assert all(64 <= sz <= 1024 for sz in sizes[:-1])
+    assert sizes[-1] <= 1024
+    # deterministic
+    assert cuts == cdc.fastcdc_boundaries(
+        b, min_size=64, avg_size=256, max_size=1024
+    )
+    # avg lands in the right decade (normalized chunking)
+    assert 100 <= len(b) / len(sizes) <= 600
+    assert cdc.fastcdc_boundaries(b"") == []
+    with pytest.raises(ValueError):
+        cdc.fastcdc_boundaries(b, avg_size=300)  # not a power of two
+
+
+def test_fastcdc_resync_property():
+    """Prepending bytes shifts early boundaries but the chunker
+    re-synchronizes: the digest sequences share a long common suffix —
+    the property that makes CDC dedup catch shifted content."""
+    rng = np.random.default_rng(12)
+    b1 = rng.integers(0, 256, 30_000, dtype=np.uint8).tobytes()
+    b2 = b"PREFIX" * 10 + b1
+
+    def digests(b):
+        cuts = cdc.fastcdc_boundaries(
+            b, min_size=64, avg_size=256, max_size=1024
+        )
+        return [
+            hashlib.md5(b[s:e]).hexdigest()
+            for s, e in zip([0] + cuts[:-1], cuts)
+        ]
+
+    d1, d2 = digests(b1), digests(b2)
+    common = 0
+    while (
+        common < min(len(d1), len(d2))
+        and d1[-1 - common] == d2[-1 - common]
+    ):
+        common += 1
+    assert common >= len(d1) - 4, (common, len(d1))
+
+
+def _positional_reference(text: str, w: int = 8):
+    """Independent python replay of the positional twin (character
+    positions, md5 over utf-8)."""
+    out, prev = [], 0
+    n = len(text)
+    for i in range(1, n + 1):
+        window = text[max(0, i - w) : i]
+        if i == n or (
+            i >= w
+            and hashlib.md5(window.encode()).hexdigest().startswith("0")
+        ):
+            chunk = text[prev:i]
+            out.append(
+                (
+                    len(out),
+                    prev + 1,
+                    i - prev,
+                    hashlib.md5(chunk.encode()).hexdigest(),
+                )
+            )
+            prev = i
+    return out
+
+
+def test_positional_chunks_vs_reference(spark):
+    import pandas as pd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 40,
+        "héllo wörld ünïcode — " * 60,
+        "short",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {}
+    for r in cdc.cdc_chunks_positional(df).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["chunk_idx"], r["start_pos"], r["length"], r["chunk_md5"])
+        )
+    for mid, text in enumerate(texts):
+        ref = _positional_reference(text or "")
+        assert sorted(got.get(mid, [])) == ref, mid
+
+
+def test_cdc_chunks_spark_tiles_payload(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    payloads = [
+        rng.integers(0, 256, 5000, dtype=np.uint8).tobytes(),
+        b"",
+        None,
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0, 1, 2], "payload": payloads})
+    )
+    rows = cdc.cdc_chunks(
+        df, min_size=64, avg_size=256, max_size=1024
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    assert set(by_doc) == {0}  # empty/null payloads chunk to nothing
+    chunks = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    # chunks tile the payload and digests re-verify against the bytes
+    pos = 1
+    b = payloads[0]
+    for r in chunks:
+        assert r["start_pos"] == pos
+        s, ln = r["start_pos"] - 1, r["length"]
+        assert (
+            hashlib.md5(b[s : s + ln]).hexdigest() == r["chunk_md5"]
+        )
+        pos += ln
+    assert pos - 1 == len(b)
+
+
+def test_chunk_dedup_stats(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(14)
+    base = rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes()
+    unique = rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes()
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [0, 1, 2], "payload": [base, base, unique]}
+        )
+    )
+    chunks = cdc.cdc_chunks(df, min_size=64, avg_size=256, max_size=1024)
+    stats = {
+        r["media_id"]: r for r in cdc.chunk_dedup_stats(chunks).collect()
+    }
+    # doc 1 is byte-identical to doc 0: every chunk is a duplicate
+    assert stats[1]["dup_chunks"] == stats[1]["n_chunks"]
+    assert stats[1]["dup_bytes"] == stats[1]["total_bytes"] == len(base)
+    assert stats[1]["dup_bytes_ppm"] == 1_000_000
+    # doc 0 holds the first copies; doc 2 is independent randomness
+    assert stats[0]["dup_chunks"] == 0
+    assert stats[2]["dup_chunks"] == 0 and stats[2]["dup_bytes_ppm"] == 0
