@@ -27,9 +27,11 @@ codegen clients read, r5), Relay cursor connections (r5), and watch
 mode (r6: ``serve(catalog_tables(spark))`` re-derives the schema from
 the live catalog per request, the Postgraphile ``--watch`` behavior)
 are in, as are ``--cors`` (preflight + Access-Control headers) and
-``--allow-explain`` (physical plans under ``extensions.explain``);
-the GraphiQL UI remains out of scope (it is a bundled web app, not
-query capability).
+``--allow-explain`` (physical plans under ``extensions.explain``).
+The GraphiQL slot is covered by ``serve(..., graphiql=True)``: a
+from-scratch zero-dependency query console page at GET / — we do not
+vendor the bundled GraphiQL React app itself, the console covers the
+operational need (type, run, read, explain).
 
 Served over stdlib ``http.server`` (POST /graphql for queries, GET +
 ``Upgrade: websocket`` for subscriptions) — no third-party dependency.
@@ -941,6 +943,46 @@ def catalog_tables(spark, include=None):
     return snapshot
 
 
+# Minimal self-contained query console (the GraphiQL convenience slot,
+# docker-compose.yaml:55-72).  NOT the GraphiQL app — that is a bundled
+# React build we will not vendor; this is a from-scratch zero-dependency
+# page covering the operational need: type a query, run it against the
+# same endpoint, read pretty-printed JSON, opt into explain.
+_CONSOLE_HTML = b"""<!doctype html>
+<html><head><meta charset="utf-8"><title>GraphQL console</title><style>
+body{font-family:monospace;margin:1rem;display:grid;gap:.5rem;
+grid-template-columns:1fr 1fr;grid-template-rows:auto 1fr auto}
+h1{grid-column:1/3;font-size:1rem;margin:0}
+textarea{width:100%;box-sizing:border-box;font:inherit;min-height:14rem}
+pre{grid-column:1/3;background:#f6f6f6;padding:.5rem;overflow:auto;
+white-space:pre-wrap;min-height:8rem}
+label{font-size:.8rem}</style></head><body>
+<h1>GraphQL console</h1>
+<div><label>query</label><br>
+<textarea id="q">{ __schema { queryType { name } } }</textarea></div>
+<div><label>variables (JSON)</label><br><textarea id="v">{}</textarea></div>
+<div><button id="run">Run</button>
+<label><input type="checkbox" id="x"> explain</label></div>
+<pre id="out"></pre>
+<script>
+document.getElementById('run').onclick = async () => {
+  const out = document.getElementById('out');
+  let variables;
+  try { variables = JSON.parse(document.getElementById('v').value || '{}'); }
+  catch (e) { out.textContent = 'bad variables JSON: ' + e; return; }
+  const headers = {'Content-Type': 'application/json'};
+  if (document.getElementById('x').checked)
+    headers['X-GraphQL-Explain'] = 'on';
+  try {
+    const r = await fetch('/graphql', {method: 'POST', headers,
+      body: JSON.stringify(
+        {query: document.getElementById('q').value, variables})});
+    out.textContent = JSON.stringify(await r.json(), null, 2);
+  } catch (e) { out.textContent = 'request failed: ' + e; }
+};
+</script></body></html>"""
+
+
 def serve(
     tables,
     host: str = "127.0.0.1",
@@ -948,6 +990,7 @@ def serve(
     default_first: int | None = DEFAULT_FIRST,
     cors: bool | str = False,
     allow_explain: bool = False,
+    graphiql: bool = False,
 ):
     """Start the GraphQL endpoint on a daemon thread; returns the
     ``http.server`` instance (``server_address`` carries the bound port,
@@ -967,6 +1010,9 @@ def serve(
     on`` header — gets each top-level field's Spark physical plan under
     ``extensions.explain`` (where Postgraphile returns the EXPLAINed
     SQL); without the server flag the opt-in is ignored.
+    ``graphiql`` serves the built-in query console page on plain GET
+    (``/``, ``/graphql`` or ``/graphiql``) — the GraphiQL slot of
+    docker-compose.yaml:55-72 without vendoring the bundled app.
 
     The returned server also exposes ``publish(topic) -> int``
     (simple-subscriptions fan-out; see _SubscriptionHub) and ``hub``."""
@@ -978,9 +1024,22 @@ def serve(
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 — stdlib API name
-            if self.path.rstrip("/") not in ("", "/graphql") or (
+            plain = (
                 self.headers.get("Upgrade", "").lower() != "websocket"
+            )
+            if plain and graphiql and self.path.rstrip("/") in (
+                "", "/graphql", "/graphiql"
             ):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header(
+                    "Content-Length", str(len(_CONSOLE_HTML))
+                )
+                self._cors_headers()
+                self.end_headers()
+                self.wfile.write(_CONSOLE_HTML)
+                return
+            if self.path.rstrip("/") not in ("", "/graphql") or plain:
                 self.send_error(404)
                 return
             key = self.headers.get("Sec-WebSocket-Key", "")

@@ -699,6 +699,42 @@ def test_watch_mode_new_view_appears_without_restart(spark):
             pass
 
 
+def test_console_page(spark):
+    """graphiql=True serves the built-in zero-dependency console on
+    plain GET (the GraphiQL slot, docker-compose.yaml:55-72); POST on
+    the same server still answers queries; without the flag plain GET
+    stays 404 (WebSocket upgrades unaffected either way)."""
+    srv = serve(_tables(spark), graphiql=True)
+    try:
+        port = srv.server_address[1]
+        for path in ("/", "/graphql", "/graphiql"):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}"
+            ) as resp:
+                assert resp.status == 200
+                assert resp.headers["Content-Type"].startswith("text/html")
+                page = resp.read().decode()
+            assert "GraphQL console" in page and "fetch('/graphql'" in page
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphql",
+            json.dumps({"query": "{ allLogs { totalCount } }"}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert "totalCount" in json.loads(resp.read())["data"]["allLogs"]
+    finally:
+        srv.shutdown()
+
+    srv2 = serve(_tables(spark))  # flag off: plain GET remains 404
+    try:
+        port = srv2.server_address[1]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/graphql")
+        assert ei.value.code == 404
+    finally:
+        srv2.shutdown()
+
+
 def test_cors_and_allow_explain(spark):
     """Postgraphile --cors / --allow-explain parity (reference
     docker-compose.yaml:63,70): preflight + CORS headers on responses,
