@@ -144,6 +144,8 @@ _EXPORTS = {
     "cdc_chunks": "cdc",
     "cdc_chunks_positional": "cdc",
     "chunk_dedup_stats": "cdc",
+    "incremental_cdc_dedup": "cdc",
+    "persist_chunk_index": "cdc",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

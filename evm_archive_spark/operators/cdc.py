@@ -192,6 +192,110 @@ def cdc_chunks_positional(
     )
 
 
+def persist_chunk_index(
+    spark,
+    chunks: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Persist the distinct chunk digests of an ingested corpus,
+    hash-bucketed by ``chunk_md5`` — the binary-dedup counterpart of
+    ``dedup.persist_minhash_band_index``: nightly shards probe this
+    index with a ONE-SIDED shuffle (the bucketed scan's output
+    partitioning already matches the join key; pinned by
+    test_cdc.test_incremental_cdc_bucketed_index_one_sided).  At
+    100 TB the index holds one 32-char digest per ~1 KB chunk — about
+    3% of corpus bytes — and the corpus payloads are never re-read.
+
+    Append pattern: after a shard is admitted, append its survivors'
+    ``chunk_md5`` rows (dropDuplicates within the shard) through the
+    same bucket spec; duplicate digests across appends only cost index
+    bytes, never correctness (probes are semi-joins)."""
+    from .. import storage
+
+    storage.write_bucketed(
+        chunks.select("chunk_md5").dropDuplicates(),
+        table,
+        path,
+        ["chunk_md5"],
+        n_buckets,
+    )
+    return spark.table(table)
+
+
+def incremental_cdc_dedup(
+    new_df: DataFrame,
+    chunks: DataFrame,
+    index: DataFrame,
+    id_col: str = "media_id",
+    max_dup_ppm: int = 500_000,
+) -> DataFrame:
+    """Admit an incoming shard against a persisted chunk-digest index:
+    a payload is dropped when more than ``max_dup_ppm`` of its bytes
+    live in chunks the corpus has already ingested — the chunk-level
+    generalization of ``dedup.incremental_exact_dedup`` (whole-digest)
+    that also catches shifted/embedded reuse (CDC resync property).
+
+    ``chunks`` is the shard's chunk table from either chunker (the
+    caller picks FastCDC for production or the positional twin for the
+    oracle gate).  Plan shape: semi-probe of shard chunk digests
+    against the index (one-sided shuffle when bucketed), per-doc
+    partial aggregation of duplicated bytes, broadcast-size join back
+    onto the shard.  The corpus is never read.  Returns surviving
+    shard rows plus ``total_bytes``/``dup_bytes``/``dup_ppm``; append
+    survivors' digests to the index afterwards."""
+    hits = chunks.join(
+        index.select("chunk_md5"), "chunk_md5", "left_semi"
+    ).select(F.col("media_id").alias("__hid"), "length")
+    per_doc = (
+        chunks.groupBy("media_id")
+        .agg(F.sum("length").alias("total_bytes"))
+        .join(
+            hits.groupBy("__hid").agg(F.sum("length").alias("dup_bytes")),
+            F.col("media_id") == F.col("__hid"),
+            "left",
+        )
+        .select(
+            F.col("media_id").alias("__mid"),
+            "total_bytes",
+            F.coalesce("dup_bytes", F.lit(0)).cast("long").alias(
+                "dup_bytes"
+            ),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.when(
+                F.col("total_bytes") > 0,
+                F.floor(
+                    F.col("dup_bytes") * 1_000_000 / F.col("total_bytes")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return (
+        new_df.join(
+            per_doc, F.col(id_col) == F.col("__mid"), "left"
+        )
+        .filter(
+            F.coalesce(F.col("dup_ppm"), F.lit(0)) <= F.lit(max_dup_ppm)
+        )
+        .drop("__mid")
+        .withColumn(
+            "total_bytes",
+            F.coalesce("total_bytes", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "dup_bytes", F.coalesce("dup_bytes", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "dup_ppm", F.coalesce("dup_ppm", F.lit(0)).cast("long")
+        )
+    )
+
+
 def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
     """Per-document chunk-level dedup profile from a chunk table:
     every (digest) group keeps its first copy by (media_id, chunk_idx)

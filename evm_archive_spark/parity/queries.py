@@ -7258,6 +7258,83 @@ _add(
 )
 
 
+# [pair] incremental CDC admission vs a persisted chunk-digest index —
+# the two-shard arithmetic of q_incr_minhash applied to the binary
+# lane: old corpus = doc_id % 3 != 0; the shard is doc_id % 3 = 0 PLUS
+# byte-identical clones of every 5th old doc (id + 1000000), planted so
+# the index probe does real dropping (clones hit 100% of their chunk
+# bytes).  Positional chunker on both sides; the oracle replays chunk
+# tables for both shards, the distinct-digest index, the semi-probe
+# aggregation and the ppm filter.  The FastCDC production path +
+# bucketed one-sided plan pin are pytest-gated (test_cdc.py).
+
+def _q_incr_cdc(spark, sf_dir):
+    from ..operators.cdc import cdc_chunks_positional, incremental_cdc_dedup
+
+    register_testdata(spark, sf_dir, ["documents"])
+    base = fan_out(spark.table("documents")).select(
+        "doc_id", F.expr("substring(text, 1, 400)").alias("text")
+    )
+    old = base.filter("doc_id % 3 != 0")
+    clones = old.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    shard = base.filter("doc_id % 3 = 0").unionByName(clones)
+    index = cdc_chunks_positional(old).select("chunk_md5").distinct()
+    chunks = cdc_chunks_positional(shard)
+    out = incremental_cdc_dedup(
+        shard, chunks, index, id_col="doc_id", max_dup_ppm=500_000
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        "total_bytes",
+        "dup_bytes",
+        "dup_ppm",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_incr_cdc",
+    _q_incr_cdc,
+    "WITH base AS (SELECT doc_id, "
+    "COALESCE(substring(text, 1, 400), '') AS t FROM documents), "
+    "old AS (SELECT doc_id, t FROM base WHERE doc_id % 3 <> 0), "
+    "clones AS (SELECT doc_id + 1000000 AS doc_id, t FROM old "
+    "WHERE doc_id % 5 = 0), "
+    "shard AS (SELECT doc_id, t FROM base WHERE doc_id % 3 = 0 "
+    "UNION ALL SELECT doc_id, t FROM clones), "
+    "allsrc AS (SELECT 'old' AS side, doc_id, t FROM old "
+    "UNION ALL SELECT 'shard' AS side, doc_id, t FROM shard), "
+    "e AS (SELECT side, doc_id, t, i AS e FROM allsrc, "
+    "UNNEST(generate_series(1, length(t))) u(i) "
+    "WHERE i = length(t) OR (i >= 8 AND "
+    "substring(md5(substring(t, i - 7, 8)), 1, 1) = '0')), "
+    "c AS (SELECT side, doc_id, t, e, COALESCE(lag(e) OVER "
+    "(PARTITION BY side, doc_id ORDER BY e), 0) + 1 AS s FROM e), "
+    "ch AS (SELECT side, doc_id, e - s + 1 AS length, "
+    "md5(substring(t, s, e - s + 1)) AS chunk_md5 FROM c), "
+    "idx AS (SELECT DISTINCT chunk_md5 FROM ch WHERE side = 'old'), "
+    "agg AS (SELECT doc_id, SUM(length) AS total_bytes, "
+    "SUM(CASE WHEN chunk_md5 IN (SELECT chunk_md5 FROM idx) "
+    "THEN length ELSE 0 END) AS dup_bytes "
+    "FROM ch WHERE side = 'shard' GROUP BY doc_id), "
+    "fin AS (SELECT s.doc_id, COALESCE(a.total_bytes, 0) AS total_bytes, "
+    "COALESCE(a.dup_bytes, 0) AS dup_bytes, "
+    "CASE WHEN COALESCE(a.total_bytes, 0) > 0 THEN "
+    "(COALESCE(a.dup_bytes, 0) * 1000000) // a.total_bytes "
+    "ELSE 0 END AS dup_ppm "
+    "FROM shard s LEFT JOIN agg a USING (doc_id)) "
+    "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+    "CAST(total_bytes AS BIGINT) AS total_bytes, "
+    "CAST(dup_bytes AS BIGINT) AS dup_bytes, "
+    "CAST(dup_ppm AS BIGINT) AS dup_ppm "
+    "FROM fin WHERE dup_ppm <= 500000 "
+    "ORDER BY media_id NULLS FIRST",
+    "incremental CDC admission: shard chunk digests vs the old-corpus "
+    "index, clones dropped at 1e6 ppm — full two-shard DuckDB replay",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7446,11 +7523,12 @@ _ROUND2_FIRST = [
 #      r2/r3), so the driver can finally record hash-green rows under
 #      the canonical names; the engine xxhash/fake-payload defaults are
 #      demoted to pytest invariants;
-#   3. the 5 gates registered late IN round 6 itself (stream-reorg,
-#      WARC, robots, sitemap, spectral) — pulled into this head rather
-#      than staged for r7, so no gate waits a full round for its first
-#      driver row; each driver-sim'd green at sf0.01 in a fresh default
-#      session before inclusion;
+#   3. the gates registered late IN round 6 itself (stream-reorg, WARC,
+#      robots, sitemap, spectral, then the late-session lanes: VAD,
+#      EXIF metadata + scrub, CDC chunking/dedup/incremental) — pulled
+#      into this head rather than staged for r7, so no gate waits a
+#      full round for its first driver row; each driver-sim'd green at
+#      sf0.01 AND sf0.1 in a fresh default session before inclusion;
 #   4. the 12 r1-only greens the r5 window's [:50] cut left out
 #      (_R1_ONLY_GREENS[31:]);
 #   5. remaining slots: next-oldest regression re-checks — the r2
@@ -7465,6 +7543,7 @@ _ROUND6_STAGED = [
 _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
+    "q_incr_cdc",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

@@ -8,6 +8,7 @@ import hashlib
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from evm_archive_spark.operators import cdc
 
@@ -138,6 +139,127 @@ def test_cdc_chunks_spark_tiles_payload(spark):
         )
         pos += ln
     assert pos - 1 == len(b)
+
+
+def test_incremental_cdc_admission(spark):
+    """Shard admission against a chunk-digest index: exact clones and
+    SHIFTED clones of ingested payloads are dropped (the resync
+    property working across the index), fresh content survives; the
+    corpus payloads are never re-read (only the index df is used)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    corpus_payload = rng.integers(0, 256, 25_000, dtype=np.uint8).tobytes()
+    fresh = rng.integers(0, 256, 25_000, dtype=np.uint8).tobytes()
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0], "payload": [corpus_payload]})
+    )
+    kw = dict(min_size=64, avg_size=256, max_size=1024)
+    index = (
+        cdc.cdc_chunks(corpus, **kw).select("chunk_md5").distinct()
+    )
+    shard = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [10, 11, 12],
+                "payload": [
+                    corpus_payload,  # exact clone
+                    b"SHIFT" * 20 + corpus_payload,  # shifted clone
+                    fresh,
+                ],
+            }
+        )
+    )
+    chunks = cdc.cdc_chunks(shard, **kw)
+    out = {
+        r["media_id"]: r
+        for r in cdc.incremental_cdc_dedup(
+            shard, chunks, index, max_dup_ppm=500_000
+        ).collect()
+    }
+    assert set(out) == {12}
+    assert out[12]["dup_ppm"] == 0
+    # the dropped ones really were digest-level hits, not accidents
+    stats = {
+        r["__hid"]: None
+        for r in chunks.join(index, "chunk_md5", "left_semi")
+        .select(F.col("media_id").alias("__hid"))
+        .collect()
+    }
+    assert 10 in stats and 11 in stats
+
+
+def test_incremental_cdc_bucketed_index_one_sided(spark, tmp_path):
+    """persist_chunk_index bucketed by chunk_md5 probes the shard with
+    a one-sided shuffle: zero Exchange above the bucketed index scan;
+    results pinned equal to the unbucketed path."""
+    import contextlib
+    import io
+    import re
+
+    import pandas as pd
+
+    rng = np.random.default_rng(22)
+    corpus_payload = rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes()
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0], "payload": [corpus_payload]})
+    )
+    kw = dict(min_size=64, avg_size=256, max_size=1024)
+    idx_df = cdc.cdc_chunks(corpus, **kw)
+    bucketed = cdc.persist_chunk_index(
+        spark, idx_df, "t_cdc_idx", str(tmp_path / "cdc_idx"), n_buckets=4
+    )
+    shard = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "payload": [
+                    corpus_payload,
+                    rng.integers(0, 256, 10_000, dtype=np.uint8).tobytes(),
+                ],
+            }
+        )
+    )
+    chunks = cdc.cdc_chunks(shard, **kw)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        survivors = cdc.incremental_cdc_dedup(shard, chunks, bucketed)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            survivors.explain("formatted")
+        plan = buf.getvalue()
+        assert re.search(r"Bucketed: true", plan), plan
+        tree = [
+            ln for ln in plan.splitlines()
+            if re.search(r"[+:]- \(?\w|^\w", ln)
+        ]
+        scan_i = next(
+            i for i, ln in enumerate(tree) if "t_cdc_idx" in ln
+        )
+        depth = tree[scan_i].index("- ")
+        ancestors = []
+        for ln in reversed(tree[:scan_i]):
+            d = ln.index("- ") if "- " in ln else -1
+            if d < depth:
+                ancestors.append(ln)
+                depth = d
+                if "Join" in ln:
+                    break
+        assert not any("Exchange" in ln for ln in ancestors), (
+            f"Exchange above the bucketed index scan:\n{plan}"
+        )
+        got = sorted(r["media_id"] for r in survivors.collect())
+        want = sorted(
+            r["media_id"]
+            for r in cdc.incremental_cdc_dedup(
+                shard, chunks, idx_df.select("chunk_md5").distinct()
+            ).collect()
+        )
+        assert got == want == [2]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_cdc_idx")
 
 
 def test_chunk_dedup_stats(spark):
