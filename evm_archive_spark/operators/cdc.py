@@ -296,6 +296,109 @@ def incremental_cdc_dedup(
     )
 
 
+def stream_cdc_admission(
+    payload_stream: DataFrame,
+    state_dir: str,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    min_size: int = 256,
+    avg_size: int = 1024,
+    max_size: int = 4096,
+    max_dup_ppm: int = 500_000,
+    bucketed_state: bool = False,
+    n_buckets: int = 64,
+    table_prefix: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """The STREAMING face of chunk-level binary dedup — the CDC member
+    of the admission-lane family (corpus / URL / image): each
+    micro-batch of binary payloads is FastCDC-chunked, probed against
+    the persisted chunk-digest state as of the previous batch, admitted
+    when at most ``max_dup_ppm`` of its bytes are already ingested, and
+    the survivors' digests appended to the state.  Ingested payloads
+    are never re-read — only their digests.
+
+    Replay semantics match the other lanes (ADVICE r5): survivors are
+    exactly-once via ``survivors/batch_id=<N>/`` overwrite-by-partition;
+    state rows are membership-only (semi-join probes), so a bucketed
+    replay's duplicate digests change no admission decision.
+
+    ``bucketed_state=True`` keeps the digest state as a hash-bucketed
+    catalog table (``chunk_md5``, the ``persist_chunk_index`` layout):
+    the per-batch probe plans a one-sided shuffle with zero Exchange
+    above the state scan.
+
+    Layout under ``state_dir``: ``chunks/`` (digests), ``survivors/``
+    (admitted rows + dup stats, partitioned by batch_id),
+    ``_checkpoint``.  Returns the started StreamingQuery."""
+    import hashlib as _hashlib
+    import os
+
+    chunks_path = os.path.join(state_dir, "chunks")
+    survivors_path = os.path.join(state_dir, "survivors")
+    prefix = table_prefix or (
+        "cdc_" + _hashlib.md5(state_dir.encode()).hexdigest()[:10]
+    )
+    idx_table = f"{prefix}_chunks"
+    kw = dict(min_size=min_size, avg_size=avg_size, max_size=max_size)
+
+    def admit(batch_df, batch_id):
+        from .. import storage
+
+        s = batch_df.sparkSession
+        if bucketed_state and s.catalog.tableExists(idx_table):
+            index = s.table(idx_table)
+        elif not bucketed_state and os.path.exists(chunks_path):
+            index = s.read.parquet(chunks_path).select("chunk_md5")
+        else:
+            index = s.createDataFrame([], "chunk_md5 string")
+        chunks = cdc_chunks(batch_df, payload_col, id_col, **kw)
+        surv = incremental_cdc_dedup(
+            batch_df, chunks, index, id_col=id_col,
+            max_dup_ppm=max_dup_ppm,
+        ).localCheckpoint(eager=True)
+        surv.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
+        delta = (
+            chunks.join(
+                surv.select(F.col(id_col).alias("__sid")),
+                F.col("media_id") == F.col("__sid"),
+                "left_semi",
+            )
+            .select("chunk_md5")
+            .dropDuplicates()
+        )
+        if bucketed_state:
+            if s.catalog.tableExists(idx_table):
+                (
+                    delta.write.mode("append").format("parquet")
+                    .option("path", chunks_path)
+                    .bucketBy(n_buckets, "chunk_md5").sortBy("chunk_md5")
+                    .saveAsTable(idx_table)
+                )
+            else:
+                storage.write_bucketed(
+                    delta, idx_table, chunks_path, ["chunk_md5"],
+                    n_buckets,
+                )
+        else:
+            delta.write.mode("overwrite").parquet(
+                os.path.join(chunks_path, f"batch_id={batch_id}")
+            )
+
+    writer = payload_stream.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
     """Per-document chunk-level dedup profile from a chunk table:
     every (digest) group keeps its first copy by (media_id, chunk_idx)

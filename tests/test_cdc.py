@@ -262,6 +262,77 @@ def test_incremental_cdc_bucketed_index_one_sided(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_cdc_idx")
 
 
+def test_stream_cdc_admission_equals_sequential_replay(spark, tmp_path):
+    """Two micro-batches through stream_cdc_admission produce exactly
+    the survivors of the sequential batch replay against the same
+    persisted digest state: a cross-batch clone (and a shifted clone)
+    is dropped by state fed forward from batch 1; bucketed state mode
+    admits the identical set."""
+    import os
+
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    p0 = rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes()
+    p2 = rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes()
+    shifted = b"NEWHEAD" * 8 + p0
+    b1 = pd.DataFrame({"media_id": [0], "payload": [p0]})
+    b2 = pd.DataFrame(
+        {"media_id": [10, 11, 12], "payload": [p0, shifted, p2]}
+    )
+    kw = dict(min_size=64, avg_size=256, max_size=1024)
+    src = tmp_path / "src"
+    stamped: set[str] = set()
+    for i, b in enumerate((b1, b2)):
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        # pin mtimes so the file source orders the batches (NOTES.md)
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in stamped:
+                t = 1_700_000_000 + i
+                os.utime(src / f, (t, t))
+                stamped.add(f)
+
+    schema = "media_id long, payload binary"
+    for bucketed, sub in ((False, "plain"), (True, "bucketed")):
+        state = str(tmp_path / f"state_{sub}")
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src))
+        q = cdc.stream_cdc_admission(
+            stream, state, bucketed_state=bucketed,
+            table_prefix=f"t_cdcadm_{sub}", n_buckets=4, **kw
+        )
+        q.awaitTermination()
+        got = sorted(
+            r["media_id"]
+            for r in spark.read.parquet(f"{state}/survivors").collect()
+        )
+        assert got == [0, 12], (sub, got)
+        assert any(
+            d.startswith("batch_id=")
+            for d in os.listdir(f"{state}/survivors")
+        )
+        spark.sql(f"DROP TABLE IF EXISTS t_cdcadm_{sub}_chunks")
+
+    # sequential replay over the same shards and fresh state
+    index = spark.createDataFrame([], "chunk_md5 string")
+    expect = []
+    for b in (b1, b2):
+        df = spark.createDataFrame(b)
+        chunks = cdc.cdc_chunks(df, **kw)
+        surv = cdc.incremental_cdc_dedup(df, chunks, index).localCheckpoint()
+        expect += [r["media_id"] for r in surv.collect()]
+        delta = chunks.join(
+            surv.select(F.col("media_id").alias("__sid")),
+            F.col("media_id") == F.col("__sid"),
+            "left_semi",
+        ).select("chunk_md5")
+        index = index.union(delta).distinct().localCheckpoint()
+    assert sorted(expect) == [0, 12]
+
+
 def test_chunk_dedup_stats(spark):
     import pandas as pd
 
