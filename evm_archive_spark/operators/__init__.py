@@ -146,6 +146,7 @@ _EXPORTS = {
     "chunk_dedup_stats": "cdc",
     "incremental_cdc_dedup": "cdc",
     "persist_chunk_index": "cdc",
+    "stream_cdc_admission": "cdc",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",
