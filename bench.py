@@ -84,6 +84,11 @@ HEADLINE = [
     "q_nb_classify",
     "q_html_extract",
     "q_web_pipeline",
+    # round-6 late: chunk-level binary dedup (positional CDC chunk
+    # table -> digest first-copy ranking); VAD fake-twin lane
+    # (mapInPandas batch path representative)
+    "q_cdc_dedup",
+    "q_vad",
 ]
 
 
