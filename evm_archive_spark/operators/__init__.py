@@ -147,6 +147,7 @@ _EXPORTS = {
     "incremental_cdc_dedup": "cdc",
     "persist_chunk_index": "cdc",
     "stream_cdc_admission": "cdc",
+    "pdf_to_text": "pdf",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

@@ -1,0 +1,501 @@
+"""From-scratch PDF text extraction (ISO 32000-1 subset), stdlib only.
+
+PDF is one of the highest-volume real corpus sources a training
+pipeline ingests (papers, reports, books); the reference stores
+payloads opaquely and leaves interpretation to the warehouse, so text
+extraction belongs to the analytics engine — same placement argument as
+the image/audio codecs (multimodal.py) and WARC (warc.py).
+
+Scope (documented, like every codec boundary in this repo):
+- Classic non-encrypted PDFs; object map built by a tolerant
+  ``N G obj .. endobj`` scan (real-world extractors do this — damaged
+  xref tables are endemic; the xref is never needed for a linear scan).
+- Content streams uncompressed or FlateDecode (zlib, inflation capped
+  against decompression bombs); other filters raise a named
+  ``NotImplementedError`` gap.
+- Simple fonts / single-byte encodings: string bytes decode latin-1
+  (PDFDocEncoding's printable range).  CID/composite fonts with CMaps
+  need font tables out of scope for a stdlib parser — their text
+  extracts as the raw bytes decode.
+- Text operators: BT/ET blocks, Tj, ' , " , TJ (kern numbers ignored),
+  newline on Td/TD with a vertical move, T*, and Tm.  Literal strings
+  with the full escape table + octal + line continuations; hex strings.
+- Encrypted PDFs (``/Encrypt`` in any trailer dict) raise ``PdfError``.
+
+Spark placement: per-payload parse inside Arrow batches
+(``pdf_to_text`` is mapInPandas, the codec boundary) — map-side only,
+zero shuffle; at 100 TB the cost is the payload scan.  The q_pdf gate
+round-trips REAL pdfs: built from table rows by ``build_simple_pdf``,
+parsed back by this module, md5-pinned against the DuckDB-computed
+expected text (the WARC-gate synthesis pattern).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .codecerrors import guard
+
+MAX_STREAM_OUT = 64 * 1024 * 1024  # inflation cap per stream
+
+
+class PdfError(ValueError):
+    pass
+
+
+def is_pdf(b: bytes) -> bool:
+    return b[:5] == b"%PDF-"
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):  # pragma: no cover — debug aid
+        return f"Ref({self.num})"
+
+
+def _skip_ws(b: bytes, i: int) -> int:
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            while i < n and b[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+
+def _parse_value(b: bytes, i: int):
+    """Recursive-descent parse of one PDF object value at offset i;
+    returns (value, next_offset)."""
+    i = _skip_ws(b, i)
+    if i >= len(b):
+        raise PdfError("unexpected end of data")
+    c = b[i]
+    if b[i : i + 2] == b"<<":
+        d = {}
+        i += 2
+        while True:
+            i = _skip_ws(b, i)
+            if b[i : i + 2] == b">>":
+                return d, i + 2
+            if b[i : i + 1] != b"/":
+                raise PdfError(f"dict key is not a name at {i}")
+            key, i = _parse_value(b, i)
+            val, i = _parse_value(b, i)
+            d[key] = val
+    if c == 0x5B:  # [
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(b, i)
+            if b[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_value(b, i)
+            arr.append(v)
+    if c == 0x2F:  # /Name
+        j = i + 1
+        n = len(b)
+        while j < n and b[j] not in _WS and b[j] not in _DELIM:
+            j += 1
+        name = b[i + 1 : j].decode("latin-1")
+        # #xx hex escapes in names
+        name = re.sub(
+            r"#([0-9A-Fa-f]{2})",
+            lambda m: chr(int(m.group(1), 16)),
+            name,
+        )
+        return "/" + name, j
+    if c == 0x28:  # ( literal string
+        return _parse_literal_string(b, i)
+    if c == 0x3C:  # < hex string (<<" handled above)
+        j = b.index(b">", i)
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", b[i + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode()), j + 1
+    m = _REF_RE.match(b, i)
+    if m:
+        return _Ref(int(m.group(1))), m.end()
+    m = _NUM_RE.match(b, i)
+    if m:
+        s = m.group(0)
+        return (float(s) if b"." in s else int(s)), m.end()
+    for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if b[i : i + len(lit)] == lit:
+            return val, i + len(lit)
+    raise PdfError(f"unparseable token at offset {i}")
+
+
+_ESC = {
+    0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b",
+    0x66: b"\x0c", 0x28: b"(", 0x29: b")", 0x5C: b"\\",
+}
+
+
+def _parse_literal_string(b: bytes, i: int):
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = b[i]
+            if e in _ESC:
+                out += _ESC[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < min(i + 3, n) and 0x30 <= b[j] <= 0x37:
+                    j += 1
+                out.append(int(b[i:j], 8) & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and b[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the char itself
+                out.append(e)
+                i += 1
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        out.append(c)
+        i += 1
+    raise PdfError("unterminated literal string")
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+
+
+def _objects(b: bytes) -> dict[int, tuple]:
+    """Tolerant object scan: {num: (value, stream_bytes | None)}."""
+    objs: dict[int, tuple] = {}
+    for m in _OBJ_RE.finditer(b):
+        num = int(m.group(1))
+        try:
+            val, i = _parse_value(b, m.end())
+        except PdfError:
+            continue
+        stream = None
+        i = _skip_ws(b, i)
+        if b[i : i + 6] == b"stream":
+            i += 6
+            if b[i : i + 2] == b"\r\n":
+                i += 2
+            elif b[i : i + 1] == b"\n":
+                i += 1
+            ln = val.get("/Length") if isinstance(val, dict) else None
+            if isinstance(ln, int):
+                stream = b[i : i + ln]
+            else:  # /Length indirect or damaged: search endstream
+                j = b.find(b"endstream", i)
+                if j < 0:
+                    raise PdfError("unterminated stream")
+                stream = b[i:j].rstrip(b"\r\n")
+        objs[num] = (val, stream)
+    if not objs:
+        raise PdfError("no objects found")
+    return objs
+
+
+def _resolve(objs: dict, v):
+    seen = 0
+    while isinstance(v, _Ref):
+        v = objs.get(v.num, (None, None))[0]
+        seen += 1
+        if seen > 32:
+            raise PdfError("reference cycle")
+    return v
+
+
+def _decode_stream(objs: dict, d: dict, raw: bytes) -> bytes:
+    filt = _resolve(objs, d.get("/Filter"))
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    out = raw
+    for f in filters:
+        f = _resolve(objs, f)
+        if f == "/FlateDecode":
+            try:
+                out = zlib.decompressobj().decompress(out, MAX_STREAM_OUT)
+            except zlib.error as e:
+                raise PdfError(f"bad Flate stream: {e}") from e
+        else:
+            raise NotImplementedError(
+                f"PDF stream filter {f} needs codecs out of stdlib "
+                "scope (supported: none, /FlateDecode)"
+            )
+    return out
+
+
+_TEXT_OPS = {b"Tj", b"'", b'"', b"TJ", b"Td", b"TD", b"T*", b"Tm",
+             b"BT", b"ET"}
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _extract_text(content: bytes) -> str:
+    """Walk a content stream's operators, keeping text order."""
+    out: list[str] = []
+    stack: list = []
+    i, n = 0, len(content)
+    line_open = False
+
+    def emit(raw: bytes):
+        nonlocal line_open
+        out.append(raw.decode("latin-1"))
+        line_open = True
+
+    def newline():
+        nonlocal line_open
+        if line_open:
+            out.append("\n")
+            line_open = False
+
+    while i < n:
+        i = _skip_ws(content, i)
+        if i >= n:
+            break
+        c = content[i]
+        if c == 0x28 or c == 0x3C or c == 0x5B or c == 0x2F or (
+            0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E)
+        ):
+            try:
+                v, i = _parse_value(content, i)
+            except PdfError:
+                i += 1
+                continue
+            stack.append(v)
+            continue
+        m = _OP_RE.match(content, i)
+        if not m:
+            i += 1
+            continue
+        op = m.group(0)
+        i = m.end()
+        if op == b"Tj" and stack and isinstance(stack[-1], bytes):
+            emit(stack[-1])
+        elif op in (b"'", b'"'):
+            newline()
+            if stack and isinstance(stack[-1], bytes):
+                emit(stack[-1])
+        elif op == b"TJ" and stack and isinstance(stack[-1], list):
+            for el in stack[-1]:
+                if isinstance(el, bytes):
+                    emit(el)
+        elif op in (b"TD", b"Td"):
+            if len(stack) >= 1 and isinstance(
+                stack[-1], (int, float)
+            ) and stack[-1] != 0:
+                newline()
+        elif op in (b"T*", b"Tm", b"ET"):
+            newline()
+        stack.clear()  # every operator consumes its operands
+    return "".join(out)
+
+
+@guard(PdfError)
+def extract_pdf_text(b: bytes) -> tuple[str, int]:
+    """Extract (text, n_pages) from a PDF payload.  Page texts joined
+    with ``\\f`` (form feed)."""
+    if not is_pdf(b):
+        raise PdfError("not a PDF (%PDF- header missing)")
+    if b"/Encrypt" in b:
+        raise PdfError("encrypted PDFs are out of scope")
+    objs = _objects(b)
+    # find the page tree: catalog /Pages, else any /Type /Pages root
+    pages: list[dict] = []
+
+    def walk(node, depth=0):
+        node = _resolve(objs, node)
+        if not isinstance(node, dict) or depth > 64:
+            return
+        t = node.get("/Type")
+        if t == "/Pages":
+            for kid in _resolve(objs, node.get("/Kids")) or []:
+                walk(kid, depth + 1)
+        elif t == "/Page":
+            pages.append(node)
+
+    root = None
+    for _num, (val, _s) in sorted(objs.items()):
+        if isinstance(val, dict) and val.get("/Type") == "/Catalog":
+            root = val.get("/Pages")
+            break
+    if root is not None:
+        walk(root)
+    if not pages:  # tolerant fallback: direct page scan
+        for _num, (val, _s) in sorted(objs.items()):
+            if isinstance(val, dict) and val.get("/Type") == "/Page":
+                pages.append(val)
+    texts = []
+    for pg in pages:
+        contents = pg.get("/Contents")
+        resolved = _resolve(objs, contents)
+        if isinstance(resolved, list):
+            refs = resolved  # array of stream refs
+        elif contents is None:
+            refs = []
+        else:
+            refs = [contents]  # single stream ref — keep the REF so
+            # the stream bytes (attached to the object) stay reachable
+        body = b""
+        for r in refs:
+            if not isinstance(r, _Ref):
+                continue
+            d, raw = objs.get(r.num, (None, None))
+            if raw is None:
+                continue
+            body += _decode_stream(objs, d, raw) + b"\n"
+        texts.append(_extract_text(body))
+    return "\f".join(texts), len(pages)
+
+
+def build_simple_pdf(page_texts: list[str], compress: bool = False) -> bytes:
+    """Minimal single-font PDF writer (synthesis utility for gates and
+    round-trip checks; tests also verify against an independent
+    hand-written fixture builder).  Each page shows its text as one
+    ``Tj`` per line at a fixed position.  Input must be latin-1
+    encodable; ``(``, ``)`` and ``\\`` are escaped."""
+    objects: list[bytes] = []
+
+    def esc(s: str) -> bytes:
+        return (
+            s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        ).encode("latin-1")
+
+    n_pages = len(page_texts)
+    # 1 catalog, 2 pages, 3 font; pages at 4..; contents after
+    kids = " ".join(f"{4 + i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i in range(n_pages):
+        objects.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {4 + n_pages + i} 0 R >>".encode()
+        )
+    for text in page_texts:
+        lines = text.split("\n")
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for k, ln in enumerate(lines):
+            if k:
+                parts.append(b"0 -14 Td")
+            parts.append(b"(" + esc(ln) + b") Tj")
+        parts.append(b"ET")
+        body = b" ".join(parts)
+        if compress:
+            body = zlib.compress(body)
+            head = (
+                f"<< /Length {len(body)} /Filter /FlateDecode >>".encode()
+            )
+        else:
+            head = f"<< /Length {len(body)} >>".encode()
+        objects.append(head + b"\nstream\n" + body + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, obj in enumerate(objects, 1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_pages", T.LongType()),
+    ]
+)
+
+
+def pdf_to_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Text extraction over a binary PDF column — the document-corpus
+    mirror of ``weburl.html_to_text``: (media_id, text, n_pages), page
+    texts joined by form feed.
+
+    ``strict=True``: non-PDF payloads raise ``NotImplementedError``,
+    corrupt PDFs raise ``PdfError``-backed ``ValueError``.
+    ``strict=False``: both fall back to the deterministic sha256 fake
+    (``text = 'pdf:' + hex prefix``) — the never-fail admission
+    contract."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf_batch in it:
+            out = {"media_id": [], "text": [], "n_pages": []}
+            for mid, payload in zip(
+                pdf_batch[id_col], pdf_batch[payload_col]
+            ):
+                b = bytes(payload or b"")
+                row = None
+                if is_pdf(b):
+                    try:
+                        text, np_ = extract_pdf_text(b)
+                        row = (text, np_)
+                    except (PdfError, NotImplementedError):
+                        if strict:
+                            raise
+                elif strict:
+                    raise NotImplementedError(
+                        "strict pdf_to_text expects %PDF- payloads; "
+                        "use strict=False for the deterministic fake"
+                    )
+                if row is None:
+                    h = hashlib.sha256(b).digest()
+                    row = ("pdf:" + h[:8].hex(), 1 + h[8] % 9)
+                out["media_id"].append(mid)
+                out["text"].append(row[0])
+                out["n_pages"].append(row[1])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, PDF_TEXT_SCHEMA)

@@ -7335,6 +7335,71 @@ _add(
 )
 
 
+# [pair] PDF text extraction, REAL round trip (the WARC-gate synthesis
+# pattern): each doc's printable-ASCII cleaned prefix is written into a
+# real one-page FlateDecode PDF by pdf.build_simple_pdf inside the
+# executor batch, parsed BACK by the from-scratch ISO 32000 extractor
+# (strict=True — no fake path), and the recovered text md5-pinned.
+# The oracle computes the expected round-trip text arithmetically — it
+# never parses PDF.  Structure coverage beyond this gate (TJ arrays,
+# hex strings, escape table, indirect /Length, array /Contents,
+# truncation fuzz) is pytest-gated in test_pdf.py.
+
+def _q_pdf(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.pdf import build_simple_pdf, pdf_to_text
+
+    register_testdata(spark, sf_dir, ["documents"])
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.coalesce(F.expr("substring(text, 1, 200)"), F.lit("")),
+            r"[^ -~]",
+            " ",
+        ),
+        r"[()\\]",
+        " ",
+    )
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"), cleaned.alias("t")
+    )
+
+    def build(it):
+        for b in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "payload": [
+                        build_simple_pdf([t], compress=True)
+                        for t in b["t"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = pdf_to_text(media, strict=True)
+    return out.select(
+        "media_id",
+        F.md5("text").alias("out_md5"),
+        "n_pages",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_pdf",
+    _q_pdf,
+    "WITH d AS (SELECT doc_id, "
+    "COALESCE(substring(text, 1, 200), '') AS t0 FROM documents), "
+    "c AS (SELECT doc_id, regexp_replace(regexp_replace(t0, "
+    "'[^ -~]', ' ', 'g'), '[()\\]', ' ', 'g') AS t FROM d) "
+    "SELECT doc_id AS media_id, md5(t || chr(10)) AS out_md5, "
+    "CAST(1 AS BIGINT) AS n_pages "
+    "FROM c ORDER BY media_id NULLS FIRST",
+    "PDF round trip: build real Flate PDFs from doc text, parse back "
+    "with the from-scratch extractor, md5 == oracle's expected text",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7543,7 +7608,7 @@ _ROUND6_STAGED = [
 _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
-    "q_incr_cdc",
+    "q_incr_cdc", "q_pdf",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

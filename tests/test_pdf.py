@@ -1,0 +1,158 @@
+"""PDF text-extraction tests.
+
+The independent fixture builder here writes PDFs with a DIFFERENT
+structure than pdf.build_simple_pdf (indirect /Length, TJ arrays, hex
+strings, escape-table coverage, array /Contents, out-of-order object
+numbers) so the parser and the module's synthesis utility share no
+blind spots.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pytest
+
+from evm_archive_spark.operators import pdf
+
+
+def _assemble(objects: dict[int, bytes]) -> bytes:
+    """Hand-rolled assembler: objects keyed by number, emitted in the
+    given (possibly non-sequential) order, valid xref."""
+    out = bytearray(b"%PDF-1.4\n% independent fixture\n")
+    offsets = {}
+    for num, body in objects.items():
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    mx = max(objects) + 1
+    out += f"xref\n0 {mx}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for n in range(1, mx):
+        out += (
+            f"{offsets.get(n, 0):010d} 00000 n \n".encode()
+            if n in offsets
+            else b"0000000000 65535 f \n"
+        )
+    out += (
+        f"trailer\n<< /Size {mx} /Root 1 0 R >>\nstartxref\n{xref_off}"
+        "\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _fixture_pdf() -> bytes:
+    """Two pages; page 1 uses TJ with kerning + hex string + escapes +
+    indirect /Length and array /Contents split across two streams;
+    page 2 compressed with Flate and T* line breaks."""
+    s1a = b"BT /F1 10 Tf 50 700 Td [(Hel) -120 (lo,)] TJ ( ) Tj ET"
+    s1b = (
+        b"BT /F1 10 Tf 50 680 Td <776f726c64> Tj "
+        b"(!\\051\\\\ done\\n) Tj ET"
+    )  # 'world' hex, escaped ')' octal, backslash, \n escape
+    body2 = (
+        b"BT /F1 10 Tf 50 700 Td (line one) Tj T* (line two) Tj ET"
+    )
+    z2 = zlib.compress(body2)
+    objs = {
+        7: b"<< /Length 8 0 R >>\nstream\n" + s1a + b"\nendstream",
+        8: str(len(s1a)).encode(),
+        9: f"<< /Length {len(s1b)} >>".encode()
+        + b"\nstream\n" + s1b + b"\nendstream",
+        10: f"<< /Length {len(z2)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n" + z2 + b"\nendstream",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents [7 0 R 9 0 R] "
+        b"/Resources << /Font << /F1 3 0 R >> >> >>",
+        5: b"<< /Type /Page /Parent 2 0 R /Contents 10 0 R "
+        b"/Resources << /Font << /F1 3 0 R >> >> >>",
+        2: b"<< /Type /Pages /Count 2 /Kids [4 0 R 5 0 R] >>",
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+    }
+    return _assemble(objs)
+
+
+def test_fixture_pdf_extracts():
+    text, n_pages = pdf.extract_pdf_text(_fixture_pdf())
+    assert n_pages == 2
+    p1, p2 = text.split("\f")
+    # TJ pieces concatenate (kern numbers ignored), hex decodes,
+    # escapes resolve; the Td vertical move between streams breaks line
+    assert "Hello, " in p1
+    assert "world!)\\ done\n" in p1
+    assert p2 == "line one\nline two\n"
+
+
+def test_build_round_trip_plain_and_flate():
+    pages = ["alpha beta (gamma)\\delta", "second page text"]
+    for compress in (False, True):
+        b = pdf.build_simple_pdf(pages, compress=compress)
+        assert pdf.is_pdf(b)
+        text, n = pdf.extract_pdf_text(b)
+        assert n == 2
+        got = text.split("\f")
+        assert got[0] == "alpha beta (gamma)\\delta\n"
+        assert got[1] == "second page text\n"
+
+
+def test_multiline_and_empty():
+    b = pdf.build_simple_pdf(["l1\nl2\nl3"])
+    text, n = pdf.extract_pdf_text(b)
+    assert n == 1 and text == "l1\nl2\nl3\n"
+    assert pdf.extract_pdf_text(pdf.build_simple_pdf([])) == ("", 0)
+
+
+def test_errors_and_gaps():
+    with pytest.raises(pdf.PdfError, match="not a PDF"):
+        pdf.extract_pdf_text(b"plain text")
+    with pytest.raises(pdf.PdfError, match="encrypted"):
+        pdf.extract_pdf_text(b"%PDF-1.4\n<< /Encrypt 5 0 R >>")
+    # unsupported filter names the gap
+    raw = b"BT (x) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: f"<< /Length {len(raw)} /Filter /DCTDecode >>".encode()
+        + b"\nstream\n" + raw + b"\nendstream",
+    }
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        pdf.extract_pdf_text(_assemble(objs))
+    # truncation fuzz: typed errors only (guard normalization)
+    full = _fixture_pdf()
+    for cut in range(8, len(full), 97):
+        try:
+            pdf.extract_pdf_text(full[:cut])
+        except (pdf.PdfError, NotImplementedError):
+            pass  # the only acceptable failures
+
+
+def test_pdf_to_text_spark(spark):
+    import pandas as pd
+
+    good = pdf.build_simple_pdf(["doc body one"], compress=True)
+    rows = {
+        r["media_id"]: r
+        for r in pdf.pdf_to_text(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "media_id": [0, 1],
+                        "payload": [good, b"not a pdf"],
+                    }
+                )
+            ),
+            strict=False,
+        ).collect()
+    }
+    assert rows[0]["text"] == "doc body one\n" and rows[0]["n_pages"] == 1
+    h = hashlib.sha256(b"not a pdf").digest()
+    assert rows[1]["text"] == "pdf:" + h[:8].hex()
+    assert rows[1]["n_pages"] == 1 + h[8] % 9
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [9], "payload": [b"nope"]})
+    )
+    with pytest.raises(Exception, match="NotImplementedError|strict pdf"):
+        pdf.pdf_to_text(bad, strict=True).collect()
