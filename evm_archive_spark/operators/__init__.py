@@ -148,6 +148,9 @@ _EXPORTS = {
     "persist_chunk_index": "cdc",
     "stream_cdc_admission": "cdc",
     "pdf_to_text": "pdf",
+    "code_stats": "sourcecode",
+    "code_filter": "sourcecode",
+    "license_tags": "sourcecode",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

@@ -7400,6 +7400,132 @@ _add(
 )
 
 
+# Code-corpus curation gates (sourcecode.py).  The synthesis expression
+# below is dialect-shared (runs verbatim in Spark SQL and DuckDB): it
+# turns each document into a code-shaped file — an SPDX header line
+# (3 licenses + none, by doc_id % 4), an auto-generation marker comment
+# (% 7), the doc text one-word-per-line, and a minified long line
+# (% 5) — so every filter signal actually fires on the fixture.
+_CODE_CONTENT_EXPR = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN '// SPDX-License-Identifier: MIT' "
+    "WHEN 1 THEN '// SPDX-License-Identifier: GPL-3.0-only' "
+    "WHEN 2 THEN '// SPDX-License-Identifier: Apache-2.0' "
+    "ELSE '// no license' END "
+    "|| chr(10) || "
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "'/* auto-generated file, do not edit */' "
+    "ELSE '/* hand written */' END "
+    "|| chr(10) || "
+    "replace(replace(COALESCE(substring(text, 1, 300), ''), "
+    "chr(10), ' '), ' ', chr(10)) "
+    "|| chr(10) || "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "repeat(replace(COALESCE(substring(text, 1, 300), ''), "
+    "chr(10), ' '), 5) ELSE 'end' END"
+)
+
+
+def _code_docs(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    return fan_out(spark.table("documents")).selectExpr(
+        "doc_id", _CODE_CONTENT_EXPR + " AS text"
+    )
+
+
+def _q_code_stats(spark, sf_dir):
+    from ..operators.sourcecode import code_stats
+
+    return code_stats(_code_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_add(
+    "q_code_stats",
+    _q_code_stats,
+    "WITH src AS (SELECT doc_id, " + _CODE_CONTENT_EXPR + " AS t "
+    "FROM documents), "
+    "ln AS (SELECT doc_id, COUNT(*) AS n_lines, "
+    "MAX(length(x)) AS max_line_len, "
+    "SUM(CASE WHEN length(x) > 1000 THEN 1 ELSE 0 END) AS n_long_lines "
+    "FROM src, UNNEST(string_split(t, chr(10))) u(x) GROUP BY doc_id) "
+    "SELECT s.doc_id, "
+    "CAST(ln.n_lines AS BIGINT) AS n_lines, "
+    "CAST(ln.max_line_len AS BIGINT) AS max_line_len, "
+    "CAST(length(s.t) AS BIGINT) AS total_chars, "
+    "CAST(length(regexp_replace(s.t, '[^A-Za-z0-9]', '', 'g')) "
+    "AS BIGINT) AS alnum_chars, "
+    "CAST(ln.n_long_lines AS BIGINT) AS n_long_lines, "
+    "CAST(CASE WHEN lower(s.t) LIKE '%auto-generated%' "
+    "OR lower(s.t) LIKE '%autogenerated%' "
+    "OR lower(s.t) LIKE '%automatically generated%' "
+    "OR lower(s.t) LIKE '%do not edit%' "
+    "OR lower(s.t) LIKE '%generated by%' THEN 1 ELSE 0 END AS BIGINT) "
+    "AS autogen "
+    "FROM src s JOIN ln USING (doc_id) ORDER BY doc_id NULLS FIRST",
+    "code line-shape stats (StarCoder family): per-file line profile "
+    "replayed via UNNEST aggregation in DuckDB",
+)
+
+
+def _q_license(spark, sf_dir):
+    from ..operators.sourcecode import license_tags
+
+    return license_tags(_code_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_add(
+    "q_license",
+    _q_license,
+    "WITH src AS (SELECT doc_id, " + _CODE_CONTENT_EXPR + " AS t "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "regexp_extract(t, 'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) "
+    "AS license, "
+    "CAST(CASE WHEN regexp_extract(t, "
+    "'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1) IN "
+    "('MIT', 'Apache-2.0', 'BSD-2-Clause', 'BSD-3-Clause', 'ISC', "
+    "'Unlicense', 'CC0-1.0', 'Zlib') THEN 1 ELSE 0 END AS BIGINT) "
+    "AS permissive "
+    "FROM src ORDER BY doc_id NULLS FIRST",
+    "SPDX license tag extraction + permissive allowlist flag",
+)
+
+
+def _q_code_filter(spark, sf_dir):
+    from ..operators.sourcecode import code_filter
+
+    out = code_filter(_code_docs(spark, sf_dir))
+    return out.selectExpr(
+        "doc_id", "CAST(length(text) AS BIGINT) AS total_chars"
+    ).orderBy("doc_id")
+
+
+_add(
+    "q_code_filter",
+    _q_code_filter,
+    "WITH src AS (SELECT doc_id, " + _CODE_CONTENT_EXPR + " AS t "
+    "FROM documents), "
+    "ln AS (SELECT doc_id, COUNT(*) AS n_lines, "
+    "MAX(length(x)) AS max_line_len "
+    "FROM src, UNNEST(string_split(t, chr(10))) u(x) GROUP BY doc_id), "
+    "st AS (SELECT s.doc_id, length(s.t) AS total_chars, "
+    "length(regexp_replace(s.t, '[^A-Za-z0-9]', '', 'g')) AS alnum, "
+    "ln.n_lines, ln.max_line_len, "
+    "CASE WHEN lower(s.t) LIKE '%auto-generated%' "
+    "OR lower(s.t) LIKE '%autogenerated%' "
+    "OR lower(s.t) LIKE '%automatically generated%' "
+    "OR lower(s.t) LIKE '%do not edit%' "
+    "OR lower(s.t) LIKE '%generated by%' THEN 1 ELSE 0 END AS autogen "
+    "FROM src s JOIN ln USING (doc_id)) "
+    "SELECT doc_id, CAST(total_chars AS BIGINT) AS total_chars FROM st "
+    "WHERE max_line_len <= 1000 AND total_chars <= n_lines * 100 "
+    "AND alnum * 1000000 >= total_chars * 250000 AND autogen = 0 "
+    "ORDER BY doc_id NULLS FIRST",
+    "composed code admission filter: line caps + alnum fraction + "
+    "autogen drop, survivors replayed in DuckDB",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7608,7 +7734,7 @@ _ROUND6_STAGED = [
 _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
-    "q_incr_cdc", "q_pdf",
+    "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

@@ -1,0 +1,84 @@
+"""Code-corpus curation tests: each admission rule pinned on a
+constructed file that violates exactly that rule."""
+
+from __future__ import annotations
+
+from evm_archive_spark.operators import sourcecode
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_code_stats_fields(spark):
+    good = "def f(x):\n    return x + 1\n# done"
+    minified = "x=1;" * 300  # one 1200-char line
+    rows = {
+        r["doc_id"]: r
+        for r in sourcecode.code_stats(
+            _df(
+                spark,
+                [
+                    (0, good),
+                    (1, minified),
+                    (2, "/* auto-generated file */\ncode"),
+                    (3, None),
+                ],
+            )
+        ).collect()
+    }
+    g = rows[0]
+    assert g["n_lines"] == 3
+    assert g["max_line_len"] == len("    return x + 1")
+    assert g["total_chars"] == len(good)
+    assert g["alnum_chars"] == sum(c.isalnum() for c in good)
+    assert g["n_long_lines"] == 0 and g["autogen"] == 0
+    m = rows[1]
+    assert m["n_lines"] == 1 and m["max_line_len"] == 1200
+    assert m["n_long_lines"] == 1
+    assert rows[2]["autogen"] == 1
+    assert rows[3]["total_chars"] == 0 and rows[3]["n_lines"] == 1
+
+
+def test_license_tags(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in sourcecode.license_tags(
+            _df(
+                spark,
+                [
+                    (0, "// SPDX-License-Identifier: MIT\ncode"),
+                    (1, "# SPDX-License-Identifier:   GPL-3.0-only"),
+                    (2, "no tag here"),
+                ],
+            )
+        ).collect()
+    }
+    assert rows[0]["license"] == "MIT" and rows[0]["permissive"] == 1
+    assert rows[1]["license"] == "GPL-3.0-only"
+    assert rows[1]["permissive"] == 0
+    assert rows[2]["license"] == "" and rows[2]["permissive"] == 0
+
+
+def test_code_filter_each_rule(spark):
+    ok = "short lines\n" * 20
+    rows = [
+        (0, ok),
+        (1, "y" * 1500),                       # max line length
+        (2, ("w" * 150 + "\n") * 5),           # avg line length
+        (3, "!@# $%^ &*()\n" * 10),            # alnum fraction
+        (4, "// do not edit\n" + ok),          # autogen marker
+    ]
+    got = sorted(
+        r["doc_id"]
+        for r in sourcecode.code_filter(_df(spark, rows)).collect()
+    )
+    assert got == [0]
+    # autogen drop is optional
+    got2 = sorted(
+        r["doc_id"]
+        for r in sourcecode.code_filter(
+            _df(spark, rows), drop_autogen=False
+        ).collect()
+    )
+    assert got2 == [0, 4]
