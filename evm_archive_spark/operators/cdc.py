@@ -60,7 +60,30 @@ def gear_table() -> list[int]:
     ]
 
 
-_GEAR = None
+_GEAR_NP = None
+
+
+def _gear_hash_all(arr) -> "object":
+    """Full-history gear hash at every position, vectorized:
+    ``h[i] = sum_{k=0..63} gear[b[i-k]] << k  (mod 2^64)`` — the
+    left-shift recurrence ages a byte out after 64 steps, so the hash
+    is a function of the last 64 bytes only (position-local, which is
+    exactly what gives CDC its resync property).  64 shifted vector
+    adds instead of a per-byte Python loop."""
+    import numpy as np
+
+    global _GEAR_NP
+    if _GEAR_NP is None:
+        _GEAR_NP = np.array(gear_table(), dtype=np.uint64)
+    g = _GEAR_NP[arr]
+    h = np.zeros(len(arr), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(min(64, len(arr))):
+            if k == 0:
+                h += g
+            else:
+                h[k:] += g[:-k] << np.uint64(k)
+    return h
 
 
 def fastcdc_boundaries(
@@ -70,34 +93,49 @@ def fastcdc_boundaries(
     max_size: int = 4096,
 ) -> list[int]:
     """FastCDC cut points (end offsets, exclusive; the final len(b) cut
-    included).  Gear rolling hash; normalized chunking: a harder mask
-    (2x bits) before avg_size, an easier one (half bits) after, which
-    pulls the size distribution toward avg_size (Xia et al. §3.4)."""
-    global _GEAR
-    if _GEAR is None:
-        _GEAR = gear_table()
+    included).  Gear hash over the last 64 bytes; normalized chunking:
+    a harder mask (2x bits) before avg_size, an easier one (half bits)
+    after, which pulls the size distribution toward avg_size (Xia et
+    al. §3.4, adapted to a full-history position-local hash so the
+    per-position work vectorizes).
+
+    Two-phase scan: numpy computes the hash at EVERY position (64
+    shifted vector adds), boundary candidates for each mask drop out
+    as ~1/2^bits-sparse position arrays, and a Python walk over just
+    the candidates (searchsorted per chunk) applies the min/avg/max
+    recurrence — per-byte cost stays vectorized, the sequential part
+    touches only candidate cut points."""
+    import numpy as np
+
     if not avg_size or avg_size & (avg_size - 1):
         raise ValueError("avg_size must be a power of two")
     if not (0 < min_size <= avg_size <= max_size):
         raise ValueError("need 0 < min_size <= avg_size <= max_size")
-    bits = avg_size.bit_length() - 1
-    mask_s = (1 << (bits + 1)) - 1  # strict: before avg_size
-    mask_l = (1 << (bits - 1)) - 1  # lax: after avg_size
     n = len(b)
+    if n == 0:
+        return []
+    bits = avg_size.bit_length() - 1
+    mask_s = np.uint64((1 << (bits + 1)) - 1)  # strict: before avg_size
+    mask_l = np.uint64((1 << (bits - 1)) - 1)  # lax: after avg_size
+    arr = np.frombuffer(b, dtype=np.uint8)
+    h = _gear_hash_all(arr)
+    # cut AFTER position i -> candidate cut offset i + 1
+    cand_s = np.flatnonzero((h & mask_s) == 0) + 1
+    cand_l = np.flatnonzero((h & mask_l) == 0) + 1
     cuts = []
     start = 0
     while start < n:
         end = min(start + max_size, n)
-        i = min(start + min_size, end)
-        h = 0
+        lo = start + min_size  # first admissible cut offset is lo + 1
+        hi_strict = min(start + avg_size, end)
         cut = end
-        while i < end:
-            h = ((h << 1) + _GEAR[b[i]]) & 0xFFFFFFFFFFFFFFFF
-            mask = mask_s if (i - start) < avg_size else mask_l
-            if (h & mask) == 0:
-                cut = i + 1
-                break
-            i += 1
+        j = np.searchsorted(cand_s, lo + 1)
+        if j < len(cand_s) and cand_s[j] <= hi_strict:
+            cut = int(cand_s[j])
+        elif hi_strict < end:
+            j = np.searchsorted(cand_l, hi_strict + 1)
+            if j < len(cand_l) and cand_l[j] <= end:
+                cut = int(cand_l[j])
         cuts.append(cut)
         start = cut
     return cuts
@@ -153,41 +191,49 @@ def cdc_chunks_positional(
     at ``i`` starts with '0').  Boundaries don't depend on earlier cuts
     (no min-size skip), so the construction is positionally replayable
     in ANSI SQL — this is the q_cdc oracle twin of ``cdc_chunks``."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    ends = F.when(
-        F.length(t) >= 1,
-        F.expr(
-            f"filter(sequence(1, length(coalesce({text_col}, ''))), "
-            f"i -> i = length(coalesce({text_col}, '')) OR (i >= {w} "
-            f"AND substring(md5(substring(coalesce({text_col}, ''), "
-            f"i - {w - 1}, {w})), 1, 1) = '0'))"
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    base = df.select(
-        F.col(id_col).alias("media_id"), t.alias("t"), ends.alias("ends")
+    # The boundary array is EXPENSIVE (one md5 per character position).
+    # Any formulation that references it from a second expression —
+    # element_at after a posexplode, ends[k-1] inside a transform
+    # lambda — gets the md5 chain inlined by CollapseProject and
+    # recomputed per chunk row (or worse, per array element: O(n^2)
+    # md5s; measured 24 s at sf0.01).  The fix is the NOTES.md gotcha:
+    # bind the array ONCE as the input of a single `aggregate` HOF and
+    # build the (idx, start, end) structs in its running fold — the
+    # aggregate's collection argument is evaluated exactly once per
+    # row, and nothing downstream re-touches the md5 chain.
+    tsrc = f"coalesce({text_col}, '')"
+    ends_sql = (
+        f"filter(sequence(1, length({tsrc})), "
+        f"i -> i = length({tsrc}) OR (i >= {w} "
+        f"AND substring(md5(substring({tsrc}, i - {w - 1}, {w})), "
+        f"1, 1) = '0'))"
     )
-    chunks = base.select(
+    acc_t = "array<struct<chunk_idx:int,start_pos:int,e:int>>"
+    chunks_sql = (
+        f"CASE WHEN length({tsrc}) >= 1 THEN "
+        f"aggregate({ends_sql}, "
+        f"named_struct('prev', 0, 'acc', cast(array() as {acc_t})), "
+        "(st, e) -> named_struct('prev', e, 'acc', concat(st.acc, "
+        "array(named_struct('chunk_idx', size(st.acc), "
+        "'start_pos', st.prev + 1, 'e', e)))), "
+        "st -> st.acc) "
+        f"ELSE cast(array() as {acc_t}) END"
+    )
+    packed = df.select(
+        F.col(id_col).alias("media_id"),
+        F.expr(tsrc).alias("t"),
+        F.expr(chunks_sql).alias("ch"),
+    )
+    rows = packed.select("media_id", "t", F.explode("ch").alias("c"))
+    return rows.select(
         "media_id",
-        "t",
-        F.posexplode("ends").alias("chunk_idx", "e"),
-        F.col("ends"),
-    ).select(
-        "media_id",
-        F.col("chunk_idx").cast("long"),
-        F.when(F.col("chunk_idx") == 0, F.lit(1))
-        .otherwise(F.element_at("ends", F.col("chunk_idx")) + 1)
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start_pos").cast("long").alias("start_pos"),
+        (F.col("c.e") - F.col("c.start_pos") + 1)
         .cast("long")
-        .alias("start_pos"),
-        F.col("e"),
-        "t",
-    )
-    return chunks.select(
-        "media_id",
-        "chunk_idx",
-        "start_pos",
-        (F.col("e") - F.col("start_pos") + 1).cast("long").alias("length"),
+        .alias("length"),
         F.md5(
-            F.expr("substring(t, start_pos, e - start_pos + 1)")
+            F.expr("substring(t, c.start_pos, c.e - c.start_pos + 1)")
         ).alias("chunk_md5"),
     )
 

@@ -213,6 +213,41 @@ def warc_pages(data: bytes) -> Iterator[tuple[int, str, str]]:
 
 
 @guard_iter(WarcError)
+def warc_documents(
+    data: bytes,
+) -> Iterator[tuple[int, str, str, str | None, bytes | None]]:
+    """Yield ``(record_idx, url, content_type, text, body)`` for every
+    200-status response record of a corpus-relevant type — the
+    mixed-content generalization of ``warc_pages``: HTML records carry
+    their charset-decoded markup in ``text`` (``body`` None), PDF
+    records carry raw bytes in ``body`` (``text`` None) for the
+    downstream ``pdf_to_text`` dispatch.  Record indices line up with
+    ``warc_pages``/``warc_page_digests`` by construction."""
+    idx = 0
+    for rec in warc_records(data):
+        i = idx
+        idx += 1
+        if rec["type"] != "response" or not rec["uri"]:
+            continue
+        try:
+            status, headers, body = http_response(rec["block"])
+        except WarcError:
+            continue
+        if status != 200:
+            continue
+        ctype = headers.get("content-type", "")
+        low = ctype.lower()
+        if "text/html" in low:
+            try:
+                text = body.decode(_charset(ctype), errors="strict")
+            except (LookupError, UnicodeDecodeError):
+                text = body.decode("utf-8", errors="replace")
+            yield i, rec["uri"], "text/html", text, None
+        elif "application/pdf" in low:
+            yield i, rec["uri"], "application/pdf", None, body
+
+
+@guard_iter(WarcError)
 def warc_page_digests(data: bytes) -> Iterator[tuple[int, str, str]]:
     """Yield ``(record_idx, url, payload_digest)`` for every 200-status
     text/html response record — the cheap pre-pass for content-level

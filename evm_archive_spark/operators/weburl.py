@@ -428,6 +428,107 @@ def warc_to_pages(
     return media.mapInPandas(batches, out_schema)
 
 
+def warc_to_documents(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "warc_id",
+) -> DataFrame:
+    """Mixed-content WARC fan-out: one row per 200-status HTML OR PDF
+    response record — ``(warc_id, record_idx, url, content_type,
+    text, body)`` where HTML rows carry charset-decoded markup in
+    ``text`` and PDF rows carry raw bytes in ``body``.  The
+    typed-column split keeps each downstream extractor on its own
+    branch (JVM ``html_to_text`` vs ``pdf.pdf_to_text``) with no
+    per-row dispatch cost."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("record_idx", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("body", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .warc import warc_documents
+
+        cols = [f.name for f in out_schema.fields]
+        for pdf in it:
+            rows = {c: [] for c in cols}
+            for wid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                for idx, url, ctype, text, body in warc_documents(b):
+                    rows[id_col].append(wid)
+                    rows["record_idx"].append(idx)
+                    rows["url"].append(url)
+                    rows["content_type"].append(ctype)
+                    rows["text"].append(text)
+                    rows["body"].append(body)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, out_schema)
+
+
+def warc_mixed_corpus(
+    media: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "warc_id",
+    docs_per_warc: int = 1_000_000,
+) -> DataFrame:
+    """Crawl-to-text over MIXED content types: WARC segments fan out
+    once, HTML rows take the pure-JVM ``html_to_text`` branch, PDF
+    rows take the from-scratch ``pdf.pdf_to_text`` extractor
+    (strict=False: a corrupt PDF yields its deterministic fake rather
+    than failing the crawl), and the branches union into one
+    ``(doc_id, url, content_type, text)`` corpus table.  ``doc_id`` is
+    the same dense ``warc_id * docs_per_warc + record_idx`` contract
+    as ``warc_corpus_pipeline``.
+
+    Scale shape: one fan-out pass; each branch is map-side (regexp
+    chain / Arrow-batched parse); the union is plan-level only.  The
+    single join is the PDF branch re-attaching (url, content_type) to
+    its extracted text on the dense doc_id — the PDF slice of a crawl
+    is the small side by orders of magnitude (AQE broadcasts it)."""
+    from .pdf import pdf_to_text
+
+    docs = warc_to_documents(media, payload_col, id_col).select(
+        (
+            F.col(id_col) * F.lit(docs_per_warc) + F.col("record_idx")
+        ).alias("doc_id"),
+        "url",
+        "content_type",
+        "text",
+        "body",
+    )
+    html = docs.filter(F.col("content_type") == "text/html").select(
+        "doc_id",
+        "url",
+        "content_type",
+        html_to_text("text").alias("text"),
+    )
+    pdfs = docs.filter(F.col("content_type") == "application/pdf")
+    pdf_texts = pdf_to_text(
+        pdfs.select(F.col("doc_id").alias("media_id"),
+                    F.col("body").alias("payload")),
+        strict=False,
+    ).select(F.col("media_id").alias("doc_id"), F.col("text"))
+    pdf_rows = (
+        pdfs.select("doc_id", "url", "content_type")
+        .join(pdf_texts, "doc_id")
+        .select("doc_id", "url", "content_type", "text")
+    )
+    return html.unionByName(pdf_rows)
+
+
 def warc_corpus_pipeline(
     media: DataFrame,
     *,

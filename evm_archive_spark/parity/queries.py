@@ -7526,6 +7526,85 @@ _add(
 )
 
 
+# [pair] winnowing fingerprints (MOSS) — md5-based 32-bit gram hashes
+# so DuckDB replays every fingerprint: gram hash = first 8 md5 hex
+# chars of the space-joined 5-token gram; fingerprints = distinct
+# minima over 4-gram sliding windows (plus the global min for docs
+# with 1..3 grams, the short-doc convention).  Text capped at 200
+# chars to bound gate rows.
+
+def _q_winnow(spark, sf_dir):
+    from ..operators.sourcecode import winnow_fingerprints
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        "doc_id", F.expr("substring(text, 1, 200)").alias("text")
+    )
+    return winnow_fingerprints(docs, k=5, window=4).orderBy(
+        "doc_id", "fp"
+    )
+
+
+_WINNOW_FPS_SQL = (
+    "WITH d AS (SELECT doc_id, list_filter(string_split_regex("
+    "trim(COALESCE(substring(text, 1, 200), '')), '[ \t\n\r\f]+'), "
+    "x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, toks, len(toks) - 4 AS ng FROM d), "
+    "gh AS (SELECT doc_id, i, ng, "
+    "CAST(('0x' || substring(md5(array_to_string(toks[i:i+4], ' ')), "
+    "1, 8)) AS BIGINT) AS h "
+    "FROM g, UNNEST(generate_series(1, GREATEST(ng, 0))) u(i)), "
+    "w AS (SELECT doc_id, i, ng, MIN(h) OVER (PARTITION BY doc_id "
+    "ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn "
+    "FROM gh), "
+    "wins AS (SELECT DISTINCT doc_id, mn AS fp FROM w "
+    "WHERE i <= ng - 3), "
+    "shorts AS (SELECT doc_id, MIN(h) AS fp FROM gh "
+    "WHERE ng BETWEEN 1 AND 3 GROUP BY doc_id), "
+    "fps AS (SELECT doc_id, fp FROM wins "
+    "UNION SELECT doc_id, fp FROM shorts) "
+)
+
+_add(
+    "q_winnow",
+    _q_winnow,
+    _WINNOW_FPS_SQL
+    + "SELECT doc_id, CAST(fp AS BIGINT) AS fp FROM fps "
+    "ORDER BY doc_id NULLS FIRST, fp",
+    "winnowing (MOSS) fingerprints: window-min gram hashes replayed "
+    "position-for-position in DuckDB",
+)
+
+
+# [pair] code-clone candidate pairs over the fingerprints — fp
+# equi-join, never all-pairs; n_shared >= 2.  Cross-doc sharing comes
+# from documents' natural boilerplate overlap at this SF.
+
+def _q_clone_pairs(spark, sf_dir):
+    from ..operators.sourcecode import clone_pairs, winnow_fingerprints
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        "doc_id", F.expr("substring(text, 1, 200)").alias("text")
+    )
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    return clone_pairs(fps, min_shared=2).orderBy("id_a", "id_b")
+
+
+_add(
+    "q_clone_pairs",
+    _q_clone_pairs,
+    _WINNOW_FPS_SQL
+    + "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_shared "
+    "FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2 "
+    "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST",
+    "code-clone candidate pairs: fingerprint equi-join + shared-count "
+    "threshold, replayed on the same fingerprint CTE",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,

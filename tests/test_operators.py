@@ -3897,6 +3897,7 @@ from test_robots import (  # noqa: E402
 )
 from test_warc import (  # noqa: E402
     _pooled_warc_digest_dedup_before_parse,
+    _pooled_warc_mixed_corpus_html_and_pdf,
     _pooled_warc_through_spark_pipeline,
 )
 from test_tiff import (  # noqa: E402
@@ -3928,6 +3929,7 @@ _POOLED_HEAVY = [
     _pooled_mp4_through_spark_strict_paths,
     _pooled_warc_through_spark_pipeline,
     _pooled_warc_digest_dedup_before_parse,
+    _pooled_warc_mixed_corpus_html_and_pdf,
     _pooled_robots_spark_matches_reference_fuzz,
     _pooled_bmp_through_spark_strict_paths,
     _pooled_classify_vs_python_reference,

@@ -60,6 +60,60 @@ def test_license_tags(spark):
     assert rows[2]["license"] == "" and rows[2]["permissive"] == 0
 
 
+def _winnow_reference(text, k=5, window=4):
+    """Independent python replay of the winnowing construction."""
+    import hashlib
+
+    toks = [t for t in text.split() if t]
+    ghs = [
+        int(
+            hashlib.md5(
+                " ".join(toks[i : i + k]).encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        for i in range(len(toks) - k + 1)
+    ]
+    if not ghs:
+        return set()
+    if len(ghs) < window:
+        return {min(ghs)}
+    return {
+        min(ghs[j : j + window]) for j in range(len(ghs) - window + 1)
+    }
+
+
+def test_winnow_fingerprints_vs_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short one",
+        "",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+    ]
+    df = _df(spark, list(enumerate(texts)))
+    got = {}
+    for r in sourcecode.winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_reference(t), i
+
+
+def test_winnow_guarantee_and_clone_pairs(spark):
+    """The winnowing guarantee: a shared run of >= k + window - 1
+    tokens between two otherwise-different documents produces >= 1
+    shared fingerprint; clone_pairs surfaces exactly that pair."""
+    shared = "copyright acme corp all rights reserved license header"
+    a = "totally unrelated preamble words here " + shared + " tail a"
+    b = shared + " completely different body text with other words"
+    c = "no overlap with anything else at all in this file body"
+    fps = sourcecode.winnow_fingerprints(
+        _df(spark, [(1, a), (2, b), (3, c)])
+    )
+    pairs = sourcecode.clone_pairs(fps, min_shared=1).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
 def test_code_filter_each_rule(spark):
     ok = "short lines\n" * 20
     rows = [

@@ -225,6 +225,67 @@ def test_warc_page_digests_prefers_stamped_field():
     assert got[1][2].startswith("sha256:")
 
 
+def test_warc_documents_mixed_types():
+    """warc_documents yields HTML rows as decoded text and PDF rows as
+    raw bytes; other types and non-200s are skipped."""
+    from evm_archive_spark.operators.pdf import build_simple_pdf
+    from evm_archive_spark.operators.warc import warc_documents
+
+    pdf_bytes = build_simple_pdf(["pdf body words"])
+    data = (
+        _record("response", "http://x/h", _http(b"<p>hyper text</p>"))
+        + _record(
+            "response", "http://x/p",
+            _http(pdf_bytes, ctype="application/pdf"),
+        )
+        + _record(
+            "response", "http://x/img",
+            _http(b"GIF89a...", ctype="image/gif"),
+        )
+        + _record(
+            "response", "http://x/gone",
+            _http(b"<p>x</p>", status=404),
+        )
+    )
+    got = list(warc_documents(data))
+    assert [(g[1], g[2]) for g in got] == [
+        ("http://x/h", "text/html"),
+        ("http://x/p", "application/pdf"),
+    ]
+    assert got[0][3] == "<p>hyper text</p>" and got[0][4] is None
+    assert got[1][3] is None and bytes(got[1][4]) == pdf_bytes
+
+
+def _pooled_warc_mixed_corpus_html_and_pdf(spark):
+    """warc_mixed_corpus end-to-end: one WARC with an HTML page and a
+    real (from-scratch-built) PDF — both branches extract text, doc_ids
+    follow the dense warc_id*K + record_idx contract."""
+    import pandas as pd
+
+    from evm_archive_spark.operators.pdf import build_simple_pdf
+    from evm_archive_spark.operators.weburl import warc_mixed_corpus
+
+    pdf_bytes = build_simple_pdf(["alpha pdf prose"], compress=True)
+    seg = (
+        _record("response", "http://m/h", _http(b"<p>web words</p>"))
+        + _record(
+            "response", "http://m/p",
+            _http(pdf_bytes, ctype="application/pdf"),
+        )
+    )
+    media = spark.createDataFrame(
+        pd.DataFrame({"warc_id": [3], "payload": [seg]})
+    )
+    rows = {
+        r["url"]: r for r in warc_mixed_corpus(media).collect()
+    }
+    assert rows["http://m/h"]["text"] == "web words"
+    assert rows["http://m/h"]["doc_id"] == 3_000_000
+    assert rows["http://m/p"]["text"] == "alpha pdf prose\n"
+    assert rows["http://m/p"]["doc_id"] == 3_000_001
+    assert rows["http://m/p"]["content_type"] == "application/pdf"
+
+
 def _pooled_warc_digest_dedup_before_parse(spark):
     """Content-level dedup across WARC segments on payload digests —
     identical bodies collapse to the first (warc_id, record_idx)
