@@ -151,6 +151,8 @@ _EXPORTS = {
     "code_stats": "sourcecode",
     "code_filter": "sourcecode",
     "license_tags": "sourcecode",
+    "winnow_fingerprints": "sourcecode",
+    "clone_pairs": "sourcecode",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

@@ -7814,6 +7814,7 @@ _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
+    "q_winnow", "q_clone_pairs",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
