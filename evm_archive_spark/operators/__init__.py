@@ -153,6 +153,8 @@ _EXPORTS = {
     "license_tags": "sourcecode",
     "winnow_fingerprints": "sourcecode",
     "clone_pairs": "sourcecode",
+    "ipynb_cells": "sourcecode",
+    "notebook_to_text": "sourcecode",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

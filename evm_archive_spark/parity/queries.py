@@ -7605,6 +7605,50 @@ _add(
 )
 
 
+# [pair] Jupyter-notebook extraction, REAL parse (the q_pdf shape):
+# each doc's printable prefix (quotes/backslashes stripped so no JSON
+# escaping is needed) is embedded into a synthesized .ipynb JSON with
+# one array-source code cell and one string-source markdown cell; the
+# Spark side runs the real from_json/zip_with/posexplode extractor,
+# the oracle computes the expected cell rows directly (it never
+# parses JSON).  Mixed source shapes exercise the per-cell merge.
+
+def _q_ipynb(spark, sf_dir):
+    from ..operators.sourcecode import ipynb_cells
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).selectExpr(
+        "doc_id",
+        "'{\"cells\":[{\"cell_type\":\"code\",\"source\":[\"' || "
+        "regexp_replace(COALESCE(substring(text, 1, 150), ''), "
+        "'[^ -~]|[\"\\\\\\\\]', ' ') || "
+        "'\"]},{\"cell_type\":\"markdown\",\"source\":\"' || "
+        "regexp_replace(COALESCE(substring(text, 151, 150), ''), "
+        "'[^ -~]|[\"\\\\\\\\]', ' ') || "
+        "'\"}]}' AS text",
+    )
+    return ipynb_cells(docs).orderBy("doc_id", "cell_idx")
+
+
+_add(
+    "q_ipynb",
+    _q_ipynb,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(COALESCE(substring(text, 1, 150), ''), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c1, "
+    "regexp_replace(COALESCE(substring(text, 151, 150), ''), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c2 FROM documents) "
+    "SELECT doc_id, CAST(0 AS BIGINT) AS cell_idx, "
+    "'code' AS cell_type, c1 AS source FROM d "
+    "UNION ALL "
+    "SELECT doc_id, CAST(1 AS BIGINT) AS cell_idx, "
+    "'markdown' AS cell_type, c2 AS source FROM d "
+    "ORDER BY doc_id NULLS FIRST, cell_idx",
+    "notebook extraction: real from_json parse of synthesized ipynb "
+    "vs the oracle's directly-computed cell rows",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7814,7 +7858,7 @@ _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
-    "q_winnow", "q_clone_pairs",
+    "q_winnow", "q_clone_pairs", "q_ipynb",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

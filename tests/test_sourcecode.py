@@ -60,6 +60,51 @@ def test_license_tags(spark):
     assert rows[2]["license"] == "" and rows[2]["permissive"] == 0
 
 
+def test_ipynb_cells_and_notebook_text(spark):
+    """Real nbformat-shaped JSON: array AND string sources, extra
+    fields ignored, raw cells excluded from notebook_to_text, invalid
+    JSON yields zero rows."""
+    import json as J
+
+    nb = J.dumps(
+        {
+            "nbformat": 4,
+            "metadata": {"kernelspec": {"name": "python3"}},
+            "cells": [
+                {
+                    "cell_type": "markdown",
+                    "metadata": {},
+                    "source": ["# Title\n", "intro line"],
+                },
+                {
+                    "cell_type": "code",
+                    "execution_count": 2,
+                    "outputs": [{"output_type": "stream"}],
+                    "source": "print('hi')",
+                },
+                {"cell_type": "raw", "source": ["skip me"]},
+            ],
+        }
+    )
+    df = _df(spark, [(0, nb), (1, "not json at all"), (2, None)])
+    cells = sorted(
+        (r["doc_id"], r["cell_idx"], r["cell_type"], r["source"])
+        for r in sourcecode.ipynb_cells(df).collect()
+    )
+    assert cells == [
+        (0, 0, "markdown", "# Title\nintro line"),
+        (0, 1, "code", "print('hi')"),
+        (0, 2, "raw", "skip me"),
+    ]
+    txt = {
+        r["doc_id"]: r
+        for r in sourcecode.notebook_to_text(df).collect()
+    }
+    assert list(txt) == [0]
+    assert txt[0]["text"] == "# Title\nintro line\nprint('hi')"
+    assert txt[0]["n_cells"] == 2
+
+
 def _winnow_reference(text, k=5, window=4):
     """Independent python replay of the winnowing construction."""
     import hashlib
