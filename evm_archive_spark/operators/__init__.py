@@ -50,6 +50,7 @@ _EXPORTS = {
     "decontaminate": "textanalysis",
     "contamination_report": "textanalysis",
     "scrub_pii": "textanalysis",
+    "markdown_to_text": "textanalysis",
     "normalize_text": "textanalysis",
     "chunk_documents": "textanalysis",
     "bpe_train": "textanalysis",

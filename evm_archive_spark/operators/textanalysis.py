@@ -289,6 +289,45 @@ def duckdb_script_profile_sql(
     )
 
 
+def markdown_to_text(col) -> F.Column:
+    """Markdown -> plain-text extraction as a pure JVM regexp chain —
+    the README/docs-corpus mirror of ``weburl.html_to_text``
+    (conservative, deterministic, no third-party parser):
+
+    1. fence lines (```lang) drop, fenced code CONTENT stays (code is
+       trainable text),
+    2. images ``![alt](url)`` keep the alt, links ``[text](url)`` /
+       ``[text][id]`` keep the text, reference-definition lines drop,
+    3. ATX heading markers, blockquote markers, list markers
+       (``- * +`` and ``1.``) strip; setext/hr marker lines drop,
+    4. emphasis runs (``*``/``_`` x1-3) unwrap, inline-code backticks
+       drop,
+    5. raw HTML tags drop (markdown allows them inline),
+    6. whitespace collapses exactly like ``html_to_text`` (horizontal
+       runs -> one space, blank lines -> one newline, edges trim).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "(?m)^\\s*```[A-Za-z0-9+-]*\\s*$", "")
+    c = F.regexp_replace(c, "(?m)^\\[[^\\]]+\\]:[^\\n]*$", "")
+    c = F.regexp_replace(c, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    c = F.regexp_replace(c, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    c = F.regexp_replace(c, "\\[([^\\]]*)\\]\\[[^\\]]*\\]", "$1")
+    c = F.regexp_replace(c, "(?m)^(={3,}|-{3,}|\\*{3,}|_{3,})\\s*$", "")
+    c = F.regexp_replace(c, "(?m)^#{1,6}[ \\t]*", "")
+    c = F.regexp_replace(c, "(?m)^[ \\t]*>[ \\t]?", "")
+    c = F.regexp_replace(
+        c, "(?m)^[ \\t]*([-*+]|[0-9]+\\.)[ \\t]+", ""
+    )
+    c = F.regexp_replace(c, "\\*{1,3}([^*\\n]+)\\*{1,3}", "$1")
+    c = F.regexp_replace(c, "_{1,3}([^_\\n]+)_{1,3}", "$1")
+    c = F.regexp_replace(c, "`", "")
+    c = F.regexp_replace(c, "<[^>\\n]*>", " ")
+    c = F.regexp_replace(c, "[ \\t\\x0B\\f\\r]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n+", "\n")
+    return F.regexp_replace(c, "^\\s+|\\s+$", "")
+
+
 def word_terms(col) -> F.Column:
     """Normalized word terms for TF-IDF: lowercase, split on non-letter
     runs, keep terms of length >= 3 (engine- and locale-independent)."""

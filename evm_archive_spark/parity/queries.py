@@ -7649,6 +7649,64 @@ _add(
 )
 
 
+# [pair] markdown -> text, REAL strip (the q_pdf shape): six letters-
+# only segments ('seg' prefix guarantees non-empty, [a-z] only so no
+# marker collisions) are wrapped into heading / emphasis / link /
+# inline-code / list / blockquote markdown; the Spark side runs the
+# real regexp-chain stripper, the oracle emits the expected plain text
+# directly from the construction — it never strips markdown.
+
+def _md_seg(off: int) -> str:
+    return (
+        "'seg' || regexp_replace(lower(COALESCE("
+        f"substring(text, {off}, 60), '')), '[^a-z]', '')"
+    )
+
+
+def _q_markdown(spark, sf_dir):
+    from ..operators.textanalysis import markdown_to_text
+
+    register_testdata(spark, sf_dir, ["documents"])
+    md = (
+        f"'# ' || {_md_seg(1)} || chr(10) || "
+        f"'**' || {_md_seg(61)} || '** and [' || {_md_seg(121)} || "
+        f"'](http://example.com/a?b=1) `' || {_md_seg(181)} || '`' "
+        f"|| chr(10) || '- item ' || {_md_seg(241)} || chr(10) || "
+        f"'> quote ' || {_md_seg(301)}"
+    )
+    docs = fan_out(spark.table("documents")).selectExpr(
+        "doc_id", md + " AS md"
+    )
+    return docs.select(
+        "doc_id", markdown_to_text("md").alias("text")
+    ).orderBy("doc_id")
+
+
+def _md_seg_duck(off: int) -> str:
+    return (
+        "'seg' || regexp_replace(lower(COALESCE("
+        f"substring(text, {off}, 60), '')), '[^a-z]', '', 'g')"
+    )
+
+
+_add(
+    "q_markdown",
+    _q_markdown,
+    "WITH d AS (SELECT doc_id, "
+    + ", ".join(
+        f"{_md_seg_duck(off)} AS s{i + 1}"
+        for i, off in enumerate((1, 61, 121, 181, 241, 301))
+    )
+    + " FROM documents) "
+    "SELECT doc_id, "
+    "s1 || chr(10) || s2 || ' and ' || s3 || ' ' || s4 || chr(10) || "
+    "'item ' || s5 || chr(10) || 'quote ' || s6 AS text "
+    "FROM d ORDER BY doc_id NULLS FIRST",
+    "markdown strip: real JVM regexp chain vs the oracle's "
+    "directly-constructed expected text",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7858,7 +7916,7 @@ _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
-    "q_winnow", "q_clone_pairs", "q_ipynb",
+    "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

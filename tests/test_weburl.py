@@ -153,6 +153,39 @@ HTML_CASES = {
 }
 
 
+def test_markdown_to_text_known_cases(spark):
+    """Rules the q_markdown gate doesn't exercise: fences (content
+    kept, markers dropped), images, reference links + definitions,
+    setext/hr lines, numbered lists, underscore emphasis, inline
+    HTML."""
+    from evm_archive_spark.operators.textanalysis import markdown_to_text
+
+    md = (
+        "Title\n===\n"
+        "```python\nx = 1\n```\n"
+        "![logo pic](http://img/x.png) and [docs][ref]\n"
+        "[ref]: http://example.com\n"
+        "1. first __thing__\n"
+        "2. second _item_\n"
+        "***\n"
+        "a <b>bold</b> tail"
+    )
+    df = spark.createDataFrame([(md,)], "t string")
+    got = df.select(markdown_to_text("t")).collect()[0][0]
+    assert got == (
+        "Title\n"
+        "x = 1\n"
+        "logo pic and docs\n"
+        "first thing\n"
+        "second item\n"
+        "a bold tail"
+    )
+    # empty / null safe
+    df2 = spark.createDataFrame([("",), (None,)], "t string")
+    vals = [r[0] for r in df2.select(markdown_to_text("t")).collect()]
+    assert vals == ["", None]
+
+
 def test_html_to_text_known_cases(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"t": list(HTML_CASES.keys())})
