@@ -156,6 +156,7 @@ _EXPORTS = {
     "clone_pairs": "sourcecode",
     "ipynb_cells": "sourcecode",
     "notebook_to_text": "sourcecode",
+    "explode_archives": "archive",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

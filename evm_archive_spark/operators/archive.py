@@ -1,0 +1,142 @@
+"""Archive-member fan-out (ZIP / tar, stdlib) — how code and document
+corpora actually arrive: repository snapshots, dataset drops, and
+crawl artifacts land as archive blobs.  The fan-out turns one archive
+payload row into one row per member file, ready for the code-curation
+(sourcecode.py), text (textanalysis.py), or multimodal lanes.
+
+Placement: per-payload stdlib parsing inside Arrow batches
+(mapInPandas, the codec boundary).  Zip's central directory and tar's
+512-byte headers are both read through ``io.BytesIO`` — no filesystem,
+no temp files.  Decompression is bounded per member
+(``max_member_bytes``) against zip bombs, the TIFF-Deflate rule
+applied to containers.  Corrupt archives raise ``ArchiveError``
+(guard-normalized) in strict mode and yield zero members otherwise —
+the never-fail admission contract.
+
+At 100 TB: fan-out is map-side; one archive row explodes to its
+members inside the task, so the only shuffle anywhere is whatever the
+downstream lane does.  Archives bigger than a task's memory should be
+stored pre-split (the documented contract for payload columns
+generally)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .codecerrors import guard_iter
+
+MAX_MEMBER_BYTES = 64 * 1024 * 1024
+
+
+class ArchiveError(ValueError):
+    pass
+
+
+def archive_kind(b: bytes) -> str | None:
+    """Sniff: 'zip' (PK header), 'tar' (ustar magic at 257, or a
+    plausible 512-byte header block), else None."""
+    if b[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
+        return "zip"
+    if len(b) >= 512:
+        if b[257:262] == b"ustar":
+            return "tar"
+    return None
+
+
+@guard_iter(ArchiveError)
+def archive_members(
+    b: bytes, max_member_bytes: int = MAX_MEMBER_BYTES
+) -> Iterator[tuple[str, int, bytes]]:
+    """Yield ``(path, size, payload)`` per regular-file member.
+    Members larger than ``max_member_bytes`` are SKIPPED (yielded with
+    an empty payload would lie; a curation pipeline logs them via the
+    size column of a later profile pass — the documented bound)."""
+    kind = archive_kind(b)
+    if kind == "zip":
+        try:
+            zf = zipfile.ZipFile(io.BytesIO(b))
+        except zipfile.BadZipFile as e:
+            raise ArchiveError(f"bad zip: {e}") from e
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            if info.file_size > max_member_bytes:
+                continue
+            try:
+                with zf.open(info) as f:
+                    # bounded read: file_size can lie in a crafted zip
+                    data = f.read(max_member_bytes + 1)
+            except (zipfile.BadZipFile, NotImplementedError) as e:
+                raise ArchiveError(f"bad zip member {info.filename}: {e}") from e
+            if len(data) > max_member_bytes:
+                continue
+            yield info.filename, len(data), data
+        return
+    if kind == "tar":
+        try:
+            tf = tarfile.open(fileobj=io.BytesIO(b), mode="r:*")
+        except tarfile.TarError as e:
+            raise ArchiveError(f"bad tar: {e}") from e
+        for m in tf:
+            if not m.isfile() or m.size > max_member_bytes:
+                continue
+            f = tf.extractfile(m)
+            if f is None:
+                continue
+            data = f.read(max_member_bytes + 1)
+            if len(data) > max_member_bytes:
+                continue
+            yield m.name, len(data), data
+        return
+    raise ArchiveError("not a zip or tar archive")
+
+
+MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def explode_archives(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+    max_member_bytes: int = MAX_MEMBER_BYTES,
+) -> DataFrame:
+    """Archive rows -> member rows: ``(media_id, path, size,
+    payload)``.  ``strict=True`` raises on non-archive / corrupt
+    payloads; ``strict=False`` yields zero members for them (never
+    fails the job)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "path": [], "size": [], "payload": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                try:
+                    for path, size, data in archive_members(
+                        b, max_member_bytes
+                    ):
+                        out["media_id"].append(mid)
+                        out["path"].append(path)
+                        out["size"].append(size)
+                        out["payload"].append(data)
+                except ArchiveError:
+                    if strict:
+                        raise
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, MEMBER_SCHEMA)

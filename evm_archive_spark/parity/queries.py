@@ -7707,6 +7707,74 @@ _add(
 )
 
 
+# [pair] archive-member fan-out, REAL round trip (the q_pdf shape):
+# each doc's text becomes a two-member Deflate ZIP built in the
+# executor batch (stdlib zipfile, fixed timestamp), exploded back by
+# the real archive walker, member bytes md5-pinned.  The oracle emits
+# the expected member rows directly (sizes in BYTES via strlen — the
+# members carry the raw UTF-8 text, so no cleaning is needed).
+
+def _q_archive(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.archive import explode_archives
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def build(it):
+        import io
+        import zipfile
+
+        for b in it:
+            payloads = []
+            for t in b["t"]:
+                data = t.encode("utf-8")
+                buf = io.BytesIO()
+                with zipfile.ZipFile(
+                    buf, "w", zipfile.ZIP_DEFLATED
+                ) as zf:
+                    for name, body in (
+                        ("a.txt", data),
+                        ("sub/b.txt", b"copy:" + data),
+                    ):
+                        zi = zipfile.ZipInfo(
+                            name, date_time=(1980, 1, 1, 0, 0, 0)
+                        )
+                        zf.writestr(zi, body)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = explode_archives(media, strict=True)
+    return out.select(
+        "media_id",
+        "path",
+        "size",
+        F.md5("payload").alias("member_md5"),
+    ).orderBy("media_id", "path")
+
+
+_add(
+    "q_archive",
+    _q_archive,
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
+    "SELECT doc_id AS media_id, 'a.txt' AS path, "
+    "CAST(strlen(t) AS BIGINT) AS size, md5(t) AS member_md5 FROM d "
+    "UNION ALL "
+    "SELECT doc_id, 'sub/b.txt', "
+    "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
+    "ORDER BY media_id NULLS FIRST, path",
+    "archive fan-out: build real Deflate ZIPs from doc text, explode "
+    "members back, byte sizes + md5 == oracle's expected rows",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7916,7 +7984,7 @@ _ROUND6_LATE = [
     "q_st_reorg", "q_warc_extract", "q_robots", "q_sitemap", "q_spectral",
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
-    "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown",
+    "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
