@@ -157,6 +157,7 @@ _EXPORTS = {
     "ipynb_cells": "sourcecode",
     "notebook_to_text": "sourcecode",
     "explode_archives": "archive",
+    "emails_to_rows": "mail",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

@@ -7775,6 +7775,96 @@ _add(
 )
 
 
+# [pair] email/MIME extraction, REAL round trip (the q_pdf shape):
+# each doc becomes a multipart/mixed RFC 5322 message (base64
+# text/plain body carrying the doc's raw unicode text + one base64
+# attachment) assembled by hand in the executor batch, parsed back by
+# the stdlib-email-based extractor; the oracle emits the expected
+# header/body rows directly.  Subject is printable-cleaned + trimmed
+# (header folding rules put arbitrary bytes out of scope); the BODY is
+# the unmodified unicode text — base64 transfer encoding round-trips
+# it exactly.
+
+def _q_email(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.mail import emails_to_rows
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).selectExpr(
+        "doc_id",
+        "trim(regexp_replace(COALESCE(substring(text, 1, 80), ''), "
+        "'[^ -~]', ' ')) AS subj",
+        "COALESCE(substring(text, 81, 400), '') AS body",
+    )
+
+    def build(it):
+        import base64
+
+        for b in it:
+            payloads = []
+            for did, subj, body in zip(
+                b["doc_id"], b["subj"], b["body"]
+            ):
+                b64 = base64.encodebytes(body.encode("utf-8")).decode()
+                att = base64.encodebytes(b"att-bytes").decode()
+                payloads.append(
+                    (
+                        f"From: user{did}@example.com\n"
+                        f"Subject: {subj}\n"
+                        "Date: Thu, 01 Jan 2026 00:00:00 +0000\n"
+                        "MIME-Version: 1.0\n"
+                        "Content-Type: multipart/mixed; "
+                        'boundary="BOUND"\n'
+                        "\n"
+                        "--BOUND\n"
+                        'Content-Type: text/plain; charset="utf-8"\n'
+                        "Content-Transfer-Encoding: base64\n"
+                        "\n"
+                        f"{b64}"
+                        "--BOUND\n"
+                        "Content-Type: application/octet-stream; "
+                        'name="a.bin"\n'
+                        "Content-Disposition: attachment; "
+                        'filename="a.bin"\n'
+                        "Content-Transfer-Encoding: base64\n"
+                        "\n"
+                        f"{att}"
+                        "--BOUND--\n"
+                    ).encode("utf-8")
+                )
+            yield pd.DataFrame(
+                {"media_id": b["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = emails_to_rows(media, strict=True)
+    return out.select(
+        "media_id",
+        "from_addr",
+        "subject",
+        "date_raw",
+        "body",
+        "n_attachments",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_email",
+    _q_email,
+    "SELECT doc_id AS media_id, "
+    "'user' || doc_id || '@example.com' AS from_addr, "
+    "trim(regexp_replace(COALESCE(substring(text, 1, 80), ''), "
+    "'[^ -~]', ' ', 'g')) AS subject, "
+    "'Thu, 01 Jan 2026 00:00:00 +0000' AS date_raw, "
+    "COALESCE(substring(text, 81, 400), '') AS body, "
+    "CAST(1 AS BIGINT) AS n_attachments "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "email round trip: hand-assembled multipart MIME parsed back by "
+    "the stdlib-email extractor vs the oracle's expected rows",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -7985,6 +8075,7 @@ _ROUND6_LATE = [
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
+    "q_email",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
