@@ -158,6 +158,8 @@ _EXPORTS = {
     "notebook_to_text": "sourcecode",
     "explode_archives": "archive",
     "emails_to_rows": "mail",
+    "subtitle_cues": "subtitles",
+    "subtitle_stats": "subtitles",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

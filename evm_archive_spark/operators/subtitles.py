@@ -1,0 +1,93 @@
+"""Subtitle parsing (SRT + WebVTT) as pure JVM expressions.
+
+Subtitles are the text half of a video training corpus (caption
+alignment, ASR supervision, frame-text pairing against
+``multimodal.frame_sample``).  Both formats are line-oriented blocks:
+
+    [index or cue-id]               (SRT: number; VTT: optional)
+    HH:MM:SS,mmm --> HH:MM:SS,mmm   (VTT uses '.', hours optional)
+    text lines...                    (until a blank line)
+
+The parse is one split + explode + per-block regexps — no Python, no
+UDF; cue times land as exact BIGINT milliseconds (the float-free
+convention), ready for range joins against VAD/frame timelines.
+
+Scale shape: map-side until the one per-document row_number window
+that renumbers kept cues (bounded by cues-per-file, not corpus)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TIME_RE = r"(?:(\d+):)?(\d+):(\d+)[.,](\d+)"
+_ARROW_RE = r"-->"
+
+
+def _ms(block_col, group_base: int):
+    """Milliseconds from the (optional-hours) time at group_base in
+    the block's arrow line."""
+    line = F.regexp_extract(
+        block_col, r"([^\n]*-->[^\n]*)", 1
+    )
+    pat = _TIME_RE + r"\s*-->\s*" + _TIME_RE
+    g = lambda i: F.regexp_extract(line, pat, i)  # noqa: E731
+    h, m, s, ms = (g(group_base + k) for k in range(4))
+    return (
+        F.coalesce(F.nullif(h, F.lit("")), F.lit("0")).cast("long")
+        * 3_600_000
+        + m.cast("long") * 60_000
+        + s.cast("long") * 1_000
+        + F.rpad(ms, 3, "0").cast("long")
+    )
+
+
+def subtitle_cues(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SRT/VTT payload -> one row per cue: ``(id, cue_idx, start_ms,
+    end_ms, text)``.  Blocks without a ``-->`` line (the WEBVTT
+    header, NOTE/STYLE blocks, stray numbers) are skipped; the cue
+    text is everything after the arrow line with SRT/VTT markup tags
+    (``<i>``, ``<c.class>``) dropped."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    blocks = F.split(F.regexp_replace(t, "\r\n?", "\n"), "\n\n+")
+    b = df.select(
+        F.col(id_col), F.posexplode(blocks).alias("__bi", "__blk")
+    ).filter(F.col("__blk").rlike(_ARROW_RE))
+    body = F.regexp_replace(
+        F.col("__blk"),
+        r"(?s)\A(?:(?![^\n]*-->)[^\n]*\n)*[^\n]*-->[^\n]*\n?",
+        "",
+    )
+    body = F.regexp_replace(body, r"</?[A-Za-z][^>\n]*>", "")
+    wnd = Window.partitionBy(id_col).orderBy("__bi")
+    return (
+        b.select(
+            id_col,
+            F.col("__bi"),
+            _ms(F.col("__blk"), 1).alias("start_ms"),
+            _ms(F.col("__blk"), 5).alias("end_ms"),
+            F.regexp_replace(body, r"\n+$", "").alias("text"),
+        )
+        .withColumn(
+            "cue_idx", (F.row_number().over(wnd) - 1).cast("long")
+        )
+        .select(id_col, "cue_idx", "start_ms", "end_ms", "text")
+    )
+
+
+def subtitle_stats(cues: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-file caption profile: cue count, covered milliseconds,
+    span, chars — the admission signals (drop empty/degenerate caption
+    tracks, bucket by density).  One partial-agg groupBy."""
+    return cues.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_cues"),
+        F.sum(
+            F.greatest(
+                F.col("end_ms") - F.col("start_ms"), F.lit(0)
+            )
+        ).alias("covered_ms"),
+        (F.max("end_ms") - F.min("start_ms")).alias("span_ms"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+    )

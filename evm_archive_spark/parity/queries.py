@@ -7865,6 +7865,56 @@ _add(
 )
 
 
+# [pair] subtitle parsing, REAL parse (the q_pdf shape): each doc
+# becomes an SRT-with-WEBVTT-header fixture — one arithmetic-timed cue
+# with a two-line body and one fixed-time cue wrapped in <i> markup —
+# and the pure-JVM cue parser extracts it back; the oracle emits the
+# expected cue rows directly (it never parses subtitles).  lpad('' ||
+# int, ...) keeps the shared time synthesis dialect-portable (the
+# NOTES.md bare-VARCHAR-cast gotcha).
+
+def _q_subtitles(spark, sf_dir):
+    from ..operators.subtitles import subtitle_cues
+
+    register_testdata(spark, sf_dir, ["documents"])
+    srt = (
+        "'WEBVTT' || chr(10) || chr(10) || "
+        "'1' || chr(10) || "
+        "'00:00:' || lpad('' || (doc_id % 50), 2, '0') || "
+        "',500 --> 00:00:59,900' || chr(10) || "
+        f"{_md_seg(1)} || chr(10) || {_md_seg(61)} || "
+        "chr(10) || chr(10) || "
+        "'2' || chr(10) || '01:02:03,004 --> 01:02:05,678' || "
+        f"chr(10) || '<i>' || {_md_seg(121)} || '</i>'"
+    )
+    docs = fan_out(spark.table("documents")).selectExpr(
+        "doc_id", srt + " AS text"
+    )
+    return subtitle_cues(docs).orderBy("doc_id", "cue_idx")
+
+
+_add(
+    "q_subtitles",
+    _q_subtitles,
+    "WITH d AS (SELECT doc_id, "
+    + ", ".join(
+        f"{_md_seg_duck(off)} AS s{i + 1}"
+        for i, off in enumerate((1, 61, 121))
+    )
+    + " FROM documents) "
+    "SELECT doc_id, CAST(0 AS BIGINT) AS cue_idx, "
+    "CAST((doc_id % 50) * 1000 + 500 AS BIGINT) AS start_ms, "
+    "CAST(59900 AS BIGINT) AS end_ms, "
+    "s1 || chr(10) || s2 AS text FROM d "
+    "UNION ALL "
+    "SELECT doc_id, CAST(1 AS BIGINT), CAST(3723004 AS BIGINT), "
+    "CAST(3725678 AS BIGINT), s3 FROM d "
+    "ORDER BY doc_id NULLS FIRST, cue_idx",
+    "subtitle parse: real SRT/VTT cue extraction vs the oracle's "
+    "directly-computed cue rows (arithmetic times, markup stripped)",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -8075,7 +8125,7 @@ _ROUND6_LATE = [
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
-    "q_email",
+    "q_email", "q_subtitles",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
