@@ -160,6 +160,7 @@ _EXPORTS = {
     "emails_to_rows": "mail",
     "subtitle_cues": "subtitles",
     "subtitle_stats": "subtitles",
+    "document_extract": "extract",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

@@ -1,0 +1,149 @@
+"""Unified document-to-text dispatch — the single entry point a corpus
+builder calls on a heterogeneous payload column.
+
+Routes each payload to the right extractor by declared MIME type when
+available (crawls and datasets usually carry one) with a content sniff
+fallback, then applies the markup strippers JVM-side:
+
+    application/pdf            -> pdf.extract_pdf_text (from scratch)
+    message/rfc822 / mbox      -> mail.parse_email body
+    .ipynb JSON                -> notebook cells (code+markdown)
+    text/html                  -> weburl.html_to_text (JVM regexp)
+    text/markdown              -> textanalysis.markdown_to_text (JVM)
+    anything else              -> text as-is (utf-8, replacement)
+
+Row-EXPANDING formats stay explicit by design: archives
+(``archive.explode_archives``), WARC segments
+(``weburl.warc_mixed_corpus``), subtitles (``subtitles.subtitle_cues``)
+produce many rows per payload and belong before this call, not inside
+it.
+
+Plan shape: one mapInPandas pass does the binary-side work (PDF, MIME,
+notebook JSON) and tags html/markdown rows for the pure-JVM strippers
+applied in the SAME projection afterwards — two map stages, no
+shuffle."""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _notebook_text(raw: str) -> str | None:
+    try:
+        nb = json.loads(raw)
+        cells = nb["cells"]
+    except (ValueError, TypeError, KeyError):
+        return None
+    out = []
+    for c in cells:
+        if not isinstance(c, dict):
+            return None
+        if c.get("cell_type") not in ("code", "markdown"):
+            continue
+        src = c.get("source", "")
+        out.append("".join(src) if isinstance(src, list) else str(src))
+    return "\n".join(out)
+
+
+def document_extract(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str | None = None,
+) -> DataFrame:
+    """Heterogeneous payloads -> ``(media_id, format, text)``.  When
+    ``mime_col`` is given it wins; otherwise the payload is sniffed.
+    Never fails on dirty payloads (the admission contract): a corrupt
+    PDF/notebook falls through to plain text."""
+    from .mail import MailError, parse_email
+    from .pdf import PdfError, extract_pdf_text, is_pdf
+    from .textanalysis import markdown_to_text
+    from .weburl import html_to_text
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf_b in it:
+            mimes = (
+                pdf_b[mime_col]
+                if mime_col is not None
+                else [None] * len(pdf_b)
+            )
+            out = {"media_id": [], "format": [], "text": []}
+            for mid, payload, mime in zip(
+                pdf_b[id_col], pdf_b[payload_col], mimes
+            ):
+                b = bytes(payload or b"")
+                m = (mime or "").lower()
+                fmt, text = None, None
+                if "pdf" in m or (not m and is_pdf(b)):
+                    try:
+                        text, _np = extract_pdf_text(b)
+                        fmt = "pdf"
+                    except (PdfError, NotImplementedError):
+                        pass
+                if fmt is None and (
+                    "rfc822" in m
+                    or (not m and b.startswith(b"From "))
+                ):
+                    try:
+                        row = parse_email(b)
+                        fmt = "email"
+                        text = row["body"] or ""
+                        if row["is_html"]:
+                            fmt = "html"  # JVM strip downstream
+                    except MailError:
+                        pass
+                if fmt is None:
+                    raw = b.decode("utf-8", errors="replace")
+                    stripped = raw.lstrip("﻿ \t\r\n")
+                    low = stripped[:256].lower()
+                    if "ipynb" in m or (
+                        not m
+                        and stripped.startswith("{")
+                        and '"cells"' in low
+                    ):
+                        text = _notebook_text(stripped)
+                        fmt = "ipynb" if text is not None else None
+                    if fmt is None and (
+                        "html" in m
+                        or (
+                            not m
+                            and (
+                                low.startswith("<!doctype")
+                                or low.startswith("<html")
+                            )
+                        )
+                    ):
+                        fmt, text = "html", raw
+                    if fmt is None and "markdown" in m:
+                        fmt, text = "markdown", raw
+                    if fmt is None:
+                        fmt, text = "text", raw
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    tagged = df.mapInPandas(batches, EXTRACT_SCHEMA)
+    return tagged.select(
+        "media_id",
+        "format",
+        F.when(F.col("format") == "html", html_to_text("text"))
+        .when(F.col("format") == "markdown", markdown_to_text("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )

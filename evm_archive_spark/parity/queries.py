@@ -7915,6 +7915,106 @@ _add(
 )
 
 
+# [pair] unified document dispatch — the capstone composition gate:
+# doc_id % 4 routes each document through a DIFFERENT real extractor
+# (built Flate PDF / synthesized ipynb JSON / html / markdown, each
+# construction already gate-proven standalone), all through ONE
+# document_extract call with a declared MIME column.  The oracle emits
+# the per-branch expected text directly.
+
+def _q_extract(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.extract import document_extract
+    from ..operators.pdf import build_simple_pdf
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).selectExpr(
+        "doc_id",
+        # q_pdf cleaning (printable, no parens/backslash)
+        "regexp_replace(regexp_replace(COALESCE(substring(text, 1, 200)"
+        ", ''), '[^ -~]', ' '), '[()\\\\\\\\]', ' ') AS pdfc",
+        # q_ipynb cleanings (printable, no quotes/backslash)
+        "regexp_replace(COALESCE(substring(text, 1, 150), ''), "
+        "'[^ -~]|[\"\\\\\\\\]', ' ') AS c1",
+        "regexp_replace(COALESCE(substring(text, 151, 150), ''), "
+        "'[^ -~]|[\"\\\\\\\\]', ' ') AS c2",
+        f"{_md_seg(1)} AS s1",
+        f"{_md_seg(61)} AS s2",
+        f"{_md_seg(121)} AS s3",
+        f"{_md_seg(181)} AS s4",
+    )
+
+    def build(it):
+        for b in it:
+            rows = {"media_id": [], "mime": [], "payload": []}
+            for did, pdfc, c1, c2, s1, s2, s3, s4 in zip(
+                b["doc_id"], b["pdfc"], b["c1"], b["c2"],
+                b["s1"], b["s2"], b["s3"], b["s4"],
+            ):
+                k = did % 4
+                if k == 0:
+                    mime = "application/pdf"
+                    payload = build_simple_pdf([pdfc], compress=True)
+                elif k == 1:
+                    mime = "application/x-ipynb+json"
+                    payload = (
+                        '{"cells":[{"cell_type":"code","source":["'
+                        + c1
+                        + '"]},{"cell_type":"markdown","source":"'
+                        + c2
+                        + '"}]}'
+                    ).encode("utf-8")
+                elif k == 2:
+                    mime = "text/html"
+                    payload = (
+                        f"<p>{s1}</p><p>{s2}</p>".encode("utf-8")
+                    )
+                else:
+                    mime = "text/markdown"
+                    payload = (
+                        f"# {s3}\n- item {s4}".encode("utf-8")
+                    )
+                rows["media_id"].append(did)
+                rows["mime"].append(mime)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(
+        build, "media_id long, mime string, payload binary"
+    )
+    return document_extract(media, mime_col="mime").orderBy("media_id")
+
+
+_add(
+    "q_extract",
+    _q_extract,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(regexp_replace(COALESCE(substring(text, 1, 200), "
+    "''), '[^ -~]', ' ', 'g'), '[()\\]', ' ', 'g') AS pdfc, "
+    "regexp_replace(COALESCE(substring(text, 1, 150), ''), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c1, "
+    "regexp_replace(COALESCE(substring(text, 151, 150), ''), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c2, "
+    + ", ".join(
+        f"{_md_seg_duck(off)} AS s{i + 1}"
+        for i, off in enumerate((1, 61, 121, 181))
+    )
+    + " FROM documents) "
+    "SELECT doc_id AS media_id, "
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'pdf' WHEN 1 THEN 'ipynb' "
+    "WHEN 2 THEN 'html' ELSE 'markdown' END AS format, "
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN pdfc || chr(10) "
+    "WHEN 1 THEN c1 || chr(10) || c2 "
+    "WHEN 2 THEN s1 || chr(10) || s2 "
+    "ELSE s3 || chr(10) || 'item ' || s4 END AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "unified dispatch: four real extractors through one call, "
+    "per-branch expected text computed directly by the oracle",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -8125,7 +8225,7 @@ _ROUND6_LATE = [
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
-    "q_email", "q_subtitles",
+    "q_email", "q_subtitles", "q_extract",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
