@@ -161,6 +161,8 @@ _EXPORTS = {
     "subtitle_cues": "subtitles",
     "subtitle_stats": "subtitles",
     "document_extract": "extract",
+    "align_cues_to_segments": "subtitles",
+    "interval_overlap_join": "rangejoin",
     "synthetic_media": "multimodal",
     "decode_png": "png",
     "decode_jpeg": "jpeg",

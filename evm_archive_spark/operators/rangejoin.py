@@ -80,3 +80,60 @@ def range_join(
         matched.select(left_key), [left_key], "left_anti"
     ).select("*", *right_nulls)
     return matched.unionByName(unmatched)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_size: float,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-x-interval OVERLAP join (``l_lo <= r_hi AND r_lo <=
+    l_hi``, inclusive) — the alignment primitive (subtitle cues x VAD
+    segments, event windows x maintenance windows) that would otherwise
+    be a BroadcastNestedLoopJoin.
+
+    Both sides explode into the buckets they span and equi-join on the
+    bucket id; a pair sharing several buckets would duplicate, so the
+    join keeps ONLY the first shared bucket — the pair survives iff the
+    bucket equals ``max(floor(l_lo/bs), floor(r_lo/bs))`` — a plain
+    predicate instead of a DISTINCT (no second shuffle, no wide-row
+    dedup state).  The exact overlap filter finishes.  Work is
+    O(sum of interval spans / bucket_size + candidates), codegen'd,
+    hash-shuffled (AQE/skew-friendly).  ``keys``: equi-columns shared
+    by both sides (e.g. the document id) that join alongside the
+    bucket — keyed alignment without a second shuffle."""
+    lb = left.withColumn(
+        _B,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_lo) / F.lit(bucket_size)),
+                F.floor(F.col(l_hi) / F.lit(bucket_size)),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        _B,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_lo) / F.lit(bucket_size)),
+                F.floor(F.col(r_hi) / F.lit(bucket_size)),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, [_B] + list(keys or []))
+        .filter(
+            (F.col(_B) == F.greatest(
+                F.floor(F.col(l_lo) / F.lit(bucket_size)),
+                F.floor(F.col(r_lo) / F.lit(bucket_size)),
+            ))
+            & (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+        )
+        .drop(_B)
+    )

@@ -77,6 +77,78 @@ def subtitle_cues(
     )
 
 
+def align_cues_to_segments(
+    cues: DataFrame,
+    segments: DataFrame,
+    id_col: str = "doc_id",
+    bucket_ms: int = 30_000,
+) -> DataFrame:
+    """Caption-speech alignment: per cue, how many of its milliseconds
+    fall inside the document's speech segments (``segments``: one row
+    per (id, seg_start_ms, seg_end_ms), e.g. from ``audio_vad``'s
+    leading/trailing profile or a diarization pass).  Output per cue:
+    ``overlap_ms`` (exact, clipped per segment and summed) and
+    ``aligned_ppm`` of the cue duration — the signal that drops
+    mis-synced caption tracks before AV training.
+
+    Plan: ``rangejoin.interval_overlap_join`` keyed by the document id
+    (one bucketized equi-join, no nested loop, no DISTINCT), then one
+    partial-agg groupBy per cue."""
+    from .rangejoin import interval_overlap_join
+
+    hits = interval_overlap_join(
+        cues.select(
+            id_col, "cue_idx", "start_ms", "end_ms"
+        ),
+        segments.select(id_col, "seg_start_ms", "seg_end_ms"),
+        "start_ms",
+        "end_ms",
+        "seg_start_ms",
+        "seg_end_ms",
+        bucket_ms,
+        keys=[id_col],
+    ).select(
+        id_col,
+        "cue_idx",
+        "start_ms",
+        "end_ms",
+        (
+            F.least(F.col("end_ms"), F.col("seg_end_ms"))
+            - F.greatest(F.col("start_ms"), F.col("seg_start_ms"))
+        ).alias("__ov"),
+    )
+    agg = hits.groupBy(id_col, "cue_idx").agg(
+        F.sum(F.greatest(F.col("__ov"), F.lit(0))).alias("overlap_ms"),
+        F.first("start_ms").alias("__s"),
+        F.first("end_ms").alias("__e"),
+    )
+    base = cues.select(
+        id_col, "cue_idx",
+        (F.col("end_ms") - F.col("start_ms")).alias("__dur"),
+    )
+    return (
+        base.join(agg.drop("__s", "__e"), [id_col, "cue_idx"], "left")
+        .select(
+            id_col,
+            "cue_idx",
+            F.coalesce("overlap_ms", F.lit(0)).cast("long").alias(
+                "overlap_ms"
+            ),
+            F.when(
+                F.col("__dur") > 0,
+                F.floor(
+                    F.coalesce("overlap_ms", F.lit(0))
+                    * 1_000_000
+                    / F.col("__dur")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("aligned_ppm"),
+        )
+    )
+
+
 def subtitle_stats(cues: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-file caption profile: cue count, covered milliseconds,
     span, chars — the admission signals (drop empty/degenerate caption

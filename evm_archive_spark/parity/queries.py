@@ -8015,6 +8015,64 @@ _add(
 )
 
 
+# [pair] caption-speech alignment — the q_subtitles cue construction
+# joined against arithmetic speech segments through the keyed
+# interval-overlap join (bucketized, DISTINCT-free): per cue, exact
+# overlap milliseconds + aligned ppm.  The oracle computes both
+# overlaps in closed form (segment A clips against the arithmetic
+# cue-1 window; segment B contains cue 2 entirely).
+
+def _q_av_align(spark, sf_dir):
+    from ..operators.subtitles import (
+        align_cues_to_segments,
+        subtitle_cues,
+    )
+
+    register_testdata(spark, sf_dir, ["documents"])
+    srt = (
+        "'WEBVTT' || chr(10) || chr(10) || "
+        "'1' || chr(10) || "
+        "'00:00:' || lpad('' || (doc_id % 50), 2, '0') || "
+        "',500 --> 00:00:59,900' || chr(10) || "
+        f"{_md_seg(1)} || chr(10) || chr(10) || "
+        "'2' || chr(10) || '01:02:03,004 --> 01:02:05,678' || "
+        f"chr(10) || {_md_seg(61)}"
+    )
+    docs = fan_out(spark.table("documents")).selectExpr(
+        "doc_id", srt + " AS text"
+    )
+    cues = subtitle_cues(docs)
+    segments = fan_out(spark.table("documents")).selectExpr(
+        "doc_id",
+        "stack(2, "
+        "CAST((doc_id % 50) * 1000 AS BIGINT), "
+        "CAST((doc_id % 50) * 1000 + 30000 AS BIGINT), "
+        "CAST(3600000 AS BIGINT), CAST(3800000 AS BIGINT)"
+        ") AS (seg_start_ms, seg_end_ms)",
+    )
+    return align_cues_to_segments(cues, segments).orderBy(
+        "doc_id", "cue_idx"
+    )
+
+
+_add(
+    "q_av_align",
+    _q_av_align,
+    "WITH d AS (SELECT doc_id, (doc_id % 50) * 1000 AS s "
+    "FROM documents), "
+    "c AS (SELECT doc_id, 0 AS cue_idx, "
+    "LEAST(59900, s + 30000) - (s + 500) AS overlap_ms, "
+    "59900 - (s + 500) AS dur FROM d "
+    "UNION ALL SELECT doc_id, 1, 2674, 2674 FROM d) "
+    "SELECT doc_id, CAST(cue_idx AS BIGINT) AS cue_idx, "
+    "CAST(overlap_ms AS BIGINT) AS overlap_ms, "
+    "CAST((overlap_ms * 1000000) // dur AS BIGINT) AS aligned_ppm "
+    "FROM c ORDER BY doc_id NULLS FIRST, cue_idx",
+    "AV alignment: keyed bucketized interval-overlap join of cues vs "
+    "speech segments, closed-form oracle overlaps",
+)
+
+
 _add(
     "q_sitemap",
     _q_sitemap,
@@ -8225,7 +8283,7 @@ _ROUND6_LATE = [
     "q_vad", "q_image_meta", "q_exif_scrub", "q_cdc", "q_cdc_dedup",
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
-    "q_email", "q_subtitles", "q_extract",
+    "q_email", "q_subtitles", "q_extract", "q_av_align",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

@@ -58,6 +58,64 @@ def test_vtt_cues_and_skipped_blocks(spark):
     ]
 
 
+def test_interval_overlap_join_no_duplicates(spark):
+    """A pair sharing MANY buckets appears exactly once (the
+    first-shared-bucket predicate replaces DISTINCT), keyed by doc;
+    non-overlapping and cross-doc pairs are excluded."""
+    from evm_archive_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(0, 0, 100_000), (0, 200_000, 201_000), (1, 0, 100_000)],
+        "doc_id long, l_lo long, l_hi long",
+    )
+    right = spark.createDataFrame(
+        [(0, 50_000, 300_000), (1, 500_000, 600_000)],
+        "doc_id long, r_lo long, r_hi long",
+    )
+    got = sorted(
+        (r["doc_id"], r["l_lo"], r["r_lo"])
+        for r in interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+            1000, keys=["doc_id"],
+        ).collect()
+    )
+    # the [0,100k]x[50k,300k] pair shares ~50 buckets -> ONE row
+    assert got == [(0, 0, 50_000), (0, 200_000, 50_000)]
+
+
+def test_align_cues_to_segments(spark):
+    """Split segments sum their clipped overlaps; uncovered cues get
+    zero; full coverage reads 1e6 ppm."""
+    from evm_archive_spark.operators.subtitles import (
+        align_cues_to_segments,
+    )
+
+    cues = spark.createDataFrame(
+        [
+            (0, 0, 1000, 5000),   # covered by two split segments
+            (0, 1, 10_000, 12_000),  # uncovered
+            (0, 2, 20_000, 21_000),  # fully inside one segment
+        ],
+        "doc_id long, cue_idx long, start_ms long, end_ms long",
+    )
+    segs = spark.createDataFrame(
+        [(0, 0, 2000), (0, 3000, 4500), (0, 19_000, 30_000)],
+        "doc_id long, seg_start_ms long, seg_end_ms long",
+    )
+    rows = {
+        r["cue_idx"]: r
+        for r in align_cues_to_segments(cues, segs, bucket_ms=2000)
+        .collect()
+    }
+    assert rows[0]["overlap_ms"] == 1000 + 1500
+    assert rows[0]["aligned_ppm"] == (2500 * 1_000_000) // 4000
+    assert rows[1]["overlap_ms"] == 0 and rows[1]["aligned_ppm"] == 0
+    assert rows[2]["overlap_ms"] == 1000
+    assert rows[2]["aligned_ppm"] == 1_000_000
+
+
 def test_subtitle_stats_and_degenerates(spark):
     df = _df(spark, [(0, SRT), (1, "no cues here at all"), (2, None)])
     cues = subtitles.subtitle_cues(df)
