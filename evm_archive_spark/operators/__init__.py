@@ -139,6 +139,7 @@ _EXPORTS = {
     "image_near_duplicates": "multimodal",
     "scrub_exif": "exif",
     "audio_features": "multimodal",
+    "audio_metadata": "audiometa",
     "audio_fingerprint": "multimodal",
     "audio_near_duplicates": "multimodal",
     "audio_vad": "multimodal",

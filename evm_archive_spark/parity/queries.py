@@ -7134,6 +7134,54 @@ _add(
 )
 
 
+# [pair] audio-metadata plumbing twin — the q_image_meta pattern for
+# the header-only audio lane (audiometa.py): synthetic non-audio
+# payloads route to the deterministic sha256 fake, which DuckDB
+# replays field-for-field including the VARCHAR title/artist
+# constructions.  The REAL header walks (MP3 frame walk + ID3v2, Ogg
+# Vorbis/Opus, WAV/FLAC/MP4) are pytest-gated against hand-built
+# spec-level fixtures (test_audiometa.py — binary containers can't
+# live in SQL).
+
+def _q_audio_meta(spark, sf_dir):
+    from ..operators.audiometa import audio_metadata
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return audio_metadata(media, strict=False).orderBy("media_id")
+
+
+_add(
+    "q_audio_meta",
+    _q_audio_meta,
+    "WITH h AS (SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx "
+    "FROM documents), "
+    "b AS (SELECT media_id, "
+    + ", ".join(
+        f"CAST(('0x' || substring(hx, {i * 2 + 1}, 2)) AS BIGINT) AS b{i}"
+        for i in range(10)
+    )
+    + " FROM h) "
+    "SELECT media_id, "
+    "'fake' AS format, "
+    "CAST(8000 * (1 + b0 % 6) AS BIGINT) AS sample_rate, "
+    "CAST(1 + b1 % 2 AS BIGINT) AS n_channels, "
+    "CAST(8 * (1 + b2 % 3) AS BIGINT) AS bits_per_sample, "
+    "CAST(1 + ((b3 * 256 + b4) % 600000) AS BIGINT) AS duration_ms, "
+    "CAST(8 * (1 + b5 % 40) AS BIGINT) AS bitrate_kbps, "
+    "CAST(b6 % 2 AS BIGINT) AS vbr, "
+    "'title_' || CAST(b7 % 32 AS VARCHAR(4)) AS title, "
+    "'artist_' || CAST(b8 % 16 AS VARCHAR(4)) AS artist, "
+    "CAST(b9 % 8 AS BIGINT) AS n_tags "
+    "FROM b ORDER BY media_id NULLS FIRST",
+    "audio-metadata fake twin: sha256-derived profile (incl. VARCHAR "
+    "tag fields) replayed in DuckDB (mapInPandas batch path hash-gated)",
+)
+
+
 # [pair] EXIF-scrub plumbing twin: non-image payloads pass through
 # BIT-EXACTLY (md5-pinned) with zero removal counts — the
 # never-rewrites-what-it-doesn't-understand contract.  The REAL
@@ -8284,6 +8332,8 @@ _ROUND6_LATE = [
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
     "q_email", "q_subtitles", "q_extract", "q_av_align",
+    # third-session lanes (same discipline: driver-sim'd at both SFs)
+    "q_audio_meta",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
