@@ -8145,6 +8145,76 @@ _add(
 )
 
 
+# RSS/Atom feed parsing (weburl.feed_entries) — the third crawl-frontier
+# discovery channel after sitemaps and hyperlinks.  Even doc_ids carry an
+# RSS 2.0 feed (2 items, element-text links, guid/pubDate), odd doc_ids
+# an Atom feed (1 entry, href-attribute link, id/updated) — so one gate
+# exercises both dialects, the entity decode, and the self-closing-link
+# attribute path.  The oracle derives the expected rows arithmetically
+# from the construction; it never parses the XML.
+
+_FEED_SYNTH = (
+    "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+    "'<rss version=\"2.0\"><channel><title>Chan</title>' || "
+    "'<item><title>Post ' || doc_id || '</title>"
+    "<link> http://f.example/p/' || doc_id || ' </link>"
+    "<guid>g-' || doc_id || '</guid>"
+    "<pubDate>Mon, 0' || (1 + doc_id % 9) || "
+    "' Jan 2026 00:00:00 GMT</pubDate></item>' || "
+    "'<item><title>A &amp; B</title>"
+    "<link>http://f.example/q/' || doc_id || '</link></item>' || "
+    "'</channel></rss>' "
+    "ELSE "
+    "'<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>F</title>' || "
+    "'<entry><title>Entry ' || doc_id || '</title>"
+    "<link href=\"http://f.example/a/' || doc_id || '\" rel=\"alternate\"/>"
+    "<id>tag:' || doc_id || '</id>"
+    "<updated>2026-02-01T00:00:0' || (doc_id % 10) || 'Z</updated>"
+    "</entry></feed>' "
+    "END AS feed_xml FROM documents"
+)
+
+
+def _q_feed(spark, sf_dir):
+    from ..operators.weburl import feed_entries
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        feed_entries(spark.sql(_FEED_SYNTH))
+        .select("doc_id", "kind", "title", "link", "guid", "published")
+        .orderBy("doc_id", "link")
+    )
+
+
+_add(
+    "q_feed",
+    _q_feed,
+    # independent derivation: the rows the synthesis PUT into the feeds
+    "WITH a AS ("
+    "SELECT doc_id, 'rss' AS kind, "
+    "  'Post ' || CAST(doc_id AS VARCHAR) AS title, "
+    "  'http://f.example/p/' || doc_id AS link, "
+    "  'g-' || CAST(doc_id AS VARCHAR) AS guid, "
+    "  'Mon, 0' || (1 + doc_id % 9) || ' Jan 2026 00:00:00 GMT' "
+    "  AS published "
+    "FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL SELECT doc_id, 'rss', 'A & B', "
+    "  'http://f.example/q/' || doc_id, "
+    "  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) "
+    "FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL SELECT doc_id, 'atom', "
+    "  'Entry ' || CAST(doc_id AS VARCHAR), "
+    "  'http://f.example/a/' || doc_id, "
+    "  'tag:' || CAST(doc_id AS VARCHAR), "
+    "  '2026-02-01T00:00:0' || (doc_id % 10) || 'Z' "
+    "FROM documents WHERE doc_id % 2 = 1) "
+    "SELECT doc_id, kind, title, link, guid, published FROM a "
+    "ORDER BY doc_id NULLS FIRST, link NULLS FIRST",
+    "RSS/Atom feed fan-out: regexp-block parse, href-attribute links, "
+    "entity decode == arithmetic derivation (oracle never parses XML)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -8333,7 +8403,7 @@ _ROUND6_LATE = [
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
     "q_email", "q_subtitles", "q_extract", "q_av_align",
     # third-session lanes (same discipline: driver-sim'd at both SFs)
-    "q_audio_meta",
+    "q_audio_meta", "q_feed",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

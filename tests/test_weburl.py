@@ -394,3 +394,38 @@ def test_sitemap_urls_and_index(spark):
         ("https://ex.com/s1.xml", "2026-02-02"),
         ("https://ex.com/s2.xml", None),
     ]
+
+
+def test_feed_entries_rss_and_atom(spark):
+    rss = (
+        '<rss version="2.0"><channel><title>C</title>'
+        "<item><title>P1</title><link> http://x/p1 </link>"
+        "<guid>g1</guid>"
+        "<pubDate>Mon, 01 Jan 2026 00:00:00 GMT</pubDate></item>"
+        "<item><title>A &amp; B</title><link>http://x/p2</link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>'
+        "<entry><title>E1</title>"
+        '<link href="http://y/e1" rel="alternate"/>'
+        "<id>tag:e1</id><updated>2026-02-01T00:00:00Z</updated></entry>"
+        "</feed>"
+    )
+    from evm_archive_spark.operators.weburl import feed_entries
+
+    df = spark.createDataFrame(
+        [(1, rss), (2, atom), (3, "not xml at all")],
+        ["doc_id", "feed_xml"],
+    )
+    rows = {
+        (r.doc_id, r.kind, r.title, r.link, r.guid, r.published)
+        for r in feed_entries(df).collect()
+    }
+    assert rows == {
+        (1, "rss", "P1", "http://x/p1", "g1",
+         "Mon, 01 Jan 2026 00:00:00 GMT"),
+        (1, "rss", "A & B", "http://x/p2", None, None),
+        (2, "atom", "E1", "http://y/e1", "tag:e1",
+         "2026-02-01T00:00:00Z"),
+    }
