@@ -153,6 +153,78 @@ def html_to_text(col) -> F.Column:
     return F.regexp_replace(c, "^\\s+|\\s+$", "")
 
 
+#: block-level boundary tags for the boilerplate classifier — each
+#: open OR close tag ends the current text block
+_BLOCK_TAG_RE = (
+    "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|"
+    "header|footer|nav|aside|main|blockquote|dd|dt|dl)\\b[^>]*>"
+)
+_ANCHOR_RE = "(?is)<a\\b[^>]*>(.*?)</a\\s*>"
+
+
+def _block_clean(c: F.Column) -> F.Column:
+    """Strip remaining (inline) tags, decode the core entities, collapse
+    whitespace, trim — the per-block text normalization shared by the
+    content and anchor sides of the density computation."""
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, repl in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = F.regexp_replace(c, ent, repl)
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def extract_main_text(
+    col,
+    min_block_chars: int = 25,
+    max_link_density_pct: int = 34,
+) -> F.Column:
+    """Main-content extraction with boilerplate-block REMOVAL — the
+    jusText / trafilatura-class upgrade over ``html_to_text`` (which
+    strips markup but keeps nav/footer chrome in the text).
+
+    Classifier (two features, the load-bearing pair from jusText,
+    Pomikálek 2011): split the page into text blocks at block-level tag
+    boundaries, then keep a block only if (a) its cleaned text has at
+    least ``min_block_chars`` characters and (b) its link density —
+    anchor-text chars * 100 / text chars — is at most
+    ``max_link_density_pct``.  Navigation, footers, tag clouds and
+    pagination are short and link-dense on both counts; article prose
+    is long and link-sparse.  Kept blocks join with newlines.
+
+    Pure JVM: regexp split + higher-order array functions riding the
+    scan — no UDF, no shuffle, streaming-safe; at 100 TB this is a free
+    passenger on the first read like the rest of the weburl stages."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    c = F.regexp_replace(c, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    segs = F.split(c, _BLOCK_TAG_RE)
+    scored = F.transform(
+        segs,
+        lambda b: F.struct(
+            _block_clean(b).alias("t"),
+            _block_clean(
+                F.array_join(
+                    F.regexp_extract_all(b, F.lit(_ANCHOR_RE), F.lit(1)),
+                    " ",
+                )
+            ).alias("a"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["t"]) >= F.lit(min_block_chars))
+        & (
+            F.length(s["a"]) * F.lit(100)
+            <= F.length(s["t"]) * F.lit(max_link_density_pct)
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+
+
 def duckdb_html_to_text_sql(col: str) -> str:
     """DuckDB replay of ``html_to_text`` (parity oracle; 'g' flags make
     DuckDB's first-match-only regexp_replace match Spark's replace-all)."""

@@ -8215,6 +8215,55 @@ _add(
 )
 
 
+# Boilerplate-block REMOVAL (weburl.extract_main_text) — the jusText-
+# class upgrade over q_html_extract's plain markup strip: link-dense /
+# short blocks (nav, footer) are classified out, article prose kept.
+# The synthesis plants two long link-sparse paragraphs between a nav, a
+# floor-failing stub and a link-dense footer; the oracle emits the two
+# surviving paragraphs directly from the construction (it never parses
+# the HTML).
+
+_BOILER_SYNTH = (
+    "SELECT doc_id, '<html><body>"
+    "<nav><ul><li><a href=\"/a\">Home</a></li>"
+    "<li><a href=\"/b\">About</a></li></ul></nav>"
+    "<div id=\"m\"><p>' || repeat('alpha beta gamma ', 3) || "
+    "'doc ' || doc_id || '.</p>"
+    "<p>tiny</p>"
+    "<p>' || repeat('delta epsilon ', 4) || 'tail ' || (doc_id % 7) || "
+    "' <a href=\"/x\">ref</a>.</p></div>"
+    "<footer><a href=\"/c\">Contact</a> | <a href=\"/d\">Terms</a>"
+    "</footer></body></html>' AS html FROM documents"
+)
+
+
+def _q_boilerplate(spark, sf_dir):
+    from ..operators.weburl import extract_main_text
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        spark.sql(_BOILER_SYNTH)
+        .select("doc_id", extract_main_text("html").alias("text_out"))
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_boilerplate",
+    _q_boilerplate,
+    # the two content blocks, exactly as the classifier must emit them
+    # (inline-anchor strip leaves ' ref .' in the second block)
+    "SELECT doc_id, "
+    "repeat('alpha beta gamma ', 3) || 'doc ' || doc_id || '.' || "
+    "chr(10) || "
+    "repeat('delta epsilon ', 4) || 'tail ' || (doc_id % 7) || "
+    "' ref .' AS text_out "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "boilerplate-block removal (length floor + link-density cap over "
+    "block-tag splits) == construction-derived expected text",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -8403,7 +8452,7 @@ _ROUND6_LATE = [
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
     "q_email", "q_subtitles", "q_extract", "q_av_align",
     # third-session lanes (same discipline: driver-sim'd at both SFs)
-    "q_audio_meta", "q_feed",
+    "q_audio_meta", "q_feed", "q_boilerplate",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

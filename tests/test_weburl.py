@@ -429,3 +429,42 @@ def test_feed_entries_rss_and_atom(spark):
         (2, "atom", "E1", "http://y/e1", "tag:e1",
          "2026-02-01T00:00:00Z"),
     }
+
+
+def test_extract_main_text_drops_boilerplate(spark):
+    from evm_archive_spark.operators.weburl import extract_main_text
+
+    html = (
+        "<html><head><title>T</title><style>p{}</style></head><body>"
+        '<nav><ul><li><a href="/">Home</a></li>'
+        '<li><a href="/about">About us</a></li></ul></nav>'
+        "<article><p>This is the actual article prose, long enough "
+        "to clear the floor and with no links at all.</p>"
+        "<p>short</p>"
+        "<p>A second long paragraph of real content that cites "
+        '<a href="/ref">one ref</a> among many plain words, staying '
+        "under the density cap.</p></article>"
+        '<footer><a href="/c">Contact</a> | <a href="/t">Terms</a>'
+        "</footer></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    out = df.select(extract_main_text("html").alias("t")).head().t
+    assert "actual article prose" in out
+    assert "second long paragraph" in out
+    assert "Home" not in out and "Contact" not in out  # link-dense chrome
+    assert "short" not in out  # under the length floor
+    # exactly the two content paragraphs survive, newline-joined
+    assert out.count("\n") == 1
+
+
+def test_extract_main_text_entities_and_plain(spark):
+    from evm_archive_spark.operators.weburl import extract_main_text
+
+    html = (
+        "<p>Fish &amp; chips &lt;with&gt; mushy peas and a very long "
+        "line of text to pass the floor.</p>"
+    )
+    df = spark.createDataFrame([(html,), (None,)], "html string")
+    rows = df.select(extract_main_text("html").alias("t")).collect()
+    assert rows[0].t.startswith("Fish & chips <with> mushy peas")
+    assert rows[1].t is None or rows[1].t == ""
