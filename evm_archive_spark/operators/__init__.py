@@ -149,6 +149,7 @@ _EXPORTS = {
     "incremental_cdc_dedup": "cdc",
     "persist_chunk_index": "cdc",
     "stream_cdc_admission": "cdc",
+    "csv_extract": "tabular",
     "pdf_to_text": "pdf",
     "code_stats": "sourcecode",
     "code_filter": "sourcecode",

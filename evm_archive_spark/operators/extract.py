@@ -10,6 +10,7 @@ fallback, then applies the markup strippers JVM-side:
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
+    text/csv / tsv             -> tabular.csv_meta_and_text linearization
     anything else              -> text as-is (utf-8, replacement)
 
 Row-EXPANDING formats stay explicit by design: archives
@@ -70,6 +71,7 @@ def document_extract(
     PDF/notebook falls through to plain text."""
     from .mail import MailError, parse_email
     from .pdf import PdfError, extract_pdf_text, is_pdf
+    from .tabular import csv_meta_and_text
     from .textanalysis import markdown_to_text
     from .weburl import html_to_text
 
@@ -118,6 +120,12 @@ def document_extract(
                     ):
                         text = _notebook_text(stripped)
                         fmt = "ipynb" if text is not None else None
+                    if fmt is None and (
+                        "csv" in m or "tab-separated" in m or "tsv" in m
+                    ):
+                        meta = csv_meta_and_text(b)
+                        if meta is not None:
+                            fmt, text = meta["format"], meta["text"]
                     if fmt is None and (
                         "html" in m
                         or (
