@@ -697,6 +697,58 @@ def sitemap_index_urls(
     ).filter(F.col("sitemap_url").isNotNull())
 
 
+def page_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """HTML head metadata as filterable columns: ``page_title``,
+    ``meta_description``, ``og_title``, ``canonical_url``, ``lang`` —
+    the fields a web-corpus pipeline filters and dedups on BEFORE
+    paying for body extraction (a canonical-URL hint beats the crawl
+    URL for dedup; ``lang`` beats n-gram lang-id when present).
+
+    Pure JVM regexp riding the scan (no UDF, no shuffle).  Attribute
+    order is handled for the two-attribute tags (``name``/``property``
+    before or after ``content``); values are entity-decoded like the
+    other weburl stages; absent fields are NULL."""
+    c = F.col(html_col)
+
+    def attr_pair(key_attr: str, key_val: str) -> F.Column:
+        # <meta name="description" content="..."> in either order
+        fwd = F.regexp_extract(
+            c,
+            f"(?is)<meta\\b[^>]*{key_attr}=[\"']{key_val}[\"']"
+            f"[^>]*content=[\"']([^\"']*)[\"']",
+            1,
+        )
+        rev = F.regexp_extract(
+            c,
+            f"(?is)<meta\\b[^>]*content=[\"']([^\"']*)[\"']"
+            f"[^>]*{key_attr}=[\"']{key_val}[\"']",
+            1,
+        )
+        return _xml_text(F.when(fwd != "", fwd).otherwise(rev))
+
+    return df.select(
+        *df.columns,
+        _xml_text(
+            F.regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)
+        ).alias("page_title"),
+        attr_pair("name", "description").alias("meta_description"),
+        attr_pair("property", "og:title").alias("og_title"),
+        _xml_text(
+            F.regexp_extract(
+                c,
+                "(?is)<link\\b[^>]*rel=[\"']canonical[\"']"
+                "[^>]*href=[\"']([^\"']*)[\"']",
+                1,
+            )
+        ).alias("canonical_url"),
+        _xml_text(
+            F.regexp_extract(
+                c, "(?is)<html\\b[^>]*\\blang=[\"']([^\"']*)[\"']", 1
+            )
+        ).alias("lang"),
+    )
+
+
 def feed_entries(df: DataFrame, xml_col: str = "feed_xml") -> DataFrame:
     """RSS 2.0 / Atom feed XML -> one row per ``<item>`` / ``<entry>``:
     the input columns (minus the XML) plus ``kind`` ('rss'/'atom'),

@@ -8331,6 +8331,59 @@ _add(
 )
 
 
+# HTML head metadata (weburl.page_metadata): title / description /
+# og:title / canonical / lang as filterable columns.  Even doc_ids put
+# name= before content=, odd the REVERSE attribute order (the case a
+# single-order regexp misses); doc_id % 5 == 0 omits the description
+# (NULL contract).  Oracle derives expected fields from the
+# construction — never parses the HTML.
+
+_PAGEMETA_SYNTH = (
+    "SELECT doc_id, "
+    "'<html lang=\"en-' || (doc_id % 4) || '\"><head>"
+    "<title> Doc &amp; ' || doc_id || ' </title>' || "
+    "CASE WHEN doc_id % 5 = 0 THEN '' "
+    "WHEN doc_id % 2 = 0 THEN "
+    "'<meta name=\"description\" content=\"Summary ' || doc_id || '\">' "
+    "ELSE "
+    "'<meta content=\"Summary ' || doc_id || '\" name=\"description\">' "
+    "END || "
+    "'<meta property=\"og:title\" content=\"OG ' || (doc_id % 9) || "
+    "'\"><link rel=\"canonical\" href=\"http://c.example/d/' || doc_id || "
+    "'\"></head><body><p>x</p></body></html>' AS html FROM documents"
+)
+
+
+def _q_page_meta(spark, sf_dir):
+    from ..operators.weburl import page_metadata
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        page_metadata(spark.sql(_PAGEMETA_SYNTH))
+        .select(
+            "doc_id", "page_title", "meta_description", "og_title",
+            "canonical_url", "lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_page_meta",
+    _q_page_meta,
+    "SELECT doc_id, "
+    "'Doc & ' || CAST(doc_id AS VARCHAR) AS page_title, "
+    "CASE WHEN doc_id % 5 = 0 THEN NULL "
+    "ELSE 'Summary ' || doc_id END AS meta_description, "
+    "'OG ' || (doc_id % 9) AS og_title, "
+    "'http://c.example/d/' || doc_id AS canonical_url, "
+    "'en-' || (doc_id % 4) AS lang "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "HTML head metadata (both attribute orders, entity decode, NULL "
+    "contract) == construction-derived expected fields",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -8519,7 +8572,7 @@ _ROUND6_LATE = [
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
     "q_email", "q_subtitles", "q_extract", "q_av_align",
     # third-session lanes (same discipline: driver-sim'd at both SFs)
-    "q_audio_meta", "q_feed", "q_boilerplate", "q_csv",
+    "q_audio_meta", "q_feed", "q_boilerplate", "q_csv", "q_page_meta",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

@@ -468,3 +468,33 @@ def test_extract_main_text_entities_and_plain(spark):
     rows = df.select(extract_main_text("html").alias("t")).collect()
     assert rows[0].t.startswith("Fish & chips <with> mushy peas")
     assert rows[1].t is None or rows[1].t == ""
+
+
+def test_page_metadata_fields(spark):
+    from evm_archive_spark.operators.weburl import page_metadata
+
+    html = (
+        '<html lang="en-GB"><head><title> My &amp; Page </title>'
+        '<meta name="description" content="A desc">'
+        '<meta content="OG Title" property="og:title">'
+        '<link rel="canonical" href="http://x/canon">'
+        "</head><body>hi</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>no head</p>")], ["doc_id", "html"]
+    )
+    out = {r.doc_id: r for r in page_metadata(df).collect()}
+    r = out[1]
+    assert r.page_title == "My & Page"
+    assert r.meta_description == "A desc"
+    assert r.og_title == "OG Title"  # reversed attribute order
+    assert r.canonical_url == "http://x/canon"
+    assert r.lang == "en-GB"
+    r2 = out[2]
+    assert (
+        r2.page_title is None
+        and r2.meta_description is None
+        and r2.og_title is None
+        and r2.canonical_url is None
+        and r2.lang is None
+    )
