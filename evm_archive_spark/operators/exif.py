@@ -219,6 +219,59 @@ def _jpeg_meta(data: bytes) -> dict:
     return meta
 
 
+def is_webp(b: bytes) -> bool:
+    return len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP"
+
+
+def _webp_meta(b: bytes, base: dict) -> dict:
+    """WebP (RIFF) header walk: dims from VP8X (extended canvas),
+    VP8L (lossless signature word) or VP8 (lossy frame header start
+    code), plus the TIFF-structured EXIF chunk when the extended
+    format carries one.  Header-only — pixel DECODE of WebP is out of
+    scope (VP8 needs a DCT/bool-coder stack; VP8L an LZ77+Huffman
+    stack), same documented boundary as the perceptual audio codecs."""
+    meta = dict(base, format="webp")
+    pos = 12
+    while pos + 8 <= len(b):
+        fourcc = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ExifError(f"truncated WebP chunk {fourcc!r}")
+        if fourcc == b"VP8X" and size >= 10 and meta["width"] is None:
+            meta["width"] = 1 + int.from_bytes(body[4:7], "little")
+            meta["height"] = 1 + int.from_bytes(body[7:10], "little")
+        elif fourcc == b"VP8L" and size >= 5 and meta["width"] is None:
+            if body[0] != 0x2F:
+                raise ExifError("bad VP8L signature byte")
+            (word,) = struct.unpack_from("<I", body, 1)
+            meta["width"] = 1 + (word & 0x3FFF)
+            meta["height"] = 1 + ((word >> 14) & 0x3FFF)
+        elif fourcc == b"VP8 " and size >= 10 and meta["width"] is None:
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ExifError("bad VP8 key-frame start code")
+            (w,) = struct.unpack_from("<H", body, 6)
+            (h,) = struct.unpack_from("<H", body, 8)
+            meta["width"] = w & 0x3FFF
+            meta["height"] = h & 0x3FFF
+        elif fourcc == b"EXIF":
+            try:
+                ex = parse_exif_tiff(body)
+            except ExifError:
+                pass
+            else:
+                for k in (
+                    "make", "model", "orientation", "datetime_original",
+                    "has_gps",
+                ):
+                    if ex[k] not in (None, 0):
+                        meta[k] = ex[k]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if meta["width"] is None:
+        raise ExifError("WebP payload has no VP8/VP8L/VP8X image chunk")
+    return meta
+
+
 def image_metadata_of(b: bytes) -> dict | None:
     """Header-only metadata for a known image payload; None when the
     format isn't one of the from-scratch codecs."""
@@ -239,6 +292,8 @@ def image_metadata_of(b: bytes) -> dict | None:
     }
     if is_jpeg(b):
         return _jpeg_meta(b)
+    if is_webp(b):
+        return _webp_meta(b, base)
     if is_png(b):
         if len(b) < 24:
             raise ExifError("truncated PNG header")

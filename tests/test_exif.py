@@ -245,3 +245,54 @@ def test_image_metadata_spark_and_fake(spark):
     )[0]
     assert scrubbed[1]["removed_segments"] == 0
     assert bytes(scrubbed[2]["payload"]) == payloads[2]
+
+
+# -- WebP (RIFF) header metadata ---------------------------------------------
+
+def _riff_webp(*chunks: tuple[bytes, bytes]) -> bytes:
+    body = b"WEBP"
+    for fourcc, payload in chunks:
+        body += fourcc + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_webp_vp8l_dims():
+    from evm_archive_spark.operators.exif import image_metadata_of
+
+    w, h = 320, 200
+    word = (w - 1) | ((h - 1) << 14)
+    payload = b"\x2f" + struct.pack("<I", word)
+    m = image_metadata_of(_riff_webp((b"VP8L", payload)))
+    assert m["format"] == "webp" and (m["width"], m["height"]) == (320, 200)
+
+
+def test_webp_vp8_lossy_dims():
+    from evm_archive_spark.operators.exif import image_metadata_of
+
+    payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    m = image_metadata_of(_riff_webp((b"VP8 ", payload)))
+    assert (m["width"], m["height"]) == (640, 480)
+
+
+def test_webp_vp8x_canvas_and_exif_chunk():
+    from evm_archive_spark.operators.exif import image_metadata_of
+
+    vp8x = bytes([0x08]) + b"\x00\x00\x00" + (1023).to_bytes(
+        3, "little"
+    ) + (767).to_bytes(3, "little")
+    m = image_metadata_of(
+        _riff_webp((b"VP8X", vp8x), (b"EXIF", _std_block()))
+    )
+    assert (m["width"], m["height"]) == (1024, 768)
+    assert m["make"] == "CamCorp" and m["has_gps"] == 1
+
+
+def test_webp_corrupt_raises_exif_error():
+    from evm_archive_spark.operators.exif import ExifError, image_metadata_of
+
+    with pytest.raises(ExifError):
+        image_metadata_of(_riff_webp((b"VP8L", b"\x00\x00")))
+    with pytest.raises(ExifError):
+        image_metadata_of(_riff_webp((b"ALPH", b"\x00\x00")))
