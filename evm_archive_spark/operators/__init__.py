@@ -17,6 +17,7 @@ _EXPORTS = {
     "ngram_jaccard_pairs": "dedup",
     "set_similarity_join": "dedup",
     "line_dedup": "dedup",
+    "cross_doc_span_dedup": "dedup",
     "incremental_exact_dedup": "dedup",
     "connected_components": "dedup",
     "dedup_survivors": "dedup",

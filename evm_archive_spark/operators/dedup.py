@@ -577,6 +577,259 @@ def line_dedup(
     )
 
 
+def cross_doc_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    window: int = 4,
+    max_occ: int | None = None,
+) -> DataFrame:
+    """Cross-document EXACT substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    token run of at least ``k + window - 1`` tokens that also appears
+    in an earlier document is removed — keep-first at span level, the
+    within-line complement of ``line_dedup`` and the exact complement
+    of MinHash's whole-document near-dup.
+
+    Lee et al. build a corpus-wide suffix array — inherently
+    single-machine.  The distributed construction here replaces it
+    with positional winnowing + anchor extension, preserving the
+    guarantee for runs >= k + window - 1:
+
+    1. positional winnowing (Schleimer et al. 2003): hash every
+       ``k``-token gram, select the leftmost-minimum hash position of
+       each sliding ``window`` — any run of >= k + window - 1 shared
+       tokens selects at least one COMMON anchor in both documents,
+       by the winnowing self-synchronization property;
+    2. keep-first: per anchor hash, the canonical source is the
+       (min doc_id, min pos) occurrence; every anchor in a LATER
+       document pairs with it (an equi-join on the hash — never
+       all-pairs; the source side is the duplicated-vocabulary set,
+       small and AQE-broadcastable);
+    3. exact extension: each pair verifies the anchor gram
+       token-for-token (hash collisions cannot fabricate a span) and
+       extends left/right to the MAXIMAL equal run against the
+       canonical occurrence — recovering the full duplicated span,
+       not just the anchor gram;
+    4. spans merge per document (gaps-and-islands over the span
+       table, which is duplicated-content-sized, not corpus-sized)
+       and the surviving tokens reassemble in order.
+
+    Output: one row per input document with ``text_out`` (whitespace-
+    normalized: surviving tokens joined by single spaces),
+    ``n_tokens`` and ``n_removed`` (BIGINT).
+
+    ``max_occ`` caps how many later-document anchors a single hash may
+    pair with (boilerplate heavy-hitter knob, same contract as
+    ``clone_pairs``); None = uncapped.
+
+    100-TB shape: tokenization/gram hashing is map-side and
+    recomputed per use rather than cached (the q_corpus_pipeline
+    recompute-over-cache call); the only corpus-sized shuffles are
+    the anchor groupBy (8-byte hash keys, map-side combined) and the
+    final per-document reassembly join.  Extension is O(span) per
+    anchor pair with arrays as join attributes — never a window over
+    raw tokens."""
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    toks = F.filter(
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), "[ \t\n\r\f]+"
+        ),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+
+    def gram_hashes(tcol):
+        # fixed-width hex strings: lexicographic order == numeric order,
+        # so array_min gives a deterministic winnow selection without a
+        # 64-bit numeric type (conv would overflow long at 16 hex chars)
+        n_grams = F.size(tcol) - (k - 1)
+        # when-guard: sequence(1, 0) DESCENDS in Spark, so an empty doc
+        # would feed slice a zero start (same guard as
+        # winnow_fingerprints above)
+        return F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(tcol, i, k))), 1, 16
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # positional winnow selection.  The gram-hash array is bound
+    # through a lambda variable (array-of-one + transform) so the
+    # windowed min/argmin reference the MATERIALIZED array instead of
+    # a CollapseProject-inlined recomputation per window (the O(n^2)
+    # trap documented in NOTES.md).
+    def selected(tcol):
+        return F.flatten(
+            F.transform(
+                F.array(gram_hashes(tcol)),
+                lambda g: F.when(
+                    F.size(g) >= window,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size(g) - (window - 1)
+                        ),
+                        lambda j: F.struct(
+                            (
+                                j
+                                + F.array_position(
+                                    F.slice(g, j, window),
+                                    F.array_min(F.slice(g, j, window)),
+                                )
+                                - 1
+                            ).cast("int").alias("pos"),
+                            F.array_min(F.slice(g, j, window)).alias(
+                                "gh"
+                            ),
+                        ),
+                    ),
+                ).when(
+                    # fewer grams than a window: keep the global
+                    # minimum so short documents still anchor
+                    # (winnow_fingerprints contract)
+                    F.size(g) >= 1,
+                    F.array(
+                        F.struct(
+                            F.array_position(g, F.array_min(g))
+                            .cast("int")
+                            .alias("pos"),
+                            F.array_min(g).alias("gh"),
+                        )
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<pos:int,gh:string>>"
+                    )
+                ),
+            )
+        )
+
+    anchors = (
+        base.select("doc_id", F.explode(selected(F.col("toks"))).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+        .distinct()
+    )
+    src = anchors.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("s")
+    ).select(
+        "gh",
+        F.col("s.doc_id").alias("id_a"),
+        F.col("s.pos").alias("pos_a"),
+    )
+    pairs = anchors.join(src, "gh").filter(F.col("doc_id") != F.col("id_a"))
+    if max_occ is not None:
+        w_occ = Window.partitionBy("gh").orderBy("doc_id", "pos")
+        pairs = (
+            pairs.withColumn("__rn", F.row_number().over(w_occ))
+            .filter(F.col("__rn") <= max_occ)
+            .drop("__rn")
+        )
+
+    ext = (
+        pairs.join(
+            base.select(
+                F.col("doc_id").alias("id_a"), F.col("toks").alias("ta")
+            ),
+            "id_a",
+        )
+        .join(
+            base.select("doc_id", F.col("toks").alias("tb")), "doc_id"
+        )
+    )
+    A, B = F.col("ta"), F.col("tb")
+    pa, pb = F.col("pos_a"), F.col("pos")
+    lmax = F.least(pa, pb) - 1
+    lmatch = F.when(
+        lmax >= 1,
+        F.transform(
+            F.sequence(F.lit(1), lmax),
+            lambda i: F.element_at(A, (pa - i).cast("int"))
+            == F.element_at(B, (pb - i).cast("int")),
+        ),
+    ).otherwise(F.array().cast("array<boolean>"))
+    lmis = F.array_position(lmatch, F.lit(False))
+    e_left = (
+        F.when(lmax <= 0, F.lit(0))
+        .when(lmis == 0, lmax)
+        .otherwise(lmis - 1)
+    )
+    rmax = F.least(F.size(A) - pa, F.size(B) - pb) - (k - 1)
+    rmatch = F.when(
+        rmax >= 1,
+        F.transform(
+            F.sequence(F.lit(1), rmax),
+            lambda i: F.element_at(A, (pa + (k - 1) + i).cast("int"))
+            == F.element_at(B, (pb + (k - 1) + i).cast("int")),
+        ),
+    ).otherwise(F.array().cast("array<boolean>"))
+    rmis = F.array_position(rmatch, F.lit(False))
+    e_right = (
+        F.when(rmax <= 0, F.lit(0))
+        .when(rmis == 0, rmax)
+        .otherwise(rmis - 1)
+    )
+    spans = ext.filter(
+        # collision guard: the anchor gram must match token-for-token
+        F.slice(A, pa.cast("int"), k) == F.slice(B, pb.cast("int"), k)
+    ).select(
+        "doc_id",
+        (pb - e_left).cast("int").alias("s"),
+        (pb + (k - 1) + e_right).cast("int").alias("e"),
+    )
+
+    w_span = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w_span.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        spans.withColumn(
+            "__new",
+            F.when(
+                prev_max.isNull() | (F.col("s") > prev_max), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w_span.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "__isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+
+    out = base.join(islands, "doc_id", "left")
+    sp = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.when(
+        F.size("toks") >= 1,
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size("toks")),
+                lambda p: ~F.exists(
+                    sp, lambda x: (p >= x["s"]) & (p <= x["e"])
+                ),
+            ),
+            lambda p: F.element_at(F.col("toks"), p.cast("int")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return out.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_out"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def _md5_minhash_signatures(
     df: DataFrame,
     id_col: str,

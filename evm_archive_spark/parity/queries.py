@@ -8384,6 +8384,68 @@ _add(
 )
 
 
+# Cross-document EXACT substring dedup (dedup.cross_doc_span_dedup —
+# the Lee et al. 2022 ExactSubstr semantic, suffix array replaced by
+# positional winnowing + exact extension).  Construction: every doc
+# carries 4 doc-salted filler tokens, an 8-token span shared by its
+# doc_id%4 family (8 = k + window - 1, the guarantee threshold), then
+# 3 more salted fillers.  Keep-first: only the family's min doc_id
+# keeps the span.  The oracle derives expected text arithmetically —
+# winnowing/extension internals never appear in SQL, but any over- or
+# under-extension by even one token breaks the hash.
+
+_SPAN_SYNTH = (
+    "SELECT doc_id, "
+    "'u' || doc_id || '_1 u' || doc_id || '_2 u' || doc_id || "
+    "'_3 u' || doc_id || '_4 ' || "
+    "'dup' || (doc_id % 4) || '_1 dup' || (doc_id % 4) || "
+    "'_2 dup' || (doc_id % 4) || '_3 dup' || (doc_id % 4) || "
+    "'_4 dup' || (doc_id % 4) || '_5 dup' || (doc_id % 4) || "
+    "'_6 dup' || (doc_id % 4) || '_7 dup' || (doc_id % 4) || '_8 ' || "
+    "'v' || doc_id || '_1 v' || doc_id || '_2 v' || doc_id || '_3' "
+    "AS text FROM documents"
+)
+
+
+def _q_span_dedup(spark, sf_dir):
+    from ..operators.dedup import cross_doc_span_dedup
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        cross_doc_span_dedup(spark.sql(_SPAN_SYNTH), k=5, window=4)
+        .select("doc_id", "text_out", "n_tokens", "n_removed")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_span_dedup",
+    _q_span_dedup,
+    "WITH m AS (SELECT doc_id, "
+    "MIN(doc_id) OVER (PARTITION BY doc_id % 4) AS fmin "
+    "FROM documents), "
+    "p AS (SELECT doc_id, fmin, "
+    "'u' || doc_id || '_1 u' || doc_id || '_2 u' || doc_id || "
+    "'_3 u' || doc_id || '_4' AS pre, "
+    "'dup' || (doc_id % 4) || '_1 dup' || (doc_id % 4) || "
+    "'_2 dup' || (doc_id % 4) || '_3 dup' || (doc_id % 4) || "
+    "'_4 dup' || (doc_id % 4) || '_5 dup' || (doc_id % 4) || "
+    "'_6 dup' || (doc_id % 4) || '_7 dup' || (doc_id % 4) || '_8' "
+    "AS mid, "
+    "'v' || doc_id || '_1 v' || doc_id || '_2 v' || doc_id || '_3' "
+    "AS post FROM m) "
+    "SELECT doc_id, "
+    "CASE WHEN doc_id = fmin THEN pre || ' ' || mid || ' ' || post "
+    "ELSE pre || ' ' || post END AS text_out, "
+    "CAST(15 AS BIGINT) AS n_tokens, "
+    "CAST(CASE WHEN doc_id = fmin THEN 0 ELSE 8 END AS BIGINT) "
+    "AS n_removed "
+    "FROM p ORDER BY doc_id NULLS FIRST",
+    "exact substring dedup (winnow anchors + keep-first + maximal "
+    "extension + island merge) == construction-derived expected text",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -8573,6 +8635,7 @@ _ROUND6_LATE = [
     "q_email", "q_subtitles", "q_extract", "q_av_align",
     # third-session lanes (same discipline: driver-sim'd at both SFs)
     "q_audio_meta", "q_feed", "q_boilerplate", "q_csv", "q_page_meta",
+    "q_span_dedup",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

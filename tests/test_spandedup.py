@@ -1,0 +1,106 @@
+"""Cross-document exact substring dedup (dedup.cross_doc_span_dedup):
+positional winnowing + keep-first anchor pairing + maximal exact
+extension + island merge.  The q_span_dedup gate covers the planted-
+family construction; these tests pin the semantics the gate can't:
+maximal extension edges, overlapping-span merge, short/empty docs,
+and the winnowing guarantee threshold."""
+
+from __future__ import annotations
+
+from evm_archive_spark.operators.dedup import cross_doc_span_dedup
+
+
+def _run(spark, docs, **kw):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {r.doc_id: r for r in cross_doc_span_dedup(df, **kw).collect()}
+
+
+def test_keep_first_and_exact_extension(spark):
+    shared = " ".join(f"s{i}" for i in range(1, 11))  # 10 tokens
+    out = _run(
+        spark,
+        [
+            (1, "a1 a2 a3 " + shared + " a4"),
+            (2, "b1 " + shared + " b2 b3"),
+        ],
+        k=5,
+        window=4,
+    )
+    assert out[1].n_removed == 0 and "s1" in out[1].text_out
+    # the FULL 10-token span goes, not just the anchored 5-gram
+    assert out[2].text_out == "b1 b2 b3"
+    assert out[2].n_removed == 10 and out[2].n_tokens == 13
+
+
+def test_overlapping_spans_merge(spark):
+    # doc 3 shares one run with doc 1 and an overlapping run with doc 2;
+    # the merged island must not double-remove or leave residue
+    r1 = " ".join(f"x{i}" for i in range(1, 9))  # x1..x8
+    r2 = " ".join(f"x{i}" for i in range(5, 13))  # x5..x12 (overlaps)
+    full = " ".join(f"x{i}" for i in range(1, 13))  # x1..x12
+    out = _run(
+        spark,
+        [(1, r1 + " q1 q2"), (2, "p1 p2 " + r2), (3, full + " t1")],
+        k=5,
+        window=4,
+    )
+    assert out[3].text_out == "t1"
+    assert out[3].n_removed == 12
+
+
+def test_below_threshold_runs_survive(spark):
+    # shared run of 7 tokens < k + window - 1 = 8: no guarantee, and
+    # with unique salt context the winnow picks salted grams, so the
+    # run must survive untouched
+    shared = " ".join(f"s{i}" for i in range(1, 8))  # 7 tokens
+    out = _run(
+        spark,
+        [
+            (1, "a1 a2 a3 a4 " + shared + " a5 a6 a7 a8"),
+            (2, "b1 b2 b3 b4 " + shared + " b5 b6 b7 b8"),
+        ],
+        k=5,
+        window=4,
+    )
+    # not guaranteed removable; implementation must keep both intact
+    # only if no common anchor was selected — assert it never removes
+    # from the FIRST document at least, and totals stay consistent
+    assert out[1].n_removed == 0
+    assert out[1].n_tokens == 15 and out[2].n_tokens == 15
+
+
+def test_short_and_empty_docs(spark):
+    out = _run(
+        spark,
+        [(1, None), (2, ""), (3, "one two"), (4, "one two")],
+        k=5,
+        window=4,
+    )
+    assert out[1].text_out == "" and out[1].n_tokens == 0
+    assert out[2].text_out == "" and out[2].n_tokens == 0
+    # docs shorter than k produce no grams -> nothing to remove
+    assert out[3].n_removed == 0 and out[4].n_removed == 0
+
+
+def test_whole_doc_duplicate_removes_everything(spark):
+    shared = " ".join(f"w{i}" for i in range(1, 9))
+    out = _run(spark, [(1, shared), (2, shared)], k=5, window=4)
+    assert out[1].n_removed == 0
+    assert out[2].text_out == "" and out[2].n_removed == 8
+
+
+def test_three_way_duplicate_keeps_only_min(spark):
+    shared = " ".join(f"z{i}" for i in range(1, 10))
+    out = _run(
+        spark,
+        [
+            (5, "a0 " + shared),
+            (7, "b0 " + shared + " b1"),
+            (9, shared + " c0"),
+        ],
+        k=5,
+        window=4,
+    )
+    assert out[5].n_removed == 0
+    assert out[7].text_out == "b0 b1"
+    assert out[9].text_out == "c0"
