@@ -18,6 +18,8 @@ _EXPORTS = {
     "set_similarity_join": "dedup",
     "line_dedup": "dedup",
     "cross_doc_span_dedup": "dedup",
+    "build_postings": "retrieval",
+    "keyword_topk": "retrieval",
     "incremental_exact_dedup": "dedup",
     "connected_components": "dedup",
     "dedup_survivors": "dedup",

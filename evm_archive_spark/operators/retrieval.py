@@ -1,0 +1,147 @@
+"""Keyword retrieval over the corpus: inverted postings + BM25 top-k.
+
+A training-data pipeline needs corpus-scale keyword retrieval for
+decontamination audits ("which documents contain this benchmark
+prompt?"), targeted curation ("top documents for this domain query"),
+and eval-set construction.  This is the classic inverted-index + BM25
+stack (Robertson & Zaragoza 2009), Spark-first:
+
+- postings build as ``explode -> groupBy(doc, term)`` — map-side
+  partial aggregation, one shuffle on (doc, term);
+- document-frequency and corpus stats as tiny aggregate DataFrames
+  cross-joined back (never ``collect`` into the driver);
+- the query side is exploded to distinct (query, term) rows and
+  BROADCAST — queries are human-scale, postings are corpus-scale, so
+  the probe is a map-side hash join that touches only postings whose
+  term appears in some query (stopword skew never materializes: the
+  semi-join filters before any aggregation);
+- per-(query, doc) scores aggregate with map-side combine; top-k is a
+  window over the scored pairs (query-scale, not corpus-scale).
+
+Two scoring modes over the SAME plan:
+- ``bm25``: the real thing — idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+  (the Lucene/ATIRE-positive variant that never goes negative), tf
+  normalization ``tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl))``.  Float
+  score; pytest-gated against an independent Python reference
+  (test_retrieval.py) — floats never enter oracle hashes.
+- ``intweight``: the exact-integer twin — per-term weight
+  ``1_000_000 DIV df`` (log-free inverse document frequency), score
+  ``SUM(tf * weight)`` as BIGINT.  Deterministic and replayable in
+  DuckDB; the q_retrieval gate hash-checks the whole postings/join/
+  top-k plumbing through it (the classify.py ppm pattern).
+
+Tokenization is ``textanalysis.word_terms`` — the same lowercased
+``[^a-z]+`` split the tf-idf lane replays in DuckDB (q_tfidf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted postings: one row per (term, doc, tf) plus the document
+    length ``dl`` (term count) carried on every row — the layout the
+    scorer joins against without a second corpus pass."""
+    from .textanalysis import word_terms
+
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_terms(F.col(text_col))).alias("term"),
+        F.size(word_terms(F.col(text_col))).alias("dl"),
+    )
+    return terms.groupBy("doc_id", "term", "dl").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def keyword_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    topk: int = 10,
+    scoring: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query.  Output: (query_id, rank, doc_id,
+    score) with rank 1-based, ties broken by ascending doc_id (fully
+    deterministic).  ``scoring`` is ``"bm25"`` (float, the real
+    ranking) or ``"intweight"`` (BIGINT, the oracle-portable twin) —
+    see the module docstring."""
+    from .textanalysis import word_terms
+
+    if scoring not in ("bm25", "intweight"):
+        raise ValueError(f"unknown scoring {scoring!r}")
+    postings = build_postings(docs, id_col, text_col)
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.array_distinct(word_terms(F.col(query_col)))
+            ).alias("term"),
+        )
+    )
+    joined = qterms.join(postings, "term").join(
+        F.broadcast(dfreq), "term"
+    )
+    if scoring == "bm25":
+        stats = F.broadcast(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(word_terms(F.col(text_col))).alias("dl"),
+            ).agg(
+                F.count("*").alias("n_docs"),
+                F.avg("dl").alias("avgdl"),
+            )
+        )
+        joined = joined.crossJoin(stats)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+        )
+        contrib = (idf * tfnorm).alias("contrib")
+        score = F.sum(F.col("contrib")).alias("score")
+    else:
+        # exact integer: weight = 1_000_000 DIV df
+        contrib = (
+            F.col("tf").cast("long")
+            * F.expr("CAST(1000000 AS BIGINT) DIV df")
+        ).alias("contrib")
+        score = F.sum(F.col("contrib")).cast("long").alias("score")
+    scored = (
+        joined.select("query_id", "doc_id", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(score)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )

@@ -8446,6 +8446,61 @@ _add(
 )
 
 
+# Keyword retrieval (retrieval.keyword_topk): inverted postings +
+# broadcast query probe + per-(query, doc) aggregation + top-k window.
+# The gate runs the exact-integer "intweight" twin (weight =
+# 1_000_000 DIV df — the classify.py ppm pattern) over queries derived
+# from the corpus itself (first five terms of docs 0-2), fully
+# replayed in DuckDB with the q_tfidf tokenization.  The float BM25
+# scorer shares the identical plan and is pytest-gated against an
+# independent Python reference (test_retrieval.py).
+
+def _q_retrieval(spark, sf_dir):
+    from ..operators.retrieval import keyword_topk
+    from ..operators.textanalysis import word_terms
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(word_terms(F.col("text")), 1, 5), " "
+        ).alias("query"),
+    )
+    return keyword_topk(docs, qs, topk=10, scoring="intweight").orderBy(
+        "query_id", "rank"
+    )
+
+
+_add(
+    "q_retrieval",
+    _q_retrieval,
+    "WITH term_rows AS ("
+    "  SELECT doc_id, unnest(list_filter("
+    "    string_split_regex(lower(text), '[^a-z]+'), "
+    "    x -> length(x) >= 3)) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf "
+    "  FROM term_rows GROUP BY 1, 2), "
+    "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+    "qt AS (SELECT doc_id AS query_id, unnest(list_distinct(list_slice("
+    "  list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+    "  x -> length(x) >= 3), 1, 5))) AS term "
+    "  FROM documents WHERE doc_id < 3), "
+    "sc AS (SELECT q.query_id, t.doc_id, "
+    "  CAST(SUM(t.tf * (1000000 // d.df)) AS BIGINT) AS score "
+    "  FROM qt q JOIN tf t USING (term) JOIN dfreq d USING (term) "
+    "  GROUP BY 1, 2), "
+    "rk AS (SELECT query_id, doc_id, score, "
+    "  row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY score DESC, doc_id) AS rank FROM sc) "
+    "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score "
+    "FROM rk WHERE rank <= 10 "
+    "ORDER BY query_id NULLS FIRST, rank NULLS FIRST",
+    "keyword retrieval (postings + broadcast probe + top-k) with the "
+    "exact-integer weight twin == full DuckDB replay",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -8635,7 +8690,7 @@ _ROUND6_LATE = [
     "q_email", "q_subtitles", "q_extract", "q_av_align",
     # third-session lanes (same discipline: driver-sim'd at both SFs)
     "q_audio_meta", "q_feed", "q_boilerplate", "q_csv", "q_page_meta",
-    "q_span_dedup",
+    "q_span_dedup", "q_retrieval",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
