@@ -59,6 +59,122 @@ def build_postings(
     )
 
 
+def persist_postings_index(
+    spark,
+    docs: DataFrame,
+    table: str,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Persist the inverted postings hash-bucketed (and sorted) by
+    ``term`` — the searchable-corpus layout: the index pays its one
+    shuffle at WRITE time, and every subsequent query reads only the
+    buckets its terms hash into (bucket pruning on the ``isin``
+    filter ``keyword_topk_indexed`` pushes down).  Returns the
+    catalog-backed DataFrame.
+
+    Append pattern (nightly shard): ``append_postings_index`` writes
+    the shard's postings through the same bucket spec — bucket layout
+    is stable under append (same hash, same count), the
+    ``persist_minhash_band_index`` contract (dedup.py:935)."""
+    from .. import storage
+
+    storage.write_bucketed(
+        build_postings(docs, id_col, text_col),
+        table,
+        path,
+        ["term"],
+        n_buckets,
+    )
+    return spark.table(table)
+
+
+def append_postings_index(
+    docs_shard: DataFrame,
+    table: str,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Append a shard's postings to a ``persist_postings_index`` table
+    through the same bucket spec.  Touches only the shard — admitted
+    corpus content is never re-read (the incremental-lane contract)."""
+    (
+        build_postings(docs_shard, id_col, text_col)
+        .write.mode("append")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(table)
+    )
+
+
+def keyword_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    topk: int = 10,
+) -> DataFrame:
+    """Top-``k`` over a persisted postings index with the exact-integer
+    weight (``1_000_000 DIV df``), df computed FROM THE INDEX — so a
+    shard appended after the index was built raises df and lowers the
+    weight exactly as a batch rebuild would (q_incr_retrieval pins
+    batch == incremental).
+
+    Scale shape: the distinct query terms are collected (human-scale —
+    the probe-list collect the IVF lane also makes) and pushed down as
+    an ``isin`` filter, so the scan reads only the matching term
+    buckets; df aggregation and scoring then run over exactly those
+    rows — never the whole index."""
+    from .textanalysis import word_terms
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(word_terms(F.col(query_col)))).alias(
+            "term"
+        ),
+    )
+    terms = [r.term for r in qterms.select("term").distinct().collect()]
+    hits = index.filter(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        F.broadcast(qterms)
+        .join(hits, "term")
+        .join(F.broadcast(dfreq), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("tf").cast("long")
+                * F.expr("CAST(1000000 AS BIGINT) DIV df")
+            ).alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
 def keyword_topk(
     docs: DataFrame,
     queries: DataFrame,

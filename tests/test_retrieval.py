@@ -115,3 +115,48 @@ def test_query_probe_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_indexed_incremental_equals_batch(spark, tmp_path):
+    from evm_archive_spark.operators.retrieval import (
+        append_postings_index,
+        keyword_topk_indexed,
+        persist_postings_index,
+    )
+
+    shard_a = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+    shard_b = spark.createDataFrame(DOCS[3:], ["doc_id", "text"])
+    qs = spark.createDataFrame(QUERIES, ["query_id", "query"])
+    table = "t_postings_inc"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        idx = persist_postings_index(
+            spark, shard_a, table, str(tmp_path / "idx"), n_buckets=8
+        )
+        append_postings_index(
+            shard_b, table, str(tmp_path / "idx"), n_buckets=8
+        )
+        idx = spark.table(table)
+        got = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in keyword_topk_indexed(idx, qs, topk=10).collect()
+        )
+        batch = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in keyword_topk(
+                spark.createDataFrame(DOCS, ["doc_id", "text"]),
+                qs,
+                topk=10,
+                scoring="intweight",
+            ).collect()
+        )
+        assert got == batch
+        # scale pin: the indexed probe's isin pushdown prunes term
+        # buckets — the scan must NOT read all 8
+        plan = (
+            keyword_topk_indexed(idx, qs, topk=10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
