@@ -809,6 +809,78 @@ def feed_entries(df: DataFrame, xml_col: str = "feed_xml") -> DataFrame:
     )
 
 
+def crawl_frontier(
+    sitemaps: DataFrame | None,
+    feeds: DataFrame | None,
+    robots: DataFrame,
+    agent: str = "*",
+    *,
+    sitemap_xml_col: str = "sitemap_xml",
+    feed_xml_col: str = "feed_xml",
+    robots_host_col: str = "host",
+    robots_txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Crawl-frontier construction — the composition a crawler runs
+    before fetching anything: sitemap URLs (what hosts WANT crawled) +
+    feed entry links (what's NEW) -> canonicalize -> one row per
+    canonical URL (``source`` prefers 'sitemap' as the authoritative
+    channel; ``n_sources`` counts corroboration) -> RFC 9309 robots
+    filter (what hosts PERMIT).
+
+    Output: (url, host, source, n_sources), robots-allowed rows only.
+    URLs without a parseable host are dropped (nothing to fetch).
+
+    Scale shape: both discovery channels are pure-JVM regexp fan-outs
+    riding their scans; the only corpus-sized shuffle is the
+    canonical-URL groupBy; robots rule sets are host-keyed and tiny
+    (AQE-broadcast, the robots_decisions contract)."""
+    from .robots import robots_filter
+
+    parts = []
+    if sitemaps is not None:
+        parts.append(
+            sitemap_urls(sitemaps, sitemap_xml_col).select(
+                F.col("url"), F.lit("sitemap").alias("source")
+            )
+        )
+    if feeds is not None:
+        parts.append(
+            feed_entries(feeds, feed_xml_col)
+            .filter(F.col("link").rlike(_SCHEME_RE))
+            .select(F.col("link").alias("url"), F.lit("feed").alias("source"))
+        )
+    if not parts:
+        raise ValueError("need at least one of sitemaps/feeds")
+    allu = parts[0]
+    for p in parts[1:]:
+        allu = allu.unionByName(p)
+    canon = allu.select(
+        canonicalize_url("url").alias("url"),
+        F.when(F.col("source") == "sitemap", 0).otherwise(1).alias("__pri"),
+        "source",
+    )
+    deduped = (
+        canon.groupBy("url")
+        .agg(
+            F.min(F.struct("__pri", "source")).alias("__s"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .select(
+            "url",
+            F.col("__s.source").alias("source"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+        )
+        .withColumn(
+            "host", F.regexp_extract("url", _SCHEME_RE + "([^/?]*)", 2)
+        )
+        .filter(F.col("host") != "")
+    )
+    return robots_filter(
+        deduped, robots, agent,
+        url_col="url", host_col=robots_host_col, txt_col=robots_txt_col,
+    ).select("url", "host", "source", "n_sources")
+
+
 def warc_digest_dedup(
     media: DataFrame,
     payload_col: str = "payload",

@@ -8570,6 +8570,69 @@ _add(
 )
 
 
+# [pair] crawl-frontier composition (weburl.crawl_frontier): sitemap
+# fan-out + feed fan-out -> canonical dedup with source priority ->
+# RFC 9309 robots filter, one call.  The sitemap side reuses
+# _SITEMAP_SYNTH; even docs' feeds CORROBORATE a sitemap URL (dedup ->
+# n_sources=2) and add a feed-only URL; robots disallow /q/ on
+# s.example (kills the second sitemap entry) and /p/ on f.example
+# (harmless here); t.example has no robots row (default allow).  The
+# oracle emits the surviving frontier arithmetically.
+
+_FRONTIER_FEED_SYNTH = (
+    "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+    "'<rss version=\"2.0\"><channel>"
+    "<item><title>Q</title><link>http://f.example/q/' || doc_id || "
+    "'</link></item>"
+    "<item><title>D</title><link>http://s.example/d/' || doc_id || "
+    "'</link></item></channel></rss>' "
+    "ELSE "
+    "'<feed><entry><title>E</title>"
+    "<link href=\"http://f.example/a/' || doc_id || '\"/>"
+    "</entry></feed>' END AS feed_xml FROM documents"
+)
+
+_FRONTIER_ROBOTS_SYNTH = (
+    "SELECT 's.example' AS host, "
+    "'User-agent: *' || chr(10) || 'Disallow: /q/' AS robots_txt "
+    "UNION ALL SELECT 'f.example', "
+    "'User-agent: *' || chr(10) || 'Disallow: /p/'"
+)
+
+
+def _q_frontier(spark, sf_dir):
+    from ..operators.weburl import crawl_frontier
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return crawl_frontier(
+        spark.sql(_SITEMAP_SYNTH),
+        spark.sql(_FRONTIER_FEED_SYNTH),
+        spark.sql(_FRONTIER_ROBOTS_SYNTH),
+        agent="evmbot",
+    ).orderBy("url")
+
+
+_add(
+    "q_frontier",
+    _q_frontier,
+    "WITH a AS ("
+    "SELECT 'http://s.example/d/' || doc_id AS url, "
+    "  's.example' AS host, 'sitemap' AS source, "
+    "  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) "
+    "  AS n_sources FROM documents "
+    "UNION ALL SELECT 'http://t.example/x/' || doc_id, 't.example', "
+    "  'sitemap', CAST(1 AS BIGINT) FROM documents WHERE doc_id % 3 = 0 "
+    "UNION ALL SELECT 'http://f.example/q/' || doc_id, 'f.example', "
+    "  'feed', CAST(1 AS BIGINT) FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL SELECT 'http://f.example/a/' || doc_id, 'f.example', "
+    "  'feed', CAST(1 AS BIGINT) FROM documents WHERE doc_id % 2 = 1) "
+    "SELECT url, host, source, n_sources FROM a "
+    "ORDER BY url NULLS FIRST",
+    "frontier composition (sitemap + feed fan-out, canonical dedup "
+    "with source priority, robots filter) == arithmetic derivation",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -8759,7 +8822,7 @@ _ROUND6_LATE = [
     "q_email", "q_subtitles", "q_extract", "q_av_align",
     # third-session lanes (same discipline: driver-sim'd at both SFs)
     "q_audio_meta", "q_feed", "q_boilerplate", "q_csv", "q_page_meta",
-    "q_span_dedup", "q_retrieval", "q_incr_retrieval",
+    "q_span_dedup", "q_retrieval", "q_incr_retrieval", "q_frontier",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

@@ -498,3 +498,33 @@ def test_page_metadata_fields(spark):
         and r2.canonical_url is None
         and r2.lang is None
     )
+
+
+def test_crawl_frontier_composition(spark):
+    from evm_archive_spark.operators.weburl import crawl_frontier
+
+    sitemaps = spark.createDataFrame(
+        [(1, "<urlset><url><loc>http://a.com/keep/1</loc></url>"
+             "<url><loc>http://a.com/private/2</loc></url></urlset>")],
+        ["doc_id", "sitemap_xml"],
+    )
+    feeds = spark.createDataFrame(
+        [(1, '<rss><channel><item><title>t</title>'
+             "<link>http://a.com/keep/1</link></item>"
+             "<item><title>u</title><link>http://b.com/new/3</link>"
+             "</item></channel></rss>")],
+        ["doc_id", "feed_xml"],
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/")],
+        ["host", "robots_txt"],
+    )
+    rows = {r.url: r for r in crawl_frontier(sitemaps, feeds, robots).collect()}
+    # corroborated URL: sitemap priority, 2 sources
+    assert rows["http://a.com/keep/1"].source == "sitemap"
+    assert rows["http://a.com/keep/1"].n_sources == 2
+    # robots kills the private path
+    assert "http://a.com/private/2" not in rows
+    # feed-only URL on a robots-less host default-allows
+    assert rows["http://b.com/new/3"].source == "feed"
+    assert set(rows) == {"http://a.com/keep/1", "http://b.com/new/3"}
