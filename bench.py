@@ -90,6 +90,11 @@ HEADLINE = [
     # gates are oracle twins whose md5-per-position construction
     # exists for DuckDB replayability, not throughput.
     "q_vad",
+    # round-6 third session: substring dedup, retrieval, web lanes
+    "q_span_dedup",
+    "q_retrieval",
+    "q_boilerplate",
+    "q_frontier",
 ]
 
 

@@ -123,6 +123,48 @@ def csv_meta_and_text(payload: bytes) -> dict | None:
     }
 
 
+def jsonl_records(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    text_path: str = "$.text",
+    meta_paths: dict[str, str] | None = None,
+) -> DataFrame:
+    """JSONL payloads -> one row per record: ``(media_id, rec_no,
+    text_out, <meta columns>)`` — the unwrap step for the most common
+    LLM-corpus interchange format (one JSON object per line, text under
+    a known key).
+
+    Pure JVM: newline split + explode + ``get_json_object`` path
+    extraction (schema-free — no ``from_json`` schema to declare, so
+    heterogeneous records coexist).  Lines that are not JSON objects or
+    lack the text path yield NULL ``text_out`` (callers filter) —
+    nothing ever fails on a dirty line.  ``meta_paths`` maps extra
+    output columns to JSON paths (e.g. ``{"src": "$.metadata.source"}``).
+
+    100-TB shape: rides the scan, no UDF, no shuffle — the fan-out
+    twin of ``sitemap_urls`` for the JSONL world.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(payload_col)
+    if dict(df.dtypes).get(payload_col) == "binary":
+        c = F.decode(c, "UTF-8")
+    lines = F.filter(F.split(c, "\r?\n"), lambda s: F.trim(s) != "")
+    ex = df.select(
+        F.col(id_col).alias("media_id"),
+        F.posexplode(lines).alias("rec_no", "__line"),
+    )
+    cols = [
+        "media_id",
+        (F.col("rec_no") + 1).cast("long").alias("rec_no"),
+        F.get_json_object(F.col("__line"), text_path).alias("text_out"),
+    ]
+    for name, path in (meta_paths or {}).items():
+        cols.append(F.get_json_object(F.col("__line"), path).alias(name))
+    return ex.select(*cols)
+
+
 CSV_EXTRACT_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -809,6 +809,85 @@ def feed_entries(df: DataFrame, xml_col: str = "feed_xml") -> DataFrame:
     )
 
 
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_url_col: str | None = None,
+) -> DataFrame:
+    """HTML -> one row per hyperlink: the input columns (minus the
+    HTML) plus ``href`` (entity-decoded) and ``anchor_text`` (tags
+    stripped, whitespace collapsed).  When ``base_url_col`` is given,
+    relative hrefs (``/path`` and ``path`` forms) resolve against the
+    page's scheme://host — the link-graph feedstock (host_link_graph
+    below turns it into pagerank-ready edges).  Fragment-only and
+    ``javascript:``/``mailto:`` pseudo-links are dropped.  Pure JVM
+    regexp fan-out riding the scan, like every other weburl stage."""
+    c = F.col(html_col)
+    pairs = F.regexp_extract_all(
+        c,
+        F.lit("(?is)<a\\b[^>]*href=[\"']([^\"']*)[\"'][^>]*>(.*?)</a\\s*>"),
+        F.lit(0),
+    )
+    keep = [x for x in df.columns if x != html_col]
+    ex = df.select(*keep, F.explode(pairs).alias("__a"))
+    href = _xml_text(
+        F.regexp_extract("__a", "(?is)href=[\"']([^\"']*)[\"']", 1)
+    )
+    anchor = _block_clean(
+        F.regexp_extract("__a", "(?is)>(.*)</a\\s*>$", 1)
+    )
+    out = ex.select(*keep, href.alias("href"), anchor.alias("anchor_text"))
+    out = out.filter(
+        F.col("href").isNotNull()
+        & ~F.col("href").startswith("#")
+        & ~F.lower("href").rlike("^(javascript|mailto):")
+    )
+    if base_url_col is not None:
+        origin = F.regexp_extract(
+            F.col(base_url_col), _SCHEME_RE + "[^/?#]*", 0
+        )
+        out = out.withColumn(
+            "href",
+            F.when(F.col("href").rlike(_SCHEME_RE), F.col("href"))
+            .when(
+                F.col("href").startswith("/"),
+                F.concat(origin, F.col("href")),
+            )
+            .otherwise(F.concat(origin, F.lit("/"), F.col("href"))),
+        )
+    return out
+
+
+def host_link_graph(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Pages -> weighted host-level link edges ``(src_host, dst_host,
+    n_links)``, self-loops dropped — the input ``graph.pagerank``
+    ranks for crawl prioritization / domain-quality weighting.  Link
+    extraction and host projection ride the scan; the only shuffle is
+    the (src, dst) count groupBy (host-domain-sized keys, map-side
+    combined)."""
+    links = extract_links(pages, html_col, base_url_col=url_col)
+    src = F.regexp_extract(
+        canonicalize_url(url_col), _SCHEME_RE + "([^/?]*)", 2
+    )
+    dst = F.regexp_extract(
+        canonicalize_url(F.col("href")), _SCHEME_RE + "([^/?]*)", 2
+    )
+    return (
+        links.select(src.alias("src_host"), dst.alias("dst_host"))
+        .filter(
+            (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 def crawl_frontier(
     sitemaps: DataFrame | None,
     feeds: DataFrame | None,

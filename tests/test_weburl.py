@@ -528,3 +528,54 @@ def test_crawl_frontier_composition(spark):
     # feed-only URL on a robots-less host default-allows
     assert rows["http://b.com/new/3"].source == "feed"
     assert set(rows) == {"http://a.com/keep/1", "http://b.com/new/3"}
+
+
+def test_extract_links_and_host_graph(spark):
+    from evm_archive_spark.operators.weburl import (
+        extract_links,
+        host_link_graph,
+    )
+
+    html = (
+        '<p><a href="http://b.com/x">Ext &amp; link</a>'
+        '<a href="/local">rel<b>ative</b></a>'
+        '<a href="#frag">skip</a>'
+        '<a href="mailto:x@y.z">skip too</a>'
+        '<a href="http://b.com/y">again</a></p>'
+    )
+    pages = spark.createDataFrame(
+        [("http://a.com/page", html)], ["url", "html"]
+    )
+    links = {
+        r.href: r.anchor_text
+        for r in extract_links(pages, base_url_col="url").collect()
+    }
+    assert links["http://b.com/x"] == "Ext & link"
+    # inline tags strip to a space, the html_to_text convention
+    assert links["http://a.com/local"] == "rel ative"
+    assert len(links) == 3
+    edges = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_link_graph(pages).collect()
+    }
+    # a.com -> b.com twice; the self-loop to a.com is dropped
+    assert edges == {("a.com", "b.com"): 2}
+
+
+def test_jsonl_records(spark):
+    from evm_archive_spark.operators.tabular import jsonl_records
+
+    payload = (
+        '{"text": "first doc", "meta": {"src": "web"}}\n'
+        "\n"
+        '{"text": "second", "meta": {"src": "book"}}\n'
+        "not json at all\n"
+    ).encode()
+    df = spark.createDataFrame([(1, payload)], ["media_id", "payload"])
+    rows = jsonl_records(
+        df, meta_paths={"src": "$.meta.src"}
+    ).collect()
+    got = {(r.rec_no): (r.text_out, r.src) for r in rows}
+    assert got[1] == ("first doc", "web")
+    assert got[2] == ("second", "book")
+    assert got[3] == (None, None)  # dirty line -> NULLs, never an error
