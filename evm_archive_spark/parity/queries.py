@@ -8283,7 +8283,7 @@ _CSV_SYNTH = (
 )
 
 
-def _q_csv(spark, sf_dir):
+def _q_csv_extract(spark, sf_dir):
     from ..operators.tabular import csv_extract
 
     register_testdata(spark, sf_dir, ["documents"])
@@ -8307,8 +8307,8 @@ def _q_csv(spark, sf_dir):
 
 
 _add(
-    "q_csv",
-    _q_csv,
+    "q_csv_extract",
+    _q_csv_extract,
     "SELECT doc_id, "
     "CASE WHEN doc_id % 2 = 0 THEN 'csv' ELSE 'tsv' END AS format, "
     "CASE WHEN doc_id % 2 = 0 THEN ',' ELSE chr(9) END AS delimiter, "
@@ -8648,7 +8648,7 @@ _JSONL_SYNTH = (
 )
 
 
-def _q_jsonl(spark, sf_dir):
+def _q_jsonl_unwrap(spark, sf_dir):
     from ..operators.tabular import jsonl_records
 
     register_testdata(spark, sf_dir, ["documents"])
@@ -8666,8 +8666,8 @@ def _q_jsonl(spark, sf_dir):
 
 
 _add(
-    "q_jsonl",
-    _q_jsonl,
+    "q_jsonl_unwrap",
+    _q_jsonl_unwrap,
     "WITH a AS ("
     "SELECT doc_id, CAST(1 AS BIGINT) AS rec_no, "
     "  'alpha ' || CAST(doc_id AS VARCHAR) AS text_out, "
@@ -8907,9 +8907,9 @@ _ROUND6_LATE = [
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
     "q_email", "q_subtitles", "q_extract", "q_av_align",
     # third-session lanes (same discipline: driver-sim'd at both SFs)
-    "q_audio_meta", "q_feed", "q_boilerplate", "q_csv", "q_page_meta",
+    "q_audio_meta", "q_feed", "q_boilerplate", "q_csv_extract", "q_page_meta",
     "q_span_dedup", "q_retrieval", "q_incr_retrieval", "q_frontier",
-    "q_jsonl", "q_links",
+    "q_jsonl_unwrap", "q_links",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
