@@ -8719,6 +8719,116 @@ _add(
 )
 
 
+# Chat flattening + turn-structure stats (chatformat.chat_to_text /
+# chat_stats): docs with doc_id % 4 == 0 carry an assistant-first
+# 2-turn conversation (alternation_ok must be 0), the rest a
+# system/user/assistant 3-turn (ok 1).  Oracle emits the rendered
+# ChatML and the stats directly from the construction — from_json
+# never appears in SQL.
+
+_CHAT_SYNTH = (
+    "SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+    "'[{\"role\": \"assistant\", \"content\": \"a ' || (doc_id % 7) || "
+    "'\"}, {\"role\": \"user\", \"content\": \"q ' || doc_id || '\"}]' "
+    "ELSE "
+    "'[{\"role\": \"system\", \"content\": \"sys ' || (doc_id % 3) || "
+    "'\"}, {\"role\": \"user\", \"content\": \"q ' || doc_id || "
+    "'\"}, {\"role\": \"assistant\", \"content\": \"a ' || "
+    "(doc_id % 7) || '\"}]' END AS messages FROM documents"
+)
+
+
+def _q_chat(spark, sf_dir):
+    from ..operators.chatformat import chat_stats, chat_to_text
+
+    register_testdata(spark, sf_dir, ["documents"])
+    conv = spark.sql(_CHAT_SYNTH)
+    t = chat_to_text(conv)
+    s = chat_stats(conv).drop("n_turns")
+    return (
+        t.join(s, "doc_id")
+        .select(
+            "doc_id", "text_out", "n_turns", "n_system", "n_user",
+            "n_assistant", "content_chars", "alternation_ok",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_chat",
+    _q_chat,
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'<|im_start|>assistant' || chr(10) || 'a ' || (doc_id % 7) || "
+    "'<|im_end|>' || chr(10) || "
+    "'<|im_start|>user' || chr(10) || 'q ' || doc_id || '<|im_end|>' "
+    "ELSE "
+    "'<|im_start|>system' || chr(10) || 'sys ' || (doc_id % 3) || "
+    "'<|im_end|>' || chr(10) || "
+    "'<|im_start|>user' || chr(10) || 'q ' || doc_id || '<|im_end|>' "
+    "|| chr(10) || "
+    "'<|im_start|>assistant' || chr(10) || 'a ' || (doc_id % 7) || "
+    "'<|im_end|>' END AS text_out, "
+    "CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 3 END AS BIGINT) "
+    "AS n_turns, "
+    "CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT) "
+    "AS n_system, "
+    "CAST(1 AS BIGINT) AS n_user, "
+    "CAST(1 AS BIGINT) AS n_assistant, "
+    "CAST(CASE WHEN doc_id % 4 = 0 THEN "
+    "length('a ' || (doc_id % 7)) + length('q ' || doc_id) "
+    "ELSE length('sys ' || (doc_id % 3)) + length('q ' || doc_id) + "
+    "length('a ' || (doc_id % 7)) END AS BIGINT) AS content_chars, "
+    "CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT) "
+    "AS alternation_ok "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "chat flattening (ChatML render, dirty-drop, alternation check) "
+    "== construction-derived expected text and stats",
+)
+
+
+# Fill-in-the-middle (chatformat.fim_transform): md5-derived
+# deterministic cut points, PSM serialization.  Full DuckDB replay —
+# the same md5 slice arithmetic, integer-division cut points, and
+# substring splits over the REAL document text.
+
+def _q_fim(spark, sf_dir):
+    from ..operators.chatformat import fim_transform
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        fim_transform(spark.table("documents"))
+        .select("doc_id", "fim_text", "cut1", "cut2")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_fim",
+    _q_fim,
+    "WITH b AS (SELECT doc_id, COALESCE(text, '') AS t, "
+    "md5(doc_id || '|' || COALESCE(text, '')) AS h FROM documents), "
+    "c AS (SELECT doc_id, t, length(t) AS n, "
+    "CAST(('0x' || substring(h, 1, 4)) AS BIGINT) AS b0, "
+    "CAST(('0x' || substring(h, 5, 4)) AS BIGINT) AS b1 FROM b), "
+    "d AS (SELECT doc_id, t, n, "
+    "(b0 % GREATEST(n // 2, 1)) + 1 AS cut1, "
+    "(n // 2) + (b1 % GREATEST(n - n // 2, 1)) + 1 AS cut2 FROM c) "
+    "SELECT doc_id, "
+    "CASE WHEN n < 2 THEN t ELSE "
+    "'<fim_prefix>' || substring(t, 1, cut1) || "
+    "'<fim_suffix>' || substring(t, cut2 + 1, n) || "
+    "'<fim_middle>' || substring(t, cut1 + 1, cut2 - cut1) END "
+    "AS fim_text, "
+    "CAST(CASE WHEN n < 2 THEN 0 ELSE cut1 END AS BIGINT) AS cut1, "
+    "CAST(CASE WHEN n < 2 THEN 0 ELSE cut2 END AS BIGINT) AS cut2 "
+    "FROM d ORDER BY doc_id NULLS FIRST",
+    "deterministic FIM (md5 cut points, PSM splice over real doc "
+    "text) == full DuckDB substring replay",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -8906,10 +9016,14 @@ _ROUND6_LATE = [
     "q_incr_cdc", "q_pdf", "q_code_stats", "q_license", "q_code_filter",
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
     "q_email", "q_subtitles", "q_extract", "q_av_align",
-    # third-session lanes (same discipline: driver-sim'd at both SFs)
+    # third-session lanes (same discipline: driver-sim'd at both SFs).
+    # NOTE: the head is capped [:50]; with 52 no-driver-row candidates
+    # the LAST TWO here (q_chat, q_fim — the newest) overflow and are
+    # staged for the r7 head (NOTES.md round-7 plan), both
+    # driver-sim'd green at sf0.01 AND sf0.1.
     "q_audio_meta", "q_feed", "q_boilerplate", "q_csv_extract", "q_page_meta",
     "q_span_dedup", "q_retrieval", "q_incr_retrieval", "q_frontier",
-    "q_jsonl_unwrap", "q_links",
+    "q_jsonl_unwrap", "q_links", "q_chat", "q_fim",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
