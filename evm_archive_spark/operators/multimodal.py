@@ -245,6 +245,108 @@ def image_ahash(
     return df.mapInPandas(batches, out_schema)
 
 
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """DCT perceptual hash (pHash) — the robustness upgrade over
+    ``image_ahash`` for image near-dup: area-average the REAL decoded
+    luminance to 32x32, orthonormal 2D DCT-II (numpy matmul), keep the
+    top-left 8x8 low-frequency block, threshold each coefficient
+    against the block median, bit-pack to one int64 (the standard
+    pHash construction).  Low frequencies survive recompression,
+    small blurs and brightness shifts that flip aHash bits, so the
+    SAME banded-Hamming machinery downstream
+    (``image_near_duplicates(hashes, hash_col='phash')``,
+    ``persist_image_hash_index``) catches more true near-dups at the
+    same radius.
+
+    strict/fake contract identical to image_ahash; the fake is the
+    first 8 bytes of sha256 (domain-separated from the aHash fake), so
+    the q_phash twin replays it as a hex-string equality in DuckDB."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .imagecodec import IMAGE_ERRORS, IMAGE_FORMATS, decode_image, known_image
+
+        n = 32
+        k = np.arange(n)[:, None]
+        m = np.arange(n)[None, :]
+        dct = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+        dct[0] /= np.sqrt(2.0)
+
+        def area_mean_32(rgba: "np.ndarray") -> "np.ndarray":
+            h, w = rgba.shape[:2]
+            lum = (
+                0.2126 * rgba[:, :, 0].astype(np.float64)
+                + 0.7152 * rgba[:, :, 1]
+                + 0.0722 * rgba[:, :, 2]
+            )
+            ye = (np.arange(n + 1) * h // n).clip(0, h)
+            xe = (np.arange(n + 1) * w // n).clip(0, w)
+            # degenerate bins (image smaller than 32px) fall back to
+            # nearest-sample rows/cols
+            if h < n or w < n:
+                ys = (np.arange(n) * h // n).clip(0, h - 1)
+                xs = (np.arange(n) * w // n).clip(0, w - 1)
+                return lum[ys][:, xs]
+            rows = np.add.reduceat(lum, ye[:-1], axis=0)
+            cells = np.add.reduceat(rows, xe[:-1], axis=1)
+            counts = np.outer(np.diff(ye), np.diff(xe))
+            return cells / counts
+
+        def hash_of(b: bytes) -> int:
+            if known_image(b):
+                try:
+                    rgba = decode_image(b)
+                except (*IMAGE_ERRORS, NotImplementedError):
+                    if strict:
+                        raise
+                    return int.from_bytes(
+                        hashlib.sha256(b).digest()[:8], "big"
+                    )
+                g = area_mean_32(rgba)
+                coefs = (dct @ g @ dct.T)[:8, :8]
+                bits = (coefs > np.median(coefs)).flatten()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                return val
+            if strict:
+                raise NotImplementedError(
+                    f"strict pHash supports {IMAGE_FORMATS} only "
+                    "(stdlib decoders); use strict=False for the "
+                    "deterministic fake"
+                )
+            return int.from_bytes(hashlib.sha256(b).digest()[:8], "big")
+
+        for pdf in it:
+            out = {"media_id": [], "phash": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                try:
+                    val = hash_of(b)
+                except IMAGE_ERRORS as e:
+                    raise ValueError(f"bad image payload {mid}: {e}") from e
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out["media_id"].append(mid)
+                out["phash"].append(val)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, out_schema)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

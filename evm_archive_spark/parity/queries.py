@@ -8829,6 +8829,42 @@ _add(
 )
 
 
+# [pair] pHash plumbing twin — the q_image_meta pattern for the DCT
+# perceptual hash: synthetic non-image payloads take the
+# domain-separated sha256-prefix fake, which DuckDB replays as a
+# two's-complement hex equality.  The REAL 32x32 area-mean + DCT-II +
+# median-threshold path is pytest-gated on real encoded PNGs
+# (test_phash.py: brightness invariance, banded-join composition).
+
+def _q_phash(spark, sf_dir):
+    from ..operators.multimodal import image_phash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return (
+        image_phash(media, strict=False)
+        .select(
+            "media_id",
+            F.lpad(F.hex("phash"), 16, "0").alias("phash_hex"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_add(
+    "q_phash",
+    _q_phash,
+    "SELECT doc_id AS media_id, "
+    "upper(substring(sha256(COALESCE(text, '')), 1, 16)) AS phash_hex "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "pHash fake twin: sha256-prefix int64 replayed as hex equality "
+    "(mapInPandas batch path hash-gated; real DCT pytest-gated)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9023,7 +9059,7 @@ _ROUND6_LATE = [
     # driver-sim'd green at sf0.01 AND sf0.1.
     "q_audio_meta", "q_feed", "q_boilerplate", "q_csv_extract", "q_page_meta",
     "q_span_dedup", "q_retrieval", "q_incr_retrieval", "q_frontier",
-    "q_jsonl_unwrap", "q_links", "q_chat", "q_fim",
+    "q_jsonl_unwrap", "q_links", "q_chat", "q_fim", "q_phash",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

@@ -1,0 +1,99 @@
+"""DCT perceptual hash: robustness vs aHash on real decoded pixels,
+fake-twin determinism, and composition with the banded-Hamming join."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from evm_archive_spark.operators.multimodal import (
+    image_ahash,
+    image_near_duplicates,
+    image_phash,
+)
+from evm_archive_spark.operators.png import encode_png
+
+
+def _img(seed: int, w: int = 64, h: int = 64) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 200, size=(h // 8, w // 8, 3)).astype(np.uint8)
+    up = np.kron(base, np.ones((8, 8, 1), dtype=np.uint8))
+    rgba = np.dstack([up, np.full((h, w), 255, np.uint8)])
+    return rgba.astype(np.uint8)
+
+
+def _brighten(rgba: np.ndarray, delta: int) -> np.ndarray:
+    out = rgba.copy()
+    out[:, :, :3] = np.clip(out[:, :, :3].astype(int) + delta, 0, 255)
+    return out.astype(np.uint8)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_brightness_invariant_same_image(spark):
+    img = _img(1)
+    rows = [
+        (1, bytearray(encode_png(img))),
+        (2, bytearray(encode_png(_brighten(img, 12)))),
+        (3, bytearray(encode_png(_img(2)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    ph = {r.media_id: r.phash for r in image_phash(df, strict=True).collect()}
+    # a uniform brightness shift leaves DCT AC structure intact
+    assert _ham(ph[1], ph[2]) <= 2
+    # different random content is far
+    assert _ham(ph[1], ph[3]) >= 16
+
+
+def test_phash_feeds_banded_near_dup_join(spark):
+    img = _img(3)
+    rows = [
+        (1, bytearray(encode_png(img))),
+        (2, bytearray(encode_png(_brighten(img, 8)))),
+        (3, bytearray(encode_png(_img(4)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = image_phash(df, strict=True)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_duplicates(
+            hashes, max_hamming=4, hash_col="phash"
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_phash_fake_twin_is_sha256_prefix(spark):
+    payload = b"definitely not an image"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    got = image_phash(df).head().phash
+    want = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got == want
+
+
+def test_phash_identical_images_hash_equal(spark):
+    img = _img(5)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img))), (2, bytearray(encode_png(img)))],
+        "media_id long, payload binary",
+    )
+    ph = {r.media_id: r.phash for r in image_phash(df, strict=True).collect()}
+    assert ph[1] == ph[2]
+
+
+def test_phash_differs_from_ahash_fake_domain(spark):
+    payload = b"xyz"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    p = image_phash(df).head().phash
+    a = image_ahash(df).head().ahash
+    assert p != a  # domain-separated fakes
