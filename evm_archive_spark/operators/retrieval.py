@@ -115,6 +115,74 @@ def append_postings_index(
     )
 
 
+def stream_postings_admission(
+    docs_stream: DataFrame,
+    state_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """The STREAMING face of the postings index: each micro-batch's
+    documents are tokenized into postings rows and written
+    ``postings/batch_id=<N>/`` with ``mode('overwrite')`` — EXACTLY
+    ONCE under foreachBatch replay (the stream_corpus_admission
+    survivor contract; duplicated postings would inflate tf/df, so
+    unlike membership state the benign-duplicate argument does NOT
+    apply and the bucketed-append layout is deliberately not used
+    here).  ``keyword_topk_indexed`` probes the partitioned tree
+    directly; ``compact_postings_index`` folds it into the bucketed
+    catalog table when the partition count grows (the nightly
+    compaction step — after which probes regain bucket pruning).
+
+    Returns the started StreamingQuery."""
+    import os
+
+    postings_path = os.path.join(state_dir, "postings")
+
+    def admit(batch_df, batch_id):
+        build_postings(batch_df, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(postings_path, f"batch_id={batch_id}"))
+
+    writer = docs_stream.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def compact_postings_index(
+    spark,
+    state_dir: str,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Fold a ``stream_postings_admission`` partition tree into the
+    bucketed catalog layout (``persist_postings_index`` shape): one
+    shuffle on ``term``, after which every probe is bucket-pruned
+    again.  Re-aggregates (doc, term) in case a document was ever
+    re-ingested across batches."""
+    import os
+
+    from .. import storage
+
+    raw = spark.read.parquet(os.path.join(state_dir, "postings"))
+    folded = raw.groupBy("doc_id", "term", "dl").agg(
+        F.sum("tf").alias("tf")
+    )
+    storage.write_bucketed(folded, table, path, ["term"], n_buckets)
+    return spark.table(table)
+
+
 def keyword_topk_indexed(
     index: DataFrame,
     queries: DataFrame,

@@ -160,3 +160,69 @@ def test_indexed_incremental_equals_batch(spark, tmp_path):
         assert "SelectedBucketsCount" in plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_postings_equals_batch_and_compacts(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from evm_archive_spark.operators.retrieval import (
+        compact_postings_index,
+        keyword_topk_indexed,
+        stream_postings_admission,
+    )
+
+    b1 = pd.DataFrame(DOCS[:3], columns=["doc_id", "text"])
+    b2 = pd.DataFrame(DOCS[3:], columns=["doc_id", "text"])
+    src = tmp_path / "src"
+    stamped = set()
+    for i, b in enumerate((b1, b2)):
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        for f in os.listdir(src):  # pin mtimes (NOTES.md gotcha)
+            if f.endswith(".parquet") and f not in stamped:
+                t = 1_700_000_000 + i
+                os.utime(src / f, (t, t))
+                stamped.add(f)
+
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    stream_postings_admission(stream, state)
+    assert any(
+        d.startswith("batch_id=")
+        for d in os.listdir(f"{state}/postings")
+    )
+
+    qs = spark.createDataFrame(QUERIES, ["query_id", "query"])
+    streamed_idx = spark.read.parquet(f"{state}/postings")
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in keyword_topk_indexed(streamed_idx, qs).collect()
+    )
+    batch = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in keyword_topk(
+            spark.createDataFrame(DOCS, ["doc_id", "text"]),
+            qs,
+            scoring="intweight",
+        ).collect()
+    )
+    assert got == batch
+
+    table = "t_postings_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        idx = compact_postings_index(
+            spark, state, table, str(tmp_path / "bidx"), n_buckets=8
+        )
+        got2 = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in keyword_topk_indexed(idx, qs).collect()
+        )
+        assert got2 == batch
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
