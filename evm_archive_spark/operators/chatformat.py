@@ -140,6 +140,59 @@ def chat_stats(
     )
 
 
+def preference_to_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    template: str = "chatml",
+) -> DataFrame:
+    """Preference triples (prompt, chosen, rejected) -> the rendered
+    pair a DPO/RM trainer consumes: ``chosen_text`` / ``rejected_text``
+    in the chat template, plus ``len_ratio_permille`` =
+    1000 * len(chosen) DIV max(len(rejected), 1) — the length-bias
+    signal preference pipelines filter on (a pair won on length alone
+    is a label artifact).  Rows with a NULL prompt or either side NULL
+    are dropped.  Pure JVM string assembly."""
+
+    def render(resp_col) -> F.Column:
+        if template == "chatml":
+            return F.concat(
+                F.lit("<|im_start|>user\n"),
+                F.col(prompt_col),
+                F.lit("<|im_end|>\n<|im_start|>assistant\n"),
+                resp_col,
+                F.lit("<|im_end|>"),
+            )
+        if template == "plain":
+            return F.concat(
+                F.lit("user: "), F.col(prompt_col),
+                F.lit("\nassistant: "), resp_col,
+            )
+        raise ValueError(f"unknown template {template!r}")
+
+    return (
+        df.filter(
+            F.col(prompt_col).isNotNull()
+            & F.col(chosen_col).isNotNull()
+            & F.col(rejected_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            render(F.col(chosen_col)).alias("chosen_text"),
+            render(F.col(rejected_col)).alias("rejected_text"),
+            F.floor(
+                F.length(chosen_col).cast("long")
+                * 1000
+                / F.greatest(F.length(rejected_col), F.lit(1))
+            )
+            .cast("long")
+            .alias("len_ratio_permille"),
+        )
+    )
+
+
 def fim_transform(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -930,6 +930,44 @@ def chunk_documents(
     )
 
 
+def split_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Split documents into sentences — the unit for per-sentence
+    dedup, alignment, and citation-grain decontamination.  Rule-based
+    and language-naive by design (a terminator ``.!?`` followed by
+    whitespace ends a sentence; the terminator stays attached; common
+    abbreviation traps are a documented non-goal — at corpus scale a
+    deterministic cheap rule beats a model-grade splitter you cannot
+    replay): lookbehind split + trim + length floor, one posexplode.
+
+    Output: (doc_id, sent_id BIGINT, sentence).  Pure map-side — no
+    shuffle at any corpus size; sentence ids are 0-based in document
+    order so downstream joins key stably on (doc_id, sent_id)."""
+    c = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""),
+    )
+    parts = F.filter(
+        F.transform(
+            F.split(c, "(?<=[.!?])\\s+"), lambda s: F.trim(s)
+        ),
+        lambda s: F.length(s) >= min_chars,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(parts).alias("sent_id", "sentence"),
+    ).select(
+        "doc_id",
+        F.col("sent_id").cast("long").alias("sent_id"),
+        "sentence",
+    )
+
+
 def fingerprint_md5(col, k: int = 8) -> F.Column:
     """Portable twin of ``fingerprint``: identical construction (sorted
     shingle-hash fold) with every hash an md5-32 — checkable against an

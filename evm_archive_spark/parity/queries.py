@@ -8865,6 +8865,87 @@ _add(
 )
 
 
+# Preference-pair rendering (chatformat.preference_to_text): the
+# DPO/RM prep stage — ChatML render of (prompt, chosen, rejected) plus
+# the integer length-bias signal.  Oracle emits both rendered texts
+# and the permille ratio arithmetically.
+
+_PREF_SYNTH = (
+    "SELECT doc_id, 'ask ' || doc_id AS prompt, "
+    "'good answer ' || (doc_id % 9) AS chosen, "
+    "'bad ' || (doc_id % 5) AS rejected FROM documents"
+)
+
+
+def _q_pref(spark, sf_dir):
+    from ..operators.chatformat import preference_to_text
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        preference_to_text(spark.sql(_PREF_SYNTH))
+        .select(
+            "doc_id", "chosen_text", "rejected_text",
+            "len_ratio_permille",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_pref",
+    _q_pref,
+    "SELECT doc_id, "
+    "'<|im_start|>user' || chr(10) || 'ask ' || doc_id || "
+    "'<|im_end|>' || chr(10) || '<|im_start|>assistant' || chr(10) || "
+    "'good answer ' || (doc_id % 9) || '<|im_end|>' AS chosen_text, "
+    "'<|im_start|>user' || chr(10) || 'ask ' || doc_id || "
+    "'<|im_end|>' || chr(10) || '<|im_start|>assistant' || chr(10) || "
+    "'bad ' || (doc_id % 5) || '<|im_end|>' AS rejected_text, "
+    "CAST(length('good answer ' || (doc_id % 9)) * 1000 // "
+    "length('bad ' || (doc_id % 5)) AS BIGINT) AS len_ratio_permille "
+    "FROM documents ORDER BY doc_id NULLS FIRST",
+    "preference-pair ChatML render + integer length-bias signal == "
+    "construction-derived expected pair",
+)
+
+
+# Sentence splitting (textanalysis.split_sentences): terminator-
+# attached rule split.  Lookbehind regexps don't exist in DuckDB's
+# RE2, so the oracle derives the expected sentences from the
+# construction instead of replaying the split.
+
+_SENT_SYNTH = (
+    "SELECT doc_id, 'Alpha ' || doc_id || '. Beta ' || (doc_id % 7) || "
+    "'!  Gamma tail ' || (doc_id % 3) AS text FROM documents"
+)
+
+
+def _q_sentences(spark, sf_dir):
+    from ..operators.textanalysis import split_sentences
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return split_sentences(spark.sql(_SENT_SYNTH)).orderBy(
+        "doc_id", "sent_id"
+    )
+
+
+_add(
+    "q_sentences",
+    _q_sentences,
+    "WITH a AS ("
+    "SELECT doc_id, CAST(0 AS BIGINT) AS sent_id, "
+    "'Alpha ' || doc_id || '.' AS sentence FROM documents "
+    "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), "
+    "'Beta ' || (doc_id % 7) || '!' FROM documents "
+    "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), "
+    "'Gamma tail ' || (doc_id % 3) FROM documents) "
+    "SELECT doc_id, sent_id, sentence FROM a "
+    "ORDER BY doc_id NULLS FIRST, sent_id NULLS FIRST",
+    "sentence split (terminator-attached, trim, posexplode order) == "
+    "construction-derived expected sentences",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9053,13 +9134,14 @@ _ROUND6_LATE = [
     "q_winnow", "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
     "q_email", "q_subtitles", "q_extract", "q_av_align",
     # third-session lanes (same discipline: driver-sim'd at both SFs).
-    # NOTE: the head is capped [:50]; with 52 no-driver-row candidates
-    # the LAST TWO here (q_chat, q_fim — the newest) overflow and are
-    # staged for the r7 head (NOTES.md round-7 plan), both
-    # driver-sim'd green at sf0.01 AND sf0.1.
+    # NOTE: the head is capped [:50]; the no-driver-row candidates
+    # exceed it, so the NEWEST entries past the cap (q_chat, q_fim,
+    # q_phash, ...) overflow and are staged for the r7 head (NOTES.md
+    # round-7 plan), each driver-sim'd green at sf0.01 AND sf0.1.
     "q_audio_meta", "q_feed", "q_boilerplate", "q_csv_extract", "q_page_meta",
     "q_span_dedup", "q_retrieval", "q_incr_retrieval", "q_frontier",
     "q_jsonl_unwrap", "q_links", "q_chat", "q_fim", "q_phash",
+    "q_pref", "q_sentences",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

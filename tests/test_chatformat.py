@@ -105,3 +105,50 @@ def test_fim_spm_style(spark):
     p = r.fim_text[i_p + len(FIM_PREFIX): r.fim_text.index(FIM_MIDDLE)]
     m = r.fim_text[r.fim_text.index(FIM_MIDDLE) + len(FIM_MIDDLE):]
     assert p + m + s == "0123456789"
+
+
+def test_preference_to_text(spark):
+    from evm_archive_spark.operators.chatformat import preference_to_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "why?", "because of X", "idk"),
+            (2, None, "a", "b"),
+            (3, "q", None, "b"),
+        ],
+        ["doc_id", "prompt", "chosen", "rejected"],
+    )
+    rows = preference_to_text(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.chosen_text == (
+        "<|im_start|>user\nwhy?<|im_end|>\n"
+        "<|im_start|>assistant\nbecause of X<|im_end|>"
+    )
+    assert r.rejected_text.endswith("idk<|im_end|>")
+    assert r.len_ratio_permille == 12 * 1000 // 3
+
+
+def test_split_sentences(spark):
+    from evm_archive_spark.operators.textanalysis import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second!  Third? no terminator tail"),
+            (2, ""),
+            (3, None),
+            (4, "Just one sentence."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {}
+    for r in split_sentences(df).collect():
+        out.setdefault(r.doc_id, []).append((r.sent_id, r.sentence))
+    assert out[1] == [
+        (0, "First one."),
+        (1, "Second!"),
+        (2, "Third?"),
+        (3, "no terminator tail"),
+    ]
+    assert 2 not in out and 3 not in out
+    assert out[4] == [(0, "Just one sentence.")]
