@@ -88,3 +88,45 @@ def check_foreign_key(
         e = F.col(cc) == F.col(f"__p_{cc}")
         cond = e if cond is None else cond & e
     return keys.join(p, cond, "left_anti")
+
+
+def dataset_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Reproducibility manifest: one row per shard (``id % n_shards``)
+    with ``n_docs``, ``n_chars``, and ``xor_digest`` — the bitwise XOR
+    of each document's 60-bit md5 content prefix.  Two corpus builds
+    are byte-identical per shard iff all three columns match; a single
+    flipped document flips the XOR.
+
+    XOR (not a sorted-concat hash) is the 100-TB-safe choice: it is
+    commutative/associative, so the aggregation is a plain map-side-
+    combined groupBy with 8-byte state — no collect_list, no ordering
+    shuffle, and the same fold replays exactly in DuckDB (bit_xor), so
+    the q_manifest gate hash-checks real corpus content end-to-end.
+
+    Output: (shard, n_docs, n_chars, xor_digest) — all BIGINT.
+    """
+    digest = F.conv(
+        F.substring(F.md5(F.coalesce(F.col(text_col), F.lit(""))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(
+            (F.col(id_col) % n_shards).cast("long").alias("shard"),
+            digest.alias("__d"),
+            F.length(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long")
+            .alias("__n"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_chars"),
+            F.expr("bit_xor(__d)").alias("xor_digest"),
+        )
+    )
