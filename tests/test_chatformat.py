@@ -18,7 +18,7 @@ def _conv(*turns):
     return json.dumps([{"role": r, "content": c} for r, c in turns])
 
 
-def test_chat_to_text_chatml_and_plain(spark):
+def _check_chat_to_text_chatml_and_plain(spark):
     msgs = _conv(("system", "be nice"), ("user", "hi"), ("assistant", "hello"))
     df = spark.createDataFrame(
         [(1, msgs), (2, "not json"), (3, None)], ["doc_id", "messages"]
@@ -36,7 +36,7 @@ def test_chat_to_text_chatml_and_plain(spark):
     assert plain[1].text_out == "system: be nice\nuser: hi\nassistant: hello"
 
 
-def test_chat_stats_alternation(spark):
+def _check_chat_stats_alternation(spark):
     ok1 = _conv(("system", "s"), ("user", "a"), ("assistant", "b"),
                 ("user", "c"), ("assistant", "d"))
     ok2 = _conv(("user", "a"), ("assistant", "b"))
@@ -55,7 +55,7 @@ def test_chat_stats_alternation(spark):
     assert out[4].alternation_ok == 0
 
 
-def test_chat_dirty_messages_dropped(spark):
+def _check_chat_dirty_messages_dropped(spark):
     msgs = json.dumps(
         [
             {"role": "user", "content": "q"},
@@ -70,7 +70,7 @@ def test_chat_dirty_messages_dropped(spark):
     assert "x" not in r.text_out
 
 
-def test_fim_reassembles_and_is_deterministic(spark):
+def _check_fim_reassembles_and_is_deterministic(spark):
     texts = [
         (1, "0123456789abcdef"),
         (2, "xy"),
@@ -96,7 +96,7 @@ def test_fim_reassembles_and_is_deterministic(spark):
     assert again == {k: v.fim_text for k, v in out.items()}
 
 
-def test_fim_spm_style(spark):
+def _check_fim_spm_style(spark):
     df = spark.createDataFrame([(1, "0123456789")], ["doc_id", "text"])
     r = fim_transform(df, style="spm").head()
     assert r.fim_text.startswith(FIM_SUFFIX)
@@ -107,7 +107,7 @@ def test_fim_spm_style(spark):
     assert p + m + s == "0123456789"
 
 
-def test_preference_to_text(spark):
+def _check_preference_to_text(spark):
     from evm_archive_spark.operators.chatformat import preference_to_text
 
     df = spark.createDataFrame(
@@ -129,7 +129,7 @@ def test_preference_to_text(spark):
     assert r.len_ratio_permille == 12 * 1000 // 3
 
 
-def test_split_sentences(spark):
+def _check_split_sentences(spark):
     from evm_archive_spark.operators.textanalysis import split_sentences
 
     df = spark.createDataFrame(
@@ -152,3 +152,28 @@ def test_split_sentences(spark):
     ]
     assert 2 not in out and 3 not in out
     assert out[4] == [(0, "Just one sentence.")]
+
+
+def test_chatformat_pooled(spark):
+    """Pooled runner (the test_operators_pooled_heavy pattern): the
+    independent checks above run through a thread pool as one pytest
+    item — identical coverage, a fraction of the wall clock."""
+    import inspect
+    import pathlib
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(fn):
+        try:
+            kwargs = {}
+            if "tmp_path" in inspect.signature(fn).parameters:
+                kwargs["tmp_path"] = pathlib.Path(tempfile.mkdtemp())
+            fn(spark, **kwargs)
+            return fn.__name__, None
+        except Exception as e:  # noqa: BLE001 — aggregated below
+            return fn.__name__, f"{type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, [_check_chat_to_text_chatml_and_plain, _check_chat_stats_alternation, _check_chat_dirty_messages_dropped, _check_fim_reassembles_and_is_deterministic, _check_fim_spm_style, _check_preference_to_text, _check_split_sentences]))
+    fails = [(n, m) for n, m in results if m]
+    assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)

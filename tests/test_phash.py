@@ -33,7 +33,7 @@ def _ham(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
-def test_phash_brightness_invariant_same_image(spark):
+def _check_phash_brightness_invariant_same_image(spark):
     img = _img(1)
     rows = [
         (1, bytearray(encode_png(img))),
@@ -48,7 +48,7 @@ def test_phash_brightness_invariant_same_image(spark):
     assert _ham(ph[1], ph[3]) >= 16
 
 
-def test_phash_feeds_banded_near_dup_join(spark):
+def _check_phash_feeds_banded_near_dup_join(spark):
     img = _img(3)
     rows = [
         (1, bytearray(encode_png(img))),
@@ -67,7 +67,7 @@ def test_phash_feeds_banded_near_dup_join(spark):
     assert all(k == (1, 2) for k in pairs)
 
 
-def test_phash_fake_twin_is_sha256_prefix(spark):
+def _check_phash_fake_twin_is_sha256_prefix(spark):
     payload = b"definitely not an image"
     df = spark.createDataFrame(
         [(1, bytearray(payload))], "media_id long, payload binary"
@@ -79,7 +79,7 @@ def test_phash_fake_twin_is_sha256_prefix(spark):
     assert got == want
 
 
-def test_phash_identical_images_hash_equal(spark):
+def _check_phash_identical_images_hash_equal(spark):
     img = _img(5)
     df = spark.createDataFrame(
         [(1, bytearray(encode_png(img))), (2, bytearray(encode_png(img)))],
@@ -89,7 +89,7 @@ def test_phash_identical_images_hash_equal(spark):
     assert ph[1] == ph[2]
 
 
-def test_phash_differs_from_ahash_fake_domain(spark):
+def _check_phash_differs_from_ahash_fake_domain(spark):
     payload = b"xyz"
     df = spark.createDataFrame(
         [(1, bytearray(payload))], "media_id long, payload binary"
@@ -97,3 +97,28 @@ def test_phash_differs_from_ahash_fake_domain(spark):
     p = image_phash(df).head().phash
     a = image_ahash(df).head().ahash
     assert p != a  # domain-separated fakes
+
+
+def test_phash_pooled(spark):
+    """Pooled runner (the test_operators_pooled_heavy pattern): the
+    independent checks above run through a thread pool as one pytest
+    item — identical coverage, a fraction of the wall clock."""
+    import inspect
+    import pathlib
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(fn):
+        try:
+            kwargs = {}
+            if "tmp_path" in inspect.signature(fn).parameters:
+                kwargs["tmp_path"] = pathlib.Path(tempfile.mkdtemp())
+            fn(spark, **kwargs)
+            return fn.__name__, None
+        except Exception as e:  # noqa: BLE001 — aggregated below
+            return fn.__name__, f"{type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, [_check_phash_brightness_invariant_same_image, _check_phash_feeds_banded_near_dup_join, _check_phash_fake_twin_is_sha256_prefix, _check_phash_identical_images_hash_equal, _check_phash_differs_from_ahash_fake_domain]))
+    fails = [(n, m) for n, m in results if m]
+    assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)

@@ -59,7 +59,7 @@ def _ref_bm25(k1=1.2, b=0.75):
     return out
 
 
-def test_bm25_matches_independent_reference(spark):
+def _check_bm25_matches_independent_reference(spark):
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     qs = spark.createDataFrame(QUERIES, ["query_id", "query"])
     got = keyword_topk(docs, qs, topk=10, scoring="bm25").collect()
@@ -74,7 +74,7 @@ def test_bm25_matches_independent_reference(spark):
             assert r.score == pytest.approx(s, abs=1e-9)
 
 
-def test_intweight_exact_integers(spark):
+def _check_intweight_exact_integers(spark):
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     qs = spark.createDataFrame([(1, "quick fox")], ["query_id", "query"])
     got = {
@@ -87,7 +87,7 @@ def test_intweight_exact_integers(spark):
     assert got[2] == 1 * 333333
 
 
-def test_topk_and_tie_break(spark):
+def _check_topk_and_tie_break(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (2, "alpha beta"), (3, "alpha beta")],
         ["doc_id", "text"],
@@ -100,14 +100,14 @@ def test_topk_and_tie_break(spark):
     ]
 
 
-def test_postings_shape(spark):
+def _check_postings_shape(spark):
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     p = {(r.doc_id, r.term): (r.tf, r.dl) for r in build_postings(docs).collect()}
     assert p[(5, "quick")] == (3, 6)
     assert p[(2, "cat")] == (2, 10)
 
 
-def test_query_probe_is_broadcast(spark):
+def _check_query_probe_is_broadcast(spark):
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     qs = spark.createDataFrame(QUERIES, ["query_id", "query"])
     plan = (
@@ -117,7 +117,7 @@ def test_query_probe_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_indexed_incremental_equals_batch(spark, tmp_path):
+def _check_indexed_incremental_equals_batch(spark, tmp_path):
     from evm_archive_spark.operators.retrieval import (
         append_postings_index,
         keyword_topk_indexed,
@@ -162,7 +162,7 @@ def test_indexed_incremental_equals_batch(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-def test_stream_postings_equals_batch_and_compacts(spark, tmp_path):
+def _check_stream_postings_equals_batch_and_compacts(spark, tmp_path):
     import os
 
     import pandas as pd
@@ -226,3 +226,28 @@ def test_stream_postings_equals_batch_and_compacts(spark, tmp_path):
         assert got2 == batch
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_retrieval_pooled(spark):
+    """Pooled runner (the test_operators_pooled_heavy pattern): the
+    independent checks above run through a thread pool as one pytest
+    item — identical coverage, a fraction of the wall clock."""
+    import inspect
+    import pathlib
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(fn):
+        try:
+            kwargs = {}
+            if "tmp_path" in inspect.signature(fn).parameters:
+                kwargs["tmp_path"] = pathlib.Path(tempfile.mkdtemp())
+            fn(spark, **kwargs)
+            return fn.__name__, None
+        except Exception as e:  # noqa: BLE001 — aggregated below
+            return fn.__name__, f"{type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, [_check_bm25_matches_independent_reference, _check_intweight_exact_integers, _check_topk_and_tie_break, _check_postings_shape, _check_query_probe_is_broadcast, _check_indexed_incremental_equals_batch, _check_stream_postings_equals_batch_and_compacts]))
+    fails = [(n, m) for n, m in results if m]
+    assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)

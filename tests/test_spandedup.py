@@ -15,7 +15,7 @@ def _run(spark, docs, **kw):
     return {r.doc_id: r for r in cross_doc_span_dedup(df, **kw).collect()}
 
 
-def test_keep_first_and_exact_extension(spark):
+def _check_keep_first_and_exact_extension(spark):
     shared = " ".join(f"s{i}" for i in range(1, 11))  # 10 tokens
     out = _run(
         spark,
@@ -32,7 +32,7 @@ def test_keep_first_and_exact_extension(spark):
     assert out[2].n_removed == 10 and out[2].n_tokens == 13
 
 
-def test_overlapping_spans_merge(spark):
+def _check_overlapping_spans_merge(spark):
     # doc 3 shares one run with doc 1 and an overlapping run with doc 2;
     # the merged island must not double-remove or leave residue
     r1 = " ".join(f"x{i}" for i in range(1, 9))  # x1..x8
@@ -48,7 +48,7 @@ def test_overlapping_spans_merge(spark):
     assert out[3].n_removed == 12
 
 
-def test_below_threshold_runs_survive(spark):
+def _check_below_threshold_runs_survive(spark):
     # shared run of 7 tokens < k + window - 1 = 8: no guarantee, and
     # with unique salt context the winnow picks salted grams, so the
     # run must survive untouched
@@ -69,7 +69,7 @@ def test_below_threshold_runs_survive(spark):
     assert out[1].n_tokens == 15 and out[2].n_tokens == 15
 
 
-def test_short_and_empty_docs(spark):
+def _check_short_and_empty_docs(spark):
     out = _run(
         spark,
         [(1, None), (2, ""), (3, "one two"), (4, "one two")],
@@ -82,14 +82,14 @@ def test_short_and_empty_docs(spark):
     assert out[3].n_removed == 0 and out[4].n_removed == 0
 
 
-def test_whole_doc_duplicate_removes_everything(spark):
+def _check_whole_doc_duplicate_removes_everything(spark):
     shared = " ".join(f"w{i}" for i in range(1, 9))
     out = _run(spark, [(1, shared), (2, shared)], k=5, window=4)
     assert out[1].n_removed == 0
     assert out[2].text_out == "" and out[2].n_removed == 8
 
 
-def test_three_way_duplicate_keeps_only_min(spark):
+def _check_three_way_duplicate_keeps_only_min(spark):
     shared = " ".join(f"z{i}" for i in range(1, 10))
     out = _run(
         spark,
@@ -104,3 +104,28 @@ def test_three_way_duplicate_keeps_only_min(spark):
     assert out[5].n_removed == 0
     assert out[7].text_out == "b0 b1"
     assert out[9].text_out == "c0"
+
+
+def test_spandedup_pooled(spark):
+    """Pooled runner (the test_operators_pooled_heavy pattern): the
+    independent checks above run through a thread pool as one pytest
+    item — identical coverage, a fraction of the wall clock."""
+    import inspect
+    import pathlib
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(fn):
+        try:
+            kwargs = {}
+            if "tmp_path" in inspect.signature(fn).parameters:
+                kwargs["tmp_path"] = pathlib.Path(tempfile.mkdtemp())
+            fn(spark, **kwargs)
+            return fn.__name__, None
+        except Exception as e:  # noqa: BLE001 — aggregated below
+            return fn.__name__, f"{type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(run, [_check_keep_first_and_exact_extension, _check_overlapping_spans_merge, _check_below_threshold_runs_survive, _check_short_and_empty_docs, _check_whole_doc_duplicate_removes_everything, _check_three_way_duplicate_keeps_only_min]))
+    fails = [(n, m) for n, m in results if m]
+    assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)
