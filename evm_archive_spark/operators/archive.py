@@ -38,6 +38,76 @@ class ArchiveError(ValueError):
     pass
 
 
+def compression_kind(b: bytes) -> str | None:
+    """Single-stream compression sniff: gzip / bzip2 / xz magic bytes
+    (the ``.jsonl.gz`` / ``.txt.bz2`` / ``.xz`` wrappers corpora ship
+    in).  Distinct from ``archive_kind`` — these wrap ONE payload, not
+    a member tree."""
+    if b[:2] == b"\x1f\x8b":
+        return "gzip"
+    if b[:3] == b"BZh" and len(b) > 3 and 0x31 <= b[3] <= 0x39:
+        return "bzip2"
+    if b[:6] == b"\xfd7zXZ\x00":
+        return "xz"
+    return None
+
+
+def decompress_payload(
+    b: bytes, max_out: int = MAX_MEMBER_BYTES
+) -> bytes:
+    """Decompress a gzip/bzip2/xz payload with the output CAPPED at
+    ``max_out`` (decompression-bomb guard — the TIFF-Deflate lesson:
+    never inflate untrusted bytes unbounded).  Raises ``ArchiveError``
+    on a non-compressed payload, a corrupt stream, or a stream that
+    exceeds the cap.  Multi-member gzip concatenations decode all
+    members (the cap applies to the total)."""
+    import bz2
+    import lzma
+    import zlib
+
+    kind = compression_kind(b)
+    if kind is None:
+        raise ArchiveError("not a gzip/bzip2/xz payload")
+    out = []
+    total = 0
+    try:
+        if kind == "gzip":
+            pos = 0
+            while pos < len(b):
+                d = zlib.decompressobj(wbits=31)
+                chunk = d.decompress(b[pos:], max_out - total + 1)
+                out.append(chunk)
+                total += len(chunk)
+                if total > max_out:
+                    raise ArchiveError("decompressed size exceeds cap")
+                if not d.eof:
+                    raise ArchiveError("truncated gzip stream")
+                pos = len(b) - len(d.unused_data)
+                if not d.unused_data:
+                    break
+        elif kind == "bzip2":
+            d = bz2.BZ2Decompressor()
+            chunk = d.decompress(b, max_out + 1)
+            if len(chunk) > max_out:
+                raise ArchiveError("decompressed size exceeds cap")
+            if not d.eof:
+                raise ArchiveError("truncated bzip2 stream")
+            out.append(chunk)
+        else:
+            d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            chunk = d.decompress(b, max_out + 1)
+            if len(chunk) > max_out:
+                raise ArchiveError("decompressed size exceeds cap")
+            if not d.eof:
+                raise ArchiveError("truncated xz stream")
+            out.append(chunk)
+    except ArchiveError:
+        raise
+    except (OSError, EOFError, ValueError, zlib.error, lzma.LZMAError) as e:
+        raise ArchiveError(f"corrupt {kind} payload: {e!r}") from e
+    return b"".join(out)
+
+
 def archive_kind(b: bytes) -> str | None:
     """Sniff: 'zip' (PK header), 'tar' (ustar magic at 257, or a
     plausible 512-byte header block), else None."""

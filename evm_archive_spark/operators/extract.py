@@ -69,6 +69,7 @@ def document_extract(
     ``mime_col`` is given it wins; otherwise the payload is sniffed.
     Never fails on dirty payloads (the admission contract): a corrupt
     PDF/notebook falls through to plain text."""
+    from .archive import ArchiveError, compression_kind, decompress_payload
     from .mail import MailError, parse_email
     from .pdf import PdfError, extract_pdf_text, is_pdf
     from .tabular import csv_meta_and_text
@@ -90,6 +91,15 @@ def document_extract(
             ):
                 b = bytes(payload or b"")
                 m = (mime or "").lower()
+                # transparent single-stream decompression (.jsonl.gz /
+                # .txt.bz2 / .xz corpus wrappers): unwrap, then
+                # dispatch on the inner bytes; a corrupt/bomb stream
+                # falls through as raw bytes (admission contract)
+                if compression_kind(b) is not None:
+                    try:
+                        b = decompress_payload(b)
+                    except ArchiveError:
+                        pass
                 fmt, text = None, None
                 if "pdf" in m or (not m and is_pdf(b)):
                     try:

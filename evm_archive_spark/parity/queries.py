@@ -8974,6 +8974,63 @@ _add(
 )
 
 
+# Transparent decompression in the extract dispatch
+# (archive.decompress_payload wired into extract.document_extract):
+# REAL gzip round trip — the Spark side COMPRESSES each document's
+# text (fixture construction inside the query, the q_warc_extract
+# shape) and document_extract must sniff the magic, inflate under the
+# bomb cap, and extract the original text.  The 'doc N ' prefix pins
+# the inner bytes away from the html/email/ipynb sniffs so the oracle
+# can derive the expected row without replaying the dispatch.
+
+def _q_gz_extract(spark, sf_dir):
+    from ..operators.extract import document_extract
+
+    register_testdata(spark, sf_dir, ["documents"])
+
+    def gz(it):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        gzip.compress(
+                            f"doc {did} {t or ''}".encode()
+                        )
+                        for did, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    media = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .mapInPandas(gz, "media_id long, payload binary")
+    )
+    return (
+        document_extract(media)
+        .select(
+            "media_id", "format", F.col("text").alias("text_out")
+        )
+        .orderBy("media_id")
+    )
+
+
+_add(
+    "q_gz_extract",
+    _q_gz_extract,
+    "SELECT doc_id AS media_id, 'text' AS format, "
+    "'doc ' || doc_id || ' ' || COALESCE(text, '') AS text_out "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "transparent gzip unwrap in document_extract (real compress -> "
+    "sniff -> capped inflate -> extract) == the original text",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9169,7 +9226,7 @@ _ROUND6_LATE = [
     "q_audio_meta", "q_feed", "q_boilerplate", "q_csv_extract", "q_page_meta",
     "q_span_dedup", "q_retrieval", "q_incr_retrieval", "q_frontier",
     "q_jsonl_unwrap", "q_links", "q_chat", "q_fim", "q_phash",
-    "q_pref", "q_sentences", "q_manifest",
+    "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

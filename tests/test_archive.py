@@ -107,3 +107,57 @@ def test_explode_archives_spark_and_code_composition(spark):
     )
     stats = code_stats(texts).collect()
     assert {r["n_long_lines"] for r in stats} == {0, 1}
+
+
+# -- single-stream decompression (gzip/bz2/xz wrappers) ----------------------
+
+def test_decompress_payload_all_codecs():
+    import bz2
+    import gzip
+    import lzma
+
+    from evm_archive_spark.operators.archive import (
+        ArchiveError,
+        compression_kind,
+        decompress_payload,
+    )
+
+    data = b"hello corpus " * 100
+    for blob, kind in (
+        (gzip.compress(data), "gzip"),
+        (bz2.compress(data), "bzip2"),
+        (lzma.compress(data, format=lzma.FORMAT_XZ), "xz"),
+    ):
+        assert compression_kind(blob) == kind
+        assert decompress_payload(blob) == data
+    # multi-member gzip decodes all members
+    two = gzip.compress(b"one.") + gzip.compress(b"two.")
+    assert decompress_payload(two) == b"one.two."
+    # bombs and truncations raise typed errors
+    import pytest
+
+    big = gzip.compress(b"\x00" * 1000)
+    with pytest.raises(ArchiveError):
+        decompress_payload(big, max_out=10)
+    with pytest.raises(ArchiveError):
+        decompress_payload(gzip.compress(data)[:-4])
+    with pytest.raises(ArchiveError):
+        decompress_payload(b"not compressed")
+
+
+def test_document_extract_transparent_gzip(spark):
+    import gzip
+
+    from evm_archive_spark.operators.extract import document_extract
+
+    rows = [
+        (1, bytearray(gzip.compress("plain body text".encode()))),
+        (2, bytearray(gzip.compress(b"<html><p>marked up</p></html>"))),
+        (3, bytearray(b"\x1f\x8b broken gzip")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in document_extract(df).collect()}
+    assert out[1].format == "text" and out[1].text == "plain body text"
+    assert out[2].format == "html" and out[2].text == "marked up"
+    # corrupt stream falls through as raw (never fails the job)
+    assert out[3].format == "text"
