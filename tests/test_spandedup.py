@@ -126,6 +126,117 @@ def test_spandedup_pooled(spark):
             return fn.__name__, f"{type(e).__name__}: {e}"
 
     with ThreadPoolExecutor(max_workers=4) as ex:
-        results = list(ex.map(run, [_check_keep_first_and_exact_extension, _check_overlapping_spans_merge, _check_below_threshold_runs_survive, _check_short_and_empty_docs, _check_whole_doc_duplicate_removes_everything, _check_three_way_duplicate_keeps_only_min]))
+        results = list(ex.map(run, [_check_keep_first_and_exact_extension, _check_overlapping_spans_merge, _check_below_threshold_runs_survive, _check_short_and_empty_docs, _check_whole_doc_duplicate_removes_everything, _check_three_way_duplicate_keeps_only_min, _check_fuzz_vs_python_reference]))
     fails = [(n, m) for n, m in results if m]
     assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)
+
+
+def _check_fuzz_vs_python_reference(spark):
+    """Randomized corpora with planted shared spans: the Spark operator
+    must equal a sequential Python implementation of the same
+    algorithm (winnow -> keep-first -> verify+extend -> merge) —
+    catches positional off-by-ones the planted gates can't."""
+    import hashlib
+    import random
+
+    K, W = 5, 4
+
+    def ref(docs):
+        def toks(t):
+            return [x for x in (t or "").split() if x]
+
+        def ghs(ts):
+            out = []
+            for i in range(len(ts) - K + 1):
+                g = " ".join(ts[i : i + K])
+                out.append(hashlib.md5(g.encode()).hexdigest()[:16])
+            return out
+
+        def selected(g):
+            if not g:
+                return []
+            if len(g) < W:
+                m = min(g)
+                return [(g.index(m) + 1, m)]
+            sel = set()
+            for j in range(len(g) - W + 1):
+                win = g[j : j + W]
+                m = min(win)
+                sel.add((j + win.index(m) + 1, m))
+            return sorted(sel)
+
+        tokmap = {d: toks(t) for d, t in docs}
+        anchors = []
+        for d, _t in docs:
+            for pos, gh in selected(ghs(tokmap[d])):
+                anchors.append((d, pos, gh))
+        src = {}
+        for d, pos, gh in sorted(anchors):
+            if gh not in src or (d, pos) < src[gh]:
+                src[gh] = (d, pos)
+        spans = {}
+        for d, pos, gh in anchors:
+            sa, pa = src[gh]
+            if sa == d:
+                continue
+            A, B = tokmap[sa], tokmap[d]
+            if A[pa - 1 : pa - 1 + K] != B[pos - 1 : pos - 1 + K]:
+                continue
+            el = 0
+            while (
+                pa - 1 - el - 1 >= 0
+                and pos - 1 - el - 1 >= 0
+                and A[pa - 2 - el] == B[pos - 2 - el]
+            ):
+                el += 1
+            er = 0
+            while (
+                pa - 1 + K + er < len(A)
+                and pos - 1 + K + er < len(B)
+                and A[pa - 1 + K + er] == B[pos - 1 + K + er]
+            ):
+                er += 1
+            spans.setdefault(d, []).append(
+                (pos - el, pos + K - 1 + er)
+            )
+        out = {}
+        for d, _t in docs:
+            ts = tokmap[d]
+            merged = []
+            for s, e in sorted(spans.get(d, [])):
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            covered = set()
+            for s, e in merged:
+                covered.update(range(s, e + 1))
+            kept = [t for i, t in enumerate(ts, 1) if i not in covered]
+            out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+        return out
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    shared_runs = [
+        [f"dup{j}_{i}" for i in range(rng.randint(8, 14))]
+        for j in range(4)
+    ]
+    docs = []
+    for d in range(14):
+        n_parts = rng.randint(1, 3)
+        parts = []
+        for _ in range(n_parts):
+            parts += [rng.choice(vocab) for _ in range(rng.randint(3, 10))]
+            if rng.random() < 0.7:
+                parts += rng.choice(shared_runs)
+        docs.append((d, " ".join(parts)))
+
+    expect = ref(docs)
+    got = {
+        r.doc_id: (r.text_out, r.n_tokens, r.n_removed)
+        for r in cross_doc_span_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]), k=K, window=W
+        ).collect()
+    }
+    diffs = {d: (got[d], expect[d]) for d in expect if got[d] != expect[d]}
+    assert diffs == {}
