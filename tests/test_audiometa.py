@@ -301,3 +301,25 @@ def test_fake_meta_deterministic():
 
 def test_parse_id3v2_absent():
     assert parse_id3v2(b"\xff\xfb\x90\x00") == ({}, 0)
+
+
+def test_truncation_fuzz_guard_contract():
+    """Every prefix truncation of every valid fixture either parses or
+    raises AudioMetaError — never a stray struct.error/IndexError
+    (the codecerrors guard contract, applied to the metadata lane)."""
+    from evm_archive_spark.operators.wav import encode_wav
+
+    fixtures = [
+        id3v2_tag([(b"TIT2", b"\x03T")]) + mp3_frame() * 3,
+        ogg_vorbis(tags=[("TITLE", "x")]),
+        ogg_opus(tags=[("artist", "y")]),
+        encode_wav(np.zeros((64, 2)), 8000),
+        flac_stub(tags=[("TITLE", "z")]),
+    ]
+    for payload in fixtures:
+        step = max(1, len(payload) // 97)
+        for cut in range(0, len(payload), step):
+            try:
+                audio_metadata_of(payload[:cut])
+            except AudioMetaError:
+                pass  # the only acceptable failure type
