@@ -82,3 +82,47 @@ def test_csv_extract_spark_and_document_extract_route(spark):
     assert routed[1].format == "csv"
     assert routed[1].text.startswith("id: 1 | score: 10")
     assert routed[2].format == "text"
+
+
+def test_csv_sniff_fuzz_roundtrip():
+    """Randomized consistent tables: the sniffed delimiter must be the
+    one used to build the table, and the linearization must preserve
+    every (stripped) cell — including quoted cells embedding OTHER
+    delimiters."""
+    import csv
+    import io
+    import random
+
+    from evm_archive_spark.operators.tabular import DELIMITERS
+
+    rng = random.Random(3)
+    for trial in range(60):
+        d = rng.choice(DELIMITERS)
+        n_cols = rng.randint(2, 6)
+        n_rows = rng.randint(2, 8)
+        rows = []
+        for _r in range(n_rows):
+            row = []
+            for _c in range(n_cols):
+                if rng.random() < 0.25:
+                    # a cell embedding a foreign (or own) delimiter
+                    row.append(
+                        f"x{rng.randint(0,9)}{rng.choice(DELIMITERS)}y"
+                    )
+                else:
+                    row.append(f"v{rng.randint(0, 99)}")
+            rows.append(row)
+        buf = io.StringIO()
+        csv.writer(buf, delimiter=d, quoting=csv.QUOTE_MINIMAL).writerows(
+            rows
+        )
+        meta = csv_meta_and_text(buf.getvalue().encode())
+        assert meta is not None, (trial, d, rows)
+        assert meta["delimiter"] == d, (trial, d, meta["delimiter"])
+        assert meta["n_cols"] == n_cols
+        got_cells = [
+            line.split(" | ") for line in meta["text"].splitlines()
+        ]
+        body = rows[1:] if meta["has_header"] else rows
+        want = [[c.strip() for c in r] for r in body]
+        assert got_cells == want, (trial, d)
