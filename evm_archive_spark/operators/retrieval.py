@@ -49,10 +49,22 @@ def build_postings(
     scorer joins against without a second corpus pass."""
     from .textanalysis import word_terms
 
-    terms = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_terms(F.col(text_col))).alias("term"),
-        F.size(word_terms(F.col(text_col))).alias("dl"),
+    # tokenize ONCE per row: the terms array binds through a lambda
+    # variable (array-of-one + transform) so the dl (size) and the
+    # explode read the same materialized array instead of a
+    # CollapseProject-inlined second regexp split (the NOTES.md trap)
+    bundle = F.explode(
+        F.transform(
+            F.array(word_terms(F.col(text_col))),
+            lambda t: F.struct(
+                t.alias("terms"), F.size(t).alias("dl")
+            ),
+        )
+    ).alias("s")
+    terms = docs.select(F.col(id_col).alias("doc_id"), bundle).select(
+        "doc_id",
+        F.col("s.dl").alias("dl"),
+        F.explode("s.terms").alias("term"),
     )
     return terms.groupBy("doc_id", "term", "dl").agg(
         F.count("*").alias("tf")
@@ -279,11 +291,16 @@ def keyword_topk(
         F.broadcast(dfreq), "term"
     )
     if scoring == "bm25":
+        # corpus stats from the postings themselves (one doc-level
+        # dedup of compact (doc, dl) rows) — no third tokenize pass.
+        # Zero-term documents have no postings and drop out of
+        # n_docs/avgdl; they can never match a query, so the only
+        # effect is an idf computed over the matchable corpus
+        # (documented semantics)
         stats = F.broadcast(
-            docs.select(
-                F.col(id_col).alias("doc_id"),
-                F.size(word_terms(F.col(text_col))).alias("dl"),
-            ).agg(
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(
                 F.count("*").alias("n_docs"),
                 F.avg("dl").alias("avgdl"),
             )
