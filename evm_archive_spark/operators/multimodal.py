@@ -1009,6 +1009,54 @@ def image_dedup_pipeline(
     return hashes.join(losers, id_col, "left_anti")
 
 
+def prepare_image_corpus(
+    media: DataFrame,
+    *,
+    min_width: int = 0,
+    min_height: int = 0,
+    max_hamming: int = 4,
+    scrub: bool = True,
+    strict: bool = False,
+) -> DataFrame:
+    """Composed image-corpus admission — the one-call lane a
+    multimodal pipeline runs per shard: header-only metadata floor
+    (dims, no pixel decode) -> lossless EXIF/GPS scrub -> aHash banded
+    near-dup dedup, survivors returned with their dims and the
+    scrubbed payload's md5 (the downstream content key).
+
+    Output: (media_id, width, height, out_md5).
+
+    Stage order is the cheap-first discipline: the dims floor reads
+    only headers and prunes before the scrub touches bytes or the
+    dedup decodes pixels; the dedup then runs on SCRUBBED payloads so
+    near-dup grouping can't be split by metadata-only differences.
+    Each stage is the already-gated operator (q_image_meta,
+    q_exif_scrub, q_image_dedup); q_image_corpus hash-checks the
+    composition end-to-end."""
+    from .exif import image_metadata, scrub_exif
+
+    ok = (
+        image_metadata(media, strict=strict)
+        .filter(
+            (F.col("width") >= min_width)
+            & (F.col("height") >= min_height)
+        )
+        .select("media_id", "width", "height")
+    )
+    admitted = media.join(ok.select("media_id"), "media_id")
+    if scrub:
+        admitted = scrub_exif(admitted).select("media_id", "payload")
+    survivors = image_dedup_pipeline(
+        admitted, max_hamming=max_hamming, strict=strict
+    ).select("media_id")
+    keyed = admitted.select(
+        "media_id", F.md5("payload").alias("out_md5")
+    )
+    return survivors.join(keyed, "media_id").join(ok, "media_id").select(
+        "media_id", "width", "height", "out_md5"
+    )
+
+
 def image_hash_index(
     hashes: DataFrame,
     max_hamming: int = 4,

@@ -9031,6 +9031,49 @@ _add(
 )
 
 
+# [pair] composed image-corpus admission (multimodal.
+# prepare_image_corpus): metadata dims floor -> EXIF scrub -> banded
+# dedup in ONE call, replayed end-to-end — the dims filter runs over
+# the q_image_meta fake profile, the scrub is the q_exif_scrub
+# passthrough-md5 contract, and the dedup is the q_image_dedup
+# recursive-CTE lane restricted to the dims-admitted subset.
+
+def _q_image_corpus(spark, sf_dir):
+    from ..operators.multimodal import prepare_image_corpus
+
+    return prepare_image_corpus(
+        _img_media(spark, sf_dir),
+        min_width=2048,
+        min_height=1024,
+        max_hamming=4,
+        strict=False,
+    ).orderBy("media_id")
+
+
+_add(
+    "q_image_corpus",
+    _q_image_corpus,
+    "WITH RECURSIVE "
+    + _IMG_BITS_SQL
+    + "dims AS (SELECT media_id, "
+    "  CAST(1 + (CAST(('0x' || substring(hx, 1, 4)) AS BIGINT) % 8192) "
+    "  AS BIGINT) AS width, "
+    "  CAST(1 + (CAST(('0x' || substring(hx, 5, 4)) AS BIGINT) % 8192) "
+    "  AS BIGINT) AS height FROM m), "
+    "dimok AS (SELECT media_id FROM dims "
+    "  WHERE width >= 2048 AND height >= 1024), "
+    + _img_lane_sql("{id} IN (SELECT media_id FROM dimok)", "C").rstrip(
+        ", "
+    )
+    + " SELECT a.media_id, d.width, d.height, "
+    "md5('p' || CAST(a.media_id // 3 AS VARCHAR)) AS out_md5 "
+    "FROM admC a JOIN dims d USING (media_id) "
+    "ORDER BY a.media_id NULLS FIRST",
+    "composed image admission (dims floor -> scrub passthrough md5 -> "
+    "banded dedup) == end-to-end recursive-CTE replay",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9227,6 +9270,7 @@ _ROUND6_LATE = [
     "q_span_dedup", "q_retrieval", "q_incr_retrieval", "q_frontier",
     "q_jsonl_unwrap", "q_links", "q_chat", "q_fim", "q_phash",
     "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
+    "q_image_corpus",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
