@@ -1057,6 +1057,57 @@ def prepare_image_corpus(
     )
 
 
+def prepare_audio_corpus(
+    media: DataFrame,
+    *,
+    min_sample_rate: int = 0,
+    min_duration_ms: int = 0,
+    min_active_ppm: int = 0,
+    max_hamming: int = 4,
+    strict: bool = False,
+) -> DataFrame:
+    """Composed audio-corpus admission — the ASR/speech mirror of
+    ``prepare_image_corpus``, cheap-first: header-only metadata floor
+    (sample rate / duration, no sample decode) -> voice-activity floor
+    (drops silence/noise-only takes) -> banded fingerprint near-dup
+    dedup, one survivor per acoustic cluster.
+
+    Output: (media_id, sample_rate, duration_ms, active_ppm).
+
+    Each stage is the already-gated operator (q_audio_meta, q_vad,
+    q_audio_neardup); q_audio_corpus hash-checks the composition
+    end-to-end over the shared sha256 fake profiles."""
+    from .audiometa import audio_metadata
+    from .dedup import connected_components
+
+    meta_ok = (
+        audio_metadata(media, strict=strict)
+        .filter(
+            (F.col("sample_rate") >= min_sample_rate)
+            & (F.col("duration_ms") >= min_duration_ms)
+        )
+        .select("media_id", "sample_rate", "duration_ms")
+    )
+    m2 = media.join(meta_ok.select("media_id"), "media_id")
+    vad_ok = (
+        audio_vad(m2, strict=strict)
+        .filter(F.col("active_ppm") >= min_active_ppm)
+        .select("media_id", "active_ppm")
+    )
+    m3 = m2.join(vad_ok.select("media_id"), "media_id")
+    # fingerprint once (the decode pass); three downstream references
+    fp = audio_fingerprint(m3, strict=strict).localCheckpoint(eager=True)
+    pairs = audio_near_duplicates(fp, max_hamming=max_hamming)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("media_id")
+    )
+    surv = fp.join(losers, "media_id", "left_anti").select("media_id")
+    return surv.join(meta_ok, "media_id").join(vad_ok, "media_id").select(
+        "media_id", "sample_rate", "duration_ms", "active_ppm"
+    )
+
+
 def image_hash_index(
     hashes: DataFrame,
     max_hamming: int = 4,

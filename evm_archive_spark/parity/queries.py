@@ -9074,6 +9074,64 @@ _add(
 )
 
 
+# [pair] composed audio-corpus admission (multimodal.
+# prepare_audio_corpus): metadata floor (rate/duration) -> VAD
+# activity floor -> banded fingerprint dedup in ONE call.  All three
+# stage fakes derive from sha256 of the SAME payload ('a' || group),
+# so the oracle composes the q_audio_meta field formulas, the q_vad
+# activity formula, and the q_audio_neardup bit lane over one hash.
+
+def _q_audio_corpus(spark, sf_dir):
+    from ..operators.multimodal import prepare_audio_corpus
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("a"), F.expr("CAST(doc_id DIV 2 AS STRING)")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return prepare_audio_corpus(
+        media,
+        min_sample_rate=16000,
+        min_duration_ms=30000,
+        min_active_ppm=100000,
+        max_hamming=4,
+        strict=False,
+    ).orderBy("media_id")
+
+
+_add(
+    "q_audio_corpus",
+    _q_audio_corpus,
+    "WITH RECURSIVE "
+    + _fake_bits_sql("'a' || CAST(doc_id // 2 AS VARCHAR)")
+    + "mk AS (SELECT media_id, "
+    "  8000 * (1 + (CAST(('0x' || substring(hx, 1, 2)) AS BIGINT) % 6)) "
+    "  AS sample_rate, "
+    "  1 + ((CAST(('0x' || substring(hx, 7, 2)) AS BIGINT) * 256 + "
+    "  CAST(('0x' || substring(hx, 9, 2)) AS BIGINT)) % 600000) "
+    "  AS duration_ms FROM m), "
+    "v AS (SELECT media_id, "
+    "  1 + (CAST(('0x' || substring(hx, 1, 4)) AS BIGINT) % 4096) AS nf, "
+    "  CAST(('0x' || substring(hx, 5, 4)) AS BIGINT) AS w1 FROM m), "
+    "v2 AS (SELECT media_id, "
+    "  (w1 % (nf + 1)) * 1000000 // nf AS active_ppm FROM v), "
+    "ok AS (SELECT mk.media_id FROM mk JOIN v2 USING (media_id) "
+    "  WHERE sample_rate >= 16000 AND duration_ms >= 30000 "
+    "  AND active_ppm >= 100000), "
+    + _img_lane_sql("{id} IN (SELECT media_id FROM ok)", "D").rstrip(", ")
+    + " SELECT a.media_id, CAST(mk.sample_rate AS BIGINT) AS sample_rate, "
+    "CAST(mk.duration_ms AS BIGINT) AS duration_ms, "
+    "CAST(v2.active_ppm AS BIGINT) AS active_ppm "
+    "FROM admD a JOIN mk USING (media_id) JOIN v2 USING (media_id) "
+    "ORDER BY a.media_id NULLS FIRST",
+    "composed audio admission (metadata floor -> VAD floor -> banded "
+    "fingerprint dedup) == end-to-end sha-composed replay",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9270,7 +9328,7 @@ _ROUND6_LATE = [
     "q_span_dedup", "q_retrieval", "q_incr_retrieval", "q_frontier",
     "q_jsonl_unwrap", "q_links", "q_chat", "q_fim", "q_phash",
     "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
-    "q_image_corpus",
+    "q_image_corpus", "q_audio_corpus",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
