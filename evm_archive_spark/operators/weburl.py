@@ -858,6 +858,57 @@ def extract_links(
     return out
 
 
+def extract_image_refs(
+    df: DataFrame,
+    html_col: str = "html",
+    base_url_col: str | None = None,
+) -> DataFrame:
+    """HTML -> one row per ``<img>``: the input columns (minus the
+    HTML) plus ``src`` (entity-decoded, relative forms resolved
+    against the page origin when ``base_url_col`` is given) and
+    ``caption`` (the ``alt`` text, falling back to ``title``) — the
+    image-text pair mining step of a LAION-style multimodal corpus
+    (alt text IS the training caption).  ``data:`` URIs and empty srcs
+    are dropped; attribute order is handled both ways.  Pure JVM
+    regexp fan-out riding the scan."""
+    c = F.col(html_col)
+    tags = F.regexp_extract_all(
+        c, F.lit("(?is)<img\\b[^>]*>"), F.lit(0)
+    )
+    keep = [x for x in df.columns if x != html_col]
+    ex = df.select(*keep, F.explode(tags).alias("__t"))
+
+    def attr(name: str) -> F.Column:
+        return _xml_text(
+            F.regexp_extract(
+                "__t", f"(?is)\\b{name}=[\"']([^\"']*)[\"']", 1
+            )
+        )
+
+    out = ex.select(
+        *keep,
+        attr("src").alias("src"),
+        F.coalesce(attr("alt"), attr("title")).alias("caption"),
+    ).filter(
+        F.col("src").isNotNull()
+        & ~F.lower("src").startswith("data:")
+    )
+    if base_url_col is not None:
+        origin = F.regexp_extract(
+            F.col(base_url_col), _SCHEME_RE + "[^/?#]*", 0
+        )
+        out = out.withColumn(
+            "src",
+            F.when(F.col("src").rlike(_SCHEME_RE), F.col("src"))
+            .when(
+                F.col("src").startswith("/"),
+                F.concat(origin, F.col("src")),
+            )
+            .otherwise(F.concat(origin, F.lit("/"), F.col("src"))),
+        )
+    return out
+
+
 def host_link_graph(
     pages: DataFrame,
     url_col: str = "url",

@@ -9132,6 +9132,58 @@ _add(
 )
 
 
+# Image-caption pair mining (weburl.extract_image_refs): the LAION-
+# style (src, alt-text) harvest.  Even docs put alt before src (both
+# attribute orders), a title-only fallback and a dropped data: URI
+# are planted; relative srcs resolve against the page origin.  Oracle
+# derives the pairs arithmetically.
+
+_IMGREF_SYNTH = (
+    "SELECT 'http://h' || (doc_id % 3) || '.example/p/' || doc_id "
+    "AS url, "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'<img alt=\"cap ' || (doc_id % 9) || '\" src=\"http://cdn.example"
+    "/i/' || doc_id || '.jpg\">' ELSE "
+    "'<img src=\"http://cdn.example/i/' || doc_id || '.jpg\" "
+    "alt=\"cap ' || (doc_id % 9) || '\">' END || "
+    "'<img src=\"/rel/' || doc_id || '.png\" title=\"t ' || "
+    "(doc_id % 5) || '\">' || "
+    "'<img src=\"data:image/gif;base64,R0lGOD\" alt=\"inline\">' "
+    "AS html FROM documents"
+)
+
+
+def _q_img_captions(spark, sf_dir):
+    from ..operators.weburl import extract_image_refs
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return (
+        extract_image_refs(spark.sql(_IMGREF_SYNTH), base_url_col="url")
+        .select("url", "src", "caption")
+        .orderBy("url", "src")
+    )
+
+
+_add(
+    "q_img_captions",
+    _q_img_captions,
+    "WITH a AS ("
+    "SELECT 'http://h' || (doc_id % 3) || '.example/p/' || doc_id "
+    "AS url, "
+    "'http://cdn.example/i/' || doc_id || '.jpg' AS src, "
+    "'cap ' || (doc_id % 9) AS caption FROM documents "
+    "UNION ALL "
+    "SELECT 'http://h' || (doc_id % 3) || '.example/p/' || doc_id, "
+    "'http://h' || (doc_id % 3) || '.example/rel/' || doc_id || '.png', "
+    "'t ' || (doc_id % 5) FROM documents) "
+    "SELECT url, src, caption FROM a "
+    "ORDER BY url NULLS FIRST, src NULLS FIRST",
+    "image-caption pair mining (both attribute orders, title "
+    "fallback, data:-URI drop, relative resolution) == arithmetic "
+    "derivation",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9328,7 +9380,7 @@ _ROUND6_LATE = [
     "q_span_dedup", "q_retrieval", "q_incr_retrieval", "q_frontier",
     "q_jsonl_unwrap", "q_links", "q_chat", "q_fim", "q_phash",
     "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
-    "q_image_corpus", "q_audio_corpus",
+    "q_image_corpus", "q_audio_corpus", "q_img_captions",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",

@@ -579,3 +579,27 @@ def test_jsonl_records(spark):
     assert got[1] == ("first doc", "web")
     assert got[2] == ("second", "book")
     assert got[3] == (None, None)  # dirty line -> NULLs, never an error
+
+
+def test_extract_image_refs(spark):
+    from evm_archive_spark.operators.weburl import extract_image_refs
+
+    html = (
+        '<p><img src="http://cdn/a.jpg" alt="A cat &amp; dog">'
+        '<img alt="rev order" src="/imgs/b.png">'
+        '<img src="c.webp" title="titled">'
+        '<img src="data:image/png;base64,xxx" alt="inline">'
+        "<img alt='no src'></p>"
+    )
+    pages = spark.createDataFrame(
+        [("http://site.org/page", html)], ["url", "html"]
+    )
+    rows = {
+        r.src: r.caption
+        for r in extract_image_refs(pages, base_url_col="url").collect()
+    }
+    assert rows == {
+        "http://cdn/a.jpg": "A cat & dog",
+        "http://site.org/imgs/b.png": "rev order",
+        "http://site.org/c.webp": "titled",
+    }
