@@ -130,3 +130,40 @@ def dataset_manifest(
             F.expr("bit_xor(__d)").alias("xor_digest"),
         )
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build-to-build corpus diff — what changed between two dataset
+    versions: one row per document present in either build with
+    ``status`` 'added' (id only in new), 'removed' (only in old) or
+    'changed' (same id, different content digest); unchanged documents
+    are omitted (the interesting set is the delta).  The companion of
+    ``dataset_manifest``: the manifest says WHETHER two builds differ,
+    this says WHERE.
+
+    Shape: digest each side map-side, one full-outer join on the id —
+    at 100 TB the join carries (id, 16-byte digest) rows only, never
+    content."""
+    dig = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__d"),
+    )
+    o = dig(old).withColumnRenamed("__d", "__do")
+    n = dig(new).withColumnRenamed("__d", "__dn")
+    j = o.join(n, "doc_id", "full_outer")
+    return (
+        j.select(
+            "doc_id",
+            F.when(F.col("__do").isNull(), F.lit("added"))
+            .when(F.col("__dn").isNull(), F.lit("removed"))
+            .when(F.col("__do") != F.col("__dn"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .filter(F.col("status") != "unchanged")
+    )

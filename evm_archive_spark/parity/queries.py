@@ -9184,6 +9184,45 @@ _add(
 )
 
 
+# Build-to-build corpus diff (quality.dataset_diff): the old build
+# drops every 7th doc (-> 'added' in new), rewrites every 5th
+# surviving text (-> 'changed'), and carries synthetic extra ids
+# (-> 'removed').  Oracle derives the delta arithmetically.
+
+_DIFF_OLD_SYNTH = (
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+    "'OLD ' || COALESCE(text, '') ELSE text END AS text "
+    "FROM documents WHERE doc_id % 7 <> 0 "
+    "UNION ALL SELECT doc_id + 10000000, text FROM documents "
+    "WHERE doc_id % 11 = 0"
+)
+
+
+def _q_dataset_diff(spark, sf_dir):
+    from ..operators.quality import dataset_diff
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return dataset_diff(
+        spark.sql(_DIFF_OLD_SYNTH), spark.table("documents")
+    ).orderBy("doc_id")
+
+
+_add(
+    "q_dataset_diff",
+    _q_dataset_diff,
+    "WITH a AS ("
+    "SELECT doc_id, 'added' AS status FROM documents "
+    "WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id, 'changed' FROM documents "
+    "WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 "
+    "UNION ALL SELECT doc_id + 10000000, 'removed' FROM documents "
+    "WHERE doc_id % 11 = 0) "
+    "SELECT doc_id, status FROM a ORDER BY doc_id NULLS FIRST",
+    "corpus diff (digest full-outer join, added/removed/changed) == "
+    "arithmetic derivation over the planted delta",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9381,6 +9420,7 @@ _ROUND6_LATE = [
     "q_jsonl_unwrap", "q_links", "q_chat", "q_fim", "q_phash",
     "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
     "q_image_corpus", "q_audio_corpus", "q_img_captions",
+    "q_dataset_diff",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
