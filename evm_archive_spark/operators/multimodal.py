@@ -1394,6 +1394,64 @@ def frame_sample(
     return df.mapInPandas(batches, out_schema)
 
 
+def video_near_duplicates(
+    frames: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video near-dup candidate pairs from sampled frame hashes
+    (``frame_sample`` output) — the keyframe-fingerprint method: two
+    videos sharing at least ``min_shared`` DISTINCT frame hashes are
+    near-duplicates (re-encodes, trims and re-containers keep most
+    frames bit-identical after decode; pHash-grade robustness comes
+    from hashing decoded pixels, which frame_sample already does).
+
+    An equi-join on ``frame_hash`` — never all-pairs, the clone_pairs
+    shape; ``count_distinct`` collapses join multiplicity from frames
+    repeated WITHIN a video.  At 100 TB ubiquitous frames (black/
+    white cards) are the skew risk — drop them upstream with an
+    occurrence cap, the documented clone_pairs knob.  Output:
+    (id_a, id_b, n_shared), id_a < id_b."""
+    a = frames.select(F.col(id_col).alias("id_a"), "frame_hash")
+    b = frames.select(F.col(id_col).alias("id_b"), "frame_hash")
+    return (
+        a.join(b, "frame_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("frame_hash").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def video_dedup_pipeline(
+    media: DataFrame,
+    every_n: int = 10,
+    min_shared: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """End-to-end video dedup: frame sampling (ONE decode pass,
+    localCheckpoint — the image_dedup_pipeline discipline) -> shared-
+    frame pair join -> connected components -> min-id survivor per
+    cluster.  Returns surviving (media_id) rows."""
+    from .dedup import connected_components
+
+    frames = frame_sample(
+        media, payload_col, id_col, every_n=every_n, strict=strict
+    ).localCheckpoint(eager=True)
+    pairs = video_near_duplicates(frames, min_shared, id_col)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return (
+        frames.select(id_col)
+        .distinct()
+        .join(losers, id_col, "left_anti")
+    )
+
+
 def resize_images(
     df: DataFrame,
     target_w: int,

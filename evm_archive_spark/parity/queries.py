@@ -9223,6 +9223,91 @@ _add(
 )
 
 
+# [pair] video near-dup + dedup (multimodal.video_near_duplicates /
+# video_dedup_pipeline): keyframe-fingerprint pairs from frame_sample
+# hashes.  Payload groups ('v' || doc//2, tiled so n_frames varies by
+# group-id digits) share ALL fake frame hashes; the fake is
+# index-salted sha256 so cross-group collisions are impossible — the
+# oracle derives pairs and shared-frame counts arithmetically, and
+# survivors are the per-group min id.  The REAL frame decode path is
+# the already-gated q_frame_sample machinery (APNG/GIF/AVI/MJPEG-MP4).
+
+_VID_MEDIA_SQL = (
+    "repeat('v' || CAST(doc_id // 2 AS VARCHAR) || '_', 20)"
+)
+
+
+def _vid_media(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    return fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.expr(
+                "repeat(concat('v', CAST(doc_id DIV 2 AS STRING), "
+                "'_'), 20)"
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
+def _q_video_neardup(spark, sf_dir):
+    from ..operators.multimodal import frame_sample, video_near_duplicates
+
+    frames = frame_sample(
+        _vid_media(spark, sf_dir), every_n=1, strict=False
+    )
+    return (
+        video_near_duplicates(frames, min_shared=1)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_add(
+    "q_video_neardup",
+    _q_video_neardup,
+    "WITH p AS (SELECT doc_id, " + _VID_MEDIA_SQL + " AS pl "
+    "FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(GREATEST(1, length(a.pl) // 32) AS BIGINT) AS n_shared "
+    "FROM p a JOIN p b ON a.doc_id // 2 = b.doc_id // 2 "
+    "AND a.doc_id < b.doc_id "
+    "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST",
+    "video near-dup (distinct shared frame hashes over frame_sample) "
+    "== arithmetic derivation of group pairs and frame counts",
+)
+
+
+def _q_video_dedup(spark, sf_dir):
+    from ..operators.multimodal import video_dedup_pipeline
+
+    return (
+        video_dedup_pipeline(
+            _vid_media(spark, sf_dir), every_n=1, min_shared=1,
+            strict=False,
+        )
+        .select(F.col("media_id").cast("long").alias("media_id"))
+        .orderBy("media_id")
+    )
+
+
+_add(
+    "q_video_dedup",
+    _q_video_dedup,
+    "SELECT doc_id AS media_id FROM ("
+    "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id // 2) AS g "
+    "FROM documents) WHERE doc_id = g "
+    "ORDER BY media_id NULLS FIRST",
+    "video dedup pipeline (frames -> shared-frame pairs -> components "
+    "-> min-id survivors) == per-group min id",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9420,7 +9505,7 @@ _ROUND6_LATE = [
     "q_jsonl_unwrap", "q_links", "q_chat", "q_fim", "q_phash",
     "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
     "q_image_corpus", "q_audio_corpus", "q_img_captions",
-    "q_dataset_diff",
+    "q_dataset_diff", "q_video_neardup", "q_video_dedup",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
