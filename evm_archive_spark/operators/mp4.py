@@ -96,6 +96,11 @@ class Mp4Track:
     channels: int = 0
     sample_bits: int = 0
     sample_rate: int = 0
+    # visual sample-entry fields (0 for audio)
+    width: int = 0
+    height: int = 0
+    # mdhd duration in timescale ticks (0 when absent)
+    duration: int = 0
     # resolved sample table: absolute (offset, size) per sample
     samples: list[tuple[int, int]] = field(default_factory=list)
 
@@ -118,6 +123,11 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
                 ch, bits = struct.unpack_from(">HH", data, entry + 24)
                 rate = struct.unpack_from(">I", data, entry + 32)[0] >> 16
                 out["channels"], out["bits"], out["rate"] = ch, bits, rate
+                # VisualSampleEntry (§12.1.3): width/height u16 at +32
+                # (same bytes reinterpreted — mp4_tracks assigns the
+                # audio or video fields per the track handler)
+                vw, vh = struct.unpack_from(">HH", data, entry + 32)
+                out["vwidth"], out["vheight"] = vw, vh
         elif fc == b"stsz":
             fixed, cnt = struct.unpack_from(">II", data, cb + 4)
             if fixed:
@@ -199,11 +209,17 @@ def mp4_tracks(data: bytes) -> list[Mp4Track]:
             continue
         handler = data[hdlr[0] + 8 : hdlr[0] + 12].decode("latin-1")
         timescale = 0
+        duration = 0
         if mdhd is not None:
             ver = data[mdhd[0]]
             timescale = struct.unpack_from(
                 ">I", data, mdhd[0] + (20 if ver == 1 else 12)
             )[0]
+            duration = (
+                struct.unpack_from(">Q", data, mdhd[0] + 24)[0]
+                if ver == 1
+                else struct.unpack_from(">I", data, mdhd[0] + 16)[0]
+            )
         stbl_span = _child(data, *minf, b"stbl")
         if stbl_span is None:
             continue
@@ -213,9 +229,12 @@ def mp4_tracks(data: bytes) -> list[Mp4Track]:
                 handler=handler,
                 codec=stbl.get("codec", "?"),
                 timescale=timescale,
-                channels=stbl.get("channels", 0),
-                sample_bits=stbl.get("bits", 0),
-                sample_rate=stbl.get("rate", 0),
+                channels=stbl.get("channels", 0) if handler == "soun" else 0,
+                sample_bits=stbl.get("bits", 0) if handler == "soun" else 0,
+                sample_rate=stbl.get("rate", 0) if handler == "soun" else 0,
+                width=stbl.get("vwidth", 0) if handler == "vide" else 0,
+                height=stbl.get("vheight", 0) if handler == "vide" else 0,
+                duration=duration,
                 samples=_resolve_samples(stbl),
             )
         )

@@ -9308,6 +9308,48 @@ _add(
 )
 
 
+# [pair] video-metadata plumbing twin — the q_audio_meta pattern for
+# the container lane (videometa.py): non-video payloads take the
+# sha256 fake, replayed field-for-field.  The REAL avih / mp4-track
+# walks are pytest-gated (test_videometa.py: spec-level AVI fixture +
+# the independent MP4 muxer).
+
+def _q_video_meta(spark, sf_dir):
+    from ..operators.videometa import video_metadata
+
+    register_testdata(spark, sf_dir, ["documents"])
+    media = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return video_metadata(media, strict=False).orderBy("media_id")
+
+
+_add(
+    "q_video_meta",
+    _q_video_meta,
+    "WITH h AS (SELECT doc_id AS media_id, "
+    "sha256(COALESCE(text, '')) AS hx FROM documents), "
+    "b AS (SELECT media_id, "
+    + ", ".join(
+        f"CAST(('0x' || substring(hx, {i * 2 + 1}, 2)) AS BIGINT) AS b{i}"
+        for i in range(5)
+    )
+    + " FROM h), "
+    "c AS (SELECT media_id, "
+    "CAST(16 * (1 + b0) AS BIGINT) AS width, "
+    "CAST(16 * (1 + b1) AS BIGINT) AS height, "
+    "CAST(1 + ((b2 * 256 + b3) % 100000) AS BIGINT) AS n_frames, "
+    "CAST(1000 * (1 + b4 % 60) AS BIGINT) AS fps_millihz FROM b) "
+    "SELECT media_id, 'fake' AS format, width, height, n_frames, "
+    "fps_millihz, "
+    "CAST(n_frames * 1000000 // fps_millihz AS BIGINT) AS duration_ms "
+    "FROM c ORDER BY media_id NULLS FIRST",
+    "video-metadata fake twin: sha256-derived profile replayed "
+    "field-for-field in DuckDB (mapInPandas batch path hash-gated)",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9505,7 +9547,7 @@ _ROUND6_LATE = [
     "q_jsonl_unwrap", "q_links", "q_chat", "q_fim", "q_phash",
     "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
     "q_image_corpus", "q_audio_corpus", "q_img_captions",
-    "q_dataset_diff", "q_video_neardup", "q_video_dedup",
+    "q_dataset_diff", "q_video_neardup", "q_video_dedup", "q_video_meta",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
