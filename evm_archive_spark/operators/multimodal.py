@@ -1452,6 +1452,43 @@ def video_dedup_pipeline(
     )
 
 
+def prepare_video_corpus(
+    media: DataFrame,
+    *,
+    min_width: int = 0,
+    min_height: int = 0,
+    min_duration_ms: int = 0,
+    every_n: int = 10,
+    min_shared: int = 2,
+    strict: bool = False,
+) -> DataFrame:
+    """Composed video-corpus admission — completes the modality
+    symmetry (prepare_image_corpus / prepare_audio_corpus /
+    prepare_training_corpus): header-only metadata floor (dims,
+    duration — no frame decode) -> keyframe-hash near-dup dedup, one
+    survivor per visual cluster.
+
+    Output: (media_id, width, height, duration_ms)."""
+    from .videometa import video_metadata
+
+    ok = (
+        video_metadata(media, strict=strict)
+        .filter(
+            (F.col("width") >= min_width)
+            & (F.col("height") >= min_height)
+            & (F.col("duration_ms") >= min_duration_ms)
+        )
+        .select("media_id", "width", "height", "duration_ms")
+    )
+    admitted = media.join(ok.select("media_id"), "media_id")
+    surv = video_dedup_pipeline(
+        admitted, every_n=every_n, min_shared=min_shared, strict=strict
+    )
+    return surv.join(ok, "media_id").select(
+        "media_id", "width", "height", "duration_ms"
+    )
+
+
 def resize_images(
     df: DataFrame,
     target_w: int,

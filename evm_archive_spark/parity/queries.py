@@ -9350,6 +9350,54 @@ _add(
 )
 
 
+# [pair] composed video-corpus admission (multimodal.
+# prepare_video_corpus): metadata floor -> keyframe dedup over the
+# 'v' || doc//2 group payloads.  Both stage fakes derive from sha256
+# of the SAME payload, so the oracle filters groups by the sha-derived
+# dims/duration and keeps the per-group min id.
+
+def _q_video_corpus(spark, sf_dir):
+    from ..operators.multimodal import prepare_video_corpus
+
+    return prepare_video_corpus(
+        _vid_media(spark, sf_dir),
+        min_width=2048,
+        min_duration_ms=1_000_000,
+        every_n=1,
+        min_shared=1,
+        strict=False,
+    ).orderBy("media_id")
+
+
+_add(
+    "q_video_corpus",
+    _q_video_corpus,
+    "WITH p AS (SELECT doc_id, sha256(" + _VID_MEDIA_SQL + ") AS hx "
+    "FROM documents), "
+    "c AS (SELECT doc_id, "
+    "CAST(16 * (1 + CAST(('0x' || substring(hx, 1, 2)) AS BIGINT)) "
+    "AS BIGINT) AS width, "
+    "CAST(16 * (1 + CAST(('0x' || substring(hx, 3, 2)) AS BIGINT)) "
+    "AS BIGINT) AS height, "
+    "CAST(1 + ((CAST(('0x' || substring(hx, 5, 2)) AS BIGINT) * 256 + "
+    "CAST(('0x' || substring(hx, 7, 2)) AS BIGINT)) % 100000) "
+    "AS BIGINT) AS n_frames, "
+    "CAST(1000 * (1 + CAST(('0x' || substring(hx, 9, 2)) AS BIGINT) "
+    "% 60) AS BIGINT) AS fps_millihz FROM p), "
+    "d AS (SELECT doc_id, width, height, "
+    "CAST(n_frames * 1000000 // fps_millihz AS BIGINT) AS duration_ms "
+    "FROM c), "
+    "ok AS (SELECT doc_id, width, height, duration_ms FROM d "
+    "WHERE width >= 2048 AND duration_ms >= 1000000), "
+    "surv AS (SELECT doc_id, width, height, duration_ms, "
+    "MIN(doc_id) OVER (PARTITION BY doc_id // 2) AS g FROM ok) "
+    "SELECT doc_id AS media_id, width, height, duration_ms FROM surv "
+    "WHERE doc_id = g ORDER BY media_id NULLS FIRST",
+    "composed video admission (metadata floor -> keyframe dedup) == "
+    "sha-composed arithmetic replay with per-group min-id survivors",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9548,6 +9596,7 @@ _ROUND6_LATE = [
     "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
     "q_image_corpus", "q_audio_corpus", "q_img_captions",
     "q_dataset_diff", "q_video_neardup", "q_video_dedup", "q_video_meta",
+    "q_video_corpus",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
