@@ -1452,6 +1452,72 @@ def video_dedup_pipeline(
     )
 
 
+def persist_frame_index(
+    spark,
+    frames: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Persist admitted videos' frame hashes bucketed by
+    ``frame_hash`` — the video mirror of ``persist_image_hash_index``:
+    the nightly shard probe joins one-sided against it (only the
+    shard's frames shuffle; the ever-growing index reads in place).
+    Append admitted shards through the same bucket spec."""
+    from .. import storage
+
+    storage.write_bucketed(
+        frames.select("media_id", "frame_hash"),
+        table,
+        path,
+        ["frame_hash"],
+        n_buckets,
+    )
+    return spark.table(table)
+
+
+def incremental_video_dedup(
+    shard_media: DataFrame,
+    index: DataFrame,
+    *,
+    every_n: int = 10,
+    min_shared: int = 2,
+    strict: bool = False,
+) -> DataFrame:
+    """Admit a nightly video shard against a persisted frame-hash
+    index: within-shard keyframe dedup first, then drop any survivor
+    sharing at least ``min_shared`` DISTINCT frame hashes with an
+    already-admitted video (the index equi-join — admitted corpus
+    payloads are NEVER re-decoded, the incremental-lane contract).
+    Returns surviving (media_id) rows."""
+    from .dedup import connected_components
+
+    frames = frame_sample(
+        shard_media, every_n=every_n, strict=strict
+    ).localCheckpoint(eager=True)
+    pairs = video_near_duplicates(frames, min_shared)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("media_id")
+    )
+    within = frames.join(losers, "media_id", "left_anti")
+    cross_hits = (
+        within.join(
+            index.select(F.col("frame_hash").alias("frame_hash")),
+            "frame_hash",
+        )
+        .groupBy("media_id")
+        .agg(F.count_distinct("frame_hash").alias("__n"))
+        .filter(F.col("__n") >= min_shared)
+        .select("media_id")
+    )
+    return (
+        within.select("media_id")
+        .distinct()
+        .join(cross_hits, "media_id", "left_anti")
+    )
+
+
 def prepare_video_corpus(
     media: DataFrame,
     *,

@@ -9398,6 +9398,64 @@ _add(
 )
 
 
+# [pair] incremental video dedup vs a persisted frame-hash index
+# (the q_incr_image shape for the video lane).  Group split: even
+# groups fully corpus; groups ≡1 (mod 4) split across corpus/shard
+# (cross-drop fires); groups ≡3 (mod 4) fully shard (within-shard
+# dedup keeps the min member).  Index-salted fake hashes make the
+# oracle an exact arithmetic derivation.
+
+_VID_CORPUS_PRED_SPARK = (
+    "((media_id DIV 2) % 2 = 0) "
+    "OR ((media_id DIV 2) % 4 = 1 AND media_id % 2 = 0)"
+)
+
+
+def _q_incr_video(spark, sf_dir):
+    import tempfile
+
+    from ..operators.multimodal import (
+        frame_sample,
+        incremental_video_dedup,
+        persist_frame_index,
+        video_dedup_pipeline,
+    )
+
+    media = _vid_media(spark, sf_dir)
+    corpus = media.filter(F.expr(_VID_CORPUS_PRED_SPARK))
+    shard = media.filter(~F.expr(_VID_CORPUS_PRED_SPARK))
+    admitted = video_dedup_pipeline(
+        corpus, every_n=1, min_shared=1, strict=False
+    )
+    adm_frames = frame_sample(
+        corpus.join(admitted, "media_id"), every_n=1, strict=False
+    )
+    path = tempfile.mkdtemp(prefix="evm_archive_vidx_")
+    table = "evm_archive_q_incr_video_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    index = persist_frame_index(spark, adm_frames, table, path, n_buckets=16)
+    out = incremental_video_dedup(
+        shard, index, every_n=1, min_shared=1, strict=False
+    )
+    return out.select(F.col("media_id").cast("long")).orderBy("media_id")
+
+
+_add(
+    "q_incr_video",
+    _q_incr_video,
+    "WITH s AS (SELECT doc_id, doc_id // 2 AS g FROM documents "
+    "WHERE NOT (((doc_id // 2) % 2 = 0) "
+    "OR ((doc_id // 2) % 4 = 1 AND doc_id % 2 = 0))), "
+    "w AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY g) AS mn "
+    "FROM s WHERE g % 4 = 3) "
+    "SELECT doc_id AS media_id FROM w WHERE doc_id = mn "
+    "ORDER BY media_id NULLS FIRST",
+    "incremental video dedup vs persisted frame-hash index (within-"
+    "shard dedup + cross-index drop, corpus never re-decoded) == "
+    "arithmetic derivation over the group split",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9596,7 +9654,7 @@ _ROUND6_LATE = [
     "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
     "q_image_corpus", "q_audio_corpus", "q_img_captions",
     "q_dataset_diff", "q_video_neardup", "q_video_dedup", "q_video_meta",
-    "q_video_corpus",
+    "q_video_corpus", "q_incr_video",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
