@@ -1662,6 +1662,78 @@ def synthetic_media(spark, documents: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
+def stream_video_admission(
+    media_stream: DataFrame,
+    state_dir: str,
+    *,
+    every_n: int = 10,
+    min_shared: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """The STREAMING face of the video-dedup lane: each micro-batch is
+    admitted via ``incremental_video_dedup`` against the persisted
+    frame-hash index as of the previous batch, then persists its
+    survivors and their frame rows.  Admitted videos decode once; the
+    index carries their frame hashes, so earlier payloads are never
+    re-read.
+
+    Replay semantics: survivors AND index deltas are EXACTLY-ONCE
+    (``.../batch_id=<N>/`` with ``mode('overwrite')`` — frame-hash
+    rows feed a count_distinct, so unlike membership state duplicate
+    index rows would NOT be benign; the batch-partitioned layout is
+    mandatory here, the stream_postings_admission reasoning).
+
+    Layout under ``state_dir``: ``index/`` ((media_id, frame_hash),
+    partitioned by batch_id), ``survivors/`` (media_id rows,
+    partitioned by batch_id), ``_checkpoint``.  Returns the
+    StreamingQuery."""
+    import os
+
+    index_path = os.path.join(state_dir, "index")
+    survivors_path = os.path.join(state_dir, "survivors")
+
+    def admit(batch_df, batch_id):
+        s = batch_df.sparkSession
+        if os.path.exists(index_path):
+            idx = s.read.parquet(index_path).select(
+                id_col, "frame_hash"
+            )
+        else:
+            idx = s.createDataFrame(
+                [], f"{id_col} long, frame_hash string"
+            )
+        surv = incremental_video_dedup(
+            batch_df, idx, every_n=every_n, min_shared=min_shared,
+            strict=strict,
+        ).localCheckpoint(eager=True)
+        surv.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch_id={batch_id}")
+        )
+        delta = frame_sample(
+            batch_df.join(surv, id_col), payload_col, id_col,
+            every_n=every_n, strict=strict,
+        ).select(id_col, "frame_hash")
+        delta.write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch_id={batch_id}")
+        )
+
+    writer = media_stream.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def stream_image_admission(
     media_stream: DataFrame,
     state_dir: str,
