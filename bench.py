@@ -95,6 +95,10 @@ HEADLINE = [
     "q_retrieval",
     "q_boilerplate",
     "q_frontier",
+    # composed multimodal admission lanes (third session, late)
+    "q_image_corpus",
+    "q_audio_corpus",
+    "q_video_dedup",
 ]
 
 
