@@ -9456,6 +9456,90 @@ _add(
 )
 
 
+# [pair] STREAMING retrieval (retrieval.stream_postings_admission):
+# the q_st_admission shape for the search lane — a REAL two-batch
+# Structured Streaming run (even docs then odd docs, mtimes pinned)
+# builds the postings state; the indexed probe over the streamed tree
+# must equal the full-corpus batch replay, so the oracle is the same
+# DuckDB retrieval SQL as q_incr_retrieval.
+
+def _q_st_retrieval(spark, sf_dir):
+    import os
+    import tempfile
+    import time
+
+    from ..operators.retrieval import (
+        keyword_topk_indexed,
+        stream_postings_admission,
+    )
+    from ..operators.textanalysis import word_terms
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="st_ret_")
+    src = os.path.join(base, "src")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    first = set(os.listdir(src))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = time.time()
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = now - 100 if f in first else now - 50
+        os.utime(os.path.join(src, f), (t, t))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_postings_admission(stream, os.path.join(base, "state"))
+    idx = spark.read.parquet(os.path.join(base, "state", "postings"))
+    qs = docs.filter("doc_id >= 3 AND doc_id < 6").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(word_terms(F.col("text")), 1, 5), " "
+        ).alias("query"),
+    )
+    return keyword_topk_indexed(idx, qs, topk=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+_add(
+    "q_st_retrieval",
+    _q_st_retrieval,
+    # identical full-corpus replay to q_incr_retrieval: the streamed
+    # postings tree must be indistinguishable from the batch build
+    "WITH term_rows AS ("
+    "  SELECT doc_id, unnest(list_filter("
+    "    string_split_regex(lower(text), '[^a-z]+'), "
+    "    x -> length(x) >= 3)) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf "
+    "  FROM term_rows GROUP BY 1, 2), "
+    "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+    "qt AS (SELECT doc_id AS query_id, unnest(list_distinct(list_slice("
+    "  list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+    "  x -> length(x) >= 3), 1, 5))) AS term "
+    "  FROM documents WHERE doc_id >= 3 AND doc_id < 6), "
+    "sc AS (SELECT q.query_id, t.doc_id, "
+    "  CAST(SUM(t.tf * (1000000 // d.df)) AS BIGINT) AS score "
+    "  FROM qt q JOIN tf t USING (term) JOIN dfreq d USING (term) "
+    "  GROUP BY 1, 2), "
+    "rk AS (SELECT query_id, doc_id, score, "
+    "  row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY score DESC, doc_id) AS rank FROM sc) "
+    "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score "
+    "FROM rk WHERE rank <= 10 "
+    "ORDER BY query_id NULLS FIRST, rank NULLS FIRST",
+    "streaming postings admission (real two-batch stream) probed == "
+    "full-corpus DuckDB retrieval replay",
+)
+
+
 # ==========================================================================
 # Round-2 registry ordering.  The external correctness gate checks the FIRST
 # 50 registry entries in insertion order; round 1 checked the relational
@@ -9654,7 +9738,7 @@ _ROUND6_LATE = [
     "q_pref", "q_sentences", "q_manifest", "q_gz_extract",
     "q_image_corpus", "q_audio_corpus", "q_img_captions",
     "q_dataset_diff", "q_video_neardup", "q_video_dedup", "q_video_meta",
-    "q_video_corpus", "q_incr_video",
+    "q_video_corpus", "q_incr_video", "q_st_retrieval",
 ]
 _ROUND6_ORACLE_FLIPS = [
     "q_minhash", "q_simhash", "q_fingerprint", "q_lsh_neardup",
