@@ -916,13 +916,16 @@ def _ahash_bands(hash_col: str, max_hamming: int) -> list:
     for i in range(nb):
         lo = i * width
         w = width if i < nb - 1 else 64 - lo  # last band takes the tail
-        mask = (1 << w) - 1
+        if w >= 64:
+            # max_hamming=0: one band IS the whole hash — a 64-bit
+            # mask literal would overflow long (DECIMAL type error)
+            expr = f"shiftrightunsigned({hash_col}, {lo})"
+        else:
+            expr = f"shiftrightunsigned({hash_col}, {lo}) & {(1 << w) - 1}"
         bands.append(
             F.struct(
                 F.lit(i).alias("bi"),
-                F.expr(
-                    f"shiftrightunsigned({hash_col}, {lo}) & {mask}"
-                ).alias("bv"),
+                F.expr(expr).alias("bv"),
             )
         )
     return bands

@@ -119,6 +119,34 @@ def test_phash_pooled(spark):
             return fn.__name__, f"{type(e).__name__}: {e}"
 
     with ThreadPoolExecutor(max_workers=4) as ex:
-        results = list(ex.map(run, [_check_phash_brightness_invariant_same_image, _check_phash_feeds_banded_near_dup_join, _check_phash_fake_twin_is_sha256_prefix, _check_phash_identical_images_hash_equal, _check_phash_differs_from_ahash_fake_domain]))
+        results = list(ex.map(run, [_check_phash_brightness_invariant_same_image, _check_phash_feeds_banded_near_dup_join, _check_phash_fake_twin_is_sha256_prefix, _check_phash_identical_images_hash_equal, _check_phash_differs_from_ahash_fake_domain, _check_prepare_image_corpus_strict_real_pngs]))
     fails = [(n, m) for n, m in results if m]
     assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)
+
+
+def _check_prepare_image_corpus_strict_real_pngs(spark):
+    """The composed admission over REAL decoded PNGs (the gate only
+    replays the fake path): dims floor drops the small image, the
+    duplicate pair collapses to its min id, survivors carry true
+    header dims."""
+    from evm_archive_spark.operators.multimodal import prepare_image_corpus
+
+    big = _img(7, w=64, h=64)
+    other = _img(8, w=64, h=64)
+    small = _img(9, w=16, h=16)
+    rows = [
+        (1, bytearray(encode_png(big))),
+        (2, bytearray(encode_png(big))),   # exact duplicate of 1
+        (3, bytearray(encode_png(other))),
+        (4, bytearray(encode_png(small))),  # fails the dims floor
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r.media_id: r
+        for r in prepare_image_corpus(
+            df, min_width=32, min_height=32, max_hamming=0, strict=True
+        ).collect()
+    }
+    assert sorted(out) == [1, 3]
+    assert (out[1].width, out[1].height) == (64, 64)
+    assert out[1].out_md5 == out[1].out_md5  # stable key present
