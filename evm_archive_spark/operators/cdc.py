@@ -366,10 +366,14 @@ def stream_cdc_admission(
     the survivors' digests appended to the state.  Ingested payloads
     are never re-read — only their digests.
 
-    Replay semantics match the other lanes (ADVICE r5): survivors are
-    exactly-once via ``survivors/batch_id=<N>/`` overwrite-by-partition;
-    state rows are membership-only (semi-join probes), so a bucketed
-    replay's duplicate digests change no admission decision.
+    Replay semantics match the other lanes (ADVICE r5/r6): survivors
+    are exactly-once via ``survivors/batch_id=<N>/``
+    overwrite-by-partition; state rows carry their ``batch_id`` and the
+    per-batch probe reads only ``batch_id < current``
+    (``util.read_admission_state``), so a replay never semi-joins
+    against its own delta; state rows are membership-only (semi-join
+    probes), so a bucketed replay's duplicate digests (same batch_id)
+    change no admission decision.
 
     ``bucketed_state=True`` keeps the digest state as a hash-bucketed
     catalog table (``chunk_md5``, the ``persist_chunk_index`` layout):
@@ -392,14 +396,15 @@ def stream_cdc_admission(
 
     def admit(batch_df, batch_id):
         from .. import storage
+        from .util import read_admission_state
 
         s = batch_df.sparkSession
-        if bucketed_state and s.catalog.tableExists(idx_table):
-            index = s.table(idx_table)
-        elif not bucketed_state and os.path.exists(chunks_path):
-            index = s.read.parquet(chunks_path).select("chunk_md5")
-        else:
-            index = s.createDataFrame([], "chunk_md5 string")
+        index = read_admission_state(
+            s, batch_id=batch_id, cols=["chunk_md5"],
+            empty_schema="chunk_md5 string",
+            path=None if bucketed_state else chunks_path,
+            table=idx_table if bucketed_state else None,
+        )
         chunks = cdc_chunks(batch_df, payload_col, id_col, **kw)
         surv = incremental_cdc_dedup(
             batch_df, chunks, index, id_col=id_col,
@@ -418,6 +423,7 @@ def stream_cdc_admission(
             .dropDuplicates()
         )
         if bucketed_state:
+            delta = delta.withColumn("batch_id", F.lit(batch_id))
             if s.catalog.tableExists(idx_table):
                 (
                     delta.write.mode("append").format("parquet")

@@ -191,12 +191,20 @@ def stream_corpus_admission(
     Replay semantics (foreachBatch re-runs a failed batch): survivors
     are EXACTLY-ONCE — each batch writes
     ``survivors/batch_id=<N>/`` with ``mode('overwrite')``, so a replay
-    rewrites its own partition instead of appending duplicates.  The
-    state deltas are written the same way in the default layout; in the
-    bucketed layout a replay after a partial append can duplicate state
-    rows, which is benign — digests/bands are membership state consumed
-    only through anti-/semi-joins, so duplicate rows change no
-    admission decision.
+    rewrites its own partition instead of appending duplicates.  Every
+    state row carries its ``batch_id`` (partition dir in the default
+    layout, data column in the bucketed layout) and the per-batch state
+    read filters ``batch_id < current``
+    (``util.read_admission_state``, ADVICE r6 high) — a replay crashed
+    between the state-delta write and the checkpoint commit sees
+    exactly the state the original attempt saw instead of anti-joining
+    against its own delta and losing the batch.  The state deltas are
+    overwrite-by-partition in the default layout; in the bucketed
+    layout a replay after a partial append can duplicate state rows
+    (same batch_id), which is benign — digests/bands are membership
+    state consumed only through anti-/semi-joins, so duplicate rows
+    change no admission decision, and the replay itself never sees
+    them.
 
     ``bucketed_state=True`` maintains the digest and band state as
     hash-bucketed catalog tables (``storage.write_bucketed``, the
@@ -238,22 +246,21 @@ def stream_corpus_admission(
 
     def admit(batch_df, batch_id):
         from .. import storage
+        from .util import read_admission_state
 
         s = batch_df.sparkSession
-        if bucketed_state and s.catalog.tableExists(dig_table):
-            seen = s.table(dig_table)
-        elif not bucketed_state and os.path.exists(digests_path):
-            seen = s.read.parquet(digests_path).select("digest")
-        else:
-            seen = s.createDataFrame([], "digest string")
-        if bucketed_state and s.catalog.tableExists(band_table):
-            idx = s.table(band_table)
-        elif not bucketed_state and os.path.exists(bands_path):
-            idx = s.read.parquet(bands_path).select(id_col, "band", "bhash")
-        else:
-            idx = s.createDataFrame(
-                [], f"{id_col} long, band int, bhash string"
-            )
+        seen = read_admission_state(
+            s, batch_id=batch_id, cols=["digest"],
+            empty_schema="digest string",
+            path=None if bucketed_state else digests_path,
+            table=dig_table if bucketed_state else None,
+        )
+        idx = read_admission_state(
+            s, batch_id=batch_id, cols=[id_col, "band", "bhash"],
+            empty_schema=f"{id_col} long, band int, bhash string",
+            path=None if bucketed_state else bands_path,
+            table=band_table if bucketed_state else None,
+        )
         surv, ddelta, bdelta = incremental_corpus_update(
             batch_df, seen, idx, materialize=True, **lane_kw
         )
@@ -261,6 +268,8 @@ def stream_corpus_admission(
             os.path.join(survivors_path, f"batch_id={batch_id}")
         )
         if bucketed_state:
+            ddelta = ddelta.withColumn("batch_id", F.lit(batch_id))
+            bdelta = bdelta.withColumn("batch_id", F.lit(batch_id))
             if s.catalog.tableExists(dig_table):
                 (
                     ddelta.write.mode("append").format("parquet")

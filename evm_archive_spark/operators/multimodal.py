@@ -1688,7 +1688,10 @@ def stream_video_admission(
     (``.../batch_id=<N>/`` with ``mode('overwrite')`` — frame-hash
     rows feed a count_distinct, so unlike membership state duplicate
     index rows would NOT be benign; the batch-partitioned layout is
-    mandatory here, the stream_postings_admission reasoning).
+    mandatory here, the stream_postings_admission reasoning), and the
+    state read filters ``batch_id < current``
+    (``util.read_admission_state``, ADVICE r6 high) so a replay probes
+    exactly the state the original attempt saw, never its own delta.
 
     Layout under ``state_dir``: ``index/`` ((media_id, frame_hash),
     partitioned by batch_id), ``survivors/`` (media_id rows,
@@ -1700,15 +1703,14 @@ def stream_video_admission(
     survivors_path = os.path.join(state_dir, "survivors")
 
     def admit(batch_df, batch_id):
+        from .util import read_admission_state
+
         s = batch_df.sparkSession
-        if os.path.exists(index_path):
-            idx = s.read.parquet(index_path).select(
-                id_col, "frame_hash"
-            )
-        else:
-            idx = s.createDataFrame(
-                [], f"{id_col} long, frame_hash string"
-            )
+        idx = read_admission_state(
+            s, batch_id=batch_id, cols=[id_col, "frame_hash"],
+            empty_schema=f"{id_col} long, frame_hash string",
+            path=index_path,
+        )
         surv = incremental_video_dedup(
             batch_df, idx, every_n=every_n, min_shared=min_shared,
             strict=strict,
@@ -1765,9 +1767,12 @@ def stream_image_admission(
     duplicates.  The index delta is written the same way in the default
     layout; with ``bucketed_state=True`` the band index is a catalog
     table bucketed by ``(bi, bv)`` (``persist_image_hash_index``
-    pattern), making the per-batch probe join one-sided.  A replay
-    after a partial bucketed append can duplicate index rows — benign,
-    the index is membership state consumed via semi-/anti-join.
+    pattern), making the per-batch probe join one-sided.  Index rows
+    carry their ``batch_id`` and the state read filters
+    ``batch_id < current`` (``util.read_admission_state``, ADVICE r6
+    high) so a replay never probes its own delta; a replay after a
+    partial bucketed append can duplicate index rows (same batch_id) —
+    benign, the index is membership state consumed via semi-/anti-join.
 
     Layout under ``state_dir``: ``index/`` (banded hash rows),
     ``survivors/`` ((media_id, ahash) rows, partitioned by
@@ -1783,18 +1788,15 @@ def stream_image_admission(
 
     def admit(batch_df, batch_id):
         from .. import storage
+        from .util import read_admission_state
 
         s = batch_df.sparkSession
-        if bucketed_state and s.catalog.tableExists(idx_table):
-            idx = s.table(idx_table)
-        elif not bucketed_state and os.path.exists(index_path):
-            idx = s.read.parquet(index_path).select(
-                id_col, "ahash", "bi", "bv"
-            )
-        else:
-            idx = s.createDataFrame(
-                [], f"{id_col} long, ahash long, bi int, bv long"
-            )
+        idx = read_admission_state(
+            s, batch_id=batch_id, cols=[id_col, "ahash", "bi", "bv"],
+            empty_schema=f"{id_col} long, ahash long, bi int, bv long",
+            path=None if bucketed_state else index_path,
+            table=idx_table if bucketed_state else None,
+        )
         surv = incremental_image_dedup(
             batch_df, idx, max_hamming, id_col, payload_col, strict
         ).localCheckpoint(eager=True)
@@ -1803,6 +1805,7 @@ def stream_image_admission(
         )
         delta = image_hash_index(surv, max_hamming, id_col, "ahash")
         if bucketed_state:
+            delta = delta.withColumn("batch_id", F.lit(batch_id))
             if s.catalog.tableExists(idx_table):
                 (
                     delta.write.mode("append").format("parquet")

@@ -355,14 +355,19 @@ def stream_url_admission(
     Replay semantics: survivors are EXACTLY-ONCE — each batch writes
     ``survivors/batch_id=<N>/`` with ``mode('overwrite')``, so a
     foreachBatch replay rewrites its own partition instead of appending
-    duplicates.  The index delta is written the same way in the default
-    layout; with ``bucketed_state=True`` the canonical-URL index is a
-    catalog table hash-bucketed by ``canonical_url``
-    (``storage.write_bucketed``), so the per-batch anti-join probe is
-    ONE-SIDED — only the incoming batch's keys shuffle, the growing
-    index is read in place with zero Exchange.  A replay after a
-    partial bucketed append can duplicate index rows, which is benign:
-    the index is membership state consumed through an anti-join.
+    duplicates.  Index rows carry their ``batch_id`` and the per-batch
+    state read filters ``batch_id < current``
+    (``util.read_admission_state``, ADVICE r6 high), so a replay never
+    anti-joins against its own delta.  The index delta is
+    overwrite-by-partition in the default layout; with
+    ``bucketed_state=True`` the canonical-URL index is a catalog table
+    hash-bucketed by ``canonical_url`` (``storage.write_bucketed``), so
+    the per-batch anti-join probe is ONE-SIDED — only the incoming
+    batch's keys shuffle, the growing index is read in place with zero
+    Exchange.  A replay after a partial bucketed append can duplicate
+    index rows (same batch_id) — benign: the index is membership state
+    consumed through an anti-join, and the replay itself filters them
+    out.
 
     Layout under ``state_dir``: ``index/`` (one ``canonical_url``
     column), ``survivors/`` (full surviving rows + canonical_url,
@@ -379,14 +384,15 @@ def stream_url_admission(
 
     def admit(batch_df, batch_id):
         from .. import storage
+        from .util import read_admission_state
 
         s = batch_df.sparkSession
-        if bucketed_state and s.catalog.tableExists(idx_table):
-            idx = s.table(idx_table)
-        elif not bucketed_state and os.path.exists(index_path):
-            idx = s.read.parquet(index_path).select("canonical_url")
-        else:
-            idx = s.createDataFrame([], "canonical_url string")
+        idx = read_admission_state(
+            s, batch_id=batch_id, cols=["canonical_url"],
+            empty_schema="canonical_url string",
+            path=None if bucketed_state else index_path,
+            table=idx_table if bucketed_state else None,
+        )
         surv = incremental_url_dedup(
             batch_df, idx, url_col, id_col
         ).localCheckpoint(eager=True)
@@ -395,6 +401,7 @@ def stream_url_admission(
         )
         delta = surv.select("canonical_url")
         if bucketed_state:
+            delta = delta.withColumn("batch_id", F.lit(batch_id))
             if s.catalog.tableExists(idx_table):
                 (
                     delta.write.mode("append").format("parquet")

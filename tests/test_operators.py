@@ -3728,6 +3728,83 @@ def _pooled_stream_corpus_admission_equals_sequential_replay(spark, tmp_path):
     )
 
 
+def _pooled_stream_corpus_admission_replay_safe(spark, tmp_path):
+    """ADVICE r6 high: a foreachBatch replay of a batch whose state
+    delta is already on disk (crash between the state write and the
+    checkpoint commit) must reproduce the original survivors — not
+    anti-join the batch against its own digests and lose it.  Simulated
+    for real: run the two-batch stream, delete the last commit marker,
+    restart, and require byte-identical survivors."""
+    import os
+    import time
+
+    from evm_archive_spark.operators.corpus import stream_corpus_admission
+
+    kw = dict(min_tokens=4, num_perm=8, bands=4, k=5, method="md5")
+    rows1 = [
+        (0, "first anchor document body with several tokens inside"),
+        (1, "completely different content about storage engines and "
+            "columnar formats for analytical workloads"),
+    ]
+    rows2 = [
+        (10, "first anchor document body with several tokens inside"),
+        (12, "novel second shard document with enough tokens to pass "
+             "the quality gate easily and no shared shingles at all"),
+    ]
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    src = tmp_path / "rp_src"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    first = set(os.listdir(str(src)))
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    now = time.time()
+    for f in os.listdir(str(src)):
+        if not f.endswith(".parquet"):
+            continue
+        t = now - 100 if f in first else now - 50
+        os.utime(str(src / f), (t, t))
+
+    state = str(tmp_path / "rp_state")
+
+    def run():
+        stream = spark.readStream.schema(b1.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src))
+        q = stream_corpus_admission(stream, state, **kw)
+        q.awaitTermination()
+        # availableNow termination deregisters asynchronously; the
+        # restart must not race it on the shared checkpoint
+        while any(a.runId == q.runId for a in spark.streams.active):
+            time.sleep(0.05)
+
+    run()
+    surv_path = f"{state}/survivors"
+    before = sorted(
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    )
+    assert before == [0, 1, 12]  # cross-batch dup 10 dropped via state
+    # crash window: batch 1's delta + survivors are written, its commit
+    # marker is not -> delete the marker and restart
+    commits = f"{state}/_checkpoint/commits"
+    last = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    assert last == "1"
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):  # Hadoop checksum sibling dies with the file
+        os.remove(crc)
+    run()
+    after = sorted(
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    )
+    assert after == before, (
+        f"replayed batch lost survivors: {before} -> {after}"
+    )
+    # and the replayed batch partition itself is non-empty
+    b1_rows = spark.read.parquet(f"{surv_path}/batch_id=1").count()
+    assert b1_rows == 1
+
+
 def _pooled_stream_corpus_admission_bucketed_state_one_sided(
     spark, tmp_path
 ):
@@ -3798,6 +3875,20 @@ def _pooled_stream_corpus_admission_bucketed_state_one_sided(
         band_table = f"{table_prefix}_bands"
         assert spark.catalog.tableExists(band_table)
         idx = spark.table(band_table)
+        # bucketed state rows carry batch_id, and the replay-safe read
+        # as-of batch 1 sees ONLY batch-0 rows (ADVICE r6 high)
+        from evm_archive_spark.operators.util import read_admission_state
+
+        assert "batch_id" in idx.columns
+        as_of_1 = read_admission_state(
+            spark, batch_id=1, cols=["doc_id", "band", "bhash"],
+            empty_schema="doc_id long, band int, bhash string",
+            table=band_table,
+        )
+        assert {
+            r["doc_id"]
+            for r in as_of_1.select("doc_id").distinct().collect()
+        } == {0, 3}
         shard3 = spark.createDataFrame(
             [(20, "a totally fresh probe shard document")], schema
         )
@@ -3944,6 +4035,7 @@ _POOLED_HEAVY = [
     _pooled_stream_url_admission_equals_sequential_replay,
     _pooled_streaming_incremental_minhash_equals_sequential_replay,
     _pooled_stream_corpus_admission_equals_sequential_replay,
+    _pooled_stream_corpus_admission_replay_safe,
     _pooled_stream_corpus_admission_bucketed_state_one_sided,
     _pooled_streaming_rollup_maintenance_equals_batch,
     _pooled_streaming_incremental_dedup_equals_batch,
