@@ -280,28 +280,38 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Blocking: 4 x 16-bit chunks of the fingerprint — by pigeonhole, any
-    pair within Hamming distance 3 shares at least one exact chunk, so the
-    self-join on (chunk_idx, chunk_value) finds all of them without an
-    O(n^2) comparison (standard simhash sharding trick).
+    Blocking: ``max_hamming + 1`` disjoint bit chunks of the 64-bit
+    fingerprint — by pigeonhole, any pair within ``max_hamming``
+    differing bits shares at least one exact chunk, so the self-join on
+    (chunk_idx, chunk_value) finds ALL of them without an O(n^2)
+    comparison (standard simhash sharding trick).  Deriving the chunk
+    count from the threshold (the ``multimodal._ahash_bands`` rule,
+    ADVICE r6) keeps the blocking complete for every ``max_hamming``;
+    the previous fixed 4x16 split silently lost pairs at
+    ``max_hamming >= 4``.  The default (3) still blocks 4 x 16-bit.
     """
+    nb = max_hamming + 1
+    if nb > 64:
+        raise ValueError("max_hamming must be < 64")
+    width = 64 // nb
+    chunk_exprs = []
+    for i in range(nb):
+        lo = i * width
+        w = width if i < nb - 1 else 64 - lo  # last chunk takes the tail
+        if w >= 64:
+            # max_hamming=0: the chunk IS the whole fingerprint — a
+            # 64-bit mask literal would overflow long
+            expr = f"shiftrightunsigned(__fp, {lo})"
+        else:
+            expr = f"shiftrightunsigned(__fp, {lo}) & {(1 << w) - 1}"
+        chunk_exprs.append(
+            F.struct(F.lit(i).alias("ci"), F.expr(expr).alias("cv"))
+        )
     fp = df.select(F.col(id_col).alias("__id"), simhash(text_col, seed).alias("__fp"))
     chunks = fp.select(
         "__id",
         "__fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col("__fp"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("ch"),
+        F.explode(F.array(*chunk_exprs)).alias("ch"),
     ).select("__id", "__fp", "ch.ci", "ch.cv")
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (

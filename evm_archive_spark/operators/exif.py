@@ -437,15 +437,32 @@ SCRUB_EXIF_SCHEMA = T.StructType(
         T.StructField("payload", T.BinaryType()),
         T.StructField("removed_segments", T.LongType()),
         T.StructField("bytes_removed", T.LongType()),
+        T.StructField("residual_gps", T.LongType()),
     ]
 )
 
 
+def _splice(b: bytes, drops: list[tuple[int, int]]) -> tuple[bytes, int, int]:
+    out, prev = [], 0
+    for s, e in drops:
+        out.append(b[prev:s])
+        prev = e
+    out.append(b[prev:])
+    return b"".join(out), len(drops), sum(e - s for s, e in drops)
+
+
 def strip_exif_bytes(b: bytes) -> tuple[bytes, int, int]:
-    """Lossless EXIF removal: splice out JPEG APP1(Exif) segments /
-    PNG eXIf chunks; every other byte (including pixel data) passes
-    through verbatim.  Non-image and EXIF-free payloads return
-    unchanged with zero counts."""
+    """Lossless EXIF removal: splice out JPEG APP1(Exif) segments, PNG
+    eXIf chunks and WebP EXIF RIFF chunks; every other byte (including
+    pixel data) passes through verbatim.  Non-image and EXIF-free
+    payloads return unchanged with zero counts.
+
+    A JPEG whose segment walk fails PARTWAY still has the segments
+    collected before the failure spliced out (ADVICE r6: returning a
+    GPS-bearing payload untouched because its tail is corrupt would be
+    a silent privacy leak; the tail was undecodable either way).  WebP
+    scrubbing also patches the RIFF size field and clears the VP8X
+    EXIF flag bit so the container stays self-consistent."""
     from .jpeg import is_jpeg
     from .png import is_png
 
@@ -456,16 +473,10 @@ def strip_exif_bytes(b: bytes) -> tuple[bytes, int, int]:
                 if marker == 0xE1 and b[s + 4 : s + 10] == b"Exif\x00\x00":
                     drops.append((s, e))
         except ExifError:
-            return b, 0, 0  # corrupt: hand back untouched
+            pass  # keep the drops collected before the failure
         if not drops:
             return b, 0, 0
-        out, prev = [], 0
-        for s, e in drops:
-            out.append(b[prev:s])
-            prev = e
-        out.append(b[prev:])
-        removed = sum(e - s for s, e in drops)
-        return b"".join(out), len(drops), removed
+        return _splice(b, drops)
     if is_png(b):
         drops = []
         i = 8
@@ -474,7 +485,7 @@ def strip_exif_bytes(b: bytes) -> tuple[bytes, int, int]:
             ctype = b[i + 4 : i + 8]
             end = i + 12 + ln
             if end > len(b):
-                return b, 0, 0  # corrupt: untouched
+                break  # corrupt tail: splice what was collected
             if ctype == b"eXIf":
                 drops.append((i, end))
             if ctype == b"IEND":
@@ -482,13 +493,29 @@ def strip_exif_bytes(b: bytes) -> tuple[bytes, int, int]:
             i = end
         if not drops:
             return b, 0, 0
-        out, prev = [], 0
-        for s, e in drops:
-            out.append(b[prev:s])
-            prev = e
-        out.append(b[prev:])
-        removed = sum(e - s for s, e in drops)
-        return b"".join(out), len(drops), removed
+        return _splice(b, drops)
+    if is_webp(b):
+        drops = []
+        pos = 12
+        while pos + 8 <= len(b):
+            fourcc = b[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", b, pos + 4)
+            end = pos + 8 + size + (size & 1)  # chunks are word-aligned
+            if pos + 8 + size > len(b):
+                break  # corrupt tail: splice what was collected
+            if fourcc == b"EXIF":
+                drops.append((pos, min(end, len(b))))
+            pos = end
+        if not drops:
+            return b, 0, 0
+        nb, nseg, nbytes = _splice(b, drops)
+        out = bytearray(nb)
+        # keep the container self-consistent: RIFF size counts
+        # everything after its own 8-byte header
+        struct.pack_into("<I", out, 4, len(out) - 8)
+        if out[12:16] == b"VP8X" and len(out) >= 21:
+            out[20] &= ~0x08  # clear the VP8X EXIF-present flag
+        return bytes(out), nseg, nbytes
     return b, 0, 0
 
 
@@ -499,10 +526,17 @@ def scrub_exif(
 ) -> DataFrame:
     """PII scrub for images — ``scrub_pii``'s multimodal mirror:
     remove EXIF blocks (camera serials, GPS coordinates) from JPEG /
-    PNG payloads without re-encoding pixels.  Unknown formats pass
-    through unchanged (never fails the job; TIFF EXIF is structural —
-    IFD0 *is* the image directory — so TIFF passes through and the
-    q_image_meta profile is the flagging tool there)."""
+    PNG / WebP payloads without re-encoding pixels.  Unknown formats
+    pass through unchanged (never fails the job; TIFF EXIF is
+    structural — IFD0 *is* the image directory — so TIFF passes through
+    and the q_image_meta profile is the flagging tool there).
+
+    ``residual_gps`` (ADVICE r6): 1 when a post-scrub header walk STILL
+    reports GPS tags — structural-TIFF EXIF, or a container the splice
+    couldn't reach — so admission pipelines can quarantine instead of
+    silently admitting a GPS-bearing payload; 0 otherwise (including
+    payloads whose headers don't parse at all — those fail admission's
+    decode stages on their own)."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -513,14 +547,21 @@ def scrub_exif(
                 "payload": [],
                 "removed_segments": [],
                 "bytes_removed": [],
+                "residual_gps": [],
             }
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload or b"")
                 nb, nseg, nbytes = strip_exif_bytes(b)
+                try:
+                    meta = image_metadata_of(nb)
+                    residual = int(bool(meta and meta["has_gps"]))
+                except (ExifError, struct.error, IndexError, ValueError):
+                    residual = 0
                 out["media_id"].append(mid)
                 out["payload"].append(nb)
                 out["removed_segments"].append(nseg)
                 out["bytes_removed"].append(nbytes)
+                out["residual_gps"].append(residual)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, SCRUB_EXIF_SCHEMA)

@@ -56,14 +56,38 @@ def is_warc(data: bytes) -> bool:
     return False
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (one per record)."""
+# Total-decompressed cap for a per-record-gzip WARC payload (ADVICE r6:
+# the archive.decompress_payload bomb rule applied here too).  One
+# Common Crawl WARC slice handed to a single executor task is tens of
+# MB compressed; 1 GiB decompressed is far above any legitimate record
+# train yet bounds a crafted bomb to executor-safe memory.
+MAX_WARC_BYTES = 1 << 30
+
+
+def _gunzip_members(data: bytes, max_out: int = MAX_WARC_BYTES) -> bytes:
+    """Decompress concatenated gzip members (one per record), with the
+    TOTAL output capped at ``max_out`` — a crafted .warc.gz record must
+    not be able to inflate unbounded and OOM an executor
+    (decompression-bomb guard, the ``archive.decompress_payload``
+    pattern: decompress with max_length in a loop, raise on excess)."""
     out = bytearray()
     rest = data
     while rest[:2] == _GZIP_MAGIC:
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(rest)
+        chunk = rest
+        while True:
+            budget = max_out - len(out) + 1
+            out += d.decompress(chunk, budget)
+            if len(out) > max_out:
+                raise WarcError(
+                    f"gzip WARC inflates past {max_out} bytes"
+                )
+            if d.eof or not d.unconsumed_tail:
+                break
+            chunk = d.unconsumed_tail
         out += d.flush()
+        if len(out) > max_out:
+            raise WarcError(f"gzip WARC inflates past {max_out} bytes")
         if not d.eof:
             raise WarcError("truncated gzip member")
         rest = d.unused_data

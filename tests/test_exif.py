@@ -289,6 +289,58 @@ def test_webp_vp8x_canvas_and_exif_chunk():
     assert m["make"] == "CamCorp" and m["has_gps"] == 1
 
 
+def test_strip_exif_webp_and_partial_jpeg():
+    """ADVICE r6: WebP EXIF chunks are spliced out (RIFF size patched,
+    VP8X EXIF flag cleared), and a JPEG whose segment walk dies AFTER
+    an Exif APP1 still has that segment removed."""
+    # WebP: VP8X + EXIF(with GPS) -> scrub removes the chunk losslessly
+    vp8x = bytes([0x08]) + b"\x00\x00\x00" + (1023).to_bytes(
+        3, "little"
+    ) + (767).to_bytes(3, "little")
+    webp = _riff_webp((b"VP8X", vp8x), (b"EXIF", _std_block()))
+    m0 = exif.image_metadata_of(webp)
+    assert m0["has_gps"] == 1
+    out, nseg, nbytes = exif.strip_exif_bytes(webp)
+    assert nseg == 1 and nbytes > 0
+    m = exif.image_metadata_of(out)
+    assert m["has_gps"] == 0 and m["make"] is None
+    assert (m["width"], m["height"]) == (1024, 768)  # canvas untouched
+    # container self-consistent: RIFF size matches, EXIF flag cleared
+    assert struct.unpack_from("<I", out, 4)[0] == len(out) - 8
+    assert out[20] & 0x08 == 0
+    # idempotent
+    again, n2, _ = exif.strip_exif_bytes(out)
+    assert n2 == 0 and again == out
+
+    # JPEG with Exif APP1 then a corrupt tail: the APP1 still goes
+    jpg = _jpeg_with_exif(_std_block())
+    cut = jpg[: len(jpg) - 4]  # lop the scan tail -> walk raises late
+    out2, nseg2, _ = exif.strip_exif_bytes(cut)
+    assert nseg2 == 1
+    assert b"Exif\x00\x00" not in out2
+
+
+def test_scrub_exif_residual_gps(spark):
+    """scrub_exif surfaces residual_gps=1 for structural-TIFF EXIF the
+    splice can't remove, 0 for scrubbed JPEGs and opaque payloads."""
+    import pandas as pd
+
+    payloads = [
+        _jpeg_with_exif(_std_block()),
+        _std_block(),  # structural TIFF carrying a GPS IFD
+        b"opaque bytes",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0, 1, 2], "payload": payloads})
+    )
+    rows = {r["media_id"]: r for r in exif.scrub_exif(df).collect()}
+    assert rows[0]["removed_segments"] == 1 and rows[0]["residual_gps"] == 0
+    # TIFF EXIF is structural (IFD0 IS the image directory): the splice
+    # passes it through and residual_gps flags it for quarantine
+    assert rows[1]["removed_segments"] == 0 and rows[1]["residual_gps"] == 1
+    assert rows[2]["residual_gps"] == 0
+
+
 def test_webp_corrupt_raises_exif_error():
     from evm_archive_spark.operators.exif import ExifError, image_metadata_of
 

@@ -132,6 +132,39 @@ def test_simhash_hamming_near_dups(spark):
     assert (1, 2) in found  # one-token change -> small hamming distance
 
 
+def test_simhash_blocking_complete_above_three(spark):
+    """ADVICE r6: the chunk count derives from max_hamming (pigeonhole
+    needs max_hamming + 1 chunks), so thresholds >= 4 lose no pairs —
+    pinned by comparing the banded join against a brute-force all-pairs
+    Hamming scan at max_hamming=8 over a random corpus."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"tok{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choices(words, k=12))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_duplicates(
+            df, max_hamming=8
+        ).collect()
+    }
+    fps = df.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("fp")
+    ).collect()
+    brute = {
+        (a["doc_id"], b["doc_id"])
+        for a in fps
+        for b in fps
+        if a["doc_id"] < b["doc_id"]
+        and bin((a["fp"] ^ b["fp"]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    assert brute, "corpus produced no pairs at hamming<=8; widen it"
+    assert got == brute
+
+
 def test_exact_dedup_by_content(spark):
     df = _docs_with_near_dups(spark)
     kept = dedup.exact_dedup_by_content(df, "doc_id", "text")

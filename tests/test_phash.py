@@ -119,9 +119,60 @@ def test_phash_pooled(spark):
             return fn.__name__, f"{type(e).__name__}: {e}"
 
     with ThreadPoolExecutor(max_workers=4) as ex:
-        results = list(ex.map(run, [_check_phash_brightness_invariant_same_image, _check_phash_feeds_banded_near_dup_join, _check_phash_fake_twin_is_sha256_prefix, _check_phash_identical_images_hash_equal, _check_phash_differs_from_ahash_fake_domain, _check_prepare_image_corpus_strict_real_pngs]))
+        results = list(ex.map(run, [_check_phash_brightness_invariant_same_image, _check_phash_feeds_banded_near_dup_join, _check_phash_fake_twin_is_sha256_prefix, _check_phash_identical_images_hash_equal, _check_phash_differs_from_ahash_fake_domain, _check_prepare_image_corpus_strict_real_pngs, _check_prepare_image_corpus_scrub_and_scan_once]))
     fails = [(n, m) for n, m in results if m]
     assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)
+
+
+def _check_prepare_image_corpus_scrub_and_scan_once(spark):
+    """VERDICT r6 #1: composed image admission touches each admitted
+    payload exactly ONCE past the header floor — the fused
+    scrub+decode+md5 pass replaces the scrub re-running for the md5
+    keying.  Accumulator-pinned: the input is read exactly TWICE — once
+    by the (checkpointed) header floor, once by the (checkpointed)
+    fused pass; every downstream reference reads the checkpoints.  Also
+    pins that out_md5 is the md5 of the SCRUBBED payload (EXIF
+    spliced), not the raw one."""
+    import hashlib
+
+    from test_exif import _jpeg_with_exif, _std_block
+
+    from evm_archive_spark.operators.exif import strip_exif_bytes
+    from evm_archive_spark.operators.multimodal import prepare_image_corpus
+
+    jpg = _jpeg_with_exif(_std_block())            # 24x16, GPS EXIF
+    big = encode_png(_img(7, w=64, h=64))
+    small = encode_png(_img(9, w=8, h=8))          # fails the floor
+    rows = [
+        (1, bytearray(jpg)),
+        (2, bytearray(big)),
+        (3, bytearray(small)),
+        (4, bytearray(jpg)),                       # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    wrapped = df.mapInPandas(counted, df.schema)
+    out = {
+        r.media_id: r
+        for r in prepare_image_corpus(
+            wrapped, min_width=16, min_height=16, max_hamming=0,
+            strict=True,
+        ).collect()
+    }
+    assert sorted(out) == [1, 2]                   # dup 4 collapsed
+    scrubbed_md5 = hashlib.md5(strip_exif_bytes(jpg)[0]).hexdigest()
+    assert out[1].out_md5 == scrubbed_md5
+    assert scrubbed_md5 != hashlib.md5(jpg).hexdigest()
+    assert acc.value == 4 + 4, (
+        f"scanned {acc.value} rows, expected 8 (floor pass + fused "
+        "pass; the scrub must not re-run for the md5 keying)"
+    )
 
 
 def _check_prepare_image_corpus_strict_real_pngs(spark):

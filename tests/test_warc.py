@@ -152,6 +152,24 @@ def test_truncation_fuzz_raises_only_warc_error():
                 pass
 
 
+def test_gzip_bomb_capped():
+    """ADVICE r6: a crafted .warc.gz that inflates far past the cap
+    raises WarcError instead of OOMing the executor, while a legitimate
+    gzipped WARC under the cap still decodes (cap override exercised via
+    _gunzip_members directly)."""
+    import gzip
+
+    from evm_archive_spark.operators.warc import _gunzip_members
+
+    bomb = gzip.compress(b"\x00" * (1 << 22))  # 4 MiB of zeros, ~4 KiB gz
+    with pytest.raises(WarcError, match="inflates past"):
+        _gunzip_members(bomb, max_out=1 << 20)
+    ok = build_warc(PAGES, gzip_per_record=True)
+    assert _gunzip_members(ok, max_out=1 << 20)[:5] == b"WARC/"
+    # and the full record walk still works under the default cap
+    assert list(warc_records(ok))
+
+
 def test_bad_version_and_missing_length():
     with pytest.raises(WarcError, match="version"):
         list(warc_records(b"WARC/9.9\r\nContent-Length: 0\r\n\r\n"))
