@@ -1,12 +1,15 @@
-"""Header-only video metadata (AVI + MP4/ISO-BMFF) — the video mirror
-of ``audiometa.audio_metadata``: a 100-TB video corpus filters on
-dims / frame count / fps / duration long before it decodes a frame,
-and those live in container headers:
+"""Header-only video metadata (AVI + MP4/ISO-BMFF + MKV/Matroska) —
+the video mirror of ``audiometa.audio_metadata``: a 100-TB video corpus
+filters on dims / frame count / fps / duration long before it decodes a
+frame, and those live in container headers:
 
 - **AVI**: the ``avih`` main header (public 'AVI RIFF File Reference'):
   dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight.
 - **MP4**: the first ``vide`` track (mp4.py box walk): visual sample
   entry dims, sample count, mdhd duration/timescale.
+- **MKV/WebM**: the Segment's Info + Tracks (mkv.py EBML walk, RFC
+  8794): PixelWidth/Height, Duration x TimestampScale,
+  DefaultDuration-derived fps/frame count.
 
 Codec payload decode stays behind the documented boundary (MJPEG is
 real via jpeg.py; H.264/HEVC raise named gaps) — metadata needs none
@@ -101,12 +104,18 @@ def mp4_video_meta(data: bytes) -> dict:
 
 def video_metadata_of(b: bytes) -> dict | None:
     from .avi import is_avi
+    from .mkv import MkvError, is_mkv, mkv_video_meta
     from .mp4 import is_mp4
 
     if is_avi(b):
         return avi_meta(b)
     if is_mp4(b):
         return mp4_video_meta(b)
+    if is_mkv(b):
+        try:
+            return mkv_video_meta(b)
+        except MkvError as e:
+            raise VideoMetaError(str(e)) from e
     return None
 
 

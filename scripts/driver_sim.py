@@ -25,13 +25,18 @@ from scripts.check_parity import canon
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    head, only = 50, None
+    head, only, out_path = 50, None, None
     it = iter(args)
     for a in it:
         if a == "--head":
             head = int(next(it))
         elif a == "--only":
             only = set(next(it).split(","))
+        elif a == "--out":
+            # full-registry sweep artifact (VERDICT r6 #2): per-gate
+            # pass/rows/wall JSON so whole-registry greenness is
+            # auditable without re-running anything
+            out_path = next(it)
         else:
             sf_dir = a
 
@@ -53,6 +58,18 @@ def main() -> int:
 
     todo = [q for q in PARITY_QUERIES[:head] if only is None or q.name in only]
     failures = []
+    record: dict[str, dict] = {}
+
+    def note(name, status, rows, t0, detail=None):
+        record[name] = {
+            "pass": status in ("PASS", "rows_only"),
+            "mode": status,
+            "rows": rows,
+            "wall_s": round(time.time() - t0, 2),
+        }
+        if detail:
+            record[name]["detail"] = detail
+
     for q in todo:
         t0 = time.time()
         try:
@@ -61,9 +78,11 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(q.name)
+            note(q.name, "spark_error", 0, t0, repr(e)[:200])
             print(f"FAIL {q.name}: spark error {e!r}", flush=True)
             continue
         if q.oracle is None:
+            note(q.name, "rows_only", len(srows), t0)
             print(f"ok   {q.name} (rows-only, {len(srows)} rows)", flush=True)
             continue
         try:
@@ -72,27 +91,47 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(q.name)
+            note(q.name, "oracle_error", len(srows), t0, repr(e)[:200])
             print(f"FAIL {q.name}: oracle error {e!r}", flush=True)
             continue
         if sorted(scols) != sorted(ocols):
             failures.append(q.name)
+            note(q.name, "schema_mismatch", len(srows), t0)
             print(f"FAIL {q.name}: columns {scols} vs {ocols}", flush=True)
             continue
         sc, oc = canon(srows, scols), canon(orows, ocols)
         if sc != oc:
             failures.append(q.name)
             diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+            note(q.name, "value_mismatch", len(sc), t0)
             print(
                 f"FAIL {q.name}: rows {len(sc)} vs {len(oc)}, diffs {diffs}",
                 flush=True,
             )
             continue
+        note(q.name, "PASS", len(sc), t0)
         print(
             f"PASS {q.name} ({len(sc)} rows, {time.time() - t0:.1f}s)",
             flush=True,
         )
 
     print(f"\n{len(todo) - len(failures)}/{len(todo)} ok; failures: {failures}")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_gates": len(todo),
+                    "n_pass": len(todo) - len(failures),
+                    "failures": failures,
+                    "gates": record,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 

@@ -467,3 +467,47 @@ def test_incr_corpus_pipeline_has_no_allpairs(spark):
     plan = plan_of(spark, "q_incr_corpus")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_is_bucket_equi(spark):
+    """VERDICT r6 #7 (the range_join precedent applied to
+    rangejoin.interval_overlap_join, the q_av_align primitive): two
+    LARGE parquet-backed interval sides — autoBroadcast disabled so
+    neither side can hide behind a broadcast — must plan a hash-
+    partitioned EQUI join on the exploded bucket id, never a
+    BroadcastNestedLoopJoin or CartesianProduct, with the exact overlap
+    predicate as a post-join filter."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from evm_archive_spark.operators.rangejoin import interval_overlap_join
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.range(5000).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("l_lo"),
+            (F.col("id") * 10 + 7).alias("l_hi"),
+        ).write.parquet(f"{tmp}/l")
+        spark.range(5000).select(
+            F.col("id").alias("k2"),
+            (F.col("id") * 10 + 3).alias("r_lo"),
+            (F.col("id") * 10 + 12).alias("r_hi"),
+        ).write.parquet(f"{tmp}/r")
+        left = spark.read.parquet(f"{tmp}/l")
+        right = spark.read.parquet(f"{tmp}/r")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = interval_overlap_join(
+                left, right, "l_lo", "l_hi", "r_lo", "r_hi", 16.0
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                out.explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
