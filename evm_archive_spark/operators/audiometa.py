@@ -488,10 +488,48 @@ def mp4_meta(data: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
+@guard(AudioMetaError)
+def mkv_meta(data: bytes) -> dict:
+    """First audio track of an MKV/WebM container (mkv.py EBML walk):
+    codec id, SamplingFrequency/Channels from the Audio element,
+    duration from Info — the audio face of the Matroska container
+    (sample decode of the perceptual codecs inside stays behind the
+    documented boundary)."""
+    from .mkv import MkvError, mkv_info
+
+    try:
+        info = mkv_info(data)
+    except MkvError as e:
+        raise AudioMetaError(str(e)) from e
+    audio = [t for t in info["tracks"] if t["type"] == 2]
+    if not audio:
+        raise AudioMetaError("no audio track")
+    t = audio[0]
+    dur_ticks = info["duration_ticks"]
+    dur_ms = (
+        int(dur_ticks * info["timestamp_scale"]) // 1_000_000
+        if dur_ticks is not None
+        else 0
+    )
+    return {
+        "format": f"{info['doctype']}-{(t['codec_id'] or '').strip()}",
+        "sample_rate": t["sample_rate"] or 0,
+        "n_channels": t["channels"] or 0,
+        "bits_per_sample": 0,
+        "duration_ms": dur_ms,
+        "bitrate_kbps": 0,
+        "vbr": 1,
+        "title": None,
+        "artist": None,
+        "n_tags": 0,
+    }
+
+
 def audio_metadata_of(b: bytes) -> dict | None:
     """Signature-sniffed dispatch -> metadata dict, or None when the
-    payload is none of the five containers."""
+    payload is none of the six containers."""
     from .flac import is_flac
+    from .mkv import is_mkv
     from .mp4 import is_mp4
     from .wav import is_wav
 
@@ -505,6 +543,8 @@ def audio_metadata_of(b: bytes) -> dict | None:
         return flac_meta(b)
     if is_mp4(b):
         return mp4_meta(b)
+    if is_mkv(b):
+        return mkv_meta(b)
     return None
 
 

@@ -161,6 +161,29 @@ def test_errors_and_fuzz():
             pass
 
 
+def test_audiometa_routes_mkv_audio_track():
+    from evm_archive_spark.operators.audiometa import (
+        AudioMetaError,
+        audio_metadata_of,
+    )
+
+    mkv = _header(b"webm") + _segment(
+        _info(1_000_000, 2500.0),
+        _iel(0x1654AE6B, _audio_entry(48000.0, 2)),
+    )
+    m = audio_metadata_of(mkv)
+    assert m["format"] == "webm-A_OPUS"
+    assert (m["sample_rate"], m["n_channels"]) == (48000, 2)
+    assert m["duration_ms"] == 2500
+    # video-only container: named error, not a silent zero profile
+    video_only = _header() + _segment(
+        _info(1_000_000, 100.0),
+        _iel(0x1654AE6B, _video_entry(64, 48)),
+    )
+    with pytest.raises(AudioMetaError, match="no audio track"):
+        audio_metadata_of(video_only)
+
+
 def test_spark_videometa_routes_mkv(spark):
     import pandas as pd
 
