@@ -7,6 +7,8 @@ fallback, then applies the markup strippers JVM-side:
 
     application/pdf            -> pdf.extract_pdf_text (from scratch)
     message/rfc822 / mbox      -> mail.parse_email body
+    .docx (OOXML zip)          -> officedoc.docx_to_text (from scratch)
+    .epub (OCF zip)            -> officedoc.epub_to_text (from scratch)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -71,6 +73,13 @@ def document_extract(
     PDF/notebook falls through to plain text."""
     from .archive import ArchiveError, compression_kind, decompress_payload
     from .mail import MailError, parse_email
+    from .officedoc import (
+        OfficeDocError,
+        docx_to_text,
+        epub_to_text,
+        is_docx,
+        is_epub,
+    )
     from .pdf import PdfError, extract_pdf_text, is_pdf
     from .tabular import csv_meta_and_text
     from .textanalysis import markdown_to_text
@@ -106,6 +115,22 @@ def document_extract(
                         text, _np = extract_pdf_text(b)
                         fmt = "pdf"
                     except (PdfError, NotImplementedError):
+                        pass
+                if fmt is None and (
+                    "wordprocessingml" in m
+                    or m.endswith("msword")
+                    or (not m and is_docx(b))
+                ):
+                    try:
+                        text, fmt = docx_to_text(b), "docx"
+                    except OfficeDocError:
+                        pass
+                if fmt is None and (
+                    "epub" in m or (not m and is_epub(b))
+                ):
+                    try:
+                        text, fmt = epub_to_text(b), "epub"
+                    except OfficeDocError:
                         pass
                 if fmt is None and (
                     "rfc822" in m

@@ -1163,6 +1163,10 @@ def prepare_audio_corpus(
     from .audiometa import audio_metadata
     from .dedup import connected_components
 
+    # both floor frames are referenced twice (admission join + final
+    # join-back); without the cut each reference re-runs its payload
+    # pass — the vad_ok re-evaluation is a full sample-decode VAD pass
+    # over the admitted corpus.  The checkpoints store ~24 B/row.
     meta_ok = (
         audio_metadata(media, strict=strict)
         .filter(
@@ -1170,12 +1174,14 @@ def prepare_audio_corpus(
             & (F.col("duration_ms") >= min_duration_ms)
         )
         .select("media_id", "sample_rate", "duration_ms")
+        .localCheckpoint(eager=True)
     )
     m2 = media.join(meta_ok.select("media_id"), "media_id")
     vad_ok = (
         audio_vad(m2, strict=strict)
         .filter(F.col("active_ppm") >= min_active_ppm)
         .select("media_id", "active_ppm")
+        .localCheckpoint(eager=True)
     )
     m3 = m2.join(vad_ok.select("media_id"), "media_id")
     # fingerprint once (the decode pass); three downstream references
@@ -1620,6 +1626,8 @@ def prepare_video_corpus(
     Output: (media_id, width, height, duration_ms)."""
     from .videometa import video_metadata
 
+    # referenced twice (admission join + final join-back): materialize
+    # the ~32 B/row floor so the header pass runs once per payload
     ok = (
         video_metadata(media, strict=strict)
         .filter(
@@ -1628,6 +1636,7 @@ def prepare_video_corpus(
             & (F.col("duration_ms") >= min_duration_ms)
         )
         .select("media_id", "width", "height", "duration_ms")
+        .localCheckpoint(eager=True)
     )
     admitted = media.join(ok.select("media_id"), "media_id")
     surv = video_dedup_pipeline(

@@ -1,0 +1,292 @@
+"""DOCX and EPUB text extraction — from scratch, stdlib only.
+
+Both formats are ZIP containers of XML (public specs: ISO/IEC 29500
+WordprocessingML for .docx; the IDPF/W3C EPUB OCF + OPF specs), so a
+training-data pipeline meets them constantly in books/report corpora.
+Extraction is a per-payload parse inside Arrow batches (the pdf.py /
+mail.py placement) with the archive module's decompression caps — a
+crafted container cannot inflate unbounded.
+
+- **DOCX**: read ``word/document.xml``; paragraphs are ``<w:p>``
+  elements, visible text the concatenation of ``<w:t>`` runs
+  (``xml:space='preserve'`` honoured by never trimming run bodies),
+  ``<w:tab/>`` a tab, ``<w:br/>``/``<w:cr/>`` a newline.
+- **EPUB**: ``META-INF/container.xml`` names the OPF package; the OPF
+  ``<spine>`` lists chapter idrefs in reading order into the
+  ``<manifest>`` hrefs (resolved against the OPF directory); each
+  XHTML chapter is stripped to text.
+
+``build_docx`` / ``build_epub`` are the synthesis writers (the
+pdf.build_simple_pdf pattern): gates q_docx / q_epub round-trip REAL
+containers built from document text, and the DuckDB oracle derives the
+expected output from the construction — it never touches a ZIP.
+
+Reference parity note: the reference (SummaryDev/evm-archive) has no
+document surface; this extends the training-pipeline lane the brief
+makes first-class.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import re
+import zipfile
+
+from .codecerrors import guard
+
+MAX_XML_BYTES = 64 * 1024 * 1024  # per-member inflate cap (zip bombs)
+
+
+class OfficeDocError(Exception):
+    """Malformed or out-of-scope DOCX/EPUB payload."""
+
+
+_ZIP_MAGIC = b"PK\x03\x04"
+
+
+def _zip_of(b: bytes) -> zipfile.ZipFile:
+    if b[:4] != _ZIP_MAGIC:
+        raise OfficeDocError("not a ZIP container")
+    try:
+        return zipfile.ZipFile(io.BytesIO(b))
+    except zipfile.BadZipFile as e:
+        raise OfficeDocError(f"bad zip: {e}") from e
+
+
+def _read_member(z: zipfile.ZipFile, name: str) -> str:
+    try:
+        info = z.getinfo(name)
+    except KeyError:
+        raise OfficeDocError(f"missing zip member {name!r}") from None
+    if info.file_size > MAX_XML_BYTES:
+        raise OfficeDocError(f"member {name!r} exceeds the inflate cap")
+    with z.open(info) as fh:
+        return fh.read(MAX_XML_BYTES + 1).decode("utf-8", "replace")
+
+
+_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+}
+
+
+def _unescape(s: str) -> str:
+    def sub(m: "re.Match[str]") -> str:
+        body = m.group(1)
+        if body.startswith("#x") or body.startswith("#X"):
+            try:
+                return chr(int(body[2:], 16))
+            except ValueError:
+                return m.group(0)
+        if body.startswith("#"):
+            try:
+                return chr(int(body[1:]))
+            except ValueError:
+                return m.group(0)
+        return _ENTITIES.get(body, m.group(0))
+
+    return re.sub(r"&(#?[xX]?[0-9a-zA-Z]+);", sub, s)
+
+
+def xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+# -- DOCX ---------------------------------------------------------------------
+
+_W_P = re.compile(r"<w:p[ >/]", re.S)
+_W_RUN = re.compile(
+    r"<w:t(?:\s[^>]*)?>(.*?)</w:t>|<w:tab\s*/>|<w:br\s*/>|<w:cr\s*/>", re.S
+)
+
+
+def is_docx(b: bytes) -> bool:
+    if b[:4] != _ZIP_MAGIC:
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            return "word/document.xml" in z.namelist()
+    except zipfile.BadZipFile:
+        return False
+
+
+@guard(OfficeDocError)
+def docx_to_text(b: bytes) -> str:
+    """WordprocessingML -> plain text: one line per ``<w:p>`` paragraph,
+    run bodies concatenated untrimmed, tabs/breaks preserved."""
+    with _zip_of(b) as z:
+        xml = _read_member(z, "word/document.xml")
+    paras = []
+    # split the body into paragraphs on the <w:p ...> opens; text before
+    # the first paragraph is structural markup with no <w:t> runs
+    chunks = _W_P.split(xml)[1:] if _W_P.search(xml) else []
+    for chunk in chunks:
+        parts = []
+        for m in _W_RUN.finditer(chunk.split("</w:p>")[0]):
+            if m.group(1) is not None:       # <w:t> run body
+                parts.append(_unescape(m.group(1)))
+            elif m.group(0).startswith("<w:tab"):
+                parts.append("\t")
+            else:                            # <w:br/> / <w:cr/>
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n".join(paras)
+
+
+def build_docx(paragraphs: list[str]) -> bytes:
+    """Minimal valid DOCX: [Content_Types].xml + rels + one
+    document.xml with the given paragraphs (escaped, space-preserved).
+    Round-trips exactly through ``docx_to_text``."""
+    body = "".join(
+        f'<w:p><w:r><w:t xml:space="preserve">{xml_escape(p)}</w:t>'
+        "</w:r></w:p>"
+        for p in paragraphs
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        + body
+        + "</w:body></w:document>"
+    )
+    ctypes = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/'
+        "vnd.openxmlformats-officedocument.wordprocessingml.document."
+        'main+xml"/></Types>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId1" Type="http://schemas.'
+        "openxmlformats.org/officeDocument/2006/relationships/"
+        'officeDocument" Target="word/document.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ctypes)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+# -- EPUB ---------------------------------------------------------------------
+
+_ROOTFILE = re.compile(r'<rootfile[^>]*full-path="([^"]+)"', re.S)
+_MANIFEST_ITEM = re.compile(r"<item\s[^>]*>", re.S)
+_ATTR = re.compile(r'([\w:-]+)="([^"]*)"')
+_SPINE_REF = re.compile(r'<itemref[^>]*idref="([^"]+)"', re.S)
+_TAG = re.compile(r"<[^>]+>")
+_BLOCK_CLOSE = re.compile(
+    r"</(?:p|div|h[1-6]|li|tr|section|article|blockquote|title)\s*>|<br\s*/?>",
+    re.I,
+)
+_DROP = re.compile(
+    r"<(script|style|head)\b.*?</\1\s*>|<!--.*?-->|<\?.*?\?>"
+    r"|<!\[CDATA\[.*?\]\]>",
+    re.S | re.I,
+)
+
+
+def _xhtml_text(xhtml: str) -> str:
+    """Chapter XHTML -> text: drop script/style/comments, block closes
+    become newlines, tags vanish, entities decode, blank runs collapse."""
+    s = _DROP.sub(" ", xhtml)
+    s = _BLOCK_CLOSE.sub("\n", s)
+    s = _TAG.sub(" ", s)
+    s = _unescape(s)
+    lines = [re.sub(r"[ \t\r\f\v]+", " ", ln).strip() for ln in s.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def is_epub(b: bytes) -> bool:
+    if b[:4] != _ZIP_MAGIC:
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            names = set(z.namelist())
+            if "META-INF/container.xml" not in names:
+                return False
+            if "mimetype" in names:
+                return z.read("mimetype").strip() == b"application/epub+zip"
+            return True
+    except zipfile.BadZipFile:
+        return False
+
+
+@guard(OfficeDocError)
+def epub_to_text(b: bytes) -> str:
+    """OCF walk: container.xml -> OPF -> spine reading order ->
+    stripped chapter texts joined by blank lines."""
+    with _zip_of(b) as z:
+        container = _read_member(z, "META-INF/container.xml")
+        m = _ROOTFILE.search(container)
+        if not m:
+            raise OfficeDocError("container.xml has no rootfile")
+        opf_path = m.group(1)
+        opf = _read_member(z, opf_path)
+        opf_dir = posixpath.dirname(opf_path)
+        hrefs: dict[str, str] = {}
+        for item in _MANIFEST_ITEM.finditer(opf):
+            attrs = dict(_ATTR.findall(item.group(0)))
+            if "id" in attrs and "href" in attrs:
+                hrefs[attrs["id"]] = attrs["href"]
+        chapters = []
+        for ref in _SPINE_REF.finditer(opf):
+            href = hrefs.get(ref.group(1))
+            if href is None:
+                continue
+            path = posixpath.normpath(posixpath.join(opf_dir, href))
+            chapters.append(_xhtml_text(_read_member(z, path)))
+        if not chapters:
+            raise OfficeDocError("empty spine")
+    return "\n\n".join(chapters)
+
+
+def build_epub(chapters: list[str], title: str = "t") -> bytes:
+    """Minimal valid EPUB: mimetype (stored), container.xml, OPF with a
+    spine over one XHTML file per chapter (escaped ``<p>`` bodies).
+    Round-trips exactly through ``epub_to_text``."""
+    manifest = "".join(
+        f'<item id="c{i}" href="c{i}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters))
+    )
+    spine = "".join(
+        f'<itemref idref="c{i}"/>' for i in range(len(chapters))
+    )
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid"><metadata xmlns:dc="http://purl.org/dc/'
+        f'elements/1.1/"><dc:identifier id="uid">x</dc:identifier>'
+        f"<dc:title>{xml_escape(title)}</dc:title></metadata>"
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    )
+    container = (
+        '<?xml version="1.0"?>'
+        '<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:'
+        'xmlns:container"><rootfiles><rootfile full-path="OEBPS/content.opf"'
+        ' media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "mimetype", "application/epub+zip", zipfile.ZIP_STORED
+        )
+        z.writestr("META-INF/container.xml", container)
+        z.writestr("OEBPS/content.opf", opf)
+        for i, ch in enumerate(chapters):
+            z.writestr(
+                f"OEBPS/c{i}.xhtml",
+                '<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/'
+                f'xhtml"><head><title>c{i}</title></head><body>'
+                f"<p>{xml_escape(ch)}</p></body></html>",
+            )
+    return buf.getvalue()

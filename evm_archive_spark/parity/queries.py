@@ -8149,6 +8149,99 @@ _add(
 )
 
 
+# [pair] DOCX extraction (operators/officedoc.py, ISO/IEC 29500
+# WordprocessingML): REAL .docx containers are built per document from
+# its text (build_docx escapes into space-preserved <w:t> runs) and
+# extracted back through document_extract — sniff -> zip -> document.xml
+# run walk, no fake anywhere.  DOCX round-trips arbitrary text exactly
+# (tabs/newlines/XML specials), so the oracle emits the construction
+# verbatim (the q_pdf shape): one paragraph of the doc text plus one
+# arithmetic paragraph.
+
+def _q_docx(spark, sf_dir):
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_docx
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out["media_id"].append(int(did))
+                out["payload"].append(
+                    build_docx(
+                        [text or "", f"closing paragraph {int(did) % 7}"]
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_docx",
+    _q_docx,
+    "SELECT doc_id AS media_id, 'docx' AS format, "
+    "COALESCE(text, '') || chr(10) || 'closing paragraph ' || "
+    "CAST(doc_id % 7 AS VARCHAR) AS text "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL .docx containers built from document text round-trip the "
+    "WordprocessingML run walk exactly; oracle emits the construction",
+)
+
+
+# [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
+# REAL .epub containers (mimetype member, container.xml -> OPF ->
+# two-chapter spine) built from whitespace-normalized document text,
+# extracted back through document_extract's OCF walk + XHTML strip.
+# The normalization ('[ \t\r\n]+' -> ' ', trimmed) makes the XHTML
+# strip an exact identity on the chapter body, so the oracle derives
+# the expected text with the same regexp — never touching a ZIP.
+
+def _q_epub(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_epub
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = _re.sub(r"[ \t\r\n]+", " ", text or "").strip()
+                out["media_id"].append(int(did))
+                out["payload"].append(
+                    build_epub([norm, f"chapter {int(did) % 5}"])
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_epub",
+    _q_epub,
+    "SELECT doc_id AS media_id, 'epub' AS format, "
+    "trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n]+', ' ', 'g')) "
+    "|| chr(10) || chr(10) || 'chapter ' || CAST(doc_id % 5 AS VARCHAR) "
+    "AS text "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL .epub containers (OCF + OPF spine) built from normalized "
+    "document text round-trip the chapter walk; oracle is arithmetic",
+)
+
+
 # [pair] caption-speech alignment — the q_subtitles cue construction
 # joined against arithmetic speech segments through the keyed
 # interval-overlap join (bucketized, DISTINCT-free): per cue, exact
@@ -9931,7 +10024,7 @@ _ROUND7_OVERFLOW = [
 ]
 _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
-    "q_mkv_meta", "q_st_admission_replay",
+    "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

@@ -1,0 +1,202 @@
+"""DOCX / EPUB extraction: independent-writer fixtures, escaping and
+space preservation, OCF spine order, caps, corrupt contracts, and the
+document_extract routing."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from evm_archive_spark.operators.officedoc import (
+    OfficeDocError,
+    build_docx,
+    build_epub,
+    docx_to_text,
+    epub_to_text,
+    is_docx,
+    is_epub,
+)
+
+
+def _zip_bytes(members: list[tuple[str, str | bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, body in members:
+            z.writestr(name, body)
+    return buf.getvalue()
+
+
+def test_docx_independent_fixture_runs_tabs_breaks():
+    # hand-written WordprocessingML with split runs, a tab, a break,
+    # rsid noise attributes, and an entity — not built by build_docx
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://x"><w:body>'
+        '<w:p w:rsidR="00AB"><w:r><w:t>Hello, </w:t></w:r>'
+        "<w:r><w:t>world</w:t></w:r><w:r><w:tab/></w:r>"
+        '<w:r><w:t xml:space="preserve"> spaced &amp; kept </w:t></w:r>'
+        "</w:p><w:p><w:r><w:t>line one</w:t><w:br/>"
+        "<w:t>line two</w:t></w:r></w:p>"
+        "<w:p/></w:body></w:document>"
+    )
+    b = _zip_bytes([("word/document.xml", doc)])
+    assert is_docx(b) and not is_epub(b)
+    assert docx_to_text(b) == (
+        "Hello, world\t spaced & kept \nline one\nline two\n"
+    )
+
+
+def test_docx_build_roundtrip_preserves_everything():
+    paras = ["a < b & c > d", "  leading and trailing  ", "tab\there"]
+    assert docx_to_text(build_docx(paras)) == "\n".join(paras)
+
+
+def test_epub_spine_order_not_zip_order():
+    # chapters stored in reverse zip order; the OPF spine must win
+    opf = (
+        '<package><manifest>'
+        '<item id="b" href="b.xhtml" media-type="application/xhtml+xml"/>'
+        '<item id="a" href="a.xhtml" media-type="application/xhtml+xml"/>'
+        '</manifest><spine><itemref idref="a"/><itemref idref="b"/>'
+        "</spine></package>"
+    )
+    container = (
+        '<container><rootfiles><rootfile full-path="pkg/x.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    b = _zip_bytes(
+        [
+            ("META-INF/container.xml", container),
+            ("pkg/b.xhtml", "<html><body><p>SECOND</p></body></html>"),
+            ("pkg/a.xhtml", "<html><body><p>FIRST</p></body></html>"),
+            ("pkg/x.opf", opf),
+        ]
+    )
+    assert is_epub(b)
+    assert epub_to_text(b) == "FIRST\n\nSECOND"
+
+
+def test_epub_strips_head_script_entities():
+    chapter = (
+        "<html><head><title>drop me</title><style>p{}</style></head>"
+        "<body><script>var x=1;</script><h1>Title</h1>"
+        "<p>one &lt;two&gt; &#65;</p></body></html>"
+    )
+    container = (
+        '<container><rootfiles><rootfile full-path="c.opf"/></rootfiles>'
+        "</container>"
+    )
+    opf = (
+        '<package><manifest><item id="c" href="c.xhtml"/></manifest>'
+        '<spine><itemref idref="c"/></spine></package>'
+    )
+    b = _zip_bytes(
+        [
+            ("META-INF/container.xml", container),
+            ("c.opf", opf),
+            ("c.xhtml", chapter),
+        ]
+    )
+    assert epub_to_text(b) == "Title\none <two> A"
+
+
+def test_errors_and_corrupt_contracts():
+    with pytest.raises(OfficeDocError):
+        docx_to_text(b"not a zip")
+    with pytest.raises(OfficeDocError, match="missing zip member"):
+        docx_to_text(_zip_bytes([("other.xml", "<x/>")]))
+    with pytest.raises(OfficeDocError, match="no rootfile"):
+        epub_to_text(
+            _zip_bytes([("META-INF/container.xml", "<container/>")])
+        )
+    with pytest.raises(OfficeDocError, match="empty spine"):
+        epub_to_text(
+            _zip_bytes(
+                [
+                    (
+                        "META-INF/container.xml",
+                        '<container><rootfile full-path="c.opf"/>'
+                        "</container>",
+                    ),
+                    ("c.opf", "<package><spine/></package>"),
+                ]
+            )
+        )
+    # truncation fuzz: typed error or success, never a stray exception
+    good = build_epub(["alpha", "beta"])
+    for cut in range(0, len(good), 7):
+        try:
+            epub_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+    good = build_docx(["alpha"])
+    for cut in range(0, len(good), 7):
+        try:
+            docx_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+
+
+def test_mimetype_member_gates_epub_sniff():
+    # a zip with container.xml but a NON-epub mimetype member is not
+    # sniffed as epub (e.g. an ODT would carry its own mimetype)
+    b = _zip_bytes(
+        [
+            ("mimetype", "application/vnd.oasis.opendocument.text"),
+            ("META-INF/container.xml", "<container/>"),
+        ]
+    )
+    assert not is_epub(b)
+
+
+def _pooled_document_extract_routes_docx_epub(spark):
+    """document_extract routes real DOCX/EPUB payloads (sniffed and by
+    MIME) alongside the existing formats; corrupt zips fall through to
+    the plain-text contract."""
+    import pandas as pd
+
+    from evm_archive_spark.operators.extract import document_extract
+
+    docx = build_docx(["first paragraph", "second paragraph"])
+    epub = build_epub(["chapter text here"])
+    rows = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "payload": [
+                bytearray(docx),
+                bytearray(epub),
+                bytearray(b"plain old text"),
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r["media_id"]: r for r in document_extract(df).collect()
+    }
+    assert out[0]["format"] == "docx"
+    assert out[0]["text"] == "first paragraph\nsecond paragraph"
+    assert out[1]["format"] == "epub"
+    assert out[1]["text"] == "chapter text here"
+    assert out[2]["format"] == "text"
+
+    # MIME wins over sniffing
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0],
+                "payload": [bytearray(docx)],
+                "mime": [
+                    "application/vnd.openxmlformats-officedocument."
+                    "wordprocessingml.document"
+                ],
+            }
+        )
+    )
+    got = document_extract(df2, mime_col="mime").collect()[0]
+    assert got["format"] == "docx"
+
+
+def test_officedoc_pooled(spark):
+    _pooled_document_extract_routes_docx_epub(spark)

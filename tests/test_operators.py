@@ -3761,6 +3761,47 @@ def _pooled_stream_corpus_admission_equals_sequential_replay(spark, tmp_path):
     )
 
 
+def _pooled_prepare_audio_video_corpus_scan_counts(spark):
+    """The composed audio/video admission lanes read each payload the
+    minimum number of passes — audio: metadata + VAD + fingerprint
+    (3 scans), video: metadata + frame sampling (2 scans).  The floor
+    frames are localCheckpointed, so their second reference (the final
+    join-back) re-runs nothing; before r7 the vad_ok re-evaluation was
+    a full sample-decode VAD pass over the admitted corpus."""
+    from evm_archive_spark.operators.multimodal import (
+        prepare_audio_corpus,
+        prepare_video_corpus,
+    )
+
+    rows = [(i, bytearray(f"a{i // 2}".encode())) for i in range(8)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def wrap():
+        acc = spark.sparkContext.accumulator(0)
+
+        def counted(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return df.mapInPandas(counted, df.schema), acc
+
+    wrapped, acc = wrap()
+    out = prepare_audio_corpus(wrapped, strict=False).collect()
+    assert len(out) == 4  # one survivor per identical-payload pair
+    assert acc.value == 3 * 8, (
+        f"audio lane scanned {acc.value}, expected 24 (meta+VAD+fp)"
+    )
+    wrapped, acc = wrap()
+    out = prepare_video_corpus(
+        wrapped, every_n=1, min_shared=1, strict=False
+    ).collect()
+    assert len(out) == 4
+    assert acc.value == 2 * 8, (
+        f"video lane scanned {acc.value}, expected 16 (meta+frames)"
+    )
+
+
 def _pooled_stream_corpus_admission_replay_safe(spark, tmp_path):
     """ADVICE r6 high: a foreachBatch replay of a batch whose state
     delta is already on disk (crash between the state write and the
@@ -4068,6 +4109,7 @@ _POOLED_HEAVY = [
     _pooled_stream_url_admission_equals_sequential_replay,
     _pooled_streaming_incremental_minhash_equals_sequential_replay,
     _pooled_stream_corpus_admission_equals_sequential_replay,
+    _pooled_prepare_audio_video_corpus_scan_counts,
     _pooled_stream_corpus_admission_replay_safe,
     _pooled_stream_corpus_admission_bucketed_state_one_sided,
     _pooled_streaming_rollup_maintenance_equals_batch,
