@@ -9,6 +9,7 @@ fallback, then applies the markup strippers JVM-side:
     message/rfc822 / mbox      -> mail.parse_email body
     .docx (OOXML zip)          -> officedoc.docx_to_text (from scratch)
     .epub (OCF zip)            -> officedoc.epub_to_text (from scratch)
+    .odt (ODF zip)             -> officedoc.odt_to_text (from scratch)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -79,6 +80,8 @@ def document_extract(
         epub_to_text,
         is_docx,
         is_epub,
+        is_odt,
+        odt_to_text,
     )
     from .pdf import PdfError, extract_pdf_text, is_pdf
     from .tabular import csv_meta_and_text
@@ -130,6 +133,13 @@ def document_extract(
                 ):
                     try:
                         text, fmt = epub_to_text(b), "epub"
+                    except OfficeDocError:
+                        pass
+                if fmt is None and (
+                    "opendocument.text" in m or (not m and is_odt(b))
+                ):
+                    try:
+                        text, fmt = odt_to_text(b), "odt"
                     except OfficeDocError:
                         pass
                 if fmt is None and (

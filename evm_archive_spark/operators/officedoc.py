@@ -1,8 +1,9 @@
-"""DOCX and EPUB text extraction — from scratch, stdlib only.
+"""DOCX, ODT and EPUB text extraction — from scratch, stdlib only.
 
-Both formats are ZIP containers of XML (public specs: ISO/IEC 29500
-WordprocessingML for .docx; the IDPF/W3C EPUB OCF + OPF specs), so a
-training-data pipeline meets them constantly in books/report corpora.
+All three formats are ZIP containers of XML (public specs: ISO/IEC
+29500 WordprocessingML for .docx; OASIS ODF for .odt; the IDPF/W3C
+EPUB OCF + OPF specs), so a training-data pipeline meets them
+constantly in books/report corpora.
 Extraction is a per-payload parse inside Arrow batches (the pdf.py /
 mail.py placement) with the archive module's decompression caps — a
 crafted container cannot inflate unbounded.
@@ -11,6 +12,9 @@ crafted container cannot inflate unbounded.
   elements, visible text the concatenation of ``<w:t>`` runs
   (``xml:space='preserve'`` honoured by never trimming run bodies),
   ``<w:tab/>`` a tab, ``<w:br/>``/``<w:cr/>`` a newline.
+- **ODT**: read ``content.xml``; ``<text:p>``/``<text:h>`` paragraphs,
+  ``<text:tab/>``/``<text:line-break/>``/``<text:s text:c>`` whitespace
+  elements, character data possibly nested in spans.
 - **EPUB**: ``META-INF/container.xml`` names the OPF package; the OPF
   ``<spine>`` lists chapter idrefs in reading order into the
   ``<manifest>`` hrefs (resolved against the OPF directory); each
@@ -172,6 +176,108 @@ def build_docx(paragraphs: list[str]) -> bytes:
         z.writestr("[Content_Types].xml", ctypes)
         z.writestr("_rels/.rels", rels)
         z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+# -- ODT ----------------------------------------------------------------------
+
+_ODT_MIME = b"application/vnd.oasis.opendocument.text"
+_T_P = re.compile(
+    r"<text:(p|h)(?:\s[^>]*)?>(.*?)</text:\1>|<text:(?:p|h)(?:\s[^>]*)?/>",
+    re.S,
+)
+_T_SPECIAL = re.compile(
+    r'<text:tab\s*/>|<text:line-break\s*/>|<text:s(?:\s+text:c="(\d+)")?\s*/>',
+    re.S,
+)
+
+
+def is_odt(b: bytes) -> bool:
+    if b[:4] != _ZIP_MAGIC:
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            names = set(z.namelist())
+            if "content.xml" not in names:
+                return False
+            if "mimetype" in names:
+                return z.read("mimetype").strip() == _ODT_MIME
+            return True
+    except zipfile.BadZipFile:
+        return False
+
+
+@guard(OfficeDocError)
+def odt_to_text(b: bytes) -> str:
+    """OpenDocument text (OASIS ODF): one line per ``<text:p>`` /
+    ``<text:h>``; ``<text:tab/>`` a tab, ``<text:line-break/>`` a
+    newline, ``<text:s text:c='N'/>`` N spaces (ODF collapses literal
+    space runs, so writers encode them this way); character data may sit
+    inside nested spans — remaining tags vanish, entities decode."""
+    with _zip_of(b) as z:
+        xml = _read_member(z, "content.xml")
+    paras = []
+    for pm in _T_P.finditer(xml):
+        body = pm.group(2) or ""  # self-closing <text:p/> = empty line
+        body = _T_SPECIAL.sub(
+            lambda m: (
+                "\t"
+                if m.group(0).startswith("<text:tab")
+                else "\n"
+                if m.group(0).startswith("<text:line-break")
+                else " " * int(m.group(1) or 1)
+            ),
+            body,
+        )
+        body = _TAG.sub("", body)
+        paras.append(_unescape(body))
+    return "\n".join(paras)
+
+
+def build_odt(paragraphs: list[str]) -> bytes:
+    """Minimal valid ODT: mimetype (stored first, per ODF packaging) +
+    manifest + content.xml.  Literal space runs are encoded through
+    ``<text:s text:c>`` so the round trip through ``odt_to_text`` is
+    exact for arbitrary text (tabs/newlines/specials included)."""
+
+    def enc(p: str) -> str:
+        s = xml_escape(p)
+        s = s.replace("\t", "<text:tab/>").replace(
+            "\n", "<text:line-break/>"
+        )
+        # ODF space collapsing: runs of 2+ spaces (and any leading or
+        # trailing single space) must be element-encoded to survive
+        s = re.sub(
+            r"  +", lambda m: f' <text:s text:c="{len(m.group(0)) - 1}"/>',
+            s,
+        )
+        s = re.sub(r"^ ", '<text:s text:c="1"/>', s)
+        s = re.sub(r" $", '<text:s text:c="1"/>', s)
+        return s
+
+    body = "".join(f"<text:p>{enc(p)}</text:p>" for p in paragraphs)
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:'
+        'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:'
+        'opendocument:xmlns:text:1.0"><office:body><office:text>'
+        + body
+        + "</office:text></office:body></office:document-content>"
+    )
+    manifest = (
+        '<?xml version="1.0"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="/" manifest:media-type='
+        f'"{_ODT_MIME.decode()}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", _ODT_MIME, zipfile.ZIP_STORED)
+        z.writestr("META-INF/manifest.xml", manifest)
+        z.writestr("content.xml", content)
     return buf.getvalue()
 
 

@@ -8195,6 +8195,48 @@ _add(
 )
 
 
+# [pair] ODT extraction (operators/officedoc.py, OASIS ODF): REAL .odt
+# containers built per document (build_odt element-encodes whitespace
+# through <text:s>/<text:tab>/<text:line-break>, so the round trip is
+# exact for arbitrary text) and extracted back through
+# document_extract's content.xml paragraph walk.  Oracle emits the
+# construction verbatim (the q_docx shape).
+
+def _q_odt(spark, sf_dir):
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_odt
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out["media_id"].append(int(did))
+                out["payload"].append(
+                    build_odt([text or "", f"section {int(did) % 9}"])
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_odt",
+    _q_odt,
+    "SELECT doc_id AS media_id, 'odt' AS format, "
+    "COALESCE(text, '') || chr(10) || 'section ' || "
+    "CAST(doc_id % 9 AS VARCHAR) AS text "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL .odt containers built from document text round-trip the ODF "
+    "paragraph walk exactly; oracle emits the construction",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10024,7 +10066,7 @@ _ROUND7_OVERFLOW = [
 ]
 _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
-    "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub",
+    "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

@@ -13,10 +13,13 @@ from evm_archive_spark.operators.officedoc import (
     OfficeDocError,
     build_docx,
     build_epub,
+    build_odt,
     docx_to_text,
     epub_to_text,
     is_docx,
     is_epub,
+    is_odt,
+    odt_to_text,
 )
 
 
@@ -50,6 +53,39 @@ def test_docx_independent_fixture_runs_tabs_breaks():
 def test_docx_build_roundtrip_preserves_everything():
     paras = ["a < b & c > d", "  leading and trailing  ", "tab\there"]
     assert docx_to_text(build_docx(paras)) == "\n".join(paras)
+
+
+def test_odt_independent_fixture_spans_headings_spaces():
+    # hand-written ODF: heading with attributes, nested span, entity,
+    # tab, counted-space element, empty paragraph — not built by
+    # build_odt
+    xml = (
+        '<?xml version="1.0"?><office:document-content>'
+        "<office:body><office:text>"
+        '<text:h text:outline-level="1">Head</text:h>'
+        '<text:p>one <text:span text:style-name="T1">two</text:span>'
+        ' &amp; three<text:tab/>four<text:s text:c="3"/>five</text:p>'
+        "<text:p/>"
+        "</office:text></office:body></office:document-content>"
+    )
+    b = _zip_bytes(
+        [
+            ("mimetype", "application/vnd.oasis.opendocument.text"),
+            ("content.xml", xml),
+        ]
+    )
+    assert is_odt(b) and not is_docx(b) and not is_epub(b)
+    assert odt_to_text(b) == "Head\none two & three\tfour   five\n"
+
+
+def test_odt_build_roundtrip_preserves_everything():
+    paras = [
+        "spaced   out\ttab\nbreak & <x> end  ",
+        " leading space",
+        "",
+        "plain",
+    ]
+    assert odt_to_text(build_odt(paras)) == "\n".join(paras)
 
 
 def test_epub_spine_order_not_zip_order():
@@ -161,13 +197,15 @@ def _pooled_document_extract_routes_docx_epub(spark):
 
     docx = build_docx(["first paragraph", "second paragraph"])
     epub = build_epub(["chapter text here"])
+    odt = build_odt(["odt body text"])
     rows = pd.DataFrame(
         {
-            "media_id": [0, 1, 2],
+            "media_id": [0, 1, 2, 3],
             "payload": [
                 bytearray(docx),
                 bytearray(epub),
                 bytearray(b"plain old text"),
+                bytearray(odt),
             ],
         }
     )
@@ -180,6 +218,8 @@ def _pooled_document_extract_routes_docx_epub(spark):
     assert out[1]["format"] == "epub"
     assert out[1]["text"] == "chapter text here"
     assert out[2]["format"] == "text"
+    assert out[3]["format"] == "odt"
+    assert out[3]["text"] == "odt body text"
 
     # MIME wins over sniffing
     df2 = spark.createDataFrame(
