@@ -10,6 +10,7 @@ fallback, then applies the markup strippers JVM-side:
     .docx (OOXML zip)          -> officedoc.docx_to_text (from scratch)
     .epub (OCF zip)            -> officedoc.epub_to_text (from scratch)
     .odt (ODF zip)             -> officedoc.odt_to_text (from scratch)
+    .rtf                       -> officedoc.rtf_to_text (from scratch)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -81,7 +82,9 @@ def document_extract(
         is_docx,
         is_epub,
         is_odt,
+        is_rtf,
         odt_to_text,
+        rtf_to_text,
     )
     from .pdf import PdfError, extract_pdf_text, is_pdf
     from .tabular import csv_meta_and_text
@@ -140,6 +143,11 @@ def document_extract(
                 ):
                     try:
                         text, fmt = odt_to_text(b), "odt"
+                    except OfficeDocError:
+                        pass
+                if fmt is None and ("rtf" in m or is_rtf(b)):
+                    try:
+                        text, fmt = rtf_to_text(b), "rtf"
                     except OfficeDocError:
                         pass
                 if fmt is None and (

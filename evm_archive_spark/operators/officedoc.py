@@ -281,6 +281,138 @@ def build_odt(paragraphs: list[str]) -> bytes:
     return buf.getvalue()
 
 
+# -- RTF ----------------------------------------------------------------------
+# Rich Text Format (public Microsoft RTF 1.9.1 spec): a control-word
+# token stream over nested {} groups.  Text extraction walks the
+# tokens: \par/\line -> newline, \tab -> tab, \'hh -> cp1252 byte,
+# \uN -> unicode scalar (consuming the following fallback per \ucN),
+# destination groups (\fonttbl, \colortbl, \stylesheet, \info, \pict,
+# \*\...) are skipped whole.
+
+_RTF_DESTINATIONS = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+    "header", "footer", "footnote", "annotation", "field", "themedata",
+    "colorschememapping", "latentstyles", "datastore", "generator",
+    "xmlnstbl", "listtable", "listoverridetable", "rsidtbl",
+}
+_RTF_NEWLINES = {"par", "line", "row"}
+_RTF_TOKEN = re.compile(
+    rb"\\'([0-9a-fA-F]{2})|\\([a-zA-Z]+)(-?\d+)? ?|\\([^a-zA-Z])|([{}])",
+)
+
+
+def is_rtf(b: bytes) -> bool:
+    return b[:5] == b"{\\rtf"
+
+
+@guard(OfficeDocError)
+def rtf_to_text(b: bytes) -> str:
+    """RTF -> plain text (control-word walk, destination groups
+    skipped, \\uN unicode with \\ucN fallback skipping)."""
+    if not is_rtf(b):
+        raise OfficeDocError("not an RTF payload")
+    out: list[str] = []
+    pos = 0
+    depth = 0
+    skip_until_depth: int | None = None  # inside a destination group
+    uc_stack = [1]  # \ucN fallback-byte count per group depth
+    pending_uc_skip = 0
+    n = len(b)
+    while pos < n:
+        m = _RTF_TOKEN.match(b, pos)
+        if m is None:
+            ch = b[pos:pos + 1]
+            pos += 1
+            if ch in (b"\r", b"\n", b"\x00"):
+                continue
+            if pending_uc_skip > 0:
+                pending_uc_skip -= 1
+                continue
+            if skip_until_depth is None:
+                out.append(ch.decode("cp1252", "replace"))
+            continue
+        pos = m.end()
+        hexbyte, word, num, esc, brace = m.groups()
+        if brace == b"{":
+            depth += 1
+            uc_stack.append(uc_stack[-1])
+            continue
+        if brace == b"}":
+            depth -= 1
+            if len(uc_stack) > 1:
+                uc_stack.pop()
+            if skip_until_depth is not None and depth < skip_until_depth:
+                skip_until_depth = None
+            continue
+        if skip_until_depth is not None:
+            continue
+        if hexbyte is not None:
+            if pending_uc_skip > 0:
+                pending_uc_skip -= 1
+            else:
+                out.append(
+                    bytes([int(hexbyte, 16)]).decode("cp1252", "replace")
+                )
+            continue
+        if esc is not None:
+            if esc in (b"\\", b"{", b"}"):
+                out.append(esc.decode("ascii"))
+            elif esc == b"~":
+                out.append("\u00a0")  # non-breaking space
+            elif esc == b"*":
+                # \* marks an unknown destination: skip the group
+                skip_until_depth = depth
+            continue
+        w = word.decode("ascii")
+        if w in _RTF_DESTINATIONS:
+            skip_until_depth = depth
+        elif w in _RTF_NEWLINES:
+            out.append("\n")
+        elif w == "tab":
+            out.append("\t")
+        elif w == "uc" and num is not None:
+            uc_stack[-1] = int(num)
+        elif w == "u" and num is not None:
+            cp = int(num)
+            if cp < 0:
+                cp += 65536
+            out.append(chr(cp))
+            pending_uc_skip = uc_stack[-1]
+        # every other control word is formatting: ignored
+    return "".join(out)
+
+
+def build_rtf(paragraphs: list[str]) -> bytes:
+    """Minimal RTF writer: ASCII passes through (specials escaped),
+    non-ASCII as \\uN with a '?' fallback, tabs/newlines as control
+    words.  Round-trips exactly through ``rtf_to_text``."""
+    parts = ["{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times;}}\\uc1 "]
+    first = True
+    for p in paragraphs:
+        if not first:
+            parts.append("\\par ")
+        first = False
+        for ch in p:
+            if ch in "\\{}":
+                parts.append("\\" + ch)
+            elif ch == "\t":
+                parts.append("\\tab ")
+            elif ch == "\n":
+                parts.append("\\line ")
+            elif ord(ch) < 128:
+                parts.append(ch)
+            else:
+                cp = ord(ch)
+                if cp > 65535:
+                    parts.append("?")  # outside the \u range
+                else:
+                    if cp > 32767:
+                        cp -= 65536
+                    parts.append(f"\\u{cp}?")
+    parts.append("}")
+    return "".join(parts).encode("ascii")
+
+
 # -- EPUB ---------------------------------------------------------------------
 
 _ROOTFILE = re.compile(r'<rootfile[^>]*full-path="([^"]+)"', re.S)

@@ -8237,6 +8237,52 @@ _add(
 )
 
 
+# [pair] RTF extraction (operators/officedoc.py, Microsoft RTF 1.9.1
+# spec): REAL RTF token streams built per document (build_rtf escapes
+# specials, encodes non-ASCII as \\uN — so the construction maps text
+# to printable ASCII first, '[^ -~]' -> '?', the q_extract PDF-branch
+# precedent, making the round trip exact and the oracle a plain
+# regexp).  Extraction is the control-word walk: destinations skipped,
+# \\par/\\tab/\\'hh/\\uN handled.
+
+def _q_rtf(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_rtf
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ascii_text = _re.sub(r"[^ -~]", "?", text or "")
+                out["media_id"].append(int(did))
+                out["payload"].append(
+                    build_rtf([ascii_text, f"closing {int(did) % 11}"])
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_rtf",
+    _q_rtf,
+    "SELECT doc_id AS media_id, 'rtf' AS format, "
+    "regexp_replace(COALESCE(text, ''), '[^ -~]', '?', 'g') || chr(10) "
+    "|| 'closing ' || CAST(doc_id % 11 AS VARCHAR) AS text "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL RTF token streams built from document text round-trip the "
+    "control-word walk exactly; oracle is the same ASCII mapping",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10067,6 +10113,7 @@ _ROUND7_OVERFLOW = [
 _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
+    "q_rtf",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

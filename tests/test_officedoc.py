@@ -88,6 +88,43 @@ def test_odt_build_roundtrip_preserves_everything():
     assert odt_to_text(build_odt(paras)) == "\n".join(paras)
 
 
+def test_rtf_independent_fixture():
+    from evm_archive_spark.operators.officedoc import is_rtf, rtf_to_text
+
+    # hand-written RTF: font/color/generator destinations, cp1252 hex
+    # escape, \uN with \uc1 fallback, escaped braces, \~ nbsp, \tab
+    f = (
+        b"{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}{\\colortbl;\\red0;}"
+        b"{\\*\\generator Acme 1.0;}\\uc1 caf\\'e9 \\u8364? euro"
+        b"\\par \\{lit\\} a\\~b\\tab end}"
+    )
+    assert is_rtf(f)
+    assert rtf_to_text(f) == "caf\xe9 € euro\n{lit} a\xa0b\tend"
+
+
+def test_rtf_build_roundtrip_and_uc_skip():
+    from evm_archive_spark.operators.officedoc import build_rtf, rtf_to_text
+
+    paras = [
+        "Hello {world} \\ backslash",
+        "tab\there and\nnewline",
+        "unicode: \xe9 \xfc ☃ and ascii",
+    ]
+    assert rtf_to_text(build_rtf(paras)) == "\n".join(paras)
+    # \uc2 skips TWO fallback bytes after \uN
+    f = b"{\\rtf1\\ansi\\uc2 \\u8364ab after}"
+    assert rtf_to_text(f) == "€ after"
+    # truncation fuzz: typed error or success only
+    good = build_rtf(paras)
+    from evm_archive_spark.operators.officedoc import OfficeDocError
+
+    for cut in range(0, len(good), 5):
+        try:
+            rtf_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+
+
 def test_epub_spine_order_not_zip_order():
     # chapters stored in reverse zip order; the OPF spine must win
     opf = (
@@ -195,17 +232,21 @@ def _pooled_document_extract_routes_docx_epub(spark):
 
     from evm_archive_spark.operators.extract import document_extract
 
+    from evm_archive_spark.operators.officedoc import build_rtf
+
     docx = build_docx(["first paragraph", "second paragraph"])
     epub = build_epub(["chapter text here"])
     odt = build_odt(["odt body text"])
+    rtf = build_rtf(["rtf body text"])
     rows = pd.DataFrame(
         {
-            "media_id": [0, 1, 2, 3],
+            "media_id": [0, 1, 2, 3, 4],
             "payload": [
                 bytearray(docx),
                 bytearray(epub),
                 bytearray(b"plain old text"),
                 bytearray(odt),
+                bytearray(rtf),
             ],
         }
     )
@@ -220,6 +261,8 @@ def _pooled_document_extract_routes_docx_epub(spark):
     assert out[2]["format"] == "text"
     assert out[3]["format"] == "odt"
     assert out[3]["text"] == "odt body text"
+    assert out[4]["format"] == "rtf"
+    assert out[4]["text"] == "rtf body text"
 
     # MIME wins over sniffing
     df2 = spark.createDataFrame(
