@@ -11,6 +11,7 @@ fallback, then applies the markup strippers JVM-side:
     .epub (OCF zip)            -> officedoc.epub_to_text (from scratch)
     .odt (ODF zip)             -> officedoc.odt_to_text (from scratch)
     .rtf                       -> officedoc.rtf_to_text (from scratch)
+    .xlsx (OOXML zip)          -> officedoc.xlsx_to_text linearization
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -83,8 +84,10 @@ def document_extract(
         is_epub,
         is_odt,
         is_rtf,
+        is_xlsx,
         odt_to_text,
         rtf_to_text,
+        xlsx_to_text,
     )
     from .pdf import PdfError, extract_pdf_text, is_pdf
     from .tabular import csv_meta_and_text
@@ -148,6 +151,13 @@ def document_extract(
                 if fmt is None and ("rtf" in m or is_rtf(b)):
                     try:
                         text, fmt = rtf_to_text(b), "rtf"
+                    except OfficeDocError:
+                        pass
+                if fmt is None and (
+                    "spreadsheetml" in m or (not m and is_xlsx(b))
+                ):
+                    try:
+                        text, fmt = xlsx_to_text(b), "xlsx"
                     except OfficeDocError:
                         pass
                 if fmt is None and (

@@ -281,6 +281,133 @@ def build_odt(paragraphs: list[str]) -> bytes:
     return buf.getvalue()
 
 
+# -- XLSX ---------------------------------------------------------------------
+# SpreadsheetML (ISO/IEC 29500): worksheets are XML grids of <c> cells;
+# string cells point into xl/sharedStrings.xml <si> entries (possibly
+# split into <r> runs), inline strings carry <is><t>, other cells keep
+# their <v> lexical value.  Linearization is the tabular.py contract:
+# one line per row, cell values tab-joined — the text face a
+# training-data pipeline wants from a spreadsheet.
+
+_XLSX_SI = re.compile(r"<si>(.*?)</si>", re.S)
+_XLSX_T = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
+_XLSX_ROW = re.compile(r"<row(?:\s[^>]*)?>(.*?)</row>", re.S)
+_XLSX_CELL = re.compile(r"<c(\s[^>]*)?>(.*?)</c>|<c(?:\s[^>]*)?/>", re.S)
+_XLSX_V = re.compile(r"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
+
+
+def is_xlsx(b: bytes) -> bool:
+    if b[:4] != _ZIP_MAGIC:
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            return "xl/workbook.xml" in z.namelist()
+    except zipfile.BadZipFile:
+        return False
+
+
+@guard(OfficeDocError)
+def xlsx_to_text(b: bytes) -> str:
+    """SpreadsheetML -> text: rows newline-joined, cells tab-joined,
+    shared/inline strings resolved, numeric/other cells by their
+    lexical <v>.  Sheets concatenate in member order with a blank line
+    between."""
+    with _zip_of(b) as z:
+        names = z.namelist()
+        if "xl/workbook.xml" not in names:
+            raise OfficeDocError("missing xl/workbook.xml")
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            sst = _read_member(z, "xl/sharedStrings.xml")
+            for si in _XLSX_SI.finditer(sst):
+                shared.append(
+                    _unescape(
+                        "".join(t.group(1) for t in _XLSX_T.finditer(si.group(1)))
+                    )
+                )
+        sheets = sorted(
+            n for n in names
+            if n.startswith("xl/worksheets/") and n.endswith(".xml")
+        )
+        out_sheets = []
+        for name in sheets:
+            xml = _read_member(z, name)
+            lines = []
+            for row in _XLSX_ROW.finditer(xml):
+                cells = []
+                for c in _XLSX_CELL.finditer(row.group(1)):
+                    attrs = dict(_ATTR.findall(c.group(1) or ""))
+                    body = c.group(2) or ""
+                    ctype = attrs.get("t", "n")
+                    if ctype == "s":
+                        v = _XLSX_V.search(body)
+                        idx = int(v.group(1)) if v else -1
+                        cells.append(
+                            shared[idx] if 0 <= idx < len(shared) else ""
+                        )
+                    elif ctype == "inlineStr":
+                        cells.append(
+                            _unescape(
+                                "".join(
+                                    t.group(1)
+                                    for t in _XLSX_T.finditer(body)
+                                )
+                            )
+                        )
+                    else:  # n / str / b / e: lexical value
+                        v = _XLSX_V.search(body)
+                        cells.append(_unescape(v.group(1)) if v else "")
+                lines.append("\t".join(cells))
+            out_sheets.append("\n".join(lines))
+    return "\n\n".join(out_sheets)
+
+
+def build_xlsx(rows: list[list[str]]) -> bytes:
+    """Minimal valid XLSX: workbook + one sheet; every cell written as
+    a shared string (deduplicated), so arbitrary cell text (minus
+    tab/newline, the linearization separators) round-trips exactly."""
+    strings: list[str] = []
+    index: dict[str, int] = {}
+
+    def sref(s: str) -> int:
+        if s not in index:
+            index[s] = len(strings)
+            strings.append(s)
+        return index[s]
+
+    rows_xml = []
+    for ri, row in enumerate(rows, start=1):
+        cells = "".join(
+            f'<c r="{chr(65 + ci)}{ri}" t="s"><v>{sref(cell)}</v></c>'
+            for ci, cell in enumerate(row)
+        )
+        rows_xml.append(f'<row r="{ri}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(rows_xml)
+        + "</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0"?>'
+        f'<sst count="{len(strings)}" uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{xml_escape(s)}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    workbook = (
+        '<?xml version="1.0"?>'
+        '<workbook><sheets><sheet name="s1" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
 # -- RTF ----------------------------------------------------------------------
 # Rich Text Format (public Microsoft RTF 1.9.1 spec): a control-word
 # token stream over nested {} groups.  Text extraction walks the

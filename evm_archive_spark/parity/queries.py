@@ -8283,6 +8283,62 @@ _add(
 )
 
 
+# [pair] XLSX linearization (operators/officedoc.py, ISO 29500
+# SpreadsheetML): REAL .xlsx workbooks built per document — a 2x2 grid
+# whose string cells come from tab/newline-normalized document text
+# slices plus arithmetic cells — extracted back through
+# document_extract (workbook sniff -> shared-string resolution -> rows
+# newline-joined, cells tab-joined).  The oracle rebuilds the
+# linearization from the same slices; it never opens a ZIP.
+
+def _q_xlsx(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_xlsx
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                c1 = _re.sub(r"[\t\r\n]", " ", t[:80])
+                c2 = _re.sub(r"[\t\r\n]", " ", t[80:160])
+                m = int(did)
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_xlsx(
+                        [[c1, f"qty {m % 5}"], [f"row2 {m % 3}", c2]]
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_xlsx",
+    _q_xlsx,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(substring(COALESCE(text, ''), 1, 80), "
+    "'[\t\r\n]', ' ', 'g') AS c1, "
+    "regexp_replace(substring(COALESCE(text, ''), 81, 80), "
+    "'[\t\r\n]', ' ', 'g') AS c2 FROM documents) "
+    "SELECT doc_id AS media_id, 'xlsx' AS format, "
+    "c1 || chr(9) || 'qty ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) "
+    "|| 'row2 ' || CAST(doc_id % 3 AS VARCHAR) || chr(9) || c2 AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL .xlsx workbooks built from document-text cells round-trip "
+    "the SpreadsheetML linearization; oracle rebuilds it from slices",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10113,7 +10169,7 @@ _ROUND7_OVERFLOW = [
 _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
-    "q_rtf",
+    "q_rtf", "q_xlsx",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

@@ -125,6 +125,49 @@ def test_rtf_build_roundtrip_and_uc_skip():
             pass
 
 
+def test_xlsx_roundtrip_and_foreign_fixture():
+    from evm_archive_spark.operators.officedoc import (
+        build_xlsx,
+        is_xlsx,
+        xlsx_to_text,
+    )
+
+    rows = [
+        ["name", "qty & more", "<note>"],
+        ["alpha", "42", "x y  z"],
+        ["", "last", ""],
+    ]
+    b = build_xlsx(rows)
+    assert is_xlsx(b) and not is_docx(b) and not is_epub(b)
+    assert xlsx_to_text(b) == "\n".join("\t".join(r) for r in rows)
+
+    # foreign fixture: shared string in <r> runs, numeric lexical
+    # value, inline string, self-closing empty cell
+    sst = "<sst><si><r><t>par</t></r><r><t>tial</t></r></si></sst>"
+    sheet = (
+        "<worksheet><sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1"><v>3.5</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>in line</t></is></c>'
+        '<c r="D1"/></row>'
+        "</sheetData></worksheet>"
+    )
+    f = _zip_bytes(
+        [
+            ("xl/workbook.xml", "<workbook/>"),
+            ("xl/sharedStrings.xml", sst),
+            ("xl/worksheets/sheet1.xml", sheet),
+        ]
+    )
+    assert xlsx_to_text(f) == "par" + "tial\t3.5\tin line\t"
+    # truncation fuzz
+    for cut in range(0, len(b), 9):
+        try:
+            xlsx_to_text(b[:cut])
+        except OfficeDocError:
+            pass
+
+
 def test_epub_spine_order_not_zip_order():
     # chapters stored in reverse zip order; the OPF spine must win
     opf = (
