@@ -12,6 +12,7 @@ fallback, then applies the markup strippers JVM-side:
     .odt (ODF zip)             -> officedoc.odt_to_text (from scratch)
     .rtf                       -> officedoc.rtf_to_text (from scratch)
     .xlsx (OOXML zip)          -> officedoc.xlsx_to_text linearization
+    .doc (CFB/OLE2)            -> officedoc.doc_to_text (piece table)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -78,8 +79,10 @@ def document_extract(
     from .mail import MailError, parse_email
     from .officedoc import (
         OfficeDocError,
+        doc_to_text,
         docx_to_text,
         epub_to_text,
+        is_doc,
         is_docx,
         is_epub,
         is_odt,
@@ -127,11 +130,17 @@ def document_extract(
                         pass
                 if fmt is None and (
                     "wordprocessingml" in m
-                    or m.endswith("msword")
                     or (not m and is_docx(b))
                 ):
                     try:
                         text, fmt = docx_to_text(b), "docx"
+                    except OfficeDocError:
+                        pass
+                if fmt is None and (
+                    m.endswith("msword") or (not m and is_doc(b))
+                ):
+                    try:
+                        text, fmt = doc_to_text(b), "doc"
                     except OfficeDocError:
                         pass
                 if fmt is None and (

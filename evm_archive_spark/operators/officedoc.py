@@ -35,6 +35,7 @@ from __future__ import annotations
 import io
 import posixpath
 import re
+import struct
 import zipfile
 
 from .codecerrors import guard
@@ -279,6 +280,157 @@ def build_odt(paragraphs: list[str]) -> bytes:
         z.writestr("META-INF/manifest.xml", manifest)
         z.writestr("content.xml", content)
     return buf.getvalue()
+
+
+# -- legacy .doc ([MS-DOC] over CFB/OLE2) --------------------------------------
+# Word 97-2003 binary: the WordDocument stream holds the FIB; fcClx /
+# lcbClx (FibRgFcLcb97 pair 33) point into the 0Table/1Table stream
+# (FIB flag bit 0x0200 picks which) at the CLX, whose PlcPcd maps CP
+# ranges to text pieces — each piece either cp1252 ("fCompressed", fc/2
+# offset) or UTF-16LE.  Text extraction is exactly that walk; Word's
+# in-text control characters map to plain text (\r paragraph -> \n,
+# cell mark -> \t, field/object marks dropped).
+
+
+def is_doc(b: bytes) -> bool:
+    from .cfb import is_cfb
+
+    return is_cfb(b)
+
+
+def _doc_clean(s: str) -> str:
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if ch == "\r" or o in (0x0B, 0x0C):      # para / line / page
+            out.append("\n")
+        elif o == 0x07:                           # cell / row mark
+            out.append("\t")
+        elif o in (0x13, 0x14, 0x15, 0x01, 0x02, 0x05, 0x08):
+            continue                              # field/object marks
+        elif o == 0x1E:
+            out.append("-")                       # non-breaking hyphen
+        elif o == 0x1F:
+            continue                              # optional hyphen
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+@guard(OfficeDocError)
+def doc_to_text(b: bytes) -> str:
+    """Word 97-2003 binary -> plain text via the CLX/PlcPcd piece
+    table."""
+    from .cfb import CfbError, parse_cfb
+
+    try:
+        cf = parse_cfb(b)
+    except CfbError as e:
+        raise OfficeDocError(str(e)) from e
+    if "WordDocument" not in cf.streams:
+        raise OfficeDocError("no WordDocument stream (not a .doc)")
+    wd = cf.stream("WordDocument")
+    if len(wd) < 0x200:
+        raise OfficeDocError("truncated WordDocument stream")
+    (w_ident,) = struct.unpack_from("<H", wd, 0)
+    if w_ident != 0xA5EC:
+        raise OfficeDocError(f"bad FIB wIdent 0x{w_ident:04X}")
+    (flags,) = struct.unpack_from("<H", wd, 0x0A)
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    # FIB variable layout: base(32) csw rgW cslw rgLw cbRgFcLcb rgFcLcb
+    pos = 32
+    (csw,) = struct.unpack_from("<H", wd, pos)
+    pos += 2 + csw * 2
+    (cslw,) = struct.unpack_from("<H", wd, pos)
+    pos += 2 + cslw * 4
+    (cb_rgfclcb,) = struct.unpack_from("<H", wd, pos)
+    pos += 2
+    if cb_rgfclcb < 34:
+        raise OfficeDocError("FIB rgFcLcb too short for fcClx")
+    fc_clx, lcb_clx = struct.unpack_from("<II", wd, pos + 33 * 8)
+    table = cf.stream(table_name)
+    if fc_clx + lcb_clx > len(table):
+        raise OfficeDocError("CLX outside the table stream")
+    clx = table[fc_clx:fc_clx + lcb_clx]
+    # CLX = [Prc]* Pcdt; Prc starts 0x01 (skip), Pcdt starts 0x02
+    i = 0
+    while i < len(clx) and clx[i] == 0x01:
+        (cb,) = struct.unpack_from("<h", clx, i + 1)
+        i += 3 + cb
+    if i >= len(clx) or clx[i] != 0x02:
+        raise OfficeDocError("CLX has no Pcdt")
+    (lcb_plc,) = struct.unpack_from("<I", clx, i + 1)
+    plc = clx[i + 5:i + 5 + lcb_plc]
+    if len(plc) < lcb_plc or (lcb_plc - 4) % 12 != 0:
+        raise OfficeDocError("malformed PlcPcd")
+    n = (lcb_plc - 4) // 12
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    out = []
+    for k in range(n):
+        pcd = plc[(n + 1) * 4 + k * 8:(n + 1) * 4 + (k + 1) * 8]
+        (fc_raw,) = struct.unpack_from("<I", pcd, 2)
+        n_cp = cps[k + 1] - cps[k]
+        compressed = bool(fc_raw & 0x40000000)
+        fc = fc_raw & 0x3FFFFFFF
+        if compressed:
+            off = fc // 2
+            raw = wd[off:off + n_cp]
+            if len(raw) < n_cp:
+                raise OfficeDocError("piece outside WordDocument")
+            out.append(raw.decode("cp1252", "replace"))
+        else:
+            raw = wd[fc:fc + 2 * n_cp]
+            if len(raw) < 2 * n_cp:
+                raise OfficeDocError("piece outside WordDocument")
+            out.append(raw.decode("utf-16-le", "replace"))
+    return _doc_clean("".join(out))
+
+
+def build_doc(text: str) -> bytes:
+    """Minimal valid Word 97 binary: a FIB whose CLX maps two pieces —
+    the text as one UTF-16 piece, then an ASCII cp1252 marker piece —
+    exercising both piece encodings.  ``\\n`` is stored as Word's
+    ``\\r`` paragraph mark, so ``doc_to_text(build_doc(t))`` returns
+    ``t`` exactly (for text free of the control chars _doc_clean
+    folds)."""
+    from .cfb import CfbWriter
+
+    stored = text.replace("\n", "\r")
+    piece1 = stored.encode("utf-16-le")
+    marker = "\rEND."
+    piece2 = marker.encode("cp1252")
+    text_off = 0x600
+    wd = bytearray(text_off)
+    struct.pack_into("<H", wd, 0, 0xA5EC)
+    struct.pack_into("<H", wd, 2, 0x00C1)          # nFib (Word 97)
+    struct.pack_into("<H", wd, 0x0A, 0x0200)       # fWhichTblStm -> 1Table
+    csw, cslw, cbfclcb = 14, 22, 0x005D
+    pos = 32
+    struct.pack_into("<H", wd, pos, csw)
+    pos += 2 + csw * 2
+    struct.pack_into("<H", wd, pos, cslw)
+    pos += 2 + cslw * 4
+    struct.pack_into("<H", wd, pos, cbfclcb)
+    fclcb = pos + 2
+    wd = wd + piece1 + piece2
+    # CLX in the table stream
+    n_cp1 = len(stored)
+    n_cp2 = len(marker)
+    cps = struct.pack("<3I", 0, n_cp1, n_cp1 + n_cp2)
+    pcd1 = struct.pack("<HIH", 0, text_off, 0)               # utf-16
+    pcd2 = struct.pack(
+        "<HIH", 0, 0x40000000 | ((text_off + len(piece1)) * 2), 0
+    )                                                        # cp1252
+    plc = cps + pcd1 + pcd2
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    table = bytearray(0x20)  # small pad so fcClx != 0
+    fc_clx = len(table)
+    table += clx
+    struct.pack_into("<II", wd, fclcb + 33 * 8, fc_clx, len(clx))
+    w = CfbWriter()
+    w.add("WordDocument", bytes(wd))
+    w.add("1Table", bytes(table))
+    return w.tobytes()
 
 
 # -- XLSX ---------------------------------------------------------------------

@@ -8283,6 +8283,47 @@ _add(
 )
 
 
+# [pair] legacy .doc extraction (operators/officedoc.py doc_to_text
+# over operators/cfb.py, public specs [MS-CFB] + [MS-DOC]): REAL Word
+# 97 binaries built per document — a true CFB container (FAT,
+# directory, streams) whose FIB/CLX piece table maps the document text
+# as a UTF-16 piece plus a cp1252 marker piece — extracted back through
+# document_extract's CFB sniff -> FIB -> PlcPcd walk.  Word stores
+# paragraph marks as \r, so the oracle's only transform is
+# chr(13)->chr(10) on the input text.
+
+def _q_doc(spark, sf_dir):
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_doc
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out["media_id"].append(int(did))
+                out["payload"].append(build_doc(text or ""))
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_doc",
+    _q_doc,
+    "SELECT doc_id AS media_id, 'doc' AS format, "
+    "replace(COALESCE(text, ''), chr(13), chr(10)) || chr(10) || 'END.' "
+    "AS text FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL Word-97 binaries (CFB container + FIB/CLX piece table) built "
+    "from document text round-trip the piece walk; oracle is arithmetic",
+)
+
+
 # [pair] XLSX linearization (operators/officedoc.py, ISO 29500
 # SpreadsheetML): REAL .xlsx workbooks built per document — a 2x2 grid
 # whose string cells come from tab/newline-normalized document text
@@ -10169,7 +10210,7 @@ _ROUND7_OVERFLOW = [
 _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
-    "q_rtf", "q_xlsx",
+    "q_rtf", "q_xlsx", "q_doc",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

@@ -125,6 +125,101 @@ def test_rtf_build_roundtrip_and_uc_skip():
             pass
 
 
+def test_doc_roundtrip_both_piece_encodings():
+    from evm_archive_spark.operators.officedoc import (
+        build_doc,
+        doc_to_text,
+        is_doc,
+    )
+
+    t = "Hello legacy Word\nsecond para with unicode \xe9中 <>&\ttab"
+    b = build_doc(t)
+    assert is_doc(b) and not is_docx(b)
+    # the builder appends a cp1252 marker piece, so the round trip
+    # exercises BOTH piece encodings through one CLX
+    assert doc_to_text(b) == t + "\nEND."
+    # carriage returns in input normalize to newlines (Word stores \r)
+    assert doc_to_text(build_doc("a\rb")) == "a\nb\nEND."
+
+
+def test_doc_control_chars_and_errors():
+    from evm_archive_spark.operators.officedoc import (
+        _doc_clean,
+        build_doc,
+        doc_to_text,
+    )
+
+    assert _doc_clean("a\rb\x07c\x13f\x14g\x15d\x1ee\x1f") == (
+        "a\nb\tcfgd-e"
+    )
+    with pytest.raises(OfficeDocError):
+        doc_to_text(b"not a cfb at all")
+    # a CFB without a WordDocument stream is typed, not a crash
+    from evm_archive_spark.operators.cfb import CfbWriter
+
+    w = CfbWriter()
+    w.add("SomethingElse", b"x" * 10)
+    with pytest.raises(OfficeDocError, match="WordDocument"):
+        doc_to_text(w.tobytes())
+    # truncation fuzz
+    good = build_doc("alpha beta")
+    for cut in range(0, len(good), 97):
+        try:
+            doc_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+
+
+def test_cfb_reader_mini_stream_path():
+    """The mini-FAT indirection (streams < 4096 bytes live in the root
+    entry's mini stream in 64-byte sectors) — hand-built container,
+    since CfbWriter deliberately avoids the mini layout."""
+    import struct as st
+
+    from evm_archive_spark.operators.cfb import ENDOFCHAIN, parse_cfb
+
+    ssz = 512
+    payload = b"mini stream payload " * 7           # 140 bytes -> 3 mini sectors
+    # sector 0: directory; sector 1: miniFAT; sector 2: mini stream data
+    dirent = bytearray(128 * 2)
+
+    def put_entry(off, name, etype, start, size, child=0xFFFFFFFF):
+        nm = name.encode("utf-16-le")
+        dirent[off:off + len(nm)] = nm
+        st.pack_into("<H", dirent, off + 64, len(nm) + 2)
+        dirent[off + 66] = etype
+        st.pack_into("<III", dirent, off + 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+        st.pack_into("<I", dirent, off + 116, start)
+        st.pack_into("<Q", dirent, off + 120, size)
+
+    put_entry(0, "Root Entry", 5, 2, 192, child=1)  # mini stream @sec2
+    put_entry(128, "Tiny", 2, 0, len(payload))      # mini sector 0
+    dirblob = bytes(dirent) + b"\x00" * (ssz - len(dirent) % ssz)
+    minifat = st.pack("<3I", 1, 2, ENDOFCHAIN)
+    minifat += b"\xff" * (ssz - len(minifat))
+    ministream = payload + b"\x00" * (192 - len(payload))
+    ministream += b"\x00" * (ssz - len(ministream))
+    fat = st.pack("<4I", ENDOFCHAIN, ENDOFCHAIN, ENDOFCHAIN, 0xFFFFFFFD)
+    fat += b"\xff" * (ssz - len(fat))
+    header = bytearray(512)
+    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    st.pack_into("<H", header, 28, 0xFFFE)
+    st.pack_into("<H", header, 30, 9)
+    st.pack_into("<H", header, 32, 6)
+    st.pack_into("<I", header, 44, 1)               # one FAT sector
+    st.pack_into("<I", header, 48, 0)               # dir @sec0
+    st.pack_into("<I", header, 56, 4096)
+    st.pack_into("<I", header, 60, 1)               # miniFAT @sec1
+    st.pack_into("<I", header, 64, 1)
+    st.pack_into("<I", header, 68, ENDOFCHAIN)
+    difat = [0xFFFFFFFF] * 109
+    difat[0] = 3                                    # FAT @sec3
+    st.pack_into("<109I", header, 76, *difat)
+    blob = bytes(header) + dirblob + minifat + ministream + fat
+    cf = parse_cfb(blob)
+    assert cf.stream("Tiny") == payload
+
+
 def test_xlsx_roundtrip_and_foreign_fixture():
     from evm_archive_spark.operators.officedoc import (
         build_xlsx,
