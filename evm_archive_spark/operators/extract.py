@@ -12,7 +12,10 @@ fallback, then applies the markup strippers JVM-side:
     .odt (ODF zip)             -> officedoc.odt_to_text (from scratch)
     .rtf                       -> officedoc.rtf_to_text (from scratch)
     .xlsx (OOXML zip)          -> officedoc.xlsx_to_text linearization
-    .doc (CFB/OLE2)            -> officedoc.doc_to_text (piece table)
+    .pptx (OOXML zip)          -> officedoc.pptx_to_text slide walk
+    .ods (ODF zip)             -> officedoc.ods_to_text linearization
+    .doc/.xls (CFB/OLE2)       -> officedoc.cfb_to_text (one container
+                                  parse; piece table / BIFF8 walk)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -79,16 +82,20 @@ def document_extract(
     from .mail import MailError, parse_email
     from .officedoc import (
         OfficeDocError,
-        doc_to_text,
+        cfb_to_text,
         docx_to_text,
         epub_to_text,
         is_doc,
         is_docx,
         is_epub,
+        is_ods,
         is_odt,
+        is_pptx,
         is_rtf,
         is_xlsx,
+        ods_to_text,
         odt_to_text,
+        pptx_to_text,
         rtf_to_text,
         xlsx_to_text,
     )
@@ -137,10 +144,19 @@ def document_extract(
                     except OfficeDocError:
                         pass
                 if fmt is None and (
-                    m.endswith("msword") or (not m and is_doc(b))
+                    "presentationml" in m or (not m and is_pptx(b))
                 ):
                     try:
-                        text, fmt = doc_to_text(b), "doc"
+                        text, fmt = pptx_to_text(b), "pptx"
+                    except OfficeDocError:
+                        pass
+                if fmt is None and (
+                    m.endswith("msword")
+                    or m.endswith("ms-excel")
+                    or (not m and is_doc(b))
+                ):
+                    try:
+                        fmt, text = cfb_to_text(b)
                     except OfficeDocError:
                         pass
                 if fmt is None and (
@@ -148,6 +164,14 @@ def document_extract(
                 ):
                     try:
                         text, fmt = epub_to_text(b), "epub"
+                    except OfficeDocError:
+                        pass
+                if fmt is None and (
+                    "opendocument.spreadsheet" in m
+                    or (not m and is_ods(b))
+                ):
+                    try:
+                        text, fmt = ods_to_text(b), "ods"
                     except OfficeDocError:
                         pass
                 if fmt is None and (

@@ -321,12 +321,20 @@ def _doc_clean(s: str) -> str:
 def doc_to_text(b: bytes) -> str:
     """Word 97-2003 binary -> plain text via the CLX/PlcPcd piece
     table."""
+    return _doc_text_from_cfb(_parse_cfb_typed(b))
+
+
+def _parse_cfb_typed(b: bytes):
     from .cfb import CfbError, parse_cfb
 
     try:
-        cf = parse_cfb(b)
+        return parse_cfb(b)
     except CfbError as e:
         raise OfficeDocError(str(e)) from e
+
+
+@guard(OfficeDocError)
+def _doc_text_from_cfb(cf) -> str:
     if "WordDocument" not in cf.streams:
         raise OfficeDocError("no WordDocument stream (not a .doc)")
     wd = cf.stream("WordDocument")
@@ -807,3 +815,529 @@ def build_epub(chapters: list[str], title: str = "t") -> bytes:
                 f"<p>{xml_escape(ch)}</p></body></html>",
             )
     return buf.getvalue()
+
+
+# -- PPTX ---------------------------------------------------------------------
+# PresentationML (ISO/IEC 29500): slide text lives in DrawingML
+# ``<a:p>`` paragraphs of ``<a:t>`` runs inside shape text bodies; a
+# ``<a:br/>`` is an intra-paragraph line break.  Slides are members
+# ``ppt/slides/slideN.xml`` ordered by N (the presentation.xml sldIdLst
+# references them in that order for files PowerPoint writes).  The
+# reference (SummaryDev/evm-archive) has no document surface; this
+# extends the training-pipeline extraction lane alongside docx/odt.
+
+_PPTX_P = re.compile(
+    r"<a:p(?:\s[^>]*)?>(.*?)</a:p>|<a:p(?:\s[^>]*)?/>", re.S
+)
+_PPTX_RUN = re.compile(r"<a:t(?:\s[^>]*)?>(.*?)</a:t>|<a:br\s*/>", re.S)
+_SLIDE_NUM = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+
+
+def is_pptx(b: bytes) -> bool:
+    if b[:4] != _ZIP_MAGIC:
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            return "ppt/presentation.xml" in z.namelist()
+    except zipfile.BadZipFile:
+        return False
+
+
+@guard(OfficeDocError)
+def pptx_to_text(b: bytes) -> str:
+    """PresentationML -> plain text: per slide one line per ``<a:p>``
+    paragraph (run bodies concatenated, ``<a:br/>`` a newline); slides
+    in numeric member order, joined by a blank line."""
+    with _zip_of(b) as z:
+        names = z.namelist()
+        if "ppt/presentation.xml" not in names:
+            raise OfficeDocError("missing ppt/presentation.xml")
+        slides = sorted(
+            (int(m.group(1)), n)
+            for n in names
+            for m in (_SLIDE_NUM.match(n),)
+            if m
+        )
+        out_slides = []
+        for _num, name in slides:
+            xml = _read_member(z, name)
+            paras = []
+            for pm in _PPTX_P.finditer(xml):
+                body = pm.group(1) or ""
+                parts = []
+                for rm in _PPTX_RUN.finditer(body):
+                    if rm.group(1) is not None:
+                        parts.append(_unescape(rm.group(1)))
+                    else:                      # <a:br/>
+                        parts.append("\n")
+                paras.append("".join(parts))
+            out_slides.append("\n".join(paras))
+    return "\n\n".join(out_slides)
+
+
+def build_pptx(slides: list[list[str]]) -> bytes:
+    """Minimal valid PPTX: presentation.xml + one slideN.xml per slide,
+    each paragraph an escaped ``<a:t>`` run.  Round-trips exactly
+    through ``pptx_to_text`` for text free of the slide separator."""
+    buf = io.BytesIO()
+    pres = (
+        '<?xml version="1.0"?>'
+        '<p:presentation xmlns:p="http://schemas.openxmlformats.org/'
+        'presentationml/2006/main"><p:sldIdLst>'
+        + "".join(
+            f'<p:sldId id="{256 + i}" r:id="rId{i + 1}"/>'
+            for i in range(len(slides))
+        )
+        + "</p:sldIdLst></p:presentation>"
+    )
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("ppt/presentation.xml", pres)
+        for i, paras in enumerate(slides, start=1):
+            body = "".join(
+                f"<a:p><a:r><a:t>{xml_escape(p)}</a:t></a:r></a:p>"
+                for p in paras
+            )
+            z.writestr(
+                f"ppt/slides/slide{i}.xml",
+                '<?xml version="1.0"?>'
+                '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+                'presentationml/2006/main" xmlns:a="http://schemas.'
+                'openxmlformats.org/drawingml/2006/main">'
+                "<p:cSld><p:spTree><p:sp><p:txBody>"
+                + body
+                + "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>",
+            )
+    return buf.getvalue()
+
+
+# -- ODS ----------------------------------------------------------------------
+# OpenDocument spreadsheet (OASIS ODF): content.xml holds
+# ``<table:table-row>`` rows of ``<table:table-cell>`` cells whose text
+# is ``<text:p>`` paragraphs (same whitespace element encoding as ODT);
+# ``table:number-columns-repeated`` fans one cell element out to N
+# columns.  Linearization is the xlsx/tabular contract: cells
+# tab-joined, rows newline-joined, tables joined by a blank line.
+
+_ODS_MIME = b"application/vnd.oasis.opendocument.spreadsheet"
+_ODS_TABLE = re.compile(
+    r"<table:table(?:\s[^>]*)?>(.*?)</table:table>", re.S
+)
+_ODS_ROW = re.compile(
+    r"<table:table-row(?:\s[^>]*)?>(.*?)</table:table-row>", re.S
+)
+_ODS_CELL = re.compile(
+    r"<table:table-cell(\s[^>]*)?>(.*?)</table:table-cell>"
+    r"|<table:table-cell(\s[^>]*)?/>",
+    re.S,
+)
+_MAX_ODS_REPEAT = 4096  # column-repeat fan-out cap (sheet-filler bombs)
+
+
+def is_ods(b: bytes) -> bool:
+    if b[:4] != _ZIP_MAGIC:
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            names = set(z.namelist())
+            if "content.xml" not in names:
+                return False
+            if "mimetype" in names:
+                return z.read("mimetype").strip() == _ODS_MIME
+            return b"office:spreadsheet" in z.read("content.xml")
+    except zipfile.BadZipFile:
+        return False
+
+
+def _odf_para_text(body: str) -> str:
+    """Shared ODT/ODS paragraph-body decoding: whitespace elements,
+    nested-span tag removal, entity decode."""
+    body = _T_SPECIAL.sub(
+        lambda m: (
+            "\t"
+            if m.group(0).startswith("<text:tab")
+            else "\n"
+            if m.group(0).startswith("<text:line-break")
+            else " " * int(m.group(1) or 1)
+        ),
+        body,
+    )
+    return _unescape(_TAG.sub("", body))
+
+
+@guard(OfficeDocError)
+def ods_to_text(b: bytes) -> str:
+    """OpenDocument spreadsheet -> text: cell paragraphs newline-joined
+    within the cell, cells tab-joined, rows newline-joined, tables
+    joined by a blank line; column repeats expanded (capped)."""
+    with _zip_of(b) as z:
+        xml = _read_member(z, "content.xml")
+    tables = []
+    for tm in _ODS_TABLE.finditer(xml):
+        lines = []
+        for rm in _ODS_ROW.finditer(tm.group(1)):
+            cells: list[str] = []
+            for cm in _ODS_CELL.finditer(rm.group(1)):
+                attrs = dict(_ATTR.findall(cm.group(1) or cm.group(3) or ""))
+                body = cm.group(2) or ""
+                text = "\n".join(
+                    _odf_para_text(pm.group(2) or "")
+                    for pm in _T_P.finditer(body)
+                )
+                rep = int(attrs.get("table:number-columns-repeated", "1"))
+                if rep > _MAX_ODS_REPEAT:
+                    raise OfficeDocError(
+                        f"column repeat {rep} over cap {_MAX_ODS_REPEAT}"
+                    )
+                cells.extend([text] * max(rep, 1))
+            lines.append("\t".join(cells))
+        tables.append("\n".join(lines))
+    return "\n\n".join(tables)
+
+
+def build_ods(rows: list[list[str]]) -> bytes:
+    """Minimal valid ODS: mimetype + manifest + content.xml with one
+    table; cell text whitespace-element-encoded (the build_odt rule), so
+    arbitrary cell text minus the tab/newline separators round-trips
+    exactly."""
+
+    def enc(p: str) -> str:
+        s = xml_escape(p)
+        s = s.replace("\t", "<text:tab/>").replace(
+            "\n", "<text:line-break/>"
+        )
+        s = re.sub(
+            r"  +", lambda m: f' <text:s text:c="{len(m.group(0)) - 1}"/>',
+            s,
+        )
+        s = re.sub(r"^ ", '<text:s text:c="1"/>', s)
+        s = re.sub(r" $", '<text:s text:c="1"/>', s)
+        return s
+
+    body = "".join(
+        "<table:table-row>"
+        + "".join(
+            f"<table:table-cell><text:p>{enc(c)}</text:p></table:table-cell>"
+            for c in row
+        )
+        + "</table:table-row>"
+        for row in rows
+    )
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:'
+        'opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names:tc:'
+        'opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:names:tc:'
+        'opendocument:xmlns:text:1.0"><office:body><office:spreadsheet>'
+        '<table:table table:name="s1">'
+        + body
+        + "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    manifest = (
+        '<?xml version="1.0"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="/" manifest:media-type='
+        f'"{_ODS_MIME.decode()}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", _ODS_MIME, zipfile.ZIP_STORED)
+        z.writestr("META-INF/manifest.xml", manifest)
+        z.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+# -- legacy .xls ([MS-XLS] BIFF8 over CFB/OLE2) ---------------------------------
+# Excel 97-2003 binary: the Workbook stream is a sequence of BIFF
+# records (opcode u16, length u16, payload).  The globals substream
+# carries the SST shared-string table (XLUnicodeRichExtendedString
+# entries, possibly spanning Continue records with a fresh option byte
+# at each fragment boundary); each worksheet substream carries cell
+# records — LabelSst (SST index), Label (inline string), Number (IEEE
+# double), RK (packed 30-bit), MulRk (a run of RKs).  Linearization is
+# the xlsx contract: cells tab-joined in column order, rows
+# newline-joined, sheets joined by a blank line.
+
+_BIFF_BOF = 0x0809
+_BIFF_EOF = 0x000A
+_BIFF_SST = 0x00FC
+_BIFF_CONTINUE = 0x003C
+_BIFF_LABELSST = 0x00FD
+_BIFF_LABEL = 0x0204
+_BIFF_NUMBER = 0x0203
+_BIFF_RK = 0x027E
+_BIFF_MULRK = 0x00BD
+_BIFF_MAX_DATA = 8224  # max record payload ([MS-XLS] 2.1.4)
+
+
+def is_xls(b: bytes) -> bool:
+    from .cfb import is_cfb
+
+    return is_cfb(b)
+
+
+def _biff_records(data: bytes):
+    i = 0
+    while i + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, i)
+        if i + 4 + ln > len(data):
+            raise OfficeDocError("truncated BIFF record")
+        yield op, data[i + 4:i + 4 + ln]
+        i += 4 + ln
+
+
+def _rk_number(rk: int) -> float:
+    v = rk >> 2
+    if rk & 2:                                 # 30-bit signed integer
+        x = float(v - (1 << 30) if v & (1 << 29) else v)
+    else:                                      # high 30 bits of a double
+        x = struct.unpack("<d", struct.pack("<Q", (rk & ~0x3) << 32))[0]
+    return x / 100 if rk & 1 else x
+
+
+def _xls_num(x: float) -> str:
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return repr(x)
+
+
+def _sst_strings(frags: list[bytes], unique: int) -> list[str]:
+    """Decode ``unique`` XLUnicodeRichExtendedString entries from an SST
+    payload plus its Continue fragments.  A string whose character data
+    crosses a fragment boundary restarts with a fresh option byte
+    ([MS-XLS] 2.5.293)."""
+    fi, off = 0, 8                              # skip cstTotal/cstUnique
+    out: list[str] = []
+
+    def _avail() -> int:
+        return len(frags[fi]) - off
+
+    def _advance():
+        nonlocal fi, off
+        fi += 1
+        off = 0
+        if fi >= len(frags):
+            raise OfficeDocError("SST truncated (missing Continue)")
+
+    for _ in range(unique):
+        while _avail() == 0:
+            _advance()
+        if _avail() < 3:
+            raise OfficeDocError("SST string header split across records")
+        cch, flags = struct.unpack_from("<HB", frags[fi], off)
+        off += 3
+        high = flags & 0x01
+        crun = cbext = 0
+        if flags & 0x08:
+            (crun,) = struct.unpack_from("<H", frags[fi], off)
+            off += 2
+        if flags & 0x04:
+            (cbext,) = struct.unpack_from("<i", frags[fi], off)
+            off += 4
+        chars: list[str] = []
+        remaining = cch
+        while remaining:
+            if _avail() == 0:
+                _advance()
+                high = frags[fi][off] & 0x01    # fresh option byte
+                off += 1
+            width = 2 if high else 1
+            n = min(remaining, _avail() // width)
+            if n == 0:
+                raise OfficeDocError("SST char split mid-code-unit")
+            raw = frags[fi][off:off + n * width]
+            off += n * width
+            chars.append(
+                raw.decode("utf-16-le" if high else "latin-1", "replace")
+            )
+            remaining -= n
+        skip = crun * 4 + max(cbext, 0)
+        while skip:
+            if _avail() == 0:
+                _advance()
+            k = min(skip, _avail())
+            off += k
+            skip -= k
+        out.append("".join(chars))
+    return out
+
+
+@guard(OfficeDocError)
+def xls_to_text(b: bytes) -> str:
+    """Excel 97-2003 binary -> linearized text via the BIFF8 record
+    walk."""
+    return _xls_text_from_cfb(_parse_cfb_typed(b))
+
+
+@guard(OfficeDocError)
+def _xls_text_from_cfb(cf) -> str:
+    name = next(
+        (n for n in ("Workbook", "Book") if n in cf.streams), None
+    )
+    if name is None:
+        raise OfficeDocError("no Workbook stream (not a .xls)")
+    data = cf.stream(name)
+    recs = list(_biff_records(data))
+    if not recs or recs[0][0] != _BIFF_BOF:
+        raise OfficeDocError("Workbook stream does not start with BOF")
+    (vers,) = struct.unpack_from("<H", recs[0][1], 0)
+    if vers != 0x0600:
+        raise OfficeDocError(f"unsupported BIFF version 0x{vers:04X}")
+
+    # SST from the globals substream (with its Continue fragments)
+    shared: list[str] = []
+    i = 0
+    while i < len(recs) and not (
+        recs[i][0] == _BIFF_BOF and i > 0
+    ):
+        op, payload = recs[i]
+        if op == _BIFF_SST:
+            frags = [payload]
+            j = i + 1
+            while j < len(recs) and recs[j][0] == _BIFF_CONTINUE:
+                frags.append(recs[j][1])
+                j += 1
+            (_total, unique) = struct.unpack_from("<II", payload, 0)
+            shared = _sst_strings(frags, unique)
+            i = j
+            continue
+        i += 1
+
+    # worksheet substreams: collect (row, col) -> text per sheet
+    sheets: list[dict[tuple[int, int], str]] = []
+    cells: dict[tuple[int, int], str] | None = None
+    for k in range(i, len(recs)):
+        op, p = recs[k]
+        if op == _BIFF_BOF:
+            (dt,) = struct.unpack_from("<H", p, 2)
+            cells = {} if dt == 0x0010 else None
+            if cells is not None:
+                sheets.append(cells)
+            continue
+        if cells is None:
+            continue
+        if op == _BIFF_LABELSST:
+            row, col, _ixfe, isst = struct.unpack_from("<HHHI", p, 0)
+            cells[(row, col)] = (
+                shared[isst] if 0 <= isst < len(shared) else ""
+            )
+        elif op == _BIFF_LABEL:
+            row, col, _ixfe = struct.unpack_from("<HHH", p, 0)
+            cells[(row, col)] = _sst_strings(
+                [b"\x00" * 8 + p[6:]], 1
+            )[0]
+        elif op == _BIFF_NUMBER:
+            row, col, _ixfe = struct.unpack_from("<HHH", p, 0)
+            (x,) = struct.unpack_from("<d", p, 6)
+            cells[(row, col)] = _xls_num(x)
+        elif op == _BIFF_RK:
+            row, col, _ixfe, rk = struct.unpack_from("<HHHI", p, 0)
+            cells[(row, col)] = _xls_num(_rk_number(rk))
+        elif op == _BIFF_MULRK:
+            row, col0 = struct.unpack_from("<HH", p, 0)
+            (col_last,) = struct.unpack_from("<H", p, len(p) - 2)
+            for ci in range(col_last - col0 + 1):
+                (rk,) = struct.unpack_from("<I", p, 4 + ci * 6 + 2)
+                cells[(row, col0 + ci)] = _xls_num(_rk_number(rk))
+
+    out_sheets = []
+    for cells in sheets:
+        rows = sorted({r for r, _c in cells})
+        lines = []
+        for r in rows:
+            cols = sorted(c for rr, c in cells if rr == r)
+            lines.append("\t".join(cells[(r, c)] for c in cols))
+        out_sheets.append("\n".join(lines))
+    return "\n\n".join(out_sheets)
+
+
+def _rec(op: int, payload: bytes) -> bytes:
+    return struct.pack("<HH", op, len(payload)) + payload
+
+
+def build_xls(rows: list[list[str]], sheet: str = "Sheet1") -> bytes:
+    """Minimal valid Excel 97 binary: a CFB container whose Workbook
+    stream holds a globals substream (BOF, BoundSheet8, SST) and one
+    worksheet substream of LabelSst cells.  Every cell is a deduplicated
+    UTF-16 shared string, split across Continue records at string
+    boundaries when the SST overflows one record — so arbitrary cell
+    text (minus the tab/newline separators) round-trips exactly."""
+    from .cfb import CfbWriter
+
+    strings: list[str] = []
+    index: dict[str, int] = {}
+
+    def sref(s: str) -> int:
+        if s not in index:
+            index[s] = len(strings)
+            strings.append(s)
+        return index[s]
+
+    cell_recs = b"".join(
+        _rec(
+            _BIFF_LABELSST,
+            struct.pack("<HHHI", ri, ci, 0, sref(cell)),
+        )
+        for ri, row in enumerate(rows)
+        for ci, cell in enumerate(row)
+    )
+    total = sum(len(r) for r in rows)
+
+    # SST payload: greedy packing, Continue split at string boundaries
+    encoded = []
+    for s in strings:
+        raw = s.encode("utf-16-le")
+        enc = struct.pack("<HB", len(s), 0x01) + raw
+        if len(enc) > _BIFF_MAX_DATA - 8:
+            raise OfficeDocError("cell string too long for one SST record")
+        encoded.append(enc)
+    first = struct.pack("<II", total, len(strings))
+    conts: list[bytes] = []
+    cur = bytearray(first)
+    for enc in encoded:
+        limit = _BIFF_MAX_DATA
+        if len(cur) + len(enc) > limit:
+            conts.append(bytes(cur))
+            cur = bytearray()
+        cur += enc
+    conts.append(bytes(cur))
+    sst = _rec(_BIFF_SST, conts[0]) + b"".join(
+        _rec(_BIFF_CONTINUE, c) for c in conts[1:]
+    )
+
+    bof_globals = _rec(
+        _BIFF_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0)
+    )
+    bof_sheet = _rec(
+        _BIFF_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0)
+    )
+    eof = _rec(_BIFF_EOF, b"")
+    nm = sheet.encode("latin-1")
+    bsheet = _rec(
+        0x0085,
+        struct.pack("<IHBB", 0, 0, len(nm), 0) + nm,
+    )
+    globals_sub = bof_globals + bsheet + sst + eof
+    # patch BoundSheet8.lbPlyPos = offset of the sheet BOF
+    off = len(globals_sub)
+    globals_sub = bytearray(globals_sub)
+    struct.pack_into("<I", globals_sub, len(bof_globals) + 4, off)
+    stream = bytes(globals_sub) + bof_sheet + cell_recs + eof
+    w = CfbWriter()
+    w.add("Workbook", stream)
+    return w.tobytes()
+
+
+def cfb_to_text(b: bytes) -> tuple[str, str]:
+    """Dispatch a CFB/OLE2 payload on its streams with ONE container
+    parse: ``WordDocument`` -> .doc piece walk, ``Workbook``/``Book`` ->
+    .xls BIFF walk.  Returns ``(format, text)``."""
+    cf = _parse_cfb_typed(b)
+    if "WordDocument" in cf.streams:
+        return "doc", _doc_text_from_cfb(cf)
+    if "Workbook" in cf.streams or "Book" in cf.streams:
+        return "xls", _xls_text_from_cfb(cf)
+    raise OfficeDocError("CFB container with no Word/Excel stream")

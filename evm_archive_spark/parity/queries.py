@@ -8380,6 +8380,164 @@ _add(
 )
 
 
+# [pair] PPTX extraction (operators/officedoc.py, ISO 29500
+# PresentationML): REAL two-slide .pptx decks built per document —
+# slide 1 carries the document text as one DrawingML paragraph, slide 2
+# an arithmetic paragraph — extracted back through document_extract's
+# slide walk (numeric member order, <a:t> runs, <a:br/> breaks).
+# Slides join with a blank line, so the oracle emits the construction
+# verbatim (the q_docx shape).
+
+def _q_pptx(spark, sf_dir):
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_pptx
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out["media_id"].append(int(did))
+                out["payload"].append(
+                    build_pptx(
+                        [[text or ""], [f"slide 2 note {int(did) % 13}"]]
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_pptx",
+    _q_pptx,
+    "SELECT doc_id AS media_id, 'pptx' AS format, "
+    "COALESCE(text, '') || chr(10) || chr(10) || 'slide 2 note ' || "
+    "CAST(doc_id % 13 AS VARCHAR) AS text "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL two-slide .pptx decks built from document text round-trip "
+    "the PresentationML slide walk exactly; oracle emits the construction",
+)
+
+
+# [pair] ODS linearization (operators/officedoc.py, OASIS ODF
+# spreadsheet): REAL .ods workbooks built per document — a 2x2 grid of
+# tab/newline-normalized text slices plus arithmetic cells, whitespace
+# element-encoded per the ODF collapsing rules — extracted back through
+# document_extract (mimetype sniff -> content.xml table walk -> cells
+# tab-joined, rows newline-joined).  The oracle rebuilds the
+# linearization from the same slices (the q_xlsx shape).
+
+def _q_ods(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_ods
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                c1 = _re.sub(r"[\t\r\n]", " ", t[:80])
+                c2 = _re.sub(r"[\t\r\n]", " ", t[80:160])
+                m = int(did)
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_ods(
+                        [[c1, f"sum {m % 6}"], [f"r2 {m % 4}", c2]]
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_ods",
+    _q_ods,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(substring(COALESCE(text, ''), 1, 80), "
+    "'[\t\r\n]', ' ', 'g') AS c1, "
+    "regexp_replace(substring(COALESCE(text, ''), 81, 80), "
+    "'[\t\r\n]', ' ', 'g') AS c2 FROM documents) "
+    "SELECT doc_id AS media_id, 'ods' AS format, "
+    "c1 || chr(9) || 'sum ' || CAST(doc_id % 6 AS VARCHAR) || chr(10) "
+    "|| 'r2 ' || CAST(doc_id % 4 AS VARCHAR) || chr(9) || c2 AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL .ods workbooks built from document-text cells round-trip the "
+    "ODF table walk; oracle rebuilds the linearization from slices",
+)
+
+
+# [pair] legacy .xls extraction (operators/officedoc.py xls_to_text
+# over operators/cfb.py, public specs [MS-CFB] + [MS-XLS] BIFF8): REAL
+# Excel 97 binaries built per document — a true CFB container whose
+# Workbook stream holds a globals substream (BOF, BoundSheet8, SST of
+# deduplicated UTF-16 shared strings with Continue splitting) and a
+# worksheet substream of LabelSst cells — extracted back through
+# document_extract's CFB dispatch (cfb_to_text: Workbook -> BIFF walk).
+# The oracle rebuilds the linearization from the same slices.
+
+def _q_xls(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_xls
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                c1 = _re.sub(r"[\t\r\n]", " ", t[:80])
+                c2 = _re.sub(r"[\t\r\n]", " ", t[80:160])
+                m = int(did)
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_xls(
+                        [[c1, f"amt {m % 8}"], [f"row {m % 5}", c2]]
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_xls",
+    _q_xls,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(substring(COALESCE(text, ''), 1, 80), "
+    "'[\t\r\n]', ' ', 'g') AS c1, "
+    "regexp_replace(substring(COALESCE(text, ''), 81, 80), "
+    "'[\t\r\n]', ' ', 'g') AS c2 FROM documents) "
+    "SELECT doc_id AS media_id, 'xls' AS format, "
+    "c1 || chr(9) || 'amt ' || CAST(doc_id % 8 AS VARCHAR) || chr(10) "
+    "|| 'row ' || CAST(doc_id % 5 AS VARCHAR) || chr(9) || c2 AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL Excel-97 binaries (CFB + BIFF8 SST/LabelSst) built from "
+    "document-text cells round-trip the record walk; oracle is arithmetic",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10210,7 +10368,7 @@ _ROUND7_OVERFLOW = [
 _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
-    "q_rtf", "q_xlsx", "q_doc",
+    "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

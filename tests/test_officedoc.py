@@ -421,3 +421,300 @@ def _pooled_document_extract_routes_docx_epub(spark):
 
 def test_officedoc_pooled(spark):
     _pooled_document_extract_routes_docx_epub(spark)
+
+
+def test_pptx_roundtrip_and_slide_order():
+    from evm_archive_spark.operators.officedoc import (
+        build_pptx,
+        is_pptx,
+        pptx_to_text,
+    )
+
+    slides = [
+        ["title & <sub>", "body  spaced\ttab"],
+        ["slide two only"],
+    ]
+    b = build_pptx(slides)
+    assert is_pptx(b) and not is_docx(b) and not is_epub(b)
+    assert pptx_to_text(b) == (
+        "title & <sub>\nbody  spaced\ttab\n\nslide two only"
+    )
+    # numeric member order: slide10 sorts AFTER slide2, not before
+    b = build_pptx([[f"s{i}"] for i in range(1, 12)])
+    assert pptx_to_text(b) == "\n\n".join(f"s{i}" for i in range(1, 12))
+    # truncation fuzz
+    good = build_pptx([["alpha", "beta"]])
+    for cut in range(0, len(good), 9):
+        try:
+            pptx_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+
+
+def test_pptx_independent_fixture_breaks_split_runs():
+    from evm_archive_spark.operators.officedoc import pptx_to_text
+
+    # hand-written DrawingML: split runs, a:br, attribute-bearing a:p/a:t,
+    # entity, empty paragraph — not built by build_pptx
+    slide = (
+        '<?xml version="1.0"?><p:sld xmlns:p="http://x" xmlns:a="http://y">'
+        "<p:cSld><p:spTree><p:sp><p:txBody>"
+        '<a:p><a:pPr lvl="1"/><a:r><a:t>Hel</a:t></a:r>'
+        "<a:r><a:t>lo</a:t></a:r><a:br/>"
+        '<a:r><a:t> &amp; more</a:t></a:r></a:p>'
+        "<a:p/>"
+        "<a:p><a:r><a:t>last</a:t></a:r></a:p>"
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    )
+    b = _zip_bytes(
+        [
+            ("ppt/presentation.xml", "<p:presentation/>"),
+            ("ppt/slides/slide1.xml", slide),
+        ]
+    )
+    assert pptx_to_text(b) == "Hello\n & more\n\nlast"
+
+
+def test_ods_roundtrip_and_foreign_fixture():
+    import pytest as _pytest
+
+    from evm_archive_spark.operators.officedoc import (
+        build_ods,
+        is_ods,
+        ods_to_text,
+    )
+
+    rows = [
+        ["name", "qty & more", "<note>"],
+        ["a  spaced  cell", "42", " lead/trail "],
+        ["", "last", ""],
+    ]
+    b = build_ods(rows)
+    assert is_ods(b) and not is_odt(b) and not is_docx(b)
+    assert ods_to_text(b) == "\n".join("\t".join(r) for r in rows)
+
+    # foreign fixture: column repeat, covered cell, two paragraphs in
+    # one cell, entity + counted space — not built by build_ods
+    xml = (
+        '<?xml version="1.0"?><office:document-content><office:body>'
+        "<office:spreadsheet><table:table>"
+        "<table:table-row>"
+        '<table:table-cell table:number-columns-repeated="3">'
+        "<text:p>thrice</text:p></table:table-cell>"
+        "<table:table-cell><text:p>p1 &amp; x<text:s text:c=\"2\"/>y"
+        "</text:p><text:p>p2</text:p></table:table-cell>"
+        "</table:table-row>"
+        "<table:table-row><table:table-cell/></table:table-row>"
+        "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    b = _zip_bytes(
+        [
+            (
+                "mimetype",
+                "application/vnd.oasis.opendocument.spreadsheet",
+            ),
+            ("content.xml", xml),
+        ]
+    )
+    assert ods_to_text(b) == "thrice\tthrice\tthrice\tp1 & x  y\np2\n"
+
+    # a sheet-filler repeat bomb is a typed error, not an OOM
+    bomb = xml.replace('table:number-columns-repeated="3"',
+                       'table:number-columns-repeated="100000"')
+    b = _zip_bytes(
+        [
+            (
+                "mimetype",
+                "application/vnd.oasis.opendocument.spreadsheet",
+            ),
+            ("content.xml", bomb),
+        ]
+    )
+    with _pytest.raises(OfficeDocError, match="repeat"):
+        ods_to_text(b)
+    # truncation fuzz
+    good = build_ods(rows)
+    for cut in range(0, len(good), 9):
+        try:
+            ods_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+
+
+def test_xls_roundtrip_unicode_and_continue():
+    from evm_archive_spark.operators.officedoc import (
+        build_xls,
+        cfb_to_text,
+        is_xls,
+        xls_to_text,
+    )
+
+    rows = [
+        ["name", "qty & more", "unicode \xe9中"],
+        ["alpha", "42", "x  y  z"],
+    ]
+    b = build_xls(rows)
+    assert is_xls(b) and not is_docx(b)
+    exp = "\n".join("\t".join(r) for r in rows)
+    assert xls_to_text(b) == exp
+    assert cfb_to_text(b) == ("xls", exp)
+
+    # enough distinct strings to overflow one SST record -> Continue
+    big = [[f"r{ri}c{ci} " + "y" * 200 for ci in range(8)]
+           for ri in range(12)]
+    assert xls_to_text(build_xls(big)) == "\n".join(
+        "\t".join(r) for r in big
+    )
+    # truncation fuzz
+    good = build_xls(rows)
+    for cut in range(0, len(good), 97):
+        try:
+            xls_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+
+
+def test_xls_numeric_records_and_mid_string_continue():
+    import struct as st
+
+    from evm_archive_spark.operators.cfb import CfbWriter
+    from evm_archive_spark.operators.officedoc import xls_to_text
+
+    def rec(op, payload):
+        return st.pack("<HH", op, len(payload)) + payload
+
+    # SST whose single string's chars CROSS into a Continue record,
+    # switching width at the boundary (compressed tail after a fresh
+    # option byte) — the [MS-XLS] 2.5.293 split rule
+    s_head = "AB€"                       # utf-16 in the SST record
+    s_tail = "cd"                             # compressed in the Continue
+    sst_payload = (
+        st.pack("<II", 1, 1)
+        + st.pack("<HB", len(s_head) + len(s_tail), 0x01)
+        + s_head.encode("utf-16-le")
+    )
+    cont_payload = b"\x00" + s_tail.encode("latin-1")
+    glob = (
+        rec(0x0809, st.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        + rec(0x00FC, sst_payload)
+        + rec(0x003C, cont_payload)
+        + rec(0x000A, b"")
+    )
+    # sheet: LabelSst, Label (inline), Number, RK int/100, MulRk pair
+    sheet = (
+        rec(0x0809, st.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + rec(0x00FD, st.pack("<HHHI", 0, 0, 0, 0))
+        + rec(
+            0x0204,
+            st.pack("<HHH", 0, 1, 0)
+            + st.pack("<HB", 6, 0x00)
+            + b"inline",
+        )
+        + rec(0x0203, st.pack("<HHH", 1, 0, 0) + st.pack("<d", 3.5))
+        # RK: integer 7 -> (7 << 2) | 2 ; double 1.25/100 via f100
+        + rec(0x027E, st.pack("<HHHI", 1, 1, 0, (7 << 2) | 2))
+        + rec(
+            0x00BD,
+            st.pack("<HH", 2, 0)
+            + st.pack("<HI", 0, (100 << 2) | 3)   # int 100 / 100 = 1
+            + st.pack("<HI", 0, (250 << 2) | 3)   # 2.5
+            + st.pack("<H", 1),
+        )
+        + rec(0x000A, b"")
+    )
+    w = CfbWriter()
+    w.add("Workbook", glob + sheet)
+    out = xls_to_text(w.tobytes())
+    assert out == "AB€cd\tinline\n3.5\t7\n1\t2.5", repr(out)
+
+
+def test_xls_errors_typed():
+    from evm_archive_spark.operators.cfb import CfbWriter
+    from evm_archive_spark.operators.officedoc import (
+        build_xls,
+        cfb_to_text,
+        xls_to_text,
+    )
+
+    with pytest.raises(OfficeDocError):
+        xls_to_text(b"not a cfb")
+    w = CfbWriter()
+    w.add("SomethingElse", b"x" * 10)
+    with pytest.raises(OfficeDocError, match="Workbook"):
+        xls_to_text(w.tobytes())
+    with pytest.raises(OfficeDocError, match="no Word/Excel"):
+        cfb_to_text(w.tobytes())
+    # BIFF5 (version != 0x0600) is a typed strict boundary
+    import struct as st
+
+    w = CfbWriter()
+    w.add(
+        "Book",
+        st.pack("<HH", 0x0809, 8) + st.pack("<HHHH", 0x0500, 5, 0, 0)
+        + b"\x00\x00\x00\x00",
+    )
+    with pytest.raises(OfficeDocError, match="BIFF version"):
+        xls_to_text(w.tobytes())
+    # a single over-long cell string is a typed writer error
+    with pytest.raises(OfficeDocError, match="too long"):
+        build_xls([["z" * 5000]])
+
+
+def _pooled_document_extract_routes_pptx_ods_xls(spark):
+    """document_extract routes the round-7 office additions (sniffed and
+    by MIME) without disturbing the doc/xlsx/odt lanes."""
+    import pandas as pd
+
+    from evm_archive_spark.operators.extract import document_extract
+    from evm_archive_spark.operators.officedoc import (
+        build_doc,
+        build_ods,
+        build_pptx,
+        build_xls,
+    )
+
+    pptx = build_pptx([["slide text here"]])
+    ods = build_ods([["c1", "c2"]])
+    xls = build_xls([["x1", "x2"]])
+    doc = build_doc("word text")
+    rows = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2, 3],
+            "payload": [
+                bytearray(pptx),
+                bytearray(ods),
+                bytearray(xls),
+                bytearray(doc),
+            ],
+        }
+    )
+    out = {
+        r["media_id"]: r
+        for r in document_extract(spark.createDataFrame(rows)).collect()
+    }
+    assert out[0]["format"] == "pptx"
+    assert out[0]["text"] == "slide text here"
+    assert out[1]["format"] == "ods"
+    assert out[1]["text"] == "c1\tc2"
+    assert out[2]["format"] == "xls"
+    assert out[2]["text"] == "x1\tx2"
+    assert out[3]["format"] == "doc"
+    assert out[3]["text"] == "word text\nEND."
+
+    # MIME wins over sniffing for the CFB pair
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0],
+                "payload": [bytearray(xls)],
+                "mime": ["application/vnd.ms-excel"],
+            }
+        )
+    )
+    got = document_extract(df2, mime_col="mime").collect()[0]
+    assert got["format"] == "xls"
+
+
+def test_officedoc_pooled_r7(spark):
+    _pooled_document_extract_routes_pptx_ods_xls(spark)
