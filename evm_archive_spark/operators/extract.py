@@ -16,6 +16,7 @@ fallback, then applies the markup strippers JVM-side:
     .ods (ODF zip)             -> officedoc.ods_to_text linearization
     .doc/.xls (CFB/OLE2)       -> officedoc.cfb_to_text (one container
                                   parse; piece table / BIFF8 walk)
+    .sqlite/.db                -> sqlitefile.sqlite_to_text (b-tree walk)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -100,6 +101,7 @@ def document_extract(
         xlsx_to_text,
     )
     from .pdf import PdfError, extract_pdf_text, is_pdf
+    from .sqlitefile import SqliteError, is_sqlite, sqlite_to_text
     from .tabular import csv_meta_and_text
     from .textanalysis import markdown_to_text
     from .weburl import html_to_text
@@ -192,6 +194,13 @@ def document_extract(
                     try:
                         text, fmt = xlsx_to_text(b), "xlsx"
                     except OfficeDocError:
+                        pass
+                if fmt is None and (
+                    "sqlite" in m or (not m and is_sqlite(b))
+                ):
+                    try:
+                        text, fmt = sqlite_to_text(b), "sqlite"
+                    except SqliteError:
                         pass
                 if fmt is None and (
                     "rfc822" in m

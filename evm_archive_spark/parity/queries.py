@@ -8538,6 +8538,74 @@ _add(
 )
 
 
+# [pair] SQLite extraction (operators/sqlitefile.py, public file
+# format sqlite.org/fileformat2.html): REAL databases built per
+# document by the CANONICAL writer (stdlib sqlite3,
+# Connection.serialize()) — a two-row table of tab/newline-normalized
+# text slices plus arithmetic integers — read back through
+# document_extract's from-scratch b-tree walk (header -> sqlite_master
+# -> table leaf cells -> record serial types, IPK rowid aliasing).
+# The oracle rebuilds the linearization from the same slices.
+
+def _q_sqlite(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import sqlite3
+
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                c1 = _re.sub(r"[\t\r\n]", " ", t[:80])
+                c2 = _re.sub(r"[\t\r\n]", " ", t[80:160])
+                m = int(did)
+                conn = sqlite3.connect(":memory:")
+                conn.execute(
+                    "create table docs (id INTEGER PRIMARY KEY, "
+                    "body TEXT, n INTEGER)"
+                )
+                conn.execute(
+                    "insert into docs values (1, ?, ?)", (c1, m % 7)
+                )
+                conn.execute(
+                    "insert into docs values (2, ?, ?)", (c2, m % 3)
+                )
+                conn.commit()
+                out["media_id"].append(m)
+                out["payload"].append(conn.serialize())
+                conn.close()
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_sqlite",
+    _q_sqlite,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(substring(COALESCE(text, ''), 1, 80), "
+    "'[\t\r\n]', ' ', 'g') AS c1, "
+    "regexp_replace(substring(COALESCE(text, ''), 81, 80), "
+    "'[\t\r\n]', ' ', 'g') AS c2 FROM documents) "
+    "SELECT doc_id AS media_id, 'sqlite' AS format, "
+    "'docs' || chr(10) || '1' || chr(9) || c1 || chr(9) || "
+    "CAST(doc_id % 7 AS VARCHAR) || chr(10) || '2' || chr(9) || c2 || "
+    "chr(9) || CAST(doc_id % 3 AS VARCHAR) AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL SQLite databases written by the canonical stdlib writer "
+    "round-trip the from-scratch b-tree walk; oracle is arithmetic",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10368,7 +10436,7 @@ _ROUND7_OVERFLOW = [
 _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
-    "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls",
+    "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls", "q_sqlite",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

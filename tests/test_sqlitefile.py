@@ -1,0 +1,166 @@
+"""SQLite file reader: round trips against the canonical stdlib
+writer (serial types, IPK rowid aliasing, overflow chains, interior
+pages, UTF-16 encodings), typed scope boundaries, truncation fuzz, and
+the document_extract routing."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from evm_archive_spark.operators.sqlitefile import (
+    SqliteError,
+    _ipk_index,
+    is_sqlite,
+    sqlite_tables,
+    sqlite_to_text,
+)
+
+
+def _db(*stmts: tuple[str, tuple] | str, pragmas: list[str] = ()) -> bytes:
+    c = sqlite3.connect(":memory:")
+    for p in pragmas:
+        c.execute(p)
+    for s in stmts:
+        if isinstance(s, tuple):
+            c.execute(*s)
+        else:
+            c.execute(s)
+    c.commit()
+    b = c.serialize()
+    c.close()
+    return b
+
+
+def test_types_ipk_and_linearization():
+    b = _db(
+        "create table docs (id INTEGER PRIMARY KEY, body TEXT, "
+        "n INTEGER, f REAL, bl BLOB)",
+        ("insert into docs values (1, 'hello \xe9中', 42, 3.5, "
+         "x'deadbeef')",),
+        "insert into docs values (2, NULL, -7, NULL, NULL)",
+        "create table other (a TEXT)",
+        "insert into other values ('solo')",
+    )
+    assert is_sqlite(b) and not is_sqlite(b"something else")
+    assert sqlite_to_text(b) == (
+        "docs\n1\thello \xe9中\t42\t3.5\tdeadbeef\n2\t\t-7\t\t"
+        "\n\nother\nsolo"
+    )
+
+
+def test_overflow_chain_and_interior_pages():
+    big = "xyz" * 5000                       # >> 512-byte pages
+    b = _db(
+        "create table big (t TEXT)",
+        ("insert into big values (?)", (big,)),
+        pragmas=["PRAGMA page_size=512"],
+    )
+    assert sqlite_tables(b)[0][1][0][0] == big
+
+    c = sqlite3.connect(":memory:")
+    c.execute("PRAGMA page_size=512")
+    c.execute("create table many (v TEXT)")
+    for i in range(3000):
+        c.execute("insert into many values (?)", (f"row-{i:05d}",))
+    c.commit()
+    vals = [r[0] for r in sqlite_tables(c.serialize())[0][1]]
+    c.close()
+    # rowid order out of a multi-level b-tree (interior pages walked
+    # left-to-right)
+    assert vals == [f"row-{i:05d}" for i in range(3000)]
+
+
+def test_utf16_encodings():
+    for enc in ("UTF-16le", "UTF-16be"):
+        b = _db(
+            "create table u (s TEXT)",
+            "insert into u values ('utf sixteen \xe9')",
+            pragmas=[f"PRAGMA encoding='{enc}'"],
+        )
+        assert sqlite_tables(b)[0][1][0][0] == "utf sixteen \xe9"
+
+
+def test_ipk_detection_skips_table_constraints():
+    assert _ipk_index(
+        "CREATE TABLE t (a TEXT, b integer primary key, c)"
+    ) == 1
+    assert _ipk_index(
+        "CREATE TABLE t (a INT, b TEXT, PRIMARY KEY (a))"
+    ) is None
+    assert _ipk_index("CREATE TABLE t (x INTEGER, y INTEGER)") is None
+    assert _ipk_index(None) is None
+    # composite-default column with inner parens doesn't derail the split
+    assert _ipk_index(
+        "CREATE TABLE t (a TEXT DEFAULT ('x,y'), id INTEGER PRIMARY KEY)"
+    ) == 1
+
+
+def test_scope_boundaries_and_fuzz():
+    with pytest.raises(SqliteError):
+        sqlite_to_text(b"not a database at all")
+    b = _db(
+        "create table wr (k TEXT PRIMARY KEY, v TEXT) WITHOUT ROWID",
+        "insert into wr values ('a','b')",
+    )
+    with pytest.raises(SqliteError, match="WITHOUT ROWID"):
+        sqlite_to_text(b)
+    # internal sqlite_* tables and indexes are skipped, not surfaced
+    b = _db(
+        "create table t (a TEXT UNIQUE)",
+        "insert into t values ('v')",
+    )
+    assert sqlite_to_text(b) == "t\nv"
+    good = _db(
+        "create table docs (id INTEGER PRIMARY KEY, body TEXT)",
+        "insert into docs values (1, 'text')",
+    )
+    for cut in range(0, len(good), 137):
+        try:
+            sqlite_to_text(good[:cut])
+        except SqliteError:
+            pass
+
+
+def test_empty_table_and_view_skipped():
+    b = _db(
+        "create table empty (a TEXT)",
+        "create table filled (a TEXT)",
+        "insert into filled values ('x')",
+        "create view v as select * from filled",
+    )
+    assert sqlite_to_text(b) == "empty\n\nfilled\nx"
+
+
+def _pooled_document_extract_routes_sqlite(spark):
+    import pandas as pd
+
+    from evm_archive_spark.operators.extract import document_extract
+
+    db = _db(
+        "create table docs (id INTEGER PRIMARY KEY, body TEXT)",
+        "insert into docs values (1, 'row text')",
+    )
+    rows = pd.DataFrame(
+        {"media_id": [0], "payload": [bytearray(db)]}
+    )
+    out = document_extract(spark.createDataFrame(rows)).collect()[0]
+    assert out["format"] == "sqlite"
+    assert out["text"] == "docs\n1\trow text"
+
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0],
+                "payload": [bytearray(db)],
+                "mime": ["application/vnd.sqlite3"],
+            }
+        )
+    )
+    got = document_extract(df2, mime_col="mime").collect()[0]
+    assert got["format"] == "sqlite"
+
+
+def test_sqlitefile_pooled(spark):
+    _pooled_document_extract_routes_sqlite(spark)
