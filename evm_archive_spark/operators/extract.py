@@ -14,6 +14,7 @@ fallback, then applies the markup strippers JVM-side:
     .xlsx (OOXML zip)          -> officedoc.xlsx_to_text linearization
     .pptx (OOXML zip)          -> officedoc.pptx_to_text slide walk
     .ods (ODF zip)             -> officedoc.ods_to_text linearization
+    .odp (ODF zip)             -> officedoc.odp_to_text page walk
     .doc/.xls (CFB/OLE2)       -> officedoc.cfb_to_text (one container
                                   parse; piece table / BIFF8 walk)
     .sqlite/.db                -> sqlitefile.sqlite_to_text (b-tree walk)
@@ -89,11 +90,13 @@ def document_extract(
         is_doc,
         is_docx,
         is_epub,
+        is_odp,
         is_ods,
         is_odt,
         is_pptx,
         is_rtf,
         is_xlsx,
+        odp_to_text,
         ods_to_text,
         odt_to_text,
         pptx_to_text,
@@ -174,6 +177,14 @@ def document_extract(
                 ):
                     try:
                         text, fmt = ods_to_text(b), "ods"
+                    except OfficeDocError:
+                        pass
+                if fmt is None and (
+                    "opendocument.presentation" in m
+                    or (not m and is_odp(b))
+                ):
+                    try:
+                        text, fmt = odp_to_text(b), "odp"
                     except OfficeDocError:
                         pass
                 if fmt is None and (

@@ -235,28 +235,28 @@ def odt_to_text(b: bytes) -> str:
     return "\n".join(paras)
 
 
+def _odf_encode(p: str) -> str:
+    """Escape paragraph text for ODF content: tabs/newlines as
+    whitespace elements; space runs of 2+ (and leading/trailing single
+    spaces) element-encoded so ODF space collapsing can't lose them."""
+    s = xml_escape(p)
+    s = s.replace("\t", "<text:tab/>").replace("\n", "<text:line-break/>")
+    s = re.sub(
+        r"  +", lambda m: f' <text:s text:c="{len(m.group(0)) - 1}"/>', s
+    )
+    s = re.sub(r"^ ", '<text:s text:c="1"/>', s)
+    s = re.sub(r" $", '<text:s text:c="1"/>', s)
+    return s
+
+
 def build_odt(paragraphs: list[str]) -> bytes:
     """Minimal valid ODT: mimetype (stored first, per ODF packaging) +
     manifest + content.xml.  Literal space runs are encoded through
     ``<text:s text:c>`` so the round trip through ``odt_to_text`` is
     exact for arbitrary text (tabs/newlines/specials included)."""
-
-    def enc(p: str) -> str:
-        s = xml_escape(p)
-        s = s.replace("\t", "<text:tab/>").replace(
-            "\n", "<text:line-break/>"
-        )
-        # ODF space collapsing: runs of 2+ spaces (and any leading or
-        # trailing single space) must be element-encoded to survive
-        s = re.sub(
-            r"  +", lambda m: f' <text:s text:c="{len(m.group(0)) - 1}"/>',
-            s,
-        )
-        s = re.sub(r"^ ", '<text:s text:c="1"/>', s)
-        s = re.sub(r" $", '<text:s text:c="1"/>', s)
-        return s
-
-    body = "".join(f"<text:p>{enc(p)}</text:p>" for p in paragraphs)
+    body = "".join(
+        f"<text:p>{_odf_encode(p)}</text:p>" for p in paragraphs
+    )
     content = (
         '<?xml version="1.0"?>'
         '<office:document-content xmlns:office="urn:oasis:names:tc:'
@@ -999,24 +999,11 @@ def build_ods(rows: list[list[str]]) -> bytes:
     table; cell text whitespace-element-encoded (the build_odt rule), so
     arbitrary cell text minus the tab/newline separators round-trips
     exactly."""
-
-    def enc(p: str) -> str:
-        s = xml_escape(p)
-        s = s.replace("\t", "<text:tab/>").replace(
-            "\n", "<text:line-break/>"
-        )
-        s = re.sub(
-            r"  +", lambda m: f' <text:s text:c="{len(m.group(0)) - 1}"/>',
-            s,
-        )
-        s = re.sub(r"^ ", '<text:s text:c="1"/>', s)
-        s = re.sub(r" $", '<text:s text:c="1"/>', s)
-        return s
-
     body = "".join(
         "<table:table-row>"
         + "".join(
-            f"<table:table-cell><text:p>{enc(c)}</text:p></table:table-cell>"
+            "<table:table-cell><text:p>"
+            f"{_odf_encode(c)}</text:p></table:table-cell>"
             for c in row
         )
         + "</table:table-row>"
@@ -1341,3 +1328,84 @@ def cfb_to_text(b: bytes) -> tuple[str, str]:
     if "Workbook" in cf.streams or "Book" in cf.streams:
         return "xls", _xls_text_from_cfb(cf)
     raise OfficeDocError("CFB container with no Word/Excel stream")
+
+
+# -- ODP ----------------------------------------------------------------------
+# OpenDocument presentation (OASIS ODF): content.xml holds
+# ``<draw:page>`` slides whose text sits in ``<text:p>`` paragraphs
+# (inside draw frames/text boxes — the paragraph walk is the shared ODT
+# one, tags between paragraphs and character data vanish).  Pages join
+# with a blank line, the pptx contract.
+
+_ODP_MIME = b"application/vnd.oasis.opendocument.presentation"
+_ODP_PAGE = re.compile(
+    r"<draw:page(?:\s[^>]*)?>(.*?)</draw:page>", re.S
+)
+
+
+def is_odp(b: bytes) -> bool:
+    if b[:4] != _ZIP_MAGIC:
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            names = set(z.namelist())
+            if "content.xml" not in names:
+                return False
+            if "mimetype" in names:
+                return z.read("mimetype").strip() == _ODP_MIME
+            return b"office:presentation" in z.read("content.xml")
+    except zipfile.BadZipFile:
+        return False
+
+
+@guard(OfficeDocError)
+def odp_to_text(b: bytes) -> str:
+    """OpenDocument presentation -> text: per ``<draw:page>`` one line
+    per ``<text:p>``/``<text:h>`` paragraph; pages joined by a blank
+    line."""
+    with _zip_of(b) as z:
+        xml = _read_member(z, "content.xml")
+    pages = []
+    for gm in _ODP_PAGE.finditer(xml):
+        paras = [
+            _odf_para_text(pm.group(2) or "")
+            for pm in _T_P.finditer(gm.group(1))
+        ]
+        pages.append("\n".join(paras))
+    return "\n\n".join(pages)
+
+
+def build_odp(pages: list[list[str]]) -> bytes:
+    """Minimal valid ODP: mimetype + manifest + content.xml with one
+    ``<draw:page>`` per slide, paragraphs whitespace-element-encoded
+    for exact round trips."""
+    body = "".join(
+        f'<draw:page draw:name="page{i}"><draw:frame><draw:text-box>'
+        + "".join(f"<text:p>{_odf_encode(p)}</text:p>" for p in paras)
+        + "</draw:text-box></draw:frame></draw:page>"
+        for i, paras in enumerate(pages, start=1)
+    )
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:'
+        'opendocument:xmlns:office:1.0" xmlns:draw="urn:oasis:names:tc:'
+        'opendocument:xmlns:drawing:1.0" xmlns:text="urn:oasis:names:tc:'
+        'opendocument:xmlns:text:1.0"><office:body><office:presentation>'
+        + body
+        + "</office:presentation></office:body></office:document-content>"
+    )
+    manifest = (
+        '<?xml version="1.0"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="/" manifest:media-type='
+        f'"{_ODP_MIME.decode()}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", _ODP_MIME, zipfile.ZIP_STORED)
+        z.writestr("META-INF/manifest.xml", manifest)
+        z.writestr("content.xml", content)
+    return buf.getvalue()

@@ -8606,6 +8606,50 @@ _add(
 )
 
 
+# [pair] ODP extraction (operators/officedoc.py, OASIS ODF
+# presentation): REAL two-page .odp decks built per document —
+# page 1 the document text (whitespace element-encoded so the round
+# trip is exact), page 2 an arithmetic paragraph — extracted back
+# through document_extract's draw:page walk.  Pages join with a blank
+# line (the q_pptx shape); oracle emits the construction verbatim.
+
+def _q_odp(spark, sf_dir):
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_odp
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out["media_id"].append(int(did))
+                out["payload"].append(
+                    build_odp(
+                        [[text or ""], [f"page 2 note {int(did) % 10}"]]
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_odp",
+    _q_odp,
+    "SELECT doc_id AS media_id, 'odp' AS format, "
+    "COALESCE(text, '') || chr(10) || chr(10) || 'page 2 note ' || "
+    "CAST(doc_id % 10 AS VARCHAR) AS text "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL two-page .odp decks built from document text round-trip the "
+    "ODF draw:page walk exactly; oracle emits the construction",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10437,6 +10481,7 @@ _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
     "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls", "q_sqlite",
+    "q_odp",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

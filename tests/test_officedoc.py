@@ -718,3 +718,73 @@ def _pooled_document_extract_routes_pptx_ods_xls(spark):
 
 def test_officedoc_pooled_r7(spark):
     _pooled_document_extract_routes_pptx_ods_xls(spark)
+
+
+def test_odp_roundtrip_and_foreign_fixture():
+    from evm_archive_spark.operators.officedoc import (
+        build_odp,
+        is_odp,
+        odp_to_text,
+    )
+
+    pages = [
+        ["title  spaced", "body & <x>\ttab\nbreak"],
+        ["page two only "],
+    ]
+    b = build_odp(pages)
+    assert is_odp(b) and not is_odt(b) and not is_docx(b)
+    assert odp_to_text(b) == (
+        "title  spaced\nbody & <x>\ttab\nbreak\n\npage two only "
+    )
+    # foreign fixture: attribute-bearing pages, heading, nested span,
+    # notes outside text:p ignored as tags — not built by build_odp
+    xml = (
+        '<?xml version="1.0"?><office:document-content><office:body>'
+        '<office:presentation>'
+        '<draw:page draw:name="p1" draw:style-name="dp1">'
+        '<draw:frame><draw:text-box>'
+        '<text:h text:outline-level="1">Head</text:h>'
+        '<text:p>one <text:span>two</text:span> &amp; three</text:p>'
+        "</draw:text-box></draw:frame></draw:page>"
+        '<draw:page draw:name="p2"><draw:frame><draw:text-box>'
+        "<text:p>second</text:p></draw:text-box></draw:frame>"
+        "</draw:page>"
+        "</office:presentation></office:body></office:document-content>"
+    )
+    b = _zip_bytes(
+        [
+            (
+                "mimetype",
+                "application/vnd.oasis.opendocument.presentation",
+            ),
+            ("content.xml", xml),
+        ]
+    )
+    assert odp_to_text(b) == "Head\none two & three\n\nsecond"
+    # truncation fuzz
+    good = build_odp(pages)
+    for cut in range(0, len(good), 9):
+        try:
+            odp_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+
+
+def _pooled_document_extract_routes_odp(spark):
+    import pandas as pd
+
+    from evm_archive_spark.operators.extract import document_extract
+    from evm_archive_spark.operators.officedoc import build_odp
+
+    odp = build_odp([["deck text"]])
+    out = document_extract(
+        spark.createDataFrame(
+            pd.DataFrame({"media_id": [0], "payload": [bytearray(odp)]})
+        )
+    ).collect()[0]
+    assert out["format"] == "odp"
+    assert out["text"] == "deck text"
+
+
+def test_officedoc_pooled_odp(spark):
+    _pooled_document_extract_routes_odp(spark)
