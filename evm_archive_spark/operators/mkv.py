@@ -37,7 +37,7 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
-from .codecerrors import guard
+from .codecerrors import guard, guard_iter
 
 
 class MkvError(Exception):
@@ -179,16 +179,20 @@ def mkv_info(b: bytes) -> dict:
 def _track_entry(b: bytes, s: int, e: int) -> dict:
     t = {
         "type": None,
+        "number": None,
         "codec_id": None,
         "default_duration_ns": None,
         "width": None,
         "height": None,
         "sample_rate": None,
         "channels": None,
+        "bit_depth": None,
     }
     for cid, cs, ce in ebml_children(b, s, e):
         if cid == _TRACK_TYPE:
             t["type"] = _uint(b, cs, ce)
+        elif cid == 0xD7:                      # TrackNumber
+            t["number"] = _uint(b, cs, ce)
         elif cid == _CODEC_ID:
             t["codec_id"] = b[cs:ce].split(b"\x00")[0].decode(
                 "ascii", "replace"
@@ -207,6 +211,8 @@ def _track_entry(b: bytes, s: int, e: int) -> dict:
                     t["sample_rate"] = int(_float(b, as_, ae))
                 elif aid == _CHANNELS:
                     t["channels"] = _uint(b, as_, ae)
+                elif aid == 0x6264:            # BitDepth
+                    t["bit_depth"] = _uint(b, as_, ae)
     return t
 
 
@@ -298,4 +304,251 @@ def build_mkv(
         + video,
     )
     segment = _el(_SEGMENT, info + _el(_TRACKS, entry))
+    return header + segment
+
+
+# -- Cluster / block walk (sample decode: MJPEG video, PCM audio) -------------
+# Matroska stores coded frames in Cluster > SimpleBlock (or BlockGroup >
+# Block) elements: a track-number vint, a 2-byte relative timestamp, a
+# flags byte, then frame data — possibly laced (Xiph / EBML / fixed,
+# RFC 9559 §10).  As with AVI (avi.py) and MP4 (mp4.py), sample decode
+# covers the stdlib-feasible codecs — V_MJPEG through the from-scratch
+# JPEG decoder and A_PCM/* — while perceptual codecs (VP8/VP9/H.264,
+# Vorbis/Opus) stay behind the documented strict-mode boundary.
+
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_TRACK_NUMBER = 0xD7
+_BIT_DEPTH = 0x6264
+
+_PCM_CODEC_IDS = ("A_PCM/INT/LIT", "A_PCM/INT/BIG", "A_PCM/FLOAT/IEEE")
+
+
+def _block_frames(b: bytes, s: int, e: int) -> tuple[int, list[bytes]]:
+    """Parse one (Simple)Block body -> (track_number, frames),
+    expanding Xiph / EBML / fixed lacing."""
+    tn, w = _read_vint(b, s, keep_marker=False)
+    if tn < 0:
+        raise MkvError("block track number is the reserved all-ones vint")
+    pos = s + w + 2                       # skip int16 relative timestamp
+    if pos >= e:
+        raise MkvError("block truncated before flags")
+    flags = b[pos]
+    pos += 1
+    lac = (flags >> 1) & 0x3
+    if lac == 0:
+        return tn, [b[pos:e]]
+    if pos >= e:
+        raise MkvError("laced block truncated at frame count")
+    nframes = b[pos] + 1
+    pos += 1
+    sizes: list[int] = []
+    if lac == 2:                          # fixed-size lacing
+        total = e - pos
+        if nframes == 0 or total % nframes:
+            raise MkvError("fixed lacing does not divide the block")
+        sizes = [total // nframes] * nframes
+    elif lac == 1:                        # Xiph lacing
+        for _ in range(nframes - 1):
+            sz = 0
+            while True:
+                if pos >= e:
+                    raise MkvError("Xiph lace sizes truncated")
+                v = b[pos]
+                pos += 1
+                sz += v
+                if v != 255:
+                    break
+            sizes.append(sz)
+        sizes.append(e - pos - sum(sizes))
+    else:                                 # EBML lacing
+        first, w2 = _read_vint(b, pos, keep_marker=False)
+        pos += w2
+        sizes = [first]
+        for _ in range(max(nframes - 2, 0)):
+            raw, w3 = _read_vint(b, pos, keep_marker=False)
+            pos += w3
+            delta = raw - ((1 << (7 * w3 - 1)) - 1)   # signed vint
+            sizes.append(sizes[-1] + delta)
+        if nframes >= 2:
+            sizes.append(e - pos - sum(sizes))
+    frames = []
+    for sz in sizes:
+        if sz < 0 or pos + sz > e:
+            raise MkvError("lace size overruns the block")
+        frames.append(b[pos:pos + sz])
+        pos += sz
+    return tn, frames
+
+
+def _track_blocks(b: bytes, track_number: int) -> Iterator[bytes]:
+    """Yield the coded frames of one track, in cluster/block order."""
+    for eid, s, e in ebml_children(b, 0, len(b)):
+        if eid != _SEGMENT:
+            continue
+        for cid, cs, ce in ebml_children(b, s, e):
+            if cid != _CLUSTER:
+                continue
+            for bid, bs, be in ebml_children(b, cs, ce):
+                if bid == _SIMPLE_BLOCK:
+                    tn, frames = _block_frames(b, bs, be)
+                    if tn == track_number:
+                        yield from frames
+                elif bid == _BLOCK_GROUP:
+                    for gid, gs, ge in ebml_children(b, bs, be):
+                        if gid == _BLOCK:
+                            tn, frames = _block_frames(b, gs, ge)
+                            if tn == track_number:
+                                yield from frames
+
+
+def _first_track(info: dict, ttype: int) -> dict | None:
+    return next(
+        (t for t in info["tracks"] if t["type"] == ttype), None
+    )
+
+
+@guard_iter(MkvError)
+def mkv_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield ``(frame_idx, payload)`` for the first video track — the
+    MKV mirror of ``avi.avi_frames`` / ``mp4.mp4_frames``.  Raises for
+    inter-frame codecs (V_MJPEG carries whole JPEGs per block)."""
+    info = mkv_info(data)
+    video = _first_track(info, 1)
+    if video is None:
+        raise MkvError("no video track")
+    codec = (video["codec_id"] or "").strip()
+    if codec != "V_MJPEG":
+        raise MkvError(
+            f"video codec {codec!r} needs real video libraries "
+            "(V_MJPEG only)"
+        )
+    for idx, payload in enumerate(
+        _track_blocks(data, video["number"] or 1)
+    ):
+        yield idx, payload
+
+
+@guard_iter(MkvError)
+def decode_mkv_frames(
+    data: bytes,
+) -> Iterator[tuple[int, int, int, "object"]]:
+    """Yield ``(frame_idx, width, height, rgba)`` with every frame
+    REALLY decoded via the stdlib JPEG decoder — mirrors
+    ``avi.decode_avi_frames`` / ``mp4.decode_mp4_frames``."""
+    from .jpeg import JpegError, decode_jpeg, is_jpeg
+
+    for idx, payload in mkv_frames(data):
+        if not is_jpeg(payload):
+            raise MkvError(
+                f"frame {idx} is not JPEG-compressed (V_MJPEG only)"
+            )
+        try:
+            rgba = decode_jpeg(payload)
+        except JpegError as e:
+            raise MkvError(f"bad MJPEG frame {idx}: {e}") from e
+        h, w = rgba.shape[:2]
+        yield idx, w, h, rgba
+
+
+def mkv_has_pcm_audio(data: bytes) -> bool:
+    """True when the payload is a Matroska file whose first audio track
+    is uncompressed PCM this module can decode."""
+    if not is_mkv(data):
+        return False
+    try:
+        t = _first_track(mkv_info(data), 2)
+    except MkvError:
+        return False
+    return t is not None and (t["codec_id"] or "") in _PCM_CODEC_IDS
+
+
+@guard(MkvError)
+def decode_mkv_audio(data: bytes) -> tuple[int, "object"]:
+    """Decode the first audio track's PCM blocks to ``(sample_rate,
+    float64 (n_frames, n_channels) in [-1, 1])`` — the exact
+    ``wav.decode_wav`` contract, so every audio operator treats MKV/PCM
+    like WAV (the mp4.decode_mp4_audio mirror)."""
+    import numpy as np
+
+    info = mkv_info(data)
+    audio = _first_track(info, 2)
+    if audio is None:
+        raise MkvError("no audio track")
+    codec = audio["codec_id"] or ""
+    if codec not in _PCM_CODEC_IDS:
+        raise MkvError(
+            f"audio codec {codec!r} needs real audio libraries "
+            "(A_PCM/* only; Vorbis/Opus are out of scope)"
+        )
+    raw = b"".join(_track_blocks(data, audio["number"] or 1))
+    bits = audio["bit_depth"] or 16
+    if codec == "A_PCM/FLOAT/IEEE":
+        if bits not in (32, 64):
+            raise MkvError(f"float PCM bit depth {bits}")
+        s = np.frombuffer(
+            raw[: len(raw) - len(raw) % (bits // 8)],
+            dtype="<f4" if bits == 32 else "<f8",
+        ).astype(np.float64)
+    else:
+        if bits != 16:
+            raise MkvError(f"unsupported integer PCM bit depth {bits}")
+        dt = "<i2" if codec == "A_PCM/INT/LIT" else ">i2"
+        s = np.frombuffer(
+            raw[: len(raw) - len(raw) % 2], dtype=dt
+        ).astype(np.float64)
+        s /= 32768.0
+    ch = max(1, audio["channels"] or 1)
+    rate = audio["sample_rate"] or 0
+    if rate <= 0:
+        raise MkvError("no audio sample rate in the track entry")
+    usable = len(s) - len(s) % ch
+    return rate, s[:usable].reshape(-1, ch)
+
+
+def build_mkv_audio(
+    rate: int,
+    channels: int,
+    pcm: bytes,
+    codec_id: str = "A_PCM/INT/LIT",
+    bit_depth: int = 16,
+    block_samples: int = 256,
+) -> bytes:
+    """Minimal valid Matroska file with one PCM audio track whose
+    sample data is split across SimpleBlocks (no lacing) in one
+    Cluster.  ``decode_mkv_audio(build_mkv_audio(...))`` returns the
+    input PCM exactly."""
+    header = _el(
+        0x1A45DFA3,
+        _uint_el(0x4286, 1)
+        + _uint_el(0x42F7, 1)
+        + _uint_el(0x42F2, 4)
+        + _uint_el(0x42F3, 8)
+        + _el(_DOCTYPE, b"matroska")
+        + _uint_el(0x4287, 4)
+        + _uint_el(0x4285, 2),
+    )
+    audio = _el(
+        _AUDIO,
+        _el(_SAMPLING_FREQ, struct.pack(">f", float(rate)))
+        + _uint_el(_CHANNELS, channels)
+        + _uint_el(_BIT_DEPTH, bit_depth),
+    )
+    entry = _el(
+        _TRACK_ENTRY,
+        _uint_el(_TRACK_NUMBER, 1)
+        + _uint_el(0x73C5, 1)
+        + _uint_el(_TRACK_TYPE, 2)
+        + _el(_CODEC_ID, codec_id.encode("ascii"))
+        + audio,
+    )
+    info = _el(_INFO, _uint_el(_TIMESTAMP_SCALE, 1_000_000))
+    stride = block_samples * channels * (bit_depth // 8)
+    blocks = b""
+    for off in range(0, len(pcm), stride):
+        body = b"\x81" + struct.pack(">h", 0) + b"\x80" + pcm[off:off + stride]
+        blocks += _el(_SIMPLE_BLOCK, body)
+    cluster = _el(_CLUSTER, _uint_el(0xE7, 0) + blocks)
+    segment = _el(_SEGMENT, info + _el(_TRACKS, entry) + cluster)
     return header + segment

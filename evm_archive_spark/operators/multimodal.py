@@ -74,11 +74,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def _audio_decoder(b: bytes):
     """The codec dispatch shared by every audio operator: a zero-arg
     ``decode() -> (rate, float64 (n, ch) samples)`` for WAV / FLAC /
-    MP4-PCM payloads, or ``None`` when the payload is not
-    stdlib-decodable audio.  An MP4 whose audio track is perceptual
-    (AAC/Opus) returns ``None`` — the strict paths then raise naming
-    the gap, same boundary as every other codec."""
+    MP4-PCM / MKV-PCM payloads, or ``None`` when the payload is not
+    stdlib-decodable audio.  A container whose audio track is
+    perceptual (AAC/Opus/Vorbis) returns ``None`` — the strict paths
+    then raise naming the gap, same boundary as every other codec."""
     from .flac import decode_flac, is_flac
+    from .mkv import decode_mkv_audio, mkv_has_pcm_audio
     from .mp4 import decode_mp4_audio, has_pcm_audio
     from .wav import decode_wav, is_wav
 
@@ -88,6 +89,8 @@ def _audio_decoder(b: bytes):
         return lambda: decode_flac(b)
     if has_pcm_audio(b):
         return lambda: decode_mp4_audio(b)
+    if mkv_has_pcm_audio(b):
+        return lambda: decode_mkv_audio(b)
     return None
 
 
@@ -1316,6 +1319,7 @@ def frame_sample(
         from .bmp import BmpError, decode_bmp, is_bmp
         from .gif import GifError, decode_gif_frames, is_gif
         from .jpeg import JpegError, decode_jpeg, is_jpeg
+        from .mkv import MkvError, decode_mkv_frames, is_mkv
         from .mp4 import Mp4Error, decode_mp4_frames, is_mp4
         from .png import PngError, decode_apng_frames, is_png
         from .tiff import TiffError, decode_tiff, is_tiff
@@ -1447,6 +1451,28 @@ def frame_sample(
                                 f"bad MP4 payload {mid}: {e}"
                             ) from e
                         emit_fake(mid, b)
+                elif is_mkv(b):
+                    # EBML cluster walk + per-block baseline-JPEG
+                    # decode (V_MJPEG), pure stdlib — mirrors AVI/MP4
+                    try:
+                        for fi, w, h, rgba in decode_mkv_frames(b):
+                            if fi % every_n:
+                                continue
+                            emit(
+                                mid,
+                                fi,
+                                hashlib.sha256(
+                                    w.to_bytes(4, "big")
+                                    + h.to_bytes(4, "big")
+                                    + rgba.tobytes()
+                                ).hexdigest()[:16],
+                            )
+                    except (MkvError, NotImplementedError) as e:
+                        if strict:
+                            raise ValueError(
+                                f"bad MKV payload {mid}: {e}"
+                            ) from e
+                        emit_fake(mid, b)
                 elif is_tiff(b) or is_bmp(b):
                     # single-frame stills: one frame-0 row, pixel-hashed
                     try:
@@ -1470,11 +1496,11 @@ def frame_sample(
                 elif strict:
                     raise NotImplementedError(
                         "strict frame sampling supports PNG/APNG, "
-                        "JPEG, GIF, TIFF, BMP, AVI/MJPEG and "
-                        "MP4/MJPEG only (stdlib decoders); inter-frame "
-                        "video codecs need libraries not in this "
-                        "environment — use strict=False for the "
-                        "deterministic fake"
+                        "JPEG, GIF, TIFF, BMP, AVI/MJPEG, MP4/MJPEG "
+                        "and MKV/MJPEG only (stdlib decoders); "
+                        "inter-frame video codecs need libraries not "
+                        "in this environment — use strict=False for "
+                        "the deterministic fake"
                     )
                 else:
                     emit_fake(mid, b)

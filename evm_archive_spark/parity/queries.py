@@ -8650,6 +8650,75 @@ _add(
 )
 
 
+# [pair] MKV PCM sample decode (operators/mkv.py block walk, RFC 9559
+# Cluster/SimpleBlock + RFC 8794 EBML): REAL Matroska files are muxed
+# per document — one A_PCM/INT/LIT track whose int16 samples are a
+# deterministic ramp from doc_id, split across SimpleBlocks — then
+# REALLY decoded back through decode_mkv_audio (the wav.decode_wav
+# contract shared by every audio operator via multimodal._audio_decoder).
+# Output is exact-integer sufficient statistics (rate, count, channels,
+# sum of |sample|); the oracle recomputes the ramp arithmetic with a
+# bounded generate_series (max n = 256).
+
+def _q_mkv_decode(spark, sf_dir):
+    from ..operators.mkv import build_mkv_audio, decode_mkv_audio
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id")
+
+    def mux_decode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "media_id": [], "rate": [], "n_samples": [],
+                "channels": [], "sum_abs": [],
+            }
+            for did in pdf["doc_id"]:
+                m = int(did)
+                n = 160 + (m % 7) * 16
+                k = m % 89 + 1
+                vals = np.array(
+                    [((i * k) % 2048) - 1024 for i in range(n)],
+                    dtype=np.int16,
+                )
+                payload = build_mkv_audio(
+                    8000, 1, vals.tobytes(), block_samples=64
+                )
+                rate, s = decode_mkv_audio(payload)
+                ints = np.round(s[:, 0] * 32768.0).astype(np.int64)
+                out["media_id"].append(m)
+                out["rate"].append(int(rate))
+                out["n_samples"].append(int(s.shape[0]))
+                out["channels"].append(int(s.shape[1]))
+                out["sum_abs"].append(int(np.abs(ints).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        mux_decode,
+        "media_id long, rate long, n_samples long, channels long, "
+        "sum_abs long",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_mkv_decode",
+    _q_mkv_decode,
+    "WITH d AS (SELECT doc_id, "
+    "CAST(160 + (doc_id % 7) * 16 AS BIGINT) AS n, "
+    "CAST(doc_id % 89 + 1 AS BIGINT) AS k FROM documents) "
+    "SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS rate, "
+    "n AS n_samples, CAST(1 AS BIGINT) AS channels, "
+    "CAST((SELECT SUM(ABS(((i * k) % 2048) - 1024)) "
+    "FROM generate_series(0, 255) t(i) WHERE i < n) AS BIGINT) "
+    "AS sum_abs "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL Matroska PCM tracks muxed from a doc_id ramp decode back "
+    "exactly through the cluster/SimpleBlock walk; arithmetic oracle",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10481,7 +10550,7 @@ _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
     "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls", "q_sqlite",
-    "q_odp",
+    "q_odp", "q_mkv_decode",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

@@ -207,3 +207,161 @@ def test_spark_videometa_routes_mkv(spark):
     assert rows[1]["format"] == "fake"
     with pytest.raises(Exception, match="not a video"):
         video_metadata(df, strict=True).collect()
+
+
+# -- cluster / block walk (sample decode) -------------------------------------
+
+def _simple_block(track: int, payload: bytes, flags: int = 0x80) -> bytes:
+    return _iel(0xA3, bytes([0x80 | track]) + struct.pack(">h", 0)
+                + bytes([flags]) + payload)
+
+
+def _cluster(*blocks: bytes) -> bytes:
+    return _iel(0x1F43B675, _iuint(0xE7, 0) + b"".join(blocks))
+
+
+def test_mjpeg_frames_and_decode_via_independent_writer():
+    import numpy as np
+    from test_jpeg import encode_jpeg
+
+    from evm_archive_spark.operators.jpeg import decode_jpeg
+    from evm_archive_spark.operators.mkv import decode_mkv_frames, mkv_frames
+
+    rgb0 = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb0[:, :8] = (255, 0, 0)
+    rgb1 = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb1[:8, :] = (0, 255, 0)
+    j0, j1 = encode_jpeg(rgb0), encode_jpeg(rgb1)
+    entry = _iel(
+        0xAE,
+        _iuint(0xD7, 1, 1) + _iuint(0x83, 1, 1) + _iel(0x86, b"V_MJPEG")
+        + _iel(0xE0, _iuint(0xB0, 16) + _iuint(0xBA, 16)),
+    )
+    seg = _iel(
+        0x18538067,
+        _info(1_000_000, 80.0) + _iel(0x1654AE6B, entry)
+        + _cluster(_simple_block(1, j0), _simple_block(1, j1)),
+    )
+    b = _header() + seg
+    frames = list(mkv_frames(b))
+    assert [f[0] for f in frames] == [0, 1]
+    assert frames[0][1] == j0 and frames[1][1] == j1
+    decoded = list(decode_mkv_frames(b))
+    assert len(decoded) == 2
+    fi, w, h, rgba = decoded[0]
+    assert (w, h) == (16, 16)
+    assert (rgba == decode_jpeg(j0)).all()
+    # a VP9 track is a typed strict boundary, not a crash
+    with pytest.raises(MkvError, match="V_MJPEG only"):
+        list(mkv_frames(_header() + _iel(
+            0x18538067,
+            _info(1_000_000, 80.0)
+            + _iel(0x1654AE6B, _video_entry(32, 32)),
+        )))
+
+
+def test_block_lacing_variants_and_blockgroup():
+    from evm_archive_spark.operators.mkv import mkv_frames
+
+    entry = _iel(
+        0xAE,
+        _iuint(0xD7, 1, 1) + _iuint(0x83, 1, 1) + _iel(0x86, b"V_MJPEG")
+        + _iel(0xE0, _iuint(0xB0, 4) + _iuint(0xBA, 4)),
+    )
+    f0, f1, f2 = b"A" * 7, b"B" * 300, b"C" * 5
+
+    # Xiph lacing: sizes 7, 300 (255+45), last implied
+    xiph = bytes([0x80 | 1]) + struct.pack(">h", 0) + bytes([0x02])
+    xiph += bytes([2]) + bytes([7]) + bytes([255, 45]) + f0 + f1 + f2
+    # EBML lacing: first size vint(7), delta vint(+293 signed), last implied
+    delta = 293 + ((1 << 13) - 1)           # 2-byte signed vint bias
+    ebml = bytes([0x80 | 1]) + struct.pack(">h", 0) + bytes([0x06])
+    ebml += bytes([2]) + bytes([0x87]) + ((1 << 14) | delta).to_bytes(2, "big")
+    ebml += f0 + f1 + f2
+    # fixed lacing: 3 equal frames
+    fixed = bytes([0x80 | 1]) + struct.pack(">h", 0) + bytes([0x04])
+    fixed += bytes([2]) + b"X" * 6 + b"Y" * 6 + b"Z" * 6
+
+    seg = _iel(
+        0x18538067,
+        _info(1_000_000, 80.0) + _iel(0x1654AE6B, entry)
+        + _cluster(
+            _iel(0xA3, xiph),
+            _iel(0xA0, _iel(0xA1, ebml)),   # BlockGroup > Block
+            _iel(0xA3, fixed),
+        ),
+    )
+    frames = [p for _i, p in mkv_frames(_header() + seg)]
+    assert frames == [f0, f1, f2, f0, f1, f2, b"X" * 6, b"Y" * 6, b"Z" * 6]
+
+
+def test_pcm_audio_roundtrips_all_codecs():
+    import numpy as np
+
+    from evm_archive_spark.operators.mkv import (
+        build_mkv_audio,
+        decode_mkv_audio,
+        mkv_has_pcm_audio,
+    )
+
+    n = 400
+    vals = np.array(
+        [((i * 13) % 2048) - 1024 for i in range(n)], dtype=np.int16
+    )
+    b = build_mkv_audio(8000, 1, vals.tobytes())
+    assert mkv_has_pcm_audio(b) and is_mkv(b)
+    rate, s = decode_mkv_audio(b)
+    assert rate == 8000 and s.shape == (n, 1)
+    assert (np.round(s[:, 0] * 32768).astype(np.int16) == vals).all()
+
+    st = np.stack([vals, -vals], axis=1).astype(np.int16)
+    rate, s = decode_mkv_audio(
+        build_mkv_audio(44100, 2, st.tobytes(), block_samples=64)
+    )
+    assert s.shape == (n, 2)
+    assert (np.round(s * 32768).astype(np.int16) == st).all()
+
+    f32 = (vals.astype(np.float64) / 2048.0).astype("<f4")
+    rate, s = decode_mkv_audio(
+        build_mkv_audio(
+            16000, 1, f32.tobytes(), codec_id="A_PCM/FLOAT/IEEE",
+            bit_depth=32,
+        )
+    )
+    assert np.allclose(s[:, 0], f32.astype(np.float64))
+
+    be = vals.astype(">i2")
+    rate, s = decode_mkv_audio(
+        build_mkv_audio(8000, 1, be.tobytes(), codec_id="A_PCM/INT/BIG")
+    )
+    assert (np.round(s[:, 0] * 32768).astype(np.int16) == vals).all()
+
+    opus = build_mkv_audio(48000, 2, b"\x00" * 64, codec_id="A_OPUS")
+    assert not mkv_has_pcm_audio(opus)
+    with pytest.raises(MkvError, match="A_OPUS"):
+        decode_mkv_audio(opus)
+    # truncation fuzz over a media-bearing file
+    good = build_mkv_audio(8000, 1, vals.tobytes())
+    for cut in range(0, len(good), 61):
+        try:
+            decode_mkv_audio(good[:cut])
+        except MkvError:
+            pass
+
+
+def test_audio_decoder_dispatch_picks_mkv_pcm():
+    import numpy as np
+
+    from evm_archive_spark.operators.mkv import build_mkv_audio
+    from evm_archive_spark.operators.multimodal import _audio_decoder
+
+    vals = np.arange(-100, 100, dtype=np.int16)
+    b = build_mkv_audio(8000, 1, vals.tobytes())
+    dec = _audio_decoder(b)
+    assert dec is not None
+    rate, s = dec()
+    assert rate == 8000 and s.shape == (200, 1)
+    # perceptual MKV audio is NOT claimed decodable
+    assert _audio_decoder(
+        build_mkv_audio(48000, 2, b"\x00" * 64, codec_id="A_VORBIS")
+    ) is None
