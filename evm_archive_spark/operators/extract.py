@@ -18,6 +18,7 @@ fallback, then applies the markup strippers JVM-side:
     .doc/.xls (CFB/OLE2)       -> officedoc.cfb_to_text (one container
                                   parse; piece table / BIFF8 walk)
     .sqlite/.db                -> sqlitefile.sqlite_to_text (b-tree walk)
+    .avro                      -> avrofile.avro_to_text (JSONL face)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -81,6 +82,7 @@ def document_extract(
     Never fails on dirty payloads (the admission contract): a corrupt
     PDF/notebook falls through to plain text."""
     from .archive import ArchiveError, compression_kind, decompress_payload
+    from .avrofile import AvroError, avro_to_text, is_avro
     from .mail import MailError, parse_email
     from .officedoc import (
         OfficeDocError,
@@ -212,6 +214,13 @@ def document_extract(
                     try:
                         text, fmt = sqlite_to_text(b), "sqlite"
                     except SqliteError:
+                        pass
+                if fmt is None and (
+                    "avro" in m or (not m and is_avro(b))
+                ):
+                    try:
+                        text, fmt = avro_to_text(b), "avro"
+                    except AvroError:
                         pass
                 if fmt is None and (
                     "rfc822" in m

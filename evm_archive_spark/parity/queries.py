@@ -8719,6 +8719,78 @@ _add(
 )
 
 
+# [pair] Avro extraction (operators/avrofile.py, Apache Avro object
+# container + binary encoding specs): REAL deflate-coded .avro
+# containers built per document — a record schema (id long, body
+# string, n long) with two records whose body is a JSON-identity text
+# slice (printable ASCII minus quote/backslash, the q_extract ipynb
+# precedent) — extracted back through document_extract's container walk
+# (metadata map -> schema -> zigzag-varint record decode -> JSONL
+# face).  The oracle rebuilds the JSONL strings arithmetically.
+
+def _q_avro(spark, sf_dir):
+    import re as _re
+
+    from ..operators.avrofile import build_avro
+    from ..operators.extract import document_extract
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    schema = {
+        "type": "record", "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "body", "type": "string"},
+            {"name": "n", "type": "long"},
+        ],
+    }
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                c1 = _re.sub(r'[^ -~]|["\\]', " ", t[:80])
+                c2 = _re.sub(r'[^ -~]|["\\]', " ", t[80:160])
+                m = int(did)
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_avro(
+                        schema,
+                        [
+                            {"id": 1, "body": c1, "n": m % 7},
+                            {"id": 2, "body": c2, "n": m % 3},
+                        ],
+                        codec="deflate",
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_avro",
+    _q_avro,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(substring(COALESCE(text, ''), 1, 80), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c1, "
+    "regexp_replace(substring(COALESCE(text, ''), 81, 80), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c2 FROM documents) "
+    "SELECT doc_id AS media_id, 'avro' AS format, "
+    "'{\"id\": 1, \"body\": \"' || c1 || '\", \"n\": ' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '}' || chr(10) || "
+    "'{\"id\": 2, \"body\": \"' || c2 || '\", \"n\": ' || "
+    "CAST(doc_id % 3 AS VARCHAR) || '}' AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL deflate-coded Avro containers built from document text "
+    "round-trip the binary-encoding walk to JSONL; oracle rebuilds it",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10550,7 +10622,7 @@ _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
     "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls", "q_sqlite",
-    "q_odp", "q_mkv_decode",
+    "q_odp", "q_mkv_decode", "q_avro",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)
