@@ -7,14 +7,11 @@ fallback, then applies the markup strippers JVM-side:
 
     application/pdf            -> pdf.extract_pdf_text (from scratch)
     message/rfc822 / mbox      -> mail.parse_email body
-    .docx (OOXML zip)          -> officedoc.docx_to_text (from scratch)
-    .epub (OCF zip)            -> officedoc.epub_to_text (from scratch)
-    .odt (ODF zip)             -> officedoc.odt_to_text (from scratch)
+    ZIP document family        -> officedoc.zip_to_text: ONE container
+      (.docx .xlsx .pptx          open dispatched on member names /
+       .odt .ods .odp .epub)      mimetype member, then the format's
+                                  from-scratch extractor
     .rtf                       -> officedoc.rtf_to_text (from scratch)
-    .xlsx (OOXML zip)          -> officedoc.xlsx_to_text linearization
-    .pptx (OOXML zip)          -> officedoc.pptx_to_text slide walk
-    .ods (ODF zip)             -> officedoc.ods_to_text linearization
-    .odp (ODF zip)             -> officedoc.odp_to_text page walk
     .doc/.xls (CFB/OLE2)       -> officedoc.cfb_to_text (one container
                                   parse; piece table / BIFF8 walk)
     .sqlite/.db                -> sqlitefile.sqlite_to_text (b-tree walk)
@@ -87,23 +84,10 @@ def document_extract(
     from .officedoc import (
         OfficeDocError,
         cfb_to_text,
-        docx_to_text,
-        epub_to_text,
         is_doc,
-        is_docx,
-        is_epub,
-        is_odp,
-        is_ods,
-        is_odt,
-        is_pptx,
         is_rtf,
-        is_xlsx,
-        odp_to_text,
-        ods_to_text,
-        odt_to_text,
-        pptx_to_text,
         rtf_to_text,
-        xlsx_to_text,
+        zip_to_text,
     )
     from .pdf import PdfError, extract_pdf_text, is_pdf
     from .sqlitefile import SqliteError, is_sqlite, sqlite_to_text
@@ -142,19 +126,20 @@ def document_extract(
                         fmt = "pdf"
                     except (PdfError, NotImplementedError):
                         pass
+                # the whole ZIP document family (docx/xlsx/pptx, the
+                # ODF trio, epub) dispatches through ONE container
+                # open on member names / mimetype member — not one
+                # is_* reopen per format
                 if fmt is None and (
                     "wordprocessingml" in m
-                    or (not m and is_docx(b))
+                    or "spreadsheetml" in m
+                    or "presentationml" in m
+                    or "opendocument" in m
+                    or "epub" in m
+                    or (not m and b[:4] == b"PK\x03\x04")
                 ):
                     try:
-                        text, fmt = docx_to_text(b), "docx"
-                    except OfficeDocError:
-                        pass
-                if fmt is None and (
-                    "presentationml" in m or (not m and is_pptx(b))
-                ):
-                    try:
-                        text, fmt = pptx_to_text(b), "pptx"
+                        fmt, text = zip_to_text(b)
                     except OfficeDocError:
                         pass
                 if fmt is None and (
@@ -166,46 +151,9 @@ def document_extract(
                         fmt, text = cfb_to_text(b)
                     except OfficeDocError:
                         pass
-                if fmt is None and (
-                    "epub" in m or (not m and is_epub(b))
-                ):
-                    try:
-                        text, fmt = epub_to_text(b), "epub"
-                    except OfficeDocError:
-                        pass
-                if fmt is None and (
-                    "opendocument.spreadsheet" in m
-                    or (not m and is_ods(b))
-                ):
-                    try:
-                        text, fmt = ods_to_text(b), "ods"
-                    except OfficeDocError:
-                        pass
-                if fmt is None and (
-                    "opendocument.presentation" in m
-                    or (not m and is_odp(b))
-                ):
-                    try:
-                        text, fmt = odp_to_text(b), "odp"
-                    except OfficeDocError:
-                        pass
-                if fmt is None and (
-                    "opendocument.text" in m or (not m and is_odt(b))
-                ):
-                    try:
-                        text, fmt = odt_to_text(b), "odt"
-                    except OfficeDocError:
-                        pass
                 if fmt is None and ("rtf" in m or is_rtf(b)):
                     try:
                         text, fmt = rtf_to_text(b), "rtf"
-                    except OfficeDocError:
-                        pass
-                if fmt is None and (
-                    "spreadsheetml" in m or (not m and is_xlsx(b))
-                ):
-                    try:
-                        text, fmt = xlsx_to_text(b), "xlsx"
                     except OfficeDocError:
                         pass
                 if fmt is None and (

@@ -1409,3 +1409,53 @@ def build_odp(pages: list[list[str]]) -> bytes:
         z.writestr("META-INF/manifest.xml", manifest)
         z.writestr("content.xml", content)
     return buf.getvalue()
+
+
+# -- unified ZIP dispatch -------------------------------------------------------
+# document_extract's sniff path used to open the same ZipFile up to
+# seven times (one per is_* probe).  At corpus scale the container
+# should be opened ONCE and dispatched on its member names / mimetype
+# member — the cfb_to_text rule applied to the ZIP family.
+
+_EPUB_MIME = b"application/epub+zip"
+
+
+def zip_to_text(b: bytes) -> tuple[str, str]:
+    """Dispatch a ZIP payload on its members with ONE container open:
+    OOXML by part name (word/ -> docx, xl/ -> xlsx, ppt/ -> pptx), ODF
+    and EPUB by their ``mimetype`` member (ODF content sniffed when the
+    member is absent), OCF ``container.xml`` -> epub.  Returns
+    ``(format, text)``; raises ``OfficeDocError`` for a ZIP that is
+    none of these."""
+    with _zip_of(b) as z:
+        names = set(z.namelist())
+        mimetype = None
+        if "mimetype" in names:
+            try:
+                mimetype = z.read("mimetype").strip()
+            except Exception as e:  # noqa: BLE001 - corrupt member
+                raise OfficeDocError(f"bad mimetype member: {e}") from e
+    if "word/document.xml" in names:
+        return "docx", docx_to_text(b)
+    if "xl/workbook.xml" in names:
+        return "xlsx", xlsx_to_text(b)
+    if "ppt/presentation.xml" in names:
+        return "pptx", pptx_to_text(b)
+    if mimetype == _EPUB_MIME or (
+        mimetype is None and "META-INF/container.xml" in names
+    ):
+        return "epub", epub_to_text(b)
+    if "content.xml" in names:
+        if mimetype == _ODS_MIME:
+            return "ods", ods_to_text(b)
+        if mimetype == _ODP_MIME:
+            return "odp", odp_to_text(b)
+        if mimetype == _ODT_MIME:
+            return "odt", odt_to_text(b)
+        if mimetype is None:
+            if is_ods(b):
+                return "ods", ods_to_text(b)
+            if is_odp(b):
+                return "odp", odp_to_text(b)
+            return "odt", odt_to_text(b)
+    raise OfficeDocError("ZIP container with no known document layout")
