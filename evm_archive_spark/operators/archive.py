@@ -109,14 +109,96 @@ def decompress_payload(
 
 
 def archive_kind(b: bytes) -> str | None:
-    """Sniff: 'zip' (PK header), 'tar' (ustar magic at 257, or a
-    plausible 512-byte header block), else None."""
+    """Sniff: 'zip' (PK header), 'tar' (ustar magic at 257), 'ar'
+    (!<arch> — .deb outer / static libraries), 'cpio' (newc/crc ASCII
+    magic — initramfs, RPM payloads), else None."""
     if b[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
         return "zip"
     if len(b) >= 512:
         if b[257:262] == b"ustar":
             return "tar"
+    if b[:8] == b"!<arch>\n":
+        return "ar"
+    if b[:6] in (b"070701", b"070702"):
+        return "cpio"
     return None
+
+
+def _ar_members(
+    b: bytes, max_member_bytes: int
+) -> Iterator[tuple[str, int, bytes]]:
+    """Unix ``ar`` walk (the .deb outer container / .a libraries):
+    60-byte ASCII headers, 2-byte-aligned data.  GNU long-name table
+    (``//``) resolved; the symbol table (``/``) skipped."""
+    pos = 8
+    longnames = b""
+    while pos + 60 <= len(b):
+        hdr = b[pos:pos + 60]
+        if hdr[58:60] != b"`\n":
+            raise ArchiveError("bad ar member terminator")
+        name = hdr[0:16].decode("ascii", "replace").rstrip()
+        try:
+            size = int(hdr[48:58].decode("ascii").strip() or "0")
+        except ValueError as e:
+            raise ArchiveError(f"bad ar size field: {e}") from e
+        data_start = pos + 60
+        if size < 0 or data_start + size > len(b):
+            raise ArchiveError("ar member overruns payload")
+        data = b[data_start:data_start + size]
+        pos = data_start + size + (size & 1)
+        if name == "//":                       # GNU long-name table
+            longnames = data
+            continue
+        if name in ("/", "__.SYMDEF"):         # symbol tables
+            continue
+        if name.startswith("/") and name[1:].isdigit():
+            off = int(name[1:])
+            end = longnames.find(b"\n", off)
+            name = longnames[off:end if end >= 0 else None].decode(
+                "ascii", "replace"
+            ).rstrip("/")
+        name = name.rstrip("/")                # GNU short-name slash
+        if size <= max_member_bytes:
+            yield name, size, data
+
+
+def _cpio_members(
+    b: bytes, max_member_bytes: int
+) -> Iterator[tuple[str, int, bytes]]:
+    """cpio "newc"/"crc" ASCII-header walk (initramfs, RPM payloads):
+    110-byte hex-field headers, name and data 4-byte aligned,
+    terminated by the TRAILER!!! entry."""
+    pos = 0
+    while pos + 110 <= len(b):
+        if b[pos:pos + 6] not in (b"070701", b"070702"):
+            raise ArchiveError("bad cpio header magic")
+
+        def fld(i: int) -> int:
+            raw = b[pos + 6 + i * 8:pos + 6 + (i + 1) * 8]
+            try:
+                return int(raw, 16)
+            except ValueError as e:
+                raise ArchiveError(f"bad cpio hex field: {e}") from e
+
+        mode, namesize, filesize = fld(1), fld(11), fld(6)
+        name_start = pos + 110
+        if name_start + namesize > len(b):
+            raise ArchiveError("cpio name overruns payload")
+        name = b[name_start:name_start + namesize - 1].decode(
+            "ascii", "replace"
+        )
+        data_start = name_start + namesize
+        data_start += -(data_start) % 4
+        if name == "TRAILER!!!":
+            return
+        if filesize < 0 or data_start + filesize > len(b):
+            raise ArchiveError("cpio member overruns payload")
+        data = b[data_start:data_start + filesize]
+        pos = data_start + filesize
+        pos += -pos % 4
+        # regular files only (S_IFREG)
+        if (mode & 0o170000) == 0o100000 and filesize <= max_member_bytes:
+            yield name, filesize, data
 
 
 @guard_iter(ArchiveError)
@@ -164,7 +246,13 @@ def archive_members(
                 continue
             yield m.name, len(data), data
         return
-    raise ArchiveError("not a zip or tar archive")
+    if kind == "ar":
+        yield from _ar_members(b, max_member_bytes)
+        return
+    if kind == "cpio":
+        yield from _cpio_members(b, max_member_bytes)
+        return
+    raise ArchiveError("not a zip/tar/ar/cpio archive")
 
 
 MEMBER_SCHEMA = T.StructType(

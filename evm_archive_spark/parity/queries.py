@@ -8791,6 +8791,95 @@ _add(
 )
 
 
+# [pair] ar / cpio archive fan-out (operators/archive.py round-7
+# additions): REAL containers built INLINE with stdlib byte packing
+# (independent of the reader) — Unix `ar` (the .deb outer format) for
+# even doc_ids, cpio `newc` (initramfs/RPM payloads) for odd — hold the
+# same two members as q_archive's ZIPs, so the oracle is container-
+# agnostic: the archive kind is visible only through a successful walk.
+
+def _q_ar_cpio(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.archive import explode_archives
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def build(it):
+        def mk_ar(members):
+            out = bytearray(b"!<arch>\n")
+            for name, data in members:
+                hdr = (
+                    f"{name + '/':<16}{'0':<12}{'0':<6}{'0':<6}"
+                    f"{'100644':<8}{len(data):<10}"
+                ).encode()
+                out += hdr + b"`\n" + data
+                if len(data) & 1:
+                    out += b"\n"
+            return bytes(out)
+
+        def mk_cpio(members):
+            out = bytearray()
+
+            def entry(name, data, mode):
+                nm = name.encode() + b"\x00"
+                hdr = b"070701" + b"".join(
+                    f"{v:08X}".encode()
+                    for v in (0, mode, 0, 0, 1, 0, len(data), 0, 0,
+                              0, 0, len(nm), 0)
+                )
+                out.extend(hdr + nm)
+                out.extend(b"\x00" * (-len(out) % 4))
+                out.extend(data)
+                out.extend(b"\x00" * (-len(out) % 4))
+
+            for name, data in members:
+                entry(name, data, 0o100644)
+            entry("TRAILER!!!", b"", 0)
+            return bytes(out)
+
+        for b in it:
+            payloads = []
+            for mid, t in zip(b["media_id"], b["t"]):
+                data = t.encode("utf-8")
+                members = [("a.txt", data), ("b.txt", b"copy:" + data)]
+                payloads.append(
+                    mk_ar(members) if int(mid) % 2 == 0
+                    else mk_cpio(members)
+                )
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = explode_archives(media, strict=True)
+    return out.select(
+        "media_id",
+        "path",
+        "size",
+        F.md5("payload").alias("member_md5"),
+    ).orderBy("media_id", "path")
+
+
+_add(
+    "q_ar_cpio",
+    _q_ar_cpio,
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
+    "SELECT doc_id AS media_id, 'a.txt' AS path, "
+    "CAST(strlen(t) AS BIGINT) AS size, md5(t) AS member_md5 FROM d "
+    "UNION ALL "
+    "SELECT doc_id, 'b.txt', "
+    "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
+    "ORDER BY media_id NULLS FIRST, path",
+    "ar (.deb outer) and cpio (newc) fan-out: real containers built by "
+    "independent inline writers explode to the same member rows",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10622,7 +10711,7 @@ _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
     "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls", "q_sqlite",
-    "q_odp", "q_mkv_decode", "q_avro",
+    "q_odp", "q_mkv_decode", "q_avro", "q_ar_cpio",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

@@ -161,3 +161,114 @@ def test_document_extract_transparent_gzip(spark):
     assert out[2].format == "html" and out[2].text == "marked up"
     # corrupt stream falls through as raw (never fails the job)
     assert out[3].format == "text"
+
+
+# -- ar / cpio members (round 7) ------------------------------------------------
+
+def _mk_ar(members: list[tuple[str, bytes]], gnu_long: bool = False) -> bytes:
+    """Independent ar writer (BSD short names or GNU long-name table)."""
+    out = bytearray(b"!<arch>\n")
+    longtab = bytearray()
+    names = []
+    for name, _data in members:
+        if gnu_long or len(name) > 15:
+            names.append(f"/{len(longtab)}")
+            longtab += name.encode() + b"/\n"
+        else:
+            names.append(name + "/")
+    if longtab:
+        hdr = f"{'//':<16}{'':<12}{'':<6}{'':<6}{'':<8}{len(longtab):<10}".encode()
+        out += hdr + b"`\n" + longtab
+        if len(longtab) & 1:
+            out += b"\n"
+    for nm, (_name, data) in zip(names, members):
+        hdr = f"{nm:<16}{'0':<12}{'0':<6}{'0':<6}{'100644':<8}{len(data):<10}".encode()
+        out += hdr + b"`\n" + data
+        if len(data) & 1:
+            out += b"\n"
+    return bytes(out)
+
+
+def _mk_cpio(members: list[tuple[str, bytes]]) -> bytes:
+    """Independent cpio newc writer."""
+    out = bytearray()
+
+    def entry(name: str, data: bytes, mode: int):
+        nm = name.encode() + b"\x00"
+        hdr = b"070701" + b"".join(
+            f"{v:08X}".encode()
+            for v in (0, mode, 0, 0, 1, 0, len(data), 0, 0, 0, 0,
+                      len(nm), 0)
+        )
+        out.extend(hdr + nm)
+        out.extend(b"\x00" * (-len(out) % 4))
+        out.extend(data)
+        out.extend(b"\x00" * (-len(out) % 4))
+
+    for name, data in members:
+        entry(name, data, 0o100644)
+    entry("TRAILER!!!", b"", 0)
+    return bytes(out)
+
+
+def test_ar_members_short_and_gnu_long_names():
+    from evm_archive_spark.operators.archive import (
+        archive_kind,
+        archive_members,
+    )
+
+    members = [("hello.txt", b"hello world"), ("data.bin", b"\x00\x01ab")]
+    b = _mk_ar(members)
+    assert archive_kind(b) == "ar"
+    assert [(n, d) for n, _s, d in archive_members(b)] == members
+
+    longname = "a-very-long-member-name-over-16-chars.txt"
+    b = _mk_ar([(longname, b"long payload")], gnu_long=True)
+    got = list(archive_members(b))
+    assert got == [(longname, 12, b"long payload")]
+
+    # odd-size member alignment: second member still parses
+    b = _mk_ar([("odd", b"xyz"), ("next", b"ok")])
+    assert [n for n, _s, _d in archive_members(b)] == ["odd", "next"]
+
+
+def test_cpio_members_and_trailer():
+    from evm_archive_spark.operators.archive import (
+        ArchiveError,
+        archive_kind,
+        archive_members,
+    )
+
+    members = [("etc/conf", b"key=value\n"), ("bin/x", b"\x7fELFfake")]
+    b = _mk_cpio(members)
+    assert archive_kind(b) == "cpio"
+    assert [(n, d) for n, _s, d in archive_members(b)] == members
+
+    # a directory entry (S_IFDIR) is skipped
+    out = bytearray()
+    nm = b"adir\x00"
+    hdr = b"070701" + b"".join(
+        f"{v:08X}".encode()
+        for v in (0, 0o040755, 0, 0, 1, 0, 0, 0, 0, 0, 0, len(nm), 0)
+    )
+    out.extend(hdr + nm)
+    out.extend(b"\x00" * (-len(out) % 4))
+    dirent = bytes(out)
+    b2 = dirent + _mk_cpio(members)[0:]  # dir entry then files+trailer
+    assert [n for n, _s, _d in archive_members(b2)] == [
+        "etc/conf", "bin/x"
+    ]
+
+    # truncation fuzz: typed error or short result, never a crash
+    good = _mk_cpio(members)
+    for cut in range(0, len(good), 13):
+        try:
+            list(archive_members(good[:cut]))
+        except ArchiveError:
+            pass
+    good = _mk_ar(members)
+    for cut in range(0, len(good), 13):
+        try:
+            list(archive_members(good[:cut]))
+        except ArchiveError:
+            pass
