@@ -16,6 +16,8 @@ fallback, then applies the markup strippers JVM-side:
                                   parse; piece table / BIFF8 walk)
     .sqlite/.db                -> sqlitefile.sqlite_to_text (b-tree walk)
     .avro                      -> avrofile.avro_to_text (JSONL face)
+    .parquet / Arrow IPC       -> columnar.parquet_to_text /
+                                  arrow_ipc_to_text (JSONL face)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -80,6 +82,13 @@ def document_extract(
     PDF/notebook falls through to plain text."""
     from .archive import ArchiveError, compression_kind, decompress_payload
     from .avrofile import AvroError, avro_to_text, is_avro
+    from .columnar import (
+        ColumnarError,
+        arrow_ipc_to_text,
+        is_arrow_ipc,
+        is_parquet,
+        parquet_to_text,
+    )
     from .mail import MailError, parse_email
     from .officedoc import (
         OfficeDocError,
@@ -169,6 +178,21 @@ def document_extract(
                     try:
                         text, fmt = avro_to_text(b), "avro"
                     except AvroError:
+                        pass
+                if fmt is None and (
+                    "parquet" in m or (not m and is_parquet(b))
+                ):
+                    try:
+                        text, fmt = parquet_to_text(b), "parquet"
+                    except ColumnarError:
+                        pass
+                if fmt is None and (
+                    "arrow" in m or "feather" in m
+                    or (not m and is_arrow_ipc(b))
+                ):
+                    try:
+                        text, fmt = arrow_ipc_to_text(b), "arrow"
+                    except ColumnarError:
                         pass
                 if fmt is None and (
                     "rfc822" in m

@@ -8880,6 +8880,78 @@ _add(
 )
 
 
+# [pair] embedded columnar extraction (operators/columnar.py): REAL
+# Parquet (even doc_ids) / Arrow IPC (odd) payloads built per document
+# with the CANONICAL pyarrow writer — two rows (id, body slice, n) —
+# linearized back through document_extract to the JSONL face.  The
+# oracle rebuilds the JSON strings and the format by parity.
+
+def _q_columnar(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                c1 = _re.sub(r'[^ -~]|["\\]', " ", t[:80])
+                c2 = _re.sub(r'[^ -~]|["\\]', " ", t[80:160])
+                m = int(did)
+                table = pa.table(
+                    {
+                        "id": pa.array([1, 2], pa.int64()),
+                        "body": pa.array([c1, c2], pa.string()),
+                        "n": pa.array(
+                            [m % 7, m % 3], pa.int64()
+                        ),
+                    }
+                )
+                buf = io.BytesIO()
+                if m % 2 == 0:
+                    pq.write_table(table, buf)
+                else:
+                    with ipc.new_file(buf, table.schema) as w:
+                        w.write_table(table)
+                out["media_id"].append(m)
+                out["payload"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_columnar",
+    _q_columnar,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(substring(COALESCE(text, ''), 1, 80), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c1, "
+    "regexp_replace(substring(COALESCE(text, ''), 81, 80), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c2 FROM documents) "
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'parquet' ELSE 'arrow' END AS format, "
+    "'{\"id\": 1, \"body\": \"' || c1 || '\", \"n\": ' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '}' || chr(10) || "
+    "'{\"id\": 2, \"body\": \"' || c2 || '\", \"n\": ' || "
+    "CAST(doc_id % 3 AS VARCHAR) || '}' AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL pyarrow-written Parquet / Arrow IPC payloads linearize back "
+    "to the JSONL face; oracle rebuilds the strings and format by parity",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10711,7 +10783,7 @@ _ROUND7_STAGED: list[str] = [
     # appended as round-7 gates land (each driver-sim'd at both SFs first)
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
     "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls", "q_sqlite",
-    "q_odp", "q_mkv_decode", "q_avro", "q_ar_cpio",
+    "q_odp", "q_mkv_decode", "q_avro", "q_ar_cpio", "q_columnar",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)
