@@ -177,5 +177,4 @@ def _pooled_document_extract_routes_avro(spark):
     )
 
 
-def test_avrofile_pooled(spark):
-    _pooled_document_extract_routes_avro(spark)
+# (routing check pooled into test_officedoc.test_extract_routing_pooled)

@@ -123,5 +123,4 @@ def _pooled_document_extract_routes_columnar(spark):
     )
 
 
-def test_columnar_pooled(spark):
-    _pooled_document_extract_routes_columnar(spark)
+# (routing check pooled into test_officedoc.test_extract_routing_pooled)

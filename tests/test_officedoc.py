@@ -419,8 +419,6 @@ def _pooled_document_extract_routes_docx_epub(spark):
     assert got["format"] == "docx"
 
 
-def test_officedoc_pooled(spark):
-    _pooled_document_extract_routes_docx_epub(spark)
 
 
 def test_pptx_roundtrip_and_slide_order():
@@ -716,8 +714,6 @@ def _pooled_document_extract_routes_pptx_ods_xls(spark):
     assert got["format"] == "xls"
 
 
-def test_officedoc_pooled_r7(spark):
-    _pooled_document_extract_routes_pptx_ods_xls(spark)
 
 
 def test_odp_roundtrip_and_foreign_fixture():
@@ -786,5 +782,36 @@ def _pooled_document_extract_routes_odp(spark):
     assert out["text"] == "deck text"
 
 
-def test_officedoc_pooled_odp(spark):
-    _pooled_document_extract_routes_odp(spark)
+
+
+def test_extract_routing_pooled(spark):
+    """All document_extract routing checks (office zip family, CFB
+    pair, sqlite, avro, columnar) through one thread pool — the
+    test_operators_pooled_heavy restructure applied to the routing
+    one-offs (suite-time watch, VERDICT r6 #8)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from test_avrofile import _pooled_document_extract_routes_avro
+    from test_columnar import _pooled_document_extract_routes_columnar
+    from test_sqlitefile import _pooled_document_extract_routes_sqlite
+
+    checks = [
+        _pooled_document_extract_routes_docx_epub,
+        _pooled_document_extract_routes_pptx_ods_xls,
+        _pooled_document_extract_routes_odp,
+        _pooled_document_extract_routes_sqlite,
+        _pooled_document_extract_routes_avro,
+        _pooled_document_extract_routes_columnar,
+    ]
+
+    def run(fn):
+        try:
+            fn(spark)
+            return fn.__name__, None
+        except Exception as e:  # noqa: BLE001 — aggregated below
+            return fn.__name__, f"{type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(run, checks))
+    fails = [(n, m) for n, m in results if m]
+    assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)

@@ -4148,7 +4148,7 @@ def test_operators_pooled_heavy(spark):
         except Exception as e:  # noqa: BLE001 — aggregated below
             return fn.__name__, f"{type(e).__name__}: {e}"
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    with ThreadPoolExecutor(max_workers=12) as ex:
         results = list(ex.map(run, _POOLED_HEAVY))
     assert len(results) == len(_POOLED_HEAVY) >= 13
     fails = [(n, m) for n, m in results if m]

@@ -162,5 +162,4 @@ def _pooled_document_extract_routes_sqlite(spark):
     assert got["format"] == "sqlite"
 
 
-def test_sqlitefile_pooled(spark):
-    _pooled_document_extract_routes_sqlite(spark)
+# (routing check pooled into test_officedoc.test_extract_routing_pooled)
