@@ -99,6 +99,14 @@ HEADLINE = [
     "q_image_corpus",
     "q_audio_corpus",
     "q_video_dedup",
+    # round-7: one representative per new extraction family — the ZIP
+    # document set (through the one-open zip_to_text dispatch), the
+    # SQLite b-tree walk, the Avro binary decoder, and the MKV
+    # cluster/PCM decode
+    "q_docx",
+    "q_sqlite",
+    "q_avro",
+    "q_mkv_decode",
 ]
 
 
