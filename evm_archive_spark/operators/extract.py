@@ -146,6 +146,18 @@ def document_extract(
                     or "opendocument" in m
                     or "epub" in m
                     or (not m and b[:4] == b"PK\x03\x04")
+                    # real-world mislabeling: servers routinely declare
+                    # .xlsx/.docx with the LEGACY MIME types; when the
+                    # bytes are ZIP, the member-name dispatch (not the
+                    # CFB walk) is what can extract them
+                    or (
+                        b[:4] == b"PK\x03\x04"
+                        and (
+                            m.endswith("ms-excel")
+                            or m.endswith("msword")
+                            or m.endswith("ms-powerpoint")
+                        )
+                    )
                 ):
                     try:
                         fmt, text = zip_to_text(b)

@@ -363,15 +363,19 @@ def _block_frames(b: bytes, s: int, e: int) -> tuple[int, list[bytes]]:
             sizes.append(sz)
         sizes.append(e - pos - sum(sizes))
     else:                                 # EBML lacing
-        first, w2 = _read_vint(b, pos, keep_marker=False)
-        pos += w2
-        sizes = [first]
-        for _ in range(max(nframes - 2, 0)):
-            raw, w3 = _read_vint(b, pos, keep_marker=False)
-            pos += w3
-            delta = raw - ((1 << (7 * w3 - 1)) - 1)   # signed vint
-            sizes.append(sizes[-1] + delta)
-        if nframes >= 2:
+        if nframes == 1:
+            # degenerate lace: zero size fields, the one frame's size
+            # is deduced (RFC 9559 §10.5)
+            sizes = [e - pos]
+        else:
+            first, w2 = _read_vint(b, pos, keep_marker=False)
+            pos += w2
+            sizes = [first]
+            for _ in range(nframes - 2):
+                raw, w3 = _read_vint(b, pos, keep_marker=False)
+                pos += w3
+                delta = raw - ((1 << (7 * w3 - 1)) - 1)   # signed vint
+                sizes.append(sizes[-1] + delta)
             sizes.append(e - pos - sum(sizes))
     frames = []
     for sz in sizes:

@@ -66,8 +66,15 @@ def _read_member(z: zipfile.ZipFile, name: str) -> str:
         raise OfficeDocError(f"missing zip member {name!r}") from None
     if info.file_size > MAX_XML_BYTES:
         raise OfficeDocError(f"member {name!r} exceeds the inflate cap")
-    with z.open(info) as fh:
-        return fh.read(MAX_XML_BYTES + 1).decode("utf-8", "replace")
+    try:
+        with z.open(info) as fh:
+            return fh.read(MAX_XML_BYTES + 1).decode("utf-8", "replace")
+    except (zipfile.BadZipFile, OSError, NotImplementedError) as e:
+        # BadZipFile (e.g. a failing member CRC) is not in the guard
+        # decorator's stray list — normalize here so a corrupt member
+        # is a TYPED error on every extractor, per the dirty-payload
+        # contract
+        raise OfficeDocError(f"bad zip member {name!r}: {e}") from e
 
 
 _ENTITIES = {
@@ -97,6 +104,20 @@ def xml_escape(s: str) -> str:
     return (
         s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     )
+
+
+
+def _member_head(z: zipfile.ZipFile, name: str, cap: int) -> bytes | None:
+    """Bounded, exception-typed peek at one zip member for SNIFFING:
+    reads at most ``cap`` bytes and returns ``None`` on any decode
+    error (a corrupt deflate stream must make a sniff say "not this
+    format", never raise an untyped zlib error through a dirty-payload
+    path, and never inflate unbounded)."""
+    try:
+        with z.open(name) as fh:
+            return fh.read(cap)
+    except Exception:  # noqa: BLE001 - sniffing untrusted bytes
+        return None
 
 
 # -- DOCX ---------------------------------------------------------------------
@@ -183,8 +204,13 @@ def build_docx(paragraphs: list[str]) -> bytes:
 # -- ODT ----------------------------------------------------------------------
 
 _ODT_MIME = b"application/vnd.oasis.opendocument.text"
+# self-closing alternative FIRST (and non-capturing, so the open
+# alternative keeps groups 1/2): with it second, `[^>]*` swallows the
+# '/' of an attribute-bearing empty paragraph (`<text:p
+# text:style-name="P1"/>`) and the lazy body merges it with the NEXT
+# paragraph
 _T_P = re.compile(
-    r"<text:(p|h)(?:\s[^>]*)?>(.*?)</text:\1>|<text:(?:p|h)(?:\s[^>]*)?/>",
+    r"<text:(?:p|h)(?:\s[^>]*)?/>|<text:(p|h)(?:\s[^>]*)?>(.*?)</text:\1>",
     re.S,
 )
 _T_SPECIAL = re.compile(
@@ -202,7 +228,8 @@ def is_odt(b: bytes) -> bool:
             if "content.xml" not in names:
                 return False
             if "mimetype" in names:
-                return z.read("mimetype").strip() == _ODT_MIME
+                head = _member_head(z, "mimetype", 256)
+                return head is not None and head.strip() == _ODT_MIME
             return True
     except zipfile.BadZipFile:
         return False
@@ -217,22 +244,10 @@ def odt_to_text(b: bytes) -> str:
     inside nested spans — remaining tags vanish, entities decode."""
     with _zip_of(b) as z:
         xml = _read_member(z, "content.xml")
-    paras = []
-    for pm in _T_P.finditer(xml):
-        body = pm.group(2) or ""  # self-closing <text:p/> = empty line
-        body = _T_SPECIAL.sub(
-            lambda m: (
-                "\t"
-                if m.group(0).startswith("<text:tab")
-                else "\n"
-                if m.group(0).startswith("<text:line-break")
-                else " " * int(m.group(1) or 1)
-            ),
-            body,
-        )
-        body = _TAG.sub("", body)
-        paras.append(_unescape(body))
-    return "\n".join(paras)
+    # self-closing <text:p/> = empty line; decoding shared with ODS/ODP
+    return "\n".join(
+        _odf_para_text(pm.group(2) or "") for pm in _T_P.finditer(xml)
+    )
 
 
 def _odf_encode(p: str) -> str:
@@ -449,11 +464,21 @@ def build_doc(text: str) -> bytes:
 # one line per row, cell values tab-joined — the text face a
 # training-data pipeline wants from a spreadsheet.
 
-_XLSX_SI = re.compile(r"<si>(.*?)</si>", re.S)
-_XLSX_T = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
-_XLSX_ROW = re.compile(r"<row(?:\s[^>]*)?>(.*?)</row>", re.S)
-_XLSX_CELL = re.compile(r"<c(\s[^>]*)?>(.*?)</c>|<c(?:\s[^>]*)?/>", re.S)
+# Every pattern lists its SELF-CLOSING alternative FIRST: with the
+# open-tag alternative first, `[^>]*` swallows the '/' of an
+# attribute-bearing self-closing element (`<c r="A1" s="1"/>`, as
+# Excel routinely writes for styled empty cells) and the lazy body
+# then consumes the FOLLOWING element — silent cell/paragraph merging.
+_XLSX_SI = re.compile(r"<si/>|<si>(.*?)</si>", re.S)
+_XLSX_T = re.compile(r"<t(?:\s[^>]*)?/>|<t(?:\s[^>]*)?>(.*?)</t>", re.S)
+_XLSX_ROW = re.compile(
+    r"<row(?:\s[^>]*)?/>|<row(?:\s[^>]*)?>(.*?)</row>", re.S
+)
+_XLSX_CELL = re.compile(
+    r"<c(\s[^>]*)?/>|<c(\s[^>]*)?>(.*?)</c>", re.S
+)
 _XLSX_V = re.compile(r"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
+_SHEET_NUM = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
 
 
 def is_xlsx(b: bytes) -> bool:
@@ -470,8 +495,8 @@ def is_xlsx(b: bytes) -> bool:
 def xlsx_to_text(b: bytes) -> str:
     """SpreadsheetML -> text: rows newline-joined, cells tab-joined,
     shared/inline strings resolved, numeric/other cells by their
-    lexical <v>.  Sheets concatenate in member order with a blank line
-    between."""
+    lexical <v>.  Sheets concatenate in NUMERIC member order (sheet10
+    after sheet2, the pptx slide rule) with a blank line between."""
     with _zip_of(b) as z:
         names = z.namelist()
         if "xl/workbook.xml" not in names:
@@ -482,22 +507,32 @@ def xlsx_to_text(b: bytes) -> str:
             for si in _XLSX_SI.finditer(sst):
                 shared.append(
                     _unescape(
-                        "".join(t.group(1) for t in _XLSX_T.finditer(si.group(1)))
+                        "".join(
+                            t.group(1)
+                            for t in _XLSX_T.finditer(si.group(1) or "")
+                            if t.group(1) is not None
+                        )
                     )
                 )
         sheets = sorted(
-            n for n in names
-            if n.startswith("xl/worksheets/") and n.endswith(".xml")
+            (
+                (int(m.group(1)), n) if m else (1 << 30, n)
+                for n in names
+                if n.startswith("xl/worksheets/") and n.endswith(".xml")
+                for m in (_SHEET_NUM.match(n),)
+            ),
         )
         out_sheets = []
-        for name in sheets:
+        for _num, name in sheets:
             xml = _read_member(z, name)
             lines = []
             for row in _XLSX_ROW.finditer(xml):
                 cells = []
-                for c in _XLSX_CELL.finditer(row.group(1)):
-                    attrs = dict(_ATTR.findall(c.group(1) or ""))
-                    body = c.group(2) or ""
+                for c in _XLSX_CELL.finditer(row.group(1) or ""):
+                    attrs = dict(
+                        _ATTR.findall(c.group(1) or c.group(2) or "")
+                    )
+                    body = c.group(3) or ""
                     ctype = attrs.get("t", "n")
                     if ctype == "s":
                         v = _XLSX_V.search(body)
@@ -511,6 +546,7 @@ def xlsx_to_text(b: bytes) -> str:
                                 "".join(
                                     t.group(1)
                                     for t in _XLSX_T.finditer(body)
+                                    if t.group(1) is not None
                                 )
                             )
                         )
@@ -738,7 +774,11 @@ def is_epub(b: bytes) -> bool:
             if "META-INF/container.xml" not in names:
                 return False
             if "mimetype" in names:
-                return z.read("mimetype").strip() == b"application/epub+zip"
+                head = _member_head(z, "mimetype", 256)
+                return (
+                    head is not None
+                    and head.strip() == b"application/epub+zip"
+                )
             return True
     except zipfile.BadZipFile:
         return False
@@ -826,10 +866,14 @@ def build_epub(chapters: list[str], title: str = "t") -> bytes:
 # reference (SummaryDev/evm-archive) has no document surface; this
 # extends the training-pipeline extraction lane alongside docx/odt.
 
+# self-closing alternatives FIRST (the _T_P rule): attribute-bearing
+# empty elements must not parse as open tags
 _PPTX_P = re.compile(
-    r"<a:p(?:\s[^>]*)?>(.*?)</a:p>|<a:p(?:\s[^>]*)?/>", re.S
+    r"<a:p(?:\s[^>]*)?/>|<a:p(?:\s[^>]*)?>(.*?)</a:p>", re.S
 )
-_PPTX_RUN = re.compile(r"<a:t(?:\s[^>]*)?>(.*?)</a:t>|<a:br\s*/>", re.S)
+_PPTX_RUN = re.compile(
+    r"<a:t(?:\s[^>]*)?/>|<a:t(?:\s[^>]*)?>(.*?)</a:t>|<a:br\s*/>", re.S
+)
 _SLIDE_NUM = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
 
 
@@ -868,8 +912,9 @@ def pptx_to_text(b: bytes) -> str:
                 for rm in _PPTX_RUN.finditer(body):
                     if rm.group(1) is not None:
                         parts.append(_unescape(rm.group(1)))
-                    else:                      # <a:br/>
+                    elif rm.group(0).startswith("<a:br"):
                         parts.append("\n")
+                    # else: self-closing empty <a:t/> run — no text
                 paras.append("".join(parts))
             out_slides.append("\n".join(paras))
     return "\n\n".join(out_slides)
@@ -920,14 +965,18 @@ def build_pptx(slides: list[list[str]]) -> bytes:
 
 _ODS_MIME = b"application/vnd.oasis.opendocument.spreadsheet"
 _ODS_TABLE = re.compile(
-    r"<table:table(?:\s[^>]*)?>(.*?)</table:table>", re.S
+    r"<table:table(?:\s[^>]*)?/>"
+    r"|<table:table(?:\s[^>]*)?>(.*?)</table:table>",
+    re.S,
 )
 _ODS_ROW = re.compile(
-    r"<table:table-row(?:\s[^>]*)?>(.*?)</table:table-row>", re.S
+    r"<table:table-row(?:\s[^>]*)?/>"
+    r"|<table:table-row(?:\s[^>]*)?>(.*?)</table:table-row>",
+    re.S,
 )
 _ODS_CELL = re.compile(
-    r"<table:table-cell(\s[^>]*)?>(.*?)</table:table-cell>"
-    r"|<table:table-cell(\s[^>]*)?/>",
+    r"<table:table-cell(\s[^>]*)?/>"
+    r"|<table:table-cell(\s[^>]*)?>(.*?)</table:table-cell>",
     re.S,
 )
 _MAX_ODS_REPEAT = 4096  # column-repeat fan-out cap (sheet-filler bombs)
@@ -942,8 +991,10 @@ def is_ods(b: bytes) -> bool:
             if "content.xml" not in names:
                 return False
             if "mimetype" in names:
-                return z.read("mimetype").strip() == _ODS_MIME
-            return b"office:spreadsheet" in z.read("content.xml")
+                head = _member_head(z, "mimetype", 256)
+                return head is not None and head.strip() == _ODS_MIME
+            body = _member_head(z, "content.xml", MAX_XML_BYTES)
+            return body is not None and b"office:spreadsheet" in body
     except zipfile.BadZipFile:
         return False
 
@@ -974,11 +1025,13 @@ def ods_to_text(b: bytes) -> str:
     tables = []
     for tm in _ODS_TABLE.finditer(xml):
         lines = []
-        for rm in _ODS_ROW.finditer(tm.group(1)):
+        for rm in _ODS_ROW.finditer(tm.group(1) or ""):
             cells: list[str] = []
-            for cm in _ODS_CELL.finditer(rm.group(1)):
-                attrs = dict(_ATTR.findall(cm.group(1) or cm.group(3) or ""))
-                body = cm.group(2) or ""
+            for cm in _ODS_CELL.finditer(rm.group(1) or ""):
+                attrs = dict(
+                    _ATTR.findall(cm.group(1) or cm.group(2) or "")
+                )
+                body = cm.group(3) or ""
                 text = "\n".join(
                     _odf_para_text(pm.group(2) or "")
                     for pm in _T_P.finditer(body)
@@ -1339,7 +1392,9 @@ def cfb_to_text(b: bytes) -> tuple[str, str]:
 
 _ODP_MIME = b"application/vnd.oasis.opendocument.presentation"
 _ODP_PAGE = re.compile(
-    r"<draw:page(?:\s[^>]*)?>(.*?)</draw:page>", re.S
+    r"<draw:page(?:\s[^>]*)?/>"
+    r"|<draw:page(?:\s[^>]*)?>(.*?)</draw:page>",
+    re.S,
 )
 
 
@@ -1352,8 +1407,10 @@ def is_odp(b: bytes) -> bool:
             if "content.xml" not in names:
                 return False
             if "mimetype" in names:
-                return z.read("mimetype").strip() == _ODP_MIME
-            return b"office:presentation" in z.read("content.xml")
+                head = _member_head(z, "mimetype", 256)
+                return head is not None and head.strip() == _ODP_MIME
+            body = _member_head(z, "content.xml", MAX_XML_BYTES)
+            return body is not None and b"office:presentation" in body
     except zipfile.BadZipFile:
         return False
 
@@ -1369,7 +1426,7 @@ def odp_to_text(b: bytes) -> str:
     for gm in _ODP_PAGE.finditer(xml):
         paras = [
             _odf_para_text(pm.group(2) or "")
-            for pm in _T_P.finditer(gm.group(1))
+            for pm in _T_P.finditer(gm.group(1) or "")
         ]
         pages.append("\n".join(paras))
     return "\n\n".join(pages)
@@ -1431,10 +1488,10 @@ def zip_to_text(b: bytes) -> tuple[str, str]:
         names = set(z.namelist())
         mimetype = None
         if "mimetype" in names:
-            try:
-                mimetype = z.read("mimetype").strip()
-            except Exception as e:  # noqa: BLE001 - corrupt member
-                raise OfficeDocError(f"bad mimetype member: {e}") from e
+            head = _member_head(z, "mimetype", 256)
+            if head is None:
+                raise OfficeDocError("bad mimetype member")
+            mimetype = head.strip()
     if "word/document.xml" in names:
         return "docx", docx_to_text(b)
     if "xl/workbook.xml" in names:

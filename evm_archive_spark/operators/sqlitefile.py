@@ -158,7 +158,6 @@ class _Db:
 
     def table_rows(self, rootpage: int):
         """Walk a table b-tree in rowid order, yielding (rowid, values)."""
-        stack = [(rootpage, True)]                    # page 1 header skip
         # iterative DFS preserving left-to-right (rowid) order
         order: list[int] = []
         visited = 0
@@ -192,7 +191,6 @@ class _Db:
                 )
             else:
                 raise SqliteError(f"unexpected page type {ptype}")
-        del stack
         for pno in order:
             pg = self.page(pno)
             hoff = 100 if pno == 1 else 0

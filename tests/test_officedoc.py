@@ -815,3 +815,176 @@ def test_extract_routing_pooled(spark):
         results = list(ex.map(run, checks))
     fails = [(n, m) for n, m in results if m]
     assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)
+
+
+def test_self_closing_elements_with_attributes_do_not_merge():
+    """Code-review regression pins: an attribute-bearing self-closing
+    element must not parse as an open tag (the `[^>]*` of the open
+    alternative used to swallow the '/' and the lazy body then consumed
+    the FOLLOWING element)."""
+    from evm_archive_spark.operators.officedoc import (
+        odp_to_text,
+        ods_to_text,
+        pptx_to_text,
+        xlsx_to_text,
+    )
+
+    # xlsx: styled empty cell (as Excel writes) before a shared-string
+    # cell — the empty cell must survive and the string must resolve
+    sst = "<sst><si><t>hello</t></si><si/><si><t>after</t></si></sst>"
+    sheet = (
+        "<worksheet><sheetData>"
+        '<row r="1"><c r="A1" s="1"/><c r="B1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    b = _zip_bytes(
+        [
+            ("xl/workbook.xml", "<workbook/>"),
+            ("xl/sharedStrings.xml", sst),
+            ("xl/worksheets/sheet1.xml", sheet),
+        ]
+    )
+    assert xlsx_to_text(b) == "\thello\nafter"
+
+    # odt/ods: attribute-bearing empty paragraph must not merge with
+    # the next one
+    xml = (
+        "<office:document-content><office:body><office:text>"
+        '<text:p text:style-name="P1"/>'
+        "<text:p>kept</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    b = _zip_bytes(
+        [
+            ("mimetype", "application/vnd.oasis.opendocument.text"),
+            ("content.xml", xml),
+        ]
+    )
+    assert odt_to_text(b) == "\nkept"
+
+    # ods: self-closing repeated cell with attributes
+    xml = (
+        "<office:document-content><office:body><office:spreadsheet>"
+        "<table:table><table:table-row>"
+        '<table:table-cell table:number-columns-repeated="2"/>'
+        "<table:table-cell><text:p>v</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    b = _zip_bytes(
+        [
+            (
+                "mimetype",
+                "application/vnd.oasis.opendocument.spreadsheet",
+            ),
+            ("content.xml", xml),
+        ]
+    )
+    assert ods_to_text(b) == "\t\tv"
+
+    # pptx: attribute-bearing empty paragraph + empty self-closing run
+    slide = (
+        '<p:sld><p:cSld><p:spTree><p:sp><p:txBody>'
+        '<a:p a:x="1"/>'
+        '<a:p><a:r><a:t xml:space="preserve"/></a:r>'
+        "<a:r><a:t>kept</a:t></a:r></a:p>"
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    )
+    b = _zip_bytes(
+        [
+            ("ppt/presentation.xml", "<p:presentation/>"),
+            ("ppt/slides/slide1.xml", slide),
+        ]
+    )
+    assert pptx_to_text(b) == "\nkept"
+
+    # odp: attribute-bearing empty page must not merge with the next
+    xml = (
+        "<office:document-content><office:body><office:presentation>"
+        '<draw:page draw:name="p1"/>'
+        '<draw:page draw:name="p2"><draw:frame><draw:text-box>'
+        "<text:p>second</text:p></draw:text-box></draw:frame>"
+        "</draw:page>"
+        "</office:presentation></office:body></office:document-content>"
+    )
+    b = _zip_bytes(
+        [
+            (
+                "mimetype",
+                "application/vnd.oasis.opendocument.presentation",
+            ),
+            ("content.xml", xml),
+        ]
+    )
+    assert odp_to_text(b) == "\n\nsecond"
+
+
+def test_xlsx_sheet_numeric_order():
+    from evm_archive_spark.operators.officedoc import xlsx_to_text
+
+    members = [("xl/workbook.xml", "<workbook/>")]
+    for i in (1, 2, 10):
+        members.append(
+            (
+                f"xl/worksheets/sheet{i}.xml",
+                "<worksheet><sheetData>"
+                f'<row r="1"><c r="A1" t="inlineStr"><is><t>s{i}</t>'
+                "</is></c></row></sheetData></worksheet>",
+            )
+        )
+    b = _zip_bytes(members)
+    assert xlsx_to_text(b) == "s1\n\ns2\n\ns10"
+
+
+def test_corrupt_member_sniffs_stay_typed_and_capped():
+    """A mimetype-less ZIP whose content.xml deflate stream is corrupt
+    must sniff as 'not this format' (and zip_to_text must raise the
+    TYPED error), never leak a raw zlib.error through the dirty-payload
+    path."""
+    import io
+    import struct
+    import zipfile
+
+    from evm_archive_spark.operators.officedoc import (
+        is_odp,
+        is_ods,
+        zip_to_text,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("content.xml", "<office:document-content/>" * 50)
+    b = bytearray(buf.getvalue())
+    # corrupt the member's deflate payload in place (after the local
+    # header: 30 bytes + name length)
+    off = 30 + len("content.xml")
+    b[off + 5:off + 25] = b"\x00" * 20
+    b = bytes(b)
+    assert is_ods(b) is False and is_odp(b) is False
+    with pytest.raises(OfficeDocError):
+        zip_to_text(b)
+
+
+def test_legacy_mime_mislabeled_ooxml_still_extracts(spark):
+    """A .xlsx served as application/vnd.ms-excel (standard real-world
+    mislabeling) must extract through the ZIP dispatch, not degrade to
+    raw text via the failing CFB branch."""
+    import pandas as pd
+
+    from evm_archive_spark.operators.extract import document_extract
+    from evm_archive_spark.operators.officedoc import build_xlsx
+
+    xlsx = build_xlsx([["mislabeled", "cell"]])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0],
+                "payload": [bytearray(xlsx)],
+                "mime": ["application/vnd.ms-excel"],
+            }
+        )
+    )
+    got = document_extract(df, mime_col="mime").collect()[0]
+    assert got["format"] == "xlsx"
+    assert got["text"] == "mislabeled\tcell"
