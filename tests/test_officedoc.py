@@ -988,3 +988,98 @@ def test_legacy_mime_mislabeled_ooxml_still_extracts(spark):
     got = document_extract(df, mime_col="mime").collect()[0]
     assert got["format"] == "xlsx"
     assert got["text"] == "mislabeled\tcell"
+
+
+def test_office_roundtrip_properties():
+    """Hypothesis: arbitrary text round-trips exactly through every
+    office writer/reader pair, under each format's documented
+    normalization (tabs/newlines are the linearization separators for
+    the grid formats; RTF maps non-ASCII via \\uN so identity holds on
+    any text)."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.officedoc import (
+        build_doc,
+        build_odp,
+        build_ods,
+        build_odt,
+        build_pptx,
+        build_rtf,
+        build_xls,
+        build_xlsx,
+        doc_to_text,
+        odp_to_text,
+        ods_to_text,
+        odt_to_text,
+        pptx_to_text,
+        rtf_to_text,
+        xls_to_text,
+        xlsx_to_text,
+    )
+
+    # printable unicode incl. XML specials, spaces, CJK — no control
+    # chars (Word's piece walk folds those by design)
+    text = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0xD7FF,
+            blacklist_characters="\x7f",
+        ),
+        max_size=120,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(a=text, b=text)
+    def check(a, b):
+        assert odt_to_text(build_odt([a, b])) == f"{a}\n{b}"
+        assert pptx_to_text(build_pptx([[a], [b]])) == f"{a}\n\n{b}"
+        assert odp_to_text(build_odp([[a], [b]])) == f"{a}\n\n{b}"
+        # Word stores \r paragraph marks; builder appends END. marker
+        assert doc_to_text(build_doc(a)) == a + "\nEND."
+        ca = _re.sub(r"[\t\r\n]", " ", a)
+        cb = _re.sub(r"[\t\r\n]", " ", b)
+        grid = [[ca, cb], [cb, ca]]
+        exp = f"{ca}\t{cb}\n{cb}\t{ca}"
+        assert xlsx_to_text(build_xlsx(grid)) == exp
+        assert ods_to_text(build_ods(grid)) == exp
+        assert xls_to_text(build_xls(grid)) == exp
+        assert rtf_to_text(build_rtf([a, b])) == f"{a}\n{b}"
+
+    check()
+
+
+def test_avro_roundtrip_property():
+    """Hypothesis: arbitrary (long, string, bytes, optional) records
+    survive the container round trip under both codecs."""
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.avrofile import avro_records, build_avro
+
+    schema = {
+        "type": "record", "name": "P",
+        "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "o", "type": ["null", "long"]},
+        ],
+    }
+    rec = st.fixed_dictionaries(
+        {
+            "n": st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+            "s": st.text(max_size=60),
+            "b": st.binary(max_size=40),
+            "o": st.none() | st.integers(min_value=-100, max_value=100),
+        }
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(recs=st.lists(rec, max_size=8), codec=st.sampled_from(["null", "deflate"]))
+    def check(recs, codec):
+        _s, got = avro_records(
+            build_avro(schema, recs, codec=codec, records_per_block=3)
+        )
+        assert got == recs
+
+    check()
