@@ -18,6 +18,8 @@ fallback, then applies the markup strippers JVM-side:
     .avro                      -> avrofile.avro_to_text (JSONL face)
     .parquet / Arrow IPC       -> columnar.parquet_to_text /
                                   arrow_ipc_to_text (JSONL face)
+    msgpack (MIME only)        -> msgpackfile.msgpack_to_text (the
+                                  format has no magic; never sniffed)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -90,6 +92,7 @@ def document_extract(
         parquet_to_text,
     )
     from .mail import MailError, parse_email
+    from .msgpackfile import MsgpackError, msgpack_to_text
     from .officedoc import (
         OfficeDocError,
         cfb_to_text,
@@ -205,6 +208,11 @@ def document_extract(
                     try:
                         text, fmt = arrow_ipc_to_text(b), "arrow"
                     except ColumnarError:
+                        pass
+                if fmt is None and "msgpack" in m:
+                    try:
+                        text, fmt = msgpack_to_text(b), "msgpack"
+                    except MsgpackError:
                         pass
                 if fmt is None and (
                     "rfc822" in m

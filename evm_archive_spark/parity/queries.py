@@ -8952,6 +8952,69 @@ _add(
 )
 
 
+# [pair] MessagePack extraction (operators/msgpackfile.py, the public
+# msgpack.org format spec): REAL streams of two map objects built per
+# document by the from-scratch canonical encoder, dispatched by MIME
+# (the format has no magic — never sniffed) through document_extract to
+# the JSONL face.  Same JSON-identity slice discipline and oracle
+# shape as q_avro.
+
+def _q_msgpack(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+    from ..operators.msgpackfile import build_msgpack
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": [], "mime": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                c1 = _re.sub(r'[^ -~]|["\\]', " ", t[:80])
+                c2 = _re.sub(r'[^ -~]|["\\]', " ", t[80:160])
+                m = int(did)
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_msgpack(
+                        [
+                            {"id": 1, "body": c1, "n": m % 7},
+                            {"id": 2, "body": c2, "n": m % 3},
+                        ]
+                    )
+                )
+                out["mime"].append("application/x-msgpack")
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(
+        mux, "media_id long, payload binary, mime string"
+    )
+    return document_extract(media, mime_col="mime").orderBy("media_id")
+
+
+_add(
+    "q_msgpack",
+    _q_msgpack,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(substring(COALESCE(text, ''), 1, 80), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c1, "
+    "regexp_replace(substring(COALESCE(text, ''), 81, 80), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c2 FROM documents) "
+    "SELECT doc_id AS media_id, 'msgpack' AS format, "
+    "'{\"id\": 1, \"body\": \"' || c1 || '\", \"n\": ' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '}' || chr(10) || "
+    "'{\"id\": 2, \"body\": \"' || c2 || '\", \"n\": ' || "
+    "CAST(doc_id % 3 AS VARCHAR) || '}' AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL MessagePack streams built by the from-scratch encoder "
+    "round-trip the decoder to JSONL via MIME dispatch; oracle rebuilds",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10784,6 +10847,7 @@ _ROUND7_STAGED: list[str] = [
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
     "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls", "q_sqlite",
     "q_odp", "q_mkv_decode", "q_avro", "q_ar_cpio", "q_columnar",
+    "q_msgpack",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)
