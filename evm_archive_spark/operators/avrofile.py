@@ -249,24 +249,17 @@ def avro_records(b: bytes) -> tuple[object, list]:
     return schema, records
 
 
-def _jsonable(v):
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, dict):
-        return {k: _jsonable(x) for k, x in v.items()}
-    if isinstance(v, list):
-        return [_jsonable(x) for x in v]
-    return v
-
-
 @guard(AvroError)
 def avro_to_text(b: bytes) -> str:
     """Linearize an Avro container to JSONL: one ``json.dumps`` object
-    per record per line (bytes/fixed hex-encoded) — the text face the
-    extraction lane already speaks for notebooks and JSON."""
+    per record per line (bytes/fixed hex-encoded, non-finite doubles
+    null — shared canonicalizer) — the text face the extraction lane
+    already speaks for notebooks and JSON."""
+    from .util import json_canonical
+
     _schema, records = avro_records(b)
     return "\n".join(
-        json.dumps(_jsonable(rec), ensure_ascii=False)
+        json.dumps(json_canonical(rec), ensure_ascii=False)
         for rec in records
     )
 

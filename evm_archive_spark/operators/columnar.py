@@ -45,28 +45,9 @@ def is_arrow_ipc(b: bytes) -> bool:
     return b[:6] == b"ARROW1"
 
 
-def _jsonable(v):
-    import datetime as dt
-    from decimal import Decimal
-
-    if isinstance(v, bytes):
-        if len(v) > MAX_CELL_BYTES:
-            raise ColumnarError("binary cell exceeds the cap")
-        return v.hex()
-    if isinstance(v, (dt.datetime, dt.date, dt.time)):
-        return v.isoformat()
-    if isinstance(v, Decimal):
-        return str(v)
-    if isinstance(v, dict):
-        return {str(k): _jsonable(x) for k, x in v.items()}
-    if isinstance(v, (list, tuple)):
-        return [_jsonable(x) for x in v]
-    if isinstance(v, float) and v != v:       # NaN is not valid JSON
-        return None
-    return v
-
-
 def _table_to_jsonl(table) -> str:
+    from .util import json_canonical
+
     if table.num_rows > MAX_ROWS:
         raise ColumnarError(
             f"{table.num_rows} rows exceed the linearization cap"
@@ -74,9 +55,14 @@ def _table_to_jsonl(table) -> str:
     cols = table.column_names
     lines = []
     for row in table.to_pylist():
+        # the shared canonicalizer raises ValueError past the cell
+        # cap; @guard(ColumnarError) on the callers types it
         lines.append(
             json.dumps(
-                {k: _jsonable(row[k]) for k in cols},
+                {
+                    k: json_canonical(row[k], MAX_CELL_BYTES)
+                    for k in cols
+                },
                 ensure_ascii=False,
             )
         )

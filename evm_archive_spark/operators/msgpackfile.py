@@ -138,15 +138,30 @@ def _map(r: _Reader, n: int, depth: int) -> dict:
     out = {}
     for _ in range(n):
         k = _decode(r, depth + 1)
-        out[k if isinstance(k, (str, int, float, bool)) else str(k)] = (
-            _decode(r, depth + 1)
-        )
+        if not isinstance(k, (str, int, float, bool, bytes)):
+            # container/ext keys can't be dict keys; canonicalize
+            import json as _json
+
+            from .util import json_canonical
+
+            k = _json.dumps(json_canonical(k), ensure_ascii=False)
+        if k in out:
+            # Python collapses numerically-equal keys of different
+            # msgpack types (1 == True == 1.0) — silent entry loss;
+            # duplicate keys are spec-invalid anyway, so type it
+            raise MsgpackError("duplicate or colliding map key")
+        out[k] = _decode(r, depth + 1)
     return out
 
 
 @guard(MsgpackError)
 def msgpack_records(b: bytes) -> list:
     """Decode a stream of concatenated top-level MessagePack values."""
+    if not b:
+        # an empty payload must FALL THROUGH in document_extract, not
+        # report a successful zero-record msgpack extraction (every
+        # other lane raises on empty bytes)
+        raise MsgpackError("empty payload")
     r = _Reader(b)
     out = []
     while not r.at_end():
@@ -156,24 +171,15 @@ def msgpack_records(b: bytes) -> list:
     return out
 
 
-def _jsonable(v):
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, dict):
-        return {str(k): _jsonable(x) for k, x in v.items()}
-    if isinstance(v, list):
-        return [_jsonable(x) for x in v]
-    if isinstance(v, float) and v != v:          # NaN
-        return None
-    return v
-
-
 @guard(MsgpackError)
 def msgpack_to_text(b: bytes) -> str:
     """Linearize a MessagePack stream to JSONL: one json.dumps object
-    per top-level value per line (the avrofile contract)."""
+    per top-level value per line (shared canonicalizer: bytes hex,
+    non-finite floats null, bytes keys hex)."""
+    from .util import json_canonical
+
     return "\n".join(
-        json.dumps(_jsonable(v), ensure_ascii=False)
+        json.dumps(json_canonical(v), ensure_ascii=False)
         for v in msgpack_records(b)
     )
 
@@ -188,6 +194,8 @@ def _encode(out: bytearray, v, depth: int = 0):
     elif isinstance(v, bool):
         out.append(0xC3 if v else 0xC2)
     elif isinstance(v, int):
+        if v > 0xFFFFFFFFFFFFFFFF or v < -(1 << 63):
+            raise MsgpackError(f"int {v} outside the 64-bit range")
         if 0 <= v <= 0x7F:
             out.append(v)
         elif -32 <= v < 0:
@@ -256,10 +264,11 @@ def _encode(out: bytearray, v, depth: int = 0):
         raise MsgpackError(f"unencodable type {type(v).__name__}")
 
 
+@guard(MsgpackError)
 def build_msgpack(values: list) -> bytes:
     """Encode top-level values as a concatenated stream in canonical
     smallest forms.  ``msgpack_records(build_msgpack(vs))`` round-trips
-    exactly."""
+    exactly (bytes map keys included; the JSONL face hexes them)."""
     out = bytearray()
     for v in values:
         _encode(out, v)

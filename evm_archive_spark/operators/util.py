@@ -64,3 +64,35 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df.repartition(target)
     return df
 
+
+
+def json_canonical(v, max_bytes: int | None = None):
+    """The ONE value canonicalizer behind every JSONL text face
+    (avrofile / msgpackfile / columnar — review consolidation, r7):
+    bytes hex-encode (optionally capped — raises ValueError, which each
+    module's ``guard`` converts to its typed error), non-finite floats
+    become null (``NaN``/``Infinity`` are not valid JSON), dates and
+    Decimals stringify, containers recurse, bytes map keys hex."""
+    import datetime as dt
+    from decimal import Decimal
+
+    if isinstance(v, bytes):
+        if max_bytes is not None and len(v) > max_bytes:
+            raise ValueError("binary cell exceeds the cap")
+        return v.hex()
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return None
+    if isinstance(v, (dt.datetime, dt.date, dt.time)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, dict):
+        return {
+            (k.hex() if isinstance(k, bytes) else k): json_canonical(
+                x, max_bytes
+            )
+            for k, x in v.items()
+        }
+    if isinstance(v, (list, tuple)):
+        return [json_canonical(x, max_bytes) for x in v]
+    return v

@@ -106,3 +106,64 @@ def test_mime_only_dispatch(spark):
         pd.DataFrame({"media_id": [0], "payload": [bytearray(blob)]})
     )
     assert document_extract(df2).collect()[0]["format"] == "text"
+
+
+def test_review_regressions_jsonl_validity_and_keys():
+    """r7 review pins: infinities are valid-JSON null; bytes map keys
+    round-trip at the records level and hex at the JSONL face;
+    colliding numeric keys are a typed error; empty payloads are a
+    typed error (dispatch falls through); out-of-range ints are typed
+    at build time."""
+    import json
+    import struct
+
+    # +/-inf -> null (bare 'Infinity' is not JSON)
+    blob = b"\xcb" + struct.pack(">d", float("inf"))
+    blob += b"\xcb" + struct.pack(">d", float("-inf"))
+    lines = msgpack_to_text(blob).split("\n")
+    assert [json.loads(ln) for ln in lines] == [None, None]
+
+    # bytes map key: exact records round trip, hex in JSONL
+    vals = [{b"\xde\xad": 1}]
+    assert msgpack_records(build_msgpack(vals)) == vals
+    assert json.loads(msgpack_to_text(build_msgpack(vals))) == {
+        "dead": 1
+    }
+
+    # colliding keys (1 == true == 1.0) are typed, not silently merged
+    collide = b"\x82" + b"\x01\x0a" + b"\xc3\x0b"   # {1:10, true:11}
+    with pytest.raises(MsgpackError, match="colliding"):
+        msgpack_records(collide)
+
+    # empty payload is typed (so document_extract falls through)
+    with pytest.raises(MsgpackError, match="empty"):
+        msgpack_records(b"")
+    # out-of-64-bit ints are typed at build time
+    with pytest.raises(MsgpackError, match="64-bit"):
+        build_msgpack([2 ** 64])
+    with pytest.raises(MsgpackError, match="64-bit"):
+        build_msgpack([-(2 ** 63) - 1])
+
+
+def test_shared_canonicalizer_fixes_avro_nonfinite():
+    """The consolidation onto util.json_canonical means an Avro double
+    NaN/inf emits null in the JSONL face too (it used to leak the
+    invalid bare token)."""
+    import json
+
+    from evm_archive_spark.operators.avrofile import (
+        avro_to_text,
+        build_avro,
+    )
+
+    schema = {
+        "type": "record", "name": "F",
+        "fields": [{"name": "x", "type": "double"}],
+    }
+    text = avro_to_text(
+        build_avro(schema, [{"x": float("nan")}, {"x": float("inf")}])
+    )
+    assert [json.loads(ln) for ln in text.split("\n")] == [
+        {"x": None},
+        {"x": None},
+    ]
