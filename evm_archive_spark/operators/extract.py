@@ -20,6 +20,8 @@ fallback, then applies the markup strippers JVM-side:
                                   arrow_ipc_to_text (JSONL face)
     msgpack (MIME only)        -> msgpackfile.msgpack_to_text (the
                                   format has no magic; never sniffed)
+    protobuf (MIME only)       -> protowire.protowire_to_text
+                                  (schemaless field dump; no magic)
     .ipynb JSON                -> notebook cells (code+markdown)
     text/html                  -> weburl.html_to_text (JVM regexp)
     text/markdown              -> textanalysis.markdown_to_text (JVM)
@@ -93,6 +95,7 @@ def document_extract(
     )
     from .mail import MailError, parse_email
     from .msgpackfile import MsgpackError, msgpack_to_text
+    from .protowire import ProtoWireError, protowire_to_text
     from .officedoc import (
         OfficeDocError,
         cfb_to_text,
@@ -213,6 +216,11 @@ def document_extract(
                     try:
                         text, fmt = msgpack_to_text(b), "msgpack"
                     except MsgpackError:
+                        pass
+                if fmt is None and "protobuf" in m:
+                    try:
+                        text, fmt = protowire_to_text(b), "protobuf"
+                    except ProtoWireError:
                         pass
                 if fmt is None and (
                     "rfc822" in m

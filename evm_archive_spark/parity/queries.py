@@ -9015,6 +9015,66 @@ _add(
 )
 
 
+# [pair] schemaless protobuf wire dump (operators/protowire.py, the
+# public protobuf.dev encoding spec): REAL wire messages built per
+# document — varint fields + LEN text fields from JSON-identity slices
+# — dumped back through document_extract's MIME dispatch (no magic —
+# never sniffed) as one {"field#": value} JSON object.  The flat-mode
+# dump is deterministic (no nested-message heuristics), so the oracle
+# rebuilds the JSON string arithmetically.
+
+def _q_protowire(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+    from ..operators.protowire import build_protowire
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": [], "mime": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                c1 = _re.sub(r'[^ -~]|["\\]', " ", t[:80])
+                c2 = _re.sub(r'[^ -~]|["\\]', " ", t[80:160])
+                m = int(did)
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_protowire(
+                        [(1, m % 7), (2, c1), (3, c2), (4, m % 3)]
+                    )
+                )
+                out["mime"].append("application/x-protobuf")
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(
+        mux, "media_id long, payload binary, mime string"
+    )
+    return document_extract(media, mime_col="mime").orderBy("media_id")
+
+
+_add(
+    "q_protowire",
+    _q_protowire,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(substring(COALESCE(text, ''), 1, 80), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c1, "
+    "regexp_replace(substring(COALESCE(text, ''), 81, 80), "
+    "'[^ -~]|[\"\\\\]', ' ', 'g') AS c2 FROM documents) "
+    "SELECT doc_id AS media_id, 'protobuf' AS format, "
+    "'{\"1\": ' || CAST(doc_id % 7 AS VARCHAR) || "
+    "', \"2\": \"' || c1 || '\", \"3\": \"' || c2 || '\", \"4\": ' || "
+    "CAST(doc_id % 3 AS VARCHAR) || '}' AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL protobuf wire messages built from document text dump back "
+    "deterministically via MIME dispatch; oracle rebuilds the JSON",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10847,7 +10907,7 @@ _ROUND7_STAGED: list[str] = [
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
     "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls", "q_sqlite",
     "q_odp", "q_mkv_decode", "q_avro", "q_ar_cpio", "q_columnar",
-    "q_msgpack",
+    "q_msgpack", "q_protowire",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)
