@@ -77,7 +77,7 @@ class _Reader:
             if not byte & 0x80:
                 break
             shift += 7
-            if shift > 70:
+            if shift >= 70:            # spec cap: 10 bytes / 64 bits
                 raise AvroError("varint too long")
         return (n >> 1) ^ -(n & 1)
 

@@ -140,11 +140,9 @@ def _map(r: _Reader, n: int, depth: int) -> dict:
         k = _decode(r, depth + 1)
         if not isinstance(k, (str, int, float, bool, bytes)):
             # container/ext keys can't be dict keys; canonicalize
-            import json as _json
-
             from .util import json_canonical
 
-            k = _json.dumps(json_canonical(k), ensure_ascii=False)
+            k = json.dumps(json_canonical(k), ensure_ascii=False)
         if k in out:
             # Python collapses numerically-equal keys of different
             # msgpack types (1 == True == 1.0) — silent entry loss;

@@ -52,9 +52,11 @@ def _varint(b: bytes, i: int) -> tuple[int, int]:
         i += 1
         v |= (byte & 0x7F) << shift
         if not byte & 0x80:
+            if v >> 64:
+                raise ProtoWireError("varint exceeds 64 bits")
             return v, i
         shift += 7
-        if shift > 70:
+        if shift >= 70:                # spec cap: 10 bytes / 64 bits
             raise ProtoWireError("varint too long")
 
 

@@ -2,7 +2,13 @@
 
 from __future__ import annotations
 
+import datetime as _dt
+import json
+from decimal import Decimal as _Decimal
+
 from pyspark.sql import DataFrame
+
+_INFS = (float("inf"), float("-inf"))
 
 
 def read_admission_state(
@@ -68,31 +74,41 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 def json_canonical(v, max_bytes: int | None = None):
     """The ONE value canonicalizer behind every JSONL text face
-    (avrofile / msgpackfile / columnar — review consolidation, r7):
-    bytes hex-encode (optionally capped — raises ValueError, which each
-    module's ``guard`` converts to its typed error), non-finite floats
-    become null (``NaN``/``Infinity`` are not valid JSON), dates and
-    Decimals stringify, containers recurse, bytes map keys hex."""
-    import datetime as dt
-    from decimal import Decimal
-
+    (avrofile / msgpackfile / columnar / protowire — review
+    consolidation, r7): bytes hex-encode (optionally capped — raises
+    ValueError, which each module's ``guard`` converts to its typed
+    error), non-finite floats become null (``NaN``/``Infinity`` are
+    not valid JSON), dates and Decimals stringify, containers recurse,
+    bytes map keys hex.  Key canonicalization that would COLLIDE
+    (bytes b'\\xde\\xad' vs str 'dead', int 1 vs str '1' — JSON object
+    keys are strings) raises rather than silently dropping an entry."""
     if isinstance(v, bytes):
         if max_bytes is not None and len(v) > max_bytes:
             raise ValueError("binary cell exceeds the cap")
         return v.hex()
-    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+    if isinstance(v, float) and (v != v or v in _INFS):
         return None
-    if isinstance(v, (dt.datetime, dt.date, dt.time)):
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
         return v.isoformat()
-    if isinstance(v, Decimal):
+    if isinstance(v, _Decimal):
         return str(v)
     if isinstance(v, dict):
-        return {
-            (k.hex() if isinstance(k, bytes) else k): json_canonical(
-                x, max_bytes
+        out = {}
+        for k, x in v.items():
+            # the JSON key json.dumps would emit (it stringifies
+            # int/float/bool/None keys itself)
+            ck = k.hex() if isinstance(k, bytes) else k
+            jk = (
+                ck
+                if isinstance(ck, str)
+                else json.dumps(json_canonical(ck))
             )
-            for k, x in v.items()
-        }
+            if jk in out:
+                raise ValueError(
+                    f"canonicalized map keys collide on {jk!r}"
+                )
+            out[jk] = json_canonical(x, max_bytes)
+        return out
     if isinstance(v, (list, tuple)):
         return [json_canonical(x, max_bytes) for x in v]
     return v

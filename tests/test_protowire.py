@@ -101,3 +101,36 @@ def test_mime_only_dispatch(spark):
         pd.DataFrame({"media_id": [0], "payload": [bytearray(blob)]})
     )
     assert document_extract(df2).collect()[0]["format"] == "text"
+
+
+def test_varint_spec_cap_and_key_collision_canonicalization():
+    """r7 review pins: varints cap at 10 bytes / 64 bits (an overlong
+    one is a typed error, not a 2**70 value in the dump), and JSONL key
+    canonicalization collisions raise rather than silently dropping a
+    map entry."""
+    from evm_archive_spark.operators.msgpackfile import (
+        MsgpackError,
+        msgpack_to_text,
+    )
+    from evm_archive_spark.operators.util import json_canonical
+
+    # 11-byte varint -> typed (protobuf spec allows at most 10 bytes)
+    with pytest.raises(ProtoWireError, match="varint"):
+        protowire_fields(b"\x80" * 10 + b"\x01")
+    # 10-byte varint whose value exceeds 64 bits -> typed
+    with pytest.raises(ProtoWireError, match="64 bits"):
+        protowire_fields(b"\xff" * 9 + b"\x7f")
+    # max legal field key still parses
+    assert protowire_fields(bytes([0xF8, 0x07, 0x2A])) == {"127": 42}
+
+    # bytes key b'\xde\xad' vs str key 'dead' collide at the JSONL
+    # face -> typed, never a silently dropped entry
+    payload = b"\x82\xc4\x02\xde\xad\x01\xa4dead\x02"
+    with pytest.raises(MsgpackError, match="collide"):
+        msgpack_to_text(payload)
+    with pytest.raises(ValueError, match="collide"):
+        json_canonical({1: "a", "1": "b"})
+    # non-colliding mixed keys stringify the way json.dumps would
+    # (note {1: ..., True: ...} would collapse in the Python literal
+    # itself before the canonicalizer could see it)
+    assert json_canonical({2: "a", True: "b"}) == {"2": "a", "true": "b"}
