@@ -12,8 +12,9 @@ fallback, then applies the markup strippers JVM-side:
        .odt .ods .odp .epub)      mimetype member, then the format's
                                   from-scratch extractor
     .rtf                       -> officedoc.rtf_to_text (from scratch)
-    .doc/.xls (CFB/OLE2)       -> officedoc.cfb_to_text (one container
-                                  parse; piece table / BIFF8 walk)
+    .doc/.xls/.ppt (CFB/OLE2)  -> officedoc.cfb_to_text (one container
+                                  parse; piece table / BIFF8 / PPT
+                                  record walk)
     .sqlite/.db                -> sqlitefile.sqlite_to_text (b-tree walk)
     .avro                      -> avrofile.avro_to_text (JSONL face)
     .parquet / Arrow IPC       -> columnar.parquet_to_text /
@@ -172,6 +173,7 @@ def document_extract(
                 if fmt is None and (
                     m.endswith("msword")
                     or m.endswith("ms-excel")
+                    or m.endswith("ms-powerpoint")
                     or (not m and is_doc(b))
                 ):
                     try:

@@ -1374,13 +1374,16 @@ def build_xls(rows: list[list[str]], sheet: str = "Sheet1") -> bytes:
 def cfb_to_text(b: bytes) -> tuple[str, str]:
     """Dispatch a CFB/OLE2 payload on its streams with ONE container
     parse: ``WordDocument`` -> .doc piece walk, ``Workbook``/``Book`` ->
-    .xls BIFF walk.  Returns ``(format, text)``."""
+    .xls BIFF walk, ``PowerPoint Document`` -> .ppt record walk.
+    Returns ``(format, text)``."""
     cf = _parse_cfb_typed(b)
     if "WordDocument" in cf.streams:
         return "doc", _doc_text_from_cfb(cf)
     if "Workbook" in cf.streams or "Book" in cf.streams:
         return "xls", _xls_text_from_cfb(cf)
-    raise OfficeDocError("CFB container with no Word/Excel stream")
+    if "PowerPoint Document" in cf.streams:
+        return "ppt", _ppt_text_from_cfb(cf)
+    raise OfficeDocError("CFB container with no Office stream")
 
 
 # -- ODP ----------------------------------------------------------------------
@@ -1516,3 +1519,101 @@ def zip_to_text(b: bytes) -> tuple[str, str]:
                 return "odp", odp_to_text(b)
             return "odt", odt_to_text(b)
     raise OfficeDocError("ZIP container with no known document layout")
+
+
+# -- legacy .ppt ([MS-PPT] over CFB/OLE2) ---------------------------------------
+# PowerPoint 97-2003 binary: the "PowerPoint Document" stream is a tree
+# of 8-byte-headed records (recVer/recInstance u16, recType u16,
+# recLen u32); a record whose recVer nibble is 0xF is a CONTAINER of
+# child records.  Visible text lives in TextCharsAtom (0x0FA0,
+# UTF-16LE) and TextBytesAtom (0x0FA8, "low bytes of UTF-16" = latin-1)
+# atoms; PowerPoint stores paragraph breaks as \r and soft line breaks
+# as \x0b, both mapped to newlines (the _doc_clean rule).
+
+_PPT_TEXTCHARS = 0x0FA0
+_PPT_TEXTBYTES = 0x0FA8
+
+
+def _ppt_records(b: bytes, s: int, e: int):
+    """Yield ``(rec_type, rec_ver, body_start, body_end)`` for the
+    records spanning [s, e)."""
+    pos = s
+    while pos + 8 <= e:
+        ver_inst, rtype, rlen = struct.unpack_from("<HHI", b, pos)
+        body = pos + 8
+        if body + rlen > e:
+            raise OfficeDocError("PPT record overruns its parent")
+        yield rtype, ver_inst & 0x0F, body, body + rlen
+        pos = body + rlen
+
+
+def _ppt_clean(s: str) -> str:
+    return (
+        s.replace("\r", "\n").replace("\x0b", "\n").rstrip("\x00")
+    )
+
+
+def _ppt_walk_text(b: bytes, s: int, e: int, out: list, depth: int = 0):
+    if depth > 32:
+        raise OfficeDocError("PPT record nesting over the depth cap")
+    for rtype, rver, bs, be in _ppt_records(b, s, e):
+        if rver == 0x0F:                       # container
+            _ppt_walk_text(b, bs, be, out, depth + 1)
+        elif rtype == _PPT_TEXTCHARS:
+            out.append(
+                _ppt_clean(b[bs:be].decode("utf-16-le", "replace"))
+            )
+        elif rtype == _PPT_TEXTBYTES:
+            out.append(_ppt_clean(b[bs:be].decode("latin-1")))
+
+
+@guard(OfficeDocError)
+def _ppt_text_from_cfb(cf) -> str:
+    if "PowerPoint Document" not in cf.streams:
+        raise OfficeDocError(
+            "no PowerPoint Document stream (not a .ppt)"
+        )
+    doc = cf.stream("PowerPoint Document")
+    out: list[str] = []
+    _ppt_walk_text(doc, 0, len(doc), out)
+    return "\n".join(out)
+
+
+@guard(OfficeDocError)
+def ppt_to_text(b: bytes) -> str:
+    """PowerPoint 97-2003 binary -> plain text via the record-tree
+    walk (one line per text atom; \\r / \\x0b paragraph breaks map to
+    newlines)."""
+    return _ppt_text_from_cfb(_parse_cfb_typed(b))
+
+
+def _ppt_rec(rtype: int, payload: bytes, ver: int = 0) -> bytes:
+    return struct.pack("<HHI", ver & 0x0F, rtype, len(payload)) + payload
+
+
+def build_ppt(texts: list[str]) -> bytes:
+    """Minimal valid PowerPoint 97 binary: a CFB container whose
+    PowerPoint Document stream nests each text inside a container
+    record — even-indexed texts as UTF-16 TextCharsAtoms, odd-indexed
+    as latin-1 TextBytesAtoms (both encodings exercised).  ``\\n`` is
+    stored as PowerPoint's ``\\r``, so
+    ``ppt_to_text(build_ppt(ts))`` returns ``"\\n".join(ts)`` exactly
+    for latin-1-safe odd entries and arbitrary even entries."""
+    from .cfb import CfbWriter
+
+    atoms = b""
+    for i, t in enumerate(texts):
+        stored = t.replace("\n", "\r")
+        if i % 2 == 0:
+            atoms += _ppt_rec(
+                _PPT_TEXTCHARS, stored.encode("utf-16-le")
+            )
+        else:
+            atoms += _ppt_rec(
+                _PPT_TEXTBYTES, stored.encode("latin-1", "replace")
+            )
+    # Document container (0x03E8) > SlideListWithText (0x0FF0) > atoms
+    doc = _ppt_rec(0x03E8, _ppt_rec(0x0FF0, atoms, ver=0x0F), ver=0x0F)
+    w = CfbWriter()
+    w.add("PowerPoint Document", doc)
+    return w.tobytes()

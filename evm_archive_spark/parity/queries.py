@@ -9075,6 +9075,51 @@ _add(
 )
 
 
+# [pair] legacy .ppt extraction (operators/officedoc.py ppt_to_text
+# over operators/cfb.py, public specs [MS-CFB] + [MS-PPT]): REAL
+# PowerPoint 97 binaries built per document — a true CFB container
+# whose PowerPoint Document stream nests a UTF-16 TextCharsAtom (the
+# document text) and a latin-1 TextBytesAtom (an arithmetic marker)
+# inside container records — extracted back through document_extract's
+# CFB dispatch.  PowerPoint stores paragraph breaks as \r, so the
+# oracle's only transform is chr(13)->chr(10) (the q_doc shape).
+
+def _q_ppt(spark, sf_dir):
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_ppt
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                m = int(did)
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_ppt([text or "", f"notes {m % 12}"])
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_ppt",
+    _q_ppt,
+    "SELECT doc_id AS media_id, 'ppt' AS format, "
+    "replace(COALESCE(text, ''), chr(13), chr(10)) || chr(10) || "
+    "'notes ' || CAST(doc_id % 12 AS VARCHAR) AS text "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL PowerPoint-97 binaries (CFB + nested record tree, both text "
+    "atom encodings) round-trip the record walk; oracle is arithmetic",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10907,7 +10952,7 @@ _ROUND7_STAGED: list[str] = [
     "q_mkv_meta", "q_st_admission_replay", "q_docx", "q_epub", "q_odt",
     "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls", "q_sqlite",
     "q_odp", "q_mkv_decode", "q_avro", "q_ar_cpio", "q_columnar",
-    "q_msgpack", "q_protowire",
+    "q_msgpack", "q_protowire", "q_ppt",
 ]
 _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
     n for n in _ROUND2_FIRST if n not in set(_ROUND6_R1_REMAINDER)

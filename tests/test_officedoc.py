@@ -641,7 +641,7 @@ def test_xls_errors_typed():
     w.add("SomethingElse", b"x" * 10)
     with pytest.raises(OfficeDocError, match="Workbook"):
         xls_to_text(w.tobytes())
-    with pytest.raises(OfficeDocError, match="no Word/Excel"):
+    with pytest.raises(OfficeDocError, match="no Office stream"):
         cfb_to_text(w.tobytes())
     # BIFF5 (version != 0x0600) is a typed strict boundary
     import struct as st
@@ -1083,3 +1083,88 @@ def test_avro_roundtrip_property():
         assert got == recs
 
     check()
+
+
+def test_ppt_roundtrip_walk_and_errors():
+    """Legacy PowerPoint 97: record-tree walk over the CFB container;
+    both text-atom encodings; hand-built fixture with noise atoms the
+    builder never writes; typed boundaries; truncation fuzz."""
+    import struct as st
+
+    from evm_archive_spark.operators.cfb import CfbWriter
+    from evm_archive_spark.operators.officedoc import (
+        build_ppt,
+        cfb_to_text,
+        ppt_to_text,
+    )
+
+    ts = ["hello \xe9中 slide", "ascii notes", "third & <x>\nwrapped"]
+    b = build_ppt(ts)
+    assert ppt_to_text(b) == "\n".join(ts)
+    assert cfb_to_text(b) == ("ppt", "\n".join(ts))
+
+    # hand-built stream: container > [noise atom, TextCharsAtom with a
+    # \r and a \x0b, TextBytesAtom] — noise skipped, breaks mapped
+    def rec(rt, payload, ver=0):
+        return st.pack("<HHI", ver & 0xF, rt, len(payload)) + payload
+
+    inner = (
+        rec(0x03E9, b"\x01\x02\x03\x04")                 # noise atom
+        + rec(0x0FA0, "par1\rpar2\x0bline".encode("utf-16-le"))
+        + rec(0x0FA8, b"bytes atom")
+    )
+    doc = rec(0x03E8, inner, ver=0xF)
+    w = CfbWriter()
+    w.add("PowerPoint Document", doc)
+    assert ppt_to_text(w.tobytes()) == "par1\npar2\nline\nbytes atom"
+
+    # CFB without the stream is typed
+    w = CfbWriter()
+    w.add("Other", b"x" * 8)
+    with pytest.raises(OfficeDocError, match="PowerPoint"):
+        ppt_to_text(w.tobytes())
+    # record overrun is typed; truncation fuzz
+    w = CfbWriter()
+    # CfbWriter pads streams to the 4096-byte mini cutoff, so the
+    # declared length must overrun even the padding
+    w.add("PowerPoint Document", st.pack("<HHI", 0, 1, 99999) + b"xx")
+    with pytest.raises(OfficeDocError, match="overruns"):
+        ppt_to_text(w.tobytes())
+    good = build_ppt(ts)
+    for cut in range(0, len(good), 97):
+        try:
+            ppt_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+
+
+def _pooled_document_extract_routes_ppt(spark):
+    import pandas as pd
+
+    from evm_archive_spark.operators.extract import document_extract
+    from evm_archive_spark.operators.officedoc import build_ppt
+
+    ppt = build_ppt(["deck body text"])
+    out = document_extract(
+        spark.createDataFrame(
+            pd.DataFrame({"media_id": [0], "payload": [bytearray(ppt)]})
+        )
+    ).collect()[0]
+    assert out["format"] == "ppt"
+    assert out["text"] == "deck body text"
+    # legacy MIME routes to the CFB dispatch
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0],
+                "payload": [bytearray(ppt)],
+                "mime": ["application/vnd.ms-powerpoint"],
+            }
+        )
+    )
+    got = document_extract(df2, mime_col="mime").collect()[0]
+    assert got["format"] == "ppt"
+
+
+def test_ppt_pooled(spark):
+    _pooled_document_extract_routes_ppt(spark)
