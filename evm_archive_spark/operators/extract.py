@@ -162,7 +162,7 @@ def document_extract(
                         and (
                             m.endswith("ms-excel")
                             or m.endswith("msword")
-                            or m.endswith("ms-powerpoint")
+                            or "powerpoint" in m
                         )
                     )
                 ):
@@ -173,7 +173,11 @@ def document_extract(
                 if fmt is None and (
                     m.endswith("msword")
                     or m.endswith("ms-excel")
-                    or m.endswith("ms-powerpoint")
+                    # the legacy PowerPoint MIME zoo: ms-powerpoint,
+                    # mspowerpoint, x-mspowerpoint, plain powerpoint
+                    # (the word never appears in the OOXML
+                    # presentationml MIME, so no overlap)
+                    or "powerpoint" in m
                     or (not m and is_doc(b))
                 ):
                     try:

@@ -1583,7 +1583,14 @@ def _ppt_text_from_cfb(cf) -> str:
 def ppt_to_text(b: bytes) -> str:
     """PowerPoint 97-2003 binary -> plain text via the record-tree
     walk (one line per text atom; \\r / \\x0b paragraph breaks map to
-    newlines)."""
+    newlines).
+
+    Known limitation: the walk covers the WHOLE stream rather than
+    following the CurrentUserAtom -> UserEditAtom -> PersistDirectory
+    chain to the live edit, so an incrementally-saved ("fast save")
+    deck can surface superseded text alongside the live copy — the
+    catdoc-class tradeoff.  Decks saved normally (the overwhelming
+    majority at rest) have a single edit and extract exactly."""
     return _ppt_text_from_cfb(_parse_cfb_typed(b))
 
 
@@ -1598,7 +1605,9 @@ def build_ppt(texts: list[str]) -> bytes:
     as latin-1 TextBytesAtoms (both encodings exercised).  ``\\n`` is
     stored as PowerPoint's ``\\r``, so
     ``ppt_to_text(build_ppt(ts))`` returns ``"\\n".join(ts)`` exactly
-    for latin-1-safe odd entries and arbitrary even entries."""
+    for latin-1-safe odd entries and even entries free of the control
+    characters ``_ppt_clean`` folds (``\\x0b`` -> newline, trailing
+    NULs stripped)."""
     from .cfb import CfbWriter
 
     atoms = b""

@@ -9081,8 +9081,10 @@ _add(
 # whose PowerPoint Document stream nests a UTF-16 TextCharsAtom (the
 # document text) and a latin-1 TextBytesAtom (an arithmetic marker)
 # inside container records — extracted back through document_extract's
-# CFB dispatch.  PowerPoint stores paragraph breaks as \r, so the
-# oracle's only transform is chr(13)->chr(10) (the q_doc shape).
+# CFB dispatch.  PowerPoint stores paragraph breaks as \r and the walk
+# also folds \x0b and trailing NULs, so the construction first spaces
+# those two control characters (both expressible in the oracle) and
+# the remaining transform is chr(13)->chr(10) (the q_doc shape).
 
 def _q_ppt(spark, sf_dir):
     from ..operators.extract import document_extract
@@ -9098,9 +9100,10 @@ def _q_ppt(spark, sf_dir):
             out = {"media_id": [], "payload": []}
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 m = int(did)
+                t = (text or "").replace("\x0b", " ").replace("\x00", " ")
                 out["media_id"].append(m)
                 out["payload"].append(
-                    build_ppt([text or "", f"notes {m % 12}"])
+                    build_ppt([t, f"notes {m % 12}"])
                 )
             yield pd.DataFrame(out)
 
@@ -9112,7 +9115,8 @@ _add(
     "q_ppt",
     _q_ppt,
     "SELECT doc_id AS media_id, 'ppt' AS format, "
-    "replace(COALESCE(text, ''), chr(13), chr(10)) || chr(10) || "
+    "replace(replace(replace(COALESCE(text, ''), chr(11), ' '), "
+    "chr(0), ' '), chr(13), chr(10)) || chr(10) || "
     "'notes ' || CAST(doc_id % 12 AS VARCHAR) AS text "
     "FROM documents ORDER BY media_id NULLS FIRST",
     "REAL PowerPoint-97 binaries (CFB + nested record tree, both text "

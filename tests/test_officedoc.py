@@ -802,6 +802,7 @@ def test_extract_routing_pooled(spark):
         _pooled_document_extract_routes_sqlite,
         _pooled_document_extract_routes_avro,
         _pooled_document_extract_routes_columnar,
+        _pooled_document_extract_routes_ppt,
     ]
 
     def run(fn):
@@ -1166,5 +1167,4 @@ def _pooled_document_extract_routes_ppt(spark):
     assert got["format"] == "ppt"
 
 
-def test_ppt_pooled(spark):
-    _pooled_document_extract_routes_ppt(spark)
+# (routing check pooled into test_extract_routing_pooled)
