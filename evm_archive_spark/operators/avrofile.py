@@ -43,6 +43,26 @@ from .codecerrors import guard
 MAGIC = b"Obj\x01"
 MAX_BLOCK_BYTES = 64 * 1024 * 1024   # per-block inflate cap
 MAX_ITEMS = 1 << 22                  # array/map/record-count sanity cap
+MAX_TOTAL_ITEMS = 1 << 22            # cumulative decoded values per FILE:
+                                     # empty records / null items consume
+                                     # zero input bytes, so per-block caps
+                                     # alone let a 500-byte container fan
+                                     # out to GBs of allocations
+MAX_DEPTH = 64                       # schema/value nesting cap (msgpack rule)
+
+
+class _Budget:
+    """Cumulative decoded-value allowance for one container file."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, items: int = MAX_TOTAL_ITEMS):
+        self.items = items
+
+    def spend(self, n: int = 1):
+        self.items -= n
+        if self.items < 0:
+            raise AvroError("decoded item count over file cap")
 
 
 class AvroError(Exception):
@@ -98,9 +118,11 @@ def _named(schema, names: dict):
     return schema
 
 
-def _register(schema, names: dict):
+def _register(schema, names: dict, depth: int = 0):
     """Walk a schema JSON, registering named types (record/enum/fixed)
     by full name so later references resolve."""
+    if depth > MAX_DEPTH:
+        raise AvroError("schema nesting too deep")
     if isinstance(schema, dict):
         t = schema.get("type")
         if t in ("record", "enum", "fixed"):
@@ -112,28 +134,32 @@ def _register(schema, names: dict):
                     names[f"{ns}.{name}"] = schema
         if t == "record":
             for f in schema.get("fields", []):
-                _register(f.get("type"), names)
+                _register(f.get("type"), names, depth + 1)
         elif t in ("array",):
-            _register(schema.get("items"), names)
+            _register(schema.get("items"), names, depth + 1)
         elif t in ("map",):
-            _register(schema.get("values"), names)
+            _register(schema.get("values"), names, depth + 1)
     elif isinstance(schema, list):
         for s in schema:
-            _register(s, names)
+            _register(s, names, depth + 1)
 
 
-def _decode(r: _Reader, schema, names: dict):
+def _decode(r: _Reader, schema, names: dict, budget: _Budget,
+            depth: int = 0):
+    if depth > MAX_DEPTH:
+        raise AvroError("value nesting too deep")
+    budget.spend()
     schema = _named(schema, names)
     if isinstance(schema, list):                    # union
         idx = r.long()
         if not 0 <= idx < len(schema):
             raise AvroError(f"union index {idx} out of range")
-        return _decode(r, schema[idx], names)
+        return _decode(r, schema[idx], names, budget, depth + 1)
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":
             return {
-                f["name"]: _decode(r, f["type"], names)
+                f["name"]: _decode(r, f["type"], names, budget, depth + 1)
                 for f in schema.get("fields", [])
             }
         if t == "enum":
@@ -156,7 +182,9 @@ def _decode(r: _Reader, schema, names: dict):
                 if n > MAX_ITEMS:
                     raise AvroError("array block count over cap")
                 for _ in range(n):
-                    out.append(_decode(r, schema["items"], names))
+                    out.append(
+                        _decode(r, schema["items"], names, budget,
+                                depth + 1))
         if t == "map":
             out = {}
             while True:
@@ -170,9 +198,10 @@ def _decode(r: _Reader, schema, names: dict):
                     raise AvroError("map block count over cap")
                 for _ in range(n):
                     k = r.string()
-                    out[k] = _decode(r, schema["values"], names)
+                    out[k] = _decode(r, schema["values"], names, budget,
+                                     depth + 1)
         # {"type": "string"} etc. — unwrap to the primitive
-        return _decode(r, t, names)
+        return _decode(r, t, names, budget, depth + 1)
     if schema == "null":
         return None
     if schema == "boolean":
@@ -220,7 +249,7 @@ def avro_records(b: bytes) -> tuple[object, list]:
         raise AvroError("container missing avro.schema")
     try:
         schema = json.loads(meta["avro.schema"])
-    except ValueError as e:
+    except (ValueError, RecursionError) as e:
         raise AvroError(f"bad schema JSON: {e}") from e
     codec = meta.get("avro.codec", b"null").decode("ascii", "replace")
     if codec not in ("null", "deflate"):
@@ -229,6 +258,7 @@ def avro_records(b: bytes) -> tuple[object, list]:
     names: dict = {}
     _register(schema, names)
     records = []
+    budget = _Budget()                 # cumulative across ALL blocks
     while not r.at_end():
         count = r.long()
         size = r.long()
@@ -245,7 +275,7 @@ def avro_records(b: bytes) -> tuple[object, list]:
             raise AvroError("data block sync marker mismatch")
         br = _Reader(payload)
         for _ in range(count):
-            records.append(_decode(br, schema, names))
+            records.append(_decode(br, schema, names, budget))
     return schema, records
 
 

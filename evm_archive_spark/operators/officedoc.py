@@ -1285,11 +1285,14 @@ def _xls_text_from_cfb(cf) -> str:
 
     out_sheets = []
     for cells in sheets:
-        rows = sorted({r for r, _c in cells})
+        by_row: dict[int, dict[int, str]] = {}
+        for (r, c), text in cells.items():
+            by_row.setdefault(r, {})[c] = text
         lines = []
-        for r in rows:
-            cols = sorted(c for rr, c in cells if rr == r)
-            lines.append("\t".join(cells[(r, c)] for c in cols))
+        for r in sorted(by_row):
+            row_cells = by_row[r]
+            lines.append(
+                "\t".join(row_cells[c] for c in sorted(row_cells)))
         out_sheets.append("\n".join(lines))
     return "\n\n".join(out_sheets)
 

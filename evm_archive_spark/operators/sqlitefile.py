@@ -114,7 +114,10 @@ class _Db:
         out = bytearray(page[i:i + local])
         (nxt,) = struct.unpack_from(">I", page, i + local)
         hops = 0
-        while nxt:
+        # stop as soon as plen bytes are assembled — a cyclic chain (two
+        # overflow pages pointing at each other) would otherwise append
+        # usable-4 bytes per hop up to the hop cap (~64 GB at 64 KB pages)
+        while nxt and len(out) < plen:
             hops += 1
             if hops > MAX_PAGES_WALK:
                 raise SqliteError("overflow chain loop")

@@ -178,3 +178,69 @@ def _pooled_document_extract_routes_avro(spark):
 
 
 # (routing check pooled into test_officedoc.test_extract_routing_pooled)
+
+
+def _container(schema_json: bytes, blocks: list[tuple[int, bytes]],
+               sync: bytes = b"S" * 16) -> bytes:
+    head = (
+        b"Obj\x01"
+        + _zz(1) + _zz(len("avro.schema")) + b"avro.schema"
+        + _zz(len(schema_json)) + schema_json + _zz(0)
+        + sync
+    )
+    for count, body in blocks:
+        head += _zz(count) + _zz(len(body)) + body + sync
+    return head
+
+
+def test_zero_byte_record_amplification_is_capped():
+    # empty records consume NO input bytes: 8 blocks x 4M empty
+    # records in a ~100-byte container used to allocate 32M dicts.
+    # The cumulative file budget must fire, and fast.
+    import time
+
+    sjson = json.dumps(
+        {"type": "record", "name": "E", "fields": []},
+        separators=(",", ":"),
+    ).encode()
+    bomb = _container(sjson, [(1 << 22, b"")] * 8)
+    assert len(bomb) < 256
+    t0 = time.monotonic()
+    with pytest.raises(AvroError, match="file cap"):
+        avro_records(bomb)
+    assert time.monotonic() - t0 < 30
+
+
+def test_recursive_value_depth_is_typed():
+    # recursive named schema + a run of union-index-1 bytes used to
+    # blow the Python stack with a RecursionError that escaped the
+    # AvroError contract; now a typed nesting error
+    sjson = json.dumps(
+        {
+            "type": "record", "name": "N",
+            "fields": [{"name": "c", "type": ["null", "N"]}],
+        },
+        separators=(",", ":"),
+    ).encode()
+    body = _zz(1) * 500 + _zz(0)      # 500 levels, then the null branch
+    with pytest.raises(AvroError, match="nesting"):
+        avro_records(_container(sjson, [(1, body)]))
+
+
+def test_deep_schema_json_is_typed():
+    # json.loads of a deeply-nested schema raises RecursionError —
+    # must surface as AvroError, not escape document_extract
+    sjson = b"[" * 5000 + b"]" * 5000
+    with pytest.raises(AvroError, match="schema"):
+        avro_records(_container(sjson, []))
+
+
+def test_deep_schema_registration_is_typed():
+    # a parseable but deeply-nested schema must hit the _register
+    # depth cap, not the interpreter stack
+    inner: object = "int"
+    for _ in range(200):
+        inner = {"type": "array", "items": inner}
+    sjson = json.dumps(inner, separators=(",", ":")).encode()
+    with pytest.raises(AvroError, match="nesting"):
+        avro_records(_container(sjson, []))

@@ -1168,3 +1168,21 @@ def _pooled_document_extract_routes_ppt(spark):
 
 
 # (routing check pooled into test_extract_routing_pooled)
+
+
+def test_xls_large_sheet_row_emission_is_linear():
+    # row emission used to rescan every cell key per row (O(rows x
+    # cells)); a 10k-row sheet took minutes. Must be linear now.
+    import time
+
+    from evm_archive_spark.operators.officedoc import (
+        build_xls,
+        xls_to_text,
+    )
+
+    rows = [[f"r{i}", f"v{i % 7}"] for i in range(10_000)]
+    b = build_xls(rows)
+    t0 = time.monotonic()
+    out = xls_to_text(b)
+    assert time.monotonic() - t0 < 30
+    assert out == "\n".join("\t".join(r) for r in rows)

@@ -163,3 +163,33 @@ def _pooled_document_extract_routes_sqlite(spark):
 
 
 # (routing check pooled into test_officedoc.test_extract_routing_pooled)
+
+
+def test_cyclic_overflow_chain_is_bounded():
+    # a crafted cyclic overflow chain (pages 2 and 3 pointing at each
+    # other) used to append usable-4 bytes per hop for MAX_PAGES_WALK
+    # hops (~0.5 GB at 512-byte pages, ~64 GB at 64 KB) before the hop
+    # cap fired; assembly must stop the moment plen bytes are gathered
+    import struct
+    import time
+
+    from evm_archive_spark.operators.sqlitefile import _Db
+
+    page_size = 512
+    header = bytearray(page_size)
+    header[0:16] = b"SQLite format 3\x00"
+    struct.pack_into(">H", header, 16, page_size)
+    header[20] = 0                                   # reserved bytes
+    struct.pack_into(">I", header, 56, 1)            # utf-8
+    page2 = struct.pack(">I", 3) + b"b" * (page_size - 4)
+    page3 = struct.pack(">I", 2) + b"c" * (page_size - 4)
+    db = _Db(bytes(header) + page2 + page3)
+
+    plen = 100_000
+    # a fake leaf-cell region: local payload bytes then the 4-byte
+    # pointer into the cycle (local split math: u=512 -> local=432)
+    page = b"a" * 432 + struct.pack(">I", 2)
+    t0 = time.monotonic()
+    out = db._payload(page, 0, plen)
+    assert len(out) == plen
+    assert time.monotonic() - t0 < 10
