@@ -10974,9 +10974,51 @@ def _round7_first() -> list[str]:
     return head[:50]
 
 
+# Round-8 head (ACTIVE).  CORRECTNESS_r07 came back 50/50 green with zero
+# `err` rows.  Composition per the standing contract (NOTES.md round-8
+# window plan / VERDICT r7 next-round #1):
+#   1. zero r07 reds to re-enter;
+#   2. the FIFTEEN named rechecks the 20 r7-new gates displaced past the
+#      [:50] cap (q_st5_stateful first per NOTES), plus q_rpc_ingest and
+#      q_reorg (r2-vintage driver rows, VERDICT r7 #1) — all sweep-green
+#      in SWEEP_r07.json and 17 judge-verified in the r7 verdict; this
+#      head records fresh driver rows so no gate's newest driver row is
+#      older than the r2 window;
+#   3. gates registered new IN round 8 itself (_ROUND8_STAGED, appended
+#      as they land; each driver-sim'd green at both SFs before entry);
+#   4. remaining slots: next-oldest regression re-checks — the r2-window
+#      gates in _ROUND2_FIRST order (q_dedup_exact, q_dedup_keep, q_knn,
+#      ...), then _ROUND3_FIRST order, skipping names already in this
+#      head or with newer driver rows only when the cap forces a choice.
+# Nothing here is curated for expected-pass.
+_ROUND8_RECHECKS = [
+    "q_st5_stateful",
+    "q_d3", "q_d4", "q_d5", "q_d6", "q_d7", "q_d8", "q_d9", "q_d10",
+    "q_ingest_transform", "q_st1", "q_st2", "q_st3", "q_st6_dedup",
+    "q_st4_sessions", "q_rpc_ingest", "q_reorg",
+]
+_ROUND8_STAGED: list[str] = [
+    # appended as round-8 gates land (each driver-sim'd at both SFs first)
+]
+_ROUND8_RECHECK_POOL = [
+    n for n in _ROUND2_FIRST + list(_ROUND3_FIRST)
+]
+
+
+def _round8_first() -> list[str]:
+    head: list[str] = []
+    seen: set[str] = set()
+    for n in _ROUND8_RECHECKS + _ROUND8_STAGED + _ROUND8_RECHECK_POOL:
+        if n in seen or n not in _REGISTERED_NAMES:
+            continue
+        seen.add(n)
+        head.append(n)
+    return head[:50]
+
+
 def _reordered() -> list[ParityQuery]:
     by_name = {q.name: q for q in _REGISTRY}
-    order = _round7_first()
+    order = _round8_first()
     head = [by_name[n] for n in order if n in by_name]
     in_head = set(n for n in order if n in by_name)
     tail = [q for q in _REGISTRY if q.name not in in_head]
