@@ -1532,9 +1532,25 @@ def zip_to_text(b: bytes) -> tuple[str, str]:
 # UTF-16LE) and TextBytesAtom (0x0FA8, "low bytes of UTF-16" = latin-1)
 # atoms; PowerPoint stores paragraph breaks as \r and soft line breaks
 # as \x0b, both mapped to newlines (the _doc_clean rule).
+#
+# Incrementally-saved ("fast save") decks append superseded copies of
+# edited objects; the LIVE state is reached through the [MS-PPT] §2.1.2
+# edit chain: the "Current User" stream's CurrentUserAtom gives
+# offsetToCurrentEdit -> newest UserEditAtom -> offsetLastEdit chain of
+# prior edits, each edit carrying an offsetPersistDirectory whose
+# PersistDirectoryAtom maps persist ids to stream offsets (newer edits
+# override older entries).  Only the offsets in the merged directory
+# are live; everything else is a superseded remnant.
 
 _PPT_TEXTCHARS = 0x0FA0
 _PPT_TEXTBYTES = 0x0FA8
+_PPT_USEREDIT = 0x0FF5
+_PPT_CURRENTUSER = 0x0FF6
+_PPT_PERSISTDIR = 0x1772
+_PPT_CU_PLAIN = 0xE391C05F       # CurrentUserAtom.headerToken, plaintext
+_PPT_CU_ENCRYPTED = 0xF3D1C4DF   # ... encrypted deck
+MAX_PPT_EDITS = 1 << 12          # fast-save chain hop cap
+MAX_PPT_PERSIST = 1 << 20        # merged persist-directory size cap
 
 
 def _ppt_records(b: bytes, s: int, e: int):
@@ -1570,6 +1586,75 @@ def _ppt_walk_text(b: bytes, s: int, e: int, out: list, depth: int = 0):
             out.append(_ppt_clean(b[bs:be].decode("latin-1")))
 
 
+def _ppt_current_edit(cf) -> int | None:
+    """``offsetToCurrentEdit`` from the Current User stream's
+    CurrentUserAtom ([MS-PPT] §2.3.2); ``None`` when the stream is
+    absent or unresolvable (callers fall back to the whole-stream
+    walk).  Encrypted decks are a typed boundary — a whole-stream walk
+    over ciphertext would emit garbage as text."""
+    if "Current User" not in cf.streams:
+        return None
+    cu = cf.stream("Current User")
+    pos = 0
+    while pos + 8 <= len(cu):
+        _vi, rtype, rlen = struct.unpack_from("<HHI", cu, pos)
+        body = pos + 8
+        if body + rlen > len(cu):
+            return None
+        if rtype == _PPT_CURRENTUSER and rlen >= 12:
+            _size, token, off = struct.unpack_from("<III", cu, body)
+            if token == _PPT_CU_ENCRYPTED:
+                raise OfficeDocError("encrypted .ppt is out of scope")
+            return off if token == _PPT_CU_PLAIN else None
+        pos = body + rlen
+    return None
+
+
+def _ppt_live_persists(doc: bytes, cur: int) -> list[int] | None:
+    """Follow the UserEditAtom chain from the current edit, merging
+    PersistDirectoryAtoms oldest-to-newest (newer entries override) ->
+    live persist-object stream offsets in persist-id order.  ``None``
+    when the chain does not resolve (corrupt or hand-rolled file —
+    callers fall back to the whole-stream walk)."""
+    dirs: list[int] = []                  # newest edit first
+    off = cur
+    seen: set[int] = set()
+    while off:
+        if off in seen or len(dirs) >= MAX_PPT_EDITS:
+            return None
+        seen.add(off)
+        if off + 8 > len(doc):
+            return None
+        _vi, rtype, rlen = struct.unpack_from("<HHI", doc, off)
+        body = off + 8
+        if rtype != _PPT_USEREDIT or rlen < 20 or body + rlen > len(doc):
+            return None
+        (off_last, off_dir) = struct.unpack_from("<II", doc, body + 8)
+        dirs.append(off_dir)
+        off = off_last
+    table: dict[int, int] = {}
+    for off_dir in reversed(dirs):        # oldest first, newer override
+        if off_dir + 8 > len(doc):
+            return None
+        _vi, rtype, rlen = struct.unpack_from("<HHI", doc, off_dir)
+        pos, end = off_dir + 8, off_dir + 8 + rlen
+        if rtype != _PPT_PERSISTDIR or end > len(doc):
+            return None
+        while pos + 4 <= end:
+            (word,) = struct.unpack_from("<I", doc, pos)
+            pid, cnt = word & 0xFFFFF, word >> 20
+            pos += 4
+            if pos + 4 * cnt > end or len(table) + cnt > MAX_PPT_PERSIST:
+                return None
+            for i in range(cnt):
+                (po,) = struct.unpack_from("<I", doc, pos)
+                pos += 4
+                table[pid + i] = po
+    if not table:
+        return None
+    return [table[k] for k in sorted(table)]
+
+
 @guard(OfficeDocError)
 def _ppt_text_from_cfb(cf) -> str:
     if "PowerPoint Document" not in cf.streams:
@@ -1578,7 +1663,20 @@ def _ppt_text_from_cfb(cf) -> str:
         )
     doc = cf.stream("PowerPoint Document")
     out: list[str] = []
-    _ppt_walk_text(doc, 0, len(doc), out)
+    cur = _ppt_current_edit(cf)
+    offs = _ppt_live_persists(doc, cur) if cur else None
+    if offs is None:
+        # no resolvable edit chain: single-save or hand-rolled deck —
+        # the whole stream IS the live state
+        _ppt_walk_text(doc, 0, len(doc), out)
+    else:
+        for po in offs:
+            if po + 8 > len(doc):
+                continue                   # stale remnant entry
+            _vi, _rt, rlen = struct.unpack_from("<HHI", doc, po)
+            if po + 8 + rlen > len(doc):
+                continue
+            _ppt_walk_text(doc, po, po + 8 + rlen, out)
     return "\n".join(out)
 
 
@@ -1588,12 +1686,13 @@ def ppt_to_text(b: bytes) -> str:
     walk (one line per text atom; \\r / \\x0b paragraph breaks map to
     newlines).
 
-    Known limitation: the walk covers the WHOLE stream rather than
-    following the CurrentUserAtom -> UserEditAtom -> PersistDirectory
-    chain to the live edit, so an incrementally-saved ("fast save")
-    deck can surface superseded text alongside the live copy — the
-    catdoc-class tradeoff.  Decks saved normally (the overwhelming
-    majority at rest) have a single edit and extract exactly."""
+    Incrementally-saved ("fast save") decks are walked through the
+    CurrentUserAtom -> UserEditAtom -> PersistDirectoryAtom live-edit
+    chain ([MS-PPT] §2.1.2), so superseded copies of edited text do
+    not surface; when the chain is absent or does not resolve the
+    whole stream is walked (single-save decks — the overwhelming
+    majority at rest — extract identically either way).  Encrypted
+    decks raise a typed error."""
     return _ppt_text_from_cfb(_parse_cfb_typed(b))
 
 
@@ -1613,19 +1712,68 @@ def build_ppt(texts: list[str]) -> bytes:
     NULs stripped)."""
     from .cfb import CfbWriter
 
+    # Document container (0x03E8) > SlideListWithText (0x0FF0) > atoms
+    w = CfbWriter()
+    w.add("PowerPoint Document", _ppt_doc_container(texts))
+    return w.tobytes()
+
+
+def _ppt_doc_container(texts: list[str]) -> bytes:
     atoms = b""
     for i, t in enumerate(texts):
         stored = t.replace("\n", "\r")
         if i % 2 == 0:
-            atoms += _ppt_rec(
-                _PPT_TEXTCHARS, stored.encode("utf-16-le")
-            )
+            atoms += _ppt_rec(_PPT_TEXTCHARS, stored.encode("utf-16-le"))
         else:
             atoms += _ppt_rec(
                 _PPT_TEXTBYTES, stored.encode("latin-1", "replace")
             )
-    # Document container (0x03E8) > SlideListWithText (0x0FF0) > atoms
-    doc = _ppt_rec(0x03E8, _ppt_rec(0x0FF0, atoms, ver=0x0F), ver=0x0F)
+    return _ppt_rec(0x03E8, _ppt_rec(0x0FF0, atoms, ver=0x0F), ver=0x0F)
+
+
+def build_ppt_fastsave(edits: list[list[str]]) -> bytes:
+    """Simulate PowerPoint's incremental ("fast") save: each edit
+    appends a fresh DocumentContainer (persist id 1), a
+    PersistDirectoryAtom re-pointing id 1 at it, and a UserEditAtom
+    chained to the previous edit via offsetLastEdit; the Current User
+    stream's CurrentUserAtom points at the newest UserEditAtom.
+    ``ppt_to_text`` must surface only the LAST edit's text — earlier
+    edits' containers are superseded remnants a whole-stream walk
+    would wrongly include."""
+    from .cfb import CfbWriter
+
+    stream = b""
+    prev_edit = 0
+    cur_edit = 0
+    for texts in edits:
+        doc_off = len(stream)
+        stream += _ppt_doc_container(texts)
+        dir_off = len(stream)
+        # one entry: persist id 1 (cPersist 1) -> this edit's container
+        stream += _ppt_rec(
+            _PPT_PERSISTDIR, struct.pack("<II", 1 | (1 << 20), doc_off)
+        )
+        edit_body = struct.pack(
+            "<IHBBIIIIHH",
+            256,            # lastSlideIdRef
+            0,              # version
+            0, 3,           # minorVersion, majorVersion
+            prev_edit,      # offsetLastEdit (0 terminates the chain)
+            dir_off,        # offsetPersistDirectory
+            1,              # docPersistIdRef
+            2,              # persistIdSeed
+            1, 0,           # lastView, unused
+        )
+        cur_edit = len(stream)
+        stream += _ppt_rec(_PPT_USEREDIT, edit_body)
+        prev_edit = cur_edit
+    name = b"fixture"
+    cu_body = struct.pack(
+        "<IIIHHBBH",
+        0x14, _PPT_CU_PLAIN, cur_edit,
+        len(name), 0x03F4, 3, 0, 0,
+    ) + name
     w = CfbWriter()
-    w.add("PowerPoint Document", doc)
+    w.add("Current User", _ppt_rec(_PPT_CURRENTUSER, cu_body))
+    w.add("PowerPoint Document", stream)
     return w.tobytes()

@@ -9124,6 +9124,57 @@ _add(
 )
 
 
+# [pair] PPT fast-save fidelity (operators/officedoc.py, [MS-PPT]
+# §2.1.2): each deck is an incrementally-saved PowerPoint 97 binary —
+# a superseded first edit (draft text the live deck no longer
+# contains) plus a second edit whose PersistDirectoryAtom re-points
+# persist id 1, reached through the CurrentUserAtom -> UserEditAtom
+# chain.  Extraction must surface ONLY the live edit's text; the
+# oracle emits the live construction verbatim (a whole-stream walk
+# would prepend the superseded draft and hash-mismatch).
+
+def _q_ppt_fastsave(spark, sf_dir):
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_ppt_fastsave
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                m = int(did)
+                t = (text or "").replace("\x0b", " ").replace("\x00", " ")
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_ppt_fastsave([
+                        [f"superseded draft {m % 9}", "stale notes"],
+                        [t, f"final {m % 12}"],
+                    ])
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_ppt_fastsave",
+    _q_ppt_fastsave,
+    "SELECT doc_id AS media_id, 'ppt' AS format, "
+    "replace(replace(replace(COALESCE(text, ''), chr(11), ' '), "
+    "chr(0), ' '), chr(13), chr(10)) || chr(10) || "
+    "'final ' || CAST(doc_id % 12 AS VARCHAR) AS text "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL fast-saved PowerPoint-97 binaries: the UserEditAtom/"
+    "PersistDirectory live-edit chain must drop the superseded first "
+    "edit; oracle is the live construction verbatim",
+)
+
+
 # [pair] EPUB extraction (operators/officedoc.py, IDPF/W3C OCF+OPF):
 # REAL .epub containers (mimetype member, container.xml -> OPF ->
 # two-chapter spine) built from whitespace-normalized document text,
@@ -10999,6 +11050,7 @@ _ROUND8_RECHECKS = [
 ]
 _ROUND8_STAGED: list[str] = [
     # appended as round-8 gates land (each driver-sim'd at both SFs first)
+    "q_ppt_fastsave",
 ]
 _ROUND8_RECHECK_POOL = [
     n for n in _ROUND2_FIRST + list(_ROUND3_FIRST)

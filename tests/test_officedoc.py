@@ -1186,3 +1186,112 @@ def test_xls_large_sheet_row_emission_is_linear():
     out = xls_to_text(b)
     assert time.monotonic() - t0 < 30
     assert out == "\n".join("\t".join(r) for r in rows)
+
+
+def test_ppt_fastsave_live_edit_chain():
+    """Fast-saved decks: only the newest edit's text surfaces (the
+    CurrentUserAtom -> UserEditAtom -> PersistDirectoryAtom chain,
+    [MS-PPT] 2.1.2); older directory entries merge unless overridden;
+    encrypted decks and broken chains behave as typed/fallback."""
+    import struct as st
+
+    from evm_archive_spark.operators.cfb import CfbWriter
+    from evm_archive_spark.operators.officedoc import (
+        _PPT_CU_ENCRYPTED,
+        _PPT_CU_PLAIN,
+        build_ppt_fastsave,
+        cfb_to_text,
+        ppt_to_text,
+    )
+
+    # two-edit fast save: the superseded body must NOT appear
+    old = ["SUPERSEDED body", "old notes"]
+    new = ["live body \xe9中", "new notes"]
+    b = build_ppt_fastsave([old, new])
+    assert ppt_to_text(b) == "\n".join(new)
+    assert "SUPERSEDED" not in ppt_to_text(b)
+    assert cfb_to_text(b) == ("ppt", "\n".join(new))
+
+    # single-edit chain extracts identically to the whole-stream walk
+    solo = build_ppt_fastsave([new])
+    assert ppt_to_text(solo) == "\n".join(new)
+
+    # three edits: only the last wins
+    b3 = build_ppt_fastsave([old, ["middle text"], new])
+    assert ppt_to_text(b3) == "\n".join(new)
+
+    # directory MERGE: edit1 registers ids 1+2, edit2 overrides id 1
+    # only -> live text = new id-1 body then the untouched id-2 body
+    def rec(rt, payload, ver=0):
+        return st.pack("<HHI", ver & 0xF, rt, len(payload)) + payload
+
+    def doc_container(text):
+        return rec(
+            0x03E8,
+            rec(0x0FF0, rec(0x0FA0, text.encode("utf-16-le")), ver=0xF),
+            ver=0xF,
+        )
+
+    stream = b""
+    d1 = len(stream); stream += doc_container("old one")
+    d2 = len(stream); stream += doc_container("kept two")
+    dir1 = len(stream)
+    stream += rec(0x1772, st.pack("<III", 1 | (2 << 20), d1, d2))
+    e1 = len(stream)
+    stream += rec(0x0FF5, st.pack(
+        "<IHBBIIIIHH", 256, 0, 0, 3, 0, dir1, 1, 3, 1, 0))
+    d1b = len(stream); stream += doc_container("new one")
+    dir2 = len(stream)
+    stream += rec(0x1772, st.pack("<II", 1 | (1 << 20), d1b))
+    e2 = len(stream)
+    stream += rec(0x0FF5, st.pack(
+        "<IHBBIIIIHH", 256, 0, 0, 3, e1, dir2, 1, 3, 1, 0))
+    cu = rec(0x0FF6, st.pack(
+        "<IIIHHBBH", 0x14, _PPT_CU_PLAIN, e2, 1, 0x03F4, 3, 0, 0) + b"u")
+    w = CfbWriter()
+    w.add("Current User", cu)
+    w.add("PowerPoint Document", stream)
+    assert ppt_to_text(w.tobytes()) == "new one\nkept two"
+
+    # encrypted header token is a typed boundary
+    cu_enc = rec(0x0FF6, st.pack(
+        "<IIIHHBBH", 0x14, _PPT_CU_ENCRYPTED, e2, 1, 0x03F4, 3, 0, 0)
+        + b"u")
+    w = CfbWriter()
+    w.add("Current User", cu_enc)
+    w.add("PowerPoint Document", stream)
+    with pytest.raises(OfficeDocError, match="encrypted"):
+        ppt_to_text(w.tobytes())
+
+    # broken chain (current-edit offset points at garbage) falls back
+    # to the whole-stream walk — all text, never an exception
+    cu_bad = rec(0x0FF6, st.pack(
+        "<IIIHHBBH", 0x14, _PPT_CU_PLAIN, 1, 1, 0x03F4, 3, 0, 0) + b"u")
+    w = CfbWriter()
+    w.add("Current User", cu_bad)
+    w.add("PowerPoint Document", stream)
+    out = ppt_to_text(w.tobytes())
+    assert "old one" in out and "new one" in out and "kept two" in out
+
+    # cyclic chain (edit pointing at itself) also falls back, bounded
+    cyc = b""
+    cd = len(cyc); cyc += doc_container("cycle body")
+    cdir = len(cyc)
+    cyc += rec(0x1772, st.pack("<II", 1 | (1 << 20), cd))
+    ce = len(cyc)
+    cyc += rec(0x0FF5, st.pack(
+        "<IHBBIIIIHH", 256, 0, 0, 3, ce, cdir, 1, 3, 1, 0))
+    cu_cyc = rec(0x0FF6, st.pack(
+        "<IIIHHBBH", 0x14, _PPT_CU_PLAIN, ce, 1, 0x03F4, 3, 0, 0) + b"u")
+    w = CfbWriter()
+    w.add("Current User", cu_cyc)
+    w.add("PowerPoint Document", cyc)
+    assert "cycle body" in ppt_to_text(w.tobytes())
+
+    # truncation fuzz over the fast-save fixture
+    good = build_ppt_fastsave([old, new])
+    for cut in range(0, len(good), 97):
+        try:
+            ppt_to_text(good[:cut])
+        except OfficeDocError:
+            pass
