@@ -125,17 +125,29 @@ def html_to_text(col) -> F.Column:
     1. drop ``<script>``/``<style>`` elements INCLUDING their content
        (case-insensitive, dot-matches-newline),
     2. drop HTML comments,
-    3. block-level close tags (``p``, ``div``, ``br``, ``li``, headings,
+    3. table structure linearizes the ``q_xlsx`` way: source tabs
+       become spaces first, then ``</td>``/``</th>`` close tags become
+       tabs — cells tab-joined, rows newline-joined (training corpora
+       are full of tabular HTML whose columns would otherwise fuse),
+    4. block-level close tags (``p``, ``div``, ``br``, ``li``, headings,
        ``tr``) become newlines so words from different blocks don't fuse,
-    4. every remaining tag is dropped,
-    5. the five XML core entities plus ``&nbsp;`` are decoded
+    5. every remaining tag is dropped,
+    6. the five XML core entities plus ``&nbsp;`` are decoded
        (numeric entities are out of scope, documented),
-    6. horizontal whitespace collapses; blank lines collapse; edges trim.
+    7. horizontal whitespace collapses (cell tabs survive as single
+       tabs; a row's trailing tab drops); blank lines collapse; edges
+       trim.
+
+    Output for table-free, tab-free HTML is byte-identical to the
+    pre-table-aware chain (source tabs previously collapsed to a
+    space; they still do).
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
     c = F.regexp_replace(c, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
     c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, "\\t", " ")        # only OUR tabs from here on
+    c = F.regexp_replace(c, "(?i)</t[dh]\\s*>", "\t")
     c = F.regexp_replace(
         c,
         "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\\b[^>]*>",
@@ -147,7 +159,10 @@ def html_to_text(col) -> F.Column:
         ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
     ):
         c = F.regexp_replace(c, ent, repl)
-    c = F.regexp_replace(c, "[ \\t\\x0B\\f\\r]+", " ")
+    c = F.regexp_replace(c, "[ \\x0B\\f\\r]+", " ")
+    c = F.regexp_replace(c, " ?\\t ?", "\t")   # cell seam: one tab
+    c = F.regexp_replace(c, "\\t+", "\t")
+    c = F.regexp_replace(c, "\\t+\\n", "\n")   # row's trailing cell close
     c = F.regexp_replace(c, " ?\\n ?", "\n")
     c = F.regexp_replace(c, "\\n+", "\n")
     return F.regexp_replace(c, "^\\s+|\\s+$", "")
@@ -232,6 +247,8 @@ def duckdb_html_to_text_sql(col: str) -> str:
     c = f"regexp_replace({c}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
     c = f"regexp_replace({c}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
     c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = f"regexp_replace({c}, '\\t', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?i)</t[dh]\\s*>', chr(9), 'g')"
     c = (
         f"regexp_replace({c}, "
         f"'(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\\b[^>]*>', "
@@ -243,7 +260,10 @@ def duckdb_html_to_text_sql(col: str) -> str:
         ("&apos;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
     ):
         c = f"regexp_replace({c}, '{ent}', '{repl}', 'g')"
-    c = f"regexp_replace({c}, '[ \\t\\x0B\\f\\r]+', ' ', 'g')"
+    c = f"regexp_replace({c}, '[ \\x0B\\f\\r]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\\t ?', chr(9), 'g')"
+    c = f"regexp_replace({c}, '\\t+', chr(9), 'g')"
+    c = f"regexp_replace({c}, '\\t+\\n', chr(10), 'g')"
     c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
     c = f"regexp_replace({c}, '\\n+', chr(10), 'g')"
     return f"regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"

@@ -6615,6 +6615,60 @@ _add(
 )
 
 
+# [pair] HTML TABLE linearization (weburl.html_to_text): tabular HTML
+# — ubiquitous in training corpora — must linearize the q_xlsx way
+# (cells tab-joined via </td>/</th> -> tab, rows newline-joined).
+# Each document becomes a 3-row table (header row, a metadata row, a
+# row carrying the document text as a cell) plus a trailing
+# paragraph; the oracle emits the construction VERBATIM (tabs and
+# newlines placed arithmetically, never running an HTML strip), so a
+# chain that fused cells with spaces — the pre-r8 behavior — would
+# hash-mismatch.  The cell text is normalized ([ \t\r\n&<]+ -> ' ',
+# trimmed) so the strip is an exact identity on it.
+
+def _q_html_table(spark, sf_dir):
+    from ..operators.weburl import html_to_text
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), "[ \\t\\r\\n&<]+", " "
+        )
+    )
+    html = F.concat(
+        F.lit("<table> <tr><th>id</th><th>lang</th></tr>"
+              "<tr><td>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</td><td>"), F.col("lang"),
+        F.lit("</td></tr> <tr><td>"), norm,
+        F.lit("</td><td>"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("</td></tr></table><p>after "),
+        F.col("doc_id").cast("string"), F.lit("</p>"),
+    )
+    return (
+        docs.select("doc_id", html_to_text(html).alias("text_out"))
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "q_html_table",
+    _q_html_table,
+    "WITH n AS (SELECT doc_id, lang, "
+    r"trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n&<]+', ' ', 'g')) "
+    "AS norm FROM documents) "
+    "SELECT doc_id, "
+    "'id' || chr(9) || 'lang' || chr(10) || "
+    "'doc ' || CAST(doc_id AS VARCHAR) || chr(9) || lang || chr(10) || "
+    "norm || chr(9) || CAST(doc_id % 7 AS VARCHAR) || chr(10) || "
+    "'after ' || CAST(doc_id AS VARCHAR) AS text_out "
+    "FROM n ORDER BY doc_id NULLS FIRST",
+    "HTML table linearization (cells tab-joined, rows newline-joined); "
+    "oracle is the construction verbatim — no HTML strip on its side",
+)
+
+
 # [pair] crawl-to-corpus composition (weburl.web_corpus_pipeline): URL
 # dedup -> HTML strip -> token floor, one call over synthesized (url,
 # html) pages — the web mirror of q_corpus_pipeline, full SQL replay.
@@ -11050,7 +11104,7 @@ _ROUND8_RECHECKS = [
 ]
 _ROUND8_STAGED: list[str] = [
     # appended as round-8 gates land (each driver-sim'd at both SFs first)
-    "q_ppt_fastsave",
+    "q_ppt_fastsave", "q_html_table",
 ]
 _ROUND8_RECHECK_POOL = [
     n for n in _ROUND2_FIRST + list(_ROUND3_FIRST)

@@ -150,6 +150,14 @@ HTML_CASES = {
     "  leading   and\t\ttrailing  ": "leading and trailing",
     "<SCRIPT>CASE</SCRIPT>x": "x",
     "<br/><br/>x<br>": "x",
+    # table linearization: cells tab-joined, rows newline-joined,
+    # trailing cell close drops, empty cell at row start keeps its tab
+    "<table><tr><th>h1</th><th>h2</th></tr>"
+    "<tr><td>a</td><td>b</td></tr></table>": "h1\th2\na\tb",
+    "pre<table><tr><td></td><td>only</td></tr></table>after":
+        "pre\n\tonly\nafter",
+    "<td>x</td >tail": "x\ttail",
+    "pre\tsource tab": "pre source tab",
 }
 
 
@@ -206,7 +214,10 @@ def _pooled_html_cross_engine_fuzz(spark):
         docs.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 60))))
     frags = ["<p>", "</p>", "<div class='a'>", "</div>", "<br>", "<script>",
              "</script>", "<style>", "</style>", "<!--", "-->", "&amp;",
-             "&lt;", "text", " ", "\n", "word"]
+             "&lt;", "text", " ", "\n", "word",
+             # table linearization fragments (cells -> tabs)
+             "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+             "<th>", "</th >", "\t", "cell"]
     for _ in range(300):
         docs.append("".join(rng.choice(frags) for _ in range(rng.randint(0, 20))))
     df = spark.createDataFrame(pd.DataFrame({"t": docs}))
