@@ -111,7 +111,8 @@ def decompress_payload(
 def archive_kind(b: bytes) -> str | None:
     """Sniff: 'zip' (PK header), 'tar' (ustar magic at 257), 'ar'
     (!<arch> — .deb outer / static libraries), 'cpio' (newc/crc ASCII
-    magic — initramfs, RPM payloads), else None."""
+    magic — initramfs, RPM payloads), '7z' (the 7-Zip signature),
+    else None."""
     if b[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
         return "zip"
     if len(b) >= 512:
@@ -121,6 +122,8 @@ def archive_kind(b: bytes) -> str | None:
         return "ar"
     if b[:6] in (b"070701", b"070702"):
         return "cpio"
+    if b[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "7z"
     return None
 
 
@@ -252,7 +255,14 @@ def archive_members(
     if kind == "cpio":
         yield from _cpio_members(b, max_member_bytes)
         return
-    raise ArchiveError("not a zip/tar/ar/cpio archive")
+    if kind == "7z":
+        # SevenZipError is a ValueError: guard_iter normalizes it to
+        # ArchiveError with the message preserved
+        from .sevenzip import sevenzip_members
+
+        yield from sevenzip_members(b, max_member_bytes)
+        return
+    raise ArchiveError("not a zip/tar/ar/cpio/7z archive")
 
 
 MEMBER_SCHEMA = T.StructType(

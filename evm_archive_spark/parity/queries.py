@@ -8934,6 +8934,64 @@ _add(
 )
 
 
+# [pair] 7z archive fan-out (operators/sevenzip.py, round-8): REAL
+# .7z containers per document — Copy folders for even doc_ids, LZMA2
+# folders for odd (both decode paths exercised) — holding the same two
+# members as q_ar_cpio, so the oracle is container-agnostic: the
+# archive kind (and codec) is visible only through a successful
+# signature-CRC + header walk + folder decode.
+
+def _q_7z(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.archive import explode_archives
+    from ..operators.sevenzip import build_7z
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def build(it):
+        for b in it:
+            payloads = []
+            for mid, t in zip(b["media_id"], b["t"]):
+                data = t.encode("utf-8")
+                payloads.append(build_7z(
+                    [("a.txt", data), ("b.txt", b"copy:" + data)],
+                    codec="copy" if int(mid) % 2 == 0 else "lzma2",
+                ))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = explode_archives(media, strict=True)
+    return out.select(
+        "media_id",
+        "path",
+        "size",
+        F.md5("payload").alias("member_md5"),
+    ).orderBy("media_id", "path")
+
+
+_add(
+    "q_7z",
+    _q_7z,
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
+    "SELECT doc_id AS media_id, 'a.txt' AS path, "
+    "CAST(strlen(t) AS BIGINT) AS size, md5(t) AS member_md5 FROM d "
+    "UNION ALL "
+    "SELECT doc_id, 'b.txt', "
+    "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
+    "ORDER BY media_id NULLS FIRST, path",
+    "7z fan-out: real Copy- and LZMA2-coded archives (signature CRC, "
+    "tagged header tree, folder decode) explode to the same member "
+    "rows; oracle is container-agnostic",
+)
+
+
 # [pair] embedded columnar extraction (operators/columnar.py): REAL
 # Parquet (even doc_ids) / Arrow IPC (odd) payloads built per document
 # with the CANONICAL pyarrow writer — two rows (id, body slice, n) —
@@ -11104,7 +11162,7 @@ _ROUND8_RECHECKS = [
 ]
 _ROUND8_STAGED: list[str] = [
     # appended as round-8 gates land (each driver-sim'd at both SFs first)
-    "q_ppt_fastsave", "q_html_table",
+    "q_ppt_fastsave", "q_html_table", "q_7z",
 ]
 _ROUND8_RECHECK_POOL = [
     n for n in _ROUND2_FIRST + list(_ROUND3_FIRST)

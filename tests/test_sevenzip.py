@@ -1,0 +1,228 @@
+"""7z reader: round trips against the independent builder (copy and
+LZMA2 folders, empty files, unicode names), hand-crafted fixtures for
+shapes the builder never emits (LZMA1, encoded header, substream CRCs,
+solid multi-member folders), typed boundaries (encryption, BCJ
+chains, bomb caps), CRC validation, truncation fuzz, and the
+archive_members routing."""
+
+from __future__ import annotations
+
+import lzma
+import struct
+import zlib
+
+import pytest
+
+from evm_archive_spark.operators.sevenzip import (
+    MAGIC,
+    SevenZipError,
+    _wnum,
+    build_7z,
+    is_7z,
+    sevenzip_members,
+)
+
+FILES = [
+    ("a.txt", b"hello seven zip"),
+    ("dir/b.bin", bytes(range(256)) * 40),
+    ("empty.txt", b""),
+    ("unicode \xe9中.md", b"# doc\nbody text\n"),
+]
+
+
+def _assemble(body: bytes, header: bytes) -> bytes:
+    start = struct.pack("<QQI", len(body), len(header),
+                        zlib.crc32(header))
+    return (MAGIC + b"\x00\x04" + struct.pack("<I", zlib.crc32(start))
+            + start + body + header)
+
+
+def test_roundtrip_copy_and_lzma2():
+    for codec in ("copy", "lzma2"):
+        b = build_7z(FILES, codec=codec)
+        assert is_7z(b) and not is_7z(b"PK\x03\x04")
+        got = {n: (s, d) for n, s, d in sevenzip_members(b)}
+        assert set(got) == {n for n, _d in FILES}
+        for n, d in FILES:
+            assert got[n] == (len(d), d), (codec, n)
+
+
+def test_empty_archive_and_empty_files_only():
+    assert list(sevenzip_members(build_7z([]))) == []
+    only_empty = build_7z([("x", b""), ("y", b"")])
+    assert list(sevenzip_members(only_empty)) == [
+        ("x", 0, b""), ("y", 0, b"")
+    ]
+
+
+def test_hand_crafted_lzma1_folder():
+    # the builder never emits LZMA1; craft one: props = lclppb byte
+    # ((pb*5+lp)*9+lc) + dict-size u32le
+    data = b"lzma one payload " * 50
+    packed = lzma.compress(
+        data, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA1, "lc": 3, "lp": 0, "pb": 2,
+                  "dict_size": 1 << 16}],
+    )
+    props = bytes([(2 * 5 + 0) * 9 + 3]) + struct.pack("<I", 1 << 16)
+    h = bytearray()
+    h += _wnum(0x01)                               # kHeader
+    h += _wnum(0x04)                               # kMainStreamsInfo
+    h += _wnum(0x06) + _wnum(0) + _wnum(1)         # kPackInfo
+    h += _wnum(0x09) + _wnum(len(packed)) + _wnum(0x00)
+    h += _wnum(0x07) + _wnum(0x0B) + _wnum(1) + b"\x00"   # kUnpackInfo
+    h += _wnum(1) + bytes([0x23]) + b"\x03\x01\x01"       # 1 coder, attrs
+    h += _wnum(len(props)) + props
+    h += _wnum(0x0C) + _wnum(len(data)) + _wnum(0x00)
+    h += _wnum(0x00)                               # StreamsInfo end
+    h += _wnum(0x05) + _wnum(1)                    # kFilesInfo, 1 file
+    name = b"\x00" + "one.bin\x00".encode("utf-16-le")
+    h += _wnum(0x11) + _wnum(len(name)) + name
+    h += _wnum(0x00) + _wnum(0x00)
+    b = _assemble(packed, bytes(h))
+    assert list(sevenzip_members(b)) == [("one.bin", len(data), data)]
+
+
+def _solid_two_member_archive(with_crcs: bool) -> tuple[bytes, bytes, bytes]:
+    """One copy folder holding TWO substreams (a solid block) — the
+    builder writes one folder per file, so craft it by hand."""
+    m1, m2 = b"first member body", b"second one"
+    body = m1 + m2
+    h = bytearray()
+    h += _wnum(0x01)
+    h += _wnum(0x04)
+    h += _wnum(0x06) + _wnum(0) + _wnum(1)
+    h += _wnum(0x09) + _wnum(len(body)) + _wnum(0x00)
+    h += _wnum(0x07) + _wnum(0x0B) + _wnum(1) + b"\x00"
+    h += _wnum(1) + bytes([0x01]) + b"\x00"        # copy coder
+    h += _wnum(0x0C) + _wnum(len(body)) + _wnum(0x00)
+    h += _wnum(0x08)                               # kSubStreamsInfo
+    h += _wnum(0x0D) + _wnum(2)                    # 2 substreams
+    h += _wnum(0x09) + _wnum(len(m1))              # first size; last derived
+    if with_crcs:
+        h += _wnum(0x0A) + b"\x01"                 # all defined
+        h += struct.pack("<II", zlib.crc32(m1), zlib.crc32(m2))
+    h += _wnum(0x00)                               # SubStreams end
+    h += _wnum(0x00)                               # StreamsInfo end
+    h += _wnum(0x05) + _wnum(2)
+    name = b"\x00" + "m1\x00m2\x00".encode("utf-16-le")
+    h += _wnum(0x11) + _wnum(len(name)) + name
+    h += _wnum(0x00) + _wnum(0x00)
+    return _assemble(body, bytes(h)), m1, m2
+
+
+def test_solid_folder_substreams_and_crc_validation():
+    b, m1, m2 = _solid_two_member_archive(with_crcs=True)
+    assert list(sevenzip_members(b)) == [
+        ("m1", len(m1), m1), ("m2", len(m2), m2)
+    ]
+    # flip a body byte: the member CRC must catch it
+    bad = bytearray(b)
+    bad[32] ^= 0xFF
+    with pytest.raises(SevenZipError, match="CRC"):
+        list(sevenzip_members(bytes(bad)))
+    # without substream CRCs the same archive still parses
+    b2, _m1, _m2 = _solid_two_member_archive(with_crcs=False)
+    assert [n for n, _s, _d in sevenzip_members(b2)] == ["m1", "m2"]
+
+
+def test_encoded_header():
+    # wrap a normal archive's header into a packed stream reached via
+    # kEncodedHeader + a copy folder (the builder never emits this)
+    inner = build_7z(FILES[:2], codec="lzma2")
+    (nh_off, nh_size, _crc) = struct.unpack("<QQI", inner[12:32])
+    body = inner[32:32 + nh_off]
+    header = inner[32 + nh_off:32 + nh_off + nh_size]
+    body2 = body + header
+    eh = bytearray()
+    eh += _wnum(0x17)                              # kEncodedHeader
+    eh += _wnum(0x06) + _wnum(len(body)) + _wnum(1)
+    eh += _wnum(0x09) + _wnum(len(header)) + _wnum(0x00)
+    eh += _wnum(0x07) + _wnum(0x0B) + _wnum(1) + b"\x00"
+    eh += _wnum(1) + bytes([0x01]) + b"\x00"
+    eh += _wnum(0x0C) + _wnum(len(header)) + _wnum(0x00)
+    eh += _wnum(0x00)
+    b = _assemble(body2, bytes(eh))
+    got = {n: d for n, _s, d in sevenzip_members(b)}
+    assert got == dict(FILES[:2])
+
+
+def test_typed_boundaries():
+    # encryption (7zAES coder) is a named boundary
+    h = bytearray()
+    h += _wnum(0x01)
+    h += _wnum(0x04)
+    h += _wnum(0x06) + _wnum(0) + _wnum(1)
+    h += _wnum(0x09) + _wnum(16) + _wnum(0x00)
+    h += _wnum(0x07) + _wnum(0x0B) + _wnum(1) + b"\x00"
+    h += _wnum(1) + bytes([0x04]) + b"\x06\xf1\x07\x01"
+    h += _wnum(0x0C) + _wnum(16) + _wnum(0x00)
+    h += _wnum(0x00)
+    h += _wnum(0x05) + _wnum(1)
+    name = b"\x00" + "s\x00".encode("utf-16-le")
+    h += _wnum(0x11) + _wnum(len(name)) + name
+    h += _wnum(0x00) + _wnum(0x00)
+    b = _assemble(b"\x00" * 16, bytes(h))
+    with pytest.raises(SevenZipError, match="encrypted"):
+        list(sevenzip_members(b))
+
+    # a declared folder unpack size over the cap fires BEFORE decoding
+    data = b"x" * 64
+    packed = lzma.compress(
+        data, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 23}])
+    h = bytearray()
+    h += _wnum(0x01)
+    h += _wnum(0x04)
+    h += _wnum(0x06) + _wnum(0) + _wnum(1)
+    h += _wnum(0x09) + _wnum(len(packed)) + _wnum(0x00)
+    h += _wnum(0x07) + _wnum(0x0B) + _wnum(1) + b"\x00"
+    h += _wnum(1) + bytes([0x21]) + b"\x21" + _wnum(1) + bytes([22])
+    h += _wnum(0x0C) + _wnum(1 << 40) + _wnum(0x00)   # 1 TB claimed
+    h += _wnum(0x00)
+    h += _wnum(0x05) + _wnum(1)
+    h += _wnum(0x11) + _wnum(len(name)) + name
+    h += _wnum(0x00) + _wnum(0x00)
+    b = _assemble(packed, bytes(h))
+    # under the default member cap the 1 TB member is SKIPPED (never
+    # decoded); with the member cap lifted the FOLDER cap must fire
+    # before any decode attempt
+    assert list(sevenzip_members(b)) == []
+    with pytest.raises(SevenZipError, match="cap"):
+        list(sevenzip_members(b, max_member_bytes=1 << 41))
+
+    with pytest.raises(SevenZipError, match="not a 7z"):
+        list(sevenzip_members(b"garbage"))
+
+
+def test_header_crc_and_truncation_fuzz():
+    good = build_7z(FILES, codec="lzma2")
+    bad = bytearray(good)
+    bad[-3] ^= 0x55                       # corrupt the header bytes
+    with pytest.raises(SevenZipError, match="CRC"):
+        list(sevenzip_members(bytes(bad)))
+    for cut in range(0, len(good), 37):
+        try:
+            list(sevenzip_members(good[:cut]))
+        except SevenZipError:
+            pass
+
+
+def test_archive_members_routing_and_member_cap():
+    from evm_archive_spark.operators.archive import (
+        ArchiveError,
+        archive_kind,
+        archive_members,
+    )
+
+    b = build_7z(FILES, codec="lzma2")
+    assert archive_kind(b) == "7z"
+    got = {n: d for n, _s, d in archive_members(b)}
+    assert got == dict(FILES)
+    # oversized members are SKIPPED, not failed (the contract)
+    small = {n for n, _s, _d in archive_members(b, max_member_bytes=100)}
+    assert small == {"a.txt", "empty.txt", "unicode \xe9中.md"}
+    # SevenZipError normalizes to ArchiveError through the guard
+    trunc = build_7z(FILES)[:40]
+    with pytest.raises(ArchiveError):
+        list(archive_members(trunc))
