@@ -1110,6 +1110,7 @@ _BIFF_LABEL = 0x0204
 _BIFF_NUMBER = 0x0203
 _BIFF_RK = 0x027E
 _BIFF_MULRK = 0x00BD
+_BIFF_RSTRING = 0x00D6        # BIFF5 rich byte string (runs ignored)
 _BIFF_MAX_DATA = 8224  # max record payload ([MS-XLS] 2.1.4)
 
 
@@ -1207,8 +1208,11 @@ def _sst_strings(frags: list[bytes], unique: int) -> list[str]:
 
 @guard(OfficeDocError)
 def xls_to_text(b: bytes) -> str:
-    """Excel 97-2003 binary -> linearized text via the BIFF8 record
-    walk."""
+    """Excel binary -> linearized text via the BIFF record walk:
+    BIFF8 (Excel 97-2003, SST shared strings) and BIFF5 (Excel 5.0/95,
+    SST-less — LABEL/RSTRING byte strings inline, decoded latin-1;
+    the workbook CODEPAGE is out of the fixture scope).  Older BIFF
+    streams (2-4) are a typed boundary."""
     return _xls_text_from_cfb(_parse_cfb_typed(b))
 
 
@@ -1224,8 +1228,9 @@ def _xls_text_from_cfb(cf) -> str:
     if not recs or recs[0][0] != _BIFF_BOF:
         raise OfficeDocError("Workbook stream does not start with BOF")
     (vers,) = struct.unpack_from("<H", recs[0][1], 0)
-    if vers != 0x0600:
+    if vers not in (0x0600, 0x0500):
         raise OfficeDocError(f"unsupported BIFF version 0x{vers:04X}")
+    biff5 = vers == 0x0500
 
     # SST from the globals substream (with its Continue fragments)
     shared: list[str] = []
@@ -1264,11 +1269,19 @@ def _xls_text_from_cfb(cf) -> str:
             cells[(row, col)] = (
                 shared[isst] if 0 <= isst < len(shared) else ""
             )
-        elif op == _BIFF_LABEL:
+        elif op == _BIFF_LABEL or (biff5 and op == _BIFF_RSTRING):
             row, col, _ixfe = struct.unpack_from("<HHH", p, 0)
-            cells[(row, col)] = _sst_strings(
-                [b"\x00" * 8 + p[6:]], 1
-            )[0]
+            if biff5:
+                # BIFF5 byte string: cch u16 + codepage bytes (no
+                # option flags); RSTRING's trailing format runs ignored
+                (cch,) = struct.unpack_from("<H", p, 6)
+                if 8 + cch > len(p):
+                    raise OfficeDocError("BIFF5 label overruns record")
+                cells[(row, col)] = p[8:8 + cch].decode("latin-1")
+            else:
+                cells[(row, col)] = _sst_strings(
+                    [b"\x00" * 8 + p[6:]], 1
+                )[0]
         elif op == _BIFF_NUMBER:
             row, col, _ixfe = struct.unpack_from("<HHH", p, 0)
             (x,) = struct.unpack_from("<d", p, 6)
@@ -1371,6 +1384,40 @@ def build_xls(rows: list[list[str]], sheet: str = "Sheet1") -> bytes:
     stream = bytes(globals_sub) + bof_sheet + cell_recs + eof
     w = CfbWriter()
     w.add("Workbook", stream)
+    return w.tobytes()
+
+
+def build_xls_biff5(rows: list[list[str]], sheet: str = "Sheet1") -> bytes:
+    """Minimal valid Excel 5.0/95 workbook (BIFF5, the pre-97 SST-less
+    path old corpora still carry): a CFB container whose ``Book``
+    stream holds a globals substream (BOF vers 0x0500, BoundSheet with
+    the BIFF5 byte-string name) and one worksheet substream of inline
+    LABEL byte-string cells.  latin-1-safe text (minus the tab/newline
+    separators) round-trips exactly."""
+    from .cfb import CfbWriter
+
+    cell_recs = b""
+    for ri, row in enumerate(rows):
+        for ci, cell in enumerate(row):
+            enc = cell.encode("latin-1", "replace")
+            if len(enc) > 255:
+                raise OfficeDocError("BIFF5 cell string too long")
+            cell_recs += _rec(
+                _BIFF_LABEL,
+                struct.pack("<HHHH", ri, ci, 0, len(enc)) + enc,
+            )
+    bof_globals = _rec(_BIFF_BOF, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+    bof_sheet = _rec(_BIFF_BOF, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+    eof = _rec(_BIFF_EOF, b"")
+    nm = sheet.encode("latin-1")[:31]
+    bsheet = _rec(0x0085, struct.pack("<IHB", 0, 0, len(nm)) + nm)
+    globals_sub = bytearray(bof_globals + bsheet + eof)
+    # patch BoundSheet.lbPlyPos = offset of the sheet BOF
+    struct.pack_into("<I", globals_sub, len(bof_globals) + 4,
+                     len(globals_sub))
+    stream = bytes(globals_sub) + bof_sheet + cell_recs + eof
+    w = CfbWriter()
+    w.add("Book", stream)                 # Excel 5/95 stream name
     return w.tobytes()
 
 

@@ -8337,6 +8337,66 @@ _add(
 )
 
 
+# [pair] legacy BIFF5 .xls extraction (operators/officedoc.py,
+# round-8): Excel 5.0/95 workbooks — the pre-97 SST-less path (inline
+# LABEL byte strings, the ``Book`` stream name) old corpora still
+# carry.  BIFF5 strings are codepage bytes, so the construction maps
+# cell text to printable ASCII first ('[^ -~]' -> '?', the q_rtf
+# precedent) after spacing the tab/newline separators (the q_xls
+# rule); the oracle rebuilds the tab/newline-joined linearization.
+
+def _q_xls5(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_xls_biff5
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        def cell(s):
+            return _re.sub(r"[^ -~]", "?", _re.sub(r"[\t\r\n]", " ", s))
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                m = int(did)
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_xls_biff5(
+                        [[cell(t[:80]), f"b5 {m % 6}"],
+                         [f"old {m % 9}", cell(t[80:160])]]
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_xls5",
+    _q_xls5,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(regexp_replace("
+    "substring(COALESCE(text, ''), 1, 80), '[\t\r\n]', ' ', 'g'), "
+    "'[^ -~]', '?', 'g') AS c1, "
+    "regexp_replace(regexp_replace("
+    "substring(COALESCE(text, ''), 81, 80), '[\t\r\n]', ' ', 'g'), "
+    "'[^ -~]', '?', 'g') AS c2 FROM documents) "
+    "SELECT doc_id AS media_id, 'xls' AS format, "
+    "c1 || chr(9) || 'b5 ' || CAST(doc_id % 6 AS VARCHAR) || chr(10) "
+    "|| 'old ' || CAST(doc_id % 9 AS VARCHAR) || chr(9) || c2 AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL Excel-5.0/95 (BIFF5) workbooks round-trip the SST-less "
+    "inline-LABEL walk; oracle rebuilds the linearization from slices",
+)
+
+
 # [pair] legacy .doc extraction (operators/officedoc.py doc_to_text
 # over operators/cfb.py, public specs [MS-CFB] + [MS-DOC]): REAL Word
 # 97 binaries built per document — a true CFB container (FAT,
@@ -11162,7 +11222,7 @@ _ROUND8_RECHECKS = [
 ]
 _ROUND8_STAGED: list[str] = [
     # appended as round-8 gates land (each driver-sim'd at both SFs first)
-    "q_ppt_fastsave", "q_html_table", "q_7z",
+    "q_ppt_fastsave", "q_html_table", "q_7z", "q_xls5",
 ]
 _ROUND8_RECHECK_POOL = [
     n for n in _ROUND2_FIRST + list(_ROUND3_FIRST)

@@ -643,13 +643,13 @@ def test_xls_errors_typed():
         xls_to_text(w.tobytes())
     with pytest.raises(OfficeDocError, match="no Office stream"):
         cfb_to_text(w.tobytes())
-    # BIFF5 (version != 0x0600) is a typed strict boundary
+    # BIFF4 and older (version < 0x0500) stay a typed strict boundary
     import struct as st
 
     w = CfbWriter()
     w.add(
         "Book",
-        st.pack("<HH", 0x0809, 8) + st.pack("<HHHH", 0x0500, 5, 0, 0)
+        st.pack("<HH", 0x0809, 8) + st.pack("<HHHH", 0x0400, 5, 0, 0)
         + b"\x00\x00\x00\x00",
     )
     with pytest.raises(OfficeDocError, match="BIFF version"):
@@ -1293,5 +1293,50 @@ def test_ppt_fastsave_live_edit_chain():
     for cut in range(0, len(good), 97):
         try:
             ppt_to_text(good[:cut])
+        except OfficeDocError:
+            pass
+
+
+def test_xls_biff5_roundtrip_rstring_and_mixed_records():
+    """Excel 5.0/95 (BIFF5): inline LABEL byte strings through the same
+    walk; RSTRING cells; numeric records shared with BIFF8; the Book
+    stream name; truncation fuzz."""
+    import struct as st
+
+    from evm_archive_spark.operators.cfb import CfbWriter
+    from evm_archive_spark.operators.officedoc import (
+        build_xls_biff5,
+        cfb_to_text,
+        xls_to_text,
+    )
+
+    rows = [["caf\xe9 cell", "b1"], ["second", "r2 \xb5"]]
+    b = build_xls_biff5(rows)
+    exp = "caf\xe9 cell\tb1\nsecond\tr2 \xb5"
+    assert xls_to_text(b) == exp
+    assert cfb_to_text(b) == ("xls", exp)
+
+    # hand-built BIFF5 sheet: RSTRING (format runs ignored), NUMBER, RK
+    def rec(op, payload):
+        return st.pack("<HH", op, len(payload)) + payload
+
+    bof_g = rec(0x0809, st.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+    bof_s = rec(0x0809, st.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+    eof = rec(0x000A, b"")
+    rs = b"rich text"
+    body = (
+        rec(0x00D6, st.pack("<HHHH", 0, 0, 0, len(rs)) + rs
+            + b"\x01" + b"\x00\x00")            # 1 format run, ignored
+        + rec(0x0203, st.pack("<HHH", 0, 1, 0) + st.pack("<d", 2.5))
+        + rec(0x027E, st.pack("<HHHI", 1, 0, 0, (7 << 2) | 2))
+    )
+    w = CfbWriter()
+    w.add("Book", bof_g + eof + bof_s + body + eof)
+    assert xls_to_text(w.tobytes()) == "rich text\t2.5\n7"
+
+    good = build_xls_biff5(rows)
+    for cut in range(0, len(good), 97):
+        try:
+            xls_to_text(good[:cut])
         except OfficeDocError:
             pass
