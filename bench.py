@@ -107,6 +107,10 @@ HEADLINE = [
     "q_sqlite",
     "q_avro",
     "q_mkv_decode",
+    # round-8: 7z folder decode (Copy + LZMA2) and the table-aware
+    # HTML strip (pure JVM regexp chain)
+    "q_7z",
+    "q_html_table",
 ]
 
 
@@ -487,6 +491,20 @@ def run_pg_sinks(spark, timings: dict[str, float]) -> float:
     return total
 
 
+def _sentinel(spark) -> float:
+    """Load proxy (VERDICT r7 what's-wrong #1): a fixed JVM-side
+    computation timed median-of-3 at the start AND end of the run, so
+    a noisy artifact is detectable from the JSON alone — entries that
+    drift while the sentinel sits in its quiet-box band are real;
+    entries that drift WITH the sentinel are box load."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1) s").collect()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -525,6 +543,9 @@ def main() -> None:
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0
+
+    load_start = os.getloadavg()
+    sentinel_start = _sentinel(spark)
 
     # Live-Postgres sinks run FIRST (VERDICT r6 what's-wrong #2): timed
     # at the tail of the 60+-query run their medians inherited
@@ -569,6 +590,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    sentinel_end = _sentinel(spark)
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -577,6 +600,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_proxy": {
+                    "sentinel_start_sec": sentinel_start,
+                    "sentinel_end_sec": sentinel_end,
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_end": [round(x, 2) for x in load_end],
+                },
             }
         )
     )

@@ -211,8 +211,16 @@ def archive_members(
     """Yield ``(path, size, payload)`` per regular-file member.
     Members larger than ``max_member_bytes`` are SKIPPED (yielded with
     an empty payload would lie; a curation pipeline logs them via the
-    size column of a later profile pass — the documented bound)."""
+    size column of a later profile pass — the documented bound).
+
+    Compressed archives (.tar.gz/.tgz, .tar.bz2, .cpio.xz, ...) unwrap
+    through ONE capped decompress then re-dispatch — the whole
+    decompressed archive is bounded by the same cap (a bigger archive
+    is a typed error, the decompression-bomb contract)."""
     kind = archive_kind(b)
+    if kind is None and compression_kind(b) is not None:
+        b = decompress_payload(b, max_member_bytes)
+        kind = archive_kind(b)
     if kind == "zip":
         try:
             zf = zipfile.ZipFile(io.BytesIO(b))

@@ -9052,6 +9052,79 @@ _add(
 )
 
 
+# [pair] compressed-archive unwrap (archive.archive_members round-8
+# extension): .tar.gz for even doc_ids, .tar.bz2 for odd — the wrapper
+# hides the ustar magic, so fan-out requires the one-capped-decompress
+# re-dispatch; the oracle stays container-agnostic (same member rows
+# as q_ar_cpio / q_7z).
+
+def _q_tgz(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.archive import explode_archives
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def build(it):
+        import bz2
+        import gzip
+        import io
+        import tarfile
+
+        def mk_tar(members):
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for name, data in members:
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    tf.addfile(ti, io.BytesIO(data))
+            return buf.getvalue()
+
+        for b in it:
+            payloads = []
+            for mid, t in zip(b["media_id"], b["t"]):
+                data = t.encode("utf-8")
+                raw = mk_tar(
+                    [("a.txt", data), ("b.txt", b"copy:" + data)]
+                )
+                payloads.append(
+                    gzip.compress(raw, mtime=0) if int(mid) % 2 == 0
+                    else bz2.compress(raw)
+                )
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = explode_archives(media, strict=True)
+    return out.select(
+        "media_id",
+        "path",
+        "size",
+        F.md5("payload").alias("member_md5"),
+    ).orderBy("media_id", "path")
+
+
+_add(
+    "q_tgz",
+    _q_tgz,
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
+    "SELECT doc_id AS media_id, 'a.txt' AS path, "
+    "CAST(strlen(t) AS BIGINT) AS size, md5(t) AS member_md5 FROM d "
+    "UNION ALL "
+    "SELECT doc_id, 'b.txt', "
+    "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
+    "ORDER BY media_id NULLS FIRST, path",
+    "tar.gz / tar.bz2 fan-out through the capped decompress +"
+    " re-dispatch; oracle is container-agnostic",
+)
+
+
 # [pair] embedded columnar extraction (operators/columnar.py): REAL
 # Parquet (even doc_ids) / Arrow IPC (odd) payloads built per document
 # with the CANONICAL pyarrow writer — two rows (id, body slice, n) —
@@ -11222,7 +11295,7 @@ _ROUND8_RECHECKS = [
 ]
 _ROUND8_STAGED: list[str] = [
     # appended as round-8 gates land (each driver-sim'd at both SFs first)
-    "q_ppt_fastsave", "q_html_table", "q_7z", "q_xls5",
+    "q_ppt_fastsave", "q_html_table", "q_7z", "q_xls5", "q_tgz",
 ]
 _ROUND8_RECHECK_POOL = [
     n for n in _ROUND2_FIRST + list(_ROUND3_FIRST)

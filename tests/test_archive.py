@@ -47,9 +47,9 @@ def test_zip_and_tar_members():
             ("a.py", 9), ("pkg/b.py", 6),
         ]
         assert got[0][2] == b"print(1)\n"
-    # gzipped tar via mode r:* sniffs as neither ustar-at-257 nor PK
-    with pytest.raises(archive.ArchiveError):
-        list(archive.archive_members(_tar(MEMBERS, gz=True)))
+    # gzipped tar unwraps through one capped decompress (r8)
+    got = list(archive.archive_members(_tar(MEMBERS, gz=True)))
+    assert [(p, s) for p, s, _ in got] == [("a.py", 9), ("pkg/b.py", 6)]
 
 
 def test_bounds_and_corruption():
@@ -272,3 +272,36 @@ def test_cpio_members_and_trailer():
             list(archive_members(good[:cut]))
         except ArchiveError:
             pass
+
+
+def test_compressed_archive_unwrap():
+    """.tar.gz / .tgz / .cpio-style wrappers: one capped decompress,
+    then the normal member walk; a decompressed archive over the cap
+    is a typed error, and non-archive compressed payloads stay typed
+    (document_extract's transparent-gzip lane owns those)."""
+    import bz2
+    import gzip
+
+    def tar_of(members):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in members:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+        return buf.getvalue()
+
+    members = [("a.txt", b"hello tar member"), ("d/b.bin", b"\x00\x01")]
+    raw = tar_of(members)
+    for wrap in (gzip.compress, bz2.compress):
+        got = {n: d for n, _s, d in archive.archive_members(wrap(raw))}
+        assert got == dict(members)
+    # the cap applies to the DECOMPRESSED archive
+    big = tar_of([("big.bin", b"z" * 4096)])
+    with pytest.raises(archive.ArchiveError, match="cap"):
+        list(archive.archive_members(
+            gzip.compress(big), max_member_bytes=1024))
+    # compressed NON-archive payloads are still typed errors
+    with pytest.raises(archive.ArchiveError):
+        list(archive.archive_members(
+            gzip.compress(b"just text, no archive")))
