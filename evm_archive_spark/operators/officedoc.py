@@ -356,6 +356,18 @@ def _doc_text_from_cfb(cf) -> str:
     if len(wd) < 0x200:
         raise OfficeDocError("truncated WordDocument stream")
     (w_ident,) = struct.unpack_from("<H", wd, 0)
+    if w_ident == 0xA5DC:
+        # Word 6.0/95: no CLX — contiguous codepage text at
+        # fcMin..fcMac in the WordDocument stream itself; fast-saved
+        # (fComplex) files carry a piece table and are a typed boundary
+        (flags6,) = struct.unpack_from("<H", wd, 0x0A)
+        if flags6 & 0x0004:
+            raise OfficeDocError(
+                "fast-saved Word 6/95 (fComplex) is out of scope")
+        fc_min, fc_mac = struct.unpack_from("<II", wd, 0x18)
+        if not fc_min <= fc_mac <= len(wd):
+            raise OfficeDocError("Word 6/95 text range out of stream")
+        return _doc_clean(wd[fc_min:fc_mac].decode("cp1252", "replace"))
     if w_ident != 0xA5EC:
         raise OfficeDocError(f"bad FIB wIdent 0x{w_ident:04X}")
     (flags,) = struct.unpack_from("<H", wd, 0x0A)
@@ -453,6 +465,26 @@ def build_doc(text: str) -> bytes:
     w = CfbWriter()
     w.add("WordDocument", bytes(wd))
     w.add("1Table", bytes(table))
+    return w.tobytes()
+
+
+def build_doc_word6(text: str) -> bytes:
+    """Minimal valid Word 6.0/95 binary (the pre-97 layout old corpora
+    still carry): a wIdent 0xA5DC FIB with fcMin/fcMac bracketing
+    contiguous cp1252 text in the WordDocument stream — no CLX, no
+    table stream.  ``\\n`` is stored as Word's ``\\r`` paragraph
+    mark."""
+    from .cfb import CfbWriter
+
+    stored = text.replace("\n", "\r").encode("cp1252", "replace")
+    fc_min = 0x300
+    wd = bytearray(fc_min + len(stored))
+    struct.pack_into("<H", wd, 0, 0xA5DC)
+    struct.pack_into("<H", wd, 2, 101)              # nFib, Word 6.0
+    struct.pack_into("<II", wd, 0x18, fc_min, fc_min + len(stored))
+    wd[fc_min:] = stored
+    w = CfbWriter()
+    w.add("WordDocument", bytes(wd))
     return w.tobytes()
 
 

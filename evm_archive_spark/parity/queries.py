@@ -8397,6 +8397,54 @@ _add(
 )
 
 
+# [pair] legacy Word 6.0/95 .doc extraction (round-8): the pre-97
+# layout — contiguous fcMin..fcMac codepage text, no CLX/piece table
+# (fast-saved fComplex files are a typed boundary).  cp1252 bytes, so
+# the construction maps to printable ASCII first (the q_rtf
+# precedent); Word stores \r, extraction maps back to \n.
+
+def _q_doc6(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+    from ..operators.officedoc import build_doc_word6
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ascii_text = _re.sub(r"[^ -~]", "?", text or "")
+                m = int(did)
+                out["media_id"].append(m)
+                out["payload"].append(
+                    build_doc_word6(
+                        ascii_text + f"\nw6 marker {m % 13}"
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_doc6",
+    _q_doc6,
+    "SELECT doc_id AS media_id, 'doc' AS format, "
+    "regexp_replace(COALESCE(text, ''), '[^ -~]', '?', 'g') || chr(10) "
+    "|| 'w6 marker ' || CAST(doc_id % 13 AS VARCHAR) AS text "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "REAL Word-6.0/95 binaries (fcMin..fcMac contiguous text, no CLX) "
+    "extract through the same CFB dispatch; oracle is the ASCII "
+    "construction verbatim",
+)
+
+
 # [pair] legacy .doc extraction (operators/officedoc.py doc_to_text
 # over operators/cfb.py, public specs [MS-CFB] + [MS-DOC]): REAL Word
 # 97 binaries built per document — a true CFB container (FAT,
@@ -11296,6 +11344,7 @@ _ROUND8_RECHECKS = [
 _ROUND8_STAGED: list[str] = [
     # appended as round-8 gates land (each driver-sim'd at both SFs first)
     "q_ppt_fastsave", "q_html_table", "q_7z", "q_xls5", "q_tgz",
+    "q_doc6",
 ]
 _ROUND8_RECHECK_POOL = [
     n for n in _ROUND2_FIRST + list(_ROUND3_FIRST)

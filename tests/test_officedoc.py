@@ -1340,3 +1340,47 @@ def test_xls_biff5_roundtrip_rstring_and_mixed_records():
             xls_to_text(good[:cut])
         except OfficeDocError:
             pass
+
+
+def test_doc_word6_roundtrip_and_boundaries():
+    """Word 6.0/95 (wIdent 0xA5DC): contiguous fcMin..fcMac cp1252
+    text, no CLX; fast-saved (fComplex) and out-of-range typed."""
+    import struct as st
+
+    from evm_archive_spark.operators.cfb import CfbWriter
+    from evm_archive_spark.operators.officedoc import (
+        build_doc_word6,
+        cfb_to_text,
+        doc_to_text,
+    )
+
+    t = "old Word text\nsecond para, caf\xe9"
+    b = build_doc_word6(t)
+    assert doc_to_text(b) == t
+    assert cfb_to_text(b) == ("doc", t)
+
+    # fComplex (fast-saved) is a typed boundary
+    wd = bytearray(0x300)
+    st.pack_into("<H", wd, 0, 0xA5DC)
+    st.pack_into("<H", wd, 0x0A, 0x0004)
+    st.pack_into("<II", wd, 0x18, 0x200, 0x210)
+    w = CfbWriter()
+    w.add("WordDocument", bytes(wd))
+    with pytest.raises(OfficeDocError, match="fast-saved"):
+        doc_to_text(w.tobytes())
+
+    # fcMin/fcMac beyond the stream is typed
+    wd = bytearray(0x300)
+    st.pack_into("<H", wd, 0, 0xA5DC)
+    st.pack_into("<II", wd, 0x18, 0x200, 1 << 24)
+    w = CfbWriter()
+    w.add("WordDocument", bytes(wd))
+    with pytest.raises(OfficeDocError, match="range"):
+        doc_to_text(w.tobytes())
+
+    good = build_doc_word6(t)
+    for cut in range(0, len(good), 97):
+        try:
+            doc_to_text(good[:cut])
+        except OfficeDocError:
+            pass
