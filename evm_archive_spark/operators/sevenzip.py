@@ -66,6 +66,8 @@ _LZMA2 = b"\x21"
 _BZIP2 = b"\x04\x02\x02"
 _DEFLATE = b"\x04\x01\x08"
 _AES = b"\x06\xf1\x07\x01"
+_DELTA = b"\x03"
+_BCJ_X86 = b"\x03\x03\x01\x03"
 
 
 class SevenZipError(ValueError):
@@ -189,6 +191,7 @@ def _parse_streams_info(r: _Rd) -> dict:
             mains = [i for i in range(f["total_out"]) if i not in bound]
             if len(mains) != 1:
                 raise SevenZipError("7z folder without a single output")
+            f["main_out"] = mains[0]
             f["unpack_size"] = f["out_sizes"][mains[0]]
         info["folder_sizes"] = [f["unpack_size"] for f in info["folders"]]
         while True:
@@ -258,28 +261,86 @@ def _lzma2_dict_size(p: int) -> int:
     return (2 | (p & 1)) << (p // 2 + 11)
 
 
-def _decode_folder(b: bytes, folder: dict, packs: list[bytes],
-                   cap: int) -> bytes:
-    """Decode one folder's packed streams to its output bytes.
-    Single-coder folders only; multi-coder chains (BCJ/branch
-    filters, delta) and 7zAES are typed boundaries."""
+def _x86_bcj_decode(data: bytes, ip: int = 0) -> bytes:
+    """x86 BCJ branch-filter DECODE (the public Bra86/xz x86 filter
+    algorithm): E8/E9 call/jump targets were converted to absolute
+    addresses at encode time; convert them back to relative.  Whole
+    buffer, initial state — how 7z applies it to a folder stream.
+    Pinned against liblzma's FILTER_X86 ENCODER in tests (the
+    cross-implementation check)."""
+    d = bytearray(data)
+    size = len(d)
+    if size < 5:
+        return bytes(d)
+    limit = size - 4
+    pos = 0
+    mask = 0
+    ip = (ip + 5) & 0xFFFFFFFF
+
+    def msb_ok(x: int) -> bool:
+        return x == 0 or x == 0xFF
+
+    while True:
+        p = pos
+        while p < limit and (d[p] & 0xFE) != 0xE8:
+            p += 1
+        dist = p - pos
+        pos = p
+        if p >= limit:
+            break
+        if dist > 2:
+            mask = 0
+        else:
+            mask >>= dist
+            if mask != 0 and (
+                mask > 4 or mask == 3
+                or msb_ok(d[p + (mask >> 1) + 1])
+            ):
+                mask = (mask >> 1) | 4
+                pos += 1
+                continue
+        if msb_ok(d[p + 4]):
+            v = ((d[p + 4] << 24) | (d[p + 3] << 16)
+                 | (d[p + 2] << 8) | d[p + 1])
+            cur = (ip + pos) & 0xFFFFFFFF
+            v = (v - cur) & 0xFFFFFFFF
+            if mask != 0:
+                sh = (mask & 6) << 2
+                if msb_ok((v >> sh) & 0xFF):
+                    v ^= ((0x100 << sh) - 1) & 0xFFFFFFFF
+                    v = (v - cur) & 0xFFFFFFFF
+                mask = 0
+            d[p + 1] = v & 0xFF
+            d[p + 2] = (v >> 8) & 0xFF
+            d[p + 3] = (v >> 16) & 0xFF
+            d[p + 4] = (0 - ((v >> 24) & 1)) & 0xFF
+            pos += 5
+        else:
+            mask = (mask >> 1) | 4
+            pos += 1
+    return bytes(d)
+
+
+def _delta_decode(data: bytes, dist: int) -> bytes:
+    """Delta filter decode: x[i] = e[i] + x[i-dist] (mod 256) — a
+    per-stride running sum, vectorized per residue class."""
+    import numpy as np
+
+    if not 1 <= dist <= 256:
+        raise SevenZipError("bad delta filter distance")
+    arr = np.frombuffer(data, dtype=np.uint8).copy()
+    for r in range(min(dist, len(arr))):
+        lane = arr[r::dist]
+        arr[r::dist] = np.cumsum(lane, dtype=np.uint64) & 0xFF
+    return arr.tobytes()
+
+
+def _decode_coder(cid: bytes, props: bytes, data: bytes,
+                  size: int) -> bytes:
+    """Decode ONE coder stage to its declared output size."""
     import bz2
     import lzma
 
-    if len(folder["coders"]) != 1:
-        for c in folder["coders"]:
-            if c["id"] == _AES:
-                raise SevenZipError("encrypted 7z (7zAES) is out of scope")
-        raise SevenZipError(
-            "7z multi-coder folder (BCJ/branch/delta filter chain) "
-            "is out of scope")
-    coder = folder["coders"][0]
-    if coder["n_in"] != 1 or coder["n_out"] != 1 or len(packs) != 1:
-        raise SevenZipError("7z complex coder stream layout out of scope")
-    size = folder["unpack_size"]
-    if size > cap:
-        raise SevenZipError("7z folder unpack size over cap")
-    cid, props, data = coder["id"], coder["props"], packs[0]
     if cid == _COPY:
         if len(data) < size:
             raise SevenZipError("7z copy folder shorter than declared")
@@ -317,9 +378,20 @@ def _decode_folder(b: bytes, folder: dict, packs: list[bytes],
         elif cid == _DEFLATE:
             d = zlib.decompressobj(-15)
             out = d.decompress(data, size + 1)
+        elif cid == _BCJ_X86:
+            # branch filters are size-preserving; optional 4-byte
+            # start-offset property
+            if len(data) != size:
+                raise SevenZipError("7z BCJ stage size mismatch")
+            ip = struct.unpack("<I", props)[0] if len(props) == 4 else 0
+            out = _x86_bcj_decode(data, ip)
+        elif cid == _DELTA:
+            if len(data) != size:
+                raise SevenZipError("7z delta stage size mismatch")
+            dist = (props[0] + 1) if props else 1
+            out = _delta_decode(data, dist)
         else:
-            raise SevenZipError(
-                f"unsupported 7z coder {cid.hex()}")
+            raise SevenZipError(f"unsupported 7z coder {cid.hex()}")
     except SevenZipError:
         raise
     except (lzma.LZMAError, OSError, EOFError, ValueError,
@@ -328,6 +400,47 @@ def _decode_folder(b: bytes, folder: dict, packs: list[bytes],
     if len(out) < size:
         raise SevenZipError("7z folder decoded short")
     return out[:size]
+
+
+def _decode_folder(b: bytes, folder: dict, packs: list[bytes],
+                   cap: int) -> bytes:
+    """Decode one folder's packed stream to its output bytes.  With
+    1-in/1-out coders, in-stream i and out-stream i both belong to
+    coder i, so the bind pairs form a LINEAR CHAIN: evaluate from the
+    coder that takes the packed stream through to the folder's main
+    output (e.g. packed -> LZMA2 -> BCJ x86 -> bytes, the common
+    executable-archive layout).  Fan-in coders (BCJ2's 4-input graph)
+    and 7zAES stay typed boundaries."""
+    coders = folder["coders"]
+    for c in coders:
+        if c["id"] == _AES:
+            raise SevenZipError("encrypted 7z (7zAES) is out of scope")
+    if (any(c["n_in"] != 1 or c["n_out"] != 1 for c in coders)
+            or len(packs) != 1):
+        raise SevenZipError(
+            "7z fan-in coder graph (BCJ2-class) is out of scope")
+    if folder["unpack_size"] > cap:
+        raise SevenZipError("7z folder unpack size over cap")
+    next_of = {o: i for i, o in folder["bind_pairs"]}    # out -> next in
+    bound_in = {i for i, _o in folder["bind_pairs"]}
+    starts = [i for i in range(len(coders)) if i not in bound_in]
+    if len(starts) != 1:
+        raise SevenZipError("7z folder coder graph is not a chain")
+    data = packs[0]
+    ci = starts[0]
+    for _ in range(len(coders)):
+        out_size = folder["out_sizes"][ci]
+        if out_size > cap:
+            raise SevenZipError("7z folder unpack size over cap")
+        data = _decode_coder(
+            coders[ci]["id"], coders[ci]["props"], data, out_size)
+        if ci not in next_of:
+            break
+        ci = next_of[ci]
+    if ci != folder["main_out"]:
+        raise SevenZipError("7z folder coder chain does not reach "
+                            "the folder output")
+    return data
 
 
 def _folder_packs(info: dict, base: int, b: bytes) -> list[list[bytes]]:
@@ -523,26 +636,33 @@ def _wbits(bits: list[bool]) -> bytes:
 
 def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
     """Write a valid .7z archive: one folder per non-empty file
-    (``codec``: 'copy' or 'lzma2'), empty files via the
-    kEmptyStream/kEmptyFile bit vectors, UTF-16 names, correct start
-    and next-header CRCs.  ``sevenzip_members(build_7z(fs))``
-    round-trips names and payloads exactly.  Independent of the
-    reader: its own number/bit encoders."""
+    (``codec``: 'copy', 'lzma2', 'delta4+lzma2', or 'bcj+lzma2' —
+    the filter chains pack via liblzma's OWN delta/x86 encoders, so
+    round trips cross-check the from-scratch filter decoders), empty
+    files via the kEmptyStream/kEmptyFile bit vectors, UTF-16 names,
+    correct start and next-header CRCs.
+    ``sevenzip_members(build_7z(fs))`` round-trips names and payloads
+    exactly.  Independent of the reader: its own number/bit
+    encoders."""
     import lzma
 
+    lz_filter = {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 23}
+    chains = {
+        "copy": None,
+        "lzma2": [lz_filter],
+        "delta4+lzma2": [{"id": lzma.FILTER_DELTA, "dist": 4}, lz_filter],
+        "bcj+lzma2": [{"id": lzma.FILTER_X86}, lz_filter],
+    }
+    if codec not in chains:
+        raise ValueError(f"build_7z codec {codec!r}")
     nonempty = [(n, d) for n, d in files if d]
     packed: list[bytes] = []
     for _n, d in nonempty:
         if codec == "copy":
             packed.append(d)
-        elif codec == "lzma2":
-            packed.append(lzma.compress(
-                d, format=lzma.FORMAT_RAW,
-                filters=[{"id": lzma.FILTER_LZMA2,
-                          "dict_size": 1 << 23}],
-            ))
         else:
-            raise ValueError(f"build_7z codec {codec!r}")
+            packed.append(lzma.compress(
+                d, format=lzma.FORMAT_RAW, filters=chains[codec]))
     body = b"".join(packed)
 
     h = bytearray()
@@ -560,15 +680,27 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
         h += _wnum(_K_FOLDER)
         h += _wnum(len(nonempty))
         h += b"\x00"                             # not external
+        lz = bytes([0x21]) + _LZMA2 + _wnum(1) + bytes([22])  # 1<<23
+        n_outs = 1
         for _ in nonempty:
             if codec == "copy":
                 h += _wnum(1) + bytes([0x01]) + _COPY
+            elif codec == "lzma2":
+                h += _wnum(1) + lz
             else:
-                h += _wnum(1) + bytes([0x21]) + _LZMA2
-                h += _wnum(1) + bytes([22])      # dict_size 1<<23
+                # two-coder chain: packed -> LZMA2 (coder 0) -> filter
+                # (coder 1, bind pair in 1 <- out 0)
+                n_outs = 2
+                filt = (
+                    bytes([0x21]) + _DELTA + _wnum(1) + bytes([3])
+                    if codec == "delta4+lzma2"
+                    else bytes([0x04]) + _BCJ_X86
+                )
+                h += _wnum(2) + lz + filt + _wnum(1) + _wnum(0)
         h += _wnum(_K_CODERS_UNPACK_SIZE)
         for _n, d in nonempty:
-            h += _wnum(len(d))
+            for _ in range(n_outs):          # filters size-preserving
+                h += _wnum(len(d))
         h += _wnum(_K_END)
         h += _wnum(_K_END)                       # StreamsInfo end
     h += _wnum(_K_FILES_INFO)

@@ -9043,11 +9043,13 @@ _add(
 
 
 # [pair] 7z archive fan-out (operators/sevenzip.py, round-8): REAL
-# .7z containers per document — Copy folders for even doc_ids, LZMA2
-# folders for odd (both decode paths exercised) — holding the same two
-# members as q_ar_cpio, so the oracle is container-agnostic: the
-# archive kind (and codec) is visible only through a successful
-# signature-CRC + header walk + folder decode.
+# .7z containers per document — doc_id % 4 cycles Copy / LZMA2 /
+# Delta+LZMA2 / BCJ-x86+LZMA2 folders, so all four decode paths
+# (including the two-coder filter chains whose packed side is written
+# by liblzma's own delta/x86 encoders) gate every run — holding the
+# same two members as q_ar_cpio, so the oracle is container-agnostic:
+# the archive kind (and codec) is visible only through a successful
+# signature-CRC + header walk + folder-chain decode.
 
 def _q_7z(spark, sf_dir):
     import pandas as pd
@@ -9061,6 +9063,8 @@ def _q_7z(spark, sf_dir):
         F.coalesce("text", F.lit("")).alias("t"),
     )
 
+    codecs = ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2"]
+
     def build(it):
         for b in it:
             payloads = []
@@ -9068,7 +9072,7 @@ def _q_7z(spark, sf_dir):
                 data = t.encode("utf-8")
                 payloads.append(build_7z(
                     [("a.txt", data), ("b.txt", b"copy:" + data)],
-                    codec="copy" if int(mid) % 2 == 0 else "lzma2",
+                    codec=codecs[int(mid) % 4],
                 ))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}
@@ -9094,9 +9098,9 @@ _add(
     "SELECT doc_id, 'b.txt', "
     "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
     "ORDER BY media_id NULLS FIRST, path",
-    "7z fan-out: real Copy- and LZMA2-coded archives (signature CRC, "
-    "tagged header tree, folder decode) explode to the same member "
-    "rows; oracle is container-agnostic",
+    "7z fan-out: real Copy/LZMA2/Delta+LZMA2/BCJ+LZMA2 archives "
+    "(signature CRC, tagged header tree, coder-chain decode) explode "
+    "to the same member rows; oracle is container-agnostic",
 )
 
 

@@ -226,3 +226,76 @@ def test_archive_members_routing_and_member_cap():
     trunc = build_7z(FILES)[:40]
     with pytest.raises(ArchiveError):
         list(archive_members(trunc))
+
+
+def test_filter_chain_folders_cross_checked_against_liblzma():
+    """Two-coder chains (packed -> LZMA2 -> BCJ x86 / Delta): the
+    writer packs with liblzma's OWN filter encoders, so the round trip
+    cross-checks the from-scratch decoders implementation-against-
+    implementation; plus randomized BCJ fuzz and the fan-in (BCJ2-
+    class) boundary."""
+    import random
+
+    from evm_archive_spark.operators.sevenzip import (
+        _delta_decode,
+        _x86_bcj_decode,
+    )
+
+    lz = {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 23}
+    prog = b"".join(
+        b"\xe8" + struct.pack("<i", k * 9973 - 40000) for k in range(200)
+    ) + b"plain tail " * 30 + b"".join(
+        b"\xe9" + struct.pack("<i", -k * 31) + b"\x90" for k in range(100)
+    )
+    tab = bytes(range(256)) * 20
+    files = [("prog.bin", prog), ("tab.bin", tab), ("e.txt", b"")]
+    for codec in ("delta4+lzma2", "bcj+lzma2"):
+        got = {n: d for n, _s, d in
+               sevenzip_members(build_7z(files, codec=codec))}
+        assert got == dict(files), codec
+
+    # randomized BCJ fuzz: liblzma x86 encode -> our decode == identity
+    rng = random.Random(8)
+    for trial in range(40):
+        n = rng.randint(0, 400)
+        raw = bytes(
+            rng.choice((0xE8, 0xE9, 0x00, 0xFF, 0x90, 0x41))
+            if rng.random() < 0.5 else rng.randrange(256)
+            for _ in range(n)
+        )
+        packed = lzma.compress(
+            raw, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_X86}, lz])
+        enc = lzma.decompress(
+            packed, format=lzma.FORMAT_RAW, filters=[lz])
+        assert _x86_bcj_decode(enc) == raw, (trial, n)
+
+    # delta: every distance 1..8 against liblzma
+    raw = bytes(rng.randrange(256) for _ in range(777))
+    for dist in range(1, 9):
+        packed = lzma.compress(
+            raw, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_DELTA, "dist": dist}, lz])
+        enc = lzma.decompress(
+            packed, format=lzma.FORMAT_RAW, filters=[lz])
+        assert _delta_decode(enc, dist) == raw, dist
+
+    # a FAN-IN coder (2 inputs, BCJ2-class) stays a typed boundary
+    h = bytearray()
+    h += struct.pack("B", 0x01)                    # kHeader
+    h += struct.pack("B", 0x04)                    # kMainStreamsInfo
+    h += struct.pack("B", 0x06) + _wnum(0) + _wnum(2)
+    h += struct.pack("B", 0x09) + _wnum(8) + _wnum(8) + struct.pack("B", 0)
+    h += struct.pack("B", 0x07) + struct.pack("B", 0x0B) + _wnum(1) + b"\x00"
+    h += _wnum(1) + bytes([0x11]) + b"\x00"        # complex copy: 2 in 1 out
+    h += _wnum(2) + _wnum(1)
+    h += _wnum(0) + _wnum(1)                       # packed stream indices
+    h += struct.pack("B", 0x0C) + _wnum(16) + struct.pack("B", 0)
+    h += struct.pack("B", 0x00)
+    h += struct.pack("B", 0x05) + _wnum(1)
+    name = b"\x00" + "f\x00".encode("utf-16-le")
+    h += struct.pack("B", 0x11) + _wnum(len(name)) + name
+    h += struct.pack("B", 0x00) + struct.pack("B", 0x00)
+    b = _assemble(b"\x00" * 16, bytes(h))
+    with pytest.raises(SevenZipError, match="fan-in|chain|scope"):
+        list(sevenzip_members(b))
