@@ -160,11 +160,9 @@ def html_to_text(col) -> F.Column:
     ):
         c = F.regexp_replace(c, ent, repl)
     c = F.regexp_replace(c, "[ \\x0B\\f\\r]+", " ")
-    c = F.regexp_replace(c, " ?\\t ?", "\t")   # cell seam: one tab
-    c = F.regexp_replace(c, "\\t+", "\t")
-    c = F.regexp_replace(c, "\\t+\\n", "\n")   # row's trailing cell close
-    c = F.regexp_replace(c, " ?\\n ?", "\n")
-    c = F.regexp_replace(c, "\\n+", "\n")
+    c = F.regexp_replace(c, " ?\\t[\\t ]*", "\t")   # cell seam: one tab
+    c = F.regexp_replace(c, "[ \\t]*\\n ?", "\n")   # trailing cell close
+    c = F.regexp_replace(c, "\\n+", "\n")           # drops at row end
     return F.regexp_replace(c, "^\\s+|\\s+$", "")
 
 
@@ -261,10 +259,8 @@ def duckdb_html_to_text_sql(col: str) -> str:
     ):
         c = f"regexp_replace({c}, '{ent}', '{repl}', 'g')"
     c = f"regexp_replace({c}, '[ \\x0B\\f\\r]+', ' ', 'g')"
-    c = f"regexp_replace({c}, ' ?\\t ?', chr(9), 'g')"
-    c = f"regexp_replace({c}, '\\t+', chr(9), 'g')"
-    c = f"regexp_replace({c}, '\\t+\\n', chr(10), 'g')"
-    c = f"regexp_replace({c}, ' ?\\n ?', chr(10), 'g')"
+    c = f"regexp_replace({c}, ' ?\\t[\\t ]*', chr(9), 'g')"
+    c = f"regexp_replace({c}, '[ \\t]*\\n ?', chr(10), 'g')"
     c = f"regexp_replace({c}, '\\n+', chr(10), 'g')"
     return f"regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"
 
