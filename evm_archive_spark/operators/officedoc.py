@@ -356,12 +356,16 @@ def _doc_text_from_cfb(cf) -> str:
     if len(wd) < 0x200:
         raise OfficeDocError("truncated WordDocument stream")
     (w_ident,) = struct.unpack_from("<H", wd, 0)
+    (flags,) = struct.unpack_from("<H", wd, 0x0A)
+    if flags & 0x0100:
+        # fEncrypted: XOR-obfuscated or RC4/CryptoAPI text — a
+        # whole-stream decode would emit ciphertext as document text
+        raise OfficeDocError("encrypted .doc is out of scope")
     if w_ident == 0xA5DC:
         # Word 6.0/95: no CLX — contiguous codepage text at
         # fcMin..fcMac in the WordDocument stream itself; fast-saved
         # (fComplex) files carry a piece table and are a typed boundary
-        (flags6,) = struct.unpack_from("<H", wd, 0x0A)
-        if flags6 & 0x0004:
+        if flags & 0x0004:
             raise OfficeDocError(
                 "fast-saved Word 6/95 (fComplex) is out of scope")
         fc_min, fc_mac = struct.unpack_from("<II", wd, 0x18)
@@ -370,7 +374,6 @@ def _doc_text_from_cfb(cf) -> str:
         return _doc_clean(wd[fc_min:fc_mac].decode("cp1252", "replace"))
     if w_ident != 0xA5EC:
         raise OfficeDocError(f"bad FIB wIdent 0x{w_ident:04X}")
-    (flags,) = struct.unpack_from("<H", wd, 0x0A)
     table_name = "1Table" if flags & 0x0200 else "0Table"
     # FIB variable layout: base(32) csw rgW cslw rgLw cbRgFcLcb rgFcLcb
     pos = 32
@@ -1143,6 +1146,7 @@ _BIFF_NUMBER = 0x0203
 _BIFF_RK = 0x027E
 _BIFF_MULRK = 0x00BD
 _BIFF_RSTRING = 0x00D6        # BIFF5 rich byte string (runs ignored)
+_BIFF_FILEPASS = 0x002F       # encryption marker (XOR / RC4)
 _BIFF_MAX_DATA = 8224  # max record payload ([MS-XLS] 2.1.4)
 
 
@@ -1271,6 +1275,10 @@ def _xls_text_from_cfb(cf) -> str:
         recs[i][0] == _BIFF_BOF and i > 0
     ):
         op, payload = recs[i]
+        if op == _BIFF_FILEPASS:
+            # encrypted workbook (XOR or RC4): the cell records are
+            # ciphertext — emitting them as text would corrupt a corpus
+            raise OfficeDocError("encrypted .xls is out of scope")
         if op == _BIFF_SST:
             frags = [payload]
             j = i + 1

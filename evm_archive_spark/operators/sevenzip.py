@@ -402,8 +402,7 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
     return out[:size]
 
 
-def _decode_folder(b: bytes, folder: dict, packs: list[bytes],
-                   cap: int) -> bytes:
+def _decode_folder(folder: dict, packs: list[bytes], cap: int) -> bytes:
     """Decode one folder's packed stream to its output bytes.  With
     1-in/1-out coders, in-stream i and out-stream i both belong to
     coder i, so the bind pairs form a LINEAR CHAIN: evaluate from the
@@ -532,7 +531,7 @@ def sevenzip_members(
             raise SevenZipError("7z encoded header with != 1 folder")
         packs = _folder_packs(info, 32, b)
         header = _decode_folder(
-            b, info["folders"][0], packs[0], MAX_7Z_HEADER_BYTES)
+            info["folders"][0], packs[0], MAX_7Z_HEADER_BYTES)
         r = _Rd(header)
         t = r.num()
     if t != _K_HEADER:
@@ -567,7 +566,10 @@ def sevenzip_members(
     else:
         num_unpack, sub_sizes, sub_crcs, packs = [], [], None, []
 
-    # flatten (folder, offset, size, crc) per substream, in order
+    # flatten (folder, offset, size, crc) per substream, in order.
+    # When there is no SubStreamsInfo the UnpackInfo folder CRCs (one
+    # substream per folder) still apply — without this a flipped byte
+    # in a CRC-bearing non-solid archive would pass silently.
     flat: list[tuple[int, int, int, int | None]] = []
     si = 0
     for fi, n in enumerate(num_unpack):
@@ -576,12 +578,20 @@ def sevenzip_members(
         sizes = sub_sizes[si]
         off = 0
         for j, sz in enumerate(sizes):
-            crc = sub_crcs[fi][j] if sub_crcs else None
+            if sub_crcs:
+                crc = sub_crcs[fi][j]
+            elif len(sizes) == 1:
+                crc = info["folder_crcs"][fi]
+            else:
+                crc = None
             flat.append((fi, off, sz, crc))
             off += sz
         si += 1
 
-    decoded: dict[int, bytes] = {}
+    # folders are consumed in order, so keep ONLY the current folder's
+    # decoded bytes — caching all of them would let a tiny archive
+    # with many max-size folders pin folders x 256 MB in memory
+    decoded_fi, decoded = -1, b""
     ei = 0       # index into empty_file bits
     di = 0       # index into flat substreams
     for i in range(num_files):
@@ -598,10 +608,11 @@ def sevenzip_members(
         di += 1
         if sz > max_member_bytes:
             continue
-        if fi not in decoded:
-            decoded[fi] = _decode_folder(
-                b, info["folders"][fi], packs[fi], MAX_7Z_FOLDER_BYTES)
-        data = decoded[fi][off:off + sz]
+        if fi != decoded_fi:
+            decoded = _decode_folder(
+                info["folders"][fi], packs[fi], MAX_7Z_FOLDER_BYTES)
+            decoded_fi = fi
+        data = decoded[off:off + sz]
         if len(data) != sz:
             raise SevenZipError("7z substream overruns its folder")
         if crc is not None and zlib.crc32(data) != crc:

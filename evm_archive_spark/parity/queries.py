@@ -6633,7 +6633,8 @@ def _q_html_table(spark, sf_dir):
     docs = spark.table("documents")
     norm = F.trim(
         F.regexp_replace(
-            F.coalesce(F.col("text"), F.lit("")), "[ \\t\\r\\n&<]+", " "
+            F.coalesce(F.col("text"), F.lit("")),
+            "[ \\t\\r\\n\\x0B\\f&<]+", " ",
         )
     )
     html = F.concat(
@@ -6656,8 +6657,8 @@ _add(
     "q_html_table",
     _q_html_table,
     "WITH n AS (SELECT doc_id, lang, "
-    r"trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n&<]+', ' ', 'g')) "
-    "AS norm FROM documents) "
+    r"trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n\x0B\f&<]+', "
+    "' ', 'g')) AS norm FROM documents) "
     "SELECT doc_id, "
     "'id' || chr(9) || 'lang' || chr(10) || "
     "'doc ' || CAST(doc_id AS VARCHAR) || chr(9) || lang || chr(10) || "
@@ -11311,15 +11312,8 @@ _ROUND7_RECHECK_POOL = _ROUND6_R1_REMAINDER + [
 ]
 
 
-def _round7_first() -> list[str]:
-    head: list[str] = []
-    seen: set[str] = set()
-    for n in _ROUND7_OVERFLOW + _ROUND7_STAGED + _ROUND7_RECHECK_POOL:
-        if n in seen or n not in _REGISTERED_NAMES:
-            continue
-        seen.add(n)
-        head.append(n)
-    return head[:50]
+# (the r7 head-builder is retired; _ROUND7_* lists above remain as the
+# documented composition of that round's window, like _ROUND3..6_FIRST)
 
 
 # Round-8 head (ACTIVE).  CORRECTNESS_r07 came back 50/50 green with zero
@@ -11350,9 +11344,7 @@ _ROUND8_STAGED: list[str] = [
     "q_ppt_fastsave", "q_html_table", "q_7z", "q_xls5", "q_tgz",
     "q_doc6",
 ]
-_ROUND8_RECHECK_POOL = [
-    n for n in _ROUND2_FIRST + list(_ROUND3_FIRST)
-]
+_ROUND8_RECHECK_POOL = list(_ROUND2_FIRST) + list(_ROUND3_FIRST)
 
 
 def _round8_first() -> list[str]:

@@ -1384,3 +1384,34 @@ def test_doc_word6_roundtrip_and_boundaries():
             doc_to_text(good[:cut])
         except OfficeDocError:
             pass
+
+
+def test_encrypted_office_binaries_are_typed():
+    """fEncrypted .doc (97 and 6/95) and FilePass .xls are typed
+    boundaries — ciphertext must never surface as corpus text."""
+    import struct as st
+
+    from evm_archive_spark.operators.cfb import CfbWriter
+    from evm_archive_spark.operators.officedoc import (
+        doc_to_text,
+        xls_to_text,
+    )
+
+    for ident in (0xA5EC, 0xA5DC):
+        wd = bytearray(0x300)
+        st.pack_into("<H", wd, 0, ident)
+        st.pack_into("<H", wd, 0x0A, 0x0100)        # fEncrypted
+        w = CfbWriter()
+        w.add("WordDocument", bytes(wd))
+        with pytest.raises(OfficeDocError, match="encrypted"):
+            doc_to_text(w.tobytes())
+
+    def rec(op, payload):
+        return st.pack("<HH", op, len(payload)) + payload
+
+    bof = rec(0x0809, st.pack("<HHHH", 0x0600, 0x0005, 0, 0))
+    filepass = rec(0x002F, st.pack("<HHH", 1, 1, 0))
+    w = CfbWriter()
+    w.add("Workbook", bof + filepass + rec(0x000A, b""))
+    with pytest.raises(OfficeDocError, match="encrypted"):
+        xls_to_text(w.tobytes())

@@ -299,3 +299,54 @@ def test_filter_chain_folders_cross_checked_against_liblzma():
     b = _assemble(b"\x00" * 16, bytes(h))
     with pytest.raises(SevenZipError, match="fan-in|chain|scope"):
         list(sevenzip_members(b))
+
+
+def test_folder_crcs_apply_without_substreams_info():
+    # CRCs stored only as UnpackInfo folder CRCs (no kSubStreamsInfo)
+    # must still validate members — a flipped payload byte in a
+    # CRC-bearing copy folder cannot pass silently
+    m = b"crc bearing body"
+    h = bytearray()
+    h += _wnum(0x01)
+    h += _wnum(0x04)
+    h += _wnum(0x06) + _wnum(0) + _wnum(1)
+    h += _wnum(0x09) + _wnum(len(m)) + _wnum(0x00)
+    h += _wnum(0x07) + _wnum(0x0B) + _wnum(1) + b"\x00"
+    h += _wnum(1) + bytes([0x01]) + b"\x00"
+    h += _wnum(0x0C) + _wnum(len(m))
+    h += _wnum(0x0A) + b"\x01" + struct.pack("<I", zlib.crc32(m))
+    h += _wnum(0x00)                                # UnpackInfo end
+    h += _wnum(0x00)                                # StreamsInfo end
+    h += _wnum(0x05) + _wnum(1)
+    name = b"\x00" + "c\x00".encode("utf-16-le")
+    h += _wnum(0x11) + _wnum(len(name)) + name
+    h += _wnum(0x00) + _wnum(0x00)
+    good = _assemble(m, bytes(h))
+    assert list(sevenzip_members(good)) == [("c", len(m), m)]
+    bad = bytearray(good)
+    bad[32] ^= 0xFF
+    with pytest.raises(SevenZipError, match="CRC"):
+        list(sevenzip_members(bytes(bad)))
+
+
+def test_decoded_folder_memory_is_bounded():
+    # folders are consumed in order and only the CURRENT folder's
+    # decoded bytes may be held — a tiny archive with many large
+    # folders must not accumulate folders x bytes
+    import tracemalloc
+
+    per = 4 * 1024 * 1024
+    files = [(f"f{i}.bin", bytes([i]) * per) for i in range(8)]
+    b = build_7z(files, codec="lzma2")       # highly compressible
+    assert len(b) < 64 * 1024
+    tracemalloc.start()
+    n = 0
+    for _name, _sz, _data in sevenzip_members(b):
+        n += 1
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 8
+    # all-folders caching would peak >= 32 MB of decoded folders (+ the
+    # ~8 MB LZMA2 dictionary); one-at-a-time peaks at one folder + one
+    # member slice + the dictionary
+    assert peak < 6 * per, peak
