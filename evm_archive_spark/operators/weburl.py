@@ -146,6 +146,10 @@ def html_to_text(col) -> F.Column:
     c = F.regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
     c = F.regexp_replace(c, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
     c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    # image alt text is real content (captions) — surface it before
+    # the generic tag strip would drop the whole element
+    c = F.regexp_replace(
+        c, "(?i)<img\\b[^>]*\\balt=\"([^\"]*)\"[^>]*>", " $1 ")
     c = F.regexp_replace(c, "\\t", " ")        # only OUR tabs from here on
     c = F.regexp_replace(c, "(?i)</t[dh]\\s*>", "\t")
     c = F.regexp_replace(
@@ -245,6 +249,10 @@ def duckdb_html_to_text_sql(col: str) -> str:
     c = f"regexp_replace({c}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
     c = f"regexp_replace({c}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
     c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = (
+        f"regexp_replace({c}, "
+        "'(?i)<img\\b[^>]*\\balt=\"([^\"]*)\"[^>]*>', ' \\1 ', 'g')"
+    )
     c = f"regexp_replace({c}, '\\t', ' ', 'g')"
     c = f"regexp_replace({c}, '(?i)</t[dh]\\s*>', chr(9), 'g')"
     c = (

@@ -158,6 +158,10 @@ HTML_CASES = {
         "pre\n\tonly\nafter",
     "<td>x</td >tail": "x\ttail",
     "pre\tsource tab": "pre source tab",
+    # image alt text is content; alt-less images vanish
+    '<p>see <img src="x.png" alt="a chart of results"> here</p>':
+        "see a chart of results here",
+    '<img src="y.png">gone': "gone",
 }
 
 
@@ -217,7 +221,9 @@ def _pooled_html_cross_engine_fuzz(spark):
              "&lt;", "text", " ", "\n", "word",
              # table linearization fragments (cells -> tabs)
              "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
-             "<th>", "</th >", "\t", "cell"]
+             "<th>", "</th >", "\t", "cell",
+             # image alt extraction fragments
+             '<img src="a" alt="cap text">', '<img src="b">', 'alt="x"']
     for _ in range(300):
         docs.append("".join(rng.choice(frags) for _ in range(rng.randint(0, 20))))
     df = spark.createDataFrame(pd.DataFrame({"t": docs}))
