@@ -1415,3 +1415,58 @@ def test_encrypted_office_binaries_are_typed():
     w.add("Workbook", bof + filepass + rec(0x000A, b""))
     with pytest.raises(OfficeDocError, match="encrypted"):
         xls_to_text(w.tobytes())
+
+
+def test_property_roundtrip_round8_builders():
+    """Hypothesis: round-8 writer/reader pairs — BIFF5 grids
+    (latin-1-safe cells), Word 6/95 text, and fast-saved PPT decks
+    (live edit only)."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from evm_archive_spark.operators.officedoc import (
+        build_doc_word6,
+        build_ppt_fastsave,
+        build_xls_biff5,
+        doc_to_text,
+        ppt_to_text,
+        xls_to_text,
+    )
+
+    # cp1252-safe (Word 6/95 stores the ANSI codepage): printable
+    # latin-1 minus the C1 range cp1252 redefines
+    latin = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0xFF,
+            blacklist_characters="\x7f\xad"
+            + "".join(chr(c) for c in range(0x80, 0xA0)),
+        ),
+        max_size=80,
+    )
+    uni = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0xD7FF,
+            blacklist_characters="\x7f",
+        ),
+        max_size=80,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(a=latin, b=latin, u=uni, v=latin)   # odd ppt texts store
+    def check(a, b, u, v):                     # latin-1 (TextBytesAtom)
+        ca = _re.sub(r"[\t\r\n]", " ", a)
+        cb = _re.sub(r"[\t\r\n]", " ", b)
+        grid = [[ca, cb], [cb, ca]]
+        assert xls_to_text(build_xls_biff5(grid)) == (
+            f"{ca}\t{cb}\n{cb}\t{ca}"
+        )
+        assert doc_to_text(build_doc_word6(ca)) == ca
+        # fast save: only the LAST edit's text surfaces; \x0b and
+        # trailing NULs are folded by _ppt_clean, so strip them
+        pu = u.replace("\x0b", " ").rstrip("\x00")
+        pv = v.replace("\x0b", " ").rstrip("\x00")
+        deck = build_ppt_fastsave([["old " + pv, "stale"], [pu, pv]])
+        assert ppt_to_text(deck) == f"{pu}\n{pv}"
+
+    check()

@@ -350,3 +350,33 @@ def test_decoded_folder_memory_is_bounded():
     # ~8 MB LZMA2 dictionary); one-at-a-time peaks at one folder + one
     # member slice + the dictionary
     assert peak < 6 * per, peak
+
+
+def test_property_roundtrip_random_file_sets():
+    """Hypothesis: arbitrary (name, bytes) file sets — including empty
+    payloads, unicode names, and duplicate content — round-trip every
+    builder codec exactly, in order."""
+    from hypothesis import given, settings, strategies as st
+
+    names = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0xD7FF,
+            blacklist_characters="\x00\x7f",
+        ),
+        min_size=1, max_size=24,
+    )
+    blobs = st.binary(max_size=600)
+    fileset = st.lists(st.tuples(names, blobs), max_size=6)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        files=fileset,
+        codec=st.sampled_from(
+            ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2"]),
+    )
+    def check(files, codec):
+        got = list(sevenzip_members(build_7z(files, codec=codec)))
+        # members yield in FILE order (empty files inline)
+        assert got == [(n, len(d), d) for n, d in files]
+
+    check()
