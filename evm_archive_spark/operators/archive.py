@@ -39,16 +39,21 @@ class ArchiveError(ValueError):
 
 
 def compression_kind(b: bytes) -> str | None:
-    """Single-stream compression sniff: gzip / bzip2 / xz magic bytes
-    (the ``.jsonl.gz`` / ``.txt.bz2`` / ``.xz`` wrappers corpora ship
-    in).  Distinct from ``archive_kind`` — these wrap ONE payload, not
-    a member tree."""
+    """Single-stream compression sniff: gzip / bzip2 / xz / zstd /
+    lz4-frame magic bytes (the ``.jsonl.gz`` / ``.txt.bz2`` / ``.xz``
+    / ``.zst`` / ``.lz4`` wrappers corpora ship in — zstd is the
+    modern dataset-drop default).  Distinct from ``archive_kind`` —
+    these wrap ONE payload, not a member tree."""
     if b[:2] == b"\x1f\x8b":
         return "gzip"
     if b[:3] == b"BZh" and len(b) > 3 and 0x31 <= b[3] <= 0x39:
         return "bzip2"
     if b[:6] == b"\xfd7zXZ\x00":
         return "xz"
+    if b[:4] == b"\x28\xb5\x2f\xfd":
+        return "zstd"
+    if b[:4] == b"\x04\x22\x4d\x18":
+        return "lz4"
     return None
 
 
@@ -93,7 +98,7 @@ def decompress_payload(
             if not d.eof:
                 raise ArchiveError("truncated bzip2 stream")
             out.append(chunk)
-        else:
+        elif kind == "xz":
             d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
             chunk = d.decompress(b, max_out + 1)
             if len(chunk) > max_out:
@@ -101,6 +106,23 @@ def decompress_payload(
             if not d.eof:
                 raise ArchiveError("truncated xz stream")
             out.append(chunk)
+        else:
+            # zstd / lz4-frame: the CANONICAL pyarrow codecs (the
+            # columnar.py rule — no stdlib implementation exists; we
+            # own the dispatch and the cap via a bounded streaming
+            # read, never a one-shot whole-payload decompress)
+            import pyarrow as pa
+
+            st = pa.input_stream(pa.BufferReader(b), compression=kind)
+            total2 = 0
+            while True:
+                chunk = st.read(max_out - total2 + 1)
+                if not chunk:
+                    break
+                total2 += len(chunk)
+                if total2 > max_out:
+                    raise ArchiveError("decompressed size exceeds cap")
+                out.append(chunk)
     except ArchiveError:
         raise
     except (OSError, EOFError, ValueError, zlib.error, lzma.LZMAError) as e:

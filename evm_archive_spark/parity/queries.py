@@ -9106,10 +9106,11 @@ _add(
 
 
 # [pair] compressed-archive unwrap (archive.archive_members round-8
-# extension): .tar.gz for even doc_ids, .tar.bz2 for odd — the wrapper
-# hides the ustar magic, so fan-out requires the one-capped-decompress
-# re-dispatch; the oracle stays container-agnostic (same member rows
-# as q_ar_cpio / q_7z).
+# extension): doc_id % 4 cycles .tar.gz / .tar.bz2 / .tar.zst /
+# .tar.lz4 — the wrapper hides the ustar magic, so fan-out requires
+# the one-capped-decompress re-dispatch (zstd/lz4 through the
+# canonical pyarrow codecs with a bounded streaming read); the oracle
+# stays container-agnostic (same member rows as q_ar_cpio / q_7z).
 
 def _q_tgz(spark, sf_dir):
     import pandas as pd
@@ -9128,6 +9129,8 @@ def _q_tgz(spark, sf_dir):
         import io
         import tarfile
 
+        import pyarrow as pa
+
         def mk_tar(members):
             buf = io.BytesIO()
             with tarfile.open(fileobj=buf, mode="w") as tf:
@@ -9138,6 +9141,13 @@ def _q_tgz(spark, sf_dir):
                     tf.addfile(ti, io.BytesIO(data))
             return buf.getvalue()
 
+        wraps = [
+            lambda raw: gzip.compress(raw, mtime=0),
+            bz2.compress,
+            lambda raw: pa.Codec("zstd").compress(raw, asbytes=True),
+            lambda raw: pa.Codec("lz4").compress(raw, asbytes=True),
+        ]
+
         for b in it:
             payloads = []
             for mid, t in zip(b["media_id"], b["t"]):
@@ -9145,10 +9155,7 @@ def _q_tgz(spark, sf_dir):
                 raw = mk_tar(
                     [("a.txt", data), ("b.txt", b"copy:" + data)]
                 )
-                payloads.append(
-                    gzip.compress(raw, mtime=0) if int(mid) % 2 == 0
-                    else bz2.compress(raw)
-                )
+                payloads.append(wraps[int(mid) % 4](raw))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}
             )
@@ -9173,8 +9180,8 @@ _add(
     "SELECT doc_id, 'b.txt', "
     "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
     "ORDER BY media_id NULLS FIRST, path",
-    "tar.gz / tar.bz2 fan-out through the capped decompress +"
-    " re-dispatch; oracle is container-agnostic",
+    "tar.gz / tar.bz2 / tar.zst / tar.lz4 fan-out through the capped"
+    " decompress + re-dispatch; oracle is container-agnostic",
 )
 
 

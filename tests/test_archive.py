@@ -305,3 +305,57 @@ def test_compressed_archive_unwrap():
     with pytest.raises(archive.ArchiveError):
         list(archive.archive_members(
             gzip.compress(b"just text, no archive")))
+
+
+def test_zstd_lz4_wrappers():
+    """zstd / lz4-frame wrappers (the modern dataset-drop defaults)
+    decode through the canonical pyarrow codecs with OUR caps: round
+    trips, concatenated zstd frames, bounded bombs, typed truncation,
+    and the .tar.zst/.tar.lz4 fan-out."""
+    import pyarrow as pa
+
+    from evm_archive_spark.operators.archive import (
+        ArchiveError,
+        archive_members,
+        compression_kind,
+        decompress_payload,
+    )
+
+    data = b"modern wrapper body " * 400
+    for kind in ("zstd", "lz4"):
+        comp = pa.Codec(kind).compress(data, asbytes=True)
+        assert compression_kind(comp) == kind
+        assert decompress_payload(comp) == data
+        with pytest.raises(ArchiveError, match="cap"):
+            decompress_payload(comp, max_out=64)
+        with pytest.raises(ArchiveError):
+            decompress_payload(comp[: len(comp) // 2])
+        wrapped = pa.Codec(kind).compress(_tar(MEMBERS), asbytes=True)
+        got = list(archive_members(wrapped))
+        assert [(p, s) for p, s, _ in got] == [("a.py", 9), ("pkg/b.py", 6)]
+    # concatenated zstd frames decode fully (the multi-member gzip rule)
+    two = (pa.Codec("zstd").compress(b"one.", asbytes=True)
+           + pa.Codec("zstd").compress(b"two.", asbytes=True))
+    assert decompress_payload(two) == b"one.two."
+
+
+def test_document_extract_transparent_zstd_lz4(spark):
+    import pandas as pd
+    import pyarrow as pa
+
+    from evm_archive_spark.operators.extract import document_extract
+
+    rows = {
+        "media_id": [1, 2],
+        "payload": [
+            bytearray(pa.Codec("zstd").compress(
+                b"plain zstd doc text", asbytes=True)),
+            bytearray(pa.Codec("lz4").compress(
+                b"<html><p>lz4 marked up</p></html>", asbytes=True)),
+        ],
+    }
+    out = {r.media_id: (r.format, r.text) for r in
+           document_extract(spark.createDataFrame(pd.DataFrame(rows)))
+           .collect()}
+    assert out == {1: ("text", "plain zstd doc text"),
+                   2: ("html", "lz4 marked up")}
