@@ -146,6 +146,8 @@ def archive_kind(b: bytes) -> str | None:
         return "cpio"
     if b[:6] == b"7z\xbc\xaf\x27\x1c":
         return "7z"
+    if len(b) > 16 * 2048 + 6 and b[16 * 2048 + 1:16 * 2048 + 6] == b"CD001":
+        return "iso"
     return None
 
 
@@ -292,7 +294,12 @@ def archive_members(
 
         yield from sevenzip_members(b, max_member_bytes)
         return
-    raise ArchiveError("not a zip/tar/ar/cpio/7z archive")
+    if kind == "iso":
+        from .iso9660 import iso_members      # IsoError normalizes too
+
+        yield from iso_members(b, max_member_bytes)
+        return
+    raise ArchiveError("not a zip/tar/ar/cpio/7z/iso archive")
 
 
 MEMBER_SCHEMA = T.StructType(

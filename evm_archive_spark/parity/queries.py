@@ -9185,6 +9185,63 @@ _add(
 )
 
 
+# [pair] ISO 9660 image fan-out (operators/iso9660.py, round-8): REAL
+# CD-image structures per document — PVD, sectored directory extents
+# (one nested directory exercises the recursive walk), ';1' version
+# suffixes stripped — through the same explode; container-agnostic
+# member oracle (paths differ from the tar twins only by the nested
+# prefix, emitted verbatim by the oracle).
+
+def _q_iso(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.archive import explode_archives
+    from ..operators.iso9660 import build_iso
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def build(it):
+        for b in it:
+            payloads = []
+            for _mid, t in zip(b["media_id"], b["t"]):
+                data = t.encode("utf-8")
+                payloads.append(build_iso(
+                    [("A.TXT", data), ("SUB/B.TXT", b"copy:" + data)]
+                ))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = explode_archives(media, strict=True)
+    return out.select(
+        "media_id",
+        "path",
+        "size",
+        F.md5("payload").alias("member_md5"),
+    ).orderBy("media_id", "path")
+
+
+_add(
+    "q_iso",
+    _q_iso,
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
+    "SELECT doc_id AS media_id, 'A.TXT' AS path, "
+    "CAST(strlen(t) AS BIGINT) AS size, md5(t) AS member_md5 FROM d "
+    "UNION ALL "
+    "SELECT doc_id, 'SUB/B.TXT', "
+    "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
+    "ORDER BY media_id NULLS FIRST, path",
+    "ISO 9660 fan-out: real CD images (PVD, sectored directory "
+    "extents, nested dir, version-suffix strip) explode to the same "
+    "member rows; oracle is container-agnostic",
+)
+
+
 # [pair] embedded columnar extraction (operators/columnar.py): REAL
 # Parquet (even doc_ids) / Arrow IPC (odd) payloads built per document
 # with the CANONICAL pyarrow writer — two rows (id, body slice, n) —
@@ -11349,7 +11406,7 @@ _ROUND8_RECHECKS = [
 _ROUND8_STAGED: list[str] = [
     # appended as round-8 gates land (each driver-sim'd at both SFs first)
     "q_ppt_fastsave", "q_html_table", "q_7z", "q_xls5", "q_tgz",
-    "q_doc6",
+    "q_doc6", "q_iso",
 ]
 _ROUND8_RECHECK_POOL = list(_ROUND2_FIRST) + list(_ROUND3_FIRST)
 
