@@ -146,7 +146,12 @@ def archive_kind(b: bytes) -> str | None:
         return "cpio"
     if b[:6] == b"7z\xbc\xaf\x27\x1c":
         return "7z"
-    if len(b) > 16 * 2048 + 6 and b[16 * 2048 + 1:16 * 2048 + 6] == b"CD001":
+    # mirrors iso9660.is_iso exactly (magic AND a valid descriptor
+    # type byte) so sniff and walker agree on what dispatches
+    iso_off = 16 * 2048
+    if (len(b) >= iso_off + 7
+            and b[iso_off + 1:iso_off + 6] == b"CD001"
+            and b[iso_off] in (0, 1, 2, 255)):
         return "iso"
     return None
 

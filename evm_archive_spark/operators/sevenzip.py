@@ -14,13 +14,14 @@ The next header is a property-id-tagged tree (kHeader) or an
 LZMA-compressed copy of one (kEncodedHeader).  Numbers use 7z's
 variable-length encoding (first byte's high bits select 0-8 extra
 little-endian bytes).  Folders describe coder graphs; this reader
-supports the single-coder folders that cover archives "7z a" produces
-without tuning — Copy, LZMA1, LZMA2, BZip2, Deflate — and types out
-multi-coder chains (BCJ/branch filters, delta) and 7zAES encryption
-as named boundaries (stdlib lzma cannot run a branch filter as a
-standalone raw stage).  Decompression is capped (the
-archive.decompress_payload rule); header and substream CRCs are
-verified when present.
+supports the coders archives "7z a" produces without tuning — Copy,
+LZMA1, LZMA2, BZip2, Deflate — plus linear filter CHAINS over them:
+the BCJ x86 branch filter (from-scratch Bra86, `_x86_bcj_decode`)
+and the Delta filter (`_delta_decode`), both cross-checked against
+liblzma's own encoders.  Fan-in coder graphs (BCJ2's 4-input layout)
+and 7zAES encryption remain typed boundaries.  Decompression is
+capped (the archive.decompress_payload rule); header and substream
+CRCs are verified when present.
 
 ``build_7z`` is the independent synthesis writer for fixtures and the
 q_7z gate (Copy and LZMA2 folders); it shares no parse code with the
@@ -347,6 +348,13 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
         return data[:size]
     if cid == _AES:
         raise SevenZipError("encrypted 7z (7zAES) is out of scope")
+    # Dictionary clamp: coder props are UNTRUSTED (LZMA1 u32 up to
+    # 4 GiB; LZMA2 prop 40 likewise) and liblzma allocates the whole
+    # dictionary up front, so a tiny crafted archive could force
+    # multi-GiB allocations.  Match distances can never exceed the
+    # bytes already produced (<= the declared output size), so
+    # clamping to the output size loses nothing.
+    dict_cap = max(4096, size)
     try:
         if cid == _LZMA2:
             if len(props) != 1:
@@ -354,7 +362,8 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
             dec = lzma.LZMADecompressor(
                 format=lzma.FORMAT_RAW,
                 filters=[{"id": lzma.FILTER_LZMA2,
-                          "dict_size": _lzma2_dict_size(props[0])}],
+                          "dict_size": min(_lzma2_dict_size(props[0]),
+                                           dict_cap)}],
             )
             out = dec.decompress(data, size + 1)
         elif cid == _LZMA1:
@@ -369,7 +378,9 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
             dec = lzma.LZMADecompressor(
                 format=lzma.FORMAT_RAW,
                 filters=[{"id": lzma.FILTER_LZMA1, "lc": lc, "lp": lp,
-                          "pb": pb, "dict_size": max(dict_size, 4096)}],
+                          "pb": pb,
+                          "dict_size": min(max(dict_size, 4096),
+                                           dict_cap)}],
             )
             out = dec.decompress(data, size + 1)
         elif cid == _BZIP2:
@@ -557,6 +568,13 @@ def sevenzip_members(
     # substream sizes + lazily-decoded folder outputs
     if info is not None and info["folders"]:
         num_unpack = info["num_unpack"] or [1] * len(info["folders"])
+        if info["sub_sizes"] is None and any(n != 1 for n in num_unpack):
+            # 7-Zip's reader rejects kNumUnpackStream > 1 without kSize
+            # (the fallback would mis-slice members as one full-size
+            # substream per folder)
+            raise SevenZipError(
+                "7z SubStreamsInfo declares multiple substreams "
+                "without kSize")
         sub_sizes = info["sub_sizes"] or [
             [info["folder_sizes"][fi]] for fi, n in enumerate(num_unpack)
             if n > 0

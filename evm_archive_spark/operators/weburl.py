@@ -149,7 +149,10 @@ def html_to_text(col) -> F.Column:
     # image alt text is real content (captions) — surface it before
     # the generic tag strip would drop the whole element
     c = F.regexp_replace(
-        c, "(?i)<img\\b[^>]*\\balt=\"([^\"]*)\"[^>]*>", " $1 ")
+        c,
+        "(?i)<img\\b[^>]*\\balt=(?:\"([^\"]*)\"|'([^']*)'"
+        "|([^\\s\"'>]+))[^>]*>",
+        " $1$2$3 ")
     c = F.regexp_replace(c, "\\t", " ")        # only OUR tabs from here on
     c = F.regexp_replace(c, "(?i)</t[dh]\\s*>", "\t")
     c = F.regexp_replace(
@@ -251,7 +254,8 @@ def duckdb_html_to_text_sql(col: str) -> str:
     c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
     c = (
         f"regexp_replace({c}, "
-        "'(?i)<img\\b[^>]*\\balt=\"([^\"]*)\"[^>]*>', ' \\1 ', 'g')"
+        "'(?i)<img\\b[^>]*\\balt=(?:\"([^\"]*)\"|''([^'']*)''"
+        "|([^\\s\"''>]+))[^>]*>', ' \\1\\2\\3 ', 'g')"
     )
     c = f"regexp_replace({c}, '\\t', ' ', 'g')"
     c = f"regexp_replace({c}, '(?i)</t[dh]\\s*>', chr(9), 'g')"

@@ -133,3 +133,15 @@ def test_archive_members_routing():
     struct.pack_into("<I", bad, 16 * SECTOR + 156 + 2, 1 << 24)
     with pytest.raises(ArchiveError):
         list(archive_members(bytes(bad)))
+    # the sniff mirrors is_iso exactly: a coincidental CD001 with an
+    # INVALID descriptor type byte is "not an archive", not a typed
+    # iso_members failure (r9 ADVICE item)
+    from evm_archive_spark.operators.iso9660 import is_iso
+
+    fake = bytearray(17 * SECTOR)
+    fake[16 * SECTOR] = 7                    # not in (0, 1, 2, 255)
+    fake[16 * SECTOR + 1:16 * SECTOR + 6] = b"CD001"
+    assert archive_kind(bytes(fake)) is None
+    assert not is_iso(bytes(fake))
+    with pytest.raises(ArchiveError, match="not a zip/tar"):
+        list(archive_members(bytes(fake)))

@@ -352,6 +352,94 @@ def test_decoded_folder_memory_is_bounded():
     assert peak < 6 * per, peak
 
 
+def test_huge_declared_dict_size_is_clamped():
+    """A crafted LZMA2 prop byte of 40 declares a 4 GiB dictionary;
+    liblzma allocates the dictionary up front, so without the clamp a
+    tiny archive forces a multi-GiB allocation attempt.  The clamp to
+    the declared output size is lossless (match distances never exceed
+    bytes produced) — the member still decodes, small."""
+    import tracemalloc
+
+    data = b"clamped dict payload " * 40
+    packed = lzma.compress(
+        data, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 16}])
+    h = bytearray()
+    h += _wnum(0x01)
+    h += _wnum(0x04)
+    h += _wnum(0x06) + _wnum(0) + _wnum(1)
+    h += _wnum(0x09) + _wnum(len(packed)) + _wnum(0x00)
+    h += _wnum(0x07) + _wnum(0x0B) + _wnum(1) + b"\x00"
+    h += _wnum(1) + bytes([0x21]) + b"\x21" + _wnum(1) + bytes([40])
+    h += _wnum(0x0C) + _wnum(len(data)) + _wnum(0x00)
+    h += _wnum(0x00)
+    h += _wnum(0x05) + _wnum(1)
+    name = b"\x00" + "d\x00".encode("utf-16-le")
+    h += _wnum(0x11) + _wnum(len(name)) + name
+    h += _wnum(0x00) + _wnum(0x00)
+    b = _assemble(packed, bytes(h))
+    tracemalloc.start()
+    got = list(sevenzip_members(b))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert got == [("d", len(data), data)]
+    assert peak < 16 * 1024 * 1024, peak
+
+    # same for LZMA1's u32 dict-size prop at its 4 GiB maximum
+    packed1 = lzma.compress(
+        data, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA1, "lc": 3, "lp": 0, "pb": 2,
+                  "dict_size": 1 << 16}])
+    props = bytes([(2 * 5 + 0) * 9 + 3]) + struct.pack("<I", 0xFFFFFFFF)
+    h = bytearray()
+    h += _wnum(0x01)
+    h += _wnum(0x04)
+    h += _wnum(0x06) + _wnum(0) + _wnum(1)
+    h += _wnum(0x09) + _wnum(len(packed1)) + _wnum(0x00)
+    h += _wnum(0x07) + _wnum(0x0B) + _wnum(1) + b"\x00"
+    h += _wnum(1) + bytes([0x23]) + b"\x03\x01\x01"
+    h += _wnum(len(props)) + props
+    h += _wnum(0x0C) + _wnum(len(data)) + _wnum(0x00)
+    h += _wnum(0x00)
+    h += _wnum(0x05) + _wnum(1)
+    h += _wnum(0x11) + _wnum(len(name)) + name
+    h += _wnum(0x00) + _wnum(0x00)
+    b1 = _assemble(packed1, bytes(h))
+    tracemalloc.start()
+    got1 = list(sevenzip_members(b1))
+    _cur, peak1 = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert got1 == [("d", len(data), data)]
+    assert peak1 < 16 * 1024 * 1024, peak1
+
+
+def test_multi_substream_without_ksize_rejected():
+    """kNumUnpackStream > 1 for a folder with kSize omitted: 7-Zip's
+    reader rejects the layout; the old fallback silently treated the
+    folder as ONE full-size substream and mis-sliced members."""
+    m1, m2 = b"first member body", b"second one"
+    body = m1 + m2
+    h = bytearray()
+    h += _wnum(0x01)
+    h += _wnum(0x04)
+    h += _wnum(0x06) + _wnum(0) + _wnum(1)
+    h += _wnum(0x09) + _wnum(len(body)) + _wnum(0x00)
+    h += _wnum(0x07) + _wnum(0x0B) + _wnum(1) + b"\x00"
+    h += _wnum(1) + bytes([0x01]) + b"\x00"        # copy coder
+    h += _wnum(0x0C) + _wnum(len(body)) + _wnum(0x00)
+    h += _wnum(0x08)                               # kSubStreamsInfo
+    h += _wnum(0x0D) + _wnum(2)                    # 2 substreams, NO kSize
+    h += _wnum(0x00)
+    h += _wnum(0x00)
+    h += _wnum(0x05) + _wnum(2)
+    name = b"\x00" + "m1\x00m2\x00".encode("utf-16-le")
+    h += _wnum(0x11) + _wnum(len(name)) + name
+    h += _wnum(0x00) + _wnum(0x00)
+    b = _assemble(body, bytes(h))
+    with pytest.raises(SevenZipError, match="without kSize"):
+        list(sevenzip_members(b))
+
+
 def test_property_roundtrip_random_file_sets():
     """Hypothesis: arbitrary (name, bytes) file sets — including empty
     payloads, unicode names, and duplicate content — round-trip every

@@ -162,6 +162,11 @@ HTML_CASES = {
     '<p>see <img src="x.png" alt="a chart of results"> here</p>':
         "see a chart of results here",
     '<img src="y.png">gone': "gone",
+    # single-quoted and unquoted alt values (common in real crawl
+    # HTML) surface too — r9 ADVICE item
+    "<img src='s.png' alt='single quoted'> tail": "single quoted tail",
+    "<img alt=bare src=z.png>x": "bare x",
+    "<img alt=''>empty": "empty",
 }
 
 
@@ -222,8 +227,9 @@ def _pooled_html_cross_engine_fuzz(spark):
              # table linearization fragments (cells -> tabs)
              "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
              "<th>", "</th >", "\t", "cell",
-             # image alt extraction fragments
-             '<img src="a" alt="cap text">', '<img src="b">', 'alt="x"']
+             # image alt extraction fragments (all three quote styles)
+             '<img src="a" alt="cap text">', '<img src="b">', 'alt="x"',
+             "<img alt='sq cap'>", "<img alt=bare>", "alt='y'", "alt=z"]
     for _ in range(300):
         docs.append("".join(rng.choice(frags) for _ in range(rng.randint(0, 20))))
     df = spark.createDataFrame(pd.DataFrame({"t": docs}))
