@@ -11411,10 +11411,53 @@ _ROUND8_STAGED: list[str] = [
 _ROUND8_RECHECK_POOL = list(_ROUND2_FIRST) + list(_ROUND3_FIRST)
 
 
-def _round8_first() -> list[str]:
+# (the r8 head-builder is retired; _ROUND8_* lists above remain as the
+# documented composition of that round's window, like _ROUND3..7_FIRST)
+
+
+# Round-9 head (ACTIVE).  CORRECTNESS_r08 came back 50/50 green with zero
+# `err` rows.  Composition per the standing contract (NOTES.md round-9
+# window plan / VERDICT r8 next-round #1):
+#   1. zero r08 reds to re-enter;
+#   2. the FORTY-TWO gates whose newest driver row is r2/r3-vintage —
+#      computed from CORRECTNESS_r01..r08 union: the 5 r2-tail gates the
+#      r8 [:50] cap displaced (q_a1, q_w2, q_w3, q_d2,
+#      q_neardup_pipeline), then q_ivf_bucketed and the 36 r3-window
+#      gates in _ROUND3_FIRST order.  All 42 are sweep-green at BOTH SFs
+#      in SWEEP_r08 — this is recording, not fixing: after r9 no
+#      registry gate's newest driver row is older than r4-vintage
+#      except what the cap forces into r10;
+#   3. gates registered new IN round 9 itself (_ROUND9_STAGED, appended
+#      as they land; each driver-sim'd green at both SFs before entry);
+#   4. remaining slots: next-oldest regression re-checks in
+#      _ROUND4_FIRST order (r4-vintage rows), skipping names already in
+#      this head.
+# Nothing here is curated for expected-pass.
+_ROUND9_RECHECKS = [
+    # r2-vintage driver rows (VERDICT r8 #1, the named five)
+    "q_a1", "q_w2", "q_w3", "q_d2", "q_neardup_pipeline",
+    # r3-vintage, _ROUND3_FIRST order
+    "q_ivf_bucketed",
+    "q_cosine_neardup", "q_embed_dedup", "q_text_bpe",
+    "q_st7_intervaljoin", "q_frame_sample", "q_pack", "q_repetition",
+    "q_mix", "q_pii_scrub", "q_decontam", "q_corpus_pipeline",
+    "q_gopher", "q_commonness", "q_dupspan", "q_c4", "q_quantize",
+    "q_line_dedup", "q_bloom_decontam", "q_semdedup", "q_pq_codes",
+    "q_pq_topk", "q_cms", "q_hll", "q_st_hll", "q_st_cms",
+    "q_normalize", "q_bpe_merges", "q_chunk", "q_incr_dedup",
+    "q_global_index", "q_profile",
+    "q_st_e2e", "q_graphql", "q_asof_nearest", "q_source_cap", "q_dsir",
+]
+_ROUND9_STAGED: list[str] = [
+    # appended as round-9 gates land (each driver-sim'd at both SFs first)
+]
+_ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
+
+
+def _round9_first() -> list[str]:
     head: list[str] = []
     seen: set[str] = set()
-    for n in _ROUND8_RECHECKS + _ROUND8_STAGED + _ROUND8_RECHECK_POOL:
+    for n in _ROUND9_RECHECKS + _ROUND9_STAGED + _ROUND9_RECHECK_POOL:
         if n in seen or n not in _REGISTERED_NAMES:
             continue
         seen.add(n)
@@ -11424,7 +11467,7 @@ def _round8_first() -> list[str]:
 
 def _reordered() -> list[ParityQuery]:
     by_name = {q.name: q for q in _REGISTRY}
-    order = _round8_first()
+    order = _round9_first()
     head = [by_name[n] for n in order if n in by_name]
     in_head = set(n for n in order if n in by_name)
     tail = [q for q in _REGISTRY if q.name not in in_head]
