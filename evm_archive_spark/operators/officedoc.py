@@ -348,6 +348,39 @@ def _parse_cfb_typed(b: bytes):
         raise OfficeDocError(str(e)) from e
 
 
+def _parse_clx(clx: bytes) -> tuple[tuple[int, ...], list[int]]:
+    """CLX = [Prc]* Pcdt (same structure in Word 6/95 and 97): skip
+    the 0x01-tagged property chunks, parse the 0x02-tagged PlcPcd.
+    Returns (cp boundaries, raw PCD fc values) — the caller owns the
+    per-format fc interpretation (Word 97 packs an fCompressed bit;
+    Word 6/95 fc is a plain byte offset)."""
+    i = 0
+    while i < len(clx) and clx[i] == 0x01:
+        if i + 3 > len(clx):
+            raise OfficeDocError("truncated CLX Prc")
+        (cb,) = struct.unpack_from("<h", clx, i + 1)
+        if cb < 0:
+            raise OfficeDocError("negative CLX Prc length")
+        i += 3 + cb
+    if i >= len(clx) or clx[i] != 0x02:
+        raise OfficeDocError("CLX has no Pcdt")
+    if i + 5 > len(clx):
+        raise OfficeDocError("truncated CLX Pcdt")
+    (lcb_plc,) = struct.unpack_from("<I", clx, i + 1)
+    plc = clx[i + 5:i + 5 + lcb_plc]
+    if len(plc) < lcb_plc or lcb_plc < 4 or (lcb_plc - 4) % 12 != 0:
+        raise OfficeDocError("malformed PlcPcd")
+    n = (lcb_plc - 4) // 12
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    if any(cps[k + 1] < cps[k] for k in range(n)):
+        raise OfficeDocError("PlcPcd cp boundaries not monotonic")
+    fcs = []
+    for k in range(n):
+        (fc_raw,) = struct.unpack_from("<I", plc, (n + 1) * 4 + k * 8 + 2)
+        fcs.append(fc_raw)
+    return cps, fcs
+
+
 @guard(OfficeDocError)
 def _doc_text_from_cfb(cf) -> str:
     if "WordDocument" not in cf.streams:
@@ -362,12 +395,33 @@ def _doc_text_from_cfb(cf) -> str:
         # whole-stream decode would emit ciphertext as document text
         raise OfficeDocError("encrypted .doc is out of scope")
     if w_ident == 0xA5DC:
-        # Word 6.0/95: no CLX — contiguous codepage text at
-        # fcMin..fcMac in the WordDocument stream itself; fast-saved
-        # (fComplex) files carry a piece table and are a typed boundary
+        # Word 6.0/95.  Normal saves: contiguous codepage text at
+        # fcMin..fcMac in the WordDocument stream itself.  Fast saves
+        # (fComplex, FIB flag 0x0004): a CLX piece table — fcClx/
+        # lcbClx are fc/lcb pair 33 of the FIB array at 0x58 (offset
+        # 0x160), and the CLX lives in the WordDocument stream (the
+        # separate table stream is a Word-97 invention).  Reading
+        # fcMin..fcMac contiguously on a fast-saved file surfaces
+        # superseded text — the .ppt live-edit lesson.
         if flags & 0x0004:
-            raise OfficeDocError(
-                "fast-saved Word 6/95 (fComplex) is out of scope")
+            if len(wd) < 0x168:
+                raise OfficeDocError(
+                    "Word 6/95 FIB too short for fcClx")
+            fc_clx, lcb_clx = struct.unpack_from("<II", wd, 0x160)
+            if fc_clx + lcb_clx > len(wd):
+                raise OfficeDocError(
+                    "Word 6/95 CLX outside the WordDocument stream")
+            cps, fcs = _parse_clx(wd[fc_clx:fc_clx + lcb_clx])
+            out = []
+            for k, fc_raw in enumerate(fcs):
+                n_cp = cps[k + 1] - cps[k]
+                # Word 6/95 text is always single-byte codepage; the
+                # PCD fc is a plain byte offset (no fCompressed bit)
+                raw = wd[fc_raw:fc_raw + n_cp]
+                if len(raw) < n_cp:
+                    raise OfficeDocError("piece outside WordDocument")
+                out.append(raw.decode("cp1252", "replace"))
+            return _doc_clean("".join(out))
         fc_min, fc_mac = struct.unpack_from("<II", wd, 0x18)
         if not fc_min <= fc_mac <= len(wd):
             raise OfficeDocError("Word 6/95 text range out of stream")
@@ -389,24 +443,9 @@ def _doc_text_from_cfb(cf) -> str:
     table = cf.stream(table_name)
     if fc_clx + lcb_clx > len(table):
         raise OfficeDocError("CLX outside the table stream")
-    clx = table[fc_clx:fc_clx + lcb_clx]
-    # CLX = [Prc]* Pcdt; Prc starts 0x01 (skip), Pcdt starts 0x02
-    i = 0
-    while i < len(clx) and clx[i] == 0x01:
-        (cb,) = struct.unpack_from("<h", clx, i + 1)
-        i += 3 + cb
-    if i >= len(clx) or clx[i] != 0x02:
-        raise OfficeDocError("CLX has no Pcdt")
-    (lcb_plc,) = struct.unpack_from("<I", clx, i + 1)
-    plc = clx[i + 5:i + 5 + lcb_plc]
-    if len(plc) < lcb_plc or (lcb_plc - 4) % 12 != 0:
-        raise OfficeDocError("malformed PlcPcd")
-    n = (lcb_plc - 4) // 12
-    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    cps, fcs = _parse_clx(table[fc_clx:fc_clx + lcb_clx])
     out = []
-    for k in range(n):
-        pcd = plc[(n + 1) * 4 + k * 8:(n + 1) * 4 + (k + 1) * 8]
-        (fc_raw,) = struct.unpack_from("<I", pcd, 2)
+    for k, fc_raw in enumerate(fcs):
         n_cp = cps[k + 1] - cps[k]
         compressed = bool(fc_raw & 0x40000000)
         fc = fc_raw & 0x3FFFFFFF
@@ -471,23 +510,64 @@ def build_doc(text: str) -> bytes:
     return w.tobytes()
 
 
-def build_doc_word6(text: str) -> bytes:
+def build_doc_word6(text: str, fast_save: bool = False) -> bytes:
     """Minimal valid Word 6.0/95 binary (the pre-97 layout old corpora
     still carry): a wIdent 0xA5DC FIB with fcMin/fcMac bracketing
     contiguous cp1252 text in the WordDocument stream — no CLX, no
-    table stream.  ``\\n`` is stored as Word's ``\\r`` paragraph
-    mark."""
+    table stream.  ``\\n`` is stored as Word's ``\\r`` paragraph mark.
+
+    ``fast_save=True`` writes the fComplex layout a quick-saved Word
+    6/95 file has: the LOGICAL text split into pieces stored OUT of
+    order in the stream with superseded (stale) bytes between them,
+    mapped back together by a CLX piece table at FIB pair 33 (fcClx @
+    0x160).  A contiguous fcMin..fcMac read of such a file returns the
+    stale interleaving — only the piece walk recovers the document."""
     from .cfb import CfbWriter
 
     stored = text.replace("\n", "\r").encode("cp1252", "replace")
     fc_min = 0x300
-    wd = bytearray(fc_min + len(stored))
+    if not fast_save:
+        wd = bytearray(fc_min + len(stored))
+        struct.pack_into("<H", wd, 0, 0xA5DC)
+        struct.pack_into("<H", wd, 2, 101)          # nFib, Word 6.0
+        struct.pack_into("<II", wd, 0x18, fc_min, fc_min + len(stored))
+        wd[fc_min:] = stored
+        w = CfbWriter()
+        w.add("WordDocument", bytes(wd))
+        return w.tobytes()
+
+    # fast save: two pieces (second half stored FIRST), stale bytes
+    # from the "previous save" between them
+    cut = len(stored) // 2
+    p1, p2 = stored[:cut], stored[cut:]
+    stale = b"STALE SUPERSEDED TEXT. "
+    fc_p2 = fc_min
+    fc_stale = fc_p2 + len(p2)
+    fc_p1 = fc_stale + len(stale)
+    fc_mac = fc_p1 + len(p1)
+    body = p2 + stale + p1
+    # CLX: one Prc chunk (real fast saves carry property updates; the
+    # walker must skip it) + Pcdt/PlcPcd mapping the two pieces
+    pieces = [(0, len(p1), fc_p1), (len(p1), len(stored), fc_p2)]
+    if not p1 and not p2:
+        pieces = [(0, 0, fc_min)]
+    cps = struct.pack(
+        f"<{len(pieces) + 1}I",
+        *[p[0] for p in pieces], pieces[-1][1],
+    )
+    pcds = b"".join(struct.pack("<HIH", 0, fc, 0) for _a, _b, fc in pieces)
+    plc = cps + pcds
+    prc = b"\x01" + struct.pack("<h", 4) + b"\x00\x00\x00\x00"
+    clx = prc + b"\x02" + struct.pack("<I", len(plc)) + plc
+    fc_clx = fc_mac
+    wd = bytearray(fc_min)
     struct.pack_into("<H", wd, 0, 0xA5DC)
-    struct.pack_into("<H", wd, 2, 101)              # nFib, Word 6.0
-    struct.pack_into("<II", wd, 0x18, fc_min, fc_min + len(stored))
-    wd[fc_min:] = stored
+    struct.pack_into("<H", wd, 2, 101)
+    struct.pack_into("<H", wd, 0x0A, 0x0004)        # fComplex
+    struct.pack_into("<II", wd, 0x18, fc_min, fc_mac)
+    struct.pack_into("<II", wd, 0x160, fc_clx, len(clx))
     w = CfbWriter()
-    w.add("WordDocument", bytes(wd))
+    w.add("WordDocument", bytes(wd) + body + clx)
     return w.tobytes()
 
 

@@ -8398,11 +8398,14 @@ _add(
 )
 
 
-# [pair] legacy Word 6.0/95 .doc extraction (round-8): the pre-97
-# layout — contiguous fcMin..fcMac codepage text, no CLX/piece table
-# (fast-saved fComplex files are a typed boundary).  cp1252 bytes, so
-# the construction maps to printable ASCII first (the q_rtf
-# precedent); Word stores \r, extraction maps back to \n.
+# [pair] legacy Word 6.0/95 .doc extraction (round-8; fast-save
+# round-9): even docs use the normal contiguous fcMin..fcMac layout,
+# odd docs the fast-saved (fComplex) layout whose pieces are stored
+# out of order with superseded bytes between them — a contiguous read
+# of those would surface the stale interleaving, so the gate proves
+# the CLX piece-table walk.  cp1252 bytes, so the construction maps to
+# printable ASCII first (the q_rtf precedent); Word stores \r,
+# extraction maps back to \n.
 
 def _q_doc6(spark, sf_dir):
     import re as _re
@@ -8424,7 +8427,8 @@ def _q_doc6(spark, sf_dir):
                 out["media_id"].append(m)
                 out["payload"].append(
                     build_doc_word6(
-                        ascii_text + f"\nw6 marker {m % 13}"
+                        ascii_text + f"\nw6 marker {m % 13}",
+                        fast_save=bool(m % 2),
                     )
                 )
             yield pd.DataFrame(out)
@@ -8440,9 +8444,10 @@ _add(
     "regexp_replace(COALESCE(text, ''), '[^ -~]', '?', 'g') || chr(10) "
     "|| 'w6 marker ' || CAST(doc_id % 13 AS VARCHAR) AS text "
     "FROM documents ORDER BY media_id NULLS FIRST",
-    "REAL Word-6.0/95 binaries (fcMin..fcMac contiguous text, no CLX) "
-    "extract through the same CFB dispatch; oracle is the ASCII "
-    "construction verbatim",
+    "REAL Word-6.0/95 binaries — even docs contiguous fcMin..fcMac, "
+    "odd docs fast-saved (fComplex) with out-of-order pieces + stale "
+    "bytes a contiguous read would mis-surface — extract through the "
+    "same CFB dispatch; oracle is the ASCII construction verbatim",
 )
 
 
@@ -11449,7 +11454,9 @@ _ROUND9_RECHECKS = [
     "q_st_e2e", "q_graphql", "q_asof_nearest", "q_source_cap", "q_dsir",
 ]
 _ROUND9_STAGED: list[str] = [
-    # appended as round-9 gates land (each driver-sim'd at both SFs first)
+    # appended as round-9 gates land OR materially change their
+    # fixture cycle (each driver-sim'd at both SFs first)
+    "q_doc6",       # odd docs now fast-saved (fComplex piece walk)
 ]
 _ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
 

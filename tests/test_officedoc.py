@@ -1344,10 +1344,11 @@ def test_xls_biff5_roundtrip_rstring_and_mixed_records():
 
 def test_doc_word6_roundtrip_and_boundaries():
     """Word 6.0/95 (wIdent 0xA5DC): contiguous fcMin..fcMac cp1252
-    text, no CLX; fast-saved (fComplex) and out-of-range typed."""
+    text for normal saves; fast saves (fComplex) walk the CLX piece
+    table at FIB pair 33; out-of-range fields typed."""
     import struct as st
 
-    from evm_archive_spark.operators.cfb import CfbWriter
+    from evm_archive_spark.operators.cfb import CfbWriter, parse_cfb
     from evm_archive_spark.operators.officedoc import (
         build_doc_word6,
         cfb_to_text,
@@ -1359,31 +1360,51 @@ def test_doc_word6_roundtrip_and_boundaries():
     assert doc_to_text(b) == t
     assert cfb_to_text(b) == ("doc", t)
 
-    # fComplex (fast-saved) is a typed boundary
-    wd = bytearray(0x300)
-    st.pack_into("<H", wd, 0, 0xA5DC)
-    st.pack_into("<H", wd, 0x0A, 0x0004)
-    st.pack_into("<II", wd, 0x18, 0x200, 0x210)
+    # fComplex (fast-saved): pieces stored out of order with stale
+    # bytes between them — the piece walk recovers the logical text,
+    # and the CONTIGUOUS fcMin..fcMac read would NOT (the stale marker
+    # sits inside the range), which is the whole point of the walk
+    fs = build_doc_word6(t, fast_save=True)
+    assert doc_to_text(fs) == t
+    assert cfb_to_text(fs) == ("doc", t)
+    wd = parse_cfb(fs).stream("WordDocument")
+    fc_min, fc_mac = st.unpack_from("<II", wd, 0x18)
+    contiguous = wd[fc_min:fc_mac].decode("cp1252", "replace")
+    assert "STALE SUPERSEDED" in contiguous and contiguous != t
+
+    # fComplex with a CLX that overruns the stream is typed
+    wd6 = bytearray(0x300)
+    st.pack_into("<H", wd6, 0, 0xA5DC)
+    st.pack_into("<H", wd6, 0x0A, 0x0004)
+    st.pack_into("<II", wd6, 0x18, 0x200, 0x210)
+    st.pack_into("<II", wd6, 0x160, 0x280, 1 << 20)   # lcbClx overrun
     w = CfbWriter()
-    w.add("WordDocument", bytes(wd))
-    with pytest.raises(OfficeDocError, match="fast-saved"):
+    w.add("WordDocument", bytes(wd6))
+    with pytest.raises(OfficeDocError, match="CLX"):
+        doc_to_text(w.tobytes())
+
+    # fComplex pointing at a zeroed CLX (no Pcdt) is typed
+    st.pack_into("<II", wd6, 0x160, 0x280, 0x10)
+    w = CfbWriter()
+    w.add("WordDocument", bytes(wd6))
+    with pytest.raises(OfficeDocError, match="CLX|Pcdt"):
         doc_to_text(w.tobytes())
 
     # fcMin/fcMac beyond the stream is typed
-    wd = bytearray(0x300)
-    st.pack_into("<H", wd, 0, 0xA5DC)
-    st.pack_into("<II", wd, 0x18, 0x200, 1 << 24)
+    wd6 = bytearray(0x300)
+    st.pack_into("<H", wd6, 0, 0xA5DC)
+    st.pack_into("<II", wd6, 0x18, 0x200, 1 << 24)
     w = CfbWriter()
-    w.add("WordDocument", bytes(wd))
+    w.add("WordDocument", bytes(wd6))
     with pytest.raises(OfficeDocError, match="range"):
         doc_to_text(w.tobytes())
 
-    good = build_doc_word6(t)
-    for cut in range(0, len(good), 97):
-        try:
-            doc_to_text(good[:cut])
-        except OfficeDocError:
-            pass
+    for good in (build_doc_word6(t), build_doc_word6(t, fast_save=True)):
+        for cut in range(0, len(good), 97):
+            try:
+                doc_to_text(good[:cut])
+            except OfficeDocError:
+                pass
 
 
 def test_encrypted_office_binaries_are_typed():
@@ -1462,6 +1483,7 @@ def test_property_roundtrip_round8_builders():
             f"{ca}\t{cb}\n{cb}\t{ca}"
         )
         assert doc_to_text(build_doc_word6(ca)) == ca
+        assert doc_to_text(build_doc_word6(ca, fast_save=True)) == ca
         # fast save: only the LAST edit's text surfaces; \x0b and
         # trailing NULs are folded by _ppt_clean, so strip them
         pu = u.replace("\x0b", " ").rstrip("\x00")
