@@ -13,15 +13,19 @@ A .7z file is::
 The next header is a property-id-tagged tree (kHeader) or an
 LZMA-compressed copy of one (kEncodedHeader).  Numbers use 7z's
 variable-length encoding (first byte's high bits select 0-8 extra
-little-endian bytes).  Folders describe coder graphs; this reader
-supports the coders archives "7z a" produces without tuning — Copy,
-LZMA1, LZMA2, BZip2, Deflate — plus linear filter CHAINS over them:
-the BCJ x86 branch filter (from-scratch Bra86, `_x86_bcj_decode`)
-and the Delta filter (`_delta_decode`), both cross-checked against
-liblzma's own encoders.  Fan-in coder graphs (BCJ2's 4-input layout)
-and 7zAES encryption remain typed boundaries.  Decompression is
-capped (the archive.decompress_payload rule); header and substream
-CRCs are verified when present.
+little-endian bytes).  Folders describe coder graphs evaluated as a
+memoized DAG; this reader supports the coders archives "7z a"
+produces — Copy, LZMA1, LZMA2, BZip2, Deflate — plus filter stages
+over them: the branch filters BCJ x86 (from-scratch Bra86), ARM,
+ARM-Thumb, PowerPC and SPARC plus the Delta filter, each
+cross-checked against liblzma's own encoders, and BCJ2 — the
+4-stream (main/call/jump/range-coded control) x86 transform that is
+the default for large executables — decoded from the public format
+description with an independent from-scratch encoder as its round
+trip (liblzma has no BCJ2 to pin against).  7zAES encryption remains
+a typed boundary.  Decompression is capped (the
+archive.decompress_payload rule); header and substream CRCs are
+verified when present.
 
 ``build_7z`` is the independent synthesis writer for fixtures and the
 q_7z gate (Copy and LZMA2 folders); it shares no parse code with the
@@ -69,6 +73,11 @@ _DEFLATE = b"\x04\x01\x08"
 _AES = b"\x06\xf1\x07\x01"
 _DELTA = b"\x03"
 _BCJ_X86 = b"\x03\x03\x01\x03"
+_BCJ2 = b"\x03\x03\x01\x1b"
+_PPC = b"\x03\x03\x02\x05"
+_ARM = b"\x03\x03\x05\x01"
+_ARMT = b"\x03\x03\x07\x01"
+_SPARC = b"\x03\x03\x08\x05"
 
 
 class SevenZipError(ValueError):
@@ -336,6 +345,241 @@ def _delta_decode(data: bytes, dist: int) -> bytes:
     return arr.tobytes()
 
 
+def _arm_decode(data: bytes, ip: int = 0) -> bytes:
+    """ARM BL branch-filter decode (the public xz/7-Zip ARM filter):
+    4-byte little-endian words whose top byte is 0xEB carry a 24-bit
+    word-offset target converted to absolute at encode time; convert
+    back to relative.  Pinned against liblzma's FILTER_ARM encoder."""
+    d = bytearray(data)
+    for i in range(0, len(d) - 3, 4):
+        if d[i + 3] == 0xEB:
+            v = ((d[i + 2] << 16) | (d[i + 1] << 8) | d[i]) << 2
+            v = (v - (ip + i + 8)) & 0xFFFFFFFF
+            v >>= 2
+            d[i] = v & 0xFF
+            d[i + 1] = (v >> 8) & 0xFF
+            d[i + 2] = (v >> 16) & 0xFF
+    return bytes(d)
+
+
+def _armt_decode(data: bytes, ip: int = 0) -> bytes:
+    """ARM Thumb BL-pair branch-filter decode (public xz/7-Zip ARMT
+    filter): two 16-bit halfwords F0xx/F8xx carrying a 22-bit
+    halfword-offset target.  Pinned against liblzma's FILTER_ARMTHUMB
+    encoder."""
+    d = bytearray(data)
+    i = 0
+    while i + 4 <= len(d):
+        if (d[i + 1] & 0xF8) == 0xF0 and (d[i + 3] & 0xF8) == 0xF8:
+            v = (((d[i + 1] & 7) << 19) | (d[i] << 11)
+                 | ((d[i + 3] & 7) << 8) | d[i + 2]) << 1
+            v = (v - (ip + i + 4)) & 0xFFFFFFFF
+            v >>= 1
+            d[i + 1] = 0xF0 | ((v >> 19) & 7)
+            d[i] = (v >> 11) & 0xFF
+            d[i + 3] = 0xF8 | ((v >> 8) & 7)
+            d[i + 2] = v & 0xFF
+            i += 2
+        i += 2
+    return bytes(d)
+
+
+def _ppc_decode(data: bytes, ip: int = 0) -> bytes:
+    """PowerPC bl branch-filter decode (public xz/7-Zip PPC filter):
+    4-byte big-endian words matching opcode 18 with AA=0/LK=1
+    (word & 0xFC000003 == 0x48000001).  Pinned against liblzma's
+    FILTER_POWERPC encoder."""
+    d = bytearray(data)
+    for i in range(0, len(d) - 3, 4):
+        w = (d[i] << 24) | (d[i + 1] << 16) | (d[i + 2] << 8) | d[i + 3]
+        if (w & 0xFC000003) == 0x48000001:
+            v = ((w & 0x03FFFFFC) - (ip + i)) & 0x03FFFFFC
+            w = 0x48000001 | v
+            d[i] = (w >> 24) & 0xFF
+            d[i + 1] = (w >> 16) & 0xFF
+            d[i + 2] = (w >> 8) & 0xFF
+            d[i + 3] = w & 0xFF
+    return bytes(d)
+
+
+def _sparc_decode(data: bytes, ip: int = 0) -> bytes:
+    """SPARC call branch-filter decode (public xz/7-Zip SPARC filter):
+    4-byte big-endian words whose top 10 bits are 0x100 or 0x1FF.
+    Pinned against liblzma's FILTER_SPARC encoder."""
+    d = bytearray(data)
+    for i in range(0, len(d) - 3, 4):
+        w = (d[i] << 24) | (d[i + 1] << 16) | (d[i + 2] << 8) | d[i + 3]
+        if (w >> 22) in (0x100, 0x1FF):
+            v = (w << 2) & 0xFFFFFFFF
+            v = (v - (ip + i)) & 0xFFFFFFFF
+            v >>= 2
+            v = ((0x40000000 - (v & 0x400000))
+                 | 0x40000000 | (v & 0x3FFFFF)) & 0xFFFFFFFF
+            d[i] = (v >> 24) & 0xFF
+            d[i + 1] = (v >> 16) & 0xFF
+            d[i + 2] = (v >> 8) & 0xFF
+            d[i + 3] = v & 0xFF
+    return bytes(d)
+
+
+# -- BCJ2 (coder 0303011B): the 4-stream x86 call/jump transform --------------
+# Public format (7-Zip's Bcj2 coder description / LZMA SDK docs): the
+# MAIN stream is the code with E8/E9/0F8x operands REMOVED where
+# converted; converted operands live as big-endian ABSOLUTE addresses
+# in the CALL stream (E8) or JUMP stream (E9 and two-byte jcc); a
+# range-coded control stream (standard LZMA binary coder, 11-bit
+# probabilities, 2+256 contexts: one per byte-before-E8, one for E9,
+# one for jcc) says per marker byte whether it was converted.  There
+# is no liblzma BCJ2 encoder to pin against (unlike the other branch
+# filters), so the independent `_bcj2_encode` writer below plus the
+# spec-fixed constants (context layout, big-endian streams, rel =
+# abs - (pos + 4)) are the cross-check; both sides are from-scratch.
+
+_BCJ2_NUM_PROBS = 2 + 256
+
+
+def _bcj2_is_jcc(prev: int, b: int) -> bool:
+    return prev == 0x0F and (b & 0xF0) == 0x80
+
+
+def _bcj2_decode(main: bytes, call: bytes, jump: bytes, rc: bytes,
+                 out_size: int) -> bytes:
+    if len(rc) < 5:
+        raise SevenZipError("BCJ2 control stream too short")
+    probs = [1 << 10] * _BCJ2_NUM_PROBS
+    range_ = 0xFFFFFFFF
+    code = int.from_bytes(rc[1:5], "big")      # first init byte is 0
+    rc_pos = 5
+
+    def bit(idx: int) -> int:
+        nonlocal range_, code, rc_pos
+        if range_ < (1 << 24):
+            range_ = (range_ << 8) & 0xFFFFFFFF
+            nxt = rc[rc_pos] if rc_pos < len(rc) else 0
+            code = ((code << 8) | nxt) & 0xFFFFFFFF
+            rc_pos += 1
+        bound = (range_ >> 11) * probs[idx]
+        if code < bound:
+            range_ = bound
+            probs[idx] += (2048 - probs[idx]) >> 5
+            return 0
+        range_ -= bound
+        code -= bound
+        probs[idx] -= probs[idx] >> 5
+        return 1
+
+    out = bytearray()
+    prev = 0
+    mpos = cpos = jpos = 0
+    while len(out) < out_size:
+        if mpos >= len(main):
+            raise SevenZipError("BCJ2 main stream exhausted")
+        b = main[mpos]
+        mpos += 1
+        out.append(b)
+        if b == 0xE8:
+            idx = 2 + prev
+        elif b == 0xE9:
+            idx = 1
+        elif _bcj2_is_jcc(prev, b):
+            idx = 0
+        else:
+            prev = b
+            continue
+        if len(out) < out_size and bit(idx):
+            src = call if b == 0xE8 else jump
+            pos = cpos if b == 0xE8 else jpos
+            if pos + 4 > len(src):
+                raise SevenZipError("BCJ2 address stream exhausted")
+            dest = int.from_bytes(src[pos:pos + 4], "big")
+            if b == 0xE8:
+                cpos += 4
+            else:
+                jpos += 4
+            rel = (dest - (len(out) + 4)) & 0xFFFFFFFF
+            if len(out) + 4 > out_size:
+                raise SevenZipError("BCJ2 operand overruns output")
+            out += rel.to_bytes(4, "little")
+            prev = (rel >> 24) & 0xFF
+        else:
+            prev = b
+    return bytes(out)
+
+
+def _bcj2_encode(data: bytes) -> tuple[bytes, bytes, bytes, bytes]:
+    """Independent BCJ2 ENCODER (fixture writer): splits x86 code into
+    the four BCJ2 streams.  Converts every marker byte with a full
+    4-byte operand remaining (the canonical encoder's policy); the
+    standard LZMA range ENCODER mirrors `_bcj2_decode`'s decoder."""
+    probs = [1 << 10] * _BCJ2_NUM_PROBS
+    low = 0
+    range_ = 0xFFFFFFFF
+    cache = 0
+    cache_size = 1
+    rc_out = bytearray()
+
+    def shift_low():
+        nonlocal low, cache, cache_size
+        if low < 0xFF000000 or low > 0xFFFFFFFF:
+            carry = low >> 32
+            rc_out.append((cache + carry) & 0xFF)
+            for _ in range(cache_size - 1):
+                rc_out.append((0xFF + carry) & 0xFF)
+            cache = (low >> 24) & 0xFF
+            cache_size = 0
+        cache_size += 1
+        low = (low << 8) & 0xFFFFFFFF
+
+    def put(idx: int, b: int):
+        nonlocal low, range_
+        bound = (range_ >> 11) * probs[idx]
+        if b == 0:
+            range_ = bound
+            probs[idx] += (2048 - probs[idx]) >> 5
+        else:
+            low += bound
+            range_ -= bound
+            probs[idx] -= probs[idx] >> 5
+        while range_ < (1 << 24):
+            range_ = (range_ << 8) & 0xFFFFFFFF
+            shift_low()
+
+    main = bytearray()
+    call = bytearray()
+    jump = bytearray()
+    prev = 0
+    pos = 0
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        main.append(b)
+        pos += 1
+        if b == 0xE8:
+            idx = 2 + prev
+        elif b == 0xE9:
+            idx = 1
+        elif _bcj2_is_jcc(prev, b):
+            idx = 0
+        else:
+            prev = b
+            continue
+        if pos + 4 <= n:
+            rel = int.from_bytes(data[pos:pos + 4], "little")
+            dest = (rel + pos + 4) & 0xFFFFFFFF
+            (call if b == 0xE8 else jump).extend(dest.to_bytes(4, "big"))
+            put(idx, 1)
+            prev = data[pos + 3]
+            pos += 4
+        elif pos < n:
+            put(idx, 0)
+            prev = b
+        else:
+            prev = b
+    for _ in range(5):
+        shift_low()
+    return bytes(main), bytes(call), bytes(jump), bytes(rc_out)
+
+
 def _decode_coder(cid: bytes, props: bytes, data: bytes,
                   size: int) -> bytes:
     """Decode ONE coder stage to its declared output size."""
@@ -389,13 +633,18 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
         elif cid == _DEFLATE:
             d = zlib.decompressobj(-15)
             out = d.decompress(data, size + 1)
-        elif cid == _BCJ_X86:
+        elif cid in (_BCJ_X86, _ARM, _ARMT, _PPC, _SPARC):
             # branch filters are size-preserving; optional 4-byte
             # start-offset property
             if len(data) != size:
-                raise SevenZipError("7z BCJ stage size mismatch")
+                raise SevenZipError("7z branch-filter stage size mismatch")
             ip = struct.unpack("<I", props)[0] if len(props) == 4 else 0
-            out = _x86_bcj_decode(data, ip)
+            fn = {
+                _BCJ_X86: _x86_bcj_decode, _ARM: _arm_decode,
+                _ARMT: _armt_decode, _PPC: _ppc_decode,
+                _SPARC: _sparc_decode,
+            }[cid]
+            out = fn(data, ip)
         elif cid == _DELTA:
             if len(data) != size:
                 raise SevenZipError("7z delta stage size mismatch")
@@ -414,42 +663,86 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
 
 
 def _decode_folder(folder: dict, packs: list[bytes], cap: int) -> bytes:
-    """Decode one folder's packed stream to its output bytes.  With
-    1-in/1-out coders, in-stream i and out-stream i both belong to
-    coder i, so the bind pairs form a LINEAR CHAIN: evaluate from the
-    coder that takes the packed stream through to the folder's main
-    output (e.g. packed -> LZMA2 -> BCJ x86 -> bytes, the common
-    executable-archive layout).  Fan-in coders (BCJ2's 4-input graph)
-    and 7zAES stay typed boundaries."""
+    """Decode one folder's packed streams to its output bytes: a
+    memoized DAG evaluation over the coder graph.  Every real 7z coder
+    has exactly ONE output stream; inputs resolve either from packed
+    streams (in kPackedStreams order) or from the bound producer
+    coder's output.  Covers linear chains (packed -> LZMA2 -> BCJ x86,
+    the common executable layout) AND fan-in graphs — BCJ2's 4-input
+    (main/call/jump/control) layout, the default for large x86
+    executables.  7zAES stays a typed boundary."""
     coders = folder["coders"]
     for c in coders:
         if c["id"] == _AES:
             raise SevenZipError("encrypted 7z (7zAES) is out of scope")
-    if (any(c["n_in"] != 1 or c["n_out"] != 1 for c in coders)
-            or len(packs) != 1):
-        raise SevenZipError(
-            "7z fan-in coder graph (BCJ2-class) is out of scope")
+        if c["n_out"] != 1:
+            raise SevenZipError("7z coder with multiple outputs "
+                                "is out of scope")
     if folder["unpack_size"] > cap:
         raise SevenZipError("7z folder unpack size over cap")
-    next_of = {o: i for i, o in folder["bind_pairs"]}    # out -> next in
-    bound_in = {i for i, _o in folder["bind_pairs"]}
-    starts = [i for i in range(len(coders)) if i not in bound_in]
-    if len(starts) != 1:
-        raise SevenZipError("7z folder coder graph is not a chain")
-    data = packs[0]
-    ci = starts[0]
-    for _ in range(len(coders)):
-        out_size = folder["out_sizes"][ci]
-        if out_size > cap:
-            raise SevenZipError("7z folder unpack size over cap")
-        data = _decode_coder(
-            coders[ci]["id"], coders[ci]["props"], data, out_size)
-        if ci not in next_of:
-            break
-        ci = next_of[ci]
-    if ci != folder["main_out"]:
-        raise SevenZipError("7z folder coder chain does not reach "
-                            "the folder output")
+    in_base: list[int] = []
+    ti = 0
+    for c in coders:
+        in_base.append(ti)
+        ti += c["n_in"]
+    # n_out == 1 everywhere, so out-stream index == coder index
+    in_from_out = {i: o for i, o in folder["bind_pairs"]}
+    packed_ins = folder["packed"]
+    if packed_ins is None:
+        unbound = [i for i in range(ti) if i not in in_from_out]
+        if len(unbound) != 1:
+            raise SevenZipError(
+                "7z folder with implicit multi-packed streams")
+        packed_ins = unbound
+    if len(packed_ins) != len(packs):
+        raise SevenZipError("7z folder packed-stream count mismatch")
+    pack_of = dict(zip(packed_ins, packs))
+    # NOTE: a module-level recursion, not a self-referencing closure —
+    # a closure that names itself forms a reference cycle that keeps
+    # every folder's memoized output alive until a GC generation pass
+    # (defeats the one-folder-at-a-time memory bound)
+    st = {
+        "folder": folder, "coders": coders, "in_base": in_base,
+        "pack_of": pack_of, "in_from_out": in_from_out, "cap": cap,
+        "memo": {}, "busy": set(),
+    }
+    return _eval_folder_coder(st, folder["main_out"])
+
+
+def _eval_folder_coder(st: dict, ci: int) -> bytes:
+    memo, busy, coders = st["memo"], st["busy"], st["coders"]
+    if ci in memo:
+        return memo[ci]
+    if ci in busy:
+        raise SevenZipError("7z folder coder graph has a cycle")
+    busy.add(ci)
+    c = coders[ci]
+    ins: list[bytes] = []
+    for k in range(c["n_in"]):
+        gi = st["in_base"][ci] + k
+        if gi in st["pack_of"]:
+            ins.append(st["pack_of"][gi])
+        elif gi in st["in_from_out"]:
+            src = st["in_from_out"][gi]
+            if not 0 <= src < len(coders):
+                raise SevenZipError("7z bind pair out of range")
+            ins.append(_eval_folder_coder(st, src))
+        else:
+            raise SevenZipError("7z folder input stream unbound")
+    out_size = st["folder"]["out_sizes"][ci]
+    if out_size > st["cap"]:
+        raise SevenZipError("7z folder unpack size over cap")
+    if c["id"] == _BCJ2:
+        if len(ins) != 4:
+            raise SevenZipError("7z BCJ2 coder needs 4 inputs")
+        data = _bcj2_decode(ins[0], ins[1], ins[2], ins[3], out_size)
+    else:
+        if len(ins) != 1:
+            raise SevenZipError(
+                f"unsupported 7z fan-in coder {c['id'].hex()}")
+        data = _decode_coder(c["id"], c["props"], ins[0], out_size)
+    busy.discard(ci)
+    memo[ci] = data
     return data
 
 
@@ -665,14 +958,17 @@ def _wbits(bits: list[bool]) -> bytes:
 
 def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
     """Write a valid .7z archive: one folder per non-empty file
-    (``codec``: 'copy', 'lzma2', 'delta4+lzma2', or 'bcj+lzma2' —
-    the filter chains pack via liblzma's OWN delta/x86 encoders, so
-    round trips cross-check the from-scratch filter decoders), empty
-    files via the kEmptyStream/kEmptyFile bit vectors, UTF-16 names,
-    correct start and next-header CRCs.
-    ``sevenzip_members(build_7z(fs))`` round-trips names and payloads
-    exactly.  Independent of the reader: its own number/bit
-    encoders."""
+    (``codec``: 'copy', 'lzma2', 'delta4+lzma2', 'bcj+lzma2',
+    'arm+lzma2', 'armt+lzma2', 'ppc+lzma2', 'sparc+lzma2' — the
+    filter chains pack via liblzma's OWN encoders, so round trips
+    cross-check the from-scratch filter decoders — plus 'bcj2' (the
+    4-stream coder over raw streams) and 'bcj2+lzma2' (main stream
+    LZMA2-packed, the real-world executable layout); BCJ2 packs via
+    the independent ``_bcj2_encode``), empty files via the
+    kEmptyStream/kEmptyFile bit vectors, UTF-16 names, correct start
+    and next-header CRCs.  ``sevenzip_members(build_7z(fs))``
+    round-trips names and payloads exactly.  Independent of the
+    reader: its own number/bit encoders."""
     import lzma
 
     lz_filter = {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 23}
@@ -681,18 +977,37 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
         "lzma2": [lz_filter],
         "delta4+lzma2": [{"id": lzma.FILTER_DELTA, "dist": 4}, lz_filter],
         "bcj+lzma2": [{"id": lzma.FILTER_X86}, lz_filter],
+        "arm+lzma2": [{"id": lzma.FILTER_ARM}, lz_filter],
+        "armt+lzma2": [{"id": lzma.FILTER_ARMTHUMB}, lz_filter],
+        "ppc+lzma2": [{"id": lzma.FILTER_POWERPC}, lz_filter],
+        "sparc+lzma2": [{"id": lzma.FILTER_SPARC}, lz_filter],
+        "bcj2": None,
+        "bcj2+lzma2": None,
+    }
+    filter_cid = {
+        "delta4+lzma2": _DELTA, "bcj+lzma2": _BCJ_X86, "arm+lzma2": _ARM,
+        "armt+lzma2": _ARMT, "ppc+lzma2": _PPC, "sparc+lzma2": _SPARC,
     }
     if codec not in chains:
         raise ValueError(f"build_7z codec {codec!r}")
     nonempty = [(n, d) for n, d in files if d]
-    packed: list[bytes] = []
+    # per-file pack streams (BCJ2 folders take four; others one)
+    packed: list[list[bytes]] = []
+    bcj2_main_len: list[int] = []
     for _n, d in nonempty:
         if codec == "copy":
-            packed.append(d)
+            packed.append([d])
+        elif codec in ("bcj2", "bcj2+lzma2"):
+            main, callb, jumpb, rcb = _bcj2_encode(d)
+            bcj2_main_len.append(len(main))
+            if codec == "bcj2+lzma2":
+                main = lzma.compress(
+                    main, format=lzma.FORMAT_RAW, filters=[lz_filter])
+            packed.append([main, callb, jumpb, rcb])
         else:
-            packed.append(lzma.compress(
-                d, format=lzma.FORMAT_RAW, filters=chains[codec]))
-    body = b"".join(packed)
+            packed.append([lzma.compress(
+                d, format=lzma.FORMAT_RAW, filters=chains[codec])])
+    body = b"".join(p for ps in packed for p in ps)
 
     h = bytearray()
     h += _wnum(_K_HEADER)
@@ -700,36 +1015,56 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
         h += _wnum(_K_MAIN_STREAMS)
         h += _wnum(_K_PACK_INFO)
         h += _wnum(0)                            # pack pos
-        h += _wnum(len(packed))
+        h += _wnum(sum(len(ps) for ps in packed))
         h += _wnum(_K_SIZE)
-        for p in packed:
-            h += _wnum(len(p))
+        for ps in packed:
+            for p in ps:
+                h += _wnum(len(p))
         h += _wnum(_K_END)
         h += _wnum(_K_UNPACK_INFO)
         h += _wnum(_K_FOLDER)
         h += _wnum(len(nonempty))
         h += b"\x00"                             # not external
         lz = bytes([0x21]) + _LZMA2 + _wnum(1) + bytes([22])  # 1<<23
-        n_outs = 1
-        for _ in nonempty:
+        bcj2 = bytes([0x14]) + _BCJ2 + _wnum(4) + _wnum(1)
+        for fi, _ in enumerate(nonempty):
             if codec == "copy":
                 h += _wnum(1) + bytes([0x01]) + _COPY
             elif codec == "lzma2":
                 h += _wnum(1) + lz
+            elif codec == "bcj2":
+                # one 4-in/1-out coder, all inputs packed
+                h += _wnum(1) + bcj2
+                h += _wnum(0) + _wnum(1) + _wnum(2) + _wnum(3)
+            elif codec == "bcj2+lzma2":
+                # coder 0 = LZMA2 (main), coder 1 = BCJ2; bind pair
+                # BCJ2 main input (global in 1) <- LZMA2 output 0;
+                # packed streams feed ins 0 (lzma2), 2/3/4 (call/jump/rc)
+                h += _wnum(2) + lz + bcj2
+                h += _wnum(1) + _wnum(0)
+                h += _wnum(0) + _wnum(2) + _wnum(3) + _wnum(4)
             else:
                 # two-coder chain: packed -> LZMA2 (coder 0) -> filter
                 # (coder 1, bind pair in 1 <- out 0)
-                n_outs = 2
+                cid = filter_cid[codec]
                 filt = (
                     bytes([0x21]) + _DELTA + _wnum(1) + bytes([3])
                     if codec == "delta4+lzma2"
-                    else bytes([0x04]) + _BCJ_X86
+                    else bytes([len(cid)]) + cid
                 )
                 h += _wnum(2) + lz + filt + _wnum(1) + _wnum(0)
         h += _wnum(_K_CODERS_UNPACK_SIZE)
-        for _n, d in nonempty:
-            for _ in range(n_outs):          # filters size-preserving
+        for fi, (_n, d) in enumerate(nonempty):
+            if codec == "bcj2":
                 h += _wnum(len(d))
+            elif codec == "bcj2+lzma2":
+                # coder 0 (LZMA2) emits the BCJ2 main stream; coder 1
+                # (BCJ2) emits the file
+                h += _wnum(bcj2_main_len[fi]) + _wnum(len(d))
+            elif codec in ("copy", "lzma2"):
+                h += _wnum(len(d))
+            else:
+                h += _wnum(len(d)) + _wnum(len(d))   # size-preserving
         h += _wnum(_K_END)
         h += _wnum(_K_END)                       # StreamsInfo end
     h += _wnum(_K_FILES_INFO)

@@ -9069,7 +9069,8 @@ def _q_7z(spark, sf_dir):
         F.coalesce("text", F.lit("")).alias("t"),
     )
 
-    codecs = ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2"]
+    codecs = ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2",
+              "bcj2+lzma2", "arm+lzma2", "ppc+lzma2", "sparc+lzma2"]
 
     def build(it):
         for b in it:
@@ -9078,7 +9079,7 @@ def _q_7z(spark, sf_dir):
                 data = t.encode("utf-8")
                 payloads.append(build_7z(
                     [("a.txt", data), ("b.txt", b"copy:" + data)],
-                    codec=codecs[int(mid) % 4],
+                    codec=codecs[int(mid) % 8],
                 ))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}
@@ -9104,9 +9105,10 @@ _add(
     "SELECT doc_id, 'b.txt', "
     "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
     "ORDER BY media_id NULLS FIRST, path",
-    "7z fan-out: real Copy/LZMA2/Delta+LZMA2/BCJ+LZMA2 archives "
-    "(signature CRC, tagged header tree, coder-chain decode) explode "
-    "to the same member rows; oracle is container-agnostic",
+    "7z fan-out: real Copy/LZMA2/Delta/BCJ/BCJ2-4-stream/ARM/PPC/"
+    "SPARC archives (signature CRC, tagged header tree, coder-DAG "
+    "decode) explode to the same member rows; oracle is "
+    "container-agnostic",
 )
 
 
@@ -11457,6 +11459,7 @@ _ROUND9_STAGED: list[str] = [
     # appended as round-9 gates land OR materially change their
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_doc6",       # odd docs now fast-saved (fComplex piece walk)
+    "q_7z",         # codec cycle grew BCJ2/ARM/PPC/SPARC folders
 ]
 _ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
 

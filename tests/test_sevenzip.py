@@ -352,6 +352,94 @@ def test_decoded_folder_memory_is_bounded():
     assert peak < 6 * per, peak
 
 
+def test_branch_filters_cross_checked_against_liblzma():
+    """ARM / ARM-Thumb / PowerPC / SPARC branch filters: liblzma's OWN
+    encoders pack, our from-scratch decoders unpack — the same
+    implementation-against-implementation check the x86/delta filters
+    got in r8 — plus full-archive round trips for each chain codec."""
+    import random
+
+    from evm_archive_spark.operators.sevenzip import (
+        _arm_decode,
+        _armt_decode,
+        _ppc_decode,
+        _sparc_decode,
+    )
+
+    rng = random.Random(17)
+    lz = {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 23}
+    pairs = [
+        (lzma.FILTER_ARM, _arm_decode),
+        (lzma.FILTER_ARMTHUMB, _armt_decode),
+        (lzma.FILTER_POWERPC, _ppc_decode),
+        (lzma.FILTER_SPARC, _sparc_decode),
+    ]
+    hot = (0xEB, 0xF0, 0xF8, 0x48, 0x40, 0x7F, 0x00, 0xFF, 0x01, 0x90)
+    for fid, dec in pairs:
+        for trial in range(40):
+            n = rng.randint(0, 300)
+            raw = bytes(
+                rng.choice(hot) if rng.random() < 0.6
+                else rng.randrange(256)
+                for _ in range(n)
+            )
+            packed = lzma.compress(
+                raw, format=lzma.FORMAT_RAW, filters=[{"id": fid}, lz])
+            enc = lzma.decompress(
+                packed, format=lzma.FORMAT_RAW, filters=[lz])
+            assert dec(enc) == raw, (fid, trial, n)
+
+    for codec in ("arm+lzma2", "armt+lzma2", "ppc+lzma2", "sparc+lzma2"):
+        got = list(sevenzip_members(build_7z(FILES, codec=codec)))
+        assert got == [(n, len(d), d) for n, d in FILES], codec
+
+
+def test_bcj2_folders_decode():
+    """BCJ2 (the 4-stream x86 coder, default for large executables):
+    randomized encode->decode round trips over marker-dense buffers,
+    plus full archives in both the raw 4-stream layout and the
+    real-world main-through-LZMA2 fan-in graph."""
+    import random
+
+    from evm_archive_spark.operators.sevenzip import (
+        _bcj2_decode,
+        _bcj2_encode,
+    )
+
+    rng = random.Random(23)
+    hot = (0xE8, 0xE9, 0x0F, 0x80, 0x85, 0x8F, 0x00, 0xFF, 0x90)
+    for trial in range(120):
+        n = rng.randint(0, 500)
+        raw = bytes(
+            rng.choice(hot) if rng.random() < 0.5 else rng.randrange(256)
+            for _ in range(n)
+        )
+        m, c, j, r = _bcj2_encode(raw)
+        assert _bcj2_decode(m, c, j, r, len(raw)) == raw, (trial, n)
+
+    # E8 operands land in the CALL stream, E9/jcc in JUMP — pin the
+    # stream split on a crafted buffer with all three marker kinds
+    prog = (b"\xe8" + struct.pack("<i", 64) + b"\x90"
+            + b"\xe9" + struct.pack("<i", -32)
+            + b"\x0f\x85" + struct.pack("<i", 100) + b"tail")
+    m, c, j, r = _bcj2_encode(prog)
+    assert len(c) == 4 and len(j) == 8
+    assert _bcj2_decode(m, c, j, r, len(prog)) == prog
+
+    for codec in ("bcj2", "bcj2+lzma2"):
+        got = {n: d for n, _s, d in
+               sevenzip_members(build_7z(FILES, codec=codec))}
+        assert got == dict(FILES), codec
+
+    # truncated control stream is typed, not a crash
+    with pytest.raises(SevenZipError, match="control stream"):
+        _bcj2_decode(b"\x90" * 8, b"", b"", b"\x00\x00", 8)
+    # exhausted address stream is typed
+    m2, c2, j2, r2 = _bcj2_encode(b"\xe8" + struct.pack("<i", 7) + b"x")
+    with pytest.raises(SevenZipError, match="address stream"):
+        _bcj2_decode(m2, b"", j2, r2, 6)
+
+
 def test_huge_declared_dict_size_is_clamped():
     """A crafted LZMA2 prop byte of 40 declares a 4 GiB dictionary;
     liblzma allocates the dictionary up front, so without the clamp a
@@ -460,7 +548,9 @@ def test_property_roundtrip_random_file_sets():
     @given(
         files=fileset,
         codec=st.sampled_from(
-            ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2"]),
+            ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2",
+             "arm+lzma2", "armt+lzma2", "ppc+lzma2", "sparc+lzma2",
+             "bcj2", "bcj2+lzma2"]),
     )
     def check(files, codec):
         got = list(sevenzip_members(build_7z(files, codec=codec)))
