@@ -15,13 +15,16 @@ from .gif import GifError, decode_gif, is_gif
 from .jpeg import JpegError, decode_jpeg, is_jpeg
 from .png import PngError, decode_png, is_png
 from .tiff import TiffError, decode_tiff, is_tiff
+from .webp import WebpError, decode_webp, is_webp
 
 #: error types raised by any registered decoder (callers catch these to
 #: apply the strict/non-strict fallback contract)
-IMAGE_ERRORS = (PngError, JpegError, GifError, TiffError, BmpError)
+IMAGE_ERRORS = (PngError, JpegError, GifError, TiffError, BmpError,
+                WebpError)
 
 #: human-readable list for strict-mode error messages
-IMAGE_FORMATS = "PNG, JPEG (baseline+progressive), GIF, TIFF, and BMP"
+IMAGE_FORMATS = ("PNG, JPEG (baseline+progressive), GIF, TIFF, BMP, "
+                 "and lossless WebP (VP8L)")
 
 _CODECS = (
     (is_png, decode_png),
@@ -29,6 +32,9 @@ _CODECS = (
     (is_gif, decode_gif),
     (is_tiff, decode_tiff),
     (is_bmp, decode_bmp),
+    # lossless (VP8L) decodes for real; lossy VP8 raises the typed
+    # WebpError boundary (strict re-raises, non-strict takes the fake)
+    (is_webp, decode_webp),
 )
 
 

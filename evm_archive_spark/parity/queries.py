@@ -10559,6 +10559,70 @@ _add(
 )
 
 
+# [pair] lossless-WebP REAL pixel decode (operators/webp.py, round-9:
+# the VP8L bitstream from scratch — prefix codes, color cache, LZ77,
+# all four transforms).  Each doc gets a REAL 8x8 two-tone VP8L image
+# (variant cycles literal/cache/backref/subtract-green/predictor/
+# palette by doc_id % 6) whose pixel pattern is an integer formula of
+# doc_id, so the strict aHash over the DECODED pixels is analytically
+# replayable in SQL: bit k (row-major) = (doc_id*37 + k*11) % 5 < 2,
+# packed MSB-first into a signed int64.  A wrong pixel anywhere flips
+# hash bits — this is a pixel-exactness gate, not a plumbing gate.
+
+def _q_webp(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    variants = ["literal", "cache", "backref", "subgreen",
+                "predictor", "palette"]
+
+    def build(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.webp import build_webp_lossless
+
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                ks = np.arange(64)
+                bits = ((did * 37 + ks * 11) % 5) < 2
+                v = np.where(bits, 240, 16).astype(np.uint8)
+                img = np.empty((8, 8, 4), dtype=np.uint8)
+                img[:, :, 0] = img[:, :, 1] = img[:, :, 2] = (
+                    v.reshape(8, 8))
+                img[:, :, 3] = 255
+                payloads.append(build_webp_lossless(
+                    img, variant=variants[did % 6]))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_ahash(media, strict=True).orderBy("media_id")
+
+
+_add(
+    "q_webp",
+    _q_webp,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 37 + ks.k * 11) % 5 < 2 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS ahash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL VP8L decode (6 bitstream variants incl. transforms + cache "
+    "+ LZ77) -> strict aHash over decoded pixels == the analytic "
+    "bit-pattern replay; any wrong pixel flips hash bits",
+)
+
+
 # [pair] composed image-corpus admission (multimodal.
 # prepare_image_corpus): metadata dims floor -> EXIF scrub -> banded
 # dedup in ONE call, replayed end-to-end — the dims filter runs over
@@ -11460,6 +11524,7 @@ _ROUND9_STAGED: list[str] = [
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_doc6",       # odd docs now fast-saved (fComplex piece walk)
     "q_7z",         # codec cycle grew BCJ2/ARM/PPC/SPARC folders
+    "q_webp",       # NEW: real VP8L pixel decode, analytic aHash oracle
 ]
 _ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
 
