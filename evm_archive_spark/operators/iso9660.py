@@ -46,9 +46,11 @@ def is_iso(b: bytes) -> bool:
 
 
 def _dir_records(b: bytes, lba: int, size: int):
-    """Yield (name_bytes, flags, extent_lba, data_len) for one
-    directory extent (records never cross sector boundaries; a zero
-    length byte skips to the next sector)."""
+    """Yield (name_bytes, flags, extent_lba, data_len, system_use)
+    for one directory extent (records never cross sector boundaries;
+    a zero length byte skips to the next sector).  ``system_use`` is
+    the record tail after the (padded) name — where SUSP/Rock Ridge
+    entries live."""
     start = lba * SECTOR
     if start + size > len(b):
         raise IsoError("directory extent overruns payload")
@@ -67,8 +69,49 @@ def _dir_records(b: bytes, lba: int, size: int):
         name_len = rec[32]
         if 33 + name_len > ln:
             raise IsoError("ISO name overruns its record")
-        yield rec[33:33 + name_len], flags, extent, dlen
+        su_off = 33 + name_len + (1 - (name_len & 1))   # pad to even
+        yield (rec[33:33 + name_len], flags, extent, dlen,
+               rec[su_off:] if su_off < ln else b"")
         pos += ln
+
+
+def _rr_name(su: bytes, skip: int) -> str | None:
+    """Rock Ridge alternate name from a record's system-use area
+    (SUSP entries: 2-byte signature, length, version).  ``NM``
+    fragments concatenate while the CONTINUE flag (bit 0) is set;
+    CURRENT/PARENT-flagged entries (bits 1-2) are the . and ..
+    aliases and are ignored.  ``skip`` is the SP-declared byte offset
+    into each system-use area."""
+    pos = skip
+    parts: list[str] = []
+    cont = True
+    while pos + 4 <= len(su):
+        sig = su[pos:pos + 2]
+        ln = su[pos + 2]
+        if ln < 4 or pos + ln > len(su):
+            break                          # padding / malformed tail
+        if sig == b"NM" and ln >= 5:
+            flags = su[pos + 4]
+            if not flags & 0x06:           # not a ./.. alias
+                parts.append(
+                    su[pos + 5:pos + ln].decode("utf-8", "replace"))
+                cont = bool(flags & 0x01)
+                if not cont:
+                    break
+        pos += ln
+    if not parts:
+        return None
+    return "".join(parts)
+
+
+def _rr_skip(su: bytes) -> int | None:
+    """SUSP 'SP' entry (root '.' record): validates the 0xBE 0xEF
+    check bytes and returns the per-record skip length, or None when
+    the image doesn't use SUSP."""
+    if (len(su) >= 7 and su[0:2] == b"SP" and su[2] == 7
+            and su[4:6] == b"\xbe\xef"):
+        return su[6]
+    return None
 
 
 def _pvds(b: bytes) -> tuple[bytes | None, bytes | None]:
@@ -112,25 +155,35 @@ def iso_members(
 
     count = 0
     seen: set[int] = set()
+    rr_skip = 0
 
     def walk(lba: int, size: int, prefix: str, depth: int):
-        nonlocal count
+        nonlocal count, rr_skip
         if depth > MAX_ISO_DEPTH:
             raise IsoError("ISO directory nesting over the depth cap")
         if lba in seen:
             raise IsoError("ISO directory extent cycle")
         seen.add(lba)
-        for raw, flags, extent, dlen in _dir_records(b, lba, size):
+        for raw, flags, extent, dlen, su in _dir_records(b, lba, size):
             if raw in (b"\x00", b"\x01"):         # self / parent
+                if depth == 0 and raw == b"\x00":
+                    rr_skip = _rr_skip(su) or 0   # SUSP SP at root '.'
                 continue
             count += 1
             if count > MAX_ISO_ENTRIES:
                 raise IsoError("ISO entry count over cap")
             if ucs2:
                 name = raw.decode("utf-16-be", "replace")
+                name = name.split(";")[0]         # strip file version
             else:
-                name = raw.decode("ascii", "replace")
-            name = name.split(";")[0]             # strip file version
+                # Rock Ridge NM (long names on the primary tree —
+                # what Linux images actually use) wins over the
+                # 8.3-class ISO name when present
+                rr = _rr_name(su, rr_skip)
+                if rr is not None:
+                    name = rr
+                else:
+                    name = raw.decode("ascii", "replace").split(";")[0]
             path = f"{prefix}{name}"
             if flags & 0x02:
                 yield from walk(extent, dlen, path + "/", depth + 1)
@@ -155,9 +208,11 @@ def _both32(v: int) -> bytes:
     return struct.pack("<I", v) + struct.pack(">I", v)
 
 
-def _record(name: bytes, extent: int, dlen: int, flags: int) -> bytes:
+def _record(name: bytes, extent: int, dlen: int, flags: int,
+            su: bytes = b"") -> bytes:
     base = 33 + len(name)
-    ln = base + (base & 1)                     # even-length records
+    base += base & 1                           # pad name to even
+    ln = base + len(su)
     rec = bytearray(ln)
     rec[0] = ln
     rec[2:10] = _both32(extent)
@@ -167,15 +222,33 @@ def _record(name: bytes, extent: int, dlen: int, flags: int) -> bytes:
     rec[28:32] = _both16(1)
     rec[32] = len(name)
     rec[33:33 + len(name)] = name
+    rec[base:] = su
     return bytes(rec)
 
 
-def build_iso(files: list[tuple[str, bytes]]) -> bytes:
+def _nm_entries(name: str) -> bytes:
+    """Rock Ridge NM system-use entries for a long name; names over
+    20 bytes split into a CONTINUE-flagged pair so the fragment
+    concatenation path is exercised."""
+    enc = name.encode("utf-8")
+    out = bytearray()
+    while enc:
+        frag, enc = enc[:20], enc[20:]
+        flags = 0x01 if enc else 0x00          # CONTINUE
+        out += b"NM" + bytes([5 + len(frag), 1, flags]) + frag
+    return bytes(out)
+
+
+def build_iso(files: list[tuple[str, bytes]], rr: bool = False) -> bytes:
     """Write a minimal valid ISO 9660 image (primary descriptor only):
     system area, PVD + terminator, one directory extent per path
     level, one extent per file.  Paths may contain '/' (one record
     tree); file names get the canonical ';1' version suffix.
-    Independent of the reader."""
+    ``rr=True`` writes the Rock Ridge layout Linux images use: the
+    ISO name fields carry generated 8.3-class short names, the REAL
+    names (any length, UTF-8) ride in SUSP ``NM`` entries (split with
+    the CONTINUE flag past 20 bytes), and the root '.' record carries
+    the ``SP`` SUSP indicator.  Independent of the reader."""
     # group by directory (single level of nesting is plenty for
     # fixtures; deeper paths work too — each segment gets a dir)
     tree: dict[str, list] = {"": []}
@@ -210,18 +283,37 @@ def build_iso(files: list[tuple[str, bytes]]) -> bytes:
         p = d[:-1].rpartition("/")[0]
         return p + "/" if p else ""
 
+    short_idx = 0
+
+    def short_of(name: str, is_dir: bool) -> bytes:
+        nonlocal short_idx
+        short_idx += 1
+        return (f"{'D' if is_dir else 'F'}{short_idx:06d}"
+                + ("" if is_dir else ";1")).encode("ascii")
+
     def dir_bytes(d: str) -> bytes:
         out = bytearray()
-        out += _record(b"\x00", lba[d], SECTOR, 0x02)          # self
+        root_su = (b"SP" + bytes([7, 1]) + b"\xbe\xef\x00"
+                   if rr and d == "" else b"")
+        out += _record(b"\x00", lba[d], SECTOR, 0x02, root_su)   # self
         out += _record(b"\x01", lba[parent_of(d)], SECTOR, 0x02)
         for kind, name, payload in tree[d]:
             if kind == "dir":
-                out += _record(
-                    name.encode("ascii"), lba[payload], SECTOR, 0x02)
+                if rr:
+                    out += _record(short_of(name, True), lba[payload],
+                                   SECTOR, 0x02, _nm_entries(name))
+                else:
+                    out += _record(
+                        name.encode("ascii"), lba[payload], SECTOR, 0x02)
             else:
-                out += _record(
-                    (name + ";1").encode("ascii"),
-                    file_lba[(d, name)], len(payload), 0x00)
+                if rr:
+                    out += _record(
+                        short_of(name, False), file_lba[(d, name)],
+                        len(payload), 0x00, _nm_entries(name))
+                else:
+                    out += _record(
+                        (name + ";1").encode("ascii"),
+                        file_lba[(d, name)], len(payload), 0x00)
         if len(out) > SECTOR:
             raise IsoError("fixture directory exceeds one sector")
         return bytes(out) + b"\x00" * (SECTOR - len(out))

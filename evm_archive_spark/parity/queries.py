@@ -9211,14 +9211,26 @@ def _q_iso(spark, sf_dir):
         F.coalesce("text", F.lit("")).alias("t"),
     )
 
+    # odd docs: the Rock Ridge layout (8.3 short names in the ISO
+    # fields, real >31-char names in SUSP NM entries) — the walker
+    # must surface the NM names or the paths mismatch the oracle
+    rr_a = "a-rock-ridge-long-name-well-past-31-chars.txt"
+    rr_b = "nested-dir-long-name/b-second-long-member-name.txt"
+
     def build(it):
         for b in it:
             payloads = []
-            for _mid, t in zip(b["media_id"], b["t"]):
+            for mid, t in zip(b["media_id"], b["t"]):
                 data = t.encode("utf-8")
-                payloads.append(build_iso(
-                    [("A.TXT", data), ("SUB/B.TXT", b"copy:" + data)]
-                ))
+                if int(mid) % 2:
+                    payloads.append(build_iso(
+                        [(rr_a, data), (rr_b, b"copy:" + data)],
+                        rr=True,
+                    ))
+                else:
+                    payloads.append(build_iso(
+                        [("A.TXT", data), ("SUB/B.TXT", b"copy:" + data)]
+                    ))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}
             )
@@ -9237,15 +9249,20 @@ _add(
     "q_iso",
     _q_iso,
     "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
-    "SELECT doc_id AS media_id, 'A.TXT' AS path, "
+    "SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 1 THEN "
+    "'a-rock-ridge-long-name-well-past-31-chars.txt' ELSE 'A.TXT' END "
+    "AS path, "
     "CAST(strlen(t) AS BIGINT) AS size, md5(t) AS member_md5 FROM d "
     "UNION ALL "
-    "SELECT doc_id, 'SUB/B.TXT', "
+    "SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN "
+    "'nested-dir-long-name/b-second-long-member-name.txt' "
+    "ELSE 'SUB/B.TXT' END, "
     "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
     "ORDER BY media_id NULLS FIRST, path",
     "ISO 9660 fan-out: real CD images (PVD, sectored directory "
-    "extents, nested dir, version-suffix strip) explode to the same "
-    "member rows; oracle is container-agnostic",
+    "extents, nested dir, version-suffix strip; odd docs Rock Ridge "
+    "with SUSP NM long names over 8.3 short fields) explode to the "
+    "same member rows; oracle is container-agnostic",
 )
 
 
@@ -11525,6 +11542,7 @@ _ROUND9_STAGED: list[str] = [
     "q_doc6",       # odd docs now fast-saved (fComplex piece walk)
     "q_7z",         # codec cycle grew BCJ2/ARM/PPC/SPARC folders
     "q_webp",       # NEW: real VP8L pixel decode, analytic aHash oracle
+    "q_iso",        # odd docs now Rock Ridge (SUSP NM long names)
 ]
 _ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
 

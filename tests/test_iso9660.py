@@ -114,6 +114,54 @@ def test_bounds_and_cycles_typed():
             pass
 
 
+def test_rock_ridge_nm_names():
+    """Rock Ridge (SUSP NM) long names on the primary tree — what
+    Linux images actually use: >31-char and UTF-8 names round-trip
+    intact (CONTINUE-flagged fragment pairs past 20 bytes), the SP
+    skip offset is honored, and the non-RR reader path is
+    byte-identical to before."""
+    from evm_archive_spark.operators.iso9660 import (
+        _nm_entries,
+        _rr_name,
+        _rr_skip,
+    )
+
+    files = [
+        ("a-very-long-rock-ridge-name-well-past-31-chars.txt", b"hello"),
+        ("short.txt", b"x"),
+        ("deep-directory-long-name/nested-long-file-name.dat",
+         b"payload" * 10),
+        ("caf\xe9-unicode-named-file.md", b"unicode ok"),
+    ]
+    img = build_iso(files, rr=True)
+    assert list(iso_members(img)) == [
+        (n, len(d), d) for n, d in files]
+
+    # the ISO name fields really are short generated names — prove the
+    # NM path is load-bearing by checking the raw records
+    assert b"F000002;1" in img         # short.txt's generated short name
+    assert b"a-very-long" in img       # the NM payload
+
+    # NM fragment concatenation: >20-byte names split with CONTINUE
+    su = _nm_entries("x" * 45)
+    assert su[4] & 1 and _rr_name(su, 0) == "x" * 45
+
+    # ./.. aliases (CURRENT/PARENT flags) are ignored
+    alias = b"NM" + bytes([5, 1, 0x02]) + b""
+    assert _rr_name(alias, 0) is None
+
+    # SP validation: wrong check bytes -> no SUSP
+    assert _rr_skip(b"SP" + bytes([7, 1]) + b"\xbe\xef\x00") == 0
+    assert _rr_skip(b"SP" + bytes([7, 1]) + b"\x00\x00\x00") is None
+
+    # truncation fuzz over an RR image stays typed
+    for cut in range(0, len(img), 2048):
+        try:
+            list(iso_members(img[:cut]))
+        except IsoError:
+            pass
+
+
 def test_archive_members_routing():
     from evm_archive_spark.operators.archive import (
         ArchiveError,
