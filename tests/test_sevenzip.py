@@ -362,6 +362,7 @@ def test_branch_filters_cross_checked_against_liblzma():
     from evm_archive_spark.operators.sevenzip import (
         _arm_decode,
         _armt_decode,
+        _ia64_decode,
         _ppc_decode,
         _sparc_decode,
     )
@@ -373,6 +374,7 @@ def test_branch_filters_cross_checked_against_liblzma():
         (lzma.FILTER_ARMTHUMB, _armt_decode),
         (lzma.FILTER_POWERPC, _ppc_decode),
         (lzma.FILTER_SPARC, _sparc_decode),
+        (lzma.FILTER_IA64, _ia64_decode),
     ]
     hot = (0xEB, 0xF0, 0xF8, 0x48, 0x40, 0x7F, 0x00, 0xFF, 0x01, 0x90)
     for fid, dec in pairs:
@@ -389,7 +391,34 @@ def test_branch_filters_cross_checked_against_liblzma():
                 packed, format=lzma.FORMAT_RAW, filters=[lz])
             assert dec(enc) == raw, (fid, trial, n)
 
-    for codec in ("arm+lzma2", "armt+lzma2", "ppc+lzma2", "sparc+lzma2"):
+    # IA64's convert predicate (opcode 5, bits 9-11 zero) almost never
+    # fires on random bytes — craft predicate-dense bundles so the
+    # conversion path is actually exercised (this construction caught
+    # a wrong mid-field mask during development)
+    bundles = bytearray()
+    for t in range(40):
+        bundle = bytearray(
+            rng.randrange(256) for _ in range(16))
+        bundle[0] = (0x10, 0x12, 0x16)[t % 3]      # branch templates
+        norm = rng.getrandbits(41)
+        norm &= ~(0xF << 37)
+        norm |= 5 << 37                            # opcode 5
+        norm &= ~(0x7 << 9)                        # bits 9-11 zero
+        instr = int.from_bytes(bundle[10:16], "little")
+        instr = (instr & 0x7F) | ((norm & ((1 << 41) - 1)) << 7)
+        bundle[10:16] = (instr & ((1 << 48) - 1)).to_bytes(6, "little")
+        bundles += bundle
+    packed = lzma.compress(
+        bytes(bundles), format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_IA64}, lz])
+    enc = lzma.decompress(packed, format=lzma.FORMAT_RAW, filters=[lz])
+    from evm_archive_spark.operators.sevenzip import _ia64_decode
+
+    assert enc != bytes(bundles)                   # conversions fired
+    assert _ia64_decode(enc) == bytes(bundles)
+
+    for codec in ("arm+lzma2", "armt+lzma2", "ppc+lzma2", "sparc+lzma2",
+                  "ia64+lzma2"):
         got = list(sevenzip_members(build_7z(FILES, codec=codec)))
         assert got == [(n, len(d), d) for n, d in FILES], codec
 
@@ -550,7 +579,7 @@ def test_property_roundtrip_random_file_sets():
         codec=st.sampled_from(
             ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2",
              "arm+lzma2", "armt+lzma2", "ppc+lzma2", "sparc+lzma2",
-             "bcj2", "bcj2+lzma2"]),
+             "ia64+lzma2", "bcj2", "bcj2+lzma2"]),
     )
     def check(files, codec):
         got = list(sevenzip_members(build_7z(files, codec=codec)))
