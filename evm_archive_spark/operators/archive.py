@@ -40,10 +40,11 @@ class ArchiveError(ValueError):
 
 def compression_kind(b: bytes) -> str | None:
     """Single-stream compression sniff: gzip / bzip2 / xz / zstd /
-    lz4-frame magic bytes (the ``.jsonl.gz`` / ``.txt.bz2`` / ``.xz``
-    / ``.zst`` / ``.lz4`` wrappers corpora ship in — zstd is the
-    modern dataset-drop default).  Distinct from ``archive_kind`` —
-    these wrap ONE payload, not a member tree."""
+    lz4-frame / lzip magic bytes (the ``.jsonl.gz`` / ``.txt.bz2`` /
+    ``.xz`` / ``.zst`` / ``.lz4`` / ``.lz`` wrappers corpora ship in —
+    zstd is the modern dataset-drop default; GNU distributes tarballs
+    as ``.tar.lz``).  Distinct from ``archive_kind`` — these wrap ONE
+    payload, not a member tree."""
     if b[:2] == b"\x1f\x8b":
         return "gzip"
     if b[:3] == b"BZh" and len(b) > 3 and 0x31 <= b[3] <= 0x39:
@@ -54,7 +55,63 @@ def compression_kind(b: bytes) -> str | None:
         return "zstd"
     if b[:4] == b"\x04\x22\x4d\x18":
         return "lz4"
+    if b[:4] == b"LZIP" and len(b) > 5 and b[4] == 1:
+        return "lzip"
     return None
+
+
+def _lzip_decompress(b: bytes, max_out: int) -> list[bytes]:
+    """lzip member walk (public format: the lzip manual): per member a
+    6-byte header (magic, version 1, coded dictionary size), a raw
+    LZMA1 stream (lc=3 lp=0 pb=2, EOS-terminated), and a 20-byte
+    trailer (CRC32 + data size + member size, both u64le).  Multi-
+    member files decode fully; CRC and sizes are verified."""
+    import lzma
+    import struct
+    import zlib
+
+    out: list[bytes] = []
+    pos = 0
+    total = 0
+    while pos < len(b):
+        if b[pos:pos + 4] != b"LZIP" or pos + 6 > len(b):
+            raise ArchiveError("bad lzip member header")
+        if b[pos + 4] != 1:
+            raise ArchiveError("unsupported lzip version")
+        ds_byte = b[pos + 5]
+        base = ds_byte & 0x1F
+        if not 12 <= base <= 29:
+            raise ArchiveError("bad lzip dictionary size")
+        dict_size = 1 << base
+        dict_size -= (ds_byte >> 5) * (dict_size // 16)
+        dec = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA1, "lc": 3, "lp": 0,
+                      "pb": 2,
+                      "dict_size": min(max(dict_size, 4096),
+                                       max(max_out, 4096))}],
+        )
+        try:
+            chunk = dec.decompress(b[pos + 6:], max_out - total + 1)
+        except lzma.LZMAError as e:
+            raise ArchiveError(f"corrupt lzip stream: {e!r}") from e
+        total += len(chunk)
+        if total > max_out:
+            raise ArchiveError("decompressed size exceeds cap")
+        if not dec.eof:
+            raise ArchiveError("truncated lzip stream")
+        stream_len = len(b) - pos - 6 - len(dec.unused_data)
+        tpos = pos + 6 + stream_len
+        if tpos + 20 > len(b):
+            raise ArchiveError("truncated lzip trailer")
+        crc, dsize, msize = struct.unpack_from("<IQQ", b, tpos)
+        if dsize != len(chunk) or msize != 6 + stream_len + 20:
+            raise ArchiveError("lzip trailer size mismatch")
+        if zlib.crc32(chunk) != crc:
+            raise ArchiveError("lzip CRC mismatch")
+        out.append(chunk)
+        pos = tpos + 20
+    return out
 
 
 def decompress_payload(
@@ -73,6 +130,8 @@ def decompress_payload(
     kind = compression_kind(b)
     if kind is None:
         raise ArchiveError("not a gzip/bzip2/xz payload")
+    if kind == "lzip":
+        return b"".join(_lzip_decompress(b, max_out))
     out = []
     total = 0
     try:
@@ -128,6 +187,30 @@ def decompress_payload(
     except (OSError, EOFError, ValueError, zlib.error, lzma.LZMAError) as e:
         raise ArchiveError(f"corrupt {kind} payload: {e!r}") from e
     return b"".join(out)
+
+
+def build_lzip(data: bytes, dict_bits: int = 20) -> bytes:
+    """Synthesis writer for .lz fixtures: the LZMA1 stream comes from
+    liblzma itself (FORMAT_ALONE body — lzip's exact stream form:
+    lc=3 lp=0 pb=2, EOS-terminated), wrapped in the lzip container
+    (magic, version, coded dict byte, CRC32 + sizes trailer) by this
+    code — so round trips cross-check ``_lzip_decompress``'s container
+    walk against a real liblzma stream."""
+    import lzma
+    import struct
+    import zlib
+
+    alone = lzma.compress(
+        data, format=lzma.FORMAT_ALONE,
+        filters=[{"id": lzma.FILTER_LZMA1, "lc": 3, "lp": 0, "pb": 2,
+                  "dict_size": 1 << dict_bits}],
+    )
+    stream = alone[13:]                      # strip the .lzma header
+    member_size = 6 + len(stream) + 20
+    return (
+        b"LZIP" + bytes([1, dict_bits]) + stream
+        + struct.pack("<IQQ", zlib.crc32(data), len(data), member_size)
+    )
 
 
 def archive_kind(b: bytes) -> str | None:

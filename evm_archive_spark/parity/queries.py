@@ -9113,11 +9113,12 @@ _add(
 
 
 # [pair] compressed-archive unwrap (archive.archive_members round-8
-# extension): doc_id % 4 cycles .tar.gz / .tar.bz2 / .tar.zst /
-# .tar.lz4 — the wrapper hides the ustar magic, so fan-out requires
-# the one-capped-decompress re-dispatch (zstd/lz4 through the
-# canonical pyarrow codecs with a bounded streaming read); the oracle
-# stays container-agnostic (same member rows as q_ar_cpio / q_7z).
+# extension; lzip round-9): doc_id % 5 cycles .tar.gz / .tar.bz2 /
+# .tar.zst / .tar.lz4 / .tar.lz — the wrapper hides the ustar magic,
+# so fan-out requires the one-capped-decompress re-dispatch (zstd/lz4
+# through the canonical pyarrow codecs with a bounded streaming read;
+# lzip's container walk from scratch over a liblzma LZMA1 stream);
+# the oracle stays container-agnostic (same rows as q_ar_cpio/q_7z).
 
 def _q_tgz(spark, sf_dir):
     import pandas as pd
@@ -9148,11 +9149,14 @@ def _q_tgz(spark, sf_dir):
                     tf.addfile(ti, io.BytesIO(data))
             return buf.getvalue()
 
+        from ..operators.archive import build_lzip
+
         wraps = [
             lambda raw: gzip.compress(raw, mtime=0),
             bz2.compress,
             lambda raw: pa.Codec("zstd").compress(raw, asbytes=True),
             lambda raw: pa.Codec("lz4").compress(raw, asbytes=True),
+            build_lzip,
         ]
 
         for b in it:
@@ -9162,7 +9166,7 @@ def _q_tgz(spark, sf_dir):
                 raw = mk_tar(
                     [("a.txt", data), ("b.txt", b"copy:" + data)]
                 )
-                payloads.append(wraps[int(mid) % 4](raw))
+                payloads.append(wraps[int(mid) % 5](raw))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}
             )
@@ -9187,8 +9191,8 @@ _add(
     "SELECT doc_id, 'b.txt', "
     "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
     "ORDER BY media_id NULLS FIRST, path",
-    "tar.gz / tar.bz2 / tar.zst / tar.lz4 fan-out through the capped"
-    " decompress + re-dispatch; oracle is container-agnostic",
+    "tar.gz / tar.bz2 / tar.zst / tar.lz4 / tar.lz fan-out through"
+    " the capped decompress + re-dispatch; oracle is container-agnostic",
 )
 
 
@@ -11543,6 +11547,7 @@ _ROUND9_STAGED: list[str] = [
     "q_7z",         # codec cycle grew BCJ2/ARM/PPC/SPARC folders
     "q_webp",       # NEW: real VP8L pixel decode, analytic aHash oracle
     "q_iso",        # odd docs now Rock Ridge (SUSP NM long names)
+    "q_tgz",        # wrap cycle grew .tar.lz (lzip container walk)
 ]
 _ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
 

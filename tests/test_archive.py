@@ -339,6 +339,50 @@ def test_zstd_lz4_wrappers():
     assert decompress_payload(two) == b"one.two."
 
 
+def test_lzip_wrapper():
+    """lzip (.lz — GNU distributes tarballs as .tar.lz): from-scratch
+    container walk (coded dict byte, CRC32 + size trailer) over a
+    liblzma LZMA1 stream; round trips, multi-member concatenation,
+    bombs, trailer/CRC validation, truncation fuzz, .tar.lz fan-out."""
+    from evm_archive_spark.operators.archive import (
+        ArchiveError,
+        archive_members,
+        build_lzip,
+        compression_kind,
+        decompress_payload,
+    )
+
+    data = b"lzip wrapper body " * 400
+    lz = build_lzip(data)
+    assert compression_kind(lz) == "lzip"
+    assert decompress_payload(lz) == data
+    # multi-member concatenation (the multi-member gzip rule)
+    assert decompress_payload(
+        build_lzip(b"one.") + build_lzip(b"two.")) == b"one.two."
+    # the cap applies to the decompressed payload
+    with pytest.raises(ArchiveError, match="cap"):
+        decompress_payload(lz, max_out=64)
+    # corrupt payload -> CRC or stream error, typed
+    bad = bytearray(lz)
+    bad[10] ^= 0xFF
+    with pytest.raises(ArchiveError):
+        decompress_payload(bytes(bad))
+    # trailer size lies are typed
+    bad2 = bytearray(lz)
+    bad2[-12] ^= 0x01                      # data-size field
+    with pytest.raises(ArchiveError, match="trailer|CRC|corrupt"):
+        decompress_payload(bytes(bad2))
+    # truncation fuzz
+    for cut in range(0, len(lz), 17):
+        try:
+            decompress_payload(lz[:cut])
+        except ArchiveError:
+            pass
+    # .tar.lz rides the one-capped-decompress re-dispatch
+    got = list(archive_members(build_lzip(_tar(MEMBERS))))
+    assert [(p, s) for p, s, _ in got] == [("a.py", 9), ("pkg/b.py", 6)]
+
+
 def test_document_extract_transparent_zstd_lz4(spark):
     import pandas as pd
     import pyarrow as pa

@@ -119,10 +119,11 @@ def test_parity_pooled(spark):
     # near-duplicate-name aliases removed) took the count 207 -> 199.
     assert len(PARITY_QUERIES) >= 199
 
-    # 16 workers: the session is local[$SPARK_GRAFT_CPUS] (32 on the
+    # 24 workers: the session is local[$SPARK_GRAFT_CPUS] (32 on the
     # dev box); at 12 the wall was gate-count-bound as the registry
-    # grew past 260 (VERDICT r6 #8 suite-time watch)
-    with ThreadPoolExecutor(max_workers=16) as ex:
+    # grew past 260 (VERDICT r6 #8 suite-time watch); 16 -> 24 in r9
+    # as the registry crossed 283 (the r8 suite wall brushed 650 s)
+    with ThreadPoolExecutor(max_workers=24) as ex:
         results = list(ex.map(lambda q: (q.name, _check_one(spark, q)), POOLED))
     assert len(results) == len(POOLED)
     fails = [(n, msg) for n, msg in results if msg]
