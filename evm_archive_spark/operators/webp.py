@@ -704,6 +704,9 @@ def build_webp_lossless(rgba, variant: str = "literal") -> bytes:
     - ``subgreen``: subtract-green transform over Huffman literals
     - ``predictor``: left-predictor transform (one tile)
     - ``palette``: color-indexing transform with index bundling
+    - ``colortx``: color transform (one tile, fixed int8 deltas)
+    - ``meta``: meta-prefix entropy image, two Huffman groups
+      alternating by 4x4 tile parity
 
     Independent of the reader: its own bit writer, Huffman builder,
     and canonical-code emitter."""
@@ -812,6 +815,41 @@ def build_webp_lossless(rgba, variant: str = "literal") -> bytes:
                     if x < w:
                         g |= index[argb[y * w + x]] << (k * depth)
                 coded.append(0xFF000000 | (g << 8))
+    elif variant == "colortx":
+        # color transform, one tile: fixed deltas g2r=34, g2b=-18
+        # (238), r2b=5.  Forward transform mirrors the decoder's
+        # inverse exactly (r2b applies against the ORIGINAL red,
+        # which is the decoder's freshly-reconstructed new_red).
+        bits = 9
+        if w > (1 << bits) or h > (1 << bits):
+            raise ValueError("colortx fixture capped at 512x512")
+        g2r, g2b, r2b = 34, 238, 5
+        bw.put(1, 1)
+        bw.put(1, 2)                               # color transform
+        bw.put(bits - 2, 3)
+        _write_entropy_literals(
+            bw, [0xFF000000 | (r2b << 16) | (g2b << 8) | g2r], 0)
+        bw.put(0, 1)                               # end of transforms
+
+        def d(t, c):
+            return (_s8(t) * _s8(c)) >> 5
+
+        coded = []
+        for p in argb:
+            red = (p >> 16) & 0xFF
+            green = (p >> 8) & 0xFF
+            blue = p & 0xFF
+            sr = (red - d(g2r, green)) & 0xFF
+            sb = (blue - d(g2b, green) - d(r2b, red)) & 0xFF
+            coded.append((p & 0xFF00FF00) | (sr << 16) | sb)
+    elif variant == "meta":
+        bw.put(0, 1)                               # no transforms
+        _write_meta_payload(bw, argb, w, h)
+        vp8l = b"\x2f" + bw.tobytes()
+        riff = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+        if len(vp8l) & 1:
+            riff += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WEBP" + riff
     else:
         raise ValueError(f"build_webp_lossless variant {variant!r}")
 
@@ -936,3 +974,62 @@ def _emit_payload(bw, pixels: list[int], cache_bits: int, level0: bool,
             emit(dc_codes, dcode)
             if en2:
                 bw.put(ev2, en2)
+
+
+def _write_meta_payload(bw, argb: list[int], w: int, h: int):
+    """Top-level payload with a meta-prefix entropy image: two Huffman
+    groups alternating by 4x4 tile parity (meta_bits = 2), literal
+    coding only — exercises the decoder's per-tile group switching."""
+    meta_bits = 2
+    mw, mh = _sub_size(w, meta_bits), _sub_size(h, meta_bits)
+    bw.put(0, 1)                                   # no color cache
+    bw.put(1, 1)                                   # meta-prefix image
+    bw.put(meta_bits - 2, 3)
+    # entropy image: group index in (red << 8) | green -> green byte
+    meta_px = [
+        0xFF000000 | ((((ty * mw + tx) % 2) & 0xFF) << 8)
+        for ty in range(mh) for tx in range(mw)
+    ]
+    _write_entropy_literals(bw, meta_px, 0)
+
+    def group_of(i: int) -> int:
+        x, y = i % w, i // w
+        return ((y >> meta_bits) * mw + (x >> meta_bits)) % 2
+
+    # the decoder reads max(meta index) + 1 group code sets — a
+    # single-tile image references only group 0, so emit exactly that
+    n_groups = max((p >> 8) & 0xFFFF for p in meta_px) + 1
+    freqs = [
+        [dict(), dict(), dict(), dict()]           # g, r, b, a per group
+        for _ in range(n_groups)
+    ]
+    for i, p in enumerate(argb):
+        fr = freqs[group_of(i)]
+        for ch, v in enumerate((
+            (p >> 8) & 0xFF, (p >> 16) & 0xFF, p & 0xFF, p >> 24,
+        )):
+            fr[ch][v] = fr[ch].get(v, 0) + 1
+    codes = []
+    for g in range(n_groups):
+        fr = freqs[g]
+        for ch in range(4):
+            if not fr[ch]:
+                fr[ch][0] = 1                      # unused group's tree
+        lens = [_huff_lengths(fr[ch]) for ch in range(4)]
+        for ch, alphabet in ((0, 256 + 24), (1, 256), (2, 256), (3, 256)):
+            _emit_code(bw, lens[ch], alphabet)
+        _emit_code(bw, {0: 1}, 40)                 # distance: unused
+        codes.append([_canonical_codes(x) for x in lens])
+
+    def emit(cmap, sym):
+        if len(cmap) == 1:
+            return
+        c, ln = cmap[sym]
+        bw.put_code(c, ln)
+
+    for i, p in enumerate(argb):
+        gc, rc, bc, ac = codes[group_of(i)]
+        emit(gc, (p >> 8) & 0xFF)
+        emit(rc, (p >> 16) & 0xFF)
+        emit(bc, p & 0xFF)
+        emit(ac, p >> 24)

@@ -10598,7 +10598,7 @@ def _q_webp(spark, sf_dir):
         F.col("doc_id").alias("media_id"))
 
     variants = ["literal", "cache", "backref", "subgreen",
-                "predictor", "palette"]
+                "predictor", "palette", "colortx", "meta"]
 
     def build(it):
         import numpy as np
@@ -10618,7 +10618,7 @@ def _q_webp(spark, sf_dir):
                     v.reshape(8, 8))
                 img[:, :, 3] = 255
                 payloads.append(build_webp_lossless(
-                    img, variant=variants[did % 6]))
+                    img, variant=variants[did % 8]))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads})
 
@@ -10638,9 +10638,10 @@ _add(
     "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
     "AS ahash FROM bits GROUP BY doc_id "
     "ORDER BY media_id NULLS FIRST",
-    "REAL VP8L decode (6 bitstream variants incl. transforms + cache "
-    "+ LZ77) -> strict aHash over decoded pixels == the analytic "
-    "bit-pattern replay; any wrong pixel flips hash bits",
+    "REAL VP8L decode (8 bitstream variants: all four transforms, "
+    "color cache, LZ77, two-group meta-prefix image) -> strict aHash "
+    "over decoded pixels == the analytic bit-pattern replay; any "
+    "wrong pixel flips hash bits",
 )
 
 

@@ -21,7 +21,7 @@ from evm_archive_spark.operators.webp import (
 )
 
 VARIANTS = ("literal", "cache", "backref", "subgreen", "predictor",
-            "palette")
+            "palette", "colortx", "meta")
 
 
 def _img(rng, h, w, variant):
