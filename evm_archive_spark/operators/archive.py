@@ -229,6 +229,8 @@ def archive_kind(b: bytes) -> str | None:
         return "cpio"
     if b[:6] == b"7z\xbc\xaf\x27\x1c":
         return "7z"
+    if b[:4] == b"hsqs" and len(b) >= 96:
+        return "squashfs"
     # mirrors iso9660.is_iso exactly (magic AND a valid descriptor
     # type byte) so sniff and walker agree on what dispatches
     iso_off = 16 * 2048
@@ -387,7 +389,12 @@ def archive_members(
 
         yield from iso_members(b, max_member_bytes)
         return
-    raise ArchiveError("not a zip/tar/ar/cpio/7z/iso archive")
+    if kind == "squashfs":
+        from .squashfs import squashfs_members   # SquashfsError too
+
+        yield from squashfs_members(b, max_member_bytes)
+        return
+    raise ArchiveError("not a zip/tar/ar/cpio/7z/iso/squashfs archive")
 
 
 MEMBER_SCHEMA = T.StructType(

@@ -10580,6 +10580,65 @@ _add(
 )
 
 
+# [pair] squashfs image fan-out (operators/squashfs.py, round-9):
+# REAL SquashFS 4.0 images (gzip compressor) built per document —
+# superblock, compressed data blocks + a shared tail FRAGMENT
+# (doc_id % 2 toggles fragment packing), metadata-block inode and
+# directory tables, nested dir — explode through archive_members'
+# squashfs dispatch.  The oracle stays container-agnostic (same
+# member rows as q_iso / q_7z).
+
+def _q_squashfs(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.archive import explode_archives
+    from ..operators.squashfs import build_squashfs
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def build(it):
+        for b in it:
+            payloads = []
+            for mid, t in zip(b["media_id"], b["t"]):
+                data = t.encode("utf-8")
+                payloads.append(build_squashfs(
+                    [("a.txt", data), ("sub/b.txt", b"copy:" + data)],
+                    use_fragments=bool(int(mid) % 2),
+                ))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = explode_archives(media, strict=True)
+    return out.select(
+        "media_id",
+        "path",
+        "size",
+        F.md5("payload").alias("member_md5"),
+    ).orderBy("media_id", "path")
+
+
+_add(
+    "q_squashfs",
+    _q_squashfs,
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
+    "SELECT doc_id AS media_id, 'a.txt' AS path, "
+    "CAST(strlen(t) AS BIGINT) AS size, md5(t) AS member_md5 FROM d "
+    "UNION ALL "
+    "SELECT doc_id, 'sub/b.txt', "
+    "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
+    "ORDER BY media_id NULLS FIRST, path",
+    "squashfs fan-out: real 4.0 images (gzip data blocks, shared tail "
+    "fragments on odd docs, metadata-block tables) explode to the "
+    "same member rows; oracle is container-agnostic",
+)
+
+
 # [pair] lossless-WebP REAL pixel decode (operators/webp.py, round-9:
 # the VP8L bitstream from scratch — prefix codes, color cache, LZ77,
 # all four transforms).  Each doc gets a REAL 8x8 two-tone VP8L image
@@ -11549,6 +11608,7 @@ _ROUND9_STAGED: list[str] = [
     "q_webp",       # NEW: real VP8L pixel decode, analytic aHash oracle
     "q_iso",        # odd docs now Rock Ridge (SUSP NM long names)
     "q_tgz",        # wrap cycle grew .tar.lz (lzip container walk)
+    "q_squashfs",   # NEW: SquashFS 4.0 image fan-out
 ]
 _ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
 

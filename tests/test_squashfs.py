@@ -1,0 +1,158 @@
+"""SquashFS v4 reader: round trips against the independent builder
+(multi-block files, shared tail fragments, sparse blocks, nested
+dirs, empty files, both fragment modes), typed boundaries (version,
+compressor, bombs), truncation fuzz, archive_members routing, and a
+hypothesis property."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from evm_archive_spark.operators.squashfs import (
+    SquashfsError,
+    build_squashfs,
+    is_squashfs,
+    squashfs_members,
+)
+
+FILES = [
+    ("hello.txt", b"hello squash"),
+    ("bin/tool", bytes(range(256)) * 80),          # multi-block
+    ("etc/conf.d/app.conf", b"key=value\n" * 3),
+    ("zeros.bin", b"\x00" * 9000),                 # sparse blocks
+    ("empty", b""),
+    ("unicode \xe9.md", b"# doc"),
+]
+
+
+def test_roundtrip_both_fragment_modes():
+    want = sorted((n, len(d), d) for n, d in FILES)
+    for frags in (True, False):
+        img = build_squashfs(FILES, use_fragments=frags)
+        assert is_squashfs(img) and not is_squashfs(b"PK\x03\x04")
+        got = sorted(squashfs_members(img))
+        assert got == want, frags
+
+
+def test_shared_fragment_block_packs_multiple_tails():
+    """Two small files' tails must land in ONE fragment block (the
+    whole point of fragments) and still slice back out correctly."""
+    files = [("a.txt", b"tail a" * 10), ("b.txt", b"tail b" * 11)]
+    img = build_squashfs(files)
+    # exactly one fragment entry in the superblock
+    (frag_count,) = struct.unpack_from("<I", img, 16)
+    assert frag_count == 1
+    got = dict((n, d) for n, _s, d in squashfs_members(img))
+    assert got == dict(files)
+
+
+def test_member_cap_skips_not_fails():
+    img = build_squashfs(FILES)
+    small = {n for n, _s, _d in squashfs_members(img, max_member_bytes=100)}
+    assert small == {"hello.txt", "etc/conf.d/app.conf", "empty",
+                     "unicode \xe9.md"}
+
+
+def test_typed_boundaries():
+    img = bytearray(build_squashfs(FILES))
+    # unknown compressor (zstd = 6) is typed with the id named
+    struct.pack_into("<H", img, 20, 6)
+    with pytest.raises(SquashfsError, match="compressor"):
+        list(squashfs_members(bytes(img)))
+    # wrong version typed
+    img = bytearray(build_squashfs(FILES))
+    struct.pack_into("<H", img, 28, 3)
+    with pytest.raises(SquashfsError, match="version"):
+        list(squashfs_members(bytes(img)))
+    # inconsistent block_log typed
+    img = bytearray(build_squashfs(FILES))
+    struct.pack_into("<H", img, 22, 5)
+    with pytest.raises(SquashfsError, match="block size"):
+        list(squashfs_members(bytes(img)))
+    with pytest.raises(SquashfsError, match="not a squashfs"):
+        list(squashfs_members(b"garbage"))
+
+
+def test_corrupt_metadata_and_truncation_fuzz():
+    good = build_squashfs(FILES)
+    # corrupt the first metadata byte after the data area: zlib error
+    # surfaces typed (find the inode table via the superblock)
+    (inode_start,) = struct.unpack_from("<q", good, 64)
+    bad = bytearray(good)
+    bad[inode_start + 2] ^= 0xFF
+    with pytest.raises(SquashfsError):
+        list(squashfs_members(bytes(bad)))
+    for cut in range(0, len(good), 61):
+        try:
+            list(squashfs_members(good[:cut]))
+        except SquashfsError:
+            pass
+
+
+def test_archive_members_routing():
+    from evm_archive_spark.operators.archive import (
+        ArchiveError,
+        archive_kind,
+        archive_members,
+    )
+
+    img = build_squashfs(FILES)
+    assert archive_kind(img) == "squashfs"
+    got = {n: d for n, _s, d in archive_members(img)}
+    assert got == dict(FILES)
+    # SquashfsError normalizes to ArchiveError through the guard
+    with pytest.raises(ArchiveError):
+        list(archive_members(img[:100]))
+
+
+def test_metadata_block_spanning():
+    """A directory with enough entries that its listing crosses an
+    8 KiB metadata-block boundary still walks (meta_read spans
+    blocks)."""
+    files = [(f"dir/file-{i:04d}.txt", (b"%04d" % i) * 3)
+             for i in range(600)]
+    img = build_squashfs(files)
+    got = {n: d for n, _s, d in squashfs_members(img)}
+    assert got == dict(files)
+
+
+def test_uncompressed_metadata_and_incompressible_data():
+    """Incompressible data blocks store raw (bit 24) and decode."""
+    import random
+
+    rng = random.Random(5)
+    blob = bytes(rng.randrange(256) for _ in range(10000))
+    img = build_squashfs([("rand.bin", blob)])
+    assert dict(
+        (n, d) for n, _s, d in squashfs_members(img)
+    ) == {"rand.bin": blob}
+
+
+def test_property_roundtrip_random_file_sets():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x30, max_codepoint=0x7A,
+            blacklist_characters="/\\",
+        ),
+        min_size=1, max_size=12,
+    )
+    blobs = st.binary(max_size=12000)
+    fileset = st.lists(
+        st.tuples(names, blobs), max_size=5,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(files=fileset, frags=st.booleans())
+    def check(files, frags):
+        img = build_squashfs(files, use_fragments=frags)
+        got = sorted(squashfs_members(img))
+        assert got == sorted((n, len(d), d) for n, d in files)
+
+    check()
