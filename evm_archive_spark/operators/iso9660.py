@@ -81,7 +81,11 @@ def _rr_name(su: bytes, skip: int) -> str | None:
     fragments concatenate while the CONTINUE flag (bit 0) is set;
     CURRENT/PARENT-flagged entries (bits 1-2) are the . and ..
     aliases and are ignored.  ``skip`` is the SP-declared byte offset
-    into each system-use area."""
+    into each system-use area.  A name whose final in-record fragment
+    still carries CONTINUE overflows into a SUSP ``CE`` continuation
+    area (out of scope) — returning the partial concatenation would
+    silently mis-name the member, so fall back to the ISO field name
+    (None) instead."""
     pos = skip
     parts: list[str] = []
     cont = True
@@ -99,7 +103,7 @@ def _rr_name(su: bytes, skip: int) -> str | None:
                 if not cont:
                     break
         pos += ln
-    if not parts:
+    if not parts or cont:
         return None
     return "".join(parts)
 

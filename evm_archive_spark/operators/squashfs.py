@@ -47,6 +47,8 @@ NO_FRAG = 0xFFFFFFFF
 
 MAX_SQ_ENTRIES = 1 << 20
 MAX_SQ_DEPTH = 32
+MAX_SQ_LISTING = 1 << 24          # one directory's listing bytes
+MAX_SQ_META_CACHE = 64            # decompressed metadata blocks held
 
 _T_DIR = 1
 _T_FILE = 2
@@ -116,6 +118,8 @@ class _Image:
         if len(data) > META_SIZE:
             raise SquashfsError("squashfs metadata block over 8 KiB")
         out = (data, 2 + size)
+        if len(self._meta_cache) >= MAX_SQ_META_CACHE:
+            self._meta_cache.clear()       # bound held decompressions
         self._meta_cache[pos] = out
         return out
 
@@ -167,8 +171,12 @@ class _Image:
             raise SquashfsError("squashfs fragment index out of range")
         per_block = META_SIZE // 16
         ptr_idx = index // per_block
-        (meta_pos,) = struct.unpack_from(
-            "<q", self.b, self.frag_start + 8 * ptr_idx)
+        ptr_pos = self.frag_start + 8 * ptr_idx
+        if ptr_pos < 0 or ptr_pos + 8 > len(self.b):
+            raise SquashfsError("squashfs fragment pointer overruns")
+        (meta_pos,) = struct.unpack_from("<q", self.b, ptr_pos)
+        if meta_pos < 0 or meta_pos + 2 > len(self.b):
+            raise SquashfsError("squashfs fragment table overruns")
         data, _dl = self._meta_block(meta_pos)
         entry = data[(index % per_block) * 16:(index % per_block) * 16 + 16]
         if len(entry) < 16:
@@ -184,6 +192,10 @@ def _walk_dir(img: _Image, block: int, offset: int, size: int,
         raise SquashfsError("squashfs directory nesting over cap")
     if size < 3:
         return                                     # empty directory
+    if size - 3 > MAX_SQ_LISTING:
+        # a crafted ext-dir u32 size would otherwise materialize an
+        # unbounded decompressed listing before any entry cap applies
+        raise SquashfsError("squashfs directory listing over cap")
     listing = img.meta_read(img.dir_start, block, offset, size - 3)
     pos = 0
     while pos + 12 <= len(listing):
@@ -478,7 +490,14 @@ def build_squashfs(files: list[tuple[str, bytes]],
     dir_start = inode_start + len(inode_table)
     frag_meta_start = dir_start + len(dir_table)
     frag_start = frag_meta_start + len(frag_meta)
-    frag_ptrs = struct.pack("<q", frag_meta_start) if frag_entries else b""
+    # one u64 pointer PER 8 KiB metadata block of 16-byte entries
+    # (512 fragments each) — frag_meta is stored uncompressed, so
+    # block k starts at a deterministic frag_meta_start + k * 8194
+    n_frag_blocks = -(-len(frag_raw) // META_SIZE) if frag_entries else 0
+    frag_ptrs = b"".join(
+        struct.pack("<q", frag_meta_start + k * (META_SIZE + 2))
+        for k in range(n_frag_blocks)
+    )
     id_start = frag_start + len(frag_ptrs)
     # minimal id table: one uid/gid (0), packed + pointer
     id_meta = _meta_blocks(struct.pack("<I", 0), compress=False)

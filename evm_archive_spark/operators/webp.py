@@ -19,11 +19,13 @@ in exif.py.
 
 ``build_webp_lossless`` is the independent synthesis writer: its own
 bit writer, Huffman-length builder and canonical-code emitter, used
-by fixtures and the image-corpus gates.  There is no encoder in this
-environment to pin against (no PIL/cwebp), so — like the 7z BCJ2
-pair — the cross-check is round-trip plus the spec-fixed constants
-(code-length-code order, cache hash multiplier, prefix-code ranges,
-distance-map generation rule, predictor definitions).
+by fixtures and the image-corpus gates.  Both sides are pinned
+against the system's REAL libwebp via ctypes (test_webp):
+WebPDecodeRGBA decodes every writer variant to the original pixels,
+and our decoder agrees bit-exactly with libwebp's decoder on
+WebPEncodeLosslessRGBA output (predictor/color-transform/LZ77
+streams a real encoder emits) — a true cross-implementation check,
+skipped only where the shared library is absent.
 
 Reference parity note: the reference (SummaryDev/evm-archive) has no
 image surface; this extends the training-pipeline multimodal lane.
@@ -511,7 +513,7 @@ def decode_webp(b: bytes) -> np.ndarray:
             bits = br.bits(3) + 2
             tw, th = _sub_size(cur_w, bits), _sub_size(h, bits)
             tiles = _decode_entropy_image(br, tw, th, False)
-            transforms.append((ttype, bits, tiles, cur_w))
+            transforms.append((ttype, bits, tiles))
         elif ttype == 2:                           # subtract green
             transforms.append((2,))
         else:                                      # color indexing

@@ -156,3 +156,36 @@ def test_property_roundtrip_random_file_sets():
         assert got == sorted((n, len(d), d) for n, d in files)
 
     check()
+
+
+def test_many_fragment_blocks_and_crafted_bombs():
+    """>512 fragment entries span multiple fragment-index metadata
+    blocks (one u64 pointer each — the single-pointer bug corrupted
+    the writer's own output); a crafted ext-dir listing size is a
+    typed cap, not an OOM; corrupt fragment pointers are typed."""
+    import os
+
+    files = [(f"f{i:04d}", os.urandom(2100)) for i in range(1200)]
+    img = build_squashfs(files, block_size=4096)
+    got = {n: d for n, _s, d in squashfs_members(img)}
+    assert got == dict(files)
+
+    # crafted near-u32-max ext-dir listing size: typed cap (the
+    # listing would otherwise materialize before any entry cap)
+    from evm_archive_spark.operators.squashfs import (
+        MAX_SQ_LISTING,
+        _Image,
+        _walk_dir,
+    )
+
+    small = build_squashfs([("a", b"x")])
+    imgp = _Image(small)
+    with pytest.raises(SquashfsError, match="listing over cap"):
+        list(_walk_dir(imgp, 0, 0, MAX_SQ_LISTING + 4, "", 0, [0],
+                       1 << 20))
+
+    # fragment pointer past EOF: typed, not struct.error
+    bad = bytearray(build_squashfs([("t", b"tail body")]))
+    struct.pack_into("<q", bad, 80, len(bad) + 100)   # frag_table_start
+    with pytest.raises(SquashfsError):
+        list(squashfs_members(bytes(bad)))

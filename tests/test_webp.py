@@ -175,3 +175,76 @@ def test_property_roundtrip_random_images():
                 == a).all()
 
     check()
+
+
+def _libwebp():
+    """The system libwebp, when present — the REAL cross-
+    implementation pin for both directions."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    if not all(hasattr(lib, s) for s in (
+            "WebPEncodeLosslessRGBA", "WebPDecodeRGBA", "WebPFree")):
+        return None
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    return lib
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="no system libwebp")
+def test_cross_checked_against_libwebp_both_directions():
+    """Implementation-against-implementation: (1) libwebp decodes OUR
+    writer's output (all 8 variants) to the original pixels; (2) OUR
+    decoder agrees bit-exactly with libwebp's decoder on streams
+    produced by libwebp's OWN lossless encoder.  Note the encoder
+    default rewrites RGB under fully-transparent pixels (alpha
+    cleanup), so direction 2 compares decoder-vs-decoder, not
+    vs the original array."""
+    import ctypes
+
+    lib = _libwebp()
+
+    def lib_decode(data: bytes) -> np.ndarray:
+        w, h = ctypes.c_int(), ctypes.c_int()
+        p = lib.WebPDecodeRGBA(
+            data, ctypes.c_size_t(len(data)),
+            ctypes.byref(w), ctypes.byref(h))
+        assert p, "libwebp failed to decode"
+        arr = np.ctypeslib.as_array(
+            p, shape=(h.value, w.value, 4)).copy()
+        lib.WebPFree(p)
+        return arr
+
+    rng = np.random.default_rng(31)
+    for variant in VARIANTS:
+        for (h, w) in ((1, 1), (5, 3), (16, 12), (9, 33)):
+            a = _img(rng, h, w, variant)
+            ours = build_webp_lossless(a, variant=variant)
+            assert (lib_decode(ours) == a).all(), (variant, h, w)
+
+    for (h, w) in ((1, 1), (7, 5), (16, 16), (11, 40), (64, 48)):
+        a = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeLosslessRGBA(
+            a.tobytes(), w, h, w * 4, ctypes.byref(out))
+        assert n > 0
+        enc = bytes(bytearray(out[i] for i in range(n)))
+        lib.WebPFree(out)
+        assert (decode_webp(enc) == lib_decode(enc)).all(), (h, w)
+    # structured content drives the encoder into predictor/color
+    # transforms + real LZ77 — the decode paths that matter
+    grad = np.zeros((40, 56, 4), dtype=np.uint8)
+    ys, xs = np.mgrid[0:40, 0:56]
+    grad[:, :, 0] = (xs * 4) & 0xFF
+    grad[:, :, 1] = (ys * 6) & 0xFF
+    grad[:, :, 2] = ((xs + ys) * 3) & 0xFF
+    grad[:, :, 3] = 255
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeLosslessRGBA(
+        grad.tobytes(), 56, 40, 56 * 4, ctypes.byref(out))
+    enc = bytes(bytearray(out[i] for i in range(n)))
+    lib.WebPFree(out)
+    assert (decode_webp(enc) == grad).all()
