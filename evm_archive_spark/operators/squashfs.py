@@ -14,13 +14,19 @@ are (block-start-offset, offset-within-decompressed-block) pairs —
 the root inode reference in the superblock packs them as
 ``block << 16 | offset``.
 
-This reader supports the gzip (zlib) compressor — what the
-overwhelming majority of real images use and the one the stdlib can
-decode; xz/lzo/lz4/zstd images are a typed boundary (no stdlib
-decoder for squashfs' raw-stream framing of those).  Bounds: block
-counts, listing sizes and decompressed output are capped (the
-archive.decompress_payload rule); unknown versions and compressors
-are typed errors.
+Compressors: gzip (zlib streams, the classic default), xz (the
+modern firmware default; stdlib lzma with a memlimit so a crafted
+dictionary declaration cannot force a multi-GiB upfront allocation —
+the 7z dict_size lesson), legacy lzma (LZMA_ALONE streams, same
+memlimit), lz4 (raw LZ4 *block* format — no stdlib codec exists, so
+the decoder is implemented from scratch from the public block spec
+and the writer cross-checks it against pyarrow's canonical lz4_raw
+encoder), and zstd (standard frames via the canonical pyarrow codec
+behind a bounded streaming read — the archive.decompress_payload
+rule; no stdlib implementation exists).  lzo stays a typed boundary
+(no available codec).  Bounds: block counts, listing sizes and
+decompressed output are capped; unknown versions and compressors are
+typed errors.
 
 ``build_squashfs`` is the independent synthesis writer (data blocks,
 fragments, inode/directory/fragment tables, gzip or uncompressed
@@ -60,6 +66,130 @@ class SquashfsError(ValueError):
     """Malformed or out-of-scope squashfs payload."""
 
 
+# superblock compressor ids (public format)
+_COMP_GZIP, _COMP_LZMA, _COMP_LZO, _COMP_XZ, _COMP_LZ4, _COMP_ZSTD = (
+    1, 2, 3, 4, 5, 6)
+# upfront-allocation bound for lzma/xz decoders: real images use a
+# dictionary <= block_size (<= 1 MiB); a crafted header may declare
+# 4 GiB which liblzma would allocate before producing a byte
+_LZMA_MEMLIMIT = 64 * 1024 * 1024
+
+
+def lz4_block_decompress(raw: bytes, max_out: int) -> bytes:
+    """Raw LZ4 *block* decode (the framing squashfs uses — not the
+    frame format), from scratch per the public block spec: per
+    sequence a token byte (high nibble literal length, low nibble
+    match length - 4, both extended by 255-continued bytes), the
+    literals, then a u16le match offset into the produced output
+    (overlap-copy allowed).  The final sequence is literals-only.
+    Output is capped at ``max_out``."""
+    out = bytearray()
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        token = raw[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if pos >= n:
+                    raise SquashfsError("lz4 literal length overruns")
+                b = raw[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise SquashfsError("lz4 literals overrun input")
+        if len(out) + lit > max_out:
+            raise SquashfsError("lz4 output exceeds cap")
+        out += raw[pos:pos + lit]
+        pos += lit
+        if pos == n:
+            break                                  # final sequence
+        if pos + 2 > n:
+            raise SquashfsError("lz4 match offset overruns")
+        offset = raw[pos] | (raw[pos + 1] << 8)
+        pos += 2
+        if offset == 0 or offset > len(out):
+            raise SquashfsError("lz4 match offset out of range")
+        mlen = (token & 0x0F) + 4
+        if (token & 0x0F) == 15:
+            while True:
+                if pos >= n:
+                    raise SquashfsError("lz4 match length overruns")
+                b = raw[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        if len(out) + mlen > max_out:
+            raise SquashfsError("lz4 output exceeds cap")
+        start = len(out) - offset
+        if offset >= mlen:
+            out += out[start:start + mlen]
+        else:
+            for i in range(mlen):                  # overlap copy
+                out.append(out[start + i])
+    return bytes(out)
+
+
+def _decompressor(comp_id: int):
+    """Returns ``fn(raw, limit) -> bytes`` for a superblock compressor
+    id; raises the typed boundary for ids without an available codec.
+    Every arm bounds its output at ``limit`` bytes."""
+    if comp_id == _COMP_GZIP:
+        def _gz(raw: bytes, limit: int) -> bytes:
+            d = zlib.decompressobj()
+            try:
+                data = d.decompress(raw, limit + 1)
+            except zlib.error as e:
+                raise SquashfsError(
+                    f"corrupt squashfs zlib block: {e!r}") from e
+            if len(data) > limit:
+                raise SquashfsError("squashfs block output over cap")
+            return data
+        return _gz
+    if comp_id in (_COMP_LZMA, _COMP_XZ):
+        import lzma
+        fmt = lzma.FORMAT_ALONE if comp_id == _COMP_LZMA else lzma.FORMAT_XZ
+
+        def _xz(raw: bytes, limit: int) -> bytes:
+            d = lzma.LZMADecompressor(format=fmt, memlimit=_LZMA_MEMLIMIT)
+            try:
+                data = d.decompress(raw, limit + 1)
+            except lzma.LZMAError as e:
+                raise SquashfsError(
+                    f"corrupt squashfs lzma/xz block: {e!r}") from e
+            if len(data) > limit:
+                raise SquashfsError("squashfs block output over cap")
+            return data
+        return _xz
+    if comp_id == _COMP_LZ4:
+        return lz4_block_decompress
+    if comp_id == _COMP_ZSTD:
+        import pyarrow as pa
+
+        def _zstd(raw: bytes, limit: int) -> bytes:
+            # canonical codec behind a bounded streaming read — never
+            # a one-shot whole-payload decompress of untrusted bytes
+            try:
+                st = pa.input_stream(pa.BufferReader(raw),
+                                     compression="zstd")
+                data = st.read(limit + 1)
+            except (OSError, ValueError) as e:
+                raise SquashfsError(
+                    f"corrupt squashfs zstd block: {e!r}") from e
+            if len(data) > limit:
+                raise SquashfsError("squashfs block output over cap")
+            return bytes(data)
+        return _zstd
+    raise SquashfsError(
+        f"squashfs compressor id {comp_id} out of scope "
+        "(lzo has no available codec)" if comp_id == _COMP_LZO
+        else f"unknown squashfs compressor id {comp_id}")
+
+
 def is_squashfs(b: bytes) -> bool:
     return len(b) >= SUPERBLOCK and b[:4] == MAGIC
 
@@ -82,11 +212,7 @@ class _Image:
         if (ver_major, ver_minor) != (4, 0):
             raise SquashfsError(
                 f"squashfs version {ver_major}.{ver_minor} out of scope")
-        if self.compressor != 1:
-            raise SquashfsError(
-                "non-gzip squashfs compressor is out of scope "
-                f"(id {self.compressor}; xz/lzo/lz4/zstd images need "
-                "raw-stream codecs the stdlib lacks)")
+        self._decompress = _decompressor(self.compressor)
         if self.block_size != (1 << block_log) or not (
                 4096 <= self.block_size <= 1 << 20):
             raise SquashfsError("squashfs block size inconsistent")
@@ -109,14 +235,10 @@ class _Image:
             raise SquashfsError("squashfs metadata block overruns")
         if hdr & 0x8000:
             data = raw
+            if len(data) > META_SIZE:
+                raise SquashfsError("squashfs metadata block over 8 KiB")
         else:
-            try:
-                data = zlib.decompress(raw, bufsize=META_SIZE)
-            except zlib.error as e:
-                raise SquashfsError(
-                    f"corrupt squashfs metadata: {e!r}") from e
-        if len(data) > META_SIZE:
-            raise SquashfsError("squashfs metadata block over 8 KiB")
+            data = self._decompress(raw, META_SIZE)
         out = (data, 2 + size)
         if len(self._meta_cache) >= MAX_SQ_META_CACHE:
             self._meta_cache.clear()       # bound held decompressions
@@ -153,14 +275,10 @@ class _Image:
             raise SquashfsError("squashfs data block overruns")
         if word & 0x1000000:
             data = raw
+            if len(data) > self.block_size:
+                raise SquashfsError("squashfs data block over block size")
         else:
-            try:
-                data = zlib.decompress(raw, bufsize=self.block_size)
-            except zlib.error as e:
-                raise SquashfsError(
-                    f"corrupt squashfs data block: {e!r}") from e
-        if len(data) > self.block_size:
-            raise SquashfsError("squashfs data block over block size")
+            data = self._decompress(raw, self.block_size)
         return data[:limit]
 
     def fragment(self, index: int) -> bytes:
@@ -302,12 +420,49 @@ def squashfs_members(
 
 # -- synthesis writer ----------------------------------------------------------
 
-def _meta_blocks(data: bytes, compress: bool) -> bytes:
+def _compressor(name: str):
+    """Writer-side (id, compress_fn) for a compressor name.  xz/lzma
+    come from stdlib liblzma and lz4/zstd from the canonical pyarrow
+    codecs — so fixtures cross-check the from-scratch lz4 block
+    decoder (and every other decode arm) against an independent
+    canonical encoder, the build_lzip / libwebp pattern."""
+    if name == "gzip":
+        return _COMP_GZIP, zlib.compress
+    if name == "xz":
+        import lzma
+
+        def _cxz(b: bytes) -> bytes:
+            return lzma.compress(
+                b, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC32,
+                filters=[{"id": lzma.FILTER_LZMA2, "preset": 6,
+                          "dict_size": 1 << 20}])
+        return _COMP_XZ, _cxz
+    if name == "lzma":
+        import lzma
+
+        def _clzma(b: bytes) -> bytes:
+            return lzma.compress(
+                b, format=lzma.FORMAT_ALONE,
+                filters=[{"id": lzma.FILTER_LZMA1, "preset": 6,
+                          "dict_size": 1 << 20}])
+        return _COMP_LZMA, _clzma
+    if name == "lz4":
+        import pyarrow as pa
+        codec = pa.Codec("lz4_raw")
+        return _COMP_LZ4, lambda b: codec.compress(b, asbytes=True)
+    if name == "zstd":
+        import pyarrow as pa
+        codec = pa.Codec("zstd")
+        return _COMP_ZSTD, lambda b: codec.compress(b, asbytes=True)
+    raise ValueError(f"unknown writer compressor {name!r}")
+
+
+def _meta_blocks(data: bytes, compress, comp_fn) -> bytes:
     """Pack metadata bytes into 8 KiB blocks with u16 headers."""
     out = bytearray()
     for i in range(0, max(len(data), 1), META_SIZE):
         chunk = data[i:i + META_SIZE]
-        packed = zlib.compress(chunk) if compress else None
+        packed = comp_fn(chunk) if compress else None
         if compress and len(packed) < len(chunk):
             out += struct.pack("<H", len(packed)) + packed
         else:
@@ -317,13 +472,15 @@ def _meta_blocks(data: bytes, compress: bool) -> bytes:
 
 def build_squashfs(files: list[tuple[str, bytes]],
                    block_size: int = 4096,
-                   use_fragments: bool = True) -> bytes:
-    """Write a minimal valid squashfs 4.0 image (gzip compressor):
-    data blocks (compressed unless incompressible; all-zero blocks
-    stored sparse), tail ends under a block packed into shared
-    fragment blocks when ``use_fragments``, basic file/dir inodes,
-    directory listings, and the fragment index table.  Paths may
-    contain '/'.  Independent of the reader."""
+                   use_fragments: bool = True,
+                   compressor: str = "gzip") -> bytes:
+    """Write a minimal valid squashfs 4.0 image (gzip / xz / lzma /
+    lz4 / zstd compressor): data blocks (compressed unless
+    incompressible; all-zero blocks stored sparse), tail ends under a
+    block packed into shared fragment blocks when ``use_fragments``,
+    basic file/dir inodes, directory listings, and the fragment index
+    table.  Paths may contain '/'.  Independent of the reader."""
+    comp_id, comp_fn = _compressor(compressor)
     tree: dict[str, list] = {"": []}
     for path, data in files:
         parts = path.split("/")
@@ -343,7 +500,7 @@ def build_squashfs(files: list[tuple[str, bytes]],
         """Append one data block; returns its u32 size word."""
         if chunk == b"\x00" * len(chunk) and chunk:
             return 0                                   # sparse
-        packed = zlib.compress(chunk)
+        packed = comp_fn(chunk)
         if len(packed) < len(chunk):
             body.extend(packed)
             return len(packed)
@@ -477,13 +634,13 @@ def build_squashfs(files: list[tuple[str, bytes]],
     root_blk, root_off = _ref(root_raw)
 
     inode_table = _meta_blocks(
-        bytes(inode_raw), compress=len(inode_raw) <= META_SIZE)
+        bytes(inode_raw), len(inode_raw) <= META_SIZE, comp_fn)
     dir_table = _meta_blocks(
-        bytes(dir_raw), compress=len(dir_raw) <= META_SIZE)
+        bytes(dir_raw), len(dir_raw) <= META_SIZE, comp_fn)
     inode_num = [num]
     frag_raw = b"".join(
         struct.pack("<QII", s, w, 0) for s, w in frag_entries)
-    frag_meta = _meta_blocks(frag_raw, compress=False) if frag_entries \
+    frag_meta = _meta_blocks(frag_raw, False, comp_fn) if frag_entries \
         else b""
 
     inode_start = base + len(body)
@@ -500,14 +657,14 @@ def build_squashfs(files: list[tuple[str, bytes]],
     )
     id_start = frag_start + len(frag_ptrs)
     # minimal id table: one uid/gid (0), packed + pointer
-    id_meta = _meta_blocks(struct.pack("<I", 0), compress=False)
+    id_meta = _meta_blocks(struct.pack("<I", 0), False, comp_fn)
     id_ptr_start = id_start + len(id_meta)
     total = id_ptr_start + 8
 
     sb = struct.pack(
         "<IIIIIHHHHHH",
         0x73717368, inode_num[0], 0, block_size, len(frag_entries),
-        1, block_size.bit_length() - 1, 0, 1, 4, 0,
+        comp_id, block_size.bit_length() - 1, 0, 1, 4, 0,
     ) + struct.pack(
         "<8q",
         (root_blk << 16) | root_off, total, id_ptr_start, -1,

@@ -10581,12 +10581,15 @@ _add(
 
 
 # [pair] squashfs image fan-out (operators/squashfs.py, round-9):
-# REAL SquashFS 4.0 images (gzip compressor) built per document —
-# superblock, compressed data blocks + a shared tail FRAGMENT
-# (doc_id % 2 toggles fragment packing), metadata-block inode and
-# directory tables, nested dir — explode through archive_members'
-# squashfs dispatch.  The oracle stays container-agnostic (same
-# member rows as q_iso / q_7z).
+# REAL SquashFS 4.0 images built per document — superblock,
+# compressed data blocks + a shared tail FRAGMENT (doc_id % 2 toggles
+# fragment packing), metadata-block inode and directory tables,
+# nested dir — explode through archive_members' squashfs dispatch.
+# doc_id % 5 cycles the COMPRESSOR: gzip, xz (the real firmware
+# default), lz4 (raw block format — from-scratch decoder vs pyarrow's
+# canonical encoder), zstd (canonical pyarrow codec, bounded read),
+# legacy lzma (ALONE streams).  The oracle stays container-agnostic
+# (same member rows as q_iso / q_7z).
 
 def _q_squashfs(spark, sf_dir):
     import pandas as pd
@@ -10600,6 +10603,8 @@ def _q_squashfs(spark, sf_dir):
         F.coalesce("text", F.lit("")).alias("t"),
     )
 
+    comps = ["gzip", "xz", "lz4", "zstd", "lzma"]
+
     def build(it):
         for b in it:
             payloads = []
@@ -10608,6 +10613,7 @@ def _q_squashfs(spark, sf_dir):
                 payloads.append(build_squashfs(
                     [("a.txt", data), ("sub/b.txt", b"copy:" + data)],
                     use_fragments=bool(int(mid) % 2),
+                    compressor=comps[int(mid) % 5],
                 ))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}
@@ -10633,9 +10639,10 @@ _add(
     "SELECT doc_id, 'sub/b.txt', "
     "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
     "ORDER BY media_id NULLS FIRST, path",
-    "squashfs fan-out: real 4.0 images (gzip data blocks, shared tail "
-    "fragments on odd docs, metadata-block tables) explode to the "
-    "same member rows; oracle is container-agnostic",
+    "squashfs fan-out: real 4.0 images (gzip/xz/lz4/zstd/lzma data "
+    "blocks by doc_id % 5, shared tail fragments on odd docs, "
+    "metadata-block tables) explode to the same member rows; oracle "
+    "is container-agnostic",
 )
 
 

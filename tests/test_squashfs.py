@@ -58,9 +58,19 @@ def test_member_cap_skips_not_fails():
 
 def test_typed_boundaries():
     img = bytearray(build_squashfs(FILES))
-    # unknown compressor (zstd = 6) is typed with the id named
-    struct.pack_into("<H", img, 20, 6)
-    with pytest.raises(SquashfsError, match="compressor"):
+    # lzo (3) has no available codec: typed with the id named
+    struct.pack_into("<H", img, 20, 3)
+    with pytest.raises(SquashfsError, match="compressor id 3"):
+        list(squashfs_members(bytes(img)))
+    # unknown id likewise
+    img = bytearray(build_squashfs(FILES))
+    struct.pack_into("<H", img, 20, 9)
+    with pytest.raises(SquashfsError, match="compressor id 9"):
+        list(squashfs_members(bytes(img)))
+    # compressor id that MISMATCHES the block encoding: corrupt, typed
+    img = bytearray(build_squashfs(FILES, compressor="gzip"))
+    struct.pack_into("<H", img, 20, 6)          # claim zstd, blocks zlib
+    with pytest.raises(SquashfsError):
         list(squashfs_members(bytes(img)))
     # wrong version typed
     img = bytearray(build_squashfs(FILES))
@@ -156,6 +166,81 @@ def test_property_roundtrip_random_file_sets():
         assert got == sorted((n, len(d), d) for n, d in files)
 
     check()
+
+
+def test_all_compressors_roundtrip():
+    """xz (the real firmware default), legacy lzma (ALONE streams),
+    lz4 (raw block format, from-scratch decoder), and zstd (canonical
+    pyarrow codec behind a bounded read) all round-trip through the
+    writer, both fragment modes."""
+    want = sorted((n, len(d), d) for n, d in FILES)
+    for comp in ("xz", "lzma", "lz4", "zstd"):
+        for frags in (True, False):
+            img = build_squashfs(FILES, use_fragments=frags,
+                                 compressor=comp)
+            assert sorted(squashfs_members(img)) == want, (comp, frags)
+            # superblock records the right id
+            (comp_id,) = struct.unpack_from("<H", img, 20)
+            assert comp_id == {"xz": 4, "lzma": 2, "lz4": 5,
+                               "zstd": 6}[comp]
+
+
+def test_lz4_block_decoder_cross_checked_against_pyarrow():
+    """The from-scratch LZ4 block decoder vs the canonical encoder
+    (pyarrow lz4_raw = the real C lz4), over payloads that exercise
+    long literal runs, 255-extended lengths, and overlap copies."""
+    import os
+    import random
+
+    import pyarrow as pa
+
+    from evm_archive_spark.operators.squashfs import lz4_block_decompress
+
+    codec = pa.Codec("lz4_raw")
+    rng = random.Random(11)
+    for _ in range(150):
+        parts = []
+        n = rng.randrange(0, 6000)
+        while sum(map(len, parts)) < n:
+            if rng.random() < 0.6:   # repetitive => matches / overlaps
+                parts.append(bytes([rng.randrange(4)])
+                             * rng.randrange(1, 300))
+            else:
+                parts.append(os.urandom(rng.randrange(1, 60)))
+        data = b"".join(parts)[:n]
+        enc = codec.compress(data, asbytes=True)
+        assert lz4_block_decompress(enc, len(data)) == data
+    # output cap is a typed error, not an allocation
+    big = codec.compress(b"\x00" * 100000, asbytes=True)
+    with pytest.raises(SquashfsError, match="cap"):
+        lz4_block_decompress(big, 1000)
+    # corrupt offsets/lengths are typed
+    with pytest.raises(SquashfsError):
+        lz4_block_decompress(b"\x0fABC", 100)         # literals overrun
+    with pytest.raises(SquashfsError):
+        lz4_block_decompress(b"\x14AAAA\x00\x00", 100)  # offset 0
+
+
+def test_lzma_dict_declaration_is_memlimited():
+    """A crafted LZMA_ALONE header declaring a 4 GiB dictionary must
+    be a typed error, not a multi-GiB upfront allocation (the 7z
+    dict_size lesson applied to squashfs' lzma/xz arms)."""
+    import tracemalloc
+
+    img = bytearray(build_squashfs([("a.txt", b"payload " * 40)],
+                                   compressor="lzma"))
+    # find the first compressed metadata block and rewrite its ALONE
+    # header's dict_size field to u32-max (inode table start at 64)
+    (inode_start,) = struct.unpack_from("<q", img, 64)
+    (hdr,) = struct.unpack_from("<H", img, inode_start)
+    assert not hdr & 0x8000, "fixture inode table should be compressed"
+    struct.pack_into("<I", img, inode_start + 2 + 1, 0xFFFFFFFF)
+    tracemalloc.start()
+    with pytest.raises(SquashfsError):
+        list(squashfs_members(bytes(img)))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 80 * 1024 * 1024
 
 
 def test_many_fragment_blocks_and_crafted_bombs():
