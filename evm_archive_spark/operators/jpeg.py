@@ -17,9 +17,14 @@ Supported processes:
   selection), and AC refinement scans (correction bits per T.81
   G.1.2.3), interleaved DC scans and non-interleaved AC scans, with
   restart intervals resetting predictors and EOB runs per scan.
+- **arithmetic-coded sequential and progressive** (SOF9 / SOF10 +
+  DAC conditioning): the QM-coder entropy layer lives in
+  ``jpegarith.py`` (from-scratch T.81 Annex D/F/G, pinned both
+  directions against the system libjpeg); everything after the
+  coefficients is shared with the Huffman paths.
 
 Out of scope (clear errors, no silent wrong pixels): extended
-sequential/lossless/hierarchical/arithmetic processes, 12-bit
+sequential (Huffman), lossless/hierarchical processes, 12-bit
 precision, and component counts other than 1 (grayscale) and 3 (YCbCr).
 
 Reference parity note: the reference repo stores media as opaque bytea
@@ -51,6 +56,9 @@ DRI = 0xDD
 DHT = 0xC4
 SOF_BASELINE = 0xC0
 SOF_PROGRESSIVE = 0xC2
+SOF_ARITH_SEQ = 0xC9       # sequential, arithmetic entropy coding
+SOF_ARITH_PROG = 0xCA      # progressive, arithmetic entropy coding
+DAC = 0xCC                 # arithmetic conditioning (L/U, Kx)
 # SOFn markers for processes this decoder deliberately rejects
 _SOF_UNSUPPORTED = {
     0xC1: "extended sequential",
@@ -58,8 +66,6 @@ _SOF_UNSUPPORTED = {
     0xC5: "differential sequential",
     0xC6: "differential progressive",
     0xC7: "differential lossless",
-    0xC9: "extended sequential (arithmetic)",
-    0xCA: "progressive (arithmetic)",
     0xCB: "lossless (arithmetic)",
     0xCD: "differential sequential (arithmetic)",
     0xCE: "differential progressive (arithmetic)",
@@ -188,12 +194,13 @@ class _Component:
 
 class _Frame:
     __slots__ = ("height", "width", "comps", "hmax", "vmax", "mcux",
-                 "mcuy", "progressive")
+                 "mcuy", "progressive", "arith")
 
-    def __init__(self, height, width, comps, progressive):
+    def __init__(self, height, width, comps, progressive, arith=False):
         self.height, self.width = height, width
         self.comps = comps
         self.progressive = progressive
+        self.arith = arith
         self.hmax = max(c.h for c in comps)
         self.vmax = max(c.v for c in comps)
         if not (1 <= self.hmax <= 4 and 1 <= self.vmax <= 4):
@@ -220,6 +227,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}   # DAC: table -> (L, U)
+    ac_cond: dict[int, int] = {}               # DAC: table -> Kx
     restart_interval = 0
     frame: _Frame | None = None
     saw_scan = False
@@ -276,7 +285,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 j += 17 + nv
                 tbl = _HuffTable(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = tbl
-        elif marker in (SOF_BASELINE, SOF_PROGRESSIVE):
+        elif marker in (SOF_BASELINE, SOF_PROGRESSIVE,
+                        SOF_ARITH_SEQ, SOF_ARITH_PROG):
             if frame is not None:
                 raise JpegError("multiple SOF markers")
             prec = seg[0]
@@ -300,13 +310,32 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if height == 0 or width == 0:
                 raise JpegError("zero image dimension (DNL unsupported)")
             frame = _Frame(
-                height, width, comps, marker == SOF_PROGRESSIVE
+                height, width, comps,
+                marker in (SOF_PROGRESSIVE, SOF_ARITH_PROG),
+                marker in (SOF_ARITH_SEQ, SOF_ARITH_PROG),
             )
         elif marker in _SOF_UNSUPPORTED:
             raise JpegError(
                 f"unsupported JPEG process: {_SOF_UNSUPPORTED[marker]} "
-                "(baseline sequential and progressive only)"
+                "(sequential and progressive, Huffman or arithmetic)"
             )
+        elif marker == DAC:
+            # T.81 B.2.4.3: (Tc/Tb, value) pairs — DC: L = low nibble,
+            # U = high nibble; AC: Kx
+            j = 0
+            while j + 2 <= len(seg):
+                tc, tb = seg[j] >> 4, seg[j] & 0x0F
+                v = seg[j + 1]
+                j += 2
+                if tc == 0:
+                    lo, up = v & 0x0F, v >> 4
+                    if lo > up or up > 15:
+                        raise JpegError("DAC: bad DC conditioning")
+                    dc_cond[tb] = (lo, up)
+                else:
+                    if not 1 <= v <= 63:
+                        raise JpegError("DAC: bad AC conditioning")
+                    ac_cond[tb] = v
         elif marker == DRI:
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == SOS:
@@ -333,10 +362,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 ss, se, ah, al = 0, 63, 0, 0
             saw_scan = True
-            i = _decode_scan(
-                data, i + seg_len, frame, scan_comps, ss, se, ah, al,
-                huff_dc, huff_ac, restart_interval,
-            )
+            if frame.arith:
+                from .jpegarith import JpegArithError, decode_scan_arith
+
+                try:
+                    i = decode_scan_arith(
+                        data, i + seg_len, frame, scan_comps, ss, se,
+                        ah, al, dc_cond, ac_cond, restart_interval,
+                    )
+                except JpegArithError as e:
+                    raise JpegError(str(e)) from e
+            else:
+                i = _decode_scan(
+                    data, i + seg_len, frame, scan_comps, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval,
+                )
             continue
         # APPn / COM / anything else: skip
         i += seg_len

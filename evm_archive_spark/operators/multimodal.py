@@ -226,7 +226,7 @@ def _luma_grid_of(b: bytes, strict: bool) -> "object":
             if strict:
                 raise
             # strict=False never fails the job: corrupt or
-            # out-of-scope images (arithmetic JPEG, exotic
+            # out-of-scope images (lossy-WebP payloads, exotic
             # container variants) take the fake
             return fake_grid(b)
         h, w = rgba.shape[:2]

@@ -10711,6 +10711,69 @@ _add(
 )
 
 
+# [pair] ARITHMETIC-coded JPEG decode (operators/jpegarith.py,
+# round-9: the T.81 QM-coder from scratch — Table D.3 estimator,
+# conditional MPS/LPS exchange, byte stuffing/carry, DC conditioning
+# categories, AC EOB/significance/magnitude bins — pinned both
+# directions against the system libjpeg in pytest).  Each doc gets a
+# REAL SOF9 file from the module's own arithmetic ENCODER: a 16x16
+# two-tone image (2x upscale of an 8x8 bit pattern, unit quant table;
+# doc parity cycles grayscale vs YCbCr 4:4:4 interleaved).  The
+# strict aHash samples pixel (2i, 2j) — exactly the pattern cell — so
+# bit k = (doc_id*29 + k*13) % 7 < 3 replays analytically in SQL.
+# Coefficient rounding is bounded far below the 224-level two-tone
+# gap, so any ENTROPY mistake flips hash bits.
+
+def _q_jpeg_arith(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def build(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpegarith import encode_jpeg_arith
+
+        up = np.ones((2, 2), dtype=np.uint8)
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                ks = np.arange(64)
+                bits = ((did * 29 + ks * 13) % 7) < 3
+                v = np.where(bits, 240, 16).astype(np.uint8)
+                img = np.kron(v.reshape(8, 8), up)
+                if did % 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                payloads.append(encode_jpeg_arith(img))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_ahash(media, strict=True).orderBy("media_id")
+
+
+_add(
+    "q_jpeg_arith",
+    _q_jpeg_arith,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 29 + ks.k * 13) % 7 < 3 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS ahash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL arithmetic-JPEG (SOF9 QM-coder) decode of own-encoder "
+    "fixtures (gray/color by doc parity) -> strict aHash over decoded "
+    "pixels == the analytic bit-pattern replay",
+)
+
+
 # [pair] composed image-corpus admission (multimodal.
 # prepare_image_corpus): metadata dims floor -> EXIF scrub -> banded
 # dedup in ONE call, replayed end-to-end — the dims filter runs over
@@ -11615,7 +11678,8 @@ _ROUND9_STAGED: list[str] = [
     "q_webp",       # NEW: real VP8L pixel decode, analytic aHash oracle
     "q_iso",        # odd docs now Rock Ridge (SUSP NM long names)
     "q_tgz",        # wrap cycle grew .tar.lz (lzip container walk)
-    "q_squashfs",   # NEW: SquashFS 4.0 image fan-out
+    "q_squashfs",   # NEW: SquashFS 4.0 image fan-out (now 5 compressors)
+    "q_jpeg_arith",  # NEW: T.81 QM-coder arithmetic JPEG decode
 ]
 _ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
 

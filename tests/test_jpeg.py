@@ -702,11 +702,13 @@ def test_rejections():
     good = bytearray(encode_jpeg(img))
     with pytest.raises(JpegError, match="signature"):
         decode_jpeg(b"not a jpeg")
-    # flip SOF0 -> SOF9 (arithmetic-coded extended sequential)
+    # flip SOF0 -> SOF11 (lossless arithmetic — still out of scope;
+    # SOF9/SOF10 arithmetic DCT processes decode for real since
+    # jpegarith.py)
     i = good.index(b"\xff\xc0")
-    arith = good[:i] + b"\xff\xc9" + good[i + 2 :]
+    lossless = good[:i] + b"\xff\xcb" + good[i + 2 :]
     with pytest.raises(JpegError, match="arithmetic"):
-        decode_jpeg(bytes(arith))
+        decode_jpeg(bytes(lossless))
     with pytest.raises(JpegError, match="truncated|ran off|ended early"):
         decode_jpeg(bytes(good[:40]))
     # corrupt the sample precision byte (SOF payload starts after len)
