@@ -179,11 +179,65 @@ def _dechunk(body: bytes) -> bytes:
         i = start + size + 2  # skip trailing CRLF
 
 
+# decoded-body cap per response (the decompress_payload bomb rule)
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+_CE_KNOWN = {"gzip", "x-gzip", "deflate", "br", "identity"}
+
+
+def _decode_content_encoding(encoding: str, body: bytes,
+                             max_out: int) -> bytes:
+    """Apply HTTP Content-Encoding (RFC 9110 §8.4.1): gzip/x-gzip,
+    deflate (servers send BOTH zlib-wrapped and raw-deflate bodies —
+    try wrapped, fall back to raw), and br (brotli — no stdlib
+    implementation exists, so the CANONICAL pyarrow codec behind a
+    bounded streaming read, the archive.py zstd/lz4 rule).  Stacked
+    encodings decode last-listed-first.  If ANY token is unknown the
+    body passes through untouched (a crawler records what it got; the
+    profile pass flags it) — partial decoding from the wrong end would
+    corrupt.  Corrupt streams and cap breaches raise WarcError."""
+    tokens = [t.strip().lower() for t in encoding.split(",") if t.strip()]
+    if not tokens or any(t not in _CE_KNOWN for t in tokens):
+        return body
+
+    def inflate(data: bytes, wbits: int) -> bytes:
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(data, max_out + 1)
+        except zlib.error as e:
+            raise WarcError(f"corrupt deflate/gzip body: {e!r}") from e
+        return out
+
+    for token in reversed(tokens):
+        if token == "identity":
+            continue
+        if token in ("gzip", "x-gzip"):
+            body = inflate(body, 31)
+        elif token == "deflate":
+            try:
+                body = inflate(body, 15)
+            except WarcError:
+                body = inflate(body, -15)      # raw-deflate servers
+        else:                                  # br
+            import pyarrow as pa
+
+            try:
+                st = pa.input_stream(pa.BufferReader(body),
+                                     compression="brotli")
+                body = bytes(st.read(max_out + 1))
+            except (OSError, ValueError) as e:
+                raise WarcError(f"corrupt brotli body: {e!r}") from e
+        if len(body) > max_out:
+            raise WarcError(f"decoded body exceeds {max_out} bytes")
+    return body
+
+
 @guard(WarcError)
 def http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
     """Parse a response record's HTTP block:
     ``(status, lowercase headers, body)`` with chunked transfer
-    decoding applied."""
+    decoding and Content-Encoding (gzip / deflate / br) applied —
+    raw crawls store bodies exactly as the server sent them."""
     hdr_end = block.find(b"\r\n\r\n")
     if hdr_end < 0:
         raise WarcError("truncated HTTP headers")
@@ -197,6 +251,9 @@ def http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
     body = block[hdr_end + 4 :]
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
+    enc = headers.get("content-encoding", "")
+    if enc and body:
+        body = _decode_content_encoding(enc, body, MAX_BODY_BYTES)
     return status, headers, body
 
 

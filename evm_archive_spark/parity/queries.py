@@ -6808,11 +6808,13 @@ _add(
 # container walk (operators/warc.py, ISO 28500) driven through Spark.
 # The gate wraps every documents row as an HTML page inside real WARC
 # response records (4 segments, alternating plain / per-record-gzip,
-# with warcinfo+request noise records interleaved), fans them out via
+# with warcinfo+request noise records interleaved; doc_id % 4 cycles
+# the HTTP body's Content-Encoding — identity / gzip / deflate / br,
+# the brotli residue also chunked), fans them out via
 # weburl.warc_to_pages, and strips HTML — the oracle re-derives the
 # same pages from the documents table and replays html_to_text, so
-# record framing, gzip members, HTTP parsing, charset decode, and the
-# URL<->doc mapping are all value-hashed.  The driver-side WARC
+# record framing, gzip members, HTTP parsing, content decoding,
+# charset decode, and the URL<->doc mapping are all value-hashed.  The driver-side WARC
 # synthesis collects corpus rows ONLY to build the binary fixture
 # (bounded by the gate SF) — it is fixture construction, not an
 # operator data path; the independent writer lives in test_warc.py.
@@ -6838,6 +6840,8 @@ def _warc_fixture_segments(rows, n_segments: int = 4):
         )
         return head.encode() + block + b"\r\n\r\n"
 
+    import zlib as _zlib
+
     segs: dict[int, list[bytes]] = {}
     for doc_id, text in rows:
         w = doc_id % n_segments
@@ -6849,9 +6853,30 @@ def _warc_fixture_segments(rows, n_segments: int = 4):
             + _warc_escape(text or "")
             + "</p></body></html>"
         ).encode("utf-8")
+        # Content-Encoding cycle (round 9): raw crawls store bodies as
+        # the server sent them — identity / gzip / deflate / brotli,
+        # the brotli residue ALSO chunked so transfer- and
+        # content-decoding compose (RFC 9112 order: dechunk first)
+        ce = doc_id % 4
+        extra = b""
+        if ce == 1:
+            body = _gzip.compress(body)
+            extra = b"Content-Encoding: gzip\r\n"
+        elif ce == 2:
+            body = _zlib.compress(body)
+            extra = b"Content-Encoding: deflate\r\n"
+        elif ce == 3:
+            import pyarrow as _pa
+
+            body = _pa.Codec("brotli").compress(body, asbytes=True)
+            body = (f"{len(body):x}\r\n".encode() + body
+                    + b"\r\n0\r\n\r\n")
+            extra = (b"Content-Encoding: br\r\n"
+                     b"Transfer-Encoding: chunked\r\n")
         http = (
             b"HTTP/1.1 200 OK\r\n"
             b"Content-Type: text/html; charset=utf-8\r\n"
+            + extra
             + f"Content-Length: {len(body)}\r\n\r\n".encode()
             + body
         )
@@ -6921,7 +6946,8 @@ _add(
     _q_warc_extract,
     _warc_extract_oracle(),
     "WARC ingest: ISO 28500 record walk + gzip members + HTTP parse + "
-    "HTML strip == documents-table replay (Common Crawl entry point)",
+    "Content-Encoding decode (gzip/deflate/br by doc_id % 4, br also "
+    "chunked) + HTML strip == documents-table replay",
 )
 
 
@@ -11680,6 +11706,7 @@ _ROUND9_STAGED: list[str] = [
     "q_tgz",        # wrap cycle grew .tar.lz (lzip container walk)
     "q_squashfs",   # NEW: SquashFS 4.0 image fan-out (now 5 compressors)
     "q_jpeg_arith",  # NEW: T.81 QM-coder arithmetic JPEG decode
+    "q_warc_extract",  # fixture grew the Content-Encoding cycle (br!)
 ]
 _ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
 

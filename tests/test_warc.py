@@ -332,3 +332,112 @@ def _pooled_warc_digest_dedup_before_parse(spark):
         (0, 4, "http://a/y"),
         (1, 4, "http://b/w"),
     ]
+
+
+# --------------------------------------------------------------------------
+# Content-Encoding (round 9): gzip / deflate (both framings) / brotli
+# --------------------------------------------------------------------------
+
+
+def _http_block(body: bytes, extra: bytes = b"") -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + extra
+            + b"\r\n" + body)
+
+
+def test_content_encoding_gzip_deflate_brotli():
+    import gzip
+    import zlib
+
+    import pyarrow as pa
+
+    from evm_archive_spark.operators.warc import http_response
+
+    raw = b"<html>encoded body</html>" * 20
+    cases = [
+        (gzip.compress(raw), b"Content-Encoding: gzip\r\n"),
+        (gzip.compress(raw), b"Content-Encoding: x-gzip\r\n"),
+        (zlib.compress(raw), b"Content-Encoding: deflate\r\n"),
+        # raw-deflate servers (no zlib wrapper) are common in the wild
+        ((lambda c: c.compress(raw) + c.flush())(
+            zlib.compressobj(wbits=-15)),
+         b"Content-Encoding: deflate\r\n"),
+        (pa.Codec("brotli").compress(raw, asbytes=True),
+         b"Content-Encoding: br\r\n"),
+        (raw, b"Content-Encoding: identity\r\n"),
+        (raw, b""),
+    ]
+    for enc_body, hdr in cases:
+        status, headers, body = http_response(_http_block(enc_body, hdr))
+        assert (status, body) == (200, raw), hdr
+
+
+def test_content_encoding_raw_deflate_fallback():
+    import zlib
+
+    from evm_archive_spark.operators.warc import http_response
+
+    raw = b"raw deflate no wrapper" * 9
+    c = zlib.compressobj(wbits=-15)
+    enc = c.compress(raw) + c.flush()
+    _, _, body = http_response(
+        _http_block(enc, b"Content-Encoding: deflate\r\n"))
+    assert body == raw
+
+
+def test_content_encoding_stacked_and_chunked():
+    """Stacked encodings decode last-first; chunked transfer decoding
+    happens BEFORE content decoding (RFC 9112 ordering)."""
+    import gzip
+
+    import pyarrow as pa
+
+    from evm_archive_spark.operators.warc import http_response
+
+    raw = b"stacked" * 30
+    double = pa.Codec("brotli").compress(gzip.compress(raw), asbytes=True)
+    _, _, body = http_response(_http_block(
+        double, b"Content-Encoding: gzip, br\r\n"))
+    assert body == raw
+    # chunked + br
+    br = pa.Codec("brotli").compress(raw, asbytes=True)
+    chunked = f"{len(br):x}\r\n".encode() + br + b"\r\n0\r\n\r\n"
+    _, _, body = http_response(_http_block(
+        chunked,
+        b"Content-Encoding: br\r\nTransfer-Encoding: chunked\r\n"))
+    assert body == raw
+
+
+def test_content_encoding_unknown_passes_through_corrupt_is_typed():
+    import pytest as _pytest
+
+    from evm_archive_spark.operators.warc import WarcError, http_response
+
+    blob = b"\x01\x02opaque"
+    _, _, body = http_response(
+        _http_block(blob, b"Content-Encoding: zstd\r\n"))
+    assert body == blob                     # unknown token: untouched
+    # ANY unknown token in a stack disables decoding entirely
+    _, _, body = http_response(
+        _http_block(blob, b"Content-Encoding: gzip, zstd\r\n"))
+    assert body == blob
+    with _pytest.raises(WarcError, match="corrupt"):
+        http_response(_http_block(b"\x1f\x8b garbage",
+                                  b"Content-Encoding: gzip\r\n"))
+
+
+def test_content_encoding_bomb_capped():
+    import zlib
+
+    import pytest as _pytest
+
+    from evm_archive_spark.operators import warc as W
+
+    bomb = zlib.compress(b"\x00" * 300000)
+    block = _http_block(bomb, b"Content-Encoding: deflate\r\n")
+    old = W.MAX_BODY_BYTES
+    try:
+        W.MAX_BODY_BYTES = 65536
+        with _pytest.raises(W.WarcError, match="exceeds"):
+            W.http_response(block)
+    finally:
+        W.MAX_BODY_BYTES = old
