@@ -259,3 +259,119 @@ def _pooled_gif_through_spark_operators(spark):
         mdf([good_prefix := gif_payload[:25]]), strict=False
     ).collect()
     assert len(rows) == 1
+
+
+# --------------------------------------------------------------------------
+# Cross-check against the SYSTEM giflib (round 9): the libwebp/libpng
+# pin pattern — giflib must accept the independent writer's files and
+# produce the same indices/palette our decoder maps to pixels.
+# --------------------------------------------------------------------------
+
+
+def _giflib():
+    import ctypes
+
+    try:
+        return ctypes.CDLL("libgif.so.7")
+    except OSError:
+        return None
+
+
+def _giflib_decode(lib, data: bytes):
+    """(width, height, palette list, raster index bytes) of frame 0
+    via DGifOpen + DGifSlurp (giflib 5 ABI)."""
+    import ctypes as C
+
+    class ColorMapObject(C.Structure):
+        _fields_ = [("ColorCount", C.c_int), ("BitsPerPixel", C.c_int),
+                    ("SortFlag", C.c_bool),
+                    ("Colors", C.POINTER(C.c_ubyte))]
+
+    class GifImageDesc(C.Structure):
+        _fields_ = [("Left", C.c_int), ("Top", C.c_int),
+                    ("Width", C.c_int), ("Height", C.c_int),
+                    ("Interlace", C.c_bool),
+                    ("ColorMap", C.POINTER(ColorMapObject))]
+
+    class ExtensionBlock(C.Structure):
+        _fields_ = [("ByteCount", C.c_int),
+                    ("Bytes", C.POINTER(C.c_ubyte)),
+                    ("Function", C.c_int)]
+
+    class SavedImage(C.Structure):
+        _fields_ = [("ImageDesc", GifImageDesc),
+                    ("RasterBits", C.POINTER(C.c_ubyte)),
+                    ("ExtensionBlockCount", C.c_int),
+                    ("ExtensionBlocks", C.POINTER(ExtensionBlock))]
+
+    class GifFileType(C.Structure):
+        _fields_ = [("SWidth", C.c_int), ("SHeight", C.c_int),
+                    ("SColorResolution", C.c_int),
+                    ("SBackGroundColor", C.c_int),
+                    ("AspectByte", C.c_ubyte),
+                    ("SColorMap", C.POINTER(ColorMapObject)),
+                    ("ImageCount", C.c_int),
+                    ("Image", GifImageDesc),
+                    ("SavedImages", C.POINTER(SavedImage)),
+                    ("ExtensionBlockCount", C.c_int),
+                    ("ExtensionBlocks", C.POINTER(ExtensionBlock)),
+                    ("Error", C.c_int),
+                    ("UserData", C.c_void_p),
+                    ("Private", C.c_void_p)]
+
+    READF = C.CFUNCTYPE(C.c_int, C.c_void_p, C.POINTER(C.c_ubyte),
+                        C.c_int)
+    pos = [0]
+
+    def _read(_gif, out, n):
+        chunk = data[pos[0]: pos[0] + n]
+        C.memmove(out, chunk, len(chunk))
+        pos[0] += len(chunk)
+        return len(chunk)
+
+    readf = READF(_read)
+    lib.DGifOpen.restype = C.POINTER(GifFileType)
+    lib.DGifOpen.argtypes = [C.c_void_p, READF, C.POINTER(C.c_int)]
+    err = C.c_int(0)
+    gif = lib.DGifOpen(None, readf, C.byref(err))
+    assert gif, f"DGifOpen failed: {err.value}"
+    try:
+        assert lib.DGifSlurp(gif) == 1, gif.contents.Error
+        g = gif.contents
+        assert g.ImageCount >= 1
+        frame = g.SavedImages[0]
+        d = frame.ImageDesc
+        cmap = d.ColorMap if d.ColorMap else g.SColorMap
+        n = cmap.contents.ColorCount
+        cols = bytes(C.cast(
+            cmap.contents.Colors, C.POINTER(C.c_ubyte * (3 * n))
+        ).contents)
+        palette = [tuple(cols[3 * i: 3 * i + 3]) for i in range(n)]
+        raster = bytes(C.cast(
+            frame.RasterBits,
+            C.POINTER(C.c_ubyte * (d.Width * d.Height))).contents)
+        return d.Width, d.Height, palette, raster
+    finally:
+        lib.DGifCloseFile(gif, None)
+
+
+@pytest.mark.skipif(_giflib() is None, reason="no system giflib")
+def test_cross_checked_against_system_giflib():
+    """giflib decodes the independent writer's files to the exact
+    index raster and palette; our decode_gif must map those to the
+    same RGBA pixels."""
+    lib = _giflib()
+    rng = np.random.default_rng(53)
+    for npal, (h, w) in [(4, (9, 13)), (16, (23, 31)), (128, (16, 16))]:
+        pal = _palette(npal, seed=npal)
+        idx = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+        data = encode_gif((w, h), pal, [{"idx": idx}])
+        gw, gh, gpal, raster = _giflib_decode(lib, data)
+        assert (gw, gh) == (w, h)
+        assert gpal[:npal] == pal
+        assert np.array_equal(
+            np.frombuffer(raster, dtype=np.uint8).reshape(h, w), idx)
+        ours = decode_gif(data)
+        want = np.array([list(pal[i]) + [255] for i in idx.flatten()],
+                        dtype=np.uint8).reshape(h, w, 4)
+        assert np.array_equal(ours, want)

@@ -755,3 +755,103 @@ def _pooled_stream_image_admission_equals_sequential_replay(spark, tmp_path):
     # the index holds exactly the survivors' band rows
     # (max_hamming + 1 = 7 bands per image)
     assert spark.read.parquet(f"{state}/index").count() == 3 * 7
+
+
+# --------------------------------------------------------------------------
+# Cross-check against the SYSTEM libpng (round 9): the same
+# both-directions pin the VP8L codec has against libwebp, through
+# libpng's simplified API (png_image — a flat struct, stable ABI).
+# --------------------------------------------------------------------------
+
+
+def _libpng():
+    import ctypes
+
+    try:
+        return ctypes.CDLL("libpng16.so.16")
+    except OSError:
+        return None
+
+
+def _png_image_struct():
+    import ctypes
+
+    class PngImage(ctypes.Structure):
+        # field ORDER per the system png.h: opaque precedes version
+        _fields_ = [
+            ("opaque", ctypes.c_void_p),
+            ("version", ctypes.c_uint32),
+            ("width", ctypes.c_uint32),
+            ("height", ctypes.c_uint32),
+            ("format", ctypes.c_uint32),
+            ("flags", ctypes.c_uint32),
+            ("colormap_entries", ctypes.c_uint32),
+            ("warning_or_error", ctypes.c_uint32),
+            ("message", ctypes.c_char * 64),
+        ]
+
+    return PngImage
+
+
+def _libpng_decode_rgba(lib, payload: bytes):
+    import ctypes
+
+    PngImage = _png_image_struct()
+    img = PngImage()
+    img.version = 1                                 # PNG_IMAGE_VERSION
+    if not lib.png_image_begin_read_from_memory(
+            ctypes.byref(img), payload, ctypes.c_size_t(len(payload))):
+        raise AssertionError(img.message)
+    img.format = 3                                  # PNG_FORMAT_RGBA
+    stride = img.width * 4
+    buf = (ctypes.c_ubyte * (stride * img.height))()
+    if not lib.png_image_finish_read(ctypes.byref(img), None, buf,
+                                     ctypes.c_int32(stride), None):
+        raise AssertionError(img.message)
+    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+        img.height, img.width, 4)
+
+
+def _libpng_encode_rgba(lib, rgba) -> bytes:
+    import ctypes
+
+    PngImage = _png_image_struct()
+    h, w = rgba.shape[:2]
+    img = PngImage()
+    img.version = 1
+    img.width, img.height = w, h
+    img.format = 3
+    raw = np.ascontiguousarray(rgba).tobytes()
+    size = ctypes.c_size_t(0)
+    lib.png_image_write_to_memory(
+        ctypes.byref(img), None, ctypes.byref(size),
+        ctypes.c_int(0), raw, ctypes.c_int32(w * 4), None)
+    assert size.value > 0, bytes(img.message)
+    mem = ctypes.create_string_buffer(size.value)
+    ok = lib.png_image_write_to_memory(
+        ctypes.byref(img), mem, ctypes.byref(size),
+        ctypes.c_int(0), raw, ctypes.c_int32(w * 4), None)
+    assert ok, bytes(img.message)
+    return mem.raw[: size.value]
+
+
+@pytest.mark.skipif(_libpng() is None, reason="no system libpng")
+def test_cross_checked_against_libpng_both_directions():
+    """encode_png output decodes identically under libpng, and
+    libpng-written files (truecolor AND the palette form libpng picks
+    for low-color images) decode identically under decode_png."""
+    lib = _libpng()
+    rng = np.random.default_rng(47)
+    images = [
+        rng.integers(0, 256, (21, 17, 4), dtype=np.uint8),   # truecolor
+        rng.integers(0, 256, (64, 48, 4), dtype=np.uint8),
+        np.repeat(np.repeat(
+            rng.integers(0, 4, (8, 8), dtype=np.uint8) * 80, 4, 0
+        ), 4, 1)[:, :, None].repeat(4, axis=2),              # low-color
+    ]
+    images[2][:, :, 3] = 255
+    for i, rgba in enumerate(images):
+        ours = encode_png(rgba)
+        assert np.array_equal(_libpng_decode_rgba(lib, ours), rgba), i
+        theirs = _libpng_encode_rgba(lib, rgba)
+        assert np.array_equal(decode_png(theirs), rgba), i
