@@ -11,6 +11,9 @@ conversion.
 Supported processes:
 
 - **baseline sequential** (SOF0): single interleaved scan.
+- **extended sequential, Huffman** (SOF1): at 8-bit precision a
+  strict superset of baseline (more entropy tables permitted) —
+  decoded by the baseline scan path.
 - **progressive** (SOF2): multi-scan accumulation — DC first +
   refinement scans (successive approximation on coefficient 0), AC
   first scans with EOB-run coding over any spectral band (spectral
@@ -23,9 +26,9 @@ Supported processes:
   directions against the system libjpeg); everything after the
   coefficients is shared with the Huffman paths.
 
-Out of scope (clear errors, no silent wrong pixels): extended
-sequential (Huffman), lossless/hierarchical processes, 12-bit
-precision, and component counts other than 1 (grayscale) and 3 (YCbCr).
+Out of scope (clear errors, no silent wrong pixels): lossless and
+hierarchical processes, 12-bit precision, and component counts other
+than 1 (grayscale) and 3 (YCbCr).
 
 Reference parity note: the reference repo stores media as opaque bytea
 and delegates decoding to consumers; this codec backs the Spark-side
@@ -55,13 +58,15 @@ DQT = 0xDB
 DRI = 0xDD
 DHT = 0xC4
 SOF_BASELINE = 0xC0
+SOF_EXTENDED = 0xC1        # extended sequential, Huffman — for 8-bit
+#                            precision a strict superset of baseline
+#                            (more tables allowed), same scan decode
 SOF_PROGRESSIVE = 0xC2
 SOF_ARITH_SEQ = 0xC9       # sequential, arithmetic entropy coding
 SOF_ARITH_PROG = 0xCA      # progressive, arithmetic entropy coding
 DAC = 0xCC                 # arithmetic conditioning (L/U, Kx)
 # SOFn markers for processes this decoder deliberately rejects
 _SOF_UNSUPPORTED = {
-    0xC1: "extended sequential",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -285,7 +290,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 j += 17 + nv
                 tbl = _HuffTable(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = tbl
-        elif marker in (SOF_BASELINE, SOF_PROGRESSIVE,
+        elif marker in (SOF_BASELINE, SOF_EXTENDED, SOF_PROGRESSIVE,
                         SOF_ARITH_SEQ, SOF_ARITH_PROG):
             if frame is not None:
                 raise JpegError("multiple SOF markers")

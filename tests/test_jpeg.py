@@ -1023,3 +1023,24 @@ def test_progressive_restart_sweep_random():
             encode_jpeg_progressive(img, sampling=sampling, restart_interval=ri)
         )
         assert (prog == base).all(), (h, w, sampling, ri)
+
+
+def test_extended_sequential_sof1_decodes_as_baseline():
+    """SOF1 (extended sequential, Huffman) at 8-bit precision is a
+    strict superset of baseline: retagging a baseline file's SOF
+    marker must decode to identical pixels, and libjpeg (when the
+    harness is available) must agree the retagged file is valid."""
+    img = _rgb(24, 16)
+    base = encode_jpeg(img)
+    i = base.index(b"\xff\xc0")
+    ext = base[:i] + b"\xff\xc1" + base[i + 2:]
+    assert np.array_equal(decode_jpeg(ext), decode_jpeg(base))
+    try:
+        from tests.test_jpegarith import _harness, _lib_dec
+    except ImportError:
+        from test_jpegarith import _harness, _lib_dec
+    h = _harness()
+    if h is not None:
+        ref = _lib_dec(h, ext)
+        ours = decode_jpeg(ext)[:, :, :3]
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
