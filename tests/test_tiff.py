@@ -324,3 +324,86 @@ def test_deflate_compression_both_tags():
         encode_tiff(img, compression=8, predictor=2)
     )
     assert np.array_equal(out[:, :, :3], img)
+
+
+# --------------------------------------------------------------------------
+# Cross-check against the SYSTEM libtiff (round 9): the libwebp/libpng/
+# giflib pin pattern, via TIFFClientOpen in-memory callbacks +
+# TIFFReadRGBAImageOriented (function-based API — no struct layouts).
+# --------------------------------------------------------------------------
+
+
+def _libtiff():
+    import ctypes
+
+    try:
+        return ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        return None
+
+
+def _libtiff_decode_rgba(lib, data: bytes):
+    import ctypes as C
+
+    lib.TIFFSetWarningHandler(None)
+
+    READ = C.CFUNCTYPE(C.c_ssize_t, C.c_void_p, C.c_void_p, C.c_ssize_t)
+    SEEK = C.CFUNCTYPE(C.c_uint64, C.c_void_p, C.c_uint64, C.c_int)
+    CLOSE = C.CFUNCTYPE(C.c_int, C.c_void_p)
+    SIZE = C.CFUNCTYPE(C.c_uint64, C.c_void_p)
+    pos = [0]
+
+    def _read(_h, buf, n):
+        chunk = data[pos[0]: pos[0] + n]
+        C.memmove(buf, chunk, len(chunk))
+        pos[0] += len(chunk)
+        return len(chunk)
+
+    def _seek(_h, off, whence):
+        pos[0] = {0: off, 1: pos[0] + off, 2: len(data) + off}[whence]
+        return pos[0]
+
+    cbs = (READ(_read), READ(lambda *_: 0), SEEK(_seek),
+           CLOSE(lambda _h: 0), SIZE(lambda _h: len(data)))
+    lib.TIFFClientOpen.restype = C.c_void_p
+    tif = lib.TIFFClientOpen(b"mem", b"r", None, *cbs,
+                             C.c_void_p(0), C.c_void_p(0))
+    assert tif, "TIFFClientOpen failed"
+    try:
+        w = C.c_uint32(0)
+        h = C.c_uint32(0)
+        assert lib.TIFFGetField(C.c_void_p(tif), C.c_uint32(256),
+                                C.byref(w))     # ImageWidth
+        assert lib.TIFFGetField(C.c_void_p(tif), C.c_uint32(257),
+                                C.byref(h))     # ImageLength
+        n = w.value * h.value
+        raster = (C.c_uint32 * n)()
+        ok = lib.TIFFReadRGBAImageOriented(
+            C.c_void_p(tif), w.value, h.value, raster,
+            C.c_int(1), C.c_int(1))             # ORIENTATION_TOPLEFT
+        assert ok, "TIFFReadRGBAImageOriented failed"
+        return np.frombuffer(bytes(raster), dtype=np.uint8).reshape(
+            h.value, w.value, 4)                # LE packed = R,G,B,A
+    finally:
+        lib.TIFFClose(C.c_void_p(tif))
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="no system libtiff")
+def test_cross_checked_against_system_libtiff():
+    """libtiff decodes the independent writer's files (raw, LZW,
+    Deflate, PackBits; horizontal predictor; gray and RGB; strips) to
+    the same RGBA pixels decode_tiff produces."""
+    lib = _libtiff()
+    rng = np.random.default_rng(59)
+    cases = []
+    rgb = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (16, 12), dtype=np.uint8)
+    for comp in (1, 5, 8, 32773):
+        cases.append(encode_tiff(rgb, compression=comp,
+                                 rows_per_strip=5))
+    cases.append(encode_tiff(rgb, compression=5, predictor=2))
+    cases.append(encode_tiff(gray, compression=8))
+    for i, payload in enumerate(cases):
+        ours = decode_tiff(payload)
+        theirs = _libtiff_decode_rgba(lib, payload)
+        assert np.array_equal(ours, theirs), i
