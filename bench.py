@@ -113,6 +113,11 @@ HEADLINE = [
     "q_html_table",
     # round-9: real VP8L pixel decode through the strict aHash lane
     "q_webp",
+    # round-9 second session: the T.81 QM-coder arithmetic-JPEG lane
+    # (pure-Python per-bit decode — the cost shape to watch) and the
+    # squashfs fan-out now cycling gzip/xz/lz4/zstd/lzma compressors
+    "q_jpeg_arith",
+    "q_squashfs",
 ]
 
 
