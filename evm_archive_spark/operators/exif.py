@@ -294,6 +294,14 @@ def image_metadata_of(b: bytes) -> dict | None:
         return _jpeg_meta(b)
     if is_webp(b):
         return _webp_meta(b, base)
+    from .heif import is_heif
+
+    if is_heif(b):
+        # HEIC (what iPhones shoot) / AVIF metadata face: ispe dims,
+        # irot orientation, Exif item through this module's IFD parser
+        from .heif import heif_metadata
+
+        return heif_metadata(b)
     if is_png(b):
         if len(b) < 24:
             raise ExifError("truncated PNG header")
@@ -408,8 +416,9 @@ def image_metadata(
                     if strict:
                         raise NotImplementedError(
                             "strict image metadata supports PNG, JPEG, "
-                            "GIF, BMP and TIFF headers; use "
-                            "strict=False for the deterministic fake"
+                            "GIF, BMP, TIFF, WebP and HEIF/AVIF "
+                            "headers; use strict=False for the "
+                            "deterministic fake"
                         )
                     row = fake_row(b)
                 else:

@@ -10800,6 +10800,78 @@ _add(
 )
 
 
+# [pair] HEIF/AVIF metadata face (operators/heif.py, round-9: the
+# ISO-BMFF meta-box walk — ftyp brands, pitm/ipco/ipma property
+# resolution so the PRIMARY item's ispe wins, irot orientation
+# mapping, Exif item through iinf/iloc feeding the shared TIFF IFD
+# parser).  HEIC is what iPhones shoot; AVIF the modern web format.
+# Fixtures from the independent build_heif_meta writer (the module is
+# also pinned against REAL libheif-encoded HEVC/AV1 files in pytest);
+# every field is an integer formula of doc_id, replayed in SQL.
+
+def _q_heif_meta(spark, sf_dir):
+    from ..operators.exif import image_metadata
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def build(it):
+        import struct as _s
+
+        import pandas as pd
+
+        from ..operators.heif import build_heif_meta
+
+        def tiff(make: bytes) -> bytes:
+            hdr = b"II*\x00" + _s.pack("<I", 8)
+            val = 8 + 2 + 12 + 4
+            ifd = (_s.pack("<H", 1)
+                   + _s.pack("<HHII", 0x010F, 2, len(make) + 1, val)
+                   + _s.pack("<I", 0))
+            return hdr + ifd + make + b"\x00"
+
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                payloads.append(build_heif_meta(
+                    1 + (did * 7) % 8192,
+                    1 + (did * 13) % 8192,
+                    avif=bool(did % 2),
+                    rotation=did % 4,
+                    exif_tiff=(tiff(b"make_%d" % (did % 16))
+                               if did % 3 == 0 else None),
+                ))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = image_metadata(media, strict=True)
+    return out.select(
+        "media_id", "format", "width", "height", "make", "orientation"
+    ).orderBy("media_id")
+
+
+_add(
+    "q_heif_meta",
+    _q_heif_meta,
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 2 = 1 THEN 'avif' ELSE 'heic' END AS format, "
+    "CAST(1 + (doc_id * 7) % 8192 AS BIGINT) AS width, "
+    "CAST(1 + (doc_id * 13) % 8192 AS BIGINT) AS height, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'make_' || (doc_id % 16) "
+    "ELSE NULL END AS make, "
+    "CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 8 WHEN 2 THEN 3 "
+    "ELSE 6 END AS BIGINT) AS orientation "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "HEIF/AVIF metadata face: meta-box walk (ispe via pitm/ipma, "
+    "irot, Exif item via iinf/iloc) over independent-writer fixtures "
+    "== per-field analytic replay; module pinned on real libheif "
+    "files in pytest",
+)
+
+
 # [pair] composed image-corpus admission (multimodal.
 # prepare_image_corpus): metadata dims floor -> EXIF scrub -> banded
 # dedup in ONE call, replayed end-to-end — the dims filter runs over
