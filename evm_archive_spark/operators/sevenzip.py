@@ -22,11 +22,13 @@ cross-checked against liblzma's own encoders, and BCJ2 — the
 4-stream (main/call/jump/range-coded control) x86 transform that is
 the default for large executables — decoded from the public format
 description with an independent from-scratch encoder as its round
-trip (liblzma has no BCJ2 to pin against).  Only the ARM64 filter
-(no liblzma encoder to pin against, negligible in archives) and
-7zAES encryption remain typed boundaries.  Decompression is capped (the
-archive.decompress_payload rule); header and substream CRCs are
-verified when present.
+trip (liblzma has no BCJ2 to pin against), and ARM64 — the
+BL + ADRP transform 7-Zip and xz share (coder id 0x0a), pinned
+against the system liblzma's own FILTER_ARM64 encoder through ctypes
+(this Python's lzma module predates the filter; the library itself
+is 5.4+).  Only 7zAES encryption remains a typed boundary.
+Decompression is capped (the archive.decompress_payload rule);
+header and substream CRCs are verified when present.
 
 ``build_7z`` is the independent synthesis writer for fixtures and the
 q_7z gate (Copy and LZMA2 folders); it shares no parse code with the
@@ -78,6 +80,7 @@ _BCJ2 = b"\x03\x03\x01\x1b"
 _PPC = b"\x03\x03\x02\x05"
 _IA64 = b"\x03\x03\x04\x01"
 _ARM = b"\x03\x03\x05\x01"
+_ARM64 = b"\x0a"
 _ARMT = b"\x03\x03\x07\x01"
 _SPARC = b"\x03\x03\x08\x05"
 
@@ -331,6 +334,55 @@ def _x86_bcj_decode(data: bytes, ip: int = 0) -> bytes:
             mask = (mask >> 1) | 4
             pos += 1
     return bytes(d)
+
+
+def _arm64_code(data: bytes, ip: int, encode: bool) -> bytes:
+    """ARM64 branch-filter transform (the public filter 7-Zip and xz
+    share; decode when ``encode`` is False).  Two instruction forms
+    convert between relative and absolute targets:
+
+    - BL (bits 31-26 == 0b100101): 26-bit word offset;
+    - ADRP (instr & 0x9F000000 == 0x90000000): the 21-bit page
+      immediate (immlo at bits 29-30, immhi at 5-23), converted only
+      when within +/- 512 MiB — the filter re-sign-extends the high
+      bits from bit 17 on conversion.
+
+    Pinned against liblzma's own FILTER_ARM64 encoder (ctypes; the
+    stdlib lzma module predates the filter id)."""
+    d = bytearray(data)
+    for i in range(0, len(d) - 3, 4):
+        instr = (d[i] | (d[i + 1] << 8) | (d[i + 2] << 16)
+                 | (d[i + 3] << 24))
+        pc = (ip + i) & 0xFFFFFFFF
+        if (instr >> 26) == 0x25:              # BL
+            src = instr
+            pc >>= 2
+            if not encode:
+                pc = (-pc) & 0xFFFFFFFF
+            instr = 0x94000000 | ((src + pc) & 0x03FFFFFF)
+        elif (instr & 0x9F000000) == 0x90000000:   # ADRP
+            src = ((instr >> 29) & 3) | ((instr >> 3) & 0x001FFFFC)
+            if (src + 0x00020000) & 0x001C0000:
+                continue                        # outside +/- 512 MiB
+            instr &= 0x9000001F
+            pc >>= 12
+            if not encode:
+                pc = (-pc) & 0xFFFFFFFF
+            dest = (src + pc) & 0xFFFFFFFF
+            instr |= (dest & 3) << 29
+            instr |= (dest & 0x0003FFFC) << 3
+            instr |= ((-(dest & 0x00020000)) & 0x00E00000) & 0xFFFFFFFF
+        else:
+            continue
+        d[i] = instr & 0xFF
+        d[i + 1] = (instr >> 8) & 0xFF
+        d[i + 2] = (instr >> 16) & 0xFF
+        d[i + 3] = (instr >> 24) & 0xFF
+    return bytes(d)
+
+
+def _arm64_decode(data: bytes, ip: int = 0) -> bytes:
+    return _arm64_code(data, ip, encode=False)
 
 
 def _delta_decode(data: bytes, dist: int) -> bytes:
@@ -680,7 +732,8 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
         elif cid == _DEFLATE:
             d = zlib.decompressobj(-15)
             out = d.decompress(data, size + 1)
-        elif cid in (_BCJ_X86, _ARM, _ARMT, _PPC, _SPARC, _IA64):
+        elif cid in (_BCJ_X86, _ARM, _ARMT, _PPC, _SPARC, _IA64,
+                     _ARM64):
             # branch filters are size-preserving; optional 4-byte
             # start-offset property
             if len(data) != size:
@@ -690,6 +743,7 @@ def _decode_coder(cid: bytes, props: bytes, data: bytes,
                 _BCJ_X86: _x86_bcj_decode, _ARM: _arm_decode,
                 _ARMT: _armt_decode, _PPC: _ppc_decode,
                 _SPARC: _sparc_decode, _IA64: _ia64_decode,
+                _ARM64: _arm64_decode,
             }[cid]
             out = fn(data, ip)
         elif cid == _DELTA:
@@ -1029,13 +1083,17 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
         "ppc+lzma2": [{"id": lzma.FILTER_POWERPC}, lz_filter],
         "sparc+lzma2": [{"id": lzma.FILTER_SPARC}, lz_filter],
         "ia64+lzma2": [{"id": lzma.FILTER_IA64}, lz_filter],
+        # the stdlib lzma module predates FILTER_ARM64: the transform
+        # comes from _arm64_code, which the ctypes test pins
+        # byte-identical to liblzma's own FILTER_ARM64 encoder
+        "arm64+lzma2": [lz_filter],
         "bcj2": None,
         "bcj2+lzma2": None,
     }
     filter_cid = {
         "delta4+lzma2": _DELTA, "bcj+lzma2": _BCJ_X86, "arm+lzma2": _ARM,
         "armt+lzma2": _ARMT, "ppc+lzma2": _PPC, "sparc+lzma2": _SPARC,
-        "ia64+lzma2": _IA64,
+        "ia64+lzma2": _IA64, "arm64+lzma2": _ARM64,
     }
     if codec not in chains:
         raise ValueError(f"build_7z codec {codec!r}")
@@ -1054,8 +1112,9 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
                     main, format=lzma.FORMAT_RAW, filters=[lz_filter])
             packed.append([main, callb, jumpb, rcb])
         else:
+            src = _arm64_code(d, 0, True) if codec == "arm64+lzma2" else d
             packed.append([lzma.compress(
-                d, format=lzma.FORMAT_RAW, filters=chains[codec])])
+                src, format=lzma.FORMAT_RAW, filters=chains[codec])])
     body = b"".join(p for ps in packed for p in ps)
 
     h = bytearray()

@@ -9096,7 +9096,8 @@ def _q_7z(spark, sf_dir):
     )
 
     codecs = ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2",
-              "bcj2+lzma2", "arm+lzma2", "ppc+lzma2", "sparc+lzma2"]
+              "bcj2+lzma2", "arm+lzma2", "ppc+lzma2", "sparc+lzma2",
+              "arm64+lzma2"]
 
     def build(it):
         for b in it:
@@ -9105,7 +9106,7 @@ def _q_7z(spark, sf_dir):
                 data = t.encode("utf-8")
                 payloads.append(build_7z(
                     [("a.txt", data), ("b.txt", b"copy:" + data)],
-                    codec=codecs[int(mid) % 8],
+                    codec=codecs[int(mid) % 9],
                 ))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}

@@ -795,16 +795,18 @@ def _pooled_jpeg_through_decode_images_and_ahash(spark):
 
 
 def _pooled_out_of_scope_jpeg_nonstrict_fallback(spark):
-    """An arithmetic-coded JPEG (out of scope) falls back to the
-    deterministic fake at strict=False and raises at strict=True — the
-    ADVICE r4 never-fails contract on the codec boundary."""
+    """An out-of-scope JPEG process falls back to the deterministic
+    fake at strict=False and raises at strict=True — the ADVICE r4
+    never-fails contract on the codec boundary.  SOF9/SOF10
+    (arithmetic DCT) decode for real since jpegarith.py, so the
+    out-of-scope probe is SOF11 (lossless arithmetic)."""
     from evm_archive_spark.operators import multimodal
 
     img = _rgb(16, 16)
     good = bytearray(encode_jpeg(img))
     i = good.index(b"\xff\xc0")
-    arith = bytes(good[:i] + b"\xff\xc9" + good[i + 2 :])
-    media = _media_df(spark, [arith])
+    lossless = bytes(good[:i] + b"\xff\xcb" + good[i + 2 :])
+    media = _media_df(spark, [lossless])
 
     rows = multimodal.image_ahash(media, strict=False).collect()
     assert len(rows) == 1  # no raise

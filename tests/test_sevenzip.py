@@ -587,3 +587,83 @@ def test_property_roundtrip_random_file_sets():
         assert got == [(n, len(d), d) for n, d in files]
 
     check()
+
+
+def test_arm64_filter_cross_checked_against_liblzma_ctypes():
+    """ARM64 (coder 0x0a): the stdlib lzma module predates
+    FILTER_ARM64, but the system liblzma (5.4+) ships it — drive
+    lzma_raw_buffer_encode through ctypes with an [ARM64, LZMA2]
+    chain, strip the LZMA2 layer with the stdlib, and require our
+    encoder's transform to be BYTE-IDENTICAL (then decode back).
+    BL/ADRP-dense crafted buffers exercise both instruction forms and
+    the +/- 512 MiB ADRP window edge."""
+    import ctypes as C
+    import lzma
+    import os
+    import random
+
+    from evm_archive_spark.operators.sevenzip import (
+        _arm64_code,
+        _arm64_decode,
+    )
+
+    try:
+        lib = C.CDLL("liblzma.so.5")
+    except OSError:
+        pytest.skip("no system liblzma")
+
+    class Filter(C.Structure):
+        _fields_ = [("id", C.c_uint64), ("options", C.c_void_p)]
+
+    opts = C.create_string_buffer(512)
+    if lib.lzma_lzma_preset(opts, 1):
+        pytest.skip("lzma_lzma_preset failed")
+
+    def raw_encode(data: bytes) -> bytes:
+        filters = (Filter * 3)(
+            Filter(0x0A, None),                     # LZMA_FILTER_ARM64
+            Filter(0x21, C.cast(opts, C.c_void_p)),  # LZMA2
+            Filter(2**64 - 1, None),                # VLI_UNKNOWN end
+        )
+        out = C.create_string_buffer(len(data) * 2 + 4096)
+        out_pos = C.c_size_t(0)
+        r = lib.lzma_raw_buffer_encode(
+            filters, None, data, C.c_size_t(len(data)), out,
+            C.byref(out_pos), C.c_size_t(len(out)))
+        if r == 8:                                  # LZMA_OPTIONS_ERROR
+            pytest.skip("system liblzma lacks FILTER_ARM64")
+        assert r == 0, r
+        return out.raw[: out_pos.value]
+
+    rng = random.Random(61)
+    for _ in range(120):
+        words = []
+        for _w in range(rng.randrange(1, 160)):
+            r = rng.random()
+            if r < 0.4:                              # BL
+                words.append((0x25 << 26) | rng.getrandbits(26))
+            elif r < 0.8:                            # ADRP-shaped
+                words.append(0x90000000
+                             | (rng.getrandbits(2) << 29)
+                             | (rng.getrandbits(19) << 5)
+                             | rng.getrandbits(5))
+            else:
+                words.append(rng.getrandbits(32))
+        data = b"".join(w.to_bytes(4, "little") for w in words)
+        data += os.urandom(rng.randrange(4))         # ragged tail
+        stripped = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 23}],
+        ).decompress(raw_encode(data))
+        assert stripped == _arm64_code(data, 0, encode=True)
+        assert _arm64_decode(stripped) == data
+
+
+def test_arm64_folder_roundtrip():
+    import os
+
+    files = [("bin/app", os.urandom(3000)), ("a.txt", b"x" * 257),
+             ("empty", b"")]
+    arc = build_7z(files, codec="arm64+lzma2")
+    got = sorted((n, d) for n, _s, d in sevenzip_members(arc))
+    assert got == sorted((n, d) for n, d in files)
