@@ -26,9 +26,13 @@ Supported processes:
   directions against the system libjpeg); everything after the
   coefficients is shared with the Huffman paths.
 
-Out of scope (clear errors, no silent wrong pixels): lossless and
-hierarchical processes, 12-bit precision, and component counts other
-than 1 (grayscale) and 3 (YCbCr).
+- **lossless** (SOF3, via ``jpeglossless.py``): the DCT-free
+  predictive process DNG raw files use — 7 predictors, Huffman
+  difference categories, point transform.
+
+Out of scope (clear errors, no silent wrong pixels): hierarchical
+processes, >8-bit sample precision, and component counts other than
+1 (grayscale) and 3.
 
 Reference parity note: the reference repo stores media as opaque bytea
 and delegates decoding to consumers; this codec backs the Spark-side
@@ -67,7 +71,6 @@ SOF_ARITH_PROG = 0xCA      # progressive, arithmetic entropy coding
 DAC = 0xCC                 # arithmetic conditioning (L/U, Kx)
 # SOFn markers for processes this decoder deliberately rejects
 _SOF_UNSUPPORTED = {
-    0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
     0xC7: "differential lossless",
@@ -290,6 +293,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 j += 17 + nv
                 tbl = _HuffTable(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = tbl
+        elif marker == 0xC3:
+            # lossless (SOF3, the DNG/medical process): its scan
+            # structure shares nothing with the DCT paths — delegate
+            # the whole decode to the dedicated module
+            from .jpeglossless import decode_jpeg_lossless
+
+            return decode_jpeg_lossless(data)
         elif marker in (SOF_BASELINE, SOF_EXTENDED, SOF_PROGRESSIVE,
                         SOF_ARITH_SEQ, SOF_ARITH_PROG):
             if frame is not None:

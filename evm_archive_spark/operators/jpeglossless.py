@@ -1,0 +1,337 @@
+"""Lossless JPEG (ITU-T T.81 process 14, SOF3) — from scratch.
+
+The lossless DCT-free JPEG process is what DNG raw files and medical
+imagery actually use: per-sample prediction from the left/above/
+above-left neighbors (7 selectable predictors), Huffman-coded
+difference categories (the DC table format), modulo-2^16 arithmetic,
+and an optional point transform.  ``decode_jpeg`` routes SOF3 frames
+here; the Huffman plumbing (table build, bit reader, EXTEND,
+restart-marker segment split) is shared with jpeg.py.
+
+Scope: 2-16 bit precision headers parse, 8-bit samples decode (the
+corpus case); single-component and interleaved multi-component scans
+with h=v=1 sampling (what lossless writers emit — T.81 H.2 notes
+subsampling is pointless without a transform); restart intervals
+reset prediction to start-of-scan conditions per H.2.3.  Output
+follows decode_jpeg's contract: (h, w, 4) RGBA, grayscale replicated,
+3-component data taken as RGB (lossless JPEG carries no color
+transform).
+
+No system pin exists (libjpeg-turbo 2.1 predates lossless support,
+restored upstream only in 3.0), so like BCJ2 the check is an
+independent from-scratch ENCODER (``build_jpeg_lossless``) plus
+spec-structure tests — predictors, first-row/first-column rules, the
+SSSS=16 escape, and the point transform are all exercised by
+round-trip equality, which lossless coding makes exact.
+
+Reference parity note: the reference (SummaryDev/evm-archive) stores
+media as opaque bytea; this closes the "lossless JPEG" typed boundary
+in the multimodal strict decode path.  Placement: per-payload work
+inside mapInPandas Arrow batches (the codec boundary).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpeg import (
+    JpegError,
+    _BitReader,
+    _extend,
+    _HuffTable,
+    _split_entropy,
+    _u16,
+)
+
+SOF_LOSSLESS = 0xC3
+
+
+def _predict(ra: int, rb: int, rc: int, sel: int) -> int:
+    """T.81 Table H.1 predictors (sel 1-7)."""
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise JpegError(f"bad lossless predictor {sel}")
+
+
+def decode_jpeg_lossless(data: bytes) -> np.ndarray:
+    """Decode an SOF3 lossless JPEG to (h, w, 4) RGBA uint8."""
+    huff: dict[int, _HuffTable] = {}
+    frame = None          # (precision, height, width, comps)
+    restart_interval = 0
+    out_planes: dict[int, np.ndarray] = {}
+
+    i = 2
+    n = len(data)
+    while True:
+        if i + 2 > n:
+            raise JpegError("lossless: ran off end before EOI")
+        if data[i] != 0xFF:
+            raise JpegError(f"lossless: expected marker at offset {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xFF:
+            i -= 1
+            continue
+        if marker == 0xD9:                       # EOI
+            if frame is None or not out_planes:
+                raise JpegError("lossless: EOI before scan data")
+            return _assemble(frame, out_planes)
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seg_len = _u16(data, i)
+        seg = data[i + 2:i + seg_len]
+        if len(seg) != seg_len - 2:
+            raise JpegError("lossless: truncated segment body")
+        if marker == 0xC4:                       # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = seg[j + 17:j + 17 + nv]
+                j += 17 + nv
+                if tc == 0:
+                    huff[th] = _HuffTable(bits, vals)
+        elif marker == SOF_LOSSLESS:
+            if frame is not None:
+                raise JpegError("lossless: multiple SOF markers")
+            prec = seg[0]
+            if not 2 <= prec <= 16:
+                raise JpegError(f"lossless: bad precision {prec}")
+            if prec > 8:
+                raise JpegError(
+                    f"lossless: {prec}-bit samples out of scope (8-bit "
+                    "corpus path only)")
+            height = struct.unpack_from(">H", seg, 1)[0]
+            width = struct.unpack_from(">H", seg, 3)[0]
+            ncomp = seg[5]
+            if height == 0 or width == 0:
+                raise JpegError("lossless: zero dimension")
+            comps = []
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                if hv != 0x11:
+                    raise JpegError(
+                        "lossless: subsampled components out of scope")
+                comps.append(cid)
+            frame = (prec, height, width, comps)
+        elif marker == 0xDD:                     # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:                     # SOS
+            if frame is None:
+                raise JpegError("lossless: SOS before SOF")
+            prec, height, width, comps = frame
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                if cs not in comps:
+                    raise JpegError("lossless: unknown scan component")
+                scan.append((cs, seg[2 + 2 * c] >> 4))
+            sel = seg[1 + 2 * ns]                # Ss = predictor
+            pt = seg[3 + 2 * ns] & 0x0F          # Al = point transform
+            if not 1 <= sel <= 7:
+                raise JpegError(f"bad lossless predictor {sel}")
+            if pt >= prec:
+                raise JpegError("lossless: point transform >= precision")
+            i = _decode_scan(
+                data, i + seg_len, height, width, prec, scan, sel, pt,
+                huff, restart_interval, out_planes)
+            continue
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            raise JpegError("lossless: mixed-process file")
+        i += seg_len
+
+
+def _decode_scan(data, start, height, width, prec, scan, sel, pt, huff,
+                 restart_interval, out_planes) -> int:
+    if restart_interval:
+        # H.2.3's reset rules are ambiguous mid-line and real decoders
+        # disagree; a typed boundary beats silently wrong samples
+        raise JpegError(
+            "lossless restart intervals out of scope (H.2.3 reset "
+            "semantics are implementation-divergent)")
+    segs, end = _split_entropy(data, start)
+    br = _BitReader(segs[0])
+    half = 1 << (prec - pt - 1)
+    planes = {cs: np.zeros((height, width), dtype=np.int32)
+              for cs, _ in scan}
+    tables = []
+    for cs, td in scan:
+        if td not in huff:
+            raise JpegError("lossless: missing Huffman table")
+        tables.append((planes[cs], huff[td]))
+    for y in range(height):
+        for x in range(width):
+            for p, tbl in tables:
+                t = tbl.decode(br)
+                if t > 16:
+                    raise JpegError("lossless: SSSS category > 16")
+                if t == 16:
+                    diff = 32768                 # the escape category
+                else:
+                    diff = _extend(br.receive(t), t)
+                # H.1.1 prediction: default at (0,0); Ra along the
+                # first line; Rb down the first column; else selected
+                if y == 0 and x == 0:
+                    pred = half
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _predict(int(p[y, x - 1]), int(p[y - 1, x]),
+                                    int(p[y - 1, x - 1]), sel)
+                p[y, x] = (pred + diff) & 0xFFFF
+    mask = (1 << prec) - 1
+    for cs, _ in scan:
+        out_planes[cs] = ((planes[cs] & mask) << pt).astype(np.uint16)
+    return end
+
+
+def _assemble(frame, out_planes) -> np.ndarray:
+    prec, height, width, comps = frame
+    missing = [c for c in comps if c not in out_planes]
+    if missing:
+        raise JpegError("lossless: scan missing components")
+    planes = [out_planes[c] for c in comps]
+    out = np.empty((height, width, 4), dtype=np.uint8)
+    out[:, :, 3] = 255
+    if len(planes) == 1:
+        g = np.clip(planes[0], 0, 255).astype(np.uint8)
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = g
+    elif len(planes) == 3:
+        for k in range(3):
+            out[:, :, k] = np.clip(planes[k], 0, 255).astype(np.uint8)
+    else:
+        raise JpegError(
+            f"lossless: {len(planes)}-component output out of scope")
+    return out
+
+
+# -- synthesis writer ----------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> k) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)        # byte stuffing
+                self.acc, self.nacc = 0, 0
+
+    def pad(self) -> None:
+        while self.nacc:
+            self.put(1, 1)
+
+
+def build_jpeg_lossless(img: np.ndarray, predictor: int = 1,
+                        point_transform: int = 0) -> bytes:
+    """Independent SOF3 writer: (h, w) gray or (h, w, 3) RGB uint8,
+    any predictor 1-7, optional point transform (low bits dropped —
+    samples are coded at ``v >> Pt``).  One DC-format Huffman table
+    with equal-length canonical codes over the categories present."""
+    if img.ndim == 2:
+        planes = [img.astype(np.int32)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        planes = [img[:, :, k].astype(np.int32) for k in range(3)]
+    else:
+        raise JpegError("image must be (h,w) gray or (h,w,3) RGB")
+    h, w = planes[0].shape
+    prec, pt = 8, point_transform
+    if not 0 <= pt < prec:
+        raise JpegError("bad point transform")
+    planes = [p >> pt for p in planes]
+    half = 1 << (prec - pt - 1)
+
+    # pass 1: per-sample diffs (mod 2^16), category stats
+    def diffs(p):
+        out = np.zeros((h, w), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                if y == 0 and x == 0:
+                    pred = half
+                elif x == 0:
+                    pred = p[y - 1, 0]
+                elif y == 0:
+                    pred = p[y, x - 1]
+                else:
+                    pred = _predict(int(p[y, x - 1]), int(p[y - 1, x]),
+                                    int(p[y - 1, x - 1]), predictor)
+                out[y, x] = int(p[y, x]) - int(pred)
+        return out
+
+    dplanes = [diffs(p) for p in planes]
+
+    def category(d: int) -> int:
+        d &= 0xFFFF
+        if d == 32768:
+            return 16
+        if d >= 32768:
+            d -= 65536                           # negative mod value
+        return int(abs(d)).bit_length()
+
+    cats = sorted({category(int(d))
+                   for dp in dplanes for d in dp.flatten()})
+    ln = 1
+    while (1 << ln) - 1 < len(cats):
+        ln += 1
+    bits = [0] * 16
+    bits[ln - 1] = len(cats)
+    code = {c: (k, ln) for k, c in enumerate(cats)}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(cats))
+    out += bytes([0x00]) + bytes(bits) + bytes(cats)
+    ncomp = len(planes)
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * ncomp, prec,
+                                     h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([predictor, 0, pt])             # Ss / Se / AhAl
+
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for dp in dplanes:
+                d = int(dp[y, x]) & 0xFFFF
+                t = category(d)
+                v, ln2 = code[t]
+                bw.put(v, ln2)
+                if t == 16:
+                    continue                     # no extra bits
+                if d >= 32768:
+                    d -= 65536
+                if t:
+                    amp = d if d >= 0 else d + (1 << t) - 1
+                    bw.put(amp, t)
+    bw.pad()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -10801,6 +10801,66 @@ _add(
 )
 
 
+# [pair] LOSSLESS JPEG decode (operators/jpeglossless.py, round-9:
+# the T.81 SOF3 predictive process DNG raw files use — 7 predictors,
+# Huffman difference categories, point transform; no DCT).  Each doc
+# gets a REAL SOF3 file from the module's own writer: a 16x16
+# two-tone image (2x upscale of an 8x8 bit pattern; predictor cycles
+# 1..7 by doc_id, gray/RGB by parity).  Lossless means the strict
+# aHash samples EXACT pattern cells — bit k = (doc_id*31 + k*17) % 6
+# < 3 replays analytically; any predictor/entropy mistake flips bits.
+
+def _q_jpeg_lossless(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def build(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeglossless import build_jpeg_lossless
+
+        up = np.ones((2, 2), dtype=np.uint8)
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                ks = np.arange(64)
+                bits = ((did * 31 + ks * 17) % 6) < 3
+                v = np.where(bits, 240, 16).astype(np.uint8)
+                img = np.kron(v.reshape(8, 8), up)
+                if did % 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                payloads.append(build_jpeg_lossless(
+                    img, predictor=1 + did % 7))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_ahash(media, strict=True).orderBy("media_id")
+
+
+_add(
+    "q_jpeg_lossless",
+    _q_jpeg_lossless,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 31 + ks.k * 17) % 6 < 3 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS ahash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL lossless-JPEG (SOF3, all 7 predictors cycled, gray/color "
+    "by parity) decode of own-writer fixtures -> strict aHash == the "
+    "analytic bit-pattern replay (lossless: pixel-exact)",
+)
+
+
 # [pair] HEIF/AVIF metadata face (operators/heif.py, round-9: the
 # ISO-BMFF meta-box walk — ftyp brands, pitm/ipco/ipma property
 # resolution so the PRIMARY item's ispe wins, irot orientation
