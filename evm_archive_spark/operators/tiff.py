@@ -1,15 +1,18 @@
 """Baseline TIFF decoder — from scratch, stdlib + numpy.
 
-Implements the public TIFF 6.0 specification's baseline subset plus the
-LZW and Deflate extensions: header + IFD walk (both byte orders),
-strip-based image data, bilevel/grayscale/palette/RGB(A) photometric
-interpretations at 1/8-bit depths, and Compression 1 (none), 5 (LZW
-with horizontal differencing predictor), 8/32946 (Deflate/zlib, both
-the official and legacy tags), and 32773 (PackBits); 2 (CCITT) is out
-of scope.
+Implements the public TIFF 6.0 specification's baseline subset plus
+extensions: header + IFD walk (both byte orders), strip-based image
+data, bilevel/grayscale/palette/RGB(A) photometric interpretations at
+1/8-bit depths, and Compression 1 (none), 5 (LZW with horizontal
+differencing predictor), 8/32946 (Deflate/zlib, both the official and
+legacy tags), 32773 (PackBits), and 7 (new-style JPEG-in-TIFF: each
+strip a complete JPEG bitstream, optional JPEGTables splice — with
+SOF3 strips this is the DNG raw layout, and the shared jpeg.py
+dispatch handles baseline/progressive/arithmetic/lossless streams
+alike); 2 (CCITT) and 6 (old-JPEG) are out of scope.
 
 Scope notes (clear errors, no silent wrong pixels): tiled images,
-16-bit samples, planar configuration 2, JPEG-in-TIFF and CCITT fax
+16-bit samples, planar configuration 2, and CCITT/old-JPEG
 compressions raise ``TiffError`` naming the gap.  Output matches the
 other codecs' contract: (h, w, 4) uint8 RGBA.
 
@@ -47,6 +50,7 @@ _TAGS = {
     277: "samples_per_pixel", 278: "rows_per_strip",
     279: "strip_byte_counts", 317: "predictor", 320: "colormap",
     322: "tile_width", 338: "extra_samples", 284: "planar_config",
+    347: "jpeg_tables",
 }
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -183,14 +187,31 @@ def decode_tiff(data: bytes) -> np.ndarray:
     predictor = f.get("predictor", (1,))[0]
     if planar != 1:
         raise TiffError("planar configuration 2 not supported")
-    if comp not in (1, 5, 8, 32946, 32773):
-        names = {2: "CCITT", 6: "old-JPEG", 7: "JPEG"}
+    if comp not in (1, 5, 8, 32946, 32773, 7):
+        names = {2: "CCITT", 6: "old-JPEG"}
         raise TiffError(
             f"compression {names.get(comp, comp)} not supported "
-            "(none/LZW/Deflate/PackBits only)"
+            "(none/LZW/Deflate/PackBits/JPEG only)"
         )
     if any(b not in (1, 8) for b in bps) or (bps[0] == 1 and spp != 1):
         raise TiffError(f"bits-per-sample {bps} not supported (1 or 8)")
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF/EP, and the DNG layout when the
+        # strips carry SOF3 lossless streams): each strip is a complete
+        # JPEG bitstream; an optional JPEGTables tag holds an
+        # abbreviated tables-only stream spliced in after each strip's
+        # SOI.  JPEG photometrics (6 = YCbCr) come back as RGB from
+        # the decoder.
+        tables = bytes(f.get("jpeg_tables", ()))
+        if tables and not (
+                tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"):
+            raise TiffError("malformed JPEGTables stream")
+        if spp not in (1, 3):
+            raise TiffError(
+                f"JPEG-compressed TIFF with {spp} samples not supported")
+        if photo == 6:
+            photo = 2 if spp == 3 else 1
+        predictor = 1          # horizontal differencing never applies
 
     row_bytes = (
         (width + 7) // 8 if bps[0] == 1 else width * spp
@@ -209,6 +230,23 @@ def decode_tiff(data: bytes) -> np.ndarray:
             dec = strip[:want]
         elif comp == 5:
             dec = _lzw_decode_tiff(strip, want)
+        elif comp == 7:
+            from .jpeg import JpegError, decode_jpeg
+
+            stream = bytes(strip)
+            if tables:
+                stream = tables[:-2] + stream[2:]
+            try:
+                rgba = decode_jpeg(stream)
+            except JpegError as e:
+                raise TiffError(f"JPEG strip: {e}") from e
+            if rgba.shape[0] < nrows or rgba.shape[1] < width:
+                raise TiffError("JPEG strip smaller than declared")
+            if spp == 1:
+                dec = rgba[:nrows, :width, 0].tobytes()
+            else:
+                dec = np.ascontiguousarray(
+                    rgba[:nrows, :width, :3]).tobytes()
         elif comp in (8, 32946):  # Deflate (official 8 / legacy 32946)
             try:
                 # Cap inflation at the expected strip size, like the
