@@ -1,18 +1,20 @@
 """Baseline TIFF decoder — from scratch, stdlib + numpy.
 
 Implements the public TIFF 6.0 specification's baseline subset plus
-extensions: header + IFD walk (both byte orders), strip-based image
-data, bilevel/grayscale/palette/RGB(A) photometric interpretations at
-1/8-bit depths, and Compression 1 (none), 5 (LZW with horizontal
-differencing predictor), 8/32946 (Deflate/zlib, both the official and
-legacy tags), 32773 (PackBits), and 7 (new-style JPEG-in-TIFF: each
-strip a complete JPEG bitstream, optional JPEGTables splice — with
-SOF3 strips this is the DNG raw layout, and the shared jpeg.py
-dispatch handles baseline/progressive/arithmetic/lossless streams
-alike); 2 (CCITT) and 6 (old-JPEG) are out of scope.
+extensions: header + IFD walk (both byte orders), strip-based AND
+tiled image organization (tiles are what DNG raws and GeoTIFFs use;
+edge tiles padded, predictor reset per tile), bilevel/grayscale/
+palette/RGB(A) photometric interpretations at 1/8-bit depths, and
+Compression 1 (none), 5 (LZW with horizontal differencing predictor),
+8/32946 (Deflate/zlib, both the official and legacy tags), 32773
+(PackBits), and 7 (new-style JPEG-in-TIFF: each strip/tile a complete
+JPEG bitstream, optional JPEGTables splice — with SOF3 payloads this
+is the DNG raw layout, and the shared jpeg.py dispatch handles
+baseline/progressive/arithmetic/lossless streams alike); 2 (CCITT)
+and 6 (old-JPEG) are out of scope.
 
-Scope notes (clear errors, no silent wrong pixels): tiled images,
-16-bit samples, planar configuration 2, and CCITT/old-JPEG
+Scope notes (clear errors, no silent wrong pixels): 16-bit samples,
+planar configuration 2, bilevel tiles, and CCITT/old-JPEG
 compressions raise ``TiffError`` naming the gap.  Output matches the
 other codecs' contract: (h, w, 4) uint8 RGBA.
 
@@ -49,8 +51,9 @@ _TAGS = {
     259: "compression", 262: "photometric", 273: "strip_offsets",
     277: "samples_per_pixel", 278: "rows_per_strip",
     279: "strip_byte_counts", 317: "predictor", 320: "colormap",
-    322: "tile_width", 338: "extra_samples", 284: "planar_config",
-    347: "jpeg_tables",
+    322: "tile_width", 323: "tile_length", 324: "tile_offsets",
+    325: "tile_byte_counts", 338: "extra_samples",
+    284: "planar_config", 347: "jpeg_tables",
 }
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -169,13 +172,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
     bo = "<" if data[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
     f = _read_ifd(data, ifd_off, bo)
-    if "tile_width" in f:
-        raise TiffError("tiled TIFF not supported (strips only)")
+    tiled = "tile_width" in f
     try:
         width = f["width"][0]
         height = f["height"][0]
-        offsets = f["strip_offsets"]
-        counts = f["strip_byte_counts"]
+        if tiled:
+            offsets = f["tile_offsets"]
+            counts = f["tile_byte_counts"]
+        else:
+            offsets = f["strip_offsets"]
+            counts = f["strip_byte_counts"]
     except KeyError as e:
         raise TiffError(f"missing required tag {e}") from e
     comp = f.get("compression", (1,))[0]
@@ -206,83 +212,128 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if tables and not (
                 tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"):
             raise TiffError("malformed JPEGTables stream")
-        if spp not in (1, 3):
+        if spp not in (1, 3) or bps[0] != 8:
             raise TiffError(
-                f"JPEG-compressed TIFF with {spp} samples not supported")
+                f"JPEG-compressed TIFF with {spp} samples at "
+                f"{bps[0]} bits not supported")
         if photo == 6:
             photo = 2 if spp == 3 else 1
         predictor = 1          # horizontal differencing never applies
 
-    row_bytes = (
-        (width + 7) // 8 if bps[0] == 1 else width * spp
-    )
-    raw = bytearray()
-    row0 = 0
-    for off, cnt in zip(offsets, counts):
-        strip = data[off : off + cnt]
-        if len(strip) < cnt:
-            raise TiffError("strip overruns payload")
-        nrows = min(rows_per_strip, height - row0)
-        want = row_bytes * nrows
+    def inflate_chunk(chunk: bytes, want: int, what: str) -> bytes:
+        """One strip/tile through the byte-oriented compressions, with
+        the output CAPPED at the expected size (a crafted tiny chunk
+        can otherwise expand to gigabytes on untrusted corpora)."""
         if comp == 1:
-            if len(strip) < want:
-                raise TiffError("uncompressed strip short")
-            dec = strip[:want]
-        elif comp == 5:
-            dec = _lzw_decode_tiff(strip, want)
-        elif comp == 7:
-            from .jpeg import JpegError, decode_jpeg
-
-            stream = bytes(strip)
-            if tables:
-                stream = tables[:-2] + stream[2:]
+            if len(chunk) < want:
+                raise TiffError(f"uncompressed {what} short")
+            return chunk[:want]
+        if comp == 5:
+            return _lzw_decode_tiff(chunk, want)
+        if comp in (8, 32946):  # Deflate (official 8 / legacy 32946)
             try:
-                rgba = decode_jpeg(stream)
-            except JpegError as e:
-                raise TiffError(f"JPEG strip: {e}") from e
-            if rgba.shape[0] < nrows or rgba.shape[1] < width:
-                raise TiffError("JPEG strip smaller than declared")
-            if spp == 1:
-                dec = rgba[:nrows, :width, 0].tobytes()
-            else:
-                dec = np.ascontiguousarray(
-                    rgba[:nrows, :width, :3]).tobytes()
-        elif comp in (8, 32946):  # Deflate (official 8 / legacy 32946)
-            try:
-                # Cap inflation at the expected strip size, like the
-                # LZW/PackBits paths' max_out: a crafted tiny strip can
-                # otherwise expand to gigabytes (decompression bomb) on
-                # untrusted corpora.
-                dec = zlib.decompressobj().decompress(bytes(strip), want)
+                return zlib.decompressobj().decompress(bytes(chunk), want)
             except zlib.error as e:
-                raise TiffError(f"deflate strip: {e}") from e
-        else:
-            dec = _packbits_decode(strip, want)
-        if len(dec) < want:
-            raise TiffError("strip decode short of expected size")
-        raw += dec[:want]
-        row0 += nrows
-    if row0 < height:
-        raise TiffError("strips cover fewer rows than ImageLength")
+                raise TiffError(f"deflate {what}: {e}") from e
+        return _packbits_decode(chunk, want)
 
-    if bps[0] == 1:
-        bits = np.unpackbits(
-            np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, -1),
-            axis=1,
-        )[:, :width]
-        # photometric 0: 0=white; 1: 0=black
-        g = (bits * 255 if photo == 1 else (1 - bits) * 255).astype(
-            np.uint8
-        )
-        px = g[:, :, None]
-        spp_eff = 1
-    else:
-        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
-            height, width, spp
-        )
-        if predictor == 2:  # horizontal differencing
-            px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+    def jpeg_pixels(chunk: bytes, need_h: int, need_w: int, what: str):
+        from .jpeg import JpegError, decode_jpeg
+
+        stream = bytes(chunk)
+        if tables:
+            stream = tables[:-2] + stream[2:]
+        try:
+            rgba = decode_jpeg(stream)
+        except JpegError as e:
+            raise TiffError(f"JPEG {what}: {e}") from e
+        if rgba.shape[0] < need_h or rgba.shape[1] < need_w:
+            raise TiffError(f"JPEG {what} smaller than declared")
+        return rgba[:, :, 0:1] if spp == 1 else rgba[:, :, :3]
+
+    if tiled:
+        # tiled organization (what DNG raws and GeoTIFFs use): a grid
+        # of fixed (tw, th) tiles, edge tiles padded to full size; the
+        # horizontal predictor resets per tile ROW within each tile
+        if bps[0] == 1:
+            raise TiffError("bilevel tiled TIFF not supported")
+        tw = f["tile_width"][0]
+        th = f.get("tile_length", (0,))[0]
+        if not tw or not th:
+            raise TiffError("bad tile dimensions")
+        ta = -(-width // tw)
+        td = -(-height // th)
+        if ta * td > (1 << 20):
+            raise TiffError("tile count over cap")
+        if len(offsets) < ta * td or len(counts) < ta * td:
+            raise TiffError("tile tables shorter than the tile grid")
+        px = np.zeros((height, width, spp), dtype=np.uint8)
+        for ti in range(ta * td):
+            off, cnt = offsets[ti], counts[ti]
+            chunk = data[off: off + cnt]
+            if len(chunk) < cnt:
+                raise TiffError("tile overruns payload")
+            ty, tx = divmod(ti, ta)
+            hh = min(th, height - ty * th)
+            ww = min(tw, width - tx * tw)
+            if comp == 7:
+                tile = jpeg_pixels(chunk, hh, ww, "tile")
+            else:
+                dec = inflate_chunk(chunk, tw * th * spp, "tile")
+                if len(dec) < tw * th * spp:
+                    raise TiffError("tile decode short of expected size")
+                tile = np.frombuffer(
+                    dec[: tw * th * spp], dtype=np.uint8
+                ).reshape(th, tw, spp)
+                if predictor == 2:
+                    tile = np.cumsum(
+                        tile.astype(np.uint32), axis=1).astype(np.uint8)
+            px[ty * th: ty * th + hh, tx * tw: tx * tw + ww] = \
+                tile[:hh, :ww]
         spp_eff = spp
+    else:
+        row_bytes = (width + 7) // 8 if bps[0] == 1 else width * spp
+        raw = bytearray()
+        row0 = 0
+        for off, cnt in zip(offsets, counts):
+            strip = data[off: off + cnt]
+            if len(strip) < cnt:
+                raise TiffError("strip overruns payload")
+            nrows = min(rows_per_strip, height - row0)
+            want = row_bytes * nrows
+            if comp == 7:
+                pix = jpeg_pixels(strip, nrows, width, "strip")
+                dec = np.ascontiguousarray(
+                    pix[:nrows, :width]).tobytes()
+            else:
+                dec = inflate_chunk(strip, want, "strip")
+            if len(dec) < want:
+                raise TiffError("strip decode short of expected size")
+            raw += dec[:want]
+            row0 += nrows
+        if row0 < height:
+            raise TiffError("strips cover fewer rows than ImageLength")
+
+        if bps[0] == 1:
+            bits = np.unpackbits(
+                np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                    height, -1),
+                axis=1,
+            )[:, :width]
+            # photometric 0: 0=white; 1: 0=black
+            g = (bits * 255 if photo == 1 else (1 - bits) * 255).astype(
+                np.uint8
+            )
+            px = g[:, :, None]
+            spp_eff = 1
+        else:
+            px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                height, width, spp
+            )
+            if predictor == 2:  # horizontal differencing
+                px = np.cumsum(
+                    px.astype(np.uint32), axis=1).astype(np.uint8)
+            spp_eff = spp
 
     out = np.empty((height, width, 4), dtype=np.uint8)
     out[:, :, 3] = 255

@@ -94,47 +94,65 @@ def encode_tiff(
     predictor=1,
     bilevel=False,
     jpeg_strip_encoder=None,
+    tile_size=None,
 ):
     """``px``: (h, w) gray/index array or (h, w, 3|4) RGB(A).  For
-    compression 7 each strip band is serialized by
-    ``jpeg_strip_encoder(rows) -> jpeg bytes``."""
+    compression 7 each strip band / tile is serialized by
+    ``jpeg_strip_encoder(rows) -> jpeg bytes``.  ``tile_size``:
+    a (tw, th) pair switches to the tiled organization (tags
+    322/323/324/325; edge tiles edge-padded to full size)."""
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
     rps = rows_per_strip or h
     if photometric is None:
         photometric = 2 if spp >= 3 else 1
 
-    # serialize strips
-    strips = []
-    for r0 in range(0, h, rps):
-        rows = px[r0 : r0 + rps]
-        if compression == 7:
-            strips.append(jpeg_strip_encoder(rows))
-            continue
-        if bilevel:
-            body = np.packbits(
-                (rows > 0).astype(np.uint8), axis=1
-            ).tobytes()
-        else:
-            block = rows.reshape(rows.shape[0], -1).astype(np.uint8)
-            if predictor == 2:
-                wide = block.reshape(rows.shape[0], -1, spp).astype(
-                    np.int16
-                )
-                diff = wide.copy()
-                diff[:, 1:] = wide[:, 1:] - wide[:, :-1]
-                block = (diff % 256).astype(np.uint8).reshape(
-                    rows.shape[0], -1
-                )
-            body = block.tobytes()
+    def compress_body(body: bytes) -> bytes:
         if compression == 5:
-            strips.append(_lzw_encode_tiff(body))
-        elif compression in (8, 32946):
-            strips.append(zlib.compress(body))
-        elif compression == 32773:
-            strips.append(_packbits_encode(body))
-        else:
-            strips.append(body)
+            return _lzw_encode_tiff(body)
+        if compression in (8, 32946):
+            return zlib.compress(body)
+        if compression == 32773:
+            return _packbits_encode(body)
+        return body
+
+    def pack(block2d, nrows_units):
+        """Predictor + compression over one chunk's rows."""
+        block = block2d.reshape(nrows_units, -1).astype(np.uint8)
+        if predictor == 2:
+            wide = block.reshape(nrows_units, -1, spp).astype(np.int16)
+            diff = wide.copy()
+            diff[:, 1:] = wide[:, 1:] - wide[:, :-1]
+            block = (diff % 256).astype(np.uint8).reshape(
+                nrows_units, -1)
+        return compress_body(block.tobytes())
+
+    strips = []
+    if tile_size is not None:
+        tw, th = tile_size
+        for ty in range(0, -(-h // th)):
+            for tx in range(0, -(-w // tw)):
+                tile = px[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                pad_h, pad_w = th - tile.shape[0], tw - tile.shape[1]
+                if pad_h or pad_w:
+                    pads = ((0, pad_h), (0, pad_w)) + (
+                        ((0, 0),) if px.ndim == 3 else ())
+                    tile = np.pad(tile, pads, mode="edge")
+                if compression == 7:
+                    strips.append(jpeg_strip_encoder(tile))
+                else:
+                    strips.append(pack(tile, th))
+    else:
+        for r0 in range(0, h, rps):
+            rows = px[r0: r0 + rps]
+            if compression == 7:
+                strips.append(jpeg_strip_encoder(rows))
+                continue
+            if bilevel:
+                strips.append(compress_body(np.packbits(
+                    (rows > 0).astype(np.uint8), axis=1).tobytes()))
+                continue
+            strips.append(pack(rows, rows.shape[0]))
 
     bo = byte_order
     entries = []  # (tag, type, count, value-or-bytes)
@@ -151,14 +169,19 @@ def encode_tiff(
     short(259, compression)
     short(262, photometric)
     short(277, 1 if bilevel else spp)
-    short(278, rps)
+    if tile_size is not None:
+        short(322, tile_size[0])
+        short(323, tile_size[1])
+    else:
+        short(278, rps)
     if predictor != 1:
         short(317, predictor)
     if colormap is not None:
         short(320, *colormap)
     # offsets/counts filled after layout
-    long_(273, *([0] * len(strips)))
-    long_(279, *[len(s) for s in strips])
+    long_(324 if tile_size is not None else 273, *([0] * len(strips)))
+    long_(325 if tile_size is not None else 279,
+          *[len(s) for s in strips])
     entries.sort(key=lambda e: e[0])
 
     header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
@@ -189,7 +212,7 @@ def encode_tiff(
     # rewrite the strip-offset entry now that layout is known
     out_entries = bytearray()
     for tag, typ, cnt, inline, extoff in fixed:
-        if tag == 273:
+        if tag in (273, 324):
             vb = value_bytes(4, offs)
             if len(vb) <= 4:
                 inline, extoff = vb.ljust(4, b"\x00"), None
@@ -200,7 +223,7 @@ def encode_tiff(
         if inline is not None:
             out_entries += inline
         else:
-            if tag == 273:
+            if tag in (273, 324):
                 vb = value_bytes(4, offs)
                 ext[extoff : extoff + len(vb)] = vb
             out_entries += struct.pack(bo + "I", ext_base + extoff)
@@ -509,3 +532,121 @@ def test_jpeg_in_tiff_jpegtables_splice_and_errors():
                         jpeg_strip_encoder=lambda rows: small)
     with pytest.raises(TiffError, match="smaller than declared"):
         decode_tiff(short)
+
+
+# --------------------------------------------------------------------------
+# Tiled organization (round 9) — what DNG raws and GeoTIFFs use
+# --------------------------------------------------------------------------
+
+
+def test_tiled_rgb_and_gray_all_compressions():
+    """Tile grids with ragged edges decode exactly across every
+    byte-oriented compression; the predictor resets per tile."""
+    rng = np.random.default_rng(83)
+    rgb = rng.integers(0, 256, (37, 45, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (20, 33), dtype=np.uint8)
+    for comp in (1, 5, 8, 32773):
+        t = encode_tiff(rgb, compression=comp, tile_size=(16, 16))
+        assert np.array_equal(decode_tiff(t)[:, :, :3], rgb), comp
+        t = encode_tiff(gray, compression=comp, tile_size=(16, 16))
+        assert np.array_equal(decode_tiff(t)[:, :, 0], gray), comp
+    # predictor 2 within tiles (LZW, the classic pairing)
+    t = encode_tiff(rgb, compression=5, predictor=2, tile_size=(16, 16))
+    assert np.array_equal(decode_tiff(t)[:, :, :3], rgb)
+
+
+def test_tiled_jpeg_lossless_is_the_dng_shape():
+    """SOF3 (lossless JPEG) tiles — the actual DNG layout — decode
+    pixel-exactly including edge-tile cropping."""
+    from evm_archive_spark.operators.jpeglossless import (
+        build_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(89)
+    gray = rng.integers(0, 256, (21, 26), dtype=np.uint8)
+    t = encode_tiff(gray, compression=7, tile_size=(16, 16),
+                    jpeg_strip_encoder=lambda tile: build_jpeg_lossless(
+                        tile, predictor=6))
+    assert np.array_equal(decode_tiff(t)[:, :, 0], gray)
+
+
+def test_tiled_against_libtiff():
+    """Tile-level pin via TIFFReadEncodedTile (this libtiff build's
+    RGBA convenience reader rejects any tiled file whose raw tile size
+    differs from the RGBA raster size — a reader quirk, not a file
+    defect: TIFFTileSize and the per-tile decode agree with us)."""
+    import ctypes as C
+
+    lib = _libtiff()
+    if lib is None:
+        pytest.skip("no system libtiff")
+    rng = np.random.default_rng(97)
+    rgb = rng.integers(0, 256, (37, 45, 3), dtype=np.uint8)
+
+    def libtiff_tiles(data: bytes, n_tiles: int, tile_bytes: int):
+        READ = C.CFUNCTYPE(C.c_ssize_t, C.c_void_p, C.c_void_p,
+                           C.c_ssize_t)
+        SEEK = C.CFUNCTYPE(C.c_uint64, C.c_void_p, C.c_uint64, C.c_int)
+        CLOSE = C.CFUNCTYPE(C.c_int, C.c_void_p)
+        SIZE = C.CFUNCTYPE(C.c_uint64, C.c_void_p)
+        pos = [0]
+
+        def _read(_h, buf, n):
+            chunk = data[pos[0]: pos[0] + n]
+            C.memmove(buf, chunk, len(chunk))
+            pos[0] += len(chunk)
+            return len(chunk)
+
+        def _seek(_h, off, whence):
+            pos[0] = {0: off, 1: pos[0] + off, 2: len(data) + off}[whence]
+            return pos[0]
+
+        cbs = (READ(_read), READ(lambda *_: 0), SEEK(_seek),
+               CLOSE(lambda _h: 0), SIZE(lambda _h: len(data)))
+        lib.TIFFClientOpen.restype = C.c_void_p
+        tif = lib.TIFFClientOpen(b"mem", b"r", None, *cbs,
+                                 C.c_void_p(0), C.c_void_p(0))
+        assert tif
+        try:
+            lib.TIFFTileSize.restype = C.c_ssize_t
+            assert lib.TIFFTileSize(C.c_void_p(tif)) == tile_bytes
+            lib.TIFFReadEncodedTile.restype = C.c_ssize_t
+            out = []
+            buf = (C.c_ubyte * tile_bytes)()
+            for ti in range(n_tiles):
+                r = lib.TIFFReadEncodedTile(C.c_void_p(tif), ti, buf,
+                                            C.c_ssize_t(-1))
+                assert r == tile_bytes, (ti, r)
+                out.append(bytes(buf))
+            return out
+        finally:
+            lib.TIFFClose(C.c_void_p(tif))
+
+    for comp in (1, 5, 8):
+        t = encode_tiff(rgb, compression=comp, tile_size=(16, 16))
+        tiles = libtiff_tiles(t, 9, 16 * 16 * 3)
+        ours = decode_tiff(t)[:, :, :3]
+        for ti, raw in enumerate(tiles):
+            ty, tx = divmod(ti, 3)
+            tile = np.frombuffer(raw, np.uint8).reshape(16, 16, 3)
+            hh = min(16, 37 - ty * 16)
+            ww = min(16, 45 - tx * 16)
+            assert np.array_equal(
+                tile[:hh, :ww],
+                ours[ty * 16: ty * 16 + hh, tx * 16: tx * 16 + ww]
+            ), (comp, ti)
+
+
+def test_tiled_hardening():
+    rng = np.random.default_rng(101)
+    gray = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    good = encode_tiff(gray, compression=1, tile_size=(16, 16))
+    # short tile table: drop the count of tiles via TileByteCounts len
+    bad = bytearray(good)
+    i = good.index(struct.pack("<HH", 325, 4))
+    struct.pack_into("<I", bad, i + 4, 1)       # count 4 -> 1
+    with pytest.raises(TiffError, match="tile tables shorter"):
+        decode_tiff(bytes(bad))
+    # tile data overrunning the payload is typed
+    with pytest.raises(TiffError):
+        decode_tiff(good[:-40])
