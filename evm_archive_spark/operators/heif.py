@@ -91,16 +91,18 @@ def _heif_metadata(b: bytes) -> dict:
     mb, me = meta
     mb += 4                                    # FullBox version/flags
 
-    # primary item id (pitm: version 0 -> u16, else u32)
+    # primary item id (pitm: version 0 -> u16, else u32); bare boxes
+    # with no room for even the FullBox header are ignored, not crashed
     primary = None
     pitm = _child(b, mb, me, b"pitm")
     if pitm is not None:
         pb, pe = pitm
-        ver = b[pb]
-        if ver == 0 and pb + 6 <= pe:
-            (primary,) = struct.unpack_from(">H", b, pb + 4)
-        elif pb + 8 <= pe:
-            (primary,) = struct.unpack_from(">I", b, pb + 4)
+        if pe - pb >= 6:
+            ver = b[pb]
+            if ver == 0:
+                (primary,) = struct.unpack_from(">H", b, pb + 4)
+            elif pe - pb >= 8:
+                (primary,) = struct.unpack_from(">I", b, pb + 4)
 
     # property containers: ipco children in ORDER (1-based indices),
     # ipma associations item_id -> property indices
@@ -155,13 +157,17 @@ def _heif_metadata(b: bytes) -> dict:
                 assoc[item_id] = idxs
 
     def _prop_of(item_id: int | None, fourcc: bytes):
-        """The item's first associated property of a kind; falls back
-        to the first such property in ipco when associations are
-        absent (writers omit ipma for single-item files)."""
-        if item_id is not None:
-            for idx in assoc.get(item_id, []):
+        """The item's first associated property of a kind.  The global
+        ipco scan is a fallback ONLY when the item has no association
+        entry at all (writers omit ipma for single-item files) — when
+        associations exist, a property bound to some OTHER item (a
+        thumbnail's ispe, an auxiliary's irot) must NOT leak onto the
+        primary image."""
+        if item_id is not None and item_id in assoc:
+            for idx in assoc[item_id]:
                 if 1 <= idx <= len(props) and props[idx - 1][0] == fourcc:
                     return props[idx - 1]
+            return None
         for p in props:
             if p[0] == fourcc:
                 return p
@@ -219,22 +225,31 @@ def _exif_item(b: bytes, mb: int, me: int) -> bytes | None:
         return None
     exif_id = None
     ib, ie = iinf
+    if ie - ib < 6:
+        return None                            # bare/truncated iinf
     for fc, eb, ee in _boxes(b, ib + 4 + (2 if b[ib] == 0 else 4), ie):
         if fc != b"infe" or ee - eb < 12:
             continue
         ver = b[eb]
-        if ver >= 2:
+        if ver == 2:
+            # v2: item_ID u16 @+4, protection u16 @+6, type @+8
             (item_id,) = struct.unpack_from(">H", b, eb + 4)
             item_type = b[eb + 8:eb + 12]
-            if item_type == b"Exif":
-                exif_id = item_id
-                break
+        elif ver == 3 and ee - eb >= 14:
+            # v3: item_ID u32 @+4, protection u16 @+8, type @+10
+            (item_id,) = struct.unpack_from(">I", b, eb + 4)
+            item_type = b[eb + 10:eb + 14]
+        else:
+            continue
+        if item_type == b"Exif":
+            exif_id = item_id
+            break
     if exif_id is None:
         return None
     lb, le = iloc
+    if le - lb < 8:
+        return None                            # bare/truncated iloc
     ver = b[lb]
-    if lb + 8 > le:
-        return None
     sizes = b[lb + 4]
     offset_size, length_size = sizes >> 4, sizes & 0x0F
     base_offset_size = b[lb + 5] >> 4
@@ -266,24 +281,30 @@ def _exif_item(b: bytes, mb: int, me: int) -> bytes | None:
         pos += base_offset_size
         extent_count = _uint(pos, 2)
         pos += 2
-        first = None
+        if extent_count > MAX_ITEMS:
+            raise HeifError("HEIF extent count over cap")
+        extents = []
         for _ in range(extent_count):
             pos += index_size
             off = _uint(pos, offset_size)
             pos += offset_size
             ln = _uint(pos, length_size)
             pos += length_size
-            if first is None:
-                first = (base + off, ln)
-        if item_id == exif_id and first is not None:
-            start, ln = first
-            if start + ln > len(b) or ln < 4:
-                raise HeifError("HEIF Exif extent overruns payload")
-            payload = b[start:start + ln]
+            extents.append((base + off, ln))
+        if item_id == exif_id and extents:
+            # a fragmented item is legal: the payload is ALL extents
+            # concatenated, not just the first
+            payload = bytearray()
+            for start, ln in extents:
+                if start + ln > len(b):
+                    raise HeifError("HEIF Exif extent overruns payload")
+                payload += b[start:start + ln]
+            if len(payload) < 4:
+                return None
             (tiff_off,) = struct.unpack_from(">I", payload, 0)
             if 4 + tiff_off >= len(payload):
                 return None
-            return payload[4 + tiff_off:]
+            return bytes(payload[4 + tiff_off:])
     return None
 
 

@@ -702,7 +702,6 @@ def encode_jpeg_arith(img: np.ndarray,
         raise JpegArithError("image dimensions out of range")
     ncomp = len(planes)
     comps_zz = [_plane_blocks(p, quant) for p in planes]
-    bw = -(-w // 8)
 
     out = bytearray(b"\xff\xd8")                           # SOI
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0)         # DQT, Pq0/Tq0
@@ -732,7 +731,6 @@ def encode_jpeg_arith(img: np.ndarray,
             encode_dc_diff(enc, dc_stats, dstates[ci], diff, lo, up)
             encode_ac_band(enc, ac_stats, fixed, blk, 1, 63,
                            DEFAULT_AC_KX)
-    _ = bw                                                  # layout doc
     out += enc.flush()
     out += b"\xff\xd9"                                     # EOI
     return bytes(out)

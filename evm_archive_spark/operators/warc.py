@@ -206,6 +206,18 @@ def _decode_content_encoding(encoding: str, body: bytes,
             out = d.decompress(data, max_out + 1)
         except zlib.error as e:
             raise WarcError(f"corrupt deflate/gzip body: {e!r}") from e
+        if len(out) > max_out:
+            # cap breach: return as-is — the loop's post-check raises
+            # OUTSIDE inflate so the deflate raw-fallback (which
+            # retries on WarcError from the zlib-wrapped attempt)
+            # cannot swallow it
+            return out
+        if not d.eof:
+            # a truncated stream "decodes" to partial/empty bytes
+            # without error — typed, never silently lossy (this also
+            # makes the zlib->raw-deflate fallback correct when a raw
+            # body's first bytes coincide with a zlib header)
+            raise WarcError("truncated deflate/gzip body")
         return out
 
     for token in reversed(tokens):
@@ -224,9 +236,10 @@ def _decode_content_encoding(encoding: str, body: bytes,
             try:
                 st = pa.input_stream(pa.BufferReader(body),
                                      compression="brotli")
-                body = bytes(st.read(max_out + 1))
+                decoded = bytes(st.read(max_out + 1))
             except (OSError, ValueError) as e:
                 raise WarcError(f"corrupt brotli body: {e!r}") from e
+            body = decoded
         if len(body) > max_out:
             raise WarcError(f"decoded body exceeds {max_out} bytes")
     return body

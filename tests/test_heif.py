@@ -147,3 +147,72 @@ def test_real_files_from_system_libheif(tmp_path):
         m = heif_metadata(data)
         assert m["format"] == want_fmt, m
         assert (m["width"], m["height"]) == (96, 64), m
+
+
+def test_associations_do_not_leak_across_items():
+    """When ipma EXISTS, another item's irot/ispe must not be
+    attributed to the primary item (review finding: the global ipco
+    fallback leaked a thumbnail's rotation onto the primary)."""
+    from evm_archive_spark.operators.heif import _box, _full
+
+    brand = b"heic"
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    hdlr = _full(b"hdlr", 0, 0,
+                 b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"w\x00")
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+    ispe1 = _full(b"ispe", 0, 0, struct.pack(">II", 4032, 3024))
+    ispe2 = _full(b"ispe", 0, 0, struct.pack(">II", 160, 120))
+    irot2 = _box(b"irot", bytes([1]))
+    ipco = _box(b"ipco", ispe1 + ispe2 + irot2)
+    # item 1 (primary) -> prop 1 only; item 2 (thumb) -> props 2+3
+    entries = (struct.pack(">I", 2)
+               + struct.pack(">H", 1) + bytes([1, 1])
+               + struct.pack(">H", 2) + bytes([2, 2, 3]))
+    ipma = _full(b"ipma", 0, 0, entries)
+    meta = _full(b"meta", 0, 0, hdlr + pitm + _box(b"iprp", ipco + ipma))
+    data = ftyp + meta + _box(b"mdat", b"\x00" * 8)
+    m = heif_metadata(data)
+    assert (m["width"], m["height"]) == (4032, 3024), m
+    assert m["orientation"] == 1, m          # thumb's irot must NOT leak
+
+
+def test_bare_boxes_and_v3_infe_and_multi_extent_exif():
+    from evm_archive_spark.operators.heif import _box, _full
+
+    # bare 8-byte pitm at end of meta: typed/ignored, never IndexError
+    brand = b"heic"
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    ispe = _full(b"ispe", 0, 0, struct.pack(">II", 10, 20))
+    meta = _full(b"meta", 0, 0,
+                 _box(b"iprp", _box(b"ipco", ispe)) + _box(b"pitm", b""))
+    m = heif_metadata(ftyp + meta)
+    assert (m["width"], m["height"]) == (10, 20)
+
+    # infe VERSION 3 (u32 item_ID, type at +10) + Exif split across
+    # TWO iloc extents: located and concatenated
+    tiff = _tiff_ifd0(b"Apple", b"iPhone")
+    exif_blob = struct.pack(">I", 0) + tiff
+    cut = len(exif_blob) // 2
+    infe = _full(b"infe", 3, 0,
+                 struct.pack(">IH", 2, 0) + b"Exif" + b"\x00")
+    iinf = _full(b"iinf", 0, 0, struct.pack(">H", 1) + infe)
+    iloc = _full(b"iloc", 0, 0,
+                 bytes([0x44, 0x00]) + struct.pack(">H", 1)
+                 + struct.pack(">HH", 2, 0) + struct.pack(">H", 2)
+                 + struct.pack(">II", 0xAAAAAAAA, cut)
+                 + struct.pack(">II", 0xBBBBBBBB,
+                               len(exif_blob) - cut))
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+    meta = _full(b"meta", 0, 0,
+                 pitm + iinf + iloc
+                 + _box(b"iprp", _box(b"ipco", ispe)))
+    head = ftyp + meta
+    off1 = len(head) + 8
+    off2 = off1 + cut
+    blob = head + _box(b"mdat", exif_blob + b"\x00" * 4)
+    blob = blob.replace(struct.pack(">I", 0xAAAAAAAA),
+                        struct.pack(">I", off1))
+    blob = blob.replace(struct.pack(">I", 0xBBBBBBBB),
+                        struct.pack(">I", off2))
+    m = heif_metadata(blob)
+    assert (m["make"], m["model"]) == ("Apple", "iPhone"), m

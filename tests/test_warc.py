@@ -441,3 +441,33 @@ def test_content_encoding_bomb_capped():
             W.http_response(block)
     finally:
         W.MAX_BODY_BYTES = old
+
+
+def test_truncated_compressed_bodies_are_typed():
+    """A cut-off gzip/deflate body must raise, not silently decode to
+    partial/empty bytes (review finding: missing d.eof check)."""
+    import gzip
+    import zlib
+
+    import pytest as _pytest
+
+    from evm_archive_spark.operators.warc import WarcError, http_response
+
+    raw = b"<html>cut off mid-stream</html>" * 50
+    enc = gzip.compress(raw)
+    with _pytest.raises(WarcError, match="truncated|corrupt"):
+        http_response(_http_block(enc[: len(enc) // 2],
+                                  b"Content-Encoding: gzip\r\n"))
+    enc = zlib.compress(raw)
+    with _pytest.raises(WarcError, match="truncated|corrupt"):
+        http_response(_http_block(enc[: len(enc) // 2],
+                                  b"Content-Encoding: deflate\r\n"))
+    # raw-deflate whose first two bytes happen to form a valid zlib
+    # header still decodes through the fallback (the eof check makes
+    # the wbits=15 attempt fail instead of returning partial bytes)
+    c = zlib.compressobj(wbits=-15)
+    body = c.compress(raw) + c.flush()
+    if (body[0] & 0x0F) == 8 and ((body[0] << 8) | body[1]) % 31 == 0:
+        _, _, out = http_response(_http_block(
+            body, b"Content-Encoding: deflate\r\n"))
+        assert out == raw
