@@ -68,7 +68,26 @@ def _predict(ra: int, rb: int, rc: int, sel: int) -> int:
 
 
 def decode_jpeg_lossless(data: bytes) -> np.ndarray:
-    """Decode an SOF3 lossless JPEG to (h, w, 4) RGBA uint8."""
+    """Decode an 8-bit SOF3 lossless JPEG to (h, w, 4) RGBA uint8 (the
+    image-lane contract)."""
+    planes, prec, comps = _decode_lossless(data)
+    if prec > 8:
+        raise JpegError(
+            f"lossless: {prec}-bit samples have no RGBA mapping — use "
+            "decode_jpeg_lossless_raw (the DNG path)")
+    return _assemble_rgba(planes, comps)
+
+
+def decode_jpeg_lossless_raw(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an SOF3 stream at ANY precision 2-16 to its raw sample
+    planes: ``((h, w, ncomp) uint16 array, precision)`` — what a DNG
+    raw tile actually carries (10/12/14/16-bit CFA mosaics)."""
+    planes, prec, comps = _decode_lossless(data)
+    stack = np.stack([planes[c] for c in comps], axis=2)
+    return stack.astype(np.uint16), prec
+
+
+def _decode_lossless(data: bytes):
     huff: dict[int, _HuffTable] = {}
     frame = None          # (precision, height, width, comps)
     restart_interval = 0
@@ -89,7 +108,11 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
         if marker == 0xD9:                       # EOI
             if frame is None or not out_planes:
                 raise JpegError("lossless: EOI before scan data")
-            return _assemble(frame, out_planes)
+            prec, _h, _w, comps = frame
+            missing = [c for c in comps if c not in out_planes]
+            if missing:
+                raise JpegError("lossless: scan missing components")
+            return out_planes, prec, comps
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         seg_len = _u16(data, i)
@@ -112,10 +135,6 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
             prec = seg[0]
             if not 2 <= prec <= 16:
                 raise JpegError(f"lossless: bad precision {prec}")
-            if prec > 8:
-                raise JpegError(
-                    f"lossless: {prec}-bit samples out of scope (8-bit "
-                    "corpus path only)")
             height = struct.unpack_from(">H", seg, 1)[0]
             width = struct.unpack_from(">H", seg, 3)[0]
             ncomp = seg[5]
@@ -204,12 +223,9 @@ def _decode_scan(data, start, height, width, prec, scan, sel, pt, huff,
     return end
 
 
-def _assemble(frame, out_planes) -> np.ndarray:
-    prec, height, width, comps = frame
-    missing = [c for c in comps if c not in out_planes]
-    if missing:
-        raise JpegError("lossless: scan missing components")
+def _assemble_rgba(out_planes, comps) -> np.ndarray:
     planes = [out_planes[c] for c in comps]
+    height, width = planes[0].shape
     out = np.empty((height, width, 4), dtype=np.uint8)
     out[:, :, 3] = 255
     if len(planes) == 1:
@@ -249,9 +265,12 @@ class _BitWriter:
 
 
 def build_jpeg_lossless(img: np.ndarray, predictor: int = 1,
-                        point_transform: int = 0) -> bytes:
-    """Independent SOF3 writer: (h, w) gray or (h, w, 3) RGB uint8,
-    any predictor 1-7, optional point transform (low bits dropped —
+                        point_transform: int = 0,
+                        precision: int = 8) -> bytes:
+    """Independent SOF3 writer: (h, w) gray or (h, w, 3) color samples
+    at any ``precision`` 2-16 (uint8/uint16 input; a 12/14/16-bit
+    grayscale frame is exactly what a DNG raw tile carries), any
+    predictor 1-7, optional point transform (low bits dropped —
     samples are coded at ``v >> Pt``).  One DC-format Huffman table
     with equal-length canonical codes over the categories present."""
     if img.ndim == 2:
@@ -259,11 +278,15 @@ def build_jpeg_lossless(img: np.ndarray, predictor: int = 1,
     elif img.ndim == 3 and img.shape[2] == 3:
         planes = [img[:, :, k].astype(np.int32) for k in range(3)]
     else:
-        raise JpegError("image must be (h,w) gray or (h,w,3) RGB")
+        raise JpegError("image must be (h,w) gray or (h,w,3) color")
     h, w = planes[0].shape
-    prec, pt = 8, point_transform
+    prec, pt = precision, point_transform
+    if not 2 <= prec <= 16:
+        raise JpegError("bad precision")
     if not 0 <= pt < prec:
         raise JpegError("bad point transform")
+    if any(int(p.max(initial=0)) >= (1 << prec) for p in planes):
+        raise JpegError(f"sample exceeds {prec}-bit precision")
     planes = [p >> pt for p in planes]
     half = 1 << (prec - pt - 1)
 

@@ -10861,6 +10861,80 @@ _add(
 )
 
 
+# [pair] DNG camera-raw decode (operators/dng.py, round-9: IFD0 +
+# SubIFD walk, CFA photometric, lossless-JPEG tiles at 10-16-bit
+# precision via jpeglossless.decode_jpeg_lossless_raw — the whole
+# Adobe DNG stack from scratch).  Each doc gets a REAL 16x16 DNG
+# whose mosaic is an integer formula of (doc_id, y, x); bits cycle
+# 12/14/16 and the predictor 1..7 by doc_id, odd docs tiled 8x8.
+# The gate emits the metadata face + the SUM of all decoded samples —
+# analytically replayable; any wrong sample anywhere shifts the sum.
+
+def _q_dng(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.dng import (
+            build_dng,
+            decode_dng_raw,
+            dng_metadata,
+        )
+
+        ys, xs = np.mgrid[0:16, 0:16]
+        for b in it:
+            out = {"media_id": [], "width": [], "height": [],
+                   "bits": [], "cfa": [], "sample_sum": []}
+            for mid in b["media_id"]:
+                did = int(mid)
+                bits = (12, 14, 16)[did % 3]
+                mosaic = ((did * 131 + ys * 17 + xs * 29)
+                          % (1 << bits)).astype(np.uint16)
+                payload = build_dng(
+                    mosaic, bits=bits, predictor=1 + did % 7,
+                    tile_size=(8, 8) if did % 2 else None)
+                meta = dng_metadata(payload)
+                decoded, ob = decode_dng_raw(payload)
+                assert ob == bits
+                out["media_id"].append(did)
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["bits"].append(meta["bits_per_sample"])
+                out["cfa"].append(meta["cfa_pattern"])
+                out["sample_sum"].append(int(decoded.sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, width long, height long, bits long, "
+        "cfa string, sample_sum long",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_dng",
+    _q_dng,
+    "WITH ks AS (SELECT unnest(generate_series(0, 255)) AS k), "
+    "s AS (SELECT d.doc_id, "
+    "  CASE d.doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 14 ELSE 16 END "
+    "  AS bits, ks.k // 16 AS y, ks.k % 16 AS x "
+    "  FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width, "
+    "CAST(16 AS BIGINT) AS height, CAST(MIN(bits) AS BIGINT) AS bits, "
+    "'RGGB' AS cfa, "
+    "CAST(SUM((doc_id * 131 + y * 17 + x * 29) % (CAST(1 AS BIGINT) "
+    "<< bits)) AS BIGINT) AS sample_sum "
+    "FROM s GROUP BY doc_id ORDER BY media_id NULLS FIRST",
+    "REAL DNG decode (IFD0+SubIFD, CFA raw, 12/14/16-bit SOF3 tiles "
+    "and strips, predictors cycled) -> metadata face + exact "
+    "sample-sum == the analytic replay",
+)
+
+
 # [pair] HEIF/AVIF metadata face (operators/heif.py, round-9: the
 # ISO-BMFF meta-box walk — ftyp brands, pitm/ipco/ipma property
 # resolution so the PRIMARY item's ispe wins, irot orientation
