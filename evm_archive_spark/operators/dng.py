@@ -16,11 +16,14 @@ uncompressed 16-bit samples.  With jpeglossless.py decoding any
 - ``decode_dng_raw``: the full CFA mosaic as a uint16 array (tiles
   edge-cropped, strips stitched) — real sample data, not a preview.
 
-``build_dng`` is the independent synthesis writer (IFD0 + SubIFD,
-SOF3 tiles via jpeglossless.build_jpeg_lossless or uncompressed
-16-bit, both byte orders).  Scope (typed, named): tightly-packed
-uncompressed 10/12-bit rows (BitsPerSample != 16 without JPEG) and
-lossy-JPEG/JPEG-XL DNG variants.
+SOF3 chunks may be n-component frames at width/n — the
+interleaved-columns layout real camera DNGs use — restored by a
+row-major reshape.  ``build_dng`` is the independent synthesis writer
+(IFD0 + SubIFD, SOF3 tiles via jpeglossless.build_jpeg_lossless —
+optionally interleaved — or uncompressed 16-bit, both byte orders).
+Scope (typed, named): tightly-packed uncompressed 10/12-bit rows
+(BitsPerSample != 16 without JPEG) and lossy-JPEG/JPEG-XL DNG
+variants.
 
 Reference parity note: the reference (SummaryDev/evm-archive) stores
 media as opaque bytea; this extends the multimodal metadata/decode
@@ -68,9 +71,16 @@ class DngError(ValueError):
     """Malformed or out-of-scope DNG payload."""
 
 
+def _tag0(fields: dict[int, tuple], tag: int, default):
+    """First value of a tag; the default also covers the crafted
+    present-but-count-0 case (empty tuple), which must stay typed."""
+    vals = fields.get(tag)
+    return vals[0] if vals else default
+
+
 def _read_ifd_all(data: bytes, off: int, bo: str) -> dict[int, tuple]:
     """Generic IFD read: {tag_number: values} (unknown tags kept)."""
-    if off + 2 > len(data):
+    if off < 0 or off + 2 > len(data):
         raise DngError("truncated IFD")
     (n,) = struct.unpack_from(bo + "H", data, off)
     fields: dict[int, tuple] = {}
@@ -83,6 +93,8 @@ def _read_ifd_all(data: bytes, off: int, bo: str) -> dict[int, tuple]:
         if size is None:
             continue
         total = size * cnt
+        if total > len(data):
+            raise DngError(f"tag {tag}: value larger than payload")
         voff = e + 8 if total <= 4 else struct.unpack_from(
             bo + "I", data, e + 8)[0]
         raw = data[voff: voff + total]
@@ -144,9 +156,9 @@ def _raw_ifd(b: bytes):
     NewSubfileType 0 (the full-resolution image)."""
     best = None
     for f, bo in _ifds(b):
-        if f.get(TAG_PHOTOMETRIC, (0,))[0] != PHOTO_CFA:
+        if _tag0(f, TAG_PHOTOMETRIC, 0) != PHOTO_CFA:
             continue
-        if f.get(TAG_NEW_SUBFILE, (0,))[0] == 0:
+        if _tag0(f, TAG_NEW_SUBFILE, 0) == 0:
             return f, bo
         if best is None:
             best = (f, bo)
@@ -166,17 +178,17 @@ def dng_metadata(b: bytes) -> dict:
     if ifd0 is None or TAG_DNG_VERSION not in ifd0:
         raise DngError("not a DNG payload (no DNGVersion)")
     ver = ".".join(str(v) for v in ifd0[TAG_DNG_VERSION][:4])
-    model = ifd0.get(TAG_UNIQUE_MODEL, ifd0.get(TAG_MODEL, (b"",)))[0]
+    model = _tag0(ifd0, TAG_UNIQUE_MODEL, _tag0(ifd0, TAG_MODEL, b""))
     raw, _bo = _raw_ifd(b)
     pat = raw.get(TAG_CFA_PATTERN, ())
     cfa = "".join(_CFA_NAMES.get(v, "?") for v in pat)
     return {
         "dng_version": ver,
         "camera_model": model.decode("utf-8", "replace") or None,
-        "width": int(raw.get(TAG_WIDTH, (0,))[0]) or None,
-        "height": int(raw.get(TAG_HEIGHT, (0,))[0]) or None,
-        "bits_per_sample": int(raw.get(TAG_BITS, (16,))[0]),
-        "compression": int(raw.get(TAG_COMPRESSION, (1,))[0]),
+        "width": int(_tag0(raw, TAG_WIDTH, 0)) or None,
+        "height": int(_tag0(raw, TAG_HEIGHT, 0)) or None,
+        "bits_per_sample": int(_tag0(raw, TAG_BITS, 16)),
+        "compression": int(_tag0(raw, TAG_COMPRESSION, 1)),
         "cfa_pattern": cfa or None,
     }
 
@@ -192,11 +204,11 @@ def decode_dng_raw(b: bytes) -> tuple[np.ndarray, int]:
     try:
         height = raw[TAG_HEIGHT][0]
         width = raw[TAG_WIDTH][0]
-    except KeyError as e:
-        raise DngError(f"raw IFD missing tag {e}") from e
-    bits = raw.get(TAG_BITS, (16,))[0]
-    comp = raw.get(TAG_COMPRESSION, (1,))[0]
-    spp = raw.get(TAG_SAMPLES_PER_PIXEL, (1,))[0]
+    except (KeyError, IndexError) as e:
+        raise DngError(f"raw IFD missing tag {e!r}") from e
+    bits = _tag0(raw, TAG_BITS, 16)
+    comp = _tag0(raw, TAG_COMPRESSION, 1)
+    spp = _tag0(raw, TAG_SAMPLES_PER_PIXEL, 1)
     if spp != 1:
         raise DngError("multi-sample CFA raws out of scope")
     if comp not in (1, 7):
@@ -224,9 +236,14 @@ def decode_dng_raw(b: bytes) -> tuple[np.ndarray, int]:
             if prec != bits:
                 raise DngError(
                     f"SOF3 precision {prec} != BitsPerSample {bits}")
-            if planes.shape[0] < ch or planes.shape[1] < cw:
+            # real DNG writers often encode the mosaic as an
+            # n-component SOF3 frame at width/n — the components are
+            # the INTERLEAVED columns (row-major reshape restores the
+            # full-width row exactly)
+            tile2d = planes.reshape(planes.shape[0], -1)
+            if tile2d.shape[0] < ch or tile2d.shape[1] < cw:
                 raise DngError("raw chunk smaller than declared")
-            return planes[:ch, :cw, 0]
+            return tile2d[:ch, :cw]
         if bits != 16:
             raise DngError(
                 f"packed {bits}-bit uncompressed raws out of scope "
@@ -238,8 +255,8 @@ def decode_dng_raw(b: bytes) -> tuple[np.ndarray, int]:
                              ).reshape(ch, cw)
 
     if TAG_TILE_OFFSETS in raw:
-        tw = raw.get(TAG_TILE_W, (0,))[0]
-        th = raw.get(TAG_TILE_H, (0,))[0]
+        tw = _tag0(raw, TAG_TILE_W, 0)
+        th = _tag0(raw, TAG_TILE_H, 0)
         if not tw or not th:
             raise DngError("bad tile dimensions")
         ta, td = -(-width // tw), -(-height // th)
@@ -263,7 +280,7 @@ def decode_dng_raw(b: bytes) -> tuple[np.ndarray, int]:
             raise DngError("raw IFD missing strip tables")
         if len(offs) > MAX_CHUNKS:
             raise DngError("strip count over cap")
-        rps = raw.get(TAG_ROWS_PER_STRIP, (height,))[0] or height
+        rps = _tag0(raw, TAG_ROWS_PER_STRIP, height) or height
         row0 = 0
         for off, cnt in zip(offs, cnts):
             nrows = min(rps, height - row0)
@@ -310,19 +327,37 @@ def _ifd_bytes(bo: str, entries: list[tuple], base: int,
     return out + b"\x00\x00\x00\x00" + bytes(ext) + tail
 
 
+_CFA_CODES = {v: k for k, v in _CFA_NAMES.items()}
+
+
 def build_dng(mosaic: np.ndarray, *, bits: int = 16,
               cfa: str = "RGGB", model: str = "SynthCam DNG",
               compression: int = 7, tile_size: tuple | None = None,
-              byte_order: str = "<", predictor: int = 1) -> bytes:
+              byte_order: str = "<", predictor: int = 1,
+              sof3_components: int = 1) -> bytes:
     """Write a structurally valid DNG: IFD0 (DNGVersion 1.4,
     UniqueCameraModel, SubIFDs pointer) + a raw SubIFD (CFA
     photometric, CFARepeatPatternDim/CFAPattern, lossless-JPEG tiles/
-    strip or uncompressed 16-bit).  Independent of the reader."""
+    strip or uncompressed 16-bit).  ``sof3_components`` > 1 writes
+    the interleaved-columns layout real camera DNGs use (an
+    n-component SOF3 frame at width/n).  Independent of the reader."""
     from .jpeglossless import build_jpeg_lossless
 
     h, w = mosaic.shape
     bo = byte_order
-    cfa_codes = bytes({"R": 0, "G": 1, "B": 2}[c] for c in cfa)
+    if len(cfa) != 4 or any(c not in _CFA_CODES for c in cfa):
+        raise DngError(f"bad CFA pattern {cfa!r} (4 letters of "
+                       f"{''.join(_CFA_CODES)})")
+    cfa_codes = bytes(_CFA_CODES[c] for c in cfa)
+    nc = sof3_components
+    if nc < 1 or (compression == 7 and w % nc):
+        raise DngError("sof3_components must divide the chunk width")
+
+    def sof3(chunk2d: np.ndarray) -> bytes:
+        if nc > 1:
+            chunk2d = chunk2d.reshape(chunk2d.shape[0], -1, nc)
+        return build_jpeg_lossless(chunk2d, predictor=predictor,
+                                   precision=bits)
 
     # raw chunks
     raw_entries: list[tuple] = [
@@ -339,6 +374,8 @@ def build_dng(mosaic: np.ndarray, *, bits: int = 16,
     chunks: list[bytes] = []
     if tile_size is not None:
         tw, th = tile_size
+        if compression == 7 and tw % nc:
+            raise DngError("sof3_components must divide the tile width")
         for ty in range(-(-h // th)):
             for tx in range(-(-w // tw)):
                 tile = mosaic[ty * th:(ty + 1) * th,
@@ -347,16 +384,14 @@ def build_dng(mosaic: np.ndarray, *, bits: int = 16,
                 if pad != ((0, 0), (0, 0)):
                     tile = np.pad(tile, pad, mode="edge")
                 if compression == 7:
-                    chunks.append(build_jpeg_lossless(
-                        tile, predictor=predictor, precision=bits))
+                    chunks.append(sof3(tile))
                 else:
                     chunks.append(tile.astype(bo + "u2").tobytes())
         raw_entries += [(TAG_TILE_W, 3, (tw,)), (TAG_TILE_H, 3, (th,))]
         off_tag, cnt_tag = TAG_TILE_OFFSETS, TAG_TILE_COUNTS
     else:
         if compression == 7:
-            chunks.append(build_jpeg_lossless(
-                mosaic, predictor=predictor, precision=bits))
+            chunks.append(sof3(mosaic))
         else:
             chunks.append(mosaic.astype(bo + "u2").tobytes())
         raw_entries.append((TAG_ROWS_PER_STRIP, 3, (h,)))

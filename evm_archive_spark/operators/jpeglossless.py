@@ -67,14 +67,17 @@ def _predict(ra: int, rb: int, rc: int, sel: int) -> int:
     raise JpegError(f"bad lossless predictor {sel}")
 
 
+#: allocation bound for self-declared SOF3 dimensions (the webp
+#: pixel-count rule: a ~100-byte crafted chunk must not force a
+#: multi-GiB buffer before any entropy data is read)
+MAX_LOSSLESS_SAMPLES = 1 << 24
+
+
 def decode_jpeg_lossless(data: bytes) -> np.ndarray:
     """Decode an 8-bit SOF3 lossless JPEG to (h, w, 4) RGBA uint8 (the
-    image-lane contract)."""
-    planes, prec, comps = _decode_lossless(data)
-    if prec > 8:
-        raise JpegError(
-            f"lossless: {prec}-bit samples have no RGBA mapping — use "
-            "decode_jpeg_lossless_raw (the DNG path)")
+    image-lane contract); >8-bit streams are rejected AT THE SOF
+    marker (no wasted full decode)."""
+    planes, prec, comps = _guarded_decode(data, max_prec=8)
     return _assemble_rgba(planes, comps)
 
 
@@ -82,12 +85,22 @@ def decode_jpeg_lossless_raw(data: bytes) -> tuple[np.ndarray, int]:
     """Decode an SOF3 stream at ANY precision 2-16 to its raw sample
     planes: ``((h, w, ncomp) uint16 array, precision)`` — what a DNG
     raw tile actually carries (10/12/14/16-bit CFA mosaics)."""
-    planes, prec, comps = _decode_lossless(data)
+    planes, prec, comps = _guarded_decode(data, max_prec=16)
     stack = np.stack([planes[c] for c in comps], axis=2)
     return stack.astype(np.uint16), prec
 
 
-def _decode_lossless(data: bytes):
+def _guarded_decode(data: bytes, max_prec: int):
+    """Normalize short-segment struct/index crashes to JpegError —
+    the typed contract every caller (jpeg.py route, dng.py) relies
+    on."""
+    try:
+        return _decode_lossless(data, max_prec)
+    except (struct.error, IndexError) as e:
+        raise JpegError(f"lossless: truncated structure: {e!r}") from e
+
+
+def _decode_lossless(data: bytes, max_prec: int = 16):
     huff: dict[int, _HuffTable] = {}
     frame = None          # (precision, height, width, comps)
     restart_interval = 0
@@ -135,11 +148,19 @@ def _decode_lossless(data: bytes):
             prec = seg[0]
             if not 2 <= prec <= 16:
                 raise JpegError(f"lossless: bad precision {prec}")
+            if prec > max_prec:
+                raise JpegError(
+                    f"lossless: {prec}-bit samples out of scope here "
+                    f"(max {max_prec}; the raw path takes 2-16)")
             height = struct.unpack_from(">H", seg, 1)[0]
             width = struct.unpack_from(">H", seg, 3)[0]
             ncomp = seg[5]
             if height == 0 or width == 0:
                 raise JpegError("lossless: zero dimension")
+            if height * width * max(ncomp, 1) > MAX_LOSSLESS_SAMPLES:
+                raise JpegError(
+                    "lossless: declared dimensions exceed the sample "
+                    "cap (decompression-bomb guard)")
             comps = []
             for c in range(ncomp):
                 cid = seg[6 + 3 * c]
@@ -275,10 +296,14 @@ def build_jpeg_lossless(img: np.ndarray, predictor: int = 1,
     with equal-length canonical codes over the categories present."""
     if img.ndim == 2:
         planes = [img.astype(np.int32)]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        planes = [img[:, :, k].astype(np.int32) for k in range(3)]
+    elif img.ndim == 3 and 2 <= img.shape[2] <= 4:
+        # 2-component frames are how real DNG writers interleave a
+        # CFA mosaic's columns into SOF3 (half width, two samples
+        # per unit)
+        planes = [img[:, :, k].astype(np.int32)
+                  for k in range(img.shape[2])]
     else:
-        raise JpegError("image must be (h,w) gray or (h,w,3) color")
+        raise JpegError("image must be (h,w) gray or (h,w,2..4) color")
     h, w = planes[0].shape
     prec, pt = precision, point_transform
     if not 2 <= prec <= 16:

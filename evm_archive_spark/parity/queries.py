@@ -10896,7 +10896,8 @@ def _q_dng(spark, sf_dir):
                           % (1 << bits)).astype(np.uint16)
                 payload = build_dng(
                     mosaic, bits=bits, predictor=1 + did % 7,
-                    tile_size=(8, 8) if did % 2 else None)
+                    tile_size=(8, 8) if did % 2 else None,
+                    sof3_components=2 if did % 5 == 0 else 1)
                 meta = dng_metadata(payload)
                 decoded, ob = decode_dng_raw(payload)
                 assert ob == bits
@@ -10930,8 +10931,9 @@ _add(
     "<< bits)) AS BIGINT) AS sample_sum "
     "FROM s GROUP BY doc_id ORDER BY media_id NULLS FIRST",
     "REAL DNG decode (IFD0+SubIFD, CFA raw, 12/14/16-bit SOF3 tiles "
-    "and strips, predictors cycled) -> metadata face + exact "
-    "sample-sum == the analytic replay",
+    "and strips, predictors cycled, interleaved 2-component frames "
+    "on doc_id % 5 == 0) -> metadata face + exact sample-sum == the "
+    "analytic replay",
 )
 
 

@@ -90,3 +90,58 @@ def test_ragged_tiles_and_predictors():
                       predictor=pred)
         out, _ = decode_dng_raw(d)
         assert np.array_equal(out, mosaic), pred
+
+
+def test_interleaved_sof3_components():
+    """Real camera DNGs encode the mosaic as n-component SOF3 frames
+    at width/n (columns interleaved) — round trips exactly, tiled and
+    striped (review finding: previously misreported as a short
+    chunk)."""
+    rng = np.random.default_rng(109)
+    mosaic = rng.integers(0, 1 << 14, (20, 28), dtype=np.uint16)
+    for nc, tiles in [(2, None), (2, (14, 10)), (4, (28, 10)),
+                      (2, (4, 6))]:
+        d = build_dng(mosaic, bits=14, tile_size=tiles,
+                      sof3_components=nc)
+        out, b = decode_dng_raw(d)
+        assert b == 14 and np.array_equal(out, mosaic), (nc, tiles)
+
+
+def test_sof3_dimension_bomb_and_empty_tags_typed():
+    import struct
+    import tracemalloc
+
+    from evm_archive_spark.operators.jpeg import JpegError
+    from evm_archive_spark.operators.jpeglossless import (
+        build_jpeg_lossless,
+        decode_jpeg_lossless_raw,
+    )
+
+    # a ~100-byte chunk claiming 65535x65535 must be typed, not an
+    # allocation (review finding)
+    small = bytearray(build_jpeg_lossless(np.zeros((4, 4), np.uint8)))
+    i = small.index(b"\xff\xc3")
+    struct.pack_into(">HH", small, i + 5, 65535, 65535)
+    tracemalloc.start()
+    with pytest.raises(JpegError, match="sample cap"):
+        decode_jpeg_lossless_raw(bytes(small))
+    _c, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 32 * 1024 * 1024
+    # >8-bit streams reject AT THE SOF for the RGBA lane (no full
+    # decode first)
+    from evm_archive_spark.operators.jpeg import decode_jpeg
+
+    hi = build_jpeg_lossless(
+        np.zeros((4, 4), dtype=np.uint16), precision=12)
+    with pytest.raises(JpegError, match="out of scope"):
+        decode_jpeg(hi)
+    # a present-but-count-0 tag stays typed (never IndexError)
+    good = bytearray(build_dng(np.zeros((8, 8), np.uint16), bits=16))
+    j = bytes(good).index(struct.pack("<HHI", 262, 3, 1))
+    struct.pack_into("<I", good, j + 4, 0)       # count 1 -> 0
+    with pytest.raises(DngError):
+        decode_dng_raw(bytes(good))
+    # writer CFA validation is typed
+    with pytest.raises(DngError, match="CFA"):
+        build_dng(np.zeros((4, 4), np.uint16), cfa="RGXB")
