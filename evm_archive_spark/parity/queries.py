@@ -10861,6 +10861,67 @@ _add(
 )
 
 
+# [pair] ICO (favicon) decode (operators/ico.py, round-9: directory
+# walk, PNG entries via the shared decode_png, DIB entries through a
+# synthesized BMP header with the doubled-height AND mask driving
+# alpha, best-frame selection).  Favicons are the most-fetched image
+# kind in a crawl.  Each doc gets a REAL two-frame ICO (a 4x4 decoy
+# plus the 8x8 pattern frame that best-frame selection must pick);
+# doc parity cycles DIB vs PNG entries.  Strict aHash over the
+# decoded best frame == the analytic bit-pattern replay.
+
+def _q_ico(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def build(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.ico import build_ico
+
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                ks = np.arange(64)
+                bits = ((did * 41 + ks * 19) % 8) < 4
+                v = np.where(bits, 240, 16).astype(np.uint8)
+                img = np.empty((8, 8, 4), dtype=np.uint8)
+                img[:, :, 0] = img[:, :, 1] = img[:, :, 2] = \
+                    v.reshape(8, 8)
+                img[:, :, 3] = 255
+                decoy = np.full((4, 4, 4), 128, dtype=np.uint8)
+                payloads.append(build_ico([decoy, img],
+                                          png=bool(did % 2)))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_ahash(media, strict=True).orderBy("media_id")
+
+
+_add(
+    "q_ico",
+    _q_ico,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 41 + ks.k * 19) % 8 < 4 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS ahash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL ICO (favicon) decode: two-frame files (DIB/PNG entries by "
+    "parity), best-frame selection -> strict aHash == the analytic "
+    "bit-pattern replay",
+)
+
+
 # [pair] DNG camera-raw decode (operators/dng.py, round-9: IFD0 +
 # SubIFD walk, CFA photometric, lossless-JPEG tiles at 10-16-bit
 # precision via jpeglossless.decode_jpeg_lossless_raw — the whole
