@@ -15,18 +15,19 @@ from .gif import GifError, decode_gif, is_gif
 from .ico import IcoError, decode_ico, is_ico
 from .jpeg import JpegError, decode_jpeg, is_jpeg
 from .png import PngError, decode_png, is_png
+from .psd import PsdError, decode_psd, is_psd
 from .tiff import TiffError, decode_tiff, is_tiff
 from .webp import WebpError, decode_webp, is_webp
 
 #: error types raised by any registered decoder (callers catch these to
 #: apply the strict/non-strict fallback contract)
 IMAGE_ERRORS = (PngError, JpegError, GifError, TiffError, BmpError,
-                WebpError, IcoError)
+                WebpError, IcoError, PsdError)
 
 #: human-readable list for strict-mode error messages
 IMAGE_FORMATS = ("PNG, JPEG (baseline/progressive/arithmetic/"
                  "lossless), GIF, TIFF, BMP, lossless WebP (VP8L), "
-                 "and ICO")
+                 "ICO, and PSD composites")
 
 _CODECS = (
     (is_png, decode_png),
@@ -37,6 +38,7 @@ _CODECS = (
     # lossless (VP8L) decodes for real; lossy VP8 raises the typed
     # WebpError boundary (strict re-raises, non-strict takes the fake)
     (is_webp, decode_webp),
+    (is_psd, decode_psd),
     # last: the ICO magic is weak (leading zeros) — its sniff
     # validates the whole directory before claiming a payload
     (is_ico, decode_ico),

@@ -10922,6 +10922,64 @@ _add(
 )
 
 
+# [pair] PSD composite decode (operators/psd.py, round-9: '8BPS'
+# header, length-prefixed section skip, planar channels, PackBits RLE
+# with the per-row count table).  Each doc gets a REAL PSD whose 8x8
+# pattern replays analytically (the q_webp gate shape); doc parity
+# cycles RLE vs raw, doc_id % 3 == 0 uses grayscale mode.
+
+def _q_psd(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def build(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.psd import build_psd
+
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                ks = np.arange(64)
+                bits = ((did * 43 + ks * 23) % 9) < 4
+                v = np.where(bits, 240, 16).astype(np.uint8)
+                if did % 3 == 0:
+                    img = v.reshape(8, 8)
+                else:
+                    img = np.empty((8, 8, 3), dtype=np.uint8)
+                    img[:, :, 0] = img[:, :, 1] = img[:, :, 2] = \
+                        v.reshape(8, 8)
+                payloads.append(build_psd(img, rle=bool(did % 2)))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_ahash(media, strict=True).orderBy("media_id")
+
+
+_add(
+    "q_psd",
+    _q_psd,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 43 + ks.k * 23) % 9 < 4 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS ahash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL PSD composite decode (RLE/raw by parity, gray on "
+    "doc_id % 3 == 0) -> strict aHash == the analytic bit-pattern "
+    "replay",
+)
+
+
 # [pair] DNG camera-raw decode (operators/dng.py, round-9: IFD0 +
 # SubIFD walk, CFA photometric, lossless-JPEG tiles at 10-16-bit
 # precision via jpeglossless.decode_jpeg_lossless_raw — the whole
