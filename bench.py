@@ -559,7 +559,13 @@ def _self_heal(spark, timings: dict[str, float],
         "flagged": {n: round(r, 2) for r, n in flagged},
         "reruns": {},
     }
-    if not out_of_band or not flagged:
+    # r9 lesson (VERDICT r9 what's-wrong #2): the Spark sentinel measures
+    # scheduler latency, not box CPU pressure — loadavg hit 20 while the
+    # sentinel sat in band, so 15 flagged entries went un-rerun.  Flagged
+    # entries are now ALWAYS re-run (a rerun costs seconds and settles
+    # load-vs-regression by measurement); out_of_band stays as a recorded
+    # diagnostic only.
+    if not flagged:
         return rec
     rec["sentinel_reheal"] = _sentinel(spark)
     for _ratio, name in flagged:
@@ -678,24 +684,57 @@ def main() -> None:
         v for k, v in timings.items() if k not in ("q_sink_pg_insert",
                                                    "q_sink_pg_copy",
                                                    "q_sink_pg_copy_part"))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "load_proxy": {
-                    "sentinel_start_sec": sentinel_start,
-                    "sentinel_end_sec": sentinel_end,
-                    "loadavg_start": [round(x, 2) for x in load_start],
-                    "loadavg_end": [round(x, 2) for x in load_end],
-                },
-                "self_heal": heal,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_proxy": {
+            "sentinel_start_sec": sentinel_start,
+            "sentinel_end_sec": sentinel_end,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in load_end],
+        },
+        "self_heal": heal,
+    }
+    # Full detail to stderr + BENCH_detail.json — NOT stdout.  The
+    # driver captures the last 2000 chars of stdout and parses the
+    # final JSON line; r9's self_heal block pushed the single detailed
+    # line past that window and the official r9 bench record lost its
+    # headline (`parsed: null`, VERDICT r9 what's-wrong #1).
+    print(json.dumps(record), file=sys.stderr)
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+        with open(detail_path, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass
+
+    # The ONE stdout JSON line, guaranteed to fit the driver's 2000-char
+    # tail: compact separators, 2-decimal per-query values; if the
+    # registry ever grows the line past 1800 chars, keep only the
+    # slowest entries and mark the dict truncated (full dict is always
+    # in BENCH_detail.json and on stderr).
+    compact_queries = {k: round(v, 2) for k, v in timings.items()}
+    head = {
+        "metric": "headline_queries_wall",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": compact_queries,
+        "sf": record["sf"],
+    }
+    line = json.dumps(head, separators=(",", ":"))
+    if len(line) > 1800:
+        keep = sorted(compact_queries, key=compact_queries.get,
+                      reverse=True)
+        while len(line) > 1800 and keep:
+            keep = keep[:-5]
+            head["queries"] = {k: compact_queries[k] for k in keep}
+            head["queries_truncated"] = True
+            line = json.dumps(head, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -274,8 +274,11 @@ def _exif_item(b: bytes, mb: int, me: int) -> bytes | None:
         else:
             item_id = _uint(pos, 4)
             pos += 4
+        construction_method = 0
         if ver in (1, 2):
-            pos += 2                           # construction_method
+            # low 4 bits: 0=file offsets, 1=idat-relative, 2=item-relative
+            construction_method = _uint(pos, 2) & 0x0F
+            pos += 2
         pos += 2                               # data_reference_index
         base = _uint(pos, base_offset_size)
         pos += base_offset_size
@@ -291,6 +294,11 @@ def _exif_item(b: bytes, mb: int, me: int) -> bytes | None:
             ln = _uint(pos, length_size)
             pos += length_size
             extents.append((base + off, ln))
+        if item_id == exif_id and construction_method != 0:
+            # idat-/item-relative extents (method 1/2) are NOT file
+            # offsets — reading them as absolute would pull garbage
+            # bytes (r9 ADVICE); typed no-op instead.
+            return None
         if item_id == exif_id and extents:
             # a fragmented item is legal: the payload is ALL extents
             # concatenated, not just the first

@@ -132,13 +132,26 @@ def ico_images(b: bytes):
 @guard(IcoError)
 def decode_ico(b: bytes) -> np.ndarray:
     """The best frame (largest area, then deepest bpp) as (h, w, 4)
-    uint8 RGBA — the shared image-codec contract."""
+    uint8 RGBA — the shared image-codec contract.
+
+    Best-frame selection tolerates per-entry failures: a real favicon
+    often mixes decodable frames with an out-of-scope one (e.g. a
+    compressed DIB), and one bad entry must not fail the icon when
+    another decodes (r9 ADVICE) — only an ICO whose EVERY entry fails
+    raises."""
     if not is_ico(b):
         raise IcoError("not an ICO/CUR payload")
+    _kind, entries = _entries(b)
     best = None
     best_key = (-1, -1)
-    for w, h, bpp, rgba in ico_images(b):
-        key = (w * h, bpp)
+    for _w, _h, bpp, off, size in (
+            (e[0], e[1], e[3], e[4], e[5]) for e in entries):
+        try:
+            rgba = _decode_entry(b, off, size)
+        except ValueError:
+            # IcoError / BmpError / PngError are all ValueError-rooted
+            continue
+        key = (rgba.shape[1] * rgba.shape[0], bpp)
         if key > best_key:
             best_key, best = key, rgba
     if best is None:

@@ -249,7 +249,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise TiffError(f"JPEG {what}: {e}") from e
         if rgba.shape[0] < need_h or rgba.shape[1] < need_w:
             raise TiffError(f"JPEG {what} smaller than declared")
-        return rgba[:, :, 0:1] if spp == 1 else rgba[:, :, :3]
+        if spp == 1:
+            # a gray-declared TIFF must carry a grayscale JPEG — our
+            # 1-component decode emits R==G==B by construction, so a
+            # channel mismatch means a (malformed) color stream and
+            # returning channel 0 would silently yield the red plane
+            # (r9 ADVICE)
+            if not (np.array_equal(rgba[:, :, 0], rgba[:, :, 1])
+                    and np.array_equal(rgba[:, :, 1], rgba[:, :, 2])):
+                raise TiffError(
+                    f"color JPEG {what} inside gray-declared TIFF")
+            return rgba[:, :, 0:1]
+        return rgba[:, :, :3]
 
     if tiled:
         # tiled organization (what DNG raws and GeoTIFFs use): a grid

@@ -201,24 +201,39 @@ def _decode_content_encoding(encoding: str, body: bytes,
         return body
 
     def inflate(data: bytes, wbits: int) -> bytes:
-        d = zlib.decompressobj(wbits=wbits)
-        try:
-            out = d.decompress(data, max_out + 1)
-        except zlib.error as e:
-            raise WarcError(f"corrupt deflate/gzip body: {e!r}") from e
-        if len(out) > max_out:
-            # cap breach: return as-is — the loop's post-check raises
-            # OUTSIDE inflate so the deflate raw-fallback (which
-            # retries on WarcError from the zlib-wrapped attempt)
-            # cannot swallow it
-            return out
-        if not d.eof:
-            # a truncated stream "decodes" to partial/empty bytes
-            # without error — typed, never silently lossy (this also
-            # makes the zlib->raw-deflate fallback correct when a raw
-            # body's first bytes coincide with a zlib header)
-            raise WarcError("truncated deflate/gzip body")
-        return out
+        # gzip (wbits=31) bodies may legally hold SEVERAL concatenated
+        # members (RFC 1952 §2.2 / RFC 9110) — iterate via unused_data
+        # like the record-level gzip walker above; a one-member-only
+        # decode would silently truncate (r9 ADVICE).  Trailing bytes
+        # that are NOT another gzip member are ignored as junk, which
+        # matches gzip(1) and the browsers.
+        pieces: list[bytes] = []
+        total = 0
+        while True:
+            d = zlib.decompressobj(wbits=wbits)
+            try:
+                out = d.decompress(data, max_out + 1 - total)
+            except zlib.error as e:
+                raise WarcError(f"corrupt deflate/gzip body: {e!r}") from e
+            pieces.append(out)
+            total += len(out)
+            if total > max_out:
+                # cap breach: return as-is — the loop's post-check
+                # raises OUTSIDE inflate so the deflate raw-fallback
+                # (which retries on WarcError from the zlib-wrapped
+                # attempt) cannot swallow it
+                return b"".join(pieces)
+            if not d.eof:
+                # a truncated stream "decodes" to partial/empty bytes
+                # without error — typed, never silently lossy (this
+                # also makes the zlib->raw-deflate fallback correct
+                # when a raw body's first bytes coincide with a zlib
+                # header)
+                raise WarcError("truncated deflate/gzip body")
+            if wbits == 31 and d.unused_data.startswith(b"\x1f\x8b"):
+                data = d.unused_data
+                continue
+            return b"".join(pieces)
 
     for token in reversed(tokens):
         if token == "identity":

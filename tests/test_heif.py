@@ -176,6 +176,40 @@ def test_associations_do_not_leak_across_items():
     assert m["orientation"] == 1, m          # thumb's irot must NOT leak
 
 
+def test_iloc_construction_method_nonzero_is_typed_noop():
+    """iloc version 1/2 items with construction_method != 0 carry
+    idat-/item-relative extents, NOT file offsets — reading them as
+    absolute pulls garbage (r9 ADVICE).  The Exif lookup must be a
+    typed no-op: dims still parse, make/model absent."""
+    from evm_archive_spark.operators.heif import _box, _full
+
+    brand = b"heic"
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    ispe = _full(b"ispe", 0, 0, struct.pack(">II", 10, 20))
+    tiff = _tiff_ifd0(b"Apple", b"iPhone")
+    exif_blob = struct.pack(">I", 0) + tiff
+    infe = _full(b"infe", 2, 0,
+                 struct.pack(">HH", 2, 0) + b"Exif" + b"\x00")
+    iinf = _full(b"iinf", 0, 0, struct.pack(">H", 1) + infe)
+    for method in (1, 2):
+        # iloc VERSION 1: u16 item_id, u16 construction_method
+        iloc = _full(b"iloc", 1, 0,
+                     bytes([0x44, 0x00]) + struct.pack(">H", 1)
+                     + struct.pack(">HHH", 2, method, 0)
+                     + struct.pack(">H", 1)
+                     + struct.pack(">II", 0xAAAAAAAA, len(exif_blob)))
+        pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+        meta = _full(b"meta", 0, 0,
+                     pitm + iinf + iloc
+                     + _box(b"iprp", _box(b"ipco", ispe)))
+        head = ftyp + meta
+        blob = (head + _box(b"mdat", exif_blob)).replace(
+            struct.pack(">I", 0xAAAAAAAA), struct.pack(">I", len(head) + 8))
+        m = heif_metadata(blob)
+        assert (m["width"], m["height"]) == (10, 20), method
+        assert m.get("make") is None and m.get("model") is None, method
+
+
 def test_bare_boxes_and_v3_infe_and_multi_extent_exif():
     from evm_archive_spark.operators.heif import _box, _full
 

@@ -73,17 +73,43 @@ def test_typed_boundaries_and_truncation():
     for cut in range(0, len(good), 9):
         with pytest.raises(IcoError):
             decode_ico(good[:cut])
-    # odd (non-doubled) DIB height is typed
+    # odd (non-doubled) DIB height is typed (per-entry via ico_images;
+    # decode_ico reports it as the no-decodable aggregate since r10's
+    # per-entry tolerance)
     bad = bytearray(good)
     entry_off = struct.unpack_from("<I", bad, 6 + 12)[0]
     struct.pack_into("<i", bad, entry_off + 8, 15)
     with pytest.raises(IcoError, match="doubled"):
+        list(ico_images(bytes(bad)))
+    with pytest.raises(IcoError, match="no decodable"):
         decode_ico(bytes(bad))
     # compressed DIB entries are typed
     bad = bytearray(good)
     struct.pack_into("<I", bad, entry_off + 16, 1)
     with pytest.raises(IcoError, match="compressed"):
-        decode_ico(bytes(bad))
+        list(ico_images(bytes(bad)))
+
+
+def test_best_frame_skips_undecodable_entries():
+    """One bad/out-of-scope entry (e.g. a compressed DIB) must not
+    fail the icon when another entry decodes (r9 ADVICE); only an ICO
+    with NO decodable entry raises."""
+    small, big = _rgba(8, 8, 47, holes=False), _rgba(16, 16, 53, holes=False)
+    ico = bytearray(build_ico([small, big]))
+    # mark the BIG entry's DIB compressed (out of scope) — best-frame
+    # selection falls back to the small frame instead of raising
+    off_big = struct.unpack_from("<I", ico, 6 + 16 + 12)[0]
+    struct.pack_into("<I", ico, off_big + 16, 1)
+    assert np.array_equal(decode_ico(bytes(ico)), small)
+    # every entry bad: typed
+    off_small = struct.unpack_from("<I", ico, 6 + 12)[0]
+    struct.pack_into("<I", ico, off_small + 16, 1)
+    with pytest.raises(IcoError, match="no decodable"):
+        decode_ico(bytes(ico))
+    # ico_images (the all-frames walk) still surfaces the per-entry
+    # error — only best-frame selection is tolerant
+    with pytest.raises(IcoError, match="compressed"):
+        list(ico_images(bytes(ico)))
 
 
 def test_imagecodec_routing():

@@ -532,6 +532,17 @@ def test_jpeg_in_tiff_jpegtables_splice_and_errors():
                         jpeg_strip_encoder=lambda rows: small)
     with pytest.raises(TiffError, match="smaller than declared"):
         decode_tiff(short)
+    # a COLOR JPEG inside a gray-declared TIFF must be typed, not the
+    # red channel silently (r9 ADVICE)
+    from evm_archive_spark.operators.jpegarith import encode_jpeg_arith
+
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[:, :, 0] = 200                        # red-only image
+    color_strip = encode_jpeg_arith(rgb)
+    colorbad = encode_tiff(np.zeros((16, 16), np.uint8), compression=7,
+                           jpeg_strip_encoder=lambda rows: color_strip)
+    with pytest.raises(TiffError, match="color JPEG"):
+        decode_tiff(colorbad)
 
 
 # --------------------------------------------------------------------------

@@ -371,6 +371,27 @@ def test_content_encoding_gzip_deflate_brotli():
         assert (status, body) == (200, raw), hdr
 
 
+def test_content_encoding_multi_member_gzip():
+    """An HTTP gzip body may hold several concatenated members
+    (RFC 1952 §2.2) — all must decode, like the record-level gzip
+    walker; trailing non-gzip junk after the last member is ignored
+    (gzip(1) behavior)."""
+    import gzip
+
+    from evm_archive_spark.operators.warc import http_response
+
+    parts = [b"first member " * 10, b"second " * 20, b"third!" * 5]
+    enc = b"".join(gzip.compress(p) for p in parts)
+    _, _, body = http_response(
+        _http_block(enc, b"Content-Encoding: gzip\r\n"))
+    assert body == b"".join(parts)
+    # trailing junk that is NOT a gzip member: ignored, first member kept
+    _, _, body = http_response(_http_block(
+        gzip.compress(parts[0]) + b"\x00junk",
+        b"Content-Encoding: gzip\r\n"))
+    assert body == parts[0]
+
+
 def test_content_encoding_raw_deflate_fallback():
     import zlib
 
