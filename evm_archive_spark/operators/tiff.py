@@ -10,13 +10,15 @@ Compression 1 (none), 5 (LZW with horizontal differencing predictor),
 (PackBits), and 7 (new-style JPEG-in-TIFF: each strip/tile a complete
 JPEG bitstream, optional JPEGTables splice — with SOF3 payloads this
 is the DNG raw layout, and the shared jpeg.py dispatch handles
-baseline/progressive/arithmetic/lossless streams alike); 2 (CCITT)
-and 6 (old-JPEG) are out of scope.
+baseline/progressive/arithmetic/lossless streams alike); 2/3/4
+(CCITT fax: Modified Huffman rows, Group 3 per the T4Options flag,
+Group 4 MMR — the scanned-document compressions, via ccittfax.py);
+6 (old-JPEG) is out of scope.
 
 Scope notes (clear errors, no silent wrong pixels): 16-bit samples,
-planar configuration 2, bilevel tiles, and CCITT/old-JPEG
-compressions raise ``TiffError`` naming the gap.  Output matches the
-other codecs' contract: (h, w, 4) uint8 RGBA.
+planar configuration 2, bilevel tiles, CCITT uncompressed mode, and
+old-JPEG compression raise ``TiffError`` naming the gap.  Output
+matches the other codecs' contract: (h, w, 4) uint8 RGBA.
 
 TIFF's LZW differs from GIF's: codes are MSB-first, code width starts
 at 9 and bumps at dictionary sizes 511/1023/2047 (one EARLIER than the
@@ -54,6 +56,7 @@ _TAGS = {
     322: "tile_width", 323: "tile_length", 324: "tile_offsets",
     325: "tile_byte_counts", 338: "extra_samples",
     284: "planar_config", 347: "jpeg_tables",
+    292: "t4_options", 293: "t6_options",
 }
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -193,12 +196,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
     predictor = f.get("predictor", (1,))[0]
     if planar != 1:
         raise TiffError("planar configuration 2 not supported")
-    if comp not in (1, 5, 8, 32946, 32773, 7):
-        names = {2: "CCITT", 6: "old-JPEG"}
+    if comp not in (1, 5, 8, 32946, 32773, 7, 2, 3, 4):
+        names = {6: "old-JPEG"}
         raise TiffError(
             f"compression {names.get(comp, comp)} not supported "
-            "(none/LZW/Deflate/PackBits/JPEG only)"
+            "(none/CCITT/LZW/Deflate/PackBits/JPEG only)"
         )
+    if comp in (2, 3, 4):
+        # CCITT fax (round 10): MH rows / Group 3 / Group 4 via the
+        # shared T.4/T.6 codecs
+        if bps != (1,) or spp != 1:
+            raise TiffError("CCITT compression requires bilevel data")
+        t4opts = f.get("t4_options", (0,))[0]
+        t6opts = f.get("t6_options", (0,))[0]
+        if (comp == 3 and t4opts & 2) or (comp == 4 and t6opts & 2):
+            raise TiffError("CCITT uncompressed mode not supported")
     if any(b not in (1, 8) for b in bps) or (bps[0] == 1 and spp != 1):
         raise TiffError(f"bits-per-sample {bps} not supported (1 or 8)")
     if comp == 7:
@@ -316,6 +328,25 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 pix = jpeg_pixels(strip, nrows, width, "strip")
                 dec = np.ascontiguousarray(
                     pix[:nrows, :width]).tobytes()
+            elif comp in (2, 3, 4):
+                from .ccittfax import (
+                    CcittError,
+                    decode_g3,
+                    decode_g4,
+                    decode_mh,
+                )
+
+                try:
+                    if comp == 2:
+                        packed = decode_mh(strip, width, nrows)
+                    elif comp == 3:
+                        packed = decode_g3(strip, width, nrows,
+                                           two_d=bool(t4opts & 1))
+                    else:
+                        packed = decode_g4(strip, width, nrows)
+                except CcittError as e:
+                    raise TiffError(f"CCITT strip: {e}") from e
+                dec = packed.tobytes()
             else:
                 dec = inflate_chunk(strip, want, "strip")
             if len(dec) < want:

@@ -10801,6 +10801,67 @@ _add(
 )
 
 
+# [pair] CCITT fax decode (operators/ccittfax.py, round-10: the
+# T.4/T.6 codecs scanned-document TIFFs use — MH run alphabet, G3
+# EOL/tag framing, G4 MMR 2-D coding).  Each doc gets a REAL
+# single-strip bilevel TIFF from the module's own build_tiff_fax
+# writer (compression cycles MH / G3 1-D / G3 2-D / G4 by doc_id %
+# 4); under photometric 0 the WHITE cells decode to 255, so the
+# strict aHash bit k = [(doc_id*41 + k*13) % 5 < 2] (the white
+# pattern) replays analytically in SQL.  Any run-table, EOL-framing
+# or 2-D mode mistake flips hash bits — a pixel-exactness gate.
+# The module is also cross-pinned BOTH directions against the system
+# libtiff in pytest.
+
+def _q_ccitt_fax(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def build(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.ccittfax import build_tiff_fax
+
+        variants = [(2, False), (3, False), (3, True), (4, False)]
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                ks = np.arange(64)
+                white = ((did * 41 + ks * 13) % 5) < 2
+                rows = (~white).astype(np.uint8).reshape(8, 8)
+                comp, td = variants[did % 4]
+                payloads.append(build_tiff_fax(rows, comp, two_d=td))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_ahash(media, strict=True).orderBy("media_id")
+
+
+_add(
+    "q_ccitt_fax",
+    _q_ccitt_fax,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 41 + ks.k * 13) % 5 < 2 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS ahash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL CCITT fax decode (MH / G3 1-D / G3 2-D / G4 cycled through "
+    "full TIFF containers) -> strict aHash over decoded pixels == the "
+    "analytic white-pattern replay; libtiff-pinned both directions "
+    "in pytest",
+)
+
+
 # [pair] LOSSLESS JPEG decode (operators/jpeglossless.py, round-9:
 # the T.81 SOF3 predictive process DNG raw files use — 7 predictors,
 # Huffman difference categories, point transform; no DCT).  Each doc
@@ -12039,10 +12100,59 @@ _ROUND9_STAGED: list[str] = [
 _ROUND9_RECHECK_POOL = list(_ROUND4_FIRST) + list(_ROUND2_FIRST)
 
 
-def _round9_first() -> list[str]:
+# (the r9 head-builder is retired; _ROUND9_* lists above remain as the
+# documented composition of that round's window, like _ROUND3..8_FIRST)
+
+
+# Round-10 head (ACTIVE).  CORRECTNESS_r09 came back 50/50 green with
+# zero `err` rows.  Composition per the standing contract (NOTES.md
+# round-10 window plan / VERDICT r9 next-round #2 and #7):
+#   1. zero r09 reds to re-enter;
+#   2. the FIVE r9-registered gates the r9 [:50] cap left with no
+#      driver row ever (q_heif_meta, q_jpeg_lossless, q_dng, q_ico,
+#      q_psd) — all sweep-green at BOTH SFs in SWEEP_r09 and all five
+#      judge-re-run green in the r9 verdict; after this head records
+#      them, union driver coverage is 286/286;
+#   3. gates registered new IN round 10 itself OR whose fixture cycle
+#      materially changed this round (_ROUND10_STAGED, appended as
+#      they land; each driver-sim'd at both SFs before entry);
+#   4. remaining slots: the 47 registered gates whose newest driver
+#      row is r4-vintage, in _ROUND4_FIRST order (computed from the
+#      CORRECTNESS_r01..r09 union; the three _ROUND4_FIRST names not
+#      in today's registry — q_w5_range_frame, q_j8_full_outer,
+#      q_u6_except_all — were renamed in r5 and are filtered).  The
+#      few the [:50] cap displaces rotate into the r11 head.
+# Nothing here is curated for expected-pass.
+_ROUND10_NEVER_SAMPLED = [
+    "q_heif_meta", "q_jpeg_lossless", "q_dng", "q_ico", "q_psd",
+]
+_ROUND10_STAGED: list[str] = [
+    # appended as round-10 gates land OR materially change their
+    # fixture cycle (each driver-sim'd at both SFs first)
+    "q_ccitt_fax",  # NEW: T.4/T.6 fax TIFF decode (MH/G3/G3-2D/G4)
+]
+_ROUND10_R4_VINTAGE = [
+    "q_lenpct", "q_vocab", "q_range_join", "q_rollup_incr",
+    "q_cov", "q_pack_text", "q_contam_report", "q_resample",
+    "q_gaps", "q_funnel", "q_retention", "q_topk_group",
+    "q_jsonl", "q_csv", "q_orc", "q_table_profile",
+    "q_dq_orphans", "q_scd2", "q_sessionize", "q_rolling_dau",
+    "q_cluster_hist", "q_lm_score", "q_pagerank", "q_snapshot_diff",
+    "q_hard_neg", "q_kcenter", "q_fuzzy_join", "q_bfs",
+    "q_triangles", "q_mmr", "q_epoch_shuffle", "q_evolve",
+    "q_setsim", "q_w5_range_frame", "q_w6_value_funcs", "q_x6_bitwise",
+    "q_x7_conditional", "q_entity_res", "q_x8_datetime", "q_x9_string2",
+    "q_sssp", "q_ewma", "q_a9_filter_clause", "q_j8_full_outer",
+    "q_u5_bag_setops", "q_u6_except_all", "q_len_bucket", "q_leak_split",
+    "q_pad_waste", "q_incr_minhash",
+]
+
+
+def _round10_first() -> list[str]:
     head: list[str] = []
     seen: set[str] = set()
-    for n in _ROUND9_RECHECKS + _ROUND9_STAGED + _ROUND9_RECHECK_POOL:
+    for n in (_ROUND10_NEVER_SAMPLED + _ROUND10_STAGED
+              + _ROUND10_R4_VINTAGE):
         if n in seen or n not in _REGISTERED_NAMES:
             continue
         seen.add(n)
@@ -12052,7 +12162,7 @@ def _round9_first() -> list[str]:
 
 def _reordered() -> list[ParityQuery]:
     by_name = {q.name: q for q in _REGISTRY}
-    order = _round9_first()
+    order = _round10_first()
     head = [by_name[n] for n in order if n in by_name]
     in_head = set(n for n in order if n in by_name)
     tail = [q for q in _REGISTRY if q.name not in in_head]

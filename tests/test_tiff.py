@@ -95,6 +95,7 @@ def encode_tiff(
     bilevel=False,
     jpeg_strip_encoder=None,
     tile_size=None,
+    t4_options=0,
 ):
     """``px``: (h, w) gray/index array or (h, w, 3|4) RGB(A).  For
     compression 7 each strip band / tile is serialized by
@@ -104,8 +105,12 @@ def encode_tiff(
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
     rps = rows_per_strip or h
+    fax = compression in (2, 3, 4)
+    if fax:
+        bilevel = True
     if photometric is None:
-        photometric = 2 if spp >= 3 else 1
+        # fax default: 0 (WhiteIsZero), the T.4/T.6 convention
+        photometric = 0 if fax else (2 if spp >= 3 else 1)
 
     def compress_body(body: bytes) -> bytes:
         if compression == 5:
@@ -148,6 +153,22 @@ def encode_tiff(
             if compression == 7:
                 strips.append(jpeg_strip_encoder(rows))
                 continue
+            if compression in (2, 3, 4):
+                from evm_archive_spark.operators.ccittfax import (
+                    encode_g3,
+                    encode_g4,
+                    encode_mh,
+                )
+
+                bits = (rows > 0).astype(np.uint8)
+                if compression == 2:
+                    strips.append(encode_mh(bits))
+                elif compression == 3:
+                    strips.append(encode_g3(bits, two_d=bool(
+                        t4_options & 1)))
+                else:
+                    strips.append(encode_g4(bits))
+                continue
             if bilevel:
                 strips.append(compress_body(np.packbits(
                     (rows > 0).astype(np.uint8), axis=1).tobytes()))
@@ -176,6 +197,8 @@ def encode_tiff(
         short(278, rps)
     if predictor != 1:
         short(317, predictor)
+    if compression == 3:
+        long_(292, t4_options)
     if colormap is not None:
         short(320, *colormap)
     # offsets/counts filled after layout
@@ -307,10 +330,17 @@ def test_rejections():
         decode_tiff(b"not a tiff")
     with pytest.raises(TiffError):
         decode_tiff(bytes(good[:30]))
-    # unsupported compression id (CCITT)
-    bad = encode_tiff(img, compression=2)
-    with pytest.raises(TiffError, match="CCITT"):
-        decode_tiff(bad)
+    # unsupported compression id (old-JPEG)
+    gray = encode_tiff(np.zeros((4, 4), np.uint8))
+    i = gray.index(struct.pack("<HH", 259, 3))
+    bad = bytearray(gray)
+    struct.pack_into("<H", bad, i + 8, 6)
+    with pytest.raises(TiffError, match="old-JPEG"):
+        decode_tiff(bytes(bad))
+    # CCITT compression over non-bilevel data is typed
+    struct.pack_into("<H", bad, i + 8, 4)
+    with pytest.raises(TiffError, match="bilevel"):
+        decode_tiff(bytes(bad))
 
 
 def _pooled_tiff_through_spark_strict_paths(spark):
@@ -661,3 +691,175 @@ def test_tiled_hardening():
     # tile data overrunning the payload is typed
     with pytest.raises(TiffError):
         decode_tiff(good[:-40])
+
+
+# --------------------------------------------------------------------------
+# CCITT fax compressions 2/3/4 (round 10) — scanned-document corpora
+# --------------------------------------------------------------------------
+
+
+def _fax_page(h, w, seed):
+    """Fax-like bilevel content: text-ish runs over a white page."""
+    rng = np.random.default_rng(seed)
+    page = (rng.random((h, w)) < 0.25).astype(np.uint8)
+    page[:, : w // 4] = 0                       # long white margins
+    if h > 2:
+        page[h // 2, :] = 1                     # a full black rule
+    return page * 255
+
+
+def test_ccitt_mh_g3_g4_roundtrip_through_tiff():
+    """Compression 2 (MH rows), 3 (G3 1-D and 2-D per T4Options), and
+    4 (G4 MMR) through the full TIFF container, both photometrics."""
+    for h, w in [(9, 40), (16, 173), (5, 1728)]:
+        page = _fax_page(h, w, h * w)
+        want_black0 = np.where(page > 0, 0, 255).astype(np.uint8)
+        for comp, t4 in [(2, 0), (3, 0), (3, 1), (4, 0)]:
+            t = encode_tiff(page, compression=comp, t4_options=t4,
+                            rows_per_strip=4)
+            out = decode_tiff(t)
+            # photometric 0: black pixels (bit 1) render 0
+            assert np.array_equal(out[:, :, 0], want_black0), (comp, t4)
+            assert np.array_equal(out[:, :, 0], out[:, :, 1])
+            t1 = encode_tiff(page, compression=comp, t4_options=t4,
+                             photometric=1)
+            out1 = decode_tiff(t1)
+            assert np.array_equal(out1[:, :, 0], 255 - want_black0), comp
+
+
+def test_ccitt_typed_boundaries():
+    page = _fax_page(8, 64, 11)
+    # uncompressed-mode flags are typed
+    t = encode_tiff(page, compression=3, t4_options=2)
+    with pytest.raises(TiffError, match="uncompressed mode"):
+        decode_tiff(t)
+    # corrupt stream is typed, not wrong pixels
+    good = encode_tiff(page, compression=4)
+    bad = bytearray(good)
+    bad[-12:] = b"\xa5" * 12                    # stomp the G4 stream tail
+    with pytest.raises(TiffError, match="CCITT strip"):
+        decode_tiff(bytes(bad))
+    # G3 stream without its EOLs is typed
+    from evm_archive_spark.operators.ccittfax import CcittError, decode_g3
+
+    with pytest.raises(CcittError, match="EOL"):
+        decode_g3(b"\xff" * 16, 32, 2, two_d=True)
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="no system libtiff")
+def test_ccitt_cross_checked_against_system_libtiff():
+    """libtiff decodes our MH/G3/G3-2D/G4 files to the same pixels,
+    and our decoder reads libtiff-ENCODED G3/G4 streams — both
+    directions, the jpegarith pin pattern."""
+    import ctypes as C
+
+    lib = _libtiff()
+    for h, w in [(12, 80), (7, 333)]:
+        page = _fax_page(h, w, h + w)
+        for comp, t4 in [(2, 0), (3, 0), (3, 1), (4, 0)]:
+            t = encode_tiff(page, compression=comp, t4_options=t4,
+                            rows_per_strip=5)
+            ours = decode_tiff(t)
+            theirs = _libtiff_decode_rgba(lib, t)
+            assert np.array_equal(ours, theirs), (comp, t4, h, w)
+
+    # reverse: libtiff writes, we read
+    def libtiff_encode_fax(page255, comp, t4opts=None):
+        h, w = page255.shape
+        buf = bytearray()
+        pos = [0]
+
+        WRITE = C.CFUNCTYPE(C.c_ssize_t, C.c_void_p, C.c_void_p,
+                            C.c_ssize_t)
+        READ = C.CFUNCTYPE(C.c_ssize_t, C.c_void_p, C.c_void_p,
+                           C.c_ssize_t)
+        SEEK = C.CFUNCTYPE(C.c_uint64, C.c_void_p, C.c_uint64, C.c_int)
+        CLOSE = C.CFUNCTYPE(C.c_int, C.c_void_p)
+        SIZE = C.CFUNCTYPE(C.c_uint64, C.c_void_p)
+
+        def _write(_h, data, n):
+            chunk = C.string_at(data, n)
+            end = pos[0] + n
+            if end > len(buf):
+                buf.extend(b"\x00" * (end - len(buf)))
+            buf[pos[0]:end] = chunk
+            pos[0] = end
+            return n
+
+        def _read(_h, data, n):
+            chunk = bytes(buf[pos[0]: pos[0] + n])
+            C.memmove(data, chunk, len(chunk))
+            pos[0] += len(chunk)
+            return len(chunk)
+
+        def _seek(_h, off, whence):
+            pos[0] = {0: off, 1: pos[0] + off, 2: len(buf) + off}[whence]
+            return pos[0]
+
+        cbs = (READ(_read), WRITE(_write), SEEK(_seek),
+               CLOSE(lambda _h: 0), SIZE(lambda _h: len(buf)))
+        lib.TIFFClientOpen.restype = C.c_void_p
+        tif = lib.TIFFClientOpen(b"mem", b"w", None, *cbs,
+                                 C.c_void_p(0), C.c_void_p(0))
+        assert tif, "TIFFClientOpen(w) failed"
+        tp = C.c_void_p(tif)
+
+        def setf(tag, val):
+            assert lib.TIFFSetField(tp, C.c_uint32(tag),
+                                    C.c_uint32(val)), tag
+
+        setf(256, w)
+        setf(257, h)
+        setf(258, 1)
+        setf(259, comp)
+        setf(262, 0)                            # WhiteIsZero
+        setf(277, 1)
+        setf(278, h)
+        if t4opts is not None:
+            setf(292, t4opts)
+        rowbytes = (w + 7) // 8
+        bits = np.packbits(page255 > 0, axis=1)
+        for y in range(h):
+            row = bits[y].tobytes().ljust(rowbytes, b"\x00")
+            assert lib.TIFFWriteScanline(
+                tp, C.c_char_p(row), C.c_uint32(y), C.c_uint16(0)) == 1
+        lib.TIFFClose(tp)
+        return bytes(buf)
+
+    for h, w in [(10, 100), (6, 257)]:
+        page = _fax_page(h, w, 3 * h + w)
+        want = np.where(page > 0, 0, 255).astype(np.uint8)
+        for comp, t4 in [(2, None), (3, 0), (3, 1), (4, None)]:
+            t = libtiff_encode_fax(page, comp, t4)
+            out = decode_tiff(t)
+            assert np.array_equal(out[:, :, 0], want), (comp, t4)
+
+
+def test_ccitt_module_roundtrips_wide_and_dense():
+    """Module-level round trips covering the extended make-up codes
+    (runs past 2560) and dense transition rows, all four framings."""
+    from evm_archive_spark.operators.ccittfax import (
+        decode_g3,
+        decode_g4,
+        decode_mh,
+        encode_g3,
+        encode_g4,
+        encode_mh,
+    )
+
+    rng = np.random.default_rng(67)
+    for h, w in [(1, 1), (5, 2800), (7, 2561), (20, 1728)]:
+        for p in (0.05, 0.5, 0.95):
+            rows = (rng.random((h, w)) < p).astype(np.uint8)
+            rows[:, : w // 3] = 0               # long white runs
+            rows[h // 2, :] = 1                 # a full black row
+            want = np.packbits(rows, axis=1)
+            assert np.array_equal(
+                decode_mh(encode_mh(rows), w, h), want), ("mh", h, w, p)
+            assert np.array_equal(
+                decode_g3(encode_g3(rows), w, h), want), ("g3", h, w, p)
+            assert np.array_equal(
+                decode_g3(encode_g3(rows, two_d=True), w, h,
+                          two_d=True), want), ("g3-2d", h, w, p)
+            assert np.array_equal(
+                decode_g4(encode_g4(rows), w, h), want), ("g4", h, w, p)
