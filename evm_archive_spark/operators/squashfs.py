@@ -21,12 +21,12 @@ the 7z dict_size lesson), legacy lzma (LZMA_ALONE streams, same
 memlimit), lz4 (raw LZ4 *block* format — no stdlib codec exists, so
 the decoder is implemented from scratch from the public block spec
 and the writer cross-checks it against pyarrow's canonical lz4_raw
-encoder), and zstd (standard frames via the canonical pyarrow codec
+encoder), zstd (standard frames via the canonical pyarrow codec
 behind a bounded streaming read — the archive.decompress_payload
-rule; no stdlib implementation exists).  lzo stays a typed boundary
-(no available codec).  Bounds: block counts, listing sizes and
-decompressed output are capped; unknown versions and compressors are
-typed errors.
+rule; no stdlib implementation exists), and lzo (LZO1X blocks via the
+from-scratch lzo.py codec pair, round 10 — the last common SquashFS
+compressor).  Bounds: block counts, listing sizes and decompressed
+output are capped; unknown versions and compressors are typed errors.
 
 ``build_squashfs`` is the independent synthesis writer (data blocks,
 fragments, inode/directory/fragment tables, gzip or uncompressed
@@ -167,6 +167,16 @@ def _decompressor(comp_id: int):
         return _xz
     if comp_id == _COMP_LZ4:
         return lz4_block_decompress
+    if comp_id == _COMP_LZO:
+        from .lzo import LzoError, lzo1x_decompress
+
+        def _lzo(raw: bytes, limit: int) -> bytes:
+            try:
+                return lzo1x_decompress(raw, limit)
+            except LzoError as e:
+                raise SquashfsError(
+                    f"corrupt squashfs lzo block: {e}") from e
+        return _lzo
     if comp_id == _COMP_ZSTD:
         import pyarrow as pa
 
@@ -184,10 +194,7 @@ def _decompressor(comp_id: int):
                 raise SquashfsError("squashfs block output over cap")
             return bytes(data)
         return _zstd
-    raise SquashfsError(
-        f"squashfs compressor id {comp_id} out of scope "
-        "(lzo has no available codec)" if comp_id == _COMP_LZO
-        else f"unknown squashfs compressor id {comp_id}")
+    raise SquashfsError(f"unknown squashfs compressor id {comp_id}")
 
 
 def is_squashfs(b: bytes) -> bool:
@@ -450,6 +457,9 @@ def _compressor(name: str):
         import pyarrow as pa
         codec = pa.Codec("lz4_raw")
         return _COMP_LZ4, lambda b: codec.compress(b, asbytes=True)
+    if name == "lzo":
+        from .lzo import lzo1x_compress
+        return _COMP_LZO, lzo1x_compress
     if name == "zstd":
         import pyarrow as pa
         codec = pa.Codec("zstd")

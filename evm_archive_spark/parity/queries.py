@@ -10630,7 +10630,7 @@ def _q_squashfs(spark, sf_dir):
         F.coalesce("text", F.lit("")).alias("t"),
     )
 
-    comps = ["gzip", "xz", "lz4", "zstd", "lzma"]
+    comps = ["gzip", "xz", "lz4", "zstd", "lzma", "lzo"]
 
     def build(it):
         for b in it:
@@ -10640,7 +10640,7 @@ def _q_squashfs(spark, sf_dir):
                 payloads.append(build_squashfs(
                     [("a.txt", data), ("sub/b.txt", b"copy:" + data)],
                     use_fragments=bool(int(mid) % 2),
-                    compressor=comps[int(mid) % 5],
+                    compressor=comps[int(mid) % 6],
                 ))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}
@@ -10666,8 +10666,8 @@ _add(
     "SELECT doc_id, 'sub/b.txt', "
     "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
     "ORDER BY media_id NULLS FIRST, path",
-    "squashfs fan-out: real 4.0 images (gzip/xz/lz4/zstd/lzma data "
-    "blocks by doc_id % 5, shared tail fragments on odd docs, "
+    "squashfs fan-out: real 4.0 images (gzip/xz/lz4/zstd/lzma/lzo "
+    "data blocks by doc_id % 6, shared tail fragments on odd docs, "
     "metadata-block tables) explode to the same member rows; oracle "
     "is container-agnostic",
 )
@@ -12130,6 +12130,7 @@ _ROUND10_STAGED: list[str] = [
     # appended as round-10 gates land OR materially change their
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_ccitt_fax",  # NEW: T.4/T.6 fax TIFF decode (MH/G3/G3-2D/G4)
+    "q_squashfs",   # compressor cycle grew lzo (% 6, from-scratch LZO1X)
 ]
 _ROUND10_R4_VINTAGE = [
     "q_lenpct", "q_vocab", "q_range_join", "q_rollup_incr",

@@ -58,11 +58,12 @@ def test_member_cap_skips_not_fails():
 
 def test_typed_boundaries():
     img = bytearray(build_squashfs(FILES))
-    # lzo (3) has no available codec: typed with the id named
+    # lzo id over gzip-encoded blocks: corrupt, typed (r10 made lzo a
+    # real decode arm; the id itself is no longer out of scope)
     struct.pack_into("<H", img, 20, 3)
-    with pytest.raises(SquashfsError, match="compressor id 3"):
+    with pytest.raises(SquashfsError):
         list(squashfs_members(bytes(img)))
-    # unknown id likewise
+    # unknown id typed with the id named
     img = bytearray(build_squashfs(FILES))
     struct.pack_into("<H", img, 20, 9)
     with pytest.raises(SquashfsError, match="compressor id 9"):
@@ -170,11 +171,12 @@ def test_property_roundtrip_random_file_sets():
 
 def test_all_compressors_roundtrip():
     """xz (the real firmware default), legacy lzma (ALONE streams),
-    lz4 (raw block format, from-scratch decoder), and zstd (canonical
-    pyarrow codec behind a bounded read) all round-trip through the
-    writer, both fragment modes."""
+    lz4 (raw block format, from-scratch decoder), zstd (canonical
+    pyarrow codec behind a bounded read) and lzo (from-scratch LZO1X
+    codec pair, round 10) all round-trip through the writer, both
+    fragment modes."""
     want = sorted((n, len(d), d) for n, d in FILES)
-    for comp in ("xz", "lzma", "lz4", "zstd"):
+    for comp in ("xz", "lzma", "lz4", "zstd", "lzo"):
         for frags in (True, False):
             img = build_squashfs(FILES, use_fragments=frags,
                                  compressor=comp)
@@ -182,7 +184,7 @@ def test_all_compressors_roundtrip():
             # superblock records the right id
             (comp_id,) = struct.unpack_from("<H", img, 20)
             assert comp_id == {"xz": 4, "lzma": 2, "lz4": 5,
-                               "zstd": 6}[comp]
+                               "zstd": 6, "lzo": 3}[comp]
 
 
 def test_lz4_block_decoder_cross_checked_against_pyarrow():
