@@ -26,7 +26,10 @@ trip (liblzma has no BCJ2 to pin against), and ARM64 — the
 BL + ADRP transform 7-Zip and xz share (coder id 0x0a), pinned
 against the system liblzma's own FILTER_ARM64 encoder through ctypes
 (this Python's lzma module predates the filter; the library itself
-is 5.4+).  Only 7zAES encryption remains a typed boundary.
+is 5.4+).  7zAES-encrypted folders are INVENTORIED — member names
+and sizes are plaintext in the header, so they list with a None
+payload (round 10); decrypting them is the one remaining typed
+boundary (direct folder decode raises).
 Decompression is capped (the archive.decompress_payload rule);
 header and substream CRCs are verified when present.
 
@@ -908,7 +911,9 @@ def sevenzip_members(
     """Yield ``(path, size, payload)`` per regular-file member of a .7z
     archive.  Members larger than ``max_member_bytes`` are skipped (the
     archive_members contract); directories and anti-items are dropped;
-    empty files yield ``b""``."""
+    empty files yield ``b""``.  Members inside 7zAES-encrypted folders
+    are INVENTORIED — ``(path, size, None)`` — since names and sizes
+    are plaintext in the header; only the payload needs the key."""
     if not is_7z(b):
         raise SevenZipError("not a 7z archive")
     if len(b) < 32:
@@ -1018,6 +1023,14 @@ def sevenzip_members(
             raise SevenZipError("7z file without a substream")
         fi, off, sz, crc = flat[di]
         di += 1
+        if any(c["id"] == _AES for c in info["folders"][fi]["coders"]):
+            # 7zAES folder: the member inventory (names, sizes) is
+            # plaintext in the header we already parsed — surface the
+            # member with a None payload instead of failing the whole
+            # archive (round 10; decrypt-with-password stays out of
+            # scope, and direct folder decode stays typed)
+            yield name, sz, None
+            continue
         if sz > max_member_bytes:
             continue
         if fi != decoded_fi:
@@ -1089,6 +1102,7 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
         "arm64+lzma2": [lz_filter],
         "bcj2": None,
         "bcj2+lzma2": None,
+        "aes": None,
     }
     filter_cid = {
         "delta4+lzma2": _DELTA, "bcj+lzma2": _BCJ_X86, "arm+lzma2": _ARM,
@@ -1104,6 +1118,20 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
     for _n, d in nonempty:
         if codec == "copy":
             packed.append([d])
+        elif codec == "aes":
+            # deterministic fake ciphertext, CBC-padded to 16: the
+            # reader inventories AES folders without decrypting, so
+            # only the LENGTH shape matters (and must differ from the
+            # plaintext to prove nothing leaks through)
+            import hashlib
+
+            ct_len = (len(d) + 16) // 16 * 16
+            stream = b""
+            seed = hashlib.sha256(d).digest()
+            while len(stream) < ct_len:
+                seed = hashlib.sha256(seed).digest()
+                stream += seed
+            packed.append([stream[:ct_len]])
         elif codec in ("bcj2", "bcj2+lzma2"):
             main, callb, jumpb, rcb = _bcj2_encode(d)
             bcj2_main_len.append(len(main))
@@ -1138,6 +1166,12 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
         for fi, _ in enumerate(nonempty):
             if codec == "copy":
                 h += _wnum(1) + bytes([0x01]) + _COPY
+            elif codec == "aes":
+                # one 7zAES coder: flags 0x24 (4-byte id + attrs);
+                # props = cycles 19 | has-IV, (salt-1)<<4 | (iv-1), IV
+                props = bytes([19 | 0x40, 0x0F]) + bytes(range(16))
+                h += _wnum(1) + bytes([0x24]) + _AES \
+                    + _wnum(len(props)) + props
             elif codec == "lzma2":
                 h += _wnum(1) + lz
             elif codec == "bcj2":
@@ -1169,7 +1203,7 @@ def build_7z(files: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
                 # coder 0 (LZMA2) emits the BCJ2 main stream; coder 1
                 # (BCJ2) emits the file
                 h += _wnum(bcj2_main_len[fi]) + _wnum(len(d))
-            elif codec in ("copy", "lzma2"):
+            elif codec in ("copy", "lzma2", "aes"):
                 h += _wnum(len(d))
             else:
                 h += _wnum(len(d)) + _wnum(len(d))   # size-preserving

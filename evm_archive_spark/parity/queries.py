@@ -9097,7 +9097,7 @@ def _q_7z(spark, sf_dir):
 
     codecs = ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2",
               "bcj2+lzma2", "arm+lzma2", "ppc+lzma2", "sparc+lzma2",
-              "arm64+lzma2"]
+              "arm64+lzma2", "aes"]
 
     def build(it):
         for b in it:
@@ -9106,7 +9106,7 @@ def _q_7z(spark, sf_dir):
                 data = t.encode("utf-8")
                 payloads.append(build_7z(
                     [("a.txt", data), ("b.txt", b"copy:" + data)],
-                    codec=codecs[int(mid) % 9],
+                    codec=codecs[int(mid) % 10],
                 ))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}
@@ -9127,14 +9127,19 @@ _add(
     _q_7z,
     "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
     "SELECT doc_id AS media_id, 'a.txt' AS path, "
-    "CAST(strlen(t) AS BIGINT) AS size, md5(t) AS member_md5 FROM d "
+    "CAST(strlen(t) AS BIGINT) AS size, "
+    "CASE WHEN doc_id % 10 = 9 AND strlen(t) > 0 THEN NULL "
+    "ELSE md5(t) END AS member_md5 FROM d "
     "UNION ALL "
     "SELECT doc_id, 'b.txt', "
-    "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
+    "CAST(strlen('copy:' || t) AS BIGINT), "
+    "CASE WHEN doc_id % 10 = 9 THEN NULL "
+    "ELSE md5('copy:' || t) END FROM d "
     "ORDER BY media_id NULLS FIRST, path",
     "7z fan-out: real Copy/LZMA2/Delta/BCJ/BCJ2-4-stream/ARM/PPC/"
-    "SPARC archives (signature CRC, tagged header tree, coder-DAG "
-    "decode) explode to the same member rows; oracle is "
+    "SPARC/7zAES archives (signature CRC, tagged header tree, "
+    "coder-DAG decode; AES folders inventory name+size with NULL "
+    "payload) explode to the same member rows; oracle is "
     "container-agnostic",
 )
 
@@ -12131,6 +12136,7 @@ _ROUND10_STAGED: list[str] = [
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_ccitt_fax",  # NEW: T.4/T.6 fax TIFF decode (MH/G3/G3-2D/G4)
     "q_squashfs",   # compressor cycle grew lzo (% 6, from-scratch LZO1X)
+    "q_7z",         # codec cycle grew aes (% 10, encrypted-folder inventory)
 ]
 _ROUND10_R4_VINTAGE = [
     "q_lenpct", "q_vocab", "q_range_join", "q_rollup_incr",

@@ -148,7 +148,9 @@ def test_encoded_header():
 
 
 def test_typed_boundaries():
-    # encryption (7zAES coder) is a named boundary
+    # a 7zAES folder INVENTORIES its member (name/size plaintext in
+    # the header, payload None — round 10) instead of failing the
+    # archive; direct folder decode stays a named typed boundary
     h = bytearray()
     h += _wnum(0x01)
     h += _wnum(0x04)
@@ -163,8 +165,26 @@ def test_typed_boundaries():
     h += _wnum(0x11) + _wnum(len(name)) + name
     h += _wnum(0x00) + _wnum(0x00)
     b = _assemble(b"\x00" * 16, bytes(h))
+    assert list(sevenzip_members(b)) == [("s", 16, None)]
+    from evm_archive_spark.operators.sevenzip import _decode_folder
+
     with pytest.raises(SevenZipError, match="encrypted"):
-        list(sevenzip_members(b))
+        _decode_folder(
+            {"coders": [{"id": b"\x06\xf1\x07\x01", "props": b"",
+                         "n_in": 1, "n_out": 1}],
+             "bind_pairs": [], "packed": None, "unpack_size": 16,
+             "out_sizes": [16], "main_out": 0},
+            [b"\x00" * 16], 1 << 20)
+
+    # build_7z's aes fixture arm: mixed empty/encrypted inventory,
+    # no plaintext leakage into the container
+    from evm_archive_spark.operators.sevenzip import build_7z as _b7z
+
+    plain = b"attack at dawn" * 9
+    arc = _b7z([("top.txt", plain), ("nul", b"")], codec="aes")
+    assert list(sevenzip_members(arc)) == [
+        ("top.txt", len(plain), None), ("nul", 0, b"")]
+    assert plain[:28] not in arc
 
     # a declared folder unpack size over the cap fires BEFORE decoding
     data = b"x" * 64
