@@ -3,8 +3,11 @@
 Implements the public TIFF 6.0 specification's baseline subset plus
 extensions: header + IFD walk (both byte orders), strip-based AND
 tiled image organization (tiles are what DNG raws and GeoTIFFs use;
-edge tiles padded, predictor reset per tile), bilevel/grayscale/
-palette/RGB(A) photometric interpretations at 1/8-bit depths, and
+edge tiles padded, predictor reset per tile; bilevel tiles included),
+bilevel/grayscale/palette/RGB(A) photometric interpretations at
+1/8/16-bit depths (16-bit samples downshift to their high byte for
+the RGBA contract, both byte orders, predictor mod-65536), planar
+configuration 2 (strip-organized plane-separated images), and
 Compression 1 (none), 5 (LZW with horizontal differencing predictor),
 8/32946 (Deflate/zlib, both the official and legacy tags), 32773
 (PackBits), and 7 (new-style JPEG-in-TIFF: each strip/tile a complete
@@ -15,9 +18,9 @@ baseline/progressive/arithmetic/lossless streams alike); 2/3/4
 Group 4 MMR — the scanned-document compressions, via ccittfax.py);
 6 (old-JPEG) is out of scope.
 
-Scope notes (clear errors, no silent wrong pixels): 16-bit samples,
-planar configuration 2, bilevel tiles, CCITT uncompressed mode, and
-old-JPEG compression raise ``TiffError`` naming the gap.  Output
+Scope notes (clear errors, no silent wrong pixels): tiled planar-2
+organization, 16-bit palettes, CCITT tiles and uncompressed mode,
+and old-JPEG compression raise ``TiffError`` naming the gap.  Output
 matches the other codecs' contract: (h, w, 4) uint8 RGBA.
 
 TIFF's LZW differs from GIF's: codes are MSB-first, code width starts
@@ -194,8 +197,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     planar = f.get("planar_config", (1,))[0]
     rows_per_strip = f.get("rows_per_strip", (height,))[0] or height
     predictor = f.get("predictor", (1,))[0]
-    if planar != 1:
-        raise TiffError("planar configuration 2 not supported")
+    if planar not in (1, 2):
+        raise TiffError(f"planar configuration {planar} not supported")
     if comp not in (1, 5, 8, 32946, 32773, 7, 2, 3, 4):
         names = {6: "old-JPEG"}
         raise TiffError(
@@ -211,8 +214,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
         t6opts = f.get("t6_options", (0,))[0]
         if (comp == 3 and t4opts & 2) or (comp == 4 and t6opts & 2):
             raise TiffError("CCITT uncompressed mode not supported")
-    if any(b not in (1, 8) for b in bps) or (bps[0] == 1 and spp != 1):
-        raise TiffError(f"bits-per-sample {bps} not supported (1 or 8)")
+    if bps and len(set(bps)) != 1:
+        raise TiffError(f"mixed bits-per-sample {bps} not supported")
+    if bps[0] not in (1, 8, 16) or (bps[0] == 1 and spp != 1):
+        raise TiffError(
+            f"bits-per-sample {bps} not supported (1, 8 or 16)")
+    itemsize = 2 if bps[0] == 16 else 1
+    u16 = np.dtype(bo + "u2")
+    if planar == 2 and (tiled or comp == 7 or spp == 1
+                        or bps[0] == 1):
+        raise TiffError(
+            "planar configuration 2 only supported for strip-organized "
+            "8/16-bit multi-sample images")
     if comp == 7:
         # new-style JPEG-in-TIFF (TIFF/EP, and the DNG layout when the
         # strips carry SOF3 lossless streams): each strip is a complete
@@ -278,8 +291,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         # tiled organization (what DNG raws and GeoTIFFs use): a grid
         # of fixed (tw, th) tiles, edge tiles padded to full size; the
         # horizontal predictor resets per tile ROW within each tile
-        if bps[0] == 1:
-            raise TiffError("bilevel tiled TIFF not supported")
+        if comp in (2, 3, 4):
+            raise TiffError("CCITT tiled TIFF not supported")
         tw = f["tile_width"][0]
         th = f.get("tile_length", (0,))[0]
         if not tw or not th:
@@ -290,7 +303,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise TiffError("tile count over cap")
         if len(offsets) < ta * td or len(counts) < ta * td:
             raise TiffError("tile tables shorter than the tile grid")
-        px = np.zeros((height, width, spp), dtype=np.uint8)
+        bilevel_grid = bps[0] == 1
+        tile_bytes = ((tw + 7) // 8 * th if bilevel_grid
+                      else tw * th * spp * itemsize)
+        px = np.zeros((height, width, spp),
+                      dtype=np.uint16 if itemsize == 2 else np.uint8)
         for ti in range(ta * td):
             off, cnt = offsets[ti], counts[ti]
             chunk = data[off: off + cnt]
@@ -302,84 +319,136 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if comp == 7:
                 tile = jpeg_pixels(chunk, hh, ww, "tile")
             else:
-                dec = inflate_chunk(chunk, tw * th * spp, "tile")
-                if len(dec) < tw * th * spp:
+                dec = inflate_chunk(chunk, tile_bytes, "tile")
+                if len(dec) < tile_bytes:
                     raise TiffError("tile decode short of expected size")
-                tile = np.frombuffer(
-                    dec[: tw * th * spp], dtype=np.uint8
-                ).reshape(th, tw, spp)
-                if predictor == 2:
-                    tile = np.cumsum(
-                        tile.astype(np.uint32), axis=1).astype(np.uint8)
+                if bilevel_grid:
+                    # bilevel tiles (round 10): 1-bit rows padded to
+                    # byte boundaries per tile row
+                    bits = np.unpackbits(np.frombuffer(
+                        dec[:tile_bytes], dtype=np.uint8).reshape(
+                            th, -1), axis=1)[:, :tw]
+                    tile = (bits * 255 if photo == 1
+                            else (1 - bits) * 255).astype(
+                                np.uint8)[:, :, None]
+                elif itemsize == 2:
+                    tile = np.frombuffer(
+                        dec[:tile_bytes], dtype=u16).reshape(th, tw, spp)
+                    if predictor == 2:
+                        tile = np.cumsum(
+                            tile.astype(np.uint64), axis=1).astype(
+                                np.uint16)
+                else:
+                    tile = np.frombuffer(
+                        dec[:tile_bytes], dtype=np.uint8
+                    ).reshape(th, tw, spp)
+                    if predictor == 2:
+                        tile = np.cumsum(
+                            tile.astype(np.uint32), axis=1).astype(
+                                np.uint8)
             px[ty * th: ty * th + hh, tx * tw: tx * tw + ww] = \
                 tile[:hh, :ww]
+        if itemsize == 2:
+            px = (px >> 8).astype(np.uint8)     # MSB, libtiff's rule
+        if bilevel_grid:
+            photo = 1                           # already display-mapped
         spp_eff = spp
     else:
-        row_bytes = (width + 7) // 8 if bps[0] == 1 else width * spp
-        raw = bytearray()
-        row0 = 0
-        for off, cnt in zip(offsets, counts):
-            strip = data[off: off + cnt]
-            if len(strip) < cnt:
-                raise TiffError("strip overruns payload")
-            nrows = min(rows_per_strip, height - row0)
-            want = row_bytes * nrows
-            if comp == 7:
-                pix = jpeg_pixels(strip, nrows, width, "strip")
-                dec = np.ascontiguousarray(
-                    pix[:nrows, :width]).tobytes()
-            elif comp in (2, 3, 4):
-                from .ccittfax import (
-                    CcittError,
-                    decode_g3,
-                    decode_g4,
-                    decode_mh,
-                )
+        def read_strips(offs, cnts, row_bytes, samples):
+            raw = bytearray()
+            row0 = 0
+            for off, cnt in zip(offs, cnts):
+                strip = data[off: off + cnt]
+                if len(strip) < cnt:
+                    raise TiffError("strip overruns payload")
+                nrows = min(rows_per_strip, height - row0)
+                want = row_bytes * nrows
+                if comp == 7:
+                    pix = jpeg_pixels(strip, nrows, width, "strip")
+                    dec = np.ascontiguousarray(
+                        pix[:nrows, :width]).tobytes()
+                elif comp in (2, 3, 4):
+                    from .ccittfax import (
+                        CcittError,
+                        decode_g3,
+                        decode_g4,
+                        decode_mh,
+                    )
 
-                try:
-                    if comp == 2:
-                        packed = decode_mh(strip, width, nrows)
-                    elif comp == 3:
-                        packed = decode_g3(strip, width, nrows,
-                                           two_d=bool(t4opts & 1))
-                    else:
-                        packed = decode_g4(strip, width, nrows)
-                except CcittError as e:
-                    raise TiffError(f"CCITT strip: {e}") from e
-                dec = packed.tobytes()
-            else:
-                dec = inflate_chunk(strip, want, "strip")
-            if len(dec) < want:
-                raise TiffError("strip decode short of expected size")
-            raw += dec[:want]
-            row0 += nrows
-        if row0 < height:
-            raise TiffError("strips cover fewer rows than ImageLength")
+                    try:
+                        if comp == 2:
+                            packed = decode_mh(strip, width, nrows)
+                        elif comp == 3:
+                            packed = decode_g3(strip, width, nrows,
+                                               two_d=bool(t4opts & 1))
+                        else:
+                            packed = decode_g4(strip, width, nrows)
+                    except CcittError as e:
+                        raise TiffError(f"CCITT strip: {e}") from e
+                    dec = packed.tobytes()
+                else:
+                    dec = inflate_chunk(strip, want, "strip")
+                if len(dec) < want:
+                    raise TiffError("strip decode short of expected size")
+                raw += dec[:want]
+                row0 += nrows
+            if row0 < height:
+                raise TiffError("strips cover fewer rows than ImageLength")
+            arr = np.frombuffer(
+                bytes(raw), dtype=u16 if itemsize == 2 else np.uint8)
+            return arr.reshape(height, -1, samples) \
+                if bps[0] != 1 else arr
+
+        def undiff(arr):
+            """Horizontal predictor: per-channel cumsum along width."""
+            if predictor != 2:
+                return arr
+            wide = np.uint64 if itemsize == 2 else np.uint32
+            return np.cumsum(arr.astype(wide), axis=1).astype(
+                np.uint16 if itemsize == 2 else np.uint8)
 
         if bps[0] == 1:
-            bits = np.unpackbits(
-                np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
-                    height, -1),
-                axis=1,
-            )[:, :width]
+            raw = read_strips(
+                offsets, counts, (width + 7) // 8, 1)
+            bits = np.unpackbits(raw.reshape(height, -1),
+                                 axis=1)[:, :width]
             # photometric 0: 0=white; 1: 0=black
             g = (bits * 255 if photo == 1 else (1 - bits) * 255).astype(
                 np.uint8
             )
             px = g[:, :, None]
+            photo = 1                           # already display-mapped
             spp_eff = 1
-        else:
-            px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
-                height, width, spp
-            )
-            if predictor == 2:  # horizontal differencing
-                px = np.cumsum(
-                    px.astype(np.uint32), axis=1).astype(np.uint8)
+        elif planar == 2:
+            # planar organization (round 10): strips hold one sample
+            # plane each, all of plane 0's strips first (TIFF 6.0
+            # PlanarConfiguration 2); predictor applies per plane
+            spp_strips = -(-height // rows_per_strip)
+            if len(offsets) < spp * spp_strips \
+                    or len(counts) < spp * spp_strips:
+                raise TiffError(
+                    "planar strip tables shorter than planes x strips")
+            planes = []
+            for p in range(spp):
+                sl = slice(p * spp_strips, (p + 1) * spp_strips)
+                plane = read_strips(
+                    offsets[sl], counts[sl], width * itemsize, 1)
+                planes.append(undiff(plane)[:, :, 0])
+            px = np.stack(planes, axis=-1)
             spp_eff = spp
+        else:
+            px = undiff(read_strips(
+                offsets, counts, width * spp * itemsize, spp))
+            spp_eff = spp
+        if itemsize == 2 and bps[0] == 16:
+            px = (px >> 8).astype(np.uint8)     # MSB, libtiff's rule
 
     out = np.empty((height, width, 4), dtype=np.uint8)
     out[:, :, 3] = 255
     if photo == 3:  # palette
+        if bps[0] != 8:
+            raise TiffError(
+                f"palette TIFF at {bps[0]} bits not supported")
         cmap = f.get("colormap")
         if not cmap:
             raise TiffError("palette image without ColorMap")
@@ -394,7 +463,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         out[:, :, 2] = (b[idx] >> 8).astype(np.uint8)
     elif photo in (0, 1) and spp_eff == 1:
         g = px[:, :, 0]
-        if photo == 0 and bps[0] == 8:
+        if photo == 0 and bps[0] >= 8:
             g = 255 - g
         out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = g
     elif photo == 2 and spp_eff >= 3:

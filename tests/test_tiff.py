@@ -96,6 +96,7 @@ def encode_tiff(
     jpeg_strip_encoder=None,
     tile_size=None,
     t4_options=0,
+    planar=1,
 ):
     """``px``: (h, w) gray/index array or (h, w, 3|4) RGB(A).  For
     compression 7 each strip band / tile is serialized by
@@ -104,6 +105,7 @@ def encode_tiff(
     322/323/324/325; edge tiles edge-padded to full size)."""
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
+    itemsize = 2 if px.dtype == np.uint16 else 1
     rps = rows_per_strip or h
     fax = compression in (2, 3, 4)
     if fax:
@@ -121,11 +123,20 @@ def encode_tiff(
             return _packbits_encode(body)
         return body
 
-    def pack(block2d, nrows_units):
+    def pack(block2d, nrows_units, nspp=None):
         """Predictor + compression over one chunk's rows."""
+        nspp = spp if nspp is None else nspp
+        if itemsize == 2:
+            wide = block2d.reshape(nrows_units, -1, nspp).astype(np.int32)
+            if predictor == 2:
+                diff = wide.copy()
+                diff[:, 1:] = wide[:, 1:] - wide[:, :-1]
+                wide = diff % 65536
+            return compress_body(
+                wide.astype(np.dtype(byte_order + "u2")).tobytes())
         block = block2d.reshape(nrows_units, -1).astype(np.uint8)
         if predictor == 2:
-            wide = block.reshape(nrows_units, -1, spp).astype(np.int16)
+            wide = block.reshape(nrows_units, -1, nspp).astype(np.int16)
             diff = wide.copy()
             diff[:, 1:] = wide[:, 1:] - wide[:, :-1]
             block = (diff % 256).astype(np.uint8).reshape(
@@ -145,8 +156,17 @@ def encode_tiff(
                     tile = np.pad(tile, pads, mode="edge")
                 if compression == 7:
                     strips.append(jpeg_strip_encoder(tile))
+                elif bilevel:
+                    bits = (tile > 0).astype(np.uint8)
+                    strips.append(compress_body(np.packbits(
+                        bits, axis=1).tobytes()))
                 else:
                     strips.append(pack(tile, th))
+    elif planar == 2:
+        for p in range(spp):
+            for r0 in range(0, h, rps):
+                rows = px[r0: r0 + rps, :, p]
+                strips.append(pack(rows, rows.shape[0], nspp=1))
     else:
         for r0 in range(0, h, rps):
             rows = px[r0: r0 + rps]
@@ -186,7 +206,7 @@ def encode_tiff(
 
     short(256, w)
     short(257, h)
-    short(258, *( (1,) if bilevel else (8,) * spp ))
+    short(258, *( (1,) if bilevel else (8 * itemsize,) * spp ))
     short(259, compression)
     short(262, photometric)
     short(277, 1 if bilevel else spp)
@@ -197,6 +217,8 @@ def encode_tiff(
         short(278, rps)
     if predictor != 1:
         short(317, predictor)
+    if planar != 1:
+        short(284, planar)
     if compression == 3:
         long_(292, t4_options)
     if colormap is not None:
@@ -863,3 +885,175 @@ def test_ccitt_module_roundtrips_wide_and_dense():
                           two_d=True), want), ("g3-2d", h, w, p)
             assert np.array_equal(
                 decode_g4(encode_g4(rows), w, h), want), ("g4", h, w, p)
+
+
+# --------------------------------------------------------------------------
+# 16-bit samples, planar configuration 2, bilevel tiles (round 10)
+# --------------------------------------------------------------------------
+
+
+def test_16bit_gray_and_rgb_strips():
+    """16-bit samples downshift to their high byte (libtiff's RGBA
+    rule), across compressions, predictor and both byte orders."""
+    rng = np.random.default_rng(83)
+    gray16 = rng.integers(0, 65536, (11, 17), dtype=np.uint16)
+    rgb16 = rng.integers(0, 65536, (9, 13, 3), dtype=np.uint16)
+    for bo in ("<", ">"):
+        for comp in (1, 8, 32773):
+            t = encode_tiff(gray16, compression=comp, byte_order=bo,
+                            rows_per_strip=4)
+            out = decode_tiff(t)
+            assert np.array_equal(out[:, :, 0],
+                                  (gray16 >> 8).astype(np.uint8)), (bo, comp)
+            t = encode_tiff(rgb16, compression=comp, byte_order=bo)
+            out = decode_tiff(t)
+            assert np.array_equal(out[:, :, :3],
+                                  (rgb16 >> 8).astype(np.uint8)), (bo, comp)
+    # predictor 2 on 16-bit (mod-65536 differencing)
+    t = encode_tiff(rgb16, compression=8, predictor=2)
+    assert np.array_equal(decode_tiff(t)[:, :, :3],
+                          (rgb16 >> 8).astype(np.uint8))
+    # photometric 0 inverts the downshifted gray
+    t = encode_tiff(gray16, photometric=0)
+    assert np.array_equal(decode_tiff(t)[:, :, 0],
+                          255 - (gray16 >> 8).astype(np.uint8))
+
+
+def test_16bit_tiles():
+    rng = np.random.default_rng(89)
+    gray16 = rng.integers(0, 65536, (20, 26), dtype=np.uint16)
+    for comp in (1, 8):
+        t = encode_tiff(gray16, compression=comp, tile_size=(16, 16))
+        assert np.array_equal(decode_tiff(t)[:, :, 0],
+                              (gray16 >> 8).astype(np.uint8)), comp
+
+
+def test_planar_configuration_2():
+    """PlanarConfiguration 2: one plane per strip run, predictor per
+    plane, 8- and 16-bit."""
+    rng = np.random.default_rng(97)
+    rgb = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    for comp in (1, 8, 32773):
+        t = encode_tiff(rgb, compression=comp, planar=2,
+                        rows_per_strip=4)
+        assert np.array_equal(decode_tiff(t)[:, :, :3], rgb), comp
+    t = encode_tiff(rgb, compression=8, planar=2, predictor=2)
+    assert np.array_equal(decode_tiff(t)[:, :, :3], rgb)
+    rgb16 = rng.integers(0, 65536, (7, 9, 3), dtype=np.uint16)
+    t = encode_tiff(rgb16, planar=2, rows_per_strip=3)
+    assert np.array_equal(decode_tiff(t)[:, :, :3],
+                          (rgb16 >> 8).astype(np.uint8))
+    # planar tiled stays typed
+    t = encode_tiff(rgb, planar=2, tile_size=(8, 8))
+    with pytest.raises(TiffError, match="planar"):
+        decode_tiff(t)
+
+
+def test_bilevel_tiles():
+    rng = np.random.default_rng(101)
+    page = ((rng.random((21, 37)) < 0.4) * 255).astype(np.uint8)
+    for comp, photom in [(1, 1), (8, 1), (1, 0), (32773, 0)]:
+        t = encode_tiff(page, compression=comp, bilevel=True,
+                        photometric=photom, tile_size=(16, 16))
+        out = decode_tiff(t)
+        want = page if photom == 1 else 255 - page
+        assert np.array_equal(out[:, :, 0], want), (comp, photom)
+
+
+def _libtiff_read_strips_raw(lib, data: bytes, nstrips: int):
+    """Exact predictor-decoded strip bytes via TIFFReadEncodedStrip —
+    the 16-bit pin (libtiff's RGBA reader converts 16->8 by rounding
+    (v*255+32767)/65535 while our documented contract is the MSB
+    byte, so RGBA equality is the wrong comparison there)."""
+    import ctypes as C
+
+    lib.TIFFSetWarningHandler(None)
+    READ = C.CFUNCTYPE(C.c_ssize_t, C.c_void_p, C.c_void_p, C.c_ssize_t)
+    SEEK = C.CFUNCTYPE(C.c_uint64, C.c_void_p, C.c_uint64, C.c_int)
+    CLOSE = C.CFUNCTYPE(C.c_int, C.c_void_p)
+    SIZE = C.CFUNCTYPE(C.c_uint64, C.c_void_p)
+    pos = [0]
+
+    def _read(_h, buf, n):
+        chunk = data[pos[0]: pos[0] + n]
+        C.memmove(buf, chunk, len(chunk))
+        pos[0] += len(chunk)
+        return len(chunk)
+
+    def _seek(_h, off, whence):
+        pos[0] = {0: off, 1: pos[0] + off, 2: len(data) + off}[whence]
+        return pos[0]
+
+    cbs = (READ(_read), READ(lambda *_: 0), SEEK(_seek),
+           CLOSE(lambda _h: 0), SIZE(lambda _h: len(data)))
+    lib.TIFFClientOpen.restype = C.c_void_p
+    tif = lib.TIFFClientOpen(b"mem", b"r", None, *cbs,
+                             C.c_void_p(0), C.c_void_p(0))
+    assert tif, "TIFFClientOpen failed"
+    try:
+        lib.TIFFStripSize.restype = C.c_ssize_t
+        lib.TIFFReadEncodedStrip.restype = C.c_ssize_t
+        ssz = lib.TIFFStripSize(C.c_void_p(tif))
+        out = b""
+        for s in range(nstrips):
+            buf = (C.c_uint8 * ssz)()
+            n = lib.TIFFReadEncodedStrip(
+                C.c_void_p(tif), C.c_uint32(s), buf, C.c_ssize_t(ssz))
+            assert n > 0, "TIFFReadEncodedStrip failed"
+            out += bytes(buf)[:n]
+        return out
+    finally:
+        lib.TIFFClose(C.c_void_p(tif))
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="no system libtiff")
+def test_16bit_planar_bilevel_cross_checked_against_libtiff():
+    lib = _libtiff()
+    rng = np.random.default_rng(103)
+    gray16 = rng.integers(0, 65536, (12, 18), dtype=np.uint16)
+    rgb16 = rng.integers(0, 65536, (8, 11, 3), dtype=np.uint16)
+    rgb = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    page = ((rng.random((13, 41)) < 0.5) * 255).astype(np.uint8)
+    # 8-bit planar + bilevel tiles: RGBA equality (exact there)
+    rgba_cases = [
+        encode_tiff(rgb, planar=2, rows_per_strip=4),
+        encode_tiff(rgb, planar=2, compression=8),
+        # NOTE: compressed variants only — this libtiff's RGBA reader
+        # rejects UNCOMPRESSED tiles whose raw size != the RGBA raster
+        # size (the recorded r9 quirk); comp-1 bilevel tiles are
+        # covered by our own round-trip test above
+        encode_tiff(page, bilevel=True, tile_size=(16, 16),
+                    compression=32773),
+        encode_tiff(page, bilevel=True, photometric=0,
+                    tile_size=(16, 16), compression=8),
+    ]
+    for i, payload in enumerate(rgba_cases):
+        ours = decode_tiff(payload)
+        theirs = _libtiff_decode_rgba(lib, payload)
+        assert np.array_equal(ours, theirs), i
+    # 16-bit: EXACT raw-sample equality against ReadEncodedStrip,
+    # then our >>8 contract on top
+    raw_cases = [
+        (encode_tiff(gray16, compression=8, rows_per_strip=5),
+         gray16[:, :, None], "<u2", 3),
+        # libtiff swaps to NATIVE order after decode, so the BE file
+        # still reads back as little-endian samples on this box
+        (encode_tiff(gray16, byte_order=">"), gray16[:, :, None],
+         "<u2", 1),
+        (encode_tiff(rgb16, compression=8, predictor=2), rgb16,
+         "<u2", 1),
+        (encode_tiff(rgb16, planar=2, rows_per_strip=4),
+         np.moveaxis(rgb16, 2, 0), "<u2", 6),
+    ]
+    for i, (payload, want, dt, nstrips) in enumerate(raw_cases):
+        raw = _libtiff_read_strips_raw(lib, payload, nstrips)
+        theirs = np.frombuffer(raw, dtype=dt).reshape(want.shape)
+        assert np.array_equal(theirs, want), ("raw", i)
+        ours = decode_tiff(payload)
+        if want.shape[0] == 3 and want.ndim == 3:     # planar want
+            want8 = (np.moveaxis(want, 0, 2) >> 8).astype(np.uint8)
+        elif want.shape[2] == 1:
+            want8 = np.repeat((want >> 8).astype(np.uint8), 3, axis=2)
+        else:
+            want8 = (want >> 8).astype(np.uint8)
+        assert np.array_equal(ours[:, :, :3], want8), ("ours", i)
