@@ -20,10 +20,11 @@ SOF3 chunks may be n-component frames at width/n — the
 interleaved-columns layout real camera DNGs use — restored by a
 row-major reshape.  ``build_dng`` is the independent synthesis writer
 (IFD0 + SubIFD, SOF3 tiles via jpeglossless.build_jpeg_lossless —
-optionally interleaved — or uncompressed 16-bit, both byte orders).
-Scope (typed, named): tightly-packed uncompressed 10/12-bit rows
-(BitsPerSample != 16 without JPEG) and lossy-JPEG/JPEG-XL DNG
-variants.
+optionally interleaved — or uncompressed samples: 16-bit in either
+byte order, 8-bit plain, and tightly-packed sub-16-bit rows
+(MSB-first, byte-padded per row — the TIFF-EP/DNG-SDK convention,
+round 10).  Remaining scope (typed, named): lossy-JPEG / JPEG-XL DNG
+variants and DNG opcode lists.
 
 Reference parity note: the reference (SummaryDev/evm-archive) stores
 media as opaque bytea; this extends the multimodal metadata/decode
@@ -196,8 +197,8 @@ def dng_metadata(b: bytes) -> dict:
 def decode_dng_raw(b: bytes) -> tuple[np.ndarray, int]:
     """The full CFA mosaic: ``((h, w) uint16 array, bits_per_sample)``.
     Supports lossless-JPEG (compression 7, SOF3 at any 2-16-bit
-    precision) tiles or strips, and uncompressed (1) 16-bit samples;
-    tightly-packed sub-16-bit uncompressed rows are typed."""
+    precision) tiles or strips, and uncompressed (1) samples: 16-bit
+    both byte orders, 8-bit, and tightly-packed sub-16-bit rows."""
     from .jpeglossless import decode_jpeg_lossless_raw
 
     raw, bo = _raw_ifd(b)
@@ -244,15 +245,32 @@ def decode_dng_raw(b: bytes) -> tuple[np.ndarray, int]:
             if tile2d.shape[0] < ch or tile2d.shape[1] < cw:
                 raise DngError("raw chunk smaller than declared")
             return tile2d[:ch, :cw]
-        if bits != 16:
-            raise DngError(
-                f"packed {bits}-bit uncompressed raws out of scope "
-                "(16-bit or lossless-JPEG only)")
-        want = ch * cw * 2
+        if bits == 16:
+            want = ch * cw * 2
+            if len(data) < want:
+                raise DngError("uncompressed raw chunk short")
+            return np.frombuffer(data[:want], dtype=np.dtype(bo + "u2")
+                                 ).reshape(ch, cw)
+        if bits == 8:
+            want = ch * cw
+            if len(data) < want:
+                raise DngError("uncompressed raw chunk short")
+            return np.frombuffer(data[:want], dtype=np.uint8
+                                 ).reshape(ch, cw).astype(np.uint16)
+        # tightly-packed sub-16-bit rows (round 10): samples packed
+        # MSB-first, each row padded to a byte boundary (the TIFF-EP /
+        # DNG-SDK convention for 10/12/14-bit uncompressed raws)
+        row_bytes = (cw * bits + 7) // 8
+        want = row_bytes * ch
         if len(data) < want:
             raise DngError("uncompressed raw chunk short")
-        return np.frombuffer(data[:want], dtype=np.dtype(bo + "u2")
-                             ).reshape(ch, cw)
+        bitarr = np.unpackbits(
+            np.frombuffer(data[:want], dtype=np.uint8
+                          ).reshape(ch, row_bytes), axis=1
+        )[:, :cw * bits].reshape(ch, cw, bits)
+        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
+        return (bitarr.astype(np.uint32) * weights).sum(
+            axis=2).astype(np.uint16)
 
     if TAG_TILE_OFFSETS in raw:
         tw = _tag0(raw, TAG_TILE_W, 0)
@@ -359,6 +377,19 @@ def build_dng(mosaic: np.ndarray, *, bits: int = 16,
         return build_jpeg_lossless(chunk2d, predictor=predictor,
                                    precision=bits)
 
+    def pack_raw(chunk2d: np.ndarray) -> bytes:
+        """Uncompressed chunk: 16-bit samples in the file byte order,
+        8-bit plain, or sub-16-bit packed MSB-first with rows padded
+        to byte boundaries (the reader's convention)."""
+        if bits == 16:
+            return chunk2d.astype(bo + "u2").tobytes()
+        if bits == 8:
+            return chunk2d.astype(np.uint8).tobytes()
+        shifts = np.arange(bits - 1, -1, -1)
+        vb = ((chunk2d[:, :, None].astype(np.uint32) >> shifts) & 1
+              ).astype(np.uint8).reshape(chunk2d.shape[0], -1)
+        return np.packbits(vb, axis=1).tobytes()
+
     # raw chunks
     raw_entries: list[tuple] = [
         (TAG_NEW_SUBFILE, 4, (0,)),
@@ -386,14 +417,14 @@ def build_dng(mosaic: np.ndarray, *, bits: int = 16,
                 if compression == 7:
                     chunks.append(sof3(tile))
                 else:
-                    chunks.append(tile.astype(bo + "u2").tobytes())
+                    chunks.append(pack_raw(tile))
         raw_entries += [(TAG_TILE_W, 3, (tw,)), (TAG_TILE_H, 3, (th,))]
         off_tag, cnt_tag = TAG_TILE_OFFSETS, TAG_TILE_COUNTS
     else:
         if compression == 7:
             chunks.append(sof3(mosaic))
         else:
-            chunks.append(mosaic.astype(bo + "u2").tobytes())
+            chunks.append(pack_raw(mosaic))
         raw_entries.append((TAG_ROWS_PER_STRIP, 3, (h,)))
         off_tag, cnt_tag = TAG_STRIP_OFFSETS, TAG_STRIP_COUNTS
 

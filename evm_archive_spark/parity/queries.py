@@ -11081,6 +11081,9 @@ def _q_dng(spark, sf_dir):
                           % (1 << bits)).astype(np.uint16)
                 payload = build_dng(
                     mosaic, bits=bits, predictor=1 + did % 7,
+                    # did % 7 == 3: uncompressed — packed sub-16-bit
+                    # rows for bits 12/14, plain samples at 16 (r10)
+                    compression=1 if did % 7 == 3 else 7,
                     tile_size=(8, 8) if did % 2 else None,
                     sof3_components=2 if did % 5 == 0 else 1)
                 meta = dng_metadata(payload)

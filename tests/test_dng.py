@@ -36,6 +36,14 @@ def test_roundtrip_bits_tiles_compressions():
         d = build_dng(mosaic, bits=16, compression=1, byte_order=bo)
         out, _ = decode_dng_raw(d)
         assert np.array_equal(out, mosaic), bo
+    # uncompressed PACKED sub-16-bit rows (round 10): MSB-first,
+    # byte-padded per row; odd widths exercise the row padding
+    for bits in (8, 10, 12, 14):
+        for tiles in (None, (8, 8)):
+            m = rng.integers(0, 1 << bits, (13, 21), dtype=np.uint16)
+            d = build_dng(m, bits=bits, compression=1, tile_size=tiles)
+            out, ob = decode_dng_raw(d)
+            assert ob == bits and np.array_equal(out, m), (bits, tiles)
 
 
 def test_metadata_fields():
@@ -65,9 +73,13 @@ def test_typed_boundaries_and_fuzz():
     assert not is_dng(plain)
     with pytest.raises(DngError, match="DNGVersion|CFA"):
         dng_metadata(plain)
-    # packed sub-16-bit uncompressed is typed
-    with pytest.raises(DngError, match="packed"):
-        decode_dng_raw(build_dng(mosaic, bits=12, compression=1))
+    # packed sub-16-bit uncompressed decodes since r10; a SHORT packed
+    # chunk stays typed
+    packed = build_dng(mosaic, bits=12, compression=1)
+    out, ob = decode_dng_raw(packed)
+    assert ob == 12 and np.array_equal(out, mosaic)
+    with pytest.raises(DngError):
+        decode_dng_raw(packed[:-8])
     # SOF3 precision disagreeing with BitsPerSample is typed
     bad = bytearray(good)
     i = bad.index(struct.pack("<HHI", 258, 3, 1))
