@@ -525,38 +525,51 @@ def _as_rows(rows: np.ndarray) -> np.ndarray:
     return (rows != 0).astype(np.uint8)
 
 
-def build_tiff_fax(rows: np.ndarray, compression: int = 4,
+def build_tiff_fax(rows: np.ndarray | list, compression: int = 4,
                    two_d: bool = False) -> bytes:
-    """A complete single-strip bilevel TIFF (photometric 0,
-    WhiteIsZero) holding ``rows`` (0 = white, nonzero = black) under
-    compression 2 (MH), 3 (G3; ``two_d`` sets the T4Options 2-D flag)
-    or 4 (G4) — the fixture writer for the fax lane, independent of
-    the TIFF reader's IFD walk."""
+    """A complete bilevel TIFF (photometric 0, WhiteIsZero) holding
+    ``rows`` (0 = white, nonzero = black) under compression 2 (MH),
+    3 (G3; ``two_d`` sets the T4Options 2-D flag) or 4 (G4) — the
+    fixture writer for the fax lane, independent of the TIFF reader's
+    IFD walk.  A LIST of row arrays writes a multi-page file (one IFD
+    per page on the next-IFD chain — the scanned-document shape;
+    ``compression`` may then also be a per-page list)."""
     import struct
 
-    rows = _as_rows(rows)
-    h, w = rows.shape
-    if compression == 2:
-        body = encode_mh(rows)
-    elif compression == 3:
-        body = encode_g3(rows, two_d=two_d)
-    elif compression == 4:
-        body = encode_g4(rows)
-    else:
-        raise CcittError(f"not a fax compression: {compression}")
-    entries = [
-        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1),
-        (259, 3, 1, compression), (262, 3, 1, 0), (273, 4, 1, None),
-        (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(body)),
-    ]
-    if compression == 3:
-        entries.append((292, 4, 1, 1 if two_d else 0))
-    entries.sort(key=lambda e: e[0])
-    strip_off = 8 + 2 + 12 * len(entries) + 4
-    ifd = struct.pack("<H", len(entries))
-    for tag, typ, cnt, val in entries:
-        if val is None:
-            val = strip_off
-        ifd += struct.pack("<HHII", tag, typ, cnt, val)
-    ifd += struct.pack("<I", 0)
-    return b"II*\x00" + struct.pack("<I", 8) + ifd + body
+    pages = rows if isinstance(rows, list) else [rows]
+    comps = (compression if isinstance(compression, list)
+             else [compression] * len(pages))
+    if not pages or len(comps) != len(pages):
+        raise CcittError("build_tiff_fax wants >= 1 page, one "
+                         "compression per page")
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    for pi, (page, comp) in enumerate(zip(pages, comps)):
+        page = _as_rows(page)
+        h, w = page.shape
+        if comp == 2:
+            body = encode_mh(page)
+        elif comp == 3:
+            body = encode_g3(page, two_d=two_d)
+        elif comp == 4:
+            body = encode_g4(page)
+        else:
+            raise CcittError(f"not a fax compression: {comp}")
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1),
+            (259, 3, 1, comp), (262, 3, 1, 0), (273, 4, 1, None),
+            (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(body)),
+        ]
+        if comp == 3:
+            entries.append((292, 4, 1, 1 if two_d else 0))
+        entries.sort(key=lambda e: e[0])
+        ifd_off = len(out)
+        strip_off = ifd_off + 2 + 12 * len(entries) + 4
+        ifd = struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if val is None:
+                val = strip_off
+            ifd += struct.pack("<HHII", tag, typ, cnt, val)
+        last = pi == len(pages) - 1
+        ifd += struct.pack("<I", 0 if last else strip_off + len(body))
+        out += ifd + body
+    return bytes(out)

@@ -177,6 +177,40 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise TiffError("bad signature: not a TIFF payload")
     bo = "<" if data[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    return _decode_ifd(data, ifd_off, bo)
+
+
+MAX_TIFF_PAGES = 4096
+
+
+@guard(TiffError)
+def tiff_pages(data: bytes):
+    """Every page of a multi-page TIFF (the scanned-document shape:
+    one IFD per page on the next-IFD chain) as a list of (h, w, 4)
+    uint8 RGBA arrays, round 10.  A single-page TIFF yields one
+    entry; a broken chain (cycle, overrun) is typed."""
+    if not is_tiff(data):
+        raise TiffError("bad signature: not a TIFF payload")
+    bo = "<" if data[:2] == b"II" else ">"
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    seen: set[int] = set()
+    pages = []
+    while off:
+        if off in seen or len(seen) >= MAX_TIFF_PAGES:
+            raise TiffError("TIFF IFD chain cycles or over cap")
+        seen.add(off)
+        pages.append(_decode_ifd(data, off, bo))
+        if off + 2 > len(data):
+            raise TiffError("truncated IFD")
+        (n,) = struct.unpack_from(bo + "H", data, off)
+        nxt = off + 2 + 12 * n
+        if nxt + 4 > len(data):
+            raise TiffError("truncated next-IFD pointer")
+        (off,) = struct.unpack_from(bo + "I", data, nxt)
+    return pages
+
+
+def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
     f = _read_ifd(data, ifd_off, bo)
     tiled = "tile_width" in f
     try:

@@ -10867,6 +10867,67 @@ _add(
 )
 
 
+# [pair] multi-page TIFF fan-out (tiff.tiff_pages, round-10): scanned
+# documents ship as one IFD per page on the next-IFD chain, usually
+# G4-compressed.  Each doc gets a REAL 3-page fax TIFF (per-page
+# compression rotates MH/G3/G4 by doc_id % 3); page p's black pattern
+# bit k = [(doc_id*43 + p*7 + k*13) % 5 < 2] over the 8x8 grid, so
+# the per-page black-pixel count decoded from the chain replays
+# analytically in SQL.
+
+def _q_tiff_pages(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.ccittfax import build_tiff_fax
+        from ..operators.tiff import tiff_pages
+
+        ks = np.arange(64)
+        for b in it:
+            out = {"media_id": [], "page": [], "black_px": []}
+            for mid in b["media_id"]:
+                did = int(mid)
+                pages = [
+                    ((did * 43 + p * 7 + ks * 13) % 5 < 2
+                     ).astype(np.uint8).reshape(8, 8)
+                    for p in range(3)
+                ]
+                comps = [[2, 3, 4], [3, 4, 2], [4, 2, 3]][did % 3]
+                payload = build_tiff_fax(pages, compression=comps)
+                for p, rgba in enumerate(tiff_pages(payload)):
+                    out["media_id"].append(did)
+                    out["page"].append(p)
+                    out["black_px"].append(
+                        int((rgba[:, :, 0] == 0).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, "media_id long, page long, black_px long"
+    ).orderBy("media_id", "page")
+
+
+_add(
+    "q_tiff_pages",
+    _q_tiff_pages,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "ps AS (SELECT unnest(generate_series(0, 2)) AS p) "
+    "SELECT d.doc_id AS media_id, CAST(ps.p AS BIGINT) AS page, "
+    "CAST(SUM(CASE WHEN (d.doc_id * 43 + ps.p * 7 + ks.k * 13) % 5 < 2 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS black_px "
+    "FROM documents d CROSS JOIN ps CROSS JOIN ks "
+    "GROUP BY d.doc_id, ps.p "
+    "ORDER BY media_id NULLS FIRST, page",
+    "multi-page fax TIFF fan-out: 3-page next-IFD chains (per-page "
+    "MH/G3/G4 rotation) decode page-by-page == the analytic per-page "
+    "black-pixel replay",
+)
+
+
 # [pair] LOSSLESS JPEG decode (operators/jpeglossless.py, round-9:
 # the T.81 SOF3 predictive process DNG raw files use — 7 predictors,
 # Huffman difference categories, point transform; no DCT).  Each doc
@@ -12140,6 +12201,8 @@ _ROUND10_STAGED: list[str] = [
     "q_ccitt_fax",  # NEW: T.4/T.6 fax TIFF decode (MH/G3/G3-2D/G4)
     "q_squashfs",   # compressor cycle grew lzo (% 6, from-scratch LZO1X)
     "q_7z",         # codec cycle grew aes (% 10, encrypted-folder inventory)
+    "q_tiff_pages", # NEW: multi-page fax TIFF fan-out (next-IFD chain)
+    "q_dng",        # fixture cycle grew packed-uncompressed raws (% 7 == 3)
 ]
 _ROUND10_R4_VINTAGE = [
     "q_lenpct", "q_vocab", "q_range_join", "q_rollup_incr",

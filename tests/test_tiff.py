@@ -1057,3 +1057,30 @@ def test_16bit_planar_bilevel_cross_checked_against_libtiff():
         else:
             want8 = (want >> 8).astype(np.uint8)
         assert np.array_equal(ours[:, :, :3], want8), ("ours", i)
+
+
+def test_multipage_tiff_pages():
+    """tiff_pages walks the next-IFD chain (the scanned-document
+    shape); broken chains are typed."""
+    from evm_archive_spark.operators.ccittfax import build_tiff_fax
+    from evm_archive_spark.operators.tiff import tiff_pages
+
+    rng = np.random.default_rng(107)
+    pages = [(rng.random((8, 8 + i)) < 0.4).astype(np.uint8)
+             for i in range(4)]
+    t = build_tiff_fax(pages, compression=[2, 3, 4, 4])
+    got = tiff_pages(t)
+    assert len(got) == 4
+    for p, g in zip(pages, got):
+        assert np.array_equal(g[:, :, 0], np.where(p > 0, 0, 255))
+    assert np.array_equal(decode_tiff(t), got[0])
+    # single page yields one entry; non-fax single-IFD files work too
+    assert len(tiff_pages(build_tiff_fax(pages[0]))) == 1
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert len(tiff_pages(encode_tiff(gray))) == 1
+    # a next-IFD pointer cycling back is typed, not an infinite loop
+    bad = bytearray(t)
+    n = struct.unpack_from("<H", bad, 8)[0]
+    struct.pack_into("<I", bad, 8 + 2 + 12 * n, 8)   # IFD0 -> IFD0
+    with pytest.raises(TiffError, match="cycle"):
+        tiff_pages(bytes(bad))
