@@ -16,12 +16,14 @@ is the DNG raw layout, and the shared jpeg.py dispatch handles
 baseline/progressive/arithmetic/lossless streams alike); 2/3/4
 (CCITT fax: Modified Huffman rows, Group 3 per the T4Options flag,
 Group 4 MMR — the scanned-document compressions, via ccittfax.py);
-6 (old-JPEG) is out of scope.
+and 6 (old-style JPEG, the deprecated TIFF 6.0 §22 layout — the
+recoverable JPEGInterchangeFormat whole-stream form).
 
 Scope notes (clear errors, no silent wrong pixels): tiled planar-2
 organization, 16-bit palettes, CCITT tiles and uncompressed mode,
-and old-JPEG compression raise ``TiffError`` naming the gap.  Output
-matches the other codecs' contract: (h, w, 4) uint8 RGBA.
+and old-JPEG per-strip fragment layouts (no interchange stream)
+raise ``TiffError`` naming the gap.  Output matches the other
+codecs' contract: (h, w, 4) uint8 RGBA.
 
 TIFF's LZW differs from GIF's: codes are MSB-first, code width starts
 at 9 and bumps at dictionary sizes 511/1023/2047 (one EARLIER than the
@@ -60,6 +62,7 @@ _TAGS = {
     325: "tile_byte_counts", 338: "extra_samples",
     284: "planar_config", 347: "jpeg_tables",
     292: "t4_options", 293: "t6_options",
+    513: "jpeg_interchange", 514: "jpeg_interchange_length",
 }
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -216,7 +219,11 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
     try:
         width = f["width"][0]
         height = f["height"][0]
-        if tiled:
+        if f.get("compression", (1,))[0] == 6:
+            # old-JPEG files often carry NO strip tables — only the
+            # interchange stream; the comp-6 arm below never uses them
+            offsets = counts = ()
+        elif tiled:
             offsets = f["tile_offsets"]
             counts = f["tile_byte_counts"]
         else:
@@ -233,12 +240,36 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
     predictor = f.get("predictor", (1,))[0]
     if planar not in (1, 2):
         raise TiffError(f"planar configuration {planar} not supported")
-    if comp not in (1, 5, 8, 32946, 32773, 7, 2, 3, 4):
-        names = {6: "old-JPEG"}
+    if comp not in (1, 5, 8, 32946, 32773, 7, 2, 3, 4, 6):
         raise TiffError(
-            f"compression {names.get(comp, comp)} not supported "
+            f"compression {comp} not supported "
             "(none/CCITT/LZW/Deflate/PackBits/JPEG only)"
         )
+    if comp == 6:
+        # old-style JPEG (TIFF 6.0 §22, deprecated): the common,
+        # recoverable layout carries ONE complete JPEG stream behind
+        # JPEGInterchangeFormat/-Length (round 10); the per-strip
+        # fragment layout without an interchange stream has writer-
+        # divergent semantics and stays typed
+        ji = f.get("jpeg_interchange", ())
+        jl = f.get("jpeg_interchange_length", ())
+        if not ji or not jl:
+            raise TiffError(
+                "old-JPEG without a JPEGInterchangeFormat stream "
+                "not supported")
+        stream = data[ji[0]: ji[0] + jl[0]]
+        if len(stream) < jl[0]:
+            raise TiffError("old-JPEG interchange stream overruns "
+                            "payload")
+        from .jpeg import JpegError, decode_jpeg
+
+        try:
+            rgba = decode_jpeg(bytes(stream))
+        except JpegError as e:
+            raise TiffError(f"old-JPEG stream: {e}") from e
+        if rgba.shape[0] < height or rgba.shape[1] < width:
+            raise TiffError("old-JPEG stream smaller than declared")
+        return np.ascontiguousarray(rgba[:height, :width])
     if comp in (2, 3, 4):
         # CCITT fax (round 10): MH rows / Group 3 / Group 4 via the
         # shared T.4/T.6 codecs

@@ -167,6 +167,9 @@ def encode_tiff(
             for r0 in range(0, h, rps):
                 rows = px[r0: r0 + rps, :, p]
                 strips.append(pack(rows, rows.shape[0], nspp=1))
+    elif compression == 6:
+        # old-JPEG: one full interchange stream for the whole image
+        strips.append(jpeg_strip_encoder(px))
     else:
         for r0 in range(0, h, rps):
             rows = px[r0: r0 + rps]
@@ -221,6 +224,9 @@ def encode_tiff(
         short(284, planar)
     if compression == 3:
         long_(292, t4_options)
+    if compression == 6:
+        long_(513, 0)                           # patched with offset
+        long_(514, len(strips[0]))
     if colormap is not None:
         short(320, *colormap)
     # offsets/counts filled after layout
@@ -257,6 +263,8 @@ def encode_tiff(
     # rewrite the strip-offset entry now that layout is known
     out_entries = bytearray()
     for tag, typ, cnt, inline, extoff in fixed:
+        if tag == 513:
+            inline = struct.pack(bo + "I", offs[0])
         if tag in (273, 324):
             vb = value_bytes(4, offs)
             if len(vb) <= 4:
@@ -1084,3 +1092,36 @@ def test_multipage_tiff_pages():
     struct.pack_into("<I", bad, 8 + 2 + 12 * n, 8)   # IFD0 -> IFD0
     with pytest.raises(TiffError, match="cycle"):
         tiff_pages(bytes(bad))
+
+
+def test_old_jpeg_interchange_stream():
+    """Compression 6 (old-style JPEG): the recoverable layout — one
+    complete stream behind JPEGInterchangeFormat/-Length — decodes
+    through the shared jpeg.py dispatch; fragment layouts without an
+    interchange stream stay typed."""
+    from evm_archive_spark.operators.jpegarith import encode_jpeg_arith
+
+    rng = np.random.default_rng(109)
+    blocks = rng.integers(0, 28, (2, 3), dtype=np.uint8) * 8 + 20
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))
+    t = encode_tiff(img, compression=6,
+                    jpeg_strip_encoder=encode_jpeg_arith)
+    out = decode_tiff(t)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    # declared dims crop the stream; larger declared dims are typed
+    bad = bytearray(t)
+    i = bad.index(struct.pack("<HH", 257, 3))
+    struct.pack_into("<H", bad, i + 8, 999)
+    with pytest.raises(TiffError, match="smaller than declared"):
+        decode_tiff(bytes(bad))
+    # comp 6 without the interchange tag is typed
+    bad = bytearray(t)
+    i = bad.index(struct.pack("<HH", 513, 4))
+    struct.pack_into("<H", bad, i, 51)          # hide the tag
+    with pytest.raises(TiffError, match="old-JPEG without"):
+        decode_tiff(bytes(bad))
+    # corrupt stream is typed
+    bad = bytearray(t)
+    bad[-10:] = b"\x00" * 10
+    with pytest.raises(TiffError, match="old-JPEG stream"):
+        decode_tiff(bytes(bad))
