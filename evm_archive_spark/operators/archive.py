@@ -343,13 +343,21 @@ def archive_members(
         for info in zf.infolist():
             if info.is_dir():
                 continue
+            if info.flag_bits & 0x1:
+                # encrypted member (round 10, the 7zAES rule): the
+                # inventory — name and declared size — is plaintext in
+                # the central directory; surface it with a None
+                # payload instead of failing the archive
+                yield info.filename, info.file_size, None
+                continue
             if info.file_size > max_member_bytes:
                 continue
             try:
                 with zf.open(info) as f:
                     # bounded read: file_size can lie in a crafted zip
                     data = f.read(max_member_bytes + 1)
-            except (zipfile.BadZipFile, NotImplementedError) as e:
+            except (zipfile.BadZipFile, NotImplementedError,
+                    RuntimeError) as e:
                 raise ArchiveError(f"bad zip member {info.filename}: {e}") from e
             if len(data) > max_member_bytes:
                 continue

@@ -403,3 +403,29 @@ def test_document_extract_transparent_zstd_lz4(spark):
            .collect()}
     assert out == {1: ("text", "plain zstd doc text"),
                    2: ("html", "lz4 marked up")}
+
+
+def test_encrypted_zip_members_inventory():
+    """Encrypted zip members (general-purpose flag bit 0) inventory
+    with name + declared size and a None payload (the 7zAES rule,
+    round 10) instead of failing the archive."""
+    import io
+    import re
+    import zipfile
+
+    from evm_archive_spark.operators.archive import archive_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("plain.txt", b"hello")
+        zf.writestr("secret.txt", b"classified data")
+    b = bytearray(buf.getvalue())
+    for sig, name_off, flag_off in ((b"PK\x03\x04", 30, 6),
+                                    (b"PK\x01\x02", 46, 8)):
+        for m in re.finditer(re.escape(sig), b):
+            off = m.start()
+            if b[off + name_off:].startswith(b"secret"):
+                b[off + flag_off] |= 1
+    got = list(archive_members(bytes(b)))
+    assert got == [("plain.txt", 5, b"hello"),
+                   ("secret.txt", 15, None)]
