@@ -217,7 +217,7 @@ def archive_kind(b: bytes) -> str | None:
     """Sniff: 'zip' (PK header), 'tar' (ustar magic at 257), 'ar'
     (!<arch> — .deb outer / static libraries), 'cpio' (newc/crc ASCII
     magic — initramfs, RPM payloads), '7z' (the 7-Zip signature),
-    else None."""
+    'rar' (both generations), else None."""
     if b[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
         return "zip"
     if len(b) >= 512:
@@ -229,6 +229,8 @@ def archive_kind(b: bytes) -> str | None:
         return "cpio"
     if b[:6] == b"7z\xbc\xaf\x27\x1c":
         return "7z"
+    if b[:7] == b"Rar!\x1a\x07\x00" or b[:8] == b"Rar!\x1a\x07\x01\x00":
+        return "rar"
     if b[:4] == b"hsqs" and len(b) >= 96:
         return "squashfs"
     # mirrors iso9660.is_iso exactly (magic AND a valid descriptor
@@ -402,7 +404,13 @@ def archive_members(
 
         yield from squashfs_members(b, max_member_bytes)
         return
-    raise ArchiveError("not a zip/tar/ar/cpio/7z/iso/squashfs archive")
+    if kind == "rar":
+        from .rar import rar_members          # RarError normalizes too
+
+        yield from rar_members(b, max_member_bytes)
+        return
+    raise ArchiveError(
+        "not a zip/tar/ar/cpio/7z/iso/squashfs/rar archive")
 
 
 MEMBER_SCHEMA = T.StructType(

@@ -9144,6 +9144,73 @@ _add(
 )
 
 
+# [pair] RAR fan-out (operators/rar.py, round-10): RAR4 and RAR5
+# containers from the independent build_rar writer (bsdtar/libarchive
+# cross-pins the serialization in pytest).  Stored members extract
+# with verified CRCs; "compressed"-marked members follow the
+# inventory rule (name+size, NULL payload) — doc_id % 4 cycles
+# rar5-stored / rar4-stored / rar5-compressed / rar4-compressed, so
+# the oracle's NULL pattern checks both paths.
+
+def _q_rar(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.archive import explode_archives
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def build(it):
+        from ..operators.rar import build_rar
+
+        for b in it:
+            payloads = []
+            for mid, t in zip(b["media_id"], b["t"]):
+                data = t.encode("utf-8")
+                did = int(mid)
+                payloads.append(build_rar(
+                    [("a.txt", data), ("b.txt", b"copy:" + data)],
+                    rar5=did % 2 == 0,
+                    stored=did % 4 < 2,
+                ))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = explode_archives(media, strict=True)
+    return out.select(
+        "media_id",
+        "path",
+        "size",
+        F.md5("payload").alias("member_md5"),
+    ).orderBy("media_id", "path")
+
+
+_add(
+    "q_rar",
+    _q_rar,
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
+    "SELECT doc_id AS media_id, 'a.txt' AS path, "
+    "CAST(strlen(t) AS BIGINT) AS size, "
+    "CASE WHEN doc_id % 4 >= 2 THEN NULL ELSE md5(t) END "
+    "AS member_md5 FROM d "
+    "UNION ALL "
+    "SELECT doc_id, 'b.txt', "
+    "CAST(strlen('copy:' || t) AS BIGINT), "
+    "CASE WHEN doc_id % 4 >= 2 THEN NULL "
+    "ELSE md5('copy:' || t) END FROM d "
+    "ORDER BY media_id NULLS FIRST, path",
+    "RAR fan-out: RAR4+RAR5 block walks (vint headers, header CRCs, "
+    "stored-member extraction, compressed-member inventory with NULL "
+    "payload) explode to the same member rows; writer pinned against "
+    "libarchive in pytest",
+)
+
+
 # [pair] compressed-archive unwrap (archive.archive_members round-8
 # extension; lzip round-9): doc_id % 5 cycles .tar.gz / .tar.bz2 /
 # .tar.zst / .tar.lz4 / .tar.lz — the wrapper hides the ustar magic,
@@ -12202,6 +12269,7 @@ _ROUND10_STAGED: list[str] = [
     "q_squashfs",   # compressor cycle grew lzo (% 6, from-scratch LZO1X)
     "q_7z",         # codec cycle grew aes (% 10, encrypted-folder inventory)
     "q_tiff_pages", # NEW: multi-page fax TIFF fan-out (next-IFD chain)
+    "q_rar",        # NEW: RAR4/RAR5 container walk (libarchive-pinned)
     "q_dng",        # fixture cycle grew packed-uncompressed raws (% 7 == 3)
 ]
 _ROUND10_R4_VINTAGE = [
