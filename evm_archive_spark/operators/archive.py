@@ -217,7 +217,7 @@ def archive_kind(b: bytes) -> str | None:
     """Sniff: 'zip' (PK header), 'tar' (ustar magic at 257), 'ar'
     (!<arch> — .deb outer / static libraries), 'cpio' (newc/crc ASCII
     magic — initramfs, RPM payloads), '7z' (the 7-Zip signature),
-    'rar' (both generations), else None."""
+    'rar' (both generations), 'cab' (MS cabinets), else None."""
     if b[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
         return "zip"
     if len(b) >= 512:
@@ -231,6 +231,8 @@ def archive_kind(b: bytes) -> str | None:
         return "7z"
     if b[:7] == b"Rar!\x1a\x07\x00" or b[:8] == b"Rar!\x1a\x07\x01\x00":
         return "rar"
+    if b[:4] == b"MSCF" and len(b) >= 36:
+        return "cab"
     if b[:4] == b"hsqs" and len(b) >= 96:
         return "squashfs"
     # mirrors iso9660.is_iso exactly (magic AND a valid descriptor
@@ -409,8 +411,13 @@ def archive_members(
 
         yield from rar_members(b, max_member_bytes)
         return
+    if kind == "cab":
+        from .cab import cab_members          # CabError normalizes too
+
+        yield from cab_members(b, max_member_bytes)
+        return
     raise ArchiveError(
-        "not a zip/tar/ar/cpio/7z/iso/squashfs/rar archive")
+        "not a zip/tar/ar/cpio/7z/iso/squashfs/rar/cab archive")
 
 
 MEMBER_SCHEMA = T.StructType(

@@ -9211,6 +9211,64 @@ _add(
 )
 
 
+# [pair] CAB fan-out (operators/cab.py, round-10): Microsoft cabinets
+# from the independent build_cab writer (libarchive cross-pins it in
+# pytest).  MSZIP folders decode with real cross-block DEFLATE
+# history; doc parity cycles none/MSZIP; same member-row oracle as
+# the other containers.
+
+def _q_cab(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.archive import explode_archives
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def build(it):
+        from ..operators.cab import build_cab
+
+        for b in it:
+            payloads = []
+            for mid, t in zip(b["media_id"], b["t"]):
+                data = t.encode("utf-8")
+                payloads.append(build_cab(
+                    [("a.txt", data), ("b.txt", b"copy:" + data)],
+                    compression="mszip" if int(mid) % 2 else "none",
+                ))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = explode_archives(media, strict=True)
+    return out.select(
+        "media_id",
+        "path",
+        "size",
+        F.md5("payload").alias("member_md5"),
+    ).orderBy("media_id", "path")
+
+
+_add(
+    "q_cab",
+    _q_cab,
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents) "
+    "SELECT doc_id AS media_id, 'a.txt' AS path, "
+    "CAST(strlen(t) AS BIGINT) AS size, md5(t) AS member_md5 FROM d "
+    "UNION ALL "
+    "SELECT doc_id, 'b.txt', "
+    "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
+    "ORDER BY media_id NULLS FIRST, path",
+    "CAB fan-out: CFHEADER/CFFOLDER/CFFILE/CFDATA walks (checksum "
+    "verification, MSZIP cross-block history) explode to the same "
+    "member rows; writer pinned against libarchive in pytest",
+)
+
+
 # [pair] compressed-archive unwrap (archive.archive_members round-8
 # extension; lzip round-9): doc_id % 5 cycles .tar.gz / .tar.bz2 /
 # .tar.zst / .tar.lz4 / .tar.lz — the wrapper hides the ustar magic,
@@ -12270,6 +12328,7 @@ _ROUND10_STAGED: list[str] = [
     "q_7z",         # codec cycle grew aes (% 10, encrypted-folder inventory)
     "q_tiff_pages", # NEW: multi-page fax TIFF fan-out (next-IFD chain)
     "q_rar",        # NEW: RAR4/RAR5 container walk (libarchive-pinned)
+    "q_cab",        # NEW: MS cabinet walk, MSZIP history (libarchive-pinned)
     "q_dng",        # fixture cycle grew packed-uncompressed raws (% 7 == 3)
 ]
 _ROUND10_R4_VINTAGE = [
