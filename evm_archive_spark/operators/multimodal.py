@@ -78,6 +78,7 @@ def _audio_decoder(b: bytes):
     stdlib-decodable audio.  A container whose audio track is
     perceptual (AAC/Opus/Vorbis) returns ``None`` — the strict paths
     then raise naming the gap, same boundary as every other codec."""
+    from .aiff import decode_aiff, is_aiff
     from .flac import decode_flac, is_flac
     from .mkv import decode_mkv_audio, mkv_has_pcm_audio
     from .mp4 import decode_mp4_audio, has_pcm_audio
@@ -87,6 +88,8 @@ def _audio_decoder(b: bytes):
         return lambda: decode_wav(b)
     if is_flac(b):
         return lambda: decode_flac(b)
+    if is_aiff(b):
+        return lambda: decode_aiff(b)
     if has_pcm_audio(b):
         return lambda: decode_mp4_audio(b)
     if mkv_has_pcm_audio(b):

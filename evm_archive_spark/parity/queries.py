@@ -9269,6 +9269,77 @@ _add(
 )
 
 
+# [pair] AIFF/AIFF-C REAL decode (operators/aiff.py, round-10: the
+# EA-IFF-85 chunk walk, 80-bit extended-float sample rate, BE PCM +
+# sowt/fl32 AIFC types; stdlib-aifc cross-pinned both directions in
+# pytest).  Each doc gets a REAL file from the module's own writer:
+# 256 mono samples w_k = ((did*13 + k*7) % 32001) - 16000 stored as
+# w/32767, ctype cycling NONE-16 / sowt / fl32 by did % 3.  |w| <=
+# 16000 keeps round(decoded * 32768) == w on EVERY path (PCM decodes
+# as w/32768, fl32 as float32(w/32767)), so the integer sample sum
+# replays analytically in SQL.  Decode goes through the audio lane's
+# shared dispatch (multimodal._audio_decoder), not the module
+# directly — the integration is part of what is gated.
+
+def _q_aiff(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.aiff import encode_aiff
+        from ..operators.multimodal import _audio_decoder
+
+        ks = np.arange(256)
+        ctypes = [(b"NONE", 16), (b"sowt", 16), (b"fl32", 32)]
+        for b in it:
+            out = {"media_id": [], "sample_rate": [], "n_frames": [],
+                   "sample_qsum": []}
+            for mid in b["media_id"]:
+                did = int(mid)
+                w = ((did * 13 + ks * 7) % 32001) - 16000
+                rate = 8000 + (did % 5) * 1000
+                ctype, bits = ctypes[did % 3]
+                payload = encode_aiff(rate, w / 32767.0, bits=bits,
+                                      ctype=ctype)
+                dec = _audio_decoder(payload)
+                assert dec is not None
+                got_rate, samples = dec()
+                q = np.round(samples[:, 0] * 32768).astype(np.int64)
+                out["media_id"].append(did)
+                out["sample_rate"].append(got_rate)
+                out["n_frames"].append(samples.shape[0])
+                out["sample_qsum"].append(int(q.sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, sample_rate long, n_frames long, "
+        "sample_qsum long",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_aiff",
+    _q_aiff,
+    "WITH ks AS (SELECT unnest(generate_series(0, 255)) AS k) "
+    "SELECT d.doc_id AS media_id, "
+    "CAST(8000 + (d.doc_id % 5) * 1000 AS BIGINT) AS sample_rate, "
+    "CAST(256 AS BIGINT) AS n_frames, "
+    "CAST(SUM((d.doc_id * 13 + ks.k * 7) % 32001 - 16000) AS BIGINT) "
+    "AS sample_qsum "
+    "FROM documents d CROSS JOIN ks GROUP BY d.doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL AIFF/AIFF-C decode (chunk walk, 80-bit rate, NONE/sowt/"
+    "fl32 cycled) through the shared audio dispatch -> exact integer "
+    "sample sums == the analytic replay; stdlib-aifc pinned both "
+    "directions in pytest",
+)
+
+
 # [pair] compressed-archive unwrap (archive.archive_members round-8
 # extension; lzip round-9): doc_id % 5 cycles .tar.gz / .tar.bz2 /
 # .tar.zst / .tar.lz4 / .tar.lz — the wrapper hides the ustar magic,
@@ -12329,6 +12400,7 @@ _ROUND10_STAGED: list[str] = [
     "q_tiff_pages", # NEW: multi-page fax TIFF fan-out (next-IFD chain)
     "q_rar",        # NEW: RAR4/RAR5 container walk (libarchive-pinned)
     "q_cab",        # NEW: MS cabinet walk, MSZIP history (libarchive-pinned)
+    "q_aiff",       # NEW: AIFF/AIFF-C real decode (aifc-pinned)
     "q_dng",        # fixture cycle grew packed-uncompressed raws (% 7 == 3)
 ]
 _ROUND10_R4_VINTAGE = [
