@@ -9340,6 +9340,79 @@ _add(
 )
 
 
+# [pair] font-asset identity face (operators/fontmeta.py, round-10:
+# SFNT table walk, WOFF 1.0 zlib tables, WOFF 2.0 UIntBase128
+# directory + brotli stream).  Every site serves fonts; dedup and
+# licensing triage need family/glyph metadata without a renderer.
+# Each doc gets a REAL font from build_ttf (analytic name strings,
+# glyph counts and weights), wrapped sfnt/woff/woff2 by doc_id % 3 —
+# every field replays in SQL.
+
+def _q_font_meta(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def run(it):
+        import pandas as pd
+
+        from ..operators.fontmeta import (
+            build_ttf,
+            build_woff,
+            build_woff2,
+            font_metadata,
+        )
+
+        wraps = [lambda b: b, build_woff, build_woff2]
+        for b in it:
+            out = {"media_id": [], "container": [], "family": [],
+                   "subfamily": [], "n_glyphs": [], "units_per_em": [],
+                   "weight_class": []}
+            for mid in b["media_id"]:
+                did = int(mid)
+                ttf = build_ttf(
+                    family="family_%d" % (did % 32),
+                    subfamily="sub_%d" % (did % 4),
+                    n_glyphs=1 + did % 3000,
+                    units_per_em=1000 + (did % 2) * 1048,
+                    weight=100 * (1 + did % 9),
+                )
+                m = font_metadata(wraps[did % 3](ttf))
+                out["media_id"].append(did)
+                out["container"].append(m["container"])
+                out["family"].append(m["family"])
+                out["subfamily"].append(m["subfamily"])
+                out["n_glyphs"].append(m["n_glyphs"])
+                out["units_per_em"].append(m["units_per_em"])
+                out["weight_class"].append(m["weight_class"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, container string, family string, "
+        "subfamily string, n_glyphs long, units_per_em long, "
+        "weight_class long",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_font_meta",
+    _q_font_meta,
+    "SELECT doc_id AS media_id, "
+    "CASE doc_id % 3 WHEN 0 THEN 'sfnt' WHEN 1 THEN 'woff' "
+    "ELSE 'woff2' END AS container, "
+    "'family_' || (doc_id % 32) AS family, "
+    "'sub_' || (doc_id % 4) AS subfamily, "
+    "CAST(1 + doc_id % 3000 AS BIGINT) AS n_glyphs, "
+    "CAST(1000 + (doc_id % 2) * 1048 AS BIGINT) AS units_per_em, "
+    "CAST(100 * (1 + doc_id % 9) AS BIGINT) AS weight_class "
+    "FROM documents ORDER BY media_id NULLS FIRST",
+    "font identity face: SFNT/WOFF/WOFF2 walks (zlib tables, "
+    "UIntBase128 + brotli directory) -> per-field analytic replay "
+    "incl. name-table strings",
+)
+
+
 # [pair] compressed-archive unwrap (archive.archive_members round-8
 # extension; lzip round-9): doc_id % 5 cycles .tar.gz / .tar.bz2 /
 # .tar.zst / .tar.lz4 / .tar.lz — the wrapper hides the ustar magic,
@@ -12401,6 +12474,7 @@ _ROUND10_STAGED: list[str] = [
     "q_rar",        # NEW: RAR4/RAR5 container walk (libarchive-pinned)
     "q_cab",        # NEW: MS cabinet walk, MSZIP history (libarchive-pinned)
     "q_aiff",       # NEW: AIFF/AIFF-C real decode (aifc-pinned)
+    "q_font_meta",  # NEW: TTF/OTF/WOFF/WOFF2 identity face
     "q_dng",        # fixture cycle grew packed-uncompressed raws (% 7 == 3)
 ]
 _ROUND10_R4_VINTAGE = [
