@@ -20,9 +20,9 @@ and 6 (old-style JPEG, the deprecated TIFF 6.0 §22 layout — the
 recoverable JPEGInterchangeFormat whole-stream form).
 
 Scope notes (clear errors, no silent wrong pixels): tiled planar-2
-organization, 16-bit palettes, CCITT tiles and uncompressed mode,
-and old-JPEG per-strip fragment layouts (no interchange stream)
-raise ``TiffError`` naming the gap.  Output matches the other
+organization, 16-bit palettes, CCITT uncompressed mode, and old-JPEG
+per-strip fragment layouts (no interchange stream) raise
+``TiffError`` naming the gap.  Output matches the other
 codecs' contract: (h, w, 4) uint8 RGBA.
 
 TIFF's LZW differs from GIF's: codes are MSB-first, code width starts
@@ -356,8 +356,6 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
         # tiled organization (what DNG raws and GeoTIFFs use): a grid
         # of fixed (tw, th) tiles, edge tiles padded to full size; the
         # horizontal predictor resets per tile ROW within each tile
-        if comp in (2, 3, 4):
-            raise TiffError("CCITT tiled TIFF not supported")
         tw = f["tile_width"][0]
         th = f.get("tile_length", (0,))[0]
         if not tw or not th:
@@ -383,6 +381,30 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
             ww = min(tw, width - tx * tw)
             if comp == 7:
                 tile = jpeg_pixels(chunk, hh, ww, "tile")
+            elif comp in (2, 3, 4):
+                # CCITT tiles (round 10): each tile an independent fax
+                # stream at the full tile width
+                from .ccittfax import (
+                    CcittError,
+                    decode_g3,
+                    decode_g4,
+                    decode_mh,
+                )
+
+                try:
+                    if comp == 2:
+                        packed = decode_mh(chunk, tw, th)
+                    elif comp == 3:
+                        packed = decode_g3(chunk, tw, th,
+                                           two_d=bool(t4opts & 1))
+                    else:
+                        packed = decode_g4(chunk, tw, th)
+                except CcittError as e:
+                    raise TiffError(f"CCITT tile: {e}") from e
+                bits = np.unpackbits(packed, axis=1)[:, :tw]
+                tile = (bits * 255 if photo == 1
+                        else (1 - bits) * 255).astype(
+                            np.uint8)[:, :, None]
             else:
                 dec = inflate_chunk(chunk, tile_bytes, "tile")
                 if len(dec) < tile_bytes:

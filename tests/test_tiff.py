@@ -156,6 +156,21 @@ def encode_tiff(
                     tile = np.pad(tile, pads, mode="edge")
                 if compression == 7:
                     strips.append(jpeg_strip_encoder(tile))
+                elif compression in (2, 3, 4):
+                    from evm_archive_spark.operators.ccittfax import (
+                        encode_g3,
+                        encode_g4,
+                        encode_mh,
+                    )
+
+                    bits = (tile > 0).astype(np.uint8)
+                    if compression == 2:
+                        strips.append(encode_mh(bits))
+                    elif compression == 3:
+                        strips.append(encode_g3(bits, two_d=bool(
+                            t4_options & 1)))
+                    else:
+                        strips.append(encode_g4(bits))
                 elif bilevel:
                     bits = (tile > 0).astype(np.uint8)
                     strips.append(compress_body(np.packbits(
@@ -1125,3 +1140,17 @@ def test_old_jpeg_interchange_stream():
     bad[-10:] = b"\x00" * 10
     with pytest.raises(TiffError, match="old-JPEG stream"):
         decode_tiff(bytes(bad))
+
+
+def test_ccitt_tiles():
+    """Tiled fax organization (scanned GeoTIFF maps): each tile an
+    independent MH/G3/G4 stream at the tile width, edge tiles
+    cropped."""
+    for h, w in [(21, 37), (16, 16)]:
+        page = _fax_page(h, w, h * 3 + w)
+        want = np.where(page > 0, 0, 255).astype(np.uint8)
+        for comp, t4 in [(2, 0), (3, 1), (4, 0)]:
+            t = encode_tiff(page, compression=comp, t4_options=t4,
+                            tile_size=(16, 16))
+            out = decode_tiff(t)
+            assert np.array_equal(out[:, :, 0], want), (comp, t4, h, w)
