@@ -118,6 +118,13 @@ HEADLINE = [
     # squashfs fan-out now cycling gzip/xz/lz4/zstd/lzma compressors
     "q_jpeg_arith",
     "q_squashfs",
+    # round-10: the T.4/T.6 fax lane (bit-serial per-row decode over
+    # Arrow batches — same cost shape as q_jpeg_arith), the RAR
+    # container walk (stored-member extraction), and the font
+    # identity face (SFNT/WOFF/WOFF2 incl. the brotli directory)
+    "q_ccitt_fax",
+    "q_rar",
+    "q_font_meta",
 ]
 
 

@@ -77,7 +77,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             return q.name, f"spark error {e!r}", ""
         if q.oracle is None:
-            return q.name, None, f"rows-only, {len(srows)} rows, {time.time() - t0:.1f}s"
+            return (q.name, None,
+                    f"rows-only, {len(srows)} rows, "
+                    f"{time.time() - t0:.1f}s",
+                    {"rows": len(srows),
+                     "wall_s": round(time.time() - t0, 2),
+                     "mode": "ROWS_ONLY"})
         try:
             res = con.execute(q.oracle)
             ocols = [d[0] for d in res.description]
@@ -90,15 +95,21 @@ def main() -> int:
         if sc != oc:
             diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
             return q.name, f"rows {len(sc)} vs {len(oc)}, diffs {diffs}", ""
-        return q.name, None, f"{len(sc)} rows, {time.time() - t0:.1f}s"
+        return (q.name, None,
+                f"{len(sc)} rows, {time.time() - t0:.1f}s",
+                {"rows": len(sc), "wall_s": round(time.time() - t0, 2),
+                 "mode": "PASS"})
 
     failures = []
+    gates: dict[str, dict] = {}
 
-    def report(name, msg, detail):
+    def report(name, msg, detail, rec=None):
         if msg:
             failures.append(name)
+            gates[name] = {"pass": False, "mode": "FAIL", "why": msg}
             print(f"FAIL {name}: {msg}", flush=True)
         else:
+            gates[name] = {"pass": True, **(rec or {})}
             print(f"PASS {name} ({detail})", flush=True)
 
     if pool > 1:
@@ -126,8 +137,8 @@ def main() -> int:
                 con.close()
 
         with ThreadPoolExecutor(max_workers=pool) as ex:
-            for name, msg, detail in ex.map(run_pooled, pooled):
-                report(name, msg, detail)
+            for res in ex.map(run_pooled, pooled):
+                report(*res)
         for q in serial:
             report(*check(q, duck))
     else:
@@ -136,6 +147,25 @@ def main() -> int:
 
     print(f"\n{len(todo) - len(failures)}/{len(todo)} ok; "
           f"failures: {failures}")
+    sweep_out = os.environ.get("SWEEP_OUT")
+    if sweep_out:
+        import json
+
+        # keep the gates{pass,mode,rows,wall_s} shape the committed
+        # SWEEP_r{N}.json artifacts use
+        rec = {
+            "sf_dir": sf_dir,
+            "n_gates": len(todo),
+            "n_pass": len(todo) - len(failures),
+            "failures": failures,
+            "gates": {
+                n: {"pass": g["pass"], "mode": g.get("mode"),
+                    "rows": g.get("rows"), "wall_s": g.get("wall_s")}
+                for n, g in gates.items()
+            },
+        }
+        with open(sweep_out, "w") as f:
+            json.dump(rec, f, indent=1)
     return 1 if failures else 0
 
 
