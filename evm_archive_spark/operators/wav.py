@@ -12,6 +12,9 @@ Scope (covers what a speech/audio training pipeline actually stores):
   ITU-T G.711 segment tables computed directly from the spec),
 - IMA/DVI ADPCM (format 0x11: block headers, step/index tables,
   per-channel 4-byte nibble word interleave),
+- MS-ADPCM (format 2: per-channel predictor coefficients, initial
+  delta + two seed samples, the 16-entry adaptation table — round
+  10),
 - WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers dispatching on the
   SubFormat GUID (PCM / float).
 
@@ -135,6 +138,67 @@ def _decode_ima_adpcm(
     return np.concatenate(frames, axis=0)
 
 
+# MS-ADPCM (format 2) constants, from the public WAVE format spec
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _decode_ms_adpcm(
+    data: bytes, n_ch: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """MS-ADPCM data chunk -> (n_frames, n_ch) int16-range array.
+    Per-block, per-channel headers: predictor index u8, initial delta
+    i16, sample1 i16, sample2 i16 (sample2 is the OLDER sample and is
+    emitted first); then interleaved 4-bit nibbles, high nibble
+    first."""
+    head = 7 * n_ch
+    if block_align < head:
+        raise WavError("MS-ADPCM block align smaller than headers")
+    frames: list[np.ndarray] = []
+    for off in range(0, len(data) - head + 1, block_align):
+        block = data[off:off + block_align]
+        preds, deltas, s1, s2 = [], [], [], []
+        for c in range(n_ch):
+            bpred = block[c]
+            if bpred >= len(_MS_COEFS):
+                raise WavError(f"bad MS-ADPCM predictor {bpred}")
+            preds.append(_MS_COEFS[bpred])
+        for c in range(n_ch):
+            deltas.append(struct.unpack_from(
+                "<h", block, n_ch + 2 * c)[0])
+            s1.append(struct.unpack_from(
+                "<h", block, 3 * n_ch + 2 * c)[0])
+            s2.append(struct.unpack_from(
+                "<h", block, 5 * n_ch + 2 * c)[0])
+        chans: list[list[int]] = [
+            [s2[c], s1[c]] for c in range(n_ch)]
+        body = block[head:]
+        need = max(samples_per_block - 2, 0) * n_ch
+        nib_i = 0
+        for byte in body:
+            for nib in ((byte >> 4) & 0xF, byte & 0xF):
+                if nib_i >= need:
+                    break
+                c = nib_i % n_ch
+                signed = nib - 16 if nib >= 8 else nib
+                c1, c2 = preds[c]
+                pred = (chans[c][-1] * c1 + chans[c][-2] * c2) >> 8
+                new = pred + signed * deltas[c]
+                new = max(-32768, min(32767, new))
+                chans[c].append(new)
+                deltas[c] = max(
+                    16, (_MS_ADAPT[nib] * deltas[c]) >> 8)
+                nib_i += 1
+        for c in range(n_ch):
+            chans[c] = chans[c][:samples_per_block]
+        frames.append(np.array(chans, dtype=np.float64).T)
+    if not frames:
+        return np.zeros((0, n_ch))
+    return np.concatenate(frames, axis=0)
+
+
 def is_wav(payload: bytes) -> bool:
     return (
         len(payload) >= 12
@@ -208,6 +272,17 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         table = _ALAW if audio_format == 6 else _MULAW
         raw = np.frombuffer(data, dtype=np.uint8)
         samples = table[raw].astype(np.float64) / 32768.0
+    elif audio_format == 2:  # MS-ADPCM
+        if bits != 4:
+            raise WavError(f"bad ADPCM bit depth {bits}")
+        if len(fmt_body) >= 20:
+            (samples_per_block,) = struct.unpack_from("<H", fmt_body, 18)
+        else:
+            samples_per_block = (align - 7 * n_ch) * 2 // n_ch + 2
+        if samples_per_block < 2:
+            raise WavError("bad MS-ADPCM samples-per-block")
+        decoded = _decode_ms_adpcm(data, n_ch, align, samples_per_block)
+        return rate, decoded / 32768.0
     elif audio_format == 0x11:  # IMA/DVI ADPCM
         if bits != 4:
             raise WavError(f"bad ADPCM bit depth {bits}")

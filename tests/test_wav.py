@@ -636,3 +636,114 @@ def _pooled_spectral_features_known_signals(spark):
     a = spectral_features(junk).collect()[0]
     b = spectral_features(junk).collect()[0]
     assert a == b
+
+
+def _ms_adpcm_encode(channels, block_align=None, predictor=1):
+    """Independent MS-ADPCM encoder (public spec): per-block headers
+    (bpred u8, idelta i16, sample1 i16, sample2 i16 per channel) then
+    greedy interleaved nibbles, reconstructing exactly as the decoder
+    will.  Returns (fmt-extension samples_per_block, block_align,
+    data bytes, reconstructed channels)."""
+    COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232)]
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    n_ch = len(channels)
+    n = len(channels[0])
+    if block_align is None:
+        block_align = 7 * n_ch + 128 * n_ch // 2
+    spb = (block_align - 7 * n_ch) * 2 // n_ch + 2
+    c1, c2 = COEFS[predictor]
+    out = bytearray()
+    recon = [[] for _ in range(n_ch)]
+    for b0 in range(0, n, spb):
+        blk = [ch[b0:b0 + spb] for ch in channels]
+        m = len(blk[0])
+        deltas = [400] * n_ch
+        s2 = [int(blk[c][0]) for c in range(n_ch)]
+        s1 = [int(blk[c][1]) if m > 1 else 0 for c in range(n_ch)]
+        out += bytes([predictor] * n_ch)
+        for c in range(n_ch):
+            out += struct.pack("<h", deltas[c])
+        for c in range(n_ch):
+            out += struct.pack("<h", s1[c])
+        for c in range(n_ch):
+            out += struct.pack("<h", s2[c])
+        for c in range(n_ch):
+            recon[c].append(s2[c])
+            if m > 1:
+                recon[c].append(s1[c])
+        hist = [[s2[c], s1[c]] for c in range(n_ch)]
+        nibs = []
+        for i in range(2, spb):
+            for c in range(n_ch):
+                target = int(blk[c][i]) if i < m else 0
+                pred = (hist[c][-1] * c1 + hist[c][-2] * c2) >> 8
+                nib = max(-8, min(7, round((target - pred)
+                                           / deltas[c])))
+                new = max(-32768, min(32767, pred + nib * deltas[c]))
+                un = nib + 16 if nib < 0 else nib
+                deltas[c] = max(16, (ADAPT[un] * deltas[c]) >> 8)
+                hist[c] = [hist[c][-1], new]
+                if i < m:
+                    recon[c].append(new)
+                nibs.append(un)
+        for j in range(0, len(nibs), 2):
+            hi = nibs[j]
+            lo = nibs[j + 1] if j + 1 < len(nibs) else 0
+            out += bytes([(hi << 4) | lo])
+        pad = block_align - (7 * n_ch + (len(nibs) + 1) // 2)
+        out += b"\x00" * pad
+    return spb, block_align, bytes(out), recon
+
+
+def _ms_adpcm_wav(channels, rate=8000, predictor=1):
+    spb, align, data, recon = _ms_adpcm_encode(channels,
+                                               predictor=predictor)
+    n_ch = len(channels)
+    fmt = struct.pack("<HHIIHHHH", 2, n_ch, rate, rate, align, 4,
+                      2, spb)
+    riff = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return (b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WAVE"
+            + riff), recon
+
+
+def test_ms_adpcm_mono_and_stereo():
+    """MS-ADPCM (format 2): the decoder must reproduce the encoder's
+    reconstruction EXACTLY (both sides integer state machines), and
+    the reconstruction must track the source within the step size."""
+    from evm_archive_spark.operators.wav import decode_wav
+
+    rng = np.random.default_rng(71)
+    t = np.arange(1100)
+    sig = (7000 * np.sin(t / 25) + rng.integers(-300, 300, 1100)
+           ).astype(int)
+    for chans, pred in (([sig], 1), ([sig, (-sig // 2)], 0),
+                        ([sig], 4)):
+        wav, recon = _ms_adpcm_wav([list(c) for c in chans],
+                                   predictor=pred)
+        rate, out = decode_wav(wav)
+        assert rate == 8000
+        got = np.round(out * 32768).astype(int)
+        # the final block zero-pads to a whole block; compare the
+        # source-length prefix (real files truncate via `fact`)
+        n = len(chans[0])
+        assert got.shape[0] >= n and got.shape[1] == len(chans)
+        for c in range(len(chans)):
+            assert np.array_equal(got[:n, c], np.array(recon[c])), (
+                pred, c)
+        # fidelity: greedy ADPCM tracks a smooth-ish signal
+        err = np.abs(got[:n, 0] - np.array(chans[0]))
+        assert np.median(err) < 1200
+    # bad predictor index is typed
+    wav, _ = _ms_adpcm_wav([list(sig)])
+    bad = bytearray(wav)
+    i = bad.index(b"data") + 8
+    bad[i] = 9
+    import pytest as _pytest
+
+    from evm_archive_spark.operators.wav import WavError
+
+    with _pytest.raises(WavError, match="predictor"):
+        decode_wav(bytes(bad))
