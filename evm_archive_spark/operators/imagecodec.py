@@ -14,20 +14,22 @@ from .bmp import BmpError, decode_bmp, is_bmp
 from .gif import GifError, decode_gif, is_gif
 from .ico import IcoError, decode_ico, is_ico
 from .jpeg import JpegError, decode_jpeg, is_jpeg
+from .pcx import PcxError, decode_pcx, is_pcx
 from .png import PngError, decode_png, is_png
 from .psd import PsdError, decode_psd, is_psd
+from .tga import TgaError, decode_tga, is_tga
 from .tiff import TiffError, decode_tiff, is_tiff
 from .webp import WebpError, decode_webp, is_webp
 
 #: error types raised by any registered decoder (callers catch these to
 #: apply the strict/non-strict fallback contract)
 IMAGE_ERRORS = (PngError, JpegError, GifError, TiffError, BmpError,
-                WebpError, IcoError, PsdError)
+                WebpError, IcoError, PsdError, TgaError, PcxError)
 
 #: human-readable list for strict-mode error messages
 IMAGE_FORMATS = ("PNG, JPEG (baseline/progressive/arithmetic/"
                  "lossless), GIF, TIFF, BMP, lossless WebP (VP8L), "
-                 "ICO, and PSD composites")
+                 "ICO, PSD composites, PCX, and footered TGA")
 
 _CODECS = (
     (is_png, decode_png),
@@ -39,9 +41,11 @@ _CODECS = (
     # WebpError boundary (strict re-raises, non-strict takes the fake)
     (is_webp, decode_webp),
     (is_psd, decode_psd),
-    # last: the ICO magic is weak (leading zeros) — its sniff
-    # validates the whole directory before claiming a payload
+    (is_pcx, decode_pcx),
+    # last two: weak magics — ICO's sniff validates the whole
+    # directory, TGA (magic-less) requires the v2.0 footer signature
     (is_ico, decode_ico),
+    (is_tga, decode_tga),
 )
 
 

@@ -9413,6 +9413,78 @@ _add(
 )
 
 
+# [pair] retro/game-asset image decode (operators/tga.py + pcx.py,
+# round-10): Truevision TGA (truecolor/gray/palette, raw + RLE,
+# descriptor row orders, footer-validated sniff for the magic-less
+# format) and ZSoft PCX (per-row RLE, planar RGB, 256-color tail
+# palette).  Each doc gets a REAL 8x8 two-tone image whose pattern is
+# an integer formula of doc_id, container cycling five variants by
+# doc_id % 5 — the strict aHash over DECODED pixels replays
+# analytically in SQL (the q_webp pattern).
+
+def _q_retro_image(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def build(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.pcx import build_pcx
+        from ..operators.tga import build_tga
+
+        ks = np.arange(64)
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                bits = ((did * 47 + ks * 19) % 5) < 2
+                v = np.where(bits, 240, 16).astype(np.uint8)
+                img = np.empty((8, 8, 4), dtype=np.uint8)
+                img[:, :, 0] = img[:, :, 1] = img[:, :, 2] = (
+                    v.reshape(8, 8))
+                img[:, :, 3] = 255
+                k = did % 5
+                if k == 0:
+                    payloads.append(build_tga(img, img_type=2))
+                elif k == 1:
+                    payloads.append(build_tga(
+                        img, img_type=2, rle=True, top_down=False))
+                elif k == 2:
+                    payloads.append(build_tga(
+                        img, img_type=3, rle=True))
+                elif k == 3:
+                    payloads.append(build_pcx(img))
+                else:
+                    payloads.append(build_pcx(img, palette=True))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_ahash(media, strict=True).orderBy("media_id")
+
+
+_add(
+    "q_retro_image",
+    _q_retro_image,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 47 + ks.k * 19) % 5 < 2 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS ahash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL TGA (truecolor/gray, raw/RLE, both row orders) and PCX "
+    "(planar RGB / 256-color palette) decode -> strict aHash over "
+    "decoded pixels == the analytic bit-pattern replay",
+)
+
+
 # [pair] compressed-archive unwrap (archive.archive_members round-8
 # extension; lzip round-9): doc_id % 5 cycles .tar.gz / .tar.bz2 /
 # .tar.zst / .tar.lz4 / .tar.lz — the wrapper hides the ustar magic,
@@ -12475,6 +12547,7 @@ _ROUND10_STAGED: list[str] = [
     "q_cab",        # NEW: MS cabinet walk, MSZIP history (libarchive-pinned)
     "q_aiff",       # NEW: AIFF/AIFF-C real decode (aifc-pinned)
     "q_font_meta",  # NEW: TTF/OTF/WOFF/WOFF2 identity face
+    "q_retro_image",  # NEW: TGA/PCX decode (five container variants)
     "q_dng",        # fixture cycle grew packed-uncompressed raws (% 7 == 3)
 ]
 _ROUND10_R4_VINTAGE = [
