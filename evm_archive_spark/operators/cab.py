@@ -10,7 +10,8 @@ per-folder CFDATA block chains:
   flags & 4; multi-cabinet sets — flags & 3 — are typed: their
   folders continue in sibling files we do not have);
 - **CFFOLDER**: first-CFDATA offset, block count, compression type
-  (0 = none, 1 = MSZIP; LZX and Quantum are typed);
+  (0 = none, 1 = MSZIP, 3 = LZX via lzx.py — the makecab default for
+  real driver/installer cabinets; Quantum is typed);
 - **CFFILE**: uncompressed size, offset within the folder's
   uncompressed stream, folder index, DOS date/time/attributes,
   NUL-terminated name (UTF-8 when attribs & 0x80, else cp1252);
@@ -24,10 +25,14 @@ previous block's uncompressed output — decoded with
 concatenated folder stream at their recorded offsets, so one folder
 decode serves all its members.
 
-``build_cab`` is the independent synthesis writer (single folder,
-none or MSZIP compression with real cross-block history); pytest
-cross-pins it against libarchive (bsdtar lists and extracts our
-cabinets).
+LZX folders concatenate their CFDATA payloads into ONE continuous
+bitstream whose 32 kB output frames coincide with the CFDATA
+boundaries (lzx.py handles the per-frame bitstream realign).
+
+``build_cab`` is the independent synthesis writer (single folder;
+none, MSZIP with real cross-block history, or LZX); pytest
+cross-pins all three against libarchive (bsdtar lists and extracts
+our cabinets, including multi-frame LZX).
 
 Reference parity note: the reference (SummaryDev/evm-archive) has no
 archive surface; this extends the training-pipeline extraction lane
@@ -76,7 +81,7 @@ def cab_members(
 ) -> Iterator[tuple[str, int, bytes]]:
     """Yield ``(path, size, payload)`` per member.  Members larger
     than ``max_member_bytes`` are skipped (the archive_members
-    contract); LZX/Quantum folders and multi-cabinet sets are typed."""
+    contract); Quantum folders and multi-cabinet sets are typed."""
     if not is_cab(b):
         raise CabError("not a CAB payload")
     (_sig, _r1, cb_cabinet, _r2, coff_files, _r3, ver_minor,
@@ -104,7 +109,8 @@ def cab_members(
             raise CabError("truncated CFFOLDER")
         coff_data, c_data, type_compress = struct.unpack_from(
             "<IHH", b, pos)
-        folders.append((coff_data, c_data, type_compress & 0x000F))
+        folders.append((coff_data, c_data, type_compress & 0x000F,
+                        (type_compress >> 8) & 0x1F))
         pos += 8 + cb_folder_res
 
     # file table
@@ -136,12 +142,14 @@ def cab_members(
     def folder_stream(fi: int) -> bytes:
         if fi in decoded:
             return decoded[fi]
-        coff, c_data, comp = folders[fi]
-        if comp not in (0, 1):
-            names = {2: "Quantum", 3: "LZX"}
+        coff, c_data, comp, wbits = folders[fi]
+        if comp not in (0, 1, 3):
+            names = {2: "Quantum"}
             raise CabError(
                 f"CAB {names.get(comp, comp)} compression out of scope"
-                " (none/MSZIP only)")
+                " (none/MSZIP/LZX only)")
+        lzx_parts: list[bytes] = []
+        lzx_out = 0
         out = bytearray()
         p = coff
         history = b""
@@ -158,6 +166,10 @@ def cab_members(
                 seed = _checksum(struct.pack("<HH", cb_data, cb_uncomp))
                 if _checksum(data, seed) != csum:
                     raise CabError("CFDATA checksum mismatch")
+            if comp == 3:                       # LZX: continuous stream
+                lzx_parts.append(data)
+                lzx_out += cb_uncomp
+                continue
             if comp == 0:
                 if len(data) != cb_uncomp:
                     raise CabError("stored CFDATA size mismatch")
@@ -177,6 +189,17 @@ def cab_members(
             if len(out) > MAX_FOLDER_BYTES:
                 raise CabError("CAB folder output over cap")
             history = bytes(out[-32768:])
+        if comp == 3:
+            from .lzx import LzxError, lzx_decompress
+
+            if lzx_out > MAX_FOLDER_BYTES:
+                raise CabError("CAB folder output over cap")
+            try:
+                out = bytearray(lzx_decompress(
+                    b"".join(lzx_parts), lzx_out,
+                    window_bits=wbits or 15))
+            except LzxError as e:
+                raise CabError(f"corrupt LZX folder: {e}") from e
         decoded[fi] = bytes(out)
         # keep only the latest folder (members are folder-grouped)
         for k in list(decoded):
@@ -202,23 +225,40 @@ def build_cab(files: list[tuple[str, bytes]],
     """Write a valid single-folder cabinet (``compression``: 'none' or
     'mszip' — MSZIP with real cross-block DEFLATE history).
     Independent of the reader: its own layout/checksum serialization."""
-    if compression not in ("none", "mszip"):
+    if compression not in ("none", "mszip", "lzx"):
         raise CabError(f"build_cab compression {compression!r}")
     stream = b"".join(d for _n, d in files)
     blocks = []
-    history = b""
-    for off in range(0, max(len(stream), 1), _BLOCK):
-        chunk = stream[off:off + _BLOCK]
-        if compression == "none":
-            payload = chunk
-        else:
-            c = zlib.compressobj(6, zlib.DEFLATED, -15, zdict=history)
-            payload = b"CK" + c.compress(chunk) + c.flush()
-        seed = _checksum(struct.pack("<HH", len(payload), len(chunk)))
-        blocks.append(struct.pack(
-            "<IHH", _checksum(payload, seed), len(payload), len(chunk)
-        ) + payload)
-        history = chunk[-32768:] if compression == "mszip" else b""
+    if compression == "lzx":
+        # one continuous LZX stream, sliced so each CFDATA carries one
+        # 32 kB frame of output (the CAB framing rule)
+        from .lzx import lzx_frames
+
+        for payload, uncomp_len in lzx_frames(
+                stream if stream else b"\x00", window_bits=15,
+                mode="verbatim"):
+            seed = _checksum(struct.pack(
+                "<HH", len(payload), uncomp_len))
+            blocks.append(struct.pack(
+                "<IHH", _checksum(payload, seed), len(payload),
+                uncomp_len) + payload)
+    else:
+        history = b""
+        for off in range(0, max(len(stream), 1), _BLOCK):
+            chunk = stream[off:off + _BLOCK]
+            if compression == "none":
+                payload = chunk
+            else:
+                c = zlib.compressobj(6, zlib.DEFLATED, -15,
+                                     zdict=history)
+                payload = b"CK" + c.compress(chunk) + c.flush()
+            seed = _checksum(struct.pack(
+                "<HH", len(payload), len(chunk)))
+            blocks.append(struct.pack(
+                "<IHH", _checksum(payload, seed), len(payload),
+                len(chunk)
+            ) + payload)
+            history = chunk[-32768:] if compression == "mszip" else b""
 
     ftable = bytearray()
     uoff = 0
@@ -234,7 +274,7 @@ def build_cab(files: list[tuple[str, bytes]],
     coff_files = header_len + folder_len
     coff_data = coff_files + len(ftable)
     cb_cabinet = coff_data + sum(len(blk) for blk in blocks)
-    comp_id = 0 if compression == "none" else 1
+    comp_id = {"none": 0, "mszip": 1, "lzx": 3 | (15 << 8)}[compression]
     header = struct.pack(
         "<4sIIIIIBBHHHHH", MAGIC, 0, cb_cabinet, 0, coff_files, 0,
         3, 1, 1, len(files), 0, 0x1234, 0)

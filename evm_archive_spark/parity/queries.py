@@ -9235,9 +9235,10 @@ def _q_cab(spark, sf_dir):
             payloads = []
             for mid, t in zip(b["media_id"], b["t"]):
                 data = t.encode("utf-8")
+                comps = ["none", "mszip", "lzx"]
                 payloads.append(build_cab(
                     [("a.txt", data), ("b.txt", b"copy:" + data)],
-                    compression="mszip" if int(mid) % 2 else "none",
+                    compression=comps[int(mid) % 3],
                 ))
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "payload": payloads}
@@ -9264,8 +9265,9 @@ _add(
     "CAST(strlen('copy:' || t) AS BIGINT), md5('copy:' || t) FROM d "
     "ORDER BY media_id NULLS FIRST, path",
     "CAB fan-out: CFHEADER/CFFOLDER/CFFILE/CFDATA walks (checksum "
-    "verification, MSZIP cross-block history) explode to the same "
-    "member rows; writer pinned against libarchive in pytest",
+    "verification, MSZIP cross-block history, LZX continuous-stream "
+    "folders) explode to the same member rows; writer pinned against "
+    "libarchive in pytest",
 )
 
 
@@ -12544,7 +12546,7 @@ _ROUND10_STAGED: list[str] = [
     "q_7z",         # codec cycle grew aes (% 10, encrypted-folder inventory)
     "q_tiff_pages", # NEW: multi-page fax TIFF fan-out (next-IFD chain)
     "q_rar",        # NEW: RAR4/RAR5 container walk (libarchive-pinned)
-    "q_cab",        # NEW: MS cabinet walk, MSZIP history (libarchive-pinned)
+    "q_cab",        # NEW: MS cabinet walk, MSZIP+LZX (libarchive-pinned)
     "q_aiff",       # NEW: AIFF/AIFF-C real decode (aifc-pinned)
     "q_font_meta",  # NEW: TTF/OTF/WOFF/WOFF2 identity face
     "q_retro_image",  # NEW: TGA/PCX decode (five container variants)
