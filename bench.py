@@ -125,6 +125,9 @@ HEADLINE = [
     "q_ccitt_fax",
     "q_rar",
     "q_font_meta",
+    # round-10 second pass: the CAB lane now exercises MSZIP history
+    # AND the from-scratch LZX decode (continuous-stream folders)
+    "q_cab",
 ]
 
 
