@@ -105,6 +105,8 @@ def document_extract(
         rtf_to_text,
         zip_to_text,
     )
+    from .latex import is_latex as _is_latex
+    from .latex import latex_to_text as _latex_to_text
     from .pdf import PdfError, extract_pdf_text, is_pdf
     from .sqlitefile import SqliteError, is_sqlite, sqlite_to_text
     from .tabular import csv_meta_and_text
@@ -270,6 +272,11 @@ def document_extract(
                         fmt, text = "html", raw
                     if fmt is None and "markdown" in m:
                         fmt, text = "markdown", raw
+                    if fmt is None and (
+                        "tex" in m.split("/")[-1]
+                        or (not m and _is_latex(stripped))
+                    ):
+                        fmt, text = "latex", _latex_to_text(raw)
                     if fmt is None:
                         fmt, text = "text", raw
                 out["media_id"].append(mid)

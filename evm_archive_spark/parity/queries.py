@@ -9487,6 +9487,77 @@ _add(
 )
 
 
+# [pair] LaTeX source extraction (operators/latex.py, round-10): the
+# arXiv lane — de-TeX through document_extract's MIME dispatch
+# (comments, preamble, math, float-to-caption reduction, nesting
+# command unwrap, escapes).  Fixture TeX is built around [a-z]-only
+# segments of the document text (the q_markdown pattern) so the
+# oracle constructs the expected plain text directly.
+
+def _q_latex(spark, sf_dir):
+    from ..operators.extract import document_extract
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def build(it):
+        import re as _re
+
+        import pandas as pd
+
+        def seg(t, off):
+            return "seg" + _re.sub(
+                "[^a-z]", "", t[off - 1:off + 59].lower())
+
+        for b in it:
+            payloads = []
+            for t in b["t"]:
+                s1, s2, s3, s4, s5, s6 = (
+                    seg(t, off) for off in (1, 61, 121, 181, 241, 301))
+                tex = (
+                    "\\documentclass{article}\n\\usepackage{x}\n"
+                    "% preamble comment\n\\begin{document}\n"
+                    "\\section{" + s1 + "}\n"
+                    + s2 + " $x^2$ \\textbf{" + s3
+                    + "} \\cite{k} more.\n"
+                    "\\begin{equation}E=mc^2\\end{equation}\n"
+                    "\\begin{itemize}\\item " + s4
+                    + "\\item 50\\% of " + s5 + "\\end{itemize}\n"
+                    "\\begin{figure}\\includegraphics{f}\\caption{"
+                    + s6 + "}\\end{figure}\n\\end{document}"
+                )
+                payloads.append(tex.encode("utf-8"))
+            yield pd.DataFrame({"media_id": b["media_id"],
+                                "payload": payloads,
+                                "mime": ["text/x-tex"] * len(payloads)})
+
+    media = docs.mapInPandas(
+        build, "media_id long, payload binary, mime string")
+    return document_extract(media, mime_col="mime").orderBy("media_id")
+
+
+_add(
+    "q_latex",
+    _q_latex,
+    "WITH d AS (SELECT doc_id AS media_id, "
+    + ", ".join(
+        f"{_md_seg_duck(off)} AS s{i + 1}"
+        for i, off in enumerate((1, 61, 121, 181, 241, 301))
+    )
+    + " FROM documents) "
+    "SELECT media_id, 'latex' AS format, "
+    "s1 || chr(10) || s2 || ' ' || s3 || ' more.' || chr(10) || "
+    "s4 || chr(10) || '50% of ' || s5 || chr(10) || s6 AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "LaTeX de-TeX (comments, preamble, math drop, float->caption, "
+    "command unwrap, escapes) through document_extract == the "
+    "oracle's directly-constructed expected text",
+)
+
+
 # [pair] compressed-archive unwrap (archive.archive_members round-8
 # extension; lzip round-9): doc_id % 5 cycles .tar.gz / .tar.bz2 /
 # .tar.zst / .tar.lz4 / .tar.lz — the wrapper hides the ustar magic,
@@ -12550,6 +12621,7 @@ _ROUND10_STAGED: list[str] = [
     "q_aiff",       # NEW: AIFF/AIFF-C real decode (aifc-pinned)
     "q_font_meta",  # NEW: TTF/OTF/WOFF/WOFF2 identity face
     "q_retro_image",  # NEW: TGA/PCX decode (five container variants)
+    "q_latex",      # NEW: arXiv de-TeX through document_extract
     "q_dng",        # fixture cycle grew packed-uncompressed raws (% 7 == 3)
 ]
 _ROUND10_R4_VINTAGE = [
