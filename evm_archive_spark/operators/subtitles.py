@@ -1,4 +1,4 @@
-"""Subtitle parsing (SRT + WebVTT) as pure JVM expressions.
+"""Subtitle parsing (SRT + WebVTT + ASS/SSA) as pure JVM expressions.
 
 Subtitles are the text half of a video training corpus (caption
 alignment, ASR supervision, frame-text pairing against
@@ -69,6 +69,58 @@ def subtitle_cues(
             _ms(F.col("__blk"), 1).alias("start_ms"),
             _ms(F.col("__blk"), 5).alias("end_ms"),
             F.regexp_replace(body, r"\n+$", "").alias("text"),
+        )
+        .withColumn(
+            "cue_idx", (F.row_number().over(wnd) - 1).cast("long")
+        )
+        .select(id_col, "cue_idx", "start_ms", "end_ms", "text")
+    )
+
+
+_ASS_HEAD = r"^Dialogue:\s*[^,]*,([^,]*),([^,]*),"
+
+
+def _ass_ms(line_col, group: int):
+    """Milliseconds from an ASS ``H:MM:SS.cc`` field (centiseconds)."""
+    field = F.regexp_extract(line_col, _ASS_HEAD, group)
+    pat = r"(\d+):(\d+):(\d+)\.(\d+)"
+    g = lambda i: F.regexp_extract(field, pat, i)  # noqa: E731
+    return (
+        g(1).cast("long") * 3_600_000
+        + g(2).cast("long") * 60_000
+        + g(3).cast("long") * 1_000
+        + F.rpad(g(4), 3, "0").cast("long")
+    )
+
+
+def ass_cues(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ASS/SSA payload -> the subtitle_cues schema: one row per
+    ``Dialogue:`` event line ([Events] section), times from the
+    centisecond ``H:MM:SS.cc`` fields, text from the 10th
+    comma-field (commas inside the text are legal) with override
+    blocks (brace-tags) dropped and the backslash-N / backslash-h
+    literals mapped to newline / space — the anime-fansub subtitle
+    format, parsed without leaving the JVM."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(F.regexp_replace(t, "\r\n?", "\n"), "\n")
+    b = df.select(
+        F.col(id_col), F.posexplode(lines).alias("__li", "__ln")
+    ).filter(F.col("__ln").rlike("^Dialogue:"))
+    body = F.regexp_extract(
+        F.col("__ln"), r"^Dialogue:(?:[^,]*,){9}(.*)$", 1)
+    body = F.regexp_replace(body, r"\{[^}]*\}", "")
+    body = F.regexp_replace(body, r"\\[Nn]", "\n")
+    body = F.regexp_replace(body, r"\\h", " ")
+    wnd = Window.partitionBy(id_col).orderBy("__li")
+    return (
+        b.select(
+            id_col,
+            F.col("__li"),
+            _ass_ms(F.col("__ln"), 1).alias("start_ms"),
+            _ass_ms(F.col("__ln"), 2).alias("end_ms"),
+            body.alias("text"),
         )
         .withColumn(
             "cue_idx", (F.row_number().over(wnd) - 1).cast("long")

@@ -9558,6 +9558,72 @@ _add(
 )
 
 
+# [pair] ASS/SSA subtitle parse (subtitles.ass_cues, round-10): the
+# anime-fansub format — Dialogue: event lines, centisecond times,
+# 10th-comma-field text with override-block/linebreak literals —
+# parsed as pure JVM expressions.  Fixture built in Python (backslash
+# literals again), oracle emits the cue rows directly.
+
+def _q_ass(spark, sf_dir):
+    from ..operators.subtitles import ass_cues
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id"), F.coalesce("text", F.lit("")).alias("t"))
+
+    def build(it):
+        import re as _re
+
+        import pandas as pd
+
+        def seg(t, off):
+            return "seg" + _re.sub(
+                "[^a-z]", "", t[off - 1:off + 59].lower())
+
+        for b in it:
+            texts = []
+            for did, t in zip(b["doc_id"], b["t"]):
+                s1, s2, s3 = (seg(t, o) for o in (1, 61, 121))
+                ss = int(did) % 50
+                texts.append(
+                    "[Script Info]\nTitle: x\n\n[Events]\n"
+                    "Format: Layer, Start, End, Style, Name, MarginL,"
+                    " MarginR, MarginV, Effect, Text\n"
+                    f"Dialogue: 0,0:00:{ss:02d}.50,0:00:59.90,Default,"
+                    ",0,0,0,,{\\i1}" + s1 + "{\\i0} and\\N" + s2
+                    + ", tail\n"
+                    "Comment: 0,0:00:04.00,0:00:05.00,D,,0,0,0,,skip\n"
+                    "Dialogue: 1,1:02:03.04,1:02:05.67,Alt,,0,0,0,fx,"
+                    + s3 + "\\hend")
+            yield pd.DataFrame({"doc_id": b["doc_id"], "text": texts})
+
+    media = docs.mapInPandas(build, "doc_id long, text string")
+    return ass_cues(media).orderBy("doc_id", "cue_idx")
+
+
+_add(
+    "q_ass",
+    _q_ass,
+    "WITH d AS (SELECT doc_id, "
+    + ", ".join(
+        f"{_md_seg_duck(off)} AS s{i + 1}"
+        for i, off in enumerate((1, 61, 121))
+    )
+    + " FROM documents) "
+    "SELECT doc_id, CAST(0 AS BIGINT) AS cue_idx, "
+    "CAST((doc_id % 50) * 1000 + 500 AS BIGINT) AS start_ms, "
+    "CAST(59900 AS BIGINT) AS end_ms, "
+    "s1 || ' and' || chr(10) || s2 || ', tail' AS text FROM d "
+    "UNION ALL "
+    "SELECT doc_id, CAST(1 AS BIGINT), CAST(3723040 AS BIGINT), "
+    "CAST(3725670 AS BIGINT), s3 || ' end' FROM d "
+    "ORDER BY doc_id NULLS FIRST, cue_idx",
+    "ASS/SSA subtitle parse: Dialogue-line extraction (centisecond "
+    "times, 10th-field text, override blocks dropped) == the "
+    "oracle's directly-computed cue rows",
+)
+
+
 # [pair] compressed-archive unwrap (archive.archive_members round-8
 # extension; lzip round-9): doc_id % 5 cycles .tar.gz / .tar.bz2 /
 # .tar.zst / .tar.lz4 / .tar.lz — the wrapper hides the ustar magic,
@@ -12622,6 +12688,7 @@ _ROUND10_STAGED: list[str] = [
     "q_font_meta",  # NEW: TTF/OTF/WOFF/WOFF2 identity face
     "q_retro_image",  # NEW: TGA/PCX decode (five container variants)
     "q_latex",      # NEW: arXiv de-TeX through document_extract
+    "q_ass",        # NEW: ASS/SSA subtitle cue parse (pure JVM)
     "q_dng",        # fixture cycle grew packed-uncompressed raws (% 7 == 3)
 ]
 _ROUND10_R4_VINTAGE = [

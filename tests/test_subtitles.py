@@ -130,3 +130,30 @@ def test_subtitle_stats_and_degenerates(spark):
     assert s["n_chars"] == len("first cue line one\nand line two") + len(
         "styled text"
     )
+
+
+def test_ass_cues(spark):
+    """ASS/SSA Dialogue-line parse: centisecond times, 10th-field
+    text with commas, override blocks and linebreak literals."""
+    import pandas as pd
+
+    from evm_archive_spark.operators.subtitles import ass_cues
+
+    ass = (
+        "[Script Info]\nTitle: x\n\n[Events]\n"
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR,"
+        " MarginV, Effect, Text\n"
+        "Dialogue: 0,0:00:01.50,0:00:03.20,Default,,0,0,0,,"
+        "{\\i1}Hello{\\i0} there\\Nsecond, line\n"
+        "Comment: 0,0:00:04.00,0:00:05.00,Default,,0,0,0,,not a cue\n"
+        "Dialogue: 1,1:02:03.04,1:02:05.67,Alt,,0,0,0,fx,"
+        "plain\\htext"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [ass, "no events"]}))
+    rows = [tuple(r) for r in
+            ass_cues(df).orderBy("doc_id", "cue_idx").collect()]
+    assert rows == [
+        (1, 0, 1500, 3200, "Hello there\nsecond, line"),
+        (1, 1, 3723040, 3725670, "plain text"),
+    ]
