@@ -98,3 +98,19 @@ def test_typed_bounds():
     enc = lzo1x_compress(b"hello world " * 50)
     with pytest.raises(LzoError):
         lzo1x_decompress(enc[:-3], 4096)
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=4096),
+           st.binary(min_size=1, max_size=16),
+           st.integers(min_value=1, max_value=40))
+    def prop(junk, unit, reps):
+        data = junk + unit * reps + junk[::-1]
+        assert lzo1x_decompress(lzo1x_compress(data),
+                                len(data) + 8) == data
+
+    prop()

@@ -231,3 +231,17 @@ def test_lzx_cab_cross_checked_against_libarchive(tmp_path):
     assert run.returncode == 0, run.stderr
     for n, d in files:
         assert (dest / n).read_bytes() == d, n
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=1, max_size=2048),
+           st.sampled_from(["uncompressed", "verbatim"]))
+    def prop(data, mode):
+        assert lzx_decompress(lzx_compress(data, mode=mode),
+                              len(data)) == data
+
+    prop()

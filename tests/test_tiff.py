@@ -1154,3 +1154,32 @@ def test_ccitt_tiles():
                             tile_size=(16, 16))
             out = decode_tiff(t)
             assert np.array_equal(out[:, :, 0], want), (comp, t4, h, w)
+
+
+def test_ccitt_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from evm_archive_spark.operators.ccittfax import (
+        decode_g3,
+        decode_g4,
+        decode_mh,
+        encode_g3,
+        encode_g4,
+        encode_mh,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 6), st.integers(1, 80),
+           st.integers(0, 2**31 - 1))
+    def prop(h, w, seed):
+        rng = np.random.default_rng(seed)
+        rows = (rng.random((h, w)) < rng.random()).astype(np.uint8)
+        want = np.packbits(rows, axis=1)
+        assert np.array_equal(decode_mh(encode_mh(rows), w, h), want)
+        assert np.array_equal(
+            decode_g3(encode_g3(rows, two_d=True), w, h, two_d=True),
+            want)
+        assert np.array_equal(decode_g4(encode_g4(rows), w, h), want)
+
+    prop()
