@@ -421,8 +421,6 @@ def _put_run(w: _BitW, run: int, black: bool) -> None:
     enc = _BLACK_ENC if black else _WHITE_ENC
     while run >= 64:
         step = min(run - run % 64, 2560)
-        if run - step > 63:                    # keep remainder terminal
-            step = 2560
         w.put(enc[step])
         run -= step
     w.put(enc[run])

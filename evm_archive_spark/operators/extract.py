@@ -273,7 +273,8 @@ def document_extract(
                     if fmt is None and "markdown" in m:
                         fmt, text = "markdown", raw
                     if fmt is None and (
-                        "tex" in m.split("/")[-1]
+                        m.split("/")[-1]
+                        in ("tex", "x-tex", "latex", "x-latex")
                         or (not m and _is_latex(stripped))
                     ):
                         fmt, text = "latex", _latex_to_text(raw)

@@ -184,7 +184,11 @@ def _decode_ms_adpcm(
                 c = nib_i % n_ch
                 signed = nib - 16 if nib >= 8 else nib
                 c1, c2 = preds[c]
-                pred = (chans[c][-1] * c1 + chans[c][-2] * c2) >> 8
+                # spec's /256 truncates toward zero (ffmpeg/libsndfile
+                # agree); floor-shift diverges for negative sums under
+                # predictors whose coefficient sums aren't 256-divisible
+                s = chans[c][-1] * c1 + chans[c][-2] * c2
+                pred = -((-s) >> 8) if s < 0 else s >> 8
                 new = pred + signed * deltas[c]
                 new = max(-32768, min(32767, new))
                 chans[c].append(new)

@@ -678,7 +678,8 @@ def _ms_adpcm_encode(channels, block_align=None, predictor=1):
         for i in range(2, spb):
             for c in range(n_ch):
                 target = int(blk[c][i]) if i < m else 0
-                pred = (hist[c][-1] * c1 + hist[c][-2] * c2) >> 8
+                s = hist[c][-1] * c1 + hist[c][-2] * c2
+                pred = -((-s) >> 8) if s < 0 else s >> 8
                 nib = max(-8, min(7, round((target - pred)
                                            / deltas[c])))
                 new = max(-32768, min(32767, pred + nib * deltas[c]))
@@ -707,6 +708,31 @@ def _ms_adpcm_wav(channels, rate=8000, predictor=1):
             + b"data" + struct.pack("<I", len(data)) + data)
     return (b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WAVE"
             + riff), recon
+
+
+def test_ms_adpcm_negative_pred_pins():
+    """Pinned blocks for predictors 3-6 (coefficient sums not
+    256-divisible) with negative prediction sums: the spec's /256
+    truncates toward zero, so a floor-shift (>> 8) decoder diverges on
+    these.  Expected values computed by an independent straight-line
+    transliteration of the spec (int(s/256)) — no code shared with
+    either the decoder or the test encoder."""
+    from evm_archive_spark.operators.wav import _decode_ms_adpcm
+
+    expected = {
+        3: [251, -173, -326, -375, -994, -602, -1124, 337, -2758, 746],
+        4: [251, -173, -421, -482, -1083, -778, -1153, 250, -2496,
+            390],
+        5: [251, -173, -773, -1336, -2404, -2997, -3855, -3161, -5277,
+            -4183],
+        6: [251, -173, -751, -1081, -1606, -1242, -870, 1124, -221,
+            1373],
+    }
+    for pred, want in expected.items():
+        # mono block: predictor, delta=37, s1=-173, s2=251, 8 nibbles
+        blk = bytes.fromhex(f"0{pred}250053fffb009f81e7a3")
+        out = _decode_ms_adpcm(blk, 1, len(blk), 10)
+        assert [int(v) for v in out[:, 0]] == want, pred
 
 
 def test_ms_adpcm_mono_and_stereo():
