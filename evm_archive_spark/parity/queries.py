@@ -12720,9 +12720,64 @@ def _round10_first() -> list[str]:
     return head[:50]
 
 
+# (the r10 head-builder is retired; _ROUND10_* lists above remain as
+# the documented composition of that round's window)
+
+# Round-11 head (ACTIVE).  CORRECTNESS_r10 came back 50/50 green with
+# zero `err` rows, and after r10 union driver coverage is 295/295
+# (zero never-sampled gates).  Composition per the standing contract
+# (NOTES.md round-11 window plan / VERDICT r10 next-round #1):
+#   1. zero r10 reds to re-enter;
+#   2. the THIRTEEN gates whose newest driver row is still r4-vintage
+#      (the r10 [:50] cap displaced them; VERDICT r10 corrected
+#      NOTES' 11-name spill list — q_x6_bitwise and q_x7_conditional
+#      belong on it), in _ROUND4_FIRST continuation order;
+#   3. gates registered new IN round 11 itself OR whose fixture cycle
+#      materially changed this round (_ROUND11_STAGED, appended as
+#      they land; each driver-sim'd at both SFs before entry);
+#   4. remaining slots: r5-vintage gates (newest row r5 — 45 of them
+#      after r10) in their CORRECTNESS_r05 row order.  The ones the
+#      [:50] cap displaces rotate into the r12 head.
+# Nothing here is curated for expected-pass.
+_ROUND11_R4_VINTAGE = [
+    "q_x6_bitwise", "q_x7_conditional", "q_entity_res",
+    "q_x8_datetime", "q_x9_string2", "q_sssp", "q_ewma",
+    "q_a9_filter_clause", "q_u5_bag_setops", "q_len_bucket",
+    "q_leak_split", "q_pad_waste", "q_incr_minhash",
+]
+_ROUND11_STAGED: list[str] = [
+    # appended as round-11 gates land OR materially change their
+    # fixture cycle (each driver-sim'd at both SFs first)
+]
+_ROUND11_R5_VINTAGE = [
+    "q_s3_offset", "q_x10_regexp", "q_pivot", "q_unpivot",
+    "q_lateral_posexplode", "q_j9_nullsafe", "q_x11_json_nested",
+    "q_ivf_append", "q_bloom_merge", "q_incr_corpus",
+    "q_image_neardup", "q_audio_features", "q_image_dedup",
+    "q_incr_image", "q_sc1", "q_f1", "q_f2", "q_f3", "q_j1", "q_j3",
+    "q_j4", "q_j5", "q_j6", "q_j7", "q_a2", "q_a3", "q_a4", "q_a5",
+    "q_w6_dist", "q_f4_distinctfrom", "q_j8_fullouter",
+    "q_w5_rangeframe", "q_u5_exceptall", "q_a7_timerollup",
+    "q_a8_median", "q_a6", "q_w1", "q_w4", "q_s1", "q_s2", "q_u1",
+    "q_u2", "q_u3", "q_u4", "q_x1",
+]
+
+
+def _round11_first() -> list[str]:
+    head: list[str] = []
+    seen: set[str] = set()
+    for n in (_ROUND11_R4_VINTAGE + _ROUND11_STAGED
+              + _ROUND11_R5_VINTAGE):
+        if n in seen or n not in _REGISTERED_NAMES:
+            continue
+        seen.add(n)
+        head.append(n)
+    return head[:50]
+
+
 def _reordered() -> list[ParityQuery]:
     by_name = {q.name: q for q in _REGISTRY}
-    order = _round10_first()
+    order = _round11_first()
     head = [by_name[n] for n in order if n in by_name]
     in_head = set(n for n in order if n in by_name)
     tail = [q for q in _REGISTRY if q.name not in in_head]
