@@ -352,7 +352,8 @@ def build_dng(mosaic: np.ndarray, *, bits: int = 16,
               cfa: str = "RGGB", model: str = "SynthCam DNG",
               compression: int = 7, tile_size: tuple | None = None,
               byte_order: str = "<", predictor: int = 1,
-              sof3_components: int = 1) -> bytes:
+              sof3_components: int = 1,
+              restart_rows: int = 0) -> bytes:
     """Write a structurally valid DNG: IFD0 (DNGVersion 1.4,
     UniqueCameraModel, SubIFDs pointer) + a raw SubIFD (CFA
     photometric, CFARepeatPatternDim/CFAPattern, lossless-JPEG tiles/
@@ -374,8 +375,13 @@ def build_dng(mosaic: np.ndarray, *, bits: int = 16,
     def sof3(chunk2d: np.ndarray) -> bytes:
         if nc > 1:
             chunk2d = chunk2d.reshape(chunk2d.shape[0], -1, nc)
+        # restart_rows > 0 emits DRI/RSTn every that many MCU rows —
+        # the row-aligned layout real DNG writers produce (MCU width
+        # is shape[1] either way: one multi-component sample per MCU)
+        ri = restart_rows * chunk2d.shape[1] if restart_rows else 0
         return build_jpeg_lossless(chunk2d, predictor=predictor,
-                                   precision=bits)
+                                   precision=bits,
+                                   restart_interval=ri)
 
     def pack_raw(chunk2d: np.ndarray) -> bytes:
         """Uncompressed chunk: 16-bit samples in the file byte order,

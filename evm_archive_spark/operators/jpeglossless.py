@@ -200,13 +200,35 @@ def _decode_lossless(data: bytes, max_prec: int = 16):
 
 def _decode_scan(data, start, height, width, prec, scan, sel, pt, huff,
                  restart_interval, out_planes) -> int:
-    if restart_interval:
-        # H.2.3's reset rules are ambiguous mid-line and real decoders
-        # disagree; a typed boundary beats silently wrong samples
-        raise JpegError(
-            "lossless restart intervals out of scope (H.2.3 reset "
-            "semantics are implementation-divergent)")
+    """One lossless scan; an MCU is one sample per scan component
+    (h=v=1), row-major.  Restart intervals follow T.81 H.1.1/H.2.3:
+    the bitstream byte-aligns and restarts at every RSTn, the first
+    sample of each interval is predicted with the default
+    2^(P-Pt-1), and the REST OF THAT LINE (to the next row boundary)
+    uses the 1-D Ra predictor — H.1.1's "first line of samples at the
+    start of the scan and at the beginning of each restart interval"
+    rule, which libjpeg's and ffmpeg's lossless decoders share.
+    Later lines inside the interval resume normal prediction.  Only
+    ROW-ALIGNED intervals (Ri a multiple of the samples-per-line MCU
+    count — what real DNG writers emit) are in scope: for mid-line
+    restarts the readings genuinely diverge (ffmpeg left-predicts the
+    part of the NEXT row before the resync column too, refusing
+    neighbors decoded before the resync point; libjpeg does not), so
+    those stay typed."""
     segs, end = _split_entropy(data, start)
+    ri = restart_interval
+    n_mcu = height * width
+    if ri:
+        if ri % width != 0:
+            raise JpegError(
+                "lossless: mid-line restart intervals out of scope "
+                "(H.2.3 reset semantics are implementation-divergent "
+                "off row boundaries)")
+        need = (n_mcu + ri - 1) // ri
+        if len(segs) < need:
+            raise JpegError(
+                f"lossless: {len(segs)} entropy segments for "
+                f"{need} restart intervals")
     br = _BitReader(segs[0])
     half = 1 << (prec - pt - 1)
     planes = {cs: np.zeros((height, width), dtype=np.int32)
@@ -216,8 +238,14 @@ def _decode_scan(data, start, height, width, prec, scan, sel, pt, huff,
         if td not in huff:
             raise JpegError("lossless: missing Huffman table")
         tables.append((planes[cs], huff[td]))
+    ry = rx = 0                                  # current interval origin
     for y in range(height):
         for x in range(width):
+            if ri:
+                mcu = y * width + x
+                if mcu and mcu % ri == 0:
+                    br = _BitReader(segs[mcu // ri])
+                    ry, rx = y, x
             for p, tbl in tables:
                 t = tbl.decode(br)
                 if t > 16:
@@ -226,12 +254,13 @@ def _decode_scan(data, start, height, width, prec, scan, sel, pt, huff,
                     diff = 32768                 # the escape category
                 else:
                     diff = _extend(br.receive(t), t)
-                # H.1.1 prediction: default at (0,0); Ra along the
-                # first line; Rb down the first column; else selected
-                if y == 0 and x == 0:
+                # H.1.1 prediction relative to the interval origin:
+                # default at the origin; Ra along the origin's line;
+                # Rb down the first column; else selected
+                if y == ry and x == rx:
                     pred = half
-                elif y == 0:
-                    pred = int(p[0, x - 1])
+                elif y == ry:
+                    pred = int(p[y, x - 1])
                 elif x == 0:
                     pred = int(p[y - 1, 0])
                 else:
@@ -287,13 +316,17 @@ class _BitWriter:
 
 def build_jpeg_lossless(img: np.ndarray, predictor: int = 1,
                         point_transform: int = 0,
-                        precision: int = 8) -> bytes:
+                        precision: int = 8,
+                        restart_interval: int = 0) -> bytes:
     """Independent SOF3 writer: (h, w) gray or (h, w, 3) color samples
     at any ``precision`` 2-16 (uint8/uint16 input; a 12/14/16-bit
     grayscale frame is exactly what a DNG raw tile carries), any
     predictor 1-7, optional point transform (low bits dropped —
     samples are coded at ``v >> Pt``).  One DC-format Huffman table
-    with equal-length canonical codes over the categories present."""
+    with equal-length canonical codes over the categories present.
+    ``restart_interval`` (MCUs; must be row-aligned, i.e. a multiple
+    of the width) emits a DRI segment plus cycling RSTn markers and
+    resets prediction per T.81 H.1.1 — what real DNG writers emit."""
     if img.ndim == 2:
         planes = [img.astype(np.int32)]
     elif img.ndim == 3 and 2 <= img.shape[2] <= 4:
@@ -314,18 +347,27 @@ def build_jpeg_lossless(img: np.ndarray, predictor: int = 1,
         raise JpegError(f"sample exceeds {prec}-bit precision")
     planes = [p >> pt for p in planes]
     half = 1 << (prec - pt - 1)
+    ri = restart_interval
+    if ri and ri % w != 0:
+        raise JpegError(
+            "restart interval must be row-aligned (a multiple of the "
+            "width) — mid-line resets are decoder-divergent")
+    rpi = ri // w if ri else 0                   # rows per interval
 
-    # pass 1: per-sample diffs (mod 2^16), category stats
+    # pass 1: per-sample diffs (mod 2^16), category stats.  Prediction
+    # resets at each interval origin row per T.81 H.1.1: default for
+    # its first sample, Ra along its line.
     def diffs(p):
         out = np.zeros((h, w), dtype=np.int64)
         for y in range(h):
+            first_line = y == 0 or (rpi and y % rpi == 0)
             for x in range(w):
-                if y == 0 and x == 0:
+                if first_line and x == 0:
                     pred = half
+                elif first_line:
+                    pred = p[y, x - 1]
                 elif x == 0:
                     pred = p[y - 1, 0]
-                elif y == 0:
-                    pred = p[y, x - 1]
                 else:
                     pred = _predict(int(p[y, x - 1]), int(p[y - 1, x]),
                                     int(p[y - 1, x - 1]), predictor)
@@ -359,14 +401,23 @@ def build_jpeg_lossless(img: np.ndarray, predictor: int = 1,
                                      h, w, ncomp)
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x11, 0])
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x00])
     out += bytes([predictor, 0, pt])             # Ss / Se / AhAl
 
     bw = _BitWriter()
+    rst = 0
     for y in range(h):
         for x in range(w):
+            if ri:
+                mcu = y * w + x
+                if mcu and mcu % ri == 0:
+                    bw.pad()                     # 1-bits to the byte edge
+                    bw.out += bytes([0xFF, 0xD0 + rst])  # unstuffed
+                    rst = (rst + 1) & 7
             for dp in dplanes:
                 d = int(dp[y, x]) & 0xFFFF
                 t = category(d)

@@ -11626,7 +11626,10 @@ def _q_dng(spark, sf_dir):
                     # rows for bits 12/14, plain samples at 16 (r10)
                     compression=1 if did % 7 == 3 else 7,
                     tile_size=(8, 8) if did % 2 else None,
-                    sof3_components=2 if did % 5 == 0 else 1)
+                    sof3_components=2 if did % 5 == 0 else 1,
+                    # r11: row-aligned DRI/RSTn on a sub-cycle (4-row
+                    # intervals: 2 per 8-row tile, 4 per 16-row strip)
+                    restart_rows=4 if did % 11 == 1 else 0)
                 meta = dng_metadata(payload)
                 decoded, ob = decode_dng_raw(payload)
                 assert ob == bits
@@ -12748,6 +12751,7 @@ _ROUND11_R4_VINTAGE = [
 _ROUND11_STAGED: list[str] = [
     # appended as round-11 gates land OR materially change their
     # fixture cycle (each driver-sim'd at both SFs first)
+    "q_dng",        # fixture cycle grew restart-interval SOF3 (% 11 == 1)
 ]
 _ROUND11_R5_VINTAGE = [
     "q_s3_offset", "q_x10_regexp", "q_pivot", "q_unpivot",

@@ -157,3 +157,27 @@ def test_sof3_dimension_bomb_and_empty_tags_typed():
     # writer CFA validation is typed
     with pytest.raises(DngError, match="CFA"):
         build_dng(np.zeros((4, 4), np.uint16), cfa="RGXB")
+
+
+def test_restart_interval_tiles_and_strips():
+    """r11: row-aligned DRI/RSTn inside SOF3 tiles and strips — the
+    layout real DNG writers emit (restart per few MCU rows).  Exact
+    sample equality across bit depths, tiling, predictors, and the
+    2-component interleaved-columns form."""
+    rng = np.random.default_rng(211)
+    for bits in (12, 14, 16):
+        for tiles in (None, (8, 8)):
+            for rr in (1, 4):
+                m = rng.integers(0, 1 << bits, (16, 16),
+                                 dtype=np.uint16)
+                d = build_dng(m, bits=bits, tile_size=tiles,
+                              predictor=1 + bits % 7, restart_rows=rr)
+                out, ob = decode_dng_raw(d)
+                assert ob == bits and np.array_equal(out, m), (
+                    bits, tiles, rr)
+    # interleaved 2-component SOF3 with restarts
+    m = rng.integers(0, 4096, (16, 16), dtype=np.uint16)
+    d = build_dng(m, bits=12, sof3_components=2, restart_rows=2,
+                  tile_size=(8, 8))
+    out, _ = decode_dng_raw(d)
+    assert np.array_equal(out, m)

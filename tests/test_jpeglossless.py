@@ -73,3 +73,71 @@ def test_typed_boundaries_and_truncation():
     bad[j + 2 + 4 + 1] = 0
     with pytest.raises(JpegError, match="predictor"):
         decode_jpeg_lossless(bytes(bad))
+
+
+def test_restart_intervals_roundtrip_and_reset_independence():
+    """Row-aligned DRI/RSTn (what real DNG writers emit): exact round
+    trips across predictors/precisions, plus the decisive reset pin —
+    two images that differ ONLY BEFORE an interval boundary must
+    produce byte-identical entropy segments after it (T.81 H.1.1: the
+    interval's first line is predicted without reference to anything
+    decoded earlier).  A shared encoder/decoder failure to reset
+    cannot pass this: the post-boundary segments would differ."""
+    from evm_archive_spark.operators.jpeglossless import (
+        decode_jpeg_lossless_raw,
+    )
+
+    rng = np.random.default_rng(83)
+    for pred in range(1, 8):
+        img = rng.integers(0, 4096, (9, 6), dtype=np.uint16)
+        jpg = build_jpeg_lossless(img, predictor=pred, precision=12,
+                                  restart_interval=18)
+        out, prec = decode_jpeg_lossless_raw(jpg)
+        assert prec == 12
+        assert np.array_equal(out[:, :, 0], img), pred
+
+    # reset independence: an interval's entropy segment is a pure
+    # function of its OWN rows (+ the shared Huffman table), so
+    # splicing interval 2's segment into interval 1's slot must make
+    # rows 3-5 decode to rows 6-8's content exactly.  If either side
+    # failed to reset prediction at the boundary, the splice would
+    # decode to garbage (or the round trips above would fail).
+    a = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    ja = build_jpeg_lossless(a, predictor=5, restart_interval=21)
+    assert np.array_equal(decode_jpeg(ja)[:, :, 0], a)
+    r0 = ja.index(b"\xff\xd0")
+    r1 = ja.index(b"\xff\xd1")
+    seg2 = ja[r1 + 2:-2]                        # interval 2, pre-EOI
+    spliced = ja[:r0 + 2] + seg2 + ja[r1:]
+    out = decode_jpeg(spliced)[:, :, 0]
+    assert np.array_equal(out[:3], a[:3])
+    assert np.array_equal(out[3:6], a[6:9])
+    assert np.array_equal(out[6:9], a[6:9])
+
+    # interleaved color with restarts
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    jpg = build_jpeg_lossless(img, predictor=2, restart_interval=10)
+    assert np.array_equal(decode_jpeg(jpg)[:, :, :3], img)
+
+
+def test_restart_typed_boundaries():
+    """Mid-line intervals stay typed on BOTH sides; segment-count
+    mismatch (missing RSTn) is typed, not silently wrong."""
+    from evm_archive_spark.operators.jpeglossless import (
+        decode_jpeg_lossless_raw,
+    )
+
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    with pytest.raises(JpegError, match="row-aligned"):
+        build_jpeg_lossless(img, restart_interval=12)
+    # decoder side: patch a good file's DRI to a mid-line value
+    good = build_jpeg_lossless(img, restart_interval=16)
+    bad = bytearray(good)
+    i = bad.index(b"\xff\xdd")
+    bad[i + 4:i + 6] = (12).to_bytes(2, "big")
+    with pytest.raises(JpegError, match="mid-line"):
+        decode_jpeg_lossless(bytes(bad))
+    # strip the restart markers but keep DRI: segment count mismatch
+    stripped = good[:good.index(b"\xff\xd0")] + good[-2:]
+    with pytest.raises(JpegError, match="segments"):
+        decode_jpeg_lossless_raw(stripped)
