@@ -595,6 +595,11 @@ def _self_heal(spark, timings: dict[str, float],
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # SPARK_GRAFT_ONLY=a,b,c restricts the run to a named subset (used
+    # by the sf1 scale-up study — BASELINE.md's 10x table); the PG
+    # sink trio is skipped unless explicitly named.  Unset = full set.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    only = set(only_env.split(",")) if only_env else None
 
     from evm_archive_spark.session import get_spark
 
@@ -638,7 +643,9 @@ def main() -> None:
     # at the tail of the 60+-query run their medians inherited
     # end-of-run box load (r6 recorded 3.24 s vs 2.09 s isolated);
     # leading the bench gives them the same quiet box every round.
-    total += run_pg_sinks(spark, timings)
+    if only is None or only & {
+            "q_sink_pg_insert", "q_sink_pg_copy", "q_sink_pg_copy_part"}:
+        total += run_pg_sinks(spark, timings)
 
     rerunners: dict = {}
 
@@ -651,6 +658,8 @@ def main() -> None:
         return time.perf_counter() - t0
 
     for name in HEADLINE:
+        if only is not None and name not in only:
+            continue
         fn = queries[name]
         rerunners[name] = (lambda f=fn: headline_once(f))
         dt = sorted(
@@ -669,6 +678,8 @@ def main() -> None:
         ("q_ingest_source", ingest_source_20k),
         ("q_sink_upsert", sink_upsert_200k),
     ):
+        if only is not None and name not in only:
+            continue
         # median of 3 (extended to the ingest/sink jobs in r3: q_ingest_1m
         # drifted 4s -> 10s under GC/box load in a single-sample run)
         rerunners[name] = (lambda f=fn: custom_once(f))
