@@ -63,6 +63,10 @@ _TAGS = {
     284: "planar_config", 347: "jpeg_tables",
     292: "t4_options", 293: "t6_options",
     513: "jpeg_interchange", 514: "jpeg_interchange_length",
+    512: "jpeg_proc", 515: "jpeg_restart_interval",
+    517: "jpeg_lossless_predictors", 518: "jpeg_point_transforms",
+    519: "jpeg_q_tables", 520: "jpeg_dc_tables", 521: "jpeg_ac_tables",
+    530: "ycbcr_subsampling",
 }
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -213,6 +217,128 @@ def tiff_pages(data: bytes):
     return pages
 
 
+def _ojpeg_reassemble(data: bytes, f: dict, height: int, width: int,
+                      rows_per_strip: int, frags: list[bytes]) -> bytes:
+    """TIFF 6.0 §22 per-strip old-JPEG fragments -> one interchange
+    stream.  The fragment layout is a SINGLE scan split at restart
+    markers across the strips (DC prediction resets per strip via the
+    restart), with the tables and frame geometry carried by tags
+    512/515/517-521/530 instead of in-stream markers.  Reassembly is
+    exact: synthesize SOI + DQT/DHT from the table tags + DRI + SOF +
+    SOS, then join the fragments with the cycling RSTn markers the
+    writer omitted.  Writers whose strips are NOT restart-aligned
+    (no JPEGRestartInterval with multiple strips, strip boundaries off
+    interval boundaries) are truly divergent and stay typed."""
+    proc = f.get("jpeg_proc", (1,))[0]
+    photo = f.get("photometric", (1,))[0]
+    spp = f.get("samples_per_pixel", (1,))[0]
+    bps = f.get("bits_per_sample", (8,) * spp)
+    prec = bps[0]
+    ri = f.get("jpeg_restart_interval", (0,))[0]
+    if proc not in (1, 14):
+        raise TiffError(f"old-JPEG process {proc} not supported "
+                        "(baseline 1 / lossless 14)")
+    if proc == 1 and prec != 8:
+        raise TiffError("old-JPEG baseline requires 8-bit samples")
+    if photo == 6 and spp == 3:
+        sub = f.get("ycbcr_subsampling", (2, 2))
+        samp = [(sub[0], sub[1]), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * spp
+    if proc == 14:
+        mcu_w = mcu_h = 1                       # one sample per MCU
+    else:
+        mcu_w = 8 * max(s[0] for s in samp)
+        mcu_h = 8 * max(s[1] for s in samp)
+    mcus_per_row = -(-width // mcu_w)
+    if len(frags) > 1:
+        if not ri:
+            raise TiffError(
+                "old-JPEG fragments without a JPEGRestartInterval "
+                "are writer-divergent (no defined strip boundary "
+                "semantics)")
+        if rows_per_strip % mcu_h:
+            raise TiffError(
+                "old-JPEG strip height off the MCU grid not supported")
+        mcus_per_strip = mcus_per_row * (rows_per_strip // mcu_h)
+        if mcus_per_strip % ri:
+            raise TiffError(
+                "old-JPEG strip boundaries off restart boundaries "
+                "are writer-divergent")
+    else:
+        mcus_per_strip = mcus_per_row * max(
+            1, -(-height // mcu_h))
+
+    def tag_tables(name: str, qt: bool) -> list[bytes]:
+        out = []
+        for o in f.get(name, ()):
+            if qt:
+                if o + 64 > len(data):
+                    raise TiffError("old-JPEG quant table overruns "
+                                    "payload")
+                out.append(data[o:o + 64])
+            else:
+                if o + 16 > len(data):
+                    raise TiffError("old-JPEG Huffman table overruns "
+                                    "payload")
+                nv = sum(data[o:o + 16])
+                if o + 16 + nv > len(data):
+                    raise TiffError("old-JPEG Huffman table overruns "
+                                    "payload")
+                out.append(data[o:o + 16 + nv])
+        return out
+
+    qts = tag_tables("jpeg_q_tables", qt=True)
+    dcs = tag_tables("jpeg_dc_tables", qt=False)
+    acs = tag_tables("jpeg_ac_tables", qt=False)
+    if len(dcs) < spp or (proc == 1 and (len(qts) < spp
+                                         or len(acs) < spp)):
+        raise TiffError("old-JPEG fragment layout missing table tags")
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker])
+                   + struct.pack(">H", len(body) + 2) + body)
+
+    if proc == 1:
+        for i in range(spp):
+            seg(0xDB, bytes([i]) + qts[i])
+    for i in range(spp):
+        seg(0xC4, bytes([i]) + dcs[i])           # class 0, id i
+    if proc == 1:
+        for i in range(spp):
+            seg(0xC4, bytes([0x10 | i]) + acs[i])
+    if ri:
+        seg(0xDD, struct.pack(">H", ri))
+    body = struct.pack(">BHHB", prec, height, width, spp)
+    for i in range(spp):
+        body += bytes([i + 1, (samp[i][0] << 4) | samp[i][1],
+                       i if proc == 1 else 0])
+    seg(0xC0 if proc == 1 else 0xC3, body)
+    sos = bytes([spp])
+    for i in range(spp):
+        sos += bytes([i + 1, (i << 4) | (i if proc == 1 else 0)])
+    if proc == 1:
+        sos += bytes([0, 63, 0])
+    else:
+        preds = f.get("jpeg_lossless_predictors", (1,) * spp)
+        pts = f.get("jpeg_point_transforms", (0,) * spp)
+        if len(set(preds[:spp])) != 1 or len(set(pts[:spp])) != 1:
+            raise TiffError(
+                "old-JPEG per-component lossless predictors/point "
+                "transforms cannot share one scan")
+        sos += bytes([preds[0], 0, pts[0]])
+    seg(0xDA, sos)
+    ips = mcus_per_strip // ri if ri else 1      # intervals per strip
+    for k, frag in enumerate(frags):
+        out += frag
+        if k < len(frags) - 1:
+            out += bytes([0xFF, 0xD0 + (ips * (k + 1) - 1) % 8])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
     f = _read_ifd(data, ifd_off, bo)
     tiled = "tile_width" in f
@@ -220,9 +346,10 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
         width = f["width"][0]
         height = f["height"][0]
         if f.get("compression", (1,))[0] == 6:
-            # old-JPEG files often carry NO strip tables — only the
-            # interchange stream; the comp-6 arm below never uses them
-            offsets = counts = ()
+            # old-JPEG: the whole-stream form often carries NO strip
+            # tables; the per-strip fragment form (r11) does
+            offsets = f.get("strip_offsets", ())
+            counts = f.get("strip_byte_counts", ())
         elif tiled:
             offsets = f["tile_offsets"]
             counts = f["tile_byte_counts"]
@@ -246,23 +373,34 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
             "(none/CCITT/LZW/Deflate/PackBits/JPEG only)"
         )
     if comp == 6:
-        # old-style JPEG (TIFF 6.0 §22, deprecated): the common,
-        # recoverable layout carries ONE complete JPEG stream behind
-        # JPEGInterchangeFormat/-Length (round 10); the per-strip
-        # fragment layout without an interchange stream has writer-
-        # divergent semantics and stays typed
+        # old-style JPEG (TIFF 6.0 §22, deprecated), two recoverable
+        # layouts: ONE complete stream behind JPEGInterchangeFormat/
+        # -Length (round 10), or the per-strip FRAGMENT form (r11) —
+        # one scan split at restart markers across the strips, with
+        # tables/dimensions carried by the 51x tags.  The fragment
+        # form is what 1990s scanner fleets actually wrote.
         ji = f.get("jpeg_interchange", ())
         jl = f.get("jpeg_interchange_length", ())
-        if not ji or not jl:
-            raise TiffError(
-                "old-JPEG without a JPEGInterchangeFormat stream "
-                "not supported")
-        stream = data[ji[0]: ji[0] + jl[0]]
-        if len(stream) < jl[0]:
-            raise TiffError("old-JPEG interchange stream overruns "
-                            "payload")
         from .jpeg import JpegError, decode_jpeg
 
+        if ji and jl:
+            stream = data[ji[0]: ji[0] + jl[0]]
+            if len(stream) < jl[0]:
+                raise TiffError("old-JPEG interchange stream overruns "
+                                "payload")
+        else:
+            if not offsets or not counts:
+                raise TiffError(
+                    "old-JPEG without a JPEGInterchangeFormat stream "
+                    "or strip fragments not supported")
+            frags = []
+            for o, c in zip(offsets, counts):
+                if o + c > len(data):
+                    raise TiffError("old-JPEG fragment overruns "
+                                    "payload")
+                frags.append(data[o:o + c])
+            stream = _ojpeg_reassemble(
+                data, f, height, width, rows_per_strip, frags)
         try:
             rgba = decode_jpeg(bytes(stream))
         except JpegError as e:

@@ -1129,11 +1129,13 @@ def test_old_jpeg_interchange_stream():
     struct.pack_into("<H", bad, i + 8, 999)
     with pytest.raises(TiffError, match="smaller than declared"):
         decode_tiff(bytes(bad))
-    # comp 6 without the interchange tag is typed
+    # comp 6 without the interchange tag: the strips (which here hold
+    # the one whole stream) are tried as the fragment layout, which
+    # types on the missing 51x table tags
     bad = bytearray(t)
     i = bad.index(struct.pack("<HH", 513, 4))
     struct.pack_into("<H", bad, i, 51)          # hide the tag
-    with pytest.raises(TiffError, match="old-JPEG without"):
+    with pytest.raises(TiffError, match="missing table tags"):
         decode_tiff(bytes(bad))
     # corrupt stream is typed
     bad = bytearray(t)
@@ -1183,3 +1185,279 @@ def test_ccitt_roundtrip_property():
         assert np.array_equal(decode_g4(encode_g4(rows), w, h), want)
 
     prop()
+
+
+def encode_tiff_ojpeg_fragments(stream: bytes, rows_per_strip: int,
+                                regroup: int = 1) -> bytes:
+    """Independent writer for the TIFF 6.0 §22 per-strip old-JPEG
+    FRAGMENT layout: parse a complete JPEG interchange stream (SOF0 or
+    SOF3, restart markers already inside), hoist its tables into tag
+    data (519/520/521 per-component offsets), its geometry into the
+    IFD, DRI into tag 515, and write the entropy between restart
+    markers as the strips — exactly what 1990s scanner writers did.
+    ``regroup`` joins that many consecutive restart intervals per
+    strip (internal RSTn markers re-inserted verbatim)."""
+    i, dri, proc, prec = 2, 0, None, 8
+    tq_tab: dict[int, bytes] = {}
+    th_tab: dict[tuple, bytes] = {}
+    comps = scomp = None
+    ss = ahal = 0
+    while True:
+        assert stream[i] == 0xFF
+        m = stream[i + 1]
+        i += 2
+        ln = struct.unpack_from(">H", stream, i)[0]
+        seg = stream[i + 2:i + ln]
+        if m == 0xDB:
+            j = 0
+            while j < len(seg):
+                assert seg[j] >> 4 == 0          # 8-bit tables
+                tq_tab[seg[j] & 15] = seg[j + 1:j + 65]
+                j += 65
+        elif m == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                nv = sum(seg[j + 1:j + 17])
+                th_tab[(tc, th)] = seg[j + 1:j + 17 + nv]
+                j += 17 + nv
+        elif m == 0xDD:
+            dri = struct.unpack_from(">H", seg, 0)[0]
+        elif m in (0xC0, 0xC3):
+            proc = 1 if m == 0xC0 else 14
+            prec = seg[0]
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = [(seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c])
+                     for c in range(nc)]
+        elif m == 0xDA:
+            ns = seg[0]
+            scomp = [(seg[1 + 2 * c], seg[2 + 2 * c])
+                     for c in range(ns)]
+            ss, ahal = seg[1 + 2 * ns], seg[3 + 2 * ns]
+            ent = i + ln
+            break
+        i += ln
+    # split the entropy body at restart markers (stuffing preserved)
+    frags, cur, j = [], bytearray(), ent
+    while j < len(stream):
+        b = stream[j]
+        if b == 0xFF:
+            m2 = stream[j + 1]
+            if m2 == 0x00:
+                cur += b"\xff\x00"
+                j += 2
+                continue
+            if 0xD0 <= m2 <= 0xD7:
+                frags.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break                                # EOI
+        cur.append(b)
+        j += 1
+    frags.append(bytes(cur))
+    if regroup > 1:
+        frags = [
+            b"".join(
+                frags[t] + (b""
+                            if t == min(k + regroup, len(frags)) - 1
+                            else bytes([0xFF, 0xD0 + t % 8]))
+                for t in range(k, min(k + regroup, len(frags)))
+            )
+            for k in range(0, len(frags), regroup)
+        ]
+
+    nc = len(comps)
+    photometric = 1 if nc == 1 else 6
+    # external value area: table blobs (dedup by id), then strips
+    ext = bytearray()
+    qoff: dict[int, int] = {}
+    hoff: dict[tuple, int] = {}
+    for tq, blob in tq_tab.items():
+        qoff[tq] = len(ext)
+        ext += blob
+    for key, blob in th_tab.items():
+        hoff[key] = len(ext)
+        ext += blob
+
+    entries = []                                 # (tag, typ, vals)
+    entries.append((256, 3, (w,)))
+    entries.append((257, 3, (h,)))
+    entries.append((258, 3, (prec,) * nc))
+    entries.append((259, 3, (6,)))
+    entries.append((262, 3, (photometric,)))
+    entries.append((277, 3, (nc,)))
+    entries.append((278, 3, (rows_per_strip,)))
+    entries.append((512, 3, (proc,)))
+    if dri:
+        entries.append((515, 3, (dri,)))
+    if proc == 1:
+        entries.append((519, 4, tuple(
+            qoff[c[2]] for c in comps)))         # patched +base later
+        entries.append((521, 4, tuple(
+            hoff[(1, td_ta & 15)] for _, td_ta in scomp)))
+    else:
+        entries.append((517, 3, (ss,) * nc))
+        entries.append((518, 3, (ahal & 15,) * nc))
+    entries.append((520, 4, tuple(
+        hoff[(0, td_ta >> 4)] for _, td_ta in scomp)))
+    if photometric == 6:
+        entries.append((530, 3, (comps[0][1] >> 4, comps[0][1] & 15)))
+    entries.append((273, 4, (0,) * len(frags)))  # patched later
+    entries.append((279, 4, tuple(len(fg) for fg in frags)))
+    entries.sort(key=lambda e: e[0])
+
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    ext_base = 8 + ifd_size
+    # second external area for oversized tag VALUES (offset lists)
+    vext = bytearray()
+    strips_base = None
+
+    def val_bytes(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return b"".join(struct.pack("<" + fmt, v) for v in vals)
+
+    # strips follow table area + value area; two passes to know sizes
+    vsize = sum(
+        len(val_bytes(t, v)) + len(val_bytes(t, v)) % 2
+        for _, t, v in entries
+        if len(val_bytes(t, v)) > 4)
+    strips_base = ext_base + len(ext) + vsize
+    offs, pos = [], strips_base
+    for fg in frags:
+        offs.append(pos)
+        pos += len(fg)
+    fixed = []
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = tuple(offs)
+        elif tag in (519, 520, 521):
+            vals = tuple(v + ext_base for v in vals)
+        vb = val_bytes(typ, vals)
+        fixed.append((tag, typ, len(vals), vb))
+    out_ifd = bytearray(struct.pack("<H", n))
+    vpos = ext_base + len(ext)
+    for tag, typ, cnt, vb in fixed:
+        if len(vb) <= 4:
+            loc = vb.ljust(4, b"\x00")
+        else:
+            loc = struct.pack("<I", vpos)
+            vext += vb + (b"\x00" if len(vb) % 2 else b"")
+            vpos += len(vb) + len(vb) % 2
+        out_ifd += struct.pack("<HHI", tag, typ, cnt) + loc
+    out_ifd += b"\x00\x00\x00\x00"
+    return (struct.pack("<2sHI", b"II", 42, 8) + bytes(out_ifd)
+            + bytes(ext) + bytes(vext) + b"".join(frags))
+
+
+def test_old_jpeg_strip_fragments():
+    """r11: the per-strip fragment form of compression 6 — tables in
+    tags, one scan's entropy split across strips at restart markers.
+    Reassembly must reproduce the interchange stream's pixels EXACTLY
+    (same entropy bits, same decoder), for baseline gray and 4:4:4 /
+    4:2:0 color, lossless (proc 14), and multi-interval strips."""
+    from test_jpeg import encode_jpeg
+
+    from evm_archive_spark.operators.jpeg import decode_jpeg
+    from evm_archive_spark.operators.jpeglossless import (
+        build_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(113)
+    # baseline grayscale: 48x32, strips of 16 rows = 2 MCU rows
+    img = np.kron(rng.integers(0, 32, (4, 6), np.uint8) * 8,
+                  np.ones((8, 8), np.uint8))
+    g = np.repeat(img[:, :, None], 3, axis=2)
+    stream = encode_jpeg(g, grayscale=True, restart_interval=12)
+    want = decode_jpeg(stream)
+    t = encode_tiff_ojpeg_fragments(stream, rows_per_strip=16)
+    assert np.array_equal(decode_tiff(t), want[:32, :48])
+    # multi-interval strips: 2 restart intervals per strip, internal
+    # RSTn re-inserted
+    t2 = encode_tiff_ojpeg_fragments(stream, rows_per_strip=32,
+                                     regroup=2)
+    assert np.array_equal(decode_tiff(t2), want[:32, :48])
+    # baseline color, 4:4:4 and 4:2:0
+    rgb = np.kron(rng.integers(0, 16, (4, 6, 3), np.uint8) * 16,
+                  np.ones((8, 8, 1), np.uint8))
+    for sampling, rps, ri in [((1, 1), 8, 6), ((2, 2), 16, 3)]:
+        stream = encode_jpeg(rgb, sampling=sampling,
+                             restart_interval=ri)
+        want = decode_jpeg(stream)
+        t = encode_tiff_ojpeg_fragments(stream, rows_per_strip=rps)
+        assert np.array_equal(decode_tiff(t), want[:32, :48]), sampling
+    # lossless proc 14 fragments (medical-scanner form): exact
+    mono = rng.integers(0, 256, (24, 10), dtype=np.uint16).astype(
+        np.uint8)
+    stream = build_jpeg_lossless(mono, predictor=4,
+                                 restart_interval=80)
+    want = decode_jpeg(stream)
+    t = encode_tiff_ojpeg_fragments(stream, rows_per_strip=8)
+    assert np.array_equal(decode_tiff(t)[:, :, 0], mono)
+    assert np.array_equal(decode_tiff(t), want)
+
+
+def test_old_jpeg_fragment_typed_boundaries():
+    """Truly divergent fragment writers stay typed: multiple strips
+    with no JPEGRestartInterval, strip boundaries off restart
+    boundaries, missing table tags."""
+    from test_jpeg import encode_jpeg
+
+    rng = np.random.default_rng(127)
+    img = np.repeat(rng.integers(0, 256, (32, 48, 1), np.uint8),
+                    3, axis=2)
+    stream = encode_jpeg(img, grayscale=True, restart_interval=12)
+    t = encode_tiff_ojpeg_fragments(stream, rows_per_strip=16)
+    # hide the restart-interval tag -> divergent
+    bad = bytearray(t)
+    i = bad.index(struct.pack("<HH", 515, 3))
+    struct.pack_into("<H", bad, i, 51)
+    with pytest.raises(TiffError, match="divergent"):
+        decode_tiff(bytes(bad))
+    # strip rows off the restart grid -> divergent
+    bad = bytearray(t)
+    i = bad.index(struct.pack("<HH", 278, 3))
+    struct.pack_into("<H", bad, i + 8, 24)
+    with pytest.raises(TiffError, match="divergent|MCU grid"):
+        decode_tiff(bytes(bad))
+    # missing DC tables -> typed
+    bad = bytearray(t)
+    i = bad.index(struct.pack("<HH", 520, 4))
+    struct.pack_into("<H", bad, i, 51)
+    with pytest.raises(TiffError, match="missing table tags"):
+        decode_tiff(bytes(bad))
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="no system libtiff")
+def test_old_jpeg_fragments_libtiff_pin():
+    """The system libtiff's OJPEG layer accepts the per-strip fragment
+    files our writer produces and decodes them to the same pixels
+    (+-1 for IDCT rounding, exactly like the compression-7 pin); any
+    table-tag / restart-reassembly mistake would be off by far more
+    or rejected outright."""
+    from test_jpeg import encode_jpeg
+
+    lib = _libtiff()
+    rng = np.random.default_rng(131)
+    img = np.kron(rng.integers(0, 32, (4, 6), np.uint8) * 8,
+                  np.ones((8, 8), np.uint8))
+    g = np.repeat(img[:, :, None], 3, axis=2)
+    for ri, rps, regroup in [(12, 16, 1), (6, 8, 1), (12, 32, 2)]:
+        stream = encode_jpeg(g, grayscale=True, restart_interval=ri)
+        t = encode_tiff_ojpeg_fragments(stream, rows_per_strip=rps,
+                                        regroup=regroup)
+        ours = decode_tiff(t).astype(int)
+        theirs = _libtiff_decode_rgba(lib, t)
+        assert theirs is not None, (ri, rps)
+        assert np.abs(ours - theirs.astype(int)).max() <= 1, (ri, rps)
+    # 4:2:0 color
+    rgb = np.kron(rng.integers(0, 16, (4, 6, 3), np.uint8) * 16,
+                  np.ones((8, 8, 1), np.uint8))
+    stream = encode_jpeg(rgb, sampling=(2, 2), restart_interval=3)
+    t = encode_tiff_ojpeg_fragments(stream, rows_per_strip=16)
+    ours = decode_tiff(t).astype(int)
+    theirs = _libtiff_decode_rgba(lib, t)
+    assert theirs is not None
+    assert np.abs(ours - theirs.astype(int)).max() <= 2
