@@ -6,8 +6,11 @@ tiled image organization (tiles are what DNG raws and GeoTIFFs use;
 edge tiles padded, predictor reset per tile; bilevel tiles included),
 bilevel/grayscale/palette/RGB(A) photometric interpretations at
 1/8/16-bit depths (16-bit samples downshift to their high byte for
-the RGBA contract, both byte orders, predictor mod-65536), planar
-configuration 2 (strip-organized plane-separated images), and
+the RGBA contract, both byte orders, predictor mod-65536; palette
+INDICES stay full-width — 16-bit palettes address up to 65536
+entries), planar configuration 2 (plane-separated strips AND tiles:
+the tile table carries SamplesPerPixel x TilesPerImage entries, all
+of plane 0's first), and
 Compression 1 (none), 5 (LZW with horizontal differencing predictor),
 8/32946 (Deflate/zlib, both the official and legacy tags), 32773
 (PackBits), and 7 (new-style JPEG-in-TIFF: each strip/tile a complete
@@ -16,14 +19,16 @@ is the DNG raw layout, and the shared jpeg.py dispatch handles
 baseline/progressive/arithmetic/lossless streams alike); 2/3/4
 (CCITT fax: Modified Huffman rows, Group 3 per the T4Options flag,
 Group 4 MMR — the scanned-document compressions, via ccittfax.py);
-and 6 (old-style JPEG, the deprecated TIFF 6.0 §22 layout — the
-recoverable JPEGInterchangeFormat whole-stream form).
+and 6 (old-style JPEG, the deprecated TIFF 6.0 §22 layout — both the
+JPEGInterchangeFormat whole-stream form and the per-strip FRAGMENT
+form: one scan's entropy split across strips at restart markers,
+tables in tags 512/515/517-521/530, reassembled exactly).
 
-Scope notes (clear errors, no silent wrong pixels): tiled planar-2
-organization, 16-bit palettes, CCITT uncompressed mode, and old-JPEG
-per-strip fragment layouts (no interchange stream) raise
-``TiffError`` naming the gap.  Output matches the other
-codecs' contract: (h, w, 4) uint8 RGBA.
+Scope notes (clear errors, no silent wrong pixels): CCITT
+uncompressed mode, old-JPEG fragment writers whose strips are not
+restart-aligned, and Quantum-era oddities raise ``TiffError`` naming
+the gap.  Output matches the other codecs' contract: (h, w, 4) uint8
+RGBA.
 
 TIFF's LZW differs from GIF's: codes are MSB-first, code width starts
 at 9 and bumps at dictionary sizes 511/1023/2047 (one EARLIER than the
@@ -424,11 +429,10 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
             f"bits-per-sample {bps} not supported (1, 8 or 16)")
     itemsize = 2 if bps[0] == 16 else 1
     u16 = np.dtype(bo + "u2")
-    if planar == 2 and (tiled or comp == 7 or spp == 1
-                        or bps[0] == 1):
+    if planar == 2 and (comp == 7 or spp == 1 or bps[0] == 1):
         raise TiffError(
-            "planar configuration 2 only supported for strip-organized "
-            "8/16-bit multi-sample images")
+            "planar configuration 2 only supported for 8/16-bit "
+            "multi-sample images")
     if comp == 7:
         # new-style JPEG-in-TIFF (TIFF/EP, and the DNG layout when the
         # strips carry SOF3 lossless streams): each strip is a complete
@@ -502,15 +506,23 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
         td = -(-height // th)
         if ta * td > (1 << 20):
             raise TiffError("tile count over cap")
-        if len(offsets) < ta * td or len(counts) < ta * td:
+        # PlanarConfiguration 2 (r11): the tile table carries
+        # SamplesPerPixel x TilesPerImage entries, all of plane 0's
+        # tiles first; each tile holds ONE plane and the predictor
+        # resets per tile per plane
+        n_planes = spp if planar == 2 else 1
+        spp_t = 1 if planar == 2 else spp
+        if len(offsets) < ta * td * n_planes \
+                or len(counts) < ta * td * n_planes:
             raise TiffError("tile tables shorter than the tile grid")
         bilevel_grid = bps[0] == 1
         tile_bytes = ((tw + 7) // 8 * th if bilevel_grid
-                      else tw * th * spp * itemsize)
+                      else tw * th * spp_t * itemsize)
         px = np.zeros((height, width, spp),
                       dtype=np.uint16 if itemsize == 2 else np.uint8)
-        for ti in range(ta * td):
-            off, cnt = offsets[ti], counts[ti]
+        for tg in range(ta * td * n_planes):
+            pi, ti = divmod(tg, ta * td)
+            off, cnt = offsets[tg], counts[tg]
             chunk = data[off: off + cnt]
             if len(chunk) < cnt:
                 raise TiffError("tile overruns payload")
@@ -558,7 +570,8 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
                                 np.uint8)[:, :, None]
                 elif itemsize == 2:
                     tile = np.frombuffer(
-                        dec[:tile_bytes], dtype=u16).reshape(th, tw, spp)
+                        dec[:tile_bytes], dtype=u16).reshape(
+                            th, tw, spp_t)
                     if predictor == 2:
                         tile = np.cumsum(
                             tile.astype(np.uint64), axis=1).astype(
@@ -566,14 +579,18 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
                 else:
                     tile = np.frombuffer(
                         dec[:tile_bytes], dtype=np.uint8
-                    ).reshape(th, tw, spp)
+                    ).reshape(th, tw, spp_t)
                     if predictor == 2:
                         tile = np.cumsum(
                             tile.astype(np.uint32), axis=1).astype(
                                 np.uint8)
-            px[ty * th: ty * th + hh, tx * tw: tx * tw + ww] = \
-                tile[:hh, :ww]
-        if itemsize == 2:
+            if planar == 2:
+                px[ty * th: ty * th + hh, tx * tw: tx * tw + ww, pi] \
+                    = tile[:hh, :ww, 0]
+            else:
+                px[ty * th: ty * th + hh, tx * tw: tx * tw + ww] = \
+                    tile[:hh, :ww]
+        if itemsize == 2 and photo != 3:
             px = (px >> 8).astype(np.uint8)     # MSB, libtiff's rule
         if bilevel_grid:
             photo = 1                           # already display-mapped
@@ -665,13 +682,16 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
             px = undiff(read_strips(
                 offsets, counts, width * spp * itemsize, spp))
             spp_eff = spp
-        if itemsize == 2 and bps[0] == 16:
+        if itemsize == 2 and bps[0] == 16 and photo != 3:
             px = (px >> 8).astype(np.uint8)     # MSB, libtiff's rule
 
     out = np.empty((height, width, 4), dtype=np.uint8)
     out[:, :, 3] = 255
     if photo == 3:  # palette
-        if bps[0] != 8:
+        # 8-bit and (r11) 16-bit indices: the lookup sees the FULL
+        # index width (the >>8 display downshift above must not apply
+        # to indices — a 16-bit palette has up to 65536 entries)
+        if bps[0] not in (8, 16):
             raise TiffError(
                 f"palette TIFF at {bps[0]} bits not supported")
         cmap = f.get("colormap")

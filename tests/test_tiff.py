@@ -144,7 +144,22 @@ def encode_tiff(
         return compress_body(block.tobytes())
 
     strips = []
-    if tile_size is not None:
+    if tile_size is not None and planar == 2:
+        # tiled planar (r11): SamplesPerPixel x TilesPerImage tiles,
+        # all of plane 0's first; predictor per tile per plane
+        tw, th = tile_size
+        for p in range(spp):
+            for ty in range(0, -(-h // th)):
+                for tx in range(0, -(-w // tw)):
+                    tile = px[ty * th:(ty + 1) * th,
+                              tx * tw:(tx + 1) * tw, p]
+                    pad_h = th - tile.shape[0]
+                    pad_w = tw - tile.shape[1]
+                    if pad_h or pad_w:
+                        tile = np.pad(tile, ((0, pad_h), (0, pad_w)),
+                                      mode="edge")
+                    strips.append(pack(tile, th, nspp=1))
+    elif tile_size is not None:
         tw, th = tile_size
         for ty in range(0, -(-h // th)):
             for tx in range(0, -(-w // tw)):
@@ -966,8 +981,9 @@ def test_planar_configuration_2():
     t = encode_tiff(rgb16, planar=2, rows_per_strip=3)
     assert np.array_equal(decode_tiff(t)[:, :, :3],
                           (rgb16 >> 8).astype(np.uint8))
-    # planar tiled stays typed
-    t = encode_tiff(rgb, planar=2, tile_size=(8, 8))
+    # planar tiled decodes since r11 (test_tiled_planar); a
+    # single-sample planar-2 declaration stays typed
+    t = encode_tiff(rgb[:, :, :1], compression=8, planar=2)
     with pytest.raises(TiffError, match="planar"):
         decode_tiff(t)
 
@@ -1461,3 +1477,83 @@ def test_old_jpeg_fragments_libtiff_pin():
     theirs = _libtiff_decode_rgba(lib, t)
     assert theirs is not None
     assert np.abs(ours - theirs.astype(int)).max() <= 2
+
+
+def test_16bit_palette():
+    """r11: photometric 3 with 16-bit indices — the index must reach
+    the colormap at FULL width (the 16->8 display downshift applies to
+    samples, never indices).  Strips and tiles, both byte orders,
+    predictor, >256-entry palettes that an 8-bit index cannot hit."""
+    rng = np.random.default_rng(137)
+    n = 1000                                     # needs 16-bit indices
+    cmap = tuple(rng.integers(0, 65536, 3 * n).tolist())
+    idx = rng.integers(0, n, (13, 17)).astype(np.uint16)
+    cm = np.array(cmap, dtype=np.uint32)
+    want = np.stack([(cm[:n][idx] >> 8), (cm[n:2 * n][idx] >> 8),
+                     (cm[2 * n:][idx] >> 8)],
+                    axis=-1).astype(np.uint8)
+    for bo in ("<", ">"):
+        for kw in ({}, {"predictor": 2}, {"tile_size": (16, 16)},
+                   {"rows_per_strip": 5}):
+            t = encode_tiff(idx, photometric=3, colormap=cmap,
+                            byte_order=bo, **kw)
+            out = decode_tiff(t)
+            assert np.array_equal(out[:, :, :3], want), (bo, kw)
+            assert (out[:, :, 3] == 255).all()
+    # an index beyond the palette is typed, not a wrap-around
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = n
+    t = encode_tiff(bad_idx, photometric=3, colormap=cmap)
+    with pytest.raises(TiffError, match="palette index"):
+        decode_tiff(t)
+
+
+def test_tiled_planar():
+    """r11: PlanarConfiguration 2 over the TILE organization — the
+    tile table carries SamplesPerPixel x TilesPerImage entries (all of
+    plane 0's tiles first), each tile one plane, predictor per tile
+    per plane.  8- and 16-bit, ragged edges, every byte-oriented
+    compression."""
+    rng = np.random.default_rng(139)
+    rgb8 = rng.integers(0, 256, (21, 26, 3), dtype=np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            if pred == 2 and comp == 1:
+                continue
+            t = encode_tiff(rgb8, compression=comp, planar=2,
+                            tile_size=(16, 16), predictor=pred)
+            out = decode_tiff(t)
+            assert np.array_equal(out[:, :, :3], rgb8), (comp, pred)
+    # 16-bit planar tiles: MSB-byte contract
+    rgb16 = rng.integers(0, 65536, (18, 20, 3), dtype=np.uint16)
+    for bo in ("<", ">"):
+        t = encode_tiff(rgb16, compression=8, planar=2,
+                        tile_size=(16, 16), byte_order=bo,
+                        predictor=2)
+        out = decode_tiff(t)
+        assert np.array_equal(out[:, :, :3],
+                              (rgb16 >> 8).astype(np.uint8)), bo
+    # short planar tile table is typed
+    t = bytearray(encode_tiff(rgb8, planar=2, tile_size=(16, 16)))
+    i = bytes(t).index(struct.pack("<HH", 324, 4))
+    struct.pack_into("<I", t, i + 4, 2)          # count 6 -> 2
+    with pytest.raises(TiffError, match="tile tables shorter"):
+        decode_tiff(bytes(t))
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="no system libtiff")
+def test_tiled_planar_libtiff_pin():
+    """libtiff decodes our tiled planar-2 files (compressed tiles —
+    this build's RGBA reader rejects UNCOMPRESSED tiles whose raw size
+    differs from the RGBA raster, the standing r9 gotcha) to the same
+    pixels."""
+    lib = _libtiff()
+    rng = np.random.default_rng(149)
+    rgb = rng.integers(0, 256, (21, 26, 3), dtype=np.uint8)
+    for comp in (5, 8, 32773):
+        t = encode_tiff(rgb, compression=comp, planar=2,
+                        tile_size=(16, 16))
+        ours = decode_tiff(t)
+        theirs = _libtiff_decode_rgba(lib, t)
+        assert theirs is not None, comp
+        assert np.array_equal(ours, theirs), comp
