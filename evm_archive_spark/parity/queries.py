@@ -9271,6 +9271,73 @@ _add(
 )
 
 
+# [pair] Multi-cabinet CAB spanning sets (r11, operators/cab.py
+# cab_set_members / build_cab_set): each doc gets a 2-cabinet set
+# whose first member a.bin = ('A:'+text) repeated past 32 kB, so the
+# one folder ALWAYS spans the cabinet boundary (MSZIP history / the
+# stored stream continue across cabinets; doc_id % 4 >= 2 additionally
+# splits the boundary CFDATA mid-payload, the cbUncomp == 0 form).
+# The member md5s replay in SQL from the same construction; bsdtar
+# header-pins the set layout in pytest.
+
+def _q_cab_set(spark, sf_dir):
+    import pandas as pd
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("t"),
+    )
+
+    def run(it):
+        import hashlib
+
+        from ..operators.cab import build_cab_set, cab_set_members
+
+        for b in it:
+            out = {"media_id": [], "path": [], "size": [],
+                   "member_md5": []}
+            for mid, t in zip(b["media_id"], b["t"]):
+                mid = int(mid)
+                data = t.encode("utf-8")
+                k = 39000 // (len(data) + 2) + 1
+                a = (b"A:" + data) * k
+                files = [("a.bin", a), ("b.txt", b"copy:" + data)]
+                cabs = build_cab_set(
+                    files, ("none", "mszip")[mid % 2], n_cabs=2,
+                    split_block=mid % 4 >= 2)
+                for name, size, payload in cab_set_members(cabs):
+                    out["media_id"].append(mid)
+                    out["path"].append(name)
+                    out["size"].append(size)
+                    out["member_md5"].append(
+                        hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, "media_id long, path string, size long, member_md5 string"
+    ).orderBy("media_id", "path")
+
+
+_add(
+    "q_cab_set",
+    _q_cab_set,
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t, "
+    "39000 // (strlen(COALESCE(text, '')) + 2) + 1 AS k "
+    "FROM documents) "
+    "SELECT doc_id AS media_id, 'a.bin' AS path, "
+    "CAST(k * (strlen(t) + 2) AS BIGINT) AS size, "
+    "md5(repeat('A:' || t, k)) AS member_md5 FROM d "
+    "UNION ALL "
+    "SELECT doc_id, 'b.txt', CAST(strlen('copy:' || t) AS BIGINT), "
+    "md5('copy:' || t) FROM d "
+    "ORDER BY media_id NULLS FIRST, path",
+    "multi-cabinet spanning sets: continued folders rejoin across "
+    "cabinets (boundary-split CFDATA incl.), spanning members yield "
+    "once from their starting cabinet with the spec's iFolder codes",
+)
+
+
 # [pair] AIFF/AIFF-C REAL decode (operators/aiff.py, round-10: the
 # EA-IFF-85 chunk walk, 80-bit extended-float sample rate, BE PCM +
 # sowt/fl32 AIFC types; stdlib-aifc cross-pinned both directions in
@@ -12752,6 +12819,7 @@ _ROUND11_STAGED: list[str] = [
     # appended as round-11 gates land OR materially change their
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_dng",        # fixture cycle grew restart-interval SOF3 (% 11 == 1)
+    "q_cab_set",    # NEW: multi-cabinet CAB spanning sets
 ]
 _ROUND11_R5_VINTAGE = [
     "q_s3_offset", "q_x10_regexp", "q_pivot", "q_unpivot",
