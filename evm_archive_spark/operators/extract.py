@@ -96,7 +96,6 @@ def document_extract(
     )
     from .mail import MailError, parse_email
     from .msgpackfile import MsgpackError, msgpack_to_text
-    from .sqlitefile import SqliteError, is_sqlite, sqlite_to_text
     from .protowire import ProtoWireError, protowire_to_text
     from .officedoc import (
         OfficeDocError,
@@ -225,13 +224,6 @@ def document_extract(
                     try:
                         text, fmt = msgpack_to_text(b), "msgpack"
                     except MsgpackError:
-                        pass
-                if fmt is None and (
-                    "sqlite" in m or (not m and is_sqlite(b))
-                ):
-                    try:
-                        text, fmt = sqlite_to_text(b), "sqlite"
-                    except SqliteError:
                         pass
                 if fmt is None and "protobuf" in m:
                     try:

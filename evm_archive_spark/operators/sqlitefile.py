@@ -1,67 +1,50 @@
-"""SQLite database FILE reader — from scratch, stdlib only (public
-format: sqlite.org/fileformat2.html).
+"""SQLite database file reader — from scratch, stdlib only.
 
-``.sqlite``/``.db`` files are everywhere in web crawls (browser
-profiles, app bundles, ML metadata stores), and feeding untrusted
-bytes to the system SQLite C library is exactly what a hardened
-extraction lane avoids — so this walks the file format directly:
+Training corpora meet ``.sqlite``/``.db`` payloads constantly (app
+exports, scraped datasets, research artifacts).  This module walks the
+public SQLite file format (sqlite.org/fileformat2.html): the 100-byte
+header, table b-trees (interior page 5 / leaf page 13), cell payloads
+with overflow-page chains, and the record serial-type encoding — then
+linearizes every user table to text (the xlsx/tabular contract: one
+line per row, values tab-joined, tables joined by a blank line, each
+table headed by its name).
 
-- **header** (100 bytes): magic, page size (u16 BE, 1 => 65536),
-  reserved-bytes-per-page (honored in the usable size), page count,
-  text encoding (UTF-8 / UTF-16le / UTF-16be — all three decoded);
-- **table b-trees**: interior (type 5: left-child + rowid key cells,
-  rightmost pointer) and leaf (type 13: payload-length + rowid +
-  record) pages, cells via the u16 pointer array; page 1 carries the
-  ``sqlite_master`` root behind the file header;
-- **overflow chains**: the spec's local-payload split (X = U - 35,
-  M = ((U - 12) * 32 / 255) - 23, K = M + (P - M) % (U - 4)) with
-  4-byte next-page chains, walked with a visited-set cycle guard;
-- **records**: varint header, serial types (NULL / 1-8-byte ints /
-  float64 BE / constants 0 and 1 / blob and text with the (N-12)/2
-  length rule);
-- **rowid aliases**: a column declared ``INTEGER PRIMARY KEY`` stores
-  NULL in the record and takes the cell's rowid — detected from the
-  stored CREATE TABLE sql (the documented alias rule).
+The fixture writer is deliberately NOT from scratch: gates and tests
+build REAL databases with the stdlib ``sqlite3`` module
+(``Connection.serialize()``), so the reader is always checked against
+the canonical writer.
 
-Scope (typed, never silently wrong): WITHOUT ROWID tables (index
-b-trees), encrypted files, and pages outside the declared page count
-raise ``SqliteError``.  Freelist/ptrmap pages are never referenced by
-the b-tree walk, so auto-vacuum files read naturally.
+Scope boundaries (typed ``SqliteError``, never a crash):
+- WITHOUT ROWID tables store rows in index b-trees — out of scope.
+- WAL-side content is invisible by design (a serialized/checkpointed
+  database carries everything in the main file).
 
-The synthesis twin is the system SQLite itself via the stdlib
-``sqlite3`` module (``Connection.serialize()``) — a cross-pin in both
-directions: stdlib-written files decode here, and pytest drives
-randomized schemas/values through both readers.
-
-Reference parity note: the reference (SummaryDev/evm-archive) stores
-payloads as opaque bytea; this extends the training-pipeline
-extraction lane (document/container decode).  Placement: per-payload
-work inside mapInPandas Arrow batches (the codec boundary).
+Reference parity note: the reference (SummaryDev/evm-archive) has no
+document surface; this extends the training-pipeline extraction lane.
 """
 
 from __future__ import annotations
 
 import re
 import struct
-from typing import Iterator
+
+from .codecerrors import guard
 
 MAGIC = b"SQLite format 3\x00"
+MAX_PAYLOAD_BYTES = 64 * 1024 * 1024   # per-cell assembled payload cap
+MAX_PAGES_WALK = 1 << 20               # b-tree/overflow loop safety
 
-MAX_DB_PAGES = 1 << 22                 # 4M pages (cycle/bomb guard)
-MAX_PAYLOAD = 256 * 1024 * 1024
 
-
-class SqliteError(ValueError):
+class SqliteError(Exception):
     """Malformed or out-of-scope SQLite payload."""
 
 
 def is_sqlite(b: bytes) -> bool:
-    return b[:16] == MAGIC and len(b) >= 512
+    return b[:16] == MAGIC
 
 
 def _varint(b: bytes, i: int) -> tuple[int, int]:
-    """SQLite varint: 1-9 bytes, big-endian 7-bit groups; the 9th
-    byte contributes all 8 bits.  Returns (value, next offset)."""
+    """SQLite big-endian varint at offset ``i`` -> (value, next offset)."""
     v = 0
     for k in range(8):
         if i + k >= len(b):
@@ -72,78 +55,75 @@ def _varint(b: bytes, i: int) -> tuple[int, int]:
             return v, i + k + 1
     if i + 8 >= len(b):
         raise SqliteError("truncated varint")
-    v = (v << 8) | b[i + 8]
-    if v >= 1 << 63:
-        v -= 1 << 64
-    return v, i + 9
+    return (v << 8) | b[i + 8], i + 9
+
+
+def _serial_size(t: int) -> int:
+    if t <= 4:
+        return t
+    if t == 5:
+        return 6
+    if t in (6, 7):
+        return 8
+    if t in (8, 9):
+        return 0
+    if t >= 12:
+        return (t - 12) // 2 if t % 2 == 0 else (t - 13) // 2
+    raise SqliteError(f"reserved serial type {t}")
 
 
 class _Db:
     def __init__(self, b: bytes):
         if not is_sqlite(b):
-            raise SqliteError("not a SQLite payload")
-        (self.page_size,) = struct.unpack_from(">H", b, 16)
-        if self.page_size == 1:
-            self.page_size = 65536
+            raise SqliteError("not a SQLite database")
+        if len(b) < 100:
+            raise SqliteError("truncated header")
+        (psz,) = struct.unpack_from(">H", b, 16)
+        self.page_size = 65536 if psz == 1 else psz
         if self.page_size < 512 or self.page_size & (self.page_size - 1):
-            raise SqliteError(f"bad page size {self.page_size}")
-        self.reserved = b[20]
-        self.usable = self.page_size - self.reserved
-        if self.usable < 480:
-            raise SqliteError("usable page size under the 480 minimum")
-        (self.n_pages,) = struct.unpack_from(">I", b, 28)
-        enc = struct.unpack_from(">I", b, 56)[0]
-        # a freshly created db may have encoding 0 before any table
-        self.encoding = {0: "utf-8", 1: "utf-8", 2: "utf-16-le",
-                         3: "utf-16-be"}.get(enc)
+            raise SqliteError(f"bad page size {psz}")
+        self.usable = self.page_size - b[20]
+        (enc,) = struct.unpack_from(">I", b, 56)
+        self.encoding = {1: "utf-8", 2: "utf-16-le", 3: "utf-16-be"}.get(enc)
         if self.encoding is None:
-            raise SqliteError(f"unknown text encoding {enc}")
-        # the in-header page count is authoritative since 3.7.0; for
-        # older writers fall back to the file length
-        if self.n_pages == 0:
-            self.n_pages = len(b) // self.page_size
-        if self.n_pages > MAX_DB_PAGES:
-            raise SqliteError("page count over cap")
-        if len(b) < self.n_pages * self.page_size:
-            raise SqliteError("payload shorter than declared pages")
+            # a freshly-created empty db may carry 0; default utf-8
+            self.encoding = "utf-8"
         self.b = b
 
-    def page(self, n: int) -> tuple[bytes, int]:
-        """(page bytes, header offset within page) for page number n
-        (1-based; page 1's b-tree header sits behind the 100-byte
-        file header)."""
-        if n < 1 or n > self.n_pages:
-            raise SqliteError(f"page {n} out of range")
+    def page(self, n: int) -> bytes:
         off = (n - 1) * self.page_size
-        return self.b[off:off + self.page_size], 100 if n == 1 else 0
+        if n < 1 or off + self.page_size > len(self.b):
+            raise SqliteError(f"page {n} out of range")
+        return self.b[off:off + self.page_size]
 
-    def _payload(self, page: bytes, i: int, plen: int,
-                 index_page: bool) -> bytes:
-        """Cell payload starting at ``i``, following the overflow
-        chain when the spec's local-size computation says it spills."""
+    def _payload(self, page: bytes, i: int, plen: int) -> bytes:
+        """Assemble a cell payload, following the overflow chain."""
+        if plen > MAX_PAYLOAD_BYTES:
+            raise SqliteError("payload exceeds the assembly cap")
         u = self.usable
-        x = (((u - 12) * 64 // 255) - 23) if index_page else u - 35
+        x = u - 35
         if plen <= x:
             if i + plen > len(page):
-                raise SqliteError("cell payload overruns page")
+                raise SqliteError("local payload out of page")
             return page[i:i + plen]
-        m = ((u - 12) * 32 // 255) - 23
+        m = ((u - 12) * 32) // 255 - 23
         k = m + (plen - m) % (u - 4)
         local = k if k <= x else m
         if i + local + 4 > len(page):
-            raise SqliteError("cell payload overruns page")
+            raise SqliteError("overflow cell out of page")
         out = bytearray(page[i:i + local])
         (nxt,) = struct.unpack_from(">I", page, i + local)
-        seen = set()
-        while nxt:
-            if nxt in seen or len(seen) > MAX_DB_PAGES:
-                raise SqliteError("overflow chain cycles")
-            seen.add(nxt)
-            op, _ = self.page(nxt)
+        hops = 0
+        # stop as soon as plen bytes are assembled — a cyclic chain (two
+        # overflow pages pointing at each other) would otherwise append
+        # usable-4 bytes per hop up to the hop cap (~64 GB at 64 KB pages)
+        while nxt and len(out) < plen:
+            hops += 1
+            if hops > MAX_PAGES_WALK:
+                raise SqliteError("overflow chain loop")
+            op = self.page(nxt)
             (nxt,) = struct.unpack_from(">I", op, 0)
-            out += op[4:4 + min(plen - len(out), self.usable - 4)]
-            if len(out) > MAX_PAYLOAD:
-                raise SqliteError("payload over cap")
+            out += op[4:u]
         if len(out) < plen:
             raise SqliteError("overflow chain shorter than payload")
         return bytes(out[:plen])
@@ -151,180 +131,160 @@ class _Db:
     def _record(self, payload: bytes) -> list:
         hlen, i = _varint(payload, 0)
         if hlen > len(payload):
-            raise SqliteError("record header overruns payload")
+            raise SqliteError("record header beyond payload")
         types = []
         while i < hlen:
             t, i = _varint(payload, i)
             types.append(t)
         vals = []
-        j = hlen
         for t in types:
+            n = _serial_size(t)
+            raw = payload[i:i + n]
+            if len(raw) < n:
+                raise SqliteError("record value truncated")
+            i += n
             if t == 0:
                 vals.append(None)
             elif 1 <= t <= 6:
-                n = (1, 2, 3, 4, 6, 8)[t - 1]
-                if j + n > len(payload):
-                    raise SqliteError("record value overruns payload")
-                v = int.from_bytes(payload[j:j + n], "big", signed=True)
-                vals.append(v)
-                j += n
+                vals.append(int.from_bytes(raw, "big", signed=True))
             elif t == 7:
-                if j + 8 > len(payload):
-                    raise SqliteError("record value overruns payload")
-                vals.append(struct.unpack_from(">d", payload, j)[0])
-                j += 8
-            elif t in (8, 9):
-                vals.append(t - 8)
-            elif t >= 12:
-                n = (t - 12) // 2
-                if j + n > len(payload):
-                    raise SqliteError("record value overruns payload")
-                raw = payload[j:j + n]
-                if t & 1:                        # odd = text
-                    vals.append(raw.decode(self.encoding, "replace"))
-                else:
-                    vals.append(raw)
-                j += n
+                vals.append(struct.unpack(">d", raw)[0])
+            elif t == 8:
+                vals.append(0)
+            elif t == 9:
+                vals.append(1)
+            elif t % 2 == 0:
+                vals.append(raw)                      # blob
             else:
-                raise SqliteError(f"reserved serial type {t}")
+                vals.append(raw.decode(self.encoding, "replace"))
         return vals
 
-    def table_rows(self, root: int) -> Iterator[tuple[int, list]]:
-        """Walk a table b-tree depth-first: (rowid, values) per row."""
-        seen: set[int] = set()
-
-        def walk(pg: int) -> Iterator[tuple[int, list]]:
-            if pg in seen or len(seen) > MAX_DB_PAGES:
-                raise SqliteError("b-tree cycles or over cap")
-            seen.add(pg)
-            page, h = self.page(pg)
-            ptype = page[h]
-            if ptype in (2, 10):
+    def table_rows(self, rootpage: int):
+        """Walk a table b-tree in rowid order, yielding (rowid, values)."""
+        # iterative DFS preserving left-to-right (rowid) order
+        order: list[int] = []
+        visited = 0
+        expand = [rootpage]
+        while expand:
+            pno = expand.pop()
+            visited += 1
+            if visited > MAX_PAGES_WALK:
+                raise SqliteError("b-tree walk page cap exceeded")
+            pg = self.page(pno)
+            hoff = 100 if pno == 1 else 0
+            ptype = pg[hoff]
+            (ncell,) = struct.unpack_from(">H", pg, hoff + 3)
+            if ptype == 5:                            # interior table
+                (rightmost,) = struct.unpack_from(">I", pg, hoff + 8)
+                kids = []
+                for c in range(ncell):
+                    (coff,) = struct.unpack_from(
+                        ">H", pg, hoff + 12 + 2 * c
+                    )
+                    (child,) = struct.unpack_from(">I", pg, coff)
+                    kids.append(child)
+                kids.append(rightmost)
+                expand.extend(reversed(kids))         # keep left-first
+            elif ptype == 13:                         # leaf table
+                order.append(pno)
+            elif ptype in (2, 10):
                 raise SqliteError(
-                    "index b-tree where a table was expected "
-                    "(WITHOUT ROWID tables are out of scope)")
-            if ptype not in (5, 13):
-                raise SqliteError(f"bad b-tree page type {ptype}")
-            (ncell,) = struct.unpack_from(">H", page, h + 3)
-            interior = ptype == 5
-            cp0 = h + (12 if interior else 8)
-            if cp0 + 2 * ncell > len(page):
-                raise SqliteError("cell pointer array overruns page")
-            ptrs = struct.unpack_from(f">{ncell}H", page, cp0)
-            if interior:
-                for p in ptrs:
-                    if p + 4 > len(page):
-                        raise SqliteError("interior cell overruns page")
-                    (child,) = struct.unpack_from(">I", page, p)
-                    yield from walk(child)
-                (right,) = struct.unpack_from(">I", page, h + 8)
-                yield from walk(right)
-                return
-            for p in ptrs:
-                plen, i = _varint(page, p)
-                rowid, i = _varint(page, i)
-                if plen < 0 or plen > MAX_PAYLOAD:
-                    raise SqliteError("cell payload length out of range")
-                payload = self._payload(page, i, plen, index_page=False)
-                yield rowid, self._record(payload)
-
-        yield from walk(root)
+                    "index b-tree at table root (WITHOUT ROWID table "
+                    "not supported)"
+                )
+            else:
+                raise SqliteError(f"unexpected page type {ptype}")
+        for pno in order:
+            pg = self.page(pno)
+            hoff = 100 if pno == 1 else 0
+            (ncell,) = struct.unpack_from(">H", pg, hoff + 3)
+            for c in range(ncell):
+                (coff,) = struct.unpack_from(">H", pg, hoff + 8 + 2 * c)
+                plen, i = _varint(pg, coff)
+                rowid, i = _varint(pg, i)
+                yield rowid, self._record(self._payload(pg, i, plen))
 
 
-_IPK_RE = re.compile(
-    r'[(,]\s*(?:"([^"]+)"|\[([^\]]+)\]|`([^`]+)`|(\w+))\s+INTEGER\s+'
-    r'PRIMARY\s+KEY(?!\s+DESC)', re.IGNORECASE | re.DOTALL)
+_IPK = re.compile(r"(?i)\bINTEGER\s+PRIMARY\s+KEY\b")
 
 
-def _ipk_index(sql: str | None) -> int | None:
-    """Column index of the INTEGER PRIMARY KEY rowid alias, if the
-    stored CREATE TABLE declares one (ASC/plain only — a DESC ipk is
-    NOT an alias, per the documented rule)."""
-    if not sql:
+def _ipk_index(create_sql: str | None) -> int | None:
+    """Index of the INTEGER PRIMARY KEY column (its record value is
+    NULL; the rowid IS the value), or None."""
+    if not create_sql:
         return None
-    m = _IPK_RE.search(sql)
-    if not m:
+    i = create_sql.find("(")
+    if i < 0:
         return None
-    col = next(g for g in m.groups() if g)
-    body = sql[sql.index("("):m.start() + 1]
-    # count column definitions before the match: commas at depth 1
-    depth = 0
-    idx = 0
-    for ch in body:
+    depth, start, cols = 0, i + 1, []
+    for j in range(i, len(create_sql)):
+        ch = create_sql[j]
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
+            if depth == 0:
+                cols.append(create_sql[start:j])
+                break
         elif ch == "," and depth == 1:
-            idx += 1
-    del col
-    return idx
+            cols.append(create_sql[start:j])
+            start = j + 1
+    for idx, col in enumerate(cols):
+        head = col.strip().upper()
+        if head.startswith(("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
+                            "CONSTRAINT")):
+            continue                                  # table constraint
+        if _IPK.search(col):
+            return idx
+    return None
 
 
-def sqlite_tables(b: bytes) -> list[dict]:
-    """The ``sqlite_master`` catalog: one dict (type, name, tbl_name,
-    rootpage, sql) per schema object."""
+def _fmt(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+@guard(SqliteError)
+def sqlite_tables(b: bytes) -> list[tuple[str, list[list]]]:
+    """Parse a SQLite database -> ``[(table_name, rows)]`` for every
+    user table (``sqlite_*`` internals, views, indexes skipped), rows
+    in rowid order with INTEGER PRIMARY KEY columns materialized from
+    the rowid."""
     db = _Db(b)
-    out = []
-    for _rowid, vals in db.table_rows(1):
-        if len(vals) < 5:
-            raise SqliteError("malformed sqlite_master row")
-        out.append({
-            "type": vals[0], "name": vals[1], "tbl_name": vals[2],
-            "rootpage": vals[3], "sql": vals[4],
-        })
-    return out
-
-
-def sqlite_rows(b: bytes, table: str) -> Iterator[tuple[int, list]]:
-    """Yield ``(rowid, values)`` for every row of ``table``, with the
-    INTEGER PRIMARY KEY alias substituted back into its column (it is
-    stored as NULL; the rowid IS the value)."""
-    db = _Db(b)
-    meta = None
-    for _rowid, vals in db.table_rows(1):
-        if vals[0] == "table" and vals[1] == table:
-            meta = vals
-            break
-    if meta is None:
-        raise SqliteError(f"no such table {table!r}")
-    root, sql = meta[3], meta[4]
-    if isinstance(sql, str) and re.search(
-            r"WITHOUT\s+ROWID\s*$", sql.strip(), re.IGNORECASE):
-        raise SqliteError("WITHOUT ROWID tables are out of scope")
-    if not isinstance(root, int) or root < 1:
-        raise SqliteError("bad rootpage in sqlite_master")
-    ipk = _ipk_index(sql if isinstance(sql, str) else None)
-    for rowid, vals in db.table_rows(root):
-        if ipk is not None and ipk < len(vals) and vals[ipk] is None:
-            vals = list(vals)
-            vals[ipk] = rowid
-        yield rowid, vals
-
-
-def sqlite_to_text(b: bytes, max_rows_per_table: int = 10_000) -> str:
-    """Linearize a database for the text-extraction lane: per rowid
-    table, ``name:`` then tab-joined rows (NULL -> '', blob ->
-    ``<blob:n>``), blank line between tables.  Out-of-scope tables
-    (WITHOUT ROWID) render as a marker instead of failing the whole
-    document."""
-    parts: list[str] = []
-    for t in sqlite_tables(b):
-        if t["type"] != "table" or str(t["name"]).startswith("sqlite_"):
+    master = list(db.table_rows(1))
+    tables = []
+    for _rowid, rec in master:
+        if len(rec) < 5 or rec[0] != "table":
             continue
-        parts.append(f"{t['name']}:")
-        try:
-            for i, (_rowid, vals) in enumerate(
-                    sqlite_rows(b, t["name"])):
-                if i >= max_rows_per_table:
-                    parts.append("<truncated>")
-                    break
-                parts.append("\t".join(
-                    "" if v is None
-                    else f"<blob:{len(v)}>" if isinstance(v, bytes)
-                    else str(v)
-                    for v in vals))
-        except SqliteError as e:
-            parts.append(f"<unreadable: {e}>")
-        parts.append("")
-    return "\n".join(parts).rstrip("\n")
+        name, rootpage, sql = rec[1], rec[3], rec[4]
+        if not isinstance(name, str) or name.startswith("sqlite_"):
+            continue
+        if not isinstance(rootpage, int) or rootpage < 1:
+            continue                                  # virtual table
+        ipk = _ipk_index(sql if isinstance(sql, str) else None)
+        rows = []
+        for rowid, vals in db.table_rows(rootpage):
+            if ipk is not None and ipk < len(vals) and vals[ipk] is None:
+                vals = list(vals)
+                vals[ipk] = rowid
+            rows.append(vals)
+        tables.append((name, rows))
+    return tables
+
+
+@guard(SqliteError)
+def sqlite_to_text(b: bytes) -> str:
+    """Linearize every user table: first line the table name, then one
+    tab-joined line per row (rowid order); tables joined by a blank
+    line."""
+    out = []
+    for name, rows in sqlite_tables(b):
+        lines = [name]
+        lines.extend("\t".join(_fmt(v) for v in vals) for vals in rows)
+        out.append("\n".join(lines))
+    return "\n\n".join(out)

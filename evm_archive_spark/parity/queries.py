@@ -8985,71 +8985,10 @@ _add(
 )
 
 
-# [pair] SQLite database files (r11, operators/sqlitefile.py): REAL
-# databases written by the system SQLite engine (stdlib sqlite3
-# Connection.serialize()) are read back by the from-scratch file-
-# format walker — header, table b-trees, varint records, overflow
-# chains — through document_extract's magic sniff.  The cycle covers
-# page sizes 512/4096 (512 forces overflow chains on the long row),
-# all three text encodings, and a 17th row whose text column spills
-# past the local-payload split.  The linearization replays in SQL.
-
-def _q_sqlite(spark, sf_dir):
-    from ..operators.extract import document_extract
-
-    register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
-        F.col("doc_id").alias("media_id"))
-
-    def mux(it):
-        import sqlite3
-
-        import pandas as pd
-
-        for pdf in it:
-            out = {"media_id": [], "payload": []}
-            for mid in pdf["media_id"]:
-                did = int(mid)
-                con = sqlite3.connect(":memory:")
-                con.execute(
-                    f"PRAGMA page_size={512 if did % 2 else 4096}")
-                enc = ("UTF-8", "UTF-16le", "UTF-16be")[did % 3]
-                con.execute(f"PRAGMA encoding='{enc}'")
-                con.execute("CREATE TABLE kv(a INTEGER, b TEXT)")
-                rows = [
-                    ((did * 31 + k * 7) % 100000,
-                     "z" * (600 + did % 50) if k == 16
-                     else f"r{(did + k * k) % 997}")
-                    for k in range(17)
-                ]
-                con.executemany("INSERT INTO kv VALUES (?,?)", rows)
-                con.commit()
-                out["media_id"].append(did)
-                out["payload"].append(con.serialize())
-                con.close()
-            yield pd.DataFrame(out)
-
-    media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
-
-
-_add(
-    "q_sqlite",
-    _q_sqlite,
-    "WITH ks AS (SELECT unnest(generate_series(0, 16)) AS k), "
-    "s AS (SELECT d.doc_id, ks.k, "
-    "(d.doc_id * 31 + ks.k * 7) % 100000 AS a, "
-    "CASE WHEN ks.k = 16 THEN repeat('z', 600 + d.doc_id % 50) "
-    "ELSE 'r' || CAST((d.doc_id + ks.k * ks.k) % 997 AS VARCHAR) END "
-    "AS b FROM documents d CROSS JOIN ks) "
-    "SELECT doc_id AS media_id, 'sqlite' AS format, "
-    "'kv:' || chr(10) || string_agg("
-    "CAST(a AS VARCHAR) || chr(9) || b, chr(10) ORDER BY k) AS text "
-    "FROM s GROUP BY doc_id ORDER BY media_id NULLS FIRST",
-    "REAL SQLite databases (system-engine-written) decode through the "
-    "from-scratch b-tree/record/overflow walker and the extract "
-    "lane's magic sniff; oracle rebuilds the linearization",
-)
+# (r11 note: a duplicate SQLite gate briefly landed here before the
+# existing q_sqlite/sqlitefile.py lane from round 8 was noticed — the
+# original gate and module stand; the registry gotcha "grep before
+# _add" in NOTES.md exists for exactly this.)
 
 
 # [pair] ar / cpio archive fan-out (operators/archive.py round-7
@@ -12887,7 +12826,6 @@ _ROUND11_STAGED: list[str] = [
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_dng",        # fixture cycle grew restart-interval SOF3 (% 11 == 1)
     "q_cab_set",    # NEW: multi-cabinet CAB spanning sets
-    "q_sqlite",     # NEW: SQLite file-format walker (system-engine pin)
 ]
 _ROUND11_R5_VINTAGE = [
     "q_s3_offset", "q_x10_regexp", "q_pivot", "q_unpivot",
