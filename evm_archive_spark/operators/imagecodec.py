@@ -15,6 +15,7 @@ from .gif import GifError, decode_gif, is_gif
 from .ico import IcoError, decode_ico, is_ico
 from .jpeg import JpegError, decode_jpeg, is_jpeg
 from .pcx import PcxError, decode_pcx, is_pcx
+from .netpbm import PnmError, decode_pnm, is_pnm
 from .png import PngError, decode_png, is_png
 from .psd import PsdError, decode_psd, is_psd
 from .tga import TgaError, decode_tga, is_tga
@@ -24,12 +25,14 @@ from .webp import WebpError, decode_webp, is_webp
 #: error types raised by any registered decoder (callers catch these to
 #: apply the strict/non-strict fallback contract)
 IMAGE_ERRORS = (PngError, JpegError, GifError, TiffError, BmpError,
-                WebpError, IcoError, PsdError, TgaError, PcxError)
+                WebpError, IcoError, PsdError, TgaError, PcxError,
+                PnmError)
 
 #: human-readable list for strict-mode error messages
 IMAGE_FORMATS = ("PNG, JPEG (baseline/progressive/arithmetic/"
                  "lossless), GIF, TIFF, BMP, lossless WebP (VP8L), "
-                 "ICO, PSD composites, PCX, and footered TGA")
+                 "ICO, PSD composites, PCX, NetPBM (P1-P7), and "
+                 "footered TGA")
 
 _CODECS = (
     (is_png, decode_png),
@@ -42,6 +45,9 @@ _CODECS = (
     (is_webp, decode_webp),
     (is_psd, decode_psd),
     (is_pcx, decode_pcx),
+    # NetPBM: 2-byte magic + whitespace class — ahead of the weakest
+    # two but behind every strong signature
+    (is_pnm, decode_pnm),
     # last two: weak magics — ICO's sniff validates the whole
     # directory, TGA (magic-less) requires the v2.0 footer signature
     (is_ico, decode_ico),

@@ -9560,6 +9560,77 @@ _add(
 )
 
 
+# [pair] NetPBM decode (operators/netpbm.py, r11): all seven forms —
+# P1/P4 bitmaps (1 = black), P2/P5 graymaps, P3/P6 pixmaps, P7 PAM —
+# cycling by doc_id % 7, with a 2-byte big-endian maxval-65535 arm on
+# doc_id % 3 == 1 (samples v*257 scale back to v exactly under the
+# (v*255 + maxval//2) // maxval rule, so the oracle is unchanged) and
+# header comments on doc_id % 2.  Same two-tone pattern and analytic
+# aHash oracle as q_retro_image (the container differs, the decoded
+# pixels do not).
+
+def _q_pnm(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def build(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.netpbm import build_pnm
+
+        ks = np.arange(64)
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                bits = ((did * 47 + ks * 19) % 5) < 2
+                kind = ("P1", "P2", "P3", "P4", "P5", "P6",
+                        "P7")[did % 7]
+                cm = f"doc {did}" if did % 2 else None
+                if kind in ("P1", "P4"):
+                    # PBM: 1 = black -> invert so bits decode HIGH
+                    img = (~bits).astype(np.uint8).reshape(8, 8)
+                    payloads.append(build_pnm(img, kind, comment=cm))
+                    continue
+                v = np.where(bits, 240, 16).astype(np.uint32)
+                hi = did % 3 == 1
+                if hi:
+                    v = v * 257
+                g = v.reshape(8, 8)
+                img = (np.repeat(g[:, :, None], 3, 2)
+                       if kind in ("P3", "P6", "P7") else g)
+                payloads.append(build_pnm(
+                    img, kind, maxval=65535 if hi else 255,
+                    comment=cm))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_ahash(media, strict=True).orderBy("media_id")
+
+
+_add(
+    "q_pnm",
+    _q_pnm,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 47 + ks.k * 19) % 5 < 2 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS ahash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL NetPBM files (all seven forms incl. PAM and 2-byte BE "
+    "samples) decode -> strict aHash over decoded pixels == the "
+    "analytic bit-pattern replay",
+)
+
+
 # [pair] LaTeX source extraction (operators/latex.py, round-10): the
 # arXiv lane — de-TeX through document_extract's MIME dispatch
 # (comments, preamble, math, float-to-caption reduction, nesting
@@ -12826,6 +12897,7 @@ _ROUND11_STAGED: list[str] = [
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_dng",        # fixture cycle grew restart-interval SOF3 (% 11 == 1)
     "q_cab_set",    # NEW: multi-cabinet CAB spanning sets
+    "q_pnm",        # NEW: NetPBM P1-P7 decode (all seven forms)
 ]
 _ROUND11_R5_VINTAGE = [
     "q_s3_offset", "q_x10_regexp", "q_pivot", "q_unpivot",
