@@ -1,0 +1,415 @@
+"""DICOM file reader — from scratch, stdlib + numpy (public standard:
+DICOM PS3.10 file format + PS3.5 data-structure encoding).
+
+Medical imagery is the classic lossless-JPEG corpus, and ``.dcm``
+files are containers, not images: a 128-byte preamble + ``DICM``
+magic, a File Meta Information group (always Explicit VR Little
+Endian) declaring the Transfer Syntax UID, then the data set in that
+syntax.  Implemented:
+
+- **element grammar**: Explicit VR (2-byte lengths for the short VRs;
+  2 reserved + 4-byte lengths for OB/OW/OF/OD/OL/SQ/UC/UR/UT/UN) and
+  Implicit VR (4-byte lengths, VR from context), both endiannesses;
+- **sequences**: SQ with defined AND undefined lengths, item tags
+  (FFFE,E000), item/sequence delimiters (FFFE,E00D / FFFE,E0DD),
+  recursively — undefined-length items inside undefined-length
+  sequences included (the nested skip real files require);
+- **transfer syntaxes**: Implicit VR LE (1.2.840.10008.1.2), Explicit
+  VR LE (..1.2.1), Explicit VR BE (..1.2.2, retired but extant),
+  Deflated Explicit VR LE (..1.2.1.99 — raw zlib inflate of the data
+  set), and ENCAPSULATED pixel data for JPEG Lossless (..1.2.4.57 and
+  the SV1 profile ..1.2.4.70 — decoded by jpeglossless.py, the T.81
+  process-14 codec DNG already uses) and JPEG Baseline (..1.2.4.50,
+  8-bit, via jpeg.py);
+- **pixel data**: native little-endian (0028,0100) BitsAllocated 8/16
+  rasters, or the encapsulated form — Basic Offset Table item +
+  fragment items, multi-fragment frames concatenated.
+
+``dicom_metadata`` returns the identity face (modality, SOP class,
+rows/cols, bits, photometric, transfer syntax); ``dicom_pixels``
+returns ``((rows, cols, samples) uint16 array, bits_stored)``.
+
+``build_dicom`` is the independent synthesis writer (all five
+syntaxes, preamble, meta group with computed group length).  No
+system DICOM library exists in this environment, so the pin is the
+writer plus the already-pinned JPEG codecs underneath (jpeglossless
+is own-encoder + libtiff-adjacent pinned; jpeg.py is libjpeg-pinned).
+
+Reference parity note: the reference (SummaryDev/evm-archive) stores
+media as opaque bytea; this extends the multimodal decode lanes.
+Placement: per-payload work inside mapInPandas Arrow batches (the
+codec boundary).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .codecerrors import guard
+
+MAGIC_OFF = 128
+MAX_DICOM_VALUE = 256 * 1024 * 1024
+
+UID_IMPLICIT_LE = "1.2.840.10008.1.2"
+UID_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+UID_DEFLATED_LE = "1.2.840.10008.1.2.1.99"
+UID_EXPLICIT_BE = "1.2.840.10008.1.2.2"
+UID_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+UID_JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"
+UID_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+
+_ENCAPSULATED = {UID_JPEG_BASELINE, UID_JPEG_LOSSLESS,
+                 UID_JPEG_LOSSLESS_SV1}
+
+#: VRs whose explicit form carries 2 reserved bytes + a 4-byte length
+_LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR",
+             b"UT", b"UN"}
+
+
+class DicomError(ValueError):
+    """Malformed or out-of-scope DICOM payload."""
+
+
+def is_dicom(b: bytes) -> bool:
+    return len(b) > MAGIC_OFF + 4 and b[MAGIC_OFF:MAGIC_OFF + 4] == b"DICM"
+
+
+def _walk(b: bytes, pos: int, end: int, explicit: bool,
+          bo: str, out: dict, depth: int = 0) -> int:
+    """Walk one data-set scope [pos, end), collecting interesting
+    top-level elements into ``out`` keyed by (group, elem).  Returns
+    the offset after the scope."""
+    if depth > 16:
+        raise DicomError("sequence nesting over cap")
+    while pos + 8 <= end:
+        group, elem = struct.unpack_from(bo + "HH", b, pos)
+        if (group, elem) == (0xFFFE, 0xE00D) \
+                or (group, elem) == (0xFFFE, 0xE0DD):
+            # item/sequence delimiter at this level: scope is over
+            return pos + 8
+        if (group, elem) == (0xFFFE, 0xE000):    # item (inside SQ)
+            (ln,) = struct.unpack_from(bo + "I", b, pos + 4)
+            pos += 8
+            if ln == 0xFFFFFFFF:
+                pos = _walk(b, pos, end, explicit, bo, {}, depth + 1)
+            else:
+                pos += ln
+            continue
+        if explicit and group != 0xFFFE:
+            vr = b[pos + 4:pos + 6]
+            if vr in _LONG_VRS:
+                (ln,) = struct.unpack_from(bo + "I", b, pos + 8)
+                hdr = 12
+            else:
+                (ln,) = struct.unpack_from(bo + "H", b, pos + 6)
+                hdr = 8
+        else:
+            vr = b""
+            (ln,) = struct.unpack_from(bo + "I", b, pos + 4)
+            hdr = 8
+        pos += hdr
+        undefined = ln == 0xFFFFFFFF
+        if not undefined and ln > MAX_DICOM_VALUE:
+            raise DicomError("element value over cap")
+        is_sq = vr == b"SQ" or (undefined
+                                and (group, elem) != (0x7FE0, 0x0010))
+        if is_sq:
+            if undefined:
+                pos = _walk(b, pos, end, explicit, bo, {}, depth + 1)
+            else:
+                _walk(b, pos, pos + ln, explicit, bo, {}, depth + 1)
+                pos += ln
+            continue
+        if undefined:                            # encapsulated pixels
+            # fragments: items until the sequence delimiter
+            frags = []
+            while pos + 8 <= end:
+                g2, e2 = struct.unpack_from(bo + "HH", b, pos)
+                (l2,) = struct.unpack_from(bo + "I", b, pos + 4)
+                pos += 8
+                if (g2, e2) == (0xFFFE, 0xE0DD):
+                    break
+                if (g2, e2) != (0xFFFE, 0xE000):
+                    raise DicomError("bad encapsulated pixel item")
+                if l2 > MAX_DICOM_VALUE or pos + l2 > end:
+                    raise DicomError("pixel fragment over cap")
+                frags.append(b[pos:pos + l2])
+                pos += l2
+            out[(group, elem)] = ("frags", frags)
+            continue
+        if pos + ln > end:
+            raise DicomError("element value overruns scope")
+        out[(group, elem)] = (vr.decode("ascii", "replace"),
+                              b[pos:pos + ln])
+        pos += ln
+    return pos
+
+
+def _parse(b: bytes) -> tuple[dict, dict, str]:
+    """(meta elements, data-set elements, transfer syntax uid)."""
+    if not is_dicom(b):
+        raise DicomError("not a DICOM payload")
+    meta: dict = {}
+    pos = MAGIC_OFF + 4
+    # File Meta group: Explicit VR LE; (0002,0000) UL group length
+    group, elem = struct.unpack_from("<HH", b, pos)
+    if (group, elem) != (0x0002, 0x0000):
+        raise DicomError("missing File Meta group length")
+    (glen,) = struct.unpack_from("<I", b, pos + 8)
+    meta_end = pos + 12 + glen
+    if meta_end > len(b):
+        raise DicomError("File Meta group overruns payload")
+    _walk(b, pos, meta_end, explicit=True, bo="<", out=meta)
+    ts_raw = meta.get((0x0002, 0x0010))
+    if ts_raw is None:
+        raise DicomError("missing TransferSyntaxUID")
+    ts = ts_raw[1].decode("ascii", "replace").rstrip("\x00 ")
+    ds: dict = {}
+    body = b[meta_end:]
+    if ts == UID_DEFLATED_LE:
+        try:
+            body = zlib.decompressobj(wbits=-15).decompress(
+                body, MAX_DICOM_VALUE)
+        except zlib.error as e:
+            raise DicomError(f"deflated data set: {e!r}") from e
+        _walk(body, 0, len(body), explicit=True, bo="<", out=ds)
+        return meta, ds, ts
+    if ts == UID_IMPLICIT_LE:
+        explicit, bo = False, "<"
+    elif ts == UID_EXPLICIT_BE:
+        explicit, bo = True, ">"
+    elif ts == UID_EXPLICIT_LE or ts in _ENCAPSULATED:
+        explicit, bo = True, "<"
+    else:
+        raise DicomError(f"transfer syntax {ts} out of scope")
+    _walk(body, 0, len(body), explicit=explicit, bo=bo, out=ds)
+    return meta, ds, ts
+
+
+def _text(ds: dict, tag: tuple, default: str = "") -> str:
+    v = ds.get(tag)
+    if v is None or v[0] == "frags":
+        return default
+    return v[1].decode("ascii", "replace").rstrip("\x00 ")
+
+
+def _u16(ds: dict, tag: tuple, bo: str, default: int = 0) -> int:
+    v = ds.get(tag)
+    if v is None or v[0] == "frags" or len(v[1]) < 2:
+        return default
+    return struct.unpack_from(bo + "H", v[1], 0)[0]
+
+
+@guard(DicomError)
+def dicom_metadata(b: bytes) -> dict:
+    meta, ds, ts = _parse(b)
+    bo = ">" if ts == UID_EXPLICIT_BE else "<"
+    return {
+        "transfer_syntax": ts,
+        "sop_class": _text(ds, (0x0008, 0x0016)),
+        "modality": _text(ds, (0x0008, 0x0060)),
+        "patient_name": _text(ds, (0x0010, 0x0010)),
+        "rows": _u16(ds, (0x0028, 0x0010), bo),
+        "cols": _u16(ds, (0x0028, 0x0011), bo),
+        "bits_allocated": _u16(ds, (0x0028, 0x0100), bo),
+        "bits_stored": _u16(ds, (0x0028, 0x0101), bo),
+        "samples_per_pixel": _u16(ds, (0x0028, 0x0002), bo, 1),
+        "photometric": _text(ds, (0x0028, 0x0004)),
+    }
+
+
+@guard(DicomError)
+def dicom_pixels(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode the pixel raster -> ((rows, cols, samples) uint16,
+    bits_stored).  Native LE rasters at 8/16 BitsAllocated, or the
+    encapsulated JPEG forms (lossless at any precision, baseline at
+    8)."""
+    meta, ds, ts = _parse(b)
+    bo = ">" if ts == UID_EXPLICIT_BE else "<"
+    rows = _u16(ds, (0x0028, 0x0010), bo)
+    cols = _u16(ds, (0x0028, 0x0011), bo)
+    alloc = _u16(ds, (0x0028, 0x0100), bo)
+    stored = _u16(ds, (0x0028, 0x0101), bo) or alloc
+    spp = _u16(ds, (0x0028, 0x0002), bo, 1)
+    if not rows or not cols:
+        raise DicomError("missing Rows/Columns")
+    px = ds.get((0x7FE0, 0x0010))
+    if px is None:
+        raise DicomError("missing PixelData")
+    if px[0] == "frags":
+        if ts not in _ENCAPSULATED:
+            raise DicomError(
+                "encapsulated pixels under a native transfer syntax")
+        frags = px[1]
+        if not frags:
+            raise DicomError("no pixel fragments")
+        # item 0 is the Basic Offset Table (possibly empty); a
+        # single-frame object concatenates the remaining fragments
+        stream = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
+        from .jpeg import JpegError
+        if ts == UID_JPEG_BASELINE:
+            from .jpeg import decode_jpeg
+
+            try:
+                rgba = decode_jpeg(stream)
+            except JpegError as e:
+                raise DicomError(f"baseline frame: {e}") from e
+            arr = rgba[:, :, :spp if spp in (1, 3) else 1]
+            out = arr.astype(np.uint16)
+        else:
+            from .jpeglossless import decode_jpeg_lossless_raw
+
+            try:
+                out, prec = decode_jpeg_lossless_raw(stream)
+            except JpegError as e:
+                raise DicomError(f"lossless frame: {e}") from e
+            if prec != stored:
+                raise DicomError(
+                    f"JPEG precision {prec} != BitsStored {stored}")
+        if out.shape[0] < rows or out.shape[1] < cols:
+            raise DicomError("frame smaller than Rows/Columns")
+        return np.ascontiguousarray(
+            out[:rows, :cols]).astype(np.uint16), stored
+    # native raster (PixelData always little-endian within the
+    # supported syntaxes except Explicit BE, where OW words are BE)
+    raw = px[1]
+    if alloc == 8:
+        need = rows * cols * spp
+        if len(raw) < need:
+            raise DicomError("native raster short of Rows*Columns")
+        arr = np.frombuffer(raw[:need], dtype=np.uint8)
+    elif alloc == 16:
+        need = rows * cols * spp * 2
+        if len(raw) < need:
+            raise DicomError("native raster short of Rows*Columns")
+        arr = np.frombuffer(raw[:need], dtype=bo + "u2")
+    else:
+        raise DicomError(f"BitsAllocated {alloc} out of scope")
+    return (arr.astype(np.uint16).reshape(rows, cols, spp),
+            stored)
+
+
+# -- synthesis writer ----------------------------------------------------------
+
+
+def _elem_exp(group: int, elem: int, vr: bytes, val: bytes,
+              bo: str = "<") -> bytes:
+    if vr in _LONG_VRS:
+        return struct.pack(bo + "HH", group, elem) + vr + b"\x00\x00" \
+            + struct.pack(bo + "I", len(val)) + val
+    return struct.pack(bo + "HH", group, elem) + vr \
+        + struct.pack(bo + "H", len(val)) + val
+
+
+def _elem_imp(group: int, elem: int, val: bytes) -> bytes:
+    return struct.pack("<HHI", group, elem, len(val)) + val
+
+
+def _pad(s: str) -> bytes:
+    v = s.encode("ascii")
+    return v + b"\x00" * (len(v) % 2)
+
+
+def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
+                transfer_syntax: str = UID_EXPLICIT_LE,
+                modality: str = "OT",
+                patient: str = "SYNTH^PATIENT",
+                predictor: int = 1,
+                fragment_at: int | None = None) -> bytes:
+    """Independent PS3.10 writer: (rows, cols) gray uint16 samples at
+    ``bits_stored``; the five supported transfer syntaxes.  For the
+    lossless syntaxes the frame comes from jpeglossless'
+    ``build_jpeg_lossless``; ``fragment_at`` splits the encapsulated
+    stream into two fragments at that byte offset."""
+    rows, cols = img.shape
+    ts = transfer_syntax
+    alloc = 8 if bits_stored <= 8 and ts not in (
+        UID_JPEG_LOSSLESS, UID_JPEG_LOSSLESS_SV1) else 16
+    if int(img.max(initial=0)) >= 1 << bits_stored:
+        raise DicomError("sample exceeds BitsStored")
+
+    bo = ">" if ts == UID_EXPLICIT_BE else "<"
+    explicit = ts != UID_IMPLICIT_LE
+
+    def elem(group, elem_, vr, val):
+        if explicit:
+            return _elem_exp(group, elem_, vr, val, bo)
+        return _elem_imp(group, elem_, val)
+
+    def us(v: int) -> bytes:
+        return struct.pack(bo + "H", v)
+
+    ds = bytearray()
+    ds += elem(0x0008, 0x0016, b"UI",
+               _pad("1.2.840.10008.5.1.4.1.1.7"))
+    ds += elem(0x0008, 0x0060, b"CS", _pad(modality))
+    ds += elem(0x0010, 0x0010, b"PN", _pad(patient))
+    # a nested sequence exercises the SQ walk: defined-length SQ
+    # holding one undefined-length item
+    item_body = elem(0x0008, 0x0100, b"SH", _pad("SYNTH"))
+    item = struct.pack(bo + "HHI", 0xFFFE, 0xE000, 0xFFFFFFFF) \
+        + item_body + struct.pack(bo + "HHI", 0xFFFE, 0xE00D, 0)
+    if explicit:
+        sq = struct.pack(bo + "HH", 0x0008, 0x1032) + b"SQ\x00\x00" \
+            + struct.pack(bo + "I", len(item)) + item
+    else:
+        sq = struct.pack(bo + "HHI", 0x0008, 0x1032, len(item)) + item
+    ds += sq
+    ds += elem(0x0028, 0x0002, b"US", us(1))
+    ds += elem(0x0028, 0x0004, b"CS", _pad("MONOCHROME2"))
+    ds += elem(0x0028, 0x0010, b"US", us(rows))
+    ds += elem(0x0028, 0x0011, b"US", us(cols))
+    ds += elem(0x0028, 0x0100, b"US", us(alloc))
+    ds += elem(0x0028, 0x0101, b"US", us(bits_stored))
+    ds += elem(0x0028, 0x0102, b"US", us(bits_stored - 1))
+    ds += elem(0x0028, 0x0103, b"US", us(0))
+
+    if ts in _ENCAPSULATED:
+        if ts == UID_JPEG_BASELINE:
+            raise DicomError(
+                "build_dicom writes lossless frames only (baseline "
+                "streams come from the jpeg test encoder)")
+        from .jpeglossless import build_jpeg_lossless
+
+        sv1 = ts == UID_JPEG_LOSSLESS_SV1
+        frame = build_jpeg_lossless(
+            img, predictor=1 if sv1 else predictor,
+            precision=bits_stored)
+        frags = [b""]                            # empty offset table
+        if fragment_at and 0 < fragment_at < len(frame):
+            frags += [frame[:fragment_at], frame[fragment_at:]]
+        else:
+            frags += [frame]
+        enc = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+            + struct.pack("<I", 0xFFFFFFFF)
+        for fg in frags:
+            if len(fg) % 2:
+                fg += b"\x00"
+            enc += struct.pack("<HHI", 0xFFFE, 0xE000, len(fg)) + fg
+        enc += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        ds += enc
+    else:
+        if alloc == 8:
+            raw = img.astype(np.uint8).tobytes()
+        else:
+            raw = img.astype(bo + "u2").tobytes()
+        if len(raw) % 2:
+            raw += b"\x00"
+        ds += elem(0x7FE0, 0x0010, b"OW" if alloc == 16 else b"OB",
+                   raw)
+
+    body = bytes(ds)
+    if ts == UID_DEFLATED_LE:
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        body = co.compress(body) + co.flush()
+
+    meta = bytearray()
+    meta += _elem_exp(0x0002, 0x0010, b"UI", _pad(ts))
+    meta += _elem_exp(0x0002, 0x0002, b"UI",
+                      _pad("1.2.840.10008.5.1.4.1.1.7"))
+    head = _elem_exp(0x0002, 0x0000, b"UL",
+                     struct.pack("<I", len(meta)))
+    return b"\x00" * 128 + b"DICM" + head + bytes(meta) + body

@@ -9631,6 +9631,83 @@ _add(
 )
 
 
+# [pair] DICOM medical-image containers (r11, operators/dicom.py):
+# PS3.10 preamble + File Meta group + data set, transfer syntax
+# cycling all six supported forms by doc_id % 6 — Implicit VR LE,
+# Explicit VR LE, Explicit VR BE, Deflated, and the two encapsulated
+# JPEG-lossless syntaxes (frames decoded by jpeglossless.py, the same
+# T.81 process-14 codec the DNG lane pins).  Bit depth cycles 12/14/16
+# by doc_id % 3, lossless predictors by doc_id % 7.  The metadata face
+# plus the EXACT decoded sample sum replay analytically (the q_dng
+# pattern).
+
+def _q_dicom(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import dicom as D
+
+        ts_cycle = (D.UID_IMPLICIT_LE, D.UID_EXPLICIT_LE,
+                    D.UID_EXPLICIT_BE, D.UID_DEFLATED_LE,
+                    D.UID_JPEG_LOSSLESS, D.UID_JPEG_LOSSLESS_SV1)
+        ys, xs = np.mgrid[0:16, 0:16]
+        for b in it:
+            out = {"media_id": [], "rows": [], "cols": [],
+                   "bits": [], "modality": [], "sample_sum": []}
+            for mid in b["media_id"]:
+                did = int(mid)
+                bits = (12, 14, 16)[did % 3]
+                img = ((did * 131 + ys * 17 + xs * 29)
+                       % (1 << bits)).astype(np.uint16)
+                payload = D.build_dicom(
+                    img, bits_stored=bits,
+                    transfer_syntax=ts_cycle[did % 6],
+                    modality="MR" if did % 2 else "CT",
+                    predictor=1 + did % 7,
+                    fragment_at=64 if did % 5 == 0 else None)
+                m = D.dicom_metadata(payload)
+                px, ob = D.dicom_pixels(payload)
+                assert ob == bits
+                out["media_id"].append(did)
+                out["rows"].append(m["rows"])
+                out["cols"].append(m["cols"])
+                out["bits"].append(m["bits_stored"])
+                out["modality"].append(m["modality"])
+                out["sample_sum"].append(int(px.sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, rows long, cols long, bits long, "
+        "modality string, sample_sum long",
+    ).orderBy("media_id")
+
+
+_add(
+    "q_dicom",
+    _q_dicom,
+    "WITH ks AS (SELECT unnest(generate_series(0, 255)) AS k), "
+    "s AS (SELECT d.doc_id, "
+    "  CASE d.doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 14 ELSE 16 END "
+    "  AS bits, ks.k // 16 AS y, ks.k % 16 AS x "
+    "  FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS rows, "
+    "CAST(16 AS BIGINT) AS cols, CAST(MIN(bits) AS BIGINT) AS bits, "
+    "CASE WHEN doc_id % 2 = 1 THEN 'MR' ELSE 'CT' END AS modality, "
+    "CAST(SUM((doc_id * 131 + y * 17 + x * 29) % (CAST(1 AS BIGINT) "
+    "<< bits)) AS BIGINT) AS sample_sum "
+    "FROM s GROUP BY doc_id ORDER BY media_id NULLS FIRST",
+    "REAL DICOM files across all six transfer syntaxes (incl. "
+    "deflated data sets and encapsulated JPEG-lossless frames) parse "
+    "and decode to the analytic metadata + exact sample-sum replay",
+)
+
+
 # [pair] LaTeX source extraction (operators/latex.py, round-10): the
 # arXiv lane — de-TeX through document_extract's MIME dispatch
 # (comments, preamble, math, float-to-caption reduction, nesting
@@ -12898,6 +12975,7 @@ _ROUND11_STAGED: list[str] = [
     "q_dng",        # fixture cycle grew restart-interval SOF3 (% 11 == 1)
     "q_cab_set",    # NEW: multi-cabinet CAB spanning sets
     "q_pnm",        # NEW: NetPBM P1-P7 decode (all seven forms)
+    "q_dicom",      # NEW: DICOM containers (6 transfer syntaxes)
 ]
 _ROUND11_R5_VINTAGE = [
     "q_s3_offset", "q_x10_regexp", "q_pivot", "q_unpivot",

@@ -1,0 +1,148 @@
+"""DICOM container (operators/dicom.py): independent-writer round
+trips across all five supported transfer syntaxes, the element
+grammar (explicit/implicit VR, both endiannesses, long-VR lengths,
+nested sequences with undefined lengths), encapsulated fragment
+reassembly, typed boundaries, and truncation fuzz.  The JPEG codecs
+underneath are pinned in their own suites (jpeglossless: own encoder
++ splice pins; jpeg: libjpeg)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from evm_archive_spark.operators.dicom import (
+    UID_DEFLATED_LE,
+    UID_EXPLICIT_BE,
+    UID_EXPLICIT_LE,
+    UID_IMPLICIT_LE,
+    UID_JPEG_BASELINE,
+    UID_JPEG_LOSSLESS,
+    UID_JPEG_LOSSLESS_SV1,
+    DicomError,
+    build_dicom,
+    dicom_metadata,
+    dicom_pixels,
+    is_dicom,
+)
+
+ALL_TS = (UID_IMPLICIT_LE, UID_EXPLICIT_LE, UID_EXPLICIT_BE,
+          UID_DEFLATED_LE, UID_JPEG_LOSSLESS, UID_JPEG_LOSSLESS_SV1)
+
+
+def test_all_transfer_syntaxes_roundtrip():
+    rng = np.random.default_rng(173)
+    for bits in (8, 12, 16):
+        img = rng.integers(0, 1 << bits, (12, 10), dtype=np.uint16)
+        for ts in ALL_TS:
+            d = build_dicom(img, bits_stored=bits,
+                            transfer_syntax=ts, predictor=4,
+                            modality="MR", patient="DOE^JANE")
+            assert is_dicom(d)
+            m = dicom_metadata(d)
+            assert m["transfer_syntax"] == ts
+            assert (m["rows"], m["cols"]) == (12, 10)
+            assert m["bits_stored"] == bits
+            assert m["modality"] == "MR"
+            assert m["patient_name"] == "DOE^JANE"
+            assert m["photometric"] == "MONOCHROME2"
+            px, got_bits = dicom_pixels(d)
+            assert got_bits == bits
+            assert np.array_equal(px[:, :, 0], img), (ts, bits)
+
+
+def test_encapsulated_fragments_and_predictors():
+    """Multi-fragment encapsulated streams concatenate; every lossless
+    predictor survives the container."""
+    rng = np.random.default_rng(179)
+    img = rng.integers(0, 1 << 14, (9, 11), dtype=np.uint16)
+    for pred in range(1, 8):
+        d = build_dicom(img, bits_stored=14,
+                        transfer_syntax=UID_JPEG_LOSSLESS,
+                        predictor=pred, fragment_at=48)
+        px, _ = dicom_pixels(d)
+        assert np.array_equal(px[:, :, 0], img), pred
+    # SV1 forces predictor 1 regardless
+    d = build_dicom(img, bits_stored=14,
+                    transfer_syntax=UID_JPEG_LOSSLESS_SV1,
+                    predictor=6)
+    px, _ = dicom_pixels(d)
+    assert np.array_equal(px[:, :, 0], img)
+
+
+def test_baseline_encapsulated():
+    """A baseline (..4.50) stream decodes through jpeg.py; the writer
+    side comes from the jpeg test encoder (flat blocks decode near-
+    exactly; the container must carry them bit-for-bit)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_jpeg import encode_jpeg
+
+    from evm_archive_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(181)
+    blocks = rng.integers(0, 28, (2, 2), dtype=np.uint8) * 8 + 20
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))
+    stream = encode_jpeg(np.repeat(img[:, :, None], 3, 2),
+                         grayscale=True)
+    want = decode_jpeg(stream)[:, :, 0]
+    # build the container manually: lossless writer + swap the frame
+    d = bytearray(build_dicom(img.astype(np.uint16), bits_stored=8,
+                              transfer_syntax=UID_JPEG_LOSSLESS))
+    # patch the meta UID (both 22 bytes, even — no pad byte) then
+    # rebuild the encapsulated element
+    d = bytes(d).replace(UID_JPEG_LOSSLESS.encode(),
+                         UID_JPEG_BASELINE.encode())
+    i = d.index(struct.pack("<HH", 0x7FE0, 0x0010))
+    enc = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
+        + struct.pack("<I", 0xFFFFFFFF) \
+        + struct.pack("<HHI", 0xFFFE, 0xE000, 0) \
+        + struct.pack("<HHI", 0xFFFE, 0xE000,
+                      len(stream) + len(stream) % 2) \
+        + stream + b"\x00" * (len(stream) % 2) \
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    d = d[:i] + enc
+    px, bits = dicom_pixels(d)
+    assert bits == 8
+    assert np.array_equal(px[:, :, 0], want.astype(np.uint16))
+
+
+def test_typed_boundaries_and_fuzz():
+    img = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    good = build_dicom(img, bits_stored=8)
+    assert not is_dicom(good[130:])
+    with pytest.raises(DicomError, match="not a DICOM"):
+        dicom_metadata(b"\x00" * 200)
+    # unknown transfer syntax is typed
+    bad = good.replace(UID_EXPLICIT_LE.encode() + b"\x00",
+                       b"1.2.840.10008.1.2.4.51\x00"[:20])
+    with pytest.raises(DicomError):
+        dicom_pixels(bad)
+    # BitsStored/precision mismatch on lossless is typed
+    d = bytearray(build_dicom(img, bits_stored=8,
+                              transfer_syntax=UID_JPEG_LOSSLESS))
+    i = bytes(d).index(struct.pack("<HH", 0x0028, 0x0101))
+    struct.pack_into("<H", d, i + 8, 12)
+    with pytest.raises(DicomError, match="precision"):
+        dicom_pixels(bytes(d))
+    # truncation fuzz: typed, never a crash
+    for ts in (UID_EXPLICIT_LE, UID_JPEG_LOSSLESS, UID_DEFLATED_LE):
+        g = build_dicom(img, bits_stored=8, transfer_syntax=ts)
+        for cut in range(133, len(g), 23):
+            try:
+                dicom_pixels(g[:cut])
+            except DicomError:
+                pass
+
+
+def test_short_raster_and_missing_tags_typed():
+    img = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    good = bytearray(build_dicom(img, bits_stored=16))
+    # shrink the declared raster: claim 16 rows
+    i = bytes(good).index(struct.pack("<HH", 0x0028, 0x0010))
+    struct.pack_into("<H", good, i + 8, 16)
+    with pytest.raises(DicomError, match="short of Rows"):
+        dicom_pixels(bytes(good))
