@@ -111,6 +111,7 @@ def document_extract(
     from .sqlitefile import SqliteError, is_sqlite, sqlite_to_text
     from .tabular import csv_meta_and_text
     from .textanalysis import markdown_to_text
+    from .vcal import VcalError, is_vcal, vcal_to_text
     from .weburl import html_to_text
 
     def batches(it: Iterator) -> Iterator:
@@ -229,6 +230,14 @@ def document_extract(
                     try:
                         text, fmt = protowire_to_text(b), "protobuf"
                     except ProtoWireError:
+                        pass
+                if fmt is None and (
+                    "calendar" in m or "vcard" in m
+                    or (not m and is_vcal(b))
+                ):
+                    try:
+                        fmt, text = vcal_to_text(b)
+                    except VcalError:
                         pass
                 if fmt is None and (
                     "rfc822" in m

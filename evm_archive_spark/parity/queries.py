@@ -9708,6 +9708,73 @@ _add(
 )
 
 
+# [pair] iCalendar extraction (r11, operators/vcal.py): RFC 5545
+# content lines — CRLF folding (the SUMMARY is folded mid-word when
+# long enough), TZID parameters, escaped commas — built per doc from
+# doc_id and a cleaned text slice, routed through document_extract's
+# BEGIN: sniff.  The linearization replays in SQL (the q_avro
+# pattern); vCard 2.1 QP/base64 conventions are pytest-pinned.
+
+def _q_ics(spark, sf_dir):
+    import re as _re
+
+    from ..operators.extract import document_extract
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                c1 = _re.sub(r"[^ -~]|[\\,;]", " ",
+                             (text or "")[:60])
+                mm = f"{1 + did % 12:02d}"
+                dd = f"{1 + did % 28:02d}"
+                hh = f"{did % 24:02d}"
+                body = (
+                    "BEGIN:VCALENDAR\r\nVERSION:2.0\r\n"
+                    "PRODID:-//Synth//EN\r\n"
+                    "BEGIN:VEVENT\r\n"
+                    f"UID:evt-{did}@synth\r\n"
+                    f"DTSTART;TZID=UTC:2026{mm}{dd}T{hh}0000\r\n"
+                    # fold after 40 chars: one CRLF + single space
+                    f"SUMMARY:{c1[:40]}\r\n {c1[40:]}\r\n"
+                    f"LOCATION:Room {did % 97}\r\n"
+                    "END:VEVENT\r\nEND:VCALENDAR\r\n"
+                )
+                out["media_id"].append(did)
+                out["payload"].append(body.encode())
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(mux, "media_id long, payload binary")
+    return document_extract(media).orderBy("media_id")
+
+
+_add(
+    "q_ics",
+    _q_ics,
+    "WITH d AS (SELECT doc_id, "
+    "regexp_replace(substring(COALESCE(text, ''), 1, 60), "
+    "'[^ -~]|[\\\\,;]', ' ', 'g') AS c1, "
+    "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') AS mm, "
+    "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS dd, "
+    "lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') AS hh FROM documents) "
+    "SELECT doc_id AS media_id, 'ics' AS format, "
+    "'VEVENT:' || chr(10) || 'UID: evt-' || "
+    "CAST(doc_id AS VARCHAR) || '@synth' || chr(10) || "
+    "'DTSTART[UTC]: 2026' || mm || dd || 'T' || hh || '0000' || "
+    "chr(10) || 'SUMMARY: ' || c1 || chr(10) || "
+    "'LOCATION: Room ' || CAST(doc_id % 97 AS VARCHAR) AS text "
+    "FROM d ORDER BY media_id NULLS FIRST",
+    "REAL iCalendar files (folded lines, TZID params) linearize "
+    "through the extract lane's BEGIN: sniff; oracle rebuilds it",
+)
+
+
 # [pair] LaTeX source extraction (operators/latex.py, round-10): the
 # arXiv lane — de-TeX through document_extract's MIME dispatch
 # (comments, preamble, math, float-to-caption reduction, nesting
@@ -12976,6 +13043,7 @@ _ROUND11_STAGED: list[str] = [
     "q_cab_set",    # NEW: multi-cabinet CAB spanning sets
     "q_pnm",        # NEW: NetPBM P1-P7 decode (all seven forms)
     "q_dicom",      # NEW: DICOM containers (6 transfer syntaxes)
+    "q_ics",        # NEW: iCalendar extraction (folded content lines)
 ]
 _ROUND11_R5_VINTAGE = [
     "q_s3_offset", "q_x10_regexp", "q_pivot", "q_unpivot",
