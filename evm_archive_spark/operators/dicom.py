@@ -60,9 +60,10 @@ UID_EXPLICIT_BE = "1.2.840.10008.1.2.2"
 UID_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 UID_JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"
 UID_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+UID_RLE = "1.2.840.10008.1.2.5"
 
 _ENCAPSULATED = {UID_JPEG_BASELINE, UID_JPEG_LOSSLESS,
-                 UID_JPEG_LOSSLESS_SV1}
+                 UID_JPEG_LOSSLESS_SV1, UID_RLE}
 
 #: VRs whose explicit form carries 2 reserved bytes + a 4-byte length
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR",
@@ -249,6 +250,9 @@ def dicom_pixels(b: bytes) -> tuple[np.ndarray, int]:
         # item 0 is the Basic Offset Table (possibly empty); a
         # single-frame object concatenates the remaining fragments
         stream = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
+        if ts == UID_RLE:
+            out = _rle_decode_frame(stream, rows, cols, spp, alloc)
+            return out, stored
         from .jpeg import JpegError
         if ts == UID_JPEG_BASELINE:
             from .jpeg import decode_jpeg
@@ -290,6 +294,110 @@ def dicom_pixels(b: bytes) -> tuple[np.ndarray, int]:
         raise DicomError(f"BitsAllocated {alloc} out of scope")
     return (arr.astype(np.uint16).reshape(rows, cols, spp),
             stored)
+
+
+def _packbits(data: bytes, want: int) -> bytes:
+    """One DICOM RLE segment (PS3.5 Annex G — the PackBits scheme:
+    n < 128 copies n+1 literals, n > 128 repeats the next byte
+    257 - n times, 128 is a no-op)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < want:
+        c = data[i]
+        i += 1
+        if c < 128:
+            take = c + 1
+            if i + take > n:
+                raise DicomError("RLE literal overruns segment")
+            out += data[i:i + take]
+            i += take
+        elif c > 128:
+            if i >= n:
+                raise DicomError("RLE run overruns segment")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    if len(out) < want:
+        raise DicomError("RLE segment short of plane size")
+    return bytes(out[:want])
+
+
+def _rle_decode_frame(stream: bytes, rows: int, cols: int,
+                      spp: int, alloc: int) -> np.ndarray:
+    """PS3.5 Annex G frame: 64-byte header (u32 LE segment count + 15
+    u32 LE offsets), one PackBits segment per byte plane — for 16-bit
+    samples the MSB plane precedes the LSB plane ('composite pixel
+    code' order), for RGB the planes run R, G, B."""
+    if len(stream) < 64:
+        raise DicomError("RLE frame shorter than its header")
+    nseg = struct.unpack_from("<I", stream, 0)[0]
+    bpp = alloc // 8
+    if nseg != spp * bpp or not 1 <= nseg <= 15:
+        raise DicomError(
+            f"RLE segment count {nseg} != samples*bytes {spp * bpp}")
+    offs = list(struct.unpack_from("<15I", stream, 4))[:nseg]
+    plane_len = rows * cols
+    planes = []
+    for k, off in enumerate(offs):
+        end = offs[k + 1] if k + 1 < nseg else len(stream)
+        if not 64 <= off <= end <= len(stream):
+            raise DicomError("RLE segment offsets out of order")
+        planes.append(np.frombuffer(
+            _packbits(stream[off:end], plane_len), dtype=np.uint8))
+    out = np.zeros((rows * cols, spp), dtype=np.uint16)
+    for s in range(spp):
+        for bi in range(bpp):                    # MSB plane first
+            out[:, s] |= planes[s * bpp + bi].astype(np.uint16) \
+                << (8 * (bpp - 1 - bi))
+    return out.reshape(rows, cols, spp)
+
+
+def _rle_encode_frame(img: np.ndarray, alloc: int) -> bytes:
+    """Independent Annex G writer: split into byte planes, PackBits
+    each (greedy: runs >= 3 encoded, literals otherwise), even-pad
+    segments, 64-byte offset header."""
+    rows, cols = img.shape
+    bpp = alloc // 8
+    planes = []
+    for bi in range(bpp):
+        shift = 8 * (bpp - 1 - bi)
+        planes.append(((img.astype(np.uint32) >> shift) & 0xFF)
+                      .astype(np.uint8).reshape(-1).tobytes())
+
+    def enc(p: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        n = len(p)
+        while i < n:
+            run = 1
+            while run < 128 and i + run < n and p[i + run] == p[i]:
+                run += 1
+            if run >= 3:
+                out += bytes([257 - run, p[i]])
+                i += run
+                continue
+            j = i
+            lit = 0
+            while lit < 128 and j + lit < n:
+                if (j + lit + 2 < n and p[j + lit] == p[j + lit + 1]
+                        == p[j + lit + 2]):
+                    break
+                lit += 1
+            out += bytes([lit - 1]) + p[j:j + lit]
+            i += lit
+        if len(out) % 2:
+            out += b"\x00"                       # even segment pad
+        return bytes(out)
+
+    segs = [enc(p) for p in planes]
+    offs = []
+    pos = 64
+    for s in segs:
+        offs.append(pos)
+        pos += len(s)
+    head = struct.pack("<I", len(segs)) + struct.pack(
+        "<15I", *(offs + [0] * (15 - len(offs))))
+    return head + b"".join(segs)
 
 
 # -- synthesis writer ----------------------------------------------------------
@@ -370,14 +478,17 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
     if ts in _ENCAPSULATED:
         if ts == UID_JPEG_BASELINE:
             raise DicomError(
-                "build_dicom writes lossless frames only (baseline "
-                "streams come from the jpeg test encoder)")
-        from .jpeglossless import build_jpeg_lossless
+                "build_dicom writes lossless/RLE frames only "
+                "(baseline streams come from the jpeg test encoder)")
+        if ts == UID_RLE:
+            frame = _rle_encode_frame(img, alloc)
+        else:
+            from .jpeglossless import build_jpeg_lossless
 
-        sv1 = ts == UID_JPEG_LOSSLESS_SV1
-        frame = build_jpeg_lossless(
-            img, predictor=1 if sv1 else predictor,
-            precision=bits_stored)
+            sv1 = ts == UID_JPEG_LOSSLESS_SV1
+            frame = build_jpeg_lossless(
+                img, predictor=1 if sv1 else predictor,
+                precision=bits_stored)
         frags = [b""]                            # empty offset table
         if fragment_at and 0 < fragment_at < len(frame):
             frags += [frame[:fragment_at], frame[fragment_at:]]

@@ -9633,10 +9633,11 @@ _add(
 
 # [pair] DICOM medical-image containers (r11, operators/dicom.py):
 # PS3.10 preamble + File Meta group + data set, transfer syntax
-# cycling all six supported forms by doc_id % 6 — Implicit VR LE,
-# Explicit VR LE, Explicit VR BE, Deflated, and the two encapsulated
+# cycling all seven supported forms by doc_id % 7 — Implicit VR LE,
+# Explicit VR LE, Explicit VR BE, Deflated, the two encapsulated
 # JPEG-lossless syntaxes (frames decoded by jpeglossless.py, the same
-# T.81 process-14 codec the DNG lane pins).  Bit depth cycles 12/14/16
+# T.81 process-14 codec the DNG lane pins), and Annex-G RLE (byte
+# planes, PackBits segments).  Bit depth cycles 12/14/16
 # by doc_id % 3, lossless predictors by doc_id % 7.  The metadata face
 # plus the EXACT decoded sample sum replay analytically (the q_dng
 # pattern).
@@ -9654,7 +9655,8 @@ def _q_dicom(spark, sf_dir):
 
         ts_cycle = (D.UID_IMPLICIT_LE, D.UID_EXPLICIT_LE,
                     D.UID_EXPLICIT_BE, D.UID_DEFLATED_LE,
-                    D.UID_JPEG_LOSSLESS, D.UID_JPEG_LOSSLESS_SV1)
+                    D.UID_JPEG_LOSSLESS, D.UID_JPEG_LOSSLESS_SV1,
+                    D.UID_RLE)
         ys, xs = np.mgrid[0:16, 0:16]
         for b in it:
             out = {"media_id": [], "rows": [], "cols": [],
@@ -9664,12 +9666,15 @@ def _q_dicom(spark, sf_dir):
                 bits = (12, 14, 16)[did % 3]
                 img = ((did * 131 + ys * 17 + xs * 29)
                        % (1 << bits)).astype(np.uint16)
+                ts = ts_cycle[did % 7]
                 payload = D.build_dicom(
                     img, bits_stored=bits,
-                    transfer_syntax=ts_cycle[did % 6],
+                    transfer_syntax=ts,
                     modality="MR" if did % 2 else "CT",
                     predictor=1 + did % 7,
-                    fragment_at=64 if did % 5 == 0 else None)
+                    # RLE frames are spec-bound to one fragment
+                    fragment_at=64 if did % 5 == 0
+                    and ts != D.UID_RLE else None)
                 m = D.dicom_metadata(payload)
                 px, ob = D.dicom_pixels(payload)
                 assert ob == bits

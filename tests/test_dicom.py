@@ -146,3 +146,30 @@ def test_short_raster_and_missing_tags_typed():
     struct.pack_into("<H", good, i + 8, 16)
     with pytest.raises(DicomError, match="short of Rows"):
         dicom_pixels(bytes(good))
+
+
+def test_rle_transfer_syntax():
+    """PS3.5 Annex G: byte planes (MSB first per sample), PackBits
+    segments, the 64-byte offset header.  Exact round trips at 8/12/16
+    bits, run-heavy and noisy data; typed on short segments and bad
+    offsets."""
+    from evm_archive_spark.operators.dicom import UID_RLE
+
+    rng = np.random.default_rng(191)
+    for bits in (8, 12, 16):
+        img = rng.integers(0, 1 << bits, (14, 9), dtype=np.uint16)
+        img[3:6, :] = 1234 % (1 << bits)         # long runs
+        img[7, :] = 0
+        d = build_dicom(img, bits_stored=bits, transfer_syntax=UID_RLE)
+        m = dicom_metadata(d)
+        assert m["transfer_syntax"] == UID_RLE
+        px, ob = dicom_pixels(d)
+        assert ob == bits and np.array_equal(px[:, :, 0], img), bits
+    # corrupt the segment count -> typed
+    d = bytearray(build_dicom(img, bits_stored=16,
+                              transfer_syntax=UID_RLE))
+    i = bytes(d).index(struct.pack("<HH", 0x7FE0, 0x0010))
+    # first fragment after the empty BOT item: 12 (elem hdr) + 8 (BOT)
+    struct.pack_into("<I", d, i + 12 + 8 + 8, 9)
+    with pytest.raises(DicomError, match="segment count"):
+        dicom_pixels(bytes(d))
