@@ -128,6 +128,14 @@ HEADLINE = [
     # round-10 second pass: the CAB lane now exercises MSZIP history
     # AND the from-scratch LZX decode (continuous-stream folders)
     "q_cab",
+    # round-11: multi-cabinet spanning sets (per-doc ~40 kB folders
+    # crossing a cabinet boundary), DICOM containers cycling all 7
+    # transfer syntaxes (deflate, JPEG-lossless, Annex-G RLE), NetPBM
+    # P1-P7, and the iCalendar extraction lane
+    "q_cab_set",
+    "q_dicom",
+    "q_pnm",
+    "q_ics",
 ]
 
 

@@ -127,19 +127,25 @@ def _walk(b: bytes, pos: int, end: int, explicit: bool,
         if undefined:                            # encapsulated pixels
             # fragments: items until the sequence delimiter
             frags = []
+            offs = []                            # item-tag offsets
+            base = None                          # after the BOT item
             while pos + 8 <= end:
                 g2, e2 = struct.unpack_from(bo + "HH", b, pos)
                 (l2,) = struct.unpack_from(bo + "I", b, pos + 4)
-                pos += 8
                 if (g2, e2) == (0xFFFE, 0xE0DD):
+                    pos += 8
                     break
                 if (g2, e2) != (0xFFFE, 0xE000):
                     raise DicomError("bad encapsulated pixel item")
-                if l2 > MAX_DICOM_VALUE or pos + l2 > end:
+                if l2 > MAX_DICOM_VALUE or pos + 8 + l2 > end:
                     raise DicomError("pixel fragment over cap")
-                frags.append(b[pos:pos + l2])
-                pos += l2
-            out[(group, elem)] = ("frags", frags)
+                if base is None:
+                    base = pos + 8 + l2          # BOT offsets count
+                else:                            # from after item 0
+                    offs.append(pos - base)
+                frags.append(b[pos + 8:pos + 8 + l2])
+                pos += 8 + l2
+            out[(group, elem)] = ("frags", frags, offs)
             continue
         if pos + ln > end:
             raise DicomError("element value overruns scope")
@@ -222,12 +228,44 @@ def dicom_metadata(b: bytes) -> dict:
     }
 
 
+def _decode_encap_frame(ts: str, stream: bytes, rows: int, cols: int,
+                        spp: int, alloc: int,
+                        stored: int) -> np.ndarray:
+    """One encapsulated frame's bitstream -> (rows, cols, spp)."""
+    if ts == UID_RLE:
+        return _rle_decode_frame(stream, rows, cols, spp, alloc)
+    from .jpeg import JpegError
+    if ts == UID_JPEG_BASELINE:
+        from .jpeg import decode_jpeg
+
+        try:
+            rgba = decode_jpeg(stream)
+        except JpegError as e:
+            raise DicomError(f"baseline frame: {e}") from e
+        out = rgba[:, :, :spp if spp in (1, 3) else 1].astype(
+            np.uint16)
+    else:
+        from .jpeglossless import decode_jpeg_lossless_raw
+
+        try:
+            out, prec = decode_jpeg_lossless_raw(stream)
+        except JpegError as e:
+            raise DicomError(f"lossless frame: {e}") from e
+        if prec != stored:
+            raise DicomError(
+                f"JPEG precision {prec} != BitsStored {stored}")
+    if out.shape[0] < rows or out.shape[1] < cols:
+        raise DicomError("frame smaller than Rows/Columns")
+    return np.ascontiguousarray(out[:rows, :cols]).astype(np.uint16)
+
+
 @guard(DicomError)
-def dicom_pixels(b: bytes) -> tuple[np.ndarray, int]:
-    """Decode the pixel raster -> ((rows, cols, samples) uint16,
-    bits_stored).  Native LE rasters at 8/16 BitsAllocated, or the
-    encapsulated JPEG forms (lossless at any precision, baseline at
-    8)."""
+def dicom_frames(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode ALL frames -> ((frames, rows, cols, samples) uint16,
+    bits_stored).  Multi-frame objects (0028,0008 NumberOfFrames)
+    split native rasters by frame size and encapsulated streams by
+    the Basic Offset Table (or one-fragment-per-frame when the BOT is
+    empty, the common writer shortcut)."""
     meta, ds, ts = _parse(b)
     bo = ">" if ts == UID_EXPLICIT_BE else "<"
     rows = _u16(ds, (0x0028, 0x0010), bo)
@@ -235,6 +273,15 @@ def dicom_pixels(b: bytes) -> tuple[np.ndarray, int]:
     alloc = _u16(ds, (0x0028, 0x0100), bo)
     stored = _u16(ds, (0x0028, 0x0101), bo) or alloc
     spp = _u16(ds, (0x0028, 0x0002), bo, 1)
+    nframes = 1
+    nf_raw = _text(ds, (0x0028, 0x0008))
+    if nf_raw.strip():
+        try:
+            nframes = int(nf_raw.strip())
+        except ValueError as e:
+            raise DicomError(f"bad NumberOfFrames {nf_raw!r}") from e
+    if nframes < 1 or nframes > 1 << 16:
+        raise DicomError(f"NumberOfFrames {nframes} out of range")
     if not rows or not cols:
         raise DicomError("missing Rows/Columns")
     px = ds.get((0x7FE0, 0x0010))
@@ -244,56 +291,69 @@ def dicom_pixels(b: bytes) -> tuple[np.ndarray, int]:
         if ts not in _ENCAPSULATED:
             raise DicomError(
                 "encapsulated pixels under a native transfer syntax")
-        frags = px[1]
+        frags, offs = px[1], px[2]
         if not frags:
             raise DicomError("no pixel fragments")
-        # item 0 is the Basic Offset Table (possibly empty); a
-        # single-frame object concatenates the remaining fragments
-        stream = b"".join(frags[1:]) if len(frags) > 1 else frags[0]
-        if ts == UID_RLE:
-            out = _rle_decode_frame(stream, rows, cols, spp, alloc)
-            return out, stored
-        from .jpeg import JpegError
-        if ts == UID_JPEG_BASELINE:
-            from .jpeg import decode_jpeg
-
-            try:
-                rgba = decode_jpeg(stream)
-            except JpegError as e:
-                raise DicomError(f"baseline frame: {e}") from e
-            arr = rgba[:, :, :spp if spp in (1, 3) else 1]
-            out = arr.astype(np.uint16)
+        bot = frags[0]
+        data_frags = frags[1:] if len(frags) > 1 else [frags[0]]
+        if nframes == 1:
+            streams = [b"".join(data_frags)]
+        elif bot:
+            if len(bot) < 4 * nframes:
+                raise DicomError("Basic Offset Table shorter than "
+                                 "NumberOfFrames")
+            starts = list(struct.unpack_from(
+                f"<{nframes}I", bot, 0))
+            if starts != sorted(starts) or starts[0] != 0:
+                raise DicomError("Basic Offset Table not ascending")
+            # group fragments by which BOT window their item falls in
+            streams = [b""] * nframes
+            fi = 0
+            for k, frag in enumerate(data_frags):
+                off = offs[k] if k < len(offs) else None
+                if off is None:
+                    raise DicomError("fragment offsets missing")
+                while fi + 1 < nframes and off >= starts[fi + 1]:
+                    fi += 1
+                streams[fi] += frag
         else:
-            from .jpeglossless import decode_jpeg_lossless_raw
-
-            try:
-                out, prec = decode_jpeg_lossless_raw(stream)
-            except JpegError as e:
-                raise DicomError(f"lossless frame: {e}") from e
-            if prec != stored:
+            if len(data_frags) != nframes:
                 raise DicomError(
-                    f"JPEG precision {prec} != BitsStored {stored}")
-        if out.shape[0] < rows or out.shape[1] < cols:
-            raise DicomError("frame smaller than Rows/Columns")
-        return np.ascontiguousarray(
-            out[:rows, :cols]).astype(np.uint16), stored
+                    "empty Basic Offset Table needs one fragment per "
+                    "frame")
+            streams = [bytes(f) for f in data_frags]
+        frames = [
+            _decode_encap_frame(ts, s, rows, cols, spp, alloc, stored)
+            for s in streams
+        ]
+        return np.stack(frames, axis=0), stored
     # native raster (PixelData always little-endian within the
     # supported syntaxes except Explicit BE, where OW words are BE)
     raw = px[1]
+    per = rows * cols * spp
     if alloc == 8:
-        need = rows * cols * spp
+        need = per * nframes
         if len(raw) < need:
             raise DicomError("native raster short of Rows*Columns")
         arr = np.frombuffer(raw[:need], dtype=np.uint8)
     elif alloc == 16:
-        need = rows * cols * spp * 2
+        need = per * nframes * 2
         if len(raw) < need:
             raise DicomError("native raster short of Rows*Columns")
         arr = np.frombuffer(raw[:need], dtype=bo + "u2")
     else:
         raise DicomError(f"BitsAllocated {alloc} out of scope")
-    return (arr.astype(np.uint16).reshape(rows, cols, spp),
+    return (arr.astype(np.uint16).reshape(nframes, rows, cols, spp),
             stored)
+
+
+@guard(DicomError)
+def dicom_pixels(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode the FIRST frame -> ((rows, cols, samples) uint16,
+    bits_stored).  Native LE rasters at 8/16 BitsAllocated, or the
+    encapsulated JPEG/RLE forms."""
+    frames, stored = dicom_frames(b)
+    return frames[0], stored
 
 
 def _packbits(data: bytes, want: int) -> bytes:
@@ -426,13 +486,17 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
                 modality: str = "OT",
                 patient: str = "SYNTH^PATIENT",
                 predictor: int = 1,
-                fragment_at: int | None = None) -> bytes:
-    """Independent PS3.10 writer: (rows, cols) gray uint16 samples at
-    ``bits_stored``; the five supported transfer syntaxes.  For the
-    lossless syntaxes the frame comes from jpeglossless'
-    ``build_jpeg_lossless``; ``fragment_at`` splits the encapsulated
-    stream into two fragments at that byte offset."""
-    rows, cols = img.shape
+                fragment_at: int | None = None,
+                bot: bool = True) -> bytes:
+    """Independent PS3.10 writer: (rows, cols) gray uint16 samples —
+    or (frames, rows, cols) for a multi-frame object (NumberOfFrames
+    emitted; encapsulated frames indexed by a real Basic Offset Table
+    when ``bot``, else the empty-BOT one-fragment-per-frame shortcut).
+    For the lossless syntaxes frames come from jpeglossless'
+    ``build_jpeg_lossless``; ``fragment_at`` splits a single-frame
+    encapsulated stream into two fragments at that byte offset."""
+    frames_arr = img[None] if img.ndim == 2 else img
+    nf, rows, cols = frames_arr.shape
     ts = transfer_syntax
     alloc = 8 if bits_stored <= 8 and ts not in (
         UID_JPEG_LOSSLESS, UID_JPEG_LOSSLESS_SV1) else 16
@@ -468,6 +532,8 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
     ds += sq
     ds += elem(0x0028, 0x0002, b"US", us(1))
     ds += elem(0x0028, 0x0004, b"CS", _pad("MONOCHROME2"))
+    if nf > 1:
+        ds += elem(0x0028, 0x0008, b"IS", _pad(str(nf)))
     ds += elem(0x0028, 0x0010, b"US", us(rows))
     ds += elem(0x0028, 0x0011, b"US", us(cols))
     ds += elem(0x0028, 0x0100, b"US", us(alloc))
@@ -480,20 +546,38 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
             raise DicomError(
                 "build_dicom writes lossless/RLE frames only "
                 "(baseline streams come from the jpeg test encoder)")
-        if ts == UID_RLE:
-            frame = _rle_encode_frame(img, alloc)
-        else:
+
+        def encode_frame(fr: np.ndarray) -> bytes:
+            if ts == UID_RLE:
+                return _rle_encode_frame(fr, alloc)
             from .jpeglossless import build_jpeg_lossless
 
             sv1 = ts == UID_JPEG_LOSSLESS_SV1
-            frame = build_jpeg_lossless(
-                img, predictor=1 if sv1 else predictor,
+            return build_jpeg_lossless(
+                fr, predictor=1 if sv1 else predictor,
                 precision=bits_stored)
-        frags = [b""]                            # empty offset table
-        if fragment_at and 0 < fragment_at < len(frame):
-            frags += [frame[:fragment_at], frame[fragment_at:]]
+
+        streams = []
+        for fr in frames_arr:
+            s = encode_frame(fr)
+            streams.append(s + b"\x00" * (len(s) % 2))
+        if nf == 1:
+            frame = streams[0]
+            if fragment_at and 0 < fragment_at < len(frame):
+                fa = fragment_at + fragment_at % 2   # even split
+                frame_frags = [frame[:fa], frame[fa:]]
+            else:
+                frame_frags = [frame]
+            frags = [b""] + frame_frags
+        elif bot:
+            # real Basic Offset Table: item-relative frame starts
+            starts, pos = [], 0
+            for s in streams:
+                starts.append(pos)
+                pos += 8 + len(s)
+            frags = [struct.pack(f"<{nf}I", *starts)] + streams
         else:
-            frags += [frame]
+            frags = [b""] + streams              # 1 fragment / frame
         enc = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" \
             + struct.pack("<I", 0xFFFFFFFF)
         for fg in frags:
@@ -504,9 +588,9 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
         ds += enc
     else:
         if alloc == 8:
-            raw = img.astype(np.uint8).tobytes()
+            raw = frames_arr.astype(np.uint8).tobytes()
         else:
-            raw = img.astype(bo + "u2").tobytes()
+            raw = frames_arr.astype(bo + "u2").tobytes()
         if len(raw) % 2:
             raw += b"\x00"
         ds += elem(0x7FE0, 0x0010, b"OW" if alloc == 16 else b"OB",

@@ -9660,36 +9660,43 @@ def _q_dicom(spark, sf_dir):
         ys, xs = np.mgrid[0:16, 0:16]
         for b in it:
             out = {"media_id": [], "rows": [], "cols": [],
-                   "bits": [], "modality": [], "sample_sum": []}
+                   "bits": [], "frames": [], "modality": [],
+                   "sample_sum": []}
             for mid in b["media_id"]:
                 did = int(mid)
                 bits = (12, 14, 16)[did % 3]
                 img = ((did * 131 + ys * 17 + xs * 29)
                        % (1 << bits)).astype(np.uint16)
                 ts = ts_cycle[did % 7]
+                # multi-frame arm: 3 identical frames (sum = 3x), BOT
+                # and empty-BOT forms alternating
+                multi = did % 13 == 2
+                src = np.stack([img] * 3) if multi else img
                 payload = D.build_dicom(
-                    img, bits_stored=bits,
+                    src, bits_stored=bits,
                     transfer_syntax=ts,
                     modality="MR" if did % 2 else "CT",
                     predictor=1 + did % 7,
+                    bot=did % 2 == 0,
                     # RLE frames are spec-bound to one fragment
-                    fragment_at=64 if did % 5 == 0
+                    fragment_at=64 if did % 5 == 0 and not multi
                     and ts != D.UID_RLE else None)
                 m = D.dicom_metadata(payload)
-                px, ob = D.dicom_pixels(payload)
+                fr, ob = D.dicom_frames(payload)
                 assert ob == bits
                 out["media_id"].append(did)
                 out["rows"].append(m["rows"])
                 out["cols"].append(m["cols"])
                 out["bits"].append(m["bits_stored"])
+                out["frames"].append(fr.shape[0])
                 out["modality"].append(m["modality"])
-                out["sample_sum"].append(int(px.sum()))
+                out["sample_sum"].append(int(fr.sum()))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
         "media_id long, rows long, cols long, bits long, "
-        "modality string, sample_sum long",
+        "frames long, modality string, sample_sum long",
     ).orderBy("media_id")
 
 
@@ -9703,9 +9710,12 @@ _add(
     "  FROM documents d CROSS JOIN ks) "
     "SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS rows, "
     "CAST(16 AS BIGINT) AS cols, CAST(MIN(bits) AS BIGINT) AS bits, "
+    "CAST(CASE WHEN doc_id % 13 = 2 THEN 3 ELSE 1 END AS BIGINT) "
+    "AS frames, "
     "CASE WHEN doc_id % 2 = 1 THEN 'MR' ELSE 'CT' END AS modality, "
     "CAST(SUM((doc_id * 131 + y * 17 + x * 29) % (CAST(1 AS BIGINT) "
-    "<< bits)) AS BIGINT) AS sample_sum "
+    "<< bits)) * (CASE WHEN doc_id % 13 = 2 THEN 3 ELSE 1 END) "
+    "AS BIGINT) AS sample_sum "
     "FROM s GROUP BY doc_id ORDER BY media_id NULLS FIRST",
     "REAL DICOM files across all six transfer syntaxes (incl. "
     "deflated data sets and encapsulated JPEG-lossless frames) parse "

@@ -173,3 +173,40 @@ def test_rle_transfer_syntax():
     struct.pack_into("<I", d, i + 12 + 8 + 8, 9)
     with pytest.raises(DicomError, match="segment count"):
         dicom_pixels(bytes(d))
+
+
+def test_multiframe_objects():
+    """NumberOfFrames: native rasters split by frame size; encapsulated
+    streams split by a REAL Basic Offset Table (fragments grouped into
+    frames by their item offsets) or the empty-BOT one-fragment-per-
+    frame shortcut.  Exact volumes across native/lossless/RLE."""
+    from evm_archive_spark.operators.dicom import (
+        UID_RLE,
+        dicom_frames,
+    )
+
+    rng = np.random.default_rng(193)
+    vol = rng.integers(0, 4096, (5, 10, 8), dtype=np.uint16)
+    for ts in (UID_EXPLICIT_LE, UID_IMPLICIT_LE, UID_DEFLATED_LE):
+        d = build_dicom(vol, bits_stored=12, transfer_syntax=ts)
+        fr, bits = dicom_frames(d)
+        assert bits == 12 and fr.shape == (5, 10, 8, 1)
+        assert np.array_equal(fr[:, :, :, 0], vol), ts
+    for ts in (UID_JPEG_LOSSLESS, UID_RLE):
+        for bot in (True, False):
+            d = build_dicom(vol, bits_stored=12, transfer_syntax=ts,
+                            bot=bot, predictor=4)
+            fr, _bits = dicom_frames(d)
+            assert np.array_equal(fr[:, :, :, 0], vol), (ts, bot)
+            # dicom_pixels = frame 0
+            px, _ = dicom_pixels(d)
+            assert np.array_equal(px[:, :, 0], vol[0])
+    # frame-count/fragment mismatch under an empty BOT is typed
+    d = bytearray(build_dicom(vol, bits_stored=12,
+                              transfer_syntax=UID_RLE, bot=False))
+    i = bytes(d).index(b"IS")
+    # NumberOfFrames "5 " -> "6 "
+    assert d[i + 4:i + 6] == b"5\x00"
+    d[i + 4] = ord("6")
+    with pytest.raises(DicomError, match="one fragment per"):
+        dicom_frames(bytes(d))
