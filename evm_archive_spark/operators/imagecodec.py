@@ -16,6 +16,7 @@ from .ico import IcoError, decode_ico, is_ico
 from .jpeg import JpegError, decode_jpeg, is_jpeg
 from .pcx import PcxError, decode_pcx, is_pcx
 from .netpbm import PnmError, decode_pnm, is_pnm
+from .xim import XimError, decode_xbm, decode_xpm, is_xbm, is_xpm
 from .png import PngError, decode_png, is_png
 from .psd import PsdError, decode_psd, is_psd
 from .tga import TgaError, decode_tga, is_tga
@@ -26,13 +27,13 @@ from .webp import WebpError, decode_webp, is_webp
 #: apply the strict/non-strict fallback contract)
 IMAGE_ERRORS = (PngError, JpegError, GifError, TiffError, BmpError,
                 WebpError, IcoError, PsdError, TgaError, PcxError,
-                PnmError)
+                PnmError, XimError)
 
 #: human-readable list for strict-mode error messages
 IMAGE_FORMATS = ("PNG, JPEG (baseline/progressive/arithmetic/"
                  "lossless), GIF, TIFF, BMP, lossless WebP (VP8L), "
-                 "ICO, PSD composites, PCX, NetPBM (P1-P7), and "
-                 "footered TGA")
+                 "ICO, PSD composites, PCX, NetPBM (P1-P7), XBM/XPM, "
+                 "and footered TGA")
 
 _CODECS = (
     (is_png, decode_png),
@@ -48,6 +49,10 @@ _CODECS = (
     # NetPBM: 2-byte magic + whitespace class — ahead of the weakest
     # two but behind every strong signature
     (is_pnm, decode_pnm),
+    # X11 C-source formats: the XPM magic comment / the _width +
+    # _bits[] define pair
+    (is_xpm, decode_xpm),
+    (is_xbm, decode_xbm),
     # last two: weak magics — ICO's sniff validates the whole
     # directory, TGA (magic-less) requires the v2.0 footer signature
     (is_ico, decode_ico),

@@ -9631,6 +9631,64 @@ _add(
 )
 
 
+# [pair] X11 C-source images (r11, operators/xim.py): XBM bitmaps
+# (LSB-first bits, 1 = foreground) for even docs, XPM 3 pixmaps
+# (values row, color table, row strings; cpp 1/2 alternating) for odd
+# — same two-tone pattern and analytic aHash oracle as q_retro_image.
+
+def _q_xim(spark, sf_dir):
+    from ..operators.multimodal import image_ahash
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def build(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.xim import build_xbm, build_xpm
+
+        ks = np.arange(64)
+        for b in it:
+            payloads = []
+            for mid in b["media_id"]:
+                did = int(mid)
+                bits = (((did * 47 + ks * 19) % 5) < 2).reshape(8, 8)
+                if did % 2 == 0:
+                    # XBM: 1 = foreground/black -> invert so bit
+                    # positions decode HIGH
+                    payloads.append(build_xbm(
+                        (~bits).astype(np.uint8), name=f"d{did}"))
+                else:
+                    v = np.where(bits, 240, 16).astype(np.uint8)
+                    img = np.repeat(v[:, :, None], 3, axis=2)
+                    payloads.append(build_xpm(
+                        img, name=f"d{did}", cpp=1 + (did // 2) % 2))
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_ahash(media, strict=True).orderBy("media_id")
+
+
+_add(
+    "q_xim",
+    _q_xim,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 47 + ks.k * 19) % 5 < 2 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS ahash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL XBM (LSB-first C bitmaps) and XPM 3 (color-table pixmaps) "
+    "sources decode -> strict aHash == the analytic replay",
+)
+
+
 # [pair] DICOM medical-image containers (r11, operators/dicom.py):
 # PS3.10 preamble + File Meta group + data set, transfer syntax
 # cycling all seven supported forms by doc_id % 7 — Implicit VR LE,
@@ -13059,6 +13117,7 @@ _ROUND11_STAGED: list[str] = [
     "q_pnm",        # NEW: NetPBM P1-P7 decode (all seven forms)
     "q_dicom",      # NEW: DICOM containers (6 transfer syntaxes)
     "q_ics",        # NEW: iCalendar extraction (folded content lines)
+    "q_xim",        # NEW: XBM/XPM C-source image decode
 ]
 _ROUND11_R5_VINTAGE = [
     "q_s3_offset", "q_x10_regexp", "q_pivot", "q_unpivot",
