@@ -443,6 +443,257 @@ def build_simple_pdf(page_texts: list[str], compress: bool = False) -> bytes:
     return bytes(out)
 
 
+def _undo_png_predictor(data: bytes, columns: int, colors: int,
+                        bpc: int) -> bytes:
+    """PNG-predictor DecodeParms (Predictor >= 10): per-row filter
+    byte + the four PNG filters, exactly png.py's unfiltering rules."""
+    import numpy as np
+
+    bpp = max(1, colors * bpc // 8)
+    row_bytes = (columns * colors * bpc + 7) // 8
+    stride = row_bytes + 1
+    if len(data) % stride:
+        raise PdfError("predictor rows misaligned")
+    h = len(data) // stride
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+    for y in range(h):
+        ftype = raw[y, 0]
+        row = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            row_bytes, dtype=np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:                         # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(row_bytes, dtype=np.int32)
+            for x in range(row_bytes):
+                a = cur[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                if ftype == 1:
+                    p = a
+                elif ftype == 3:
+                    p = (a + bb) >> 1
+                else:                            # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    pa, pb, pc = abs(bb - c), abs(a - c), abs(
+                        a + bb - 2 * c)
+                    p = a if pa <= pb and pa <= pc else (
+                        bb if pb <= pc else c)
+                cur[x] = (row[x] + p) & 0xFF
+        else:
+            raise PdfError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out.tobytes()
+
+
+def pdf_images(b: bytes) -> list[dict]:
+    """Extract the IMAGE XOBJECTS a PDF carries (scanned pages,
+    figures): every object whose dict says ``/Subtype /Image``
+    decodes to RGBA through the repo's own codecs —
+
+    - ``/DCTDecode``: the stream IS a JPEG (jpeg.py: baseline/
+      progressive/arithmetic/lossless alike);
+    - ``/CCITTFaxDecode``: scanned-fax pages through ccittfax.py
+      (DecodeParms /K < 0 -> G4, 0 -> G3 1-D, > 0 -> G3 2-D;
+      /Columns, /Rows defaulted from the image dict;
+      /EncodedByteAlign stays typed);
+    - ``/FlateDecode`` (or no filter): raw DeviceGray/DeviceRGB
+      rasters at 8 bits (PNG-style DecodeParms predictors undone);
+    - ``/JPXDecode`` / ``/JBIG2Decode``: named NotImplementedError
+      gaps (JPEG 2000 / JBIG2 coders out of scope).
+
+    Returns ``[{obj, width, height, bits, colorspace, filter, rgba}]``
+    in object order."""
+    import numpy as np
+
+    if not is_pdf(b):
+        raise PdfError("not a PDF payload")
+    objs = _objects(b)
+    out: list[dict] = []
+    for num in sorted(objs):
+        val, raw = objs[num]
+        if not isinstance(val, dict) or raw is None:
+            continue
+        if _resolve(objs, val.get("/Subtype")) != "/Image":
+            continue
+        w = _resolve(objs, val.get("/Width"))
+        h = _resolve(objs, val.get("/Height"))
+        bpc = _resolve(objs, val.get("/BitsPerComponent", 8))
+        cs = _resolve(objs, val.get("/ColorSpace", "/DeviceGray"))
+        if isinstance(cs, list):
+            cs = str(_resolve(objs, cs[0]) if cs else "?")
+        filt = _resolve(objs, val.get("/Filter"))
+        if isinstance(filt, list):
+            filt = [_resolve(objs, f) for f in filt]
+            last = filt[-1] if filt else None
+        else:
+            last = filt
+        if not isinstance(w, int) or not isinstance(h, int) \
+                or w < 1 or h < 1 or w * h > MAX_STREAM_OUT:
+            raise PdfError(f"image object {num}: bad dimensions")
+        parms = _resolve(objs, val.get("/DecodeParms", {})) or {}
+        if isinstance(parms, list):
+            parms = _resolve(objs, parms[-1]) or {}
+        rgba = np.zeros((h, w, 4), dtype=np.uint8)
+        rgba[:, :, 3] = 255
+        if last == "/DCTDecode":
+            from .jpeg import JpegError, decode_jpeg
+
+            try:
+                dec = decode_jpeg(bytes(raw))
+            except JpegError as e:
+                raise PdfError(f"image object {num}: {e}") from e
+            if dec.shape[0] < h or dec.shape[1] < w:
+                raise PdfError(f"image object {num}: JPEG smaller "
+                               "than declared")
+            rgba = np.ascontiguousarray(dec[:h, :w])
+        elif last == "/CCITTFaxDecode":
+            from .ccittfax import (
+                CcittError,
+                decode_g3,
+                decode_g4,
+                decode_mh,
+            )
+
+            if _resolve(objs, parms.get("/EncodedByteAlign", False)):
+                raise PdfError(
+                    f"image object {num}: EncodedByteAlign CCITT "
+                    "not supported")
+            k = _resolve(objs, parms.get("/K", 0))
+            cols = _resolve(objs, parms.get("/Columns", 1728))
+            nrows = _resolve(objs, parms.get("/Rows", h))
+            try:
+                if k < 0:
+                    packed = decode_g4(bytes(raw), cols, nrows)
+                elif k == 0:
+                    packed = decode_mh(bytes(raw), cols, nrows)
+                else:
+                    packed = decode_g3(bytes(raw), cols, nrows,
+                                       two_d=True)
+            except CcittError as e:
+                raise PdfError(f"image object {num}: {e}") from e
+            bits = np.unpackbits(packed, axis=1)[:h, :w]
+            g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+            rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = g
+        elif last in (None, "/FlateDecode"):
+            data = _decode_stream(objs, val, raw)
+            pred = _resolve(objs, parms.get("/Predictor", 1))
+            ncomp = 3 if cs == "/DeviceRGB" else 1
+            if bpc != 8:
+                raise PdfError(
+                    f"image object {num}: {bpc}-bit raw rasters "
+                    "not supported (8 only)")
+            if pred and pred >= 10:
+                data = _undo_png_predictor(data, w, ncomp, bpc)
+            elif pred not in (None, 1):
+                raise PdfError(
+                    f"image object {num}: predictor {pred} "
+                    "not supported")
+            need = w * h * ncomp
+            if len(data) < need:
+                raise PdfError(f"image object {num}: raster short")
+            arr = np.frombuffer(
+                data[:need], dtype=np.uint8).reshape(h, w, ncomp)
+            if ncomp == 1:
+                rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = \
+                    arr[:, :, 0]
+            else:
+                rgba[:, :, :3] = arr
+        else:
+            raise NotImplementedError(
+                f"PDF image filter {last} needs codecs out of scope "
+                "(JPXDecode/JBIG2Decode)")
+        out.append({
+            "obj": num, "width": w, "height": h, "bits": bpc,
+            "colorspace": str(cs), "filter": str(last), "rgba": rgba,
+        })
+    return out
+
+
+def build_pdf_with_images(images: list[tuple[str, "object"]],
+                          text: str = "scan") -> bytes:
+    """Synthesis writer: a one-page PDF whose Resources carry one
+    image XObject per entry.  ``images``: (kind, array) with kind in
+    'flate_gray' ((h,w) uint8), 'flate_rgb' ((h,w,3) uint8),
+    'ccitt_g4' / 'ccitt_mh' / 'ccitt_g3' ((h,w) 0/1 bits, 1 = black),
+    'jpeg' (pre-encoded JPEG bytes + (h,w) declared dims as
+    ((h, w), payload))."""
+    import zlib as _z
+
+    import numpy as np
+
+    from .ccittfax import encode_g3, encode_g4, encode_mh
+
+    objects: list[bytes] = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    n_img = len(images)
+    xnames = " ".join(
+        f"/Im{k} {5 + k} 0 R" for k in range(n_img))
+    objects.append(
+        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /XObject << {xnames} >> >> "
+        f"/Contents 4 0 R >>".encode())
+    draws = " ".join(
+        f"q 100 0 0 100 {50 + 110 * k} 600 cm /Im{k} Do Q"
+        for k in range(n_img))
+    body = draws.encode()
+    objects.append(
+        f"<< /Length {len(body)} >>".encode()
+        + b"\nstream\n" + body + b"\nendstream")
+    for kind, arr in images:
+        if kind == "jpeg":
+            (h, w), payload = arr
+            head = (f"<< /Subtype /Image /Width {w} /Height {h} "
+                    f"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+                    f"/Filter /DCTDecode /Length {len(payload)} >>")
+        elif kind in ("ccitt_g4", "ccitt_mh", "ccitt_g3"):
+            bits = (np.asarray(arr) > 0).astype(np.uint8)
+            h, w = bits.shape
+            if kind == "ccitt_g4":
+                payload, k = encode_g4(bits), -1
+            elif kind == "ccitt_mh":
+                payload, k = encode_mh(bits), 0
+            else:
+                payload, k = encode_g3(bits, two_d=True), 1
+            head = (f"<< /Subtype /Image /Width {w} /Height {h} "
+                    f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+                    f"/Filter /CCITTFaxDecode "
+                    f"/DecodeParms << /K {k} /Columns {w} "
+                    f"/Rows {h} >> /Length {len(payload)} >>")
+        else:
+            a = np.asarray(arr, dtype=np.uint8)
+            if kind == "flate_gray":
+                h, w = a.shape
+                cs, raw = "/DeviceGray", a.tobytes()
+            else:
+                h, w = a.shape[:2]
+                cs, raw = "/DeviceRGB", a.tobytes()
+            payload = _z.compress(raw)
+            head = (f"<< /Subtype /Image /Width {w} /Height {h} "
+                    f"/BitsPerComponent 8 /ColorSpace {cs} "
+                    f"/Filter /FlateDecode /Length {len(payload)} >>")
+        objects.append(head.encode() + b"\nstream\n" + payload
+                       + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, obj in enumerate(objects, 1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 PDF_TEXT_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -9689,6 +9689,65 @@ _add(
 )
 
 
+# [pair] PDF image-XObject extraction (r11, pdf.pdf_images): every
+# doc gets a one-page PDF carrying TWO images — a CCITT fax page
+# (G4/MH/G3-2D cycling by doc_id % 3, through ccittfax.py) of the
+# standard two-tone bit pattern, and a FlateDecode DeviceGray raster
+# of its 240/16 gray rendering.  The red-channel sum across both
+# decoded images replays analytically: CCITT black bits decode to 0
+# (255 per white pixel), the raster contributes 240/16 per bit.
+
+def _q_pdf_images(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.pdf import build_pdf_with_images, pdf_images
+
+        ks = np.arange(64)
+        kinds = ("ccitt_g4", "ccitt_mh", "ccitt_g3")
+        for b in it:
+            out = {"media_id": [], "n_images": [], "sum_r": []}
+            for mid in b["media_id"]:
+                did = int(mid)
+                bits = (((did * 47 + ks * 19) % 5) < 2).reshape(8, 8)
+                v = np.where(bits, 240, 16).astype(np.uint8)
+                pdf = build_pdf_with_images([
+                    (kinds[did % 3], bits.astype(np.uint8)),
+                    ("flate_gray", v),
+                ])
+                ims = pdf_images(pdf)
+                out["media_id"].append(did)
+                out["n_images"].append(len(ims))
+                out["sum_r"].append(sum(
+                    int(i["rgba"][:, :, 0].sum()) for i in ims))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, "media_id long, n_images long, sum_r long"
+    ).orderBy("media_id")
+
+
+_add(
+    "q_pdf_images",
+    _q_pdf_images,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, "
+    "  CASE WHEN (d.doc_id * 47 + ks.k * 19) % 5 < 2 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(2 AS BIGINT) AS n_images, "
+    "CAST(255 * (64 - SUM(b)) + 240 * SUM(b) + 16 * (64 - SUM(b)) "
+    "AS BIGINT) AS sum_r "
+    "FROM bits GROUP BY doc_id ORDER BY media_id NULLS FIRST",
+    "REAL PDFs carrying CCITT-fax and Flate-raster image XObjects "
+    "decode through pdf_images -> exact red-channel sum replay",
+)
+
+
 # [pair] DICOM medical-image containers (r11, operators/dicom.py):
 # PS3.10 preamble + File Meta group + data set, transfer syntax
 # cycling all seven supported forms by doc_id % 7 — Implicit VR LE,
@@ -13118,6 +13177,7 @@ _ROUND11_STAGED: list[str] = [
     "q_dicom",      # NEW: DICOM containers (6 transfer syntaxes)
     "q_ics",        # NEW: iCalendar extraction (folded content lines)
     "q_xim",        # NEW: XBM/XPM C-source image decode
+    "q_pdf_images", # NEW: PDF image-XObject extraction (CCITT/Flate)
 ]
 _ROUND11_R5_VINTAGE = [
     "q_s3_offset", "q_x10_regexp", "q_pivot", "q_unpivot",

@@ -1,0 +1,120 @@
+"""PDF image-XObject extraction (pdf.pdf_images): DCT/CCITT/Flate
+decode paths through the repo's own codecs, PNG-predictor DecodeParms,
+typed boundaries, and the independent builder."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from evm_archive_spark.operators.pdf import (
+    PdfError,
+    build_pdf_with_images,
+    extract_pdf_text,
+    pdf_images,
+)
+
+
+def test_all_image_kinds_roundtrip():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_jpeg import encode_jpeg
+
+    from evm_archive_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(211)
+    gray = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (7, 8, 3), dtype=np.uint8)
+    bits = (rng.random((16, 24)) < 0.3).astype(np.uint8)
+    img = np.kron(rng.integers(0, 16, (2, 2, 3), np.uint8) * 16,
+                  np.ones((8, 8, 1), np.uint8))
+    jp = encode_jpeg(img)
+    pdf = build_pdf_with_images([
+        ("flate_gray", gray), ("flate_rgb", rgb),
+        ("ccitt_g4", bits), ("ccitt_mh", bits), ("ccitt_g3", bits),
+        ("jpeg", ((16, 16), jp)),
+    ])
+    ims = pdf_images(pdf)
+    assert [i["filter"] for i in ims] == [
+        "/FlateDecode", "/FlateDecode", "/CCITTFaxDecode",
+        "/CCITTFaxDecode", "/CCITTFaxDecode", "/DCTDecode"]
+    assert np.array_equal(ims[0]["rgba"][:, :, 0], gray)
+    assert np.array_equal(ims[1]["rgba"][:, :, :3], rgb)
+    want = ((1 - bits) * 255).astype(np.uint8)   # CCITT 1 = black
+    for k in (2, 3, 4):
+        assert np.array_equal(ims[k]["rgba"][:, :, 0], want), k
+    assert np.array_equal(ims[5]["rgba"], decode_jpeg(jp)[:16, :16])
+    # the page itself still parses as a (textless) document
+    text, n_pages = extract_pdf_text(pdf)
+    assert n_pages == 1
+
+
+def test_png_predictor_decodeparms():
+    """Predictor 12 (PNG Up) rows undo exactly; mixed filter types
+    (None/Sub/Up/Average/Paeth) per row all land."""
+    rng = np.random.default_rng(223)
+    gray = rng.integers(0, 256, (6, 11), dtype=np.uint8)
+    rows = []
+    prev = np.zeros(11, dtype=np.int32)
+    for y, ft in enumerate([0, 1, 2, 3, 4, 2]):
+        cur = gray[y].astype(np.int32)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - np.concatenate([[0], cur[:-1]])) % 256
+        elif ft == 2:
+            enc = (cur - prev) % 256
+        elif ft == 3:
+            a = np.concatenate([[0], cur[:-1]])
+            enc = (cur - ((a + prev) >> 1)) % 256
+        else:
+            a = np.concatenate([[0], cur[:-1]])
+            c = np.concatenate([[0], prev[:-1]])
+            p = np.zeros(11, dtype=np.int32)
+            for x in range(11):
+                pa = abs(prev[x] - c[x])
+                pb = abs(a[x] - c[x])
+                pc = abs(a[x] + prev[x] - 2 * c[x])
+                p[x] = a[x] if pa <= pb and pa <= pc else (
+                    prev[x] if pb <= pc else c[x])
+            enc = (cur - p) % 256
+        rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    payload = zlib.compress(b"".join(rows))
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Subtype /Image /Width 11 /Height 6 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceGray "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+        b"/Columns 11 /Colors 1 >> /Length "
+        + str(len(payload)).encode() + b" >>\nstream\n" + payload
+        + b"\nendstream\nendobj\n%%EOF\n")
+    (im,) = pdf_images(pdf)
+    assert np.array_equal(im["rgba"][:, :, 0], gray)
+
+
+def test_typed_boundaries():
+    rng = np.random.default_rng(227)
+    gray = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    good = build_pdf_with_images([("flate_gray", gray)])
+    # JBIG2/JPX are named NotImplementedError gaps
+    bad = good.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode")
+    with pytest.raises(NotImplementedError, match="JBIG2"):
+        pdf_images(bad)
+    # EncodedByteAlign CCITT is typed
+    bits = (rng.random((8, 16)) < 0.5).astype(np.uint8)
+    cc = build_pdf_with_images([("ccitt_g4", bits)])
+    bad = cc.replace(b"/DecodeParms << /K -1",
+                     b"/DecodeParms << /EncodedByteAlign true /K -1")
+    with pytest.raises(PdfError, match="EncodedByteAlign"):
+        pdf_images(bad)
+    # short raster is typed
+    bad = good.replace(b"/Height 4", b"/Height 9")
+    with pytest.raises(PdfError, match="raster short"):
+        pdf_images(bad)
+    # a textual PDF yields zero images, not an error
+    from evm_archive_spark.operators.pdf import build_simple_pdf
+
+    assert pdf_images(build_simple_pdf(["hello"])) == []
