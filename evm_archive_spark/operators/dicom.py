@@ -356,6 +356,29 @@ def dicom_pixels(b: bytes) -> tuple[np.ndarray, int]:
     return frames[0], stored
 
 
+@guard(DicomError)
+def decode_dicom(b: bytes) -> np.ndarray:
+    """Image-lane face: frame 0 as (rows, cols, 4) uint8 RGBA —
+    samples downshifted to their top 8 bits (the 16-bit TIFF display
+    rule), MONOCHROME1 inverted per PS3.3 (0 = white there), gray
+    replicated, 3-sample frames taken as RGB."""
+    meta = dicom_metadata(b)
+    f0, stored = dicom_pixels(b)
+    shift = max(0, stored - 8)
+    disp = (f0 >> shift).astype(np.uint16)
+    disp = np.clip(disp, 0, 255).astype(np.uint8)
+    if meta["photometric"] == "MONOCHROME1":
+        disp = 255 - disp
+    h, w, spp = disp.shape
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[:, :, 3] = 255
+    if spp >= 3:
+        out[:, :, :3] = disp[:, :, :3]
+    else:
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = disp[:, :, 0]
+    return out
+
+
 def _packbits(data: bytes, want: int) -> bytes:
     """One DICOM RLE segment (PS3.5 Annex G — the PackBits scheme:
     n < 128 copies n+1 literals, n > 128 repeats the next byte

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .bmp import BmpError, decode_bmp, is_bmp
+from .dicom import DicomError, decode_dicom, is_dicom
 from .gif import GifError, decode_gif, is_gif
 from .ico import IcoError, decode_ico, is_ico
 from .jpeg import JpegError, decode_jpeg, is_jpeg
@@ -27,13 +28,13 @@ from .webp import WebpError, decode_webp, is_webp
 #: apply the strict/non-strict fallback contract)
 IMAGE_ERRORS = (PngError, JpegError, GifError, TiffError, BmpError,
                 WebpError, IcoError, PsdError, TgaError, PcxError,
-                PnmError, XimError)
+                PnmError, XimError, DicomError)
 
 #: human-readable list for strict-mode error messages
 IMAGE_FORMATS = ("PNG, JPEG (baseline/progressive/arithmetic/"
                  "lossless), GIF, TIFF, BMP, lossless WebP (VP8L), "
                  "ICO, PSD composites, PCX, NetPBM (P1-P7), XBM/XPM, "
-                 "and footered TGA")
+                 "DICOM frames, and footered TGA")
 
 _CODECS = (
     (is_png, decode_png),
@@ -44,6 +45,8 @@ _CODECS = (
     # lossless (VP8L) decodes for real; lossy VP8 raises the typed
     # WebpError boundary (strict re-raises, non-strict takes the fake)
     (is_webp, decode_webp),
+    # DICM at offset 128 is a strong magic; frame 0, display-mapped
+    (is_dicom, decode_dicom),
     (is_psd, decode_psd),
     (is_pcx, decode_pcx),
     # NetPBM: 2-byte magic + whitespace class — ahead of the weakest

@@ -210,3 +210,25 @@ def test_multiframe_objects():
     d[i + 4] = ord("6")
     with pytest.raises(DicomError, match="one fragment per"):
         dicom_frames(bytes(d))
+
+
+def test_image_lane_dispatch():
+    """DICOM registers in imagecodec: frame 0 display-mapped to RGBA
+    (top-8-bit downshift, MONOCHROME1 inversion)."""
+    from evm_archive_spark.operators.dicom import UID_RLE, decode_dicom
+    from evm_archive_spark.operators.imagecodec import (
+        decode_image,
+        known_image,
+    )
+
+    img = (np.arange(256, dtype=np.uint16).reshape(16, 16) * 16) % 4096
+    d = build_dicom(img, bits_stored=12, transfer_syntax=UID_RLE)
+    assert known_image(d)
+    out = decode_image(d)
+    assert np.array_equal(out[:, :, 0], (img >> 4).astype(np.uint8))
+    assert (out[:, :, 3] == 255).all()
+    # MONOCHROME1 inverts for display
+    d1 = d.replace(b"MONOCHROME2", b"MONOCHROME1")
+    inv = decode_dicom(d1)
+    assert np.array_equal(inv[:, :, 0],
+                          255 - (img >> 4).astype(np.uint8))
