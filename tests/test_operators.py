@@ -4153,3 +4153,33 @@ def test_operators_pooled_heavy(spark):
     assert len(results) == len(_POOLED_HEAVY) >= 13
     fails = [(n, m) for n, m in results if m]
     assert not fails, "\n".join(f"{n}: {m}" for n, m in fails)
+
+
+def test_semantic_dedup_centroid_paths_equivalent(spark):
+    """r11 scale fix: the explicit-centroids path must reproduce the
+    default corpus-member rule exactly when given the same set, and
+    centroid_mod=None auto-sizes to ~sqrt(n) (one count job)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from evm_archive_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    base = semantic_dedup(
+        emb, threshold_num=2, threshold_den=5).orderBy("vec_id")
+    cents = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    exp = semantic_dedup(
+        emb, threshold_num=2, threshold_den=5,
+        centroids=cents).orderBy("vec_id")
+    assert base.collect() == exp.collect()
+    n = emb.count()
+    auto = semantic_dedup(
+        emb, centroid_mod=None, threshold_num=2,
+        threshold_den=5).orderBy("vec_id")
+    manual = semantic_dedup(
+        emb, centroid_mod=max(1, math.isqrt(n)), threshold_num=2,
+        threshold_den=5).orderBy("vec_id")
+    assert auto.collect() == manual.collect()
