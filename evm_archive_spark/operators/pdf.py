@@ -531,7 +531,9 @@ def pdf_images(b: bytes) -> list[dict]:
         else:
             last = filt
         if not isinstance(w, int) or not isinstance(h, int) \
-                or w < 1 or h < 1 or w * h > MAX_STREAM_OUT:
+                or w < 1 or h < 1 or w * h > (1 << 24):
+            # pixel-count cap (the webp rule): a tiny crafted dict
+            # must not force a giant raster or a long predictor walk
             raise PdfError(f"image object {num}: bad dimensions")
         parms = _resolve(objs, val.get("/DecodeParms", {})) or {}
         if isinstance(parms, list):
