@@ -178,10 +178,13 @@ def _parse(b: bytes) -> tuple[dict, dict, str]:
     body = b[meta_end:]
     if ts == UID_DEFLATED_LE:
         try:
-            body = zlib.decompressobj(wbits=-15).decompress(
-                body, MAX_DICOM_VALUE)
+            dco = zlib.decompressobj(wbits=-15)
+            body = dco.decompress(body, MAX_DICOM_VALUE)
         except zlib.error as e:
             raise DicomError(f"deflated data set: {e!r}") from e
+        if dco.unconsumed_tail:
+            raise DicomError(
+                "deflated data set exceeds MAX_DICOM_VALUE")
         _walk(body, 0, len(body), explicit=True, bo="<", out=ds)
         return meta, ds, ts
     if ts == UID_IMPLICIT_LE:
@@ -541,9 +544,10 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
     ds += elem(0x0008, 0x0016, b"UI",
                _pad("1.2.840.10008.5.1.4.1.1.7"))
     ds += elem(0x0008, 0x0060, b"CS", _pad(modality))
-    ds += elem(0x0010, 0x0010, b"PN", _pad(patient))
     # a nested sequence exercises the SQ walk: defined-length SQ
-    # holding one undefined-length item
+    # holding one undefined-length item.  PS3.5 §7.1 requires data
+    # elements in ascending (group,element) order, so the SQ at
+    # (0008,1032) precedes (0010,0010).
     item_body = elem(0x0008, 0x0100, b"SH", _pad("SYNTH"))
     item = struct.pack(bo + "HHI", 0xFFFE, 0xE000, 0xFFFFFFFF) \
         + item_body + struct.pack(bo + "HHI", 0xFFFE, 0xE00D, 0)
@@ -553,6 +557,7 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
     else:
         sq = struct.pack(bo + "HHI", 0x0008, 0x1032, len(item)) + item
     ds += sq
+    ds += elem(0x0010, 0x0010, b"PN", _pad(patient))
     ds += elem(0x0028, 0x0002, b"US", us(1))
     ds += elem(0x0028, 0x0004, b"CS", _pad("MONOCHROME2"))
     if nf > 1:
@@ -624,10 +629,13 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         body = co.compress(body) + co.flush()
 
+    # PS3.10 File Meta elements in ascending tag order, including the
+    # required (0002,0001) FileMetaInformationVersion.
     meta = bytearray()
-    meta += _elem_exp(0x0002, 0x0010, b"UI", _pad(ts))
+    meta += _elem_exp(0x0002, 0x0001, b"OB", b"\x00\x01")
     meta += _elem_exp(0x0002, 0x0002, b"UI",
                       _pad("1.2.840.10008.5.1.4.1.1.7"))
+    meta += _elem_exp(0x0002, 0x0010, b"UI", _pad(ts))
     head = _elem_exp(0x0002, 0x0000, b"UL",
                      struct.pack("<I", len(meta)))
     return b"\x00" * 128 + b"DICM" + head + bytes(meta) + body

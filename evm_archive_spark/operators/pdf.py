@@ -576,7 +576,15 @@ def pdf_images(b: bytes) -> list[dict]:
                                        two_d=True)
             except CcittError as e:
                 raise PdfError(f"image object {num}: {e}") from e
-            bits = np.unpackbits(packed, axis=1)[:h, :w]
+            bits = np.unpackbits(packed, axis=1)
+            if bits.shape[0] < h or bits.shape[1] < w:
+                # crafted /Rows (or /Columns) smaller than the image
+                # dimensions would otherwise broadcast-crash below
+                raise PdfError(
+                    f"image object {num}: CCITT raster "
+                    f"{bits.shape[0]}x{bits.shape[1]} smaller than "
+                    f"declared {h}x{w}")
+            bits = bits[:h, :w]
             g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
             rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = g
         elif last in (None, "/FlateDecode"):

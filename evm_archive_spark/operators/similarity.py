@@ -872,13 +872,16 @@ def semantic_dedup(
             maxdot = dims * maxq * maxq
             exact_risk = (maxdot * maxdot * den2 >= 1 << 62
                           or num2 * int(n2.max()) ** 2 >= 1 << 62)
-            g = qm @ qm.T
             if exact_risk:
-                g = g.astype(object)             # python ints, exact
+                # object matmul BEFORE any int64 product can wrap
+                # (mirrors assign_batches; unreachable under the
+                # x1000 unit-norm quantization but self-consistent)
+                g = qm.astype(object) @ qm.astype(object).T
                 n2o = n2.astype(object)
                 cond = (g > 0) & (g * g * den2 >= num2
                                   * n2o[:, None] * n2o[None, :])
             else:
+                g = qm @ qm.T
                 cond = (g > 0) & (g * g * den2 >= num2
                                   * n2[:, None] * n2[None, :])
             iu = np.triu(np.ones((n, n), dtype=bool), k=1)

@@ -200,7 +200,11 @@ def vcard_to_text(b: bytes) -> str:
     """Linearize one or more VCARDs (a .vcf file may concatenate
     many)."""
     text = b.decode("utf-8", "replace")
-    cards = re.split(r"(?i)(?=BEGIN:VCARD)", text)
+    # anchor to line starts: an escaped or folded property VALUE may
+    # contain "BEGIN:VCARD" mid-line (folded continuations begin with
+    # WSP, so a real card delimiter always starts its own line)
+    cards = re.split(r"(?im)^(?=BEGIN:VCARD)",
+                     text.replace("\r\n", "\n").replace("\r", "\n"))
     outs = []
     seen = False
     for c in cards:

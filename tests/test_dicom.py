@@ -232,3 +232,34 @@ def test_image_lane_dispatch():
     inv = decode_dicom(d1)
     assert np.array_equal(inv[:, :, 0],
                           255 - (img >> 4).astype(np.uint8))
+
+
+def test_writer_tag_order_and_meta_version():
+    # PS3.5 §7.1: elements in ascending (group,element) order; PS3.10
+    # requires (0002,0001) FileMetaInformationVersion (ADVICE r11)
+    img = np.arange(16, dtype=np.uint16).reshape(4, 4)
+    b = build_dicom(img, bits_stored=12, transfer_syntax=UID_EXPLICIT_LE)
+
+    def pos(group, elem):
+        p = b.find(struct.pack("<HH", group, elem))
+        assert p >= 0, f"({group:04x},{elem:04x}) missing"
+        return p
+
+    # File Meta ascending, version element present
+    assert pos(0x0002, 0x0001) < pos(0x0002, 0x0002) < pos(0x0002, 0x0010)
+    # data set: the SQ at (0008,1032) precedes (0010,0010)
+    assert pos(0x0008, 0x0060) < pos(0x0008, 0x1032) < pos(0x0010, 0x0010)
+    meta, _ = dicom_metadata(b), dicom_pixels(b)
+    assert meta["rows"] == 4
+
+
+def test_deflated_over_cap_typed(monkeypatch):
+    # a deflated data set larger than the cap must raise, not walk a
+    # silently truncated body (ADVICE r11)
+    import evm_archive_spark.operators.dicom as dcm
+
+    img = np.zeros((64, 64), dtype=np.uint8)
+    b = build_dicom(img, bits_stored=8, transfer_syntax=UID_DEFLATED_LE)
+    monkeypatch.setattr(dcm, "MAX_DICOM_VALUE", 256)
+    with pytest.raises(DicomError, match="exceeds"):
+        dicom_metadata(b)

@@ -118,3 +118,15 @@ def test_typed_boundaries():
     from evm_archive_spark.operators.pdf import build_simple_pdf
 
     assert pdf_images(build_simple_pdf(["hello"])) == []
+
+
+def test_rows_smaller_than_height_typed():
+    # a crafted /Rows below /Height must raise PdfError, not a numpy
+    # broadcast ValueError (ADVICE r11)
+    rng = np.random.default_rng(318)
+    bits = (rng.random((8, 16)) < 0.5).astype(np.uint8)
+    cc = build_pdf_with_images([("ccitt_g4", bits)])
+    assert b"/Rows 8" in cc
+    bad = cc.replace(b"/Rows 8", b"/Rows 4")
+    with pytest.raises(PdfError):
+        pdf_images(bad)

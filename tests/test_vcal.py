@@ -105,3 +105,19 @@ def test_extract_routing():
     assert "SUMMARY: Team sync, weekly" in rows[1]["text"]
     assert rows[2]["format"] == "vcard"
     assert "FN: A B" in rows[2]["text"]
+
+
+def test_value_containing_begin_vcard_not_missplit():
+    # "BEGIN:VCARD" inside a folded property VALUE must not split the
+    # card (ADVICE r11: the split is anchored to line starts)
+    vcf = (
+        b"BEGIN:VCARD\r\nVERSION:4.0\r\nFN:A B\r\n"
+        b"NOTE:the literal text \r\n"
+        b" BEGIN:VCARD appears folded mid-value\r\n"
+        b"END:VCARD\r\n"
+        b"BEGIN:VCARD\r\nVERSION:4.0\r\nFN:C D\r\nEND:VCARD\r\n"
+    )
+    text = vcard_to_text(vcf)
+    assert "FN: A B" in text and "FN: C D" in text
+    assert "BEGIN:VCARD appears folded mid-value" in text
+    assert text.count("\n\n") == 1  # exactly two cards
