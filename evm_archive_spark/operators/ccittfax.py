@@ -327,14 +327,18 @@ def _read_mode(br: _Bits):
 # -- public decoders -----------------------------------------------------------
 
 
-def decode_mh(data: bytes, width: int, height: int) -> np.ndarray:
+def decode_mh(data: bytes, width: int, height: int,
+              byte_align: bool = True) -> np.ndarray:
     """TIFF compression 2 (CCITT RLE): each row independently 1-D MH
-    coded and starting on a byte boundary; no EOLs."""
+    coded and starting on a byte boundary; no EOLs.  With
+    ``byte_align=False`` the rows form one continuous bit stream —
+    the PDF CCITTFaxDecode K=0 shape when /EncodedByteAlign is
+    false (PDF 32000-1:2008 §7.4.6)."""
     _check_dims(width, height)
     br = _Bits(data)
     rows = np.zeros((height, width), dtype=np.uint8)
     for y in range(height):
-        if y:
+        if y and byte_align:
             br.align()
         rows[y] = _transitions_to_bits(
             _decode_row_1d(br, width), width)
@@ -342,15 +346,24 @@ def decode_mh(data: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_g3(data: bytes, width: int, height: int,
-              two_d: bool = False) -> np.ndarray:
+              two_d: bool = False,
+              byte_align: bool = False) -> np.ndarray:
     """TIFF compression 3 (Group 3, T.4): rows prefixed by (fill+)EOL;
     with ``two_d`` (T4Options bit 0) each EOL carries a tag bit —
-    1 = next row 1-D, 0 = 2-D against the previous row."""
+    1 = next row 1-D, 0 = 2-D against the previous row.
+
+    T4Options fill bits (bit 2, the T.4 §4.1.2 fill) need no flag on
+    the decode side: ``_skip_eol`` consumes any bounded zero fill
+    before each EOL.  ``byte_align`` is the PDF /EncodedByteAlign
+    convention instead: each encoded LINE (its EOL included) begins
+    on a byte boundary, so the reader realigns before every row."""
     _check_dims(width, height)
     br = _Bits(data)
     rows = np.zeros((height, width), dtype=np.uint8)
     ref: list[int] = []
     for y in range(height):
+        if byte_align:
+            br.align()
         seen = _skip_eol(br, required=False)
         if not seen and (y > 0 or two_d):
             # 1-D writers may omit the very first EOL; 2-D needs the
@@ -368,14 +381,19 @@ def decode_g3(data: bytes, width: int, height: int,
     return _pack(rows)
 
 
-def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
+def decode_g4(data: bytes, width: int, height: int,
+              byte_align: bool = False) -> np.ndarray:
     """TIFF compression 4 (Group 4, T.6 MMR): every row 2-D coded, the
-    reference line above row 0 imaginary all-white; EOFB optional."""
+    reference line above row 0 imaginary all-white; EOFB optional.
+    ``byte_align`` = the PDF /EncodedByteAlign convention: every
+    row's codes begin on a byte boundary."""
     _check_dims(width, height)
     br = _Bits(data)
     rows = np.zeros((height, width), dtype=np.uint8)
     ref: list[int] = [width, width]
     for y in range(height):
+        if y and byte_align:
+            br.align()
         tr = _decode_row_2d(br, ref, width)
         rows[y] = _transitions_to_bits(tr, width)
         ref = [t for t in tr if t < width] + [width, width]
@@ -407,6 +425,13 @@ class _BitW:
 
     def align(self) -> None:
         n = sum(len(p) for p in self.parts) & 7
+        if n:
+            self.parts.append("0" * (8 - n))
+
+    def fill_to_eol(self) -> None:
+        """T.4 §4.1.2 fill: zeros so the NEXT 12 bits (an EOL) end on
+        a byte boundary — the TIFF T4Options bit-2 convention."""
+        n = (sum(len(p) for p in self.parts) + 12) & 7
         if n:
             self.parts.append("0" * (8 - n))
 
@@ -470,26 +495,36 @@ def _put_row_2d(w: _BitW, row: np.ndarray, ref: list[int]) -> None:
             ci += 2
 
 
-def encode_mh(rows: np.ndarray) -> bytes:
-    """Compression-2 stream: per-row MH, rows byte-aligned."""
+def encode_mh(rows: np.ndarray, byte_align: bool = True) -> bytes:
+    """Compression-2 stream: per-row MH, rows byte-aligned.  With
+    ``byte_align=False`` the rows run on as one continuous bit
+    stream (PDF K=0 without /EncodedByteAlign)."""
     rows = _as_rows(rows)
     w = _BitW()
     for y in range(rows.shape[0]):
-        if y:
+        if y and byte_align:
             w.align()
         _put_row_1d(w, rows[y])
     return w.bytes()
 
 
 def encode_g3(rows: np.ndarray, two_d: bool = False,
-              k: int = 4) -> bytes:
+              k: int = 4, byte_align: bool = False,
+              fill_bits: bool = False) -> bytes:
     """Group 3 stream: EOL before every row; in 2-D mode every K-th
     row is 1-D (the T.4 error-confinement rule) with the tag bit after
-    each EOL."""
+    each EOL.  ``fill_bits`` writes the TIFF T4Options bit-2
+    convention (zero fill before each EOL so the EOL ends on a byte
+    boundary); ``byte_align`` the PDF /EncodedByteAlign one (each
+    line, EOL included, starts on a byte boundary)."""
     rows = _as_rows(rows)
     w = _BitW()
     ref: list[int] = []
     for y in range(rows.shape[0]):
+        if byte_align:
+            w.align()
+        elif fill_bits:
+            w.fill_to_eol()
         w.put(_EOL)
         one_d = (not two_d) or (y % k == 0)
         if two_d:
@@ -502,13 +537,16 @@ def encode_g3(rows: np.ndarray, two_d: bool = False,
     return w.bytes()
 
 
-def encode_g4(rows: np.ndarray) -> bytes:
+def encode_g4(rows: np.ndarray, byte_align: bool = False) -> bytes:
     """Group 4 stream: all rows 2-D, imaginary white reference above
-    row 0, EOFB terminator."""
+    row 0, EOFB terminator.  ``byte_align`` starts every row's codes
+    on a byte boundary (PDF /EncodedByteAlign)."""
     rows = _as_rows(rows)
     w = _BitW()
     ref: list[int] = [rows.shape[1], rows.shape[1]]
     for y in range(rows.shape[0]):
+        if y and byte_align:
+            w.align()
         _put_row_2d(w, rows[y], ref)
         ref = _bits_to_transitions(rows[y]) + [rows.shape[1]] * 2
     w.put(_EOL)

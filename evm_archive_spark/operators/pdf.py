@@ -559,21 +559,21 @@ def pdf_images(b: bytes) -> list[dict]:
                 decode_mh,
             )
 
-            if _resolve(objs, parms.get("/EncodedByteAlign", False)):
-                raise PdfError(
-                    f"image object {num}: EncodedByteAlign CCITT "
-                    "not supported")
+            ebal = bool(
+                _resolve(objs, parms.get("/EncodedByteAlign", False)))
             k = _resolve(objs, parms.get("/K", 0))
             cols = _resolve(objs, parms.get("/Columns", 1728))
             nrows = _resolve(objs, parms.get("/Rows", h))
             try:
                 if k < 0:
-                    packed = decode_g4(bytes(raw), cols, nrows)
+                    packed = decode_g4(bytes(raw), cols, nrows,
+                                       byte_align=ebal)
                 elif k == 0:
-                    packed = decode_mh(bytes(raw), cols, nrows)
+                    packed = decode_mh(bytes(raw), cols, nrows,
+                                       byte_align=ebal)
                 else:
                     packed = decode_g3(bytes(raw), cols, nrows,
-                                       two_d=True)
+                                       two_d=True, byte_align=ebal)
             except CcittError as e:
                 raise PdfError(f"image object {num}: {e}") from e
             bits = np.unpackbits(packed, axis=1)
@@ -627,7 +627,9 @@ def build_pdf_with_images(images: list[tuple[str, "object"]],
     """Synthesis writer: a one-page PDF whose Resources carry one
     image XObject per entry.  ``images``: (kind, array) with kind in
     'flate_gray' ((h,w) uint8), 'flate_rgb' ((h,w,3) uint8),
-    'ccitt_g4' / 'ccitt_mh' / 'ccitt_g3' ((h,w) 0/1 bits, 1 = black),
+    'ccitt_g4' / 'ccitt_mh' / 'ccitt_g3' ((h,w) 0/1 bits, 1 = black;
+    '_ba' suffix = /EncodedByteAlign true; 'ccitt_mh_cont' = the
+    strict K=0 continuous bit stream),
     'jpeg' (pre-encoded JPEG bytes + (h,w) declared dims as
     ((h, w), payload))."""
     import zlib as _z
@@ -659,20 +661,33 @@ def build_pdf_with_images(images: list[tuple[str, "object"]],
             head = (f"<< /Subtype /Image /Width {w} /Height {h} "
                     f"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
                     f"/Filter /DCTDecode /Length {len(payload)} >>")
-        elif kind in ("ccitt_g4", "ccitt_mh", "ccitt_g3"):
+        elif kind.startswith("ccitt_"):
             bits = (np.asarray(arr) > 0).astype(np.uint8)
             h, w = bits.shape
-            if kind == "ccitt_g4":
-                payload, k = encode_g4(bits), -1
-            elif kind == "ccitt_mh":
+            ba = kind.endswith("_ba")
+            base = kind[:-3] if ba else kind
+            # 'ccitt_mh' rows are byte-aligned (the encoder's TIFF
+            # RLE framing), so the dict must say /EncodedByteAlign
+            # true; 'ccitt_mh_cont' is the strict PDF K=0 continuous
+            # bit stream.  '*_ba' variants align every line.
+            if base == "ccitt_g4":
+                payload, k = encode_g4(bits, byte_align=ba), -1
+            elif base == "ccitt_mh":
                 payload, k = encode_mh(bits), 0
+                ba = True
+            elif base == "ccitt_mh_cont":
+                payload, k = encode_mh(bits, byte_align=False), 0
+            elif base == "ccitt_g3":
+                payload, k = encode_g3(bits, two_d=True,
+                                       byte_align=ba), 1
             else:
-                payload, k = encode_g3(bits, two_d=True), 1
+                raise PdfError(f"unknown CCITT kind {kind}")
+            ebal = " /EncodedByteAlign true" if ba else ""
             head = (f"<< /Subtype /Image /Width {w} /Height {h} "
                     f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
                     f"/Filter /CCITTFaxDecode "
                     f"/DecodeParms << /K {k} /Columns {w} "
-                    f"/Rows {h} >> /Length {len(payload)} >>")
+                    f"/Rows {h}{ebal} >> /Length {len(payload)} >>")
         else:
             a = np.asarray(arr, dtype=np.uint8)
             if kind == "flate_gray":

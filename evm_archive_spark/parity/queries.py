@@ -9691,7 +9691,8 @@ _add(
 
 # [pair] PDF image-XObject extraction (r11, pdf.pdf_images): every
 # doc gets a one-page PDF carrying TWO images — a CCITT fax page
-# (G4/MH/G3-2D cycling by doc_id % 3, through ccittfax.py) of the
+# (G4/MH/G3-2D plus the r12 /EncodedByteAlign and continuous-MH
+# variants, cycling by doc_id % 6, through ccittfax.py) of the
 # standard two-tone bit pattern, and a FlateDecode DeviceGray raster
 # of its 240/16 gray rendering.  The red-channel sum across both
 # decoded images replays analytically: CCITT black bits decode to 0
@@ -9709,7 +9710,10 @@ def _q_pdf_images(spark, sf_dir):
         from ..operators.pdf import build_pdf_with_images, pdf_images
 
         ks = np.arange(64)
-        kinds = ("ccitt_g4", "ccitt_mh", "ccitt_g3")
+        # r12: the cycle grew the /EncodedByteAlign variants and the
+        # strict continuous-MH K=0 stream
+        kinds = ("ccitt_g4", "ccitt_mh", "ccitt_g3",
+                 "ccitt_g4_ba", "ccitt_g3_ba", "ccitt_mh_cont")
         for b in it:
             out = {"media_id": [], "n_images": [], "sum_r": []}
             for mid in b["media_id"]:
@@ -9717,7 +9721,7 @@ def _q_pdf_images(spark, sf_dir):
                 bits = (((did * 47 + ks * 19) % 5) < 2).reshape(8, 8)
                 v = np.where(bits, 240, 16).astype(np.uint8)
                 pdf = build_pdf_with_images([
-                    (kinds[did % 3], bits.astype(np.uint8)),
+                    (kinds[did % 6], bits.astype(np.uint8)),
                     ("flate_gray", v),
                 ])
                 ims = pdf_images(pdf)
@@ -13228,6 +13232,7 @@ _ROUND12_R5_VINTAGE = [
 _ROUND12_STAGED: list[str] = [
     # appended as round-12 gates land OR materially change their
     # fixture cycle (each driver-sim'd at both SFs first)
+    "q_pdf_images",  # cycle grew /EncodedByteAlign + continuous-MH
 ]
 _ROUND12_R6_VINTAGE = [
     "q_url_dedup", "q_host_stats", "q_incr_url", "q_html_extract",

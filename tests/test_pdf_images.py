@@ -103,13 +103,6 @@ def test_typed_boundaries():
     bad = good.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode")
     with pytest.raises(NotImplementedError, match="JBIG2"):
         pdf_images(bad)
-    # EncodedByteAlign CCITT is typed
-    bits = (rng.random((8, 16)) < 0.5).astype(np.uint8)
-    cc = build_pdf_with_images([("ccitt_g4", bits)])
-    bad = cc.replace(b"/DecodeParms << /K -1",
-                     b"/DecodeParms << /EncodedByteAlign true /K -1")
-    with pytest.raises(PdfError, match="EncodedByteAlign"):
-        pdf_images(bad)
     # short raster is typed
     bad = good.replace(b"/Height 4", b"/Height 9")
     with pytest.raises(PdfError, match="raster short"):
@@ -130,3 +123,28 @@ def test_rows_smaller_than_height_typed():
     bad = cc.replace(b"/Rows 8", b"/Rows 4")
     with pytest.raises(PdfError):
         pdf_images(bad)
+
+
+def test_encoded_byte_align_roundtrips():
+    """/EncodedByteAlign across all three K regimes (r12): aligned
+    G4/G3 variants, the aligned-MH default, and the strict K=0
+    continuous bit stream."""
+    rng = np.random.default_rng(414)
+    # odd width so rows do NOT naturally end on byte boundaries
+    bits = (rng.random((11, 29)) < 0.4).astype(np.uint8)
+    want = ((1 - bits) * 255).astype(np.uint8)
+    pdf = build_pdf_with_images([
+        ("ccitt_g4_ba", bits), ("ccitt_g3_ba", bits),
+        ("ccitt_mh", bits), ("ccitt_mh_cont", bits),
+    ])
+    # the declared parms match the encodings
+    assert pdf.count(b"/EncodedByteAlign true") == 3
+    ims = pdf_images(pdf)
+    assert len(ims) == 4
+    for i, im in enumerate(ims):
+        assert im["filter"] == "/CCITTFaxDecode"
+        assert np.array_equal(im["rgba"][:, :, 0], want), i
+    # byte-aligned payloads are strictly longer than continuous ones
+    from evm_archive_spark.operators.ccittfax import encode_g4
+
+    assert len(encode_g4(bits, byte_align=True)) > len(encode_g4(bits))

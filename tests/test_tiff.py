@@ -182,8 +182,9 @@ def encode_tiff(
                     if compression == 2:
                         strips.append(encode_mh(bits))
                     elif compression == 3:
-                        strips.append(encode_g3(bits, two_d=bool(
-                            t4_options & 1)))
+                        strips.append(encode_g3(
+                            bits, two_d=bool(t4_options & 1),
+                            fill_bits=bool(t4_options & 4)))
                     else:
                         strips.append(encode_g4(bits))
                 elif bilevel:
@@ -217,8 +218,9 @@ def encode_tiff(
                 if compression == 2:
                     strips.append(encode_mh(bits))
                 elif compression == 3:
-                    strips.append(encode_g3(bits, two_d=bool(
-                        t4_options & 1)))
+                    strips.append(encode_g3(
+                        bits, two_d=bool(t4_options & 1),
+                        fill_bits=bool(t4_options & 4)))
                 else:
                     strips.append(encode_g4(bits))
                 continue
@@ -816,7 +818,8 @@ def test_ccitt_cross_checked_against_system_libtiff():
     lib = _libtiff()
     for h, w in [(12, 80), (7, 333)]:
         page = _fax_page(h, w, h + w)
-        for comp, t4 in [(2, 0), (3, 0), (3, 1), (4, 0)]:
+        for comp, t4 in [(2, 0), (3, 0), (3, 1), (4, 0),
+                         (3, 4), (3, 5)]:   # 4|: T.4 fill bits (r12)
             t = encode_tiff(page, compression=comp, t4_options=t4,
                             rows_per_strip=5)
             ours = decode_tiff(t)
@@ -889,7 +892,8 @@ def test_ccitt_cross_checked_against_system_libtiff():
     for h, w in [(10, 100), (6, 257)]:
         page = _fax_page(h, w, 3 * h + w)
         want = np.where(page > 0, 0, 255).astype(np.uint8)
-        for comp, t4 in [(2, None), (3, 0), (3, 1), (4, None)]:
+        for comp, t4 in [(2, None), (3, 0), (3, 1), (4, None),
+                         (3, 4), (3, 5)]:   # libtiff-written fill bits
             t = libtiff_encode_fax(page, comp, t4)
             out = decode_tiff(t)
             assert np.array_equal(out[:, :, 0], want), (comp, t4)
@@ -923,6 +927,22 @@ def test_ccitt_module_roundtrips_wide_and_dense():
                           two_d=True), want), ("g3-2d", h, w, p)
             assert np.array_equal(
                 decode_g4(encode_g4(rows), w, h), want), ("g4", h, w, p)
+            # byte-aligned variants (PDF /EncodedByteAlign, r12) and
+            # the continuous-MH K=0 stream
+            assert np.array_equal(
+                decode_mh(encode_mh(rows, byte_align=False), w, h,
+                          byte_align=False), want), ("mh-cont", h, w, p)
+            assert np.array_equal(
+                decode_g3(encode_g3(rows, two_d=True, byte_align=True),
+                          w, h, two_d=True, byte_align=True),
+                want), ("g3-ba", h, w, p)
+            assert np.array_equal(
+                decode_g4(encode_g4(rows, byte_align=True), w, h,
+                          byte_align=True), want), ("g4-ba", h, w, p)
+            # T.4 fill bits stay transparent to a default decode
+            assert np.array_equal(
+                decode_g3(encode_g3(rows, fill_bits=True), w, h),
+                want), ("g3-fill", h, w, p)
 
 
 # --------------------------------------------------------------------------
