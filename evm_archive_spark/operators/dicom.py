@@ -19,7 +19,9 @@ syntax.  Implemented:
   Deflated Explicit VR LE (..1.2.1.99 — raw zlib inflate of the data
   set), and ENCAPSULATED pixel data for JPEG Lossless (..1.2.4.57 and
   the SV1 profile ..1.2.4.70 — decoded by jpeglossless.py, the T.81
-  process-14 codec DNG already uses) and JPEG Baseline (..1.2.4.50,
+  process-14 codec DNG already uses), JPEG-LS Lossless (..1.2.4.80
+  via jpegls.py, the from-scratch T.87 coder; near-lossless ..4.81
+  parses but pixel decode is typed) and JPEG Baseline (..1.2.4.50,
   8-bit, via jpeg.py);
 - **pixel data**: native little-endian (0028,0100) BitsAllocated 8/16
   rasters, or the encapsulated form — Basic Offset Table item +
@@ -60,10 +62,13 @@ UID_EXPLICIT_BE = "1.2.840.10008.1.2.2"
 UID_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 UID_JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"
 UID_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+UID_JPEG_LS = "1.2.840.10008.1.2.4.80"
+UID_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
 UID_RLE = "1.2.840.10008.1.2.5"
 
 _ENCAPSULATED = {UID_JPEG_BASELINE, UID_JPEG_LOSSLESS,
-                 UID_JPEG_LOSSLESS_SV1, UID_RLE}
+                 UID_JPEG_LOSSLESS_SV1, UID_JPEG_LS,
+                 UID_JPEG_LS_NEAR, UID_RLE}
 
 #: VRs whose explicit form carries 2 reserved bytes + a 4-byte length
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR",
@@ -237,6 +242,24 @@ def _decode_encap_frame(ts: str, stream: bytes, rows: int, cols: int,
     """One encapsulated frame's bitstream -> (rows, cols, spp)."""
     if ts == UID_RLE:
         return _rle_decode_frame(stream, rows, cols, spp, alloc)
+    if ts == UID_JPEG_LS_NEAR:
+        raise NotImplementedError(
+            "DICOM JPEG-LS near-lossless (..4.81) pixel decode not "
+            "implemented (lossless ..4.80 is)")
+    if ts == UID_JPEG_LS:
+        from .jpegls import JpeglsError, decode_jpegls_raw as _jls
+
+        try:
+            out, prec = _jls(stream)
+        except JpeglsError as e:
+            raise DicomError(f"JPEG-LS frame: {e}") from e
+        if prec != stored:
+            raise DicomError(
+                f"JPEG-LS precision {prec} != BitsStored {stored}")
+        if out.shape[0] < rows or out.shape[1] < cols:
+            raise DicomError("frame smaller than Rows/Columns")
+        return np.ascontiguousarray(
+            out[:rows, :cols]).astype(np.uint16)
     from .jpeg import JpegError
     if ts == UID_JPEG_BASELINE:
         from .jpeg import decode_jpeg
@@ -382,6 +405,32 @@ def decode_dicom(b: bytes) -> np.ndarray:
     return out
 
 
+@guard(DicomError)
+def dicom_rescaled(b: bytes) -> np.ndarray:
+    """Modality values (PS3.3 C.11.1): all frames as float64
+    ``stored * RescaleSlope + RescaleIntercept`` ((frames, rows,
+    cols, samples)).  Missing elements default to slope 1 /
+    intercept 0, so this is always safe to call; MONOCHROME1
+    inversion stays a DISPLAY concern (``decode_dicom``) — rescaled
+    values are physical units (e.g. Hounsfield) where inversion
+    would be wrong."""
+    _, ds, _ = _parse(b)
+    frames, _stored = dicom_frames(b)
+
+    def _ds_float(tag, default):
+        v = _text(ds, tag).strip()
+        if not v:
+            return default
+        try:
+            return float(v)
+        except ValueError as e:
+            raise DicomError(f"bad DS value {v!r}") from e
+
+    slope = _ds_float((0x0028, 0x1053), 1.0)
+    intercept = _ds_float((0x0028, 0x1052), 0.0)
+    return frames.astype(np.float64) * slope + intercept
+
+
 def _packbits(data: bytes, want: int) -> bytes:
     """One DICOM RLE segment (PS3.5 Annex G — the PackBits scheme:
     n < 128 copies n+1 literals, n > 128 repeats the next byte
@@ -513,7 +562,9 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
                 patient: str = "SYNTH^PATIENT",
                 predictor: int = 1,
                 fragment_at: int | None = None,
-                bot: bool = True) -> bytes:
+                bot: bool = True,
+                photometric: str = "MONOCHROME2",
+                rescale: tuple | None = None) -> bytes:
     """Independent PS3.10 writer: (rows, cols) gray uint16 samples —
     or (frames, rows, cols) for a multi-frame object (NumberOfFrames
     emitted; encapsulated frames indexed by a real Basic Offset Table
@@ -559,7 +610,7 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
     ds += sq
     ds += elem(0x0010, 0x0010, b"PN", _pad(patient))
     ds += elem(0x0028, 0x0002, b"US", us(1))
-    ds += elem(0x0028, 0x0004, b"CS", _pad("MONOCHROME2"))
+    ds += elem(0x0028, 0x0004, b"CS", _pad(photometric))
     if nf > 1:
         ds += elem(0x0028, 0x0008, b"IS", _pad(str(nf)))
     ds += elem(0x0028, 0x0010, b"US", us(rows))
@@ -568,6 +619,10 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
     ds += elem(0x0028, 0x0101, b"US", us(bits_stored))
     ds += elem(0x0028, 0x0102, b"US", us(bits_stored - 1))
     ds += elem(0x0028, 0x0103, b"US", us(0))
+    if rescale is not None:
+        slope, intercept = rescale
+        ds += elem(0x0028, 0x1052, b"DS", _pad(str(intercept)))
+        ds += elem(0x0028, 0x1053, b"DS", _pad(str(slope)))
 
     if ts in _ENCAPSULATED:
         if ts == UID_JPEG_BASELINE:
@@ -578,6 +633,10 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
         def encode_frame(fr: np.ndarray) -> bytes:
             if ts == UID_RLE:
                 return _rle_encode_frame(fr, alloc)
+            if ts == UID_JPEG_LS:
+                from .jpegls import build_jpegls
+
+                return build_jpegls(fr, precision=bits_stored)
             from .jpeglossless import build_jpeg_lossless
 
             sv1 = ts == UID_JPEG_LOSSLESS_SV1

@@ -9754,11 +9754,12 @@ _add(
 
 # [pair] DICOM medical-image containers (r11, operators/dicom.py):
 # PS3.10 preamble + File Meta group + data set, transfer syntax
-# cycling all seven supported forms by doc_id % 7 — Implicit VR LE,
+# cycling all EIGHT supported forms by doc_id % 8 — Implicit VR LE,
 # Explicit VR LE, Explicit VR BE, Deflated, the two encapsulated
 # JPEG-lossless syntaxes (frames decoded by jpeglossless.py, the same
-# T.81 process-14 codec the DNG lane pins), and Annex-G RLE (byte
-# planes, PackBits segments).  Bit depth cycles 12/14/16
+# T.81 process-14 codec the DNG lane pins), Annex-G RLE (byte
+# planes, PackBits segments), and JPEG-LS lossless (r12, the
+# from-scratch T.87 coder in jpegls.py).  Bit depth cycles 12/14/16
 # by doc_id % 3, lossless predictors by doc_id % 7.  The metadata face
 # plus the EXACT decoded sample sum replay analytically (the q_dng
 # pattern).
@@ -9777,7 +9778,7 @@ def _q_dicom(spark, sf_dir):
         ts_cycle = (D.UID_IMPLICIT_LE, D.UID_EXPLICIT_LE,
                     D.UID_EXPLICIT_BE, D.UID_DEFLATED_LE,
                     D.UID_JPEG_LOSSLESS, D.UID_JPEG_LOSSLESS_SV1,
-                    D.UID_RLE)
+                    D.UID_RLE, D.UID_JPEG_LS)
         ys, xs = np.mgrid[0:16, 0:16]
         for b in it:
             out = {"media_id": [], "rows": [], "cols": [],
@@ -9788,7 +9789,7 @@ def _q_dicom(spark, sf_dir):
                 bits = (12, 14, 16)[did % 3]
                 img = ((did * 131 + ys * 17 + xs * 29)
                        % (1 << bits)).astype(np.uint16)
-                ts = ts_cycle[did % 7]
+                ts = ts_cycle[did % 8]
                 # multi-frame arm: 3 identical frames (sum = 3x), BOT
                 # and empty-BOT forms alternating
                 multi = did % 13 == 2
@@ -9838,9 +9839,10 @@ _add(
     "<< bits)) * (CASE WHEN doc_id % 13 = 2 THEN 3 ELSE 1 END) "
     "AS BIGINT) AS sample_sum "
     "FROM s GROUP BY doc_id ORDER BY media_id NULLS FIRST",
-    "REAL DICOM files across all six transfer syntaxes (incl. "
-    "deflated data sets and encapsulated JPEG-lossless frames) parse "
-    "and decode to the analytic metadata + exact sample-sum replay",
+    "REAL DICOM files across all eight transfer syntaxes (incl. "
+    "deflated data sets, encapsulated JPEG-lossless and JPEG-LS "
+    "frames) parse and decode to the analytic metadata + exact "
+    "sample-sum replay",
 )
 
 
@@ -13233,6 +13235,7 @@ _ROUND12_STAGED: list[str] = [
     # appended as round-12 gates land OR materially change their
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_pdf_images",  # cycle grew /EncodedByteAlign + continuous-MH
+    "q_dicom",       # cycle grew the JPEG-LS transfer syntax (T.87)
 ]
 _ROUND12_R6_VINTAGE = [
     "q_url_dedup", "q_host_stats", "q_incr_url", "q_html_extract",

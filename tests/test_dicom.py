@@ -21,6 +21,8 @@ from evm_archive_spark.operators.dicom import (
     UID_JPEG_BASELINE,
     UID_JPEG_LOSSLESS,
     UID_JPEG_LOSSLESS_SV1,
+    UID_JPEG_LS,
+    UID_JPEG_LS_NEAR,
     DicomError,
     build_dicom,
     dicom_metadata,
@@ -29,7 +31,8 @@ from evm_archive_spark.operators.dicom import (
 )
 
 ALL_TS = (UID_IMPLICIT_LE, UID_EXPLICIT_LE, UID_EXPLICIT_BE,
-          UID_DEFLATED_LE, UID_JPEG_LOSSLESS, UID_JPEG_LOSSLESS_SV1)
+          UID_DEFLATED_LE, UID_JPEG_LOSSLESS, UID_JPEG_LOSSLESS_SV1,
+          UID_JPEG_LS)
 
 
 def test_all_transfer_syntaxes_roundtrip():
@@ -263,3 +266,53 @@ def test_deflated_over_cap_typed(monkeypatch):
     monkeypatch.setattr(dcm, "MAX_DICOM_VALUE", 256)
     with pytest.raises(DicomError, match="exceeds"):
         dicom_metadata(b)
+
+
+def test_jpegls_transfer_syntax():
+    """JPEG-LS lossless (..4.80, r12): fragmented frames decode via
+    jpegls.py; near-lossless (..4.81) parses its metadata but pixel
+    decode is a typed NotImplementedError boundary."""
+    rng = np.random.default_rng(480)
+    img = rng.integers(0, 1 << 12, (9, 11), dtype=np.uint16)
+    d = build_dicom(img, bits_stored=12, transfer_syntax=UID_JPEG_LS,
+                    fragment_at=40)
+    m = dicom_metadata(d)
+    assert m["transfer_syntax"] == UID_JPEG_LS
+    px, bits = dicom_pixels(d)
+    assert bits == 12
+    assert np.array_equal(px[:, :, 0], img)
+    # the embedded stream really is JPEG-LS (SOF55)
+    assert b"\xff\xf7" in d
+    # near-lossless: metadata face parses, pixels typed
+    near = d.replace(b"1.2.840.10008.1.2.4.80",
+                     b"1.2.840.10008.1.2.4.81")
+    assert dicom_metadata(near)["transfer_syntax"] == UID_JPEG_LS_NEAR
+    with pytest.raises(NotImplementedError, match="near-lossless"):
+        dicom_pixels(near)
+
+
+def test_rescale_and_monochrome1():
+    """RescaleSlope/Intercept surface through dicom_rescaled (r12);
+    MONOCHROME1 inverts only the DISPLAY face, never the rescaled
+    physical values."""
+    from evm_archive_spark.operators.dicom import (
+        decode_dicom,
+        dicom_rescaled,
+    )
+
+    rng = np.random.default_rng(1052)
+    img = rng.integers(0, 1 << 12, (6, 7), dtype=np.uint16)
+    d = build_dicom(img, bits_stored=12, rescale=(2.0, -1024.0),
+                    photometric="MONOCHROME1")
+    vals = dicom_rescaled(d)
+    assert vals.dtype == np.float64
+    assert np.array_equal(vals[0, :, :, 0],
+                          img.astype(np.float64) * 2.0 - 1024.0)
+    # display face inverts MONOCHROME1
+    disp = decode_dicom(d)
+    want = 255 - np.clip(img >> 4, 0, 255).astype(np.uint8)
+    assert np.array_equal(disp[:, :, 0], want)
+    # defaults: no rescale elements -> identity transform
+    d2 = build_dicom(img, bits_stored=12)
+    assert np.array_equal(dicom_rescaled(d2)[0, :, :, 0],
+                          img.astype(np.float64))
