@@ -14,8 +14,13 @@ build REAL databases with the stdlib ``sqlite3`` module
 (``Connection.serialize()``), so the reader is always checked against
 the canonical writer.
 
+WITHOUT ROWID tables (r12) store their rows in index b-trees (page
+types 2/10, entries in BOTH interior and leaf cells, index-page
+overflow threshold) with the PRIMARY KEY columns first; the reader
+walks them in key order and restores the declared column order from
+the CREATE TABLE text.
+
 Scope boundaries (typed ``SqliteError``, never a crash):
-- WITHOUT ROWID tables store rows in index b-trees — out of scope.
 - WAL-side content is invisible by design (a serialized/checkpointed
   database carries everything in the main file).
 
@@ -96,12 +101,15 @@ class _Db:
             raise SqliteError(f"page {n} out of range")
         return self.b[off:off + self.page_size]
 
-    def _payload(self, page: bytes, i: int, plen: int) -> bytes:
-        """Assemble a cell payload, following the overflow chain."""
+    def _payload(self, page: bytes, i: int, plen: int,
+                 index_page: bool = False) -> bytes:
+        """Assemble a cell payload, following the overflow chain.
+        Index pages spill at X = ((U-12)*64/255)-23 instead of the
+        table-leaf U-35 (fileformat2 §1.6)."""
         if plen > MAX_PAYLOAD_BYTES:
             raise SqliteError("payload exceeds the assembly cap")
         u = self.usable
-        x = u - 35
+        x = ((u - 12) * 64) // 255 - 23 if index_page else u - 35
         if plen <= x:
             if i + plen > len(page):
                 raise SqliteError("local payload out of page")
@@ -189,8 +197,8 @@ class _Db:
                 order.append(pno)
             elif ptype in (2, 10):
                 raise SqliteError(
-                    "index b-tree at table root (WITHOUT ROWID table "
-                    "not supported)"
+                    "index b-tree at table root (walk WITHOUT ROWID "
+                    "tables through index_rows)"
                 )
             else:
                 raise SqliteError(f"unexpected page type {ptype}")
@@ -205,17 +213,50 @@ class _Db:
                 yield rowid, self._record(self._payload(pg, i, plen))
 
 
+    def index_rows(self, rootpage: int, _depth: int = 0):
+        """Walk an index b-tree IN ORDER, yielding each entry's record
+        values.  WITHOUT ROWID tables store complete rows here —
+        interior cells carry real entries too (each key appears once
+        in the whole tree), so the walk interleaves children and
+        cells."""
+        if _depth > 64:
+            raise SqliteError("index b-tree deeper than cap")
+        pg = self.page(rootpage)
+        hoff = 100 if rootpage == 1 else 0
+        ptype = pg[hoff]
+        (ncell,) = struct.unpack_from(">H", pg, hoff + 3)
+        if ptype == 10:                               # leaf index
+            for c in range(ncell):
+                (coff,) = struct.unpack_from(">H", pg, hoff + 8 + 2 * c)
+                plen, i = _varint(pg, coff)
+                yield self._record(
+                    self._payload(pg, i, plen, index_page=True))
+            return
+        if ptype != 2:                                # interior index
+            raise SqliteError(f"unexpected index page type {ptype}")
+        for c in range(ncell):
+            (coff,) = struct.unpack_from(">H", pg, hoff + 12 + 2 * c)
+            (child,) = struct.unpack_from(">I", pg, coff)
+            yield from self.index_rows(child, _depth + 1)
+            plen, i = _varint(pg, coff + 4)
+            yield self._record(
+                self._payload(pg, i, plen, index_page=True))
+        (rightmost,) = struct.unpack_from(">I", pg, hoff + 8)
+        yield from self.index_rows(rightmost, _depth + 1)
+
+
 _IPK = re.compile(r"(?i)\bINTEGER\s+PRIMARY\s+KEY\b")
+_WOR = re.compile(r"(?i)\bWITHOUT\s+ROWID\b\s*,?\s*$")
 
 
-def _ipk_index(create_sql: str | None) -> int | None:
-    """Index of the INTEGER PRIMARY KEY column (its record value is
-    NULL; the rowid IS the value), or None."""
+def _split_cols(create_sql: str | None) -> list[str]:
+    """The comma-separated items of the CREATE TABLE (...) list —
+    column definitions AND table constraints, paren-depth aware."""
     if not create_sql:
-        return None
+        return []
     i = create_sql.find("(")
     if i < 0:
-        return None
+        return []
     depth, start, cols = 0, i + 1, []
     for j in range(i, len(create_sql)):
         ch = create_sql[j]
@@ -229,14 +270,72 @@ def _ipk_index(create_sql: str | None) -> int | None:
         elif ch == "," and depth == 1:
             cols.append(create_sql[start:j])
             start = j + 1
-    for idx, col in enumerate(cols):
+    return cols
+
+
+_CONSTRAINT_HEADS = ("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
+                     "CONSTRAINT")
+
+
+def _col_name(coldef: str) -> str:
+    """First token of a column definition, unquoted/case-folded."""
+    t = coldef.strip()
+    if t[:1] in ("\"", "'", "`"):
+        q = t[0]
+        end = t.find(q, 1)
+        return t[1:end if end > 0 else None].lower()
+    if t[:1] == "[":
+        end = t.find("]", 1)
+        return t[1:end if end > 0 else None].lower()
+    m = re.match(r"[^\s(]+", t)
+    return (m.group(0) if m else t).lower()
+
+
+def _ipk_index(create_sql: str | None) -> int | None:
+    """Index of the INTEGER PRIMARY KEY column (its record value is
+    NULL; the rowid IS the value), or None."""
+    for idx, col in enumerate(_split_cols(create_sql)):
         head = col.strip().upper()
-        if head.startswith(("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
-                            "CONSTRAINT")):
+        if head.startswith(_CONSTRAINT_HEADS):
             continue                                  # table constraint
         if _IPK.search(col):
             return idx
     return None
+
+
+_PK_LIST = re.compile(r"(?i)\bPRIMARY\s+KEY\s*\(([^)]*)\)")
+
+
+def _wor_order(create_sql: str) -> list[int] | None:
+    """For a WITHOUT ROWID table: the stored-record -> declared-order
+    permutation.  The index b-tree key record holds the PRIMARY KEY
+    columns first (in PK-clause order), then the remaining columns in
+    declared order (fileformat2 §2.6).  None = unparseable (row kept
+    in stored order)."""
+    items = _split_cols(create_sql)
+    names = []
+    pk: list[str] = []
+    for col in items:
+        head = col.strip().upper()
+        if head.startswith(_CONSTRAINT_HEADS):
+            m = _PK_LIST.search(col)
+            if m and head.startswith(("PRIMARY", "CONSTRAINT")):
+                pk = [_col_name(c) for c in m.group(1).split(",")]
+            continue
+        names.append(_col_name(col))
+        if not pk and _PK_LIST.search(col) is None \
+                and re.search(r"(?i)\bPRIMARY\s+KEY\b", col):
+            pk = [_col_name(col)]
+    if not pk or not names:
+        return None
+    if any(c not in names for c in pk):
+        return None
+    rest = [n for n in names if n not in pk]
+    stored = pk + rest
+    try:
+        return [stored.index(n) for n in names]
+    except ValueError:
+        return None
 
 
 def _fmt(v) -> str:
@@ -254,7 +353,8 @@ def sqlite_tables(b: bytes) -> list[tuple[str, list[list]]]:
     """Parse a SQLite database -> ``[(table_name, rows)]`` for every
     user table (``sqlite_*`` internals, views, indexes skipped), rows
     in rowid order with INTEGER PRIMARY KEY columns materialized from
-    the rowid."""
+    the rowid; WITHOUT ROWID tables in primary-key order with the
+    declared column order restored."""
     db = _Db(b)
     master = list(db.table_rows(1))
     tables = []
@@ -266,7 +366,20 @@ def sqlite_tables(b: bytes) -> list[tuple[str, list[list]]]:
             continue
         if not isinstance(rootpage, int) or rootpage < 1:
             continue                                  # virtual table
-        ipk = _ipk_index(sql if isinstance(sql, str) else None)
+        sql_s = sql if isinstance(sql, str) else None
+        if sql_s and _WOR.search(sql_s.strip()):
+            # WITHOUT ROWID (r12): rows live in an index b-tree, PK
+            # columns first; restore declared order (key order kept)
+            perm = _wor_order(sql_s)
+            rows = []
+            for vals in db.index_rows(rootpage):
+                if perm is not None and len(vals) >= len(perm):
+                    vals = [vals[i] for i in perm] + \
+                        list(vals[len(perm):])
+                rows.append(vals)
+            tables.append((name, rows))
+            continue
+        ipk = _ipk_index(sql_s)
         rows = []
         for rowid, vals in db.table_rows(rootpage):
             if ipk is not None and ipk < len(vals) and vals[ipk] is None:

@@ -8736,9 +8736,11 @@ _add(
 # format sqlite.org/fileformat2.html): REAL databases built per
 # document by the CANONICAL writer (stdlib sqlite3,
 # Connection.serialize()) — a two-row table of tab/newline-normalized
-# text slices plus arithmetic integers — read back through
+# text slices plus arithmetic integers, AND (r12) a WITHOUT ROWID
+# table whose insert order differs from key order — read back through
 # document_extract's from-scratch b-tree walk (header -> sqlite_master
-# -> table leaf cells -> record serial types, IPK rowid aliasing).
+# -> table leaf cells -> record serial types, IPK rowid aliasing;
+# index b-tree walk in key order for the WITHOUT ROWID arm).
 # The oracle rebuilds the linearization from the same slices.
 
 def _q_sqlite(spark, sf_dir):
@@ -8772,6 +8774,16 @@ def _q_sqlite(spark, sf_dir):
                 conn.execute(
                     "insert into docs values (2, ?, ?)", (c2, m % 3)
                 )
+                conn.execute(
+                    "create table wr (k TEXT, v INTEGER, "
+                    "PRIMARY KEY (k)) WITHOUT ROWID"
+                )
+                conn.execute(
+                    "insert into wr values ('b', ?)", (m % 5,)
+                )
+                conn.execute(
+                    "insert into wr values ('a', ?)", (m % 11,)
+                )
                 conn.commit()
                 out["media_id"].append(m)
                 out["payload"].append(conn.serialize())
@@ -8793,10 +8805,14 @@ _add(
     "SELECT doc_id AS media_id, 'sqlite' AS format, "
     "'docs' || chr(10) || '1' || chr(9) || c1 || chr(9) || "
     "CAST(doc_id % 7 AS VARCHAR) || chr(10) || '2' || chr(9) || c2 || "
-    "chr(9) || CAST(doc_id % 3 AS VARCHAR) AS text "
+    "chr(9) || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10) || "
+    "'wr' || chr(10) || 'a' || chr(9) || "
+    "CAST(doc_id % 11 AS VARCHAR) || chr(10) || 'b' || chr(9) || "
+    "CAST(doc_id % 5 AS VARCHAR) AS text "
     "FROM d ORDER BY media_id NULLS FIRST",
     "REAL SQLite databases written by the canonical stdlib writer "
-    "round-trip the from-scratch b-tree walk; oracle is arithmetic",
+    "round-trip the from-scratch b-tree walk (WITHOUT ROWID arm in "
+    "key order); oracle is arithmetic",
 )
 
 
@@ -13236,6 +13252,7 @@ _ROUND12_STAGED: list[str] = [
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_pdf_images",  # cycle grew /EncodedByteAlign + continuous-MH
     "q_dicom",       # cycle grew the JPEG-LS transfer syntax (T.87)
+    "q_sqlite",      # cycle grew a WITHOUT ROWID table arm
 ]
 _ROUND12_R6_VINTAGE = [
     "q_url_dedup", "q_host_stats", "q_incr_url", "q_html_extract",

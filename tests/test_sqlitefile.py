@@ -100,12 +100,6 @@ def test_ipk_detection_skips_table_constraints():
 def test_scope_boundaries_and_fuzz():
     with pytest.raises(SqliteError):
         sqlite_to_text(b"not a database at all")
-    b = _db(
-        "create table wr (k TEXT PRIMARY KEY, v TEXT) WITHOUT ROWID",
-        "insert into wr values ('a','b')",
-    )
-    with pytest.raises(SqliteError, match="WITHOUT ROWID"):
-        sqlite_to_text(b)
     # internal sqlite_* tables and indexes are skipped, not surfaced
     b = _db(
         "create table t (a TEXT UNIQUE)",
@@ -193,3 +187,44 @@ def test_cyclic_overflow_chain_is_bounded():
     out = db._payload(page, 0, plen)
     assert len(out) == plen
     assert time.monotonic() - t0 < 10
+
+
+def test_without_rowid_tables():
+    """WITHOUT ROWID rows (r12) come out of the index b-tree in key
+    order with the DECLARED column order restored — single and
+    composite primary keys, interior index pages, and index-page
+    overflow cells, all against the canonical stdlib writer."""
+    con = sqlite3.connect(":memory:")
+    con.executescript(
+        "CREATE TABLE kv (k TEXT PRIMARY KEY, v INTEGER, note TEXT) "
+        "WITHOUT ROWID;"
+        "CREATE TABLE comp (a INTEGER, b TEXT, c REAL, "
+        "PRIMARY KEY (b, a)) WITHOUT ROWID;"
+        "CREATE TABLE big (k INTEGER PRIMARY KEY, body TEXT) "
+        "WITHOUT ROWID;"
+    )
+    for i in range(400):                       # forces interior pages
+        con.execute("INSERT INTO kv VALUES (?,?,?)",
+                    (f"key{i:04d}", i * 7, "z" * (i % 40)))
+        con.execute("INSERT INTO comp VALUES (?,?,?)",
+                    (i, f"b{i % 13}", i / 3))
+    # an 80 KB value overflows any page size in the INDEX tree
+    con.execute("INSERT INTO big VALUES (7, ?)", ("x" * 80000,))
+    con.commit()
+    tabs = dict(sqlite_tables(bytes(con.serialize())))
+    assert [r for r in tabs["kv"][:2]] == [
+        ["key0000", 0, ""], ["key0001", 7, "z"]]
+    assert tabs["kv"] == [list(r) for r in con.execute(
+        "SELECT k, v, note FROM kv ORDER BY k")]
+    assert tabs["comp"] == [list(r) for r in con.execute(
+        "SELECT a, b, c FROM comp ORDER BY b, a")]
+    assert tabs["big"] == [[7, "x" * 80000]]
+    # quoted column names in the PK clause
+    con2 = sqlite3.connect(":memory:")
+    con2.executescript(
+        'CREATE TABLE q ("the key" TEXT, [val] INTEGER, '
+        'PRIMARY KEY ("the key")) WITHOUT ROWID;')
+    con2.execute("INSERT INTO q VALUES ('a', 5)")
+    con2.commit()
+    assert dict(sqlite_tables(bytes(con2.serialize())))["q"] == \
+        [["a", 5]]
