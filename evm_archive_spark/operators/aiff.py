@@ -145,6 +145,12 @@ def decode_aiff(b: bytes) -> tuple[int, np.ndarray]:
             raise AiffError("AIFF sample data short of frame count")
         out = np.frombuffer(data[:need], dtype=">f4").astype(
             np.float64).reshape(n_frames, n_ch)
+    elif ctype in (b"fl64", b"FL64"):
+        need = 8 * n_ch * n_frames
+        if len(data) < need:
+            raise AiffError("AIFF sample data short of frame count")
+        out = np.frombuffer(data[:need], dtype=">f8").astype(
+            np.float64).reshape(n_frames, n_ch)
     elif ctype.lower() in (b"ulaw", b"alaw"):
         from .wav import _ALAW, _MULAW
 
@@ -158,7 +164,7 @@ def decode_aiff(b: bytes) -> tuple[int, np.ndarray]:
     else:
         raise AiffError(
             f"AIFC compression {ctype!r} out of scope "
-            "(NONE/sowt/fl32/ulaw/alaw only)")
+            "(NONE/sowt/fl32/fl64/ulaw/alaw only)")
     return int(round(rate)), out
 
 
@@ -209,6 +215,9 @@ def encode_aiff(rate: int, samples: np.ndarray, bits: int = 16,
     elif ctype == b"fl32":
         bits = 32
         data = samples.astype(">f4").tobytes()
+    elif ctype == b"fl64":
+        bits = 64
+        data = samples.astype(">f8").tobytes()
     else:
         raise AiffError(f"encoder ctype {ctype!r}")
     comm = struct.pack(">HIH", n_ch, n_frames, bits) + _to_f80(rate)

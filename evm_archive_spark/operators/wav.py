@@ -7,7 +7,8 @@ directly so malformed-chunk handling is explicit): RIFF header walk,
 (n_frames, n_channels) numpy array.
 
 Scope (covers what a speech/audio training pipeline actually stores):
-- integer PCM 8/16/32-bit and IEEE float 32-bit (format 1 / 3),
+- integer PCM 8/16/24/32-bit and IEEE float 32/64-bit (format 1 / 3;
+  the 24-bit path sign-extends packed 3-byte frames — r12),
 - G.711 mu-law and A-law telephony companding (format 7 / 6, the
   ITU-T G.711 segment tables computed directly from the spec),
 - IMA/DVI ADPCM (format 0x11: block headers, step/index tables,
@@ -259,6 +260,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             samples = (
                 np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
             )
+        elif bits == 24:
+            # packed 3-byte little-endian frames, sign-extended (r12)
+            u = np.frombuffer(data[: len(data) - len(data) % 3],
+                              dtype=np.uint8).reshape(-1, 3)
+            v = (u[:, 0].astype(np.int64)
+                 | (u[:, 1].astype(np.int64) << 8)
+                 | (u[:, 2].astype(np.int64) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = v.astype(np.float64) / 8388608.0
         elif bits == 32:
             samples = (
                 np.frombuffer(data, dtype="<i4").astype(np.float64)
@@ -267,9 +277,12 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         else:
             raise WavError(f"unsupported PCM bit depth {bits}")
     elif audio_format == 3:  # IEEE float
-        if bits != 32:
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
             raise WavError(f"unsupported float bit depth {bits}")
-        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
     elif audio_format in (6, 7):  # G.711 A-law / mu-law
         if bits not in (0, 8):
             raise WavError(f"bad G.711 bit depth {bits}")
@@ -325,8 +338,17 @@ def encode_wav(
         raw = (
             (np.clip(samples, -1.0, 1.0) * 127.0).round() + 128
         ).astype(np.uint8).tobytes()
+    elif bits == 24:
+        v = (np.clip(samples, -1.0, 1.0) * 8388607.0).round() \
+            .astype(np.int64).ravel()
+        v = np.where(v < 0, v + (1 << 24), v)
+        u = np.empty((v.size, 3), dtype=np.uint8)
+        u[:, 0] = v & 0xFF
+        u[:, 1] = (v >> 8) & 0xFF
+        u[:, 2] = (v >> 16) & 0xFF
+        raw = u.tobytes()
     else:
-        raise WavError("encode_wav writes 8- or 16-bit PCM")
+        raise WavError("encode_wav writes 8-, 16- or 24-bit PCM")
     align = n_ch * bits // 8
     fmt = struct.pack(
         "<HHIIHH", 1, n_ch, sample_rate, sample_rate * align, align, bits

@@ -110,3 +110,18 @@ def test_audio_lane_dispatch():
     rate, out = dec()
     assert rate == 12000 and out.shape == (100, 1)
     assert _audio_decoder(b"not audio at all") is None
+
+
+def test_fl64_aifc():
+    """AIFC fl64 (r12) round-trips exactly (float64 is lossless for
+    float64 samples)."""
+    import numpy as np
+
+    from evm_archive_spark.operators.aiff import decode_aiff, encode_aiff
+
+    rng = np.random.default_rng(64)
+    x = (rng.random((123, 2)) * 2 - 1).astype(np.float64)
+    b = encode_aiff(48000, x, ctype=b"fl64")
+    rate, out = decode_aiff(b)
+    assert rate == 48000
+    assert np.array_equal(out, x)

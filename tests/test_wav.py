@@ -773,3 +773,43 @@ def test_ms_adpcm_mono_and_stereo():
 
     with _pytest.raises(WavError, match="predictor"):
         decode_wav(bytes(bad))
+
+
+def test_pcm24_and_float64():
+    """24-bit packed PCM and float64 (r12): round-trip through our
+    writer AND the stdlib wave module as the canonical 24-bit
+    container pin."""
+    import io
+    import wave as stdwave
+
+    rng = np.random.default_rng(24)
+    x = (rng.random((300, 2)) * 2 - 1).astype(np.float64)
+    b = encode_wav(x, 16000, bits=24)
+    rate, out = decode_wav(b)
+    assert rate == 16000 and out.shape == (300, 2)
+    # encoder scales by 2^23-1, decoder divides by 2^23: half an LSB
+    # of rounding plus one LSB of scale mismatch
+    assert np.max(np.abs(out - x)) < 2 / 8388608
+    # stdlib wave reads our 24-bit file...
+    wf = stdwave.open(io.BytesIO(b))
+    assert (wf.getsampwidth(), wf.getnchannels(),
+            wf.getnframes()) == (3, 2, 300)
+    frames = wf.readframes(300)
+    # ...and writes one we read (byte-identical frames)
+    buf = io.BytesIO()
+    ww = stdwave.open(buf, "wb")
+    ww.setnchannels(2)
+    ww.setsampwidth(3)
+    ww.setframerate(16000)
+    ww.writeframes(frames)
+    ww.close()
+    rate2, out2 = decode_wav(buf.getvalue())
+    assert rate2 == 16000 and np.array_equal(out, out2)
+    # float64 (format 3, bits 64)
+    raw = x.astype("<f8").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 2, 8000, 8000 * 16, 16, 64)
+    wav64 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
+             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", len(raw)) + raw)
+    rate3, out3 = decode_wav(wav64)
+    assert rate3 == 8000 and np.array_equal(out3, x)
