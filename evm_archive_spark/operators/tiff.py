@@ -429,7 +429,11 @@ def _decode_ifd(data: bytes, ifd_off: int, bo: str) -> np.ndarray:
             f"bits-per-sample {bps} not supported (1, 8 or 16)")
     itemsize = 2 if bps[0] == 16 else 1
     u16 = np.dtype(bo + "u2")
-    if planar == 2 and (comp == 7 or spp == 1 or bps[0] == 1):
+    if planar == 2 and spp == 1:
+        # single-sample "separated" planes are byte-identical to the
+        # chunky layout; real writers emit the tag anyway (r12)
+        planar = 1
+    if planar == 2 and (comp == 7 or bps[0] == 1):
         raise TiffError(
             "planar configuration 2 only supported for 8/16-bit "
             "multi-sample images")

@@ -1002,10 +1002,10 @@ def test_planar_configuration_2():
     assert np.array_equal(decode_tiff(t)[:, :, :3],
                           (rgb16 >> 8).astype(np.uint8))
     # planar tiled decodes since r11 (test_tiled_planar); a
-    # single-sample planar-2 declaration stays typed
-    t = encode_tiff(rgb[:, :, :1], compression=8, planar=2)
-    with pytest.raises(TiffError, match="planar"):
-        decode_tiff(t)
+    # single-sample planar-2 declaration normalizes to chunky (r12)
+    one = rgb[:, :, 0]
+    t = encode_tiff(one[:, :, None], compression=8, planar=2)
+    assert np.array_equal(decode_tiff(t)[:, :, 0], one)
 
 
 def test_bilevel_tiles():
@@ -1577,3 +1577,41 @@ def test_tiled_planar_libtiff_pin():
         theirs = _libtiff_decode_rgba(lib, t)
         assert theirs is not None, comp
         assert np.array_equal(ours, theirs), comp
+
+
+def test_planar2_single_sample_normalizes():
+    """PlanarConfig=2 with SamplesPerPixel=1 (r12): byte-identical to
+    chunky; real writers emit the tag — pinned against a
+    libtiff-written file."""
+    import ctypes as C
+    import os
+    import tempfile
+
+    lib = _libtiff()
+    rng = np.random.default_rng(284)
+    img = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    path = tempfile.mktemp(suffix=".tif")
+    lib.TIFFOpen.restype = C.c_void_p
+    tp = C.c_void_p(lib.TIFFOpen(path.encode(), b"w"))
+    assert tp.value, "TIFFOpen(w) failed"
+
+    def setf(tag, val):
+        assert lib.TIFFSetField(tp, C.c_uint32(tag),
+                                C.c_uint32(val)), tag
+
+    setf(256, 13)
+    setf(257, 9)
+    setf(258, 8)
+    setf(259, 1)
+    setf(262, 1)
+    setf(277, 1)
+    setf(278, 9)
+    setf(284, 2)                                # PLANARCONFIG_SEPARATE
+    for y in range(9):
+        assert lib.TIFFWriteScanline(
+            tp, C.c_char_p(img[y].tobytes()),
+            C.c_uint32(y), C.c_uint16(0)) == 1
+    lib.TIFFClose(tp)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    assert np.array_equal(decode_tiff(data)[:, :, 0], img)
