@@ -20,9 +20,8 @@ syntax.  Implemented:
   set), and ENCAPSULATED pixel data for JPEG Lossless (..1.2.4.57 and
   the SV1 profile ..1.2.4.70 — decoded by jpeglossless.py, the T.81
   process-14 codec DNG already uses), JPEG-LS Lossless (..1.2.4.80
-  via jpegls.py, the from-scratch T.87 coder; near-lossless ..4.81
-  parses but pixel decode is typed) and JPEG Baseline (..1.2.4.50,
-  8-bit, via jpeg.py);
+  and near-lossless ..4.81 via jpegls.py, the from-scratch T.87
+  coder) and JPEG Baseline (..1.2.4.50, 8-bit, via jpeg.py);
 - **pixel data**: native little-endian (0028,0100) BitsAllocated 8/16
   rasters, or the encapsulated form — Basic Offset Table item +
   fragment items, multi-fragment frames concatenated.
@@ -242,11 +241,7 @@ def _decode_encap_frame(ts: str, stream: bytes, rows: int, cols: int,
     """One encapsulated frame's bitstream -> (rows, cols, spp)."""
     if ts == UID_RLE:
         return _rle_decode_frame(stream, rows, cols, spp, alloc)
-    if ts == UID_JPEG_LS_NEAR:
-        raise NotImplementedError(
-            "DICOM JPEG-LS near-lossless (..4.81) pixel decode not "
-            "implemented (lossless ..4.80 is)")
-    if ts == UID_JPEG_LS:
+    if ts in (UID_JPEG_LS, UID_JPEG_LS_NEAR):
         from .jpegls import JpeglsError, decode_jpegls_raw as _jls
 
         try:
@@ -564,7 +559,8 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
                 fragment_at: int | None = None,
                 bot: bool = True,
                 photometric: str = "MONOCHROME2",
-                rescale: tuple | None = None) -> bytes:
+                rescale: tuple | None = None,
+                near: int = 2) -> bytes:
     """Independent PS3.10 writer: (rows, cols) gray uint16 samples —
     or (frames, rows, cols) for a multi-frame object (NumberOfFrames
     emitted; encapsulated frames indexed by a real Basic Offset Table
@@ -633,10 +629,12 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
         def encode_frame(fr: np.ndarray) -> bytes:
             if ts == UID_RLE:
                 return _rle_encode_frame(fr, alloc)
-            if ts == UID_JPEG_LS:
+            if ts in (UID_JPEG_LS, UID_JPEG_LS_NEAR):
                 from .jpegls import build_jpegls
 
-                return build_jpegls(fr, precision=bits_stored)
+                return build_jpegls(
+                    fr, precision=bits_stored,
+                    near=near if ts == UID_JPEG_LS_NEAR else 0)
             from .jpeglossless import build_jpeg_lossless
 
             sv1 = ts == UID_JPEG_LOSSLESS_SV1

@@ -10,8 +10,9 @@ mapped prediction residual; flat regions switch to a run mode with
 melcode-style adaptive run-length segments (the J[] table) and a
 dedicated two-context run-interruption coder.
 
-Scope: lossless only (NEAR = 0; the near-lossless .4.81 family is a
-typed boundary), precision 2-16 bits, single-component scans
+Scope: lossless AND near-lossless (NEAR >= 0, r12: quantized
+residuals, the (2*NEAR+1)-spaced reconstruction, NEAR-widened run
+and context rules), precision 2-16 bits, single-component scans
 (DICOM monochrome — multi-component/interleaved scans and restart
 markers are typed), default or LSE-preset coding parameters
 (MAXVAL / T1 / T2 / T3 / RESET all honored).
@@ -82,14 +83,18 @@ class _Params:
     """Per-scan coding state (T.87 A.2)."""
 
     def __init__(self, maxval: int, t1: int, t2: int, t3: int,
-                 reset: int):
+                 reset: int, near: int = 0):
         if not 1 <= maxval < 1 << 16:
             raise JpeglsError(f"MAXVAL {maxval} out of range")
         if not (0 < t1 <= t2 <= t3 <= maxval) or reset < 3:
             raise JpeglsError("bad coding thresholds")
+        if not 0 <= near <= min(255, maxval // 2):
+            raise JpeglsError(f"NEAR {near} out of range")
         self.maxval, self.t1, self.t2, self.t3 = maxval, t1, t2, t3
         self.reset = reset
-        self.range = maxval + 1
+        self.near = near
+        # A.2.1: RANGE of quantized prediction errors
+        self.range = (maxval + 2 * near) // (2 * near + 1) + 1
         self.qbpp = max(1, (self.range - 1).bit_length())
         bpp = max(2, (maxval + 1 - 1).bit_length())
         self.bpp = bpp
@@ -105,16 +110,16 @@ class _Params:
         self.run_index = 0
 
     def quantize(self, d: int) -> int:
-        """Gradient -> region (T.87 A.3.3, NEAR = 0)."""
+        """Gradient -> region (T.87 A.3.3)."""
         if d <= -self.t3:
             return -4
         if d <= -self.t2:
             return -3
         if d <= -self.t1:
             return -2
-        if d < 0:
+        if d < -self.near:
             return -1
-        if d == 0:
+        if d <= self.near:
             return 0
         if d < self.t1:
             return 1
@@ -123,6 +128,26 @@ class _Params:
         if d < self.t3:
             return 3
         return 4
+
+    def quantize_err(self, errval: int) -> int:
+        """A.4.4: residual quantization (identity when NEAR = 0)."""
+        if self.near == 0:
+            return errval
+        if errval > 0:
+            return (self.near + errval) // (2 * self.near + 1)
+        return -((self.near - errval) // (2 * self.near + 1))
+
+    def reconstruct(self, px: int, sign: int, errval: int) -> int:
+        """A.4.5 / A.8.2: Rx from the quantized residual, range-
+        reduced then clamped to [0, MAXVAL]."""
+        rx = px + sign * errval * (2 * self.near + 1)
+        full = self.range * (2 * self.near + 1)
+        if rx < -self.near:
+            rx += full
+        elif rx > self.maxval + self.near:
+            rx -= full
+        return 0 if rx < 0 else (self.maxval if rx > self.maxval
+                                 else rx)
 
 
 def _golomb_k(a: int, n: int) -> int:
@@ -244,7 +269,7 @@ def _context(p: _Params, d1: int, d2: int, d3: int):
 
 def _bias_update(p: _Params, q: int, errval: int) -> None:
     """A.5.1 variables update + A.5.2 bias computation."""
-    p.B[q] += errval
+    p.B[q] += errval * (2 * p.near + 1)
     p.A[q] += abs(errval)
     if p.N[q] == p.reset:
         p.A[q] >>= 1
@@ -284,7 +309,7 @@ def _mod_range(errval: int, rng: int) -> int:
 
 def _ri_params(p: _Params, ra: int, rb: int):
     """Run-interruption context setup (A.7.2): (RItype, q, k)."""
-    ritype = 1 if ra == rb else 0
+    ritype = 1 if abs(ra - rb) <= p.near else 0
     q = 405 + ritype
     temp = p.A[q] + ((p.N[q] >> 1) if ritype else 0)
     return ritype, q, _golomb_k(temp, p.N[q])
@@ -307,6 +332,7 @@ def _ri_update(p: _Params, q: int, ritype: int, errval: int,
 
 def _encode_scan(img: np.ndarray, p: _Params) -> bytes:
     h, w = img.shape
+    near = p.near
     bw = _BW()
     prev = [0] * (w + 2)
     cur = [0] * (w + 2)
@@ -324,7 +350,7 @@ def _encode_scan(img: np.ndarray, p: _Params) -> bytes:
                 # run mode (A.7): count samples equal to Ra
                 runval = ra
                 cnt = 0
-                while i < w and row[i] == runval:
+                while i < w and abs(row[i] - runval) <= near:
                     cnt += 1
                     cur[i + 1] = runval
                     i += 1
@@ -352,7 +378,7 @@ def _encode_scan(img: np.ndarray, p: _Params) -> bytes:
                     rsign = -1
                 else:
                     rsign = 1
-                errval = _mod_range(errval, p.range)
+                errval = _mod_range(p.quantize_err(errval), p.range)
                 if (k == 0 and errval > 0
                         and 2 * p.Nn[qr - 405] < p.N[qr]):
                     emap = 1
@@ -368,7 +394,7 @@ def _encode_scan(img: np.ndarray, p: _Params) -> bytes:
                 _ri_update(p, qr, ritype, errval, emerrval)
                 if p.run_index > 0:
                     p.run_index -= 1
-                cur[i + 1] = x                 # lossless: exact
+                cur[i + 1] = p.reconstruct(pxp, rsign, errval)
                 i += 1
                 continue
             # regular mode (A.4-A.5)
@@ -376,27 +402,31 @@ def _encode_scan(img: np.ndarray, p: _Params) -> bytes:
             pxp += p.C[q] if sign > 0 else -p.C[q]
             pxp = 0 if pxp < 0 else (p.maxval if pxp > p.maxval
                                      else pxp)
-            errval = _mod_range((x - pxp) if sign > 0 else (pxp - x),
-                                p.range)
+            errval = _mod_range(
+                p.quantize_err((x - pxp) if sign > 0 else (pxp - x)),
+                p.range)
             k = _golomb_k(p.A[q], p.N[q])
-            if k == 0 and 2 * p.B[q] <= -p.N[q]:
+            if near == 0 and k == 0 and 2 * p.B[q] <= -p.N[q]:
                 merr = 2 * errval + 1 if errval >= 0 \
                     else -2 * (errval + 1)
             else:
                 merr = 2 * errval if errval >= 0 else -2 * errval - 1
             _lg_encode(bw, merr, k, p.limit, p.qbpp)
             _bias_update(p, q, errval)
-            cur[i + 1] = x                     # lossless: exact
+            cur[i + 1] = p.reconstruct(pxp, sign, errval)
             i += 1
         prev, cur = cur, prev
     return bw.flush()
 
 
 def build_jpegls(img: np.ndarray, precision: int | None = None,
-                 thresholds: tuple | None = None) -> bytes:
-    """Encode a (h, w) array as a lossless single-component JPEG-LS
-    interchange stream.  ``thresholds`` = (T1, T2, T3, RESET)
-    overrides the defaults and is declared via an LSE segment."""
+                 thresholds: tuple | None = None,
+                 near: int = 0) -> bytes:
+    """Encode a (h, w) array as a single-component JPEG-LS
+    interchange stream (lossless at ``near=0``, else near-lossless
+    with |sample - reconstruction| <= near).  ``thresholds`` =
+    (T1, T2, T3, RESET) overrides the defaults and is declared via
+    an LSE segment."""
     img = np.asarray(img)
     if img.ndim != 2 or img.size == 0:
         raise JpeglsError("encoder wants a non-empty (h, w) array")
@@ -411,19 +441,19 @@ def build_jpegls(img: np.ndarray, precision: int | None = None,
     if int(img.min(initial=0)) < 0 or int(img.max(initial=0)) > maxval:
         raise JpeglsError("sample exceeds declared precision")
     if thresholds is None:
-        t1, t2, t3, reset = default_thresholds(maxval)
+        t1, t2, t3, reset = default_thresholds(maxval, near)
         lse = b""
     else:
         t1, t2, t3, reset = thresholds
         lse = struct.pack(">HHBHHHHH", LSE, 13, 1, maxval,
                           t1, t2, t3, reset)
-    p = _Params(maxval, t1, t2, t3, reset)
+    p = _Params(maxval, t1, t2, t3, reset, near)
     out = bytearray(struct.pack(">H", SOI))
     out += struct.pack(">HHBHHB", SOF55, 11, precision, h, w, 1)
     out += bytes((1, 0x11, 0))                 # C1, H1V1, Tq=0
     out += lse
-    out += struct.pack(">HHB", SOS, 8, 1) + bytes((1, 0, 0, 0, 0))
-    # (Cs=1, mapping=0, NEAR=0, ILV=0, Al/Ah=0)
+    out += struct.pack(">HHB", SOS, 8, 1) + bytes((1, 0, near, 0, 0))
+    # (Cs=1, mapping=0, NEAR, ILV=0, Al/Ah=0)
     out += _encode_scan(img, p)
     out += struct.pack(">H", EOI)
     return bytes(out)
@@ -476,9 +506,6 @@ def decode_jpegls_raw(data: bytes) -> tuple[np.ndarray, int]:
             near = data[pos + 4 + 1 + 2 * ns]
             ilv = data[pos + 4 + 1 + 2 * ns + 1]
             pt = data[pos + 4 + 1 + 2 * ns + 2] & 0x0F
-            if near:
-                raise JpeglsError(
-                    f"near-lossless (NEAR={near}) not supported")
             if ilv:
                 raise JpeglsError(f"interleave mode {ilv} "
                                   "not supported")
@@ -505,12 +532,12 @@ def decode_jpegls_raw(data: bytes) -> tuple[np.ndarray, int]:
         raise JpeglsError("image too large")
     if maxval is None:
         maxval = (1 << prec) - 1
-        t1, t2, t3, reset = default_thresholds(maxval)
+        t1, t2, t3, reset = default_thresholds(maxval, near)
     else:
         if maxval >= 1 << prec:
             raise JpeglsError("LSE MAXVAL exceeds precision")
         t1, t2, t3, reset = t123r
-    p = _Params(maxval, t1, t2, t3, reset)
+    p = _Params(maxval, t1, t2, t3, reset, near)
     br = _BR(data, pos)
     out = np.zeros((h, w), dtype=np.uint16)
     prev = [0] * (w + 2)
@@ -577,12 +604,7 @@ def decode_jpegls_raw(data: bytes) -> tuple[np.ndarray, int]:
                 _ri_update(p, qr, ritype, errval, emerrval)
                 if p.run_index > 0:
                     p.run_index -= 1
-                rx = pxp + rsign * errval
-                if rx < 0:
-                    rx += p.range
-                elif rx > p.maxval:
-                    rx -= p.range
-                cur[i + 1] = rx
+                cur[i + 1] = p.reconstruct(pxp, rsign, errval)
                 i += 1
                 continue
             # regular mode
@@ -592,21 +614,14 @@ def decode_jpegls_raw(data: bytes) -> tuple[np.ndarray, int]:
                                      else pxp)
             k = _golomb_k(p.A[q], p.N[q])
             merr = _lg_decode(br, k, p.limit, p.qbpp)
-            if k == 0 and 2 * p.B[q] <= -p.N[q]:
+            if p.near == 0 and k == 0 and 2 * p.B[q] <= -p.N[q]:
                 errval = (merr - 1) >> 1 if merr & 1 \
                     else -(merr >> 1) - 1
             else:
                 errval = merr >> 1 if not merr & 1 \
                     else -((merr + 1) >> 1)
             _bias_update(p, q, errval)
-            rx = pxp + (errval if sign > 0 else -errval)
-            if rx < 0:
-                rx += p.range
-            elif rx > p.maxval:
-                rx -= p.range
-            if not 0 <= rx <= p.maxval:
-                raise JpeglsError("reconstruction out of range")
-            cur[i + 1] = rx
+            cur[i + 1] = p.reconstruct(pxp, sign, errval)
             i += 1
         out[y] = cur[1:w + 1]
         prev, cur = cur, prev

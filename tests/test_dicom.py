@@ -283,12 +283,14 @@ def test_jpegls_transfer_syntax():
     assert np.array_equal(px[:, :, 0], img)
     # the embedded stream really is JPEG-LS (SOF55)
     assert b"\xff\xf7" in d
-    # near-lossless: metadata face parses, pixels typed
-    near = d.replace(b"1.2.840.10008.1.2.4.80",
-                     b"1.2.840.10008.1.2.4.81")
+    # near-lossless syntax (r12): decodes with the NEAR error bound
+    near = build_dicom(img, bits_stored=12,
+                       transfer_syntax=UID_JPEG_LS_NEAR, near=3)
     assert dicom_metadata(near)["transfer_syntax"] == UID_JPEG_LS_NEAR
-    with pytest.raises(NotImplementedError, match="near-lossless"):
-        dicom_pixels(near)
+    pn, bn = dicom_pixels(near)
+    assert bn == 12
+    err = np.abs(pn[:, :, 0].astype(np.int64) - img.astype(np.int64))
+    assert 0 < err.max() <= 3
 
 
 def test_rescale_and_monochrome1():

@@ -356,12 +356,8 @@ def test_typed_boundaries_and_truncation_fuzz():
     good = build_jpegls(img, precision=8)
     with pytest.raises(JpeglsError, match="SOI"):
         decode_jpegls_raw(b"\x00" + good)
-    # NEAR / ILV / multi-component are typed
+    # ILV / multi-component are typed
     i = good.index(b"\xff\xda")
-    near = bytearray(good)
-    near[i + 7] = 2                             # NEAR byte
-    with pytest.raises(JpeglsError, match="near-lossless"):
-        decode_jpegls_raw(bytes(near))
     ilv = bytearray(good)
     ilv[i + 8] = 1                              # ILV byte
     with pytest.raises(JpeglsError, match="interleave"):
@@ -394,3 +390,40 @@ GOLDEN8 = ("89c85135b87702597665dfcfa37d4696"
            "aca1630f328e1036ba69888e204a45af")
 GOLDEN12 = ("0408cb3c93189537e6fcfc4418eb9f42"
             "af6c4f351732c089df9b9aa245e9f1de")
+
+
+def test_near_lossless():
+    """NEAR > 0 (r12): the reconstruction error is bounded by NEAR
+    everywhere, streams shrink monotonically-ish with NEAR, run mode
+    absorbs near-flat noise, and a golden freeze pins the coder."""
+    import hashlib
+
+    rng = np.random.default_rng(481)
+    img = rng.integers(0, 4096, (14, 19))
+    sizes = []
+    for near in (0, 1, 3, 7):
+        b = build_jpegls(img, precision=12, near=near)
+        out, p = decode_jpegls_raw(b)
+        assert p == 12
+        err = np.abs(out[:, :, 0].astype(np.int64) - img)
+        assert err.max() <= near, near
+        sizes.append(len(b))
+    assert sizes[0] > sizes[-1]                 # NEAR=7 beats lossless
+    # near-flat noise within +-NEAR of a base: run mode absorbs it
+    flat = np.clip(rng.integers(-2, 3, (9, 40)) + 128, 0, 255)
+    b = build_jpegls(flat, precision=8, near=2)
+    out, _ = decode_jpegls_raw(b)
+    assert np.abs(out[:, :, 0].astype(np.int64) - flat).max() <= 2
+    assert len(b) < 90                          # ~1 bit/sample: runs
+    # golden freeze for the near coder
+    g = build_jpegls((np.arange(64).reshape(8, 8) * 37) % 256,
+                     precision=8, near=2)
+    assert hashlib.sha256(g).hexdigest() == GOLDEN_NEAR
+    # NEAR out of range is typed
+    with pytest.raises(JpeglsError, match="NEAR"):
+        build_jpegls(np.zeros((2, 2), dtype=np.int64) , precision=8,
+                     near=200)
+
+
+GOLDEN_NEAR = ("4bad03d1a3098eb97053adf29d159b1d"
+               "2a90d7499547192e2e2ae6d2c7859ead")
