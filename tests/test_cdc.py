@@ -262,7 +262,7 @@ def test_incremental_cdc_bucketed_index_one_sided(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_cdc_idx")
 
 
-def test_stream_cdc_admission_equals_sequential_replay(spark, tmp_path):
+def _pooled_stream_cdc_admission_equals_sequential_replay(spark, tmp_path):
     """Two micro-batches through stream_cdc_admission produce exactly
     the survivors of the sequential batch replay against the same
     persisted digest state: a cross-batch clone (and a shifted clone)

@@ -4033,6 +4033,9 @@ from test_png import (  # noqa: E402
 from test_bmp import (  # noqa: E402
     _pooled_bmp_through_spark_strict_paths,
 )
+from test_cdc import (  # noqa: E402
+    _pooled_stream_cdc_admission_equals_sequential_replay,
+)
 from test_classify import (  # noqa: E402
     _pooled_classify_vs_python_reference,
     _pooled_quality_classifier_filter_seed_vs_rest,
@@ -4108,6 +4111,7 @@ _POOLED_HEAVY = [
     _pooled_web_corpus_pipeline_composition,
     _pooled_stream_url_admission_equals_sequential_replay,
     _pooled_streaming_incremental_minhash_equals_sequential_replay,
+    _pooled_stream_cdc_admission_equals_sequential_replay,
     _pooled_stream_corpus_admission_equals_sequential_replay,
     _pooled_prepare_audio_video_corpus_scan_counts,
     _pooled_stream_corpus_admission_replay_safe,
