@@ -10,9 +10,12 @@ Scope (documented, like every codec boundary in this repo):
 - Classic non-encrypted PDFs; object map built by a tolerant
   ``N G obj .. endobj`` scan (real-world extractors do this — damaged
   xref tables are endemic; the xref is never needed for a linear scan).
-- Content streams uncompressed or FlateDecode (zlib, inflation capped
-  against decompression bombs); other filters raise a named
-  ``NotImplementedError`` gap.
+- Content streams uncompressed, FlateDecode (zlib, inflation capped
+  against decompression bombs), LZWDecode (both EarlyChange variants,
+  via the shared TIFF-flavor decoder), ASCIIHexDecode, ASCII85Decode,
+  RunLengthDecode — filter CHAINS with per-filter /DecodeParms
+  included (r12); other filters raise a named ``NotImplementedError``
+  gap.
 - Simple fonts / single-byte encodings: string bytes decode latin-1
   (PDFDocEncoding's printable range).  CID/composite fonts with CMaps
   need font tables out of scope for a stdlib parser — their text
@@ -237,23 +240,122 @@ def _resolve(objs: dict, v):
     return v
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """/ASCIIHexDecode (PDF 32000-1 §7.4.2): hex pairs, whitespace
+    ignored, '>' EOD, odd trailing digit implicitly padded with 0."""
+    digits = []
+    for c in data:
+        if c in b" \t\r\n\x0c\x00":
+            continue
+        if c == 0x3E:                           # '>'
+            break
+        if chr(c) not in "0123456789abcdefABCDEF":
+            raise PdfError(f"ASCIIHex: bad digit {c:#x}")
+        digits.append(chr(c))
+    if len(digits) % 2:
+        digits.append("0")
+    return bytes.fromhex("".join(digits))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """/ASCII85Decode (§7.4.3): base-85 groups, 'z' = four zero bytes
+    (only between groups), '~>' EOD, 2-4 char partial final group."""
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    end = data.find(b"~>")
+    body = data[:end if end >= 0 else len(data)]
+    while i < len(body):
+        c = body[i]
+        i += 1
+        if c in b" \t\r\n\x0c\x00":
+            continue
+        if c == 0x7A:                           # 'z'
+            if group:
+                raise PdfError("ASCII85: z inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:               # '!'..'u'
+            raise PdfError(f"ASCII85: bad char {c:#x}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise PdfError("ASCII85: group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PdfError("ASCII85: lone trailing char")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    """/RunLengthDecode (§7.4.5): the PackBits scheme with 128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) <= MAX_STREAM_OUT:
+        n = data[i]
+        i += 1
+        if n == 128:
+            break
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise PdfError("RunLength: truncated literal run")
+            out += data[i:i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise PdfError("RunLength: truncated repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
 def _decode_stream(objs: dict, d: dict, raw: bytes) -> bytes:
     filt = _resolve(objs, d.get("/Filter"))
     if filt is None:
         return raw
     filters = filt if isinstance(filt, list) else [filt]
+    parms_all = _resolve(objs, d.get("/DecodeParms", d.get("/DP")))
+    if not isinstance(parms_all, list):
+        parms_all = [parms_all] * len(filters)
     out = raw
-    for f in filters:
+    for f, parms in zip(filters, parms_all):
         f = _resolve(objs, f)
+        parms = _resolve(objs, parms) or {}
         if f == "/FlateDecode":
             try:
                 out = zlib.decompressobj().decompress(out, MAX_STREAM_OUT)
             except zlib.error as e:
                 raise PdfError(f"bad Flate stream: {e}") from e
+        elif f == "/LZWDecode":
+            from .tiff import TiffError, _lzw_decode_tiff
+
+            early = _resolve(objs, parms.get("/EarlyChange", 1))
+            try:
+                out = _lzw_decode_tiff(out, MAX_STREAM_OUT,
+                                       early=bool(early))
+            except TiffError as e:
+                raise PdfError(f"bad LZW stream: {e}") from e
+        elif f == "/ASCIIHexDecode":
+            out = _ascii_hex_decode(out)
+        elif f == "/ASCII85Decode":
+            out = _ascii85_decode(out)
+        elif f == "/RunLengthDecode":
+            out = _run_length_decode(out)
         else:
             raise NotImplementedError(
                 f"PDF stream filter {f} needs codecs out of stdlib "
-                "scope (supported: none, /FlateDecode)"
+                "scope (supported: none, /FlateDecode, /LZWDecode, "
+                "/ASCIIHexDecode, /ASCII85Decode, /RunLengthDecode)"
             )
     return out
 

@@ -111,9 +111,12 @@ def _read_ifd(data: bytes, off: int, bo: str) -> dict:
     return fields
 
 
-def _lzw_decode_tiff(data: bytes, max_out: int) -> bytes:
+def _lzw_decode_tiff(data: bytes, max_out: int,
+                     early: bool = True) -> bytes:
     """TIFF-flavor LZW: MSB-first variable codes, 256=Clear 257=EOI,
-    width bumps one code EARLY (at table sizes 510/1022/2046 + first)."""
+    width bumps one code EARLY (at table sizes 510/1022/2046 + first).
+    ``early=False`` is the PDF LZWDecode EarlyChange=0 variant (width
+    bumps one code later); pdf.py reuses this decoder."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list[bytes] = []
@@ -159,7 +162,8 @@ def _lzw_decode_tiff(data: bytes, max_out: int) -> bytes:
             table.append(prev + entry[:1])
         prev = entry
         # early width bump (TIFF writes the longer code one step early)
-        if len(table) + 1 >= (1 << width) and width < 12:
+        if len(table) + (1 if early else 0) >= (1 << width) \
+                and width < 12:
             width += 1
     return bytes(out)
 

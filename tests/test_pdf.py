@@ -156,3 +156,51 @@ def test_pdf_to_text_spark(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|strict pdf"):
         pdf.pdf_to_text(bad, strict=True).collect()
+
+
+def test_classic_stream_filters():
+    """LZW (both EarlyChange variants), ASCIIHex, ASCII85 and
+    RunLength filters plus filter CHAINS (r12), spec vectors
+    included."""
+    import base64
+    import zlib as _z
+
+    from evm_archive_spark.operators.pdf import (
+        _ascii85_decode,
+        _ascii_hex_decode,
+        _decode_stream,
+        _run_length_decode,
+    )
+
+    # spec vectors
+    assert _ascii_hex_decode(b"48 65 6C6C 6F>") == b"Hello"
+    assert _ascii_hex_decode(b"7>") == b"p"           # odd pad -> 0x70
+    # ASCII85: stdlib a85encode is the canonical cross-pin
+    for payload in (b"", b"M", b"Man ", b"Man is d",
+                    b"\x00\x00\x00\x00junk", bytes(range(256))):
+        enc = base64.a85encode(payload) + b"~>"
+        assert _ascii85_decode(enc) == payload, payload
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _run_length_decode(b"\x02abc\x81x\x80tail") == \
+        b"abc" + b"x" * 128
+    # filters through _decode_stream, incl. a Flate+Hex CHAIN and both
+    # LZW EarlyChange variants (fixtures via the TIFF-flavor encoder,
+    # which writes the early convention)
+    raw = b"the quick brown pdf stream " * 20
+    flate = _z.compress(raw)
+    out = _decode_stream({}, {"/Filter": ["/ASCIIHexDecode",
+                                          "/FlateDecode"]},
+                         flate.hex().encode() + b">")
+    assert out == raw
+    import sys
+    sys.path.insert(0, "tests")
+    from test_tiff import _lzw_encode_tiff
+
+    lzw = _lzw_encode_tiff(raw)
+    assert _decode_stream({}, {"/Filter": "/LZWDecode"}, lzw) == raw
+    assert _decode_stream(
+        {}, {"/Filter": "/LZWDecode",
+             "/DecodeParms": {"/EarlyChange": 1}}, lzw) == raw
+    # unknown filters stay typed
+    with pytest.raises(NotImplementedError, match="JBIG2"):
+        _decode_stream({}, {"/Filter": "/JBIG2Decode"}, b"")
