@@ -227,7 +227,52 @@ def _objects(b: bytes) -> dict[int, tuple]:
         objs[num] = (val, stream)
     if not objs:
         raise PdfError("no objects found")
+    _expand_object_streams(objs)
     return objs
+
+
+MAX_OBJSTM_MEMBERS = 1 << 16
+
+
+def _expand_object_streams(objs: dict) -> None:
+    """PDF 1.5 object streams (§7.5.7, r12): objects of /Type /ObjStm
+    hold N compressed non-stream objects — N pairs of (objnum,
+    offset) integers, then the object values at /First + offset.  The
+    tolerant raw scan can't see them, so modern PDFs (xref streams,
+    compressed page dicts) would otherwise lose their page tree.
+    Members never override a directly-scanned object (incremental
+    updates append direct definitions, which win)."""
+    members: dict[int, tuple] = {}
+    for _num, (val, raw) in list(objs.items()):
+        if not (isinstance(val, dict)
+                and val.get("/Type") == "/ObjStm" and raw is not None):
+            continue
+        n = _resolve(objs, val.get("/N"))
+        first = _resolve(objs, val.get("/First"))
+        if not isinstance(n, int) or not isinstance(first, int) \
+                or not 0 <= n <= MAX_OBJSTM_MEMBERS or first < 0:
+            raise PdfError("bad ObjStm /N or /First")
+        body = _decode_stream(objs, val, raw)
+        pairs = []
+        i = 0
+        for _ in range(2 * n):
+            i = _skip_ws(body, i)
+            m = _NUM_RE.match(body, i)
+            if not m or b"." in m.group(0):
+                raise PdfError("bad ObjStm header pair")
+            pairs.append(int(m.group(0)))
+            i = m.end()
+        for k in range(n):
+            onum, off = pairs[2 * k], pairs[2 * k + 1]
+            if first + off > len(body):
+                raise PdfError("ObjStm member offset out of range")
+            try:
+                v, _ = _parse_value(body, first + off)
+            except PdfError:
+                continue                       # tolerant, like the scan
+            members[onum] = (v, None)
+    for onum, pair in members.items():
+        objs.setdefault(onum, pair)
 
 
 def _resolve(objs: dict, v):

@@ -204,3 +204,46 @@ def test_classic_stream_filters():
     # unknown filters stay typed
     with pytest.raises(NotImplementedError, match="JBIG2"):
         _decode_stream({}, {"/Filter": "/JBIG2Decode"}, b"")
+
+
+def test_object_streams():
+    """PDF 1.5 /ObjStm (r12): catalog + page tree compressed inside an
+    object stream are still reachable; direct definitions win over
+    ObjStm members."""
+    import zlib as _z
+
+    from evm_archive_spark.operators.pdf import extract_pdf_text
+
+    # objects 1 (catalog), 2 (pages), 3 (page) live INSIDE the ObjStm
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+    ]
+    hdr = b""
+    body = b""
+    for num, val in inner:
+        hdr += b"%d %d " % (num, len(body))
+        body += val + b" "
+    payload = hdr + body
+    comp = _z.compress(payload)
+    content = b"BT (compressed object stream page) Tj ET"
+    out = bytearray(b"%PDF-1.5\n")
+    out += (b"4 0 obj\n<< /Type /ObjStm /N 3 /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n" % (len(hdr), len(comp))
+            ) + comp + b"\nendstream\nendobj\n"
+    out += (b"5 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+            ) + content + b"\nendstream\nendobj\n"
+    out += b"%%EOF\n"
+    text, n_pages = extract_pdf_text(bytes(out))
+    assert n_pages == 1
+    assert "compressed object stream page" in text
+    # a direct definition of object 3 wins over the ObjStm member
+    upd = b"BT (direct update) Tj ET"
+    override = bytes(out).replace(
+        b"%%EOF",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\n"
+        b"endobj\n6 0 obj\n<< /Length %d >>\nstream\n" % len(upd)
+        + upd + b"\nendstream\nendobj\n%%EOF")
+    text2, _ = extract_pdf_text(override)
+    assert "direct update" in text2 and "compressed" not in text2
