@@ -246,7 +246,7 @@ class _Db:
 
 
 _IPK = re.compile(r"(?i)\bINTEGER\s+PRIMARY\s+KEY\b")
-_WOR = re.compile(r"(?i)\bWITHOUT\s+ROWID\b\s*,?\s*$")
+_WOR = re.compile(r"(?i)\bWITHOUT\s+ROWID\b")
 
 
 def _split_cols(create_sql: str | None) -> list[str]:
@@ -367,7 +367,9 @@ def sqlite_tables(b: bytes) -> list[tuple[str, list[list]]]:
         if not isinstance(rootpage, int) or rootpage < 1:
             continue                                  # virtual table
         sql_s = sql if isinstance(sql, str) else None
-        if sql_s and _WOR.search(sql_s.strip()):
+        # table options follow the last ')': WITHOUT ROWID and
+        # STRICT may appear in either order
+        if sql_s and _WOR.search(sql_s.rsplit(")", 1)[-1]):
             # WITHOUT ROWID (r12): rows live in an index b-tree, PK
             # columns first; restore declared order (key order kept)
             perm = _wor_order(sql_s)

@@ -219,6 +219,19 @@ def test_without_rowid_tables():
     assert tabs["comp"] == [list(r) for r in con.execute(
         "SELECT a, b, c FROM comp ORDER BY b, a")]
     assert tabs["big"] == [[7, "x" * 80000]]
+    # table options in either order (STRICT before/after WITHOUT ROWID)
+    con3 = sqlite3.connect(":memory:")
+    con3.executescript(
+        "CREATE TABLE s1 (k TEXT PRIMARY KEY, v INT) "
+        "WITHOUT ROWID, STRICT;"
+        "CREATE TABLE s2 (k TEXT PRIMARY KEY, v INT) "
+        "STRICT, WITHOUT ROWID;"
+        "INSERT INTO s1 VALUES ('b', 1), ('a', 2);"
+        "INSERT INTO s2 VALUES ('b', 3), ('a', 4);")
+    con3.commit()
+    t3 = dict(sqlite_tables(bytes(con3.serialize())))
+    assert t3["s1"] == [["a", 2], ["b", 1]]
+    assert t3["s2"] == [["a", 4], ["b", 3]]
     # quoted column names in the PK clause
     con2 = sqlite3.connect(":memory:")
     con2.executescript(
