@@ -518,7 +518,9 @@ def decode_jpegls_raw(data: bytes) -> tuple[np.ndarray, int]:
         elif 0xFFC0 <= marker <= 0xFFCF:
             raise JpeglsError(
                 f"marker {marker:04X}: not a JPEG-LS stream")
-        elif marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+        elif marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD8:
+            # standalone markers carry no length segment (RST0-7 and
+            # a stray repeated SOI included)
             raise JpeglsError(
                 f"standalone marker {marker:04X} before scan")
         else:                                  # APPn/COM etc.
