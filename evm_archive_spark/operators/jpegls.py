@@ -464,7 +464,8 @@ def build_jpegls(img: np.ndarray, precision: int | None = None,
 
 @guard(JpeglsError)
 def decode_jpegls_raw(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a lossless single-component JPEG-LS stream ->
+    """Decode a single-component JPEG-LS stream (lossless or
+    near-lossless, per the scan's NEAR) ->
     ((h, w, 1) uint16 samples, precision)."""
     if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != SOI:
         raise JpeglsError("not a JPEG-LS payload (no SOI)")
