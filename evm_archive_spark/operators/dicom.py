@@ -288,6 +288,10 @@ def dicom_frames(b: bytes) -> tuple[np.ndarray, int]:
     the Basic Offset Table (or one-fragment-per-frame when the BOT is
     empty, the common writer shortcut)."""
     meta, ds, ts = _parse(b)
+    return _frames_parsed(ds, ts)
+
+
+def _frames_parsed(ds: dict, ts: str) -> tuple[np.ndarray, int]:
     bo = ">" if ts == UID_EXPLICIT_BE else "<"
     rows = _u16(ds, (0x0028, 0x0010), bo)
     cols = _u16(ds, (0x0028, 0x0011), bo)
@@ -409,8 +413,8 @@ def dicom_rescaled(b: bytes) -> np.ndarray:
     inversion stays a DISPLAY concern (``decode_dicom``) — rescaled
     values are physical units (e.g. Hounsfield) where inversion
     would be wrong."""
-    _, ds, _ = _parse(b)
-    frames, _stored = dicom_frames(b)
+    _, ds, ts = _parse(b)               # ONE parse for tags + frames
+    frames, _stored = _frames_parsed(ds, ts)
 
     def _ds_float(tag, default):
         v = _text(ds, tag).strip()

@@ -247,25 +247,31 @@ def _expand_object_streams(objs: dict) -> None:
         if not (isinstance(val, dict)
                 and val.get("/Type") == "/ObjStm" and raw is not None):
             continue
-        n = _resolve(objs, val.get("/N"))
-        first = _resolve(objs, val.get("/First"))
-        if not isinstance(n, int) or not isinstance(first, int) \
-                or not 0 <= n <= MAX_OBJSTM_MEMBERS or first < 0:
-            raise PdfError("bad ObjStm /N or /First")
-        body = _decode_stream(objs, val, raw)
-        pairs = []
-        i = 0
-        for _ in range(2 * n):
-            i = _skip_ws(body, i)
-            m = _NUM_RE.match(body, i)
-            if not m or b"." in m.group(0):
-                raise PdfError("bad ObjStm header pair")
-            pairs.append(int(m.group(0)))
-            i = m.end()
+        # tolerant like the raw scan: one damaged or
+        # unsupported-filter ObjStm must not cost the directly
+        # scanned objects — skip it
+        try:
+            n = _resolve(objs, val.get("/N"))
+            first = _resolve(objs, val.get("/First"))
+            if not isinstance(n, int) or not isinstance(first, int) \
+                    or not 0 <= n <= MAX_OBJSTM_MEMBERS or first < 0:
+                raise PdfError("bad ObjStm /N or /First")
+            body = _decode_stream(objs, val, raw)
+            pairs = []
+            i = 0
+            for _ in range(2 * n):
+                i = _skip_ws(body, i)
+                m = _NUM_RE.match(body, i)
+                if not m or b"." in m.group(0):
+                    raise PdfError("bad ObjStm header pair")
+                pairs.append(int(m.group(0)))
+                i = m.end()
+        except (PdfError, NotImplementedError):
+            continue
         for k in range(n):
             onum, off = pairs[2 * k], pairs[2 * k + 1]
             if first + off > len(body):
-                raise PdfError("ObjStm member offset out of range")
+                continue
             try:
                 v, _ = _parse_value(body, first + off)
             except PdfError:
@@ -338,6 +344,8 @@ def _ascii85_decode(data: bytes) -> bytes:
         v = 0
         for g in group + [84] * (5 - n):
             v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise PdfError("ASCII85: group overflow")
         out += v.to_bytes(4, "big")[: n - 1]
     return bytes(out)
 
@@ -372,6 +380,9 @@ def _decode_stream(objs: dict, d: dict, raw: bytes) -> bytes:
     parms_all = _resolve(objs, d.get("/DecodeParms", d.get("/DP")))
     if not isinstance(parms_all, list):
         parms_all = [parms_all] * len(filters)
+    elif len(parms_all) < len(filters):
+        # a short /DecodeParms array must not drop trailing filters
+        parms_all = parms_all + [None] * (len(filters) - len(parms_all))
     out = raw
     for f, parms in zip(filters, parms_all):
         f = _resolve(objs, f)
@@ -645,7 +656,7 @@ def pdf_images(b: bytes) -> list[dict]:
     - ``/CCITTFaxDecode``: scanned-fax pages through ccittfax.py
       (DecodeParms /K < 0 -> G4, 0 -> G3 1-D, > 0 -> G3 2-D;
       /Columns, /Rows defaulted from the image dict;
-      /EncodedByteAlign stays typed);
+      /EncodedByteAlign honored in all three K regimes — r12);
     - ``/FlateDecode`` (or no filter): raw DeviceGray/DeviceRGB
       rasters at 8 bits (PNG-style DecodeParms predictors undone);
     - ``/JPXDecode`` / ``/JBIG2Decode``: named NotImplementedError

@@ -213,14 +213,23 @@ class _Db:
                 yield rowid, self._record(self._payload(pg, i, plen))
 
 
-    def index_rows(self, rootpage: int, _depth: int = 0):
+    def index_rows(self, rootpage: int, _depth: int = 0,
+                   _visits: list | None = None):
         """Walk an index b-tree IN ORDER, yielding each entry's record
         values.  WITHOUT ROWID tables store complete rows here —
         interior cells carry real entries too (each key appears once
         in the whole tree), so the walk interleaves children and
-        cells."""
+        cells.  A TOTAL page-visit cap (shared across the recursion,
+        like table_rows') bounds crafted page DAGs — a small file
+        whose interior pages all point at each other is otherwise
+        exponential in the depth cap."""
         if _depth > 64:
             raise SqliteError("index b-tree deeper than cap")
+        if _visits is None:
+            _visits = [0]
+        _visits[0] += 1
+        if _visits[0] > MAX_PAGES_WALK:
+            raise SqliteError("index b-tree walk page cap exceeded")
         pg = self.page(rootpage)
         hoff = 100 if rootpage == 1 else 0
         ptype = pg[hoff]
@@ -237,12 +246,12 @@ class _Db:
         for c in range(ncell):
             (coff,) = struct.unpack_from(">H", pg, hoff + 12 + 2 * c)
             (child,) = struct.unpack_from(">I", pg, coff)
-            yield from self.index_rows(child, _depth + 1)
+            yield from self.index_rows(child, _depth + 1, _visits)
             plen, i = _varint(pg, coff + 4)
             yield self._record(
                 self._payload(pg, i, plen, index_page=True))
         (rightmost,) = struct.unpack_from(">I", pg, hoff + 8)
-        yield from self.index_rows(rightmost, _depth + 1)
+        yield from self.index_rows(rightmost, _depth + 1, _visits)
 
 
 _IPK = re.compile(r"(?i)\bINTEGER\s+PRIMARY\s+KEY\b")

@@ -247,3 +247,38 @@ def test_object_streams():
         + upd + b"\nendstream\nendobj\n%%EOF")
     text2, _ = extract_pdf_text(override)
     assert "direct update" in text2 and "compressed" not in text2
+
+
+def test_filter_edge_cases_from_review():
+    """Review r12 regressions: ASCII85 partial-group overflow is
+    typed; a short /DecodeParms array must not drop trailing
+    filters; a damaged ObjStm must not cost the direct objects."""
+    import zlib as _z
+
+    from evm_archive_spark.operators.pdf import (
+        PdfError,
+        _ascii85_decode,
+        _decode_stream,
+        build_simple_pdf,
+        extract_pdf_text,
+    )
+
+    with pytest.raises(PdfError, match="overflow"):
+        _ascii85_decode(b"uu~>")
+    raw = b"review regression payload " * 9
+    flate = _z.compress(raw)
+    rl = bytes([127]) + flate[:128] + bytes(
+        [len(flate) - 129]) + flate[128:] if len(flate) > 128 else \
+        bytes([len(flate) - 1]) + flate
+    out = _decode_stream(
+        {}, {"/Filter": ["/RunLengthDecode", "/FlateDecode"],
+             "/DecodeParms": [None]}, rl)
+    assert out == raw
+    # damaged ObjStm: direct objects still extract
+    good = build_simple_pdf(["resilient page"])
+    bad = good.replace(
+        b"%%EOF",
+        b"99 0 obj\n<< /Type /ObjStm /N 2 /First 4 /Length 3 >>\n"
+        b"stream\nxyz\nendstream\nendobj\n%%EOF")
+    text, n = extract_pdf_text(bad)
+    assert n == 1 and "resilient page" in text

@@ -241,3 +241,51 @@ def test_without_rowid_tables():
     con2.commit()
     assert dict(sqlite_tables(bytes(con2.serialize())))["q"] == \
         [["a", 5]]
+
+
+def test_index_walk_page_dag_is_bounded():
+    """A crafted WITHOUT ROWID index whose interior pages form a
+    small DAG with high fan-out must hit the TOTAL page-visit cap
+    (review r12): depth stays under the depth cap while visits grow
+    exponentially, so a per-call depth limit alone is not enough."""
+    import struct as _st
+    import time
+
+    from evm_archive_spark.operators.sqlitefile import MAGIC, _Db
+
+    page = 512
+    npages = 10
+    buf = bytearray(page * (npages + 1))
+    hdr = bytearray(100)
+    hdr[0:16] = MAGIC
+    _st.pack_into(">H", hdr, 16, page)
+    _st.pack_into(">I", hdr, 56, 1)
+    buf[0:100] = hdr
+    for pno in range(2, npages):          # interior chain, fanout 8
+        off = (pno - 1) * page
+        buf[off] = 2
+        _st.pack_into(">H", buf, off + 3, 8)
+        _st.pack_into(">I", buf, off + 8, pno + 1)
+        cell_area = off + 12 + 16
+        for c in range(8):
+            coff = cell_area + c * 10
+            _st.pack_into(">H", buf, off + 12 + 2 * c, coff - off)
+            _st.pack_into(">I", buf, coff, pno + 1)
+            buf[coff + 4] = 1             # payload len 1
+            buf[coff + 5] = 1             # record header: empty row
+    buf[(npages - 1) * page] = 10         # terminal leaf, 0 cells
+    db = _Db(bytes(buf))
+    t0 = time.time()
+    with pytest.raises(SqliteError, match="page cap"):
+        list(db.index_rows(2))
+    assert time.time() - t0 < 30
+    # a pure self-loop hits the depth cap instead
+    loop = bytearray(buf)
+    off = page
+    _st.pack_into(">I", loop, off + 8, 2)
+    cell_area = off + 12 + 16
+    for c in range(8):
+        coff = cell_area + c * 10
+        _st.pack_into(">I", loop, coff, 2)
+    with pytest.raises(SqliteError, match="deeper than cap"):
+        list(_Db(bytes(loop)).index_rows(2))
