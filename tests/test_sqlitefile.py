@@ -243,7 +243,7 @@ def test_without_rowid_tables():
         [["a", 5]]
 
 
-def test_index_walk_page_dag_is_bounded():
+def test_index_walk_page_dag_is_bounded(monkeypatch):
     """A crafted WITHOUT ROWID index whose interior pages form a
     small DAG with high fan-out must hit the TOTAL page-visit cap
     (review r12): depth stays under the depth cap while visits grow
@@ -274,11 +274,14 @@ def test_index_walk_page_dag_is_bounded():
             buf[coff + 4] = 1             # payload len 1
             buf[coff + 5] = 1             # record header: empty row
     buf[(npages - 1) * page] = 10         # terminal leaf, 0 cells
+    import evm_archive_spark.operators.sqlitefile as sq
+
+    monkeypatch.setattr(sq, "MAX_PAGES_WALK", 10_000)  # fast fire
     db = _Db(bytes(buf))
     t0 = time.time()
     with pytest.raises(SqliteError, match="page cap"):
         list(db.index_rows(2))
-    assert time.time() - t0 < 30
+    assert time.time() - t0 < 10
     # a pure self-loop hits the depth cap instead
     loop = bytearray(buf)
     off = page
