@@ -41,8 +41,13 @@ def exact_dedup_by_content(
     partition's sort.  Instead min(id) per digest partial-aggregates on
     (digest, id) only, and the join back is on the DISTINCT (digest, id)
     pair — no hot key exists by construction (same discipline as
-    line_dedup / ADVICE r2)."""
-    h = F.md5(F.col(content_col))
+    line_dedup / ADVICE r2).
+
+    NULL content hashes as the empty string (the cross_doc_span_dedup
+    convention): md5(NULL) is NULL and a semi-join never matches NULL
+    keys, which silently DROPPED every NULL-content row (review
+    r12)."""
+    h = F.md5(F.coalesce(F.col(content_col), F.lit("")))
     with_h = df.withColumn("__h", h)
     winners = (
         with_h.select("__h", F.col(id_col))
@@ -137,6 +142,11 @@ def minhash_lsh_candidates(
     (doc, band) — then self-join on (band, band_hash).  The join is the
     only shuffle; dupes across bands are collapsed with dropDuplicates.
     """
+    if bands < 1 or num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} (a "
+            "non-divisor silently discards the signature tail; "
+            "bands > num_perm degenerates every band to a constant)")
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, k)
     banded = sig.select(
@@ -225,8 +235,10 @@ def minhash_near_duplicates(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(col, seed: int = 42, n_bits: int = 64, hash_fn=None) -> F.Column:
-    """SimHash over whitespace tokens (Charikar '02), ``n_bits`` wide.
+def simhash(col, seed: int = 42, n_bits: int = 64, hash_fn=None,
+            token_split: str = " +") -> F.Column:
+    """SimHash over space-delimited tokens (Charikar '02), ``n_bits``
+    wide.
 
     bit j of the fingerprint = sign of sum over tokens of (+1 if bit j of
     hash(token) else -1).  Entirely JVM-side: one fold producing a
@@ -234,9 +246,13 @@ def simhash(col, seed: int = 42, n_bits: int = 64, hash_fn=None) -> F.Column:
     (Column -> Column) defaults to salted xxhash64; the parity gate
     passes an md5-derived hash both engines can compute so the identical
     construction is checkable against DuckDB (q_simhash_md5).
-    """
+
+    ``token_split`` defaults to the gate convention of SPACE runs
+    (mirrored in the DuckDB oracles); multi-line corpora fuse
+    newline-joined tokens under it — pass ``r"\s+"`` for true
+    whitespace tokenization (review r12 note)."""
     c = F.col(col) if isinstance(col, str) else col
-    tokens = F.split(F.trim(c), " +")
+    tokens = F.split(F.trim(c), token_split)
     if hash_fn is None:
         hash_fn = lambda t: F.xxhash64(t, F.lit(seed))  # noqa: E731
     hashes = F.transform(tokens, hash_fn)
@@ -545,6 +561,9 @@ def line_dedup(
     import re as _re
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # NULL text explodes to zero rows and the document would vanish
+    # from the output (review r12) — coalesce to the empty document
+    c = F.coalesce(c, F.lit(""))
     lines = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -605,8 +624,16 @@ def cross_doc_span_dedup(
 
     Lee et al. build a corpus-wide suffix array — inherently
     single-machine.  The distributed construction here replaces it
-    with positional winnowing + anchor extension, preserving the
-    guarantee for runs >= k + window - 1:
+    with positional winnowing + anchor extension.  The guarantee for
+    runs >= k + window - 1 holds whenever the shared anchors'
+    canonical (earliest) occurrences lie in a document that shares
+    the run; if a THIRD, earlier document contains only an anchor's
+    k-gram (not the surrounding run), extension against that
+    canonical occurrence stops at the gram, and only the gram — not
+    the whole run — is removed from the later documents (review r12;
+    the exact-suffix-array construction has no such collision case).
+    In practice boilerplate runs collide on many anchors, so the
+    spans union covers the run unless EVERY anchor is shadowed:
 
     1. positional winnowing (Schleimer et al. 2003): hash every
        ``k``-token gram, select the leftmost-minimum hash position of
@@ -900,6 +927,11 @@ def minhash_band_index(
     Band hash = the comma-joined sub-signature; ``seed`` is unused.
     Same shape either way, every md5 value replayable in DuckDB.
     """
+    if bands < 1 or num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} (a "
+            "non-divisor silently discards the signature tail; "
+            "bands > num_perm degenerates every band to a constant)")
     rows_per_band = num_perm // bands
     if method == "md5":
         sig = _md5_minhash_signatures(df, id_col, text_col, num_perm, k)

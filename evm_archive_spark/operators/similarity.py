@@ -51,8 +51,17 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set against the corpus.
+
+    ``exclude_same_id=True`` (the default, and the self-query
+    contract: queries drawn FROM the corpus shouldn't return
+    themselves) removes corpus rows whose id equals the query id.
+    Pass False when ``queries`` is an EXTERNAL set with its own id
+    namespace — with the default, a corpus vector that merely shares
+    an external query's id number would be silently excluded from
+    that query's candidates (review r12).
 
     Plan shape at scale: Parquet scan of the corpus stays partition-local
     (queries broadcast), the only shuffle is the final top-k window over
@@ -61,9 +70,11 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
+    cond = F.col(id_col) != F.col("query_id") if exclude_same_id \
+        else F.lit(True)
     scored = (
         df.alias("c")
-        .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(q), cond)
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
@@ -779,9 +790,15 @@ def semantic_dedup(
         ).alias("__n2"),
     )
     if centroids is not None:
+        # accept ivf_train's output shape (centroid_id, centroid)
+        # directly, else quantize the caller's vec_col (review r12:
+        # the docstring's own example previously raised
+        # UNRESOLVED_COLUMN)
+        cvec = "centroid" if "centroid" in centroids.columns \
+            and vec_col not in centroids.columns else vec_col
         cents = centroids.select(
             F.col("centroid_id").cast("long").alias("centroid_id"),
-            F.expr(_QUANT.format(v=vec_col)).alias("centroid"),
+            F.expr(_QUANT.format(v=cvec)).alias("centroid"),
         )
     else:
         mod = centroid_mod
@@ -998,25 +1015,32 @@ def pq_train_kmeans(
         ).alias("s", "sub"),
     )
 
-    # init: per subspace, k sample subvectors by xxhash order (ivf_train's
-    # deterministic-seeding convention; no RNG state, no driver sample)
-    w = Window.partitionBy("s").orderBy(
-        F.xxhash64(F.col("__id"), F.lit(seed)), F.col("__id")
-    )
-    init = (
-        subs.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k)
-        .select("s", (F.col("__r") - 1).alias("j"), "sub")
+    # init: k sample subvectors per subspace by xxhash order
+    # (ivf_train's deterministic-seeding convention; no RNG state, no
+    # driver sample).  The hash key depends only on __id, so the SAME
+    # k ids win in every subspace — one shuffle-free TakeOrdered
+    # (orderBy + limit) replaces the previous row_number window,
+    # which funneled the whole corpus's subvectors into m unbounded
+    # window partitions (review r12; selection is identical, so
+    # trained codebooks are bit-for-bit unchanged).
+    sel = (
+        q.orderBy(F.xxhash64(F.col("__id"), F.lit(seed)), "__id")
+        .limit(k)
+        .select("__e")
         .collect()
     )
-    if len(init) < m * k:
+    if len(sel) < k:
         raise ValueError(
-            f"empty/short training sample: {len(init)} codewords for "
+            f"empty/short training sample: {len(sel)} rows for "
             f"m={m} k={k}; lower k or raise sample_fraction"
         )
-    book: list[list[list[int]]] = [[None] * k for _ in range(m)]
-    for r in init:
-        book[r["s"]][r["j"]] = [int(x) for x in r["sub"]]
+    book: list[list[list[int]]] = [
+        [
+            [int(x) for x in r["__e"][si * dsub:(si + 1) * dsub]]
+            for r in sel
+        ]
+        for si in range(m)
+    ]
 
     for _ in range(iters):
         cbl = F.lit(book).cast("array<array<array<bigint>>>")
@@ -1281,7 +1305,15 @@ def hyperplane_lsh_bucket_md5(
         bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(
             F.lit(0)
         ).cast("long")
-    return bucket
+    # a dim mismatch makes zip_with pad with NULLs, every dot NULL and
+    # every bit fall to the otherwise(0) branch — all vectors in
+    # bucket 0 and the LSH join degenerates to all-pairs with no
+    # error (review r12).  Fail loudly at execution instead.
+    return F.when(
+        F.size(F.col(vec_col) if isinstance(vec_col, str)
+               else vec_col) == dim, bucket
+    ).otherwise(F.raise_error(F.lit(
+        f"hyperplane_lsh_bucket_md5: vector length != dim={dim}")))
 
 
 # --------------------------------------------------------------------------
@@ -1541,6 +1573,11 @@ def mmr_rerank(
     array<bigint>).  Round 1 takes the most relevant candidate; round t
     maximizes ``lam_num * rel - (lam_den - lam_num) * max_sim`` where
     max_sim is the candidate's largest quantized dot against the
+    already-selected set FLOORED AT ZERO (the running fold starts at
+    0, so anti-correlated candidates score as orthogonal — a
+    deliberate monotone simplification of textbook MMR, mirrored
+    exactly in the q_mmr gate oracle's ``ms = 0`` initialization;
+    review r12 note), i.e. max_sim is
     already-selected set — all BIGINT, ties to the smallest id, so the
     full selection is engine-replayable (the gate unrolls it in SQL).
 

@@ -4187,3 +4187,49 @@ def test_semantic_dedup_centroid_paths_equivalent(spark):
         emb, centroid_mod=max(1, math.isqrt(n)), threshold_num=2,
         threshold_den=5).orderBy("vec_id")
     assert auto.collect() == manual.collect()
+
+
+def test_dedup_null_handling_and_band_validation(spark):
+    """Review r12 regressions: NULL-content rows survive exact dedup
+    (grouped with the empty string, the cross_doc_span_dedup
+    convention); NULL-text documents pass through line_dedup; a
+    bands/num_perm mismatch raises instead of silently reshaping the
+    S-curve."""
+    import pytest as _pt
+
+    from evm_archive_spark.operators.dedup import (
+        exact_dedup_by_content,
+        line_dedup,
+        minhash_band_index,
+        minhash_lsh_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "")],
+        "doc_id long, text string")
+    out = exact_dedup_by_content(df, "doc_id", "text")
+    # one survivor for the NULL/'' group (lowest id), one for 'x'
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    ld = line_dedup(df, min_occurrences=2)
+    assert ld.count() == 4                     # no document vanishes
+    assert ld.filter("doc_id = 1").count() == 1
+    with _pt.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(df, "doc_id", "text",
+                               num_perm=32, bands=5)
+    with _pt.raises(ValueError, match="divide"):
+        minhash_band_index(df, num_perm=32, bands=64)
+
+
+def test_semantic_dedup_accepts_ivf_train_output(spark):
+    """Review r12: the docstring's own example — passing ivf_train's
+    (centroid_id, centroid) frame — must work without renaming."""
+    from evm_archive_spark.operators.similarity import (
+        ivf_train,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_train(emb, n_centroids=4)
+    out = semantic_dedup(emb, centroids=cents)
+    assert out.count() == emb.count()
+    assert set(out.columns) >= {"vec_id", "keep"}
