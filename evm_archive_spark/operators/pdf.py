@@ -270,8 +270,8 @@ def _expand_object_streams(objs: dict) -> None:
             continue
         for k in range(n):
             onum, off = pairs[2 * k], pairs[2 * k + 1]
-            if first + off > len(body):
-                continue
+            if onum < 0 or off < 0 or first + off > len(body):
+                continue                   # signed header pair = junk
             try:
                 v, _ = _parse_value(body, first + off)
             except PdfError:
@@ -386,7 +386,9 @@ def _decode_stream(objs: dict, d: dict, raw: bytes) -> bytes:
     out = raw
     for f, parms in zip(filters, parms_all):
         f = _resolve(objs, f)
-        parms = _resolve(objs, parms) or {}
+        parms = _resolve(objs, parms)
+        if not isinstance(parms, dict):   # crafted non-dict /DecodeParms
+            parms = {}
         if f == "/FlateDecode":
             try:
                 out = zlib.decompressobj().decompress(out, MAX_STREAM_OUT)
@@ -693,9 +695,11 @@ def pdf_images(b: bytes) -> list[dict]:
             # pixel-count cap (the webp rule): a tiny crafted dict
             # must not force a giant raster or a long predictor walk
             raise PdfError(f"image object {num}: bad dimensions")
-        parms = _resolve(objs, val.get("/DecodeParms", {})) or {}
+        parms = _resolve(objs, val.get("/DecodeParms", {}))
         if isinstance(parms, list):
-            parms = _resolve(objs, parms[-1]) or {}
+            parms = _resolve(objs, parms[-1]) if parms else None
+        if not isinstance(parms, dict):   # crafted non-dict /DecodeParms
+            parms = {}
         rgba = np.zeros((h, w, 4), dtype=np.uint8)
         rgba[:, :, 3] = 255
         if last == "/DCTDecode":

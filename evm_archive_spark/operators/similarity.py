@@ -999,6 +999,11 @@ def pq_train_kmeans(
     dsub = d // m
     q = df.select(
         F.col(id_col).alias("__id"), F.expr(_QUANT.format(v=vec_col)).alias("__e")
+    ).filter(
+        # NULL / wrong-dim embeddings: the old row_number window
+        # skipped them implicitly; the TakeOrdered init must not
+        # select them (ADVICE r12 — NoneType slice in book init)
+        F.col("__e").isNotNull() & (F.size("__e") == d)
     )
     if sample_fraction is not None:
         q = q.filter(

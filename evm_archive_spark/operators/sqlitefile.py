@@ -384,7 +384,13 @@ def sqlite_tables(b: bytes) -> list[tuple[str, list[list]]]:
             perm = _wor_order(sql_s)
             rows = []
             for vals in db.index_rows(rootpage):
-                if perm is not None and len(vals) >= len(perm):
+                if perm is not None:
+                    # ALTER TABLE ADD COLUMN leaves old rows short:
+                    # pad with NULLs so every row gets the SAME
+                    # declared-order permutation (ADVICE r12)
+                    if len(vals) < len(perm):
+                        vals = list(vals) + \
+                            [None] * (len(perm) - len(vals))
                     vals = [vals[i] for i in perm] + \
                         list(vals[len(perm):])
                 rows.append(vals)

@@ -1212,6 +1212,33 @@ def _pooled_pq_train_kmeans_deterministic_and_better_distortion(spark):
     assert d_trained <= d_sampled, (d_trained, d_sampled)
 
 
+def _pooled_pq_train_kmeans_skips_null_embeddings(spark):
+    """ADVICE r12: the TakeOrdered init (orderBy xxhash + limit) can
+    select rows the old row_number window implicitly skipped — NULL
+    and wrong-dimension embeddings.  They must be filtered before
+    selection or book init raises TypeError on a None slice."""
+    from evm_archive_spark.operators.similarity import (
+        pq_encode, pq_train_kmeans,
+    )
+
+    rows = [(i, [float(i + s) for s in range(4)]) for i in range(4)]
+    rows += [(10 + i, None) for i in range(12)]      # NULLs dominate
+    rows.append((30, [1.0, 2.0]))                    # wrong dim
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    book = pq_train_kmeans(emb, m=2, k=4, iters=1)
+    assert len(book) == 2 and all(len(s) == 4 for s in book)
+    # the trained book round-trips through pq_encode on the clean rows
+    clean = emb.filter("embedding is not null and size(embedding) = 4")
+    assert pq_encode(clean, book).count() == 4
+    # and an all-null frame fails typed, not with TypeError
+    allnull = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, None)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="short"):
+        pq_train_kmeans(allnull, m=2, k=2, iters=1)
+
+
 def test_pq_topk_accepts_injected_book(spark):
     from evm_archive_spark.operators.similarity import (
         pq_topk, pq_train_kmeans,
@@ -4120,6 +4147,7 @@ _POOLED_HEAVY = [
     _pooled_streaming_incremental_dedup_equals_batch,
     _pooled_incremental_corpus_update_state_round_trip,
     _pooled_pq_train_kmeans_deterministic_and_better_distortion,
+    _pooled_pq_train_kmeans_skips_null_embeddings,
     _pooled_rollup_update_incremental_equals_recompute,
     _pooled_incremental_minhash_dedup_drops_near_twin_keeps_novel,
     _pooled_pq_encode_arrow_matches_expr_bit_for_bit,

@@ -282,3 +282,57 @@ def test_filter_edge_cases_from_review():
         b"stream\nxyz\nendstream\nendobj\n%%EOF")
     text, n = extract_pdf_text(bad)
     assert n == 1 and "resilient page" in text
+
+
+def test_advice_r12_parms_and_objstm_guards():
+    """ADVICE r12 regressions: (a) a /DecodeParms that resolves to a
+    non-dict truthy value (an int) must not escape the PdfError
+    contract via AttributeError; (b) signed (negative) ObjStm header
+    pairs must not index the body from the end."""
+    import zlib as _z
+
+    from evm_archive_spark.operators.pdf import (
+        _decode_stream,
+        extract_pdf_text,
+        pdf_images,
+    )
+
+    raw = b"advice regression payload"
+    import sys
+    sys.path.insert(0, "tests")
+    from test_tiff import _lzw_encode_tiff
+
+    lzw = _lzw_encode_tiff(raw)
+    # int /DecodeParms on the LZW branch: parms.get() would raise
+    # AttributeError before the fix; now treated as {} (defaults)
+    assert _decode_stream(
+        {}, {"/Filter": "/LZWDecode", "/DecodeParms": 7}, lzw) == raw
+    # same via an array slot and through pdf_images' parms path
+    assert _decode_stream(
+        {}, {"/Filter": ["/LZWDecode"], "/DecodeParms": [7]}, lzw) == raw
+    px = bytes(range(12))                      # 2x2 RGB8
+    comp = _z.compress(px)
+    img = b"%PDF-1.4\n" + (
+        b"1 0 obj\n<< /Subtype /Image /Width 2 /Height 2 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+        b"/Filter /FlateDecode /DecodeParms 7 /Length %d >>\n"
+        b"stream\n" % len(comp)) + comp + b"\nendstream\nendobj\n%%EOF"
+    imgs = pdf_images(img)
+    assert len(imgs) == 1 and imgs[0]["width"] == 2 \
+        and imgs[0]["height"] == 2
+
+    # negative ObjStm offsets: member must be skipped, not parsed
+    # from the end of the body; direct objects still extract
+    hdr = b"1 -5 2 -1 "
+    body = b"<< /A 1 >> << /B 2 >>"
+    payload = hdr + body
+    comp = _z.compress(payload)
+    from evm_archive_spark.operators.pdf import build_simple_pdf
+    good = build_simple_pdf(["objstm guard page"])
+    bad = good.replace(
+        b"%%EOF",
+        b"98 0 obj\n<< /Type /ObjStm /N 2 /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n" % (len(hdr), len(comp))
+        + comp + b"\nendstream\nendobj\n%%EOF")
+    text, n = extract_pdf_text(bad)
+    assert n == 1 and "objstm guard page" in text

@@ -292,3 +292,24 @@ def test_index_walk_page_dag_is_bounded(monkeypatch):
         _st.pack_into(">I", loop, coff, 2)
     with pytest.raises(SqliteError, match="deeper than cap"):
         list(_Db(bytes(loop)).index_rows(2))
+
+
+def test_without_rowid_alter_table_short_records():
+    """ADVICE r12: ALTER TABLE ADD COLUMN leaves pre-existing WITHOUT
+    ROWID rows with short stored records; they must be NULL-padded and
+    get the SAME declared-order permutation as full rows (not left in
+    stored PK-first order)."""
+    con = sqlite3.connect(":memory:")
+    # PK is NOT the first declared column, so the permutation is
+    # non-trivial and a skipped permutation is visible
+    con.executescript(
+        "CREATE TABLE w (a INTEGER, b TEXT PRIMARY KEY) WITHOUT ROWID;"
+        "INSERT INTO w VALUES (1, 'x'), (2, 'y');")
+    con.commit()
+    con.execute("ALTER TABLE w ADD COLUMN c INTEGER")
+    con.execute("INSERT INTO w VALUES (3, 'z', 30)")
+    con.commit()
+    tabs = dict(sqlite_tables(bytes(con.serialize())))
+    assert tabs["w"] == [list(r) for r in con.execute(
+        "SELECT a, b, c FROM w ORDER BY b")]
+    assert tabs["w"] == [[1, "x", None], [2, "y", None], [3, "z", 30]]
