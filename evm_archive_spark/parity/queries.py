@@ -13227,53 +13227,49 @@ def _round11_first() -> list[str]:
     return head[:50]
 
 
-# Round-12 head (ACTIVE).  CORRECTNESS_r11 came back 50/50 green with
-# zero `err` rows; union driver coverage is 301/301 (VERDICT r11).
-# Composition per the standing contract (NOTES round-12 window plan /
-# VERDICT r11 next-round #1):
-#   1. zero r11 reds to re-enter;
-#   2. the FIFTEEN gates whose newest driver row is still r5-vintage
-#      (the r11 [:50] cap displaced them; list recomputed from
-#      CORRECTNESS_r01-r11 and matches VERDICT r11 #1 exactly);
-#   3. gates registered new IN round 12 OR whose fixture cycle
-#      materially changed this round (_ROUND12_STAGED, appended as
+# Round-13 head (ACTIVE).  CORRECTNESS_r12 came back 50/50 green with
+# zero `err` rows; union driver coverage is 301/301 (VERDICT r12).
+# Composition per the standing contract (VERDICT r12 next-round #1):
+#   1. zero r12 reds to re-enter;
+#   2. the TWELVE gates whose newest driver row is still r6-vintage
+#      (the r12 [:50] cap displaced them; list recomputed from
+#      CORRECTNESS_r01-r12 and matches VERDICT r12 #1 exactly);
+#   3. gates registered new IN round 13 OR whose fixture cycle
+#      materially changed this round (_ROUND13_STAGED, appended as
 #      they land; each driver-sim'd at both SFs before entry);
-#   4. remaining slots: r6-vintage gates (newest row r6 — 44 of
-#      them) in their CORRECTNESS_r06 row order.  The ones the [:50]
-#      cap displaces rotate into the r13 head.
+#   4. remaining slots: r7-vintage gates (newest row r7 — 48 of
+#      them) in their CORRECTNESS_r07 row order.  The ones the [:50]
+#      cap displaces rotate into the r14 head.
 # Nothing here is curated for expected-pass.
-_ROUND12_R5_VINTAGE = [
-    "q_j8_fullouter", "q_w5_rangeframe", "q_u5_exceptall",
-    "q_a7_timerollup", "q_a8_median", "q_a6", "q_w1", "q_w4",
-    "q_s1", "q_s2", "q_u1", "q_u2", "q_u3", "q_u4", "q_x1",
-]
-_ROUND12_STAGED: list[str] = [
-    # appended as round-12 gates land OR materially change their
-    # fixture cycle (each driver-sim'd at both SFs first)
-    "q_pdf_images",  # cycle grew /EncodedByteAlign + continuous-MH
-    "q_dicom",       # cycle grew the JPEG-LS transfer syntax (T.87)
-    "q_sqlite",      # cycle grew a WITHOUT ROWID table arm
-]
-_ROUND12_R6_VINTAGE = [
-    "q_url_dedup", "q_host_stats", "q_incr_url", "q_html_extract",
-    "q_nb_classify", "q_script_profile", "q_web_pipeline", "q_nfc",
-    "q_audio_neardup", "q_st_admission", "q_st_reorg", "q_robots",
-    "q_sitemap", "q_spectral", "q_vad", "q_image_meta",
-    "q_exif_scrub", "q_cdc", "q_cdc_dedup", "q_incr_cdc", "q_pdf",
-    "q_code_stats", "q_license", "q_code_filter", "q_winnow",
-    "q_clone_pairs", "q_ipynb", "q_markdown", "q_archive",
-    "q_email", "q_subtitles", "q_extract", "q_av_align",
-    "q_audio_meta", "q_feed", "q_boilerplate", "q_csv_extract",
-    "q_page_meta", "q_span_dedup", "q_retrieval",
+_ROUND13_R6_VINTAGE = [
+    "q_av_align", "q_audio_meta", "q_feed", "q_boilerplate",
+    "q_csv_extract", "q_page_meta", "q_span_dedup", "q_retrieval",
     "q_incr_retrieval", "q_frontier", "q_jsonl_unwrap", "q_links",
 ]
+_ROUND13_STAGED: list[str] = [
+    # appended as round-13 gates land OR materially change their
+    # fixture cycle (each driver-sim'd at both SFs first)
+]
+_ROUND13_R7_VINTAGE = [
+    "q_chat", "q_fim", "q_phash", "q_pref", "q_sentences",
+    "q_manifest", "q_gz_extract", "q_image_corpus", "q_audio_corpus",
+    "q_img_captions", "q_dataset_diff", "q_video_neardup",
+    "q_video_dedup", "q_video_meta", "q_video_corpus", "q_incr_video",
+    "q_st_retrieval", "q_mkv_meta", "q_st_admission_replay", "q_docx",
+    "q_epub", "q_odt", "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods",
+    "q_xls", "q_odp", "q_mkv_decode", "q_avro", "q_ar_cpio",
+    "q_columnar", "q_msgpack", "q_protowire", "q_ppt", "q_x2", "q_x3",
+    "q_x6_regexp", "q_x7_nullfns", "q_x8_hof", "q_a9_stringagg",
+    "q_x9_datearith", "q_a10_pivot", "q_x10_explode", "q_x4", "q_x5",
+    "q_d1",
+]
 
 
-def _round12_first() -> list[str]:
+def _round13_first() -> list[str]:
     head: list[str] = []
     seen: set[str] = set()
-    for n in (_ROUND12_R5_VINTAGE + _ROUND12_STAGED
-              + _ROUND12_R6_VINTAGE):
+    for n in (_ROUND13_R6_VINTAGE + _ROUND13_STAGED
+              + _ROUND13_R7_VINTAGE):
         if n in seen or n not in _REGISTERED_NAMES:
             continue
         seen.add(n)
@@ -13283,7 +13279,7 @@ def _round12_first() -> list[str]:
 
 def _reordered() -> list[ParityQuery]:
     by_name = {q.name: q for q in _REGISTRY}
-    order = _round12_first()
+    order = _round13_first()
     head = [by_name[n] for n in order if n in by_name]
     in_head = set(n for n in order if n in by_name)
     tail = [q for q in _REGISTRY if q.name not in in_head]
