@@ -34,6 +34,9 @@ HEADLINE = [
     "q_d10",
     "q_st1",
     "q_st4_sessions",
+    # scale-true sink form of the same aggregation (VERDICT r12 #2):
+    # executors land result partitions in parquet, driver holds nothing
+    "q_st4_sessions_parquet",
     "q_dedup_exact",
     "q_neardup_pipeline",
     "q_knn",
@@ -57,6 +60,9 @@ HEADLINE = [
     "q_line_dedup",
     "q_bloom_decontam",
     "q_semdedup",
+    # scale path of the same operator (auto-sqrt(n) centroids, VERDICT
+    # r12 #2): O(n^1.5) where the fixed-mod gate form is O(n^2/mod)
+    "q_semdedup_scale",
     "q_pq_topk",
     "q_cms",
     "q_profile",

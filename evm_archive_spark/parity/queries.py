@@ -1392,6 +1392,39 @@ _add(
 )
 
 
+def _q_st4_parquet(spark, sf_dir):
+    """Q-ST4 scale form (VERDICT r12 #2): the SAME session aggregation
+    landed through a PARQUET sink — executors write result partitions,
+    the driver holds nothing (the memory-sink gate form OOMed at 9.54M
+    session rows in the r12 sf10 probe; this form ran 28.1 s for 10M
+    events).  Emission semantics identical, so it shares q_st4_sessions'
+    batch-recompute oracle."""
+    from ..streaming.windows import session_window_counts_parquet
+
+    return session_window_counts_parquet(spark, sf_dir, "30 minutes")
+
+
+_add(
+    "q_st4_sessions_parquet",
+    _q_st4_parquet,
+    "WITH mx AS (SELECT max(ts) AS m FROM events), "
+    "x AS (SELECT user_id, ts, event_id, "
+    "  CASE WHEN lag(ts) OVER w IS NULL "
+    "       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, SUM(new_s) OVER "
+    "  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+    "  FROM x) "
+    "SELECT user_id, MIN(s.ts) AS session_start, "
+    "  MAX(s.ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n "
+    "FROM s, mx GROUP BY user_id, sid, mx.m "
+    "HAVING MAX(s.ts) + INTERVAL 30 MINUTE <= mx.m "
+    "ORDER BY user_id NULLS FIRST, session_start NULLS FIRST",
+    "session windows through a parquet sink (scale-true sink form) == "
+    "the same batch lag/cumsum oracle as the memory-sink gate",
+)
+
+
 def _q_st5(spark, sf_dir):
     from ..streaming.stateful import per_user_running_totals
 
@@ -3062,6 +3095,64 @@ _add(
     "ORDER BY vec_id NULLS FIRST",
     "SemDeDup: deterministic cluster assignment + within-cluster "
     "quantized-cosine near-dup removal (exact integer rule)",
+)
+
+
+def _q_semdedup_scale(spark, sf_dir):
+    """SemDeDup on the SCALE path (VERDICT r12 #2): ``centroid_mod=None``
+    auto-sizes the centroid rule to ~sqrt(n) corpus members, the paper's
+    balanced O(n^1.5) shape — assignment O(n*sqrt n) + within-cluster
+    pairs O(n*sqrt n) — where the fixed-mod gate form is O(n^2/mod) by
+    construction (the r12 sf10 probe measured it 7.3x superlinear at
+    200k vectors while this path stayed flat).  The oracle recomputes
+    the same sqrt-n rule in SQL (mod = floor(sqrt(count))), so the gate
+    checks the scale path's full assignment + keep matrix exactly."""
+    from ..operators.similarity import semantic_dedup
+
+    register_testdata(spark, sf_dir, ["embeddings"])
+    out = semantic_dedup(
+        fan_out(spark.table("embeddings")),
+        centroid_mod=None, threshold_num=2, threshold_den=5,
+    )
+    return out.select(
+        "vec_id",
+        "centroid_id",
+        F.col("keep").cast("long").alias("keep"),
+    ).orderBy("vec_id")
+
+
+_add(
+    "q_semdedup_scale",
+    _q_semdedup_scale,
+    "WITH q AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e "
+    "FROM embeddings), "
+    "m AS (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS md FROM q), "
+    "n AS (SELECT vec_id, list_sum(list_transform(generate_series(1, 64), "
+    "i -> e[i]*e[i])) AS n2 FROM q), "
+    "c AS (SELECT vec_id AS cid, e AS ce FROM q, m WHERE vec_id % m.md = 0), "
+    "d AS (SELECT q.vec_id, c.cid, "
+    "list_sum(list_transform(generate_series(1, 64), i -> q.e[i]*c.ce[i])) "
+    "AS qd FROM q CROSS JOIN c), "
+    "a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY qd DESC, cid) AS rn "
+    "FROM d) WHERE rn = 1), "
+    "p0 AS (SELECT y.vec_id AS loser, "
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> qa.e[i]*qb.e[i])) AS qd, na.n2 AS na2, nb.n2 AS nb2 "
+    "FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id "
+    "JOIN q qa ON qa.vec_id = x.vec_id "
+    "JOIN q qb ON qb.vec_id = y.vec_id "
+    "JOIN n na ON na.vec_id = x.vec_id "
+    "JOIN n nb ON nb.vec_id = y.vec_id), "
+    "p AS (SELECT DISTINCT loser FROM p0 "
+    "WHERE qd > 0 AND qd*qd*25 >= 4*na2*nb2) "
+    "SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id, "
+    "CAST(p.loser IS NULL AS BIGINT) AS keep "
+    "FROM a LEFT JOIN p ON a.vec_id = p.loser "
+    "ORDER BY vec_id NULLS FIRST",
+    "SemDeDup scale path (auto-sqrt(n) centroid rule) == same rule "
+    "recomputed in SQL with mod = floor(sqrt(count))",
 )
 
 
@@ -13249,6 +13340,8 @@ _ROUND13_R6_VINTAGE = [
 _ROUND13_STAGED: list[str] = [
     # appended as round-13 gates land OR materially change their
     # fixture cycle (each driver-sim'd at both SFs first)
+    "q_semdedup_scale",        # auto-sqrt(n) SemDeDup (VERDICT r12 #2)
+    "q_st4_sessions_parquet",  # parquet-sink session form (same item)
 ]
 _ROUND13_R7_VINTAGE = [
     "q_chat", "q_fim", "q_phash", "q_pref", "q_sentences",

@@ -99,6 +99,78 @@ def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def _run_to_parquet(agg: DataFrame, mode: str,
+                    shuffle_partitions: int | None = 8) -> DataFrame:
+    """Run a streaming aggregation to a PARQUET sink and read the result
+    back — the scale-true sink form (VERDICT r12 #2).
+
+    The memory sink materializes every result row in DRIVER heap, which
+    is what makes the driver's row-hash gate possible at fixture scale
+    and what OOMs at 9.5M session rows (the r12 sf10 probe).  A real
+    deployment lands windowed aggregates in files/tables; this helper is
+    that shape: executors write result partitions directly, the driver
+    holds nothing.  ``shuffle_partitions=None`` keeps the session's
+    width (scale runs); the default 8 mirrors ``_run_to_memory`` so the
+    two sink forms of one gate share a plan."""
+    import shutil
+    import tempfile
+
+    spark = agg.sparkSession
+    out_dir = tempfile.mkdtemp(prefix="st_pq_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize driver-side-free: read back lazily, but copy out
+        # of the temp dir's lifetime by localCheckpoint so the caller's
+        # DataFrame survives the cleanup below
+        res = spark.read.parquet(f"{out_dir}/data").localCheckpoint(
+            eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return res
+
+
+def session_window_counts_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Q-ST4 scale form: the SAME gap-based session aggregation as
+    ``session_window_counts`` landed through a parquet sink instead of
+    the driver-heap memory sink (VERDICT r12 #2 — the r12 sf10 probe
+    measured the memory sink OOM at 9.54M session rows while this form
+    ran 28.1 s for 10M events).  Emission semantics identical (append
+    mode, zero-delay watermark), so the two forms share one oracle."""
+    with nanos_stream_scope(spark):
+        sdf = stream_events(spark, sf_dir)
+        agg = (
+            sdf.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n",
+            )
+        )
+        out = _run_to_parquet(agg, "append", shuffle_partitions)
+    return out.orderBy("user_id", "session_start")
+
+
 def tumbling_event_counts(
     spark: SparkSession, sf_dir: str, window: str = "1 hour"
 ) -> DataFrame:
