@@ -1,0 +1,582 @@
+"""JBIG2 (ITU-T T.88) generic-region codec — the PDF ``/JBIG2Decode``
+image-filter lane (VERDICT r12 next-round #3).
+
+Scope: the **embedded stream** organisation PDF uses (PDF 32000-1
+§7.4.7 — segment headers without a file header, page 1, optional
+``/JBIG2Globals`` segments prepended), with
+
+- **immediate generic region** segments (types 38/39), both coding
+  modes: MMR=1 (T.6/G4 through the libtiff-cross-pinned
+  ``ccittfax.decode_g4``) and MMR=0 (MQ arithmetic coding, GB
+  templates 0-3, explicit AT pixels, TPGDON typical prediction);
+- page info (48), end of page/stripe/file (49/50/51), profiles/tables
+  (52/53) and extension (62) segments parsed/skipped as appropriate;
+- all five external combination operators (OR/AND/XOR/XNOR/REPLACE).
+
+Symbol dictionaries + text regions (0/4/6/7), pattern dictionaries +
+halftone regions (16/20/22/23), refinement regions (40/42/43),
+intermediate regions (36), unknown-length segments and striped
+(unknown-height) pages stay **typed NotImplementedError/Jbig2Error
+boundaries** — named gaps, not crashes.
+
+The MQ coder here is the T.88 Annex E coder (47-state Qe table, 0x5601
+start, 7-bit BYTEIN after a 0xFF byte) — a different coder from the
+T.81 QM-coder in jpegarith.py (113 states, 0x5A1D, stuffed-byte
+convention); the two are implemented independently because their
+byte-level conventions genuinely differ.
+
+Pin strategy (the jpegls.py pattern — no system JBIG2 codec exists in
+this container; libjbig.so is JBIG1/T.82, a different standard): the
+encoder below is an independent from-scratch implementation used to
+build fixtures; correctness evidence is (a) the MMR arm, which is
+byte-identical T.6 and therefore pinned transitively through
+ccittfax.py's libtiff cross-pins, (b) exhaustive round-trip fuzz over
+all templates / AT placements / TPGDON, (c) golden-freeze bytes so the
+bitstream can never drift silently, and (d) truncation/corruption fuzz
+(typed errors only).  Context bit-layout note: a bijective relabeling
+of context values is transparent to a matched encoder/decoder pair;
+the layout used here is the spec's (the one interoperable decoders
+use), but with no independent JBIG2 stream source in-env that aspect
+is documented rather than machine-pinned.
+
+Reference parity: the reference (SummaryDev/evm-archive) stores media
+as opaque hex/bytea and decodes nothing; this lane is part of the
+multimodal extension surface (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class Jbig2Error(ValueError):
+    """Typed JBIG2 failure (corrupt stream, unsupported-but-named
+    variants raise NotImplementedError instead)."""
+
+
+# --------------------------------------------------------------------------
+# MQ arithmetic coder (T.88 Annex E): 47-state Qe table
+# --------------------------------------------------------------------------
+
+# (Qe, NMPS, NLPS, SWITCH) — T.88 Table E.1
+MQ_STATES: tuple[tuple[int, int, int, int], ...] = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+
+class MqDecoder:
+    """T.88 Annex E MQ decoder.  Context state lives in the caller's
+    ``stats`` list (``state*2 + mps`` per context — the adaptive part),
+    so one decoder serves many context sets.  Reads past the end of
+    ``data`` behave as the spec's marker rule (feed 1-bits)."""
+
+    def __init__(self, data: bytes):
+        self._d = data
+        self._bp = 0
+        b = data[0] if data else 0xFF
+        self.c = b << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        d, bp = self._d, self._bp
+        cur = d[bp] if bp < len(d) else 0xFF
+        if cur == 0xFF:
+            nxt = d[bp + 1] if bp + 1 < len(d) else 0xFF
+            if nxt > 0x8F:
+                # marker (or end of data): feed 1-bits, do not advance
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self._bp = bp + 1
+                self.c += nxt << 9
+                self.ct = 7
+        else:
+            self._bp = bp + 1
+            nxt = d[bp + 1] if bp + 1 < len(d) else 0xFF
+            self.c += nxt << 8
+            self.ct = 8
+
+    def decode(self, stats: list, cx: int) -> int:
+        sv = stats[cx]
+        mps = sv & 1
+        qe, nmps, nlps, switch = MQ_STATES[sv >> 1]
+        self.a -= qe
+        if (self.c >> 16) < qe:
+            # LPS exchange
+            if self.a < qe:
+                d = mps
+                stats[cx] = (nmps << 1) | mps
+            else:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                stats[cx] = (nlps << 1) | mps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                stats[cx] = (nlps << 1) | mps
+            else:
+                d = mps
+                stats[cx] = (nmps << 1) | mps
+        # renormalize
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class MqEncoder:
+    """T.88 Annex E MQ encoder (the fixture-writer side).  Same
+    ``stats`` convention as the decoder."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self._bytes: list[int] = [0]  # scratch byte; dropped if still 0
+
+    def _byteout(self) -> None:
+        bs = self._bytes
+        if bs[-1] == 0xFF:
+            bs.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            bs.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            bs[-1] += 1  # carry into the previous byte
+            if bs[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                bs.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                bs.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def encode(self, stats: list, cx: int, bit: int) -> None:
+        sv = stats[cx]
+        mps = sv & 1
+        qe, nmps, nlps, switch = MQ_STATES[sv >> 1]
+        if bit == mps:
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            stats[cx] = (nmps << 1) | mps
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                mps ^= 1
+            stats[cx] = (nlps << 1) | mps
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # SETBITS (T.88 E.3.8)
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        bs = self._bytes
+        out = bytes(bs[1:] if bs[0] == 0 else bs)
+        # the spec permits dropping trailing 0xFF bytes; keep them —
+        # the decoder's marker rule regenerates the same 1-bits either
+        # way, and keeping them makes the golden freeze simpler
+        return out
+
+
+# --------------------------------------------------------------------------
+# generic region decoding procedure (T.88 §6.2)
+# --------------------------------------------------------------------------
+
+# context neighborhoods, LSB-first; "A1".."A4" are the adaptive (AT)
+# slots at their spec bit positions (T.88 figures 4-7 / §6.2.5.7)
+_TEMPLATES: dict[int, tuple] = {
+    0: ((-1, 0), (-2, 0), (-3, 0), (-4, 0), "A1",
+        (2, -1), (1, -1), (0, -1), (-1, -1), (-2, -1), "A2",
+        (1, -2), (0, -2), (-1, -2), "A3", "A4"),
+    1: ((-1, 0), (-2, 0), (-3, 0), "A1",
+        (2, -1), (1, -1), (0, -1), (-1, -1), (-2, -1),
+        (2, -2), (1, -2), (0, -2), (-1, -2)),
+    2: ((-1, 0), (-2, 0), "A1",
+        (1, -1), (0, -1), (-1, -1), (-2, -1),
+        (1, -2), (0, -2), (-1, -2)),
+    3: ((-1, 0), (-2, 0), (-3, 0), (-4, 0), "A1",
+        (1, -1), (0, -1), (-1, -1), (-2, -1), (-3, -1)),
+}
+NOMINAL_AT: dict[int, tuple] = {
+    0: ((3, -1), (-3, -1), (2, -2), (-2, -2)),
+    1: ((3, -1),),
+    2: ((2, -1),),
+    3: ((2, -1),),
+}
+# SLTP pseudo-pixel context per template (T.88 §6.2.5.7)
+_TPGDON_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+
+MAX_PIXELS = 1 << 24  # the webp/pdf rule: crafted dims must not OOM
+_MAX_AT = 127  # AT coordinates are signed bytes
+
+
+def _resolve_template(template: int, at: tuple | None):
+    if template not in _TEMPLATES:
+        raise Jbig2Error(f"bad GB template {template}")
+    if at is None:
+        at = NOMINAL_AT[template]
+    if len(at) != len(NOMINAL_AT[template]):
+        raise Jbig2Error(
+            f"template {template} needs {len(NOMINAL_AT[template])} "
+            f"AT pixels, got {len(at)}")
+    offs = []
+    for slot in _TEMPLATES[template]:
+        if isinstance(slot, str):
+            ax, ay = at[int(slot[1]) - 1]
+            if ay > 0 or (ay == 0 and ax >= 0):
+                raise Jbig2Error("AT pixel not strictly causal")
+            offs.append((ax, ay))
+        else:
+            offs.append(slot)
+    return offs
+
+
+def _check_region_dims(w: int, h: int) -> None:
+    if w < 1 or h < 1 or w * h > MAX_PIXELS:
+        raise Jbig2Error(f"bad region dimensions {w}x{h}")
+
+
+def decode_generic(data: bytes, w: int, h: int, template: int = 0,
+                   at: tuple | None = None,
+                   tpgdon: bool = False) -> np.ndarray:
+    """Decode one MQ-coded generic region to an (h, w) uint8 bitmap
+    (1 = black).  Out-of-bounds context pixels read 0, per spec."""
+    _check_region_dims(w, h)
+    offs = _resolve_template(template, at)
+    pad = 1 + _MAX_AT  # any signed-byte AT offset stays in the pad
+    P = np.zeros((h + 2 + 2 * pad, w + 2 * pad), dtype=np.uint8)
+    y0, x0 = 2 + pad, pad  # origin of the real bitmap inside P
+    mq = MqDecoder(data)
+    nbits = len(offs)
+    stats = [0] * (1 << nbits)
+    weights = [(dx, dy, 1 << i) for i, (dx, dy) in enumerate(offs)]
+    sltp_cx = _TPGDON_CTX[template]
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            ltp ^= mq.decode(stats, sltp_cx)
+            if ltp:
+                if y:
+                    P[y0 + y] = P[y0 + y - 1]
+                continue
+        py = y0 + y
+        row = P[py]
+        for x in range(w):
+            px = x0 + x
+            cx = 0
+            for dx, dy, wbit in weights:
+                if P[py + dy, px + dx]:
+                    cx |= wbit
+            if mq.decode(stats, cx):
+                row[px] = 1
+    return np.ascontiguousarray(
+        P[y0:y0 + h, x0:x0 + w])
+
+
+def encode_generic(bits: np.ndarray, template: int = 0,
+                   at: tuple | None = None,
+                   tpgdon: bool = False) -> bytes:
+    """Encode an (h, w) 0/1 bitmap as one MQ-coded generic region —
+    the exact mirror of ``decode_generic`` (fixture writer)."""
+    b = (np.asarray(bits) > 0).astype(np.uint8)
+    if b.ndim != 2:
+        raise Jbig2Error("bitmap must be 2-D")
+    h, w = b.shape
+    _check_region_dims(w, h)
+    offs = _resolve_template(template, at)
+    pad = 1 + _MAX_AT
+    P = np.zeros((h + 2 + 2 * pad, w + 2 * pad), dtype=np.uint8)
+    y0, x0 = 2 + pad, pad
+    P[y0:y0 + h, x0:x0 + w] = b
+    mq = MqEncoder()
+    stats = [0] * (1 << len(offs))
+    weights = [(dx, dy, 1 << i) for i, (dx, dy) in enumerate(offs)]
+    sltp_cx = _TPGDON_CTX[template]
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            typical = int(
+                y > 0 and bool((b[y] == b[y - 1]).all()))
+            mq.encode(stats, sltp_cx, typical ^ ltp)
+            ltp = typical
+            if ltp:
+                continue
+        py = y0 + y
+        for x in range(w):
+            px = x0 + x
+            cx = 0
+            for dx, dy, wbit in weights:
+                if P[py + dy, px + dx]:
+                    cx |= wbit
+            mq.encode(stats, cx, int(b[y, x]))
+    return mq.flush()
+
+
+# --------------------------------------------------------------------------
+# segment layer (T.88 §7) — embedded-stream organisation
+# --------------------------------------------------------------------------
+
+_REGION_TYPES = frozenset({36, 38, 39})
+_SKIP_TYPES = frozenset({49, 50, 51, 52, 53, 62})
+_UNSUPPORTED = {
+    0: "symbol dictionary", 4: "intermediate text region",
+    6: "immediate text region", 7: "immediate lossless text region",
+    16: "pattern dictionary", 20: "intermediate halftone region",
+    22: "immediate halftone region",
+    23: "immediate lossless halftone region",
+    40: "intermediate refinement region",
+    42: "immediate refinement region",
+    43: "immediate lossless refinement region",
+}
+
+
+def _be32(b: bytes, p: int) -> int:
+    if p + 4 > len(b):
+        raise Jbig2Error("truncated segment header")
+    return struct.unpack_from(">I", b, p)[0]
+
+
+def _parse_segment_header(b: bytes, p: int):
+    """Returns (seg_number, seg_type, page, data_start, data_len)."""
+    num = _be32(b, p)
+    if p + 6 > len(b):
+        raise Jbig2Error("truncated segment header")
+    flags = b[p + 4]
+    stype = flags & 0x3F
+    page4 = bool(flags & 0x40)
+    q = p + 5
+    rts = b[q]
+    cnt = rts >> 5
+    if cnt == 7:
+        cnt = _be32(b, q) & 0x1FFFFFFF
+        if cnt > 64:
+            raise Jbig2Error(
+                f"implausible referred-segment count {cnt}")
+        q += 4 + (cnt + 8) // 8  # 4-byte count + retain bits
+    elif cnt > 4:
+        raise Jbig2Error(f"reserved referred-segment count {cnt}")
+    else:
+        q += 1
+    rsz = 1 if num <= 256 else (2 if num <= 65536 else 4)
+    q += cnt * rsz  # referred numbers (not needed for generic regions)
+    if page4:
+        page = _be32(b, q)
+        q += 4
+    else:
+        if q >= len(b):
+            raise Jbig2Error("truncated segment header")
+        page = b[q]
+        q += 1
+    dlen = _be32(b, q)
+    q += 4
+    if dlen == 0xFFFFFFFF:
+        raise NotImplementedError(
+            "JBIG2 unknown-length segment (T.88 7.2.7) not supported")
+    if q + dlen > len(b):
+        raise Jbig2Error("segment data overruns stream")
+    return num, stype, page, q, dlen
+
+
+def _iter_segments(b: bytes):
+    p = 0
+    while p < len(b):
+        num, stype, page, start, dlen = _parse_segment_header(b, p)
+        yield stype, page, b[start:start + dlen]
+        p = start + dlen
+
+
+def _decode_region_segment(payload: bytes):
+    """Region segment info (§7.4.1) + generic region data (§7.4.6)."""
+    if len(payload) < 18:
+        raise Jbig2Error("truncated region segment")
+    w, h, x, y = struct.unpack_from(">IIII", payload, 0)
+    comb = payload[16] & 0x07
+    gflags = payload[17]
+    mmr = gflags & 1
+    template = (gflags >> 1) & 3
+    tpgdon = bool(gflags & 8)
+    q = 18
+    _check_region_dims(w, h)
+    if x > MAX_PIXELS or y > MAX_PIXELS:
+        raise Jbig2Error("implausible region origin")
+    if comb > 4:
+        raise Jbig2Error(f"bad combination operator {comb}")
+    if mmr:
+        from .ccittfax import CcittError, decode_g4
+
+        try:
+            packed = decode_g4(payload[q:], w, h)
+        except CcittError as e:
+            raise Jbig2Error(f"bad MMR region: {e}") from e
+        bits = np.unpackbits(packed, axis=1)[:, :w]
+    else:
+        n_at = len(NOMINAL_AT[template])
+        if q + 2 * n_at > len(payload):
+            raise Jbig2Error("truncated AT pixels")
+        at = tuple(
+            (struct.unpack_from("b", payload, q + 2 * i)[0],
+             struct.unpack_from("b", payload, q + 2 * i + 1)[0])
+            for i in range(n_at))
+        q += 2 * n_at
+        bits = decode_generic(payload[q:], w, h, template, at, tpgdon)
+    return x, y, comb, bits
+
+
+def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
+    """Decode a PDF-embedded JBIG2 stream (optionally preceded by the
+    ``/JBIG2Globals`` segments) to the page bitmap — (h, w) uint8,
+    1 = black.  Only generic-region pages are supported; segment types
+    needing symbol/halftone/refinement machinery raise a NAMED
+    NotImplementedError."""
+    page_w = page_h = None
+    page_default = 0
+    page: np.ndarray | None = None
+    for stype, _pg, payload in list(_iter_segments(bytes(globals_data))) \
+            + list(_iter_segments(bytes(data))):
+        if stype == 48:  # page info
+            if len(payload) < 19:
+                raise Jbig2Error("truncated page info")
+            page_w, page_h = struct.unpack_from(">II", payload, 0)
+            pflags = payload[16]
+            page_default = (pflags >> 2) & 1
+            if page_h == 0xFFFFFFFF:
+                raise NotImplementedError(
+                    "JBIG2 striped page (unknown height) not supported")
+            _check_region_dims(page_w, page_h)
+            page = np.full((page_h, page_w), page_default,
+                           dtype=np.uint8)
+        elif stype in _REGION_TYPES:
+            if stype == 36:
+                raise NotImplementedError(
+                    "JBIG2 intermediate generic region (needs a "
+                    "referring refinement region) not supported")
+            x, y, comb, bits = _decode_region_segment(payload)
+            h, w = bits.shape
+            if page is None:
+                # PDF streams normally carry page info; tolerate its
+                # absence by sizing the page to the first region
+                page_w, page_h = x + w, y + h
+                _check_region_dims(page_w, page_h)
+                page = np.zeros((page_h, page_w), dtype=np.uint8)
+            if y + h > page.shape[0] or x + w > page.shape[1]:
+                raise Jbig2Error("region outside page")
+            tgt = page[y:y + h, x:x + w]
+            if comb == 0:
+                tgt |= bits
+            elif comb == 1:
+                tgt &= bits
+            elif comb == 2:
+                tgt ^= bits
+            elif comb == 3:
+                tgt[:] = 1 - (tgt ^ bits)
+            else:  # 4 = REPLACE
+                tgt[:] = bits
+        elif stype in _SKIP_TYPES:
+            continue
+        elif stype in _UNSUPPORTED:
+            raise NotImplementedError(
+                f"JBIG2 {_UNSUPPORTED[stype]} segment not supported "
+                "(generic regions only)")
+        else:
+            raise Jbig2Error(f"unknown segment type {stype}")
+    if page is None:
+        raise Jbig2Error("no page in JBIG2 stream")
+    return page
+
+
+def _segment(num: int, stype: int, page: int, payload: bytes,
+             referred: tuple[int, ...] = ()) -> bytes:
+    flags = stype & 0x3F
+    out = struct.pack(">IB", num, flags)
+    if len(referred) > 4:
+        raise Jbig2Error("writer emits at most 4 referred segments")
+    out += bytes([len(referred) << 5])
+    out += bytes(referred)  # segment numbers stay <= 256 here
+    out += bytes([page])
+    out += struct.pack(">I", len(payload))
+    return out + payload
+
+
+def encode_embedded(bits: np.ndarray, template: int = 0,
+                    at: tuple | None = None, tpgdon: bool = False,
+                    mmr: bool = False, comb_op: int = 0) -> bytes:
+    """Write a minimal PDF-embeddable JBIG2 stream: page info + one
+    immediate lossless generic region + end of page."""
+    b = (np.asarray(bits) > 0).astype(np.uint8)
+    h, w = b.shape
+    _check_region_dims(w, h)
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    rinfo = struct.pack(">IIIIB", w, h, 0, 0, comb_op & 7)
+    if mmr:
+        from .ccittfax import encode_g4
+
+        body = rinfo + bytes([1]) + encode_g4(b)
+    else:
+        gflags = ((template & 3) << 1) | (8 if tpgdon else 0)
+        ats = at if at is not None else NOMINAL_AT[template]
+        atb = b"".join(struct.pack("bb", ax, ay) for ax, ay in ats)
+        body = rinfo + bytes([gflags]) + atb \
+            + encode_generic(b, template, at, tpgdon)
+    return (_segment(1, 48, 1, page_info)
+            + _segment(2, 39, 1, body)
+            + _segment(3, 49, 1, b""))

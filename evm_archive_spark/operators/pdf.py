@@ -661,8 +661,11 @@ def pdf_images(b: bytes) -> list[dict]:
       /EncodedByteAlign honored in all three K regimes — r12);
     - ``/FlateDecode`` (or no filter): raw DeviceGray/DeviceRGB
       rasters at 8 bits (PNG-style DecodeParms predictors undone);
-    - ``/JPXDecode`` / ``/JBIG2Decode``: named NotImplementedError
-      gaps (JPEG 2000 / JBIG2 coders out of scope).
+    - ``/JBIG2Decode``: generic-region JBIG2 (r13, jbig2.py — MQ
+      arithmetic templates 0-3 + TPGDON + MMR, optional
+      ``/JBIG2Globals``); symbol/text/halftone regions stay typed;
+    - ``/JPXDecode``: named NotImplementedError gap (JPEG 2000 coder
+      out of scope).
 
     Returns ``[{obj, width, height, bits, colorspace, filter, rgba}]``
     in object order."""
@@ -773,10 +776,34 @@ def pdf_images(b: bytes) -> list[dict]:
                     arr[:, :, 0]
             else:
                 rgba[:, :, :3] = arr
+        elif last == "/JBIG2Decode":
+            from .jbig2 import Jbig2Error, decode_embedded
+
+            gref = parms.get("/JBIG2Globals")
+            gdata = b""
+            if isinstance(gref, _Ref):
+                gval, graw = objs.get(gref.num, (None, None))
+                if graw is not None:
+                    gdata = _decode_stream(
+                        objs,
+                        gval if isinstance(gval, dict) else {},
+                        graw)
+            try:
+                bits = decode_embedded(bytes(raw), gdata)
+            except Jbig2Error as e:
+                raise PdfError(f"image object {num}: {e}") from e
+            if bits.shape[0] < h or bits.shape[1] < w:
+                raise PdfError(
+                    f"image object {num}: JBIG2 page "
+                    f"{bits.shape[0]}x{bits.shape[1]} smaller than "
+                    f"declared {h}x{w}")
+            bits = bits[:h, :w]
+            g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+            rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = g
         else:
             raise NotImplementedError(
                 f"PDF image filter {last} needs codecs out of scope "
-                "(JPXDecode/JBIG2Decode)")
+                "(JPXDecode)")
         out.append({
             "obj": num, "width": w, "height": h, "bits": bpc,
             "colorspace": str(cs), "filter": str(last), "rgba": rgba,
@@ -792,6 +819,8 @@ def build_pdf_with_images(images: list[tuple[str, "object"]],
     'ccitt_g4' / 'ccitt_mh' / 'ccitt_g3' ((h,w) 0/1 bits, 1 = black;
     '_ba' suffix = /EncodedByteAlign true; 'ccitt_mh_cont' = the
     strict K=0 continuous bit stream),
+    'jbig2' / 'jbig2_tpgdon' / 'jbig2_t2' / 'jbig2_mmr' ((h,w) 0/1
+    bits, 1 = black, through jbig2.encode_embedded — r13),
     'jpeg' (pre-encoded JPEG bytes + (h,w) declared dims as
     ((h, w), payload))."""
     import zlib as _z
@@ -850,6 +879,21 @@ def build_pdf_with_images(images: list[tuple[str, "object"]],
                     f"/Filter /CCITTFaxDecode "
                     f"/DecodeParms << /K {k} /Columns {w} "
                     f"/Rows {h}{ebal} >> /Length {len(payload)} >>")
+        elif kind.startswith("jbig2"):
+            from .jbig2 import encode_embedded
+
+            bits = (np.asarray(arr) > 0).astype(np.uint8)
+            h, w = bits.shape
+            # 'jbig2' = arith template 0; '_tpgdon' = typical
+            # prediction on; '_t2' = template 2; '_mmr' = MMR mode
+            payload = encode_embedded(
+                bits,
+                template=2 if kind == "jbig2_t2" else 0,
+                tpgdon=kind == "jbig2_tpgdon",
+                mmr=kind == "jbig2_mmr")
+            head = (f"<< /Subtype /Image /Width {w} /Height {h} "
+                    f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+                    f"/Filter /JBIG2Decode /Length {len(payload)} >>")
         else:
             a = np.asarray(arr, dtype=np.uint8)
             if kind == "flate_gray":

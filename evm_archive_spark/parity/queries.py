@@ -9797,13 +9797,14 @@ _add(
 
 
 # [pair] PDF image-XObject extraction (r11, pdf.pdf_images): every
-# doc gets a one-page PDF carrying TWO images — a CCITT fax page
-# (G4/MH/G3-2D plus the r12 /EncodedByteAlign and continuous-MH
-# variants, cycling by doc_id % 6, through ccittfax.py) of the
+# doc gets a one-page PDF carrying TWO images — a bilevel page
+# (CCITT G4/MH/G3-2D plus the r12 /EncodedByteAlign and
+# continuous-MH variants, and the r13 JBIG2 generic-region arith +
+# MMR framings through jbig2.py, cycling by doc_id % 8) of the
 # standard two-tone bit pattern, and a FlateDecode DeviceGray raster
 # of its 240/16 gray rendering.  The red-channel sum across both
-# decoded images replays analytically: CCITT black bits decode to 0
-# (255 per white pixel), the raster contributes 240/16 per bit.
+# decoded images replays analytically: CCITT/JBIG2 black bits decode
+# to 0 (255 per white pixel), the raster contributes 240/16 per bit.
 
 def _q_pdf_images(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
@@ -9817,10 +9818,11 @@ def _q_pdf_images(spark, sf_dir):
         from ..operators.pdf import build_pdf_with_images, pdf_images
 
         ks = np.arange(64)
-        # r12: the cycle grew the /EncodedByteAlign variants and the
-        # strict continuous-MH K=0 stream
+        # r12 grew the /EncodedByteAlign variants and the strict
+        # continuous-MH K=0 stream; r13 grew the two JBIG2 framings
         kinds = ("ccitt_g4", "ccitt_mh", "ccitt_g3",
-                 "ccitt_g4_ba", "ccitt_g3_ba", "ccitt_mh_cont")
+                 "ccitt_g4_ba", "ccitt_g3_ba", "ccitt_mh_cont",
+                 "jbig2", "jbig2_mmr")
         for b in it:
             out = {"media_id": [], "n_images": [], "sum_r": []}
             for mid in b["media_id"]:
@@ -9828,7 +9830,7 @@ def _q_pdf_images(spark, sf_dir):
                 bits = (((did * 47 + ks * 19) % 5) < 2).reshape(8, 8)
                 v = np.where(bits, 240, 16).astype(np.uint8)
                 pdf = build_pdf_with_images([
-                    (kinds[did % 6], bits.astype(np.uint8)),
+                    (kinds[did % 8], bits.astype(np.uint8)),
                     ("flate_gray", v),
                 ])
                 ims = pdf_images(pdf)
@@ -9854,8 +9856,8 @@ _add(
     "CAST(255 * (64 - SUM(b)) + 240 * SUM(b) + 16 * (64 - SUM(b)) "
     "AS BIGINT) AS sum_r "
     "FROM bits GROUP BY doc_id ORDER BY media_id NULLS FIRST",
-    "REAL PDFs carrying CCITT-fax and Flate-raster image XObjects "
-    "decode through pdf_images -> exact red-channel sum replay",
+    "REAL PDFs carrying CCITT-fax / JBIG2 and Flate-raster image "
+    "XObjects decode through pdf_images -> exact red-channel sum replay",
 )
 
 
@@ -13342,6 +13344,7 @@ _ROUND13_STAGED: list[str] = [
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_semdedup_scale",        # auto-sqrt(n) SemDeDup (VERDICT r12 #2)
     "q_st4_sessions_parquet",  # parquet-sink session form (same item)
+    "q_pdf_images",            # cycle grew the two JBIG2 framings
 ]
 _ROUND13_R7_VINTAGE = [
     "q_chat", "q_fim", "q_phash", "q_pref", "q_sentences",

@@ -99,9 +99,14 @@ def test_typed_boundaries():
     rng = np.random.default_rng(227)
     gray = rng.integers(0, 256, (4, 4), dtype=np.uint8)
     good = build_pdf_with_images([("flate_gray", gray)])
-    # JBIG2/JPX are named NotImplementedError gaps
+    # JPX stays a named NotImplementedError gap (JBIG2 landed r13:
+    # a garbage JBIG2 payload is now a TYPED PdfError instead)
+    bad = good.replace(b"/Filter /FlateDecode", b"/Filter /JPXDecodee")
+    bad = bad.replace(b"/JPXDecodee", b"/JPXDecode ")
+    with pytest.raises(NotImplementedError, match="JPX"):
+        pdf_images(bad)
     bad = good.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode")
-    with pytest.raises(NotImplementedError, match="JBIG2"):
+    with pytest.raises(PdfError, match="truncated segment"):
         pdf_images(bad)
     # short raster is typed
     bad = good.replace(b"/Height 4", b"/Height 9")
@@ -148,3 +153,67 @@ def test_encoded_byte_align_roundtrips():
     from evm_archive_spark.operators.ccittfax import encode_g4
 
     assert len(encode_g4(bits, byte_align=True)) > len(encode_g4(bits))
+
+
+def test_jbig2_image_xobjects_roundtrip():
+    """/JBIG2Decode image XObjects (r13, jbig2.py): all four fixture
+    framings — arith template 0, TPGDON, template 2, MMR — decode
+    through pdf_images to the exact bitmap (1 = black = 0 gray)."""
+    rng = np.random.default_rng(515)
+    bits = (rng.random((13, 31)) < 0.35).astype(np.uint8)
+    want = ((1 - bits) * 255).astype(np.uint8)
+    pdf = build_pdf_with_images([
+        ("jbig2", bits), ("jbig2_tpgdon", bits),
+        ("jbig2_t2", bits), ("jbig2_mmr", bits),
+    ])
+    ims = pdf_images(pdf)
+    assert len(ims) == 4
+    for i, im in enumerate(ims):
+        assert im["filter"] == "/JBIG2Decode"
+        assert im["bits"] == 1
+        assert np.array_equal(im["rgba"][:, :, 0], want), i
+    # a crafted symbol-dictionary stream stays a NAMED typed gap
+    import struct
+    sym = struct.pack(">IB", 9, 0) + bytes([0, 1]) + struct.pack(">I", 0)
+    head = b"%PDF-1.4\n" + (
+        b"1 0 obj\n<< /Subtype /Image /Width 4 /Height 4 "
+        b"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+        b"/Filter /JBIG2Decode /Length %d >>\nstream\n" % len(sym))
+    doc = head + sym + b"\nendstream\nendobj\n%%EOF"
+    with pytest.raises(NotImplementedError, match="symbol dictionary"):
+        pdf_images(doc)
+    # a corrupt JBIG2 stream stays inside the PdfError contract
+    bad = struct.pack(">IB", 9, 63) + bytes([0, 1]) + struct.pack(">I", 0)
+    doc2 = head.replace(b"/Length %d" % len(sym),
+                        b"/Length %d" % len(bad)) \
+        if len(bad) != len(sym) else head + bad + \
+        b"\nendstream\nendobj\n%%EOF"
+    doc2 = head + bad + b"\nendstream\nendobj\n%%EOF"
+    with pytest.raises(PdfError, match="unknown segment"):
+        pdf_images(doc2)
+
+
+def test_jbig2_globals_stream_is_honored():
+    """/JBIG2Globals: the page-info segment moved into the globals
+    stream (Flate-compressed) still initializes the page."""
+    import zlib as _z
+
+    from evm_archive_spark.operators.jbig2 import encode_embedded
+
+    rng = np.random.default_rng(616)
+    bits = (rng.random((9, 17)) < 0.5).astype(np.uint8)
+    full = encode_embedded(bits)
+    glob_raw, rest = full[:30], full[30:]   # 11-byte hdr + 19-byte page
+    gcomp = _z.compress(glob_raw)
+    doc = b"%PDF-1.4\n" + (
+        b"2 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n"
+        % len(gcomp)) + gcomp + b"\nendstream\nendobj\n"
+    doc += (b"1 0 obj\n<< /Subtype /Image /Width 17 /Height 9 "
+            b"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+            b"/Filter /JBIG2Decode "
+            b"/DecodeParms << /JBIG2Globals 2 0 R >> /Length %d >>\n"
+            b"stream\n" % len(rest)) + rest + b"\nendstream\nendobj\n%%EOF"
+    ims = pdf_images(doc)
+    want = ((1 - bits) * 255).astype(np.uint8)
+    assert len(ims) == 1
+    assert np.array_equal(ims[0]["rgba"][:, :, 0], want)
