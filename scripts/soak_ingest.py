@@ -122,6 +122,13 @@ def main() -> int:
         .appName("ingest-soak")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # single-JVM local mode: the driver heap IS the executor heap.
+        # The sf3 (3M-row) soak fit the 1g default; 10M wire rows OOM
+        # it, so size the JVM to the box like a real deployment sizes
+        # executors (r13 — this is a harness knob, not a data-path fix:
+        # the streamed state per micro-batch is one wire file).
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_SOAK_MEM", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
