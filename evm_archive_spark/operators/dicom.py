@@ -63,11 +63,12 @@ UID_JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"
 UID_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 UID_JPEG_LS = "1.2.840.10008.1.2.4.80"
 UID_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
+UID_J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
 UID_RLE = "1.2.840.10008.1.2.5"
 
 _ENCAPSULATED = {UID_JPEG_BASELINE, UID_JPEG_LOSSLESS,
                  UID_JPEG_LOSSLESS_SV1, UID_JPEG_LS,
-                 UID_JPEG_LS_NEAR, UID_RLE}
+                 UID_JPEG_LS_NEAR, UID_J2K_LOSSLESS, UID_RLE}
 
 #: VRs whose explicit form carries 2 reserved bytes + a 4-byte length
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR",
@@ -241,6 +242,21 @@ def _decode_encap_frame(ts: str, stream: bytes, rows: int, cols: int,
     """One encapsulated frame's bitstream -> (rows, cols, spp)."""
     if ts == UID_RLE:
         return _rle_decode_frame(stream, rows, cols, spp, alloc)
+    if ts == UID_J2K_LOSSLESS:
+        # PS3.5 A.4.4: each fragment carries a JPEG 2000 codestream
+        # (r13, jpeg2000.py — lossless 5/3 Part-1 subset)
+        from .jpeg2000 import Jpeg2000Error, decode_j2k
+
+        try:
+            out = decode_j2k(stream)
+        except Jpeg2000Error as e:
+            raise DicomError(f"JPEG 2000 frame: {e}") from e
+        if out.ndim != 2:
+            raise DicomError("JPEG 2000 frame not single-component")
+        if out.shape[0] < rows or out.shape[1] < cols:
+            raise DicomError("frame smaller than Rows/Columns")
+        return np.ascontiguousarray(
+            out[:rows, :cols, None]).astype(np.uint16)
     if ts in (UID_JPEG_LS, UID_JPEG_LS_NEAR):
         from .jpegls import JpeglsError, decode_jpegls_raw as _jls
 
@@ -639,6 +655,10 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
                 return build_jpegls(
                     fr, precision=bits_stored,
                     near=near if ts == UID_JPEG_LS_NEAR else 0)
+            if ts == UID_J2K_LOSSLESS:
+                from .jpeg2000 import encode_j2k
+
+                return encode_j2k(fr, depth=bits_stored, levels=2)
             from .jpeglossless import build_jpeg_lossless
 
             sv1 = ts == UID_JPEG_LOSSLESS_SV1

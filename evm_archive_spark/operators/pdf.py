@@ -664,8 +664,9 @@ def pdf_images(b: bytes) -> list[dict]:
     - ``/JBIG2Decode``: generic-region JBIG2 (r13, jbig2.py — MQ
       arithmetic templates 0-3 + TPGDON + MMR, optional
       ``/JBIG2Globals``); symbol/text/halftone regions stay typed;
-    - ``/JPXDecode``: named NotImplementedError gap (JPEG 2000 coder
-      out of scope).
+    - ``/JPXDecode``: lossless JPEG 2000 (r13, jpeg2000.py — Part-1
+      5/3 reversible subset, raw codestream or JP2 container); the
+      9/7 lossy path stays a named NotImplementedError inside it.
 
     Returns ``[{obj, width, height, bits, colorspace, filter, rgba}]``
     in object order."""
@@ -800,10 +801,28 @@ def pdf_images(b: bytes) -> list[dict]:
             bits = bits[:h, :w]
             g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
             rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = g
+        elif last == "/JPXDecode":
+            from .jpeg2000 import Jpeg2000Error, decode_jpx
+
+            try:
+                dec = decode_jpx(bytes(raw))
+            except Jpeg2000Error as e:
+                raise PdfError(f"image object {num}: {e}") from e
+            if dec.dtype == np.uint16:
+                dec = (dec >> 8).astype(np.uint8)  # 16-bit display rule
+            if dec.shape[0] < h or dec.shape[1] < w:
+                raise PdfError(
+                    f"image object {num}: JPX image "
+                    f"{dec.shape[0]}x{dec.shape[1]} smaller than "
+                    f"declared {h}x{w}")
+            if dec.ndim == 2:
+                rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = \
+                    dec[:h, :w]
+            else:
+                rgba[:, :, :3] = dec[:h, :w, :3]
         else:
             raise NotImplementedError(
-                f"PDF image filter {last} needs codecs out of scope "
-                "(JPXDecode)")
+                f"PDF image filter {last} out of scope")
         out.append({
             "obj": num, "width": w, "height": h, "bits": bpc,
             "colorspace": str(cs), "filter": str(last), "rgba": rgba,
@@ -821,6 +840,8 @@ def build_pdf_with_images(images: list[tuple[str, "object"]],
     strict K=0 continuous bit stream),
     'jbig2' / 'jbig2_tpgdon' / 'jbig2_t2' / 'jbig2_mmr' ((h,w) 0/1
     bits, 1 = black, through jbig2.encode_embedded — r13),
+    'jpx' / 'jp2' ((h,w) or (h,w,3) uint8 through jpeg2000.encode_j2k,
+    raw codestream vs JP2 container — r13),
     'jpeg' (pre-encoded JPEG bytes + (h,w) declared dims as
     ((h, w), payload))."""
     import zlib as _z
@@ -879,6 +900,17 @@ def build_pdf_with_images(images: list[tuple[str, "object"]],
                     f"/Filter /CCITTFaxDecode "
                     f"/DecodeParms << /K {k} /Columns {w} "
                     f"/Rows {h}{ebal} >> /Length {len(payload)} >>")
+        elif kind in ("jpx", "jp2"):
+            from .jpeg2000 import build_jp2, encode_j2k
+
+            a = np.asarray(arr, dtype=np.uint8)
+            h, w = a.shape[:2]
+            cs = "/DeviceRGB" if a.ndim == 3 else "/DeviceGray"
+            payload = (build_jp2(a) if kind == "jp2"
+                       else encode_j2k(a))
+            head = (f"<< /Subtype /Image /Width {w} /Height {h} "
+                    f"/BitsPerComponent 8 /ColorSpace {cs} "
+                    f"/Filter /JPXDecode /Length {len(payload)} >>")
         elif kind.startswith("jbig2"):
             from .jbig2 import encode_embedded
 

@@ -9800,7 +9800,8 @@ _add(
 # doc gets a one-page PDF carrying TWO images — a bilevel page
 # (CCITT G4/MH/G3-2D plus the r12 /EncodedByteAlign and
 # continuous-MH variants, and the r13 JBIG2 generic-region arith +
-# MMR framings through jbig2.py, cycling by doc_id % 8) of the
+# MMR framings through jbig2.py, and the r13 JPEG 2000 raw/JP2
+# framings through jpeg2000.py, cycling by doc_id % 10) of the
 # standard two-tone bit pattern, and a FlateDecode DeviceGray raster
 # of its 240/16 gray rendering.  The red-channel sum across both
 # decoded images replays analytically: CCITT/JBIG2 black bits decode
@@ -9820,18 +9821,22 @@ def _q_pdf_images(spark, sf_dir):
         ks = np.arange(64)
         # r12 grew the /EncodedByteAlign variants and the strict
         # continuous-MH K=0 stream; r13 grew the two JBIG2 framings
+        # and the two JPEG 2000 framings (raw codestream + JP2)
         kinds = ("ccitt_g4", "ccitt_mh", "ccitt_g3",
                  "ccitt_g4_ba", "ccitt_g3_ba", "ccitt_mh_cont",
-                 "jbig2", "jbig2_mmr")
+                 "jbig2", "jbig2_mmr", "jpx", "jp2")
         for b in it:
             out = {"media_id": [], "n_images": [], "sum_r": []}
             for mid in b["media_id"]:
                 did = int(mid)
                 bits = (((did * 47 + ks * 19) % 5) < 2).reshape(8, 8)
                 v = np.where(bits, 240, 16).astype(np.uint8)
+                kind = kinds[did % 10]
+                first = ((1 - bits) * 255).astype(np.uint8) \
+                    if kind in ("jpx", "jp2") \
+                    else bits.astype(np.uint8)
                 pdf = build_pdf_with_images([
-                    (kinds[did % 8], bits.astype(np.uint8)),
-                    ("flate_gray", v),
+                    (kind, first), ("flate_gray", v),
                 ])
                 ims = pdf_images(pdf)
                 out["media_id"].append(did)
@@ -9887,7 +9892,7 @@ def _q_dicom(spark, sf_dir):
         ts_cycle = (D.UID_IMPLICIT_LE, D.UID_EXPLICIT_LE,
                     D.UID_EXPLICIT_BE, D.UID_DEFLATED_LE,
                     D.UID_JPEG_LOSSLESS, D.UID_JPEG_LOSSLESS_SV1,
-                    D.UID_RLE, D.UID_JPEG_LS)
+                    D.UID_RLE, D.UID_JPEG_LS, D.UID_J2K_LOSSLESS)
         ys, xs = np.mgrid[0:16, 0:16]
         for b in it:
             out = {"media_id": [], "rows": [], "cols": [],
@@ -9898,7 +9903,7 @@ def _q_dicom(spark, sf_dir):
                 bits = (12, 14, 16)[did % 3]
                 img = ((did * 131 + ys * 17 + xs * 29)
                        % (1 << bits)).astype(np.uint16)
-                ts = ts_cycle[did % 8]
+                ts = ts_cycle[did % 9]
                 # multi-frame arm: 3 identical frames (sum = 3x), BOT
                 # and empty-BOT forms alternating
                 multi = did % 13 == 2
@@ -13344,7 +13349,8 @@ _ROUND13_STAGED: list[str] = [
     # fixture cycle (each driver-sim'd at both SFs first)
     "q_semdedup_scale",        # auto-sqrt(n) SemDeDup (VERDICT r12 #2)
     "q_st4_sessions_parquet",  # parquet-sink session form (same item)
-    "q_pdf_images",            # cycle grew the two JBIG2 framings
+    "q_pdf_images",            # cycle grew JBIG2 + JPEG 2000 framings
+    "q_dicom",                 # cycle grew the ..4.90 J2K syntax
 ]
 _ROUND13_R7_VINTAGE = [
     "q_chat", "q_fim", "q_phash", "q_pref", "q_sentences",

@@ -318,3 +318,27 @@ def test_rescale_and_monochrome1():
     d2 = build_dicom(img, bits_stored=12)
     assert np.array_equal(dicom_rescaled(d2)[0, :, :, 0],
                           img.astype(np.float64))
+
+
+def test_jpeg2000_lossless_transfer_syntax():
+    """..4.90 (JPEG 2000 Lossless Only, r13): encapsulated frames are
+    Part-1 codestreams through jpeg2000.py; 12/14/16-bit and
+    multi-frame round-trip exactly."""
+    import numpy as np
+
+    from evm_archive_spark.operators import dicom as D
+
+    ys, xs = np.mgrid[0:16, 0:16]
+    for bits in (12, 14, 16):
+        img = ((7 * 131 + ys * 17 + xs * 29) % (1 << bits)).astype(
+            np.uint16)
+        b = D.build_dicom(img, bits_stored=bits,
+                          transfer_syntax=D.UID_J2K_LOSSLESS)
+        assert D.dicom_metadata(b)["transfer_syntax"] == D.UID_J2K_LOSSLESS
+        px, stored = D.dicom_pixels(b)
+        assert stored == bits and (px[:, :, 0] == img).all()
+    imgs = np.stack([img, img // 2, img // 3])
+    b = D.build_dicom(imgs, bits_stored=16,
+                      transfer_syntax=D.UID_J2K_LOSSLESS)
+    fr, _ = D.dicom_frames(b)
+    assert fr.shape == (3, 16, 16, 1) and (fr[:, :, :, 0] == imgs).all()

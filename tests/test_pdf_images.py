@@ -99,14 +99,17 @@ def test_typed_boundaries():
     rng = np.random.default_rng(227)
     gray = rng.integers(0, 256, (4, 4), dtype=np.uint8)
     good = build_pdf_with_images([("flate_gray", gray)])
-    # JPX stays a named NotImplementedError gap (JBIG2 landed r13:
-    # a garbage JBIG2 payload is now a TYPED PdfError instead)
+    # JBIG2 and JPX both landed r13: garbage payloads are TYPED
+    # PdfErrors now; an unknown filter stays NotImplementedError
     bad = good.replace(b"/Filter /FlateDecode", b"/Filter /JPXDecodee")
     bad = bad.replace(b"/JPXDecodee", b"/JPXDecode ")
-    with pytest.raises(NotImplementedError, match="JPX"):
+    with pytest.raises(PdfError, match="codestream|container"):
         pdf_images(bad)
     bad = good.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode")
     with pytest.raises(PdfError, match="truncated segment"):
+        pdf_images(bad)
+    bad = good.replace(b"/Filter /FlateDecode", b"/Filter /CrzyDecode")
+    with pytest.raises(NotImplementedError, match="out of scope"):
         pdf_images(bad)
     # short raster is typed
     bad = good.replace(b"/Height 4", b"/Height 9")
@@ -217,3 +220,20 @@ def test_jbig2_globals_stream_is_honored():
     want = ((1 - bits) * 255).astype(np.uint8)
     assert len(ims) == 1
     assert np.array_equal(ims[0]["rgba"][:, :, 0], want)
+
+
+def test_jpx_image_xobjects_roundtrip():
+    """/JPXDecode image XObjects (r13, jpeg2000.py): raw codestream
+    and JP2-container framings, gray and RGB, decode exactly."""
+    rng = np.random.default_rng(717)
+    gray = rng.integers(0, 256, (11, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    pdf = build_pdf_with_images([("jpx", gray), ("jp2", rgb)])
+    ims = pdf_images(pdf)
+    assert [i["filter"] for i in ims] == ["/JPXDecode", "/JPXDecode"]
+    assert np.array_equal(ims[0]["rgba"][:, :, 0], gray)
+    assert np.array_equal(ims[1]["rgba"][:, :, :3], rgb)
+    # a corrupt JPX payload stays inside the PdfError contract
+    bad = pdf.replace(b"jp2c", b"XXXX")
+    with pytest.raises(PdfError, match="jp2c|codestream"):
+        pdf_images(bad)
