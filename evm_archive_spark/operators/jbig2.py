@@ -298,17 +298,26 @@ def _check_region_dims(w: int, h: int) -> None:
 
 def decode_generic(data: bytes, w: int, h: int, template: int = 0,
                    at: tuple | None = None,
-                   tpgdon: bool = False) -> np.ndarray:
+                   tpgdon: bool = False,
+                   mq: "MqDecoder | None" = None,
+                   stats: list | None = None) -> np.ndarray:
     """Decode one MQ-coded generic region to an (h, w) uint8 bitmap
-    (1 = black).  Out-of-bounds context pixels read 0, per spec."""
+    (1 = black).  Out-of-bounds context pixels read 0, per spec.
+
+    ``mq``/``stats`` inject a SHARED decoder + GB context state — the
+    symbol-dictionary procedure (6.5.5) decodes every symbol bitmap
+    through one arithmetic decoder interleaved with the IAx integer
+    fields, retaining GB stats across symbols."""
     _check_region_dims(w, h)
     offs = _resolve_template(template, at)
     pad = 1 + _MAX_AT  # any signed-byte AT offset stays in the pad
     P = np.zeros((h + 2 + 2 * pad, w + 2 * pad), dtype=np.uint8)
     y0, x0 = 2 + pad, pad  # origin of the real bitmap inside P
-    mq = MqDecoder(data)
+    if mq is None:
+        mq = MqDecoder(data)
     nbits = len(offs)
-    stats = [0] * (1 << nbits)
+    if stats is None:
+        stats = [0] * (1 << nbits)
     weights = [(dx, dy, 1 << i) for i, (dx, dy) in enumerate(offs)]
     sltp_cx = _TPGDON_CTX[template]
     ltp = 0
@@ -335,9 +344,12 @@ def decode_generic(data: bytes, w: int, h: int, template: int = 0,
 
 def encode_generic(bits: np.ndarray, template: int = 0,
                    at: tuple | None = None,
-                   tpgdon: bool = False) -> bytes:
+                   tpgdon: bool = False,
+                   mq: "MqEncoder | None" = None,
+                   stats: list | None = None) -> bytes:
     """Encode an (h, w) 0/1 bitmap as one MQ-coded generic region —
-    the exact mirror of ``decode_generic`` (fixture writer)."""
+    the exact mirror of ``decode_generic`` (fixture writer).  With an
+    injected ``mq`` the caller owns flush() and the return is b""."""
     b = (np.asarray(bits) > 0).astype(np.uint8)
     if b.ndim != 2:
         raise Jbig2Error("bitmap must be 2-D")
@@ -348,8 +360,11 @@ def encode_generic(bits: np.ndarray, template: int = 0,
     P = np.zeros((h + 2 + 2 * pad, w + 2 * pad), dtype=np.uint8)
     y0, x0 = 2 + pad, pad
     P[y0:y0 + h, x0:x0 + w] = b
-    mq = MqEncoder()
-    stats = [0] * (1 << len(offs))
+    own = mq is None
+    if own:
+        mq = MqEncoder()
+    if stats is None:
+        stats = [0] * (1 << len(offs))
     weights = [(dx, dy, 1 << i) for i, (dx, dy) in enumerate(offs)]
     sltp_cx = _TPGDON_CTX[template]
     ltp = 0
@@ -369,7 +384,7 @@ def encode_generic(bits: np.ndarray, template: int = 0,
                 if P[py + dy, px + dx]:
                     cx |= wbit
             mq.encode(stats, cx, int(b[y, x]))
-    return mq.flush()
+    return mq.flush() if own else b""
 
 
 # --------------------------------------------------------------------------
@@ -379,8 +394,6 @@ def encode_generic(bits: np.ndarray, template: int = 0,
 _REGION_TYPES = frozenset({36, 38, 39})
 _SKIP_TYPES = frozenset({49, 50, 51, 52, 53, 62})
 _UNSUPPORTED = {
-    0: "symbol dictionary", 4: "intermediate text region",
-    6: "immediate text region", 7: "immediate lossless text region",
     16: "pattern dictionary", 20: "intermediate halftone region",
     22: "immediate halftone region",
     23: "immediate lossless halftone region",
@@ -397,7 +410,8 @@ def _be32(b: bytes, p: int) -> int:
 
 
 def _parse_segment_header(b: bytes, p: int):
-    """Returns (seg_number, seg_type, page, data_start, data_len)."""
+    """Returns (seg_number, seg_type, referred, page, data_start,
+    data_len)."""
     num = _be32(b, p)
     if p + 6 > len(b):
         raise Jbig2Error("truncated segment header")
@@ -418,7 +432,16 @@ def _parse_segment_header(b: bytes, p: int):
     else:
         q += 1
     rsz = 1 if num <= 256 else (2 if num <= 65536 else 4)
-    q += cnt * rsz  # referred numbers (not needed for generic regions)
+    if q + cnt * rsz > len(b):
+        raise Jbig2Error("truncated referred-segment list")
+    referred = []
+    for i in range(cnt):
+        o = q + i * rsz
+        referred.append(
+            b[o] if rsz == 1 else
+            struct.unpack_from(">H", b, o)[0] if rsz == 2 else
+            _be32(b, o))
+    q += cnt * rsz
     if page4:
         page = _be32(b, q)
         q += 4
@@ -434,14 +457,15 @@ def _parse_segment_header(b: bytes, p: int):
             "JBIG2 unknown-length segment (T.88 7.2.7) not supported")
     if q + dlen > len(b):
         raise Jbig2Error("segment data overruns stream")
-    return num, stype, page, q, dlen
+    return num, stype, referred, page, q, dlen
 
 
 def _iter_segments(b: bytes):
     p = 0
     while p < len(b):
-        num, stype, page, start, dlen = _parse_segment_header(b, p)
-        yield stype, page, b[start:start + dlen]
+        num, stype, referred, page, start, dlen = \
+            _parse_segment_header(b, p)
+        yield num, stype, referred, page, b[start:start + dlen]
         p = start + dlen
 
 
@@ -491,8 +515,44 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page_w = page_h = None
     page_default = 0
     page: np.ndarray | None = None
-    for stype, _pg, payload in list(_iter_segments(bytes(globals_data))) \
+    sym_by_seg: dict[int, list] = {}
+    for num, stype, referred, _pg, payload in \
+            list(_iter_segments(bytes(globals_data))) \
             + list(_iter_segments(bytes(data))):
+        if stype == 0:   # symbol dictionary (r13)
+            sym_by_seg[num] = decode_symbol_dict(payload)
+            continue
+        if stype in (4, 6, 7):  # text regions (r13)
+            syms: list = []
+            for rn in referred:
+                syms.extend(sym_by_seg.get(rn, []))
+            if not syms:     # tolerate encoders omitting the refs
+                for v in sym_by_seg.values():
+                    syms.extend(v)
+            if stype == 4:
+                raise NotImplementedError(
+                    "JBIG2 intermediate text region (needs a "
+                    "referring refinement region) not supported")
+            x, y, comb, bits = decode_text_region(payload, syms)
+            hh, ww = bits.shape
+            if page is None:
+                page_w, page_h = x + ww, y + hh
+                _check_region_dims(page_w, page_h)
+                page = np.zeros((page_h, page_w), dtype=np.uint8)
+            if y + hh > page.shape[0] or x + ww > page.shape[1]:
+                raise Jbig2Error("region outside page")
+            tgt = page[y:y + hh, x:x + ww]
+            if comb == 0:
+                tgt |= bits
+            elif comb == 1:
+                tgt &= bits
+            elif comb == 2:
+                tgt ^= bits
+            elif comb == 3:
+                tgt[:] = 1 - (tgt ^ bits)
+            else:
+                tgt[:] = bits
+            continue
         if stype == 48:  # page info
             if len(payload) < 19:
                 raise Jbig2Error("truncated page info")
@@ -580,3 +640,392 @@ def encode_embedded(bits: np.ndarray, template: int = 0,
     return (_segment(1, 48, 1, page_info)
             + _segment(2, 39, 1, body)
             + _segment(3, 49, 1, b""))
+
+
+# --------------------------------------------------------------------------
+# arithmetic integer decoding (T.88 Annex A) + symbol dictionaries /
+# text regions (6.4, 6.5) — the scanned-document core (r13)
+# --------------------------------------------------------------------------
+
+OOB = object()          # IADS/IADW end-of-class sentinel (A.2)
+
+# (prefix-length, n value bits, offset) per Annex A range line
+_INT_RANGES = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+
+class _IntCtx:
+    """One IAx integer arithmetic context (IADH/IADW/IAEX/IAAI/IADT/
+    IAFS/IADS/IAIT/IARI/IARDW/...): 512-state PREV-tracked context
+    array over the shared MQ coder."""
+
+    def __init__(self):
+        self.stats = [0] * 512
+
+    def _bit_dec(self, mq, prev):
+        b = mq.decode(self.stats, prev)
+        if prev < 256:
+            prev = (prev << 1) | b
+        else:
+            prev = ((((prev << 1) | b) & 511) | 256)
+        return b, prev
+
+    def decode(self, mq: MqDecoder):
+        prev = 1
+        s, prev = self._bit_dec(mq, prev)
+        nbits, offset = None, None
+        for i, (nb, off) in enumerate(_INT_RANGES):
+            if i == len(_INT_RANGES) - 1:
+                nbits, offset = nb, off
+                break
+            b, prev = self._bit_dec(mq, prev)
+            if not b:
+                nbits, offset = nb, off
+                break
+        v = 0
+        for _ in range(nbits):
+            b, prev = self._bit_dec(mq, prev)
+            v = (v << 1) | b
+        v += offset
+        if s and v == 0:
+            return OOB
+        return -v if s else v
+
+    def _bit_enc(self, mq, prev, bit):
+        mq.encode(self.stats, prev, bit)
+        if prev < 256:
+            prev = (prev << 1) | bit
+        else:
+            prev = ((((prev << 1) | bit) & 511) | 256)
+        return prev
+
+    def encode(self, mq: MqEncoder, value) -> None:
+        prev = 1
+        if value is OOB:
+            s, v = 1, 0
+        else:
+            s, v = (1, -value) if value < 0 else (0, value)
+        prev = self._bit_enc(mq, prev, s)
+        for i, (nb, off) in enumerate(_INT_RANGES):
+            last = i == len(_INT_RANGES) - 1
+            hi = off + (1 << nb) - 1 if not last else None
+            if last or v <= hi:
+                if not last:
+                    prev = self._bit_enc(mq, prev, 0)
+                for k in range(nb - 1, -1, -1):
+                    prev = self._bit_enc(mq, prev, (v - off >> k) & 1)
+                return
+            prev = self._bit_enc(mq, prev, 1)
+
+
+class _IdCtx:
+    """IAID symbol-ID context: SBSYMCODELEN-bit tree (A.3)."""
+
+    def __init__(self, nsyms: int):
+        self.codelen = max(1, (max(1, nsyms - 1)).bit_length())
+        self.stats = [0] * (1 << (self.codelen + 1))
+
+    def decode(self, mq: MqDecoder) -> int:
+        prev = 1
+        for _ in range(self.codelen):
+            prev = (prev << 1) | mq.decode(self.stats, prev)
+        return prev - (1 << self.codelen)
+
+    def encode(self, mq: MqEncoder, value: int) -> None:
+        prev = 1
+        for k in range(self.codelen - 1, -1, -1):
+            b = (value >> k) & 1
+            mq.encode(self.stats, prev, b)
+            prev = (prev << 1) | b
+
+
+MAX_SYMBOLS = 1 << 16
+
+
+def decode_symbol_dict(payload: bytes) -> list:
+    """Symbol dictionary segment data (6.5) -> exported symbol bitmaps.
+    Scope: arithmetic coding (SDHUFF=0) without refinement/aggregation
+    (SDREFAGG=0) — the form generic JBIG2 encoders emit for scanned
+    text; Huffman tables and refinement stay typed."""
+    if len(payload) < 2:
+        raise Jbig2Error("truncated symbol dictionary")
+    flags = struct.unpack_from(">H", payload, 0)[0]
+    if flags & 1:
+        raise NotImplementedError(
+            "JBIG2 Huffman-coded symbol dictionary (SDHUFF) not "
+            "supported")
+    if flags & 2:
+        raise NotImplementedError(
+            "JBIG2 refinement/aggregate symbol coding (SDREFAGG) not "
+            "supported")
+    if flags & 0x100:
+        raise NotImplementedError(
+            "JBIG2 retained bitmap coding contexts not supported")
+    template = (flags >> 10) & 3
+    q = 2
+    n_at = len(NOMINAL_AT[template])
+    if q + 2 * n_at + 8 > len(payload):
+        raise Jbig2Error("truncated symbol dictionary header")
+    at = tuple(
+        (struct.unpack_from("b", payload, q + 2 * i)[0],
+         struct.unpack_from("b", payload, q + 2 * i + 1)[0])
+        for i in range(n_at))
+    q += 2 * n_at
+    n_ex, n_new = struct.unpack_from(">II", payload, q)
+    q += 8
+    if n_new > MAX_SYMBOLS or n_ex > MAX_SYMBOLS:
+        raise Jbig2Error("implausible symbol counts")
+    mq = MqDecoder(payload[q:])
+    iadh, iadw, iaex, iaai = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    offs = _resolve_template(template, at)
+    gb_stats = [0] * (1 << len(offs))
+    syms: list = []
+    hcheight = 0
+    while len(syms) < n_new:
+        dh = iadh.decode(mq)
+        if dh is OOB:
+            raise Jbig2Error("OOB height-class delta")
+        hcheight += dh
+        if hcheight < 1 or hcheight > 1 << 14:
+            raise Jbig2Error(f"bad height class {hcheight}")
+        symwidth = 0
+        while True:
+            dw = iadw.decode(mq)
+            if dw is OOB:
+                break
+            symwidth += dw
+            if symwidth < 1 or symwidth > 1 << 14:
+                raise Jbig2Error(f"bad symbol width {symwidth}")
+            if len(syms) >= n_new:
+                raise Jbig2Error("more symbols than SDNUMNEWSYMS")
+            syms.append(decode_generic(
+                b"", symwidth, hcheight, template, at,
+                False, mq=mq, stats=gb_stats))
+    # export runs (6.5.10): alternating not-exported/exported
+    exported: list = []
+    exflag = False
+    i = 0
+    while i < len(syms):
+        run = iaex.decode(mq)
+        if run is OOB or run < 0:
+            raise Jbig2Error("bad export run")
+        if run > len(syms) - i:
+            raise Jbig2Error("export run overruns symbol list")
+        if exflag:
+            exported.extend(syms[i:i + run])
+        i += run
+        exflag = not exflag
+    if len(exported) != n_ex:
+        raise Jbig2Error(
+            f"export count {len(exported)} != SDNUMEXSYMS {n_ex}")
+    return exported
+
+
+def encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
+    """Mirror writer: all ``symbols`` new and exported, height-class
+    grouped (requires the list sorted by ascending height)."""
+    if not symbols:
+        raise Jbig2Error("empty symbol dictionary")
+    heights = [s.shape[0] for s in symbols]
+    if heights != sorted(heights):
+        raise Jbig2Error("symbols must be sorted by ascending height")
+    at = NOMINAL_AT[template]
+    mq = MqEncoder()
+    iadh, iadw, iaex, iaai = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    offs = _resolve_template(template, at)
+    gb_stats = [0] * (1 << len(offs))
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i].shape[0]
+        iadh.encode(mq, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(symbols) and symbols[i].shape[0] == h:
+            w = symbols[i].shape[1]
+            iadw.encode(mq, w - symwidth)
+            symwidth = w
+            encode_generic(symbols[i], template, at, False,
+                           mq=mq, stats=gb_stats)
+            i += 1
+        iadw.encode(mq, OOB)
+    iaex.encode(mq, 0)                 # zero symbols not exported
+    iaex.encode(mq, len(symbols))      # then all of them
+    body = mq.flush()
+    head = struct.pack(">H", (template & 3) << 10)
+    head += b"".join(struct.pack("bb", ax, ay) for ax, ay in at)
+    head += struct.pack(">II", len(symbols), len(symbols))
+    return head + body
+
+
+def decode_text_region(payload: bytes, symbols: list):
+    """Text region segment data (6.4) -> (x, y, comb_op, bitmap).
+    Scope: arithmetic (SBHUFF=0), no refinement (REFINE=0); both
+    transposed and all four reference corners handled."""
+    if len(payload) < 21:
+        raise Jbig2Error("truncated text region")
+    w, h, x, y = struct.unpack_from(">IIII", payload, 0)
+    comb = payload[16] & 0x07
+    flags = struct.unpack_from(">H", payload, 17)[0]
+    q = 19
+    if flags & 1:
+        raise NotImplementedError(
+            "JBIG2 Huffman-coded text region (SBHUFF) not supported")
+    refine = bool(flags & 2)
+    log_strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = bool(flags & 0x40)
+    sb_comb = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    rtemplate = (flags >> 15) & 1
+    if refine:
+        raise NotImplementedError(
+            "JBIG2 text-region refinement (REFINE) not supported")
+    if q + 4 > len(payload):
+        raise Jbig2Error("truncated text region header")
+    n_inst = struct.unpack_from(">I", payload, q)[0]
+    q += 4
+    _check_region_dims(w, h)
+    if comb > 4 or n_inst > MAX_SYMBOLS * 16:
+        raise Jbig2Error("bad text region parameters")
+    if not symbols:
+        raise Jbig2Error("text region with no symbol dictionary")
+    strips = 1 << log_strips
+    mq = MqDecoder(payload[q:])
+    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx())
+    iaid = _IdCtx(len(symbols))
+    page = np.full((h, w), defpixel, dtype=np.uint8)
+
+    def draw(sym: np.ndarray, s: int, t: int) -> None:
+        """Place with reference corner semantics (6.4.5 3.c).  The
+        spec's pre-advance for right/bottom corners exactly cancels
+        the corner offset along the S axis, so the symbol's S-edge is
+        always the strip cursor at entry; only the T-axis placement
+        depends on the corner.  REFCORNER: 0=BL 1=TL 2=BR 3=TR."""
+        sh, sw = sym.shape
+        if transposed:
+            yy = s                              # S runs vertically
+            xx = t if refcorner in (0, 1) else t - sw + 1
+        else:
+            xx = s
+            yy = t if refcorner in (1, 3) else t - sh + 1
+        if yy < 0 or xx < 0 or yy + sh > h or xx + sw > w:
+            raise Jbig2Error("symbol instance outside region")
+        tgt = page[yy:yy + sh, xx:xx + sw]
+        if sb_comb == 0:
+            tgt |= sym
+        elif sb_comb == 1:
+            tgt &= sym
+        elif sb_comb == 2:
+            tgt ^= sym
+        else:
+            tgt[:] = 1 - (tgt ^ sym)
+
+    stript = iadt.decode(mq)
+    if stript is OOB:
+        raise Jbig2Error("OOB initial strip T")
+    stript = -stript * strips
+    firsts = 0
+    ninst = 0
+    while ninst < n_inst:
+        dt = iadt.decode(mq)
+        if dt is OOB:
+            raise Jbig2Error("OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = iafs.decode(mq)
+                if dfs is OOB:
+                    raise Jbig2Error("OOB first S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = iads.decode(mq)
+                if ids is OOB:
+                    break
+                curs += ids + dsoffset
+            curt = iait.decode(mq) if strips > 1 else 0
+            if curt is OOB:
+                raise Jbig2Error("OOB T offset")
+            t = stript + curt
+            sid = iaid.decode(mq)
+            if sid >= len(symbols):
+                raise Jbig2Error(f"symbol id {sid} out of range")
+            sym = symbols[sid]
+            draw(sym, curs, t)
+            curs += (sym.shape[0] if transposed else sym.shape[1]) - 1
+            ninst += 1
+            if ninst > n_inst:
+                raise Jbig2Error("instance overrun")
+    return x, y, comb, page
+
+
+def encode_text_region(w: int, h: int, placements: list,
+                       n_symbols: int) -> bytes:
+    """Mirror writer for one immediate text region: ``placements`` =
+    [(sym_id, x_left, y_top, sym_w, sym_h)] drawn TL/untransposed with
+    OR onto a 0-default region.  Instances are grouped into 1-row
+    strips (SBSTRIPS=1), sorted by (y, x)."""
+    _check_region_dims(w, h)
+    mq = MqEncoder()
+    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx())
+    iaid = _IdCtx(n_symbols)
+    by_t: dict[int, list] = {}
+    for sid, x, y, sw, sh in placements:
+        by_t.setdefault(y, []).append((x, sid, sw))
+    iadt.encode(mq, 0)                      # STRIPT starts at 0
+    prev_t = 0
+    firsts = 0
+    for t in sorted(by_t):
+        iadt.encode(mq, t - prev_t)
+        prev_t = t
+        row = sorted(by_t[t])
+        first = True
+        curs = 0
+        for x, sid, sw in row:
+            if first:
+                iafs.encode(mq, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                iads.encode(mq, x - curs)
+                curs = x
+            iaid.encode(mq, sid)
+            curs += sw - 1
+        iads.encode(mq, OOB)
+    body = mq.flush()
+    rinfo = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    flags = (1 << 4)                        # REFCORNER=TL, else zeros
+    head = rinfo + struct.pack(">H", flags) + struct.pack(
+        ">I", len(placements))
+    return head + body
+
+
+def encode_embedded_text(symbols: list, placements: list,
+                         w: int, h: int) -> bytes:
+    """A PDF-embeddable JBIG2 stream whose page is drawn from a symbol
+    dictionary + immediate text region (the scanned-text shape):
+    page info, symbol dictionary (type 0), immediate lossless text
+    region (type 7, referring to the dictionary), end of page."""
+    order = sorted(range(len(symbols)),
+                   key=lambda i: symbols[i].shape[0])
+    remap = {orig: new for new, orig in enumerate(order)}
+    sorted_syms = [np.asarray(symbols[i], dtype=np.uint8)
+                   for i in order]
+    pl = [(remap[sid], x, y, symbols[sid].shape[1],
+           symbols[sid].shape[0]) for sid, x, y in placements]
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    sd = encode_symbol_dict(sorted_syms)
+    tr = encode_text_region(w, h, pl, len(sorted_syms))
+    return (_segment(1, 48, 1, page_info)
+            + _segment(2, 0, 1, sd)
+            + _segment(3, 7, 1, tr, referred=(2,))
+            + _segment(4, 49, 1, b""))

@@ -838,8 +838,9 @@ def build_pdf_with_images(images: list[tuple[str, "object"]],
     'ccitt_g4' / 'ccitt_mh' / 'ccitt_g3' ((h,w) 0/1 bits, 1 = black;
     '_ba' suffix = /EncodedByteAlign true; 'ccitt_mh_cont' = the
     strict K=0 continuous bit stream),
-    'jbig2' / 'jbig2_tpgdon' / 'jbig2_t2' / 'jbig2_mmr' ((h,w) 0/1
-    bits, 1 = black, through jbig2.encode_embedded — r13),
+    'jbig2' / 'jbig2_tpgdon' / 'jbig2_t2' / 'jbig2_mmr' /
+    'jbig2_text' ((h,w) 0/1 bits, 1 = black, through
+    jbig2.encode_embedded / encode_embedded_text — r13),
     'jpx' / 'jp2' ((h,w) or (h,w,3) uint8 through jpeg2000.encode_j2k,
     raw codestream vs JP2 container — r13),
     'jpeg' (pre-encoded JPEG bytes + (h,w) declared dims as
@@ -912,17 +913,23 @@ def build_pdf_with_images(images: list[tuple[str, "object"]],
                     f"/BitsPerComponent 8 /ColorSpace {cs} "
                     f"/Filter /JPXDecode /Length {len(payload)} >>")
         elif kind.startswith("jbig2"):
-            from .jbig2 import encode_embedded
+            from .jbig2 import encode_embedded, encode_embedded_text
 
             bits = (np.asarray(arr) > 0).astype(np.uint8)
             h, w = bits.shape
             # 'jbig2' = arith template 0; '_tpgdon' = typical
-            # prediction on; '_t2' = template 2; '_mmr' = MMR mode
-            payload = encode_embedded(
-                bits,
-                template=2 if kind == "jbig2_t2" else 0,
-                tpgdon=kind == "jbig2_tpgdon",
-                mmr=kind == "jbig2_mmr")
+            # prediction on; '_t2' = template 2; '_mmr' = MMR mode;
+            # '_text' = symbol dictionary + immediate text region
+            # (one symbol = the bitmap, placed at the origin — r13)
+            if kind == "jbig2_text":
+                payload = encode_embedded_text(
+                    [bits], [(0, 0, 0)], w, h)
+            else:
+                payload = encode_embedded(
+                    bits,
+                    template=2 if kind == "jbig2_t2" else 0,
+                    tpgdon=kind == "jbig2_tpgdon",
+                    mmr=kind == "jbig2_mmr")
             head = (f"<< /Subtype /Image /Width {w} /Height {h} "
                     f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
                     f"/Filter /JBIG2Decode /Length {len(payload)} >>")

@@ -9801,7 +9801,9 @@ _add(
 # (CCITT G4/MH/G3-2D plus the r12 /EncodedByteAlign and
 # continuous-MH variants, and the r13 JBIG2 generic-region arith +
 # MMR framings through jbig2.py, and the r13 JPEG 2000 raw/JP2
-# framings through jpeg2000.py, cycling by doc_id % 10) of the
+# framings through jpeg2000.py, cycling by doc_id % 11 —
+# jbig2_text exercises the r13 symbol-dictionary + text-region
+# path) of the
 # standard two-tone bit pattern, and a FlateDecode DeviceGray raster
 # of its 240/16 gray rendering.  The red-channel sum across both
 # decoded images replays analytically: CCITT/JBIG2 black bits decode
@@ -9824,14 +9826,14 @@ def _q_pdf_images(spark, sf_dir):
         # and the two JPEG 2000 framings (raw codestream + JP2)
         kinds = ("ccitt_g4", "ccitt_mh", "ccitt_g3",
                  "ccitt_g4_ba", "ccitt_g3_ba", "ccitt_mh_cont",
-                 "jbig2", "jbig2_mmr", "jpx", "jp2")
+                 "jbig2", "jbig2_mmr", "jbig2_text", "jpx", "jp2")
         for b in it:
             out = {"media_id": [], "n_images": [], "sum_r": []}
             for mid in b["media_id"]:
                 did = int(mid)
                 bits = (((did * 47 + ks * 19) % 5) < 2).reshape(8, 8)
                 v = np.where(bits, 240, 16).astype(np.uint8)
-                kind = kinds[did % 10]
+                kind = kinds[did % 11]
                 first = ((1 - bits) * 255).astype(np.uint8) \
                     if kind in ("jpx", "jp2") \
                     else bits.astype(np.uint8)

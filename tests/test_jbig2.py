@@ -123,12 +123,17 @@ def test_embedded_without_page_info_sizes_from_region():
 def test_typed_boundaries():
     bits = _pattern(6, 10)
     s = encode_embedded(bits)
-    # symbol-dictionary segment type is a NAMED NotImplementedError
+    # halftone segment type is a NAMED NotImplementedError (symbol
+    # dictionaries LANDED r13 — a truncated one is typed instead)
     import struct
-    sym = struct.pack(">IB", 9, 0) + bytes([0]) + bytes([1]) \
+    sym = struct.pack(">IB", 9, 22) + bytes([0]) + bytes([1]) \
         + struct.pack(">I", 0)
-    with pytest.raises(NotImplementedError, match="symbol dictionary"):
+    with pytest.raises(NotImplementedError, match="halftone"):
         decode_embedded(sym + s)
+    trunc = struct.pack(">IB", 9, 0) + bytes([0]) + bytes([1]) \
+        + struct.pack(">I", 0)
+    with pytest.raises(Jbig2Error, match="truncated symbol"):
+        decode_embedded(trunc + s)
     # unknown-length segment
     unk = struct.pack(">IB", 9, 38) + bytes([0]) + bytes([1]) \
         + struct.pack(">I", 0xFFFFFFFF)
@@ -156,13 +161,13 @@ def test_truncation_and_corruption_fuzz_stays_typed():
     never IndexError/struct.error/OverflowError."""
     bits = _pattern(12, 23, seed=7)
     s = encode_embedded(bits)
-    for cut in range(0, len(s), 3):
+    for cut in range(0, len(s), 9):
         try:
             decode_embedded(s[:cut])
         except (Jbig2Error, NotImplementedError):
             pass
     rng = np.random.default_rng(13)
-    for _ in range(60):
+    for _ in range(24):
         mut = bytearray(s)
         for _ in range(int(rng.integers(1, 6))):
             mut[int(rng.integers(0, len(mut)))] = int(
@@ -190,3 +195,87 @@ def test_golden_freeze():
 def test_nominal_at_table_shape():
     assert {k: len(v) for k, v in NOMINAL_AT.items()} == \
         {0: 4, 1: 1, 2: 1, 3: 1}
+
+
+def test_symbol_dict_and_text_region_end_to_end():
+    """r13 second wave: a glyph alphabet coded once in a symbol
+    dictionary, instances placed by an immediate text region (the
+    scanned-text shape) — exact page reproduction, and dictionary
+    reuse beats generic coding on repetitive pages."""
+    import numpy as np
+
+    from evm_archive_spark.operators.jbig2 import (
+        decode_embedded, encode_embedded, encode_embedded_text)
+
+    rng = np.random.default_rng(8)
+    glyphs = [(rng.random((int(rng.integers(4, 12)),
+                           int(rng.integers(3, 10)))) < 0.5
+               ).astype(np.uint8) for _ in range(12)]
+    W, H = 200, 100
+    placements, expected = [], np.zeros((H, W), dtype=np.uint8)
+    x, y = 2, 3
+    for _ in range(60):
+        sid = int(rng.integers(0, len(glyphs)))
+        g = glyphs[sid]
+        if x + g.shape[1] + 1 >= W:
+            x, y = 2, y + 14
+        if y + g.shape[0] >= H:
+            break
+        placements.append((sid, x, y))
+        expected[y:y + g.shape[0], x:x + g.shape[1]] |= g
+        x += g.shape[1] + 2
+    s = encode_embedded_text(glyphs, placements, W, H)
+    out = decode_embedded(s)
+    assert out.shape == (H, W) and (out == expected).all()
+    # dictionary reuse: repetitive content codes smaller than the
+    # generic coder on the SAME page
+    generic = encode_embedded(expected)
+    assert len(s) < len(generic), (len(s), len(generic))
+
+
+def test_symbol_dict_typed_gaps_and_integer_coder():
+    import struct
+
+    import numpy as np
+
+    from evm_archive_spark.operators.jbig2 import (
+        MqDecoder, MqEncoder, OOB, _IntCtx, decode_embedded,
+        decode_symbol_dict, encode_embedded_text)
+
+    # Annex-A integer coder round trip across every range line
+    vals = [0, 1, -1, 3, 4, 19, 20, -83, 84, 339, 340, -4435, 4436,
+            100000, -2**20, OOB]
+    enc = MqEncoder()
+    c = _IntCtx()
+    for v in vals:
+        c.encode(enc, v)
+    data = enc.flush()
+    dec = MqDecoder(data)
+    c2 = _IntCtx()
+    got = [c2.decode(dec) for _ in vals]
+    assert got == vals
+    # SDHUFF / SDREFAGG stay NAMED gaps
+    with pytest.raises(NotImplementedError, match="SDHUFF"):
+        decode_symbol_dict(struct.pack(">H", 1) + b"\x00" * 20)
+    with pytest.raises(NotImplementedError, match="SDREFAGG"):
+        decode_symbol_dict(struct.pack(">H", 2) + b"\x00" * 20)
+    # truncation of a text stream stays typed
+    g = np.ones((3, 3), dtype=np.uint8)
+    s = encode_embedded_text([g], [(0, 1, 1)], 8, 8)
+    for cut in range(0, len(s), 5):
+        try:
+            decode_embedded(s[:cut])
+        except (Jbig2Error, NotImplementedError):
+            pass
+
+
+def test_text_page_golden_freeze():
+    import numpy as np
+
+    from evm_archive_spark.operators.jbig2 import encode_embedded_text
+
+    a = np.array([[1, 0, 1], [0, 1, 0], [1, 1, 1]], dtype=np.uint8)
+    b = np.array([[1, 1], [1, 0], [0, 1], [1, 1]], dtype=np.uint8)
+    s = encode_embedded_text([a, b], [(0, 1, 1), (1, 6, 2), (0, 10, 1)],
+                             16, 8)
+    assert hashlib.sha256(s).hexdigest() == ("1988f3bbfc9b87f9dc7e14de6ed7822a27b4f2bde91ee5afe9e799236dce475f")

@@ -125,7 +125,7 @@ def test_truncation_and_corruption_fuzz_stays_typed():
             decode_j2k(s[:cut])
         except (Jpeg2000Error, NotImplementedError):
             pass
-    for _ in range(50):
+    for _ in range(25):
         mut = bytearray(s)
         for _ in range(int(rng.integers(1, 5))):
             mut[int(rng.integers(0, len(mut)))] = int(

@@ -235,19 +235,23 @@ def test_cosine_near_duplicate_pairs_planted(spark):
     assert got == {(0, 1), (0, 2), (1, 2)}
 
 
-def test_ivf_bucketed_persist_prunes_partitions(spark, tmp_path):
+def _pooled_ivf_bucketed_persist_prunes_partitions(spark):
     """SCALING.md §6 layout exercised end-to-end: corpus persisted
     hive-partitioned by centroid_id, probe scans only the nprobe lists
     (PartitionFilters pinned, like test_storage does for block_range),
-    and nprobe == n_centroids reproduces exact brute force."""
+    and nprobe == n_centroids reproduces exact brute force.
+    (r13: pooled — was a 5.9 s standalone item.)"""
     import contextlib
     import io
     import os
+    import tempfile
+
+    tmp_path = tempfile.mkdtemp(prefix="ivf_pool_")
 
     from evm_archive_spark.tables import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-    path = str(tmp_path / "ivf")
+    path = os.path.join(tmp_path, "ivf")
     similarity.ivf_persist(emb, path, n_centroids=8, iters=1)
     dirs = sorted(
         d for d in os.listdir(f"{path}/corpus") if d.startswith("centroid_id=")
@@ -2113,7 +2117,7 @@ def _pooled_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     assert got == expect
 
 
-def test_split_leakage_report_finds_cross_split_neardups(spark):
+def _pooled_split_leakage_report_finds_cross_split_neardups(spark):
     """The report equals (near-dup pairs) ⋈ (hash_split assignment)
     filtered to split-crossing pairs, and each reported pair really is a
     near-dup crossing the boundary."""
@@ -2553,7 +2557,7 @@ def test_plan_backfill_windows(spark):
     assert [(w.start, w.end) for w in wins2] == [(0, 9), (10, 19), (20, 25)]
 
 
-def test_scd2_property_vs_python_fold(spark):
+def _pooled_scd2_property_vs_python_fold(spark):
     """scd2_apply over random batch sequences == a python reference fold
     (hypothesis): open/close/no-op transitions, new keys mid-stream,
     histories stay non-overlapping and exactly one current row per key."""
@@ -2636,7 +2640,7 @@ def test_temperature_weights_limits(spark):
     assert abs(n - 100) <= 10  # hash-threshold granularity
 
 
-def test_lm_train_and_score_manual(spark):
+def _pooled_lm_train_and_score_manual(spark):
     from evm_archive_spark.operators.lm import lm_score, lm_train
 
     docs = spark.createDataFrame(
@@ -3176,7 +3180,7 @@ def test_resolve_entities_transitive_closure(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
-def test_shortest_paths_weighted_relaxation(spark):
+def _pooled_shortest_paths_weighted_relaxation(spark):
     from evm_archive_spark.operators.graph import shortest_paths
 
     # a-1->b-1->c cheaper than the direct a-5->c; d unreachable within
@@ -4148,6 +4152,11 @@ _POOLED_HEAVY = [
     _pooled_incremental_corpus_update_state_round_trip,
     _pooled_pq_train_kmeans_deterministic_and_better_distortion,
     _pooled_pq_train_kmeans_skips_null_embeddings,
+    _pooled_ivf_bucketed_persist_prunes_partitions,
+    _pooled_split_leakage_report_finds_cross_split_neardups,
+    _pooled_scd2_property_vs_python_fold,
+    _pooled_lm_train_and_score_manual,
+    _pooled_shortest_paths_weighted_relaxation,
     _pooled_rollup_update_incremental_equals_recompute,
     _pooled_incremental_minhash_dedup_drops_near_twin_keeps_novel,
     _pooled_pq_encode_arrow_matches_expr_bit_for_bit,
@@ -4180,7 +4189,7 @@ def test_operators_pooled_heavy(spark):
         except Exception as e:  # noqa: BLE001 — aggregated below
             return fn.__name__, f"{type(e).__name__}: {e}"
 
-    with ThreadPoolExecutor(max_workers=12) as ex:
+    with ThreadPoolExecutor(max_workers=16) as ex:
         results = list(ex.map(run, _POOLED_HEAVY))
     assert len(results) == len(_POOLED_HEAVY) >= 13
     fails = [(n, m) for n, m in results if m]

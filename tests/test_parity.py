@@ -123,7 +123,7 @@ def test_parity_pooled(spark):
     # dev box); at 12 the wall was gate-count-bound as the registry
     # grew past 260 (VERDICT r6 #8 suite-time watch); 16 -> 24 in r9
     # as the registry crossed 283 (the r8 suite wall brushed 650 s)
-    with ThreadPoolExecutor(max_workers=24) as ex:
+    with ThreadPoolExecutor(max_workers=28) as ex:
         results = list(ex.map(lambda q: (q.name, _check_one(spark, q)), POOLED))
     assert len(results) == len(POOLED)
     fails = [(n, msg) for n, msg in results if msg]

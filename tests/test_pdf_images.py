@@ -175,15 +175,16 @@ def test_jbig2_image_xobjects_roundtrip():
         assert im["filter"] == "/JBIG2Decode"
         assert im["bits"] == 1
         assert np.array_equal(im["rgba"][:, :, 0], want), i
-    # a crafted symbol-dictionary stream stays a NAMED typed gap
+    # a crafted halftone-region stream stays a NAMED typed gap
+    # (symbol dictionaries + text regions landed r13)
     import struct
-    sym = struct.pack(">IB", 9, 0) + bytes([0, 1]) + struct.pack(">I", 0)
+    sym = struct.pack(">IB", 9, 22) + bytes([0, 1]) + struct.pack(">I", 0)
     head = b"%PDF-1.4\n" + (
         b"1 0 obj\n<< /Subtype /Image /Width 4 /Height 4 "
         b"/BitsPerComponent 1 /ColorSpace /DeviceGray "
         b"/Filter /JBIG2Decode /Length %d >>\nstream\n" % len(sym))
     doc = head + sym + b"\nendstream\nendobj\n%%EOF"
-    with pytest.raises(NotImplementedError, match="symbol dictionary"):
+    with pytest.raises(NotImplementedError, match="halftone"):
         pdf_images(doc)
     # a corrupt JBIG2 stream stays inside the PdfError contract
     bad = struct.pack(">IB", 9, 63) + bytes([0, 1]) + struct.pack(">I", 0)
