@@ -11889,6 +11889,130 @@ _add(
 )
 
 
+# [pair] JBIG2 generic + text coding (operators/jbig2.py, r13): each
+# doc's two-tone 8x8 pattern encodes through one of FIVE framings by
+# doc_id % 5 — MQ-arith template 0, template 2, TPGDON, MMR (T.6
+# through ccittfax), and the symbol-dictionary + text-region path
+# (one symbol placed at the origin) — then decodes back via
+# decode_embedded; the 64-bit row-major bitmap (1 = black) replays
+# analytically.  Any MQ-table, context-layout, segment-framing or
+# text-placement mistake flips hash bits.
+
+def _q_jbig2(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jbig2 import (
+            decode_embedded, encode_embedded, encode_embedded_text)
+
+        ks = np.arange(64)
+        w = (1 << np.arange(63, -1, -1)).astype(np.uint64)
+        for b in it:
+            out = {"media_id": [], "bitmap_hash": []}
+            for mid in b["media_id"]:
+                did = int(mid)
+                bits = (((did * 53 + ks * 11) % 7) < 3).astype(
+                    np.uint8).reshape(8, 8)
+                v = did % 5
+                if v == 0:
+                    payload = encode_embedded(bits)
+                elif v == 1:
+                    payload = encode_embedded(bits, template=2)
+                elif v == 2:
+                    payload = encode_embedded(bits, tpgdon=True)
+                elif v == 3:
+                    payload = encode_embedded(bits, mmr=True)
+                else:
+                    payload = encode_embedded_text(
+                        [bits], [(0, 0, 0)], 8, 8)
+                dec = decode_embedded(payload)
+                h = int((dec.reshape(64).astype(np.uint64) * w).sum(
+                    dtype=np.uint64))
+                out["media_id"].append(did)
+                out["bitmap_hash"].append(
+                    h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, "media_id long, bitmap_hash long").orderBy("media_id")
+
+
+_add(
+    "q_jbig2",
+    _q_jbig2,
+    "WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k), "
+    "bits AS (SELECT d.doc_id, ks.k, "
+    "  CASE WHEN (d.doc_id * 53 + ks.k * 11) % 7 < 3 THEN 1 ELSE 0 END "
+    "  AS b FROM documents d CROSS JOIN ks) "
+    "SELECT doc_id AS media_id, CAST(SUM(CASE WHEN b = 1 THEN "
+    "  CASE WHEN k = 0 THEN -9223372036854775808 "
+    "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
+    "AS bitmap_hash FROM bits GROUP BY doc_id "
+    "ORDER BY media_id NULLS FIRST",
+    "REAL JBIG2 embedded streams (arith t0/t2/TPGDON/MMR/text-region "
+    "framings cycled) decode -> exact 64-bit bitmap replay",
+)
+
+
+# [pair] JPEG 2000 lossless codec (operators/jpeg2000.py, r13): each
+# doc's 16x16 gray pattern ((did*131 + y*17 + x*29) % 256) encodes at
+# did % 4 decomposition levels, raw codestream for even docs / JP2
+# container for odd, decodes back via decode_jpx; the EXACT sample
+# sum replays analytically (lossless 5/3 + EBCOT end to end — any
+# DWT boundary, Tier-1 context, tag-tree or packet mistake shifts
+# the sum).
+
+def _q_jpeg2000(spark, sf_dir):
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = fan_out(spark.table("documents")).select(
+        F.col("doc_id").alias("media_id"))
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg2000 import (
+            build_jp2, decode_jpx, encode_j2k)
+
+        ys, xs = np.mgrid[0:16, 0:16]
+        for b in it:
+            out = {"media_id": [], "sample_sum": []}
+            for mid in b["media_id"]:
+                did = int(mid)
+                img = ((did * 131 + ys * 17 + xs * 29) % 256).astype(
+                    np.uint8)
+                lv = did % 4
+                payload = (encode_j2k(img, levels=lv) if did % 2 == 0
+                           else build_jp2(img, levels=lv))
+                dec = decode_jpx(payload)
+                out["media_id"].append(did)
+                out["sample_sum"].append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, "media_id long, sample_sum long").orderBy("media_id")
+
+
+_add(
+    "q_jpeg2000",
+    _q_jpeg2000,
+    "WITH ys AS (SELECT unnest(generate_series(0, 15)) AS y), "
+    "xs AS (SELECT unnest(generate_series(0, 15)) AS x) "
+    "SELECT d.doc_id AS media_id, "
+    "CAST(SUM((d.doc_id * 131 + ys.y * 17 + xs.x * 29) % 256) "
+    "AS BIGINT) AS sample_sum "
+    "FROM documents d CROSS JOIN ys CROSS JOIN xs "
+    "GROUP BY d.doc_id ORDER BY media_id NULLS FIRST",
+    "REAL JPEG 2000 codestreams/JP2 containers (levels cycled) decode "
+    "-> exact sample-sum replay",
+)
+
+
 # [pair] multi-page TIFF fan-out (tiff.tiff_pages, round-10): scanned
 # documents ship as one IFD per page on the next-IFD chain, usually
 # G4-compressed.  Each doc gets a REAL 3-page fax TIFF (per-page
@@ -13353,6 +13477,8 @@ _ROUND13_STAGED: list[str] = [
     "q_st4_sessions_parquet",  # parquet-sink session form (same item)
     "q_pdf_images",            # cycle grew JBIG2 + JPEG 2000 framings
     "q_dicom",                 # cycle grew the ..4.90 J2K syntax
+    "q_jbig2",                 # NEW r13: five-framing bitmap-hash gate
+    "q_jpeg2000",              # NEW r13: levels-cycled sample-sum gate
 ]
 _ROUND13_R7_VINTAGE = [
     "q_chat", "q_fim", "q_phash", "q_pref", "q_sentences",
