@@ -21,8 +21,8 @@ hits first:
 - minimal JP2 container unwrap (signature/ftyp/jp2h/jp2c boxes).
 
 Out of scope, typed: the irreversible 9/7 path + scalar quantization,
-multiple tiles/layers, precinct subdivision, bypass/ERTERM coder
-options, ROI, and Part-2 extensions.
+multiple tiles, lossy-TRUNCATED codeblocks (missing passes), precinct
+subdivision, bypass/ERTERM coder options, ROI, and Part-2 extensions.
 
 Pin strategy (the jbig2.py/jpegls.py pattern — no system JPEG 2000
 codec exists in this container): the encoder is an independent
@@ -615,89 +615,172 @@ def _encode_band_packet(band_arr: np.ndarray, band: str, depth: int,
     return nx, ny, entries
 
 
-def _emit_packet(nx: int, ny: int, entries: list) -> bytes:
-    """One packet (single layer): header then body (B.10)."""
-    bio = _BitWriter()
-    if all(e[2] == b"" for e in entries):
-        bio.write(0)                       # empty packet
-        return bio.flush()
-    bio.write(1)
-    incl = _TagTree(nx, ny)
-    zbp = _TagTree(nx, ny)
+class _BandState:
+    """Per-subband Tier-2 state persisted across quality layers: the
+    inclusion / zero-bitplane tag trees, per-codeblock Lblock, and the
+    accumulated codeword segments."""
+
+    def __init__(self, nx: int, ny: int, blocks: list, band: str,
+                 mb: int):
+        self.nx, self.ny = nx, ny
+        self.blocks = blocks
+        self.band = band
+        self.mb = mb
+        n = nx * ny
+        self.incl = _TagTree(nx, ny)
+        self.zbp = _TagTree(nx, ny)
+        self.included = [False] * n
+        self.msb = [0] * n
+        self.lblock = [3] * n
+        self.npass = [0] * n
+        self.segs: list[list[bytes]] = [[] for _ in range(n)]
+
+
+def _split_layers(entries: list, layers: int):
+    """Assign each codeblock's passes/bytes to layers: first inclusion
+    at layer (i % layers), remaining passes spread over later layers,
+    byte split proportional to passes (any pass-aligned split decodes —
+    segments are concatenated before Tier-1 runs)."""
+    n = len(entries)
+    plan = [[None] * n for _ in range(layers)]
     for i, (zb, npass, data) in enumerate(entries):
-        x, y = i % nx, i // nx
-        incl.set_value(x, y, 0 if data else 1)
-        zbp.set_value(x, y, zb if data else 0)
-    body = bytearray()
-    for i, (zb, npass, data) in enumerate(entries):
-        x, y = i % nx, i // nx
-        incl.encode(bio, x, y, 1)          # layer 0: threshold 1
         if not data:
             continue
-        zbp.encode(bio, x, y, 999)         # until known
-        _write_npasses(bio, npass)
-        # length: Lblock commacode + (Lblock + floor(log2(npass))) bits
-        lblock = 3
-        nbits_pass = npass.bit_length() - 1
-        while len(data) >= (1 << (lblock + nbits_pass)):
-            bio.write(1)
-            lblock += 1
+        first = i % layers
+        nl = layers - first
+        base, extra = divmod(npass, nl)
+        counts = [base + (1 if k < extra else 0) for k in range(nl)]
+        # make sure the first contribution is non-empty
+        while counts[0] == 0 and any(counts):
+            counts[0] += 1
+            for k in range(nl - 1, 0, -1):
+                if counts[k]:
+                    counts[k] -= 1
+                    break
+        offs, acc = [], 0
+        for k in range(nl):
+            acc += counts[k]
+            offs.append(round(len(data) * acc / npass))
+        prev_b = prev_p = 0
+        for k in range(nl):
+            if counts[k] == 0:
+                continue
+            plan[first + k][i] = (zb, counts[k],
+                                  data[prev_b:offs[k]])
+            prev_b = offs[k]
+            prev_p += counts[k]
+    return plan
+
+
+_SOP = b"\xff\x91"
+_EPH = b"\xff\x92"
+
+
+def _emit_packet_layer(st: _BandState, layer: int, contrib: list,
+                       eph: bool) -> bytes:
+    """One packet for one band at one layer; ``contrib[i]`` is
+    (zb, npasses, bytes) or None."""
+    bio = _BitWriter()
+    if all(c is None for c in contrib):
         bio.write(0)
-        bio.write_int(len(data), lblock + nbits_pass)
+        out = bio.flush()
+        return out + (_EPH if eph else b"")
+    bio.write(1)
+    body = bytearray()
+    for i, c in enumerate(contrib):
+        x, y = i % st.nx, i // st.nx
+        if st.included[i]:
+            bio.write(0 if c is None else 1)
+            if c is None:
+                continue
+        else:
+            # tag-tree leaf value (set by the caller) = the block's
+            # first-inclusion layer, 999 = never included
+            st.incl.encode(bio, x, y, layer + 1)
+            if c is None:
+                continue
+            zb = c[0]
+            st.zbp.set_value(x, y, zb)
+            st.zbp.encode(bio, x, y, 999)
+            st.included[i] = True
+        _, npass, data = c
+        _write_npasses(bio, npass)
+        nbits = st.lblock[i] + (npass.bit_length() - 1)
+        while len(data) >= (1 << nbits):
+            bio.write(1)
+            st.lblock[i] += 1
+            nbits += 1
+        bio.write(0)
+        bio.write_int(len(data), nbits)
         body += data
-    return bio.flush() + bytes(body)
+    return bio.flush() + (_EPH if eph else b"") + bytes(body)
 
 
-def _read_packet(data: bytes, pos: int, nx: int, ny: int, mb: int):
-    """Decode one packet: returns (entries, new_pos); entries are
-    (msb, n_passes, codeword) per codeblock in raster order."""
+def _read_packet_layer(data: bytes, pos: int, st: _BandState,
+                       layer: int, sop: bool, eph: bool) -> int:
+    """Decode one packet for one band at one layer into ``st``;
+    returns the new position."""
+    if sop:
+        if data[pos:pos + 2] == _SOP:
+            if pos + 6 > len(data):
+                raise Jpeg2000Error("truncated SOP marker")
+            pos += 6
     br = _BitReader(data, pos)
-    entries: list = []
     if not br.read(1):
-        return [(0, 0, b"")] * (nx * ny), br.align()
-    incl = _TagTree(nx, ny)
-    zbp = _TagTree(nx, ny)
-    lens = []
-    for i in range(nx * ny):
-        x, y = i % nx, i // nx
-        if not incl.decode(br, x, y, 1):
-            lens.append(None)
-            continue
-        t = 1
-        while not zbp.decode(br, x, y, t):
-            t += 1
-        zb = zbp.leaf_value(x, y)
+        pos = br.align()
+        if eph:
+            if data[pos:pos + 2] != _EPH:
+                raise Jpeg2000Error("missing EPH marker")
+            pos += 2
+        return pos
+    items: list = []
+    for i in range(st.nx * st.ny):
+        x, y = i % st.nx, i // st.nx
+        if st.included[i]:
+            if not br.read(1):
+                continue
+        else:
+            if not st.incl.decode(br, x, y, layer + 1):
+                continue
+            t = 1
+            while not st.zbp.decode(br, x, y, t):
+                t += 1
+            zb = st.zbp.leaf_value(x, y)
+            msb = st.mb - zb
+            if msb < 1 or msb > 40:
+                raise Jpeg2000Error(f"bad zero-bitplane count {zb}")
+            st.msb[i] = msb
+            st.included[i] = True
         npass = _read_npasses(br)
-        lblock = 3
         while br.read(1):
-            lblock += 1
-        nbits_pass = npass.bit_length() - 1
-        ln = br.read(lblock + nbits_pass)
-        msb = mb - zb
-        if msb < 1 or msb > 40:
-            raise Jpeg2000Error(f"bad zero-bitplane count {zb}")
-        if npass != 3 * msb - 2:
-            raise NotImplementedError(
-                "multi-segment / partial-pass codeblocks (quality "
-                "layers) not supported")
-        lens.append((msb, npass, ln))
+            st.lblock[i] += 1
+        nbits = st.lblock[i] + (npass.bit_length() - 1)
+        ln = br.read(nbits)
+        items.append((i, npass, ln))
     pos = br.align()
-    for item in lens:
-        if item is None:
-            entries.append((0, 0, b""))
-            continue
-        msb, npass, ln = item
+    if eph:
+        if data[pos:pos + 2] != _EPH:
+            raise Jpeg2000Error("missing EPH marker")
+        pos += 2
+    for i, npass, ln in items:
         if pos + ln > len(data):
             raise Jpeg2000Error("packet body overruns data")
-        entries.append((msb, npass, data[pos:pos + ln]))
+        st.npass[i] += npass
+        st.segs[i].append(data[pos:pos + ln])
         pos += ln
-    return entries, pos
+    return pos
 
 
 def encode_j2k(img: np.ndarray, depth: int = 8, levels: int = 2,
-               rct: bool = True, cb_exp: tuple = (6, 6)) -> bytes:
-    """Lossless Part-1 codestream: single tile, single layer, LRCP,
-    reversible 5/3, optional RCT for 3-component images."""
+               rct: bool = True, cb_exp: tuple = (6, 6),
+               layers: int = 1, sop: bool = False,
+               eph: bool = False) -> bytes:
+    """Lossless Part-1 codestream: single tile, LRCP, reversible 5/3,
+    optional RCT for 3-component images; ``layers`` quality layers
+    (every pass present overall — progressive ORDER, not truncation),
+    optional SOP/EPH packet markers."""
+    if not 1 <= layers <= 255:
+        raise Jpeg2000Error(f"bad layer count {layers}")
     a = np.asarray(img)
     if a.ndim == 2:
         comps = [a.astype(np.int64)]
@@ -726,7 +809,8 @@ def encode_j2k(img: np.ndarray, depth: int = 8, levels: int = 2,
     for _ in comps:
         siz += struct.pack(">BBB", depth - 1, 1, 1)
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
-    cod = struct.pack(">BBHB", 0, 0, 1, 1 if use_rct else 0)
+    scod = (2 if sop else 0) | (4 if eph else 0)
+    cod = struct.pack(">BBHB", scod, 0, layers, 1 if use_rct else 0)
     cod += struct.pack(">BBBBB", levels, cb_exp[0] - 2, cb_exp[1] - 2,
                        0, 1)                            # 5/3
     out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
@@ -735,12 +819,12 @@ def encode_j2k(img: np.ndarray, depth: int = 8, levels: int = 2,
         qcd += bytes([(depth + _GAIN[band]) << 3])
     out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
 
-    # tile body: packets in LRCP order per component within resolution
-    body = bytearray()
+    # tile body: packets in LRCP order — LAYER is the outermost loop
     per_comp = []
     for c in comps:
         bands, ll = dwt53_forward(c, levels)
         per_comp.append({"LL": ll, "bands": bands})
+    band_states = []          # (state, per-layer contribution plan)
     for r in range(levels + 1):
         blist = [b for b in _band_list(levels) if b[0] == r]
         for ci, pc in enumerate(per_comp):
@@ -751,7 +835,21 @@ def encode_j2k(img: np.ndarray, depth: int = 8, levels: int = 2,
                     continue          # zero-area band: no packet
                 nx, ny, entries = _encode_band_packet(
                     arr, band, depth, cbw, cbh)
-                body += _emit_packet(nx, ny, entries)
+                mb = depth + _GAIN[band] + _GUARD - 1
+                st = _BandState(nx, ny, [], band, mb)
+                for i, (zb, npass, d) in enumerate(entries):
+                    st.incl.set_value(i % nx, i // nx,
+                                      (i % layers) if d else 999)
+                band_states.append((st, _split_layers(entries,
+                                                      layers)))
+    body = bytearray()
+    nsop = 0
+    for layer in range(layers):
+        for st, plan in band_states:
+            if sop:
+                body += _SOP + struct.pack(">HH", 4, nsop & 0xFFFF)
+                nsop += 1
+            body += _emit_packet_layer(st, layer, plan[layer], eph)
 
     sot = struct.pack(">HHIBB", 10, 0, 14 + len(body), 0, 1)
     out += b"\xff\x90" + sot + b"\xff\x93" + body
@@ -770,6 +868,8 @@ def decode_j2k(data: bytes) -> np.ndarray:
     comps: list = []
     levels = cbx = cby = None
     use_mct = False
+    use_sop = use_eph = False
+    layers = 1
     depth = None
     body = None
     while pos + 2 <= len(b):
@@ -827,12 +927,13 @@ def decode_j2k(data: bytes) -> np.ndarray:
             if scod & 1:
                 raise NotImplementedError(
                     "precinct subdivision not supported")
+            use_sop = bool(scod & 2)
+            use_eph = bool(scod & 4)
             if prog != 0:
                 raise NotImplementedError(
                     f"progression order {prog} not supported (LRCP)")
-            if layers != 1:
-                raise NotImplementedError(
-                    "multiple quality layers not supported")
+            if not 1 <= layers <= 255:
+                raise Jpeg2000Error(f"bad layer count {layers}")
             nl, cbxe, cbye, cbstyle, wavelet = struct.unpack_from(
                 ">BBBBB", seg, 5)
             if cbstyle:
@@ -867,10 +968,11 @@ def decode_j2k(data: bytes) -> np.ndarray:
             pos = end
             continue
         elif marker in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e",
-                        b"\xff\x5f", b"\xff\x55", b"\xff\x58"):
+                        b"\xff\x5f"):
             raise NotImplementedError(
-                "COC/QCC/RGN/POC/TLM/PLM marker segments not supported")
-        # COM (0xFF64) and others: skip
+                "COC/QCC/RGN/POC marker segments not supported")
+        # advisory markers — TLM (FF55), PLM (FF57), PLT (FF58),
+        # CRG (FF63), COM (FF64) — and unknown COM-class: skip
         pos += ln
     if w is None or levels is None or body is None:
         raise Jpeg2000Error("missing SIZ/COD/tile data")
@@ -891,7 +993,8 @@ def decode_j2k(data: bytes) -> np.ndarray:
     per_comp = [{"LL": None,
                  "bands": [dict() for _ in range(levels)]}
                 for _ in range(nc)]
-    pos = 0
+    # walk 1: build per-band Tier-2 state in LRCP band order
+    band_walk = []
     for r in range(levels + 1):
         blist = [x for x in _band_list(levels) if x[0] == r]
         for ci in range(nc):
@@ -900,28 +1003,42 @@ def decode_j2k(data: bytes) -> np.ndarray:
                     sizes[lvl - 1][band]
                 mb = depth + _GAIN[band] + _GUARD - 1
                 if bw_ == 0 or bh_ == 0:
-                    if band != "LL":
-                        per_comp[ci]["bands"][lvl - 1][band] = \
-                            np.zeros((bh_, bw_), dtype=np.int64)
+                    empty = np.zeros((bh_, bw_), dtype=np.int64)
+                    if band == "LL":
+                        per_comp[ci]["LL"] = empty
                     else:
-                        per_comp[ci]["LL"] = np.zeros(
-                            (bh_, bw_), dtype=np.int64)
+                        per_comp[ci]["bands"][lvl - 1][band] = empty
                     continue
                 nx, ny, blocks = _codeblocks(bw_, bh_, cbw, cbh)
-                entries, pos = _read_packet(body, pos, nx, ny, mb)
-                arr = np.zeros((bh_, bw_), dtype=np.int64)
-                for i, (x0, y0, wb, hb) in enumerate(blocks):
-                    msb, npass, cw = entries[i]
-                    if not cw:
-                        continue
-                    mq = MqDecoder(cw)
-                    st = _fresh_stats()
-                    arr[y0:y0 + hb, x0:x0 + wb] = _t1_decode(
-                        mq, st, wb, hb, band, msb)
-                if band == "LL":
-                    per_comp[ci]["LL"] = arr
-                else:
-                    per_comp[ci]["bands"][lvl - 1][band] = arr
+                st = _BandState(nx, ny, blocks, band, mb)
+                band_walk.append((st, ci, band, lvl, bh_, bw_))
+    # walk 2: packets, LAYER outermost (LRCP)
+    pos = 0
+    for layer in range(layers):
+        for st, *_rest in band_walk:
+            pos = _read_packet_layer(body, pos, st, layer,
+                                     use_sop, use_eph)
+    # walk 3: Tier-1 over the accumulated segments
+    for st, ci, band, lvl, bh_, bw_ in band_walk:
+        arr = np.zeros((bh_, bw_), dtype=np.int64)
+        for i, (x0, y0, wb, hb) in enumerate(st.blocks):
+            if not st.included[i]:
+                continue
+            msb = st.msb[i]
+            if st.npass[i] != 3 * msb - 2:
+                raise NotImplementedError(
+                    "truncated (lossy-truncated) codeblocks not "
+                    f"supported: {st.npass[i]} of {3 * msb - 2} "
+                    "passes present")
+            cw = b"".join(st.segs[i])
+            mq = MqDecoder(cw)
+            t1 = _fresh_stats()
+            arr[y0:y0 + hb, x0:x0 + wb] = _t1_decode(
+                mq, t1, wb, hb, band, msb)
+        if band == "LL":
+            per_comp[ci]["LL"] = arr
+        else:
+            per_comp[ci]["bands"][lvl - 1][band] = arr
 
     outs = []
     for ci in range(nc):

@@ -11960,7 +11960,7 @@ _add(
 
 
 # [pair] JPEG 2000 lossless codec (operators/jpeg2000.py, r13): each
-# doc's 16x16 gray pattern ((did*131 + y*17 + x*29) % 256) encodes at
+# doc's 12x12 gray pattern ((did*131 + y*17 + x*29) % 256) encodes at
 # did % 4 decomposition levels, raw codestream for even docs / JP2
 # container for odd, decodes back via decode_jpx; the EXACT sample
 # sum replays analytically (lossless 5/3 + EBCOT end to end — any
@@ -11979,7 +11979,7 @@ def _q_jpeg2000(spark, sf_dir):
         from ..operators.jpeg2000 import (
             build_jp2, decode_jpx, encode_j2k)
 
-        ys, xs = np.mgrid[0:16, 0:16]
+        ys, xs = np.mgrid[0:12, 0:12]
         for b in it:
             out = {"media_id": [], "sample_sum": []}
             for mid in b["media_id"]:
@@ -11987,8 +11987,13 @@ def _q_jpeg2000(spark, sf_dir):
                 img = ((did * 131 + ys * 17 + xs * 29) % 256).astype(
                     np.uint8)
                 lv = did % 4
-                payload = (encode_j2k(img, levels=lv) if did % 2 == 0
-                           else build_jp2(img, levels=lv))
+                ly = 1 + (did // 4) % 3       # r13: layers 1-3 cycled
+                se = did % 8 >= 4             # SOP+EPH on half
+                payload = (encode_j2k(img, levels=lv, layers=ly,
+                                      sop=se, eph=se)
+                           if did % 2 == 0
+                           else build_jp2(img, levels=lv, layers=ly,
+                                          sop=se, eph=se))
                 dec = decode_jpx(payload)
                 out["media_id"].append(did)
                 out["sample_sum"].append(int(dec.astype(np.int64).sum()))
@@ -12001,8 +12006,8 @@ def _q_jpeg2000(spark, sf_dir):
 _add(
     "q_jpeg2000",
     _q_jpeg2000,
-    "WITH ys AS (SELECT unnest(generate_series(0, 15)) AS y), "
-    "xs AS (SELECT unnest(generate_series(0, 15)) AS x) "
+    "WITH ys AS (SELECT unnest(generate_series(0, 11)) AS y), "
+    "xs AS (SELECT unnest(generate_series(0, 11)) AS x) "
     "SELECT d.doc_id AS media_id, "
     "CAST(SUM((d.doc_id * 131 + ys.y * 17 + xs.x * 29) % 256) "
     "AS BIGINT) AS sample_sum "

@@ -77,6 +77,32 @@ def test_jp2_container_and_sniffer():
     assert (decode_jpx(raw) == img).all()
 
 
+def test_multi_layer_and_sop_eph_round_trips():
+    """r13 second wave: quality layers (layer-partitioned codeword
+    segments, persistent inclusion/Lblock tag-tree state) and SOP/EPH
+    packet markers — the two features real progressive streams use."""
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    for layers in (2, 3, 5):
+        for sop, eph in ((False, False), (True, True)):
+            code = encode_j2k(img, levels=2, layers=layers,
+                              sop=sop, eph=eph)
+            assert (decode_j2k(code) == img).all(), (layers, sop, eph)
+    # multi-codeblock grid + layers + markers, 12-bit
+    deep = rng.integers(0, 4096, (30, 41)).astype(np.uint16)
+    code = encode_j2k(deep, depth=12, levels=3, layers=4,
+                      cb_exp=(4, 4), sop=True, eph=True)
+    assert (decode_j2k(code) == deep).all()
+    # layered stream with a dropped trailing layer = truncated
+    # codeblocks -> NAMED typed boundary, not garbage pixels
+    code1 = encode_j2k(img, levels=1, layers=3)
+    # find the SOD and cut most of the body off
+    sod = code1.index(b"\xff\x93")
+    cut = code1[:sod + 2 + (len(code1) - sod) // 3] + b"\xff\xd9"
+    with pytest.raises((Jpeg2000Error, NotImplementedError)):
+        decode_j2k(cut)
+
+
 def test_smooth_image_compresses():
     """EBCOT on a smooth gradient must beat raw by a wide margin —
     a degenerate coder (e.g. mis-ordered passes) still round-trips
@@ -99,10 +125,11 @@ def test_typed_boundaries():
     bad[cod + 13] = 0                       # transformation byte
     with pytest.raises(NotImplementedError, match="9/7"):
         decode_j2k(bytes(bad))
-    # multiple layers
+    # a LYING layer count (header says 2, body carries 1 layer of
+    # packets) stays typed — multi-layer itself landed r13
     bad = bytearray(good)
     bad[cod + 7] = 2                        # layers lo byte
-    with pytest.raises(NotImplementedError, match="layers"):
+    with pytest.raises((Jpeg2000Error, NotImplementedError)):
         decode_j2k(bytes(bad))
     # scalar quantization
     bad = bytearray(good)
