@@ -231,11 +231,18 @@ class _T1State:
 
 
 def _t1_decode(mq: MqDecoder, stats: list, w: int, h: int, band: str,
-               msb: int) -> np.ndarray:
+               msb: int, n_passes: int | None = None) -> np.ndarray:
     """Decode one codeblock's coefficients (signed ints) from a single
-    MQ codeword segment covering 3*msb-2 passes."""
+    MQ codeword segment.  ``n_passes=None`` decodes the full
+    3*msb-2 passes (lossless); a smaller count stops after that many
+    passes (r13: lossy-truncated streams), leaving the remaining
+    bitplanes zero."""
     t = _T1State(w, h, band)
+    total = 3 * msb - 2 if n_passes is None else n_passes
+    done = 0
     for p in range(msb - 1, -1, -1):
+        if done >= total:
+            break
         bitval = 1 << p
         if p != msb - 1:
             # significance propagation pass
@@ -252,6 +259,9 @@ def _t1_decode(mq: MqDecoder, stats: list, w: int, h: int, band: str,
                     t.new_sig[y, x] = 1
                     t.sgn[y, x] = -1 if sb else 1
                     t.mag[y, x] = bitval
+            done += 1
+            if done >= total:
+                break
             # magnitude refinement pass
             for y, x in t.scan():
                 if not t.sig[y, x] or t.new_sig[y, x]:
@@ -264,6 +274,9 @@ def _t1_decode(mq: MqDecoder, stats: list, w: int, h: int, band: str,
                 if mq.decode(stats, ctx):
                     t.mag[y, x] |= bitval
                 t.refined[y, x] = 1
+            done += 1
+            if done >= total:
+                break
         # cleanup pass
         for y0 in range(1, h + 1, 4):
             for x in range(1, w + 1):
@@ -296,6 +309,7 @@ def _t1_decode(mq: MqDecoder, stats: list, w: int, h: int, band: str,
                         t.new_sig[yy, x] = 1
                         t.sgn[yy, x] = -1 if sb else 1
                         t.mag[yy, x] = bitval
+        done += 1
         t.visited[:] = 0
         t.new_sig[:] = 0
     out = t.mag[1:h + 1, 1:w + 1] * t.sgn[1:h + 1, 1:w + 1]
@@ -303,15 +317,23 @@ def _t1_decode(mq: MqDecoder, stats: list, w: int, h: int, band: str,
 
 
 def _t1_encode(mq: MqEncoder, stats: list, coeffs: np.ndarray,
-               band: str, msb: int) -> None:
-    """Encode one codeblock (mirror of ``_t1_decode``)."""
+               band: str, msb: int,
+               n_passes: int | None = None) -> None:
+    """Encode one codeblock (mirror of ``_t1_decode``);
+    ``n_passes`` stops after that many passes (r13: rate-control
+    truncation — the flushed codeword decodes exactly those
+    passes)."""
     h, w = coeffs.shape
+    total = 3 * msb - 2 if n_passes is None else n_passes
+    done = 0
     t = _T1State(w, h, band)
     mag_in = np.zeros((h + 2, w + 2), dtype=np.int64)
     sgn_in = np.zeros((h + 2, w + 2), dtype=np.int8)
     mag_in[1:h + 1, 1:w + 1] = np.abs(coeffs)
     sgn_in[1:h + 1, 1:w + 1] = np.where(coeffs < 0, -1, 1)
     for p in range(msb - 1, -1, -1):
+        if done >= total:
+            break
         bitval = 1 << p
 
         def code_sig(y, x):
@@ -334,6 +356,9 @@ def _t1_encode(mq: MqEncoder, stats: list, coeffs: np.ndarray,
                     continue
                 t.visited[y, x] = 1
                 code_sig(y, x)
+            done += 1
+            if done >= total:
+                break
             for y, x in t.scan():
                 if not t.sig[y, x] or t.new_sig[y, x]:
                     continue
@@ -345,6 +370,9 @@ def _t1_encode(mq: MqEncoder, stats: list, coeffs: np.ndarray,
                 mq.encode(stats, ctx,
                           1 if mag_in[y, x] & bitval else 0)
                 t.refined[y, x] = 1
+            done += 1
+            if done >= total:
+                break
         for y0 in range(1, h + 1, 4):
             for x in range(1, w + 1):
                 y = y0
@@ -869,9 +897,11 @@ def decode_j2k(data: bytes) -> np.ndarray:
     levels = cbx = cby = None
     use_mct = False
     use_sop = use_eph = False
+    irreversible = False
     layers = 1
     depth = None
     body = None
+    qcd_seg = None
     while pos + 2 <= len(b):
         marker = b[pos:pos + 2]
         pos += 2
@@ -940,17 +970,15 @@ def decode_j2k(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"code-block style 0x{cbstyle:02x} (bypass/"
                     "termall/causal/...) not supported")
-            if wavelet != 1:
-                raise NotImplementedError(
-                    "irreversible 9/7 wavelet not supported "
-                    "(lossless 5/3 only)")
+            if wavelet not in (0, 1):
+                raise Jpeg2000Error(f"bad wavelet flag {wavelet}")
+            irreversible = wavelet == 0
             levels, cbx, cby = nl, cbxe + 2, cbye + 2
             use_mct = bool(mct)
         elif marker == b"\xff\x5c":                    # QCD
-            if not seg or (seg[0] & 0x1F):
-                raise NotImplementedError(
-                    "scalar quantization not supported (reversible "
-                    "no-quantization QCD only)")
+            if not seg:
+                raise Jpeg2000Error("empty QCD")
+            qcd_seg = seg
         elif marker == b"\xff\x90":                    # SOT
             if len(seg) < 8:
                 raise Jpeg2000Error("truncated SOT")
@@ -974,8 +1002,37 @@ def decode_j2k(data: bytes) -> np.ndarray:
         # advisory markers — TLM (FF55), PLM (FF57), PLT (FF58),
         # CRG (FF63), COM (FF64) — and unknown COM-class: skip
         pos += ln
-    if w is None or levels is None or body is None:
-        raise Jpeg2000Error("missing SIZ/COD/tile data")
+    if w is None or levels is None or body is None or qcd_seg is None:
+        raise Jpeg2000Error("missing SIZ/COD/QCD/tile data")
+
+    # quantization parameters (E.1): guard bits + per-band (eps, mant)
+    guard = qcd_seg[0] >> 5
+    qstyle = qcd_seg[0] & 0x1F
+    blist_all = _band_list(levels)
+    quant: dict = {}
+    if qstyle == 0:                      # reversible, 8-bit exponents
+        if irreversible:
+            raise Jpeg2000Error("9/7 stream without quantization")
+        if len(qcd_seg) < 1 + len(blist_all):
+            raise Jpeg2000Error("QCD short of subband entries")
+        for k, (_r, band, _lvl) in enumerate(blist_all):
+            quant[(_r, band)] = (qcd_seg[1 + k] >> 3, 0)
+    elif qstyle == 1:                    # scalar derived
+        if len(qcd_seg) < 3:
+            raise Jpeg2000Error("QCD short")
+        v = struct.unpack_from(">H", qcd_seg, 1)[0]
+        e0, m0 = v >> 11, v & 0x7FF
+        for (_r, band, lvl) in blist_all:
+            dec_lvl = lvl if band != "LL" else levels
+            quant[(_r, band)] = (e0 - (levels - dec_lvl), m0)
+    elif qstyle == 2:                    # scalar expounded
+        if len(qcd_seg) < 1 + 2 * len(blist_all):
+            raise Jpeg2000Error("QCD short of subband entries")
+        for k, (_r, band, _lvl) in enumerate(blist_all):
+            v = struct.unpack_from(">H", qcd_seg, 1 + 2 * k)[0]
+            quant[(_r, band)] = (v >> 11, v & 0x7FF)
+    else:
+        raise Jpeg2000Error(f"bad quantization style {qstyle}")
 
     nc = len(comps)
     cbw, cbh = 1 << cbx, 1 << cby
@@ -1001,7 +1058,10 @@ def decode_j2k(data: bytes) -> np.ndarray:
             for (_r, band, lvl) in blist:
                 bh_, bw_ = ll_size if band == "LL" else \
                     sizes[lvl - 1][band]
-                mb = depth + _GAIN[band] + _GUARD - 1
+                eps_b, mant_b = quant[(r, band)]
+                mb = guard + eps_b - 1
+                if mb < 1 or mb > 40:
+                    raise Jpeg2000Error(f"bad Mb {mb} for {band}")
                 if bw_ == 0 or bh_ == 0:
                     empty = np.zeros((bh_, bw_), dtype=np.int64)
                     if band == "LL":
@@ -1018,23 +1078,28 @@ def decode_j2k(data: bytes) -> np.ndarray:
         for st, *_rest in band_walk:
             pos = _read_packet_layer(body, pos, st, layer,
                                      use_sop, use_eph)
-    # walk 3: Tier-1 over the accumulated segments
+    # walk 3: Tier-1 over the accumulated segments (r13: partial
+    # pass counts decode the available planes — lossy truncation)
     for st, ci, band, lvl, bh_, bw_ in band_walk:
         arr = np.zeros((bh_, bw_), dtype=np.int64)
         for i, (x0, y0, wb, hb) in enumerate(st.blocks):
             if not st.included[i]:
                 continue
             msb = st.msb[i]
-            if st.npass[i] != 3 * msb - 2:
-                raise NotImplementedError(
-                    "truncated (lossy-truncated) codeblocks not "
-                    f"supported: {st.npass[i]} of {3 * msb - 2} "
-                    "passes present")
+            npass = min(st.npass[i], 3 * msb - 2)
             cw = b"".join(st.segs[i])
             mq = MqDecoder(cw)
             t1 = _fresh_stats()
             arr[y0:y0 + hb, x0:x0 + wb] = _t1_decode(
-                mq, t1, wb, hb, band, msb)
+                mq, t1, wb, hb, band, msb, n_passes=npass)
+        r_of = 0 if band == "LL" else levels - lvl + 1
+        if irreversible:
+            eps_b, mant_b = quant[(r_of, band)]
+            delta = _delta_b(depth, band, eps_b, mant_b)
+            farr = np.where(
+                arr != 0,
+                (np.abs(arr) + 0.5) * delta * np.sign(arr), 0.0)
+            arr = farr
         if band == "LL":
             per_comp[ci]["LL"] = arr
         else:
@@ -1043,7 +1108,11 @@ def decode_j2k(data: bytes) -> np.ndarray:
     outs = []
     for ci in range(nc):
         pc = per_comp[ci]
-        outs.append(dwt53_inverse(pc["bands"], pc["LL"]))
+        if irreversible:
+            outs.append(np.rint(dwt97_inverse(
+                pc["bands"], pc["LL"])).astype(np.int64))
+        else:
+            outs.append(dwt53_inverse(pc["bands"], pc["LL"]))
     if use_mct and nc == 3:
         y, cb, cr = outs
         g = y - ((cb + cr) >> 2)
@@ -1115,3 +1184,215 @@ def build_jp2(img: np.ndarray, depth: int = 8, **kw) -> bytes:
         ">I", 16 if nc == 3 else 17))
     jp2h = box(b"jp2h", ihdr + colr)
     return _JP2_SIG + ftyp + jp2h + box(b"jp2c", code)
+
+
+# --------------------------------------------------------------------------
+# irreversible 9/7 path (Annex F.4 + E: scalar quantization) — r13
+# --------------------------------------------------------------------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fwd97_1d(a: np.ndarray, axis: int):
+    x = np.asarray(a, dtype=np.float64)
+    n = x.shape[axis]
+    nh = n // 2
+    nl = n - nh
+    even = np.take(x, np.arange(0, n, 2), axis=axis)
+    odd = np.take(x, np.arange(1, n, 2), axis=axis)
+    if nh == 0:
+        return even, odd
+    il, ih = np.arange(nl), np.arange(nh)
+    h = odd + _A97 * (np.take(even, ih, axis=axis)
+                      + _clip_take(even, ih + 1, axis))
+    lo = even + _B97 * (_clip_take(h, il - 1, axis)
+                        + _clip_take(h, il, axis))
+    h = h + _G97 * (np.take(lo, ih, axis=axis)
+                    + _clip_take(lo, ih + 1, axis))
+    lo = lo + _D97 * (_clip_take(h, il - 1, axis)
+                      + _clip_take(h, il, axis))
+    return lo / _K97, h * _K97
+
+
+def _inv97_1d(lo: np.ndarray, hi: np.ndarray,
+              axis: int) -> np.ndarray:
+    lo = np.asarray(lo, dtype=np.float64) * _K97
+    hi = np.asarray(hi, dtype=np.float64) / _K97
+    nl = lo.shape[axis]
+    nh = hi.shape[axis]
+    n = nl + nh
+    if nh == 0:
+        return lo.copy()
+    il, ih = np.arange(nl), np.arange(nh)
+    lo = lo - _D97 * (_clip_take(hi, il - 1, axis)
+                      + _clip_take(hi, il, axis))
+    hi = hi - _G97 * (np.take(lo, ih, axis=axis)
+                      + _clip_take(lo, ih + 1, axis))
+    lo = lo - _B97 * (_clip_take(hi, il - 1, axis)
+                      + _clip_take(hi, il, axis))
+    even = lo
+    odd = hi - _A97 * (np.take(even, ih, axis=axis)
+                       + _clip_take(even, ih + 1, axis))
+    out_shape = list(lo.shape)
+    out_shape[axis] = n
+    out = np.empty(out_shape, dtype=np.float64)
+    sl_e = [slice(None)] * out.ndim
+    sl_o = [slice(None)] * out.ndim
+    sl_e[axis] = slice(0, n, 2)
+    sl_o[axis] = slice(1, n, 2)
+    out[tuple(sl_e)] = even
+    out[tuple(sl_o)] = odd
+    return out
+
+
+def dwt97_forward(img: np.ndarray, levels: int):
+    ll = np.asarray(img, dtype=np.float64)
+    bands = []
+    for _ in range(levels):
+        lo_r, hi_r = _fwd97_1d(ll, axis=1)
+        llv, lhv = _fwd97_1d(lo_r, axis=0)
+        hlv, hhv = _fwd97_1d(hi_r, axis=0)
+        bands.append({"HL": hlv, "LH": lhv, "HH": hhv})
+        ll = llv
+    return bands, ll
+
+
+def dwt97_inverse(bands: list, ll: np.ndarray) -> np.ndarray:
+    ll = np.asarray(ll, dtype=np.float64)
+    for lvl in reversed(bands):
+        lo_r = _inv97_1d(ll, lvl["LH"], axis=0)
+        hi_r = _inv97_1d(lvl["HL"], lvl["HH"], axis=0)
+        ll = _inv97_1d(lo_r, hi_r, axis=1)
+    return ll
+
+
+def _delta_b(depth: int, band: str, eps: int, mant: int) -> float:
+    """Quantization step (E.1.1): 2^(Rb - eps) * (1 + mant/2^11)."""
+    rb = depth + _GAIN[band]
+    return (2.0 ** (rb - eps)) * (1.0 + mant / 2048.0)
+
+
+def encode_j2k_lossy(img: np.ndarray, depth: int = 8, levels: int = 2,
+                     cb_exp: tuple = (6, 6), layers: int = 1,
+                     sop: bool = False, eph: bool = False,
+                     quality_shift: int = 2,
+                     mantissa: int = 410,
+                     drop_passes: int = 0) -> bytes:
+    """Irreversible Part-1 codestream: 9/7 float DWT + scalar
+    quantization (expounded per-band steps), single tile, LRCP, no
+    MCT.  ``quality_shift`` coarsens every step by 2^shift (0 =
+    near-lossless); ``mantissa`` exercises the 11-bit mantissa path.
+    The fixture-writer side of the lossy DECODE lane — round trips
+    are approximate by design (PSNR-pinned in tests)."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        comps = [a.astype(np.float64)]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        comps = [a[:, :, i].astype(np.float64) for i in range(3)]
+    else:
+        raise Jpeg2000Error("image must be (h,w) or (h,w,3)")
+    h, w = comps[0].shape
+    if w * h > MAX_PIXELS or w < 1 or h < 1:
+        raise Jpeg2000Error(f"bad dimensions {w}x{h}")
+    if not 1 <= depth <= 16:
+        raise Jpeg2000Error(f"bad depth {depth}")
+    if not 0 <= quality_shift <= 8 or not 0 <= mantissa <= 2047:
+        raise Jpeg2000Error("bad quantization parameters")
+    shift = 1 << (depth - 1)
+    comps = [c - shift for c in comps]
+    cbw, cbh = 1 << cb_exp[0], 1 << cb_exp[1]
+
+    out = bytearray(b"\xff\x4f")
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0,
+                      len(comps))
+    for _ in comps:
+        siz += struct.pack(">BBB", depth - 1, 1, 1)
+    out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    scod = (2 if sop else 0) | (4 if eph else 0)
+    cod = struct.pack(">BBHB", scod, 0, layers, 0)
+    cod += struct.pack(">BBBBB", levels, cb_exp[0] - 2,
+                       cb_exp[1] - 2, 0, 0)              # 9/7
+    out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    qcd = bytes([(_GUARD << 5) | 2])                     # expounded
+    quant = []
+    for (_r, band, _lvl) in _band_list(levels):
+        eps = depth + _GAIN[band] - quality_shift
+        if eps < 1:
+            raise Jpeg2000Error("quality_shift too coarse for depth")
+        quant.append((band, eps, mantissa))
+        qcd += struct.pack(">H", (eps << 11) | mantissa)
+    out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+
+    per_comp = []
+    for c in comps:
+        bands, ll = dwt97_forward(c, levels)
+        per_comp.append({"LL": ll, "bands": bands})
+    band_states = []
+    qi = {(_r, band): (eps, mant) for (_r, band, _l), (b2, eps, mant)
+          in zip(_band_list(levels), quant)}
+    for r in range(levels + 1):
+        blist = [b for b in _band_list(levels) if b[0] == r]
+        for ci, pc in enumerate(per_comp):
+            for (_r, band, lvl) in blist:
+                arr = pc["LL"] if band == "LL" else \
+                    pc["bands"][lvl - 1][band]
+                if arr.size == 0:
+                    continue
+                eps, mant = qi[(r, band)]
+                delta = _delta_b(depth, band, eps, mant)
+                idx = np.sign(arr) * np.floor(
+                    np.abs(arr) / delta)
+                mb = eps + _GUARD - 1
+                nx, ny, entries = _encode_band_packet_quant(
+                    idx.astype(np.int64), band, mb, cbw, cbh,
+                    drop_passes=drop_passes)
+                st = _BandState(nx, ny, [], band, mb)
+                for i, (zb, npass, d) in enumerate(entries):
+                    st.incl.set_value(i % nx, i // nx,
+                                      (i % layers) if d else 999)
+                band_states.append((st, _split_layers(entries,
+                                                      layers)))
+    body = bytearray()
+    nsop = 0
+    for layer in range(layers):
+        for st, plan in band_states:
+            if sop:
+                body += _SOP + struct.pack(">HH", 4, nsop & 0xFFFF)
+                nsop += 1
+            body += _emit_packet_layer(st, layer, plan[layer], eph)
+    sot = struct.pack(">HHIBB", 10, 0, 14 + len(body), 0, 1)
+    out += b"\xff\x90" + sot + b"\xff\x93" + bytes(body)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_band_packet_quant(idx: np.ndarray, band: str, mb: int,
+                              cbw: int, cbh: int,
+                              drop_passes: int = 0):
+    """Tier-1 over pre-quantized indices with an explicit Mb;
+    ``drop_passes`` truncates each codeblock's trailing passes (rate
+    control — the codeword is re-encoded to end exactly at the pass
+    boundary, so truncated streams decode cleanly)."""
+    bh, bw = idx.shape
+    nx, ny, blocks = _codeblocks(bw, bh, cbw, cbh)
+    entries = []
+    for (x0, y0, w, h) in blocks:
+        c = idx[y0:y0 + h, x0:x0 + w]
+        mx = int(np.abs(c).max()) if c.size else 0
+        msb = mx.bit_length()
+        if msb > mb:
+            raise Jpeg2000Error(
+                f"quantized index overflows {mb} bitplanes in {band}")
+        if msb == 0:
+            entries.append((0, 0, b""))
+            continue
+        npass = max(1, 3 * msb - 2 - drop_passes)
+        mq = MqEncoder()
+        st = _fresh_stats()
+        _t1_encode(mq, st, c, band, msb, n_passes=npass)
+        entries.append((mb - msb, npass, mq.flush()))
+    return nx, ny, entries

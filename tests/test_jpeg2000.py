@@ -119,11 +119,12 @@ def test_typed_boundaries():
     good = encode_j2k(img)
     with pytest.raises(Jpeg2000Error, match="SOC"):
         decode_j2k(b"\x00\x01")
-    # 9/7 wavelet flagged in COD
+    # 9/7 landed r13: flipping the COD transformation byte on a
+    # reversible-QCD stream is now a TYPED inconsistency
     bad = bytearray(good)
     cod = good.index(b"\xff\x52")
     bad[cod + 13] = 0                       # transformation byte
-    with pytest.raises(NotImplementedError, match="9/7"):
+    with pytest.raises(Jpeg2000Error, match="without quantization"):
         decode_j2k(bytes(bad))
     # a LYING layer count (header says 2, body carries 1 layer of
     # packets) stays typed — multi-layer itself landed r13
@@ -131,11 +132,12 @@ def test_typed_boundaries():
     bad[cod + 7] = 2                        # layers lo byte
     with pytest.raises((Jpeg2000Error, NotImplementedError)):
         decode_j2k(bytes(bad))
-    # scalar quantization
+    # scalar quantization landed r13: a style byte lying about the
+    # entry width is now a TYPED length error
     bad = bytearray(good)
     qcd = good.index(b"\xff\x5c")
     bad[qcd + 4] |= 0x02
-    with pytest.raises(NotImplementedError, match="quantization"):
+    with pytest.raises(Jpeg2000Error, match="QCD short"):
         decode_j2k(bytes(bad))
     with pytest.raises(Jpeg2000Error, match="jp2c|container"):
         decode_jpx(b"\x00\x00\x00\x0cjP  \r\n\x87\n")
@@ -175,3 +177,83 @@ def test_golden_freeze():
     code3 = encode_j2k(rgb, levels=1, rct=True)
     assert (decode_j2k(code3) == rgb).all()
     assert hashlib.sha256(code3).hexdigest() == ("d46b3f8f3b8243ae2b127f7397c5dc0d16c557bdbbbec3d895eb9a3fb27cfc6e")
+
+
+def _psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+
+
+def test_lossy_97_rate_distortion_behaves():
+    """r13 third wave: the irreversible 9/7 + scalar-quantization
+    DECODE path.  A real codec's signature is the rate-distortion
+    slope: finer steps -> more bytes -> higher PSNR, near-lossless at
+    shift 0; coarser steps degrade gracefully.  (Pin strategy: no
+    system J2K exists in-env, so the pin is this behavioral envelope +
+    the exact integer entropy layer shared with the lossless path.)"""
+    from evm_archive_spark.operators.jpeg2000 import encode_j2k_lossy
+
+    rng = np.random.default_rng(6)
+    ys, xs = np.mgrid[0:64, 0:80]
+    img = (128 + 60 * np.sin(ys / 9.0) + 50 * np.cos(xs / 11.0)
+           + rng.normal(0, 6, (64, 80))).clip(0, 255).astype(np.uint8)
+    stats = []
+    for qs in (0, 2, 4):
+        code = encode_j2k_lossy(img, levels=3, quality_shift=qs)
+        out = decode_j2k(code)
+        assert out.shape == img.shape
+        stats.append((len(code), _psnr(out, img)))
+    (b0, p0), (b2, p2), (b4, p4) = stats
+    assert p0 > 45 and b0 > b2 > b4 and p0 > p2 > p4, stats
+    # 9/7 DWT round trip is float-exact on its own
+    from evm_archive_spark.operators.jpeg2000 import (
+        dwt97_forward, dwt97_inverse)
+
+    f = rng.integers(0, 256, (45, 61)).astype(np.float64)
+    bands, ll = dwt97_forward(f, 3)
+    assert np.abs(dwt97_inverse(bands, ll) - f).max() < 1e-9
+
+
+def test_lossy_truncated_passes_decode_gracefully():
+    """Rate-control truncation (dropped trailing coding passes) is the
+    normal shape of real lossy streams; PSNR degrades monotonically
+    and decode never errors."""
+    from evm_archive_spark.operators.jpeg2000 import encode_j2k_lossy
+
+    rng = np.random.default_rng(7)
+    ys, xs = np.mgrid[0:48, 0:56]
+    img = (120 + 70 * np.sin(ys / 7.0) + 40 * np.cos(xs / 9.0)
+           + rng.normal(0, 5, (48, 56))).clip(0, 255).astype(np.uint8)
+    prev = None
+    for dp in (0, 2, 4, 6):
+        code = encode_j2k_lossy(img, levels=2, quality_shift=1,
+                                drop_passes=dp, layers=2)
+        p = _psnr(decode_j2k(code), img)
+        assert prev is None or p <= prev + 0.5, (dp, p, prev)
+        prev = p
+
+
+def test_qcd_styles_parse():
+    """Style-1 (derived) QCD parses and decodes; bad style is typed."""
+    from evm_archive_spark.operators.jpeg2000 import encode_j2k_lossy
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    code = encode_j2k_lossy(img, levels=1, quality_shift=1)
+    qcd = code.index(b"\xff\x5c")
+    ln = int.from_bytes(code[qcd + 2:qcd + 4], "big")
+    # rewrite the expounded QCD (style 2, 4 subband entries) as a
+    # derived one (style 1, single entry) — parses + decodes to the
+    # declared shape (step sizes differ, fidelity is not the point)
+    e0 = code[qcd + 5] >> 3 | (code[qcd + 5] >> 3)
+    first = code[qcd + 5:qcd + 7]
+    new_qcd = b"\xff\x5c" + (5).to_bytes(2, "big") + bytes(
+        [(code[qcd + 4] & 0xE0) | 1]) + first
+    patched = code[:qcd] + new_qcd + code[qcd + 2 + ln:]
+    out = decode_j2k(patched)
+    assert out.shape == (16, 16)
+    # reserved style 3 is typed
+    bad = bytearray(code)
+    bad[qcd + 4] = (bad[qcd + 4] & 0xE0) | 3
+    with pytest.raises(Jpeg2000Error, match="quantization style"):
+        decode_j2k(bytes(bad))
