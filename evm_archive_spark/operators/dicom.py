@@ -64,11 +64,13 @@ UID_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 UID_JPEG_LS = "1.2.840.10008.1.2.4.80"
 UID_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
 UID_J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
+UID_J2K = "1.2.840.10008.1.2.4.91"
 UID_RLE = "1.2.840.10008.1.2.5"
 
 _ENCAPSULATED = {UID_JPEG_BASELINE, UID_JPEG_LOSSLESS,
                  UID_JPEG_LOSSLESS_SV1, UID_JPEG_LS,
-                 UID_JPEG_LS_NEAR, UID_J2K_LOSSLESS, UID_RLE}
+                 UID_JPEG_LS_NEAR, UID_J2K_LOSSLESS, UID_J2K,
+                 UID_RLE}
 
 #: VRs whose explicit form carries 2 reserved bytes + a 4-byte length
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR",
@@ -242,9 +244,10 @@ def _decode_encap_frame(ts: str, stream: bytes, rows: int, cols: int,
     """One encapsulated frame's bitstream -> (rows, cols, spp)."""
     if ts == UID_RLE:
         return _rle_decode_frame(stream, rows, cols, spp, alloc)
-    if ts == UID_J2K_LOSSLESS:
+    if ts in (UID_J2K_LOSSLESS, UID_J2K):
         # PS3.5 A.4.4: each fragment carries a JPEG 2000 codestream
-        # (r13, jpeg2000.py — lossless 5/3 Part-1 subset)
+        # (r13, jpeg2000.py — ..4.90 lossless 5/3; ..4.91 may also be
+        # the irreversible 9/7 + scalar-quantization form)
         from .jpeg2000 import Jpeg2000Error, decode_j2k
 
         try:
@@ -659,6 +662,13 @@ def build_dicom(img: np.ndarray, *, bits_stored: int = 16,
                 from .jpeg2000 import encode_j2k
 
                 return encode_j2k(fr, depth=bits_stored, levels=2)
+            if ts == UID_J2K:
+                # writer emits the near-lossless 9/7 form (shift 0);
+                # decode accepts any quantization the stream declares
+                from .jpeg2000 import encode_j2k_lossy
+
+                return encode_j2k_lossy(
+                    fr, depth=bits_stored, levels=2, quality_shift=0)
             from .jpeglossless import build_jpeg_lossless
 
             sv1 = ts == UID_JPEG_LOSSLESS_SV1

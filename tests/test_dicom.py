@@ -342,3 +342,20 @@ def test_jpeg2000_lossless_transfer_syntax():
                       transfer_syntax=D.UID_J2K_LOSSLESS)
     fr, _ = D.dicom_frames(b)
     assert fr.shape == (3, 16, 16, 1) and (fr[:, :, :, 0] == imgs).all()
+
+
+def test_jpeg2000_lossy_transfer_syntax():
+    """..4.91 (JPEG 2000, r13): irreversible 9/7 frames decode; the
+    near-lossless writer form stays within a tight error bound."""
+    import numpy as np
+
+    from evm_archive_spark.operators import dicom as D
+
+    ys, xs = np.mgrid[0:16, 0:16]
+    img = ((200 + ys * 40 + xs * 23) % 4096).astype(np.uint16)
+    b = D.build_dicom(img, bits_stored=12, transfer_syntax=D.UID_J2K)
+    assert D.dicom_metadata(b)["transfer_syntax"] == D.UID_J2K
+    px, stored = D.dicom_pixels(b)
+    assert stored == 12 and px.shape == (16, 16, 1)
+    err = np.abs(px[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 4, err.max()     # shift-0 9/7 is near-lossless
