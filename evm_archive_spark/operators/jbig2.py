@@ -50,6 +50,8 @@ import struct
 
 import numpy as np
 
+from .codecerrors import guard
+
 
 class Jbig2Error(ValueError):
     """Typed JBIG2 failure (corrupt stream, unsupported-but-named
@@ -506,6 +508,7 @@ def _decode_region_segment(payload: bytes):
     return x, y, comb, bits
 
 
+@guard(Jbig2Error)
 def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Decode a PDF-embedded JBIG2 stream (optionally preceded by the
     ``/JBIG2Globals`` segments) to the page bitmap — (h, w) uint8,
@@ -520,7 +523,10 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             list(_iter_segments(bytes(globals_data))) \
             + list(_iter_segments(bytes(data))):
         if stype == 0:   # symbol dictionary (r13)
-            sym_by_seg[num] = decode_symbol_dict(payload)
+            insyms: list = []
+            for rn in referred:
+                insyms.extend(sym_by_seg.get(rn, []))
+            sym_by_seg[num] = decode_symbol_dict(payload, insyms)
             continue
         if stype in (4, 6, 7):  # text regions (r13)
             syms: list = []
@@ -541,17 +547,7 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 page = np.zeros((page_h, page_w), dtype=np.uint8)
             if y + hh > page.shape[0] or x + ww > page.shape[1]:
                 raise Jbig2Error("region outside page")
-            tgt = page[y:y + hh, x:x + ww]
-            if comb == 0:
-                tgt |= bits
-            elif comb == 1:
-                tgt &= bits
-            elif comb == 2:
-                tgt ^= bits
-            elif comb == 3:
-                tgt[:] = 1 - (tgt ^ bits)
-            else:
-                tgt[:] = bits
+            _combine(page[y:y + hh, x:x + ww], bits, comb)
             continue
         if stype == 48:  # page info
             if len(payload) < 19:
@@ -580,17 +576,7 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 page = np.zeros((page_h, page_w), dtype=np.uint8)
             if y + h > page.shape[0] or x + w > page.shape[1]:
                 raise Jbig2Error("region outside page")
-            tgt = page[y:y + h, x:x + w]
-            if comb == 0:
-                tgt |= bits
-            elif comb == 1:
-                tgt &= bits
-            elif comb == 2:
-                tgt ^= bits
-            elif comb == 3:
-                tgt[:] = 1 - (tgt ^ bits)
-            else:  # 4 = REPLACE
-                tgt[:] = bits
+            _combine(page[y:y + h, x:x + w], bits, comb)
         elif stype in _SKIP_TYPES:
             continue
         elif stype in _UNSUPPORTED:
@@ -741,8 +727,27 @@ class _IdCtx:
 MAX_SYMBOLS = 1 << 16
 
 
-def decode_symbol_dict(payload: bytes) -> list:
+def _combine(tgt: np.ndarray, bits: np.ndarray, op: int) -> None:
+    """External/text combination operators (7.4.1/6.4): OR/AND/XOR/
+    XNOR/REPLACE onto a page or region window, in place."""
+    if op == 0:
+        tgt |= bits
+    elif op == 1:
+        tgt &= bits
+    elif op == 2:
+        tgt ^= bits
+    elif op == 3:
+        tgt[:] = 1 - (tgt ^ bits)
+    else:
+        tgt[:] = bits
+
+
+def decode_symbol_dict(payload: bytes,
+                       input_syms: list | None = None) -> list:
     """Symbol dictionary segment data (6.5) -> exported symbol bitmaps.
+    ``input_syms`` are the referred dictionaries' exports (SDINSYMS) —
+    export runs walk input + new symbols, so shared /JBIG2Globals
+    dictionaries can re-export imported symbols (review r13).
     Scope: arithmetic coding (SDHUFF=0) without refinement/aggregation
     (SDREFAGG=0) — the form generic JBIG2 encoders emit for scanned
     text; Huffman tables and refinement stay typed."""
@@ -800,18 +805,26 @@ def decode_symbol_dict(payload: bytes) -> list:
             syms.append(decode_generic(
                 b"", symwidth, hcheight, template, at,
                 False, mq=mq, stats=gb_stats))
-    # export runs (6.5.10): alternating not-exported/exported
+    # export runs (6.5.10): alternating not-exported/exported over
+    # INPUT symbols (referred dicts' exports) followed by new ones
+    allsyms = list(input_syms or []) + syms
     exported: list = []
     exflag = False
     i = 0
-    while i < len(syms):
+    nruns = 0
+    while i < len(allsyms):
         run = iaex.decode(mq)
+        nruns += 1
+        if nruns > 2 * len(allsyms) + 2:
+            # a crafted stream of zero-runs must not spin forever
+            # (review r13 — the MQ decoder never runs out of input)
+            raise Jbig2Error("export runs make no progress")
         if run is OOB or run < 0:
             raise Jbig2Error("bad export run")
-        if run > len(syms) - i:
+        if run > len(allsyms) - i:
             raise Jbig2Error("export run overruns symbol list")
         if exflag:
-            exported.extend(syms[i:i + run])
+            exported.extend(allsyms[i:i + run])
         i += run
         exflag = not exflag
     if len(exported) != n_ex:
@@ -914,15 +927,8 @@ def decode_text_region(payload: bytes, symbols: list):
             yy = t if refcorner in (1, 3) else t - sh + 1
         if yy < 0 or xx < 0 or yy + sh > h or xx + sw > w:
             raise Jbig2Error("symbol instance outside region")
-        tgt = page[yy:yy + sh, xx:xx + sw]
-        if sb_comb == 0:
-            tgt |= sym
-        elif sb_comb == 1:
-            tgt &= sym
-        elif sb_comb == 2:
-            tgt ^= sym
-        else:
-            tgt[:] = 1 - (tgt ^ sym)
+        _combine(page[yy:yy + sh, xx:xx + sw], sym,
+                 3 if sb_comb == 3 else sb_comb)
 
     stript = iadt.decode(mq)
     if stript is OOB:

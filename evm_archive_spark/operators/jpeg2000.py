@@ -47,6 +47,7 @@ import struct
 
 import numpy as np
 
+from .codecerrors import guard
 from .jbig2 import MqDecoder, MqEncoder
 
 
@@ -249,10 +250,11 @@ def _t1_decode(mq: MqDecoder, stats: list, w: int, h: int, band: str,
             for y, x in t.scan():
                 if t.sig[y, x]:
                     continue
-                if t.zc(y, x) == 0:
+                cx = t.zc(y, x)
+                if cx == 0:
                     continue
                 t.visited[y, x] = 1
-                if mq.decode(stats, t.zc(y, x)):
+                if mq.decode(stats, cx):
                     ctx, xor = t.sc(y, x)
                     sb = mq.decode(stats, ctx) ^ xor
                     t.sig[y, x] = 1
@@ -722,13 +724,15 @@ def _emit_packet_layer(st: _BandState, layer: int, contrib: list,
             if c is None:
                 continue
         else:
-            # tag-tree leaf value (set by the caller) = the block's
-            # first-inclusion layer, 999 = never included
+            # tag-tree leaf values (inclusion AND zero-bitplane) are
+            # ALL pre-seeded by the caller: tag-tree internal nodes
+            # are mins over every leaf, so setting leaves lazily as
+            # blocks are first coded lets an earlier block commit a
+            # wrong ancestor value (review r13 — silent multi-
+            # codeblock corruption)
             st.incl.encode(bio, x, y, layer + 1)
             if c is None:
                 continue
-            zb = c[0]
-            st.zbp.set_value(x, y, zb)
             st.zbp.encode(bio, x, y, 999)
             st.included[i] = True
         _, npass, data = c
@@ -868,6 +872,8 @@ def encode_j2k(img: np.ndarray, depth: int = 8, levels: int = 2,
                 for i, (zb, npass, d) in enumerate(entries):
                     st.incl.set_value(i % nx, i // nx,
                                       (i % layers) if d else 999)
+                    st.zbp.set_value(i % nx, i // nx,
+                                     zb if d else 0)
                 band_states.append((st, _split_layers(entries,
                                                       layers)))
     body = bytearray()
@@ -885,6 +891,7 @@ def encode_j2k(img: np.ndarray, depth: int = 8, levels: int = 2,
     return bytes(out)
 
 
+@guard(Jpeg2000Error)
 def decode_j2k(data: bytes) -> np.ndarray:
     """Decode a Part-1 codestream within this module's lossless scope
     (see module docstring); named NotImplementedError for the rest."""
@@ -932,6 +939,8 @@ def decode_j2k(data: bytes) -> np.ndarray:
             if xs * ys > MAX_PIXELS or xs < 1 or ys < 1:
                 raise Jpeg2000Error(f"bad dimensions {xs}x{ys}")
             w, h = xs, ys
+            if len(seg) < 36 + 3 * nc:
+                raise Jpeg2000Error("SIZ short of component entries")
             comps = []
             for i in range(nc):
                 ssiz, xr, yr = struct.unpack_from(
@@ -1137,6 +1146,7 @@ def is_jpeg2000(b: bytes) -> bool:
     return b[:4] == b"\xff\x4f\xff\x51" or b[:12] == _JP2_SIG
 
 
+@guard(Jpeg2000Error)
 def decode_jpx(data: bytes) -> np.ndarray:
     """Decode either a raw J2K codestream or a JP2 container (the two
     payloads PDF's /JPXDecode carries)."""
@@ -1354,6 +1364,8 @@ def encode_j2k_lossy(img: np.ndarray, depth: int = 8, levels: int = 2,
                 for i, (zb, npass, d) in enumerate(entries):
                     st.incl.set_value(i % nx, i // nx,
                                       (i % layers) if d else 999)
+                    st.zbp.set_value(i % nx, i // nx,
+                                     zb if d else 0)
                 band_states.append((st, _split_layers(entries,
                                                       layers)))
     body = bytearray()

@@ -79,6 +79,9 @@ def main() -> int:
               f"over {threshold}x, {len(new)} new)")
 
     if update:
+        floors = dict(floors)   # flat ref file: floors IS ref — a
+        # self-assignment below would make the dict circular and
+        # truncate the file mid-dump (review r13); copy first
         for name, sec in run_q.items():
             fl = floors.get(name)
             floors[name] = round(min(fl, sec) if fl is not None

@@ -279,3 +279,86 @@ def test_text_page_golden_freeze():
     s = encode_embedded_text([a, b], [(0, 1, 1), (1, 6, 2), (0, 10, 1)],
                              16, 8)
     assert hashlib.sha256(s).hexdigest() == ("1988f3bbfc9b87f9dc7e14de6ed7822a27b4f2bde91ee5afe9e799236dce475f")
+
+
+def test_review_r13_export_run_dos_is_typed():
+    """Review r13: a crafted symbol dictionary emitting endless
+    zero-length IAEX export runs must raise quickly (the MQ decoder
+    never runs out of input — past end-of-data it feeds 1-bits), not
+    hang the task."""
+    import struct
+    import time
+
+    import numpy as np
+
+    from evm_archive_spark.operators.jbig2 import (
+        MqEncoder, NOMINAL_AT, _IntCtx, _resolve_template,
+        decode_symbol_dict, encode_generic)
+
+    mq = MqEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    gb = [0] * (1 << len(_resolve_template(0, NOMINAL_AT[0])))
+    iadh.encode(mq, 3)
+    iadw.encode(mq, 3)
+    encode_generic(np.ones((3, 3), dtype=np.uint8), 0, None, False,
+                   mq=mq, stats=gb)
+    from evm_archive_spark.operators.jbig2 import OOB
+    iadw.encode(mq, OOB)
+    for _ in range(500):
+        iaex.encode(mq, 0)          # zero-run spam, never advancing
+    head = struct.pack(">H", 0)
+    head += b"".join(struct.pack("bb", ax, ay) for ax, ay in
+                     NOMINAL_AT[0])
+    head += struct.pack(">II", 1, 1)
+    t0 = time.monotonic()
+    with pytest.raises(Jbig2Error, match="no progress"):
+        decode_symbol_dict(head + mq.flush())
+    assert time.monotonic() - t0 < 5
+
+
+def test_review_r13_shared_dictionary_imports():
+    """Review r13: a symbol dictionary that IMPORTS a referred
+    dictionary's exports (SDINSYMS — the /JBIG2Globals shared-dict
+    pattern) re-exports input + new symbols; the text region then
+    indexes the combined list."""
+    import struct
+
+    import numpy as np
+
+    from evm_archive_spark.operators.jbig2 import (
+        MqEncoder, NOMINAL_AT, OOB, _IntCtx, _resolve_template,
+        _segment, decode_embedded, encode_symbol_dict,
+        encode_text_region)
+
+    a = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], dtype=np.uint8)
+    b = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=np.uint8)
+    dict_a = encode_symbol_dict([a])
+    # dict B: 1 new symbol, exports input(A) + new(B) -> runs (0, 2)
+    mq = MqEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    from evm_archive_spark.operators.jbig2 import encode_generic
+    gb = [0] * (1 << len(_resolve_template(0, NOMINAL_AT[0])))
+    iadh.encode(mq, 3)
+    iadw.encode(mq, 3)
+    encode_generic(b, 0, None, False, mq=mq, stats=gb)
+    iadw.encode(mq, OOB)
+    iaex.encode(mq, 0)
+    iaex.encode(mq, 2)
+    head = struct.pack(">H", 0)
+    head += bytes(sum((list(struct.pack("bb", ax, ay))
+                       for ax, ay in NOMINAL_AT[0]), []))
+    head += struct.pack(">II", 2, 1)       # n_ex=2, n_new=1
+    dict_b = head + mq.flush()
+    page_info = struct.pack(">IIIIBH", 16, 6, 0, 0, 0, 0)
+    tr = encode_text_region(16, 6, [(0, 1, 1, 3, 3), (1, 6, 1, 3, 3)],
+                            2)
+    stream = (_segment(1, 48, 1, page_info)
+              + _segment(2, 0, 1, dict_a)
+              + _segment(3, 0, 1, dict_b, referred=(2,))
+              + _segment(4, 7, 1, tr, referred=(3,))
+              + _segment(5, 49, 1, b""))
+    out = decode_embedded(stream)
+    expected = np.zeros((6, 16), dtype=np.uint8)
+    expected[1:4, 1:4] |= a
+    expected[1:4, 6:9] |= b
+    assert (out == expected).all()

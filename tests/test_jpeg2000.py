@@ -257,3 +257,43 @@ def test_qcd_styles_parse():
     bad[qcd + 4] = (bad[qcd + 4] & 0xE0) | 3
     with pytest.raises(Jpeg2000Error, match="quantization style"):
         decode_j2k(bytes(bad))
+
+
+def test_review_r13_multi_codeblock_zbp_tagtree():
+    """Review r13: zero-bitplane tag-tree leaves must ALL be seeded
+    before any packet is emitted — lazy per-block set_value let an
+    earlier block commit a wrong internal-node minimum, silently
+    corrupting multi-codeblock images whose codeblocks have different
+    magnitudes (every prior fixture fit one codeblock)."""
+    rng = np.random.default_rng(1)
+    img = np.full((256, 256), 128, dtype=np.uint8)
+    img[128:, 128:] = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    assert (decode_j2k(encode_j2k(img, levels=2)) == img).all()
+    # the minimal two-codeblock case: flat-left, bright-right
+    img2 = np.zeros((8, 16), dtype=np.uint8)
+    img2[:, :8] = 129
+    img2[:, 8:] = 255
+    assert (decode_j2k(encode_j2k(img2, levels=0,
+                                  cb_exp=(3, 3))) == img2).all()
+    # structured (non-uniform) sweep across grids and layers
+    for t in range(4):
+        h, w = int(rng.integers(40, 120)), int(rng.integers(40, 120))
+        im = np.zeros((h, w), dtype=np.uint8)
+        im[h // 3:, w // 3:] = rng.integers(
+            0, 256, (h - h // 3, w - w // 3), dtype=np.uint8)
+        for layers in (1, 3):
+            assert (decode_j2k(encode_j2k(
+                im, levels=2, layers=layers, cb_exp=(4, 4))) == im
+            ).all(), (t, layers)
+
+
+def test_review_r13_short_siz_is_typed():
+    """Review r13: a SIZ whose length covers the fixed header but not
+    the component records must raise Jpeg2000Error, not struct.error
+    (the codecerrors guard now backs the public decode faces too)."""
+    import struct
+
+    siz = struct.pack(">HIIIIIIIIH", 0, 4, 4, 0, 0, 4, 4, 0, 0, 1)
+    bad = b"\xff\x4f\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    with pytest.raises(Jpeg2000Error, match="SIZ short"):
+        decode_j2k(bad)
