@@ -154,7 +154,7 @@ def _check_split_sentences(spark):
     assert out[4] == [(0, "Just one sentence.")]
 
 
-def test_chatformat_pooled(spark):
+def _pooled_chatformat_module(spark):
     """Pooled runner (the test_operators_pooled_heavy pattern): the
     independent checks above run through a thread pool as one pytest
     item — identical coverage, a fraction of the wall clock."""

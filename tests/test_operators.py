@@ -4102,6 +4102,13 @@ from test_warc import (  # noqa: E402
 from test_tiff import (  # noqa: E402
     _pooled_tiff_through_spark_strict_paths,
 )
+from test_spandedup import (  # noqa: E402 — r13: module pools merged
+    _pooled_spandedup_module,
+)
+from test_retrieval import _pooled_retrieval_module  # noqa: E402
+from test_videolane import _pooled_videolane_module  # noqa: E402
+from test_phash import _pooled_phash_module  # noqa: E402
+from test_chatformat import _pooled_chatformat_module  # noqa: E402
 
 _POOLED_HEAVY = [
     _pooled_thrift_endpoint_serves_views,
@@ -4164,6 +4171,13 @@ _POOLED_HEAVY = [
     _pooled_ivf_append_exact_at_full_probe_and_touches_only_landed_lists,
     _pooled_ivf_append_scans_shard_once,
     _pooled_bloom_merge_equals_rebuild_bit_for_bit,
+    # r13: whole-module pools folded in — their serial walls (5-11 s
+    # each) now overlap the big pool instead of queueing after it
+    _pooled_spandedup_module,
+    _pooled_retrieval_module,
+    _pooled_videolane_module,
+    _pooled_phash_module,
+    _pooled_chatformat_module,
 ]
 
 

@@ -99,7 +99,7 @@ def _check_phash_differs_from_ahash_fake_domain(spark):
     assert p != a  # domain-separated fakes
 
 
-def test_phash_pooled(spark):
+def _pooled_phash_module(spark):
     """Pooled runner (the test_operators_pooled_heavy pattern): the
     independent checks above run through a thread pool as one pytest
     item — identical coverage, a fraction of the wall clock."""

@@ -228,7 +228,7 @@ def _check_stream_postings_equals_batch_and_compacts(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-def test_retrieval_pooled(spark):
+def _pooled_retrieval_module(spark):
     """Pooled runner (the test_operators_pooled_heavy pattern): the
     independent checks above run through a thread pool as one pytest
     item — identical coverage, a fraction of the wall clock."""

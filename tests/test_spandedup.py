@@ -106,7 +106,7 @@ def _check_three_way_duplicate_keeps_only_min(spark):
     assert out[9].text_out == "c0"
 
 
-def test_spandedup_pooled(spark):
+def _pooled_spandedup_module(spark):
     """Pooled runner (the test_operators_pooled_heavy pattern): the
     independent checks above run through a thread pool as one pytest
     item — identical coverage, a fraction of the wall clock."""

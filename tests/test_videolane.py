@@ -108,7 +108,7 @@ def _check_streaming_equals_sequential(spark, tmp_path):
     )
 
 
-def test_videolane_pooled(spark, tmp_path):
+def _pooled_videolane_module(spark, tmp_path):
     import inspect
     import pathlib
     import tempfile
