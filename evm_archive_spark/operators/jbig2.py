@@ -400,8 +400,6 @@ _UNSUPPORTED = {
     22: "immediate halftone region",
     23: "immediate lossless halftone region",
     40: "intermediate refinement region",
-    42: "immediate refinement region",
-    43: "immediate lossless refinement region",
 }
 
 
@@ -547,6 +545,36 @@ def decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 page = np.zeros((page_h, page_w), dtype=np.uint8)
             if y + hh > page.shape[0] or x + ww > page.shape[1]:
                 raise Jbig2Error("region outside page")
+            _combine(page[y:y + hh, x:x + ww], bits, comb)
+            continue
+        if stype in (42, 43):  # generic refinement regions (r13)
+            if len(payload) < 18:
+                raise Jbig2Error("truncated refinement region")
+            ww, hh, x, y = struct.unpack_from(">IIII", payload, 0)
+            comb = payload[16] & 0x07
+            rflags = payload[17]
+            template = rflags & 1
+            tpgron = bool(rflags & 2)
+            q = 18
+            _check_region_dims(ww, hh)
+            if comb > 4:
+                raise Jbig2Error(f"bad combination operator {comb}")
+            at = None
+            if template == 0:
+                if q + 4 > len(payload):
+                    raise Jbig2Error("truncated refinement AT pixels")
+                at = tuple(
+                    (struct.unpack_from("b", payload, q + 2 * i)[0],
+                     struct.unpack_from("b", payload, q + 2 * i + 1)[0])
+                    for i in range(2))
+                q += 4
+            if page is None or y + hh > page.shape[0]                     or x + ww > page.shape[1]:
+                raise Jbig2Error(
+                    "refinement region outside page (refines the "
+                    "page content at its location)")
+            ref = page[y:y + hh, x:x + ww].copy()
+            bits = decode_refinement(payload[q:], ref, template,
+                                     at, tpgron)
             _combine(page[y:y + hh, x:x + ww], bits, comb)
             continue
         if stype == 48:  # page info
@@ -1035,3 +1063,151 @@ def encode_embedded_text(symbols: list, placements: list,
             + _segment(2, 0, 1, sd)
             + _segment(3, 7, 1, tr, referred=(2,))
             + _segment(4, 49, 1, b""))
+
+
+# --------------------------------------------------------------------------
+# generic refinement regions (T.88 6.3 + 7.4.7) — r13 third wave
+# --------------------------------------------------------------------------
+
+# refinement context neighborhoods, LSB-first: entries are
+# ("c", dx, dy) = the bitmap being decoded (strictly causal),
+# ("r", dx, dy) = the reference bitmap (dx/dy relative AFTER the
+# reference offset is applied), "A1"/"A2" = adaptive slots (template 0
+# only: A1 in the current bitmap, A2 in the reference).
+_R_TEMPLATES: dict[int, tuple] = {
+    0: (("c", -1, 0), ("c", 1, -1), ("c", 0, -1), "A1",
+        ("r", 1, 1), ("r", 0, 1), ("r", -1, 1),
+        ("r", 1, 0), ("r", 0, 0), ("r", -1, 0),
+        ("r", 1, -1), ("r", 0, -1), "A2"),
+    1: (("c", -1, 0), ("c", 1, -1), ("c", 0, -1), ("c", -1, -1),
+        ("r", 1, 1), ("r", 0, 1),
+        ("r", 1, 0), ("r", 0, 0), ("r", -1, 0),
+        ("r", 0, -1)),
+}
+R_NOMINAL_AT: dict[int, tuple] = {0: ((-1, -1), (-1, -1)), 1: ()}
+_TPGRON_CTX = {0: 0x0008, 1: 0x0080}
+
+
+def _resolve_r_template(template: int, at: tuple | None):
+    if template not in _R_TEMPLATES:
+        raise Jbig2Error(f"bad GR template {template}")
+    if at is None:
+        at = R_NOMINAL_AT[template]
+    if len(at) != len(R_NOMINAL_AT[template]):
+        raise Jbig2Error(
+            f"refinement template {template} needs "
+            f"{len(R_NOMINAL_AT[template])} AT pixels, got {len(at)}")
+    offs = []
+    for slot in _R_TEMPLATES[template]:
+        if slot == "A1":
+            ax, ay = at[0]
+            if ay > 0 or (ay == 0 and ax >= 0):
+                raise Jbig2Error("refinement A1 not strictly causal")
+            offs.append(("c", ax, ay))
+        elif slot == "A2":
+            offs.append(("r",) + tuple(at[1]))
+        else:
+            offs.append(slot)
+    return offs
+
+
+def _refine_codec(bits_or_none, ref: np.ndarray, template: int,
+                  at: tuple | None, tpgron: bool, mq, stats=None):
+    """Shared decode/encode walk for one refinement region.  Decodes
+    when ``bits_or_none`` is None (mq: MqDecoder), encodes otherwise
+    (mq: MqEncoder)."""
+    offs = _resolve_r_template(template, at)
+    h, w = ref.shape
+    pad = 1 + _MAX_AT
+    C = np.zeros((h + 2 * pad, w + 2 * pad), dtype=np.uint8)
+    R = np.zeros((h + 2 * pad, w + 2 * pad), dtype=np.uint8)
+    R[pad:pad + h, pad:pad + w] = ref
+    encoding = bits_or_none is not None
+    if encoding:
+        tgt = (np.asarray(bits_or_none) > 0).astype(np.uint8)
+        if tgt.shape != ref.shape:
+            raise Jbig2Error("refinement target/reference mismatch")
+    if stats is None:
+        stats = [0] * (1 << len(offs))
+    sltp_cx = _TPGRON_CTX[template]
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            if encoding:
+                # LTP row rule: every pixel's 3x3 reference window is
+                # uniform AND the target equals that uniform value
+                typical = 1
+                for x in range(w):
+                    win = R[pad + y - 1:pad + y + 2,
+                            pad + x - 1:pad + x + 2]
+                    sm = int(win.sum())
+                    if sm not in (0, 9) or tgt[y, x] != win[1, 1]:
+                        typical = 0
+                        break
+                mq.encode(stats, sltp_cx, typical ^ ltp)
+                ltp = typical
+            else:
+                ltp ^= mq.decode(stats, sltp_cx)
+        py, px0 = pad + y, pad
+        for x in range(w):
+            px = px0 + x
+            if ltp:
+                win = R[py - 1:py + 2, px - 1:px + 2]
+                sm = int(win.sum())
+                if sm == 0:
+                    C[py, px] = 0
+                    continue
+                if sm == 9:
+                    C[py, px] = 1
+                    continue
+            cx = 0
+            for i, (kind, dx, dy) in enumerate(offs):
+                plane = C if kind == "c" else R
+                if plane[py + dy, px + dx]:
+                    cx |= 1 << i
+            if encoding:
+                bit = int(tgt[y, x])
+                mq.encode(stats, cx, bit)
+            else:
+                bit = mq.decode(stats, cx)
+            C[py, px] = bit
+    return C[pad:pad + h, pad:pad + w].copy()
+
+
+def decode_refinement(data: bytes, ref: np.ndarray, template: int = 0,
+                      at: tuple | None = None,
+                      tpgron: bool = False) -> np.ndarray:
+    h, w = ref.shape
+    _check_region_dims(w, h)
+    return _refine_codec(None, ref, template, at, tpgron,
+                         MqDecoder(data))
+
+
+def encode_refinement(bits: np.ndarray, ref: np.ndarray,
+                      template: int = 0, at: tuple | None = None,
+                      tpgron: bool = False) -> bytes:
+    h, w = ref.shape
+    _check_region_dims(w, h)
+    mq = MqEncoder()
+    _refine_codec(bits, ref, template, at, tpgron, mq)
+    return mq.flush()
+
+
+def encode_refinement_segment(bits: np.ndarray, x: int, y: int,
+                              template: int = 0,
+                              tpgron: bool = False,
+                              ref: np.ndarray | None = None) -> bytes:
+    """One immediate lossless refinement region segment (type 43)
+    refining the page content at (x, y) into ``bits``."""
+    b = (np.asarray(bits) > 0).astype(np.uint8)
+    h, w = b.shape
+    rinfo = struct.pack(">IIIIB", w, h, x, y, 4)     # REPLACE
+    flags = (template & 1) | (2 if tpgron else 0)
+    if ref is None:
+        raise Jbig2Error("writer needs the current page window as ref")
+    body = encode_refinement(b, ref, template, None, tpgron)
+    atb = b""
+    if template == 0:
+        atb = b"".join(struct.pack("bb", ax, ay)
+                       for ax, ay in R_NOMINAL_AT[0])
+    return rinfo + bytes([flags]) + atb + body

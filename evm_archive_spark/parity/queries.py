@@ -11891,9 +11891,11 @@ _add(
 
 # [pair] JBIG2 generic + text coding (operators/jbig2.py, r13): each
 # doc's two-tone 8x8 pattern encodes through one of FIVE framings by
-# doc_id % 5 — MQ-arith template 0, template 2, TPGDON, MMR (T.6
-# through ccittfax), and the symbol-dictionary + text-region path
-# (one symbol placed at the origin) — then decodes back via
+# doc_id % 6 — MQ-arith template 0, template 2, TPGDON, MMR (T.6
+# through ccittfax), the symbol-dictionary + text-region path
+# (one symbol placed at the origin), and the r13 refinement flow
+# (a bit-flipped coarse region refined back to the exact bitmap
+# by a type-43 segment) — then decodes back via
 # decode_embedded; the 64-bit row-major bitmap (1 = black) replays
 # analytically.  Any MQ-table, context-layout, segment-framing or
 # text-placement mistake flips hash bits.
@@ -11907,8 +11909,11 @@ def _q_jbig2(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        import struct as _st
+
         from ..operators.jbig2 import (
-            decode_embedded, encode_embedded, encode_embedded_text)
+            _segment, decode_embedded, encode_embedded,
+            encode_embedded_text, encode_refinement_segment)
 
         ks = np.arange(64)
         w = (1 << np.arange(63, -1, -1)).astype(np.uint64)
@@ -11918,7 +11923,7 @@ def _q_jbig2(spark, sf_dir):
                 did = int(mid)
                 bits = (((did * 53 + ks * 11) % 7) < 3).astype(
                     np.uint8).reshape(8, 8)
-                v = did % 5
+                v = did % 6
                 if v == 0:
                     payload = encode_embedded(bits)
                 elif v == 1:
@@ -11927,9 +11932,20 @@ def _q_jbig2(spark, sf_dir):
                     payload = encode_embedded(bits, tpgdon=True)
                 elif v == 3:
                     payload = encode_embedded(bits, mmr=True)
-                else:
+                elif v == 4:
                     payload = encode_embedded_text(
                         [bits], [(0, 0, 0)], 8, 8)
+                else:
+                    coarse = bits.copy()
+                    coarse[did % 8, (did // 8) % 8] ^= 1
+                    pi = _st.pack(">IIIIBH", 8, 8, 0, 0, 0, 0)
+                    gen = encode_embedded(coarse)[30:-11]
+                    seg = encode_refinement_segment(
+                        bits, 0, 0, tpgron=bool(did & 1),
+                        ref=coarse)
+                    payload = (_segment(1, 48, 1, pi) + gen
+                               + _segment(9, 43, 1, seg)
+                               + _segment(10, 49, 1, b""))
                 dec = decode_embedded(payload)
                 h = int((dec.reshape(64).astype(np.uint64) * w).sum(
                     dtype=np.uint64))
@@ -11954,8 +11970,8 @@ _add(
     "  ELSE (CAST(1 AS BIGINT) << (63 - k)) END ELSE 0 END) AS BIGINT) "
     "AS bitmap_hash FROM bits GROUP BY doc_id "
     "ORDER BY media_id NULLS FIRST",
-    "REAL JBIG2 embedded streams (arith t0/t2/TPGDON/MMR/text-region "
-    "framings cycled) decode -> exact 64-bit bitmap replay",
+    "REAL JBIG2 embedded streams (arith t0/t2/TPGDON/MMR/text-region/"
+    "refinement framings cycled) decode -> exact 64-bit bitmap replay",
 )
 
 

@@ -362,3 +362,51 @@ def test_review_r13_shared_dictionary_imports():
     expected[1:4, 1:4] |= a
     expected[1:4, 6:9] |= b
     assert (out == expected).all()
+
+
+def test_refinement_regions_round_trip_and_page_flow():
+    """r13 third wave: generic refinement regions (T.88 6.3) — both
+    templates, TPGRON on/off, sparse-flip targets; and the page-level
+    lossy->lossless flow (generic coarse region + type-43 refinement
+    to the exact bitmap)."""
+    import struct
+
+    import numpy as np
+
+    from evm_archive_spark.operators.jbig2 import (
+        _segment, decode_embedded, decode_refinement, encode_embedded,
+        encode_generic, encode_refinement, encode_refinement_segment)
+
+    rng = np.random.default_rng(5)
+    for t in range(4):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 60))
+        ref = (rng.random((h, w)) < 0.5).astype(np.uint8)
+        tgt = ref.copy()
+        tgt[rng.random((h, w)) < 0.05] ^= 1
+        for tpl in (0, 1):
+            for tp in (False, True):
+                enc = encode_refinement(tgt, ref, template=tpl,
+                                        tpgron=tp)
+                assert (decode_refinement(enc, ref, template=tpl,
+                                          tpgron=tp) == tgt).all()
+    # near-identical refinement codes far smaller than generic
+    ref = (rng.random((60, 80)) < 0.5).astype(np.uint8)
+    tgt = ref.copy()
+    tgt[10, 10] ^= 1
+    assert len(encode_refinement(tgt, ref, tpgron=True)) * 2 < \
+        len(encode_generic(tgt))
+    # page flow: coarse generic region + refinement -> exact
+    coarse = (rng.random((30, 50)) < 0.5).astype(np.uint8)
+    exact = coarse.copy()
+    exact[rng.random((30, 50)) < 0.06] ^= 1
+    page_info = struct.pack(">IIIIBH", 50, 30, 0, 0, 0, 0)
+    gen = encode_embedded(coarse)[30:]
+    seg = encode_refinement_segment(exact, 0, 0, tpgron=True,
+                                    ref=coarse)
+    stream = (_segment(1, 48, 1, page_info) + gen[:-11]
+              + _segment(9, 43, 1, seg) + _segment(10, 49, 1, b""))
+    assert (decode_embedded(stream) == exact).all()
+    # a refinement with no page beneath it is typed
+    alone = _segment(1, 43, 1, seg)
+    with pytest.raises(Jbig2Error, match="outside page|no page"):
+        decode_embedded(alone)
