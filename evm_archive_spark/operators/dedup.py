@@ -393,6 +393,7 @@ def connected_components(
             neighbor_min, labels.node == neighbor_min.src, "left"
         ).select(
             "node",
+            F.col("component").alias("prev"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
             ).alias("component"),
@@ -402,25 +403,26 @@ def connected_components(
         parent = stepped.select(
             F.col("node").alias("pnode"), F.col("component").alias("pcomp")
         )
+        # carry the pre-step label through as ``prev`` so convergence is a
+        # scan of THIS checkpointed frame — the old shape re-joined new
+        # labels against old (a keyed shuffle per iteration) only to ask
+        # "did anything move?"
         new_labels = (
             stepped.join(parent, stepped.component == parent.pnode, "left")
             .select(
                 "node",
+                "prev",
                 F.least(
                     F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        changed = not (
+            new_labels.filter(F.col("component") != F.col("prev")).isEmpty()
         )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "component")
+        if not changed:
             break
     return labels.orderBy("node")
 
