@@ -75,20 +75,27 @@ def minhash_signature(col, num_perm: int = 32, k: int = 5, seed: int = 42) -> F.
     xxhash64(xxhash64(s, seed), seed+j) (Broder '97 resemblance sketch;
     permutations simulated by re-hashing one base hash).
 
-    NOTE: as one expression tree the per-permutation transforms each
-    re-evaluate the shingle subtree (higher-order functions are outside
-    whole-stage codegen's subexpression elimination), so for corpus-scale
-    signature computation use ``minhash_signatures`` — the relational
-    explode/agg formulation that hashes each shingle exactly once.
+    The base-hash array is bound once per row (``bind_once``): inlined,
+    each of the ``num_perm`` per-permutation transforms would re-evaluate
+    the whole shingle+hash subtree (HOF lambdas are outside whole-stage
+    codegen's subexpression elimination).  For corpus-scale signature
+    computation still prefer ``minhash_signatures`` — the relational
+    explode/agg formulation with map-side partial aggregation.
     """
+    from .util import bind_once
+
     base = F.transform(shingles(col, k), lambda s: F.xxhash64(s, F.lit(seed)))
-    sigs = [
-        F.array_min(
-            F.transform(base, lambda h: F.xxhash64(h, F.lit(seed + j)))
-        )
-        for j in range(num_perm)
-    ]
-    return F.array(*sigs)
+    return bind_once(
+        base,
+        lambda b: F.array(
+            *[
+                F.array_min(
+                    F.transform(b, lambda h: F.xxhash64(h, F.lit(seed + j)))
+                )
+                for j in range(num_perm)
+            ]
+        ),
+    )
 
 
 def minhash_signatures(

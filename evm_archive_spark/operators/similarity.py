@@ -263,8 +263,12 @@ def ivf_train(
     )
     # centroids are k rows of k*dim doubles — checkpoint each refinement so
     # downstream consumers (corpus assign, query assign, next iteration)
-    # don't lazily recompute the whole Lloyd chain per consumer
-    cent = cent.localCheckpoint(eager=True)
+    # don't lazily recompute the whole Lloyd chain per consumer.  The INIT
+    # centroids are consumed exactly once (inside the first iteration's
+    # broadcast build), so checkpointing them is a wasted barrier unless
+    # the loop never runs and they ARE the result.
+    if iters <= 0:
+        cent = cent.localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = _ivf_assign(train_df, cent, 1, id_col, vec_col).select(
             "centroid_id", vec_col

@@ -15,6 +15,8 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .util import bind_once  # noqa: F401  (re-export: gram/chunk builders)
+
 # small deterministic stopword lists per language for the lang-id heuristic
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
@@ -541,17 +543,22 @@ def duplicate_span_stats(
     """
     t = tokens(text_col)
     cnt = F.size(t) - (n - 1)
+
+    def gram_hashes(tv):
+        c = F.size(tv) - (n - 1)
+        return F.when(
+            c >= 1,
+            F.transform(
+                F.sequence(F.lit(1), c),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tv, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # bind the token array once per row: an inlined ``t`` would be
+    # re-split per gram index inside the lambda (O(len^2) per doc)
     grams = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(
-                cnt >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), cnt),
-                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        F.explode(bind_once(t, gram_hashes)).alias("g"),
     )
     dup_digests = (
         grams.groupBy("g")
@@ -650,18 +657,24 @@ def c4_rules(
 
 def word_ngrams(col, n: int) -> F.Column:
     """Distinct word n-grams (space-joined) of a text column — the unit of
-    benchmark-decontamination matching.  Pure array expressions."""
-    t = tokens(col)
-    cnt = F.size(t) - (n - 1)
-    return F.when(
-        cnt >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    benchmark-decontamination matching.  Pure array expressions; the
+    token array is bound once per row (``bind_once``) so gram
+    construction is O(len * n), not the O(len^2) an inlined re-split
+    inside the transform lambda would cost."""
+
+    def grams(t):
+        cnt = F.size(t) - (n - 1)
+        return F.when(
+            cnt >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), cnt),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens(col), grams)
 
 
 def decontaminate(
@@ -905,20 +918,25 @@ def chunk_documents(
     t = tokens(text_col)
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     # guard on trimmed length, not size(t): split('') yields [''], so an
-    # empty document would otherwise emit one empty chunk
-    starts = F.when(
-        F.length(F.trim(c)) > 0,
-        F.sequence(F.lit(1), F.size(t), F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        starts,
-        lambda st: F.struct(
-            F.concat_ws(" ", F.slice(t, st, chunk_tokens)).alias("text"),
-            F.least(
-                F.lit(chunk_tokens), F.size(t) - st + 1
-            ).cast("long").alias("n_tokens"),
-        ),
-    )
+    # empty document would otherwise emit one empty chunk.  The token
+    # array is bound once per row (bind_once): an inlined ``t`` would
+    # re-split the document per window inside the transform lambda.
+    def windows(tv):
+        starts = F.when(
+            F.length(F.trim(c)) > 0,
+            F.sequence(F.lit(1), F.size(tv), F.lit(stride)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda st: F.struct(
+                F.concat_ws(" ", F.slice(tv, st, chunk_tokens)).alias("text"),
+                F.least(
+                    F.lit(chunk_tokens), F.size(tv) - st + 1
+                ).cast("long").alias("n_tokens"),
+            ),
+        )
+
+    chunks = bind_once(t, windows)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(chunks).alias("chunk_id", "c"),

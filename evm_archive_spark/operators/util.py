@@ -11,6 +11,25 @@ from pyspark.sql import DataFrame
 _INFS = (float("inf"), float("-inf"))
 
 
+def bind_once(expr, fn):
+    """Evaluate ``expr`` once per ROW and hand it to ``fn`` as a bound
+    higher-order-function lambda variable.
+
+    HOF lambda bodies re-evaluate every non-attribute expression they
+    reference once per ELEMENT (Spark does no common-subexpression
+    elimination inside lambdas), so ``transform(sequence(1, size(t)),
+    i -> element_at(t, i))`` with ``t = split(...)`` re-tokenizes the
+    document for every index — O(len^2) per document.  Routing the
+    expression through a single-element ``transform`` binds it as a
+    lambda VARIABLE (a value, not an expression tree), making every
+    reference O(1); unlike materializing a projection, this is also
+    immune to CollapseProject inlining a once-referenced alias back
+    into the lambda."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def read_admission_state(
     spark,
     *,

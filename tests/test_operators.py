@@ -1431,6 +1431,43 @@ def test_bpe_segment_greedy_left_to_right(spark):
     ]
 
 
+def test_bind_once_matches_inline_expression(spark):
+    """bind_once(expr, fn) must equal fn(expr) value-for-value — it only
+    changes WHERE the expression is evaluated (once per row as a bound
+    lambda variable vs per lambda element), never the result.  Guards the
+    O(len^2)->O(len) rewrites of word_ngrams / chunk_documents /
+    duplicate_span_stats / lm pairs."""
+    from pyspark.sql import functions as F
+
+    from evm_archive_spark.operators.textanalysis import tokens
+    from evm_archive_spark.operators.util import bind_once
+
+    df = spark.createDataFrame(
+        [(1, "a b  c d"), (2, ""), (3, "  x  "), (4, None), (5, "q")],
+        "doc_id int, text string",
+    )
+
+    def grams(t):
+        # sequence(1, 0) DESCENDS in Spark, so guard <2-token arrays
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    got = df.select(
+        "doc_id", bind_once(tokens("text"), grams).alias("g")
+    ).orderBy("doc_id").collect()
+    want = df.select(
+        "doc_id", grams(tokens("text")).alias("g")
+    ).orderBy("doc_id").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
 def test_chunk_documents_overlap_and_edges(spark):
     from evm_archive_spark.operators.textanalysis import chunk_documents
 
