@@ -73,6 +73,27 @@ def read_admission_state(
     return df.filter(F.col("batch_id") < F.lit(batch_id)).select(*cols)
 
 
+def ranged_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Range-partition a BUILD INPUT by the lane's output sort key —
+    the double-decode fix for ``expensive_python(input).orderBy(key)``.
+
+    A global sort's range exchange SAMPLES its child before shuffling,
+    and when the child is an un-materialized Python build/decode chain
+    the entire expensive pipeline executes TWICE per action (measured:
+    two near-equal 20-45 s-CPU stages in every codec lane at sf0.1).
+    Range-partitioning the cheap input by the same key and ending the
+    lane with ``sortWithinPartitions(key, ...)`` instead keeps the
+    identical global order — map stages preserve partition boundaries
+    and row order, and the range boundaries already order partitions by
+    key — while the decode runs exactly once.  The partition count is
+    pinned to ``defaultParallelism``: left to AQE, the small input
+    shuffle coalesces to one partition and serializes the decode.
+    Subsumes ``fan_out`` (the input is spread across the cluster's
+    slots by the range shuffle)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, *cols)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions
     than the cluster has slots — the small-file / single-row-group

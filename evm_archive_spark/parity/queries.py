@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import fixtures
-from ..operators.util import fan_out
+from ..operators.util import fan_out, ranged_by
 from ..functions import decode as D, hexutils as H
 from ..tables import register_testdata
 
@@ -8335,7 +8335,10 @@ def _q_docx(spark, sf_dir):
     from ..operators.officedoc import build_docx
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(
+        spark.table("documents").select("doc_id", "text"),
+        "doc_id",
+    )
 
     def mux(it):
         import pandas as pd
@@ -8352,7 +8355,7 @@ def _q_docx(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8840,7 +8843,11 @@ def _q_sqlite(spark, sf_dir):
     from ..operators.extract import document_extract
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    # ranged_by + final sortWithinPartitions == the declared orderBy's
+    # global order with the decode executed ONCE (see util.ranged_by)
+    docs = ranged_by(
+        spark.table("documents").select("doc_id", "text"), "doc_id"
+    )
 
     def mux(it):
         import sqlite3
@@ -8882,7 +8889,7 @@ def _q_sqlite(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8965,7 +8972,10 @@ def _q_mkv_decode(spark, sf_dir):
     from ..operators.mkv import build_mkv_audio, decode_mkv_audio
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id")
+    docs = ranged_by(
+        spark.table("documents").select("doc_id"),
+        "doc_id",
+    )
 
     def mux_decode(it):
         import numpy as np
@@ -9000,7 +9010,7 @@ def _q_mkv_decode(spark, sf_dir):
         mux_decode,
         "media_id long, rate long, n_samples long, channels long, "
         "sum_abs long",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9036,7 +9046,10 @@ def _q_avro(spark, sf_dir):
     from ..operators.extract import document_extract
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(
+        spark.table("documents").select("doc_id", "text"),
+        "doc_id",
+    )
     schema = {
         "type": "record", "name": "Doc",
         "fields": [
@@ -9070,7 +9083,7 @@ def _q_avro(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9203,9 +9216,12 @@ def _q_7z(spark, sf_dir):
     from ..operators.sevenzip import build_7z
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(
+        spark.table("documents").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
+    ),
+        "media_id",
     )
 
     codecs = ["copy", "lzma2", "delta4+lzma2", "bcj+lzma2",
@@ -9232,7 +9248,7 @@ def _q_7z(spark, sf_dir):
         "path",
         "size",
         F.md5("payload").alias("member_md5"),
-    ).orderBy("media_id", "path")
+    ).sortWithinPartitions("media_id", "path")
 
 
 _add(
@@ -9271,9 +9287,12 @@ def _q_rar(spark, sf_dir):
     from ..operators.archive import explode_archives
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(
+        spark.table("documents").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
+    ),
+        "media_id",
     )
 
     def build(it):
@@ -9300,7 +9319,7 @@ def _q_rar(spark, sf_dir):
         "path",
         "size",
         F.md5("payload").alias("member_md5"),
-    ).orderBy("media_id", "path")
+    ).sortWithinPartitions("media_id", "path")
 
 
 _add(
@@ -9336,9 +9355,12 @@ def _q_cab(spark, sf_dir):
     from ..operators.archive import explode_archives
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(
+        spark.table("documents").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
+    ),
+        "media_id",
     )
 
     def build(it):
@@ -9364,7 +9386,7 @@ def _q_cab(spark, sf_dir):
         "path",
         "size",
         F.md5("payload").alias("member_md5"),
-    ).orderBy("media_id", "path")
+    ).sortWithinPartitions("media_id", "path")
 
 
 _add(
@@ -9397,9 +9419,12 @@ def _q_cab_set(spark, sf_dir):
     import pandas as pd
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(
+        spark.table("documents").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
+    ),
+        "media_id",
     )
 
     def run(it):
@@ -9429,7 +9454,7 @@ def _q_cab_set(spark, sf_dir):
 
     return docs.mapInPandas(
         run, "media_id long, path string, size long, member_md5 string"
-    ).orderBy("media_id", "path")
+    ).sortWithinPartitions("media_id", "path")
 
 
 _add(
@@ -9532,8 +9557,11 @@ _add(
 
 def _q_font_meta(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
-        F.col("doc_id").alias("media_id"))
+    docs = ranged_by(
+        spark.table("documents").select(
+        F.col("doc_id").alias("media_id")),
+        "media_id",
+    )
 
     def run(it):
         import pandas as pd
@@ -9574,7 +9602,7 @@ def _q_font_meta(spark, sf_dir):
         "media_id long, container string, family string, "
         "subfamily string, n_glyphs long, units_per_em long, "
         "weight_class long",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9680,8 +9708,11 @@ def _q_pnm(spark, sf_dir):
     from ..operators.multimodal import image_ahash
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
-        F.col("doc_id").alias("media_id"))
+    docs = ranged_by(
+        spark.table("documents").select(
+        F.col("doc_id").alias("media_id")),
+        "media_id",
+    )
 
     def build(it):
         import numpy as np
@@ -9717,7 +9748,7 @@ def _q_pnm(spark, sf_dir):
                 {"media_id": b["media_id"], "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return image_ahash(media, strict=True).orderBy("media_id")
+    return image_ahash(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9882,8 +9913,10 @@ _add(
 
 def _q_dicom(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
-        F.col("doc_id").alias("media_id"))
+    docs = ranged_by(
+        spark.table("documents").select(F.col("doc_id").alias("media_id")),
+        "media_id",
+    )
 
     def run(it):
         import numpy as np
@@ -9935,7 +9968,7 @@ def _q_dicom(spark, sf_dir):
         run,
         "media_id long, rows long, cols long, bits long, "
         "frames long, modality string, sample_sum long",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9975,7 +10008,10 @@ def _q_ics(spark, sf_dir):
     from ..operators.extract import document_extract
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(
+        spark.table("documents").select("doc_id", "text"),
+        "doc_id",
+    )
 
     def mux(it):
         import pandas as pd
@@ -10005,7 +10041,7 @@ def _q_ics(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -10180,9 +10216,12 @@ def _q_tgz(spark, sf_dir):
     from ..operators.archive import explode_archives
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(
+        spark.table("documents").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
+    ),
+        "media_id",
     )
 
     def build(it):
@@ -10232,7 +10271,7 @@ def _q_tgz(spark, sf_dir):
         "path",
         "size",
         F.md5("payload").alias("member_md5"),
-    ).orderBy("media_id", "path")
+    ).sortWithinPartitions("media_id", "path")
 
 
 _add(
@@ -11652,9 +11691,12 @@ def _q_squashfs(spark, sf_dir):
     from ..operators.squashfs import build_squashfs
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(
+        spark.table("documents").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
+    ),
+        "media_id",
     )
 
     comps = ["gzip", "xz", "lz4", "zstd", "lzma", "lzo"]
@@ -11680,7 +11722,7 @@ def _q_squashfs(spark, sf_dir):
         "path",
         "size",
         F.md5("payload").alias("member_md5"),
-    ).orderBy("media_id", "path")
+    ).sortWithinPartitions("media_id", "path")
 
 
 _add(
@@ -11714,8 +11756,11 @@ def _q_webp(spark, sf_dir):
     from ..operators.multimodal import image_ahash
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
-        F.col("doc_id").alias("media_id"))
+    docs = ranged_by(
+        spark.table("documents").select(
+        F.col("doc_id").alias("media_id")),
+        "media_id",
+    )
 
     variants = ["literal", "cache", "backref", "subgreen",
                 "predictor", "palette", "colortx", "meta"]
@@ -11743,7 +11788,7 @@ def _q_webp(spark, sf_dir):
                 {"media_id": b["media_id"], "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return image_ahash(media, strict=True).orderBy("media_id")
+    return image_ahash(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(
@@ -11782,8 +11827,11 @@ def _q_jpeg_arith(spark, sf_dir):
     from ..operators.multimodal import image_ahash
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
-        F.col("doc_id").alias("media_id"))
+    docs = ranged_by(
+        spark.table("documents").select(
+        F.col("doc_id").alias("media_id")),
+        "media_id",
+    )
 
     def build(it):
         import numpy as np
@@ -11807,7 +11855,7 @@ def _q_jpeg_arith(spark, sf_dir):
                 {"media_id": b["media_id"], "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return image_ahash(media, strict=True).orderBy("media_id")
+    return image_ahash(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(
@@ -11844,8 +11892,11 @@ def _q_ccitt_fax(spark, sf_dir):
     from ..operators.multimodal import image_ahash
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
-        F.col("doc_id").alias("media_id"))
+    docs = ranged_by(
+        spark.table("documents").select(
+        F.col("doc_id").alias("media_id")),
+        "media_id",
+    )
 
     def build(it):
         import numpy as np
@@ -11867,7 +11918,7 @@ def _q_ccitt_fax(spark, sf_dir):
                 {"media_id": b["media_id"], "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return image_ahash(media, strict=True).orderBy("media_id")
+    return image_ahash(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(

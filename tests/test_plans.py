@@ -516,18 +516,19 @@ def test_interval_overlap_join_is_bucket_equi(spark):
 def test_archive_fanout_is_map_side_only(spark):
     """The r8 archive fan-out lanes (q_7z, q_tgz) must be pure map
     jobs: payload synthesis, the container walk, and the member
-    explode all happen inside mapInPandas passes.  The only Exchanges
-    allowed are the fan_out RoundRobin BEFORE the explode (spreads the
-    tiny single-file testdata across cores; carries (id, text) rows
-    only) and the presentation sort's range partitioning AFTER it —
-    member payload bytes are never hash-shuffled by key."""
+    explode all happen inside mapInPandas passes.  The ONLY Exchange
+    allowed is the ``ranged_by`` range partitioning of the tiny build
+    INPUT (carries (id, text) rows only); the presentation order comes
+    from sortWithinPartitions, so the decoded members are never
+    shuffled at all — a final global orderBy would re-execute the
+    whole build+decode chain as the range exchange's sampling pass
+    (the r13 double-decode finding)."""
     import re
 
     for name in ("q_7z", "q_tgz"):
         plan = plan_of(spark, name)
         assert "Join" not in plan, name
         exchanges = re.findall(r"\(\d+\) Exchange", plan)
-        assert len(exchanges) <= 2, (name, exchanges)
+        assert len(exchanges) == 1, (name, exchanges)
         assert "hashpartitioning" not in plan.lower(), name
         assert "rangepartitioning" in plan.lower(), name
-        assert "RoundRobinPartitioning" in plan, name
