@@ -41,18 +41,31 @@ def _h32(seed: F.Column | int, c: F.Column) -> F.Column:
 # --------------------------------------------------------------------------
 
 def cms_build(
-    df: DataFrame, col, *, width: int = 1 << 10, depth: int = 4
+    df: DataFrame, col, *, width: int = 1 << 10, depth: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sparse count-min sketch of a value stream: one row per touched
     counter, ``(j BIGINT, p BIGINT, c BIGINT)`` for depth row j in
     [1, depth] and position p in [0, width).  Build cost: one map-side
     explode (depth rows per value) + one groupBy over at most
     ``depth * width`` keys with partial combine.  Sketches over different
-    shards merge by summing ``c`` on (j, p)."""
-    pos = df.select(cms_positions(col, width=width, depth=depth).alias("jp"))
+    shards merge by summing ``c`` on (j, p).
+
+    ``weight_col`` builds the identical sketch from pre-aggregated
+    ``(value, count)`` rows — each value contributes ``weight`` instead
+    of 1 per row.  A sketch over a token stream equals the weighted
+    sketch over its frequency table cell-for-cell (integer sums commute),
+    so a pipeline that already aggregates true counts can derive the
+    sketch from the vocabulary-sized table instead of re-scanning the
+    stream (r13)."""
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
+    pos = df.select(
+        cms_positions(col, width=width, depth=depth).alias("jp"),
+        w.alias("__w"),
+    )
     return pos.groupBy(
         F.col("jp.j").alias("j"), F.col("jp.p").alias("p")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.sum("__w").cast("long").alias("c"))
 
 
 def cms_positions(col, *, width: int, depth: int) -> F.Column:

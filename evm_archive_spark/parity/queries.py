@@ -3250,10 +3250,21 @@ def _q_cms(spark, sf_dir):
     tok = spark.table("documents").select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
     )
-    dense = cms_dense(
-        cms_build(tok, "t", width=64, depth=3), width=64, depth=3
+    # tokenize + aggregate ONCE: the sketch over the token stream equals
+    # the weight_col sketch over its frequency table cell-for-cell, so
+    # both the dense build and the output probe run off the vocabulary-
+    # sized true-count table (the old shape re-ran explode+split for
+    # each).  The checkpoint stores (token, count) rows only.
+    true = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .localCheckpoint(eager=True)
     )
-    true = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    dense = cms_dense(
+        cms_build(true, "t", width=64, depth=3, weight_col="true_cnt"),
+        width=64,
+        depth=3,
+    )
     return (
         true.select(
             F.col("t").alias("token"),

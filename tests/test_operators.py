@@ -1304,6 +1304,48 @@ def _pooled_pq_encode_arrow_matches_expr_bit_for_bit(spark):
     assert a == e
 
 
+def test_cms_weighted_build_matches_stream_build(spark):
+    """cms_build(weight_col=...) over a (value, count) frequency table
+    must produce the identical sparse sketch as the per-instance build
+    over the raw stream — the r13 single-tokenize q_cms shape relies on
+    this cell-for-cell equality."""
+    from evm_archive_spark.operators.sketches import cms_build
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    w, d = 64, 3
+    stream = {
+        (r["j"], r["p"]): r["c"]
+        for r in cms_build(tok, "t", width=w, depth=d).collect()
+    }
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    weighted = {
+        (r["j"], r["p"]): r["c"]
+        for r in cms_build(
+            counts, "t", width=w, depth=d, weight_col="c"
+        ).collect()
+    }
+    assert stream == weighted
+
+
+def test_nb_train_class_totals_match_tokenize_pass(spark):
+    """nb_train derives n_tokens from token_counts (r13: one tokenize
+    pass); it must equal the direct per-document token-count sum,
+    including a class whose documents tokenize to nothing."""
+    from evm_archive_spark.operators.classify import nb_train
+
+    rows = [
+        (1, "a b c", "x"),
+        (2, "b c", "x"),
+        (3, "d", "y"),
+        (4, "   ", "z"),  # whitespace-only: zero non-empty tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    ct, _tc = nb_train(df, label_col="label")
+    got = {r["label"]: (r["n_docs"], r["n_tokens"]) for r in ct.collect()}
+    assert got == {"x": (2, 5), "y": (1, 1), "z": (1, 0)}
+
+
 def test_cms_never_underestimates_and_merges(spark):
     from evm_archive_spark.operators.sketches import (
         cms_build, cms_dense, cms_estimate,
