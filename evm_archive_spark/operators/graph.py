@@ -95,8 +95,16 @@ def pagerank(
                     f"DIV {PPM} AS BIGINT)"
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        # no per-iteration checkpoint: the loop is a FIXED iteration
+        # count with no driver-side data dependency, so the whole
+        # 5-iteration DAG compiles into ONE action.  The old lazy
+        # localCheckpoint compiled .rdd per iteration, which under AQE
+        # synchronously materializes every shuffle stage at plan time —
+        # measured as ~30 sequential micro-stage round trips (r13).
+        # Lineage depth is bounded by iters (default 5), well inside
+        # optimizer limits; at high iters callers should re-introduce a
+        # cut every ~10 rounds.
     return ranks
 
 
@@ -140,7 +148,11 @@ def bfs_levels(
         )
         if nxt.isEmpty():
             break
-        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        # levels is a union of ALREADY-checkpointed frontier frames —
+        # re-checkpointing the union each round paid a copy job for data
+        # that is all in cached partitions (r13); the union tree grows
+        # one LogicalRDD leaf per round, bounded by max_iters
+        levels = levels.unionByName(nxt)
         frontier = nxt
     return levels
 
@@ -249,24 +261,25 @@ def shortest_paths(
             .select(
                 F.col("edst").alias("node"),
                 (F.col("dist") + F.col("w")).alias("dist"),
+                F.lit(None).cast("long").alias("old"),
             )
         )
+        # tag pre-round rows with their own dist as ``old`` so the
+        # improvement check is a scan of THIS checkpointed frame — the
+        # old shape re-joined new distances against old (a keyed
+        # shuffle + count job per round) only to ask "did anything
+        # improve?" (r13, the connected_components fusion pattern)
         new = (
-            dist.unionByName(relaxed)
+            dist.select("node", "dist", F.col("dist").alias("old"))
+            .unionByName(relaxed)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        improved = (
-            new.join(
-                dist.withColumnRenamed("dist", "old"), "node", "left"
-            )
-            .filter(
-                F.col("old").isNull() | (F.col("dist") < F.col("old"))
-            )
-            .count()
-        )
-        dist = new
-        if improved == 0:
+        improved = not new.filter(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).isEmpty()
+        dist = new.select("node", "dist")
+        if not improved:
             break
     return dist

@@ -23,16 +23,22 @@ def main() -> None:
     evdir = tempfile.mkdtemp(prefix="spark-ev-")
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import __spark_entry__ as E
+    from evm_archive_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("profile-lane")
-        .config("spark.ui.enabled", "false")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", evdir)
-        .getOrCreate()
+    # same session shape as bench.py, plus event logging
+    spark = get_spark(
+        "profile-lane",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # bench-style warm-up so the first lane doesn't absorb session costs
+    spark.range(1_000_000).selectExpr("sum(id) s").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     queries = E.queries()
     spans = {}
     for name in names:
@@ -49,7 +55,8 @@ def main() -> None:
 
     # parse event log: stage submit time -> attribute to lane span
     stages = []
-    for p in Path(evdir).glob("*"):
+    logfiles = [p for p in Path(evdir).rglob("*") if p.is_file()]
+    for p in logfiles:
         for line in p.open():
             try:
                 ev = json.loads(line)
@@ -58,13 +65,17 @@ def main() -> None:
             if ev.get("Event") == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 sub = si.get("Submission Time", 0) / 1000.0
-                run = cpu = sread = swrite = inp = 0
+                run = cpu = sread = swrite = inp = gc = fwait = 0
                 for acc in si.get("Accumulables", []):
                     n, v = acc.get("Name"), acc.get("Value", 0)
                     if n == "internal.metrics.executorRunTime":
                         run = v / 1000.0
                     elif n == "internal.metrics.executorCpuTime":
                         cpu = v / 1e9
+                    elif n == "internal.metrics.jvmGCTime":
+                        gc = v / 1000.0
+                    elif n == "internal.metrics.shuffle.read.fetchWaitTime":
+                        fwait = v / 1000.0
                     elif n == "internal.metrics.shuffle.read.remoteBytesRead":
                         sread += v
                     elif n == "internal.metrics.shuffle.read.localBytesRead":
@@ -74,18 +85,19 @@ def main() -> None:
                     elif n == "internal.metrics.input.bytesRead":
                         inp = v
                 stages.append((sub, si["Stage ID"], si.get("Number of Tasks"),
-                               run, cpu, sread, swrite, inp,
+                               run, cpu, gc, fwait, sread, swrite, inp,
                                (si.get("Stage Name") or "")[:60]))
     t_start = min(s[0] for s in spans.values()) if spans else 0
     epoch0 = time.time() - time.monotonic()
-    print("\nstage  tasks  run_s   cpu_s   shuf_r(MB) shuf_w(MB) input(MB)  name")
+    print("\nstage  tasks  run_s   cpu_s    gc_s  fwait_s shuf_r(MB) shuf_w(MB) input(MB)")
     for name, (t0, t1, t2) in spans.items():
         print(f"--- {name} (build {t1-t0:.2f}s, action {t2-t1:.2f}s)")
-        for sub, sid, ntask, run, cpu, sr, sw, inp, sname in sorted(stages):
+        for sub, sid, ntask, run, cpu, gc, fw, sr, sw, inp, sname in sorted(stages):
             if epoch0 + t0 <= sub <= epoch0 + t2:
                 phase = "build " if sub < epoch0 + t1 else "action"
                 print(f"  [{phase}] s{sid:<4} {ntask:<5} {run:7.2f} {cpu:7.2f} "
-                      f"{sr/1e6:9.1f} {sw/1e6:9.1f} {inp/1e6:9.1f}  {sname}")
+                      f"{gc:7.2f} {fw:7.2f} {sr/1e6:9.1f} {sw/1e6:9.1f} "
+                      f"{inp/1e6:9.1f}")
 
 
 if __name__ == "__main__":
