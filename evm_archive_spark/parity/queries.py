@@ -2701,7 +2701,13 @@ def _q_gopher(spark, sf_dir):
     from ..operators.textanalysis import gopher_rules
 
     register_testdata(spark, sf_dir, ["documents"])
-    g = gopher_rules(spark.table("documents"), min_words=12)
+    # pure map lane: range-partition the INPUT by the output sort key so
+    # the heavy rule arithmetic runs once per row in parallel and the
+    # final global order comes from sortWithinPartitions — a trailing
+    # orderBy would sample (= re-execute) the whole rule chain
+    g = gopher_rules(
+        ranged_by(spark.table("documents"), "doc_id"), min_words=12
+    )
     return g.select(
         "doc_id",
         "n_words",
@@ -2713,7 +2719,7 @@ def _q_gopher(spark, sf_dir):
             F.col(r).cast("long").alias(r)
             for r in ("r_words", "r_mean_len", "r_symbol", "r_alpha", "r_stop", "keep")
         ],
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def _gopher_oracle() -> str:
@@ -2931,7 +2937,10 @@ def _q_line_dedup(spark, sf_dir):
     from ..operators.textanalysis import tokens
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
+    # the chunk/tokenize/hash map chain otherwise rides the single
+    # parquet split in one task (~2.3 s serial CPU at sf0.1); no-op at
+    # scale where the scan already has many splits
+    docs = fan_out(spark.table("documents"))
     t = tokens("text")
     nch = F.floor((F.size(t) + 7) / 8).cast("int")
     chunked = docs.select(
@@ -3833,6 +3842,8 @@ def _q_dsir(spark, sf_dir):
     from ..operators.sampling import dsir_stats
 
     register_testdata(spark, sf_dir, ["documents"])
+    # measured r13: fan_out was a wash here (exchange of full text ≈
+    # saved serial map) — left in the natural scan shape
     return dsir_stats(
         spark.table("documents"), F.col("lang") == "en", n_buckets=64
     ).orderBy("doc_id")
@@ -6691,10 +6702,12 @@ def _q_html_extract(spark, sf_dir):
     from ..operators.weburl import html_to_text
 
     register_testdata(spark, sf_dir, ["documents"])
+    # pure map lane: same ranged-input shape as the codec lanes — the
+    # strip chain executes once, order comes from the input ranges
     return (
-        spark.sql(_HTML_SYNTH)
+        ranged_by(spark.sql(_HTML_SYNTH), "doc_id")
         .select("doc_id", html_to_text("html").alias("text_out"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -6789,6 +6802,9 @@ def _q_web_pipeline(spark, sf_dir):
     from ..operators.weburl import web_corpus_pipeline
 
     register_testdata(spark, sf_dir, ["documents"])
+    # measured r13: fan_out here is a net LOSS (+0.5 s) — the round-robin
+    # exchange moves raw html, while the dedup groupBy already supplies
+    # shuffle parallelism for everything downstream
     return (
         web_corpus_pipeline(spark.sql(_PAGE_SYNTH), min_tokens=10)
         .orderBy("doc_id")
