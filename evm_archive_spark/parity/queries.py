@@ -11273,6 +11273,9 @@ def _q_frontier(spark, sf_dir):
     from ..operators.weburl import crawl_frontier
 
     register_testdata(spark, sf_dir, ["documents"])
+    # measured r13: fan_out on the synth inputs is a net LOSS (+0.6 s) —
+    # the round-robin exchange moves the GENERATED xml strings, which
+    # outweighs the 2-task regexp stage it parallelizes
     return crawl_frontier(
         spark.sql(_SITEMAP_SYNTH),
         spark.sql(_FRONTIER_FEED_SYNTH),
