@@ -131,7 +131,13 @@ def bfs_levels(
     Returns ``(node, level)`` for every node within max_iters hops of a
     seed (seeds at level 0).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge table once: the per-round frontier join
+    # re-executes ``edges``'s whole lineage every iteration otherwise
+    # (the pagerank ``ew`` / connected_components pattern; the q_bfs
+    # gate feeds a distinct-aggregated lineitem derivation here)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     levels = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
         F.lit(0).cast("long").alias("level"),
@@ -186,6 +192,15 @@ def triangle_count(
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        # materialize: the canonical edge set is referenced 3x below
+        # (deg twice via the a/b union, withdeg once), and each
+        # reference re-executes the WHOLE upstream lineage — ruinous
+        # when ``edges`` is itself an expensive subtree (the q_triangles
+        # gate feeds the blocked Jaccard pair join here: 15 plan copies,
+        # 60 parquet scans, 311 s at sf0.1 before the cut).  AQE stage
+        # reuse cannot dedup them: column pruning gives each reference
+        # a different canonical child plan.  Two longs per edge.
+        .localCheckpoint(eager=True)
     )
     deg = (
         canon.select(F.col("a").alias("node"))
@@ -207,7 +222,9 @@ def triangle_count(
         F.when(ra < rb, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(ra < rb, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(ra < rb, rb).otherwise(ra).alias("rv"),
-    )
+        # oriented edges are referenced 3x (both wedge-join sides + the
+        # closure probe); cut here so the degree joins run once
+    ).localCheckpoint(eager=True)
     e2 = out.select(
         F.col("u").alias("u2"),
         F.col("v").alias("w"),
@@ -248,9 +265,11 @@ def shortest_paths(
     (weight 1 ⇒ dist = hop level).
     """
     w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    # materialize once — every relax round re-executes the edge
+    # lineage otherwise (same cut as pagerank's ``ew``)
     e = edges.select(
         F.col(src).alias("esrc"), F.col(dst).alias("edst"), w.alias("w")
-    )
+    ).localCheckpoint(eager=True)
     dist = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
         F.lit(0).cast("long").alias("dist"),

@@ -1571,20 +1571,44 @@ _add(
     "duckdb needs the 'g' flag)",
 )
 
-# [pair] exact 3-gram Jaccard over blocked pairs, integer-quantized
+# [pair] exact 3-gram Jaccard over blocked pairs, integer-quantized.
+# r13: the SQL form's broadcast self-join evaluated all 588k blocked
+# pairs' array_intersect/array_union in ONE task (single-split scan) and
+# the trailing global orderBy's range-sampling executed that chain TWICE
+# — 332 s at sf0.1.  The DataFrame twin range-partitions the CHEAP probe
+# input by doc_id (= id_a) before the gram transform, broadcasts the
+# build side once, and ends with sortWithinPartitions — identical rows
+# in identical global order, pair evaluation once and cluster-wide.
+def _q_ngram_jaccard(spark, sf_dir):
+    register_testdata(spark, sf_dir)
+    gsel = ["doc_id", "lang", "n_chars DIV 100 AS bucket", _NGRAM_GR_EXPR]
+    a = ranged_by(spark.table("documents"), "doc_id").selectExpr(
+        *gsel
+    ).alias("a")
+    b = F.broadcast(spark.table("documents").selectExpr(*gsel).alias("b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr(
+                "CAST(FLOOR(CAST(size(array_intersect(a.gr, b.gr)) AS "
+                "DOUBLE) / size(array_union(a.gr, b.gr)) * 10000) AS "
+                "BIGINT)"
+            ).alias("jac_q"),
+        )
+        .sortWithinPartitions("id_a", "id_b")
+    )
+
+
 _add(
     "q_ngram_jaccard",
-    _sql(
-        "WITH g AS (SELECT doc_id, lang, n_chars DIV 100 AS bucket, "
-        "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), "
-        "i -> substring(text, i, 3))) AS gr FROM documents) "
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-        "CAST(FLOOR(CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE) "
-        " / size(array_union(a.gr, b.gr)) * 10000) AS BIGINT) AS jac_q "
-        "FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
-        "AND a.doc_id < b.doc_id "
-        "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST"
-    ),
+    _q_ngram_jaccard,
     "WITH g AS (SELECT doc_id, lang, n_chars // 100 AS bucket, "
     "list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)), "
     "i -> substring(text, i, 3))) AS gr FROM documents) "
@@ -1613,6 +1637,47 @@ _NGRAM_PAIRS_SPARK = (
     "WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE) "
     " / size(array_union(a.gr, b.gr)) >= 0.9"
 )
+
+_NGRAM_GR_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), "
+    "i -> substring(text, i, 3))) AS gr"
+)
+
+
+def _ngram_pairs(spark):
+    """DataFrame twin of ``_NGRAM_PAIRS_SPARK`` with the Jaccard verify
+    parallelized (r13).  The SQL form plans as a broadcast self-join
+    whose STREAM side rides the single-split documents scan, so the
+    per-pair array_intersect/array_union (588k blocked pairs at sf0.1)
+    evaluated in ONE task — measured 230-455 s per gate at sf0.1 with 31
+    cores idle.  Fanning out the probe side spreads the pair evaluation
+    cluster-wide; the build side broadcasts once (~30 MB of gram
+    arrays).  Same join keys, same predicates, same output columns —
+    re-verified against the unchanged DuckDB oracle at both SFs."""
+    base = spark.table("documents").selectExpr(
+        "doc_id", "lang", "n_chars DIV 100 AS bucket", _NGRAM_GR_EXPR
+    )
+    a = fan_out(base).alias("a")
+    b = F.broadcast(base.alias("b"))
+    ratio = F.least(F.size("a.gr"), F.size("b.gr")).cast("double") / (
+        F.greatest(F.size("a.gr"), F.size("b.gr"))
+    )
+    jac = F.size(F.array_intersect("a.gr", "b.gr")).cast("double") / (
+        F.size(F.array_union("a.gr", "b.gr"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ratio >= 0.9),
+        )
+        .where(jac >= 0.9)
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
 
 
 def _q_split(spark, sf_dir):
@@ -1652,7 +1717,7 @@ def _q_dedup_components(spark, sf_dir):
     from ..operators.dedup import dedup_survivors
 
     register_testdata(spark, sf_dir, ["documents"])
-    pairs = spark.sql(_NGRAM_PAIRS_SPARK)
+    pairs = _ngram_pairs(spark)
     return (
         dedup_survivors(spark.table("documents"), pairs, id_col="doc_id")
         .select("doc_id")
@@ -4610,7 +4675,7 @@ def _q_cluster_hist(spark, sf_dir):
     from ..operators.dedup import connected_components
 
     register_testdata(spark, sf_dir, ["documents"])
-    comp = connected_components(spark.sql(_NGRAM_PAIRS_SPARK))
+    comp = connected_components(_ngram_pairs(spark))
     return (
         comp.groupBy("component")
         .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
@@ -4996,7 +5061,7 @@ def _q_triangles(spark, sf_dir):
     from ..operators.graph import triangle_count
 
     register_testdata(spark, sf_dir, ["documents"])
-    pairs = spark.sql(_NGRAM_PAIRS_SPARK).select(
+    pairs = _ngram_pairs(spark).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return triangle_count(pairs)
@@ -7246,10 +7311,12 @@ _add(
 # &amp; entity decoding, absent lastmod -> NULL, priority -> permille.
 # --------------------------------------------------------------------------
 
-_SITEMAP_SYNTH = (
+# the XML expression stands alone (no alias/FROM) so q_frontier can
+# apply it AFTER fanning out the cheap doc_id scan — the exchange then
+# moves 8 B/row instead of the generated urlset strings (r13)
+_SITEMAP_XML_EXPR = (
     # implicit int -> string under ||, portable to both dialects
     # (Spark rejects bare CAST(... AS VARCHAR))
-    "SELECT doc_id, "
     "'<?xml version=\"1.0\"?>"
     "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">' || "
     "'<url><loc> http://s.example/d/' || doc_id || "
@@ -7261,8 +7328,11 @@ _SITEMAP_SYNTH = (
     "(CASE WHEN doc_id % 3 = 0 THEN "
     "'<url><loc>http://t.example/x/' || doc_id || "
     "'</loc></url>' ELSE '' END) || "
-    "'</urlset>' AS sitemap_xml "
-    "FROM documents"
+    "'</urlset>'"
+)
+
+_SITEMAP_SYNTH = (
+    "SELECT doc_id, " + _SITEMAP_XML_EXPR + " AS sitemap_xml FROM documents"
 )
 
 
@@ -11248,8 +11318,8 @@ _add(
 # (harmless here); t.example has no robots row (default allow).  The
 # oracle emits the surviving frontier arithmetically.
 
-_FRONTIER_FEED_SYNTH = (
-    "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+_FRONTIER_FEED_XML_EXPR = (
+    "CASE WHEN doc_id % 2 = 0 THEN "
     "'<rss version=\"2.0\"><channel>"
     "<item><title>Q</title><link>http://f.example/q/' || doc_id || "
     "'</link></item>"
@@ -11258,7 +11328,12 @@ _FRONTIER_FEED_SYNTH = (
     "ELSE "
     "'<feed><entry><title>E</title>"
     "<link href=\"http://f.example/a/' || doc_id || '\"/>"
-    "</entry></feed>' END AS feed_xml FROM documents"
+    "</entry></feed>' END"
+)
+
+_FRONTIER_FEED_SYNTH = (
+    "SELECT doc_id, " + _FRONTIER_FEED_XML_EXPR
+    + " AS feed_xml FROM documents"
 )
 
 _FRONTIER_ROBOTS_SYNTH = (
@@ -11273,9 +11348,13 @@ def _q_frontier(spark, sf_dir):
     from ..operators.weburl import crawl_frontier
 
     register_testdata(spark, sf_dir, ["documents"])
-    # measured r13: fan_out on the synth inputs is a net LOSS (+0.6 s) —
-    # the round-robin exchange moves the GENERATED xml strings, which
-    # outweighs the 2-task regexp stage it parallelizes
+    # measured r13, twice not-taken: (a) fan_out on the synth outputs is
+    # a net LOSS (+0.6 s — the round-robin exchange moves the GENERATED
+    # xml strings); (b) fanning out the cheap doc_id scan BEFORE the
+    # selectExpr synthesis also measured a loss (2.65 -> 2.81 s median;
+    # stage CPU 1.7 -> 9.3 s — 64 post-exchange tasks each pay codegen/
+    # regex warm-up that the 2-task scan shape pays twice).  At scale the
+    # scan carries many splits, so the natural shape is already parallel.
     return crawl_frontier(
         spark.sql(_SITEMAP_SYNTH),
         spark.sql(_FRONTIER_FEED_SYNTH),
