@@ -1156,18 +1156,40 @@ def set_similarity_join(
         "__s",
         F.explode(F.slice(F.col("__toks"), 1, p)).alias("ptok"),
     )
+    # Salted candidate join (r13).  The posting join's key is a TOKEN:
+    # its distinct-value count is the prefix vocabulary, so the
+    # post-shuffle parallelism is capped at #distinct prefix tokens (31
+    # on the degenerate gate fixture) and a frequent prefix token is a
+    # single un-splittable hot key — AQE's skew split cannot divide one
+    # key, and its byte-based coalescing sees only the tiny posting
+    # INPUT (0.5 MB at sf0.1), merging the whole quadratic join OUTPUT
+    # into ONE partition (measured: 27 s single-task stages with 31
+    # cores idle).  Salting by hash(id_a) splits every posting's pair
+    # block ~evenly: the a side gets a deterministic salt, the b side
+    # replicates across all salt values (prefix postings are the RARE
+    # end of each document — the replicated side is the small one by
+    # construction), and explicit repartition pins the partition count
+    # (REPARTITION_BY_NUM is exempt from AQE coalescing).  Each (id_a,
+    # id_b, ptok) match survives in exactly one salt bucket, so the
+    # candidate set is unchanged.
+    n_salt = df.sparkSession.sparkContext.defaultParallelism
     a = prefix.select(
         F.col("__id").alias("id_a"),
         F.col("__s").alias("__sa0"),
         "ptok",
+        F.pmod(F.xxhash64(F.col("__id")), F.lit(n_salt))
+        .cast("int")
+        .alias("__slt"),
     )
     b = prefix.select(
         F.col("__id").alias("id_b"),
         F.col("__s").alias("__sb0"),
         "ptok",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__slt"),
     )
     cand = (
-        a.join(b, "ptok")
+        a.repartition(n_salt, "ptok", "__slt")
+        .join(b.repartition(n_salt, "ptok", "__slt"), ["ptok", "__slt"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length filter: t*sa <= sb (sa >= sb symmetric case holds
@@ -1208,4 +1230,9 @@ def set_similarity_join(
         "inter",
         F.col("sa").cast("long").alias("sa"),
         F.col("sb").cast("long").alias("sb"),
-    ).orderBy("id_a", "id_b")
+        # materialize the (result-sized) verified pairs before the global
+        # sort: the range exchange SAMPLES its child, which otherwise
+        # re-executes the distinct + verify chain a second time (r13,
+        # the codec-lane orderBy lesson; measured as twin 42-52 s-run
+        # stages both reading the candidate exchange)
+    ).localCheckpoint(eager=True).orderBy("id_a", "id_b")
