@@ -2253,8 +2253,14 @@ def _q_lang_id(spark, sf_dir):
     from ..operators.textanalysis import lang_id
 
     register_testdata(spark, sf_dir, ["documents"])
-    return lang_id(spark.table("documents")).select("doc_id", "lang_pred").orderBy(
-        "doc_id"
+    # ranged_by + sortWithinPartitions == the declared orderBy's global
+    # order with the stopword-count chain executed ONCE and 32-way (the
+    # codec-lane r13 pattern; the plain orderBy's range sampling ran the
+    # whole single-task chain twice: twin 6 s stages at sf0.1)
+    return (
+        lang_id(ranged_by(spark.table("documents"), "doc_id"))
+        .select("doc_id", "lang_pred")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -2962,8 +2968,15 @@ def _q_quantize(spark, sf_dir):
 
     register_testdata(spark, sf_dir, ["embeddings"])
     q = scalar_quantize(spark.table("embeddings"))
+    # posexplode_OUTER + null filter: the plain posexplode's inferred
+    # `size(codes) > 0` filter inlines the whole zip_with quantization
+    # a second time at the scan (r13, the cdc_chunks_positional
+    # finding); same rows — codes is never empty for valid embeddings
     return (
-        q.select("vec_id", F.posexplode("codes").alias("dim", "code"))
+        q.select(
+            "vec_id", F.posexplode_outer("codes").alias("dim", "code")
+        )
+        .filter(F.col("dim").isNotNull())
         .select(
             "vec_id",
             F.col("dim").cast("long").alias("dim"),
@@ -3664,10 +3677,13 @@ def _q_fingerprint_md5(spark, sf_dir):
     from ..operators.textanalysis import fingerprint_md5
 
     register_testdata(spark, sf_dir, ["documents"])
+    # ranged_by + sortWithinPartitions == the declared orderBy's order
+    # with the md5-shingle fold executed ONCE and 32-way (r13; the plain
+    # orderBy's range sampling ran it twice: twin 5 s single-task stages)
     return (
-        spark.table("documents")
+        ranged_by(spark.table("documents"), "doc_id")
         .select("doc_id", fingerprint_md5("text", k=8).alias("fp"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
