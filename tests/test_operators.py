@@ -3792,6 +3792,51 @@ def _pooled_ivf_append_scans_shard_once(spark, tmp_path):
     )
 
 
+def _pooled_graph_operators_evaluate_edges_once(spark):
+    """r13: triangle_count / bfs_levels / shortest_paths materialize
+    their edge frames eagerly, so an expensive upstream edge derivation
+    is evaluated exactly ONCE (triangle_count referenced it 3x — 15
+    plan copies of the q_triangles pair join; the iterative kernels
+    re-ran it once per round) — pinned with an accumulator on a
+    pass-through mapInPandas wrapper, the ivf_append scan-once idiom."""
+    from evm_archive_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 40) for i in range(40)] + [(0, 2), (1, 3)],
+        "src int, dst int",
+    )
+    n_edges = edges.count()
+
+    def counted_edges():
+        acc = spark.sparkContext.accumulator(0)
+
+        def counted(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return acc, edges.mapInPandas(counted, edges.schema)
+
+    acc, e = counted_edges()
+    assert graph.triangle_count(e).collect()[0].n_triangles == 2
+    assert acc.value == n_edges, (
+        f"triangle_count scanned edges {acc.value / n_edges:.1f}x"
+    )
+
+    seeds = spark.createDataFrame([(0,)], "node int")
+    acc, e = counted_edges()
+    graph.bfs_levels(e, seeds, max_iters=3).collect()
+    assert acc.value == n_edges, (
+        f"bfs_levels scanned edges {acc.value / n_edges:.1f}x"
+    )
+
+    acc, e = counted_edges()
+    graph.shortest_paths(e, seeds, max_iters=3).collect()
+    assert acc.value == n_edges, (
+        f"shortest_paths scanned edges {acc.value / n_edges:.1f}x"
+    )
+
+
 def _pooled_stream_corpus_admission_equals_sequential_replay(spark, tmp_path):
     """VERDICT r4 #7: the composed nightly-shard admission lane run from
     foreachBatch — two micro-batches through stream_corpus_admission
@@ -4249,6 +4294,7 @@ _POOLED_HEAVY = [
     _pooled_leakage_safe_split_components_share_split,
     _pooled_ivf_append_exact_at_full_probe_and_touches_only_landed_lists,
     _pooled_ivf_append_scans_shard_once,
+    _pooled_graph_operators_evaluate_edges_once,
     _pooled_bloom_merge_equals_rebuild_bit_for_bit,
     # r13: whole-module pools folded in — their serial walls (5-11 s
     # each) now overlap the big pool instead of queueing after it

@@ -532,3 +532,25 @@ def test_archive_fanout_is_map_side_only(spark):
         assert len(exchanges) == 1, (name, exchanges)
         assert "hashpartitioning" not in plan.lower(), name
         assert "rangepartitioning" in plan.lower(), name
+
+
+def test_generate_filters_not_inferred_for_expensive_arrays(spark):
+    """r13: InferFiltersFromGenerate turns explode(expensive_expr) into
+    a pushed-down ``size(expr) > 0`` filter that re-evaluates the whole
+    array build below the fan-out exchange (measured: the positional
+    CDC md5 fold as a 20 s single-task scan stage at sf0.1).  The
+    operators use the *_outer generate forms, which the inference rule
+    skips — so each expensive array expression must appear exactly once
+    in the plan (its Project), never again inside a Filter."""
+    plan = plan_of(spark, "q_cdc")
+    assert plan.count("aggregate(filter(sequence") == 1, (
+        "cdc md5 fold duplicated (inferred generate filter is back)"
+    )
+    plan = plan_of(spark, "q_quantize")
+    assert plan.count("zip_with(") == 2, (  # the one nested quantize expr
+        "quantize zip_with duplicated (inferred generate filter)"
+    )
+    plan = plan_of(spark, "q_ipynb")
+    assert plan.count("zip_with(") == 1, (
+        "ipynb cell-merge zip_with duplicated (inferred generate filter)"
+    )
