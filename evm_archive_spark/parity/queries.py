@@ -3082,7 +3082,7 @@ def _q_bloom_decontam(spark, sf_dir):
     from ..operators.bloom import bloom_decontaminate
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents"))
+    docs = ranged_by(spark.table("documents"), "doc_id")
     ev = docs.filter(F.col("doc_id") % 23 == 0)
     out = bloom_decontaminate(
         docs, ev, n=3, num_bits=1 << 15, num_hashes=4
@@ -3092,7 +3092,7 @@ def _q_bloom_decontam(spark, sf_dir):
         "n_grams",
         "n_hits",
         F.col("maybe_contaminated").cast("long").alias("maybe_contaminated"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 _add(
@@ -6106,7 +6106,7 @@ def _q_audio_features(spark, sf_dir):
     from ..operators.multimodal import audio_features
 
     register_testdata(spark, sf_dir, ["documents"])
-    media = fan_out(spark.table("documents")).select(
+    media = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
@@ -6118,7 +6118,7 @@ def _q_audio_features(spark, sf_dir):
         "duration_ms",
         "rms_ppm",
         "zcr_ppm",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -7374,7 +7374,7 @@ def _q_spectral(spark, sf_dir):
     from ..operators.multimodal import spectral_features
 
     register_testdata(spark, sf_dir, ["documents"])
-    media = fan_out(spark.table("documents")).select(
+    media = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
@@ -7384,7 +7384,7 @@ def _q_spectral(spark, sf_dir):
             "media_id", "centroid_hz", "rolloff85_hz", "bandwidth_hz",
             "flatness_ppm", "n_frames",
         )
-        .orderBy("media_id")
+        .sortWithinPartitions("media_id")
     )
 
 
@@ -7423,11 +7423,11 @@ def _q_vad(spark, sf_dir):
     from ..operators.multimodal import audio_vad
 
     register_testdata(spark, sf_dir, ["documents"])
-    media = fan_out(spark.table("documents")).select(
+    media = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return audio_vad(media, strict=False).orderBy("media_id")
+    return audio_vad(media, strict=False).sortWithinPartitions("media_id")
 
 
 _add(
@@ -7469,11 +7469,11 @@ def _q_image_meta(spark, sf_dir):
     from ..operators.exif import image_metadata
 
     register_testdata(spark, sf_dir, ["documents"])
-    media = fan_out(spark.table("documents")).select(
+    media = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return image_metadata(media, strict=False).orderBy("media_id")
+    return image_metadata(media, strict=False).sortWithinPartitions("media_id")
 
 
 _add(
@@ -7518,11 +7518,11 @@ def _q_audio_meta(spark, sf_dir):
     from ..operators.audiometa import audio_metadata
 
     register_testdata(spark, sf_dir, ["documents"])
-    media = fan_out(spark.table("documents")).select(
+    media = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return audio_metadata(media, strict=False).orderBy("media_id")
+    return audio_metadata(media, strict=False).sortWithinPartitions("media_id")
 
 
 _add(
@@ -7563,7 +7563,7 @@ def _q_exif_scrub(spark, sf_dir):
     from ..operators.exif import scrub_exif
 
     register_testdata(spark, sf_dir, ["documents"])
-    media = fan_out(spark.table("documents")).select(
+    media = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
@@ -7573,7 +7573,7 @@ def _q_exif_scrub(spark, sf_dir):
         F.md5("payload").alias("out_md5"),
         "removed_segments",
         "bytes_removed",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -7601,10 +7601,10 @@ def _q_cdc(spark, sf_dir):
     from ..operators.cdc import cdc_chunks_positional
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         "doc_id", F.expr("substring(text, 1, 400)").alias("text")
     )
-    return cdc_chunks_positional(docs).orderBy("media_id", "chunk_idx")
+    return cdc_chunks_positional(docs).sortWithinPartitions("media_id", "chunk_idx")
 
 
 _CDC_CHUNKS_SQL = (
@@ -7779,7 +7779,7 @@ def _q_pdf(spark, sf_dir):
         r"[()\\]",
         " ",
     )
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"), cleaned.alias("t")
     )
 
@@ -7801,7 +7801,7 @@ def _q_pdf(spark, sf_dir):
         "media_id",
         F.md5("text").alias("out_md5"),
         "n_pages",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8036,7 +8036,7 @@ def _q_ipynb(spark, sf_dir):
     from ..operators.sourcecode import ipynb_cells
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).selectExpr(
+    docs = ranged_by(spark.table("documents"), "doc_id").selectExpr(
         "doc_id",
         "'{\"cells\":[{\"cell_type\":\"code\",\"source\":[\"' || "
         "regexp_replace(COALESCE(substring(text, 1, 150), ''), "
@@ -8046,7 +8046,7 @@ def _q_ipynb(spark, sf_dir):
         "'[^ -~]|[\"\\\\\\\\]', ' ') || "
         "'\"}]}' AS text",
     )
-    return ipynb_cells(docs).orderBy("doc_id", "cell_idx")
+    return ipynb_cells(docs).sortWithinPartitions("doc_id", "cell_idx")
 
 
 _add(
@@ -8093,12 +8093,12 @@ def _q_markdown(spark, sf_dir):
         f"|| chr(10) || '- item ' || {_md_seg(241)} || chr(10) || "
         f"'> quote ' || {_md_seg(301)}"
     )
-    docs = fan_out(spark.table("documents")).selectExpr(
+    docs = ranged_by(spark.table("documents"), "doc_id").selectExpr(
         "doc_id", md + " AS md"
     )
     return docs.select(
         "doc_id", markdown_to_text("md").alias("text")
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def _md_seg_duck(off: int) -> str:
@@ -8139,7 +8139,7 @@ def _q_archive(spark, sf_dir):
     from ..operators.archive import explode_archives
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
     )
@@ -8176,7 +8176,7 @@ def _q_archive(spark, sf_dir):
         "path",
         "size",
         F.md5("payload").alias("member_md5"),
-    ).orderBy("media_id", "path")
+    ).sortWithinPartitions("media_id", "path")
 
 
 _add(
@@ -8210,7 +8210,7 @@ def _q_email(spark, sf_dir):
     from ..operators.mail import emails_to_rows
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).selectExpr(
+    docs = ranged_by(spark.table("documents"), "doc_id").selectExpr(
         "doc_id",
         "trim(regexp_replace(COALESCE(substring(text, 1, 80), ''), "
         "'[^ -~]', ' ')) AS subj",
@@ -8265,7 +8265,7 @@ def _q_email(spark, sf_dir):
         "date_raw",
         "body",
         "n_attachments",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8348,7 +8348,7 @@ def _q_extract(spark, sf_dir):
     from ..operators.pdf import build_simple_pdf
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).selectExpr(
+    docs = ranged_by(spark.table("documents"), "doc_id").selectExpr(
         "doc_id",
         # q_pdf cleaning (printable, no parens/backslash)
         "regexp_replace(regexp_replace(COALESCE(substring(text, 1, 200)"
@@ -8402,7 +8402,7 @@ def _q_extract(spark, sf_dir):
     media = docs.mapInPandas(
         build, "media_id long, mime string, payload binary"
     )
-    return document_extract(media, mime_col="mime").orderBy("media_id")
+    return document_extract(media, mime_col="mime").sortWithinPartitions("media_id")
 
 
 _add(
@@ -8495,7 +8495,7 @@ def _q_odt(spark, sf_dir):
     from ..operators.officedoc import build_odt
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -8510,7 +8510,7 @@ def _q_odt(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8540,7 +8540,7 @@ def _q_rtf(spark, sf_dir):
     from ..operators.officedoc import build_rtf
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -8556,7 +8556,7 @@ def _q_rtf(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8586,7 +8586,7 @@ def _q_xls5(spark, sf_dir):
     from ..operators.officedoc import build_xls_biff5
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -8609,7 +8609,7 @@ def _q_xls5(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8647,7 +8647,7 @@ def _q_doc6(spark, sf_dir):
     from ..operators.officedoc import build_doc_word6
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -8667,7 +8667,7 @@ def _q_doc6(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8698,7 +8698,7 @@ def _q_doc(spark, sf_dir):
     from ..operators.officedoc import build_doc
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -8711,7 +8711,7 @@ def _q_doc(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8740,7 +8740,7 @@ def _q_xlsx(spark, sf_dir):
     from ..operators.officedoc import build_xlsx
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -8761,7 +8761,7 @@ def _q_xlsx(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8794,7 +8794,7 @@ def _q_pptx(spark, sf_dir):
     from ..operators.officedoc import build_pptx
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -8811,7 +8811,7 @@ def _q_pptx(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8841,7 +8841,7 @@ def _q_ods(spark, sf_dir):
     from ..operators.officedoc import build_ods
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -8862,7 +8862,7 @@ def _q_ods(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -8898,7 +8898,7 @@ def _q_xls(spark, sf_dir):
     from ..operators.officedoc import build_xls
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -8919,7 +8919,7 @@ def _q_xls(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9039,7 +9039,7 @@ def _q_odp(spark, sf_dir):
     from ..operators.officedoc import build_odp
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -9056,7 +9056,7 @@ def _q_odp(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9237,7 +9237,7 @@ def _q_ar_cpio(spark, sf_dir):
     from ..operators.archive import explode_archives
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
     )
@@ -9295,7 +9295,7 @@ def _q_ar_cpio(spark, sf_dir):
         "path",
         "size",
         F.md5("payload").alias("member_md5"),
-    ).orderBy("media_id", "path")
+    ).sortWithinPartitions("media_id", "path")
 
 
 _add(
@@ -9603,7 +9603,7 @@ _add(
 
 def _q_aiff(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def run(it):
@@ -9639,7 +9639,7 @@ def _q_aiff(spark, sf_dir):
         run,
         "media_id long, sample_rate long, n_frames long, "
         "sample_qsum long",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9749,7 +9749,7 @@ def _q_retro_image(spark, sf_dir):
     from ..operators.multimodal import image_ahash
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def build(it):
@@ -9787,7 +9787,7 @@ def _q_retro_image(spark, sf_dir):
                 {"media_id": b["media_id"], "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return image_ahash(media, strict=True).orderBy("media_id")
+    return image_ahash(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9891,7 +9891,7 @@ def _q_xim(spark, sf_dir):
     from ..operators.multimodal import image_ahash
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def build(it):
@@ -9920,7 +9920,7 @@ def _q_xim(spark, sf_dir):
                 {"media_id": b["media_id"], "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return image_ahash(media, strict=True).orderBy("media_id")
+    return image_ahash(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(
@@ -9955,7 +9955,7 @@ _add(
 
 def _q_pdf_images(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def run(it):
@@ -9993,7 +9993,7 @@ def _q_pdf_images(spark, sf_dir):
 
     return docs.mapInPandas(
         run, "media_id long, n_images long, sum_r long"
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -10189,7 +10189,7 @@ def _q_latex(spark, sf_dir):
     from ..operators.extract import document_extract
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
     )
@@ -10227,7 +10227,7 @@ def _q_latex(spark, sf_dir):
 
     media = docs.mapInPandas(
         build, "media_id long, payload binary, mime string")
-    return document_extract(media, mime_col="mime").orderBy("media_id")
+    return document_extract(media, mime_col="mime").sortWithinPartitions("media_id")
 
 
 _add(
@@ -10259,7 +10259,7 @@ def _q_ass(spark, sf_dir):
     from ..operators.subtitles import ass_cues
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id"), F.coalesce("text", F.lit("")).alias("t"))
 
     def build(it):
@@ -10289,7 +10289,7 @@ def _q_ass(spark, sf_dir):
             yield pd.DataFrame({"doc_id": b["doc_id"], "text": texts})
 
     media = docs.mapInPandas(build, "doc_id long, text string")
-    return ass_cues(media).orderBy("doc_id", "cue_idx")
+    return ass_cues(media).sortWithinPartitions("doc_id", "cue_idx")
 
 
 _add(
@@ -10416,7 +10416,7 @@ def _q_iso(spark, sf_dir):
     from ..operators.iso9660 import build_iso
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("t"),
     )
@@ -10452,7 +10452,7 @@ def _q_iso(spark, sf_dir):
         "path",
         "size",
         F.md5("payload").alias("member_md5"),
-    ).orderBy("media_id", "path")
+    ).sortWithinPartitions("media_id", "path")
 
 
 _add(
@@ -10488,7 +10488,7 @@ def _q_columnar(spark, sf_dir):
     from ..operators.extract import document_extract
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import io
@@ -10525,7 +10525,7 @@ def _q_columnar(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -10562,7 +10562,7 @@ def _q_msgpack(spark, sf_dir):
     from ..operators.msgpackfile import build_msgpack
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -10589,7 +10589,7 @@ def _q_msgpack(spark, sf_dir):
     media = docs.mapInPandas(
         mux, "media_id long, payload binary, mime string"
     )
-    return document_extract(media, mime_col="mime").orderBy("media_id")
+    return document_extract(media, mime_col="mime").sortWithinPartitions("media_id")
 
 
 _add(
@@ -10626,7 +10626,7 @@ def _q_protowire(spark, sf_dir):
     from ..operators.protowire import build_protowire
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -10650,7 +10650,7 @@ def _q_protowire(spark, sf_dir):
     media = docs.mapInPandas(
         mux, "media_id long, payload binary, mime string"
     )
-    return document_extract(media, mime_col="mime").orderBy("media_id")
+    return document_extract(media, mime_col="mime").sortWithinPartitions("media_id")
 
 
 _add(
@@ -10687,7 +10687,7 @@ def _q_ppt(spark, sf_dir):
     from ..operators.officedoc import build_ppt
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -10704,7 +10704,7 @@ def _q_ppt(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -10734,7 +10734,7 @@ def _q_ppt_fastsave(spark, sf_dir):
     from ..operators.officedoc import build_ppt_fastsave
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -10754,7 +10754,7 @@ def _q_ppt_fastsave(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -10786,7 +10786,7 @@ def _q_epub(spark, sf_dir):
     from ..operators.officedoc import build_epub
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select("doc_id", "text")
+    docs = ranged_by(spark.table("documents"), "doc_id").select("doc_id", "text")
 
     def mux(it):
         import pandas as pd
@@ -10802,7 +10802,7 @@ def _q_epub(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return document_extract(media).orderBy("media_id")
+    return document_extract(media).sortWithinPartitions("media_id")
 
 
 _add(
@@ -11607,7 +11607,7 @@ def _q_phash(spark, sf_dir):
     from ..operators.multimodal import image_phash
 
     register_testdata(spark, sf_dir, ["documents"])
-    media = fan_out(spark.table("documents")).select(
+    media = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
@@ -11617,7 +11617,7 @@ def _q_phash(spark, sf_dir):
             "media_id",
             F.lpad(F.hex("phash"), 16, "0").alias("phash_hex"),
         )
-        .orderBy("media_id")
+        .sortWithinPartitions("media_id")
     )
 
 
@@ -12078,7 +12078,7 @@ _add(
 
 def _q_jbig2(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def run(it):
@@ -12131,7 +12131,7 @@ def _q_jbig2(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
-        run, "media_id long, bitmap_hash long").orderBy("media_id")
+        run, "media_id long, bitmap_hash long").sortWithinPartitions("media_id")
 
 
 _add(
@@ -12161,7 +12161,7 @@ _add(
 
 def _q_jpeg2000(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def run(it):
@@ -12192,7 +12192,7 @@ def _q_jpeg2000(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
-        run, "media_id long, sample_sum long").orderBy("media_id")
+        run, "media_id long, sample_sum long").sortWithinPartitions("media_id")
 
 
 _add(
@@ -12220,7 +12220,7 @@ _add(
 
 def _q_tiff_pages(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def run(it):
@@ -12251,7 +12251,7 @@ def _q_tiff_pages(spark, sf_dir):
 
     return docs.mapInPandas(
         run, "media_id long, page long, black_px long"
-    ).orderBy("media_id", "page")
+    ).sortWithinPartitions("media_id", "page")
 
 
 _add(
@@ -12284,7 +12284,7 @@ def _q_jpeg_lossless(spark, sf_dir):
     from ..operators.multimodal import image_ahash
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def build(it):
@@ -12310,7 +12310,7 @@ def _q_jpeg_lossless(spark, sf_dir):
                 {"media_id": b["media_id"], "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return image_ahash(media, strict=True).orderBy("media_id")
+    return image_ahash(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(
@@ -12344,7 +12344,7 @@ def _q_ico(spark, sf_dir):
     from ..operators.multimodal import image_ahash
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def build(it):
@@ -12371,7 +12371,7 @@ def _q_ico(spark, sf_dir):
                 {"media_id": b["media_id"], "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return image_ahash(media, strict=True).orderBy("media_id")
+    return image_ahash(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(
@@ -12402,7 +12402,7 @@ def _q_psd(spark, sf_dir):
     from ..operators.multimodal import image_ahash
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def build(it):
@@ -12429,7 +12429,7 @@ def _q_psd(spark, sf_dir):
                 {"media_id": b["media_id"], "payload": payloads})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return image_ahash(media, strict=True).orderBy("media_id")
+    return image_ahash(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(
@@ -12461,7 +12461,7 @@ _add(
 
 def _q_dng(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def run(it):
@@ -12508,7 +12508,7 @@ def _q_dng(spark, sf_dir):
         run,
         "media_id long, width long, height long, bits long, "
         "cfa string, sample_sum long",
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -12545,7 +12545,7 @@ def _q_heif_meta(spark, sf_dir):
     from ..operators.exif import image_metadata
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"))
 
     def build(it):
@@ -12582,7 +12582,7 @@ def _q_heif_meta(spark, sf_dir):
     out = image_metadata(media, strict=True)
     return out.select(
         "media_id", "format", "width", "height", "make", "orientation"
-    ).orderBy("media_id")
+    ).sortWithinPartitions("media_id")
 
 
 _add(
@@ -12891,11 +12891,11 @@ def _q_video_meta(spark, sf_dir):
     from ..operators.videometa import video_metadata
 
     register_testdata(spark, sf_dir, ["documents"])
-    media = fan_out(spark.table("documents")).select(
+    media = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return video_metadata(media, strict=False).orderBy("media_id")
+    return video_metadata(media, strict=False).sortWithinPartitions("media_id")
 
 
 _add(
@@ -12938,7 +12938,7 @@ def _q_mkv_meta(spark, sf_dir):
     from ..operators.videometa import video_metadata
 
     register_testdata(spark, sf_dir, ["documents"])
-    docs = fan_out(spark.table("documents")).select(
+    docs = ranged_by(spark.table("documents"), "doc_id").select(
         F.col("doc_id").alias("media_id")
     )
 
@@ -12961,7 +12961,7 @@ def _q_mkv_meta(spark, sf_dir):
             yield pd.DataFrame(out)
 
     media = docs.mapInPandas(mux, "media_id long, payload binary")
-    return video_metadata(media, strict=True).orderBy("media_id")
+    return video_metadata(media, strict=True).sortWithinPartitions("media_id")
 
 
 _add(
