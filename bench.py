@@ -759,6 +759,11 @@ def main() -> None:
         "unit": "sec",
         "queries": compact_queries,
         "sf": record["sf"],
+        # box-load sentinel in the ONE parsed line (r14, VERDICT r13 #7):
+        # divide per-lane drift by sentinel drift to separate ambient
+        # box conditions from real regressions across rounds.  The
+        # quiet-box reference sentinel lives in BENCH_REF.json.
+        "sentinel": [sentinel_start, sentinel_end],
     }
     line = json.dumps(head, separators=(",", ":"))
     if len(line) > 1800:

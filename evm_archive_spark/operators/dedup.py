@@ -1088,6 +1088,26 @@ def incremental_exact_dedup(
     )
 
 
+#: Upper bound on the set-similarity salt factor (r14, VERDICT r13 #3).
+#: The b side of the salted candidate join is REPLICATED once per salt
+#: value, so an uncapped ``n_salt = defaultParallelism`` blows the
+#: posting side up by the cluster's core count — correct on local[32],
+#: a thousandfold explosion at the 100 TB posture.  Guide §2.5 sizes a
+#: salt to the SKEW (how many ways one hot key must split), not to the
+#: cluster: 64 splits the worst single-token pair block 64 ways, which
+#: is already far below any one task's fair share at scale, while the
+#: JOIN parallelism is supplied separately (see ``_salt_count`` callers
+#: — the repartition count stays ``defaultParallelism``).
+MAX_SET_SIM_SALT = 64
+
+
+def _salt_count(parallelism: int) -> int:
+    """Salt factor for ``set_similarity_join``: enough to split a hot
+    prefix-token's pair block across the local slots, never more than
+    ``MAX_SET_SIM_SALT`` (the b-side replication factor)."""
+    return max(1, min(parallelism, MAX_SET_SIM_SALT))
+
+
 def set_similarity_join(
     df: DataFrame,
     *,
@@ -1095,6 +1115,7 @@ def set_similarity_join(
     text_col: str = "text",
     threshold_num: int = 1,
     threshold_den: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT token-set Jaccard self-join via prefix filtering (the
     PPJoin family, Xiao et al. 2008): every pair with
@@ -1171,8 +1192,12 @@ def set_similarity_join(
     # construction), and explicit repartition pins the partition count
     # (REPARTITION_BY_NUM is exempt from AQE coalescing).  Each (id_a,
     # id_b, ptok) match survives in exactly one salt bucket, so the
-    # candidate set is unchanged.
-    n_salt = df.sparkSession.sparkContext.defaultParallelism
+    # candidate set is unchanged.  The salt factor is CAPPED (r14): it
+    # sets the b-side replication, so it must be sized to the skew, not
+    # the cluster; join parallelism comes from ``n_part`` below, which
+    # stays at defaultParallelism independently of the salt count.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    n_salt = _salt_count(n_part)
     a = prefix.select(
         F.col("__id").alias("id_a"),
         F.col("__s").alias("__sa0"),
@@ -1188,8 +1213,8 @@ def set_similarity_join(
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__slt"),
     )
     cand = (
-        a.repartition(n_salt, "ptok", "__slt")
-        .join(b.repartition(n_salt, "ptok", "__slt"), ["ptok", "__slt"])
+        a.repartition(n_part, "ptok", "__slt")
+        .join(b.repartition(n_part, "ptok", "__slt"), ["ptok", "__slt"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length filter: t*sa <= sb (sa >= sb symmetric case holds
@@ -1224,15 +1249,21 @@ def set_similarity_join(
             >= num * (F.col("sa") + F.col("sb") - F.col("inter"))
         )
     )
-    return verified.select(
+    out = verified.select(
         "id_a",
         "id_b",
         "inter",
         F.col("sa").cast("long").alias("sa"),
         F.col("sb").cast("long").alias("sb"),
-        # materialize the (result-sized) verified pairs before the global
-        # sort: the range exchange SAMPLES its child, which otherwise
-        # re-executes the distinct + verify chain a second time (r13,
-        # the codec-lane orderBy lesson; measured as twin 42-52 s-run
-        # stages both reading the candidate exchange)
-    ).localCheckpoint(eager=True).orderBy("id_a", "id_b")
+    )
+    # materialize the (result-sized) verified pairs before the global
+    # sort: the range exchange SAMPLES its child, which otherwise
+    # re-executes the distinct + verify chain a second time (r13, the
+    # codec-lane orderBy lesson; measured as twin 42-52 s-run stages
+    # both reading the candidate exchange).  ``materialize=False``
+    # (r14, ADVICE r13 #2) keeps the full lineage for plan-only
+    # consumers and for callers that want recompute-from-scan fault
+    # recovery instead of the pinned executor blocks.
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+    return out.orderBy("id_a", "id_b")

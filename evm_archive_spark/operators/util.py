@@ -73,6 +73,33 @@ def read_admission_state(
     return df.filter(F.col("batch_id") < F.lit(batch_id)).select(*cols)
 
 
+#: Logical operators that can never put an Exchange in the physical
+#: plan.  Anything NOT in this set (joins, aggregates, sorts, windows,
+#: repartitions, limits, ...) is treated as shuffle-introducing — the
+#: conservative direction for ``_shuffle_free``.
+_MAP_SIDE_NODES = frozenset({
+    "Relation", "LogicalRDD", "LocalRelation", "Range", "OneRowRelation",
+    "Project", "Filter", "Generate", "Union", "Sample",
+    "MapInPandas", "PythonMapInArrow", "MapInArrow",
+    "SerializeFromObject", "DeserializeToObject", "MapElements",
+    "TypedFilter", "InMemoryRelation",
+})
+
+
+def _shuffle_free(df: DataFrame) -> bool:
+    """True when ``df``'s optimized logical plan contains only map-side
+    operators, i.e. compiling the plan to an RDD cannot trigger AQE
+    query-stage materialization (no Exchange can appear below).  Pure
+    plan inspection — analysis + optimization, no job.  Unknown node
+    names count as shuffle-introducing (conservative)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("(", 1)[0]
+        if node and node not in _MAP_SIDE_NODES:
+            return False
+    return True
+
+
 def ranged_by(df: DataFrame, *cols: str) -> DataFrame:
     """Range-partition a BUILD INPUT by the lane's output sort key —
     the double-decode fix for ``expensive_python(input).orderBy(key)``.
@@ -85,12 +112,22 @@ def ranged_by(df: DataFrame, *cols: str) -> DataFrame:
     lane with ``sortWithinPartitions(key, ...)`` instead keeps the
     identical global order — map stages preserve partition boundaries
     and row order, and the range boundaries already order partitions by
-    key — while the decode runs exactly once.  The partition count is
-    pinned to ``defaultParallelism``: left to AQE, the small input
-    shuffle coalesces to one partition and serializes the decode.
+    key — while the decode runs exactly once.
+
+    The partition count is ``max(defaultParallelism, input partitions)``
+    (r14, ADVICE r13 #3): the floor keeps the small local fixture from
+    AQE-coalescing to one partition and serializing the decode, while
+    the ``max`` stops a production input already carrying thousands of
+    partitions from being COLLAPSED to the core count through a full
+    range shuffle.  The input-partition probe only runs when the plan
+    below is shuffle-free (always true for the scan-shaped build inputs
+    this is applied to) — probing a shuffled plan would synchronously
+    materialize its AQE stages (the r13 ``.rdd`` finding).
     Subsumes ``fan_out`` (the input is spread across the cluster's
     slots by the range shuffle)."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if _shuffle_free(df):
+        n = max(n, df.rdd.getNumPartitions())
     return df.repartitionByRange(n, *cols)
 
 
@@ -102,10 +139,19 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
     At 100 TB inputs already carry thousands of partitions, so this is a
     no-op there (and its shuffle would be the bug); the trigger condition
-    means the shuffle only ever moves a small input.  Partition-count
-    inspection is plan-side (no job)."""
+    means the shuffle only ever moves a small input.
+
+    The partition-count probe compiles the plan to an RDD, which under
+    AQE synchronously materializes every upstream shuffle stage — i.e.
+    it RUNS JOBS when the input is not scan-shaped (the r13 ``.rdd``
+    finding).  Guarded (r14, VERDICT r13 #9): when the plan below has
+    any shuffle-introducing operator, fan_out is a no-op — the upstream
+    exchange already supplies ``spark.sql.shuffle.partitions``-way
+    parallelism, so the round-robin shuffle would be pure cost."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    if not _shuffle_free(df):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
