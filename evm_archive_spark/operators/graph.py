@@ -74,7 +74,7 @@ def pagerank(
     r0 = scale // n
     base = ((PPM - damping_ppm) * r0) // PPM
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         # DIV, not `/`: Spark `/` is double division and a double mantissa
         # rounds products past 2^53 (NOTES.md round-2 finding).
         contrib = (
@@ -96,15 +96,21 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # no per-iteration checkpoint: the loop is a FIXED iteration
-        # count with no driver-side data dependency, so the whole
-        # 5-iteration DAG compiles into ONE action.  The old lazy
-        # localCheckpoint compiled .rdd per iteration, which under AQE
-        # synchronously materializes every shuffle stage at plan time —
-        # measured as ~30 sequential micro-stage round trips (r13).
-        # Lineage depth is bounded by iters (default 5), well inside
-        # optimizer limits; at high iters callers should re-introduce a
-        # cut every ~10 rounds.
+        # Checkpoint every THIRD iteration, not every iteration and not
+        # never (r14, VERDICT r13 #2).  r13 dropped the per-iteration
+        # cut entirely (the lazy localCheckpoint compiled .rdd per
+        # iteration, which under AQE synchronously materializes every
+        # shuffle stage at plan time — ~30 sequential micro-stage round
+        # trips) and won warm medians, but the driver's cold run
+        # REGRESSED 0.73x: the fully unrolled 5-iteration DAG pays its
+        # whole analysis/codegen bill in one cold action.  The hybrid
+        # bounds DAG depth at 3 iterations (2 joins + 1 agg each) while
+        # keeping the driver round-trips at iters/3 instead of iters.
+        # Cold fresh-process A/B at sf0.1: 6.85 s unrolled -> 5.46 s
+        # (medians of 5; every-2 measured the same, so take the fewest
+        # barriers).  Labels bit-identical — gate re-verified.
+        if (it + 1) % 3 == 0 and (it + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

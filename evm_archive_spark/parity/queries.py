@@ -1507,10 +1507,14 @@ def _q_ann_ivf(spark, sf_dir):
     # brute-force oracle applies verbatim.  The nprobe < n_centroids scale
     # path (partial-list probing, recall < 1) is covered in tests.
     # iters=1: centroid quality is irrelevant to the exactness invariant
-    # (all lists probed), so one Lloyd pass keeps the gate cheap
+    # (all lists probed), so one Lloyd pass keeps the gate cheap.
+    # fan_out (r14): the single-split embeddings scan ran the Lloyd
+    # assignment pass and the probe scoring in ONE task (profiled:
+    # 0.5 s + 1.0 s single-task stages) — the committed idiom of the
+    # q_semdedup/q_pq_topk/q_knn lanes, no-op at scale.
     return ivf_topk(
-        spark.table("embeddings"), n_queries=10, k=5, n_centroids=16,
-        nprobe=16, iters=1,
+        fan_out(spark.table("embeddings")), n_queries=10, k=5,
+        n_centroids=16, nprobe=16, iters=1,
     )
 
 
@@ -10978,8 +10982,8 @@ _add(
 # surviving paragraphs directly from the construction (it never parses
 # the HTML).
 
-_BOILER_SYNTH = (
-    "SELECT doc_id, '<html><body>"
+_BOILER_HTML_EXPR = (
+    "'<html><body>"
     "<nav><ul><li><a href=\"/a\">Home</a></li>"
     "<li><a href=\"/b\">About</a></li></ul></nav>"
     "<div id=\"m\"><p>' || repeat('alpha beta gamma ', 3) || "
@@ -10988,7 +10992,7 @@ _BOILER_SYNTH = (
     "<p>' || repeat('delta epsilon ', 4) || 'tail ' || (doc_id % 7) || "
     "' <a href=\"/x\">ref</a>.</p></div>"
     "<footer><a href=\"/c\">Contact</a> | <a href=\"/d\">Terms</a>"
-    "</footer></body></html>' AS html FROM documents"
+    "</footer></body></html>'"
 )
 
 
@@ -10996,10 +11000,19 @@ def _q_boilerplate(spark, sf_dir):
     from ..operators.weburl import extract_main_text
 
     register_testdata(spark, sf_dir, ["documents"])
+    # r14: pure map chain (synth -> regexp block classifier) under a
+    # global orderBy ran TWICE per action (the range sampling pass —
+    # profiled as twin 0.48/0.49 s single-task stages) and in ONE task.
+    # Range the cheap doc_id scan, synthesize after the exchange, end
+    # with sortWithinPartitions — identical global order, chain once,
+    # cluster-wide (the committed r13 codec-lane pattern).
+    pages = ranged_by(
+        spark.table("documents").select("doc_id"), "doc_id"
+    ).selectExpr("doc_id", _BOILER_HTML_EXPR + " AS html")
     return (
-        spark.sql(_BOILER_SYNTH)
+        pages
         .select("doc_id", extract_main_text("html").alias("text_out"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -11166,8 +11179,13 @@ def _q_span_dedup(spark, sf_dir):
     from ..operators.dedup import cross_doc_span_dedup
 
     register_testdata(spark, sf_dir, ["documents"])
+    # r14: the operator references its tokenized base FOUR times
+    # (anchors, both extension sides, final reassembly) and recomputes
+    # it per reference by design — on the single-split fixture every
+    # pass ran in ONE task (profiled: twin 0.60/0.63 s stages).
+    # fan_out spreads all four passes cluster-wide; no-op at scale.
     return (
-        cross_doc_span_dedup(spark.sql(_SPAN_SYNTH), k=5, window=4)
+        cross_doc_span_dedup(fan_out(spark.sql(_SPAN_SYNTH)), k=5, window=4)
         .select("doc_id", "text_out", "n_tokens", "n_removed")
         .orderBy("doc_id")
     )
