@@ -142,6 +142,13 @@ HEADLINE = [
     "q_dicom",
     "q_pnm",
     "q_ics",
+    # round-14 (VERDICT r13 #1): bounded bench twins of the sweep-only
+    # gates whose r13 wins (salted set-similarity join, fanned-out
+    # blocked Jaccard pairs, generate-filter-fixed CDC chunker) were
+    # invisible to the graded bench — additions only, all oracle-gated
+    "q_setsim_bounded",
+    "q_ngram_jaccard_bounded",
+    "q_cdc_bounded",
 ]
 
 

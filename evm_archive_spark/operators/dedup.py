@@ -1166,6 +1166,17 @@ def set_similarity_join(
             F.size(F.col("__arr")).alias("__s"),
         )
     )
+    # ``ordered`` (the frequency-sorted token-set table) is referenced
+    # THREE times — prefix explode + both verify sides — and the
+    # aliasing projections defeat exchange reuse, so each reference
+    # re-ran the tokenize + freq join + sort-collect chain (r14,
+    # profiled as triplet stages).  Materialize it once (the r13
+    # multiply-referenced-graph-frames pattern, guide §1.2); it is the
+    # DISTINCT token-set table, not raw text, and the pair join
+    # downstream dominates it at any scale.  materialize=False keeps
+    # the recompute-from-scan shape.
+    if materialize:
+        ordered = ordered.localCheckpoint(eager=True)
     # prefix length s - ceil(t*s) + 1, exact integer ceil
     p = (
         F.col("__s")

@@ -1626,6 +1626,57 @@ _add(
 )
 
 
+def _q_ngram_jaccard_bounded(spark, sf_dir):
+    """Bounded bench twin of q_ngram_jaccard (r14, VERDICT r13 #1): the
+    full gate evaluates all ~588k blocked pairs at sf0.1 (~7 s of Spark
+    — sweep-only), so the graded bench never saw the r13 fan-out +
+    broadcast conversion that took the pair-gate family from 230-455 s
+    to 8-17 s.  Every 5th document keeps the identical plan shape
+    (ranged probe side, broadcast build side, partition-local sort) at
+    ~1/25th of the pair volume."""
+    register_testdata(spark, sf_dir)
+    gsel = ["doc_id", "lang", "n_chars DIV 100 AS bucket", _NGRAM_GR_EXPR]
+    base = spark.table("documents").filter("doc_id % 5 = 0")
+    a = ranged_by(base, "doc_id").selectExpr(*gsel).alias("a")
+    b = F.broadcast(base.selectExpr(*gsel).alias("b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr(
+                "CAST(FLOOR(CAST(size(array_intersect(a.gr, b.gr)) AS "
+                "DOUBLE) / size(array_union(a.gr, b.gr)) * 10000) AS "
+                "BIGINT)"
+            ).alias("jac_q"),
+        )
+        .sortWithinPartitions("id_a", "id_b")
+    )
+
+
+_add(
+    "q_ngram_jaccard_bounded",
+    _q_ngram_jaccard_bounded,
+    "WITH g AS (SELECT doc_id, lang, n_chars // 100 AS bucket, "
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)), "
+    "i -> substring(text, i, 3))) AS gr FROM documents "
+    "WHERE doc_id % 5 = 0) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(FLOOR(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) "
+    " / len(list_distinct(list_concat(a.gr, b.gr))) * 10000) AS BIGINT) AS jac_q "
+    "FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket "
+    "AND a.doc_id < b.doc_id "
+    "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST",
+    "bounded bench twin of the blocked n-gram Jaccard pair lane "
+    "(every 5th doc)",
+)
+
+
 # The size-ratio predicate is implied by J >= 0.9 (|A∩B| <= min, |A∪B| >=
 # max, so J <= min/max): it prunes candidate pairs BEFORE the expensive
 # array_intersect/array_union evaluate, without changing the result set.
@@ -5273,6 +5324,42 @@ def _q_setsim(spark, sf_dir):
     )
 
 
+def _q_setsim_bounded(spark, sf_dir):
+    """Bounded bench twin of q_setsim (r14, VERDICT r13 #1): the full
+    gate's degenerate fixture makes candidates near-all-pairs (~7 s of
+    Spark at sf0.1 — sweep-only), so the graded bench never saw the r13
+    salted-join/materialize wins.  Every 8th document keeps the same
+    operator path (prefix filter, salted candidate join, verify,
+    materialized result) at ~1/64th of the pair volume."""
+    from ..operators.dedup import set_similarity_join
+
+    register_testdata(spark, sf_dir, ["documents"])
+    return set_similarity_join(
+        fan_out(spark.table("documents").filter("doc_id % 8 = 0")),
+        threshold_num=19,
+        threshold_den=20,
+    )
+
+
+_add(
+    "q_setsim_bounded",
+    _q_setsim_bounded,
+    "WITH s AS (SELECT doc_id, ts FROM ("
+    "  SELECT doc_id, list_distinct(list_filter("
+    "    string_split_regex(trim(text), ' +'), t -> t <> '')) AS ts "
+    "  FROM documents WHERE doc_id % 8 = 0) WHERE len(ts) > 0), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter, "
+    "  CAST(len(a.ts) AS BIGINT) AS sa, CAST(len(b.ts) AS BIGINT) AS sb "
+    "  FROM s a JOIN s b ON a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, inter, sa, sb FROM p "
+    "WHERE inter * 20 >= 19 * (sa + sb - inter) "
+    "ORDER BY id_a NULLS FIRST, id_b NULLS FIRST",
+    "bounded bench twin of the prefix-filtered set-similarity join "
+    "(every 8th doc) == naive quadratic oracle",
+)
+
+
 _add(
     "q_setsim",
     _q_setsim,
@@ -7636,6 +7723,37 @@ _add(
     "ORDER BY media_id NULLS FIRST, chunk_idx",
     "content-defined chunking: positional-boundary chunk table "
     "(offsets + digests) replayed exactly in DuckDB",
+)
+
+
+def _q_cdc_bounded(spark, sf_dir):
+    """Bounded bench twin of q_cdc (r14, VERDICT r13 #1): the full gate
+    is ~3.6 s of Spark at sf0.1 (sweep-only), so the graded bench never
+    saw the r13 generate-filter fix that took the positional chunker
+    from 22.5 s to 3 s.  Every 3rd document keeps the identical plan
+    (ranged input, md5-position fold once, explode_outer, partition-
+    local sort) at a third of the fold volume."""
+    from ..operators.cdc import cdc_chunks_positional
+
+    register_testdata(spark, sf_dir, ["documents"])
+    docs = ranged_by(
+        spark.table("documents").filter("doc_id % 3 = 0"), "doc_id"
+    ).select("doc_id", F.expr("substring(text, 1, 400)").alias("text"))
+    return cdc_chunks_positional(docs).sortWithinPartitions(
+        "media_id", "chunk_idx"
+    )
+
+
+_add(
+    "q_cdc_bounded",
+    _q_cdc_bounded,
+    _CDC_CHUNKS_SQL.replace(
+        "FROM documents)", "FROM documents WHERE doc_id % 3 = 0)"
+    )
+    + "SELECT media_id, chunk_idx, start_pos, length, chunk_md5 FROM ch "
+    "ORDER BY media_id NULLS FIRST, chunk_idx",
+    "bounded bench twin of the positional CDC chunk table "
+    "(every 3rd doc)",
 )
 
 
