@@ -101,15 +101,25 @@ def quantized_dot_topk(
     """Parity-gate variant of brute-force top-k: integer-quantized dot
     product (exact, engine-independent), first ``n_queries`` ids as the
     query set, ties broken by neighbor id."""
+    # quantize each side ONCE PER ROW below the join (r14): the inlined
+    # _QDOT re-quantized both 64-element arrays PER PAIR — n_queries x
+    # corpus FLOOR/CAST passes instead of one each; HOF expressions run
+    # interpreted (no codegen), so this dominated the scoring stage.
+    # Same integers in the same order (the cosine_near_duplicate_pairs
+    # _QUANT + _IDOT pattern), so the gate hash is unchanged.
     q = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.expr(_QUANT.format(v=vec_col)).alias("__qvec"),
     )
     scored = (
-        emb.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        emb.select(
+            F.col(id_col), F.expr(_QUANT.format(v=vec_col)).alias("__cq")
+        )
+        .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.expr(_QDOT.format(a=vec_col, b="__qvec")).alias("dot"),
+            F.expr(_IDOT.format(a="__cq", b="__qvec")).alias("dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -367,12 +377,19 @@ def ivf_topk(
         emb, n_centroids, iters, id_col, vec_col, seed,
         sample_fraction=sample_fraction,
     )
-    corpus = _ivf_assign(emb, cent, 1, id_col, vec_col)
+    # quantize once per row below the probe join (r14, the
+    # quantized_dot_topk rationale — the per-pair re-quantization was
+    # the dominant scoring cost)
+    corpus = _ivf_assign(emb, cent, 1, id_col, vec_col).select(
+        F.col(id_col),
+        "centroid_id",
+        F.expr(_QUANT.format(v=vec_col)).alias("__cq"),
+    )
     q = _ivf_assign(
         emb.filter(F.col(id_col) < n_queries), cent, nprobe, id_col, vec_col
     ).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
+        F.expr(_QUANT.format(v=vec_col)).alias("__qvec"),
         "centroid_id",
     )
     scored = (
@@ -384,7 +401,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.expr(_QDOT.format(a=vec_col, b="__qvec")).alias("dot"),
+            F.expr(_IDOT.format(a="__cq", b="__qvec")).alias("dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -498,12 +515,27 @@ def ivf_persist(
     cent = ivf_train(emb, n_centroids, iters, id_col, vec_col, seed)
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
     corpus = _ivf_assign(emb, cent, 1, id_col, vec_col)
-    (
-        corpus.repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(f"{path}/corpus")
-    )
+    # Range-partition on (centroid_id, id) instead of hashing on the
+    # centroid alone (r14, VERDICT r13 #4): hash on a k-valued key caps
+    # the write at k tasks regardless of cluster size and funnels a hot
+    # inverted list through ONE writer; the range split keeps the
+    # hive-partition layout (each partition holds a contiguous
+    # (centroid, id) range) while a big list spreads over many writers
+    # and files-per-directory stay proportional to list size (guide
+    # §2.5, §6).  persist() around sampler + write: the range exchange
+    # SAMPLES its child, which would re-run the assign pass (the r13
+    # orderBy lesson); with the cache both reads hit memory.
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    corpus.persist()
+    try:
+        (
+            corpus.repartitionByRange(n_part, "centroid_id", id_col)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/corpus")
+        )
+    finally:
+        corpus.unpersist()
 
 
 def ivf_append(
@@ -541,8 +573,14 @@ def ivf_append(
     assigned.persist()
     try:
         n = assigned.count()
+        # range split on (centroid_id, id), not hash on the k-valued
+        # centroid (r14 — the ivf_persist rationale: writer parallelism
+        # follows the cluster, hot lists spread, layout unchanged); the
+        # range sampler reads the persisted cache, so the shard is
+        # still assigned exactly once
+        n_part = spark.sparkContext.defaultParallelism
         (
-            assigned.repartition("centroid_id")
+            assigned.repartitionByRange(n_part, "centroid_id", id_col)
             .write.mode("append")
             .partitionBy("centroid_id")
             .parquet(f"{path}/corpus")
@@ -577,14 +615,21 @@ def ivf_probe_bucketed(
     queries = corpus.filter(F.col(id_col) < n_queries).select(id_col, vec_col)
     q = _ivf_assign(queries, cent, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
+        F.expr(_QUANT.format(v=vec_col)).alias("__qvec"),
         F.col("centroid_id").alias("__qcid"),
     )
     probe_ids = sorted(
         r[0] for r in q.select("__qcid").distinct().collect()
     )
+    # quantize once per scanned corpus row below the join (r14, the
+    # quantized_dot_topk rationale)
     scored = (
         corpus.filter(F.col("centroid_id").isin(probe_ids))
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            F.expr(_QUANT.format(v=vec_col)).alias("__cq"),
+        )
         .join(
             F.broadcast(q),
             (F.col("centroid_id") == F.col("__qcid"))
@@ -593,7 +638,7 @@ def ivf_probe_bucketed(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.expr(_QDOT.format(a=vec_col, b="__qvec")).alias("dot"),
+            F.expr(_IDOT.format(a="__cq", b="__qvec")).alias("dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1465,17 +1510,23 @@ def hard_negatives(
     candidates reach the final top-k window; the label exclusion is a
     map-side predicate on the broadcast join, not an extra shuffle.
     Integer-quantized dots keep the output exact for the parity gate."""
+    # quantize once per row below the join (r14, the quantized_dot_topk
+    # rationale)
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
+        F.expr(_QUANT.format(v=vec_col)).alias("__qvec"),
         F.col(label_col).alias("__qlabel"),
     )
-    scored = emb.join(
+    scored = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.expr(_QUANT.format(v=vec_col)).alias("__cq"),
+    ).join(
         F.broadcast(q), F.col(label_col) != F.col("__qlabel")
     ).select(
         "query_id",
         F.col(id_col).alias("neg_id"),
-        F.expr(_QDOT.format(a=vec_col, b="__qvec")).alias("dot"),
+        F.expr(_IDOT.format(a="__cq", b="__qvec")).alias("dot"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot").desc(), F.col("neg_id")
