@@ -6321,7 +6321,12 @@ def _q_image_dedup(spark, sf_dir):
     out = image_dedup_pipeline(
         _img_media(spark, sf_dir), max_hamming=4, strict=False
     )
-    return out.select(F.col("media_id").cast("long")).orderBy("media_id")
+    # materialize the survivor-sized result before the global sort
+    # (r14, the r13 setsim pattern): the range exchange SAMPLES its
+    # child, re-running the post-checkpoint join chain a second time
+    return out.select(F.col("media_id").cast("long")).localCheckpoint(
+        eager=True
+    ).orderBy("media_id")
 
 
 _add(
@@ -12756,7 +12761,10 @@ def _q_image_corpus(spark, sf_dir):
         min_height=1024,
         max_hamming=4,
         strict=False,
-    ).orderBy("media_id")
+        # r14: materialize the survivor-sized result before the global
+        # sort (the r13 setsim pattern — the range sampling otherwise
+        # re-runs the admission join chain)
+    ).localCheckpoint(eager=True).orderBy("media_id")
 
 
 _add(
@@ -12808,7 +12816,10 @@ def _q_audio_corpus(spark, sf_dir):
         min_active_ppm=100000,
         max_hamming=4,
         strict=False,
-    ).orderBy("media_id")
+        # r14: materialize the survivor-sized result before the global
+        # sort (the r13 setsim pattern — the range sampling otherwise
+        # re-runs the admission join chain)
+    ).localCheckpoint(eager=True).orderBy("media_id")
 
 
 _add(
@@ -13001,6 +13012,10 @@ def _q_video_dedup(spark, sf_dir):
             strict=False,
         )
         .select(F.col("media_id").cast("long").alias("media_id"))
+        # r14: materialize the survivor-sized result before the global
+        # sort (the r13 setsim pattern — the range sampling otherwise
+        # re-runs the join chain)
+        .localCheckpoint(eager=True)
         .orderBy("media_id")
     )
 
