@@ -6636,8 +6636,8 @@ _add(
 # DuckDB (weburl.duckdb_canonicalize_sql, fuzz-pinned equal to the Spark
 # column expression over 500+ random strings in test_weburl.py).
 
-_URL_SYNTH = (
-    "SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+_URL_CASE_EXPR = (
+    "CASE CAST(doc_id % 5 AS INT) "
     "WHEN 0 THEN 'HTTPS://WWW.Host' || (doc_id % 7) || '.COM:443/dir' || "
     "  (doc_id % 13) || '/page/?utm_source=feed&b=' || (doc_id % 3) || "
     "  '&a=1#sec' "
@@ -6647,8 +6647,9 @@ _URL_SYNTH = (
     "  (doc_id % 13) || '?z=9&y=8&gclid=x' "
     "WHEN 3 THEN 'http://crawler@host' || (doc_id % 7) || '.com:80/solo/' "
     "  || doc_id || '/' "
-    "ELSE 'plain text ref ' || (doc_id % 7) END AS url FROM documents"
+    "ELSE 'plain text ref ' || (doc_id % 7) END"
 )
+_URL_SYNTH = "SELECT doc_id, " + _URL_CASE_EXPR + " AS url FROM documents"
 
 
 def _q_url_dedup(spark, sf_dir):
@@ -6866,13 +6867,14 @@ _add(
 # oracle replays the regexp chain in DuckDB (fuzz-pinned equal in
 # test_weburl.py — 600+ adversarial tag soups).
 
-_HTML_SYNTH = (
-    "SELECT doc_id, '<html><head><style>p {c:red}</style>"
+_HTML_EXPR = (
+    "'<html><head><style>p {c:red}</style>"
     '<script>var t = "<p>nope</p>";</script></head><body>'
     "<h1>Doc ' || doc_id || '</h1><p>' || text || '</p>"
     "<div>lang: ' || lang || '<br>src &amp; ' || source || '</div>"
-    "<!-- hidden ' || doc_id || ' --></body></html>' AS html FROM documents"
+    "<!-- hidden ' || doc_id || ' --></body></html>'"
 )
+_HTML_SYNTH = "SELECT doc_id, " + _HTML_EXPR + " AS html FROM documents"
 
 
 def _q_html_extract(spark, sf_dir):
@@ -6981,9 +6983,17 @@ def _q_web_pipeline(spark, sf_dir):
     register_testdata(spark, sf_dir, ["documents"])
     # measured r13: fan_out here is a net LOSS (+0.5 s) — the round-robin
     # exchange moves raw html, while the dedup groupBy already supplies
-    # shuffle parallelism for everything downstream
+    # shuffle parallelism for everything downstream.
+    # r14: synthesize url and html in ONE projection over one documents
+    # scan — the previous _PAGE_SYNTH self-joined two projections of the
+    # same table on unique doc_id, a broadcast build + second scan the
+    # optimizer cannot eliminate (guide §2.4); rows identical.
+    pages = spark.sql(
+        "SELECT doc_id, " + _URL_CASE_EXPR + " AS url, "
+        + _HTML_EXPR + " AS html FROM documents"
+    )
     return (
-        web_corpus_pipeline(spark.sql(_PAGE_SYNTH), min_tokens=10)
+        web_corpus_pipeline(pages, min_tokens=10)
         .orderBy("doc_id")
     )
 
