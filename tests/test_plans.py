@@ -534,6 +534,42 @@ def test_archive_fanout_is_map_side_only(spark):
         assert "rangepartitioning" in plan.lower(), name
 
 
+#: Every ranged_by-converted map-side decode lane (r13 changes #3/#11,
+#: r14 q_boilerplate/q_cdc_bounded): codec, archive, office, image,
+#: audio, text and metadata families.  The pair/graph lanes with real
+#: joins are deliberately NOT here.
+_RANGED_MAP_SIDE_LANES = (
+    "q_docx", "q_sqlite", "q_avro", "q_mkv_decode", "q_webp",
+    "q_jpeg_arith", "q_squashfs", "q_ccitt_fax", "q_rar", "q_font_meta",
+    "q_cab", "q_cab_set", "q_dicom", "q_pnm", "q_ics", "q_vad",
+    "q_gopher", "q_html_extract", "q_boilerplate", "q_jpeg2000",
+    "q_jbig2", "q_pdf_images", "q_lang_id", "q_fingerprint", "q_cdc",
+    "q_cdc_bounded", "q_audio_meta", "q_image_meta", "q_exif_scrub",
+    "q_video_meta", "q_phash", "q_markdown", "q_ipynb", "q_epub",
+    "q_odt", "q_rtf", "q_xlsx", "q_doc", "q_pptx", "q_ods", "q_xls",
+    "q_odp",
+)
+
+
+def test_ranged_lanes_are_map_side_only(spark):
+    """The 'identical global order' invariant of ranged_by +
+    sortWithinPartitions holds only while everything between them stays
+    map-side (ADVICE r13 #4): a later shuffle-introducing change would
+    silently break the declared output order, because the parity gate
+    compares order-insensitively.  Pin every converted lane to the
+    q_7z/q_tgz contract — exactly ONE Exchange (the range partitioning
+    of the cheap build input), no hash partitioning, no Join."""
+    import re
+
+    for name in _RANGED_MAP_SIDE_LANES:
+        plan = plan_of(spark, name)
+        assert "Join" not in plan, name
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) == 1, (name, exchanges)
+        assert "hashpartitioning" not in plan.lower(), name
+        assert "rangepartitioning" in plan.lower(), name
+
+
 def test_generate_filters_not_inferred_for_expensive_arrays(spark):
     """r13: InferFiltersFromGenerate turns explode(expensive_expr) into
     a pushed-down ``size(expr) > 0`` filter that re-evaluates the whole
