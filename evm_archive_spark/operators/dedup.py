@@ -205,11 +205,19 @@ def minhash_near_duplicates(
     num_perm: int = 32,
     bands: int = 8,
     k: int = 5,
+    sort: bool = True,
 ) -> DataFrame:
     """LSH candidates + exact-Jaccard verification >= threshold.
 
     The verify joins the (small) candidate set back to the shingle sets —
     candidates, not the corpus, bound the quadratic term.
+
+    ``sort=False`` (r14) skips the presentational global orderBy for
+    composed consumers (components, split assignment) that feed the
+    pairs straight into a union/distinct/join: the sort's range
+    exchange SAMPLES its child, re-running the verify join a second
+    time per action, and the order is discarded one operator later.
+    The pair SET is identical either way.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, k)
     sh = df.select(
@@ -227,15 +235,12 @@ def minhash_near_duplicates(
             >= F.lit(threshold)
         )
     )
-    return (
-        sized.select(
-            "id_a",
-            "id_b",
-            jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    out = sized.select(
+        "id_a",
+        "id_b",
+        jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 # --------------------------------------------------------------------------
@@ -479,7 +484,11 @@ def near_duplicate_pipeline(
     ~|candidates| << n^2/2 verifications.
     """
     pairs = minhash_near_duplicates(
-        df, id_col, text_col, threshold, num_perm, bands, k
+        df, id_col, text_col, threshold, num_perm, bands, k,
+        # sort=False: the pairs feed connected_components' union/
+        # distinct — the global sort would be discarded and its range
+        # sampling would re-run the verify join (r14)
+        sort=False,
     )
     return dedup_survivors(df, pairs, id_col=id_col)
 

@@ -278,7 +278,7 @@ def split_leakage_report(
 
     pairs = minhash_near_duplicates(
         docs, id_col=id_col, text_col=text_col, threshold=threshold,
-        num_perm=num_perm, bands=bands, k=k,
+        num_perm=num_perm, bands=bands, k=k, sort=False,
     )
     splits = hash_split(
         docs.select(F.col(id_col)), id_col, weights
@@ -327,7 +327,7 @@ def leakage_safe_split(
     if pairs is None:
         pairs = minhash_near_duplicates(
             docs, id_col=id_col, text_col=text_col, threshold=threshold,
-            num_perm=num_perm, bands=bands, k=k,
+            num_perm=num_perm, bands=bands, k=k, sort=False,
         )
     comp = connected_components(pairs).select(
         F.col("node").alias("__cid"), F.col("component").alias("__comp")

@@ -427,6 +427,7 @@ def cosine_near_duplicate_pairs(
     threshold_den: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sort: bool = True,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b), decided
     entirely in BIGINT arithmetic so the result is bit-identical across
@@ -454,7 +455,7 @@ def cosine_near_duplicate_pairs(
     # re-evaluates per task otherwise).
     a, b = q.alias("a"), F.broadcast(q).alias("b")
     qd = F.expr(_IDOT.format(a="a.__e", b="b.__e"))
-    return (
+    out = (
         a.join(b, F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"),
@@ -471,8 +472,10 @@ def cosine_near_duplicate_pairs(
             )
         )
         .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
     )
+    # sort=False (r14): composed consumers (components) discard the
+    # order, and the sort's range sampling re-runs the pair join
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def embedding_dedup_survivors(
@@ -491,7 +494,7 @@ def embedding_dedup_survivors(
     from .dedup import dedup_survivors
 
     pairs = cosine_near_duplicate_pairs(
-        df, threshold_num, threshold_den, id_col, vec_col
+        df, threshold_num, threshold_den, id_col, vec_col, sort=False
     )
     return dedup_survivors(df, pairs, id_col=id_col)
 
